@@ -1,0 +1,154 @@
+package graft.plans
+
+import graft.operators.Transformations
+import graft.sources.{JsonLines, PathKeys, TsvSource}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * V2F pipeline stages, Spark-native.
+ *
+ * Re-expression of the reference's extraction/transform composition
+ * (reference: v2f/src/main/scala/.../V2FExtractionsAndTransforms.scala).
+ * Every stage is a declarative DataFrame transform; the whole chain is one
+ * Catalyst plan per table (scan → project/cast chain → sink), so pushdown,
+ * pruning and whole-stage codegen apply end-to-end.
+ */
+object V2F {
+
+  /**
+   * Read a table's TSVs (glob-tolerant) and snake-case the headers
+   * (reference: V2FExtractionsAndTransforms.scala:21-40). The source-file
+   * path column is kept for downstream path-derived keys.
+   */
+  def extractAndConvert(
+    spark: SparkSession,
+    config: V2FTableConfig,
+    inputDir: String,
+    fileGlob: String = "*.csv"
+  ): DataFrame =
+    Transformations.keysToSnakeCase(
+      TsvSource.readGlob(
+        spark,
+        s"$inputDir/${config.filePath}",
+        recursive = true,
+        globFilter = Some(fileGlob)
+      )
+    )
+
+  /**
+   * Full per-table typed-conversion chain
+   * (reference: V2FExtractionsAndTransforms.scala:77-122): rename → remove →
+   * doubles → longs → booleans → string arrays → double arrays (nan ".").
+   * Drops the carried file-path column — the reference's transform operates
+   * on the message alone.
+   */
+  def transform(config: V2FTableConfig)(df: DataFrame): DataFrame = {
+    val base = df.drop(TsvSource.PathCol)
+    val chain =
+      Transformations.renameFields(config.fieldsToRename) _ andThen
+        Transformations.removeFields(config.fieldsToRemove) andThen
+        Transformations.parseDoubles(config.fieldsToConvertToDouble) andThen
+        Transformations.parseLongs(config.fieldsToConvertToLong) andThen
+        Transformations.parseBooleans(config.fieldsToConvertToBoolean)
+    val withArrays = config.fieldsToConvertToStringArray.foldLeft(chain(base)) {
+      case (cur, (delim, fields)) =>
+        Transformations.parseStringArrays(fields, delim)(cur)
+    }
+    config.fieldsToConvertToDoubleArray.foldLeft(withArrays) {
+      case (cur, (delim, fields)) =>
+        // "." is whitelisted to NULL in V2F double arrays
+        // (reference: V2FExtractionsAndTransforms.scala:116)
+        Transformations.parseDoubleArrays(fields, delim, Set("."))(cur)
+    }
+  }
+
+  /**
+   * Extract the variant identity fields and long-parse the configured ones
+   * (reference: V2FExtractionsAndTransforms.scala:48-70).
+   */
+  def extractVariants(config: V2FTableConfig)(df: DataFrame): DataFrame = {
+    val chain =
+      Transformations.renameFields(config.variantFieldsToRename) _ andThen
+        Transformations.extractFields(config.variantFieldsToExtract) andThen
+        Transformations.parseLongs(config.fieldsToConvertToLong)
+    chain(df.drop(TsvSource.PathCol))
+  }
+
+  /**
+   * Union variant sets and keep one row per id
+   * (reference: V2FExtractionsAndTransforms.scala:129-135, `distinctBy(id)`).
+   * Spark-native: unionByName + dropDuplicates("id") — partial aggregation
+   * then a single hash shuffle on the id; never a driver-side distinct.
+   */
+  def mergeVariants(variants: Seq[DataFrame]): DataFrame =
+    variants.reduce(_.unionByName(_)).dropDuplicates("id")
+
+  /**
+   * Ancestry-specific inputs: attach the path-derived ancestry ID
+   * (reference: ExtractionPipeline.scala:75-77).
+   */
+  def withAncestry(df: DataFrame): DataFrame =
+    PathKeys.withAncestryId()(df)
+}
+
+/**
+ * End-to-end extraction driver
+ * (reference: v2f/src/main/scala/.../ExtractionPipeline.scala:53-192):
+ * five TSV table chains + the merged variants set, each written as compact
+ * drop-null JSON lines.
+ */
+object ExtractionPipeline {
+
+  def run(spark: SparkSession, inputDir: String, outputDir: String): Unit = {
+    import V2FTables._
+
+    val fa = V2F.extractAndConvert(spark, FrequencyAnalysis, inputDir)
+    val maas = V2F.withAncestry(
+      V2F.extractAndConvert(spark, MetaAnalysisAncestrySpecific, inputDir))
+    val mate = V2F.extractAndConvert(spark, MetaAnalysisTransEthnic, inputDir)
+    val verfc =
+      V2F.extractAndConvert(spark, VariantEffectRegulatoryFeatureConsequences, inputDir)
+    val vetc =
+      V2F.extractAndConvert(spark, VariantEffectTranscriptConsequences, inputDir)
+
+    JsonLines.write(V2F.transform(FrequencyAnalysis)(fa),
+      s"$outputDir/${FrequencyAnalysis.filePath}")
+    JsonLines.write(V2F.transform(MetaAnalysisAncestrySpecific)(maas),
+      s"$outputDir/${MetaAnalysisAncestrySpecific.filePath}")
+    JsonLines.write(V2F.transform(MetaAnalysisTransEthnic)(mate),
+      s"$outputDir/${MetaAnalysisTransEthnic.filePath}")
+    JsonLines.write(V2F.transform(VariantEffectRegulatoryFeatureConsequences)(verfc),
+      s"$outputDir/${VariantEffectRegulatoryFeatureConsequences.filePath}")
+    JsonLines.write(V2F.transform(VariantEffectTranscriptConsequences)(vetc),
+      s"$outputDir/${VariantEffectTranscriptConsequences.filePath}")
+
+    val variants = V2F.mergeVariants(Seq(
+      V2F.extractVariants(FrequencyAnalysis)(fa),
+      V2F.extractVariants(MetaAnalysisAncestrySpecific)(maas.drop("ancestry")),
+      V2F.extractVariants(MetaAnalysisTransEthnic)(mate)
+    ))
+    JsonLines.write(variants, s"$outputDir/variants")
+  }
+}
+
+/**
+ * Dataset-specific driver
+ * (reference: v2f/src/main/scala/.../DatasetSpecificPipeline.scala:55-97):
+ * JSON-lines in → snake-case → rename → remove → JSON-lines out.
+ */
+object DatasetSpecificPipeline {
+
+  def transform(config: V2FTableConfig)(df: DataFrame): DataFrame = {
+    val chain =
+      Transformations.keysToSnakeCase _ andThen
+        Transformations.renameFields(config.fieldsToRename) andThen
+        Transformations.removeFields(config.fieldsToRemove)
+    chain(df)
+  }
+
+  def run(spark: SparkSession, inputDir: String, outputDir: String): Unit = {
+    val config = V2FTables.DatasetSpecificAnalysis
+    val in = JsonLines.read(spark, s"$inputDir/${config.filePath}/*")
+    JsonLines.write(transform(config)(in), s"$outputDir/${config.filePath}")
+  }
+}

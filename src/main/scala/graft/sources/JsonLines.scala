@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SaveMode, SparkSession}
+
+/**
+ * JSON-lines source/sink.
+ *
+ * Spark-native re-expression of the reference's JSON-lines IO
+ * (reference: common/src/main/scala/.../MsgIO.scala:83-133).
+ *
+ *  - Read: `spark.read.json` is a distributed line-per-record scan whose
+ *    schema inference preserves the long-vs-double distinction the
+ *    reference's custom circe visitor exists for (MsgIO.scala:27-63):
+ *    integral literals infer BIGINT, decimal literals DOUBLE.
+ *  - Write: Spark's JSON sink is compact (no extra whitespace) and drops
+ *    NULL fields by default (`ignoreNullFields=true`), matching the
+ *    reference's `Printer.noSpaces.copy(dropNullValues = true)`
+ *    (MsgIO.scala:71).
+ *
+ * Scale note: both directions are per-partition file IO — no driver-side
+ * serialization loop, part-file-per-partition output like the reference's
+ * Beam `saveAsTextFile`.
+ */
+object JsonLines {
+
+  /** Read JSON-lines files matching a glob into a DataFrame (schema inferred). */
+  def read(spark: SparkSession, pattern: String): DataFrame =
+    spark.read.json(pattern)
+
+  /**
+   * Read with the primitivesAsString escape hatch off but dates kept as
+   * strings, mirroring the reference's "everything is a message" model where
+   * only null/bool/long/double/string/array/object exist.
+   */
+  def readUntyped(spark: SparkSession, pattern: String): DataFrame =
+    spark.read
+      .option("inferTimestamp", "false")
+      .json(pattern)
+
+  /**
+   * Write unmodeled rows as compact drop-null JSON lines
+   * (reference: MsgIO.scala:106-115).
+   */
+  def write(df: DataFrame, outputPrefix: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(outputPrefix)
+
+  /**
+   * Write modeled (typed) records as compact drop-null JSON lines
+   * (reference: MsgIO.scala:123-132 — the `Encoder`-based overload).
+   */
+  def writeTyped[T: Encoder](ds: Dataset[T], outputPrefix: String,
+                             mode: SaveMode = SaveMode.Overwrite): Unit =
+    ds.toDF().write.mode(mode).json(outputPrefix)
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.sources.{JsonLines, PathKeys, TsvSource}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mirrors the reference's ingestion contract
+ * (reference: v2f/src/test/scala/.../V2FUtilsSpec.scala and
+ * common/src/test/scala/.../MsgIOSpec.scala) over Spark sources.
+ */
+class SourcesSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def writeFile(dir: Path, name: String, content: String): Path = {
+    val p = dir.resolve(name)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+    p
+  }
+
+  test("TSV rows become records keyed by header") {
+    val d = tmpDir("tsv")
+    writeFile(d, "a.tsv", "key1\tkey2\tkey3\nv11\tv21\tv31\nv12\tv22\tv32\n")
+    val df = TsvSource.read(spark, d.toString + "/a.tsv")
+    assert(df.columns.toSeq == Seq("key1", "key2", "key3", "source_file"))
+    val rows = df.orderBy("key1").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("v11", "v12"))
+    assert(rows.head.getString(3).endsWith("a.tsv"))
+  }
+
+  test("empty-string and whitespace cells become NULL (missing)") {
+    val d = tmpDir("tsv")
+    writeFile(d, "m.tsv", "key1\tkey2\tkey3\nv11\t\tv31\nv12\t \t v32 \n")
+    val df = TsvSource.read(spark, d.toString + "/m.tsv", withPath = false)
+    val rows = df.orderBy("key1").collect()
+    assert(rows(0).isNullAt(1) && rows(1).isNullAt(1))
+    // cells are trimmed
+    assert(rows(1).getString(2) == "v32")
+  }
+
+  test("glob matching nothing returns empty (wildcard-tolerant)") {
+    val d = tmpDir("tsv-empty")
+    val df = TsvSource.readGlob(spark, d.toString + "/nope-*.tsv")
+    assert(df.count() == 0)
+  }
+
+  test("non-glob missing path still errors") {
+    assertThrows[Exception] {
+      TsvSource.readGlob(spark, "/definitely/not/here.tsv").collect()
+    }
+  }
+
+  test("multiple TSVs with glob read distributed, path column distinguishes them") {
+    val d = tmpDir("tsv-multi")
+    writeFile(d, "one.tsv", "k\tv\na\t1\n")
+    writeFile(d, "two.tsv", "k\tv\nb\t2\n")
+    val df = TsvSource.read(spark, d.toString + "/*.tsv")
+    assert(df.count() == 2)
+    assert(df.select("source_file").distinct().count() == 2)
+  }
+
+  test("ancestry ID extracted from ancestry=<id> path segment") {
+    val d = tmpDir("tsv-anc")
+    writeFile(d, "ancestry=EU/f.tsv", "k\tv\na\t1\n")
+    writeFile(d, "ancestry=AA/f.tsv", "k\tv\nb\t2\n")
+    val df = PathKeys.withAncestryId()(
+      TsvSource.read(spark, d.toString + "/ancestry=*/f.tsv"))
+    val got = df.select("k", "ancestry").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "EU", "b" -> "AA"))
+  }
+
+  test("ancestry extraction fails when path has no ancestry segment") {
+    val d = tmpDir("tsv-noanc")
+    writeFile(d, "plain/f.tsv", "k\tv\na\t1\n")
+    val df = PathKeys.withAncestryId()(
+      TsvSource.read(spark, d.toString + "/plain/f.tsv"))
+    assertThrows[Exception] { df.collect() }
+  }
+
+  test("JSON-lines roundtrip preserves long vs double distinction and drops nulls") {
+    import spark.implicits._
+    val d = tmpDir("jsonl")
+    val src = Seq((1L, 1.5, "x", null.asInstanceOf[String]), (2L, 2.0, "y", "z"))
+      .toDF("lng", "dbl", "s", "maybe")
+    JsonLines.write(src, d.toString + "/out")
+    // raw text: compact, null fields dropped
+    val lines = spark.read.text(d.toString + "/out/*.json").as[String].collect()
+    assert(lines.exists(l => !l.contains("maybe")), s"null field not dropped: ${lines.mkString}")
+    assert(lines.forall(l => !l.contains(" ")))
+    val back = JsonLines.read(spark, d.toString + "/out/*.json")
+    val types = back.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("lng") == "long")
+    assert(types("dbl") == "double")
+    assert(back.count() == 2)
+  }
+
+  test("typed JSON-lines write (modeled records)") {
+    import spark.implicits._
+    val d = tmpDir("jsonl-t")
+    val ds = Seq(Person("ada", 36L), Person("bob", 41L)).toDS()
+    JsonLines.writeTyped(ds, d.toString + "/out")
+    val back = JsonLines.read(spark, d.toString + "/out/*.json")
+    assert(back.orderBy("name").select("name").collect().map(_.getString(0)).toSeq ==
+      Seq("ada", "bob"))
+  }
+}
+
+case class Person(name: String, age: Long)
