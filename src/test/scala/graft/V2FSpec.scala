@@ -56,14 +56,17 @@ class V2FSpec extends SparkSpec {
 
     val verfc = JsonLines.read(spark,
       s"$out/variant-effect/regulatory-feature-consequences/*.json")
-    assert(verfc.head.getAs[Seq[String]]("consequence_terms") ==
+    val verfcRow = verfc.head
+    // Spark 4 returns mutable.ArraySeq; getSeq avoids the immutable-Seq cast
+    assert(verfcRow.getSeq[String](verfcRow.fieldIndex("consequence_terms")) ==
       Seq("regulatory_region_variant", "TF_binding_site_variant"))
-    assert(!verfc.head.getAs[Boolean]("pick")) // "1" not in default true-set
+    assert(!verfcRow.getAs[Boolean]("pick")) // "1" not in default true-set
 
     val vetc = JsonLines.read(spark,
       s"$out/variant-effect/transcript-consequences/*.json")
-    assert(vetc.head.getAs[Seq[Any]]("sift_score") == Seq(0.1, null))
-    assert(vetc.head.getAs[Seq[Any]]("siphy_29_way_pi") == Seq(0.2, 0.3))
+    val vetcRow = vetc.head
+    assert(vetcRow.getSeq[Any](vetcRow.fieldIndex("sift_score")) == Seq(0.1, null))
+    assert(vetcRow.getSeq[Any](vetcRow.fieldIndex("siphy_29_way_pi")) == Seq(0.2, 0.3))
     assert(vetc.head.getAs[Long]("strand") == 1L)
 
     // variants: v1 appears in frequency-analysis AND ancestry-specific ->
