@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Deterministic, engine-portable hashing primitives.
+ *
+ * All near-dup / fingerprint operators hash through MD5 rather than Spark's
+ * Murmur3 `hash()` so results are reproducible by ANY engine (the DuckDB
+ * correctness oracle recomputes them with its own `md5`), and stable across
+ * Spark versions. MD5 here is a uniform hash, not a security primitive.
+ *
+ * Everything is a pure Catalyst expression — codegen'd, no UDFs.
+ */
+object Hashing {
+
+  /**
+   * 60-bit non-negative hash of a string: the first 15 hex chars of the MD5
+   * digest, as a Long. 15 hex chars = 60 bits, always positive, and
+   * recomputable in SQL engines as `('0x' || substr(md5(x),1,15))::BIGINT`.
+   */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /**
+   * Seeded variant: an independent hash function per seed, for MinHash
+   * signature families (h_i(x) = md5(i || ':' || x)).
+   */
+  def md5Long60(c: Column, seed: Int): Column =
+    md5Long60(concat(lit(seed.toString), lit(":"), c))
+
+  /**
+   * Normalize free text for fingerprinting/shingling: lowercase, collapse
+   * every run of non-alphanumeric characters to a single space, trim.
+   * Mirrored in the DuckDB oracles as
+   * `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))`.
+   */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of normalized text; empty text → empty array. */
+  def normalizedWords(c: Column): Column = {
+    val n = normalizeText(c)
+    when(n === "", array().cast("array<string>")).otherwise(split(n, " "))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.gates
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{JsonLines, PathKeys, TsvSource}
+
+/**
+ * Correctness-gate queries for the sources/sinks (SURVEY.md §2.2).
+ *
+ * These gates exercise real file IO: each query writes a small fixture
+ * under a fresh temp directory, round-trips it through the graft
+ * source/sink, and returns the result; the oracle is the equivalent
+ * literal relation (`VALUES`) in DuckDB. The fixture content is fixed, so
+ * the comparison is deterministic.
+ */
+object SourceGates {
+
+  private def write(dir: Path, rel: String, content: String): Unit = {
+    val p = dir.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+    ()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 row 18 — header-TSV source: cells trimmed, empty-after-trim → NULL
+    "q_tsv_roundtrip" -> { (s, _) =>
+      val dir = Files.createTempDirectory("graft-tsv")
+      write(dir, "t.tsv",
+        "id\tname\tscore\n" +
+          "1\t  alpha  \t3.5\n" +
+          "2\t\t4.0\n" +
+          "3\tbeta\t   \n")
+      TsvSource.read(s, dir.resolve("t.tsv").toString)
+        .drop(TsvSource.PathCol)
+    },
+    // §2.2 rows 14-16 — JSON-lines round-trip: longs stay BIGINT, doubles
+    // stay DOUBLE, NULL fields dropped on write and re-inferred as NULL
+    "q_jsonlines_roundtrip" -> { (s, _) =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft-jsonl")
+      val in = Seq(
+        (1L, 1.5, Option("x")),
+        (2L, 2.0, Option.empty[String])
+      ).toDF("a", "b", "c")
+      JsonLines.write(in, dir.resolve("out").toString)
+      val back = JsonLines.read(s, dir.resolve("out").toString + "/*.json")
+      back.select(
+        col("a"), col("b"), col("c"),
+        lit(back.schema("a").dataType.simpleString).as("a_type"),
+        lit(back.schema("b").dataType.simpleString).as("b_type")
+      )
+    },
+    // §2.2 row 17 — glob matching nothing yields empty, not an error
+    "q_glob_empty_ok" -> { (s, _) =>
+      import s.implicits._
+      val dir = Files.createTempDirectory("graft-empty")
+      val df = TsvSource.readGlob(s, s"$dir/absent-*.tsv")
+      Seq((df.count(), df.columns.length)).toDF("n_rows", "n_cols")
+    },
+    // §2.2 row 19 — ancestry ID extracted from the file path
+    "q_ancestry_id" -> { (s, _) =>
+      import s.implicits._
+      val in = Seq(
+        ("r1", "/data/in/ancestry=EU/part-0.tsv"),
+        ("r2", "/data/in/ancestry=AF/part-1.tsv"),
+        ("r3", "/data/in/ancestry=EAS/sub/part-2.tsv")
+      ).toDF("row_id", TsvSource.PathCol)
+      PathKeys.withAncestryId()(in)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tsv_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('1', 'alpha', '3.5'),
+        |  ('2', NULL,    '4.0'),
+        |  ('3', 'beta',  NULL)
+        |) AS t(id, name, score)""".stripMargin,
+    "q_jsonlines_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 1.5, 'x',  'bigint', 'double'),
+        |  (CAST(2 AS BIGINT), 2.0, NULL, 'bigint', 'double')
+        |) AS t(a, b, c, a_type, b_type)""".stripMargin,
+    "q_glob_empty_ok" ->
+      "SELECT CAST(0 AS BIGINT) AS n_rows, 0 AS n_cols",
+    "q_ancestry_id" ->
+      """SELECT * FROM (VALUES
+        |  ('r1', '/data/in/ancestry=EU/part-0.tsv',  'EU'),
+        |  ('r2', '/data/in/ancestry=AF/part-1.tsv',  'AF'),
+        |  ('r3', '/data/in/ancestry=EAS/sub/part-2.tsv', 'EAS')
+        |) AS t(row_id, source_file, ancestry)""".stripMargin
+  )
+}

@@ -77,6 +77,11 @@ object Transformations {
    * delimited string column, dropping the originals. Errors at plan time if
    * ANY column is missing (reference: MsgTransformations.scala:142-160 —
    * concatFields throws on a missing field).
+   *
+   * Intentional divergence: a NULL cell (field absent from one record) is
+   * skipped by `concat_ws` rather than raising — the reference throws on a
+   * per-record missing field, but a row-level throw would poison a whole
+   * 100-TB job for one bad record; schema-level absence still errors.
    */
   def concatFields(fields: List[String], concatName: String, sep: String)(
     df: DataFrame
@@ -108,10 +113,25 @@ object Transformations {
 
   /**
    * Rename every column to its snake-case form
-   * (reference: MsgTransformations.scala:184-192).
+   * (reference: MsgTransformations.scala:184-192). If two input names
+   * snake-case to the same target, the LAST one wins and the earlier
+   * columns are dropped — the columnar equivalent of the reference's
+   * last-writer-wins map insertion (a DataFrame cannot carry duplicate
+   * column names).
    */
-  def keysToSnakeCase(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(keyToSnakeCase).toSeq: _*)
+  def keysToSnakeCase(df: DataFrame): DataFrame = {
+    val targets = df.columns.map(keyToSnakeCase)
+    if (targets.distinct.length == targets.length) df.toDF(targets.toSeq: _*)
+    else {
+      val lastIdx = targets.zipWithIndex.groupBy(_._1).map { case (n, xs) =>
+        n -> xs.map(_._2).max
+      }
+      val kept = targets.zipWithIndex.collect {
+        case (n, i) if lastIdx(n) == i => col(df.columns(i)).as(n)
+      }
+      df.select(kept.toSeq: _*)
+    }
+  }
 
   /** NULL out whitelisted "nan" strings before a parse. */
   private def nullifyNan(c: Column, nanValues: Set[String]): Column =

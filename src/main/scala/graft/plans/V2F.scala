@@ -99,35 +99,53 @@ object V2F {
  */
 object ExtractionPipeline {
 
+  /** Create an empty output directory — the reference's behavior for a
+    * wildcard pattern matching nothing is an empty output, not a crash
+    * (V2FUtils.scala:42, ALLOW_IF_WILDCARD). */
+  private def emptyOutput(spark: SparkSession, out: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    ()
+  }
+
+  /** Write the transformed table, or an empty dir when its glob matched no
+    * files (zero-column input). */
+  private def writeOrSkip(
+    spark: SparkSession,
+    config: V2FTableConfig,
+    df: DataFrame,
+    outputDir: String
+  ): Unit =
+    if (df.columns.isEmpty) emptyOutput(spark, s"$outputDir/${config.filePath}")
+    else JsonLines.write(V2F.transform(config)(df), s"$outputDir/${config.filePath}")
+
   def run(spark: SparkSession, inputDir: String, outputDir: String): Unit = {
     import V2FTables._
 
     val fa = V2F.extractAndConvert(spark, FrequencyAnalysis, inputDir)
-    val maas = V2F.withAncestry(
-      V2F.extractAndConvert(spark, MetaAnalysisAncestrySpecific, inputDir))
+    val maasRaw = V2F.extractAndConvert(spark, MetaAnalysisAncestrySpecific, inputDir)
+    val maas = if (maasRaw.columns.isEmpty) maasRaw else V2F.withAncestry(maasRaw)
     val mate = V2F.extractAndConvert(spark, MetaAnalysisTransEthnic, inputDir)
     val verfc =
       V2F.extractAndConvert(spark, VariantEffectRegulatoryFeatureConsequences, inputDir)
     val vetc =
       V2F.extractAndConvert(spark, VariantEffectTranscriptConsequences, inputDir)
 
-    JsonLines.write(V2F.transform(FrequencyAnalysis)(fa),
-      s"$outputDir/${FrequencyAnalysis.filePath}")
-    JsonLines.write(V2F.transform(MetaAnalysisAncestrySpecific)(maas),
-      s"$outputDir/${MetaAnalysisAncestrySpecific.filePath}")
-    JsonLines.write(V2F.transform(MetaAnalysisTransEthnic)(mate),
-      s"$outputDir/${MetaAnalysisTransEthnic.filePath}")
-    JsonLines.write(V2F.transform(VariantEffectRegulatoryFeatureConsequences)(verfc),
-      s"$outputDir/${VariantEffectRegulatoryFeatureConsequences.filePath}")
-    JsonLines.write(V2F.transform(VariantEffectTranscriptConsequences)(vetc),
-      s"$outputDir/${VariantEffectTranscriptConsequences.filePath}")
+    writeOrSkip(spark, FrequencyAnalysis, fa, outputDir)
+    writeOrSkip(spark, MetaAnalysisAncestrySpecific, maas, outputDir)
+    writeOrSkip(spark, MetaAnalysisTransEthnic, mate, outputDir)
+    writeOrSkip(spark, VariantEffectRegulatoryFeatureConsequences, verfc, outputDir)
+    writeOrSkip(spark, VariantEffectTranscriptConsequences, vetc, outputDir)
 
-    val variants = V2F.mergeVariants(Seq(
-      V2F.extractVariants(FrequencyAnalysis)(fa),
-      V2F.extractVariants(MetaAnalysisAncestrySpecific)(maas.drop("ancestry")),
-      V2F.extractVariants(MetaAnalysisTransEthnic)(mate)
-    ))
-    JsonLines.write(variants, s"$outputDir/variants")
+    val variantSources = Seq(
+      FrequencyAnalysis -> fa,
+      MetaAnalysisAncestrySpecific -> maas.drop("ancestry"),
+      MetaAnalysisTransEthnic -> mate
+    ).collect {
+      case (cfg, df) if df.columns.nonEmpty => V2F.extractVariants(cfg)(df)
+    }
+    if (variantSources.isEmpty) emptyOutput(spark, s"$outputDir/variants")
+    else JsonLines.write(V2F.mergeVariants(variantSources), s"$outputDir/variants")
   }
 }
 
@@ -148,7 +166,9 @@ object DatasetSpecificPipeline {
 
   def run(spark: SparkSession, inputDir: String, outputDir: String): Unit = {
     val config = V2FTables.DatasetSpecificAnalysis
-    val in = JsonLines.read(spark, s"$inputDir/${config.filePath}/*")
+    // Beam reads `$inputDir/dataset-specific/**` — recurse into nested dirs
+    // (reference: DatasetSpecificPipeline.scala:64).
+    val in = JsonLines.read(spark, s"$inputDir/${config.filePath}", recursive = true)
     JsonLines.write(transform(config)(in), s"$outputDir/${config.filePath}")
   }
 }

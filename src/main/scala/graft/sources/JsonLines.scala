@@ -23,9 +23,24 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SaveMode, SparkSession
  */
 object JsonLines {
 
-  /** Read JSON-lines files matching a glob into a DataFrame (schema inferred). */
-  def read(spark: SparkSession, pattern: String): DataFrame =
-    spark.read.json(pattern)
+  /**
+   * Read JSON-lines files matching a glob into a DataFrame (schema inferred).
+   *
+   * @param recursive descend into subdirectories, matching Beam's
+   *                  double-star patterns (reference:
+   *                  DatasetSpecificPipeline.scala:64 reads the whole
+   *                  dataset-specific tree recursively)
+   * @param globFilter optional leaf-name glob applied with [[recursive]]
+   */
+  def read(
+    spark: SparkSession,
+    pattern: String,
+    recursive: Boolean = false,
+    globFilter: Option[String] = None
+  ): DataFrame = {
+    val reader = spark.read.option("recursiveFileLookup", recursive.toString)
+    globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).json(pattern)
+  }
 
   /**
    * Read with the primitivesAsString escape hatch off but dates kept as
