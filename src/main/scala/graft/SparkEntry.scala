@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.gates.{KernelGates, SourceGates, V2FGates}
+import graft.gates.{KernelGates, LlmGates, SourceGates, V2FGates}
 import graft.operators.Transformations
 
 /**

@@ -31,6 +31,10 @@ object Hashing {
   def md5Long60(c: Column, seed: Int): Column =
     md5Long60(concat(lit(seed.toString), lit(":"), c))
 
+  /** Seeded variant with a column seed (for use inside lambda expressions). */
+  def md5Long60Seeded(c: Column, seed: Column): Column =
+    md5Long60(concat(seed.cast("string"), lit(":"), c))
+
   /**
    * Normalize free text for fingerprinting/shingling: lowercase, collapse
    * every run of non-alphanumeric characters to a single space, trim.

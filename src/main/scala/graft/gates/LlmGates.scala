@@ -1,0 +1,317 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Events
+
+/**
+ * Correctness-gate queries for the training-data pipeline operators
+ * (SURVEY.md §2.4).
+ *
+ * The dedup/fingerprint chains hash exclusively through the
+ * engine-portable MD5 primitives (graft.functions.Hashing), so the DuckDB
+ * oracles RE-DERIVE the full MinHash → LSH → Jaccard and SimHash chains
+ * in SQL — these are strong, value-exact gates, not rows-only checks.
+ * Only q_ann_ivf is rows-only (approximate recall is gated by a ScalaTest
+ * property instead).
+ */
+object LlmGates {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ re-keyed copies of every 10th doc — planted exact dups. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  /** embeddings ∪ copies of every 25th vector — planted cosine-1 dups. */
+  private def embsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    e.unionByName(
+      e.filter(col("vec_id") % 25 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 row 26 — exact dedup: normalized-hash groupBy, min-id keeper
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(docsWithDups(s, dir), "text", "doc_id")
+    },
+    // §2.4 row 27a — MinHash signatures (16 hashes over 3-shingles)
+    "q_minhash_signature" -> { (s, dir) =>
+      Dedup.minHashSignatures(docs(s, dir), "text", "doc_id")
+        .withColumn("signature", to_json(col("signature")))
+    },
+    // §2.4 rows 27b+29 — banded-LSH candidates + in-bucket Jaccard verify
+    "q_neardup_pairs" -> { (s, dir) =>
+      Dedup.nearDuplicates(docs(s, dir), "text", "doc_id",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    },
+    // §2.4 row 28 — 60-bit SimHash
+    "q_simhash" -> { (s, dir) =>
+      Dedup.simHashes(docs(s, dir), "text", "doc_id")
+    },
+    // §2.4 row 30 — embedding near-dup via hyperplane LSH + cosine verify
+    "q_embed_neardup" -> { (s, dir) =>
+      Dedup.embeddingNearDup(embsWithDups(s, dir), "embedding", "vec_id",
+          planes = 16, threshold = 0.9)
+        .withColumn("cosine", round(col("cosine"), 4))
+    },
+    // §2.4 row 31 — brute-force cosine top-k (queries = vec_id < 10)
+    "q_ann_topk" -> { (s, dir) =>
+      val corpus = embs(s, dir)
+      Similarity.bruteForceTopK(
+          corpus, corpus.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5)
+        .withColumn("score", round(col("score"), 4))
+    },
+    // §2.4 row 32 — IVF-bucketed ANN (rows-only gate; recall is gated by
+    // SimilaritySpec: nProbe=nCentroids must equal brute force exactly)
+    "q_ann_ivf" -> { (s, dir) =>
+      val corpus = embs(s, dir)
+      Similarity.ivfTopK(
+          corpus, corpus.filter(col("vec_id") < 10), "embedding", "vec_id",
+          k = 5, nCentroids = 16, nProbe = 4)
+        .withColumn("score", round(col("score"), 4))
+    },
+    // §2.4 row 33 — stopword language ID
+    "q_lang_id" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+    // §2.4 row 34 — quality ratios + composite score
+    "q_text_quality" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+        round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_r"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_r"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_r"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    },
+    // §2.4 row 35 — token counting (whitespace + BPE-ish regex)
+    "q_token_count" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+    },
+    // §2.4 row 36 — document fingerprinting (normalized MD5 + minhash-0)
+    "q_fingerprint" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.minhash0(col("text")).as("minhash_0"))
+    },
+    // §2.4 row 37 — multimodal metadata over a binary payload column
+    "q_multimodal_meta" -> { (s, dir) =>
+      Multimodal.withMetadata(
+          docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload")
+        .select("doc_id", "byte_len", "magic_hex", "payload_md5", "format")
+    },
+    // §2.4 row 38 — tumbling-window event aggregation (batch plan is
+    // identical to the streaming plan; streaming equivalence in spec)
+    "q_events_window" -> { (s, dir) =>
+      Events.windowedAgg(Events.readEventsParquet(s, s"$dir/events.parquet"))
+        .withColumn("total_value", round(col("total_value"), 4))
+    }
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** Normalized text, DuckDB spelling (mirrors Hashing.normalizeText). */
+  private val NormSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  /** Normalized words (mirrors Hashing.normalizedWords). */
+  private def wordsSql(norm: String = NormSql) =
+    s"CASE WHEN $norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END"
+
+  /** 60-bit MD5 hash, DuckDB spelling (mirrors Hashing.md5Long60). */
+  private def h60(e: String) = s"(('0x' || substr(md5($e), 1, 15)))::BIGINT"
+
+  /** 3-shingles over normalized words (mirrors Dedup.shingles, k=3). */
+  private val ShinglesSql =
+    s"""CASE WHEN len(w) < 3 THEN [norm]
+       |     ELSE list_transform(range(0, len(w) - 2),
+       |                         j -> array_to_string(w[j+1:j+3], ' ')) END""".stripMargin
+
+  /** 16-hash MinHash signature over shingle list `s` (mirrors minHashSignature). */
+  private val SigSql =
+    s"""list_transform(range(0, 16),
+       |  i -> list_min(list_transform(s, x -> ${h60("i::VARCHAR || ':' || x")})))""".stripMargin
+
+  /** Shared doc → shingles → signature CTE prefix. */
+  private val DocSigCte =
+    s"""WITH d AS (
+       |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $ShinglesSql AS s FROM d),
+       |sig AS (
+       |  SELECT doc_id, $SigSql AS sig FROM sh)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+         |SELECT md5($NormSql) AS fingerprint,
+         |       min(doc_id) AS keeper_id,
+         |       count(*) AS n_docs
+         |FROM all_docs GROUP BY 1""".stripMargin,
+    "q_minhash_signature" ->
+      s"""$DocSigCte
+         |SELECT doc_id, to_json(sig) AS signature FROM sig""".stripMargin,
+    "q_neardup_pairs" ->
+      s"""$DocSigCte,
+         |bands AS (
+         |  SELECT doc_id, rt.b AS band,
+         |         array_to_string(list_transform(sig[rt.b*4+1:rt.b*4+4],
+         |                                        v -> v::VARCHAR), ',') AS band_key
+         |  FROM sig, range(0, 4) rt(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(s) AS sh FROM sh)
+         |SELECT id_a, id_b,
+         |       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE,
+         |             6) AS jaccard
+         |FROM cand JOIN sets x ON cand.id_a = x.doc_id
+         |          JOIN sets y ON cand.id_b = y.doc_id
+         |WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.8""".stripMargin,
+    "q_simhash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM documents),
+         |wh AS (
+         |  SELECT doc_id, list_transform(w, x -> ${h60("x")}) AS h FROM d)
+         |SELECT doc_id,
+         |       list_sum(list_transform(range(0, 60), b ->
+         |         CASE WHEN list_sum(list_transform(h,
+         |                     v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |              THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+         |FROM wh""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH all_e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM all_e),
+         |b AS (
+         |  SELECT vec_id, ve,
+         |         array_to_string(list_transform(range(0, 16), p ->
+         |           CASE WHEN list_sum(list_transform(ve, (x, i) ->
+         |                  x * CASE WHEN ${h60("p::VARCHAR || ':' || (i-1)::VARCHAR")} % 2 = 0
+         |                           THEN 1.0 ELSE -1.0 END)) > 0
+         |                THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM v)
+         |SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+         |       round(list_dot_product(a.ve, bb.ve) /
+         |             (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(bb.ve, bb.ve))),
+         |             4) AS cosine
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |WHERE list_dot_product(a.ve, bb.ve) /
+         |      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(bb.ve, bb.ve))) >= 0.9""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(qv, v) /
+        |         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+        |  FROM q, e),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, neighbor_id, round(score, 4) AS score
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${wordsSql()} AS w FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+         |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS s_de,
+         |    len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr,
+         |    len(list_filter(w, x -> x IN ('el','los','de','y','es','en','una','del','por','con'))) AS s_es
+         |  FROM d)
+         |SELECT doc_id,
+         |       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |            ELSE 'es' END AS lang_pred
+         |FROM sc""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, ${wordsSql()} AS w FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         length(text) AS n_chars,
+         |         CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         |         CASE WHEN length(text) = 0 THEN 0.0
+         |              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+         |                   / length(text)::DOUBLE END AS alpha_r,
+         |         CASE WHEN length(text) = 0 THEN 0.0
+         |              ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |                   / length(text)::DOUBLE END AS punct_r,
+         |         CASE WHEN len(w) = 0 THEN 0.0
+         |              ELSE len(list_filter(w, x -> x IN
+         |                     ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+         |                   / len(w)::DOUBLE END AS stopword_r
+         |  FROM d)
+         |SELECT doc_id, n_chars, n_words,
+         |       round(alpha_r, 6) AS alpha_r,
+         |       round(punct_r, 6) AS punct_r,
+         |       round(stopword_r, 6) AS stopword_r,
+         |       round(0.4 * stopword_r + 0.4 * alpha_r +
+         |             0.2 * least(n_words::DOUBLE / 100.0, 1.0), 6) AS quality
+         |FROM m""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CASE WHEN trim(text) = '' THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM documents),
+         |sh AS (SELECT doc_id, $ShinglesSql AS s FROM d),
+         |d2 AS (SELECT d.doc_id, d.norm, sh.s FROM d JOIN sh ON d.doc_id = sh.doc_id)
+         |SELECT doc_id, md5(norm) AS fingerprint,
+         |       list_min(list_transform(s, x -> ${h60("'0:' || x")})) AS minhash_0
+         |FROM d2""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       octet_length(text::BLOB) AS byte_len,
+        |       upper(substr(hex(text), 1, 8)) AS magic_hex,
+        |       md5(text) AS payload_md5,
+        |       'unknown' AS format
+        |FROM documents""".stripMargin,
+    "q_events_window" ->
+      """SELECT time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP) AS window_start,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ * Brute-force cosine top-k is the exact baseline: the (small) query set is
+ * broadcast, the corpus is scanned in place and never shuffled, and the
+ * per-query top-k uses a rank window that Spark's WindowGroupLimit
+ * optimization turns into partial per-partition top-k before the shuffle.
+ *
+ * IVF is the scale path: the corpus is assigned once to centroid buckets
+ * (one shuffle), and each query probes only its nProbe nearest buckets —
+ * at 1000 executors the probe join touches ~nProbe/nCentroids of the data.
+ */
+object Similarity {
+
+  /** Dot product of two double arrays (cast-safe for float inputs). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  /** Cosine similarity of two numeric arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /**
+   * Exact cosine top-k: for every query vector, the k nearest corpus
+   * vectors by cosine, ties broken by neighbor id.
+   *
+   * @param corpus  (idCol, vecCol) table — scanned, never shuffled whole
+   * @param queries (idCol, vecCol) table — must be small; broadcast
+   */
+  def bruteForceTopK(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    k: Int = 10
+  ): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .crossJoin(q)
+      .select(
+        col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("score"))
+    val rank = row_number().over(
+      Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id")))
+    scored
+      .withColumn("rn", rank)
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /**
+   * Deterministic IVF index: the nCentroids lowest-id corpus vectors act
+   * as centroids (deterministic stand-in for k-means — the bucketing,
+   * probing, and recall mechanics are identical); every corpus vector is
+   * assigned to its nearest centroid by cosine.
+   *
+   * Returns the corpus with a `centroid_id` bucket column. The centroid
+   * set rides along as ONE broadcast array row and the argmax is a pure
+   * expression fold over it — the corpus itself is never shuffled or
+   * windowed for assignment.
+   */
+  def ivfAssign(
+    corpus: DataFrame,
+    vecCol: String,
+    idCol: String,
+    nCentroids: Int = 16
+  ): DataFrame = {
+    val centArr = broadcast(
+      centroids(corpus, vecCol, idCol, nCentroids)
+        .agg(array_sort(collect_list(struct(col("centroid_id"), col("cv")))).as("cents")))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(Double.MinValue).as("s"), lit(-1L).as("i")),
+      (acc, c) => {
+        val sc = cosine(col(vecCol), c("cv"))
+        when(sc > acc("s"), struct(sc.as("s"), c("centroid_id").as("i"))).otherwise(acc)
+      }
+    )
+    corpus
+      .crossJoin(centArr)
+      .withColumn("centroid_id", best("i"))
+      .drop("cents")
+  }
+
+  /** The nCentroids lowest-id corpus vectors, id-keyed: (centroid_id, cv). */
+  private def centroids(
+    corpus: DataFrame,
+    vecCol: String,
+    idCol: String,
+    nCentroids: Int
+  ): DataFrame =
+    corpus
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("cv"))
+
+  /**
+   * IVF top-k: probe the nProbe centroid buckets nearest to each query and
+   * run exact cosine only inside those buckets. Approximate: recall
+   * depends on how well buckets capture the query's neighborhood
+   * (nProbe = nCentroids degenerates to exact brute force).
+   */
+  def ivfTopK(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    k: Int = 10,
+    nCentroids: Int = 16,
+    nProbe: Int = 4
+  ): DataFrame = {
+    val assigned = ivfAssign(corpus, vecCol, idCol, nCentroids)
+    val cents = centroids(corpus, vecCol, idCol, nCentroids)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("cv")).as("c_score"))
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("c_score").desc, col("centroid_id"))))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qv", "centroid_id")
+    val scored = assigned
+      .join(broadcast(probes), "centroid_id")
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        cosine(col("qv"), col(vecCol)).as("score"))
+    scored
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

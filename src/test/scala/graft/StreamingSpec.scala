@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Events
+import graft.streaming.Events.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(minutes * 60000L)
+
+  private val fixture = Seq(
+    (ts(0), "click", 1.0),
+    (ts(1), "click", 2.0),
+    (ts(4), "view", 3.0),
+    (ts(6), "click", 4.0),
+    (ts(12), "view", 5.0)
+  )
+
+  test("streaming windowedAgg over a memory stream equals the batch result") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(fixture: _*)
+
+    val streamingDf = stream.toDF().toDF("ts", "event_type", "value")
+    val query = Events.windowedAgg(streamingDf, "5 minutes", watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try query.processAllAvailable()
+    finally query.stop()
+
+    val streamed = spark.table("win_agg")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Events.windowedAgg(fixture.toDF("ts", "event_type", "value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.contains((ts(0), "click", 2L, 3.0)))
+    assert(batch.contains((ts(5), "click", 1L, 4.0)))
+  }
+
+  test("streaming plan carries the event-time watermark") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val plan = Events.windowedAgg(
+      stream.toDF().toDF("ts", "event_type", "value"),
+      "5 minutes", watermark = Some("10 minutes")).queryExecution.logical.toString
+    assert(plan.contains("EventTimeWatermark"), plan)
+  }
+
+  test("sessionize: gap splits sessions, aggregates carry through") {
+    val events = Seq(
+      Event(1L, ts(0), "click", 1.0),
+      Event(1L, ts(5), "view", 2.0),
+      Event(1L, ts(50), "click", 4.0),
+      Event(2L, ts(10), "view", 8.0)
+    ).toDS()
+    val sessions = Events.sessionize(events, gapMillis = 30 * 60000L)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length == 3)
+    val s1 = sessions(0)
+    assert(s1.user_id == 1L && s1.n_events == 2L && s1.total_value == 3.0)
+    assert(s1.session_start == ts(0) && s1.session_end == ts(5))
+    val s2 = sessions(1)
+    assert(s2.n_events == 1L && s2.session_start == ts(50))
+    assert(sessions(2).user_id == 2L && sessions(2).total_value == 8.0)
+  }
+}
