@@ -1,24 +1,97 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: times the headline queries (the shuffle/join-bearing
+ * operators, not the temp-file fixtures) on SPARK_GRAFT_SF_DIR.
+ *
+ * Honesty contract: a failing query is reported in `errors` with its
+ * exception, never as a timing; `queries` contains only successful runs.
+ * A warm-up pass (session + codegen + parquet footer caches) runs first
+ * so timings are attributable to the query, not JVM startup.
+ */
 object Bench {
+
+  /** Shuffle/aggregation/join-bearing queries worth timing, in run order. */
+  private val Headline: Seq[String] = Seq(
+    "q_v2f_transform_te",   // full typed-conversion chain, 600k rows at sf0.1
+    "q_v2f_merge_variants", // unionByName + dropDuplicates shuffle
+    "q_dedup_exact",        // hash-groupBy dedup
+    "q_minhash_signature",  // shingle + 16-hash MinHash expressions
+    "q_neardup_pairs",      // LSH band self-join + Jaccard verify
+    "q_simhash",            // nested-lambda bit voting
+    "q_embed_neardup",      // hyperplane bucket join + cosine verify
+    "q_ann_topk",           // broadcast cross join + top-k window
+    "q_ann_ivf",            // IVF assign + probe join
+    "q_lang_id",
+    "q_text_quality",
+    "q_token_count",
+    "q_fingerprint",
+    "q_multimodal_meta",
+    "q_events_window",      // timestamp window aggregation
+    "q_parse_double_arrays" // kernel micro-benchmark (codegen chain)
+  )
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries
+    val headline = Headline.filter(qs.contains)
+
+    // Evaluate via the no-op sink, NOT count(): count() lets Catalyst prune
+    // every projection, so a pure map-side query would "run" in the time it
+    // takes to read parquet row counts. The noop writer materializes every
+    // output row, which is what a real pipeline pays.
+    def run(name: String): Unit =
+      qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Warm-up: absorb session/codegen/scan-cache startup on a cheap query
+    // so the first timed query isn't charged for it.
+    try run("q_rename")
+    catch { case _: Throwable => () }
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    headline.foreach { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        run(name)
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qJson = timings.map { case (k, v) => s"${jsonStr(k)}:${"%.3f".format(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val eJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -84,20 +84,17 @@ object LlmGates {
     },
     // §2.4 row 33 — stopword language ID
     "q_lang_id" -> { (s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.withLangId(docs(s, dir), "text", "doc_id")
     },
     // §2.4 row 34 — quality ratios + composite score
     "q_text_quality" -> { (s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        length(col("text")).as("n_chars"),
-        TextAnalysis.wsTokenCount(col("text")).as("n_words"),
-        round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_r"),
-        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_r"),
-        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_r"),
-        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      TextAnalysis.withQuality(docs(s, dir), "text", "doc_id")
+        .select(
+          col("doc_id"), col("n_chars"), col("n_words"),
+          round(col("alpha_r"), 6).as("alpha_r"),
+          round(col("punct_r"), 6).as("punct_r"),
+          round(col("stopword_r"), 6).as("stopword_r"),
+          round(col("quality"), 6).as("quality"))
     },
     // §2.4 row 35 — token counting (whitespace + BPE-ish regex)
     "q_token_count" -> { (s, dir) =>
@@ -108,10 +105,7 @@ object LlmGates {
     },
     // §2.4 row 36 — document fingerprinting (normalized MD5 + minhash-0)
     "q_fingerprint" -> { (s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-        TextAnalysis.minhash0(col("text")).as("minhash_0"))
+      TextAnalysis.fingerprints(docs(s, dir), "text", "doc_id")
     },
     // §2.4 row 37 — multimodal metadata over a binary payload column
     "q_multimodal_meta" -> { (s, dir) =>

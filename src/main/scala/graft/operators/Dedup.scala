@@ -39,32 +39,73 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /**
-   * Word k-shingles of normalized text, as an array column. Documents with
+   * (doc_id, norm, w): normalized text and its word array, materialized as
+   * REAL projection columns.
+   *
+   * Catalyst expressions are trees, not DAGs: a subexpression referenced
+   * inside a higher-order-function lambda is re-evaluated on every lambda
+   * invocation (no codegen/CSE inside HOFs). Keeping norm/words as their
+   * own projections means downstream per-element lambdas slice a bound
+   * attribute (an array lookup) instead of re-running regexp+split per
+   * element — the difference between O(words) and O(words²) per document.
+   * CollapseProject keeps these projections intact because the aliases are
+   * non-cheap and multiply referenced (SPARK-36718).
+   */
+  def wordTable(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        Hashing.normalizeText(col(textCol)).as("norm"))
+      .select(
+        col("doc_id"), col("norm"),
+        when(col("norm") === "", array().cast("array<string>"))
+          .otherwise(split(col("norm"), " ")).as("w"))
+
+  /**
+   * Word k-shingles over materialized (norm, w) columns. Documents with
    * fewer than k words fall back to a single whole-text shingle so every
    * document has a non-empty shingle set.
    */
-  def shingles(textCol: Column, k: Int = 3): Column = {
-    val words = Hashing.normalizedWords(textCol)
-    when(size(words) < k, array(Hashing.normalizeText(textCol)))
+  def shinglesOf(norm: Column, w: Column, k: Int = 3): Column =
+    when(size(w) < k, array(norm))
       .otherwise(
         transform(
-          sequence(lit(0), size(words) - k),
-          j => concat_ws(" ", slice(words, j + 1, lit(k)))
+          sequence(lit(0), size(w) - k),
+          j => concat_ws(" ", slice(w, j + 1, lit(k)))
         )
       )
-  }
+
+  /**
+   * Word k-shingles of normalized text as a single Column expression.
+   * Prefer [[shingleTable]] on hot paths — this form re-derives the word
+   * array and is only appropriate where the input is already a bound
+   * column and the consumer touches the result once.
+   */
+  def shingles(textCol: Column, k: Int = 3): Column =
+    shinglesOf(Hashing.normalizeText(textCol), Hashing.normalizedWords(textCol), k)
+
+  /** (doc_id, sh): materialized k-shingle array per document. */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    wordTable(df, textCol, idCol)
+      .select(col("doc_id"), shinglesOf(col("norm"), col("w"), k).as("sh"))
 
   /**
    * MinHash signature over a shingle array: element i is
    * min over shingles of md5_60(i || ':' || shingle). A signature is an
    * array<long> of length numHashes; agreement fraction between two
    * signatures estimates Jaccard similarity.
+   *
+   * The empty-array guard doubles as a materialization barrier: it
+   * references shinglesCol twice, so CollapseProject will not inline a
+   * non-cheap shingle expression into this consumer (where the 16-seed
+   * outer lambda would re-evaluate it per seed).
    */
   def minHashSignature(shinglesCol: Column, numHashes: Int = 16): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shinglesCol, s => Hashing.md5Long60Seeded(s, i)))
-    )
+    when(size(shinglesCol) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(shinglesCol, s => Hashing.md5Long60Seeded(s, i)))
+        ))
 
   /** Per-document MinHash signatures: (id, signature). */
   def minHashSignatures(
@@ -74,21 +115,36 @@ object Dedup {
     k: Int = 3,
     numHashes: Int = 16
   ): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      minHashSignature(shingles(col(textCol), k), numHashes).as("signature")
-    )
+    shingleTable(df, textCol, idCol, k)
+      .select(
+        col("doc_id"),
+        minHashSignature(col("sh"), numHashes).as("signature")
+      )
+
+  /**
+   * All unordered pairs from a bucket's element array, as structs
+   * (x, y) over positions i < j. collect_list order is nondeterministic,
+   * so callers must normalize pair orientation (least/greatest on ids).
+   */
+  private def bucketPairs(items: Column): Column =
+    flatten(
+      transform(items, (x, i) =>
+        transform(slice(items, i + 2, size(items)),
+          y => struct(x.as("x"), y.as("y")))))
 
   /**
    * Banded-LSH candidate pairs from a signature table: signatures are cut
    * into `bands` bands of numHashes/bands rows; documents sharing any
    * band's values become a candidate pair.
    *
-   * Scale shape: explode to docs × bands rows, self-join on (band, key) —
-   * shuffle ∝ docs × bands, candidates ∝ colliding pairs only. Buckets
-   * larger than maxBucket are dropped (a degenerate key — e.g. boilerplate
-   * text — would otherwise produce a quadratic pair blowup); dropped
-   * buckets are a completeness tradeoff the caller sizes.
+   * Scale shape: explode to docs × bands (band, key, id) rows — the
+   * expensive signature expression is evaluated exactly ONCE per document
+   * — then ONE groupBy shuffle on (band, key) and in-bucket pair
+   * generation with array expressions. Never a self-join (which would
+   * re-evaluate the signature chain per join side), never all-pairs.
+   * Buckets larger than maxBucket are dropped (a degenerate key — e.g.
+   * boilerplate text — would otherwise produce a quadratic pair blowup);
+   * dropped buckets are a completeness tradeoff the caller sizes.
    */
   def lshCandidates(
     signatures: DataFrame,
@@ -114,21 +170,17 @@ object Dedup {
       ).as("bk")
     ).select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
 
-    val filtered = maxBucket.fold(banded) { cap =>
-      val counted = banded
-        .groupBy("band", "band_key").agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= cap)
-        .drop("bucket_n")
-      banded.join(counted, Seq("band", "band_key"))
-    }
+    val buckets = banded
+      .groupBy("band", "band_key")
+      .agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val capped = maxBucket.fold(buckets)(cap => buckets.filter(size(col("ids")) <= cap))
 
-    val a = filtered.as("a")
-    val b = filtered.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    capped
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(
+        least(col("p.x"), col("p.y")).as("id_a"),
+        greatest(col("p.x"), col("p.y")).as("id_b"))
       .distinct()
   }
 
@@ -145,10 +197,8 @@ object Dedup {
     k: Int = 3,
     threshold: Double = 0.8
   ): DataFrame = {
-    val sets = df.select(
-      col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), k)).as("sh")
-    )
+    val sets = shingleTable(df, textCol, idCol, k)
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     val union = size(col("sa")) + size(col("sb")) - inter
     candidates
@@ -195,26 +245,39 @@ object Dedup {
     simHashOfHashes(wordHashes)
   }
 
-  /** SimHash packing from an array<long> of word hashes. */
+  /**
+   * SimHash packing from an array<long> of word hashes.
+   *
+   * The empty guard doubles as a materialization barrier (two references
+   * to wordHashes), keeping CollapseProject from inlining a non-cheap
+   * hash-array expression into the 60-iteration bit loop, which would
+   * re-hash every word 60 times.
+   */
   private def simHashOfHashes(wordHashes: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(59)),
-      lit(0L),
-      (acc, b) => {
-        val vote = aggregate(
-          wordHashes,
+    when(size(wordHashes) === 0, lit(0L))
+      .otherwise(
+        aggregate(
+          sequence(lit(0), lit(59)),
           lit(0L),
-          (v, h) =>
-            v + when(call_function("shiftright", h, b) % 2 === 1, lit(1L))
-              .otherwise(lit(-1L))
-        )
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-      }
-    )
+          (acc, b) => {
+            val vote = aggregate(
+              wordHashes,
+              lit(0L),
+              (v, h) =>
+                v + when(call_function("shiftright", h, b) % 2 === 1, lit(1L))
+                  .otherwise(lit(-1L))
+            )
+            acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+          }
+        ))
 
   /** Per-document SimHash table: (doc_id, simhash). */
   def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("simhash"))
+    wordTable(df, textCol, idCol)
+      .select(
+        col("doc_id"),
+        transform(col("w"), w => Hashing.md5Long60(w)).as("wh"))
+      .select(col("doc_id"), simHashOfHashes(col("wh")).as("simhash"))
 
   /**
    * SimHash near-dup pairs by banding the 60-bit hash into `bands`
@@ -229,7 +292,7 @@ object Dedup {
   ): DataFrame = {
     val chunkBits = 60 / bands
     val banded = simhashes.select(
-      col("doc_id"), col("simhash"),
+      struct(col("doc_id"), col("simhash")).as("item"),
       explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(
@@ -237,16 +300,16 @@ object Dedup {
             (call_function("shiftright", col("simhash"), b * chunkBits) %
               (1L << chunkBits)).as("band_key"))))
         .as("bk")
-    ).select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.band_key"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
+    ).select(col("item"), col("bk.band"), col("bk.band_key"))
+    banded
+      .groupBy("band", "band_key")
+      .agg(collect_list("item").as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(bucketPairs(col("items"))).as("p"))
       .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        least(col("p.x.doc_id"), col("p.y.doc_id")).as("id_a"),
+        greatest(col("p.x.doc_id"), col("p.y.doc_id")).as("id_b"),
+        bit_count(col("p.x.simhash").bitwiseXOR(col("p.y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -285,9 +348,10 @@ object Dedup {
       ))
 
   /**
-   * Embedding near-duplicate pairs: bucket by hyperplane signature (one
-   * shuffle on the bucket key), generate pairs only inside buckets, verify
-   * with exact cosine ≥ threshold.
+   * Embedding near-duplicate pairs: bucket by hyperplane signature — the
+   * projection expression runs ONCE per vector — then one groupBy shuffle
+   * on the bucket key, pair generation inside buckets only, exact cosine
+   * verify ≥ threshold.
    */
   def embeddingNearDup(
     df: DataFrame,
@@ -297,16 +361,18 @@ object Dedup {
     threshold: Double = 0.9
   ): DataFrame = {
     val bucketed = df.select(
-      col(idCol).as("vid"),
-      col(vecCol).as("v"),
+      struct(col(idCol).as("vid"), col(vecCol).as("v")).as("item"),
       hyperplaneBucket(col(vecCol), planes).as("bucket")
     )
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+    bucketed
+      .groupBy("bucket")
+      .agg(collect_list("item").as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(bucketPairs(col("items"))).as("p"))
       .select(
-        col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+        least(col("p.x.vid"), col("p.y.vid")).as("id_a"),
+        greatest(col("p.x.vid"), col("p.y.vid")).as("id_b"),
+        Similarity.cosine(col("p.x.v"), col("p.y.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing
 
@@ -51,9 +51,13 @@ object TextAnalysis {
   val EsStopwords: Seq[String] =
     Seq("el", "los", "de", "y", "es", "en", "una", "del", "por", "con")
 
+  /** Stopword count over an already-materialized word-array column. */
+  def stopwordCountOf(w: Column, stopwords: Seq[String]): Column =
+    size(filter(w, x => x.isin(stopwords.map(lit): _*)))
+
   /** Count of tokens (with multiplicity) belonging to a stopword set. */
   def stopwordCount(c: Column, stopwords: Seq[String]): Column =
-    size(filter(Hashing.normalizedWords(c), w => w.isin(stopwords.map(lit): _*)))
+    stopwordCountOf(Hashing.normalizedWords(c), stopwords)
 
   /** Stopword tokens / all tokens (0 for empty text). */
   def stopwordRatio(c: Column, stopwords: Seq[String] = EnStopwords): Column =
@@ -102,4 +106,72 @@ object TextAnalysis {
 
   def minhash0(c: Column, k: Int = 3): Column =
     array_min(transform(Dedup.shingles(c, k), s => Hashing.md5Long60Seeded(s, lit(0))))
+
+  // ------------------------------------------- DataFrame-level hot paths
+  //
+  // The Column forms above are convenient, but a Catalyst expression tree
+  // re-evaluates shared subtrees (normalization, word split) per reference
+  // — and inside higher-order-function lambdas there is no codegen CSE to
+  // save you. These DataFrame forms materialize the word array ONCE per
+  // document as a projection column and compute everything downstream from
+  // bound attributes; use them on 100 TB paths.
+
+  /** (doc_id, lang_pred): language ID with each stopword list counted once. */
+  def withLangId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counted = Dedup.wordTable(df, textCol, idCol)
+      .select(
+        col("doc_id"),
+        stopwordCountOf(col("w"), EnStopwords).as("s_en"),
+        stopwordCountOf(col("w"), DeStopwords).as("s_de"),
+        stopwordCountOf(col("w"), FrStopwords).as("s_fr"),
+        stopwordCountOf(col("w"), EsStopwords).as("s_es"))
+    val m = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+    counted.select(
+      col("doc_id"),
+      when(m === 0, lit("und"))
+        .when(col("s_en") === m, lit("en"))
+        .when(col("s_de") === m, lit("de"))
+        .when(col("s_fr") === m, lit("fr"))
+        .otherwise(lit("es")).as("lang_pred"))
+  }
+
+  /**
+   * (doc_id, n_chars, n_words, alpha_r, punct_r, stopword_r, quality):
+   * quality metrics with the word array materialized once; `quality` is
+   * derived from the unrounded component columns.
+   */
+  def withQuality(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        col(textCol).as("text"),
+        Hashing.normalizedWords(col(textCol)).as("w"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        wsTokenCount(col("text")).as("n_words"),
+        alphaRatio(col("text")).as("alpha_r"),
+        punctRatio(col("text")).as("punct_r"),
+        coalesce(
+          stopwordCountOf(col("w"), EnStopwords).cast("double") /
+            nullif(size(col("w")), lit(0)).cast("double"),
+          lit(0.0)).as("stopword_r"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_words"),
+        col("alpha_r"), col("punct_r"), col("stopword_r"),
+        (lit(0.4) * col("stopword_r") + lit(0.4) * col("alpha_r") +
+          lit(0.2) * least(col("n_words").cast("double") / lit(100.0), lit(1.0)))
+          .as("quality"))
+
+  /**
+   * (doc_id, fingerprint, minhash_0): content fingerprints with the
+   * shingle set materialized once per document.
+   */
+  def fingerprints(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    Dedup.wordTable(df, textCol, idCol)
+      .select(col("doc_id"), col("norm"), Dedup.shinglesOf(col("norm"), col("w"), k).as("sh"))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("fingerprint"),
+        array_min(transform(col("sh"), s => Hashing.md5Long60Seeded(s, lit(0))))
+          .as("minhash_0"))
 }

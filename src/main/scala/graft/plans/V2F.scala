@@ -121,31 +121,42 @@ object ExtractionPipeline {
 
   def run(spark: SparkSession, inputDir: String, outputDir: String): Unit = {
     import V2FTables._
+    import org.apache.spark.storage.StorageLevel
 
-    val fa = V2F.extractAndConvert(spark, FrequencyAnalysis, inputDir)
+    // The three variant-bearing tables feed TWO consumers (transform sink +
+    // variant extraction). Beam materialized the converted collection once
+    // and shared it (ExtractionPipeline.scala:67-88); the Spark analog is a
+    // persist spanning both actions — without it each TSV table would be
+    // scanned and header-parsed twice (2× read amplification at 100 TB).
+    def shared(df: DataFrame): DataFrame =
+      if (df.columns.isEmpty) df else df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    val fa = shared(V2F.extractAndConvert(spark, FrequencyAnalysis, inputDir))
     val maasRaw = V2F.extractAndConvert(spark, MetaAnalysisAncestrySpecific, inputDir)
-    val maas = if (maasRaw.columns.isEmpty) maasRaw else V2F.withAncestry(maasRaw)
-    val mate = V2F.extractAndConvert(spark, MetaAnalysisTransEthnic, inputDir)
+    val maas = if (maasRaw.columns.isEmpty) maasRaw else shared(V2F.withAncestry(maasRaw))
+    val mate = shared(V2F.extractAndConvert(spark, MetaAnalysisTransEthnic, inputDir))
     val verfc =
       V2F.extractAndConvert(spark, VariantEffectRegulatoryFeatureConsequences, inputDir)
     val vetc =
       V2F.extractAndConvert(spark, VariantEffectTranscriptConsequences, inputDir)
 
-    writeOrSkip(spark, FrequencyAnalysis, fa, outputDir)
-    writeOrSkip(spark, MetaAnalysisAncestrySpecific, maas, outputDir)
-    writeOrSkip(spark, MetaAnalysisTransEthnic, mate, outputDir)
-    writeOrSkip(spark, VariantEffectRegulatoryFeatureConsequences, verfc, outputDir)
-    writeOrSkip(spark, VariantEffectTranscriptConsequences, vetc, outputDir)
+    try {
+      writeOrSkip(spark, FrequencyAnalysis, fa, outputDir)
+      writeOrSkip(spark, MetaAnalysisAncestrySpecific, maas, outputDir)
+      writeOrSkip(spark, MetaAnalysisTransEthnic, mate, outputDir)
+      writeOrSkip(spark, VariantEffectRegulatoryFeatureConsequences, verfc, outputDir)
+      writeOrSkip(spark, VariantEffectTranscriptConsequences, vetc, outputDir)
 
-    val variantSources = Seq(
-      FrequencyAnalysis -> fa,
-      MetaAnalysisAncestrySpecific -> maas.drop("ancestry"),
-      MetaAnalysisTransEthnic -> mate
-    ).collect {
-      case (cfg, df) if df.columns.nonEmpty => V2F.extractVariants(cfg)(df)
-    }
-    if (variantSources.isEmpty) emptyOutput(spark, s"$outputDir/variants")
-    else JsonLines.write(V2F.mergeVariants(variantSources), s"$outputDir/variants")
+      val variantSources = Seq(
+        FrequencyAnalysis -> fa,
+        MetaAnalysisAncestrySpecific -> maas.drop("ancestry"),
+        MetaAnalysisTransEthnic -> mate
+      ).collect {
+        case (cfg, df) if df.columns.nonEmpty => V2F.extractVariants(cfg)(df)
+      }
+      if (variantSources.isEmpty) emptyOutput(spark, s"$outputDir/variants")
+      else JsonLines.write(V2F.mergeVariants(variantSources), s"$outputDir/variants")
+    } finally Seq(fa, maas, mate).foreach(_.unpersist())
   }
 }
 
