@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * SparkSession factory carrying the engine's scale defaults.
+ *
+ * Every graft entry point (pipeline mains, Verify, Bench) builds its
+ * session here so the 100-TB posture is uniform:
+ *
+ *  - AQE on, with skew-join splitting and partition coalescing — runtime
+ *    re-planning is the first line of defense against skewed keys and
+ *    over-partitioned shuffles at cluster scale.
+ *  - Shuffle partitions sized to the local core count for local runs
+ *    (Spark's 200 default is wrong in both directions: too many locally,
+ *    far too few on a 1000-executor cluster — cluster deployments override
+ *    via spark-submit conf, which takes precedence).
+ *  - UTC session timezone, so timestamp windows are reproducible across
+ *    driver environments.
+ *
+ * The master is only defaulted (to local[cores]) when none was provided by
+ * the launcher — a spark-submit-provided cluster master always wins.
+ */
+object GraftSession {
+
+  /** Core count for local sizing; SPARK_GRAFT_CPUS overrides for tests. */
+  def localCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def builder(appName: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", localCores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    if (sys.props.contains("spark.master")) b
+    else b.master(s"local[$localCores]")
+  }
+
+  def create(appName: String): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -25,17 +25,6 @@ object Hashing {
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /**
-   * Seeded variant: an independent hash function per seed, for MinHash
-   * signature families (h_i(x) = md5(i || ':' || x)).
-   */
-  def md5Long60(c: Column, seed: Int): Column =
-    md5Long60(concat(lit(seed.toString), lit(":"), c))
-
-  /** Seeded variant with a column seed (for use inside lambda expressions). */
-  def md5Long60Seeded(c: Column, seed: Column): Column =
-    md5Long60(concat(seed.cast("string"), lit(":"), c))
-
-  /**
    * Normalize free text for fingerprinting/shingling: lowercase, collapse
    * every run of non-alphanumeric characters to a single space, trim.
    * Mirrored in the DuckDB oracles as

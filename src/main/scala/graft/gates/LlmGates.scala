@@ -140,19 +140,22 @@ object LlmGates {
        |     ELSE list_transform(range(0, len(w) - 2),
        |                         j -> array_to_string(w[j+1:j+3], ' ')) END""".stripMargin
 
-  /** 16-hash MinHash signature over shingle list `s` (mirrors minHashSignature). */
+  /** 16-hash MinHash signature over base hash list `hs`
+    * (mirrors minHashSignatureOfHashes: min over xor(h60(x), h60(i))). */
   private val SigSql =
     s"""list_transform(range(0, 16),
-       |  i -> list_min(list_transform(s, x -> ${h60("i::VARCHAR || ':' || x")})))""".stripMargin
+       |  i -> list_min(list_transform(hs, h -> xor(h, ${h60("i::VARCHAR")}))))""".stripMargin
 
-  /** Shared doc → shingles → signature CTE prefix. */
+  /** Shared doc → shingles → base hashes → signature CTE prefix. */
   private val DocSigCte =
     s"""WITH d AS (
        |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM documents),
        |sh AS (
        |  SELECT doc_id, $ShinglesSql AS s FROM d),
+       |hsh AS (
+       |  SELECT doc_id, list_transform(s, x -> ${h60("x")}) AS hs FROM sh),
        |sig AS (
-       |  SELECT doc_id, $SigSql AS sig FROM sh)""".stripMargin
+       |  SELECT doc_id, $SigSql AS sig FROM hsh)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -210,7 +213,7 @@ object LlmGates {
          |  SELECT vec_id, ve,
          |         array_to_string(list_transform(range(0, 16), p ->
          |           CASE WHEN list_sum(list_transform(ve, (x, i) ->
-         |                  x * CASE WHEN ${h60("p::VARCHAR || ':' || (i-1)::VARCHAR")} % 2 = 0
+         |                  x * CASE WHEN (${h60("(i-1)::VARCHAR")} >> p) & 1 = 1
          |                           THEN 1.0 ELSE -1.0 END)) > 0
          |                THEN '1' ELSE '0' END), '') AS bucket
          |  FROM v)
@@ -292,7 +295,8 @@ object LlmGates {
          |sh AS (SELECT doc_id, $ShinglesSql AS s FROM d),
          |d2 AS (SELECT d.doc_id, d.norm, sh.s FROM d JOIN sh ON d.doc_id = sh.doc_id)
          |SELECT doc_id, md5(norm) AS fingerprint,
-         |       list_min(list_transform(s, x -> ${h60("'0:' || x")})) AS minhash_0
+         |       list_min(list_transform(s, x -> xor(${h60("x")}, ${h60("'0'")})))
+         |         AS minhash_0
          |FROM d2""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,

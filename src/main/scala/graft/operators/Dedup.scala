@@ -89,25 +89,31 @@ object Dedup {
       .select(col("doc_id"), shinglesOf(col("norm"), col("w"), k).as("sh"))
 
   /**
-   * MinHash signature over a shingle array: element i is
-   * min over shingles of md5_60(i || ':' || shingle). A signature is an
-   * array<long> of length numHashes; agreement fraction between two
+   * MinHash signature over an array of 60-bit base shingle hashes:
+   * element i is min over shingles of (md5_60(shingle) XOR seed_i), with
+   * seed_i = md5_60(i). One strong digest per shingle plus a cheap
+   * XOR-derived hash family — the classic one-permutation-style cost
+   * saving over running an independent digest per (seed, shingle), which
+   * would cost numHashes× the CPU for no retrieval benefit. A signature
+   * is an array<long> of length numHashes; agreement fraction between two
    * signatures estimates Jaccard similarity.
    *
-   * The empty-array guard doubles as a materialization barrier: it
-   * references shinglesCol twice, so CollapseProject will not inline a
-   * non-cheap shingle expression into this consumer (where the 16-seed
-   * outer lambda would re-evaluate it per seed).
+   * `hashesCol` MUST be a bound attribute (a materialized column): the
+   * seed loop is unrolled at plan time, so the column tree is referenced
+   * numHashes+1 times and a non-trivial expression would be re-evaluated
+   * per seed. The seeds are constant-folded md5 literals, reproducible by
+   * any engine as xor(h60(x), h60(i)).
    */
-  def minHashSignature(shinglesCol: Column, numHashes: Int = 16): Column =
-    when(size(shinglesCol) === 0, lit(null).cast("array<bigint>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), lit(numHashes - 1)),
-          i => array_min(transform(shinglesCol, s => Hashing.md5Long60Seeded(s, i)))
-        ))
+  def minHashSignatureOfHashes(hashesCol: Column, numHashes: Int = 16): Column =
+    when(size(hashesCol) === 0, lit(null).cast("array<bigint>"))
+      .otherwise(array((0 until numHashes).map { i =>
+        val seed = Hashing.md5Long60(lit(i.toString))
+        array_min(transform(hashesCol, h => h.bitwiseXOR(seed)))
+      }: _*))
 
-  /** Per-document MinHash signatures: (id, signature). */
+  /** Per-document MinHash signatures: (id, signature). The base shingle
+    * hashes are materialized once per document; the signature projection
+    * only XORs and mins over the bound hash array. */
   def minHashSignatures(
     df: DataFrame,
     textCol: String,
@@ -118,7 +124,10 @@ object Dedup {
     shingleTable(df, textCol, idCol, k)
       .select(
         col("doc_id"),
-        minHashSignature(col("sh"), numHashes).as("signature")
+        transform(col("sh"), s => Hashing.md5Long60(s)).as("hs"))
+      .select(
+        col("doc_id"),
+        minHashSignatureOfHashes(col("hs"), numHashes).as("signature")
       )
 
   /**
@@ -317,35 +326,38 @@ object Dedup {
   // ---------------------------------------------- embedding near-dup (LSH)
 
   /**
-   * Deterministic ±1 hyperplane weight for (plane, dimension), derived
-   * from the portable MD5 hash so the oracle can re-derive it.
+   * Per-dimension 60-bit hash column: element i is md5_60(i), from which
+   * every plane draws its ±1 weight (plane p uses bit p). ONE digest per
+   * dimension instead of one per (plane, dimension) — 16× less digest
+   * work for 16 planes — and reproducible by the oracle as h60(i).
    */
-  private def planeWeight(plane: Column, dim: Column): Column =
-    when(
-      Hashing.md5Long60(concat(plane.cast("string"), lit(":"), dim.cast("string"))) % 2 === 0,
-      lit(1.0)
-    ).otherwise(lit(-1.0))
+  def dimHashes(vecCol: Column): Column =
+    transform(
+      sequence(lit(0), size(vecCol) - 1),
+      i => Hashing.md5Long60(i.cast("string")))
 
   /**
-   * Sign-random-projection bucket key: for each of `planes` hyperplanes
-   * with deterministic ±1 weights, the sign of the projection becomes one
-   * character of the key. Cosine-similar vectors collide with high
-   * probability.
+   * Sign-random-projection bucket key over a vector and its materialized
+   * per-dimension hash array: for each of `planes` hyperplanes with
+   * deterministic ±1 weights (bit p of the dimension hash), the sign of
+   * the projection becomes one character of the key. Cosine-similar
+   * vectors collide with high probability.
+   *
+   * Both inputs MUST be bound attributes — the plane loop is unrolled at
+   * plan time and references them `planes` times.
    */
-  def hyperplaneBucket(vecCol: Column, planes: Int = 16): Column =
-    concat_ws("",
-      transform(
-        sequence(lit(0), lit(planes - 1)),
-        p => {
-          val dot = aggregate(
-            zip_with(vecCol, sequence(lit(0), size(vecCol) - 1),
-              (x, i) => x.cast("double") * planeWeight(p, i)),
-            lit(0.0),
-            (acc, x) => acc + x
-          )
-          when(dot > 0, lit("1")).otherwise(lit("0"))
-        }
-      ))
+  def hyperplaneBucketOf(vecCol: Column, dimHashCol: Column, planes: Int = 16): Column =
+    concat_ws("", (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vecCol, dimHashCol,
+          (x, h) =>
+            x.cast("double") *
+              when(shiftright(h, p) % 2 === 1, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(dot > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
 
   /**
    * Embedding near-duplicate pairs: bucket by hyperplane signature — the
@@ -361,9 +373,13 @@ object Dedup {
     threshold: Double = 0.9
   ): DataFrame = {
     val bucketed = df.select(
-      struct(col(idCol).as("vid"), col(vecCol).as("v")).as("item"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket")
-    )
+        struct(col(idCol).as("vid"), col(vecCol).as("v")).as("item"),
+        dimHashes(col(vecCol)).as("dimh")
+      )
+      .select(
+        col("item"),
+        hyperplaneBucketOf(col("item.v"), col("dimh"), planes).as("bucket")
+      )
     bucketed
       .groupBy("bucket")
       .agg(collect_list("item").as("items"))

@@ -105,7 +105,8 @@ object TextAnalysis {
     md5(Hashing.normalizeText(c))
 
   def minhash0(c: Column, k: Int = 3): Column =
-    array_min(transform(Dedup.shingles(c, k), s => Hashing.md5Long60Seeded(s, lit(0))))
+    array_min(transform(Dedup.shingles(c, k),
+      s => Hashing.md5Long60(s).bitwiseXOR(Hashing.md5Long60(lit("0")))))
 
   // ------------------------------------------- DataFrame-level hot paths
   //
@@ -172,6 +173,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         md5(col("norm")).as("fingerprint"),
-        array_min(transform(col("sh"), s => Hashing.md5Long60Seeded(s, lit(0))))
+        array_min(transform(col("sh"),
+          s => Hashing.md5Long60(s).bitwiseXOR(Hashing.md5Long60(lit("0")))))
           .as("minhash_0"))
 }
