@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /**
  * Deterministic, engine-portable hashing primitives.
@@ -20,9 +19,11 @@ object Hashing {
    * 60-bit non-negative hash of a string: the first 15 hex chars of the MD5
    * digest, as a Long. 15 hex chars = 60 bits, always positive, and
    * recomputable in SQL engines as `('0x' || substr(md5(x),1,15))::BIGINT`.
+   * Backed by the native [[Md5Long60Expr]] (one digest call, no hex
+   * round-trip); `conv(substring(md5(c),1,15),16,10)` computes the same
+   * value.
    */
-  def md5Long60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def md5Long60(c: Column): Column = Md5Long60Expr(c)
 
   /**
    * Normalize free text for fingerprinting/shingling: lowercase, collapse

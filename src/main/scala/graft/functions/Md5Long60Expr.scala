@@ -1,0 +1,71 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native 60-bit MD5 hash: the first 15 hex chars of md5(input), as a Long.
+ *
+ * Semantically identical to `conv(substring(md5(c), 1, 15), 16, 10)` cast
+ * to long — and bit-for-bit reproducible by other engines as
+ * `('0x' || substr(md5(x),1,15))::BIGINT` — but evaluated as ONE digest
+ * call: no 32-char hex string materialization, no base-16 re-parse, no
+ * four-node interpreted expression chain. This matters because the
+ * near-dup operators evaluate the hash inside higher-order-function
+ * lambdas, where Spark interprets every expression node per array element
+ * (no whole-stage codegen inside HOFs). Outside HOFs it code-gens to a
+ * single static call.
+ */
+case class Md5Long60Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_long60 requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_long60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Long60Expr.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Md5Long60Expr$$.MODULE$$.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60Expr =
+    copy(child = newChild)
+}
+
+object Md5Long60Expr {
+
+  private val localDigest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /**
+   * First 60 bits of the MD5 digest: bytes 0-6 in full plus the high
+   * nibble of byte 7 — exactly the value of the first 15 hex characters.
+   */
+  def hash(s: UTF8String): Long = {
+    val md = localDigest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (d(i) & 0xffL)
+      i += 1
+    }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  /** Column form, for use from the DataFrame API. */
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(Md5Long60Expr(GraftSqlBridge.expression(c)))
+}

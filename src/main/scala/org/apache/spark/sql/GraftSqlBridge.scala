@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Minimal bridge into Spark's `private[sql]` Column ↔ Expression
+ * converters, so graft's native Catalyst expressions can be exposed as
+ * ordinary `Column`s from the public DataFrame API. This is the standard
+ * extension-library technique; nothing else from the private surface is
+ * touched.
+ */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
