@@ -30,6 +30,7 @@ object Bench {
     "q_fingerprint",
     "q_multimodal_meta",
     "q_events_window",      // timestamp window aggregation
+    "q_sessionize",         // two window passes + agg over one shuffle
     "q_parse_double_arrays" // kernel micro-benchmark (codegen chain)
   )
 

@@ -119,6 +119,12 @@ object LlmGates {
     "q_events_window" -> { (s, dir) =>
       Events.windowedAgg(Events.readEventsParquet(s, s"$dir/events.parquet"))
         .withColumn("total_value", round(col("total_value"), 4))
+    },
+    // §2.4 row 39 — gap sessionization, relational batch form (equivalence
+    // with the stateful streaming form is gated by StreamingSpec)
+    "q_sessionize" -> { (s, dir) =>
+      Events.sessionizeBatch(Events.readEventsParquet(s, s"$dir/events.parquet"))
+        .withColumn("total_value", round(col("total_value"), 4))
     }
   )
 
@@ -310,6 +316,29 @@ object LlmGates {
         |       event_type,
         |       count(*) AS n_events,
         |       round(sum(value), 4) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+        |l AS (
+        |  SELECT user_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM e),
+        |b AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_break
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        |  FROM b)
+        |SELECT user_id,
+        |       min(ts) AS session_start,
+        |       max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin
   )
 }

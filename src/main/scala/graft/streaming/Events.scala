@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -52,6 +53,39 @@ object Events {
         col("n_events"),
         col("total_value")
       )
+  }
+
+  /**
+   * Gap-based sessionization, batch form: fully relational, no per-group
+   * state. A session break is an event whose gap to the previous event of
+   * the same user exceeds `gapMillis` (lag window), and a running sum of
+   * breaks assigns the session sequence — then one aggregation per
+   * (user, session).
+   *
+   * This is the 100-TB batch shape: two window passes + one aggregation
+   * over the same (user_id, ts) sort order — one shuffle on user_id total,
+   * whole-stage codegen'd, and spill-safe where a collect-the-group
+   * approach (see [[sessionize]]) would hold a power user's entire history
+   * in memory.
+   */
+  def sessionizeBatch(events: DataFrame, gapMillis: Long = 30 * 60 * 1000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn(
+        "is_break",
+        when(
+          col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapMillis * 1000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_break")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .drop("session_seq")
   }
 
   /** One user event (typed view of the events table). */

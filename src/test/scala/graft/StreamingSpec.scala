@@ -49,6 +49,21 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("EventTimeWatermark"), plan)
   }
 
+  test("sessionizeBatch (relational) equals sessionize (stateful) on real events") {
+    val ev = Events.readEventsParquet(spark, "/root/testdata/sf0.001/events.parquet")
+      .select("user_id", "ts", "event_type", "value").as[Event]
+    def key(u: Long, s: Timestamp, e: Timestamp, n: Long, v: Double) =
+      (u, s.getTime, e.getTime, n, math.round(v * 1e6))
+    val stateful = Events.sessionize(ev).collect()
+      .map(s => key(s.user_id, s.session_start, s.session_end, s.n_events, s.total_value))
+      .toSet
+    val relational = Events.sessionizeBatch(ev.toDF()).collect()
+      .map(r => key(r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(stateful.nonEmpty && relational == stateful)
+  }
+
   test("sessionize: gap splits sessions, aggregates carry through") {
     val events = Seq(
       Event(1L, ts(0), "click", 1.0),
