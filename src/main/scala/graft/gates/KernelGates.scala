@@ -133,7 +133,10 @@ object KernelGates {
       Transformations.parseLongArrays(Set("la"), ",", Set("NA"))(in)
         .withColumn("la", to_json(col("la")))
     },
-    // §2.1 row 12 — parseDoubleArrays ("." whitelisted → NULL)
+    // §2.1 row 12 — parseDoubleArrays ("." whitelisted → NaN, the
+    // reference's Str("nan") sentinel). Spark's to_json quotes NaN as
+    // "NaN" while DuckDB emits a bare NaN token — normalize the spelling
+    // so the value-identical arrays hash equal.
     "q_parse_double_arrays" -> { (s, dir) =>
       val in = li(s, dir).select(
         col("l_orderkey"),
@@ -142,7 +145,7 @@ object KernelGates {
           col("l_tax").cast("string")).as("da")
       )
       Transformations.parseDoubleArrays(Set("da"), ",", Set("."))(in)
-        .withColumn("da", to_json(col("da")))
+        .withColumn("da", regexp_replace(to_json(col("da")), "\"NaN\"", "NaN"))
     },
     // §2.1 row 13 — ensureArrays (array passthrough, scalar → singleton,
     // NULL → [], absent column → empty array<string>)
@@ -194,7 +197,8 @@ object KernelGates {
         |FROM lineitem""".stripMargin,
     "q_parse_doubles" ->
       """SELECT l_orderkey, l_linenumber,
-        |       CASE WHEN l_linenumber = 2 THEN NULL ELSE l_quantity END AS qty_str
+        |       CASE WHEN l_linenumber = 2 THEN 'NaN'::DOUBLE
+        |            ELSE l_quantity END AS qty_str
         |FROM lineitem""".stripMargin,
     "q_parse_booleans" ->
       """SELECT l_orderkey, l_linenumber,
@@ -224,7 +228,7 @@ object KernelGates {
         |FROM lineitem""".stripMargin,
     "q_parse_double_arrays" ->
       """SELECT l_orderkey, l_linenumber,
-        |       to_json(list_value(l_discount, NULL, l_tax)) AS da
+        |       to_json(list_value(l_discount, 'NaN'::DOUBLE, l_tax)) AS da
         |FROM lineitem""".stripMargin,
     "q_ensure_arrays" ->
       """SELECT l_orderkey, l_linenumber,

@@ -147,9 +147,20 @@ object Transformations {
   private def longParseExpr(c: Column, nanValues: Set[String]): Column =
     nullifyNan(regexp_replace(c, "\\.0$", ""), nanValues).cast(LongType)
 
-  /** String→Double parse of one value (reference: MsgTransformations.scala:259-265). */
+  /**
+   * String→Double parse of one value: whitelisted nan-strings become
+   * Double.NaN — the typed equivalent of the reference's `Str("nan")`
+   * sentinel (MsgTransformations.scala:259-265), and what its JSON output
+   * carries for e.g. "." inside V2F double arrays. NULL input stays NULL
+   * (missing field). Long parses have no NaN representation, so the
+   * whitelists there map to NULL instead — a documented divergence the
+   * V2F configs never exercise (their long parses use empty nan-sets).
+   */
   private def doubleParseExpr(c: Column, nanValues: Set[String]): Column =
-    nullifyNan(c, nanValues).cast(DoubleType)
+    if (nanValues.isEmpty) c.cast(DoubleType)
+    else
+      when(c.isin(nanValues.toSeq.map(lit): _*), lit(Double.NaN))
+        .otherwise(c.cast(DoubleType))
 
   /** Apply a per-column expression to each listed column present in the schema. */
   private def mapFieldValues(fields: Set[String], df: DataFrame)(

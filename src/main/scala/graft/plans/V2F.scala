@@ -180,6 +180,9 @@ object DatasetSpecificPipeline {
     // Beam reads `$inputDir/dataset-specific/**` — recurse into nested dirs
     // (reference: DatasetSpecificPipeline.scala:64).
     val in = JsonLines.read(spark, s"$inputDir/${config.filePath}", recursive = true)
-    JsonLines.write(transform(config)(in), s"$outputDir/${config.filePath}")
+    // JSON passthrough: NULL columns are EXPLICIT nulls from the input,
+    // which the reference's unmodeled writer preserves — keep them.
+    JsonLines.write(transform(config)(in), s"$outputDir/${config.filePath}",
+      ignoreNullFields = false)
   }
 }

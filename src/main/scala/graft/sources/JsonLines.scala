@@ -12,10 +12,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SaveMode, SparkSession
  *    schema inference preserves the long-vs-double distinction the
  *    reference's custom circe visitor exists for (MsgIO.scala:27-63):
  *    integral literals infer BIGINT, decimal literals DOUBLE.
- *  - Write: Spark's JSON sink is compact (no extra whitespace) and drops
- *    NULL fields by default (`ignoreNullFields=true`), matching the
- *    reference's `Printer.noSpaces.copy(dropNullValues = true)`
- *    (MsgIO.scala:71).
+ *  - Write: Spark's JSON sink is compact (no extra whitespace). Null
+ *    handling is the caller's choice because a DataFrame NULL stands in
+ *    for BOTH of the reference's distinct states (absent key vs explicit
+ *    JSON null): the TSV pipelines' NULLs are absent keys (empty cells
+ *    were dropped), so they write with `ignoreNullFields=true`; the JSON
+ *    passthrough pipeline's NULLs are explicit input nulls, which the
+ *    reference's unmodeled `StringRenderer` writer preserves verbatim
+ *    (MsgIO.scala:106-115), so it writes with `ignoreNullFields=false`.
+ *    A dataset mixing absent and explicit-null for the same key is the
+ *    one case Spark's column model cannot reproduce row-by-row.
  *
  * Scale note: both directions are per-partition file IO — no driver-side
  * serialization loop, part-file-per-partition output like the reference's
@@ -53,11 +59,20 @@ object JsonLines {
       .json(pattern)
 
   /**
-   * Write unmodeled rows as compact drop-null JSON lines
-   * (reference: MsgIO.scala:106-115).
+   * Write unmodeled rows as compact JSON lines
+   * (reference: MsgIO.scala:106-115); see the class doc for the
+   * ignoreNullFields contract.
    */
-  def write(df: DataFrame, outputPrefix: String, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).json(outputPrefix)
+  def write(
+    df: DataFrame,
+    outputPrefix: String,
+    mode: SaveMode = SaveMode.Overwrite,
+    ignoreNullFields: Boolean = true
+  ): Unit =
+    df.write
+      .mode(mode)
+      .option("ignoreNullFields", ignoreNullFields.toString)
+      .json(outputPrefix)
 
   /**
    * Write modeled (typed) records as compact drop-null JSON lines

@@ -114,11 +114,11 @@ class TransformationsSpec extends SparkSpec {
   }
 
   // parseDoubles
-  test("parse doubles with nan whitelist") {
+  test("parse doubles with nan whitelist -> NaN (reference Str(\"nan\") sentinel)") {
     val in = Seq((".", "98.7654", "", "100")).toDF("foo", "bar", "baz", "qux")
     val out =
       Transformations.parseDoubles(Set("foo", "bar", "baz", "qux"), Set(".", ""))(in)
-    assert(out.collect().head == Row(null, 98.7654, null, 100.0))
+    assert(out.collect().head == Row(Double.NaN, 98.7654, Double.NaN, 100.0))
   }
 
   // parseBooleans
@@ -168,10 +168,12 @@ class TransformationsSpec extends SparkSpec {
   }
 
   // parseDoubleArrays
-  test("parse double arrays, '.' whitelisted to NULL") {
+  test("parse double arrays, '.' whitelisted to NaN") {
     val in = Seq(Tuple1("-1.01;.;1.23")).toDF("a")
     val out = Transformations.parseDoubleArrays(Set("a"), ";", Set("."))(in)
-    assert(out.collect().head.getSeq[Any](0) == Seq(-1.01, null, 1.23))
+    // bit-level compare: primitive NaN != NaN under ==
+    assert(out.collect().head.getSeq[Double](0).map(java.lang.Double.doubleToLongBits) ==
+      Seq(-1.01, Double.NaN, 1.23).map(java.lang.Double.doubleToLongBits))
   }
 
   // ensureArrays

@@ -65,7 +65,12 @@ class V2FSpec extends SparkSpec {
     val vetc = JsonLines.read(spark,
       s"$out/variant-effect/transcript-consequences/*.json")
     val vetcRow = vetc.head
-    assert(vetcRow.getSeq[Any](vetcRow.fieldIndex("sift_score")) == Seq(0.1, null))
+    // NaN inside a written double array serializes as the JSON string
+    // "NaN", so the untyped read-back infers array<string>; the values
+    // cast back to (0.1, NaN)
+    assert(vetcRow.getSeq[String](vetcRow.fieldIndex("sift_score"))
+      .map(s => java.lang.Double.doubleToLongBits(s.toDouble)) ==
+      Seq(0.1, Double.NaN).map(java.lang.Double.doubleToLongBits))
     assert(vetcRow.getSeq[Any](vetcRow.fieldIndex("siphy_29_way_pi")) == Seq(0.2, 0.3))
     assert(vetc.head.getAs[Long]("strand") == 1L)
 
