@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileStatus, GlobFilter, Path}
 import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,9 +17,21 @@ import org.apache.spark.sql.functions._
  * The originating file path travels along as a metadata column, the
  * distributed analogue of Beam's `ReadableFile` path.
  *
- * Scale note: this is a plain `spark.read.csv` scan — files split across
- * executors, no driver-side file loop; column pruning and (string)
- * predicate pushdown apply as usual.
+ * The reference parses EVERY file against its OWN header line
+ * (V2FUtilsSpec: "convert multiple TSVs correctly even if the columns are
+ * different"), while `spark.read.csv` applies the first file's header
+ * positionally to all files — silently scrambling values when file
+ * headers differ in order or shape. [[read]] therefore groups files by
+ * their probed header line, reads each group as one csv scan, and unions
+ * the groups by NAME (missing columns → NULL ≈ absent key). With one
+ * distinct header (the overwhelmingly common case) the plan is the same
+ * single distributed scan as before.
+ *
+ * Scale note: data reading stays a distributed `spark.read.csv` scan —
+ * files split across executors, column pruning and pushdown as usual.
+ * The header probe is one ~1 KB read per matched file, done like Spark's
+ * own InMemoryFileIndex listing: driver-side over a thread pool —
+ * metadata-scale work proportional to file count, not data size.
  */
 object TsvSource {
 
@@ -24,6 +40,75 @@ object TsvSource {
 
   private def hasGlob(pattern: String): Boolean =
     pattern.exists("*?[{".contains(_))
+
+  /** Resolve a path/glob to concrete, non-empty data files. */
+  private def resolveFiles(
+    spark: SparkSession,
+    pattern: String,
+    recursive: Boolean,
+    globFilter: Option[String]
+  ): Seq[FileStatus] = {
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leafFilter = globFilter.map(new GlobFilter(_))
+    def expand(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory) {
+        val children = fs.listStatus(st.getPath).toSeq
+        if (recursive) children.flatMap(expand)
+        else children.filter(_.isFile)
+      } else Seq(st)
+    Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap(expand)
+      .filter(st =>
+        st.isFile && st.getLen > 0 &&
+          leafFilter.forall(_.accept(st.getPath)) &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+  }
+
+  /** First line of each file, probed concurrently (metadata-scale IO). */
+  private def probeHeaders(
+    spark: SparkSession,
+    files: Seq[FileStatus]
+  ): Seq[(String, Seq[FileStatus])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(1, files.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = files.map { st =>
+        pool.submit(new java.util.concurrent.Callable[(String, FileStatus)] {
+          override def call(): (String, FileStatus) = {
+            val in = st.getPath.getFileSystem(conf).open(st.getPath)
+            try {
+              val r = new BufferedReader(
+                new InputStreamReader(in, StandardCharsets.UTF_8))
+              (Option(r.readLine()).getOrElse(""), st)
+            } finally in.close()
+          }
+        })
+      }
+      tasks.map(_.get()).groupBy(_._1).view
+        .mapValues(_.map(_._2)).toSeq
+        .filter(_._1.nonEmpty)
+        .sortBy(_._1)
+    } finally pool.shutdown()
+  }
+
+  /** One csv scan over files sharing a header line. */
+  private def readGroup(
+    spark: SparkSession,
+    files: Seq[FileStatus],
+    sep: String,
+    withPath: Boolean
+  ): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .option("inferSchema", "false")
+      .csv(files.map(_.getPath.toString): _*)
+    if (withPath) raw.withColumn(PathCol, col("_metadata.file_path"))
+    else raw
+  }
 
   /**
    * Read header TSVs matching a path/glob pattern.
@@ -40,24 +125,31 @@ object TsvSource {
     recursive: Boolean = false,
     globFilter: Option[String] = None
   ): DataFrame = {
-    val reader = spark.read
-      .option("header", "true")
-      .option("sep", sep)
-      .option("inferSchema", "false")
-      // Beam's `**` file patterns recurse into subdirectories
-      // (V2FExtractionsAndTransforms.scala:25 uses "**.csv"); Spark's
-      // equivalent is recursiveFileLookup + a glob filter on leaf names.
-      .option("recursiveFileLookup", recursive.toString)
-    val raw = globFilter
-      .fold(reader)(g => reader.option("pathGlobFilter", g))
-      .csv(pattern)
+    val files = resolveFiles(spark, pattern, recursive, globFilter)
+    val groups =
+      if (files.isEmpty) Seq.empty
+      else probeHeaders(spark, files)
+    val raw = groups match {
+      case Seq() =>
+        // No readable files: delegate to spark.read.csv on the original
+        // pattern so the error classes (PATH_NOT_FOUND /
+        // UNABLE_TO_INFER_SCHEMA) match what callers like readGlob expect.
+        val reader = spark.read
+          .option("header", "true")
+          .option("sep", sep)
+          .option("inferSchema", "false")
+          .option("recursiveFileLookup", recursive.toString)
+        globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).csv(pattern)
+      case gs =>
+        gs.map(g => readGroup(spark, g._2, sep, withPath))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
     // Trim every cell; empty-after-trim -> NULL (missing), matching
     // V2FUtils.scala:66-69.
-    val trimmed = raw.columns.foldLeft(raw) { (df, c) =>
-      df.withColumn(c, when(trim(col(c)) === "", lit(null)).otherwise(trim(col(c))))
+    raw.columns.foldLeft(raw) { (df, c) =>
+      if (c == PathCol) df
+      else df.withColumn(c, when(trim(col(c)) === "", lit(null)).otherwise(trim(col(c))))
     }
-    if (withPath) trimmed.withColumn(PathCol, col("_metadata.file_path"))
-    else trimmed
   }
 
   /**

@@ -44,6 +44,32 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getString(2) == "v32")
   }
 
+  test("files with different column ORDERS read correctly (per-file headers)") {
+    // reference: V2FUtilsSpec "convert multiple TSVs correctly even if the
+    // columns are different" — each file is parsed against its OWN header
+    val d = tmpDir("tsv-order")
+    writeFile(d, "a.tsv", "k1\tk2\nA1\tA2\n")
+    writeFile(d, "b.tsv", "k2\tk1\nB2\tB1\n")
+    val rows = TsvSource.read(spark, d.toString + "/*.tsv", withPath = false)
+      .orderBy("k1").collect()
+    assert(rows.map(r => (r.getAs[String]("k1"), r.getAs[String]("k2"))).toSeq ==
+      Seq(("A1", "A2"), ("B1", "B2")))
+  }
+
+  test("files with different column SETS union by name, absent cells NULL") {
+    val d = tmpDir("tsv-cols")
+    writeFile(d, "a.tsv", "k1\tk2\nA1\tA2\n")
+    writeFile(d, "c.tsv", "k1\tk3\nC1\tC3\n")
+    writeFile(d, "empty.tsv", "")
+    val df = TsvSource.read(spark, d.toString + "/*.tsv", withPath = false)
+    assert(df.columns.toSet == Set("k1", "k2", "k3"))
+    val rows = df.orderBy("k1").collect()
+    assert(rows(0).getAs[String]("k2") == "A2" &&
+      rows(0).isNullAt(rows(0).fieldIndex("k3")))
+    assert(rows(1).getAs[String]("k3") == "C3" &&
+      rows(1).isNullAt(rows(1).fieldIndex("k2")))
+  }
+
   test("glob matching nothing returns empty (wildcard-tolerant)") {
     val d = tmpDir("tsv-empty")
     val df = TsvSource.readGlob(spark, d.toString + "/nope-*.tsv")
