@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis, Transformations}
+
+/**
+ * Machine-checked plan audits for the SURVEY §4 scale claims: pushdown
+ * and pruning reach the parquet scan, small sides broadcast, hot paths
+ * stay inside whole-stage codegen, and the expression-materialization
+ * projections survive the optimizer (a regression here silently turns
+ * O(words) text operators into O(words²)).
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("filter + projection reach the parquet scan (PushedFilters, ReadSchema)") {
+    val q = li.filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"), scan)
+    // column pruning: the scan schema carries only the two referenced columns
+    val readSchema = "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"
+    assert(scan.contains(readSchema), scan)
+  }
+
+  test("kernel transform chain stays in whole-stage codegen, no UDFs") {
+    val q = Transformations.parseLongs(Set("ok"))(
+      li.select(col("l_orderkey").cast("string").as("ok"), col("l_linenumber")))
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in plan output
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"), plan)
+  }
+
+  test("brute-force ANN broadcasts the query side; corpus is never shuffled") {
+    val plan = Similarity.bruteForceTopK(
+      embs, embs.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+    // the only Exchange allowed is the broadcast + the final top-k window
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("IVF probe join is a broadcast join on centroid buckets") {
+    val plan = Similarity.ivfTopK(
+      embs, embs.filter(col("vec_id") < 5), "embedding", "vec_id",
+      k = 3, nCentroids = 4, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("mergeVariants dedups via partial + final hash aggregate, one shuffle") {
+    val v = spark.range(100).select(
+      concat(lit("v"), col("id")).as("id"), lit("1").as("chromosome"))
+    val plan = graft.plans.V2F.mergeVariants(Seq(v, v)).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"expected map-side partial aggregation:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one shuffle:\n$plan")
+  }
+
+  // The wordTable/shingleTable projections exist so the expensive
+  // normalization (regexp_replace+lower+split) runs ONCE per document.
+  // If CollapseProject ever inlines them into a downstream lambda, the
+  // expression gets re-evaluated per array element / per seed — these
+  // counts are the early-warning tripwire.
+  private def lowerCount(plan: String): Int = "lower\\(".r.findAllIn(plan).size
+
+  test("minhash signatures evaluate the text normalization exactly once") {
+    val plan = Dedup.minHashSignatures(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(lowerCount(plan) == 1, plan)
+  }
+
+  test("simhash evaluates the text normalization exactly once") {
+    val plan = Dedup.simHashes(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(lowerCount(plan) == 1, plan)
+  }
+
+  test("language ID evaluates the text normalization exactly once") {
+    val plan = TextAnalysis.withLangId(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(lowerCount(plan) == 1, plan)
+  }
+
+  test("fingerprints evaluate the text normalization exactly once") {
+    val plan = TextAnalysis.fingerprints(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(lowerCount(plan) == 1, plan)
+  }
+
+  test("near-dup chain: no cartesian product, no bucket self-join") {
+    val plan = Dedup.nearDuplicates(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // signature computation happens once: the md5-based hash appears in
+    // one scan-side projection only, not once per join side
+    val opt = Dedup.lshCandidates(Dedup.minHashSignatures(docs, "text", "doc_id"))
+      .queryExecution.optimizedPlan.toString
+    assert(lowerCount(opt) == 1, opt)
+  }
+}
