@@ -112,8 +112,10 @@ object Dedup {
       }: _*))
 
   /** Per-document MinHash signatures: (id, signature). The base shingle
-    * hashes are materialized once per document; the signature projection
-    * only XORs and mins over the bound hash array. */
+    * hashes are materialized once per document; the signature packing is
+    * the native [[graft.functions.MinHashSignatureExpr]] (one tight loop
+    * per row — value-identical to [[minHashSignatureOfHashes]], which
+    * HashingSpec pins). */
   def minHashSignatures(
     df: DataFrame,
     textCol: String,
@@ -127,7 +129,7 @@ object Dedup {
         transform(col("sh"), s => Hashing.md5Long60(s)).as("hs"))
       .select(
         col("doc_id"),
-        minHashSignatureOfHashes(col("hs"), numHashes).as("signature")
+        graft.functions.MinHashSignatureExpr(col("hs"), numHashes).as("signature")
       )
 
   /**
@@ -280,13 +282,15 @@ object Dedup {
           }
         ))
 
-  /** Per-document SimHash table: (doc_id, simhash). */
+  /** Per-document SimHash table: (doc_id, simhash). Packing uses the
+    * native [[graft.functions.SimHashPackExpr]] (value-identical to
+    * [[simHash]]'s expression chain, pinned by HashingSpec). */
   def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
     wordTable(df, textCol, idCol)
       .select(
         col("doc_id"),
         transform(col("w"), w => Hashing.md5Long60(w)).as("wh"))
-      .select(col("doc_id"), simHashOfHashes(col("wh")).as("simhash"))
+      .select(col("doc_id"), graft.functions.SimHashPackExpr(col("wh")).as("simhash"))
 
   /**
    * SimHash near-dup pairs by banding the 60-bit hash into `bands`
