@@ -26,9 +26,16 @@ object Similarity {
       (acc, x) => acc + x
     )
 
-  /** Cosine similarity of two numeric arrays. */
-  def cosine(a: Column, b: Column): Column =
+  /** Pure-Catalyst cosine (3 × dim interpreted lambda frames per pair);
+    * kept as the portable reference form that HashingSpec pins the native
+    * expression against. */
+  def cosineColumns(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Cosine similarity of two numeric arrays — the native fused-loop
+    * expression ([[graft.functions.CosineSimExpr]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr(a, b)
 
   /**
    * Exact cosine top-k: for every query vector, the k nearest corpus
