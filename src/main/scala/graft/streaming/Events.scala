@@ -100,14 +100,72 @@ object Events {
     total_value: Double
   )
 
-  private final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
+  /** Open-session accumulator (public: the state encoder's generated code
+    * must construct it). */
+  final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
+
+  /**
+   * Streaming gap sessionization with explicit state and event-time
+   * timeouts: a user's open session lives in `GroupState` ACROSS
+   * micro-batches and closes only when the watermark passes its gap
+   * deadline — so a session spanning micro-batches stays one session,
+   * which the batch-oriented [[sessionize]] (close-at-end-of-input) would
+   * split. Requires a watermark on the event-time column upstream.
+   *
+   * Scale shape: one hash shuffle on user_id; state is O(open sessions)
+   * and bounded by the watermark.
+   */
+  def sessionizeStream(
+    events: Dataset[Event],
+    gapMillis: Long = 30 * 60 * 1000L
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def close(userId: Long, acc: SessionAcc): Session =
+      Session(userId, new Timestamp(acc.start), new Timestamp(acc.end), acc.n, acc.total)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (userId: Long, it: Iterator[Event], state: GroupState[SessionAcc]) =>
+        if (state.hasTimedOut) {
+          // watermark passed the gap deadline: the open session is final
+          val closed = close(userId, state.get)
+          state.remove()
+          Iterator.single(closed)
+        } else {
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[Session]
+          var acc = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            acc match {
+              case null =>
+                acc = SessionAcc(t, t, 1L, e.value)
+              case a if t - a.end > gapMillis =>
+                out += close(userId, a)
+                acc = SessionAcc(t, t, 1L, e.value)
+              case a =>
+                acc = SessionAcc(a.start, math.max(a.end, t), a.n + 1, a.total + e.value)
+            }
+          }
+          if (acc != null) {
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.end + gapMillis)
+          }
+          out.result().iterator
+        }
+      }
+  }
 
   /**
    * Gap-based sessionization with explicit state
-   * (`flatMapGroupsWithState`): consecutive events of a user belong to one
-   * session until a silence gap longer than `gapMillis`. In streaming
-   * mode the state times out on the event-time watermark; in batch mode
-   * each group is processed in one pass (sessions close at end of input).
+   * (`flatMapGroupsWithState`), batch semantics: each group is processed
+   * in one pass and sessions close at end of input. For a live stream use
+   * [[sessionizeStream]] (event-time timeouts); for large batch jobs
+   * prefer the relational [[sessionizeBatch]].
    *
    * Scale shape: one hash shuffle on user_id; state is O(active users).
    */

@@ -64,6 +64,40 @@ class StreamingSpec extends SparkSpec {
     assert(stateful.nonEmpty && relational == stateful)
   }
 
+  test("sessionizeStream: session survives micro-batch boundary, closes on watermark timeout") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = Events.sessionizeStream(
+        stream.toDS().withWatermark("ts", "10 minutes").as[Event],
+        gapMillis = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      // (times start at +60min: an event AT the initial epoch-0 watermark
+      // would be dropped as late)
+      // batch 1: open a session for user 1
+      stream.addData(Event(1L, ts(60), "click", 1.0), Event(1L, ts(65), "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: same session CONTINUES across the micro-batch boundary
+      stream.addData(Event(1L, ts(70), "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_stream").isEmpty) // nothing closed yet
+      // batch 3: another user far in the future advances the watermark…
+      stream.addData(Event(2L, ts(240), "view", 9.0))
+      q.processAllAvailable()
+      // batch 4: …and the next batch fires user 1's event-time timeout
+      stream.addData(Event(2L, ts(245), "view", 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("sessions_stream")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4)))
+      // ONE session covering all three micro-batched events, closed by timeout
+      assert(out.count(_._1 == 1L) == 1, out.mkString(", "))
+      assert(out.contains((1L, ts(60), ts(70), 3L, 6.0)), out.mkString(", "))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, aggregates carry through") {
     val events = Seq(
       Event(1L, ts(0), "click", 1.0),
