@@ -67,26 +67,13 @@ object Similarity {
       .drop("rn")
   }
 
-  /**
-   * Deterministic IVF index: the nCentroids lowest-id corpus vectors act
-   * as centroids (deterministic stand-in for k-means — the bucketing,
-   * probing, and recall mechanics are identical); every corpus vector is
-   * assigned to its nearest centroid by cosine.
-   *
-   * Returns the corpus with a `centroid_id` bucket column. The centroid
-   * set rides along as ONE broadcast array row and the argmax is a pure
-   * expression fold over it — the corpus itself is never shuffled or
-   * windowed for assignment.
-   */
-  def ivfAssign(
-    corpus: DataFrame,
-    vecCol: String,
-    idCol: String,
-    nCentroids: Int = 16
-  ): DataFrame = {
+  /** Assign every corpus vector to its nearest centroid by cosine: the
+    * (small) centroid table rides along as ONE broadcast array row and
+    * the argmax is a pure expression fold over it — the corpus itself is
+    * never shuffled or windowed for assignment. */
+  private def assignTo(corpus: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
     val centArr = broadcast(
-      centroids(corpus, vecCol, idCol, nCentroids)
-        .agg(array_sort(collect_list(struct(col("centroid_id"), col("cv")))).as("cents")))
+      cents.agg(array_sort(collect_list(struct(col("centroid_id"), col("cv")))).as("cents")))
     val best = aggregate(
       col("cents"),
       struct(lit(Double.MinValue).as("s"), lit(-1L).as("i")),
@@ -101,8 +88,9 @@ object Similarity {
       .drop("cents")
   }
 
-  /** The nCentroids lowest-id corpus vectors, id-keyed: (centroid_id, cv). */
-  private def centroids(
+  /** Deterministic k-means seeds: the nCentroids lowest-id corpus
+    * vectors, id-keyed and cast to double: (centroid_id, cv). */
+  private def seedCentroids(
     corpus: DataFrame,
     vecCol: String,
     idCol: String,
@@ -111,7 +99,65 @@ object Similarity {
     corpus
       .orderBy(col(idCol))
       .limit(nCentroids)
-      .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("cv"))
+      .select(
+        col(idCol).cast("long").as("centroid_id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"))
+
+  /**
+   * K-means centroids over the corpus: deterministic lowest-id seeds
+   * refined by `iters` Lloyd rounds, each round entirely relational —
+   * assign to nearest centroid (broadcast fold, no shuffle of the
+   * corpus), then the per-bucket mean via posexplode → avg per
+   * (centroid, dimension) → reassemble. Empty clusters keep their
+   * previous centroid. The result is COLLECTED to the driver and
+   * returned as a local relation: k × dim doubles is metadata-sized,
+   * and downstream consumers (assignment + query probes) would otherwise
+   * re-run the whole iteration chain once per reference.
+   */
+  def kmeansCentroids(
+    corpus: DataFrame,
+    vecCol: String,
+    idCol: String,
+    nCentroids: Int = 16,
+    iters: Int = 2
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents = seedCentroids(corpus, vecCol, idCol, nCentroids)
+    var i = 0
+    while (i < iters) {
+      val means = assignTo(corpus, vecCol, cents)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("centroid_id")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s("m")).as("next"))
+      cents = cents
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("next"), col("cv")).as("cv"))
+      i += 1
+    }
+    val local = cents.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(local.toIndexedSeq, 1), cents.schema)
+  }
+
+  /**
+   * IVF index: k-means centroids (deterministic seeds + Lloyd rounds),
+   * every corpus vector assigned to its nearest centroid by cosine.
+   * Returns the corpus with a `centroid_id` bucket column.
+   */
+  def ivfAssign(
+    corpus: DataFrame,
+    vecCol: String,
+    idCol: String,
+    nCentroids: Int = 16,
+    kmeansIters: Int = 2
+  ): DataFrame =
+    assignTo(corpus, vecCol,
+      kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters))
 
   /**
    * IVF top-k: probe the nProbe centroid buckets nearest to each query and
@@ -126,10 +172,13 @@ object Similarity {
     idCol: String,
     k: Int = 10,
     nCentroids: Int = 16,
-    nProbe: Int = 4
+    nProbe: Int = 4,
+    kmeansIters: Int = 2
   ): DataFrame = {
-    val assigned = ivfAssign(corpus, vecCol, idCol, nCentroids)
-    val cents = centroids(corpus, vecCol, idCol, nCentroids)
+    // one k-means run; the local centroid relation feeds BOTH the corpus
+    // assignment and the query probes
+    val cents = kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters)
+    val assigned = assignTo(corpus, vecCol, cents)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = q
       .crossJoin(broadcast(cents))

@@ -57,4 +57,21 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(cents.subsetOf(expected))
   }
+
+  test("kmeansCentroids: k full-dimension centroids; iter 0 returns the seeds") {
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    val refined = Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+      nCentroids = 8, iters = 2).collect()
+    assert(refined.length == 8)
+    refined.foreach(r => assert(r.getSeq[Double](1).length == dim))
+
+    val seeds = Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+      nCentroids = 8, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val raw = corpus.orderBy("vec_id").limit(8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(seeds.keySet == raw.keySet)
+    // Lloyd rounds move at least one centroid off its seed
+    assert(refined.exists(r => seeds(r.getLong(0)) != r.getSeq[Double](1)))
+  }
 }
