@@ -114,6 +114,19 @@ object LlmGates {
           "payload")
         .select("doc_id", "byte_len", "magic_hex", "payload_md5", "format")
     },
+    // §2.4 row 37b — batched decode plumbing: the stub features are
+    // MD5-derived, so the oracle re-derives them byte-for-byte
+    "q_multimodal_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      val decoded = Multimodal.decodeFeatures(media, featureDim = 8).toDF()
+      decoded.select(
+        Seq(col("doc_id"), col("width"), col("height")) ++
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i")): _*)
+    },
     // §2.4 row 38 — tumbling-window event aggregation (batch plan is
     // identical to the streaming plan; streaming equivalence in spec)
     "q_events_window" -> { (s, dir) =>
@@ -311,6 +324,17 @@ object LlmGates {
         |       md5(text) AS payload_md5,
         |       'unknown' AS format
         |FROM documents""".stripMargin,
+    "q_multimodal_decode" -> {
+      val feats = (0 until 8).map { i =>
+        s"round((((('0x' || substr(h, ${2 * (i % 16) + 1}, 2))::INT) / 255.0)::FLOAT)::DOUBLE, 4) AS f$i"
+      }.mkString(",\n|       ")
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents)
+         |SELECT doc_id,
+         |       (('0x' || substr(h, 1, 2))::INT % 64) + 1 AS width,
+         |       (('0x' || substr(h, 3, 2))::INT % 64) + 1 AS height,
+         |       $feats
+         |FROM d""".stripMargin
+    },
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP) AS window_start,
         |       event_type,

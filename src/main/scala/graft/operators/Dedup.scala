@@ -199,6 +199,12 @@ object Dedup {
    * Verify candidate pairs with exact n-gram Jaccard similarity, computed
    * only for LSH candidates (never all pairs). Returns
    * (id_a, id_b, jaccard) for pairs at or above the threshold.
+   *
+   * Scale shape: ONE scan of the document table. A naive sets⋈cand⋈sets
+   * would scan (and re-shingle) the corpus once per pair side; instead
+   * candidate pairs explode into (pair, doc_id) sides, join the shingle
+   * table once, and regroup by pair — the join and regroup move only
+   * candidate-sized data.
    */
   def jaccardVerify(
     candidates: DataFrame,
@@ -210,13 +216,21 @@ object Dedup {
   ): DataFrame = {
     val sets = shingleTable(df, textCol, idCol, k)
       .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val union = size(col("sa")) + size(col("sb")) - inter
-    candidates
-      .join(sets.withColumnsRenamed(Map("doc_id" -> "id_a", "sh" -> "sa")), "id_a")
-      .join(sets.withColumnsRenamed(Map("doc_id" -> "id_b", "sh" -> "sb")), "id_b")
+    val sides = candidates
       .select(
-        col("id_a"), col("id_b"),
+        struct(col("id_a"), col("id_b")).as("pair"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+    val sa = element_at(col("items"), 1)
+    val sb = element_at(col("items"), 2)
+    val inter = size(array_intersect(sa, sb))
+    val union = size(sa) + size(sb) - inter
+    sides
+      .join(sets, "doc_id")
+      .groupBy("pair")
+      .agg(collect_list(col("sh")).as("items"))
+      .filter(size(col("items")) === 2)
+      .select(
+        col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
         (inter.cast("double") / union.cast("double")).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
