@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.operators.Transformations
+import graft.functions.Md5Long60Expr
+
+/**
+ * Randomized (seeded, deterministic) properties pinning kernel semantics
+ * to their JVM reference behaviors — the contracts SURVEY §3 promises:
+ * array split must behave exactly like Java String.split, the long parse
+ * must trim exactly one trailing ".0", and the native hash must equal
+ * the first-15-hex-chars-of-MD5 reference computation.
+ */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+
+  test("parseStringArrays equals Java String.split on random delimiter soups") {
+    val alphabet = "ab,;  "
+    val cases = Seq.fill(400)(
+      (1 to rng.nextInt(12)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString) :+
+      "" :+ "," :+ ",,," :+ "a,,b,," :+ ",a"
+    val df = cases.toDF("s")
+    val out = Transformations.parseStringArrays(Set("s"), ",")(df)
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList).orNull)
+    out.zip(cases).foreach { case (got, in) =>
+      assert(got == in.split(",").toList, s"input=<$in>")
+    }
+  }
+
+  test("parseLongs equals trim-one-'.0'-then-parse on random longs") {
+    val cases = Seq.fill(200)(rng.nextLong() % 1000000)
+    val df = cases.map(x => (x, s"$x.0")).toDF("expect", "s")
+    val out = Transformations.parseLongs(Set("s"))(df).collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(0)))
+    // a single ".0" is trimmed, not repeated suffixes: "7.0.0" must throw
+    assertThrows[Exception] {
+      Transformations.parseLongs(Set("s"))(Seq("7.0.0").toDF("s")).collect()
+    }
+  }
+
+  test("Md5Long60Expr.hash equals the BigInteger-over-hex reference on random strings") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to 300).foreach { _ =>
+      val s = rng.alphanumeric.take(rng.nextInt(40)).mkString + (
+        if (rng.nextBoolean()) "é∆" else "")
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val expect = new java.math.BigInteger(hex.substring(0, 15), 16).longValueExact()
+      assert(Md5Long60Expr.hash(UTF8String.fromString(s)) == expect, s"input=<$s>")
+    }
+  }
+}
