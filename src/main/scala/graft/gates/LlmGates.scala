@@ -56,6 +56,13 @@ object LlmGates {
           k = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
     },
+    // §2.4 row 27c — the deduplicated corpus itself (greedy lowest-id
+    // keeper over the verified near-dup pairs)
+    "q_neardup_dedup" -> { (s, dir) =>
+      Dedup.dropNearDuplicates(docs(s, dir).select("doc_id", "text"),
+          "text", "doc_id", k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select("doc_id")
+    },
     // §2.4 row 28 — 60-bit SimHash
     "q_simhash" -> { (s, dir) =>
       Dedup.simHashes(docs(s, dir), "text", "doc_id")
@@ -210,6 +217,27 @@ object LlmGates {
          |          JOIN sets y ON cand.id_b = y.doc_id
          |WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
          |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.8""".stripMargin,
+    "q_neardup_dedup" ->
+      s"""$DocSigCte,
+         |bands AS (
+         |  SELECT doc_id, rt.b AS band,
+         |         array_to_string(list_transform(sig[rt.b*4+1:rt.b*4+4],
+         |                                        v -> v::VARCHAR), ',') AS band_key
+         |  FROM sig, range(0, 4) rt(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(s) AS sh FROM sh),
+         |losers AS (
+         |  SELECT DISTINCT id_b
+         |  FROM cand JOIN sets x ON cand.id_a = x.doc_id
+         |            JOIN sets y ON cand.id_b = y.doc_id
+         |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.8)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM losers)""".stripMargin,
     "q_simhash" ->
       s"""WITH d AS (
          |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM documents),

@@ -255,6 +255,32 @@ object Dedup {
     jaccardVerify(cands, df, textCol, idCol, k, threshold)
   }
 
+  /**
+   * The deduplicated corpus: every document that appears as the GREATER
+   * id of a verified near-duplicate pair is dropped, keeping the lowest
+   * id of each duplicate cluster reachable by pairwise links (greedy
+   * canonical-keeper policy — the standard training-data pipeline rule;
+   * full transitive clustering would need iterative connected
+   * components, overkill for near-dup pruning).
+   *
+   * Scale shape: near-dup pairs (small) anti-joined against the corpus —
+   * one broadcast-able anti join, corpus never shuffled.
+   */
+  def dropNearDuplicates(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    threshold: Double = 0.8,
+    maxBucket: Option[Int] = None
+  ): DataFrame = {
+    val losers = nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold, maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /**

@@ -75,6 +75,16 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("dropNearDuplicates keeps the lowest id of each near-dup pair") {
+    val pairs = Dedup.nearDuplicates(docs, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = Dedup.dropNearDuplicates(docs, "text", "doc_id", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(!kept.contains(b) && a < b) }
+    assert(kept.size == docs.count() - pairs.map(_._2).distinct.length)
+  }
+
   test("near-dup plan has no cartesian product (LSH buckets, not all-pairs)") {
     val plan = Dedup.nearDuplicates(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
