@@ -19,7 +19,8 @@ object Bench {
     "q_v2f_merge_variants", // unionByName + dropDuplicates shuffle
     "q_dedup_exact",        // hash-groupBy dedup
     "q_minhash_signature",  // shingle + 16-hash MinHash expressions
-    "q_neardup_pairs",      // LSH band self-join + Jaccard verify
+    "q_neardup_pairs",      // LSH banded buckets + in-bucket Jaccard verify
+    "q_neardup_dedup",      // full near-dup chain + anti-join corpus prune
     "q_simhash",            // nested-lambda bit voting
     "q_embed_neardup",      // hyperplane bucket join + cosine verify
     "q_ann_topk",           // broadcast cross join + top-k window
