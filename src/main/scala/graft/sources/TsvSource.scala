@@ -65,39 +65,74 @@ object TsvSource {
           !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
   }
 
-  /** First line of each file, probed concurrently (metadata-scale IO). */
+  /** Java-serializable Hadoop Configuration carrier for executor-side
+    * filesystem access (Configuration itself is Writable, not
+    * Serializable). */
+  private final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration
+  ) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  private def firstLine(p: Path, conf: org.apache.hadoop.conf.Configuration): String = {
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      Option(r.readLine()).getOrElse("")
+    } finally in.close()
+  }
+
+  /** Above this file count the header probe runs as a Spark job instead
+    * of driver threads. */
+  private val DistributedProbeThreshold = 512
+
+  /**
+   * First line of each file, grouped by header. Small file sets probe on
+   * a driver thread pool (like Spark's own file-index listing); large
+   * ones distribute the probe across executors, so header discovery
+   * scales with the cluster, not the driver.
+   */
   private def probeHeaders(
     spark: SparkSession,
-    files: Seq[FileStatus]
-  ): Seq[(String, Seq[FileStatus])] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, math.max(1, files.size)))
-    try {
-      import scala.jdk.CollectionConverters._
-      val tasks = files.map { st =>
-        pool.submit(new java.util.concurrent.Callable[(String, FileStatus)] {
-          override def call(): (String, FileStatus) = {
-            val in = st.getPath.getFileSystem(conf).open(st.getPath)
-            try {
-              val r = new BufferedReader(
-                new InputStreamReader(in, StandardCharsets.UTF_8))
-              (Option(r.readLine()).getOrElse(""), st)
-            } finally in.close()
-          }
-        })
+    files: Seq[String]
+  ): Seq[(String, Seq[String])] = {
+    val pairs: Seq[(String, String)] =
+      if (files.size > DistributedProbeThreshold) {
+        val sc = spark.sparkContext
+        val confB = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+        sc.parallelize(files, math.min(files.size, sc.defaultParallelism * 4))
+          .map(p => (firstLine(new Path(p), confB.value.value), p))
+          .collect().toSeq
+      } else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(32, math.max(1, files.size)))
+        try {
+          files.map { p =>
+            pool.submit(new java.util.concurrent.Callable[(String, String)] {
+              override def call(): (String, String) = (firstLine(new Path(p), conf), p)
+            })
+          }.map(_.get())
+        } finally pool.shutdown()
       }
-      tasks.map(_.get()).groupBy(_._1).view
-        .mapValues(_.map(_._2)).toSeq
-        .filter(_._1.nonEmpty)
-        .sortBy(_._1)
-    } finally pool.shutdown()
+    pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq
+      .filter(_._1.nonEmpty)
+      .sortBy(_._1)
   }
 
   /** One csv scan over files sharing a header line. */
   private def readGroup(
     spark: SparkSession,
-    files: Seq[FileStatus],
+    files: Seq[String],
     sep: String,
     withPath: Boolean
   ): DataFrame = {
@@ -105,7 +140,7 @@ object TsvSource {
       .option("header", "true")
       .option("sep", sep)
       .option("inferSchema", "false")
-      .csv(files.map(_.getPath.toString): _*)
+      .csv(files: _*)
     if (withPath) raw.withColumn(PathCol, col("_metadata.file_path"))
     else raw
   }
@@ -126,6 +161,7 @@ object TsvSource {
     globFilter: Option[String] = None
   ): DataFrame = {
     val files = resolveFiles(spark, pattern, recursive, globFilter)
+      .map(_.getPath.toString)
     val groups =
       if (files.isEmpty) Seq.empty
       else probeHeaders(spark, files)

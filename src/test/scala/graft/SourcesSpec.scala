@@ -70,6 +70,20 @@ class SourcesSpec extends SparkSpec {
       rows(1).isNullAt(rows(1).fieldIndex("k2")))
   }
 
+  test("large file sets probe headers via a distributed job, orders intact") {
+    // 600 files > the distributed-probe threshold; alternating column order
+    val d = tmpDir("tsv-many")
+    (0 until 600).foreach { i =>
+      val content =
+        if (i % 2 == 0) s"k1\tk2\na$i\tb$i\n" else s"k2\tk1\nb$i\ta$i\n"
+      writeFile(d, f"f$i%04d.tsv", content)
+    }
+    val df = TsvSource.read(spark, d.toString + "/*.tsv", withPath = false)
+    assert(df.columns.toSet == Set("k1", "k2"))
+    assert(df.count() == 600)
+    assert(df.filter(!col("k1").startsWith("a") || !col("k2").startsWith("b")).count() == 0)
+  }
+
   test("glob matching nothing returns empty (wildcard-tolerant)") {
     val d = tmpDir("tsv-empty")
     val df = TsvSource.readGlob(spark, d.toString + "/nope-*.tsv")
