@@ -45,6 +45,12 @@ object LlmGates {
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(docsWithDups(s, dir), "text", "doc_id")
     },
+    // §2.4 row 26b — the exactly-deduplicated corpus (lowest-id survivor
+    // per normalized text, original columns intact)
+    "q_dedup_exact_rows" -> { (s, dir) =>
+      Dedup.dropExactDuplicates(docsWithDups(s, dir), "text", "doc_id")
+        .select("doc_id")
+    },
     // §2.4 row 27a — MinHash signatures (16 hashes over 3-shingles)
     "q_minhash_signature" -> { (s, dir) =>
       Dedup.minHashSignatures(docs(s, dir), "text", "doc_id")
@@ -193,6 +199,13 @@ object LlmGates {
          |       min(doc_id) AS keeper_id,
          |       count(*) AS n_docs
          |FROM all_docs GROUP BY 1""".stripMargin,
+    "q_dedup_exact_rows" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+         |SELECT min(doc_id) AS doc_id
+         |FROM all_docs GROUP BY md5($NormSql)""".stripMargin,
     "q_minhash_signature" ->
       s"""$DocSigCte
          |SELECT doc_id, to_json(sig) AS signature FROM sig""".stripMargin,

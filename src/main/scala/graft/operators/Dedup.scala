@@ -36,6 +36,24 @@ object Dedup {
         count(lit(1)).as("n_docs")
       )
 
+  /**
+   * The exactly-deduplicated corpus: one surviving row (lowest id) per
+   * distinct normalized text, all original columns intact.
+   *
+   * Scale shape: rank window over the fingerprint — one hash shuffle +
+   * in-partition sort, no second pass over the corpus (a keeper-join
+   * would re-scan it). Spark's WindowGroupLimit pushes the rn=1 filter
+   * into a per-partition top-1 before the shuffle.
+   */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(Hashing.normalizeText(col(textCol))))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /**
