@@ -68,26 +68,37 @@ object Bench {
     try run("q_rename")
     catch { case _: Throwable => () }
 
+    // Each query runs twice: the first (cold) timing includes the one-time
+    // plan compile (Catalyst + codegen — at local scale factors this
+    // DOMINATES the data path); the second (steady) timing is the
+    // per-execution cost that actually scales with data volume. `queries`
+    // keeps the cold semantics prior rounds reported; `steady` is the
+    // number to read for operator efficiency.
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val steady = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
         run(name)
         timings(name) = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        run(name)
+        steady(name) = (System.nanoTime() - t1) / 1e9
       } catch {
         case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
     }
 
-    val qJson = timings.map { case (k, v) => s"${jsonStr(k)}:${"%.3f".format(v)}" }
-      .mkString("{", ",", "}")
+    def mapJson(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"${jsonStr(k)}:${"%.3f".format(v)}" }
+        .mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${"%.3f".format(steady.values.sum)},"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
