@@ -87,18 +87,25 @@ object Bench {
         steady(name) = (System.nanoTime() - t1) / 1e9
       } catch {
         case e: Throwable =>
+          // honesty contract: a query appearing in `queries` ran clean on
+          // BOTH passes — a steady-rerun failure voids the cold timing too
+          timings.remove(name)
+          steady.remove(name)
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
     }
 
+    // Locale.ROOT: default-locale %.3f would emit comma decimals
+    // (invalid JSON) on e.g. de_DE JVMs
+    def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def mapJson(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => s"${jsonStr(k)}:${"%.3f".format(v)}" }
+      m.map { case (k, v) => s"${jsonStr(k)}:${num(v)}" }
         .mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${"%.3f".format(steady.values.sum)},"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
  * of every ANN/near-dup operator: corpus × queries × dim evaluations.
  *
  * NULL result when either side is NULL, lengths differ, either side has a
- * NULL element, or either norm is zero (0/0 — the lambda chain yields
- * NULL via division the same way only for the null cases; zero vectors
- * produce NaN there and here).
+ * NULL element, or either norm is zero. The zero-norm case is
+ * deliberately NULL rather than the 0/0 NaN the naive division yields:
+ * Spark orders NaN ABOVE every double, so a NaN score would rank a
+ * zero vector as the best neighbor of every query and pass every
+ * `>= threshold` filter; NULL sorts last and fails filters.
  */
 case class CosineSimExpr(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -38,6 +40,10 @@ case class CosineSimExpr(left: Expression, right: Expression)
     }
 
   override def dataType: DataType = DoubleType
+  // NULL is possible even for non-null children (zero-norm vectors,
+  // length mismatch) — without this override codegen would assume
+  // non-null output for non-null input
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   @transient private lazy val leftType = elemType(left).get
@@ -68,7 +74,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -41,9 +41,15 @@ object Multimodal {
     "52494646" -> "riff" // wav/avi
   )
 
+  /** First 8 hex chars of a payload: hex only the first 4 BYTES — hexing
+    * the whole blob would materialize a 2×-payload string per row (ruinous
+    * for multi-MB media payloads) just to keep 8 chars. */
+  private def magicHex(bin: Column): Column =
+    upper(hex(substring(bin, 1, 4)))
+
   /** First-bytes container sniff over a binary column (hex-prefix match). */
   def sniffFormat(bin: Column): Column = {
-    val hexHead = upper(substring(hex(bin), 1, 8))
+    val hexHead = magicHex(bin)
     MagicPrefixes.foldLeft(lit("unknown")) { case (acc, (prefix, name)) =>
       when(hexHead.startsWith(prefix), lit(name)).otherwise(acc)
     }
@@ -58,7 +64,7 @@ object Multimodal {
   def withMetadata(df: DataFrame, binCol: String): DataFrame =
     df.withColumns(Map(
       "byte_len" -> length(col(binCol)).cast("long"),
-      "magic_hex" -> upper(substring(hex(col(binCol)), 1, 8)),
+      "magic_hex" -> magicHex(col(binCol)),
       "payload_md5" -> md5(col(binCol)),
       "format" -> sniffFormat(col(binCol))
     ))

@@ -59,6 +59,7 @@ object Similarity {
       .select(
         col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("score"))
+      .filter(col("score").isNotNull) // zero-norm vectors are not neighbors
     val rank = row_number().over(
       Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id")))
     scored
@@ -195,6 +196,7 @@ object Similarity {
         col("query_id"),
         col(idCol).as("neighbor_id"),
         cosine(col("qv"), col(vecCol)).as("score"))
+      .filter(col("score").isNotNull) // zero-norm vectors are not neighbors
     scored
       .withColumn("rn",
         row_number().over(

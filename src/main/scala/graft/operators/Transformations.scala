@@ -126,10 +126,14 @@ object Transformations {
       val lastIdx = targets.zipWithIndex.groupBy(_._1).map { case (n, xs) =>
         n -> xs.map(_._2).max
       }
+      // rename positionally to unique temp names first: resolving by the
+      // ORIGINAL name would be ambiguous if the input itself carries
+      // duplicate column names (e.g. post-join frames)
+      val tmp = df.toDF(df.columns.indices.map(i => s"__graft_c$i"): _*)
       val kept = targets.zipWithIndex.collect {
-        case (n, i) if lastIdx(n) == i => col(df.columns(i)).as(n)
+        case (n, i) if lastIdx(n) == i => col(s"__graft_c$i").as(n)
       }
-      df.select(kept.toSeq: _*)
+      tmp.select(kept.toSeq: _*)
     }
   }
 

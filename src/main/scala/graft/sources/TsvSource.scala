@@ -51,9 +51,14 @@ object TsvSource {
     val p = new Path(pattern)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val leafFilter = globFilter.map(new GlobFilter(_))
+    def hidden(path: Path): Boolean =
+      path.getName.startsWith("_") || path.getName.startsWith(".")
+    // prune hidden DIRECTORIES during recursion too (Spark's own file
+    // index skips e.g. _temporary trees left by crashed jobs — a
+    // leaf-only filter would happily ingest their part files)
     def expand(st: FileStatus): Seq[FileStatus] =
       if (st.isDirectory) {
-        val children = fs.listStatus(st.getPath).toSeq
+        val children = fs.listStatus(st.getPath).toSeq.filterNot(c => hidden(c.getPath))
         if (recursive) children.flatMap(expand)
         else children.filter(_.isFile)
       } else Seq(st)
@@ -62,7 +67,7 @@ object TsvSource {
       .filter(st =>
         st.isFile && st.getLen > 0 &&
           leafFilter.forall(_.accept(st.getPath)) &&
-          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+          !hidden(st.getPath))
   }
 
   /** Java-serializable Hadoop Configuration carrier for executor-side
@@ -82,11 +87,16 @@ object TsvSource {
     }
   }
 
+  /** First NON-BLANK line — the csv parser skips leading blank lines
+    * when locating the header, so the probe must too. */
   private def firstLine(p: Path, conf: org.apache.hadoop.conf.Configuration): String = {
     val in = p.getFileSystem(conf).open(p)
     try {
       val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-      Option(r.readLine()).getOrElse("")
+      Iterator.continually(r.readLine())
+        .takeWhile(_ != null)
+        .find(_.trim.nonEmpty)
+        .getOrElse("")
     } finally in.close()
   }
 
@@ -175,7 +185,11 @@ object TsvSource {
           .option("sep", sep)
           .option("inferSchema", "false")
           .option("recursiveFileLookup", recursive.toString)
-        globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).csv(pattern)
+        val fallback =
+          globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).csv(pattern)
+        if (withPath && fallback.columns.nonEmpty)
+          fallback.withColumn(PathCol, col("_metadata.file_path"))
+        else fallback
       case gs =>
         gs.map(g => readGroup(spark, g._2, sep, withPath))
           .reduce(_.unionByName(_, allowMissingColumns = true))

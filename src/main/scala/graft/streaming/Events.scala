@@ -18,6 +18,12 @@ object Events {
    * a physical type Spark refuses by default. Nanos are read as raw longs
    * (legacy conf) and truncated to microsecond timestamps, matching what
    * engines with native nanos support (DuckDB's `::TIMESTAMP`) produce.
+   *
+   * Session-conf note: the nanosAsLong flag stays set for the session
+   * (the scan captures conf at planning time, so a restore-after-read
+   * would break lazy execution). The flag's only effect is on
+   * TIMESTAMP(NANOS) parquet columns, which Spark otherwise refuses to
+   * read at all — no working read changes behavior.
    */
   def readEventsParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
