@@ -58,6 +58,18 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.subsetOf(expected))
   }
 
+  test("a zero-norm corpus vector is never returned as a neighbor") {
+    import spark.implicits._
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    val zero = Seq((999999L, Array.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val poisoned = corpus.unionByName(zero)
+    val top = Similarity.bruteForceTopK(poisoned, queries, "embedding", "vec_id", k = 5)
+      .collect()
+    assert(top.nonEmpty)
+    assert(!top.exists(_.getAs[Long]("neighbor_id") == 999999L))
+    assert(top.forall(r => !r.getAs[Double]("score").isNaN))
+  }
+
   test("kmeansCentroids: k full-dimension centroids; iter 0 returns the seeds") {
     val dim = corpus.select(size(col("embedding"))).head.getInt(0)
     val refined = Similarity.kmeansCentroids(corpus, "embedding", "vec_id",

@@ -84,6 +84,25 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(!col("k1").startsWith("a") || !col("k2").startsWith("b")).count() == 0)
   }
 
+  test("recursive read prunes hidden directories (_temporary from crashed jobs)") {
+    val d = tmpDir("tsv-hidden")
+    writeFile(d, "t/good.tsv", "k\tv\na\t1\n")
+    writeFile(d, "t/_temporary/0/part-00000.tsv", "k\tv\nSTALE\t9\n")
+    writeFile(d, "t/.staging/part-00001.tsv", "k\tv\nSTALE\t9\n")
+    val rows = TsvSource.read(spark, d.toString + "/t", recursive = true,
+        withPath = false)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("a"))
+  }
+
+  test("a leading blank line before the header is skipped, like the csv parser") {
+    val d = tmpDir("tsv-blank")
+    writeFile(d, "b.tsv", "\nk1\tk2\nv1\tv2\n")
+    val df = TsvSource.read(spark, d.toString + "/b.tsv", withPath = false)
+    assert(df.columns.toSeq == Seq("k1", "k2"))
+    assert(df.head.getString(0) == "v1")
+  }
+
   test("glob matching nothing returns empty (wildcard-tolerant)") {
     val d = tmpDir("tsv-empty")
     val df = TsvSource.readGlob(spark, d.toString + "/nope-*.tsv")
