@@ -140,6 +140,24 @@ object LlmGates {
           (0 until 8).map(i =>
             round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i")): _*)
     },
+    // §2.4 row 37c — stub resize plumbing, re-derivable by the oracle
+    "q_multimodal_resize" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.resize(media, 64, 64).toDF()
+        .select(col("doc_id"), md5(col("payload")).as("resized_md5"))
+    },
+    // §2.4 row 37d — frame sampling (1 media row → n frame rows)
+    "q_multimodal_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = docs(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.sampleFrames(media, 4).toDF()
+        .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+    },
     // §2.4 row 38 — tumbling-window event aggregation (batch plan is
     // identical to the streaming plan; streaming equivalence in spec)
     "q_events_window" -> { (s, dir) =>
@@ -376,6 +394,13 @@ object LlmGates {
          |       $feats
          |FROM d""".stripMargin
     },
+    "q_multimodal_resize" ->
+      """SELECT doc_id, md5(md5(text) || ':64x64') AS resized_md5
+        |FROM documents""".stripMargin,
+    "q_multimodal_frames" ->
+      """SELECT doc_id, rt.i::INT AS frame_idx,
+        |       md5(md5(text) || ':' || rt.i) AS frame_md5
+        |FROM documents, range(0, 4) rt(i)""".stripMargin,
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP) AS window_start,
         |       event_type,

@@ -69,6 +69,53 @@ object Multimodal {
       "format" -> sniffFormat(col(binCol))
     ))
 
+  /** One sampled frame of a media payload. */
+  final case class FrameRecord(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /**
+   * Batched resize over media payloads.
+   *
+   * The pixel work is a STUB (no codec in this environment): the resized
+   * payload is deterministically derived as UTF-8 of
+   * "md5hex(payload):<w>x<h>", so the oracle can re-derive it. The Spark
+   * shape is real: typed Dataset in/out, per-partition init amortizing
+   * codec setup, payload never leaves its executor.
+   */
+  def resize(
+    media: Dataset[MediaRecord],
+    width: Int,
+    height: Int
+  ): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { rec =>
+        // >>> STUB RESIZE <<< a real deployment decodes + scales here
+        val hex = digest.digest(rec.payload).map(b => f"$b%02x").mkString
+        MediaRecord(rec.doc_id, s"$hex:${width}x$height".getBytes("UTF-8"))
+      }
+    }
+  }
+
+  /**
+   * Frame sampling: one media row explodes into `n` frame rows — the
+   * 1→N row shape (and its shuffle-free, partition-local execution) is
+   * the real contract; frame content is a deterministic STUB
+   * ("md5hex(payload):<idx>" as UTF-8) standing in for decoded frames.
+   */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[FrameRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { rec =>
+        // >>> STUB FRAME DECODE <<< a real deployment seeks + decodes here
+        val hex = digest.digest(rec.payload).map(b => f"$b%02x").mkString
+        (0 until n).iterator.map(i =>
+          FrameRecord(rec.doc_id, i, s"$hex:$i".getBytes("UTF-8")))
+      }
+    }
+  }
+
   /**
    * Batched decode + feature extraction over media payloads.
    *

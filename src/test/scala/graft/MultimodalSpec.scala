@@ -25,6 +25,25 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(3L)._1 == 10L)
   }
 
+  test("sampleFrames: one media row explodes to n deterministic frame rows") {
+    val media = Seq(MediaRecord(1L, jpegHeader), MediaRecord(2L, pngHeader)).toDS()
+    val frames = Multimodal.sampleFrames(media, 3).collect()
+    assert(frames.length == 6)
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSet ==
+      (for (d <- 1L to 2L; i <- 0 until 3) yield (d, i)).toSet)
+    // content derives from payload and index — distinct across both
+    assert(frames.map(_.frame.toSeq).distinct.length == 6)
+  }
+
+  test("resize: deterministic content-derived payload, schema preserved") {
+    val media = Seq(MediaRecord(1L, jpegHeader)).toDS()
+    val r1 = Multimodal.resize(media, 64, 64).head
+    val r2 = Multimodal.resize(media, 64, 64).head
+    val other = Multimodal.resize(media, 32, 32).head
+    assert(r1.doc_id == 1L && r1.payload.toSeq == r2.payload.toSeq)
+    assert(r1.payload.toSeq != other.payload.toSeq) // dims change content
+  }
+
   test("decodeFeatures: deterministic stub, real schema, partition batching") {
     val media = (1L to 100L)
       .map(i => MediaRecord(i, s"payload-$i".getBytes("UTF-8")))
