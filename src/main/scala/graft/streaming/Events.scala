@@ -111,6 +111,25 @@ object Events {
   final case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
 
   /**
+   * Streaming exact deduplication: one output row per key within the
+   * watermark horizon. `dropDuplicatesWithinWatermark` keeps state only
+   * until the watermark passes a key's event time, so state is bounded by
+   * the lateness budget instead of growing with the stream — the shape a
+   * training-data ingest pipeline needs for at-least-once upstreams.
+   * Works identically on batch frames (plain dedup; watermark ignored).
+   */
+  def dedupStream(
+    events: DataFrame,
+    keyCols: Seq[String],
+    eventTimeCol: String = "ts",
+    watermark: String = "10 minutes"
+  ): DataFrame = {
+    val wm = events.withWatermark(eventTimeCol, watermark)
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark(keyCols)
+    else wm.dropDuplicates(keyCols)
+  }
+
+  /**
    * Streaming gap sessionization with explicit state and event-time
    * timeouts: a user's open session lives in `GroupState` ACROSS
    * micro-batches and closes only when the watermark passes its gap

@@ -64,6 +64,25 @@ class StreamingSpec extends SparkSpec {
     assert(stateful.nonEmpty && relational == stateful)
   }
 
+  test("dedupStream: duplicates across micro-batches collapse within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = Events.dedupStream(
+        stream.toDF().toDF("event_id", "ts", "event_type", "value"),
+        keyCols = Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(60), "click", 1.0), (2L, ts(61), "view", 2.0))
+      q.processAllAvailable()
+      // duplicate of event 1 arrives in a LATER micro-batch, inside watermark
+      stream.addData((1L, ts(60), "click", 1.0), (3L, ts(62), "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: session survives micro-batch boundary, closes on watermark timeout") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[Event]
