@@ -25,18 +25,16 @@ class BucketingSpec extends SparkSpec {
     Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 8)
     Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 8)
 
-    // force a sort-merge join so the co-location claim is actually tested
-    // (a broadcast join would hide the exchange question entirely)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val joined = Bucketing.readBucketed(spark, "b_orders")
-        .join(Bucketing.readBucketed(spark, "b_lineitem"), "o_orderkey")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), plan)
-      assert(!plan.contains("Exchange"), s"expected exchange-free co-located join:\n$plan")
-      // and it computes the right thing
-      assert(joined.count() ==
-        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count())
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // the MERGE hint forces a sort-merge join (a broadcast join would hide
+    // the exchange question) without mutating shared session conf, which
+    // could race with concurrently running suites
+    val joined = Bucketing.readBucketed(spark, "b_orders").hint("merge")
+      .join(Bucketing.readBucketed(spark, "b_lineitem"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"expected exchange-free co-located join:\n$plan")
+    // and it computes the right thing
+    assert(joined.count() ==
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").count())
   }
 }
