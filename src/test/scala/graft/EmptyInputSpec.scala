@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Dedup, Similarity, TextAnalysis, Transformations}
+import graft.streaming.Events
+
+/**
+ * Every operator must tolerate an empty input — the reference's pipelines
+ * run over glob matches that may be empty, and a 100 TB DAG must not
+ * crash because one partition-day has no data.
+ */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+
+  private lazy val emptyEmbs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  test("kernel chain over an empty frame yields an empty frame") {
+    val out = (Transformations.renameFields(Map("text" -> "t")) _ andThen
+      Transformations.parseLongs(Set("doc_id_str")) andThen
+      Transformations.keysToSnakeCase)(
+      emptyDocs.withColumn("doc_id_str", col("doc_id").cast("string")))
+    assert(out.count() == 0)
+  }
+
+  test("dedup operators over an empty corpus yield empty results") {
+    assert(Dedup.exact(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.dropExactDuplicates(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minHashSignatures(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.nearDuplicates(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.dropNearDuplicates(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.simHashes(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.embeddingNearDup(emptyEmbs, "embedding", "vec_id").count() == 0)
+  }
+
+  test("similarity operators over an empty corpus yield empty results") {
+    assert(Similarity.bruteForceTopK(emptyEmbs, emptyEmbs, "embedding", "vec_id").count() == 0)
+    assert(Similarity.kmeansCentroids(emptyEmbs, "embedding", "vec_id", 4, 1).count() == 0)
+    assert(Similarity.ivfTopK(emptyEmbs, emptyEmbs, "embedding", "vec_id").count() == 0)
+  }
+
+  test("text analysis over an empty corpus yields empty results") {
+    assert(TextAnalysis.withLangId(emptyDocs, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.withQuality(emptyDocs, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.fingerprints(emptyDocs, "text", "doc_id").count() == 0)
+  }
+
+  test("event operators over an empty frame yield empty results") {
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+    assert(Events.windowedAgg(emptyEvents).count() == 0)
+    assert(Events.sessionizeBatch(emptyEvents).count() == 0)
+  }
+}
