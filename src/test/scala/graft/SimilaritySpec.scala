@@ -58,6 +58,23 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.subsetOf(expected))
   }
 
+  test("IVF recall vs brute force rises with nProbe (k-means centroids)") {
+    val bf = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id",
+          k = 10, nCentroids = 16, nProbe = nProbe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(bf).size.toDouble / bf.size
+    }
+    // measured ~0.84 / ~0.93; floors leave margin for float-sum order
+    // wobble in the k-means means
+    assert(recall(4) >= 0.7)
+    assert(recall(8) >= 0.85)
+  }
+
   test("a zero-norm corpus vector is never returned as a neighbor") {
     import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).head.getInt(0)
