@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimExpr, Md5Long60Expr, MinHashSignatureExpr, SimHashPackExpr}
+
+/**
+ * SQL surface for graft's native expressions, so `spark.sql` users get
+ * the same operators as the DataFrame API:
+ *
+ *   SELECT md5_long60(text), simhash_pack(hashes), cosine_sim(a, b),
+ *          minhash_signature(hashes, 16) FROM ...
+ *
+ * Two registration paths: [[GraftFunctions.register]] for an existing
+ * session (GraftSession.create does this), and [[GraftExtensions]] for
+ * launcher-configured sessions
+ * (`--conf spark.sql.extensions=graft.GraftExtensions`).
+ */
+object GraftFunctions {
+
+  private def oneArg(name: String)(f: Expression => Expression)
+    : Seq[Expression] => Expression = {
+    case Seq(e) => f(e)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${args.length}")
+  }
+
+  private def minhashBuilder: Seq[Expression] => Expression = {
+    case Seq(e, Literal(n: Int, _)) => MinHashSignatureExpr(e, n)
+    case Seq(e) => MinHashSignatureExpr(e, 16)
+    case args => throw new IllegalArgumentException(
+      s"minhash_signature expects (array<bigint>[, numHashes literal]), got ${args.length} args")
+  }
+
+  private def cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimExpr(a, b)
+    case args => throw new IllegalArgumentException(
+      s"cosine_sim expects 2 arguments, got ${args.length}")
+  }
+
+  /** (name, builder, implementing class) for each SQL function. */
+  val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
+    ("md5_long60", oneArg("md5_long60")(Md5Long60Expr.apply(_: Expression)),
+      classOf[Md5Long60Expr]),
+    ("simhash_pack", oneArg("simhash_pack")(SimHashPackExpr.apply(_: Expression)),
+      classOf[SimHashPackExpr]),
+    ("minhash_signature", minhashBuilder, classOf[MinHashSignatureExpr]),
+    ("cosine_sim", cosineBuilder, classOf[CosineSimExpr])
+  )
+
+  /** Register every graft SQL function on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder, _) =>
+      GraftSqlBridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** Session-extensions entry point: injects the graft SQL functions at
+  * session build (`spark.sql.extensions=graft.GraftExtensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder, cls) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getCanonicalName, name),
+        builder
+      ))
+    }
+}

@@ -43,6 +43,7 @@ object GraftSession {
   def create(appName: String): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark) // SQL surface for the native expressions
     spark
   }
 }

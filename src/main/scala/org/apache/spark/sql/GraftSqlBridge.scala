@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an EXISTING session (the extensions path
+    * only applies at session construction). */
+  def registerFunction(
+    spark: SparkSession,
+    name: String,
+    builder: Seq[Expression] => Expression
+  ): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
