@@ -29,8 +29,11 @@ object GraftFunctions {
   private def minhashBuilder: Seq[Expression] => Expression = {
     case Seq(e, Literal(n: Int, _)) => MinHashSignatureExpr(e, n)
     case Seq(e) => MinHashSignatureExpr(e, 16)
+    case Seq(_, bad) => throw new IllegalArgumentException(
+      "minhash_signature's second argument must be an INT literal " +
+        s"(e.g. 16, not 16L or a column); got: $bad")
     case args => throw new IllegalArgumentException(
-      s"minhash_signature expects (array<bigint>[, numHashes literal]), got ${args.length} args")
+      s"minhash_signature expects (array<bigint>[, numHashes INT literal]), got ${args.length} args")
   }
 
   private def cosineBuilder: Seq[Expression] => Expression = {

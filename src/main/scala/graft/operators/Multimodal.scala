@@ -81,6 +81,12 @@ object Multimodal {
    * shape is real: typed Dataset in/out, per-partition init amortizing
    * codec setup, payload never leaves its executor.
    */
+  /** Lowercase md5 hex of a payload — the stub content derivation shared
+    * by resize and sampleFrames; the DuckDB oracle formulas in LlmGates
+    * mirror this exact encoding. */
+  private def md5Hex(digest: java.security.MessageDigest, payload: Array[Byte]): String =
+    digest.digest(payload).map(b => f"$b%02x").mkString
+
   def resize(
     media: Dataset[MediaRecord],
     width: Int,
@@ -91,7 +97,7 @@ object Multimodal {
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { rec =>
         // >>> STUB RESIZE <<< a real deployment decodes + scales here
-        val hex = digest.digest(rec.payload).map(b => f"$b%02x").mkString
+        val hex = md5Hex(digest, rec.payload)
         MediaRecord(rec.doc_id, s"$hex:${width}x$height".getBytes("UTF-8"))
       }
     }
@@ -109,7 +115,7 @@ object Multimodal {
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { rec =>
         // >>> STUB FRAME DECODE <<< a real deployment seeks + decodes here
-        val hex = digest.digest(rec.payload).map(b => f"$b%02x").mkString
+        val hex = md5Hex(digest, rec.payload)
         (0 until n).iterator.map(i =>
           FrameRecord(rec.doc_id, i, s"$hex:$i".getBytes("UTF-8")))
       }

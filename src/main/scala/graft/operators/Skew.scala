@@ -31,6 +31,8 @@ object Skew {
     saltN: Int = 16
   ): DataFrame = {
     require(saltN > 0, s"saltN must be positive, got $saltN")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "input frames must not carry a __salt column (it would be clobbered)")
     val salted = left.withColumn("__salt", (rand() * saltN).cast("int"))
     val exploded = right.withColumn(
       "__salt",
@@ -45,8 +47,15 @@ object Skew {
    * (key, salt) first — spreading a hot key over saltN reducers — then
    * combine partials per key. For algebraic aggregates Spark's own
    * map-side partial aggregation usually makes this unnecessary; it
-   * matters when per-group state is large (e.g. collect-like or distinct
-   * aggregations) and a hot key would overwhelm one task.
+   * matters when per-group state is large (collect-like aggregations)
+   * and a hot key would overwhelm one task.
+   *
+   * The caller owns the decomposition's correctness: the aggregate must
+   * compose across salts. count/sum/min/max do (combine with sum/sum/
+   * min/max); a DISTINCT aggregate does NOT — the same value lands under
+   * several salts and a summed combine overcounts it. For distincts,
+   * partial with collect_set and combine with
+   * size(array_distinct(flatten(collect_list(...)))).
    *
    * @param partial per-(key,salt) aggregate columns
    * @param combine per-key recombination of the partial columns
@@ -55,10 +64,13 @@ object Skew {
     df: DataFrame,
     key: String,
     saltN: Int
-  )(partial: Seq[Column], combine: Seq[Column]): DataFrame =
+  )(partial: Seq[Column], combine: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "input frame must not carry a __salt column (it would be clobbered)")
     df.withColumn("__salt", (rand() * saltN).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))
       .agg(combine.head, combine.tail: _*)
+  }
 }

@@ -116,7 +116,12 @@ object Events {
    * until the watermark passes a key's event time, so state is bounded by
    * the lateness budget instead of growing with the stream — the shape a
    * training-data ingest pipeline needs for at-least-once upstreams.
-   * Works identically on batch frames (plain dedup; watermark ignored).
+   *
+   * Semantics note: streaming dedup is WATERMARK-SCOPED — two same-key
+   * events farther apart than the watermark horizon both survive (the
+   * first copy's state was already evicted). The batch path is a plain
+   * GLOBAL dedup; the two agree only when duplicates arrive within the
+   * horizon.
    */
   def dedupStream(
     events: DataFrame,
