@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimExpr, Md5Long60Expr, MinHashSignatureExpr, SimHashPackExpr}
+import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60Expr, MinHashSignatureExpr, SimHashPackExpr}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -42,6 +42,16 @@ object GraftFunctions {
       s"cosine_sim expects 2 arguments, got ${args.length}")
   }
 
+  private def hyperplaneBuilder: Seq[Expression] => Expression = {
+    case Seq(e, Literal(n: Int, _)) => HyperplaneBucketExpr(e, n)
+    case Seq(e) => HyperplaneBucketExpr(e, 16)
+    case Seq(_, bad) => throw new IllegalArgumentException(
+      "hyperplane_bucket's second argument must be an INT literal " +
+        s"(e.g. 16, not 16L or a column); got: $bad")
+    case args => throw new IllegalArgumentException(
+      s"hyperplane_bucket expects (array<numeric>[, planes INT literal]), got ${args.length} args")
+  }
+
   /** (name, builder, implementing class) for each SQL function. */
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("md5_long60", oneArg("md5_long60")(Md5Long60Expr.apply(_: Expression)),
@@ -49,7 +59,8 @@ object GraftFunctions {
     ("simhash_pack", oneArg("simhash_pack")(SimHashPackExpr.apply(_: Expression)),
       classOf[SimHashPackExpr]),
     ("minhash_signature", minhashBuilder, classOf[MinHashSignatureExpr]),
-    ("cosine_sim", cosineBuilder, classOf[CosineSimExpr])
+    ("cosine_sim", cosineBuilder, classOf[CosineSimExpr]),
+    ("hyperplane_bucket", hyperplaneBuilder, classOf[HyperplaneBucketExpr])
   )
 
   /** Register every graft SQL function on an existing session. */

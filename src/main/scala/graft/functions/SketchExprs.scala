@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -49,6 +49,10 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     SketchExprs.checkLongArray(child, prettyName)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // NULL is possible even for a non-null child (empty input array) —
+  // without this override codegen would emit an unassignable isNull for
+  // non-nullable children and the schema would falsely claim non-null
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
   @transient private lazy val seeds: Array[Long] =
@@ -152,4 +156,118 @@ case class SimHashPackExpr(child: Expression) extends UnaryExpression {
 object SimHashPackExpr {
   def apply(hashes: Column): Column =
     GraftSqlBridge.column(SimHashPackExpr(GraftSqlBridge.expression(hashes)))
+}
+
+/**
+ * Sign-random-projection bucket key over a numeric vector, all `planes`
+ * hyperplanes fused into ONE loop over the dimensions. Plane p's ±1
+ * weight for dimension i is bit p of md5_60(i) — identical to
+ * Dedup.hyperplaneBucketOf over Dedup.dimHashes, which unrolls into
+ * `planes` separate interpreted aggregate(zip_with(...)) chains, each
+ * re-walking the vector (planes × dim lambda frames per row). Here the
+ * per-dimension hash is computed once per DIMENSION INDEX (cached across
+ * rows — the portable form re-digests every dimension of every row) and
+ * each element updates all plane accumulators in one pass.
+ *
+ * Value-identical to the portable form (HashingSpec pins this),
+ * including its edge cases: empty vector → all-'0' key (every dot is the
+ * 0.0 fold seed), any NULL element → all-'0' key (the lambda dot goes
+ * NULL and `when(dot > 0, ...)` falls to '0'), NaN element → '0' planes
+ * (NaN > 0 is false). Accumulation is per-plane in element order, so the
+ * floating-point sums match the lambda chain bit for bit. ONE documented
+ * divergence: a NULL input VECTOR is null-propagated here, where the
+ * portable chain's otherwise('0') folds it into the all-'0' key — both
+ * are discarded by the downstream cosine verify either way.
+ */
+case class HyperplaneBucketExpr(child: Expression, planes: Int)
+  extends UnaryExpression {
+
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType | IntegerType | LongType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (planes < 1 || planes > 60)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName supports 1..60 planes (one bit of md5_60 per plane), got $planes")
+    else if (elemType.isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a numeric array, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "hyperplane_bucket"
+
+  @transient private lazy val elemT: DataType = elemType.get
+
+  // Per-dimension hash cache, shared across rows and threads: grown on
+  // demand, published via the atomic reference (the array is never
+  // mutated after publication). Recomputing a prefix on growth is cheaper
+  // than locking the per-row read path.
+  @transient private lazy val dimHashCache =
+    new java.util.concurrent.atomic.AtomicReference[Array[Long]](Array.emptyLongArray)
+
+  private def dimHashes(n: Int): Array[Long] = {
+    var cur = dimHashCache.get()
+    if (cur.length < n) {
+      val next = Array.tabulate(n)(i => Md5Long60Expr.hash(UTF8String.fromString(i.toString)))
+      dimHashCache.set(next)
+      cur = next
+    }
+    cur
+  }
+
+  private def get(arr: ArrayData, i: Int): Double = elemT match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType => arr.getFloat(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case _ => arr.getInt(i).toDouble
+  }
+
+  @transient private lazy val allZeros: UTF8String =
+    UTF8String.fromString("0" * planes)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val hs = dimHashes(n)
+    val dots = new Array[Double](planes)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return allZeros
+      val x = get(arr, i)
+      val h = hs(i)
+      var p = 0
+      while (p < planes) {
+        // x * (+1.0|-1.0) of the portable form, exactly (fp-neutral)
+        dots(p) += (if (((h >> p) & 1L) == 1L) x else -x)
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](planes)
+    var p = 0
+    while (p < planes) {
+      out(p) = if (dots(p) > 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneExpr", this)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.unsafe.types.UTF8String) " +
+        s"((graft.functions.HyperplaneBucketExpr) $ref).nullSafeEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+object HyperplaneBucketExpr {
+  def apply(vec: Column, planes: Int): Column =
+    GraftSqlBridge.column(
+      HyperplaneBucketExpr(GraftSqlBridge.expression(vec), planes))
 }

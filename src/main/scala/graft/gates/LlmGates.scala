@@ -46,10 +46,11 @@ object LlmGates {
       Dedup.exact(docsWithDups(s, dir), "text", "doc_id")
     },
     // §2.4 row 26b — the exactly-deduplicated corpus (lowest-id survivor
-    // per normalized text, original columns intact)
+    // per normalized text, original columns intact — the text digest is
+    // gated too, so corrupting surviving NON-key columns can't pass)
     "q_dedup_exact_rows" -> { (s, dir) =>
       Dedup.dropExactDuplicates(docsWithDups(s, dir), "text", "doc_id")
-        .select("doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
     },
     // §2.4 row 27a — MinHash signatures (16 hashes over 3-shingles)
     "q_minhash_signature" -> { (s, dir) =>
@@ -86,13 +87,25 @@ object LlmGates {
           corpus, corpus.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5)
         .withColumn("score", round(col("score"), 4))
     },
-    // §2.4 row 32 — IVF-bucketed ANN (rows-only gate; recall is gated by
-    // SimilaritySpec: nProbe=nCentroids must equal brute force exactly)
+    // §2.4 row 32 — IVF-bucketed ANN (rows-only gate; recall of the
+    // approximate config is gated by a SimilaritySpec property)
     "q_ann_ivf" -> { (s, dir) =>
       val corpus = embs(s, dir)
       Similarity.ivfTopK(
           corpus, corpus.filter(col("vec_id") < 10), "embedding", "vec_id",
           k = 5, nCentroids = 16, nProbe = 4)
+        .withColumn("score", round(col("score"), 4))
+    },
+    // §2.4 row 32b — IVF in its exact degenerate mode: nProbe=nCentroids
+    // probes every bucket, so the full IVF machinery (k-means build,
+    // bucket assignment, probe join, in-bucket top-k) must reproduce the
+    // brute-force answer value-for-value — a hard oracle on the whole
+    // IVF code path, independent of where k-means places centroids
+    "q_ann_ivf_exact" -> { (s, dir) =>
+      val corpus = embs(s, dir)
+      Similarity.ivfTopK(
+          corpus, corpus.filter(col("vec_id") < 10), "embedding", "vec_id",
+          k = 5, nCentroids = 16, nProbe = 16)
         .withColumn("score", round(col("score"), 4))
     },
     // §2.4 row 33 — stopword language ID
@@ -222,7 +235,8 @@ object LlmGates {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
-         |SELECT min(doc_id) AS doc_id
+         |SELECT min(doc_id) AS doc_id,
+         |       md5(arg_min(text, doc_id)) AS text_md5
          |FROM all_docs GROUP BY md5($NormSql)""".stripMargin,
     "q_minhash_signature" ->
       s"""$DocSigCte
@@ -303,6 +317,23 @@ object LlmGates {
          |WHERE list_dot_product(a.ve, bb.ve) /
          |      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(bb.ve, bb.ve))) >= 0.9""".stripMargin,
     "q_ann_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(qv, v) /
+        |         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+        |  FROM q, e),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, neighbor_id, round(score, 4) AS score
+        |FROM r WHERE rn <= 5""".stripMargin,
+    // exact-degenerate IVF ≡ brute force: same oracle as q_ann_topk
+    "q_ann_ivf_exact" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

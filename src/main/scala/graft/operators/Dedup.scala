@@ -425,7 +425,10 @@ object Dedup {
    * Embedding near-duplicate pairs: bucket by hyperplane signature — the
    * projection expression runs ONCE per vector — then one groupBy shuffle
    * on the bucket key, pair generation inside buckets only, exact cosine
-   * verify ≥ threshold.
+   * verify ≥ threshold. Bucketing uses the native
+   * [[graft.functions.HyperplaneBucketExpr]] (one fused loop over the
+   * dimensions, per-dimension hashes cached across rows — value-identical
+   * to [[hyperplaneBucketOf]] over [[dimHashes]], pinned by HashingSpec).
    */
   def embeddingNearDup(
     df: DataFrame,
@@ -436,11 +439,7 @@ object Dedup {
   ): DataFrame = {
     val bucketed = df.select(
         struct(col(idCol).as("vid"), col(vecCol).as("v")).as("item"),
-        dimHashes(col(vecCol)).as("dimh")
-      )
-      .select(
-        col("item"),
-        hyperplaneBucketOf(col("item.v"), col("dimh"), planes).as("bucket")
+        graft.functions.HyperplaneBucketExpr(col(vecCol), planes).as("bucket")
       )
     bucketed
       .groupBy("bucket")

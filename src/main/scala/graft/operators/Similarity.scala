@@ -110,10 +110,15 @@ object Similarity {
    * assign to nearest centroid (broadcast fold, no shuffle of the
    * corpus), then the per-bucket mean via posexplode → avg per
    * (centroid, dimension) → reassemble. Empty clusters keep their
-   * previous centroid. The result is COLLECTED to the driver and
-   * returned as a local relation: k × dim doubles is metadata-sized,
-   * and downstream consumers (assignment + query probes) would otherwise
-   * re-run the whole iteration chain once per reference.
+   * previous centroid.
+   *
+   * Centroids are COLLECTED to the driver after EVERY round (k × dim
+   * doubles — metadata-sized) so each Lloyd iteration plans against a
+   * flat local relation: threading the unlocalized plan through would
+   * embed round N-1's full assignment chain inside round N's, making
+   * analysis cost blow up with the iteration count. The localization also
+   * means downstream consumers (assignment + query probes) never re-run
+   * the iteration chain.
    */
   def kmeansCentroids(
     corpus: DataFrame,
@@ -123,7 +128,10 @@ object Similarity {
     iters: Int = 2
   ): DataFrame = {
     val spark = corpus.sparkSession
-    var cents = seedCentroids(corpus, vecCol, idCol, nCentroids)
+    def localize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1), df.schema)
+    var cents = localize(seedCentroids(corpus, vecCol, idCol, nCentroids))
     var i = 0
     while (i < iters) {
       val means = assignTo(corpus, vecCol, cents)
@@ -135,14 +143,13 @@ object Similarity {
           transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
             s => s("m")).as("next"))
-      cents = cents
-        .join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("next"), col("cv")).as("cv"))
+      cents = localize(
+        cents
+          .join(means, Seq("centroid_id"), "left")
+          .select(col("centroid_id"), coalesce(col("next"), col("cv")).as("cv")))
       i += 1
     }
-    val local = cents.collect()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(local.toIndexedSeq, 1), cents.schema)
+    cents
   }
 
   /**

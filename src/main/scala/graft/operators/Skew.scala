@@ -14,31 +14,56 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
+  /** Join types saltedJoin supports: every LEFT-side row carries exactly
+    * one salt while the right side carries all of them, so a left row's
+    * (key, salt) matches iff its key matches — inner and the left-family
+    * joins are exact. Right/full outer are NOT: an unmatched right key
+    * appears saltN times after the explode and would null-extend saltN×. */
+  private val SaltableJoinTypes =
+    Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
+      "leftanti", "left_anti")
+
   /**
-   * Skew-safe equi-join: the (big, skewed) left side gets a uniform
-   * random salt per ROW, the right side is exploded `saltN`× with every
-   * salt value, and the join runs on (key, salt) — a hot left key's rows
-   * land on saltN different tasks instead of one.
+   * Skew-safe equi-join: the (big, skewed) left side gets a deterministic
+   * per-row salt, the right side is exploded `saltN`× with every salt
+   * value, and the join runs on (key, salt) — a hot left key's rows land
+   * on saltN different tasks instead of one.
    *
-   * Output equals `left.join(right, key)` exactly (inner join). Cost:
-   * the right side is replicated saltN× — use for joins whose right side
-   * is too big to broadcast but far smaller than the skewed left.
+   * Output equals `left.join(right, Seq(key), joinType)` exactly for
+   * inner and left/left_semi/left_anti joins; right/full outer are
+   * rejected (see [[SaltableJoinTypes]]). Cost: the right side is
+   * replicated saltN× — use for joins whose right side is too big to
+   * broadcast but far smaller than the skewed left.
+   *
+   * The salt is a hash of the full left row, NOT rand(): a
+   * nondeterministic salt feeding a shuffle key re-salts rows differently
+   * when a task is recomputed after a fetch failure, losing or
+   * duplicating rows (the SPARK-23207 correctness class). The tradeoff:
+   * byte-identical duplicate left rows share a salt, so a hot key made
+   * entirely of EXACT duplicate rows still lands on one task — add any
+   * distinguishing column (offset, file path) to `left` to spread those.
    */
   def saltedJoin(
     left: DataFrame,
     right: DataFrame,
     key: String,
-    saltN: Int = 16
+    saltN: Int = 16,
+    joinType: String = "inner"
   ): DataFrame = {
     require(saltN > 0, s"saltN must be positive, got $saltN")
+    require(SaltableJoinTypes(joinType.toLowerCase),
+      s"saltedJoin supports inner and left/left_semi/left_anti joins, got " +
+        s"'$joinType' — right/full outer would null-extend every unmatched " +
+        "right row saltN times")
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "input frames must not carry a __salt column (it would be clobbered)")
-    val salted = left.withColumn("__salt", (rand() * saltN).cast("int"))
+    val salted = left.withColumn(
+      "__salt", pmod(xxhash64(left.columns.map(col): _*), lit(saltN)).cast("int"))
     val exploded = right.withColumn(
       "__salt",
       explode(sequence(lit(0), lit(saltN - 1))))
     salted
-      .join(exploded, Seq(key, "__salt"))
+      .join(exploded, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
 
@@ -57,6 +82,11 @@ object Skew {
    * partial with collect_set and combine with
    * size(array_distinct(flatten(collect_list(...)))).
    *
+   * The salt hashes the full row (deterministic under task retry — see
+   * [[saltedJoin]]); byte-identical duplicate rows share a salt, so a hot
+   * key of EXACT duplicates won't spread — include a distinguishing
+   * column in `df` for those.
+   *
    * @param partial per-(key,salt) aggregate columns
    * @param combine per-key recombination of the partial columns
    */
@@ -67,7 +97,7 @@ object Skew {
   )(partial: Seq[Column], combine: Seq[Column]): DataFrame = {
     require(!df.columns.contains("__salt"),
       "input frame must not carry a __salt column (it would be clobbered)")
-    df.withColumn("__salt", (rand() * saltN).cast("int"))
+    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(saltN)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))

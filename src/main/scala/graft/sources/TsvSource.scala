@@ -87,16 +87,23 @@ object TsvSource {
     }
   }
 
-  /** First NON-BLANK line — the csv parser skips leading blank lines
-    * when locating the header, so the probe must too. */
-  private def firstLine(p: Path, conf: org.apache.hadoop.conf.Configuration): String = {
+  /** First NON-BLANK line plus whether the file had ANY content — the
+    * csv parser skips leading blank lines when locating the header, so
+    * the probe must too. An empty header with content=true means a file
+    * of only blank lines (suspect); content=false is a zero-byte file
+    * (normal: the csv parser itself yields no rows for those). */
+  private def firstLine(
+    p: Path, conf: org.apache.hadoop.conf.Configuration): (String, Boolean) = {
     val in = p.getFileSystem(conf).open(p)
     try {
       val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-      Iterator.continually(r.readLine())
-        .takeWhile(_ != null)
+      val lines = Iterator.continually(r.readLine()).takeWhile(_ != null)
+      var hadContent = false
+      val header = lines
+        .map { l => hadContent = true; l }
         .find(_.trim.nonEmpty)
         .getOrElse("")
+      (header, hadContent)
     } finally in.close()
   }
 
@@ -114,7 +121,7 @@ object TsvSource {
     spark: SparkSession,
     files: Seq[String]
   ): Seq[(String, Seq[String])] = {
-    val pairs: Seq[(String, String)] =
+    val pairs: Seq[((String, Boolean), String)] =
       if (files.size > DistributedProbeThreshold) {
         val sc = spark.sparkContext
         val confB = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
@@ -127,13 +134,24 @@ object TsvSource {
           math.min(32, math.max(1, files.size)))
         try {
           files.map { p =>
-            pool.submit(new java.util.concurrent.Callable[(String, String)] {
-              override def call(): (String, String) = (firstLine(new Path(p), conf), p)
+            pool.submit(new java.util.concurrent.Callable[((String, Boolean), String)] {
+              override def call(): ((String, Boolean), String) =
+                (firstLine(new Path(p), conf), p)
             })
           }.map(_.get())
         } finally pool.shutdown()
       }
-    pairs.groupBy(_._1).view
+    // Files excluded from every header group: zero-byte files are normal
+    // (the csv parser yields no rows for them too), but a file with
+    // CONTENT and no non-blank header line is suspect — excluding it
+    // silently would be silent data omission, so it is called out.
+    val blankWithContent = pairs.collect { case ((h, true), p) if h.isEmpty => p }
+    if (blankWithContent.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"TsvSource: ${blankWithContent.size} matched file(s) contain only " +
+          s"blank lines and are excluded from the read: " +
+          blankWithContent.take(10).mkString(", "))
+    pairs.groupBy(_._1._1).view
       .mapValues(_.map(_._2)).toSeq
       .filter(_._1.nonEmpty)
       .sortBy(_._1)

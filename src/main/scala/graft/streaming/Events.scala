@@ -29,7 +29,11 @@ object Events {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // FLOOR division, not `div` (which truncates toward zero): a
+      // pre-epoch nanosecond count that is not a multiple of 1000 must
+      // round DOWN to match DuckDB's ::TIMESTAMP floor semantics.
+      raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
     else raw
   }
 

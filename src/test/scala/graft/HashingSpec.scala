@@ -77,6 +77,57 @@ class HashingSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("MinHashSignatureExpr is NULL for an empty array from a non-nullable column") {
+    // the expression must declare nullable=true even over a non-nullable
+    // child: an empty input yields NULL, and codegen with a FalseLiteral
+    // isNull would not compile
+    val df = Seq(Seq.empty[Long], Seq(1L, 2L)).toDF("hs")
+      .select(graft.functions.MinHashSignatureExpr(col("hs"), 4).as("sig"))
+    assert(df.schema("sig").nullable)
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(1).getSeq[Long](0).length == 4)
+  }
+
+  test("native HyperplaneBucketExpr equals the unrolled lambda-chain form") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = embs.select(
+      col("vec_id"),
+      col("embedding").as("v"),
+      graft.operators.Dedup.dimHashes(col("embedding")).as("dimh"))
+    val rows = base.select(
+        col("vec_id"),
+        graft.functions.HyperplaneBucketExpr(col("v"), 16).as("native"),
+        graft.operators.Dedup.hyperplaneBucketOf(col("v"), col("dimh"), 16).as("portable"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(1) == r.getString(2), s"vec ${r.getLong(0)}"))
+  }
+
+  test("HyperplaneBucketExpr edge cases match the portable form") {
+    // empty vector, NULL element, all-zero vector: every dot is 0 or NULL
+    // and the portable when(dot > 0) falls through to '0'
+    val df = Seq(
+      (1L, Some(Seq[Option[Double]]())),
+      (2L, Some(Seq(Option(1.0), None, Option(2.0)))),
+      (3L, Some(Seq(Option(0.0), Option(0.0)))),
+      (4L, Option.empty[Seq[Option[Double]]])
+    ).toDF("id", "v")
+    val out = df.select(
+        col("id"),
+        graft.functions.HyperplaneBucketExpr(col("v"), 8).as("native"),
+        graft.operators.Dedup.hyperplaneBucketOf(
+          col("v"), graft.operators.Dedup.dimHashes(col("v")), 8).as("portable"))
+      .orderBy("id").collect()
+    out.take(3).foreach { r =>
+      assert(r.getString(1) == "00000000" && r.getString(2) == "00000000", r)
+    }
+    // documented divergence on a NULL input VECTOR: the native expression
+    // is null-propagating, the portable chain's otherwise('0') swallows
+    // the null into the all-'0' key — downstream both end up discarded by
+    // the cosine verify
+    assert(out(3).isNullAt(1) && out(3).getString(2) == "00000000")
+  }
+
   test("SQL surface: registered functions equal the DataFrame API") {
     GraftFunctions.register(spark)
     val r = spark.sql(
