@@ -68,12 +68,13 @@ object Bench {
     try run("q_rename")
     catch { case _: Throwable => () }
 
-    // Each query runs twice: the first (cold) timing includes the one-time
-    // plan compile (Catalyst + codegen — at local scale factors this
-    // DOMINATES the data path); the second (steady) timing is the
-    // per-execution cost that actually scales with data volume. `queries`
-    // keeps the cold semantics prior rounds reported; `steady` is the
-    // number to read for operator efficiency.
+    // Each query runs 1 + SteadyRuns times: the first (cold) timing
+    // includes the one-time plan compile (Catalyst + codegen — at local
+    // scale factors this DOMINATES the data path); `steady` is the MEDIAN
+    // of the reruns — the per-execution cost that actually scales with
+    // data volume, with the median absorbing the shared-machine transients
+    // that made single-run steady numbers swing ±30% between rounds.
+    val SteadyRuns = 3
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val steady = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -82,13 +83,16 @@ object Bench {
       try {
         run(name)
         timings(name) = (System.nanoTime() - t0) / 1e9
-        val t1 = System.nanoTime()
-        run(name)
-        steady(name) = (System.nanoTime() - t1) / 1e9
+        val reruns = (1 to SteadyRuns).map { _ =>
+          val t1 = System.nanoTime()
+          run(name)
+          (System.nanoTime() - t1) / 1e9
+        }.sorted
+        steady(name) = reruns(reruns.size / 2)
       } catch {
         case e: Throwable =>
           // honesty contract: a query appearing in `queries` ran clean on
-          // BOTH passes — a steady-rerun failure voids the cold timing too
+          // EVERY pass — a rerun failure voids the cold timing too
           timings.remove(name)
           steady.remove(name)
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -105,7 +109,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"steady_runs":$SteadyRuns,"steady_stat":"median","errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

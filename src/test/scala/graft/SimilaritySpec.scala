@@ -103,4 +103,19 @@ class SimilaritySpec extends SparkSpec {
     // Lloyd rounds move at least one centroid off its seed
     assert(refined.exists(r => seeds(r.getLong(0)) != r.getSeq[Double](1)))
   }
+
+  test("kmeansCentroids at iters=8: flat per-round plans, no analysis blowup") {
+    // centroids are localized after every Lloyd round, so iteration count
+    // must scale linearly — before the per-round collect, round N's plan
+    // embedded round N-1's whole assignment chain and iters=8 was
+    // effectively unplannable
+    val t0 = System.nanoTime()
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+      nCentroids = 8, iters = 8)
+    // the returned frame is a driver-local leaf relation, not an
+    // 8-round iteration chain
+    assert(cents.queryExecution.optimizedPlan.children.isEmpty)
+    assert(cents.count() == 8)
+    assert((System.nanoTime() - t0) / 1e9 < 120.0)
+  }
 }
