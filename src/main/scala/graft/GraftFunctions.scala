@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60Expr, MinHashSignatureExpr, SimHashPackExpr}
+import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, SimHashPackExpr}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -56,6 +56,8 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("md5_long60", oneArg("md5_long60")(Md5Long60Expr.apply(_: Expression)),
       classOf[Md5Long60Expr]),
+    ("md5_long60_array", oneArg("md5_long60_array")(Md5Long60ArrayExpr.apply(_: Expression)),
+      classOf[Md5Long60ArrayExpr]),
     ("simhash_pack", oneArg("simhash_pack")(SimHashPackExpr.apply(_: Expression)),
       classOf[SimHashPackExpr]),
     ("minhash_signature", minhashBuilder, classOf[MinHashSignatureExpr]),

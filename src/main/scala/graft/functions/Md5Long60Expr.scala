@@ -6,7 +6,8 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -41,6 +42,53 @@ case class Md5Long60Expr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Md5Long60Expr =
     copy(child = newChild)
+}
+
+/**
+ * md5_long60 mapped over a whole array<string> in ONE eval call:
+ * value-identical to `transform(arr, x => md5_long60(x))` (NULL elements
+ * stay NULL, NULL array stays NULL), but without one interpreted lambda
+ * frame per element — the per-shingle / per-word hashing step of every
+ * dedup operator, where the array is the document's shingle or word list.
+ */
+case class Md5Long60ArrayExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "md5_long60_array"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) out(i) = Md5Long60Expr.hash(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5ArrExpr", this)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"((graft.functions.Md5Long60ArrayExpr) $ref).nullSafeEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60ArrayExpr =
+    copy(child = newChild)
+}
+
+object Md5Long60ArrayExpr {
+  def apply(c: Column): Column =
+    GraftSqlBridge.column(Md5Long60ArrayExpr(GraftSqlBridge.expression(c)))
 }
 
 object Md5Long60Expr {

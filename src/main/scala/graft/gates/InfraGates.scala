@@ -63,6 +63,9 @@ object InfraGates {
         .select(col("o_orderkey"), col("o_custkey").as("custkey"), col("o_totalprice"))
       val cust = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("custkey"), col("c_name"))
+      // a prior session's warehouse dirs survive the in-memory catalog
+      Bucketing.dropTable(s, "graft_gate_orders_b")
+      Bucketing.dropTable(s, "graft_gate_customer_b")
       Bucketing.writeBucketed(orders, "graft_gate_orders_b", "custkey", buckets = 8)
       Bucketing.writeBucketed(cust, "graft_gate_customer_b", "custkey", buckets = 8)
       Bucketing.readBucketed(s, "graft_gate_orders_b")

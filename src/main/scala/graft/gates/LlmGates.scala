@@ -253,7 +253,7 @@ object LlmGates {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |sets AS (
-         |  SELECT doc_id, list_distinct(s) AS sh FROM sh)
+         |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS sh FROM sh)
          |SELECT id_a, id_b,
          |       round(len(list_intersect(x.sh, y.sh))::DOUBLE /
          |             (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE,
@@ -274,7 +274,7 @@ object LlmGates {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |sets AS (
-         |  SELECT doc_id, list_distinct(s) AS sh FROM sh),
+         |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS sh FROM sh),
          |losers AS (
          |  SELECT DISTINCT id_b
          |  FROM cand JOIN sets x ON cand.id_a = x.doc_id

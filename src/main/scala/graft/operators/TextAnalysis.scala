@@ -165,7 +165,11 @@ object TextAnalysis {
 
   /**
    * (doc_id, fingerprint, minhash_0): content fingerprints with the
-   * shingle set materialized once per document.
+   * shingle set materialized once per document. minhash_0 is element 0
+   * of a 1-hash MinHash signature (min over shingles of
+   * h60(s) XOR h60("0")) — computed with the native array-hash +
+   * signature expressions instead of a per-shingle lambda chain; the
+   * [[minhash0]] Column form stays as the portable reference.
    */
   def fingerprints(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
     Dedup.wordTable(df, textCol, idCol)
@@ -173,7 +177,8 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         md5(col("norm")).as("fingerprint"),
-        array_min(transform(col("sh"),
-          s => Hashing.md5Long60(s).bitwiseXOR(Hashing.md5Long60(lit("0")))))
+        element_at(
+          graft.functions.MinHashSignatureExpr(
+            graft.functions.Md5Long60ArrayExpr(col("sh")), 1), 1)
           .as("minhash_0"))
 }

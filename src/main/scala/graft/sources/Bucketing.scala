@@ -37,4 +37,19 @@ object Bucketing {
   /** Read a bucketed table back (bucket metadata applied from the catalog). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /**
+   * Drop a managed table AND its warehouse location. With the default
+   * in-memory catalog the table registration dies with the session but
+   * the warehouse directory survives, and the next session's saveAsTable
+   * fails with LOCATION_ALREADY_EXISTS — so a plain DROP TABLE is not
+   * enough for rerunnable jobs.
+   */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+  }
 }

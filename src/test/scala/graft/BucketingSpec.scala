@@ -15,12 +15,7 @@ class BucketingSpec extends SparkSpec {
 
     // a previous JVM's managed-table directory survives the in-memory
     // catalog — clear both the catalog entry and the location
-    Seq("b_orders", "b_lineitem").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.net.URI(
-        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$t")
-      new scala.reflect.io.Directory(new java.io.File(loc.getPath)).deleteRecursively()
-    }
+    Seq("b_orders", "b_lineitem").foreach(Bucketing.dropTable(spark, _))
 
     Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 8)
     Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 8)

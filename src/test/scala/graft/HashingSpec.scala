@@ -38,6 +38,22 @@ class HashingSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("native Md5Long60ArrayExpr equals transform(arr, md5Long60)") {
+    val df = Seq(
+      (1L, Some(samples.map(Option(_)))),
+      (2L, Some(Seq(Option("x"), None))),
+      (3L, Option.empty[Seq[Option[String]]])
+    ).toDF("id", "arr")
+    val rows = df.select(
+        col("id"),
+        graft.functions.Md5Long60ArrayExpr(col("arr")).as("native"),
+        transform(col("arr"), x => Hashing.md5Long60(x)).as("lambda"))
+      .orderBy("id").collect()
+    rows.take(2).foreach(r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), r))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
   test("native MinHashSignatureExpr equals the Column-expression form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val base = graft.operators.Dedup.shingleTable(docs, "text", "doc_id")
