@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, SimHashPackExpr}
+import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -52,6 +52,16 @@ object GraftFunctions {
       s"hyperplane_bucket expects (array<numeric>[, planes INT literal]), got ${args.length} args")
   }
 
+  private def shingleBuilder: Seq[Expression] => Expression = {
+    case Seq(w, n) => ShingleHashExpr(w, n, 3)
+    case Seq(w, n, Literal(k: Int, _)) => ShingleHashExpr(w, n, k)
+    case Seq(_, _, bad) => throw new IllegalArgumentException(
+      "shingle_hashes' third argument must be an INT literal " +
+        s"(e.g. 3, not 3L or a column); got: $bad")
+    case args => throw new IllegalArgumentException(
+      s"shingle_hashes expects (words array<string>, norm string[, k INT literal]), got ${args.length} args")
+  }
+
   /** (name, builder, implementing class) for each SQL function. */
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("md5_long60", oneArg("md5_long60")(Md5Long60Expr.apply(_: Expression)),
@@ -62,7 +72,8 @@ object GraftFunctions {
       classOf[SimHashPackExpr]),
     ("minhash_signature", minhashBuilder, classOf[MinHashSignatureExpr]),
     ("cosine_sim", cosineBuilder, classOf[CosineSimExpr]),
-    ("hyperplane_bucket", hyperplaneBuilder, classOf[HyperplaneBucketExpr])
+    ("hyperplane_bucket", hyperplaneBuilder, classOf[HyperplaneBucketExpr]),
+    ("shingle_hashes", shingleBuilder, classOf[ShingleHashExpr])
   )
 
   /** Register every graft SQL function on an existing session. */

@@ -96,14 +96,19 @@ object Md5Long60Expr {
   private val localDigest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /**
-   * First 60 bits of the MD5 digest: bytes 0-6 in full plus the high
-   * nibble of byte 7 — exactly the value of the first 15 hex characters.
-   */
-  def hash(s: UTF8String): Long = {
+  /** A reset thread-local MD5 instance, for callers feeding the digest
+    * incrementally (see ShingleHashExpr). */
+  private[functions] def freshDigest(): MessageDigest = {
     val md = localDigest.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    md
+  }
+
+  /**
+   * First 60 bits of an MD5 digest: bytes 0-6 in full plus the high
+   * nibble of byte 7 — exactly the value of the first 15 hex characters.
+   */
+  private[functions] def long60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) {
@@ -112,6 +117,9 @@ object Md5Long60Expr {
     }
     (v << 4) | ((d(7) >> 4) & 0xfL)
   }
+
+  def hash(s: UTF8String): Long =
+    long60(freshDigest().digest(s.getBytes))
 
   /** Column form, for use from the DataFrame API. */
   def apply(c: Column): Column =

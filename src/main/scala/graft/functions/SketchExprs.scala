@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
@@ -156,6 +156,94 @@ case class SimHashPackExpr(child: Expression) extends UnaryExpression {
 object SimHashPackExpr {
   def apply(hashes: Column): Column =
     GraftSqlBridge.column(SimHashPackExpr(GraftSqlBridge.expression(hashes)))
+}
+
+/**
+ * Fused word-shingling + hashing: the 60-bit MD5 hash of every k-word
+ * shingle of `words`, with the under-k fallback hashing `norm` whole —
+ * value-identical to
+ * `Md5Long60ArrayExpr(Dedup.shinglesOf(norm, words, k))` (HashingSpec
+ * pins it), but the shingle STRINGS are never built: each window feeds
+ * the MD5 digest incrementally (word bytes + single-space separators, so
+ * the digest input is exactly the concat_ws(" ", window) string — NULL
+ * words are skipped like concat_ws does). Word bytes are extracted once
+ * per row and reused across the k windows each word appears in, where
+ * the expression-chain form re-materializes every shingle via
+ * slice+concat_ws (O(words × k) string allocation per document).
+ *
+ * left = the word array (array<string>), right = the normalized text the
+ * words came from (string); both from Dedup.wordTable, which derives
+ * them from the same text column so they are null together.
+ */
+case class ShingleHashExpr(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+    else (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), _: StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, string), got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private val space = Array[Byte](' ')
+
+  override protected def nullSafeEval(wordsIn: Any, normIn: Any): Any = {
+    val arr = wordsIn.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k)
+      return new GenericArrayData(
+        Array(Md5Long60Expr.hash(normIn.asInstanceOf[UTF8String])))
+    // word bytes once per row; null words stay null and are skipped per
+    // window below, mirroring concat_ws
+    val wb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) wb(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var j = 0
+    while (j <= n - k) {
+      val md = Md5Long60Expr.freshDigest()
+      var first = true
+      var w = j
+      while (w < j + k) {
+        if (wb(w) != null) {
+          if (!first) md.update(space)
+          md.update(wb(w))
+          first = false
+        }
+        w += 1
+      }
+      out(j) = Md5Long60Expr.long60(md.digest())
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleExpr", this)
+    defineCodeGen(ctx, ev, (w, s) =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"((graft.functions.ShingleHashExpr) $ref).nullSafeEval($w, $s)")
+  }
+
+  override protected def withNewChildrenInternal(
+    newLeft: Expression, newRight: Expression): ShingleHashExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashExpr {
+  def apply(words: Column, norm: Column, k: Int): Column =
+    GraftSqlBridge.column(ShingleHashExpr(
+      GraftSqlBridge.expression(words), GraftSqlBridge.expression(norm), k))
 }
 
 /**

@@ -106,6 +106,15 @@ object Dedup {
     wordTable(df, textCol, idCol)
       .select(col("doc_id"), shinglesOf(col("norm"), col("w"), k).as("sh"))
 
+  /** (doc_id, hs): 60-bit hash of each k-shingle, via the fused native
+    * [[graft.functions.ShingleHashExpr]] — the shingle strings are never
+    * materialized (value-identical to hashing [[shingleTable]]'s column,
+    * pinned by HashingSpec). The hot-path entry for every hash consumer. */
+  def hashedShingleTable(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    wordTable(df, textCol, idCol)
+      .select(col("doc_id"),
+        graft.functions.ShingleHashExpr(col("w"), col("norm"), k).as("hs"))
+
   /**
    * MinHash signature over an array of 60-bit base shingle hashes:
    * element i is min over shingles of (md5_60(shingle) XOR seed_i), with
@@ -141,10 +150,7 @@ object Dedup {
     k: Int = 3,
     numHashes: Int = 16
   ): DataFrame =
-    shingleTable(df, textCol, idCol, k)
-      .select(
-        col("doc_id"),
-        graft.functions.Md5Long60ArrayExpr(col("sh")).as("hs"))
+    hashedShingleTable(df, textCol, idCol, k)
       .select(
         col("doc_id"),
         graft.functions.MinHashSignatureExpr(col("hs"), numHashes).as("signature")
@@ -240,9 +246,8 @@ object Dedup {
     k: Int = 3,
     threshold: Double = 0.8
   ): DataFrame = {
-    val sets = shingleTable(df, textCol, idCol, k)
-      .select(col("doc_id"),
-        array_distinct(graft.functions.Md5Long60ArrayExpr(col("sh"))).as("sh"))
+    val sets = hashedShingleTable(df, textCol, idCol, k)
+      .select(col("doc_id"), array_distinct(col("hs")).as("sh"))
     val sides = candidates
       .select(
         struct(col("id_a"), col("id_b")).as("pair"),

@@ -173,12 +173,12 @@ object TextAnalysis {
    */
   def fingerprints(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
     Dedup.wordTable(df, textCol, idCol)
-      .select(col("doc_id"), col("norm"), Dedup.shinglesOf(col("norm"), col("w"), k).as("sh"))
+      .select(col("doc_id"), col("norm"),
+        graft.functions.ShingleHashExpr(col("w"), col("norm"), k).as("hs"))
       .select(
         col("doc_id"),
         md5(col("norm")).as("fingerprint"),
         element_at(
-          graft.functions.MinHashSignatureExpr(
-            graft.functions.Md5Long60ArrayExpr(col("sh")), 1), 1)
+          graft.functions.MinHashSignatureExpr(col("hs"), 1), 1)
           .as("minhash_0"))
 }

@@ -54,6 +54,38 @@ class HashingSpec extends SparkSpec {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
+  test("native ShingleHashExpr equals hashing the shingleTable column") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fused = graft.operators.Dedup.hashedShingleTable(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaStrings = graft.operators.Dedup.shingleTable(docs, "text", "doc_id")
+      .select(col("doc_id"), graft.functions.Md5Long60ArrayExpr(col("sh")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.nonEmpty && fused == viaStrings)
+  }
+
+  test("ShingleHashExpr edges: under-k fallback, empty words, NULL word skipped") {
+    val rows = Seq(
+      (1L, Some(Seq(Option("a"), Option("b"))), Some("a b")),     // < k words
+      (2L, Some(Seq.empty[Option[String]]), Some("")),            // empty text
+      (3L, Some(Seq(Option("a"), None, Option("c"))), Some("x")), // NULL word
+      (4L, Option.empty[Seq[Option[String]]], Option.empty[String])
+    ).toDF("id", "w", "norm")
+    val out = rows.select(
+        col("id"),
+        graft.functions.ShingleHashExpr(col("w"), col("norm"), 3).as("fused"),
+        graft.functions.Md5Long60ArrayExpr(
+          graft.operators.Dedup.shinglesOf(col("norm"), col("w"), 3)).as("viaStrings"))
+      .orderBy("id").collect()
+    out.take(3).foreach(r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), r))
+    // NULL word inside a window hashes like concat_ws: "a c" with ONE space
+    assert(out(2).getSeq[Long](1) ==
+      Seq(graft.functions.Md5Long60Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a c"))))
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+  }
+
   test("native MinHashSignatureExpr equals the Column-expression form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val base = graft.operators.Dedup.shingleTable(docs, "text", "doc_id")
