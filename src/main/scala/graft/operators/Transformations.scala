@@ -215,13 +215,14 @@ object Transformations {
    * Split expression with Java `String.split(regex)` semantics, which the
    * reference relies on (MsgTransformations.scala:294): trailing empty
    * strings are dropped, and a string consisting only of delimiters yields
-   * an empty array, but splitting "" yields [""].
+   * an empty array, but splitting "" yields [""]. The native
+   * [[graft.functions.JavaSplitExpr]] IS `Pattern.split` — reference
+   * semantics by construction, one string pass instead of the three-pass
+   * regexp_replace/when/split emulation (KernelPropertySpec pins the
+   * behavior against real String.split).
    */
-  private def splitJavaSemantics(c: Column, delimiter: String): Column = {
-    val trimmed = regexp_replace(c, s"(?:$delimiter)+$$", "")
-    when(trimmed === "" && c =!= "", array().cast(ArrayType(StringType)))
-      .otherwise(split(trimmed, delimiter))
-  }
+  private def splitJavaSemantics(c: Column, delimiter: String): Column =
+    graft.functions.JavaSplitExpr(c, delimiter)
 
   /**
    * Convert the listed string columns to array<string> by splitting on a
@@ -243,9 +244,8 @@ object Transformations {
     delimiter: String,
     nanValues: Set[String] = Set.empty
   )(df: DataFrame): DataFrame =
-    mapFieldValues(fields, df) { c =>
-      transform(splitJavaSemantics(c, delimiter), longParseExpr(_, nanValues))
-    }
+    mapFieldValues(fields, df)(
+      graft.functions.ParseLongArrayExpr(_, delimiter, nanValues))
 
   /**
    * Convert the listed string columns to array<double>: split, then
@@ -258,9 +258,8 @@ object Transformations {
     delimiter: String,
     nanValues: Set[String] = Set.empty
   )(df: DataFrame): DataFrame =
-    mapFieldValues(fields, df) { c =>
-      transform(splitJavaSemantics(c, delimiter), doubleParseExpr(_, nanValues))
-    }
+    mapFieldValues(fields, df)(
+      graft.functions.ParseDoubleArrayExpr(_, delimiter, nanValues))
 
   /**
    * Ensure every listed column is an array: array columns pass through,

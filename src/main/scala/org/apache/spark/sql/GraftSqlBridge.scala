@@ -14,6 +14,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The exact error ANSI `CAST(x AS <numeric>)` raises on malformed
+    * input (`QueryExecutionErrors` is `private[sql]`), so graft's fused
+    * parse expressions fail identically to the Cast they replace. */
+  def invalidCastToNumberError(
+    to: org.apache.spark.sql.types.DataType,
+    s: org.apache.spark.unsafe.types.UTF8String
+  ): Throwable =
+    org.apache.spark.sql.errors.QueryExecutionErrors
+      .invalidInputInCastToNumberError(to, s, null)
+
   /** Register a SQL function on an EXISTING session (the extensions path
     * only applies at session construction). */
   def registerFunction(

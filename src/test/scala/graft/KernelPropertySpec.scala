@@ -41,6 +41,53 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("parseDoubleArrays equals split-then-parse Scala reference (nan whitelist)") {
+    val nums = Seq("1.5", "-2", "0", ".", "3e2", "Infinity", "7")
+    val cases = Seq.fill(300)(
+      (0 to rng.nextInt(5)).map(_ => nums(rng.nextInt(nums.length))).mkString(",")) :+
+      "." :+ ".,."
+    val out = Transformations.parseDoubleArrays(Set("s"), ",", Set("."))(cases.toDF("s"))
+      .collect().map(_.getSeq[Double](0).toList)
+    out.zip(cases).foreach { case (got, in) =>
+      val expect = in.split(",").toList.map {
+        case "." => Double.NaN
+        case v => v.toDouble
+      }
+      // NaN-aware comparison
+      assert(got.length == expect.length &&
+        got.zip(expect).forall { case (a, b) =>
+          java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+        }, s"input=<$in> got=$got expect=$expect")
+    }
+    // malformed elements throw the ANSI cast error, as the lambda form
+    // did — including "" which splits to [""]
+    assertThrows[NumberFormatException] {
+      Transformations.parseDoubleArrays(Set("s"), ",")(Seq("1,x").toDF("s")).collect()
+    }
+    assertThrows[NumberFormatException] {
+      Transformations.parseDoubleArrays(Set("s"), ",")(Seq("").toDF("s")).collect()
+    }
+  }
+
+  test("parseLongArrays equals split-trim-parse Scala reference (nan -> NULL)") {
+    val nums = Seq("15", "-2.0", "0", "NA", "700.0", "8")
+    val cases = Seq.fill(300)(
+      (0 to rng.nextInt(5)).map(_ => nums(rng.nextInt(nums.length))).mkString(";")) :+
+      "NA" :+ "NA;NA"
+    val out = Transformations.parseLongArrays(Set("s"), ";", Set("NA"))(cases.toDF("s"))
+      .collect().map(r => r.getSeq[Any](0).toList)
+    out.zip(cases).foreach { case (got, in) =>
+      val expect = in.split(";").toList.map { raw =>
+        val t = if (raw.endsWith(".0")) raw.dropRight(2) else raw
+        if (t == "NA") null else t.toLong
+      }
+      assert(got == expect, s"input=<$in> got=$got expect=$expect")
+    }
+    assertThrows[NumberFormatException] {
+      Transformations.parseLongArrays(Set("s"), ";")(Seq("1;7.0.0").toDF("s")).collect()
+    }
+  }
+
   test("Md5Long60Expr.hash equals the BigInteger-over-hex reference on random strings") {
     val md = java.security.MessageDigest.getInstance("MD5")
     (1 to 300).foreach { _ =>
