@@ -35,6 +35,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"), plan)
   }
 
+  test("typed-array parse runs as one fused native call, no HOF lambda chain") {
+    val q = Transformations.parseDoubleArrays(Set("arr"), ",", Set("."))(
+      li.select(concat(col("l_quantity"), lit(","), col("l_tax")).as("arr")))
+    val plan = q.queryExecution.executedPlan.toString
+    // whole-stage codegen'd, and the per-element parse is the fused
+    // expression — no interpreted lambdafunction/transform() in the plan
+    assert(plan.contains("*(1)"), plan)
+    assert(plan.contains("parse_double_array"), plan)
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan)
+  }
+
+  test("salted agg is two hash aggregations over exactly two shuffles") {
+    val df = li.select(col("l_returnflag"), col("l_quantity"))
+    val plan = graft.operators.Skew.saltedAgg(df, "l_returnflag", 8)(
+        partial = Seq(count(lit(1)).as("pn")),
+        combine = Seq(sum(col("pn")).as("n")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"expected map-side partials:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"expected the (key,salt) and key shuffles only:\n$plan")
+  }
+
   test("brute-force ANN broadcasts the query side; corpus is never shuffled") {
     val plan = Similarity.bruteForceTopK(
       embs, embs.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3)
