@@ -25,9 +25,17 @@ case class JavaSplitExpr(child: Expression, delimiter: String)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+    if (!child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+    else
+      // malformed delimiter regexes fail at ANALYSIS time, not on executors
+      try { java.util.regex.Pattern.compile(delimiter); TypeCheckResult.TypeCheckSuccess }
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName delimiter is not a valid regex: ${e.getMessage}")
+      }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "java_split"

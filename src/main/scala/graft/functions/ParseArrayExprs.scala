@@ -32,9 +32,17 @@ abstract class ParseArrayExpr extends UnaryExpression {
   def elemType: DataType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+    if (!child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+    else
+      // malformed delimiter regexes fail at ANALYSIS time, not on executors
+      try { java.util.regex.Pattern.compile(delimiter); TypeCheckResult.TypeCheckSuccess }
+      catch {
+        case e: java.util.regex.PatternSyntaxException =>
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName delimiter is not a valid regex: ${e.getMessage}")
+      }
 
   // containsNull mirrors the transform()-lambda form's schema (long
   // parses really can yield NULL elements via the nan whitelist)

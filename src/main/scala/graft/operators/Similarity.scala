@@ -108,9 +108,12 @@ object Similarity {
    * K-means centroids over the corpus: deterministic lowest-id seeds
    * refined by `iters` Lloyd rounds, each round entirely relational —
    * assign to nearest centroid (broadcast fold, no shuffle of the
-   * corpus), then the per-bucket mean via posexplode → avg per
-   * (centroid, dimension) → reassemble. Empty clusters keep their
-   * previous centroid.
+   * corpus), then the per-bucket mean as ONE
+   * [[graft.functions.VectorMeanAgg]] aggregation: map-side partials
+   * shuffle ≤ nCentroids × dim doubles per partition, where the
+   * posexplode → per-(centroid, dimension) avg alternative multiplies
+   * shuffled rows by the dimension and pays a second shuffle to
+   * reassemble. Empty clusters keep their previous centroid.
    *
    * Centroids are COLLECTED to the driver after EVERY round (k × dim
    * doubles — metadata-sized) so each Lloyd iteration plans against a
@@ -135,14 +138,8 @@ object Similarity {
     var i = 0
     while (i < iters) {
       val means = assignTo(corpus, vecCol, cents)
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy("centroid_id", "pos")
-        .agg(avg(col("v")).as("m"))
         .groupBy("centroid_id")
-        .agg(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s("m")).as("next"))
+        .agg(graft.functions.VectorMeanAgg(col(vecCol)).as("next"))
       cents = localize(
         cents
           .join(means, Seq("centroid_id"), "left")

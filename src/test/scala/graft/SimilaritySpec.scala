@@ -104,6 +104,43 @@ class SimilaritySpec extends SparkSpec {
     assert(refined.exists(r => seeds(r.getLong(0)) != r.getSeq[Double](1)))
   }
 
+  test("VectorMeanAgg equals the posexplode/avg relational form (fp tolerance)") {
+    val assigned = corpus.select(
+      (col("vec_id") % 7).as("g"), col("embedding"))
+    val agg = assigned.groupBy("g")
+      .agg(graft.functions.VectorMeanAgg(col("embedding")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val relational = assigned
+      .select(col("g"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("g", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("g")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))), s => s("m")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(agg.keySet == relational.keySet && agg.nonEmpty)
+    agg.foreach { case (g, v) =>
+      val w = relational(g)
+      assert(v.length == w.length)
+      v.zip(w).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)), s"group $g")
+      }
+    }
+  }
+
+  test("VectorMeanAgg: null vectors skipped, null elements skipped per position") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(Option(1.0), Option(4.0)))),
+      (1L, Some(Seq(Option(3.0), None))),
+      (1L, Option.empty[Seq[Option[Double]]]),
+      (2L, Option.empty[Seq[Option[Double]]])
+    ).toDF("g", "v")
+    val out = df.groupBy("g").agg(graft.functions.VectorMeanAgg(col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Any](1))).toMap
+    assert(out(1L) == Seq(2.0, 4.0)) // pos 0: (1+3)/2; pos 1: 4/1 (null skipped)
+    assert(out(2L) == null)          // only-null group -> NULL result
+  }
+
   test("kmeansCentroids at iters=8: flat per-round plans, no analysis blowup") {
     // centroids are localized after every Lloyd round, so iteration count
     // must scale linearly — before the per-round collect, round N's plan
