@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr}
+import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, VectorMeanAgg}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -73,7 +73,11 @@ object GraftFunctions {
     ("minhash_signature", minhashBuilder, classOf[MinHashSignatureExpr]),
     ("cosine_sim", cosineBuilder, classOf[CosineSimExpr]),
     ("hyperplane_bucket", hyperplaneBuilder, classOf[HyperplaneBucketExpr]),
-    ("shingle_hashes", shingleBuilder, classOf[ShingleHashExpr])
+    ("shingle_hashes", shingleBuilder, classOf[ShingleHashExpr]),
+    // an AggregateFunction builder: the analyzer wraps it into an
+    // AggregateExpression when resolving the call site
+    ("vector_mean", oneArg("vector_mean")(VectorMeanAgg(_: Expression)),
+      classOf[VectorMeanAgg])
   )
 
   /** Register every graft SQL function on an existing session. */

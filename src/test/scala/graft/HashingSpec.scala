@@ -195,6 +195,15 @@ class HashingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("SQL surface: vector_mean aggregate resolves and averages element-wise") {
+    GraftFunctions.register(spark)
+    Seq((1L, Seq(1.0, 4.0)), (1L, Seq(3.0, 0.0)), (2L, Seq(5.0, 5.0)))
+      .toDF("g", "v").createOrReplaceTempView("vm_probe")
+    val out = spark.sql("SELECT g, vector_mean(v) AS m FROM vm_probe GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(2.0, 2.0) && out(2L) == Seq(5.0, 5.0))
+  }
+
   test("constant folding collapses seed hashes to literals") {
     val plan = spark.range(1)
       .select(Hashing.md5Long60(lit("0")).as("seed"))
