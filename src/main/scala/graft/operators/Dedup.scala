@@ -245,8 +245,20 @@ object Dedup {
     idCol: String,
     k: Int = 3,
     threshold: Double = 0.8
+  ): DataFrame =
+    jaccardVerifyHashed(candidates, hashedShingleTable(df, textCol, idCol, k), threshold)
+
+  /** [[jaccardVerify]] over an existing (doc_id, hs) hashed-shingle
+    * table — the form [[nearDuplicates]] uses so the signature and
+    * verify stages share ONE table derivation (a caller running both at
+    * cluster scale can persist it once instead of re-normalizing and
+    * re-shingling the corpus per stage). */
+  def jaccardVerifyHashed(
+    candidates: DataFrame,
+    hashedShingles: DataFrame,
+    threshold: Double
   ): DataFrame = {
-    val sets = hashedShingleTable(df, textCol, idCol, k)
+    val sets = hashedShingles
       .select(col("doc_id"), array_distinct(col("hs")).as("sh"))
     val sides = candidates
       .select(
@@ -282,9 +294,15 @@ object Dedup {
     threshold: Double = 0.8,
     maxBucket: Option[Int] = None
   ): DataFrame = {
-    val sigs = minHashSignatures(df, textCol, idCol, k, numHashes)
+    // one hashed-shingle derivation feeds BOTH the signature and verify
+    // stages (persist it upstream to pay the normalize+shingle+hash cost
+    // once at cluster scale)
+    val hst = hashedShingleTable(df, textCol, idCol, k)
+    val sigs = hst.select(
+      col("doc_id"),
+      graft.functions.MinHashSignatureExpr(col("hs"), numHashes).as("signature"))
     val cands = lshCandidates(sigs, numHashes, bands, maxBucket)
-    jaccardVerify(cands, df, textCol, idCol, k, threshold)
+    jaccardVerifyHashed(cands, hst, threshold)
   }
 
   /**
