@@ -32,7 +32,9 @@ object Bench {
     "q_multimodal_meta",
     "q_events_window",      // timestamp window aggregation
     "q_sessionize",         // two window passes + agg over one shuffle
-    "q_parse_double_arrays" // kernel micro-benchmark (codegen chain)
+    "q_parse_double_arrays",// kernel micro-benchmark (fused native parse)
+    "q_salted_agg",         // two-phase salted aggregation (added r4)
+    "q_dedup_stream"        // batch surface of streaming dedup (added r4)
   )
 
   private def jsonStr(s: String): String =
