@@ -34,7 +34,11 @@ object Bench {
     "q_sessionize",         // two window passes + agg over one shuffle
     "q_parse_double_arrays",// kernel micro-benchmark (fused native parse)
     "q_salted_agg",         // two-phase salted aggregation (added r4)
-    "q_dedup_stream"        // batch surface of streaming dedup (added r4)
+    "q_dedup_stream",       // batch surface of streaming dedup (added r4)
+    "q_salted_join",        // salted (key,salt) join, right side exploded (r5)
+    "q_bucketed_join",      // bucketed write + catalog read + exchange-free join (r5)
+    "q_ann_ivf_exact",      // IVF at nProbe=nCentroids — the full-probe cost path (r5)
+    "q_simhash_pairs"       // simhash banding + bucket-capped Hamming verify (r5)
   )
 
   private def jsonStr(s: String): String =

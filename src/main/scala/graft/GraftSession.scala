@@ -44,6 +44,50 @@ object GraftSession {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark) // SQL surface for the native expressions
+    registerBucketCapLogger(spark)
     spark
   }
+
+  // ------------------------------------------- observed-metric reporting
+
+  /** Sessions that already carry the bucket-cap listener (register runs on
+    * every create/getOrCreate; the listener must attach once). */
+  private val capLoggerSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /**
+   * WARN-log any `graft.*.bucket_cap#*` observed metric with a nonzero
+   * drop count (see Dedup.capBuckets): capping a degenerate LSH bucket is
+   * a deliberate recall-for-boundedness trade, and this listener is what
+   * keeps it from being a SILENT one. Plan-side metrics + a driver-side
+   * listener cost nothing per row — no second pass over the data.
+   */
+  def registerBucketCapLogger(spark: SparkSession): Unit =
+    if (capLoggerSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private val log = org.slf4j.LoggerFactory.getLogger("graft.BucketCap")
+        override def onSuccess(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long
+        ): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft.") && name.contains(".bucket_cap#")) {
+              val buckets = row.getAs[Long]("dropped_buckets")
+              if (buckets > 0)
+                log.warn(
+                  s"$name: dropped $buckets oversized bucket(s) covering " +
+                    s"${row.getAs[Long]("dropped_rows")} rows — raise maxBucket " +
+                    "or run exact dedup first if those clusters matter")
+            }
+          }
+        override def onFailure(
+          funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception
+        ): Unit = ()
+      })
+    }
 }

@@ -74,6 +74,14 @@ object LlmGates {
     "q_simhash" -> { (s, dir) =>
       Dedup.simHashes(docs(s, dir), "text", "doc_id")
     },
+    // §2.4 row 28b — SimHash near-dup pairs: 15-bit pigeonhole banding,
+    // bucket-capped, exact Hamming verify (planted exact dups guarantee
+    // hamming-0 pairs; the oracle re-derives banding + cap + verify)
+    "q_simhash_pairs" -> { (s, dir) =>
+      Dedup.simHashNearDups(
+        Dedup.simHashes(docsWithDups(s, dir), "text", "doc_id"),
+        maxHamming = 3, bands = 4)
+    },
     // §2.4 row 30 — embedding near-dup via hyperplane LSH + cosine verify
     "q_embed_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDup(embsWithDups(s, dir), "embedding", "vec_id",
@@ -220,6 +228,21 @@ object LlmGates {
        |sig AS (
        |  SELECT doc_id, $SigSql AS sig FROM hsh)""".stripMargin
 
+  /** Banded-LSH candidate pairs over a `bands` CTE, mirroring
+    * Dedup.DefaultMaxBucket: only buckets of size in [2, 1024] generate
+    * pairs (the Spark side caps by default; the oracle must agree even
+    * though no sf-fixture bucket actually exceeds the cap). */
+  private val CandSql =
+    """bsz AS (
+      |  SELECT band, band_key FROM bands
+      |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1024),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bsz
+      |  JOIN bands a USING (band, band_key)
+      |  JOIN bands b USING (band, band_key)
+      |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH all_docs AS (
@@ -248,10 +271,7 @@ object LlmGates {
          |         array_to_string(list_transform(sig[rt.b*4+1:rt.b*4+4],
          |                                        v -> v::VARCHAR), ',') AS band_key
          |  FROM sig, range(0, 4) rt(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |$CandSql,
          |sets AS (
          |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS sh FROM sh)
          |SELECT id_a, id_b,
@@ -269,10 +289,7 @@ object LlmGates {
          |         array_to_string(list_transform(sig[rt.b*4+1:rt.b*4+4],
          |                                        v -> v::VARCHAR), ',') AS band_key
          |  FROM sig, range(0, 4) rt(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |$CandSql,
          |sets AS (
          |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS sh FROM sh),
          |losers AS (
@@ -294,6 +311,36 @@ object LlmGates {
          |                     v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
          |              THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
          |FROM wh""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |d AS (
+         |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM all_docs),
+         |wh AS (
+         |  SELECT doc_id, list_transform(w, x -> ${h60("x")}) AS h FROM d),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_sum(list_transform(range(0, 60), b ->
+         |           CASE WHEN list_sum(list_transform(h,
+         |                       v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |                THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+         |  FROM wh),
+         |bands AS (
+         |  SELECT doc_id, simhash, rt.b AS band,
+         |         (simhash >> (rt.b * 15)) % 32768 AS band_key
+         |  FROM sh, range(0, 4) rt(b)),
+         |bsz AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1024)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM bsz
+         |JOIN bands a USING (band, band_key)
+         |JOIN bands b USING (band, band_key)
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH all_e AS (
          |  SELECT vec_id, embedding FROM embeddings
@@ -308,13 +355,17 @@ object LlmGates {
          |                  x * CASE WHEN (${h60("(i-1)::VARCHAR")} >> p) & 1 = 1
          |                           THEN 1.0 ELSE -1.0 END)) > 0
          |                THEN '1' ELSE '0' END), '') AS bucket
-         |  FROM v)
+         |  FROM v),
+         |ok AS (
+         |  SELECT bucket FROM b
+         |  GROUP BY bucket HAVING count(*) BETWEEN 2 AND 1024)
          |SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
          |       round(list_dot_product(a.ve, bb.ve) /
          |             (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(bb.ve, bb.ve))),
          |             4) AS cosine
-         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
-         |WHERE list_dot_product(a.ve, bb.ve) /
+         |FROM ok JOIN b a USING (bucket) JOIN b bb USING (bucket)
+         |WHERE a.vec_id < bb.vec_id
+         |  AND list_dot_product(a.ve, bb.ve) /
          |      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(bb.ve, bb.ve))) >= 0.9""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (

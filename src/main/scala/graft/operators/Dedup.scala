@@ -19,6 +19,52 @@ import graft.functions.Hashing
  */
 object Dedup {
 
+  /**
+   * Default in-bucket size cap for the whole near-dup family
+   * ([[lshCandidates]], [[simHashNearDups]], [[embeddingNearDup]]).
+   *
+   * In-bucket pair generation is O(|bucket|²), so at corpus scale a single
+   * degenerate key — boilerplate text every page shares, a zero-direction
+   * embedding — would otherwise emit a quadratic pair set on one task.
+   * 1024 bounds the worst bucket at ~0.5M pairs (one task's work) while
+   * real near-dup clusters stay far smaller once exact dedup has run
+   * first (the intended pipeline order). Pass `None` to disable, or a
+   * larger cap for corpora with legitimately huge duplicate clusters;
+   * dropped buckets are never silent — see [[capBuckets]].
+   */
+  val DefaultMaxBucket: Option[Int] = Some(1024)
+
+  /** Unique suffix for observed-metric names (names must be unique within
+    * a query, and one query can cap several bucket stages). */
+  private val capObsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /**
+   * Apply the bucket-size cap, attaching an observed metric
+   * (`graft.<what>.bucket_cap#<n>`: dropped_buckets, dropped_rows) to the
+   * plan. Dropping a bucket trades recall for a bounded task, and that
+   * trade must never be silent: [[graft.GraftSession]] registers a
+   * listener that WARN-logs any nonzero drop count after each action —
+   * computed as a plan-side metric, not a second driver-side pass over
+   * the data.
+   */
+  private def capBuckets(
+    buckets: DataFrame,
+    itemsCol: String,
+    cap: Option[Int],
+    what: String
+  ): DataFrame =
+    cap.fold(buckets) { c =>
+      require(c >= 2, s"maxBucket must be >= 2 (a pair), got $c")
+      val oversized = size(col(itemsCol)) > c
+      buckets
+        .observe(
+          s"graft.$what.bucket_cap#${capObsId.incrementAndGet()}",
+          coalesce(sum(when(oversized, lit(1L))), lit(0L)).as("dropped_buckets"),
+          coalesce(sum(when(oversized, size(col(itemsCol)).cast("long"))), lit(0L))
+            .as("dropped_rows"))
+        .filter(!oversized)
+    }
+
   // ---------------------------------------------------------------- exact
 
   /**
@@ -177,7 +223,8 @@ object Dedup {
    * — then ONE groupBy shuffle on (band, key) and in-bucket pair
    * generation with array expressions. Never a self-join (which would
    * re-evaluate the signature chain per join side), never all-pairs.
-   * Buckets larger than maxBucket are dropped (a degenerate key — e.g.
+   * Buckets larger than maxBucket (default [[DefaultMaxBucket]]) are
+   * dropped with an observed drop-count metric (a degenerate key — e.g.
    * boilerplate text — would otherwise produce a quadratic pair blowup);
    * dropped buckets are a completeness tradeoff the caller sizes.
    */
@@ -185,7 +232,7 @@ object Dedup {
     signatures: DataFrame,
     numHashes: Int = 16,
     bands: Int = 4,
-    maxBucket: Option[Int] = None
+    maxBucket: Option[Int] = DefaultMaxBucket
   ): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
@@ -209,9 +256,8 @@ object Dedup {
       .groupBy("band", "band_key")
       .agg(collect_list("doc_id").as("ids"))
       .filter(size(col("ids")) >= 2)
-    val capped = maxBucket.fold(buckets)(cap => buckets.filter(size(col("ids")) <= cap))
 
-    capped
+    capBuckets(buckets, "ids", maxBucket, "lsh")
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(
         least(col("p.x"), col("p.y")).as("id_a"),
@@ -292,7 +338,7 @@ object Dedup {
     numHashes: Int = 16,
     bands: Int = 4,
     threshold: Double = 0.8,
-    maxBucket: Option[Int] = None
+    maxBucket: Option[Int] = DefaultMaxBucket
   ): DataFrame = {
     // one hashed-shingle derivation feeds BOTH the signature and verify
     // stages (persist it upstream to pay the normalize+shingle+hash cost
@@ -324,7 +370,7 @@ object Dedup {
     numHashes: Int = 16,
     bands: Int = 4,
     threshold: Double = 0.8,
-    maxBucket: Option[Int] = None
+    maxBucket: Option[Int] = DefaultMaxBucket
   ): DataFrame = {
     val losers = nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold, maxBucket)
       .select(col("id_b").as(idCol)).distinct()
@@ -386,12 +432,15 @@ object Dedup {
    * SimHash near-dup pairs by banding the 60-bit hash into `bands`
    * 15-bit chunks (pigeonhole: Hamming distance < bands guarantees an
    * exact match on some chunk). Verified with exact Hamming distance via
-   * bit_count(xor) — only inside chunk buckets, never all pairs.
+   * bit_count(xor) — only inside chunk buckets, never all pairs. Buckets
+   * larger than maxBucket (default [[DefaultMaxBucket]]) are dropped
+   * with an observed drop-count metric.
    */
   def simHashNearDups(
     simhashes: DataFrame,
     maxHamming: Int = 3,
-    bands: Int = 4
+    bands: Int = 4,
+    maxBucket: Option[Int] = DefaultMaxBucket
   ): DataFrame = {
     val chunkBits = 60 / bands
     val banded = simhashes.select(
@@ -404,10 +453,11 @@ object Dedup {
               (1L << chunkBits)).as("band_key"))))
         .as("bk")
     ).select(col("item"), col("bk.band"), col("bk.band_key"))
-    banded
+    val buckets = banded
       .groupBy("band", "band_key")
       .agg(collect_list("item").as("items"))
       .filter(size(col("items")) >= 2)
+    capBuckets(buckets, "items", maxBucket, "simhash")
       .select(explode(bucketPairs(col("items"))).as("p"))
       .select(
         least(col("p.x.doc_id"), col("p.y.doc_id")).as("id_a"),
@@ -461,22 +511,27 @@ object Dedup {
    * [[graft.functions.HyperplaneBucketExpr]] (one fused loop over the
    * dimensions, per-dimension hashes cached across rows — value-identical
    * to [[hyperplaneBucketOf]] over [[dimHashes]], pinned by HashingSpec).
+   * Buckets larger than maxBucket (default [[DefaultMaxBucket]]) are
+   * dropped with an observed drop-count metric — identical or
+   * zero-direction vectors all share one bucket, the degenerate case.
    */
   def embeddingNearDup(
     df: DataFrame,
     vecCol: String,
     idCol: String,
     planes: Int = 16,
-    threshold: Double = 0.9
+    threshold: Double = 0.9,
+    maxBucket: Option[Int] = DefaultMaxBucket
   ): DataFrame = {
     val bucketed = df.select(
         struct(col(idCol).as("vid"), col(vecCol).as("v")).as("item"),
         graft.functions.HyperplaneBucketExpr(col(vecCol), planes).as("bucket")
       )
-    bucketed
+    val buckets = bucketed
       .groupBy("bucket")
       .agg(collect_list("item").as("items"))
       .filter(size(col("items")) >= 2)
+    capBuckets(buckets, "items", maxBucket, "hyperplane")
       .select(explode(bucketPairs(col("items"))).as("p"))
       .select(
         least(col("p.x.vid"), col("p.y.vid")).as("id_a"),

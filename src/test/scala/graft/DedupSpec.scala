@@ -95,10 +95,37 @@ class DedupSpec extends SparkSpec {
     val df = (1L to 30L).map(i => (i, "exactly the same text for everyone"))
       .toDF("doc_id", "text")
     val sigs = Dedup.minHashSignatures(df, "text", "doc_id")
+    // 30 < DefaultMaxBucket: the default cap must NOT drop real buckets
     val uncapped = Dedup.lshCandidates(sigs).count()
     val capped = Dedup.lshCandidates(sigs, maxBucket = Some(10)).count()
     assert(uncapped == 30L * 29 / 2)
     assert(capped == 0L)
+  }
+
+  test("default bucket cap bounds a degenerate key without a quadratic pair set") {
+    // 1500 identical docs — a boilerplate key over the 1024 default cap.
+    // The capped chain emits ZERO pairs for it (exact dedup is the right
+    // tool for identical rows) instead of ~1.1M quadratic candidates.
+    val degenerate = (1L to 1500L)
+      .map(i => (i, "the same boilerplate footer text on every single page"))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDuplicates(degenerate, "text", "doc_id").count() == 0L)
+    assert(Dedup.simHashNearDups(
+      Dedup.simHashes(degenerate, "text", "doc_id")).count() == 0L)
+  }
+
+  test("simhash and embedding bucket caps drop degenerate buckets") {
+    val same = (1L to 50L).map(i => (i, "identical words right here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simHashes(same, "text", "doc_id")
+    assert(Dedup.simHashNearDups(sh).count() == 50L * 49 / 2)
+    assert(Dedup.simHashNearDups(sh, maxBucket = Some(10)).count() == 0L)
+
+    val vecs = (1L to 50L).map(i => (i, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "v")
+    assert(Dedup.embeddingNearDup(vecs, "v", "vec_id").count() == 50L * 49 / 2)
+    assert(Dedup.embeddingNearDup(vecs, "v", "vec_id", maxBucket = Some(10))
+      .count() == 0L)
   }
 
   test("simhash: equal for normalized-equal docs, near for planted near-dups") {
