@@ -36,6 +36,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // TIMESTAMP(NANOS) parquet columns surface as raw longs instead of
+      // being refused outright (streaming.Events.readEventsParquet
+      // truncates them to microseconds). Session-level because the scan
+      // captures conf at planning time; the flag has no effect on any
+      // column Spark could otherwise read, and setting it HERE keeps
+      // operators from mutating shared session conf mid-flight.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (sys.props.contains("spark.master")) b
     else b.master(s"local[$localCores]")
   }

@@ -24,6 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
  * 259-265, 369-374, 388-393): nan-listed doubles become Double.NaN,
  * longs trim exactly one trailing ".0" and nan-listed values become NULL
  * (longs have no NaN — the documented divergence).
+ *
+ * ALWAYS-ANSI contract: malformed input throws regardless of
+ * `spark.sql.ansi.enabled`. This is deliberate — the reference kernel
+ * fails loudly on unparseable values (a silent NULL in a 100 TB typed
+ * conversion is data corruption discovered weeks later), so these
+ * expressions keep the strict behavior even in a non-ANSI session
+ * rather than inheriting the session's cast laxity. Callers wanting
+ * NULL-on-malformed should pre-filter with rlike, not flip a conf.
  */
 abstract class ParseArrayExpr extends UnaryExpression {
 

@@ -290,18 +290,25 @@ case class HyperplaneBucketExpr(child: Expression, planes: Int)
   @transient private lazy val elemT: DataType = elemType.get
 
   // Per-dimension hash cache, shared across rows and threads: grown on
-  // demand, published via the atomic reference (the array is never
-  // mutated after publication). Recomputing a prefix on growth is cheaper
-  // than locking the per-row read path.
+  // demand, published via the atomic reference (an array is never mutated
+  // after publication). Growth copies the existing prefix and installs
+  // via CAS, so a concurrent grow to a SMALLER dimension can never
+  // clobber a larger cached array (which would re-derive hashes forever
+  // under mixed-width inputs).
   @transient private lazy val dimHashCache =
     new java.util.concurrent.atomic.AtomicReference[Array[Long]](Array.emptyLongArray)
 
   private def dimHashes(n: Int): Array[Long] = {
     var cur = dimHashCache.get()
-    if (cur.length < n) {
-      val next = Array.tabulate(n)(i => Md5Long60Expr.hash(UTF8String.fromString(i.toString)))
-      dimHashCache.set(next)
-      cur = next
+    while (cur.length < n) {
+      val next = java.util.Arrays.copyOf(cur, n)
+      var i = cur.length
+      while (i < n) {
+        next(i) = Md5Long60Expr.hash(UTF8String.fromString(i.toString))
+        i += 1
+      }
+      if (dimHashCache.compareAndSet(cur, next)) cur = next
+      else cur = dimHashCache.get() // lost the race; retry against the winner
     }
     cur
   }

@@ -23,6 +23,27 @@ object Skew {
     Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
       "leftanti", "left_anti")
 
+  /** Whether xxhash64 accepts a column of this type (Spark's hash
+    * expressions reject any type containing a MapType — map iteration
+    * order is undefined, so map hashes wouldn't be deterministic). */
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+    case _ => true
+  }
+
+  /** Deterministic per-row salt: xxhash64 over every hash-supported
+    * column. Map-typed columns are EXCLUDED (xxhash64 rejects them), so
+    * rows differing only in a map column share a salt — the same
+    * documented limitation as byte-identical duplicates. */
+  private def rowSalt(df: DataFrame, saltN: Int): Column = {
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty,
+      "salting needs at least one non-map column to hash deterministically")
+    pmod(xxhash64(cols.toIndexedSeq: _*), lit(saltN)).cast("int")
+  }
+
   /**
    * Skew-safe equi-join: the (big, skewed) left side gets a deterministic
    * per-row salt, the right side is exploded `saltN`× with every salt
@@ -57,8 +78,7 @@ object Skew {
         "right row saltN times")
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "input frames must not carry a __salt column (it would be clobbered)")
-    val salted = left.withColumn(
-      "__salt", pmod(xxhash64(left.columns.map(col): _*), lit(saltN)).cast("int"))
+    val salted = left.withColumn("__salt", rowSalt(left, saltN))
     val exploded = right.withColumn(
       "__salt",
       explode(sequence(lit(0), lit(saltN - 1))))
@@ -97,7 +117,7 @@ object Skew {
   )(partial: Seq[Column], combine: Seq[Column]): DataFrame = {
     require(!df.columns.contains("__salt"),
       "input frame must not carry a __salt column (it would be clobbered)")
-    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(saltN)).cast("int"))
+    df.withColumn("__salt", rowSalt(df, saltN))
       .groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))

@@ -19,14 +19,17 @@ object Events {
    * (legacy conf) and truncated to microsecond timestamps, matching what
    * engines with native nanos support (DuckDB's `::TIMESTAMP`) produce.
    *
-   * Session-conf note: the nanosAsLong flag stays set for the session
-   * (the scan captures conf at planning time, so a restore-after-read
-   * would break lazy execution). The flag's only effect is on
-   * TIMESTAMP(NANOS) parquet columns, which Spark otherwise refuses to
-   * read at all — no working read changes behavior.
+   * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which
+   * graft.GraftSession sets as a session default (the scan captures conf
+   * at planning time, so an operator-level set-and-restore would break
+   * lazy execution — and operators must not mutate shared session conf).
+   * Fails fast with that instruction on a session missing the flag.
    */
   def readEventsParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "readEventsParquet needs spark.sql.legacy.parquet.nanosAsLong=true at " +
+        "session build time (a GraftSession default) to read TIMESTAMP(NANOS) parquet")
     val raw = spark.read.parquet(path)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // FLOOR division, not `div` (which truncates toward zero): a
