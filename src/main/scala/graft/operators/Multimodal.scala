@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
  * the bytes inline per row group; column pruning skips them entirely when
  * a query only touches metadata).
  *
- * Metadata extraction is pure Catalyst expressions. Decoding is a
- * batched per-partition stage ([[decodeFeatures]]) whose actual
- * decode step is STUBBED with a deterministic fake — no image/audio codec
- * ships in this environment — while the Spark-side contract (schema,
- * batching, partition-parallel execution, typed encoders) is real and
- * tested.
+ * Metadata extraction is pure Catalyst expressions. Decode / resize are
+ * batched per-partition stages: payloads carrying a JDK-decodable image
+ * format (PNG/JPEG/GIF/BMP via `javax.imageio`) get REAL pixel work —
+ * actual decode → per-band luminance features ([[decodeFeatures]]) and
+ * actual nearest-neighbor rescale → PNG re-encode ([[resize]]) — with
+ * per-partition [[ImageDecoder]] reader reuse amortizing codec setup.
+ * Undecodable payloads (non-image bytes, truncated images) fall back to a
+ * deterministic MD5-derived stub, which doubles as the DuckDB-oracle
+ * branch for the text fixtures. Audio/video codecs don't ship in the JDK,
+ * so [[sampleFrames]] keeps the stub content under the real 1→N shape.
  */
 object Multimodal {
 
@@ -72,33 +76,156 @@ object Multimodal {
   /** One sampled frame of a media payload. */
   final case class FrameRecord(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  // ---------------------------------------------------- real pixel work
+
+  /** Leading-bytes sniff for the JDK-decodable image formats. Byte-level
+    * (no hex string materialized) because it runs per row in the decode
+    * hot path; a payload that matches but fails to decode (truncated,
+    * magic-colliding text) still falls back to the stub. */
+  private def imageFormat(payload: Array[Byte]): Option[String] = {
+    def at(i: Int, b: Int): Boolean = payload(i) == b.toByte
+    if (payload.length < 4) None
+    else if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) Some("png")
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) Some("jpeg")
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8')) Some("gif")
+    else if (at(0, 'B') && at(1, 'M')) Some("bmp")
+    else None
+  }
+
   /**
-   * Batched resize over media payloads.
-   *
-   * The pixel work is a STUB (no codec in this environment): the resized
-   * payload is deterministically derived as UTF-8 of
-   * "md5hex(payload):<w>x<h>", so the oracle can re-derive it. The Spark
-   * shape is real: typed Dataset in/out, per-partition init amortizing
-   * codec setup, payload never leaves its executor.
+   * Per-partition image decoder: one `javax.imageio.ImageReader` per
+   * format, reused across every row the partition decodes — reader
+   * construction (registry scan + plugin init) is the fixed cost
+   * `ImageIO.read` would otherwise pay per row. Instantiated inside
+   * `mapPartitions`, never serialized (readers aren't Serializable).
    */
+  private final class ImageDecoder {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams; no temp-file churn
+    private val readers =
+      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+
+    private def readerFor(fmt: String): Option[javax.imageio.ImageReader] =
+      readers.get(fmt).orElse {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (!it.hasNext) None
+        else {
+          val r = it.next()
+          readers(fmt) = r
+          Some(r)
+        }
+      }
+
+    /** Decode a payload, or None if it isn't a (valid) JDK-readable image. */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      for {
+        fmt <- imageFormat(payload)
+        reader <- readerFor(fmt)
+        img <- try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            reader.setInput(iis, true, true)
+            Option(reader.read(0))
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      } yield img
+  }
+
+  /**
+   * Pixel features of a decoded image: `dim` horizontal bands, each the
+   * mean luminance (r+g+b over 3·255, in [0,1]) of its rows. Integer
+   * pixel sums + one double division per band — bit-deterministic across
+   * JVMs and partitionings. Bands past the image height (height < dim)
+   * are 0.
+   */
+  private def bandLuminance(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    Array.tabulate(dim) { i =>
+      val r0 = (i.toLong * h / dim).toInt
+      val r1 = ((i + 1).toLong * h / dim).toInt
+      if (r1 <= r0 || w == 0) 0.0f
+      else {
+        var sum = 0L
+        var y = r0
+        while (y < r1) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (sum.toDouble / (3.0 * 255.0 * w * (r1 - r0))).toFloat
+      }
+    }
+  }
+
+  /** Nearest-neighbor rescale: target pixel (x, y) copies source pixel
+    * (x·sw/w, y·sh/h). Pure integer sampling — chosen over Graphics2D
+    * interpolation because it is exactly reproducible everywhere. */
+  private def nearestResize(
+    img: java.awt.image.BufferedImage,
+    w: Int,
+    h: Int
+  ): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth.toLong
+    val sh = img.getHeight.toLong
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB((x * sw / w).toInt, (y * sh / h).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Lowercase md5 hex of a payload — the stub content derivation shared
     * by resize and sampleFrames; the DuckDB oracle formulas in LlmGates
     * mirror this exact encoding. */
   private def md5Hex(digest: java.security.MessageDigest, payload: Array[Byte]): String =
     digest.digest(payload).map(b => f"$b%02x").mkString
 
+  /**
+   * Batched resize over media payloads.
+   *
+   * Image payloads (PNG/JPEG/GIF/BMP) get a REAL rescale: decode via the
+   * partition's reused [[ImageDecoder]], nearest-neighbor sample to
+   * `width`×`height`, re-encode as PNG. Undecodable payloads keep the
+   * deterministic stub — UTF-8 of "md5hex(payload):<w>x<h>" — which the
+   * DuckDB oracle re-derives for the text fixtures. Typed Dataset in/out,
+   * per-partition codec init, payload never leaves its executor.
+   */
   def resize(
     media: Dataset[MediaRecord],
     width: Int,
     height: Int
   ): Dataset[MediaRecord] = {
+    require(width > 0 && height > 0, s"resize dims must be positive: ${width}x$height")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      val decoder = new ImageDecoder
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { rec =>
-        // >>> STUB RESIZE <<< a real deployment decodes + scales here
-        val hex = md5Hex(digest, rec.payload)
-        MediaRecord(rec.doc_id, s"$hex:${width}x$height".getBytes("UTF-8"))
+        decoder.decode(rec.payload) match {
+          case Some(img) =>
+            MediaRecord(rec.doc_id, encodePng(nearestResize(img, width, height)))
+          case None =>
+            val hex = md5Hex(digest, rec.payload)
+            MediaRecord(rec.doc_id, s"$hex:${width}x$height".getBytes("UTF-8"))
+        }
       }
     }
   }
@@ -125,12 +252,14 @@ object Multimodal {
   /**
    * Batched decode + feature extraction over media payloads.
    *
-   * The decode step is a STUB: a real deployment would decode the image /
-   * resample the audio here with a codec library; this environment has
-   * none, so features are derived deterministically from the payload's
-   * MD5 bytes. Everything around the stub is the real scale shape:
-   * typed Dataset in/out, per-partition batching (amortizes codec init,
-   * the expensive part of real decoders), no driver involvement.
+   * Image payloads get REAL pixel work: `javax.imageio` decode (reader
+   * reused across the partition), actual width/height, and per-band mean
+   * luminance features ([[bandLuminance]] — integer pixel sums, so the
+   * floats are bit-deterministic). Undecodable payloads fall back to the
+   * deterministic MD5-derived stub the DuckDB oracle re-derives for text
+   * fixtures. The scale shape is the same either way: typed Dataset
+   * in/out, per-partition batching amortizing codec init, no driver
+   * involvement, payload never shuffled.
    */
   def decodeFeatures(
     media: Dataset[MediaRecord],
@@ -139,19 +268,27 @@ object Multimodal {
   ): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init — stands in for codec/model initialization
+      // per-partition init — codec readers + stub digest, built once
+      val decoder = new ImageDecoder
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { rec =>
-          // >>> STUB DECODE <<< deterministic fake in place of a codec:
-          val h = digest.digest(rec.payload)
-          val feats = Array.tabulate(featureDim)(i => (h(i % h.length) & 0xff) / 255.0f)
-          DecodedMedia(
-            rec.doc_id,
-            width = ((h(0) & 0xff) % 64) + 1,
-            height = ((h(1) & 0xff) % 64) + 1,
-            features = feats
-          )
+          decoder.decode(rec.payload) match {
+            case Some(img) =>
+              DecodedMedia(
+                rec.doc_id, img.getWidth, img.getHeight,
+                bandLuminance(img, featureDim))
+            case None =>
+              // deterministic stub for non-image payloads
+              val h = digest.digest(rec.payload)
+              val feats = Array.tabulate(featureDim)(i => (h(i % h.length) & 0xff) / 255.0f)
+              DecodedMedia(
+                rec.doc_id,
+                width = ((h(0) & 0xff) % 64) + 1,
+                height = ((h(1) & 0xff) % 64) + 1,
+                features = feats
+              )
+          }
         }
       }
     }

@@ -44,6 +44,74 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.payload.toSeq != other.payload.toSeq) // dims change content
   }
 
+  // ------------------------------------------------- real pixel work
+
+  /** PNG-encode a programmatically built image. */
+  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private def rgbImage(w: Int, h: Int)(color: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+    img
+  }
+
+  test("decodeFeatures: real PNG decode — actual dims + known band luminance") {
+    // 8×4 image, one uniform color per row: black, white, red, rgb(30,60,90)
+    val rows = Array(0x000000, 0xffffff, 0xff0000, 0x1e3c5a)
+    val fixture = png(rgbImage(8, 4)((_, y) => rows(y)))
+    val media = Seq(MediaRecord(7L, fixture)).toDS()
+    val out = Multimodal.decodeFeatures(media, featureDim = 4).head
+    assert(out.width == 8 && out.height == 4)
+    val expected = Seq(0.0f, 1.0f, (255.0 / 765.0).toFloat, (180.0 / 765.0).toFloat)
+    assert(out.features.toSeq == expected)
+  }
+
+  test("decodeFeatures: image rows take the real branch, text rows the stub") {
+    val fixture = png(rgbImage(3, 3)((_, _) => 0xffffff))
+    val media = Seq(
+      MediaRecord(1L, fixture),
+      MediaRecord(2L, "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val out = Multimodal.decodeFeatures(media, featureDim = 2)
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(1L).width == 3 && out(1L).height == 3)
+    assert(out(1L).features.forall(_ == 1.0f)) // all-white
+    // the text row reproduces the md5-derived stub exactly
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("not an image".getBytes("UTF-8"))
+    assert(out(2L).width == ((h(0) & 0xff) % 64) + 1)
+    assert(out(2L).features.toSeq ==
+      Seq((h(0) & 0xff) / 255.0f, (h(1) & 0xff) / 255.0f))
+  }
+
+  test("resize: real nearest-neighbor rescale round-trips quadrant pixels") {
+    val colors = Array(Array(0xff0000, 0x00ff00), Array(0x0000ff, 0xffffff))
+    val fixture = png(rgbImage(2, 2)((x, y) => colors(y)(x)))
+    val media = Seq(MediaRecord(1L, fixture)).toDS()
+    val resized = Multimodal.resize(media, 4, 4).head.payload
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) == colors(y / 2)(x / 2),
+        s"pixel ($x,$y)")
+  }
+
+  test("resize: BMP input decodes too and comes back as PNG") {
+    val src = rgbImage(4, 2)((_, _) => 0x123456)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "bmp", baos)
+    val media = Seq(MediaRecord(1L, baos.toByteArray)).toDS()
+    val out = Multimodal.resize(media, 2, 2).head.payload
+    assert(out.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert((img.getRGB(1, 1) & 0xffffff) == 0x123456)
+  }
+
   test("decodeFeatures: deterministic stub, real schema, partition batching") {
     val media = (1L to 100L)
       .map(i => MediaRecord(i, s"payload-$i".getBytes("UTF-8")))
