@@ -51,28 +51,71 @@ object GraftSession {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark) // SQL surface for the native expressions
-    registerBucketCapLogger(spark)
+    registerBucketCapListener(spark)
     spark
   }
 
   // ------------------------------------------- observed-metric reporting
 
+  /** Drop counts one capped bucket stage reported after an action (see
+    * Dedup.capBuckets): `metric` is the plan-unique observed-metric name
+    * (`graft.<family>.bucket_cap#<n>`). */
+  final case class BucketCapDrop(
+    metric: String,
+    droppedBuckets: Long,
+    droppedRows: Long)
+
   /** Sessions that already carry the bucket-cap listener (register runs on
     * every create/getOrCreate; the listener must attach once). */
-  private val capLoggerSessions =
+  private val capListenerSessions =
     java.util.Collections.synchronizedSet(
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
+  /** Per-session record of observed bucket-cap metrics: metric name →
+    * (dropped_buckets, dropped_rows) from its most recent action. Weak
+    * keys — records die with their session. */
+  private val capDropRecords =
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.mutable.LinkedHashMap[String, (Long, Long)]]()
+
+  private def recordsFor(spark: SparkSession) =
+    capDropRecords.synchronized {
+      capDropRecords.computeIfAbsent(
+        spark, _ => scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)])
+    }
+
   /**
-   * WARN-log any `graft.*.bucket_cap#*` observed metric with a nonzero
-   * drop count (see Dedup.capBuckets): capping a degenerate LSH bucket is
-   * a deliberate recall-for-boundedness trade, and this listener is what
-   * keeps it from being a SILENT one. Plan-side metrics + a driver-side
-   * listener cost nothing per row — no second pass over the data.
+   * WARN-log AND record any `graft.*.bucket_cap#*` observed metric with a
+   * nonzero drop count (see Dedup.capBuckets): capping a degenerate LSH
+   * bucket is a deliberate recall-for-boundedness trade, and this listener
+   * keeps it from being a SILENT one — the log line for humans, the
+   * [[bucketCapDrops]] accessor for pipelines that must react (rerun
+   * exact dedup first, raise the cap, fail the run). Plan-side metrics +
+   * a driver-side listener cost nothing per row — no second pass over the
+   * data.
    */
-  def registerBucketCapLogger(spark: SparkSession): Unit =
-    if (capLoggerSessions.add(spark)) {
+  /** AQE's runtime empty-relation propagation replaces already-executed
+    * subtrees whose output turned out empty with an empty LocalRelation.
+    * When a bucket cap drops EVERY bucket, the CollectMetrics node sits
+    * exactly in such a subtree — the observed metric would vanish from
+    * the final plan at the moment the cap fully engaged, the one case the
+    * metric exists for. Excluded (per session, when the listener
+    * registers) because a reliable safety valve is worth more than the
+    * short-circuit of a branch that is already cheap to run: the stages
+    * below the empty output have been executed either way, and
+    * compile-time PropagateEmptyRelation still applies. */
+  private val AqeEmptyRelationRule =
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+
+  def registerBucketCapListener(spark: SparkSession): Unit =
+    if (capListenerSessions.add(spark)) {
+      val key = "spark.sql.adaptive.optimizer.excludedRules"
+      val existing = spark.conf.getOption(key).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      if (!existing.contains(AqeEmptyRelationRule))
+        spark.conf.set(key, (existing :+ AqeEmptyRelationRule).mkString(","))
+      val records = recordsFor(spark)
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         private val log = org.slf4j.LoggerFactory.getLogger("graft.BucketCap")
         override def onSuccess(
@@ -83,10 +126,12 @@ object GraftSession {
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith("graft.") && name.contains(".bucket_cap#")) {
               val buckets = row.getAs[Long]("dropped_buckets")
+              val rows = row.getAs[Long]("dropped_rows")
+              records.synchronized { records(name) = (buckets, rows) }
               if (buckets > 0)
                 log.warn(
                   s"$name: dropped $buckets oversized bucket(s) covering " +
-                    s"${row.getAs[Long]("dropped_rows")} rows — raise maxBucket " +
+                    s"$rows rows — raise maxBucket " +
                     "or run exact dedup first if those clusters matter")
             }
           }
@@ -97,4 +142,31 @@ object GraftSession {
         ): Unit = ()
       })
     }
+
+  /**
+   * Bucket-cap drop counts observed on this session since creation (or
+   * the last [[clearBucketCapDrops]]), one entry per capped stage with
+   * that stage's most recent action's counts — zero-drop observations
+   * included, so "ran and dropped nothing" is distinguishable from
+   * "didn't run". Listener delivery is asynchronous; this flushes the
+   * listener bus (bounded by `flushTimeoutMs`) before reading so counts
+   * for actions that already returned are visible.
+   */
+  def bucketCapDrops(
+    spark: SparkSession,
+    flushTimeoutMs: Long = 10000
+  ): Seq[BucketCapDrop] = {
+    org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark, flushTimeoutMs)
+    val records = recordsFor(spark)
+    records.synchronized {
+      records.iterator.map { case (m, (b, r)) => BucketCapDrop(m, b, r) }.toSeq
+    }
+  }
+
+  /** Reset [[bucketCapDrops]] for a session (e.g. between pipeline stages
+    * whose drop decisions are independent). */
+  def clearBucketCapDrops(spark: SparkSession): Unit = {
+    val records = recordsFor(spark)
+    records.synchronized { records.clear() }
+  }
 }

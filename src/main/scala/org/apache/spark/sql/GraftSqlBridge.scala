@@ -24,6 +24,16 @@ object GraftSqlBridge {
     org.apache.spark.sql.errors.QueryExecutionErrors
       .invalidInputInCastToNumberError(to, s, null)
 
+  /** Flush the async listener bus (bounded wait), so
+    * `QueryExecutionListener` callbacks for actions that already finished
+    * have been delivered. Returns false on timeout. The bus handle is
+    * `private[spark]`, hence bridged here. */
+  def flushListenerBus(spark: SparkSession, timeoutMs: Long): Boolean =
+    try {
+      spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+      true
+    } catch { case _: java.util.concurrent.TimeoutException => false }
+
   /** Register a SQL function on an EXISTING session (the extensions path
     * only applies at session construction). */
   def registerFunction(

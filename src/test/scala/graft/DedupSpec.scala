@@ -114,6 +114,35 @@ class DedupSpec extends SparkSpec {
       Dedup.simHashes(degenerate, "text", "doc_id")).count() == 0L)
   }
 
+  test("bucket-cap drops are reported through the public API, not just the log") {
+    GraftSession.registerBucketCapListener(spark)
+    GraftSession.clearBucketCapDrops(spark)
+    val df = (1L to 30L).map(i => (i, "exactly the same text for everyone"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "text", "doc_id")
+
+    // planted degenerate key over a tiny cap: every band bucket (4 bands
+    // × 30 docs) is oversized and dropped
+    Dedup.lshCandidates(sigs, maxBucket = Some(10)).count()
+    val dropped = GraftSession.bucketCapDrops(spark)
+    assert(dropped.nonEmpty, "capped action must surface a drop record")
+    assert(dropped.forall(_.metric.startsWith("graft.lsh.bucket_cap#")),
+      dropped.toString)
+    assert(dropped.map(_.droppedBuckets).sum == 4L)
+    assert(dropped.map(_.droppedRows).sum == 4L * 30)
+
+    // a fresh stage that drops nothing still reports: zero counts are
+    // distinguishable from "didn't run"
+    GraftSession.clearBucketCapDrops(spark)
+    Dedup.lshCandidates(sigs).count() // 30 < default 1024 cap
+    val clean = GraftSession.bucketCapDrops(spark)
+    assert(clean.nonEmpty)
+    assert(clean.forall(d => d.droppedBuckets == 0L && d.droppedRows == 0L))
+
+    GraftSession.clearBucketCapDrops(spark)
+    assert(GraftSession.bucketCapDrops(spark).isEmpty)
+  }
+
   test("simhash and embedding bucket caps drop degenerate buckets") {
     val same = (1L to 50L).map(i => (i, "identical words right here"))
       .toDF("doc_id", "text")
