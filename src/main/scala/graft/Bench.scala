@@ -24,7 +24,7 @@ object Bench {
     "q_simhash",            // nested-lambda bit voting
     "q_embed_neardup",      // hyperplane bucket join + cosine verify
     "q_ann_topk",           // broadcast cross join + top-k window
-    "q_ann_ivf",            // IVF assign + probe join
+    "q_ann_ivf_recall",     // IVF assign + probe join + brute-force truth + recall join (r7; replaces q_ann_ivf — same IVF path plus the recall check)
     "q_lang_id",
     "q_text_quality",
     "q_token_count",
@@ -38,7 +38,9 @@ object Bench {
     "q_salted_join",        // salted (key,salt) join, right side exploded (r5)
     "q_bucketed_join",      // bucketed write + catalog read + exchange-free join (r5)
     "q_ann_ivf_exact",      // IVF at nProbe=nCentroids — the full-probe cost path (r5)
-    "q_simhash_pairs"       // simhash banding + bucket-capped Hamming verify (r5)
+    "q_simhash_pairs",      // simhash banding + bucket-capped Hamming verify (r5)
+    "q_multimodal_decode",  // mapPartitions decode stage — real imageio path since r6 (r7)
+    "q_multimodal_resize"   // mapPartitions resize + re-encode stage (r7)
   )
 
   private def jsonStr(s: String): String =

@@ -13,8 +13,10 @@ import graft.streaming.Events
  * engine-portable MD5 primitives (graft.functions.Hashing), so the DuckDB
  * oracles RE-DERIVE the full MinHash → LSH → Jaccard and SimHash chains
  * in SQL — these are strong, value-exact gates, not rows-only checks.
- * Only q_ann_ivf is rows-only (approximate recall is gated by a ScalaTest
- * property instead).
+ * The approximate-IVF configuration, whose top-k DuckDB cannot re-derive
+ * (it would have to replicate k-means), is gated by q_ann_ivf_recall: a
+ * deterministic relational recall@k against brute force whose thresholded
+ * summary row a constant-table oracle compares value-exactly.
  */
 object LlmGates {
 
@@ -95,14 +97,21 @@ object LlmGates {
           corpus, corpus.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5)
         .withColumn("score", round(col("score"), 4))
     },
-    // §2.4 row 32 — IVF-bucketed ANN (rows-only gate; recall of the
-    // approximate config is gated by a SimilaritySpec property)
-    "q_ann_ivf" -> { (s, dir) =>
+    // §2.4 row 32 — IVF-bucketed ANN, approximate config (nProbe=4 of 16).
+    // DuckDB cannot re-derive the approximate top-k (it would have to
+    // replicate k-means), so the gate is recall@k against exact brute
+    // force, computed relationally on the Spark side: both searches are
+    // deterministic (seeded k-means, id-tiebroken ranks), so the
+    // thresholded summary is a constant the oracle compares value-exactly.
+    // Measured recall: 0.94 (sf0.001) / 0.98 (sf0.01) / 1.0 (sf0.1).
+    // n_hits is selected away because it varies with sf; recall_ok is the
+    // sf-stable contract.
+    "q_ann_ivf_recall" -> { (s, dir) =>
       val corpus = embs(s, dir)
-      Similarity.ivfTopK(
+      Similarity.ivfRecallSummary(
           corpus, corpus.filter(col("vec_id") < 10), "embedding", "vec_id",
-          k = 5, nCentroids = 16, nProbe = 4)
-        .withColumn("score", round(col("score"), 4))
+          k = 5, nCentroids = 16, nProbe = 4, minRecall = 0.9)
+        .select("n_queries", "n_truth", "recall_ok")
     },
     // §2.4 row 32b — IVF in its exact degenerate mode: nProbe=nCentroids
     // probes every bucket, so the full IVF machinery (k-means build,
@@ -383,6 +392,10 @@ object LlmGates {
         |  FROM s)
         |SELECT query_id, neighbor_id, round(score, 4) AS score
         |FROM r WHERE rn <= 5""".stripMargin,
+    // the recall threshold holds at every sf dir (see the queries entry),
+    // so the oracle is the constant summary row
+    "q_ann_ivf_recall" ->
+      "SELECT 10::BIGINT AS n_queries, 50::BIGINT AS n_truth, 1 AS recall_ok",
     // exact-degenerate IVF ≡ brute force: same oracle as q_ann_topk
     "q_ann_ivf_exact" ->
       """WITH e AS (

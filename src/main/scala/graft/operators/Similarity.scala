@@ -208,4 +208,46 @@ object Similarity {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /**
+   * Recall\@k of the approximate IVF configuration against exact brute
+   * force, as ONE summary row:
+   * `(n_queries, n_truth, n_hits, recall_ok)` where `n_truth` is the
+   * number of exact top-k rows, `n_hits` how many of them IVF also
+   * returned, and `recall_ok` = 1 iff `n_hits / n_truth >= minRecall`.
+   *
+   * Entirely relational — the truth set left-joins the IVF set on
+   * (query_id, neighbor_id) and one aggregation folds the counts — so the
+   * check scales exactly like the two searches it compares (the join keys
+   * are ≤ |queries|·k rows, broadcast-sized). Every input to the
+   * comparison is deterministic (deterministic k-means seeds, exact
+   * integer rank ties), which is what lets a constant-table DuckDB oracle
+   * gate the threshold.
+   */
+  def ivfRecallSummary(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    k: Int = 10,
+    nCentroids: Int = 16,
+    nProbe: Int = 4,
+    kmeansIters: Int = 2,
+    minRecall: Double = 0.9
+  ): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      .select("query_id", "neighbor_id")
+    val approx = ivfTopK(corpus, queries, vecCol, idCol, k, nCentroids, nProbe, kmeansIters)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(
+        col("n_queries"), col("n_truth"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_truth").cast("double") >= lit(minRecall))
+          .cast("int").as("recall_ok"))
+  }
 }

@@ -75,6 +75,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(8) >= 0.85)
   }
 
+  test("ivfRecallSummary matches an independently computed recall@k") {
+    val bf = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedHits = ivf.intersect(bf).size
+
+    val row = Similarity.ivfRecallSummary(corpus, queries, "embedding", "vec_id",
+      k = 5, nCentroids = 16, nProbe = 4, minRecall = 0.9).collect()(0)
+    assert(row.getAs[Long]("n_queries") == 10)
+    assert(row.getAs[Long]("n_truth") == bf.size)
+    assert(row.getAs[Long]("n_hits") == expectedHits)
+    val recall = expectedHits.toDouble / bf.size
+    assert(row.getAs[Int]("recall_ok") == (if (recall >= 0.9) 1 else 0))
+
+    // an unreachable threshold flips the flag — the gate can actually fail
+    val strict = Similarity.ivfRecallSummary(corpus, queries, "embedding", "vec_id",
+      k = 5, nCentroids = 16, nProbe = 1, minRecall = 1.0).collect()(0)
+    if (strict.getAs[Long]("n_hits") < strict.getAs[Long]("n_truth"))
+      assert(strict.getAs[Int]("recall_ok") == 0)
+  }
+
   test("a zero-norm corpus vector is never returned as a neighbor") {
     import spark.implicits._
     val dim = corpus.select(size(col("embedding"))).head.getInt(0)
