@@ -1,6 +1,6 @@
 package graft.gates
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.Events
@@ -41,6 +41,60 @@ object LlmGates {
       e.filter(col("vec_id") % 25 === 0)
         .withColumn("vec_id", col("vec_id") + 100000))
   }
+
+  /** Encode a programmatic image via javax.imageio — the fixture side of
+    * the real-pixel oracle branch. */
+  private def fixtureImage(w: Int, h: Int, imgType: Int, fmt: String)(
+    color: (Int, Int) => Int
+  ): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, color(x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  /**
+   * Deterministic image fixtures for the REAL decode branch — lossless
+   * codecs only (PNG/BMP roundtrip exactly; JPEG's decoder varies by JDK
+   * vendor), pixel patterns chosen so every band value is hand-checkable,
+   * negative ids so they can't collide with document ids:
+   *  -1  PNG 4×8   row-gradient gray (y·30) — one band per row
+   *  -2  BMP 6×3   solid R/G/B rows — height < featureDim zero-band path
+   *  -3  PNG 16×16 checkerboard — every band exactly 0.5
+   *  -4  PNG ARGB 4×4 gray + alpha gradient — pins the alpha-drop
+   *      semantics (raw RGB counted, alpha ignored)
+   */
+  private def imageFixtures(s: SparkSession): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val Rgb = java.awt.image.BufferedImage.TYPE_INT_RGB
+    val Argb = java.awt.image.BufferedImage.TYPE_INT_ARGB
+    val rowColors = Array(0xff0000, 0x00ff00, 0x0000ff)
+    s.createDataset(Seq(
+      Multimodal.MediaRecord(-1L, fixtureImage(4, 8, Rgb, "png") { (_, y) =>
+        val g = y * 30; (g << 16) | (g << 8) | g
+      }),
+      Multimodal.MediaRecord(-2L, fixtureImage(6, 3, Rgb, "bmp")((_, y) => rowColors(y))),
+      Multimodal.MediaRecord(-3L, fixtureImage(16, 16, Rgb, "png") { (x, y) =>
+        if ((x + y) % 2 == 0) 0xffffff else 0x000000
+      }),
+      Multimodal.MediaRecord(-4L, fixtureImage(4, 4, Argb, "png") { (_, y) =>
+        ((y * 60) << 24) | 0x808080
+      })
+    ))
+  }
+
+  /** The gated projection of [[Multimodal.DecodedMedia]]: id, dimensions,
+    * and the 8 band features rounded to 4 decimals. */
+  private def decodedCols: Seq[org.apache.spark.sql.Column] =
+    Seq(col("doc_id"), col("width"), col("height")) ++
+      (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 row 26 — exact dedup: normalized-hash groupBy, min-id keeper
@@ -164,11 +218,28 @@ object LlmGates {
       val media = docs(s, dir)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
-      val decoded = Multimodal.decodeFeatures(media, featureDim = 8).toDF()
-      decoded.select(
-        Seq(col("doc_id"), col("width"), col("height")) ++
-          (0 until 8).map(i =>
-            round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i")): _*)
+      Multimodal.decodeFeatures(media, featureDim = 8).toDF().select(decodedCols: _*)
+    },
+    // §2.4 row 37b' — the REAL imageio decode branch under the oracle: a
+    // mixed table of text payloads (stub branch) and deterministic
+    // PNG/BMP fixtures (real pixel branch); image rows gate actual
+    // decoded width/height and band luminance against a literal table
+    "q_multimodal_decode_img" -> { (s, dir) =>
+      import s.implicits._
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeFeatures(texts.union(imageFixtures(s)), featureDim = 8)
+        .toDF().select(decodedCols: _*)
+    },
+    // §2.4 row 37c' — the REAL nearest-neighbor resize under the oracle:
+    // fixtures rescaled 5×4 then re-decoded, so the gate checks actual
+    // resampled pixels (via band luminance), not encoder bytes
+    "q_multimodal_resize_img" -> { (s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.resize(imageFixtures(s), width = 5, height = 4), featureDim = 8)
+        .toDF().select(decodedCols: _*)
     },
     // §2.4 row 37c — stub resize plumbing, re-derivable by the oracle
     "q_multimodal_resize" -> { (s, dir) =>
@@ -489,6 +560,40 @@ object LlmGates {
          |       $feats
          |FROM d""".stripMargin
     },
+    // mixed-branch decode: text rows re-derive the MD5 stub; image rows
+    // are a literal table of the hand-checkable band-luminance values
+    // (PNG/BMP are lossless and the band math is integer-sum
+    // deterministic, so these constants are exact, not tolerances)
+    "q_multimodal_decode_img" -> {
+      val feats = (0 until 8).map { i =>
+        s"round((((('0x' || substr(h, ${2 * (i % 16) + 1}, 2))::INT) / 255.0)::FLOAT)::DOUBLE, 4) AS f$i"
+      }.mkString(",\n|       ")
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 50)
+         |SELECT doc_id,
+         |       (('0x' || substr(h, 1, 2))::INT % 64) + 1 AS width,
+         |       (('0x' || substr(h, 3, 2))::INT % 64) + 1 AS height,
+         |       $feats
+         |FROM d
+         |UNION ALL
+         |SELECT * FROM (VALUES
+         |  (-1::BIGINT, 4, 8, 0.0::DOUBLE, 0.1176::DOUBLE, 0.2353::DOUBLE, 0.3529::DOUBLE,
+         |   0.4706::DOUBLE, 0.5882::DOUBLE, 0.7059::DOUBLE, 0.8235::DOUBLE),
+         |  (-2::BIGINT, 6, 3, 0.0, 0.0, 0.3333, 0.0, 0.0, 0.3333, 0.0, 0.3333),
+         |  (-3::BIGINT, 16, 16, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5),
+         |  (-4::BIGINT, 4, 4, 0.0, 0.502, 0.0, 0.502, 0.0, 0.502, 0.0, 0.502)
+         |) t(doc_id, width, height, f0, f1, f2, f3, f4, f5, f6, f7)""".stripMargin
+    },
+    // real-resize: 5×4 nearest-neighbor samples source rows y·sh/4 and
+    // columns x·sw/5; the re-decoded band values below are hand-derived
+    // from that mapping (e.g. -1's sampled gray rows 0/60/120/180)
+    "q_multimodal_resize_img" ->
+      """SELECT * FROM (VALUES
+        |  (-1::BIGINT, 5, 4, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.2353::DOUBLE,
+        |   0.0::DOUBLE, 0.4706::DOUBLE, 0.0::DOUBLE, 0.7059::DOUBLE),
+        |  (-2::BIGINT, 5, 4, 0.0, 0.3333, 0.0, 0.3333, 0.0, 0.3333, 0.0, 0.3333),
+        |  (-3::BIGINT, 5, 4, 0.0, 0.6, 0.0, 0.6, 0.0, 0.6, 0.0, 0.6),
+        |  (-4::BIGINT, 5, 4, 0.0, 0.502, 0.0, 0.502, 0.0, 0.502, 0.0, 0.502)
+        |) t(doc_id, width, height, f0, f1, f2, f3, f4, f5, f6, f7)""".stripMargin,
     "q_multimodal_resize" ->
       """SELECT doc_id, md5(md5(text) || ':64x64') AS resized_md5
         |FROM documents""".stripMargin,

@@ -129,14 +129,41 @@ object Multimodal {
           } finally iis.close()
         } catch { case scala.util.control.NonFatal(_) => None }
       } yield img
+
+    /** Release reader-held native/buffer resources. Idempotent — safe to
+      * call from an exhaustion hook that may fire more than once. */
+    def dispose(): Unit = {
+      readers.valuesIterator.foreach(_.dispose())
+      readers.clear()
+    }
   }
+
+  /** Run `cleanup` when `it` reports exhaustion — how per-partition
+    * decoder state is released without relying on GC (ImageReaders hold
+    * codec buffers; thousands of short partitions would otherwise
+    * accumulate them until a collection happens to run). Rows that never
+    * drain the iterator (task kill) still fall back to GC, which is the
+    * JVM's own backstop for abandoned readers. */
+  private def onExhaustion[T](it: Iterator[T])(cleanup: () => Unit): Iterator[T] =
+    new Iterator[T] {
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) cleanup()
+        h
+      }
+      override def next(): T = it.next()
+    }
 
   /**
    * Pixel features of a decoded image: `dim` horizontal bands, each the
    * mean luminance (r+g+b over 3·255, in [0,1]) of its rows. Integer
-   * pixel sums + one double division per band — bit-deterministic across
-   * JVMs and partitionings. Bands past the image height (height < dim)
-   * are 0.
+   * pixel sums + one double division per band, so the POST-DECODE math is
+   * bit-deterministic across partitionings and JVMs; end-to-end
+   * determinism additionally requires the codec to be (PNG/BMP/GIF are
+   * lossless everywhere; JPEG output can differ across JDK vendors'
+   * decoders). Alpha is IGNORED — translucent pixels contribute their
+   * raw RGB, not a composited value. Bands past the image height
+   * (height < dim) are 0.
    */
   private def bandLuminance(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
     val w = img.getWidth
@@ -164,7 +191,10 @@ object Multimodal {
 
   /** Nearest-neighbor rescale: target pixel (x, y) copies source pixel
     * (x·sw/w, y·sh/h). Pure integer sampling — chosen over Graphics2D
-    * interpolation because it is exactly reproducible everywhere. */
+    * interpolation because it is exactly reproducible everywhere. The
+    * output is TYPE_INT_RGB: alpha is DROPPED, with translucent source
+    * pixels keeping their raw (un-composited) RGB — a deliberate
+    * semantic choice that keeps resize a pure pixel copy. */
   private def nearestResize(
     img: java.awt.image.BufferedImage,
     w: Int,
@@ -218,7 +248,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       val decoder = new ImageDecoder
       val digest = java.security.MessageDigest.getInstance("MD5")
-      rows.map { rec =>
+      onExhaustion(rows.map { rec =>
         decoder.decode(rec.payload) match {
           case Some(img) =>
             MediaRecord(rec.doc_id, encodePng(nearestResize(img, width, height)))
@@ -226,7 +256,7 @@ object Multimodal {
             val hex = md5Hex(digest, rec.payload)
             MediaRecord(rec.doc_id, s"$hex:${width}x$height".getBytes("UTF-8"))
         }
-      }
+      })(() => decoder.dispose())
     }
   }
 
@@ -271,7 +301,7 @@ object Multimodal {
       // per-partition init — codec readers + stub digest, built once
       val decoder = new ImageDecoder
       val digest = java.security.MessageDigest.getInstance("MD5")
-      rows.grouped(batchSize).flatMap { batch =>
+      onExhaustion(rows.grouped(batchSize).flatMap { batch =>
         batch.map { rec =>
           decoder.decode(rec.payload) match {
             case Some(img) =>
@@ -290,7 +320,7 @@ object Multimodal {
               )
           }
         }
-      }
+      })(() => decoder.dispose())
     }
   }
 }
