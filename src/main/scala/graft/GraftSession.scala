@@ -79,6 +79,13 @@ object GraftSession {
     new java.util.WeakHashMap[
       SparkSession, scala.collection.mutable.LinkedHashMap[String, (Long, Long)]]()
 
+  /** Bound on per-session cap-drop records: every capBuckets call mints a
+    * unique metric name, so a long-lived session looping over LSH stages
+    * would otherwise grow the record map one entry per executed query.
+    * Past the bound the OLDEST entries are evicted (LinkedHashMap keeps
+    * insertion order) — recent stages are the ones callers react to. */
+  private val MaxCapDropRecords = 4096
+
   private def recordsFor(spark: SparkSession) =
     capDropRecords.synchronized {
       capDropRecords.computeIfAbsent(
@@ -104,7 +111,12 @@ object GraftSession {
     * registers) because a reliable safety valve is worth more than the
     * short-circuit of a branch that is already cheap to run: the stages
     * below the empty output have been executed either way, and
-    * compile-time PropagateEmptyRelation still applies. */
+    * compile-time PropagateEmptyRelation still applies. NOTE: the
+    * exclusion is SESSION-WIDE (it disables the rule for every query on
+    * the session, not just capped stages — AQE conf has no per-query
+    * scope); a user who later sets excludedRules themselves clobbers the
+    * entry, so [[bucketCapDrops]] re-asserts it on every read and warns
+    * when it had gone missing. */
   private val AqeEmptyRelationRule =
     "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
 
@@ -127,7 +139,10 @@ object GraftSession {
             if (name.startsWith("graft.") && name.contains(".bucket_cap#")) {
               val buckets = row.getAs[Long]("dropped_buckets")
               val rows = row.getAs[Long]("dropped_rows")
-              records.synchronized { records(name) = (buckets, rows) }
+              records.synchronized {
+                records(name) = (buckets, rows)
+                while (records.size > MaxCapDropRecords) records.remove(records.head._1)
+              }
               if (buckets > 0)
                 log.warn(
                   s"$name: dropped $buckets oversized bucket(s) covering " +
@@ -156,7 +171,25 @@ object GraftSession {
     spark: SparkSession,
     flushTimeoutMs: Long = 10000
   ): Seq[BucketCapDrop] = {
-    org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark, flushTimeoutMs)
+    val log = org.slf4j.LoggerFactory.getLogger("graft.BucketCap")
+    // a timed-out flush can silently return stale/missing records — warn
+    // so a caller reacting to drop counts knows the read was best-effort
+    if (!org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark, flushTimeoutMs))
+      log.warn(
+        s"listener bus flush did not complete within ${flushTimeoutMs}ms — " +
+          "bucketCapDrops may be missing counts from just-finished actions")
+    // the listener's AQE empty-relation exclusion is session conf a user
+    // can clobber by setting excludedRules themselves; re-assert it so
+    // the all-buckets-dropped case keeps reporting, and say so
+    val key = "spark.sql.adaptive.optimizer.excludedRules"
+    val existing = spark.conf.getOption(key).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (!existing.contains(AqeEmptyRelationRule)) {
+      spark.conf.set(key, (existing :+ AqeEmptyRelationRule).mkString(","))
+      log.warn(
+        s"$key no longer contained $AqeEmptyRelationRule (overwritten by user " +
+          "conf?) — re-added; drop metrics from queries run without it may be absent")
+    }
     val records = recordsFor(spark)
     records.synchronized {
       records.iterator.map { case (m, (b, r)) => BucketCapDrop(m, b, r) }.toSeq

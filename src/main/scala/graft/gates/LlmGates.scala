@@ -126,6 +126,15 @@ object LlmGates {
           "text", "doc_id", k = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select("doc_id")
     },
+    // §2.4 row 27d — transitive near-dup clustering: connected components
+    // over the verified-pair edge list (planted exact dups guarantee
+    // multi-doc components); the oracle closes the same edges with a
+    // recursive CTE
+    "q_neardup_cluster" -> { (s, dir) =>
+      Dedup.clusterNearDuplicates(docsWithDups(s, dir), "text", "doc_id",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select("doc_id", "cluster_id")
+    },
     // §2.4 row 28 — 60-bit SimHash
     "q_simhash" -> { (s, dir) =>
       Dedup.simHashes(docs(s, dir), "text", "doc_id")
@@ -298,9 +307,12 @@ object LlmGates {
        |  i -> list_min(list_transform(hs, h -> xor(h, ${h60("i::VARCHAR")}))))""".stripMargin
 
   /** Shared doc → shingles → base hashes → signature CTE prefix. */
-  private val DocSigCte =
+  private val DocSigCte = docSigCte("documents")
+
+  /** [[DocSigCte]] over an arbitrary source table/CTE. */
+  private def docSigCte(src: String) =
     s"""WITH d AS (
-       |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM documents),
+       |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM $src),
        |sh AS (
        |  SELECT doc_id, $ShinglesSql AS s FROM d),
        |hsh AS (
@@ -380,6 +392,40 @@ object LlmGates {
          |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.8)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM losers)""".stripMargin,
+    // closes the re-derived verified-pair edges with a recursive CTE
+    // (id reaches r), then labels every doc with min reachable id
+    "q_neardup_cluster" ->
+      s"""${docSigCte("all_docs").replaceFirst("^WITH ",
+             """WITH RECURSIVE all_docs AS (
+               |  SELECT doc_id, text FROM documents
+               |  UNION ALL
+               |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+               |""".stripMargin)},
+         |bands AS (
+         |  SELECT doc_id, rt.b AS band,
+         |         array_to_string(list_transform(sig[rt.b*4+1:rt.b*4+4],
+         |                                        v -> v::VARCHAR), ',') AS band_key
+         |  FROM sig, range(0, 4) rt(b)),
+         |$CandSql,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS sh FROM sh),
+         |ver AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN sets x ON cand.id_a = x.doc_id
+         |            JOIN sets y ON cand.id_b = y.doc_id
+         |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.8),
+         |sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM ver
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM ver),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM sym GROUP BY u
+         |  UNION
+         |  SELECT sym.u, reach.r FROM sym JOIN reach ON sym.v = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cluster_id
+         |FROM all_docs a LEFT JOIN comp c USING (doc_id)""".stripMargin,
     "q_simhash" ->
       s"""WITH d AS (
          |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM documents),

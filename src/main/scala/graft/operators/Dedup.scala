@@ -352,12 +352,93 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected (id_a, id_b) edge list:
+   * every vertex labeled with the MINIMUM id reachable from it. Returns
+   * (doc_id, cluster_id).
+   *
+   * Distributed min-label propagation — labels start as each vertex's
+   * own id and every round takes the min over the 1-hop neighborhood,
+   * so it converges in O(graph diameter) rounds. Near-dup graphs are
+   * dense little cliques-with-bridges (diameter a handful), which is
+   * why plain propagation is used over the log-n large-star/small-star
+   * scheme: fewer shuffles per round on the realistic shape. Each round
+   * is one join + one groupBy on the EDGE list (pairs only — tiny
+   * relative to the corpus); nothing is ever collected to the driver.
+   * `localCheckpoint` after each round truncates the logical plan, which
+   * otherwise doubles per iteration and blows up analysis time
+   * (the same lineage trap kmeansCentroids documents).
+   */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels
+        .withColumnRenamed("cluster_id", "old")
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = updated.filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = updated.select("doc_id", "cluster_id")
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /**
+   * Transitive near-duplicate clustering: the full MinHash-LSH chain's
+   * verified pairs resolved into connected components, with every corpus
+   * document assigned a cluster_id — the minimum id reachable through
+   * near-dup links, its own id for documents in no pair (singleton
+   * clusters). Unlike [[dropNearDuplicates]]'s greedy pairwise keeper,
+   * a chain A~B, B~C (with A,C not a verified pair) lands all three in
+   * cluster A.
+   *
+   * Scale shape: components are computed on the verified-pair edge list
+   * only; the corpus itself joins the (small, broadcast-able) component
+   * table once and is never shuffled.
+   */
+  def clusterNearDuplicates(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    threshold: Double = 0.8,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    maxIters: Int = 20
+  ): DataFrame = {
+    val comp = connectedComponents(
+      nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold, maxBucket),
+      maxIters)
+      .withColumnRenamed("doc_id", idCol)
+    // no explicit broadcast hint: comp is usually tiny (AQE broadcasts
+    // it), but a pathological all-dups corpus must still be joinable
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+  }
+
+  /**
    * The deduplicated corpus: every document that appears as the GREATER
    * id of a verified near-duplicate pair is dropped, keeping the lowest
    * id of each duplicate cluster reachable by pairwise links (greedy
    * canonical-keeper policy — the standard training-data pipeline rule;
-   * full transitive clustering would need iterative connected
-   * components, overkill for near-dup pruning).
+   * [[clusterNearDuplicates]] is the transitive alternative when true
+   * cluster identity matters).
    *
    * Scale shape: near-dup pairs (small) anti-joined against the corpus —
    * one broadcast-able anti join, corpus never shuffled.

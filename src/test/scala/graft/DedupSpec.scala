@@ -85,6 +85,38 @@ class DedupSpec extends SparkSpec {
     assert(kept.size == docs.count() - pairs.map(_._2).distinct.length)
   }
 
+  test("connectedComponents: min reachable id per vertex, multi-component") {
+    import spark.implicits._
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("clusterNearDuplicates: transitive chain lands in ONE cluster; singletons keep own id") {
+    import spark.implicits._
+    // hub-and-spokes chain: doc 2 is near-dup of both 1 and 3, but 1 and
+    // 3 need not verify pairwise — transitive closure must still merge
+    // all three. Doc 9 shares nothing.
+    val base = (0 until 40).map(i => s"w$i")
+    val hub = base.mkString(" ")
+    val chain1 = ("zz" +: base.tail).mkString(" ")      // first word differs
+    val chain3 = (base.init :+ "yy").mkString(" ")      // last word differs
+    val df = Seq(
+      (1L, chain1), (2L, hub), (3L, chain3),
+      (9L, "completely unrelated text about something else entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.clusterNearDuplicates(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L, out.toString)
+    assert(out(9L) == 9L)
+    // the greedy keeper on the same corpus keeps only the hub chain's min
+    val kept = Dedup.dropNearDuplicates(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(9L))
+  }
+
   test("near-dup plan has no cartesian product (LSH buckets, not all-pairs)") {
     val plan = Dedup.nearDuplicates(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString

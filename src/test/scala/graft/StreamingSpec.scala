@@ -117,6 +117,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream multi-batch session SPLIT equals sessionizeBatch on the same events") {
+    implicit val ctx = spark.sqlContext
+    val user1 = Seq(
+      Event(1L, ts(60), "click", 1.0), Event(1L, ts(65), "view", 2.0), // session A
+      Event(1L, ts(120), "click", 4.0), Event(1L, ts(130), "view", 5.0)) // session B (gap 55min)
+    val stream = MemoryStream[Event]
+    val q = Events.sessionizeStream(
+        stream.toDS().withWatermark("ts", "10 minutes").as[Event],
+        gapMillis = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions_split_stream")
+      .outputMode("append").start()
+    try {
+      // session A arrives whole in batch 1; the SPLIT event lands in its
+      // own batch, so the close-on-gap decision crosses a batch boundary
+      stream.addData(user1.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(user1(2))
+      q.processAllAvailable()
+      stream.addData(user1(3))
+      q.processAllAvailable()
+      // watermark-advancing traffic from another user closes session B
+      stream.addData(Event(2L, ts(240), "view", 9.0))
+      q.processAllAvailable()
+      stream.addData(Event(2L, ts(245), "view", 1.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sessions_split_stream")
+        .collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val batch = Events.sessionizeBatch(user1.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(batch.size == 2) // the gap really did split
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, aggregates carry through") {
     val events = Seq(
       Event(1L, ts(0), "click", 1.0),
