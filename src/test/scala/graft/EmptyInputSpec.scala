@@ -38,6 +38,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.nearDuplicates(emptyDocs, "text", "doc_id").count() == 0)
     assert(Dedup.dropNearDuplicates(emptyDocs, "text", "doc_id").count() == 0)
     assert(Dedup.simHashes(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.clusterNearDuplicates(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.connectedComponents(
+      emptyDocs.selectExpr("doc_id AS id_a", "doc_id AS id_b")).count() == 0)
     assert(Dedup.embeddingNearDup(emptyEmbs, "embedding", "vec_id").count() == 0)
   }
 
