@@ -373,29 +373,30 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels
-        .withColumnRenamed("cluster_id", "old")
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"), col("old"),
-          least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"))
+    try {
+      var labels = sym.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
         .localCheckpoint()
-      converged = updated.filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = updated.select("doc_id", "cluster_id")
-      i += 1
-    }
-    sym.unpersist()
-    labels
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val nbrMin = sym
+          .join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val updated = labels
+          .withColumnRenamed("cluster_id", "old")
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("old"),
+            least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"))
+          .localCheckpoint()
+        converged = updated.filter(col("cluster_id") =!= col("old")).isEmpty
+        labels = updated.select("doc_id", "cluster_id")
+        i += 1
+      }
+      labels
+    } finally sym.unpersist()
   }
 
   /**

@@ -114,6 +114,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(lowerCount(plan) == 1, plan)
   }
 
+  test("connectedComponents: result plan is iteration-flat (lineage truncated per round)") {
+    import spark.implicits._
+    // a 6-vertex path graph needs ~5 propagation rounds; without the
+    // per-round localCheckpoint the returned plan would embed every
+    // round's join chain and DOUBLE in size per iteration
+    val edges = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges)
+    val planNodes = out.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes <= 3, s"expected a flat checkpointed relation, got $planNodes nodes")
+    // and the propagation actually converged across those rounds
+    assert(out.collect().map(_.getLong(1)).distinct.toSeq == Seq(0L))
+  }
+
   test("near-dup chain: no cartesian product, no bucket self-join") {
     val plan = Dedup.nearDuplicates(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
