@@ -41,7 +41,8 @@ object Bench {
     "q_simhash_pairs",      // simhash banding + bucket-capped Hamming verify (r5)
     "q_multimodal_decode",  // mapPartitions decode stage — real imageio path since r6 (r7)
     "q_multimodal_resize",  // mapPartitions resize + re-encode stage (r7)
-    "q_neardup_cluster"     // near-dup chain + iterative connected components (r7)
+    "q_neardup_cluster",    // near-dup chain + iterative connected components (r7)
+    "q_token_bins"          // global-window prefix-sum binning — the range-sort shape (r7)
   )
 
   private def jsonStr(s: String): String =

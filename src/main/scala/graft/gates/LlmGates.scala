@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.Events
 
 /**
@@ -267,6 +267,29 @@ object LlmGates {
         .as[Multimodal.MediaRecord]
       Multimodal.sampleFrames(media, 4).toDF()
         .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+    },
+    // §2.4 row 44 — deterministic hash sampling (pure pushed-down filter;
+    // membership is a function of (seed, id) alone, so the oracle
+    // re-derives every decision)
+    "q_hash_sample" -> { (s, dir) =>
+      Sampling.hashSample(docs(s, dir), "doc_id", fraction = 0.25)
+        .select("doc_id")
+    },
+    // §2.4 row 45 — train/val/test split assignment (cumulative hash
+    // ranges; every row in exactly one split)
+    "q_split_assign" -> { (s, dir) =>
+      Sampling.splitAssign(docs(s, dir), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "split")
+    },
+    // §2.4 row 46 — token-budget sequence binning (one window; global
+    // order here — corpus-scale callers pass byCol)
+    "q_token_bins" -> { (s, dir) =>
+      val withTokens = docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("tok"))
+      Sampling.binByTokenBudget(withTokens, "tok", "doc_id", budget = 2000L)
+        .select("doc_id", "tok", "bin_id")
     },
     // §2.4 row 38 — tumbling-window event aggregation (batch plan is
     // identical to the streaming plan; streaming equivalence in spec)
@@ -647,6 +670,27 @@ object LlmGates {
       """SELECT doc_id, rt.i::INT AS frame_idx,
         |       md5(md5(text) || ':' || rt.i) AS frame_md5
         |FROM documents, range(0, 4) rt(i)""".stripMargin,
+    "q_hash_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${h60("'graft:' || doc_id")} % 1000000 < 250000""".stripMargin,
+    "q_split_assign" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN ${h60("'graft:' || doc_id")} % 1000000 < 800000 THEN 'train'
+         |            WHEN ${h60("'graft:' || doc_id")} % 1000000 < 900000 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "q_token_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, tok,
+        |         coalesce(sum(tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM t)
+        |SELECT doc_id, tok, prefix // 2000 AS bin_id FROM p""".stripMargin,
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP) AS window_start,
         |       event_type,

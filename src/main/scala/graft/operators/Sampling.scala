@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/**
+ * Deterministic sampling, split assignment, and sequence binning for
+ * training-data pipelines.
+ *
+ * All three are HASH-deterministic, not RNG-based: membership depends
+ * only on (seed, id), so a rerun — or a different cluster, executor
+ * count, or partitioning — selects exactly the same rows. That property
+ * is what a 100 TB corpus actually needs from its train/val split:
+ * re-ingesting one shard must not reshuffle everyone else's membership,
+ * and an exact DuckDB oracle can re-derive every decision (no
+ * RNG-stream coupling to Spark internals). Everything is a pure
+ * projection or one window — no driver involvement, no collect.
+ */
+object Sampling {
+
+  /** Buckets per unit of probability mass: hash mod 1e6 gives ~6
+    * decimal digits of fraction resolution. */
+  private val Buckets = 1000000L
+
+  /** The 60-bit seeded id hash reduced to a bucket in [0, 1e6):
+    * md5_long60(seed || ':' || id) mod 1e6 — the same engine-portable
+    * MD5 primitive the dedup family uses, so oracles re-derive it
+    * byte-for-byte. */
+  def hashBucket(id: Column, seed: String): Column =
+    Hashing.md5Long60(concat(lit(seed), lit(":"), id.cast("string"))) % Buckets
+
+  /**
+   * Deterministic sample: keeps rows whose hash bucket falls under
+   * `fraction` of the bucket space. One codegen'd filter in the scan
+   * stage (a computed hash can't be a parquet PushedFilter, but nothing
+   * shuffles and nothing leaves the executor) — rerun-stable at any
+   * parallelism. Samples NEST: fraction 0.1 selects a subset of
+   * fraction 0.3 under the same seed.
+   */
+  def hashSample(
+    df: DataFrame,
+    idCol: String,
+    fraction: Double,
+    seed: String = "graft"
+  ): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    df.filter(hashBucket(col(idCol), seed) < (fraction * Buckets).toLong)
+  }
+
+  /**
+   * Train/val/test-style split assignment: every row gets a `split`
+   * label, chosen by where its hash bucket lands in the cumulative
+   * weight ranges. Weights are normalized (pass 98/1/1 or 0.98/0.01/0.01
+   * alike); every row is assigned to exactly one split (the last range
+   * absorbs the rounding remainder). Pure projection.
+   */
+  def splitAssign(
+    df: DataFrame,
+    idCol: String,
+    weights: Seq[(String, Double)],
+    seed: String = "graft",
+    splitCol: String = "split"
+  ): DataFrame = {
+    require(weights.nonEmpty, "at least one split weight required")
+    require(weights.forall(_._2 > 0.0), s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    // cumulative upper bucket bound per split; the last is forced to the
+    // full bucket space so float rounding can't leave rows unassigned
+    val bounds = weights.inits.toSeq.reverse.tail
+      .map(ws => (ws.last._1, (ws.map(_._2).sum / total * Buckets).toLong))
+    val withLast = bounds.init :+ (bounds.last._1, Buckets)
+    val b = hashBucket(col(idCol), seed)
+    val expr = withLast.init.foldRight(lit(withLast.last._1): Column) {
+      case ((name, upper), rest) => when(b < upper, lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /**
+   * Sequence binning for sample packing: orders rows by `idCol` (within
+   * `byCol` partitions when given) and assigns each a `bin_id` so that
+   * consecutive rows accumulate into bins of roughly `budget` tokens —
+   * bin_id = floor(exclusive-running-sum / budget). A row straddling a
+   * boundary lands in the bin its prefix sum opens, so a bin's total can
+   * exceed the budget by at most one row's tokens (and a row larger than
+   * the whole budget occupies its own bin); bins are never built by
+   * driver-side iteration.
+   *
+   * Scale shape: ONE window. Partitioned by `byCol` it is a hash
+   * shuffle + per-partition sort; global (byCol = None) it is a range
+   * sort — a total order is inherent to deterministic global packing,
+   * so prefer a partition key (e.g. shard id, language) at corpus scale.
+   */
+  def binByTokenBudget(
+    df: DataFrame,
+    tokenCol: String,
+    idCol: String,
+    budget: Long,
+    byCol: Option[String] = None,
+    binCol: String = "bin_id"
+  ): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = byCol.fold(Window.orderBy(col(idCol)))(c => Window.partitionBy(col(c)).orderBy(col(idCol)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val prefix = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.withColumn(binCol, floor(prefix / lit(budget)))
+  }
+}
