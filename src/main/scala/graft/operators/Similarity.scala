@@ -223,6 +223,11 @@ object Similarity {
    * comparison is deterministic (deterministic k-means seeds, exact
    * integer rank ties), which is what lets a constant-table DuckDB oracle
    * gate the threshold.
+   *
+   * This is a VALIDATION stage: it pays for both searches, including
+   * brute force over the corpus. At corpus scale run it on a
+   * [[Sampling.hashSample]]d corpus and query set — recall estimated on
+   * a deterministic sample, not the full 100 TB.
    */
   def ivfRecallSummary(
     corpus: DataFrame,

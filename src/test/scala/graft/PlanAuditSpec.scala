@@ -114,6 +114,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(lowerCount(plan) == 1, plan)
   }
 
+  test("hashSample is one scan-stage filter: no exchange, no UDF, codegen'd") {
+    val plan = graft.operators.Sampling.hashSample(docs, "doc_id", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("*(1) Filter"), plan) // the * prefix = whole-stage codegen
+  }
+
+  test("binByTokenBudget is ONE window over one sort (plus its exchange)") {
+    val withTok = docs.select(col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("tok"))
+    val plan = graft.operators.Sampling
+      .binByTokenBudget(withTok, "tok", "doc_id", budget = 2000L)
+      .queryExecution.executedPlan.toString
+    assert("(?m)^.*Window".r.findAllIn(plan).size == 1, plan)
+    assert("Sort ".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("connectedComponents: result plan is iteration-flat (lineage truncated per round)") {
     import spark.implicits._
     // a 6-vertex path graph needs ~5 propagation rounds; without the
