@@ -209,6 +209,11 @@ object LlmGates {
         TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
     },
+    // §2.4 row 47 — per-language token distribution stats (exact
+    // percentiles ≡ DuckDB quantile_cont; the approx path is spec-gated)
+    "q_token_stats" -> { (s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir), "text", "lang")
+    },
     // §2.4 row 36 — document fingerprinting (normalized MD5 + minhash-0)
     "q_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "text", "doc_id")
@@ -670,6 +675,19 @@ object LlmGates {
       """SELECT doc_id, rt.i::INT AS frame_idx,
         |       md5(md5(text) || ':' || rt.i) AS frame_md5
         |FROM documents, range(0, 4) rt(i)""".stripMargin,
+    "q_token_stats" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |  FROM documents)
+        |SELECT lang,
+        |       count(*) AS n_docs,
+        |       sum(tok)::BIGINT AS total_tokens,
+        |       round(avg(tok), 4) AS mean_tokens,
+        |       round(quantile_cont(tok, 0.5), 4) AS p50_tokens,
+        |       round(quantile_cont(tok, 0.95), 4) AS p95_tokens
+        |FROM t GROUP BY lang""".stripMargin,
     "q_hash_sample" ->
       s"""SELECT doc_id FROM documents
          |WHERE ${h60("'graft:' || doc_id")} % 1000000 < 250000""".stripMargin,

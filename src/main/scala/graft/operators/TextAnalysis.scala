@@ -181,4 +181,44 @@ object TextAnalysis {
         element_at(
           graft.functions.MinHashSignatureExpr(col("hs"), 1), 1)
           .as("minhash_0"))
+
+  /**
+   * Per-group token distribution stats — the monitoring aggregate a
+   * pipeline runs over every ingest to catch distribution drift:
+   * (byCol, n_docs, total_tokens, mean_tokens, p<q>_tokens …).
+   *
+   * `approx = false` (default) uses EXACT percentiles — a sort-based
+   * aggregation holding each group's values, value-identical to
+   * DuckDB's quantile_cont and therefore oracle-gateable. At 100 TB
+   * pass `approx = true`: percentile_approx streams a bounded sketch
+   * per group instead of materializing the values (rank error ≤
+   * 1/accuracy) — same columns, spec-pinned near the exact form.
+   * Everything else is plain partial-aggregated count/sum/avg either
+   * way: one shuffle on byCol.
+   */
+  def tokenStats(
+    df: DataFrame,
+    textCol: String,
+    byCol: String,
+    percentiles: Seq[Double] = Seq(0.5, 0.95),
+    approx: Boolean = false,
+    accuracy: Int = 10000
+  ): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1]: $percentiles")
+    val tok = wsTokenCount(col(textCol)).as("tok")
+    val pCols = percentiles.map { p =>
+      val name = s"p${(p * 100).round}_tokens"
+      val c = if (approx) percentile_approx(col("tok"), lit(p), lit(accuracy)).cast("double")
+              else percentile(col("tok"), lit(p))
+      round(c, 4).as(name)
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("tok")).cast("long").as("total_tokens"),
+      round(avg(col("tok")), 4).as("mean_tokens")) ++ pCols
+    df.select(col(byCol), tok)
+      .groupBy(byCol)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

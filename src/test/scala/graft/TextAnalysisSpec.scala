@@ -51,4 +51,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(0) > q(1))
   }
+
+  test("tokenStats: approx percentiles track the exact ones; counts identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Double]("p50_tokens"), r.getAs[Double]("p95_tokens"))).toMap
+    val exact = toMap(TextAnalysis.tokenStats(docs, "text", "lang"))
+    val approx = toMap(TextAnalysis.tokenStats(docs, "text", "lang", approx = true))
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (lang, (n, tot, p50, p95)) =>
+      val (an, atot, ap50, ap95) = approx(lang)
+      assert(n == an && tot == atot)
+      // percentile_approx returns an actual group value near the exact
+      // rank — at high accuracy it should sit within a few percent
+      assert(math.abs(ap50 - p50) <= math.max(1.0, 0.05 * p50), s"$lang p50")
+      assert(math.abs(ap95 - p95) <= math.max(1.0, 0.05 * p95), s"$lang p95")
+    }
+  }
 }
