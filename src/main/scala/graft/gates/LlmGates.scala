@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.Events
 
 /**
@@ -272,6 +272,15 @@ object LlmGates {
         .as[Multimodal.MediaRecord]
       Multimodal.sampleFrames(media, 4).toDF()
         .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+    },
+    // §2.4 row 48 — benchmark-contamination scores: asymmetric k-gram
+    // containment of a planted eval set (every 100th doc) in the corpus;
+    // planted members must score 1.0
+    "q_contamination" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Contamination.contaminationScores(
+          d, d.filter(col("doc_id") % 100 === 7), "text", "doc_id", k = 3)
+        .withColumn("contamination", round(col("contamination"), 6))
     },
     // §2.4 row 44 — deterministic hash sampling (pure pushed-down filter;
     // membership is a function of (seed, id) alone, so the oracle
@@ -675,6 +684,19 @@ object LlmGates {
       """SELECT doc_id, rt.i::INT AS frame_idx,
         |       md5(md5(text) || ':' || rt.i) AS frame_md5
         |FROM documents, range(0, 4) rt(i)""".stripMargin,
+    "q_contamination" ->
+      s"""$DocSigCte,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS g FROM sh),
+         |ev AS (
+         |  SELECT list(DISTINCT eg.g) AS grams
+         |  FROM (SELECT unnest(g) AS g FROM sets WHERE doc_id % 100 = 7) eg)
+         |SELECT doc_id,
+         |       len(g)::BIGINT AS n_grams,
+         |       len(list_intersect(g, ev.grams))::BIGINT AS n_hits,
+         |       round(len(list_intersect(g, ev.grams))::DOUBLE
+         |             / len(g)::DOUBLE, 6) AS contamination
+         |FROM sets, ev""".stripMargin,
     "q_token_stats" ->
       """WITH t AS (
         |  SELECT lang,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark-contamination detection: asymmetric n-gram CONTAINMENT of an
+ * evaluation set inside a training corpus — the decontamination pass an
+ * LLM data pipeline runs before training (near-dup detection won't catch
+ * it: an eval question quoted inside a long document has tiny symmetric
+ * Jaccard but full containment).
+ *
+ * Scale shape: the corpus side derives distinct 60-bit k-gram hashes per
+ * doc (one scan, the same fused ShingleHashExpr as the dedup family),
+ * explodes them, and BROADCAST-joins the (benchmark-sized) eval gram
+ * set; the per-doc regroup shuffles ONE partially-aggregated row per
+ * document, not one per gram, because a doc's exploded grams never
+ * leave their partition before the partial aggregate. The corpus is
+ * never shuffled at gram granularity and never joined against itself.
+ */
+object Contamination {
+
+  /**
+   * Per-corpus-document contamination scores:
+   * (doc_id, n_grams, n_hits, contamination) where `contamination` =
+   * |grams(doc) ∩ grams(evalSet)| / |grams(doc)| over DISTINCT k-gram
+   * hashes. Documents shorter than k words contribute their whole
+   * normalized text as one gram (the shingle fallback), so every doc
+   * has n_grams ≥ 1 and a defined ratio.
+   *
+   * `k` defaults to 13 — the n-gram length the published GPT-3/PaLM-era
+   * decontamination recipes use; gates use smaller k on short fixtures.
+   */
+  def contaminationScores(
+    corpus: DataFrame,
+    evalSet: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 13
+  ): DataFrame = {
+    val corpusGrams = Dedup.hashedShingleTable(corpus, textCol, idCol, k)
+      .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
+    val evalGrams = Dedup.hashedShingleTable(evalSet, textCol, idCol, k)
+      .select(explode(col("hs")).as("g")).distinct()
+      .withColumn("hit", lit(1L))
+    corpusGrams
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        explode(col("hs")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"))
+  }
+
+  /**
+   * The decontaminated corpus: drops every document whose contamination
+   * score reaches `maxContamination`. The (small) contaminated-id set
+   * anti-joins the corpus — one broadcast-able anti join, corpus not
+   * shuffled.
+   */
+  def decontaminate(
+    corpus: DataFrame,
+    evalSet: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 13,
+    maxContamination: Double = 0.5
+  ): DataFrame = {
+    val dirty = contaminationScores(corpus, evalSet, textCol, idCol, k)
+      .filter(col("contamination") >= maxContamination)
+      .select(col("doc_id").as(idCol))
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+}

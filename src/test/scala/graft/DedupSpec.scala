@@ -117,6 +117,31 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(9L))
   }
 
+  test("contamination: planted eval quote is contained; decontaminate drops it") {
+    import spark.implicits._
+    val evalQ = "what is the capital of france paris is the capital"
+    val corpus = Seq(
+      // doc 1 QUOTES the whole eval question inside a longer document —
+      // symmetric Jaccard is low, containment of eval grams is high
+      (1L, s"filler words before the quote $evalQ and some trailing filler text here"),
+      (2L, "an entirely unrelated document about spark shuffles and parquet files"),
+      (3L, evalQ) // verbatim eval member
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalQ)).toDF("doc_id", "text")
+
+    val scores = graft.operators.Contamination
+      .contaminationScores(corpus, evalSet, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("contamination")).toMap
+    assert(scores(3L) == 1.0)
+    assert(scores(1L) > 0.3 && scores(1L) < 1.0, scores.toString)
+    assert(scores(2L) == 0.0)
+
+    val clean = graft.operators.Contamination
+      .decontaminate(corpus, evalSet, "text", "doc_id", k = 3, maxContamination = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
   test("near-dup plan has no cartesian product (LSH buckets, not all-pairs)") {
     val plan = Dedup.nearDuplicates(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString

@@ -132,6 +132,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("Sort ".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("contamination: eval grams broadcast, corpus regrouped once (no gram-level corpus shuffle)") {
+    val ev = docs.filter(col("doc_id") % 100 === 7)
+    val plan = graft.operators.Contamination
+      .contaminationScores(docs, ev, "text", "doc_id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // shuffles: the eval-side distinct + the per-doc final aggregate —
+    // the corpus's exploded grams must partially aggregate BEFORE any
+    // exchange, so no third shuffle may appear
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles shuffles:\n$plan")
+  }
+
   test("connectedComponents: result plan is iteration-flat (lineage truncated per round)") {
     import spark.implicits._
     // a 6-vertex path graph needs ~5 propagation rounds; without the
