@@ -273,6 +273,33 @@ object LlmGates {
       Multimodal.sampleFrames(media, 4).toDF()
         .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
     },
+    // §2.4 row 49 — duplicate-k-gram repetition ratio (quality signal);
+    // planted row: a doc repeating one trigram scores high
+    "q_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (200001L, "spam spam spam spam spam spam spam spam"),
+        (200002L, "one two three four five six seven eight"))
+        .toDF("doc_id", "text")
+      TextAnalysis.withRepetition(
+          docs(s, dir).select("doc_id", "text").unionByName(planted),
+          "text", "doc_id", k = 3)
+        .withColumn("rep_ratio", round(col("rep_ratio"), 6))
+    },
+    // §2.4 row 50 — PII scrub (email/IPv4/phone masking); planted rows
+    // carry each PII kind, output compared as md5 of the scrubbed text
+    "q_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (300001L, "contact me at jane.doe+spam@example.co.uk or on 415-555-0143 today"),
+        (300002L, "server at 192.168.001.1 responded; backup at 10.0.0.255 did not"),
+        (300003L, "call +44 20 7946 0958 or email bob@corp.io from 8.8.8.8"))
+        .toDF("doc_id", "text")
+      docs(s, dir).select("doc_id", "text").unionByName(planted)
+        .select(
+          col("doc_id"),
+          md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_md5"))
+    },
     // §2.4 row 48 — benchmark-contamination scores: asymmetric k-gram
     // containment of a planted eval set (every 100th doc) in the corpus;
     // planted members must score 1.0
@@ -684,6 +711,36 @@ object LlmGates {
       """SELECT doc_id, rt.i::INT AS frame_idx,
         |       md5(md5(text) || ':' || rt.i) AS frame_md5
         |FROM documents, range(0, 4) rt(i)""".stripMargin,
+    "q_repetition" ->
+      s"""${docSigCte("all_docs").replaceFirst("^WITH ",
+             """WITH all_docs AS (
+               |  SELECT doc_id, text FROM documents
+               |  UNION ALL
+               |  SELECT * FROM (VALUES
+               |    (200001::BIGINT, 'spam spam spam spam spam spam spam spam'),
+               |    (200002::BIGINT, 'one two three four five six seven eight')
+               |  ) v(doc_id, text)),
+               |""".stripMargin)}
+         |SELECT doc_id,
+         |       len(s)::BIGINT AS n_grams,
+         |       round(1.0 - len(list_distinct(s))::DOUBLE / len(s)::DOUBLE, 6) AS rep_ratio
+         |FROM sh""".stripMargin,
+    "q_pii_scrub" -> {
+      val scrub =
+        s"""regexp_replace(regexp_replace(regexp_replace(text,
+           |  '${TextAnalysis.EmailPattern}', '<PII>', 'g'),
+           |  '${TextAnalysis.Ipv4Pattern}', '<PII>', 'g'),
+           |  '${TextAnalysis.PhonePattern}', '<PII>', 'g')""".stripMargin
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (300001::BIGINT, 'contact me at jane.doe+spam@example.co.uk or on 415-555-0143 today'),
+         |    (300002::BIGINT, 'server at 192.168.001.1 responded; backup at 10.0.0.255 did not'),
+         |    (300003::BIGINT, 'call +44 20 7946 0958 or email bob@corp.io from 8.8.8.8')
+         |  ) v(doc_id, text))
+         |SELECT doc_id, md5($scrub) AS scrubbed_md5 FROM all_docs""".stripMargin
+    },
     "q_contamination" ->
       s"""$DocSigCte,
          |sets AS (

@@ -183,6 +183,44 @@ object TextAnalysis {
           .as("minhash_0"))
 
   /**
+   * (doc_id, n_grams, rep_ratio): fraction of DUPLICATE word k-grams per
+   * document — the repetition quality signal (boilerplate, generated
+   * spam, and scraper loops score high; clean prose near 0). Documents
+   * under k words fall back to the single whole-text shingle (ratio 0).
+   * Pure projection over the materialized shingle table: no shuffle.
+   */
+  def withRepetition(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    Dedup.shingleTable(df, textCol, idCol, k)
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_grams"),
+        (lit(1.0) - size(array_distinct(col("sh"))).cast("double")
+          / size(col("sh")).cast("double")).as("rep_ratio"))
+
+  /** PII patterns chosen to mean the same thing in Java regex and RE2
+    * (no backrefs, no lookaround) so engine and oracle agree: emails,
+    * IPv4 literals, and phone-ish digit runs. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /**
+   * Masks emails, IPv4 addresses, then phone-like digit runs with
+   * `replacement` — the pre-training scrub pass. Order matters (emails
+   * and IPs contain digit runs; the replacement token contains none, so
+   * later passes can't re-match earlier masks). Three codegen'd
+   * regexp_replace calls in the scan projection: no UDF, no shuffle.
+   */
+  def scrubPii(c: Column, replacement: String = "<PII>"): Column = {
+    val r = lit(replacement)
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailPattern), r),
+        lit(Ipv4Pattern), r),
+      lit(PhonePattern), r)
+  }
+
+  /**
    * Per-group token distribution stats — the monitoring aggregate a
    * pipeline runs over every ingest to catch distribution drift:
    * (byCol, n_docs, total_tokens, mean_tokens, p<q>_tokens …).

@@ -52,6 +52,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(0) > q(1))
   }
 
+  test("withRepetition: repeated trigrams score high, distinct prose scores 0") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // 6 trigrams, 1 distinct
+      (2L, "one two three four five six seven eight"), // all distinct
+      (3L, "ab")                                        // < k words: single shingle
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetition(df, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((6L, 1.0 - 1.0 / 6.0)))
+    assert(out(2L) == ((6L, 0.0)))
+    assert(out(3L) == ((1L, 0.0)))
+  }
+
+  test("scrubPii masks emails, IPv4s, and phone runs; clean text untouched") {
+    val out = Seq(
+      "mail a.b+c@x-y.co.uk now",
+      "ip 10.0.0.255 up",
+      "call +44 20 7946 0958 ok",
+      "version 1.2 of chapter 3 has no pii at all"
+    ).toDF("text").select(TextAnalysis.scrubPii(col("text")))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <PII> now")
+    assert(out(1) == "ip <PII> up")
+    assert(out(2) == "call <PII> ok")
+    assert(out(3) == "version 1.2 of chapter 3 has no pii at all")
+  }
+
   test("tokenStats: approx percentiles track the exact ones; counts identical") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def toMap(df: org.apache.spark.sql.DataFrame) =
