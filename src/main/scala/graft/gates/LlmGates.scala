@@ -273,6 +273,23 @@ object LlmGates {
       Multimodal.sampleFrames(media, 4).toDF()
         .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
     },
+    // §2.4 row 51 — corpus-wide duplicate-line removal (C4 rule):
+    // planted boilerplate appearing in 3 docs must vanish from all of
+    // them, a doc of pure boilerplate survives empty
+    "q_line_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (400001L, "keep one\nSHARED BOILERPLATE LINE\nunique tail a"),
+        (400002L, "SHARED BOILERPLATE LINE\nunique tail b"),
+        (400003L, "SHARED BOILERPLATE LINE"),
+        (400004L, "twice only\nrepeated twice line"),
+        (400005L, "repeated twice line\nalso kept"))
+        .toDF("doc_id", "text")
+      Dedup.dropDuplicateLines(
+          docs(s, dir).select("doc_id", "text").unionByName(planted),
+          "text", "doc_id", minCount = 3)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    },
     // §2.4 row 49 — duplicate-k-gram repetition ratio (quality signal);
     // planted row: a doc repeating one trigram scores high
     "q_repetition" -> { (s, dir) =>
@@ -711,6 +728,28 @@ object LlmGates {
       """SELECT doc_id, rt.i::INT AS frame_idx,
         |       md5(md5(text) || ':' || rt.i) AS frame_md5
         |FROM documents, range(0, 4) rt(i)""".stripMargin,
+    "q_line_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (400001::BIGINT, 'keep one' || chr(10) || 'SHARED BOILERPLATE LINE' || chr(10) || 'unique tail a'),
+        |    (400002::BIGINT, 'SHARED BOILERPLATE LINE' || chr(10) || 'unique tail b'),
+        |    (400003::BIGINT, 'SHARED BOILERPLATE LINE'),
+        |    (400004::BIGINT, 'twice only' || chr(10) || 'repeated twice line'),
+        |    (400005::BIGINT, 'repeated twice line' || chr(10) || 'also kept')
+        |  ) v(doc_id, text)),
+        |dup AS (
+        |  SELECT md5(line) AS lh
+        |  FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM all_docs)
+        |  GROUP BY md5(line) HAVING count(*) >= 3),
+        |dl AS (SELECT coalesce(list(lh), []) AS dls FROM dup)
+        |SELECT doc_id,
+        |       md5(coalesce(array_to_string(
+        |         list_filter(string_split(text, chr(10)),
+        |                     x -> NOT list_contains(dl.dls, md5(x))),
+        |         chr(10)), '')) AS text_md5
+        |FROM all_docs, dl""".stripMargin,
     "q_repetition" ->
       s"""${docSigCte("all_docs").replaceFirst("^WITH ",
              """WITH all_docs AS (

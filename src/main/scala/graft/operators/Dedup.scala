@@ -459,6 +459,46 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Corpus-wide duplicate-LINE removal (the C4 cleanup rule): any line
+   * occurring at least `minCount` times across the corpus is deleted
+   * from EVERY document; surviving lines keep their order, and a
+   * document whose lines are all boilerplate survives with empty text
+   * (corpus row count is preserved). Returns (doc_id, textCol).
+   *
+   * Scale shape: lines join the duplicate set on their 16-byte MD5 (not
+   * the line text — boilerplate lines are long, hashes are not), the
+   * global line count partial-aggregates map-side (duplicate lines
+   * collapse before the shuffle — they are the common case this op
+   * exists for), and the rebuild is ONE regroup by doc_id with
+   * order restored from the captured line positions.
+   */
+  def dropDuplicateLines(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    minCount: Int = 3
+  ): DataFrame = {
+    require(minCount >= 2, s"minCount must be at least 2: $minCount")
+    val lines = df
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val dup = lines.groupBy("lh")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select("lh")
+    val rebuilt = lines
+      .join(dup, Seq("lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line"))).as(textCol))
+    df.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /**

@@ -117,6 +117,28 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(9L))
   }
 
+  test("dropDuplicateLines: corpus-wide boilerplate vanishes, order kept, empty doc survives") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "keep one\nBOILER\nkeep two"),
+      (2L, "BOILER\ntail"),
+      (3L, "BOILER"),
+      (4L, "solo\nBOILER\nBOILER") // two of its own copies count toward the total
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(df, "text", "doc_id", minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "keep one\nkeep two",
+      2L -> "tail",
+      3L -> "", // all-boilerplate doc survives as an empty row
+      4L -> "solo"))
+    // below the threshold nothing is touched
+    val none = Dedup.dropDuplicateLines(df.filter(col("doc_id") <= 2), "text", "doc_id",
+        minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(none == Map(1L -> "keep one\nBOILER\nkeep two", 2L -> "BOILER\ntail"))
+  }
+
   test("contamination: planted eval quote is contained; decontaminate drops it") {
     import spark.implicits._
     val evalQ = "what is the capital of france paris is the capital"
@@ -198,6 +220,19 @@ class DedupSpec extends SparkSpec {
 
     GraftSession.clearBucketCapDrops(spark)
     assert(GraftSession.bucketCapDrops(spark).isEmpty)
+  }
+
+  test("bucketCapDrops re-asserts the AQE empty-relation exclusion after user conf clobbers it") {
+    GraftSession.registerBucketCapListener(spark)
+    val key = "spark.sql.adaptive.optimizer.excludedRules"
+    val before = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "some.other.Rule")
+      GraftSession.bucketCapDrops(spark)
+      val after = spark.conf.get(key)
+      assert(after.contains("AQEPropagateEmptyRelation"), after)
+      assert(after.contains("some.other.Rule"), after) // the user's entry survives
+    } finally before.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
   test("simhash and embedding bucket caps drop degenerate buckets") {
