@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.CurationPipeline
+
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full curation flow: each stage fires, in the documented order") {
+    val boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    val prose = "the cat is in the hat and it is flat for all of us to see " * 2
+    val corpus = Seq(
+      // 1+3: differ only in phone number — IDENTICAL after scrub, so the
+      // exact-dedup stage must collapse them (scrub-before-dedup order)
+      (1L, s"$prose call 415-555-0143 now"),
+      (2L, s"$prose call 415-555-9999 now"),
+      // 3,4,5: share a boilerplate line (3 occurrences -> removed), keep
+      // their distinct prose
+      (3L, s"$boiler\n$prose alpha beta gamma delta"),
+      (4L, s"$boiler\n$prose epsilon zeta eta theta"),
+      (5L, s"$boiler\n$prose iota kappa lambda mu"),
+      // 6: a verbatim eval-set member -> decontaminated (its text shares
+      // nothing with the other docs, so only stage 5 can drop it)
+      (6L, "what is the capital of assyria is the question we ask of every model today"),
+      // 7: junk below the quality floor
+      (7L, "@@@ ### $$$ %%% ^^^ &&& *** ((( )))")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "what is the capital of assyria is the question we ask of every model today"))
+      .toDF("doc_id", "text")
+
+    val out = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(
+        evalSet = Some(evalSet),
+        contaminationK = 5,
+        maxContamination = 0.5,
+        minQuality = 0.2))
+    val rows = out.collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+
+    assert(ids == Set(1L, 3L, 4L, 5L), rows.mkString("\n"))
+    // scrub happened: the survivor of 1/2 carries the mask, not a number
+    val t1 = rows.find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("text")
+    assert(t1.contains("<PII>") && !t1.contains("415"))
+    // line rule happened: boilerplate gone, distinct prose kept
+    val t3 = rows.find(_.getAs[Long]("doc_id") == 3L).get.getAs[String]("text")
+    assert(!t3.contains("SUBSCRIBE") && t3.contains("alpha beta"))
+    // every survivor has a quality score and a split label
+    assert(rows.forall(r => r.getAs[Double]("quality") >= 0.2))
+    assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+  }
+
+  test("no eval set, no quality floor: only scrub/line/dedup stages act") {
+    val corpus = Seq(
+      (1L, "plain text one"),
+      (2L, "plain text one"), // exact dup
+      (3L, "plain text three")
+    ).toDF("doc_id", "text")
+    val out = CurationPipeline.run(corpus, "text", "doc_id")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(out.columns.toSeq == Seq("doc_id", "text", "quality", "split"))
+  }
+}

@@ -132,6 +132,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Sort ".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("dropDuplicateLines: line counts partial-aggregate before their shuffle") {
+    val plan = graft.operators.Dedup
+      .dropDuplicateLines(docs.select("doc_id", "text"), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // duplicate lines are THE common case — they must collapse map-side,
+    // so a partial count aggregate has to appear below the exchange
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("contamination: eval grams broadcast, corpus regrouped once (no gram-level corpus shuffle)") {
     val ev = docs.filter(col("doc_id") % 100 === 7)
     val plan = graft.operators.Contamination
