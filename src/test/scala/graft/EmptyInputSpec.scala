@@ -42,6 +42,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.connectedComponents(
       emptyDocs.selectExpr("doc_id AS id_a", "doc_id AS id_b")).count() == 0)
     assert(Dedup.embeddingNearDup(emptyEmbs, "embedding", "vec_id").count() == 0)
+    assert(Dedup.dropDuplicateLines(emptyDocs, "text", "doc_id").count() == 0)
+  }
+
+  test("sampling, contamination, stats, and the curation pipeline tolerate empty input") {
+    assert(graft.operators.Sampling.hashSample(emptyDocs, "doc_id", 0.5).count() == 0)
+    assert(graft.operators.Sampling.splitAssign(
+      emptyDocs, "doc_id", Seq(("train", 1.0))).count() == 0)
+    assert(graft.operators.Sampling.binByTokenBudget(
+      emptyDocs.withColumn("tok", lit(1L)), "tok", "doc_id", 100L).count() == 0)
+    // empty corpus AND empty eval set, in both roles
+    assert(graft.operators.Contamination.contaminationScores(
+      emptyDocs, emptyDocs, "text", "doc_id").count() == 0)
+    assert(graft.operators.Contamination.decontaminate(
+      emptyDocs, emptyDocs, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.withRepetition(emptyDocs, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.tokenStats(emptyDocs, "text", "doc_id").count() == 0)
+    assert(graft.plans.CurationPipeline.run(emptyDocs, "text", "doc_id").count() == 0)
   }
 
   test("similarity operators over an empty corpus yield empty results") {
