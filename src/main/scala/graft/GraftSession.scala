@@ -120,13 +120,22 @@ object GraftSession {
   private val AqeEmptyRelationRule =
     "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
 
+  /** Ensure AQEPropagateEmptyRelation stays excluded on this session.
+    * Returns true when the entry was MISSING and had to be (re)added —
+    * existing user-provided exclusions are preserved either way. */
+  private def ensureAqeExclusion(spark: SparkSession): Boolean = {
+    val key = "spark.sql.adaptive.optimizer.excludedRules"
+    val existing = spark.conf.getOption(key).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val missing = !existing.contains(AqeEmptyRelationRule)
+    if (missing)
+      spark.conf.set(key, (existing :+ AqeEmptyRelationRule).mkString(","))
+    missing
+  }
+
   def registerBucketCapListener(spark: SparkSession): Unit =
     if (capListenerSessions.add(spark)) {
-      val key = "spark.sql.adaptive.optimizer.excludedRules"
-      val existing = spark.conf.getOption(key).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      if (!existing.contains(AqeEmptyRelationRule))
-        spark.conf.set(key, (existing :+ AqeEmptyRelationRule).mkString(","))
+      ensureAqeExclusion(spark)
       val records = recordsFor(spark)
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         private val log = org.slf4j.LoggerFactory.getLogger("graft.BucketCap")
@@ -180,16 +189,14 @@ object GraftSession {
           "bucketCapDrops may be missing counts from just-finished actions")
     // the listener's AQE empty-relation exclusion is session conf a user
     // can clobber by setting excludedRules themselves; re-assert it so
-    // the all-buckets-dropped case keeps reporting, and say so
-    val key = "spark.sql.adaptive.optimizer.excludedRules"
-    val existing = spark.conf.getOption(key).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    if (!existing.contains(AqeEmptyRelationRule)) {
-      spark.conf.set(key, (existing :+ AqeEmptyRelationRule).mkString(","))
+    // the all-buckets-dropped case keeps reporting — but ONLY on sessions
+    // that actually registered the listener (a read on an unregistered
+    // session must stay read-only, not acquire optimizer side effects)
+    if (capListenerSessions.contains(spark) && ensureAqeExclusion(spark))
       log.warn(
-        s"$key no longer contained $AqeEmptyRelationRule (overwritten by user " +
-          "conf?) — re-added; drop metrics from queries run without it may be absent")
-    }
+        s"spark.sql.adaptive.optimizer.excludedRules no longer contained " +
+          s"$AqeEmptyRelationRule (overwritten by user conf?) — re-added; " +
+          "drop metrics from queries run without it may be absent")
     val records = recordsFor(spark)
     records.synchronized {
       records.iterator.map { case (m, (b, r)) => BucketCapDrop(m, b, r) }.toSeq

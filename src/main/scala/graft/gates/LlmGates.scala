@@ -808,11 +808,14 @@ object LlmGates {
         |FROM t GROUP BY lang""".stripMargin,
     "q_hash_sample" ->
       s"""SELECT doc_id FROM documents
-         |WHERE ${h60("'graft:' || doc_id")} % 1000000 < 250000""".stripMargin,
+         |WHERE ${h60("'graft:' || doc_id")} % ${Sampling.Buckets}
+         |      < ${(0.25 * Sampling.Buckets).toLong}""".stripMargin,
     "q_split_assign" ->
       s"""SELECT doc_id,
-         |       CASE WHEN ${h60("'graft:' || doc_id")} % 1000000 < 800000 THEN 'train'
-         |            WHEN ${h60("'graft:' || doc_id")} % 1000000 < 900000 THEN 'val'
+         |       CASE WHEN ${h60("'graft:' || doc_id")} % ${Sampling.Buckets}
+         |                 < ${(0.8 * Sampling.Buckets).toLong} THEN 'train'
+         |            WHEN ${h60("'graft:' || doc_id")} % ${Sampling.Buckets}
+         |                 < ${((0.8 + 0.1) * Sampling.Buckets).toLong} THEN 'val'
          |            ELSE 'test' END AS split
          |FROM documents""".stripMargin,
     "q_token_bins" ->

@@ -395,6 +395,11 @@ object Dedup {
         labels = updated.select("doc_id", "cluster_id")
         i += 1
       }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+          s"connectedComponents stopped UNCONVERGED after $maxIters rounds — " +
+            "a component with diameter > maxIters is still split across " +
+            "labels; raise maxIters if exact cluster identity matters")
       labels
     } finally sym.unpersist()
   }

@@ -20,12 +20,15 @@ import graft.functions.Hashing
  */
 object Sampling {
 
-  /** Buckets per unit of probability mass: hash mod 1e6 gives ~6
-    * decimal digits of fraction resolution. */
-  private val Buckets = 1000000L
+  /** Buckets per unit of probability mass: hash mod 1e9 gives 9 decimal
+    * digits of fraction resolution (modulo bias off a 60-bit hash is
+    * ~1e-9 relative — negligible). Public so oracles and callers derive
+    * thresholds from the SAME constant; fractions below 1/Buckets are
+    * rejected loudly rather than silently rounding to an empty sample. */
+  val Buckets = 1000000000L
 
-  /** The 60-bit seeded id hash reduced to a bucket in [0, 1e6):
-    * md5_long60(seed || ':' || id) mod 1e6 — the same engine-portable
+  /** The 60-bit seeded id hash reduced to a bucket in [0, Buckets):
+    * md5_long60(seed || ':' || id) mod Buckets — the same engine-portable
     * MD5 primitive the dedup family uses, so oracles re-derive it
     * byte-for-byte. */
   def hashBucket(id: Column, seed: String): Column =
@@ -46,7 +49,11 @@ object Sampling {
     seed: String = "graft"
   ): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
-    df.filter(hashBucket(col(idCol), seed) < (fraction * Buckets).toLong)
+    val threshold = (fraction * Buckets).toLong
+    require(fraction == 0.0 || threshold >= 1L,
+      s"fraction $fraction is below the sampling resolution 1/$Buckets — " +
+        "it would silently select nothing")
+    df.filter(hashBucket(col(idCol), seed) < threshold)
   }
 
   /**
@@ -71,6 +78,14 @@ object Sampling {
     val bounds = weights.inits.toSeq.reverse.tail
       .map(ws => (ws.last._1, (ws.map(_._2).sum / total * Buckets).toLong))
     val withLast = bounds.init :+ (bounds.last._1, Buckets)
+    // every split must own at least one bucket, or it would silently
+    // never be assigned
+    withLast.foldLeft(0L) { case (prev, (name, upper)) =>
+      require(upper > prev,
+        s"split '$name' has zero width at resolution 1/$Buckets " +
+          s"(normalized weight ${weights.find(_._1 == name).get._2 / total})")
+      upper
+    }
     val b = hashBucket(col(idCol), seed)
     val expr = withLast.init.foldRight(lit(withLast.last._1): Column) {
       case ((name, upper), rest) => when(b < upper, lit(name)).otherwise(rest)
@@ -89,9 +104,12 @@ object Sampling {
    * driver-side iteration.
    *
    * Scale shape: ONE window. Partitioned by `byCol` it is a hash
-   * shuffle + per-partition sort; global (byCol = None) it is a range
-   * sort — a total order is inherent to deterministic global packing,
-   * so prefer a partition key (e.g. shard id, language) at corpus scale.
+   * shuffle + per-partition sort — the corpus-scale form. Global
+   * (byCol = None) it is an empty-partition window, which Spark plans
+   * as Exchange SinglePartition: EVERY row moves to one task, because
+   * an exact global prefix sum is inherently a total order. That is
+   * fine for per-key-sized data and wrong for a whole corpus — always
+   * pass a partition key (shard id, language) at scale.
    */
   def binByTokenBudget(
     df: DataFrame,

@@ -249,10 +249,17 @@ object Similarity {
       .agg(
         countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_truth"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        // sum over zero rows is NULL — an empty truth set must read as
+        // zero hits, not null-propagate into the verdict
+        coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("n_hits"))
       .select(
         col("n_queries"), col("n_truth"), col("n_hits"),
-        (col("n_hits").cast("double") / col("n_truth").cast("double") >= lit(minRecall))
-          .cast("int").as("recall_ok"))
+        // fail-closed: no truth rows (empty corpus or query set) is NOT
+        // a passing recall check
+        when(col("n_truth") === 0, lit(0))
+          .otherwise(
+            (col("n_hits").cast("double") / col("n_truth").cast("double") >= lit(minRecall))
+              .cast("int"))
+          .as("recall_ok"))
   }
 }

@@ -244,9 +244,12 @@ object TextAnalysis {
   ): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must be in [0,1]: $percentiles")
+    val names = percentiles.map(p => s"p${(p * 100).round}_tokens")
+    require(names.distinct.size == names.size,
+      s"percentiles $percentiles collide after rounding to column names $names — " +
+        "duplicate output columns would be ambiguous downstream")
     val tok = wsTokenCount(col(textCol)).as("tok")
-    val pCols = percentiles.map { p =>
-      val name = s"p${(p * 100).round}_tokens"
+    val pCols = percentiles.zip(names).map { case (p, name) =>
       val c = if (approx) percentile_approx(col("tok"), lit(p), lit(accuracy)).cast("double")
               else percentile(col("tok"), lit(p))
       round(c, 4).as(name)

@@ -27,8 +27,9 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  *
  * Scale shape is inherited stage by stage — every stage is one of this
  * engine's audited operators; nothing here adds a shuffle of its own.
- * The intermediate corpus is persisted once after the text-rewriting
- * stages (1-2) because three downstream stages re-read it.
+ * [[curate]] returns the lazy plan; [[run]] executes an action with the
+ * multiply-consumed scrubbed intermediate persisted for exactly the
+ * action's lifetime.
  */
 object CurationPipeline {
 
@@ -47,34 +48,63 @@ object CurationPipeline {
   )
 
   /**
-   * Runs the full flow over a (idCol, textCol) corpus; returns the
-   * curated rows as (doc_id, textCol, quality, split).
+   * The curated-corpus PLAN as (doc_id, textCol, quality, split) —
+   * lazy, no persistence. The scrubbed intermediate feeds several
+   * downstream stages, so evaluating this plan more than once (or once,
+   * through its internal self-joins) recomputes the text-rewriting
+   * stages; use [[run]] to execute with the intermediate persisted for
+   * exactly the duration of your action (the ExtractionPipeline
+   * lifecycle pattern, plans/V2F.scala).
    */
-  def run(corpus: DataFrame, textCol: String, idCol: String, cfg: Config = Config()): DataFrame = {
-    // 1-2: text-rewriting stages, persisted once for the downstream passes
+  def curate(
+    corpus: DataFrame,
+    textCol: String,
+    idCol: String,
+    cfg: Config = Config()
+  ): DataFrame =
+    stages(
+      Dedup.dropDuplicateLines(
+        corpus.select(col(idCol), TextAnalysis.scrubPii(col(textCol)).as(textCol)),
+        textCol, idCol = idCol, minCount = cfg.minLineCount),
+      textCol, cfg)
+
+  /**
+   * Runs the flow and your `action` (write, collect, count …) with the
+   * scrubbed intermediate persisted across all its consumers, then
+   * unpersists — persistence lives exactly as long as the action, so
+   * nothing is pinned after run returns and nothing recomputes during it.
+   */
+  def run[T](
+    corpus: DataFrame,
+    textCol: String,
+    idCol: String,
+    cfg: Config = Config()
+  )(action: DataFrame => T): T = {
     val scrubbed = Dedup.dropDuplicateLines(
       corpus.select(col(idCol), TextAnalysis.scrubPii(col(textCol)).as(textCol)),
       textCol, idCol = idCol, minCount = cfg.minLineCount)
       .persist()
-    try {
-      // 3-4: exact then near dedup
-      val exact = Dedup.dropExactDuplicates(scrubbed, textCol, "doc_id")
-      val near = Dedup.dropNearDuplicates(exact, textCol, "doc_id",
-        k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
-        threshold = cfg.nearDupThreshold)
-      // 5: decontamination (optional)
-      val clean = cfg.evalSet.fold(near)(ev =>
-        Contamination.decontaminate(near, ev, textCol, "doc_id",
-          k = cfg.contaminationK, maxContamination = cfg.maxContamination))
-      // 6-7: quality floor, then split labels
-      val scored = TextAnalysis.withQuality(clean, textCol, "doc_id")
-        .filter(col("quality") >= cfg.minQuality)
-        .select(col("doc_id"), col("quality"))
-        .join(clean, "doc_id")
-      val out = Sampling.splitAssign(scored, "doc_id", cfg.splits, cfg.splitSeed)
-        .select(col("doc_id"), col(textCol), col("quality"), col("split"))
-      // materialize while the persisted intermediate is still alive
-      out.localCheckpoint()
-    } finally scrubbed.unpersist()
+    try action(stages(scrubbed, textCol, cfg))
+    finally scrubbed.unpersist()
+  }
+
+  /** Stages 3-7 over the scrubbed corpus (named doc_id by stage 2). */
+  private def stages(scrubbed: DataFrame, textCol: String, cfg: Config): DataFrame = {
+    // 3-4: exact then near dedup
+    val exact = Dedup.dropExactDuplicates(scrubbed, textCol, "doc_id")
+    val near = Dedup.dropNearDuplicates(exact, textCol, "doc_id",
+      k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+      threshold = cfg.nearDupThreshold)
+    // 5: decontamination (optional)
+    val clean = cfg.evalSet.fold(near)(ev =>
+      Contamination.decontaminate(near, ev, textCol, "doc_id",
+        k = cfg.contaminationK, maxContamination = cfg.maxContamination))
+    // 6-7: quality floor, then split labels
+    val scored = TextAnalysis.withQuality(clean, textCol, "doc_id")
+      .filter(col("quality") >= cfg.minQuality)
+      .select(col("doc_id"), col("quality"))
+      .join(clean, "doc_id")
+    Sampling.splitAssign(scored, "doc_id", cfg.splits, cfg.splitSeed)
+      .select(col("doc_id"), col(textCol), col("quality"), col("split"))
   }
 }

@@ -29,13 +29,12 @@ class CurationPipelineSpec extends SparkSpec {
       (100L, "what is the capital of assyria is the question we ask of every model today"))
       .toDF("doc_id", "text")
 
-    val out = CurationPipeline.run(corpus, "text", "doc_id",
+    val rows = CurationPipeline.run(corpus, "text", "doc_id",
       CurationPipeline.Config(
         evalSet = Some(evalSet),
         contaminationK = 5,
         maxContamination = 0.5,
-        minQuality = 0.2))
-    val rows = out.collect()
+        minQuality = 0.2))(_.collect())
     val ids = rows.map(_.getAs[Long]("doc_id")).toSet
 
     assert(ids == Set(1L, 3L, 4L, 5L), rows.mkString("\n"))
@@ -56,8 +55,11 @@ class CurationPipelineSpec extends SparkSpec {
       (2L, "plain text one"), // exact dup
       (3L, "plain text three")
     ).toDF("doc_id", "text")
-    val out = CurationPipeline.run(corpus, "text", "doc_id")
-    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
-    assert(out.columns.toSeq == Seq("doc_id", "text", "quality", "split"))
+    val ids = CurationPipeline.run(corpus, "text", "doc_id")(
+      _.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(ids == Set(1L, 3L))
+    // the lazy plan form exposes the same schema without executing
+    assert(CurationPipeline.curate(corpus, "text", "doc_id").columns.toSeq ==
+      Seq("doc_id", "text", "quality", "split"))
   }
 }

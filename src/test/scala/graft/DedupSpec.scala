@@ -235,6 +235,15 @@ class DedupSpec extends SparkSpec {
     } finally before.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
+  test("bucketCapDrops on an UNREGISTERED session is read-only (no conf side effect)") {
+    val fresh = spark.newSession() // shares the context, not the listener registration
+    val key = "spark.sql.adaptive.optimizer.excludedRules"
+    fresh.conf.unset(key)
+    assert(GraftSession.bucketCapDrops(fresh).isEmpty)
+    assert(fresh.conf.getOption(key).forall(!_.contains("AQEPropagateEmptyRelation")),
+      fresh.conf.getOption(key).toString)
+  }
+
   test("simhash and embedding bucket caps drop degenerate buckets") {
     val same = (1L to 50L).map(i => (i, "identical words right here"))
       .toDF("doc_id", "text")

@@ -58,13 +58,18 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs, emptyDocs, "text", "doc_id").count() == 0)
     assert(TextAnalysis.withRepetition(emptyDocs, "text", "doc_id").count() == 0)
     assert(TextAnalysis.tokenStats(emptyDocs, "text", "doc_id").count() == 0)
-    assert(graft.plans.CurationPipeline.run(emptyDocs, "text", "doc_id").count() == 0)
+    assert(graft.plans.CurationPipeline.run(emptyDocs, "text", "doc_id")(_.count()) == 0)
   }
 
   test("similarity operators over an empty corpus yield empty results") {
     assert(Similarity.bruteForceTopK(emptyEmbs, emptyEmbs, "embedding", "vec_id").count() == 0)
     assert(Similarity.kmeansCentroids(emptyEmbs, "embedding", "vec_id", 4, 1).count() == 0)
     assert(Similarity.ivfTopK(emptyEmbs, emptyEmbs, "embedding", "vec_id").count() == 0)
+    // the recall gate fails CLOSED on an empty truth set: 0, never NULL
+    val r = Similarity.ivfRecallSummary(emptyEmbs, emptyEmbs, "embedding", "vec_id")
+      .collect()(0)
+    assert(r.getAs[Long]("n_truth") == 0L && r.getAs[Long]("n_hits") == 0L)
+    assert(!r.isNullAt(r.fieldIndex("recall_ok")) && r.getAs[Int]("recall_ok") == 0)
   }
 
   test("text analysis over an empty corpus yields empty results") {

@@ -122,14 +122,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter"), plan) // the * prefix = whole-stage codegen
   }
 
-  test("binByTokenBudget is ONE window over one sort (plus its exchange)") {
-    val withTok = docs.select(col("doc_id"),
+  test("binByTokenBudget: ONE window; keyed = hash exchange, global = SinglePartition") {
+    val withTok = docs.select(col("doc_id"), col("lang"),
       TextAnalysis.wsTokenCount(col("text")).as("tok"))
-    val plan = graft.operators.Sampling
+    val global = graft.operators.Sampling
       .binByTokenBudget(withTok, "tok", "doc_id", budget = 2000L)
       .queryExecution.executedPlan.toString
-    assert("(?m)^.*Window".r.findAllIn(plan).size == 1, plan)
-    assert("Sort ".r.findAllIn(plan).size == 1, plan)
+    assert("(?m)^.*Window".r.findAllIn(global).size == 1, global)
+    assert("Sort ".r.findAllIn(global).size == 1, global)
+    // the global form IS a total order on one task — the docstring says
+    // so, and this pins that claim to the actual plan
+    assert(global.contains("Exchange SinglePartition"), global)
+
+    val keyed = graft.operators.Sampling
+      .binByTokenBudget(withTok, "tok", "doc_id", budget = 2000L, byCol = Some("lang"))
+      .queryExecution.executedPlan.toString
+    assert(keyed.contains("Exchange hashpartitioning"), keyed)
+    assert(!keyed.contains("Exchange SinglePartition"), keyed)
   }
 
   test("dropDuplicateLines: line counts partial-aggregate before their shuffle") {

@@ -23,6 +23,16 @@ class SamplingSpec extends SparkSpec {
     // boundary fractions
     assert(Sampling.hashSample(docs, "doc_id", 0.0).count() == 0)
     assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == n)
+    // below-resolution fractions fail loudly instead of sampling nothing
+    intercept[IllegalArgumentException] {
+      Sampling.hashSample(docs, "doc_id", 0.1 / Sampling.Buckets)
+    }
+    // (tiny LAST splits absorb the rounding remainder by design, so the
+    // zero-width check is exercised with the tiny split in the middle)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id",
+        Seq(("val", 0.01 / Sampling.Buckets), ("train", 1.0)))
+    }
   }
 
   test("hashSample of a smaller fraction is a subset of a larger one (same seed)") {
