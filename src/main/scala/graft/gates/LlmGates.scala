@@ -317,6 +317,28 @@ object LlmGates {
           col("doc_id"),
           md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_md5"))
     },
+    // §2.4 row 55 — Gopher-style rule-based quality filter; planted rows
+    // exercise each rule (bullet list, ellipsis endings, symbol spam,
+    // alpha-free words, a passing doc, an under-length doc)
+    "q_gopher" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (500001L, "- item one\n- item two\n- item three\n- item four"),
+        (500002L, "the story continues...\nand then...\nmore to come...\nwith that being said of course it ends"),
+        (500003L, "## # ## price # tags # everywhere # in # this # short # doc #"),
+        (500004L, "12345 67890 11111 22222 33333 44444 55555 66666 77777 88888"),
+        (500005L, ("the quick brown fox jumps over the lazy dog and it runs away with great speed " * 4).trim),
+        (500006L, "too short to pass"))
+        .toDF("doc_id", "text")
+      TextAnalysis.gopherRules(
+          docs(s, dir).select("doc_id", "text").unionByName(planted),
+          "text", "doc_id")
+        .withColumn("mean_word_len", round(col("mean_word_len"), 6))
+        .withColumn("symbol_ratio", round(col("symbol_ratio"), 6))
+        .withColumn("bullet_ratio", round(col("bullet_ratio"), 6))
+        .withColumn("ellipsis_ratio", round(col("ellipsis_ratio"), 6))
+        .withColumn("alpha_word_ratio", round(col("alpha_word_ratio"), 6))
+    },
     // §2.4 row 48 — benchmark-contamination scores: asymmetric k-gram
     // containment of a planted eval set (every 100th doc) in the corpus;
     // planted members must score 1.0
@@ -339,6 +361,23 @@ object LlmGates {
       Sampling.splitAssign(docs(s, dir), "doc_id",
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select("doc_id", "split")
+    },
+    // §2.4 row 53 — stratified deterministic sampling: per-language
+    // fractions (en halved, de at 0.2, fr dropped, everything else at
+    // the 0.05 default); the oracle re-derives every per-stratum decision
+    "q_strata_sample" -> { (s, dir) =>
+      Sampling.sampleByStrata(docs(s, dir), "doc_id", "lang",
+          Seq(("en", 0.5), ("de", 0.2), ("fr", 0.0)), defaultFraction = 0.05)
+        .select("doc_id", "lang")
+    },
+    // §2.4 row 54 — per-group top-k selection (deterministic total
+    // order: n_chars desc, doc_id asc tiebreak) — the "cap every
+    // domain/source at N docs" curation rule; WindowGroupLimit plan
+    // shape asserted by SamplingSpec
+    "q_topk_by" -> { (s, dir) =>
+      Sampling.topKBy(docs(s, dir).select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", k = 5, idCol = "doc_id", rankCol = "rk")
+        .withColumn("rk", col("rk").cast("long")) // DuckDB row_number is BIGINT
     },
     // §2.4 row 46 — token-budget sequence binning (one window; global
     // order here — corpus-scale callers pass byCol)
@@ -780,6 +819,56 @@ object LlmGates {
          |  ) v(doc_id, text))
          |SELECT doc_id, md5($scrub) AS scrubbed_md5 FROM all_docs""".stripMargin
     },
+    "q_gopher" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (500001::BIGINT, '- item one' || chr(10) || '- item two' || chr(10) || '- item three' || chr(10) || '- item four'),
+         |    (500002::BIGINT, 'the story continues...' || chr(10) || 'and then...' || chr(10) || 'more to come...' || chr(10) || 'with that being said of course it ends'),
+         |    (500003::BIGINT, '## # ## price # tags # everywhere # in # this # short # doc #'),
+         |    (500004::BIGINT, '12345 67890 11111 22222 33333 44444 55555 66666 77777 88888'),
+         |    (500005::BIGINT, ${"'" + ("the quick brown fox jumps over the lazy dog and it runs away with great speed " * 4).trim + "'"}),
+         |    (500006::BIGINT, 'too short to pass')
+         |  ) v(doc_id, text)),
+         |staged AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS w,
+         |         string_split(text, chr(10)) AS ln
+         |  FROM all_docs),
+         |m AS (
+         |  SELECT doc_id,
+         |         len(w)::BIGINT AS n_words,
+         |         coalesce(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+         |                  / nullif(len(w), 0)::DOUBLE, 0.0) AS mean_word_len,
+         |         coalesce((len(regexp_extract_all(text, '#'))
+         |                   + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+         |                  / nullif(len(w), 0)::DOUBLE, 0.0) AS symbol_ratio,
+         |         len(list_filter(ln, x -> regexp_matches(ltrim(x), '^[-*•]')))::DOUBLE
+         |           / len(ln)::DOUBLE AS bullet_ratio,
+         |         len(list_filter(ln, x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)${"$"}')))::DOUBLE
+         |           / len(ln)::DOUBLE AS ellipsis_ratio,
+         |         coalesce(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         |                  / nullif(len(w), 0)::DOUBLE, 0.0) AS alpha_word_ratio,
+         |         len(list_intersect(list_transform(w, x -> lower(x)),
+         |             ['the','be','to','of','and','that','have','with']))::BIGINT AS stop_hits
+         |  FROM staged)
+         |SELECT doc_id, n_words,
+         |       round(mean_word_len, 6) AS mean_word_len,
+         |       round(symbol_ratio, 6) AS symbol_ratio,
+         |       round(bullet_ratio, 6) AS bullet_ratio,
+         |       round(ellipsis_ratio, 6) AS ellipsis_ratio,
+         |       round(alpha_word_ratio, 6) AS alpha_word_ratio,
+         |       stop_hits,
+         |       (n_words BETWEEN 50 AND 100000
+         |        AND mean_word_len BETWEEN 3.0 AND 10.0
+         |        AND symbol_ratio <= 0.1
+         |        AND bullet_ratio < 0.9
+         |        AND ellipsis_ratio <= 0.3
+         |        AND alpha_word_ratio >= 0.8
+         |        AND stop_hits >= 2) AS pass
+         |FROM m""".stripMargin,
     "q_contamination" ->
       s"""$DocSigCte,
          |sets AS (
@@ -818,6 +907,20 @@ object LlmGates {
          |                 < ${((0.8 + 0.1) * Sampling.Buckets).toLong} THEN 'val'
          |            ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+    "q_strata_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60("'graft:' || doc_id")} % ${Sampling.Buckets} <
+         |      CASE WHEN lang = 'en' THEN ${(0.5 * Sampling.Buckets).toLong}
+         |           WHEN lang = 'de' THEN ${(0.2 * Sampling.Buckets).toLong}
+         |           WHEN lang = 'fr' THEN 0
+         |           ELSE ${(0.05 * Sampling.Buckets).toLong} END""".stripMargin,
+    "q_topk_by" ->
+      """SELECT doc_id, lang, n_chars, rk FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
     "q_token_bins" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -94,6 +94,74 @@ object Sampling {
   }
 
   /**
+   * Stratified deterministic sample: like [[hashSample]] but with a
+   * per-stratum fraction — the knob that rebalances a corpus mix
+   * (languages, domains, sources) without an RNG. Strata absent from
+   * `fractions` (and NULL strata) fall back to `defaultFraction`; pass
+   * 1.0 to keep them whole, 0.0 (the default) to drop them.
+   *
+   * The hash bucket is the SAME function of (seed, id) as
+   * [[hashSample]], deliberately shared across strata: raising one
+   * stratum's fraction never reshuffles another stratum's membership,
+   * and per-stratum samples NEST (0.1 ⊂ 0.3) exactly like the global
+   * form. Still one codegen'd filter — no shuffle, no driver state.
+   */
+  def sampleByStrata(
+    df: DataFrame,
+    idCol: String,
+    strataCol: String,
+    fractions: Seq[(String, Double)],
+    defaultFraction: Double = 0.0,
+    seed: String = "graft"
+  ): DataFrame = {
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate strata in $fractions")
+    (defaultFraction +: fractions.map(_._2)).foreach { f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1]: $f")
+      require(f == 0.0 || (f * Buckets).toLong >= 1L,
+        s"fraction $f is below the sampling resolution 1/$Buckets — " +
+          "it would silently select nothing")
+    }
+    val b = hashBucket(col(idCol), seed)
+    val threshold = fractions.foldRight(lit((defaultFraction * Buckets).toLong): Column) {
+      case ((stratum, f), rest) =>
+        when(col(strataCol) === stratum, lit((f * Buckets).toLong)).otherwise(rest)
+    }
+    df.filter(b < threshold)
+  }
+
+  /**
+   * Per-group top-k selection with a deterministic total order: keeps the
+   * `k` rows with the smallest (`desc = false`) or largest (`desc = true`)
+   * `orderCol` per `byCol` group, ties broken by ascending `idCol` so the
+   * result is unique and rerun-stable. The canonical curation uses: "top
+   * k documents per source by quality" and "cap every domain at N
+   * documents" (an anti-crawler-loop rule) are both this operator.
+   *
+   * Scale shape: one rank window = hash shuffle on `byCol` + sort. The
+   * `row_number <= k` filter lets Spark insert WindowGroupLimit, which
+   * prunes each map partition to its local top-k BEFORE the shuffle —
+   * at 100 TB the exchange moves ~k rows per (group × input partition),
+   * not the corpus (SamplingSpec asserts the plan). `rankCol` is kept in
+   * the output (1-based) so downstream packing knows the order.
+   */
+  def topKBy(
+    df: DataFrame,
+    byCol: String,
+    orderCol: String,
+    k: Int,
+    idCol: String,
+    desc: Boolean = true,
+    rankCol: String = "rank"
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ord = if (desc) col(orderCol).desc else col(orderCol).asc
+    val w = Window.partitionBy(col(byCol)).orderBy(ord, col(idCol).asc)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+
+  /**
    * Sequence binning for sample packing: orders rows by `idCol` (within
    * `byCol` partitions when given) and assigns each a `bin_id` so that
    * consecutive rows accumulate into bins of roughly `budget` tokens —

@@ -197,6 +197,92 @@ object TextAnalysis {
         (lit(1.0) - size(array_distinct(col("sh"))).cast("double")
           / size(col("sh")).cast("double")).as("rep_ratio"))
 
+  /** The stopword set the Gopher rules require ≥ minStopHits distinct
+    * members of (Rae et al. 2021, appendix A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style rule-based document filter (the published heuristic
+   * recipe for web-corpus cleaning): per-document signals plus a `pass`
+   * verdict. Signals, with the paper's default bounds:
+   *
+   *   - `n_words` in [50, 100 000] — whitespace tokens of the raw text
+   *   - `mean_word_len` in [3, 10]
+   *   - `symbol_ratio` (`#` chars + `...` runs, per word) ≤ 0.1
+   *   - `bullet_ratio` (lines starting `-`/`*`/`•`) < 0.9
+   *   - `ellipsis_ratio` (lines ending `...`/`…`) ≤ 0.3
+   *   - `alpha_word_ratio` (words containing a letter) ≥ 0.8
+   *   - `stop_hits` (distinct [[GopherStopwords]] present) ≥ 2
+   *
+   * Pure Catalyst projection: the word and line arrays are materialized
+   * ONCE as projection columns (no HOF re-evaluation of the split per
+   * signal), everything downstream is bound-attribute arithmetic —
+   * shuffle-free and codegen'd, so the filter rides the 100 TB scan.
+   * Empty/blank documents score 0 words and fail the word-count rule.
+   */
+  def gopherRules(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    minWords: Int = 50,
+    maxWords: Int = 100000,
+    minMeanLen: Double = 3.0,
+    maxMeanLen: Double = 10.0,
+    maxSymbolRatio: Double = 0.1,
+    maxBulletRatio: Double = 0.9,
+    maxEllipsisRatio: Double = 0.3,
+    minAlphaWordRatio: Double = 0.8,
+    minStopHits: Int = 2
+  ): DataFrame = {
+    val t = col("text")
+    val staged = df.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("text"),
+      when(trim(col(textCol)) === "", array().cast("array<string>"))
+        .otherwise(split(trim(col(textCol)), "\\s+")).as("w"),
+      split(col(textCol), "\n").as("ln"))
+    val nWords = size(col("w")).cast("long")
+    val nLines = size(col("ln")).cast("long") // ≥ 1: splitting "" yields [""]
+    val meanLen = coalesce(
+      aggregate(col("w"), lit(0L), (acc, x) => acc + length(x).cast("long"))
+        .cast("double") / nullif(nWords, lit(0L)).cast("double"),
+      lit(0.0))
+    val symbolRatio = coalesce(
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+        .cast("double") / nullif(nWords, lit(0L)).cast("double"),
+      lit(0.0))
+    val bulletRatio =
+      size(filter(col("ln"), l => ltrim(l).rlike("^[-*•]"))).cast("double") /
+        nLines.cast("double")
+    val ellipsisRatio =
+      size(filter(col("ln"), l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
+        nLines.cast("double")
+    val alphaWordRatio = coalesce(
+      size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("double") /
+        nullif(nWords, lit(0L)).cast("double"),
+      lit(0.0))
+    val stopHits = size(array_intersect(
+      transform(col("w"), x => lower(x)), lit(GopherStopwords.toArray))).cast("long")
+    staged.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        bulletRatio.as("bullet_ratio"),
+        ellipsisRatio.as("ellipsis_ratio"),
+        alphaWordRatio.as("alpha_word_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_ratio") < maxBulletRatio &&
+          col("ellipsis_ratio") <= maxEllipsisRatio &&
+          col("alpha_word_ratio") >= minAlphaWordRatio &&
+          col("stop_hits") >= minStopHits)
+  }
+
   /** PII patterns chosen to mean the same thing in Java regex and RE2
     * (no backrefs, no lookaround) so engine and oracle agree: emails,
     * IPv4 literals, and phone-ish digit runs. */

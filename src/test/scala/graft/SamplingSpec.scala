@@ -65,6 +65,61 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(col("split") === "all").count() == docs.count())
   }
 
+  test("sampleByStrata: per-stratum fractions, nesting, default fallback, membership stability") {
+    val out = Sampling.sampleByStrata(docs, "doc_id", "lang",
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.0)), defaultFraction = 0.05)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("en").toDouble / totals("en") - 0.5) < 0.15)
+    assert(math.abs(out("de").toDouble / totals("de") - 0.2) < 0.15)
+    assert(!out.contains("fr")) // fraction 0.0 drops the stratum entirely
+    // strata not listed fall back to defaultFraction
+    val others = totals.keySet -- Set("en", "de", "fr")
+    assert(others.forall(l => out.getOrElse(l, 0L) <= totals(l)))
+    // a stratum's members are the SAME rows hashSample(fraction) picks:
+    // changing another stratum's fraction cannot reshuffle this one
+    val en = Sampling.sampleByStrata(docs, "doc_id", "lang", Seq(("en", 0.5)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val enGlobal = Sampling.hashSample(docs.filter(col("lang") === "en"), "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(en == enGlobal)
+    // nested per stratum: en@0.2 ⊂ en@0.5
+    val enSmall = Sampling.sampleByStrata(docs, "doc_id", "lang", Seq(("en", 0.2)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(enSmall.subsetOf(en))
+    intercept[IllegalArgumentException] { // duplicate strata rejected
+      Sampling.sampleByStrata(docs, "doc_id", "lang", Seq(("en", 0.1), ("en", 0.2)))
+    }
+    intercept[IllegalArgumentException] { // below-resolution fraction fails loudly
+      Sampling.sampleByStrata(docs, "doc_id", "lang", Seq(("en", 0.1 / Sampling.Buckets)))
+    }
+  }
+
+  test("topKBy: exact top-k per group, deterministic tiebreak, WindowGroupLimit in plan") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 5.0)
+    ).toDF("grp", "doc_id", "score")
+    val out = Sampling.topKBy(df, "grp", "score", k = 2, idCol = "doc_id")
+      .select("grp", "doc_id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // ties on score=30.0 break by ascending doc_id: 2 before 4; doc 3 is cut
+    assert(out == Set(("a", 2L, 1), ("a", 4L, 2), ("b", 5L, 1)))
+    // ascending keeps the smallest
+    val asc = Sampling.topKBy(df, "grp", "score", k = 1, idCol = "doc_id", desc = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(asc == Set(1L, 5L))
+    // the rank-limit filter must plan as WindowGroupLimit so each map
+    // partition prunes to its local top-k BEFORE the shuffle
+    val plan = Sampling.topKBy(docs, "lang", "n_chars", k = 5, idCol = "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    intercept[IllegalArgumentException] { Sampling.topKBy(df, "grp", "score", 0, "doc_id") }
+  }
+
   test("binByTokenBudget: bins respect the budget up to one straddling row") {
     import spark.implicits._
     val df = Seq(

@@ -79,6 +79,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3) == "version 1.2 of chapter 3 has no pii at all")
   }
 
+  test("gopherRules: each rule trips on its planted doc; clean prose passes") {
+    val docs = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog and it runs away with great speed " * 4).trim),
+      (2L, "- a\n- b\n- c"),                         // all-bullet lines
+      (3L, "went on...\nand on...\nand on..."),      // every line ends in ellipsis
+      (4L, "# # # # spam"),                          // symbol-heavy
+      (5L, "12345 67890 00000"),                     // no alphabetic words
+      (6L, "too short"),                             // under min word count
+      (7L, ""))                                      // empty: 0 words, defined ratios
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(out(1L).getAs[Long]("n_words") == 64)
+    assert(!out(2L).getAs[Boolean]("pass") && out(2L).getAs[Double]("bullet_ratio") == 1.0)
+    assert(!out(3L).getAs[Boolean]("pass") && out(3L).getAs[Double]("ellipsis_ratio") == 1.0)
+    assert(!out(4L).getAs[Boolean]("pass") && out(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!out(5L).getAs[Boolean]("pass") && out(5L).getAs[Double]("alpha_word_ratio") == 0.0)
+    assert(!out(6L).getAs[Boolean]("pass"))
+    assert(!out(7L).getAs[Boolean]("pass") && out(7L).getAs[Long]("n_words") == 0L
+      && out(7L).getAs[Double]("mean_word_len") == 0.0)
+    // stopword rule: long alpha prose with no stopwords still fails
+    val noStops = Seq((8L, Seq.fill(60)("zebra").mkString(" "))).toDF("doc_id", "text")
+    val r8 = TextAnalysis.gopherRules(noStops, "text", "doc_id").head
+    assert(r8.getAs[Long]("stop_hits") == 0L && !r8.getAs[Boolean]("pass"))
+    // relaxed bounds flip the verdict (thresholds are parameters)
+    val relaxed = TextAnalysis.gopherRules(noStops, "text", "doc_id", minStopHits = 0)
+    assert(relaxed.head.getAs[Boolean]("pass"))
+  }
+
   test("tokenStats: approx percentiles track the exact ones; counts identical") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def toMap(df: org.apache.spark.sql.DataFrame) =
