@@ -348,6 +348,17 @@ object LlmGates {
           d, d.filter(col("doc_id") % 100 === 7), "text", "doc_id", k = 3)
         .withColumn("contamination", round(col("contamination"), 6))
     },
+    // §2.4 row 56 — the bloom-prefiltered contamination path: must be
+    // VALUE-IDENTICAL to the exact q_contamination (bloom false
+    // positives die in the exact join; false negatives are impossible),
+    // so it shares that oracle verbatim
+    "q_contamination_bloom" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Contamination.contaminationScores(
+          d, d.filter(col("doc_id") % 100 === 7), "text", "doc_id", k = 3,
+          bloomPrefilter = true)
+        .withColumn("contamination", round(col("contamination"), 6))
+    },
     // §2.4 row 44 — deterministic hash sampling (pure pushed-down filter;
     // membership is a function of (seed, id) alone, so the oracle
     // re-derives every decision)
@@ -428,6 +439,22 @@ object LlmGates {
 
   /** Shared doc → shingles → base hashes → signature CTE prefix. */
   private val DocSigCte = docSigCte("documents")
+
+  /** Shared by q_contamination and q_contamination_bloom: the two paths
+    * are value-identical by construction. */
+  private lazy val ContaminationSql =
+    s"""$DocSigCte,
+       |sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS g FROM sh),
+       |ev AS (
+       |  SELECT list(DISTINCT eg.g) AS grams
+       |  FROM (SELECT unnest(g) AS g FROM sets WHERE doc_id % 100 = 7) eg)
+       |SELECT doc_id,
+       |       len(g)::BIGINT AS n_grams,
+       |       len(list_intersect(g, ev.grams))::BIGINT AS n_hits,
+       |       round(len(list_intersect(g, ev.grams))::DOUBLE
+       |             / len(g)::DOUBLE, 6) AS contamination
+       |FROM sets, ev""".stripMargin
 
   /** [[DocSigCte]] over an arbitrary source table/CTE. */
   private def docSigCte(src: String) =
@@ -869,19 +896,10 @@ object LlmGates {
          |        AND alpha_word_ratio >= 0.8
          |        AND stop_hits >= 2) AS pass
          |FROM m""".stripMargin,
-    "q_contamination" ->
-      s"""$DocSigCte,
-         |sets AS (
-         |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS g FROM sh),
-         |ev AS (
-         |  SELECT list(DISTINCT eg.g) AS grams
-         |  FROM (SELECT unnest(g) AS g FROM sets WHERE doc_id % 100 = 7) eg)
-         |SELECT doc_id,
-         |       len(g)::BIGINT AS n_grams,
-         |       len(list_intersect(g, ev.grams))::BIGINT AS n_hits,
-         |       round(len(list_intersect(g, ev.grams))::DOUBLE
-         |             / len(g)::DOUBLE, 6) AS contamination
-         |FROM sets, ev""".stripMargin,
+    "q_contamination" -> ContaminationSql,
+    // value-identical to the exact path by construction (bloom false
+    // positives die in the exact join) — held to the SAME oracle
+    "q_contamination_bloom" -> ContaminationSql,
     "q_token_stats" ->
       """WITH t AS (
         |  SELECT lang,

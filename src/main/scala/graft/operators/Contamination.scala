@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
  * document, not one per gram, because a doc's exploded grams never
  * leave their partition before the partial aggregate. The corpus is
  * never shuffled at gram granularity and never joined against itself.
+ *
+ * For eval sets whose gram table is itself large, `bloomPrefilter`
+ * prunes each doc's grams through a native bloom filter of the eval
+ * grams BEFORE the exact join — value-identical output (the exact join
+ * still runs, on far fewer rows), with one ~1 MiB serialized filter
+ * doing the bulk rejection instead of the join-side hash table.
  */
 object Contamination {
 
@@ -36,18 +42,49 @@ object Contamination {
     evalSet: DataFrame,
     textCol: String,
     idCol: String,
-    k: Int = 13
+    k: Int = 13,
+    bloomPrefilter: Boolean = false,
+    bloomExpectedGrams: Long = graft.functions.BloomExprs.DefaultExpectedItems,
+    bloomNumBits: Long = graft.functions.BloomExprs.DefaultNumBits
   ): DataFrame = {
     val corpusGrams = Dedup.hashedShingleTable(corpus, textCol, idCol, k)
       .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
     val evalGrams = Dedup.hashedShingleTable(evalSet, textCol, idCol, k)
       .select(explode(col("hs")).as("g")).distinct()
       .withColumn("hit", lit(1L))
-    corpusGrams
-      .select(
-        col("doc_id"),
-        size(col("hs")).cast("long").as("n_grams"),
-        explode(col("hs")).as("g"))
+    // With the prefilter on, each doc's gram ARRAY is pruned by a
+    // broadcast-sized bloom of the eval grams BEFORE exploding: the rows
+    // entering the join drop from |grams(doc)| to ~hits + fpp·|grams(doc)|
+    // per doc — at 100 TB that is the difference between joining every
+    // gram of the corpus and joining (almost) only the contaminated ones.
+    // False positives survive the prefilter but not the exact join, so
+    // the result is value-identical to the exact path; false negatives
+    // cannot occur. The filter itself is ONE numBits/8-byte row collected
+    // on the driver (metadata-sized, like the k-means centroid fold) and
+    // re-embedded as a literal.
+    val exploded =
+      if (!bloomPrefilter)
+        corpusGrams.select(
+          col("doc_id"),
+          size(col("hs")).cast("long").as("n_grams"),
+          explode(col("hs")).as("g"))
+      else {
+        val bloomBytes = evalGrams
+          .agg(graft.functions.BloomExprs
+            .bloomAgg(col("g"), bloomExpectedGrams, bloomNumBits).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        // an EMPTY eval set aggregates to a null filter: nothing can hit
+        val pre: Column => Column =
+          if (bloomBytes == null) _ => lit(false)
+          else g => graft.functions.BloomExprs.mightContain(bloomBytes, g)
+        // explode_outer: a doc whose grams ALL miss the bloom must still
+        // surface with n_hits = 0, not vanish
+        corpusGrams.select(
+          col("doc_id"),
+          size(col("hs")).cast("long").as("n_grams"),
+          explode_outer(filter(col("hs"), pre)).as("g"))
+      }
+    exploded
       .join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy("doc_id", "n_grams")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
@@ -69,9 +106,11 @@ object Contamination {
     textCol: String,
     idCol: String,
     k: Int = 13,
-    maxContamination: Double = 0.5
+    maxContamination: Double = 0.5,
+    bloomPrefilter: Boolean = false
   ): DataFrame = {
-    val dirty = contaminationScores(corpus, evalSet, textCol, idCol, k)
+    val dirty = contaminationScores(corpus, evalSet, textCol, idCol, k,
+        bloomPrefilter = bloomPrefilter)
       .filter(col("contamination") >= maxContamination)
       .select(col("doc_id").as(idCol))
     corpus.join(dirty, Seq(idCol), "left_anti")

@@ -164,6 +164,38 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(2L))
   }
 
+  test("bloom-prefiltered contamination is value-identical to the exact path") {
+    import spark.implicits._
+    val evalQ = "what is the capital of france paris is the capital"
+    val corpus = Seq(
+      (1L, s"filler words before the quote $evalQ and some trailing filler text here"),
+      (2L, "an entirely unrelated document about spark shuffles and parquet files"),
+      (3L, evalQ)
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalQ)).toDF("doc_id", "text")
+    def rows(bloom: Boolean) = graft.operators.Contamination
+      .contaminationScores(corpus, evalSet, "text", "doc_id", k = 3,
+        bloomPrefilter = bloom)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("contamination"))).toSet
+    assert(rows(bloom = true) == rows(bloom = false))
+    // a doc with NO gram surviving the prefilter still surfaces at 0.0
+    assert(rows(bloom = true).exists { case (id, _, h, c) => id == 2L && h == 0L && c == 0.0 })
+    // empty eval set: the aggregated filter is null; every doc scores 0
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val z = graft.operators.Contamination
+      .contaminationScores(corpus, emptyEval, "text", "doc_id", k = 3,
+        bloomPrefilter = true)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
+    assert(z == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // decontaminate threads the flag and agrees with the exact path
+    val clean = graft.operators.Contamination
+      .decontaminate(corpus, evalSet, "text", "doc_id", k = 3,
+        maxContamination = 0.3, bloomPrefilter = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
   test("near-dup plan has no cartesian product (LSH buckets, not all-pairs)") {
     val plan = Dedup.nearDuplicates(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString

@@ -163,6 +163,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 2, s"$shuffles shuffles:\n$plan")
   }
 
+  test("bloom contamination: might_contain prunes grams before the exact join") {
+    val ev = docs.filter(col("doc_id") % 100 === 7)
+    val plan = graft.operators.Contamination
+      .contaminationScores(docs, ev, "text", "doc_id", k = 3, bloomPrefilter = true)
+      .queryExecution.executedPlan.toString
+    // the bloom predicate must sit in the corpus-side projection (array
+    // filter before explode), and the exact broadcast join must remain
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"$shuffles shuffles:\n$plan")
+  }
+
   test("connectedComponents: result plan is iteration-flat (lineage truncated per round)") {
     import spark.implicits._
     // a 6-vertex path graph needs ~5 propagation rounds; without the
