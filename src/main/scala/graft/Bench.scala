@@ -44,7 +44,10 @@ object Bench {
     "q_neardup_cluster",    // near-dup chain + iterative connected components (r7)
     "q_token_bins",         // global-window prefix-sum binning — the single-partition total-order shape (r7)
     "q_line_dedup",         // line explode + corpus-wide count + regroup rebuild (r7)
-    "q_contamination"       // gram explode + broadcast eval join + per-doc regroup (r7)
+    "q_contamination",      // gram explode + broadcast eval join + per-doc regroup (r7)
+    "q_contamination_bloom",// same chain behind the bloom gram prefilter (r7)
+    "q_gopher",             // 7-signal rule filter, one codegen'd projection (r7)
+    "q_topk_by"             // WindowGroupLimit rank window — local top-k pre-shuffle (r7)
   )
 
   private def jsonStr(s: String): String =
