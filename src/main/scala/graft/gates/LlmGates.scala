@@ -290,6 +290,34 @@ object LlmGates {
           "text", "doc_id", minCount = 3)
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
     },
+    // §2.4 row 57 — WITHIN-doc repeated-line removal (first occurrence
+    // kept, blank separator lines exempt); planted doc loops a menu line
+    "q_line_dedup_doc" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (600001L, "menu\nhome\nmenu\n\ncontent here\n\nmenu"),
+        (600002L, "a\na\na"),
+        (600003L, ""))
+        .toDF("doc_id", "text")
+      Dedup.dropRepeatedLinesWithinDoc(
+          docs(s, dir).select("doc_id", "text").unionByName(planted),
+          "text", "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    },
+    // §2.4 row 58 — rebalance to integer target weights (en:de:fr =
+    // 2:1:1); every threshold derives in exact integer arithmetic, so
+    // the oracle recomputes N, per-stratum takes, and every membership
+    "q_rebalance" -> { (s, dir) =>
+      Sampling.rebalance(docs(s, dir), "doc_id", "lang",
+          Seq(("en", 2L), ("de", 1L), ("fr", 1L)))
+        .select("doc_id", "lang")
+    },
+    // §2.4 row 59 — relative quality floor: top half per language by
+    // n_chars, rank-wise (exact even under ties), min 1 row per group
+    "q_top_fraction" -> { (s, dir) =>
+      Sampling.keepTopFraction(docs(s, dir).select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", fraction = 0.5, idCol = "doc_id")
+    },
     // §2.4 row 49 — duplicate-k-gram repetition ratio (quality signal);
     // planted row: a doc repeating one trigram scores high
     "q_repetition" -> { (s, dir) =>
@@ -846,6 +874,40 @@ object LlmGates {
          |  ) v(doc_id, text))
          |SELECT doc_id, md5($scrub) AS scrubbed_md5 FROM all_docs""".stripMargin
     },
+    "q_line_dedup_doc" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (600001::BIGINT, 'menu' || chr(10) || 'home' || chr(10) || 'menu' || chr(10) || chr(10) || 'content here' || chr(10) || chr(10) || 'menu'),
+         |    (600002::BIGINT, 'a' || chr(10) || 'a' || chr(10) || 'a'),
+         |    (600003::BIGINT, '')
+         |  ) v(doc_id, text)),
+         |l AS (SELECT doc_id, string_split(text, chr(10)) AS ln FROM all_docs)
+         |SELECT doc_id,
+         |       md5(array_to_string(
+         |         list_filter(ln, (x, i) -> x = '' OR list_position(ln, x) = i),
+         |         chr(10))) AS text_md5
+         |FROM l""".stripMargin,
+    "q_rebalance" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*)::BIGINT AS c FROM documents
+         |  WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
+         |w(lang, w) AS (VALUES ('en', 2::BIGINT), ('de', 1::BIGINT), ('fr', 1::BIGINT)),
+         |cw AS (SELECT c.lang, c.c, w.w FROM c JOIN w USING (lang)),
+         |nn AS (SELECT min(c * 4 // w) AS n FROM cw),
+         |th AS (SELECT lang, ((n * w // 4) * ${Sampling.Buckets} // c) AS t FROM cw, nn)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN th ON d.lang = th.lang
+         |WHERE ${h60("'graft:' || doc_id")} % ${Sampling.Buckets} < th.t""".stripMargin,
+    "q_top_fraction" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rn <= greatest(floor(0.5 * n), 1)""".stripMargin,
     "q_gopher" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

@@ -504,6 +504,38 @@ object Dedup {
       .select(col("doc_id"), coalesce(col(textCol), lit("")).as(textCol))
   }
 
+  /**
+   * WITHIN-document repeated-line removal: keeps the FIRST occurrence of
+   * each line inside a document and deletes later repeats (scraper menus
+   * and generated boilerplate often loop within one page — the corpus-wide
+   * [[dropDuplicateLines]] rule misses a line repeated only inside a
+   * single doc). Blank lines are exempt (they are paragraph separators,
+   * not content). Line order is otherwise preserved; row count unchanged.
+   *
+   * Pure projection: the line array is materialized once and pruned by a
+   * positional higher-order filter (keep index i iff the line's first
+   * occurrence is at i) — per-doc local work, no shuffle, no join, so
+   * the rule rides the 100 TB scan. Quadratic only in each doc's LINE
+   * count, which is bounded and tiny relative to I/O.
+   */
+  def dropRepeatedLinesWithinDoc(
+    df: DataFrame,
+    textCol: String,
+    idCol: String
+  ): DataFrame = {
+    // materialize the split ONCE as a projection column: referencing the
+    // split expression inside the lambda would re-run it per element
+    // (no CSE inside higher-order lambdas; cf. the signature operators)
+    // blank lines are paragraph separators, not content — exempt from
+    // the repeat rule so document structure survives
+    val rebuilt = concat_ws("\n",
+      filter(col("__ln"),
+        (x, i) => (x === "") ||
+          array_position(col("__ln"), x) === (i + 1).cast("long")))
+    val cols = df.columns.map(c => if (c == textCol) rebuilt.as(textCol) else col(c))
+    df.withColumn("__ln", split(col(textCol), "\n")).select(cols.toIndexedSeq: _*)
+  }
+
   // -------------------------------------------------------------- simhash
 
   /**

@@ -131,6 +131,94 @@ object Sampling {
   }
 
   /**
+   * Rebalance a corpus to TARGET mixture weights (the "30% code / 50%
+   * web / 20% books" knob): finds the largest total size N at which
+   * every stratum can supply its share `w_s / ΣW` from the rows it has,
+   * then hash-samples each stratum down to its share. Strata outside
+   * `targetWeights` are dropped. Weights are INTEGERS so every
+   * threshold derives in exact int64 arithmetic — an external oracle
+   * can re-compute each decision bit-for-bit, with no float
+   * normalization drift.
+   *
+   * Derivation (all integer): `N = min_s floor(count_s · ΣW / w_s)`,
+   * per-stratum take `n_s = floor(N · w_s / ΣW)`, membership
+   * `bucket < floor(n_s · Buckets / count_s)`. Realized sizes are
+   * hash-approximate (± the usual binomial noise), like every
+   * deterministic-hash sampler here.
+   *
+   * Scale shape: one partial-aggregated count per stratum (collected —
+   * strata-cardinality rows, metadata-sized), then ONE codegen'd
+   * filter. Membership inherits [[hashSample]]'s bucket function, so
+   * re-running with different weights never reshuffles a stratum's
+   * member identity, only its cut-off.
+   */
+  def rebalance(
+    df: DataFrame,
+    idCol: String,
+    strataCol: String,
+    targetWeights: Seq[(String, Long)],
+    seed: String = "graft"
+  ): DataFrame = {
+    require(targetWeights.nonEmpty, "at least one target stratum required")
+    require(targetWeights.forall(_._2 > 0L), s"weights must be positive: $targetWeights")
+    require(targetWeights.map(_._1).distinct.size == targetWeights.size,
+      s"duplicate strata in $targetWeights")
+    val w = targetWeights.toMap
+    val sumW = targetWeights.map(_._2).sum
+    val counts = df.filter(col(strataCol).isin(targetWeights.map(_._1): _*))
+      .groupBy(strataCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = w.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"target strata absent from the corpus: ${missing.mkString(", ")}")
+    // BigInt: count_s·ΣW and take·Buckets overflow int64 at 100 TB row
+    // counts; the final thresholds are < Buckets and always fit a Long
+    val n = targetWeights
+      .map { case (s, ws) => BigInt(counts(s)) * sumW / ws }.min
+    val b = hashBucket(col(idCol), seed)
+    val threshold = targetWeights.foldRight(lit(0L): Column) {
+      case ((s, ws), rest) =>
+        val take = n * ws / sumW
+        when(col(strataCol) === s,
+          lit((take * Buckets / counts(s)).toLong)).otherwise(rest)
+    }
+    df.filter(b < threshold)
+  }
+
+  /**
+   * Keep the top `fraction` of each group by `orderCol` — the RELATIVE
+   * quality floor ("drop the worst 30% per language"), done rank-wise
+   * rather than threshold-wise so the cut is exact even when scores tie
+   * or cluster: rows rank with a deterministic tiebreak (desc/asc
+   * `orderCol`, then ascending `idCol`) and the top
+   * `floor(fraction · count_group)` survive (minimum 1 row per group,
+   * so a tiny group is never emptied by rounding).
+   *
+   * Scale shape: one hash shuffle on `byCol`, then rank + count as two
+   * window functions over the SAME window spec — a single Window node,
+   * no self-join against a quantile table, no second shuffle.
+   */
+  def keepTopFraction(
+    df: DataFrame,
+    byCol: String,
+    orderCol: String,
+    fraction: Double,
+    idCol: String,
+    desc: Boolean = true
+  ): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")
+    val ord = if (desc) col(orderCol).desc else col(orderCol).asc
+    val w = Window.partitionBy(col(byCol)).orderBy(ord, col(idCol).asc)
+    // the count rides the SAME ordered spec with a full frame, so rank
+    // and count evaluate in one Window node over one shuffle+sort
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wFull))
+      .filter(col("__rn") <= greatest(floor(lit(fraction) * col("__n")), lit(1L)))
+      .drop("__rn", "__n")
+  }
+
+  /**
    * Per-group top-k selection with a deterministic total order: keeps the
    * `k` rows with the smallest (`desc = false`) or largest (`desc = true`)
    * `orderCol` per `byCol` group, ties broken by ascending `idCol` so the

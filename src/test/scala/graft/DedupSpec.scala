@@ -164,6 +164,30 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(2L))
   }
 
+  test("dropRepeatedLinesWithinDoc: first occurrence kept, blanks exempt, order preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "menu\nhome\nmenu\n\ncontent here\n\nmenu"),
+      (2L, "a\na\na"),
+      (3L, ""),
+      (4L, "x\ny")) // no repeats: text unchanged
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dropRepeatedLinesWithinDoc(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "menu\nhome\n\ncontent here\n") // both blank lines survive
+    assert(out(2L) == "a")
+    assert(out(3L) == "")
+    assert(out(4L) == "x\ny")
+    // column order and row count are preserved
+    val shaped = graft.operators.Dedup.dropRepeatedLinesWithinDoc(
+      df.withColumn("extra", lit(1)), "text", "doc_id")
+    assert(shaped.columns.toSeq == Seq("doc_id", "text", "extra"))
+    assert(shaped.count() == 4)
+    // pure projection: no exchange in the plan
+    val plan = shaped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("bloom-prefiltered contamination is value-identical to the exact path") {
     import spark.implicits._
     val evalQ = "what is the capital of france paris is the capital"

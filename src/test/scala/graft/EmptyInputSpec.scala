@@ -59,6 +59,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.withRepetition(emptyDocs, "text", "doc_id").count() == 0)
     assert(TextAnalysis.tokenStats(emptyDocs, "text", "doc_id").count() == 0)
     assert(graft.plans.CurationPipeline.run(emptyDocs, "text", "doc_id")(_.count()) == 0)
+    // round-7 stretch additions
+    val emptyShaped = emptyDocs
+      .withColumn("lang", lit("en")).withColumn("n_chars", lit(0L))
+    assert(graft.operators.Sampling.sampleByStrata(
+      emptyShaped, "doc_id", "lang", Seq(("en", 0.5))).count() == 0)
+    assert(graft.operators.Sampling.topKBy(
+      emptyShaped, "lang", "n_chars", 3, "doc_id").count() == 0)
+    assert(graft.operators.Sampling.keepTopFraction(
+      emptyShaped, "lang", "n_chars", 0.5, "doc_id").count() == 0)
+    assert(TextAnalysis.gopherRules(emptyDocs, "text", "doc_id").count() == 0)
+    assert(graft.operators.Dedup.dropRepeatedLinesWithinDoc(
+      emptyDocs, "text", "doc_id").count() == 0)
+    assert(graft.operators.Contamination.contaminationScores(
+      emptyDocs, emptyDocs, "text", "doc_id", bloomPrefilter = true).count() == 0)
+    // rebalance cannot satisfy a mix with zero supply: fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.rebalance(emptyShaped, "doc_id", "lang", Seq(("en", 1L)))
+    }
   }
 
   test("similarity operators over an empty corpus yield empty results") {

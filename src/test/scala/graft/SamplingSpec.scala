@@ -120,6 +120,54 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sampling.topKBy(df, "grp", "score", 0, "doc_id") }
   }
 
+  test("rebalance: realized mix tracks integer target weights; scarcest stratum binds") {
+    import spark.implicits._
+    // en is abundant, de scarce: de binds the total at weight parity
+    val df = ((1L to 800L).map(i => (i, "en")) ++ (801L to 900L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val out = Sampling.rebalance(df, "doc_id", "lang", Seq(("en", 1L), ("de", 1L)))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N = min(800*2/1, 100*2/1) = 200 → 100 per stratum; de keeps ~all
+    // 100, en samples ~100 of 800 (hash-approximate)
+    assert(out("de") > 85 && out("de") <= 100, out.toString)
+    assert(math.abs(out("en") - 100.0) / 100.0 < 0.35, out.toString)
+    // strata outside the target mix are dropped
+    val plusZh = df.union(Seq((901L, "zh")).toDF("doc_id", "lang"))
+    val kept = Sampling.rebalance(plusZh, "doc_id", "lang", Seq(("en", 1L), ("de", 1L)))
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(!kept.contains("zh"))
+    // a target stratum with no corpus rows fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(df, "doc_id", "lang", Seq(("en", 1L), ("ja", 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(df, "doc_id", "lang", Seq(("en", 0L)))
+    }
+  }
+
+  test("keepTopFraction: rank-wise cut, tiny groups keep one row, single window node") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 40.0), ("a", 3L, 30.0), ("a", 4L, 20.0),
+      ("b", 5L, 1.0))
+      .toDF("grp", "doc_id", "score")
+    val out = Sampling.keepTopFraction(df, "grp", "score", 0.5, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // group a: floor(0.5*4)=2 → docs 2,3; group b: floor(0.5*1)=0 → min 1 row
+    assert(out == Set(2L, 3L, 5L))
+    // exact under ties: deterministic doc_id tiebreak picks the lower id
+    val tied = Seq(("a", 1L, 5.0), ("a", 2L, 5.0)).toDF("grp", "doc_id", "score")
+    val cut = Sampling.keepTopFraction(tied, "grp", "score", 0.5, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cut == Set(1L))
+    // rank and count share one Window node over one exchange
+    val plan = Sampling.keepTopFraction(docs, "lang", "n_chars", 0.5, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(plan).size == 1, s"expected one Window node:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("binByTokenBudget: bins respect the budget up to one straddling row") {
     import spark.implicits._
     val df = Seq(
