@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, VectorMeanAgg}
 
 /**
@@ -62,6 +63,33 @@ object GraftFunctions {
       s"shingle_hashes expects (words array<string>, norm string[, k INT literal]), got ${args.length} args")
   }
 
+  /** SQL integer literals arrive as INT; BloomFilterAggregate wants LONG
+    * size expressions. */
+  private def asLongLit(e: Expression, what: String): Expression = e match {
+    case Literal(n: Int, _) => Literal(n.toLong)
+    case Literal(n: Long, _) => Literal(n)
+    case bad => throw new IllegalArgumentException(
+      s"$what must be an integer literal; got: $bad")
+  }
+
+  private def bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(e) => new BloomFilterAggregate(e)
+    case Seq(e, n) =>
+      new BloomFilterAggregate(e, asLongLit(n, "bloom_filter_agg's expectedItems"))
+    case Seq(e, n, b) =>
+      new BloomFilterAggregate(e,
+        asLongLit(n, "bloom_filter_agg's expectedItems"),
+        asLongLit(b, "bloom_filter_agg's numBits"))
+    case args => throw new IllegalArgumentException(
+      s"bloom_filter_agg expects (value[, expectedItems[, numBits]]), got ${args.length} args")
+  }
+
+  private def bloomMightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(f, v) => BloomFilterMightContain(f, v)
+    case args => throw new IllegalArgumentException(
+      s"bloom_might_contain expects (filter BINARY, value), got ${args.length} args")
+  }
+
   /** (name, builder, implementing class) for each SQL function. */
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("md5_long60", oneArg("md5_long60")(Md5Long60Expr.apply(_: Expression)),
@@ -77,7 +105,11 @@ object GraftFunctions {
     // an AggregateFunction builder: the analyzer wraps it into an
     // AggregateExpression when resolving the call site
     ("vector_mean", oneArg("vector_mean")(VectorMeanAgg(_: Expression)),
-      classOf[VectorMeanAgg])
+      classOf[VectorMeanAgg]),
+    // Spark's native runtime-filter pair (not SQL-registered upstream):
+    // build a serialized bloom filter, then probe it
+    ("bloom_filter_agg", bloomAggBuilder, classOf[BloomFilterAggregate]),
+    ("bloom_might_contain", bloomMightContainBuilder, classOf[BloomFilterMightContain])
   )
 
   /** Register every graft SQL function on an existing session. */

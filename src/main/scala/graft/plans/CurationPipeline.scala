@@ -11,19 +11,24 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  * oracle-gated operator of this engine.
  *
  *   1. PII scrub (emails / IPv4s / phone runs masked)
- *   2. corpus-wide duplicate-LINE removal (C4 rule)
+ *   2. WITHIN-doc repeated-line removal (scraper loops), then
+ *      corpus-wide duplicate-LINE removal (C4 rule)
  *   3. exact dedup (normalized-hash, lowest-id keeper)
  *   4. MinHash-LSH near-dup removal
- *   5. decontamination against an eval set (optional)
- *   6. quality floor (composite score ≥ minQuality)
+ *   5. decontamination against an eval set (optional; bloom-prefiltered
+ *      on request)
+ *   6. quality floor (composite score ≥ minQuality), optionally with the
+ *      Gopher rule verdict as an additional hard gate
  *   7. train/val/test split assignment (deterministic hash)
  *
  * Order rationale: scrubbing FIRST makes boilerplate lines (which often
  * differ only in an embedded email/phone) collapse for the line rule;
- * line removal BEFORE document dedup lets near-identical pages become
- * exact duplicates; decontamination runs on the deduplicated survivors
- * (fewer docs to score); the quality floor sees final text; splits are
- * assigned last so every surviving row gets one.
+ * the within-doc rule precedes the corpus-wide one so a doc-internal
+ * loop can't inflate a line past minLineCount by itself; line removal
+ * BEFORE document dedup lets near-identical pages become exact
+ * duplicates; decontamination runs on the deduplicated survivors (fewer
+ * docs to score); the quality gates see final text; splits are assigned
+ * last so every surviving row gets one.
  *
  * Scale shape is inherited stage by stage — every stage is one of this
  * engine's audited operators; nothing here adds a shuffle of its own.
@@ -36,13 +41,16 @@ object CurationPipeline {
   final case class Config(
     evalSet: Option[DataFrame] = None,
     minLineCount: Int = 3,
+    dropRepeatedLinesInDoc: Boolean = true,
     shingleK: Int = 3,
     numHashes: Int = 16,
     bands: Int = 4,
     nearDupThreshold: Double = 0.8,
     contaminationK: Int = 13,
     maxContamination: Double = 0.5,
+    bloomPrefilter: Boolean = false,
     minQuality: Double = 0.0,
+    gopherFilter: Boolean = false,
     splits: Seq[(String, Double)] = Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)),
     splitSeed: String = "graft"
   )
@@ -62,11 +70,20 @@ object CurationPipeline {
     idCol: String,
     cfg: Config = Config()
   ): DataFrame =
-    stages(
-      Dedup.dropDuplicateLines(
-        corpus.select(col(idCol), TextAnalysis.scrubPii(col(textCol)).as(textCol)),
-        textCol, idCol = idCol, minCount = cfg.minLineCount),
-      textCol, cfg)
+    stages(scrub(corpus, textCol, idCol, cfg), textCol, cfg)
+
+  /** Stages 1-2: PII scrub, within-doc line rule, corpus-wide line rule. */
+  private def scrub(
+    corpus: DataFrame, textCol: String, idCol: String, cfg: Config
+  ): DataFrame = {
+    val masked = corpus
+      .select(col(idCol), TextAnalysis.scrubPii(col(textCol)).as(textCol))
+    val inDoc =
+      if (cfg.dropRepeatedLinesInDoc)
+        Dedup.dropRepeatedLinesWithinDoc(masked, textCol, idCol)
+      else masked
+    Dedup.dropDuplicateLines(inDoc, textCol, idCol = idCol, minCount = cfg.minLineCount)
+  }
 
   /**
    * Runs the flow and your `action` (write, collect, count …) with the
@@ -80,10 +97,7 @@ object CurationPipeline {
     idCol: String,
     cfg: Config = Config()
   )(action: DataFrame => T): T = {
-    val scrubbed = Dedup.dropDuplicateLines(
-      corpus.select(col(idCol), TextAnalysis.scrubPii(col(textCol)).as(textCol)),
-      textCol, idCol = idCol, minCount = cfg.minLineCount)
-      .persist()
+    val scrubbed = scrub(corpus, textCol, idCol, cfg).persist()
     try action(stages(scrubbed, textCol, cfg))
     finally scrubbed.unpersist()
   }
@@ -98,12 +112,21 @@ object CurationPipeline {
     // 5: decontamination (optional)
     val clean = cfg.evalSet.fold(near)(ev =>
       Contamination.decontaminate(near, ev, textCol, "doc_id",
-        k = cfg.contaminationK, maxContamination = cfg.maxContamination))
-    // 6-7: quality floor, then split labels
-    val scored = TextAnalysis.withQuality(clean, textCol, "doc_id")
+        k = cfg.contaminationK, maxContamination = cfg.maxContamination,
+        bloomPrefilter = cfg.bloomPrefilter))
+    // 6: quality gates — composite floor, plus the Gopher rule verdict
+    // as a hard gate when requested (paper-default thresholds)
+    val ruled =
+      if (!cfg.gopherFilter) clean
+      else clean.join(
+        TextAnalysis.gopherRules(clean, textCol, "doc_id")
+          .filter(col("pass")).select("doc_id"),
+        "doc_id")
+    val scored = TextAnalysis.withQuality(ruled, textCol, "doc_id")
       .filter(col("quality") >= cfg.minQuality)
       .select(col("doc_id"), col("quality"))
-      .join(clean, "doc_id")
+      .join(ruled, "doc_id")
+    // 7: split labels
     Sampling.splitAssign(scored, "doc_id", cfg.splits, cfg.splitSeed)
       .select(col("doc_id"), col(textCol), col("quality"), col("split"))
   }

@@ -49,6 +49,44 @@ class CurationPipelineSpec extends SparkSpec {
     assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
   }
 
+  test("within-doc line rule and gopher gate fire when enabled; bloom path agrees") {
+    val prose = "the cat is in the hat and it is flat for all of us to see " * 2
+    // 64 words, mean length and stopword mix pass the paper-default rules
+    val passing = ("the quick brown fox jumps over the lazy dog and it runs away with great speed " * 4).trim
+    val corpus = Seq(
+      // internal scraper loop: repeats ONE line 2x inside the doc — below
+      // the corpus-wide minLineCount, so only the within-doc rule catches it
+      (1L, s"INTERNAL MENU\n$passing\nINTERNAL MENU"),
+      // long clean prose with stopwords: survives the gopher gate
+      (2L, (prose + "alpha beta gamma delta epsilon zeta eta theta ") * 2),
+      // short doc: passes the composite floor at 0.0 but FAILS the
+      // gopher word-count rule
+      (3L, "the short one")
+    ).toDF("doc_id", "text")
+    val rows = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(gopherFilter = true))(_.collect())
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 2L), rows.mkString("\n"))
+    val t1 = rows.find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("text")
+    assert(t1.indexOf("INTERNAL MENU") == t1.lastIndexOf("INTERNAL MENU"))
+    // flag off: the repeated internal line survives
+    val off = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(dropRepeatedLinesInDoc = false))(_.collect())
+    val t1off = off.find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("text")
+    assert(t1off.indexOf("INTERNAL MENU") != t1off.lastIndexOf("INTERNAL MENU"))
+    // bloom-prefiltered decontamination drops the same doc the exact path does
+    val evalSet = Seq((100L, "what is the capital of assyria we ask today"))
+      .toDF("doc_id", "text")
+    val withEval = corpus.union(Seq(
+      (4L, "what is the capital of assyria we ask today")).toDF("doc_id", "text"))
+    def curated(bloom: Boolean) = CurationPipeline.run(withEval, "text", "doc_id",
+      CurationPipeline.Config(evalSet = Some(evalSet), contaminationK = 5,
+        bloomPrefilter = bloom))(
+      _.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(curated(bloom = true) == curated(bloom = false))
+    assert(!curated(bloom = true).contains(4L))
+  }
+
   test("no eval set, no quality floor: only scrub/line/dedup stages act") {
     val corpus = Seq(
       (1L, "plain text one"),

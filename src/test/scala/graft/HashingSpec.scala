@@ -204,6 +204,34 @@ class HashingSpec extends SparkSpec {
     assert(out(1L) == Seq(2.0, 2.0) && out(2L) == Seq(5.0, 5.0))
   }
 
+  test("SQL surface: bloom_filter_agg + bloom_might_contain round-trip") {
+    GraftFunctions.register(spark)
+    (1L to 100L).toDF("v").createOrReplaceTempView("bloom_probe")
+    spark.sql(
+      "SELECT bloom_filter_agg(v, 1000, 65536) AS bf FROM bloom_probe")
+      .createOrReplaceTempView("bloom_built")
+    // the filter side must be constant-foldable: a scalar subquery is
+    // the documented SQL shape (same as Spark's own runtime filters)
+    // every inserted value must hit (no false negatives)
+    val hits = spark.sql(
+      """SELECT count(*) AS n FROM bloom_probe p
+        |WHERE bloom_might_contain((SELECT bf FROM bloom_built), p.v)""".stripMargin)
+      .head().getLong(0)
+    assert(hits == 100L)
+    // absent values mostly miss (fpp is small at this sizing)
+    val fp = spark.sql(
+      """SELECT count(*) AS n FROM range(1000000, 1001000) r
+        |WHERE bloom_might_contain((SELECT bf FROM bloom_built), r.id)""".stripMargin)
+      .head().getLong(0)
+    assert(fp < 50L, s"false positives: $fp/1000")
+    // SQL path equals the Column-API path bit for bit
+    val sqlBytes = spark.sql("SELECT bf FROM bloom_built").head().getAs[Array[Byte]](0)
+    val apiBytes = (1L to 100L).toDF("v")
+      .agg(graft.functions.BloomExprs.bloomAgg(col("v"), 1000L, 65536L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(sqlBytes, apiBytes))
+  }
+
   test("constant folding collapses seed hashes to literals") {
     val plan = spark.range(1)
       .select(Hashing.md5Long60(lit("0")).as("seed"))
