@@ -300,8 +300,7 @@ object LlmGates {
         (600003L, ""))
         .toDF("doc_id", "text")
       Dedup.dropRepeatedLinesWithinDoc(
-          docs(s, dir).select("doc_id", "text").unionByName(planted),
-          "text", "doc_id")
+          docs(s, dir).select("doc_id", "text").unionByName(planted), "text")
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
     },
     // §2.4 row 58 — rebalance to integer target weights (en:de:fr =
@@ -836,6 +835,7 @@ object LlmGates {
         |dup AS (
         |  SELECT md5(line) AS lh
         |  FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM all_docs)
+        |  WHERE line <> '' -- blank separators exempt, as in the engine
         |  GROUP BY md5(line) HAVING count(*) >= 3),
         |dl AS (SELECT coalesce(list(lh), []) AS dls FROM dup)
         |SELECT doc_id,

@@ -47,11 +47,22 @@ object Contamination {
     bloomExpectedGrams: Long = graft.functions.BloomExprs.DefaultExpectedItems,
     bloomNumBits: Long = graft.functions.BloomExprs.DefaultNumBits
   ): DataFrame = {
+    // NULL-text docs have no grams and are excluded from scoring — made
+    // explicit so the exact path (whose explode would drop them anyway)
+    // and the bloom path (whose explode_outer would otherwise keep them
+    // with NULL scores) stay value-identical
     val corpusGrams = Dedup.hashedShingleTable(corpus, textCol, idCol, k)
+      .filter(col("hs").isNotNull)
       .select(col("doc_id"), array_distinct(col("hs")).as("hs"))
-    val evalGrams = Dedup.hashedShingleTable(evalSet, textCol, idCol, k)
+    val evalGramsPlan = Dedup.hashedShingleTable(evalSet, textCol, idCol, k)
       .select(explode(col("hs")).as("g")).distinct()
       .withColumn("hit", lit(1L))
+    // the bloom build consumes the eval gram table EAGERLY and the exact
+    // join consumes it again — localCheckpoint materializes the (eval-
+    // set-sized) distinct grams once for both (the connectedComponents
+    // lineage pattern), instead of re-running its shuffle per consumer
+    val evalGrams =
+      if (bloomPrefilter) evalGramsPlan.localCheckpoint() else evalGramsPlan
     // With the prefilter on, each doc's gram ARRAY is pruned by a
     // broadcast-sized bloom of the eval grams BEFORE exploding: the rows
     // entering the join drop from |grams(doc)| to ~hits + fpp·|grams(doc)|

@@ -469,7 +469,10 @@ object Dedup {
    * occurring at least `minCount` times across the corpus is deleted
    * from EVERY document; surviving lines keep their order, and a
    * document whose lines are all boilerplate survives with empty text
-   * (corpus row count is preserved). Returns (doc_id, textCol).
+   * (corpus row count is preserved). Blank lines are exempt — they are
+   * paragraph separators, not boilerplate, and deleting them corpus-wide
+   * would mangle every document's structure (same stance as
+   * [[dropRepeatedLinesWithinDoc]]). Returns (doc_id, textCol).
    *
    * Scale shape: lines join the duplicate set on their 16-byte MD5 (not
    * the line text — boilerplate lines are long, hashes are not), the
@@ -488,7 +491,8 @@ object Dedup {
     val lines = df
       .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
-    val dup = lines.groupBy("lh")
+    val dup = lines.filter(col("line") =!= "") // blank separators exempt
+      .groupBy("lh")
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
       .select("lh")
@@ -520,8 +524,7 @@ object Dedup {
    */
   def dropRepeatedLinesWithinDoc(
     df: DataFrame,
-    textCol: String,
-    idCol: String
+    textCol: String
   ): DataFrame = {
     // materialize the split ONCE as a projection column: referencing the
     // split expression inside the lambda would re-run it per element

@@ -176,11 +176,19 @@ object Sampling {
     val n = targetWeights
       .map { case (s, ws) => BigInt(counts(s)) * sumW / ws }.min
     val b = hashBucket(col(idCol), seed)
-    val threshold = targetWeights.foldRight(lit(0L): Column) {
-      case ((s, ws), rest) =>
-        val take = n * ws / sumW
-        when(col(strataCol) === s,
-          lit((take * Buckets / counts(s)).toLong)).otherwise(rest)
+    val thresholds = targetWeights.map { case (s, ws) =>
+      val take = n * ws / sumW
+      val t = (take * Buckets / counts(s)).toLong
+      // same loud-failure convention as hashSample/sampleByStrata: a
+      // stratum so abundant (or a weight so small) that its cut rounds
+      // to zero buckets must not silently vanish from the mix
+      require(t >= 1L,
+        s"stratum '$s' would be emptied: take $take of ${counts(s)} rows " +
+          s"is below the sampling resolution 1/$Buckets")
+      s -> t
+    }
+    val threshold = thresholds.foldRight(lit(0L): Column) {
+      case ((s, t), rest) => when(col(strataCol) === s, lit(t)).otherwise(rest)
     }
     df.filter(b < threshold)
   }

@@ -235,44 +235,21 @@ object TextAnalysis {
     minAlphaWordRatio: Double = 0.8,
     minStopHits: Int = 2
   ): DataFrame = {
-    val t = col("text")
     val staged = df.select(
       col(idCol).as("doc_id"),
       col(textCol).as("text"),
-      when(trim(col(textCol)) === "", array().cast("array<string>"))
-        .otherwise(split(trim(col(textCol)), "\\s+")).as("w"),
+      gopherWords(col(textCol)).as("w"),
       split(col(textCol), "\n").as("ln"))
-    val nWords = size(col("w")).cast("long")
-    val nLines = size(col("ln")).cast("long") // ≥ 1: splitting "" yields [""]
-    val meanLen = coalesce(
-      aggregate(col("w"), lit(0L), (acc, x) => acc + length(x).cast("long"))
-        .cast("double") / nullif(nWords, lit(0L)).cast("double"),
-      lit(0.0))
-    val symbolRatio = coalesce(
-      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
-        .cast("double") / nullif(nWords, lit(0L)).cast("double"),
-      lit(0.0))
-    val bulletRatio =
-      size(filter(col("ln"), l => ltrim(l).rlike("^[-*•]"))).cast("double") /
-        nLines.cast("double")
-    val ellipsisRatio =
-      size(filter(col("ln"), l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
-        nLines.cast("double")
-    val alphaWordRatio = coalesce(
-      size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("double") /
-        nullif(nWords, lit(0L)).cast("double"),
-      lit(0.0))
-    val stopHits = size(array_intersect(
-      transform(col("w"), x => lower(x)), lit(GopherStopwords.toArray))).cast("long")
+    val s = gopherSignals(col("text"), col("w"), col("ln"))
     staged.select(
         col("doc_id"),
-        nWords.as("n_words"),
-        meanLen.as("mean_word_len"),
-        symbolRatio.as("symbol_ratio"),
-        bulletRatio.as("bullet_ratio"),
-        ellipsisRatio.as("ellipsis_ratio"),
-        alphaWordRatio.as("alpha_word_ratio"),
-        stopHits.as("stop_hits"))
+        s.nWords.as("n_words"),
+        s.meanLen.as("mean_word_len"),
+        s.symbolRatio.as("symbol_ratio"),
+        s.bulletRatio.as("bullet_ratio"),
+        s.ellipsisRatio.as("ellipsis_ratio"),
+        s.alphaWordRatio.as("alpha_word_ratio"),
+        s.stopHits.as("stop_hits"))
       .withColumn("pass",
         col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(minMeanLen, maxMeanLen) &&
@@ -281,6 +258,80 @@ object TextAnalysis {
           col("ellipsis_ratio") <= maxEllipsisRatio &&
           col("alpha_word_ratio") >= minAlphaWordRatio &&
           col("stop_hits") >= minStopHits)
+  }
+
+  /**
+   * [[gopherRules]] as a row-preserving FILTER: keeps exactly the rows
+   * whose `pass` verdict is true, with the input's columns untouched.
+   * For pipelines this avoids the id-join back onto the input (which
+   * would re-evaluate the caller's upstream plan twice); the signal
+   * arrays live in temp columns for the filter's duration only.
+   */
+  def gopherFilter(
+    df: DataFrame,
+    textCol: String,
+    minWords: Int = 50,
+    maxWords: Int = 100000,
+    minMeanLen: Double = 3.0,
+    maxMeanLen: Double = 10.0,
+    maxSymbolRatio: Double = 0.1,
+    maxBulletRatio: Double = 0.9,
+    maxEllipsisRatio: Double = 0.3,
+    minAlphaWordRatio: Double = 0.8,
+    minStopHits: Int = 2
+  ): DataFrame = {
+    val staged = df
+      .withColumn("__w", gopherWords(col(textCol)))
+      .withColumn("__ln", split(col(textCol), "\n"))
+    val s = gopherSignals(col(textCol), col("__w"), col("__ln"))
+    staged.filter(
+        s.nWords.between(minWords, maxWords) &&
+          s.meanLen.between(minMeanLen, maxMeanLen) &&
+          s.symbolRatio <= maxSymbolRatio &&
+          s.bulletRatio < maxBulletRatio &&
+          s.ellipsisRatio <= maxEllipsisRatio &&
+          s.alphaWordRatio >= minAlphaWordRatio &&
+          s.stopHits >= minStopHits)
+      .drop("__w", "__ln")
+  }
+
+  /** Raw whitespace word array for the Gopher signals (empty for blank). */
+  private def gopherWords(t: Column): Column =
+    when(trim(t) === "", array().cast("array<string>"))
+      .otherwise(split(trim(t), "\\s+"))
+
+  private final case class GopherSignals(
+    nWords: Column, meanLen: Column, symbolRatio: Column, bulletRatio: Column,
+    ellipsisRatio: Column, alphaWordRatio: Column, stopHits: Column)
+
+  /** The seven signals over MATERIALIZED word/line array columns (`w`,
+    * `ln` must be bound attributes, not expressions — each is referenced
+    * several times and HOF lambdas get no codegen CSE). */
+  private def gopherSignals(t: Column, w: Column, ln: Column): GopherSignals = {
+    val nWords = size(w).cast("long")
+    val nLines = size(ln).cast("long") // ≥ 1: splitting "" yields [""]
+    GopherSignals(
+      nWords = nWords,
+      meanLen = coalesce(
+        aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .cast("double") / nullif(nWords, lit(0L)).cast("double"),
+        lit(0.0)),
+      symbolRatio = coalesce(
+        (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\.")))
+          .cast("double") / nullif(nWords, lit(0L)).cast("double"),
+        lit(0.0)),
+      bulletRatio =
+        size(filter(ln, l => ltrim(l).rlike("^[-*•]"))).cast("double") /
+          nLines.cast("double"),
+      ellipsisRatio =
+        size(filter(ln, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") /
+          nLines.cast("double"),
+      alphaWordRatio = coalesce(
+        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") /
+          nullif(nWords, lit(0L)).cast("double"),
+        lit(0.0)),
+      stopHits = size(array_intersect(
+        transform(w, x => lower(x)), lit(GopherStopwords.toArray))).cast("long"))
   }
 
   /** PII patterns chosen to mean the same thing in Java regex and RE2

@@ -80,7 +80,7 @@ object CurationPipeline {
       .select(col(idCol), TextAnalysis.scrubPii(col(textCol)).as(textCol))
     val inDoc =
       if (cfg.dropRepeatedLinesInDoc)
-        Dedup.dropRepeatedLinesWithinDoc(masked, textCol, idCol)
+        Dedup.dropRepeatedLinesWithinDoc(masked, textCol)
       else masked
     Dedup.dropDuplicateLines(inDoc, textCol, idCol = idCol, minCount = cfg.minLineCount)
   }
@@ -118,10 +118,7 @@ object CurationPipeline {
     // as a hard gate when requested (paper-default thresholds)
     val ruled =
       if (!cfg.gopherFilter) clean
-      else clean.join(
-        TextAnalysis.gopherRules(clean, textCol, "doc_id")
-          .filter(col("pass")).select("doc_id"),
-        "doc_id")
+      else TextAnalysis.gopherFilter(clean, textCol)
     val scored = TextAnalysis.withQuality(ruled, textCol, "doc_id")
       .filter(col("quality") >= cfg.minQuality)
       .select(col("doc_id"), col("quality"))

@@ -137,6 +137,13 @@ class DedupSpec extends SparkSpec {
         minCount = 3)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(none == Map(1L -> "keep one\nBOILER\nkeep two", 2L -> "BOILER\ntail"))
+    // blank separator lines are exempt no matter how often they occur
+    val blanky = Seq(
+      (1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf"), (4L, "g\n\nh"))
+      .toDF("doc_id", "text")
+    val keptBlanks = Dedup.dropDuplicateLines(blanky, "text", "doc_id", minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keptBlanks == Map(1L -> "a\n\nb", 2L -> "c\n\nd", 3L -> "e\n\nf", 4L -> "g\n\nh"))
   }
 
   test("contamination: planted eval quote is contained; decontaminate drops it") {
@@ -172,7 +179,7 @@ class DedupSpec extends SparkSpec {
       (3L, ""),
       (4L, "x\ny")) // no repeats: text unchanged
       .toDF("doc_id", "text")
-    val out = graft.operators.Dedup.dropRepeatedLinesWithinDoc(df, "text", "doc_id")
+    val out = graft.operators.Dedup.dropRepeatedLinesWithinDoc(df, "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "menu\nhome\n\ncontent here\n") // both blank lines survive
     assert(out(2L) == "a")
@@ -180,7 +187,7 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == "x\ny")
     // column order and row count are preserved
     val shaped = graft.operators.Dedup.dropRepeatedLinesWithinDoc(
-      df.withColumn("extra", lit(1)), "text", "doc_id")
+      df.withColumn("extra", lit(1)), "text")
     assert(shaped.columns.toSeq == Seq("doc_id", "text", "extra"))
     assert(shaped.count() == 4)
     // pure projection: no exchange in the plan
@@ -194,7 +201,8 @@ class DedupSpec extends SparkSpec {
     val corpus = Seq(
       (1L, s"filler words before the quote $evalQ and some trailing filler text here"),
       (2L, "an entirely unrelated document about spark shuffles and parquet files"),
-      (3L, evalQ)
+      (3L, evalQ),
+      (4L, null.asInstanceOf[String]) // NULL text: excluded from BOTH paths
     ).toDF("doc_id", "text")
     val evalSet = Seq((100L, evalQ)).toDF("doc_id", "text")
     def rows(bloom: Boolean) = graft.operators.Contamination
@@ -205,6 +213,8 @@ class DedupSpec extends SparkSpec {
     assert(rows(bloom = true) == rows(bloom = false))
     // a doc with NO gram surviving the prefilter still surfaces at 0.0
     assert(rows(bloom = true).exists { case (id, _, h, c) => id == 2L && h == 0L && c == 0.0 })
+    // the NULL-text doc appears in neither path (no NULL-score rows)
+    assert(!rows(bloom = true).exists(_._1 == 4L))
     // empty eval set: the aggregated filter is null; every doc scores 0
     val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val z = graft.operators.Contamination
@@ -212,12 +222,13 @@ class DedupSpec extends SparkSpec {
         bloomPrefilter = true)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_hits")).toMap
     assert(z == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
-    // decontaminate threads the flag and agrees with the exact path
+    // decontaminate threads the flag and agrees with the exact path;
+    // the NULL-text doc is unscoreable, hence never contaminated → kept
     val clean = graft.operators.Contamination
       .decontaminate(corpus, evalSet, "text", "doc_id", k = 3,
         maxContamination = 0.3, bloomPrefilter = true)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(clean == Set(2L))
+    assert(clean == Set(2L, 4L))
   }
 
   test("near-dup plan has no cartesian product (LSH buckets, not all-pairs)") {

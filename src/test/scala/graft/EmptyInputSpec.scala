@@ -70,7 +70,7 @@ class EmptyInputSpec extends SparkSpec {
       emptyShaped, "lang", "n_chars", 0.5, "doc_id").count() == 0)
     assert(TextAnalysis.gopherRules(emptyDocs, "text", "doc_id").count() == 0)
     assert(graft.operators.Dedup.dropRepeatedLinesWithinDoc(
-      emptyDocs, "text", "doc_id").count() == 0)
+      emptyDocs, "text").count() == 0)
     assert(graft.operators.Contamination.contaminationScores(
       emptyDocs, emptyDocs, "text", "doc_id", bloomPrefilter = true).count() == 0)
     // rebalance cannot satisfy a mix with zero supply: fails loudly

@@ -144,6 +144,16 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.rebalance(df, "doc_id", "lang", Seq(("en", 0L)))
     }
+    // a stratum whose cut rounds to zero buckets fails loudly instead of
+    // silently vanishing from the mix: with weights tiny:big = 1000:1,
+    // N = min(3·1001/1000, 1000·1001/1) = 3 and big's take is
+    // floor(3·1/1001) = 0 — the engine must refuse, not emit a 3:0 mix
+    val extreme = ((1L to 3L).map(i => (i, "tiny")) ++ (100L to 1099L).map(i => (i, "big")))
+      .toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(extreme, "doc_id", "lang",
+        Seq(("tiny", 1000L), ("big", 1L)))
+    }
   }
 
   test("keepTopFraction: rank-wise cut, tiny groups keep one row, single window node") {

@@ -107,6 +107,13 @@ class TextAnalysisSpec extends SparkSpec {
     // relaxed bounds flip the verdict (thresholds are parameters)
     val relaxed = TextAnalysis.gopherRules(noStops, "text", "doc_id", minStopHits = 0)
     assert(relaxed.head.getAs[Boolean]("pass"))
+    // the filter form keeps exactly the pass set, columns untouched
+    val all = docs.union(noStops)
+    val passIds = TextAnalysis.gopherRules(all, "text", "doc_id")
+      .filter(col("pass")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val filtered = TextAnalysis.gopherFilter(all, "text")
+    assert(filtered.columns.toSeq == Seq("doc_id", "text"))
+    assert(filtered.select("doc_id").collect().map(_.getLong(0)).toSet == passIds)
   }
 
   test("tokenStats: approx percentiles track the exact ones; counts identical") {
