@@ -47,7 +47,9 @@ object Bench {
     "q_contamination",      // gram explode + broadcast eval join + per-doc regroup (r7)
     "q_contamination_bloom",// same chain behind the bloom gram prefilter (r7)
     "q_gopher",             // 7-signal rule filter, one codegen'd projection (r7)
-    "q_topk_by"             // WindowGroupLimit rank window — local top-k pre-shuffle (r7)
+    "q_topk_by",            // WindowGroupLimit rank window — local top-k pre-shuffle (r7)
+    "q_top_fraction",       // rank + count in one Window node over one shuffle (r7)
+    "q_line_dedup_doc"      // within-doc positional-HOF line rule, pure projection (r7)
   )
 
   private def jsonStr(s: String): String =
