@@ -178,6 +178,42 @@ class SamplingSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("sampling decisions equal the JVM md5 reference, random weights (seeded)") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(20260812L)
+    val ids = (1L to 300L)
+    val df = ids.toDF("doc_id")
+    def bucket(id: Long, seed: String = "graft"): Long =
+      graft.functions.Md5Long60Expr.hash(UTF8String.fromString(s"$seed:$id")) %
+        Sampling.Buckets
+    // hashSample membership = bucket < fraction·Buckets, for random fractions
+    for (_ <- 1 to 3) {
+      val f = 0.05 + rng.nextDouble() * 0.9
+      val got = Sampling.hashSample(df, "doc_id", f)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = ids.filter(bucket(_) < (f * Sampling.Buckets).toLong).toSet
+      assert(got == want, s"fraction $f")
+    }
+    // splitAssign label = cumulative-range decision, for random weight vectors
+    for (_ <- 1 to 3) {
+      val k = 2 + rng.nextInt(3)
+      val weights = (1 to k).map(i => s"s$i" -> (0.05 + rng.nextDouble()))
+      val got = Sampling.splitAssign(df, "doc_id", weights)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val total = weights.map(_._2).sum
+      val bounds = weights.inits.toSeq.reverse.tail
+        .map(ws => (ws.last._1, (ws.map(_._2).sum / total * Sampling.Buckets).toLong))
+      val withLast = bounds.init :+ (bounds.last._1, Sampling.Buckets)
+      val want = ids.map { id =>
+        val b = bucket(id)
+        id -> withLast.find(b < _._2).get._1
+      }.toMap
+      assert(got == want, s"weights $weights")
+    }
+  }
+
   test("binByTokenBudget: bins respect the budget up to one straddling row") {
     import spark.implicits._
     val df = Seq(
