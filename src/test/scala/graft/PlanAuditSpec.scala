@@ -176,6 +176,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 2, s"$shuffles shuffles:\n$plan")
   }
 
+  test("gopherFilter is a scan-stage filter: no exchange, no join, codegen'd") {
+    val plan = graft.operators.TextAnalysis.gopherFilter(docs, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("*(1)"), plan) // whole-stage codegen'd
+  }
+
+  test("stratified sample is one scan-stage filter like hashSample") {
+    val plan = graft.operators.Sampling.sampleByStrata(
+        docs, "doc_id", "lang", Seq(("en", 0.5), ("de", 0.2)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1)"), plan)
+  }
+
   test("connectedComponents: result plan is iteration-flat (lineage truncated per round)") {
     import spark.implicits._
     // a 6-vertex path graph needs ~5 propagation rounds; without the
