@@ -49,7 +49,8 @@ object Bench {
     "q_gopher",             // 7-signal rule filter, one codegen'd projection (r7)
     "q_topk_by",            // WindowGroupLimit rank window — local top-k pre-shuffle (r7)
     "q_top_fraction",       // rank + count in one Window node over one shuffle (r7)
-    "q_line_dedup_doc"      // within-doc positional-HOF line rule, pure projection (r7)
+    "q_line_dedup_doc",     // within-doc positional-HOF line rule, pure projection (r7)
+    "q_top_words"           // word explode + partial counts + TakeOrderedAndProject (r7)
   )
 
   private def jsonStr(s: String): String =

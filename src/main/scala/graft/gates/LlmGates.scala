@@ -214,6 +214,11 @@ object LlmGates {
     "q_token_stats" -> { (s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir), "text", "lang")
     },
+    // §2.4 row 60 — corpus-wide top-k vocabulary (n desc, word asc — the
+    // deterministic order makes the k-set unique through count ties)
+    "q_top_words" -> { (s, dir) =>
+      TextAnalysis.topWords(docs(s, dir), "text", k = 100)
+    },
     // §2.4 row 36 — document fingerprinting (normalized MD5 + minhash-0)
     "q_fingerprint" -> { (s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "text", "doc_id")
@@ -874,6 +879,11 @@ object LlmGates {
          |  ) v(doc_id, text))
          |SELECT doc_id, md5($scrub) AS scrubbed_md5 FROM all_docs""".stripMargin
     },
+    "q_top_words" ->
+      s"""WITH w AS (
+         |  SELECT unnest(${wordsSql()}) AS word FROM documents)
+         |SELECT word, count(*)::BIGINT AS n FROM w
+         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
     "q_line_dedup_doc" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

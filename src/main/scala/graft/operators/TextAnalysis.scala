@@ -334,6 +334,26 @@ object TextAnalysis {
         transform(w, x => lower(x)), lit(GopherStopwords.toArray))).cast("long"))
   }
 
+  /**
+   * Corpus-wide top-k token frequencies over the normalized word stream —
+   * vocabulary building, stopword discovery, drift monitoring. Returns
+   * (word, n) with a deterministic total order (n desc, word asc), so
+   * the k-set is unique even through count ties at the boundary.
+   *
+   * Scale shape: explode → hash aggregate with map-side partials
+   * (frequent words collapse before the shuffle — they are the point of
+   * the query), then ORDER BY + LIMIT plans as TakeOrderedAndProject:
+   * each partition surrenders only its local top-k, never a full sort
+   * of the vocabulary (PlanAuditSpec asserts it).
+   */
+  def topWords(df: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    df.select(explode(Hashing.normalizedWords(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
+  }
+
   /** PII patterns chosen to mean the same thing in Java regex and RE2
     * (no backrefs, no lookaround) so engine and oracle agree: emails,
     * IPv4 literals, and phone-ish digit runs. */

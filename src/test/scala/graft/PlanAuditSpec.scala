@@ -176,6 +176,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 2, s"$shuffles shuffles:\n$plan")
   }
 
+  test("topWords plans as TakeOrderedAndProject over a partial-aggregated count") {
+    val plan = graft.operators.TextAnalysis.topWords(docs, "text", 100)
+      .queryExecution.executedPlan.toString
+    // each partition surrenders its local top-k — never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("gopherFilter is a scan-stage filter: no exchange, no join, codegen'd") {
     val plan = graft.operators.TextAnalysis.gopherFilter(docs, "text")
       .queryExecution.executedPlan.toString

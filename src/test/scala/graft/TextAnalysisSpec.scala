@@ -116,6 +116,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(filtered.select("doc_id").collect().map(_.getLong(0)).toSet == passIds)
   }
 
+  test("topWords: frequency-ordered, deterministic tiebreak, k bound respected") {
+    val df = Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "banana date date")).toDF("doc_id", "text")
+    val out = TextAnalysis.topWords(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // apple 3, banana 3 (tie broken alphabetically), then cherry/date tie
+    // at 2... date has 2, cherry 1 → third is date
+    assert(out.toSeq == Seq(("apple", 3L), ("banana", 3L), ("date", 2L)), out.mkString(","))
+    intercept[IllegalArgumentException] { TextAnalysis.topWords(df, "text", 0) }
+    // empty corpus yields an empty vocabulary
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.topWords(empty, "text").count() == 0)
+  }
+
   test("tokenStats: approx percentiles track the exact ones; counts identical") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def toMap(df: org.apache.spark.sql.DataFrame) =
