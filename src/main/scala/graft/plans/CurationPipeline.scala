@@ -19,7 +19,17 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  *      on request)
  *   6. quality floor (composite score ≥ minQuality), optionally with the
  *      Gopher rule verdict as an additional hard gate
+ *   6b. optional per-group document cap (`perGroupCap = Some(groupCol, k)`:
+ *       at most k survivors per group, lowest-id keeper — the
+ *       anti-crawler-loop / per-domain budget rule)
+ *   6c. optional mixture rebalance (`targetMix = Some(strataCol, weights)`:
+ *       integer-weight target proportions over the survivors; note the
+ *       per-stratum counts run EAGERLY when the plan is built)
  *   7. train/val/test split assignment (deterministic hash)
+ *
+ * Group-keyed stages (6b/6c) look their group column up from the
+ * ORIGINAL corpus by id — a two-column, column-pruned side — because the
+ * text-rewriting stages deliberately carry only (id, text).
  *
  * Order rationale: scrubbing FIRST makes boilerplate lines (which often
  * differ only in an embedded email/phone) collapse for the line rule;
@@ -51,6 +61,8 @@ object CurationPipeline {
     bloomPrefilter: Boolean = false,
     minQuality: Double = 0.0,
     gopherFilter: Boolean = false,
+    perGroupCap: Option[(String, Int)] = None,
+    targetMix: Option[(String, Seq[(String, Long)])] = None,
     splits: Seq[(String, Double)] = Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)),
     splitSeed: String = "graft"
   )
@@ -70,7 +82,7 @@ object CurationPipeline {
     idCol: String,
     cfg: Config = Config()
   ): DataFrame =
-    stages(scrub(corpus, textCol, idCol, cfg), textCol, cfg)
+    stages(scrub(corpus, textCol, idCol, cfg), textCol, cfg, corpus, idCol)
 
   /** Stages 1-2: PII scrub, within-doc line rule, corpus-wide line rule. */
   private def scrub(
@@ -98,12 +110,19 @@ object CurationPipeline {
     cfg: Config = Config()
   )(action: DataFrame => T): T = {
     val scrubbed = scrub(corpus, textCol, idCol, cfg).persist()
-    try action(stages(scrubbed, textCol, cfg))
+    try action(stages(scrubbed, textCol, cfg, corpus, idCol))
     finally scrubbed.unpersist()
   }
 
-  /** Stages 3-7 over the scrubbed corpus (named doc_id by stage 2). */
-  private def stages(scrubbed: DataFrame, textCol: String, cfg: Config): DataFrame = {
+  /** Stages 3-7 over the scrubbed corpus (named doc_id by stage 2);
+    * `corpus`/`idCol` are the ORIGINAL input, used only to look group
+    * columns back up for the cap/mix stages. */
+  private def stages(
+    scrubbed: DataFrame, textCol: String, cfg: Config,
+    corpus: DataFrame, idCol: String
+  ): DataFrame = {
+    def groupLookup(gcol: String): DataFrame =
+      corpus.select(col(idCol).as("doc_id"), col(gcol))
     // 3-4: exact then near dedup
     val exact = Dedup.dropExactDuplicates(scrubbed, textCol, "doc_id")
     val near = Dedup.dropNearDuplicates(exact, textCol, "doc_id",
@@ -123,8 +142,22 @@ object CurationPipeline {
       .filter(col("quality") >= cfg.minQuality)
       .select(col("doc_id"), col("quality"))
       .join(ruled, "doc_id")
+    // 6b: per-group cap over the final survivors (lowest-id keeper, so
+    // the cap is deterministic and rerun-stable like the dedup keepers)
+    val capped = cfg.perGroupCap.fold(scored) { case (gcol, k) =>
+      Sampling.topKBy(scored.join(groupLookup(gcol), "doc_id"),
+          gcol, orderCol = "doc_id", k = k, idCol = "doc_id",
+          desc = false, rankCol = "__rk")
+        .drop("__rk", gcol)
+    }
+    // 6c: mixture rebalance (eager per-stratum counts, by design)
+    val mixed = cfg.targetMix.fold(capped) { case (gcol, weights) =>
+      Sampling.rebalance(capped.join(groupLookup(gcol), "doc_id"),
+          "doc_id", gcol, weights, seed = cfg.splitSeed)
+        .drop(gcol)
+    }
     // 7: split labels
-    Sampling.splitAssign(scored, "doc_id", cfg.splits, cfg.splitSeed)
+    Sampling.splitAssign(mixed, "doc_id", cfg.splits, cfg.splitSeed)
       .select(col("doc_id"), col(textCol), col("quality"), col("split"))
   }
 }

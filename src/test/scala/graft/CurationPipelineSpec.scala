@@ -87,6 +87,31 @@ class CurationPipelineSpec extends SparkSpec {
     assert(!curated(bloom = true).contains(4L))
   }
 
+  test("per-group cap and target mix: group columns looked up from the original corpus") {
+    // distinct texts so no dedup stage interferes; 40 src-a docs, 10 src-b
+    val corpus = (1L to 40L).map(i => (i, s"unique prose number $i about topic $i", "a")) ++
+      (41L to 50L).map(i => (i, s"other words entirely for doc $i here", "b"))
+    val df = corpus.toDF("doc_id", "text", "source")
+    // cap: at most 2 docs per source, lowest ids kept
+    val capped = CurationPipeline.run(df, "text", "doc_id",
+      CurationPipeline.Config(perGroupCap = Some(("source", 2))))(
+      _.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(capped == Set(1L, 2L, 41L, 42L))
+    // the output schema is unchanged by the capped/mixed paths
+    assert(CurationPipeline.curate(df, "text", "doc_id",
+      CurationPipeline.Config(perGroupCap = Some(("source", 2)))).columns.toSeq ==
+      Seq("doc_id", "text", "quality", "split"))
+    // mix to a:b = 1:1 — b (10 docs) binds: a samples ~10 of 40
+    // (hash-approximate), b keeps ~all 10
+    val mixed = CurationPipeline.run(df, "text", "doc_id",
+      CurationPipeline.Config(targetMix = Some(("source", Seq(("a", 1L), ("b", 1L))))))(
+      _.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val aCount = mixed.count(_ <= 40L)
+    val bCount = mixed.count(_ >= 41L)
+    assert(bCount >= 7, s"mix a=$aCount b=$bCount")
+    assert(aCount >= 3 && aCount <= 20, s"mix a=$aCount b=$bCount")
+  }
+
   test("no eval set, no quality floor: only scrub/line/dedup stages act") {
     val corpus = Seq(
       (1L, "plain text one"),
