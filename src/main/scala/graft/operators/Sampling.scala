@@ -215,7 +215,8 @@ object Sampling {
     desc: Boolean = true
   ): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")
-    val ord = if (desc) col(orderCol).desc else col(orderCol).asc
+    // NULLS LAST in both directions (see topKBy)
+    val ord = if (desc) col(orderCol).desc_nulls_last else col(orderCol).asc_nulls_last
     val w = Window.partitionBy(col(byCol)).orderBy(ord, col(idCol).asc)
     // the count rides the SAME ordered spec with a full frame, so rank
     // and count evaluate in one Window node over one shuffle+sort
@@ -251,7 +252,10 @@ object Sampling {
     rankCol: String = "rank"
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val ord = if (desc) col(orderCol).desc else col(orderCol).asc
+    // explicit NULLS LAST both ways: Spark's bare asc is nulls-FIRST
+    // while most SQL engines (and the DuckDB oracle) default nulls-last
+    // — a NULL score must never outrank a real one
+    val ord = if (desc) col(orderCol).desc_nulls_last else col(orderCol).asc_nulls_last
     val w = Window.partitionBy(col(byCol)).orderBy(ord, col(idCol).asc)
     df.withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= k)

@@ -112,6 +112,14 @@ class SamplingSpec extends SparkSpec {
     val asc = Sampling.topKBy(df, "grp", "score", k = 1, idCol = "doc_id", desc = false)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(asc == Set(1L, 5L))
+    // NULL scores rank LAST in both directions (never outrank real rows)
+    val withNull = Seq(("a", 1L, Some(1.0)), ("a", 2L, None: Option[Double]))
+      .toDF("grp", "doc_id", "score")
+    Seq(true, false).foreach { d =>
+      val top = Sampling.topKBy(withNull, "grp", "score", 1, "doc_id", desc = d)
+        .select("doc_id").head.getLong(0)
+      assert(top == 1L, s"desc=$d kept the NULL-score row")
+    }
     // the rank-limit filter must plan as WindowGroupLimit so each map
     // partition prunes to its local top-k BEFORE the shuffle
     val plan = Sampling.topKBy(docs, "lang", "n_chars", k = 5, idCol = "doc_id")
