@@ -46,10 +46,18 @@ object Web {
 
   /**
    * Drops rows whose registered domain is on the blocklist (case-
-   * insensitive). A literal IN-filter: right for curated lists up to
-   * thousands of entries (it codegens into the scan); for table-sized
-   * blocklists join `withUrlParts(df, u)` against the list with
-   * `left_anti` on `domain` instead.
+   * insensitive). Rows with a NULL URL are KEPT — a blocklist only
+   * removes known-bad provenance, and NULL means unknown (without the
+   * explicit coalesce, the three-valued `NOT IN` would silently drop
+   * them). Entries must be registered domains under the same
+   * last-two-labels heuristic as [[registeredDomain]] — a deeper entry
+   * like `ads.sub.example.com` could never match and is rejected
+   * loudly rather than silently ignored.
+   *
+   * A literal IN-filter: right for curated lists up to thousands of
+   * entries (it codegens into the scan); for table-sized blocklists
+   * join `withUrlParts(df, u)` against the list with `left_anti` on
+   * `domain` instead.
    */
   def dropBlockedDomains(
     df: DataFrame,
@@ -57,7 +65,16 @@ object Web {
     blocked: Seq[String]
   ): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist — nothing would be dropped")
-    df.filter(!registeredDomain(col(urlCol))
-      .isin(blocked.map(_.toLowerCase): _*))
+    val entries = blocked.map(_.toLowerCase)
+    entries.filter(_.count(_ == '.') > 1) match {
+      case Nil =>
+      case deep => throw new IllegalArgumentException(
+        s"blocklist entries deeper than a registered domain can never match " +
+          s"the last-two-labels heuristic: ${deep.mkString(", ")} — " +
+          "list the registered domain (e.g. 'example.com') instead")
+    }
+    df.filter(coalesce(
+      !registeredDomain(col(urlCol)).isin(entries: _*),
+      lit(true)))
   }
 }

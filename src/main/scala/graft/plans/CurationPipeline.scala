@@ -110,19 +110,25 @@ object CurationPipeline {
     cfg: Config = Config()
   )(action: DataFrame => T): T = {
     val scrubbed = scrub(corpus, textCol, idCol, cfg).persist()
-    try action(stages(scrubbed, textCol, cfg, corpus, idCol))
-    finally scrubbed.unpersist()
+    val pinned = scala.collection.mutable.Buffer[DataFrame](scrubbed)
+    val pin: DataFrame => DataFrame = df => { pinned += df.persist(); df }
+    try action(stages(scrubbed, textCol, cfg, corpus, idCol, pin))
+    finally pinned.foreach(_.unpersist())
   }
 
   /** Stages 3-7 over the scrubbed corpus (named doc_id by stage 2);
     * `corpus`/`idCol` are the ORIGINAL input, used only to look group
-    * columns back up for the cap/mix stages. */
+    * columns back up for the cap/mix stages. `pin` is [[run]]'s
+    * persistence hook around frames the mix stage consumes twice (once
+    * eagerly for counts, once in the returned plan); [[curate]] passes
+    * identity and accepts the recompute, as its laziness note says. */
   private def stages(
     scrubbed: DataFrame, textCol: String, cfg: Config,
-    corpus: DataFrame, idCol: String
+    corpus: DataFrame, idCol: String,
+    pin: DataFrame => DataFrame = identity
   ): DataFrame = {
-    def groupLookup(gcol: String): DataFrame =
-      corpus.select(col(idCol).as("doc_id"), col(gcol))
+    def groupLookup(gcols: Seq[String]): DataFrame =
+      corpus.select((col(idCol).as("doc_id") +: gcols.map(col)).toIndexedSeq: _*)
     // 3-4: exact then near dedup
     val exact = Dedup.dropExactDuplicates(scrubbed, textCol, "doc_id")
     val near = Dedup.dropNearDuplicates(exact, textCol, "doc_id",
@@ -142,19 +148,27 @@ object CurationPipeline {
       .filter(col("quality") >= cfg.minQuality)
       .select(col("doc_id"), col("quality"))
       .join(ruled, "doc_id")
+    // 6b/6c share ONE group lookup join (the final select sheds the
+    // group columns, so nothing needs dropping in between)
+    val groupCols =
+      (cfg.perGroupCap.map(_._1).toSeq ++ cfg.targetMix.map(_._1).toSeq).distinct
+    val withGroups =
+      if (groupCols.isEmpty) scored
+      else scored.join(groupLookup(groupCols), "doc_id")
     // 6b: per-group cap over the final survivors (lowest-id keeper, so
     // the cap is deterministic and rerun-stable like the dedup keepers)
-    val capped = cfg.perGroupCap.fold(scored) { case (gcol, k) =>
-      Sampling.topKBy(scored.join(groupLookup(gcol), "doc_id"),
-          gcol, orderCol = "doc_id", k = k, idCol = "doc_id",
-          desc = false, rankCol = "__rk")
-        .drop("__rk", gcol)
+    val capped = cfg.perGroupCap.fold(withGroups) { case (gcol, k) =>
+      Sampling.topKBy(withGroups, gcol, orderCol = "doc_id", k = k,
+          idCol = "doc_id", desc = false, rankCol = "__rk")
+        .drop("__rk")
     }
-    // 6c: mixture rebalance (eager per-stratum counts, by design)
+    // 6c: mixture rebalance (eager per-stratum counts, by design). The
+    // seed is SALTED: rebalance and splitAssign partitioning the same
+    // hash bucket would make every cut stratum's survivors cluster in
+    // the low-bucket split ('train'), starving val/test
     val mixed = cfg.targetMix.fold(capped) { case (gcol, weights) =>
-      Sampling.rebalance(capped.join(groupLookup(gcol), "doc_id"),
-          "doc_id", gcol, weights, seed = cfg.splitSeed)
-        .drop(gcol)
+      Sampling.rebalance(pin(capped), "doc_id", gcol, weights,
+        seed = cfg.splitSeed + ":mix")
     }
     // 7: split labels
     Sampling.splitAssign(mixed, "doc_id", cfg.splits, cfg.splitSeed)

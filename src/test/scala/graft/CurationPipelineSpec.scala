@@ -110,6 +110,17 @@ class CurationPipelineSpec extends SparkSpec {
     val bCount = mixed.count(_ >= 41L)
     assert(bCount >= 7, s"mix a=$aCount b=$bCount")
     assert(aCount >= 3 && aCount <= 20, s"mix a=$aCount b=$bCount")
+    // mix and split seeds must be DE-correlated: with generous splits, a
+    // stratum the mix cut to its low hash buckets still spreads across
+    // more than one split (same-seed hashing would funnel it into the
+    // lowest split exclusively)
+    val splitsOfA = CurationPipeline.run(df, "text", "doc_id",
+      CurationPipeline.Config(
+        targetMix = Some(("source", Seq(("a", 1L), ("b", 1L)))),
+        splits = Seq(("train", 0.5), ("val", 0.25), ("test", 0.25))))(
+      _.filter(col("doc_id") <= 40L).select("split").collect()
+        .map(_.getString(0)).toSet)
+    assert(splitsOfA.size > 1, s"cut stratum landed only in $splitsOfA")
   }
 
   test("no eval set, no quality floor: only scrub/line/dedup stages act") {

@@ -37,6 +37,16 @@ class WebSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L))
     intercept[IllegalArgumentException] { Web.dropBlockedDomains(df, "url", Nil) }
+    // entries deeper than a registered domain can never match: loud, not silent
+    intercept[IllegalArgumentException] {
+      Web.dropBlockedDomains(df, "url", Seq("ads.sub.example.com"))
+    }
+    // NULL url = unknown provenance = KEPT (not silently dropped by NOT IN)
+    val withNull = Seq((1L, "https://ads.spam.net/x"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val keptNull = Web.dropBlockedDomains(withNull, "url", Seq("spam.net"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNull == Set(2L))
     // plan: a pure filter — no exchange, no join
     val plan = Web.dropBlockedDomains(df, "url", Seq("spam.net"))
       .queryExecution.executedPlan.toString
