@@ -40,6 +40,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch.contains((ts(5), "click", 1L, 4.0)))
   }
 
+  test("stateless curation stages run unchanged on a stream (scrub + within-doc rule + gopher)") {
+    // scrubPii, dropRepeatedLinesWithinDoc, and gopherFilter are pure
+    // projections/filters — the streaming-safe subset of the curation
+    // pipeline. Applying them to a MemoryStream must yield exactly the
+    // batch result (no state, no watermark needed).
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, "MENU\nplease call the office at 415-555-0143 now and ask for the desk\nMENU"),
+      (2L, ("the quick brown fox jumps over the lazy dog and it runs away with great speed " * 4).trim),
+      (3L, "short"))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.gopherFilter(
+        graft.operators.Dedup.dropRepeatedLinesWithinDoc(
+          df.select(org.apache.spark.sql.functions.col("doc_id"),
+            graft.operators.TextAnalysis.scrubPii(
+              org.apache.spark.sql.functions.col("text")).as("text")),
+          "text"),
+        "text", minWords = 5) // relaxed floor: fixture docs are short
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(rows: _*)
+    val query = curate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val streamed = spark.table("curated_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = curate(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+    assert(batch.keySet == Set(1L, 2L)) // doc 3 fails even the relaxed floor
+    assert(batch(1L).contains("<PII>") && // scrub ran
+      batch(1L).indexOf("MENU") == batch(1L).lastIndexOf("MENU")) // line rule ran
+  }
+
   test("streaming plan carries the event-time watermark") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]
