@@ -1088,7 +1088,7 @@ object LlmGates {
         |         coalesce(sum(tok) OVER (ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
         |  FROM t)
-        |SELECT doc_id, tok, prefix // 2000 AS bin_id FROM p""".stripMargin,
+        |SELECT doc_id, tok, (prefix // 2000)::BIGINT AS bin_id FROM p""".stripMargin,
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP) AS window_start,
         |       event_type,

@@ -29,6 +29,23 @@ def norm(df):
     return df
 
 
+def serialize(v):
+    """Driver-equivalent value serialization: int-vs-float formatting is
+    PRESERVED, so a DuckDB HUGEINT fetched as float64 (0.0) fails against a
+    Spark BIGINT (0) even though the values compare numerically equal —
+    exactly like the driver's serialized-hash compare (CORRECTNESS r7 row 46).
+    """
+    if v is None:
+        return 'NULL'
+    if isinstance(v, (float, np.floating)):
+        if v != v:
+            return 'NaN'
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    return str(v)
+
+
 def main():
     sfdir, out = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -60,16 +77,10 @@ def main():
                 continue
             bad = []
             for c in so.columns:
-                a, b = so[c], ss[c]
-                if a.dtype == object or b.dtype == object:
-                    eq = a.astype(str).equals(b.astype(str))
-                else:
-                    with np.errstate(invalid='ignore'):
-                        eq = bool(((a == b) | (a.isna() & b.isna())).all())
-                if not eq:
+                a, b = so[c].map(serialize), ss[c].map(serialize)
+                if not a.equals(b):
                     bad.append(c)
-                    mism = (~((a == b) | (a.isna() & b.isna()))) if a.dtype != object \
-                        else (a.astype(str) != b.astype(str))
+                    mism = a != b
                     idx = list(np.where(mism)[0][:3])
                     print(f'{name}: COL {c} differs at rows {idx}: '
                           f'oracle={a.iloc[idx].tolist()} spark={b.iloc[idx].tolist()}')
