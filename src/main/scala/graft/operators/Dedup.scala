@@ -377,6 +377,11 @@ object Dedup {
       var labels = sym.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id"))
         .localCheckpoint()
+      // handle to the checkpoint backing `labels`: each round's new
+      // checkpoint supersedes it, and superseded blocks must be freed
+      // eagerly — a session looping over clustering would otherwise
+      // accumulate cached label blocks until ContextCleaner GC
+      var prevCheckpoint = labels
       var converged = false
       var i = 0
       while (!converged && i < maxIters) {
@@ -393,6 +398,8 @@ object Dedup {
           .localCheckpoint()
         converged = updated.filter(col("cluster_id") =!= col("old")).isEmpty
         labels = updated.select("doc_id", "cluster_id")
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(prevCheckpoint)
+        prevCheckpoint = updated
         i += 1
       }
       if (!converged)
@@ -526,6 +533,7 @@ object Dedup {
     df: DataFrame,
     textCol: String
   ): DataFrame = {
+    Cols.requireAbsent(df, "__ln")
     // materialize the split ONCE as a projection column: referencing the
     // split expression inside the lambda would re-run it per element
     // (no CSE inside higher-order lambdas; cf. the signature operators)

@@ -72,6 +72,12 @@ object Sampling {
   ): DataFrame = {
     require(weights.nonEmpty, "at least one split weight required")
     require(weights.forall(_._2 > 0.0), s"weights must be positive: $weights")
+    // same loud-failure convention as sampleByStrata/rebalance: a repeated
+    // name would silently pool its weights into one split (and the
+    // zero-width check below would report the wrong weight via find-first)
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate split names in $weights")
+    Cols.requireAbsent(df, splitCol)
     val total = weights.map(_._2).sum
     // cumulative upper bucket bound per split; the last is forced to the
     // full bucket space so float rounding can't leave rows unassigned
@@ -165,8 +171,13 @@ object Sampling {
       s"duplicate strata in $targetWeights")
     val w = targetWeights.toMap
     val sumW = targetWeights.map(_._2).sum
-    val counts = df.filter(col(strataCol).isin(targetWeights.map(_._1): _*))
-      .groupBy(strataCol).agg(count(lit(1)).as("c"))
+    // strata compare in STRING space end-to-end (an int domain-id column
+    // works like a string one): the cast keeps the collected keys and the
+    // filter semantics aligned for any column type — getString on a
+    // non-string column would throw at plan build instead
+    val strata = col(strataCol).cast("string")
+    val counts = df.filter(strata.isin(targetWeights.map(_._1): _*))
+      .groupBy(strata.as("__stratum")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val missing = w.keySet -- counts.keySet
     require(missing.isEmpty,
@@ -188,7 +199,7 @@ object Sampling {
       s -> t
     }
     val threshold = thresholds.foldRight(lit(0L): Column) {
-      case ((s, t), rest) => when(col(strataCol) === s, lit(t)).otherwise(rest)
+      case ((s, t), rest) => when(strata === s, lit(t)).otherwise(rest)
     }
     df.filter(b < threshold)
   }
@@ -215,6 +226,7 @@ object Sampling {
     desc: Boolean = true
   ): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1]: $fraction")
+    Cols.requireAbsent(df, "__rn", "__n")
     // NULLS LAST in both directions (see topKBy)
     val ord = if (desc) col(orderCol).desc_nulls_last else col(orderCol).asc_nulls_last
     val w = Window.partitionBy(col(byCol)).orderBy(ord, col(idCol).asc)
@@ -252,6 +264,7 @@ object Sampling {
     rankCol: String = "rank"
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    Cols.requireAbsent(df, rankCol)
     // explicit NULLS LAST both ways: Spark's bare asc is nulls-FIRST
     // while most SQL engines (and the DuckDB oracle) default nulls-last
     // — a NULL score must never outrank a real one
@@ -288,6 +301,16 @@ object Sampling {
     binCol: String = "bin_id"
   ): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    Cols.requireAbsent(df, binCol)
+    // the global form is correct but a deliberate scale hazard (see
+    // Scaladoc) — make misuse loud at the call site, not silent in a
+    // slow stage 40 minutes into a job
+    if (byCol.isEmpty)
+      org.slf4j.LoggerFactory.getLogger("graft.Sampling").warn(
+        "binByTokenBudget called WITHOUT a partition key: an exact global " +
+          "prefix sum plans Exchange SinglePartition — every row moves to " +
+          "ONE task. Fine for per-key-sized inputs; pass byCol (shard id, " +
+          "language) at corpus scale.")
     val w = byCol.fold(Window.orderBy(col(idCol)))(c => Window.partitionBy(col(c)).orderBy(col(idCol)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val prefix = coalesce(sum(col(tokenCol)).over(w), lit(0L))

@@ -280,6 +280,7 @@ object TextAnalysis {
     minAlphaWordRatio: Double = 0.8,
     minStopHits: Int = 2
   ): DataFrame = {
+    Cols.requireAbsent(df, "__w", "__ln")
     val staged = df
       .withColumn("__w", gopherWords(col(textCol)))
       .withColumn("__ln", split(col(textCol), "\n"))

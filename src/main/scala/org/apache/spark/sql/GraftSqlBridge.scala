@@ -34,6 +34,23 @@ object GraftSqlBridge {
       true
     } catch { case _: java.util.concurrent.TimeoutException => false }
 
+  /** Unpersist the cached blocks behind a `localCheckpoint()`ed frame.
+    * A checkpointed Dataset's plan is a `LogicalRDD` over an RDD cached
+    * outside the cache manager, so `Dataset.unpersist()` (which routes
+    * through `CacheManager.uncacheQuery`) silently no-ops on it; the
+    * blocks otherwise linger until ContextCleaner GC. Safe no-op for any
+    * other plan shape. NEVER call this on a checkpoint still in use —
+    * the cached blocks are the only copy (lineage is truncated). */
+  def unpersistLocalCheckpoint(df: Dataset[_]): Unit = df match {
+    case cd: org.apache.spark.sql.classic.Dataset[_] =>
+      cd.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    case _ => ()
+  }
+
   /** Register a SQL function on an EXISTING session (the extensions path
     * only applies at session construction). */
   def registerFunction(

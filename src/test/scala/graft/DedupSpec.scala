@@ -89,9 +89,15 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L), (11L, 12L), (12L, 10L))
       .toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val comp = Dedup.connectedComponents(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // superseded per-round checkpoints are unpersisted eagerly: only the
+    // FINAL labels checkpoint may remain cached (a loop over clustering
+    // must not accumulate label blocks until ContextCleaner GC)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 1, s"leaked cached RDDs: $leftover")
   }
 
   test("clusterNearDuplicates: transitive chain lands in ONE cluster; singletons keep own id") {
@@ -193,6 +199,12 @@ class DedupSpec extends SparkSpec {
     // pure projection: no exchange in the plan
     val plan = shaped.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    // a caller column colliding with the __ln staging name fails loudly
+    // instead of being silently overwritten
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.dropRepeatedLinesWithinDoc(
+        df.withColumn("__ln", lit(1)), "text")
+    }
   }
 
   test("bloom-prefiltered contamination is value-identical to the exact path") {

@@ -238,6 +238,45 @@ class SamplingSpec extends SparkSpec {
     sums.foreach(r => assert(r.getLong(1) <= 2000L + r.getLong(2)))
   }
 
+  test("duplicate split names are rejected loudly") {
+    // Seq(("train",0.8),("train",0.1)) would otherwise silently pool 0.9
+    // of the bucket space into 'train'
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id",
+        Seq(("train", 0.8), ("train", 0.1), ("test", 0.1)))
+    }
+  }
+
+  test("rebalance works on a non-string strata column (int domain id)") {
+    import spark.implicits._
+    val df = ((1L to 400L).map(i => (i, 7)) ++ (401L to 500L).map(i => (i, 9)))
+      .toDF("doc_id", "domain_id")
+    val out = Sampling.rebalance(df, "doc_id", "domain_id",
+        Seq(("7", 1L), ("9", 1L)))
+      .groupBy("domain_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // scarce stratum 9 binds: N = 200 → ~100 per stratum
+    assert(out.keySet == Set(7, 9), out.toString)
+    assert(out(9) > 80 && out(9) <= 100, out.toString)
+  }
+
+  test("temp/output column collisions fail loudly instead of overwriting caller data") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2.0)).toDF("grp", "doc_id", "score")
+    intercept[IllegalArgumentException] { // topKBy default output column
+      Sampling.topKBy(df.withColumn("rank", lit(0)), "grp", "score", 1, "doc_id")
+    }
+    intercept[IllegalArgumentException] { // keepTopFraction staging columns
+      Sampling.keepTopFraction(df.withColumn("__rn", lit(0)), "grp", "score", 0.5, "doc_id")
+    }
+    intercept[IllegalArgumentException] { // binByTokenBudget output column
+      Sampling.binByTokenBudget(df.withColumn("bin_id", lit(0)), "score", "doc_id", 10L)
+    }
+    intercept[IllegalArgumentException] { // splitAssign output column
+      Sampling.splitAssign(df.withColumn("split", lit("x")), "doc_id", Seq(("all", 1.0)))
+    }
+  }
+
   test("binByTokenBudget partitioned by key bins each group independently") {
     import spark.implicits._
     val df = Seq(

@@ -114,6 +114,10 @@ class TextAnalysisSpec extends SparkSpec {
     val filtered = TextAnalysis.gopherFilter(all, "text")
     assert(filtered.columns.toSeq == Seq("doc_id", "text"))
     assert(filtered.select("doc_id").collect().map(_.getLong(0)).toSet == passIds)
+    // a caller column colliding with a staging name fails loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.gopherFilter(all.withColumn("__w", lit(1)), "text")
+    }
   }
 
   test("topWords: frequency-ordered, deterministic tiebreak, k bound respected") {
