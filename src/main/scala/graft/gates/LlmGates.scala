@@ -226,6 +226,19 @@ object LlmGates {
       Web.withUrlParts(synth.unionByName(planted), "url")
         .select("doc_id", "host", "domain")
     },
+    // §2.4 row 61 (PSL) — public-suffix-aware registered domains: co.uk/
+    // com.au registrars resolve to suffix+1 (bbc.co.uk, store.com.au),
+    // unmatched hosts fall back to the last-two-labels heuristic, a bare
+    // public suffix passes through
+    "q_url_parts_psl" -> { (s, dir) =>
+      import s.implicits._
+      val planted = PslUrlFixtures.toDF("doc_id", "url")
+      val synth = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".Example.COM/p/"),
+          col("doc_id").cast("string")).as("url"))
+      Web.withUrlParts(synth.unionByName(planted), "url", GatePsl)
+        .select("doc_id", "host", "domain")
+    },
     // §2.4 row 62 — domain blocklist: every synthesized example.com doc
     // drops, the planted archive.org/bare rows survive
     "q_domain_block" -> { (s, dir) =>
@@ -506,13 +519,28 @@ object LlmGates {
     700004L -> "localhost:8080/x",
     700005L -> "")
 
+  /** URL shapes for the PSL gate: ccTLD registrars at several depths, a
+    * bare public suffix, userinfo+port, a dotless host, empty. */
+  private val PslUrlFixtures: Seq[(Long, String)] = Seq(
+    710001L -> "https://www.News.BBC.co.uk/stories/1",
+    710002L -> "http://shop.com.au/item?id=2",
+    710003L -> "https://a.b.Store.COM.AU/x",
+    710004L -> "co.uk",
+    710005L -> "https://User@Sub.Portal.AC.UK:8443/x",
+    710006L -> "localhost:8080/x",
+    710007L -> "")
+
+  /** The deployment-data public-suffix fixture the PSL gate runs under. */
+  private val GatePsl = Seq("co.uk", "ac.uk", "gov.uk", "com.au")
+
   /** CTEs synthesizing the per-doc URL + planted fixtures and deriving
     * `hosts(doc_id, host)`, shared by the URL-family oracles. */
   private def UrlPartsSql(
     body: String,
-    plantedOnly: Seq[Long] = UrlFixtures.map(_._1)
+    plantedOnly: Seq[Long] = UrlFixtures.map(_._1),
+    fixtures: Seq[(Long, String)] = UrlFixtures
   ): String = {
-    val vals = UrlFixtures.filter(f => plantedOnly.contains(f._1))
+    val vals = fixtures.filter(f => plantedOnly.contains(f._1))
       .map { case (id, u) => s"($id::BIGINT, '$u')" }.mkString(", ")
     s"""WITH all_urls AS (
        |  SELECT doc_id,
@@ -938,6 +966,17 @@ object LlmGates {
       """SELECT doc_id, host,
         |       coalesce(nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''), host) AS domain
         |FROM hosts"""),
+    "q_url_parts_psl" -> UrlPartsSql(
+      s"""SELECT doc_id, host,
+         |       CASE
+         |         WHEN len(L) > 2 AND array_to_string(L[-2:], '.')
+         |              IN (${GatePsl.map(e => s"'$e'").mkString(", ")})
+         |           THEN array_to_string(L[-3:], '.')
+         |         WHEN len(L) >= 2 THEN array_to_string(L[-2:], '.')
+         |         ELSE host
+         |       END AS domain
+         |FROM (SELECT doc_id, host, string_split(host, '.') AS L FROM hosts)""",
+      plantedOnly = PslUrlFixtures.map(_._1), fixtures = PslUrlFixtures),
     "q_domain_block" -> UrlPartsSql(
       """SELECT doc_id FROM (
         |  SELECT doc_id,

@@ -27,12 +27,94 @@ object Web {
 
   /** Registered domain, last-two-labels heuristic: `a.b.example.com` →
     * `example.com`; dotless hosts (localhost, bare names) pass through.
-    * A public-suffix list would refine multi-label TLDs (`co.uk`) —
-    * deliberately NOT bundled: it is data, not logic, and ships
-    * per-deployment. */
+    * A public-suffix list refines multi-label TLDs (`co.uk`) — see the
+    * PSL overload; the list itself is deliberately NOT bundled: it is
+    * data, not logic, and ships per-deployment. */
   def registeredDomain(url: Column): Column = {
     val h = host(url)
     coalesce(nullif(regexp_extract(h, "([^.]+\\.[^.]+)$", 1), lit("")), h)
+  }
+
+  /**
+   * Registered domain under a public-suffix list: the LONGEST suffix in
+   * `psl` matching the host's trailing labels wins, and the registered
+   * domain is that suffix plus one label (`www.bbc.co.uk` with `co.uk`
+   * listed → `bbc.co.uk`). Hosts no PSL entry matches fall back to the
+   * last-two-labels heuristic (the PSL's own prevailing-`*` rule), and a
+   * host that IS a public suffix passes through unchanged.
+   *
+   * Exact suffixes only: wildcard (`*.ck`) and exception (`!www.ck`)
+   * rules are rejected loudly — pre-expand them when preparing the
+   * deployment list. Membership compiles to `InSet` (hash-set lookup,
+   * codegen'd) per suffix depth, so the whole thing stays a scan-stage
+   * projection: no join, no shuffle, 100 TB-safe. Load a table-shaped
+   * list via [[pslFromTable]].
+   */
+  def registeredDomain(url: Column, psl: Seq[String]): Column =
+    domainOfHost(host(url), normalizePsl(psl))
+
+  /** PSL longest-match over an ALREADY-extracted host column (used by
+    * [[withUrlParts]] so the host regex runs once, not per depth). */
+  private def domainOfHost(h: Column, entries: Seq[String]): Column = {
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    def lastLabels(k: Int): Column = concat_ws(".", slice(labels, -k, k))
+    val heuristic =
+      coalesce(nullif(regexp_extract(h, "([^.]+\\.[^.]+)$", 1), lit("")), h)
+    // longest suffix depth first; each depth is one InSet membership test
+    entries.groupBy(_.count(_ == '.') + 1).toSeq.sortBy(-_._1)
+      .foldLeft(Option.empty[Column]) { case (rest, (k, es)) =>
+        val hit = (n > k) && lastLabels(k).isin(es: _*)
+        Some(rest.fold(when(hit, lastLabels(k + 1)))(
+          r => r.when(hit, lastLabels(k + 1))))
+      }
+      .fold(heuristic)(_.otherwise(heuristic))
+  }
+
+  /** Validate + normalize a public-suffix list (lowercase, distinct;
+    * loud rejection of wildcard/exception rules and malformed entries). */
+  private def normalizePsl(psl: Seq[String]): Seq[String] = {
+    require(psl.nonEmpty, "empty public-suffix list")
+    val entries = psl.map(_.trim.toLowerCase).distinct
+    val malformed = entries.filter(e =>
+      e.isEmpty || e.startsWith(".") || e.endsWith(".") || e.contains(".."))
+    require(malformed.isEmpty,
+      s"malformed public-suffix entries: ${malformed.mkString(", ")}")
+    val rules = entries.filter(e => e.contains("*") || e.contains("!"))
+    require(rules.isEmpty,
+      s"wildcard/exception PSL rules are not supported — pre-expand them " +
+        s"into exact suffixes: ${rules.mkString(", ")}")
+    val deep = entries.filter(_.count(_ == '.') >= 8)
+    require(deep.isEmpty, s"implausibly deep suffix entries: ${deep.mkString(", ")}")
+    entries
+  }
+
+  /** Driver-side reference of the same longest-match rule — used to
+    * validate blocklist entries and by specs; keep in lockstep with
+    * [[domainOfHost]]. */
+  private[graft] def registeredDomainJvm(host: String, psl: Seq[String]): String = {
+    val entries = normalizePsl(psl)
+    val h = host.toLowerCase
+    val labels = h.split("\\.", -1)
+    val set = entries.toSet
+    val depths = entries.map(_.count(_ == '.') + 1).distinct.sorted.reverse
+    depths.find(k => labels.length > k && set.contains(labels.takeRight(k).mkString("."))) match {
+      case Some(k) => labels.takeRight(k + 1).mkString(".")
+      case None if labels.length >= 2 => labels.takeRight(2).mkString(".")
+      case None => h
+    }
+  }
+
+  /** Collect a table-shaped public-suffix list for the PSL operators.
+    * The PSL is deployment data at metadata scale (~10k rows), so the
+    * collect is driver-safe — the same economics as the bloom-filter
+    * literal and the rebalance strata counts; the resulting literal set
+    * is embedded in the plan and shipped with the task closure (no
+    * join, no shuffle against the corpus). */
+  def pslFromTable(psl: DataFrame, suffixCol: String = "suffix"): Seq[String] = {
+    val rows = psl.select(col(suffixCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    normalizePsl(rows.toSeq)
   }
 
   /**
@@ -40,9 +122,19 @@ object Web {
    * evaluated on the raw column (cheap enough that materializing the
    * host first would save one regex at the cost of a wider row).
    */
-  def withUrlParts(df: DataFrame, urlCol: String): DataFrame =
+  def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {
+    Cols.requireAbsent(df, "host", "domain")
     df.withColumn("host", host(col(urlCol)))
       .withColumn("domain", registeredDomain(col(urlCol)))
+  }
+
+  /** [[withUrlParts]] with PSL-aware domains; the host materializes
+    * first so the extraction regex runs once, not once per PSL depth. */
+  def withUrlParts(df: DataFrame, urlCol: String, psl: Seq[String]): DataFrame = {
+    Cols.requireAbsent(df, "host", "domain")
+    df.withColumn("host", host(col(urlCol)))
+      .withColumn("domain", domainOfHost(col("host"), normalizePsl(psl)))
+  }
 
   /**
    * Drops rows whose registered domain is on the blocklist (case-
@@ -75,6 +167,31 @@ object Web {
     }
     df.filter(coalesce(
       !registeredDomain(col(urlCol)).isin(entries: _*),
+      lit(true)))
+  }
+
+  /**
+   * PSL-aware blocklist: like the heuristic form, but `bbc.co.uk`-shaped
+   * entries actually work — every entry must itself be a registered
+   * domain UNDER THE GIVEN PSL (`example.co.uk` passes with `co.uk`
+   * listed; `ads.sub.example.com` is rejected loudly because it could
+   * never equal any row's registered domain).
+   */
+  def dropBlockedDomains(
+    df: DataFrame,
+    urlCol: String,
+    blocked: Seq[String],
+    psl: Seq[String]
+  ): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist — nothing would be dropped")
+    val entries = blocked.map(_.toLowerCase)
+    val unmatchable = entries.filter(e => registeredDomainJvm(e, psl) != e)
+    require(unmatchable.isEmpty,
+      s"blocklist entries that are not registered domains under the given " +
+        s"PSL can never match: ${unmatchable.mkString(", ")} — list the " +
+        "registered domain instead")
+    df.filter(coalesce(
+      !domainOfHost(host(col(urlCol)), normalizePsl(psl)).isin(entries: _*),
       lit(true)))
   }
 }

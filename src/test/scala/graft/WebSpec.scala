@@ -53,6 +53,91 @@ class WebSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  private val psl = Seq("co.uk", "ac.uk", "com.au", "github.io")
+
+  test("PSL registered domains: longest suffix wins, heuristic fallback, suffix passthrough") {
+    val df = Seq(
+      (1L, "https://www.News.BBC.co.uk/stories"),    // ccTLD registrar
+      (2L, "http://shop.com.au/item"),               // registrar directly under suffix
+      (3L, "https://a.b.Store.COM.AU/x"),            // deep subdomain, case-insensitive
+      (4L, "co.uk"),                                 // host IS a public suffix: passthrough
+      (5L, "https://user.github.io/project"),        // private-section suffix works the same
+      (6L, "https://docs.example.org/page"),         // unmatched: last-two heuristic
+      (7L, "localhost:8080/x"),                      // dotless
+      (8L, "")
+    ).toDF("doc_id", "url")
+    val out = Web.withUrlParts(df, "url", psl)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("host"), r.getAs[String]("domain"))).toMap
+    assert(out(1L) == ("www.news.bbc.co.uk", "bbc.co.uk"))
+    assert(out(2L) == ("shop.com.au", "shop.com.au"))
+    assert(out(3L) == ("a.b.store.com.au", "store.com.au"))
+    assert(out(4L) == ("co.uk", "co.uk"))
+    assert(out(5L) == ("user.github.io", "user.github.io"))
+    assert(out(6L) == ("docs.example.org", "example.org"))
+    assert(out(7L) == ("localhost", "localhost"))
+    assert(out(8L) == ("", ""))
+    // column form agrees with the JVM reference on every host
+    out.values.foreach { case (h, d) =>
+      assert(Web.registeredDomainJvm(h, psl) == d, s"host $h")
+    }
+    // still a scan-stage projection: no join, no exchange
+    val plan = Web.withUrlParts(df, "url", psl)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("PSL longest-match prefers the deeper suffix when both are listed") {
+    // with both 'uk' and 'co.uk' listed, bbc.co.uk must resolve via co.uk
+    val both = Seq("uk", "co.uk")
+    val df = Seq((1L, "https://www.bbc.co.uk/"), (2L, "https://weird.uk/"))
+      .toDF("doc_id", "url")
+    val out = Web.withUrlParts(df, "url", both)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("domain")).toMap
+    assert(out == Map(1L -> "bbc.co.uk", 2L -> "weird.uk"))
+  }
+
+  test("PSL validation: wildcard/exception/malformed entries rejected, table form loads") {
+    val df = Seq((1L, "https://x.co.uk/")).toDF("doc_id", "url")
+    intercept[IllegalArgumentException] { Web.withUrlParts(df, "url", Seq("*.ck")) }
+    intercept[IllegalArgumentException] { Web.withUrlParts(df, "url", Seq("!www.ck")) }
+    intercept[IllegalArgumentException] { Web.withUrlParts(df, "url", Seq(".co.uk")) }
+    intercept[IllegalArgumentException] { Web.withUrlParts(df, "url", Seq("")) }
+    intercept[IllegalArgumentException] { Web.withUrlParts(df, "url", Nil) }
+    // table-shaped deployment data round-trips through pslFromTable
+    val table = Seq("co.uk", "CO.UK ", "com.au").toDF("suffix")
+    val loaded = Web.pslFromTable(table)
+    assert(loaded.toSet == Set("co.uk", "com.au")) // normalized + deduped
+    val out = Web.withUrlParts(df, "url", loaded).head.getAs[String]("domain")
+    assert(out == "x.co.uk")
+    // caller columns colliding with the host/domain outputs fail loudly
+    intercept[IllegalArgumentException] {
+      Web.withUrlParts(df.withColumn("domain", lit("x")), "url", psl)
+    }
+  }
+
+  test("PSL blocklist: ccTLD entries work; non-registrable entries rejected") {
+    val df = Seq(
+      (1L, "https://www.bbc.co.uk/news"),
+      (2L, "https://other.co.uk/x"),
+      (3L, "https://docs.example.org/page"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url")
+    // bbc.co.uk blocks ONLY bbc.co.uk — other.co.uk survives (the
+    // heuristic form would collapse both into 'co.uk')
+    val kept = Web.dropBlockedDomains(df, "url", Seq("BBC.co.uk"), psl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+    // an entry that is not a registered domain under the PSL can never match
+    intercept[IllegalArgumentException] {
+      Web.dropBlockedDomains(df, "url", Seq("ads.sub.example.com"), psl)
+    }
+    intercept[IllegalArgumentException] {
+      Web.dropBlockedDomains(df, "url", Seq("deep.sub.bbc.co.uk"), psl)
+    }
+  }
+
   test("empty input yields empty output") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "url")
     assert(Web.withUrlParts(empty, "url").count() == 0)
