@@ -497,7 +497,10 @@ object Dedup {
     require(minCount >= 2, s"minCount must be at least 2: $minCount")
     val lines = df
       .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("lh", md5(col("line")))
+      // unhex → BINARY: a TRUE 16-byte key (hex md5 is 32 bytes + string
+      // overhead) — halves key bytes in the one corpus-wide shuffle and
+      // the dup-set join this rule pays
+      .withColumn("lh", unhex(md5(col("line"))))
     val dup = lines.filter(col("line") =!= "") // blank separators exempt
       .groupBy("lh")
       .agg(count(lit(1)).as("c"))

@@ -148,6 +148,9 @@ class PlanAuditSpec extends SparkSpec {
     // duplicate lines are THE common case — they must collapse map-side,
     // so a partial count aggregate has to appear below the exchange
     assert(plan.contains("partial_count"), plan)
+    // the shuffle/join key is the BINARY 16-byte digest, not the 32-char
+    // hex string (half the key bytes in the one corpus-wide shuffle)
+    assert(plan.contains("unhex"), plan)
   }
 
   test("contamination: eval grams broadcast, corpus regrouped once (no gram-level corpus shuffle)") {
