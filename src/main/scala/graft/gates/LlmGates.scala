@@ -20,14 +20,14 @@ import graft.streaming.Events
  */
 object LlmGates {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[gates] def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** documents ∪ re-keyed copies of every 10th doc — planted exact dups. */
-  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+  private[gates] def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
@@ -486,17 +486,17 @@ object LlmGates {
   // ------------------------------------------------------------- oracles
 
   /** Normalized text, DuckDB spelling (mirrors Hashing.normalizeText). */
-  private val NormSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private[gates] val NormSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
   /** Normalized words (mirrors Hashing.normalizedWords). */
-  private def wordsSql(norm: String = NormSql) =
+  private[gates] def wordsSql(norm: String = NormSql) =
     s"CASE WHEN $norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($norm, ' ') END"
 
   /** 60-bit MD5 hash, DuckDB spelling (mirrors Hashing.md5Long60). */
-  private def h60(e: String) = s"(('0x' || substr(md5($e), 1, 15)))::BIGINT"
+  private[gates] def h60(e: String) = s"(('0x' || substr(md5($e), 1, 15)))::BIGINT"
 
   /** 3-shingles over normalized words (mirrors Dedup.shingles, k=3). */
-  private val ShinglesSql =
+  private[gates] val ShinglesSql =
     s"""CASE WHEN len(w) < 3 THEN [norm]
        |     ELSE list_transform(range(0, len(w) - 2),
        |                         j -> array_to_string(w[j+1:j+3], ' ')) END""".stripMargin
@@ -572,7 +572,7 @@ object LlmGates {
        |FROM sets, ev""".stripMargin
 
   /** [[DocSigCte]] over an arbitrary source table/CTE. */
-  private def docSigCte(src: String) =
+  private[gates] def docSigCte(src: String) =
     s"""WITH d AS (
        |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM $src),
        |sh AS (
@@ -586,7 +586,7 @@ object LlmGates {
     * Dedup.DefaultMaxBucket: only buckets of size in [2, 1024] generate
     * pairs (the Spark side caps by default; the oracle must agree even
     * though no sf-fixture bucket actually exceeds the cap). */
-  private val CandSql =
+  private[gates] val CandSql =
     """bsz AS (
       |  SELECT band, band_key FROM bands
       |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1024),

@@ -1,0 +1,184 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextAnalysis}
+import graft.plans.CurationPipeline
+
+/**
+ * Correctness gate for the COMPOSED CurationPipeline (SURVEY.md §2.4 row
+ * 52): one DuckDB CTE chain re-deriving every stage of
+ * [[CurationPipeline.curate]] end to end — scrub → within-doc line rule →
+ * corpus-wide line rule → exact dedup → MinHash-LSH near dedup →
+ * decontamination → quality floor → per-group cap → split assignment —
+ * so stage ORDERING (not just each stage's own math, which the per-stage
+ * gates pin) is machine-checked: swapping any two stages changes which
+ * rows survive and with what text/quality, and the hash compare fails.
+ *
+ * The fragments are the SAME SQL the per-stage oracles use
+ * ([[LlmGates]]), re-pointed at the previous stage's CTE instead of the
+ * base table, which is exactly how the Spark side composes its operators.
+ */
+object PipelineGates {
+
+  /** The gate's pipeline config — every stage that has a DuckDB analogue
+    * enabled, small-k settings matching the per-stage gates (k=3 shingles
+    * over short synthetic docs), and a quality floor/cap tight enough to
+    * actually reject rows at every sf. */
+  private val GateCfg = CurationPipeline.Config(
+    evalSet = None, // injected per-dir in the queries entry
+    minLineCount = 3,
+    dropRepeatedLinesInDoc = true,
+    shingleK = 3,
+    numHashes = 16,
+    bands = 4,
+    nearDupThreshold = 0.8,
+    contaminationK = 3,
+    maxContamination = 0.5,
+    minQuality = 0.39,
+    perGroupCap = Some(("lang", 40)),
+    splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 row 52 — the full curation flow over the synth corpus plus
+    // planted exact duplicates (every 10th doc re-keyed, exercising the
+    // dedup keeper), decontaminated against every 100th doc as the eval
+    // set (those docs score containment 1.0 and must vanish)
+    "q_curation_e2e" -> { (s, dir) =>
+      val d = LlmGates.docs(s, dir).select("doc_id", "text", "lang")
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val ev = LlmGates.docs(s, dir)
+        .filter(col("doc_id") % 100 === 7).select("doc_id", "text")
+      CurationPipeline.curate(corpus, "text", "doc_id",
+          GateCfg.copy(evalSet = Some(ev)))
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("text_md5"),
+          round(col("quality"), 6).as("quality"),
+          col("split"))
+    }
+  )
+
+  // ------------------------------------------------------------- oracle
+
+  private def scrubSql(src: String) =
+    s"""regexp_replace(regexp_replace(regexp_replace($src,
+       |  '${TextAnalysis.EmailPattern}', '<PII>', 'g'),
+       |  '${TextAnalysis.Ipv4Pattern}', '<PII>', 'g'),
+       |  '${TextAnalysis.PhonePattern}', '<PII>', 'g')""".stripMargin
+
+  private val B = Sampling.Buckets
+
+  val oracleSql: Map[String, String] = Map(
+    "q_curation_e2e" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0),
+         |-- stage 1: PII scrub
+         |sc AS (
+         |  SELECT doc_id, lang, ${scrubSql("text")} AS text FROM all_docs),
+         |-- stage 2a: WITHIN-doc repeated-line removal (first kept, blanks exempt)
+         |ind0 AS (SELECT doc_id, lang, string_split(text, chr(10)) AS ln FROM sc),
+         |ind AS (
+         |  SELECT doc_id, lang,
+         |         array_to_string(
+         |           list_filter(ln, (x, i) -> x = '' OR list_position(ln, x) = i),
+         |           chr(10)) AS text
+         |  FROM ind0),
+         |-- stage 2b: corpus-wide duplicate-line rule (count >= 3, blanks exempt)
+         |ldup AS (
+         |  SELECT md5(line) AS lh
+         |  FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM ind)
+         |  WHERE line <> ''
+         |  GROUP BY md5(line) HAVING count(*) >= 3),
+         |ldl AS (SELECT coalesce(list(lh), []) AS dls FROM ldup),
+         |lined AS (
+         |  SELECT doc_id, lang,
+         |         coalesce(array_to_string(
+         |           list_filter(string_split(text, chr(10)),
+         |                       x -> NOT list_contains(ldl.dls, md5(x))),
+         |           chr(10)), '') AS text
+         |  FROM ind, ldl),
+         |-- stage 3: exact dedup on normalized text (lowest-id keeper)
+         |exact AS (
+         |  SELECT min(doc_id) AS doc_id,
+         |         arg_min(text, doc_id) AS text,
+         |         arg_min(lang, doc_id) AS lang
+         |  FROM lined GROUP BY md5(${LlmGates.NormSql})),
+         |-- stage 4: MinHash-LSH near dedup over the exact survivors
+         |${LlmGates.docSigCte("exact").replaceFirst("^WITH ", "")},
+         |bands AS (
+         |  SELECT doc_id, rt.b AS band,
+         |         array_to_string(list_transform(sig[rt.b*4+1:rt.b*4+4],
+         |                                        v -> v::VARCHAR), ',') AS band_key
+         |  FROM sig, range(0, 4) rt(b)),
+         |${LlmGates.CandSql},
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(s, x -> ${LlmGates.h60("x")})) AS sh
+         |  FROM sh),
+         |losers AS (
+         |  SELECT DISTINCT id_b
+         |  FROM cand JOIN sets x ON cand.id_a = x.doc_id
+         |            JOIN sets y ON cand.id_b = y.doc_id
+         |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.8),
+         |near AS (
+         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+         |-- stage 5: decontamination against the eval set (every 100th ORIGINAL
+         |-- doc, raw text); corpus-side grams are the near survivors' cleaned-
+         |-- text shingle hashes (sets), containment >= 0.5 drops the doc
+         |evd AS (
+         |  SELECT doc_id, ${LlmGates.NormSql} AS norm, ${LlmGates.wordsSql()} AS w
+         |  FROM documents WHERE doc_id % 100 = 7),
+         |evsh AS (SELECT doc_id, ${LlmGates.ShinglesSql} AS s FROM evd),
+         |evg AS (
+         |  SELECT list(DISTINCT g) AS grams
+         |  FROM (SELECT unnest(list_transform(s, x -> ${LlmGates.h60("x")})) AS g FROM evsh)),
+         |contam AS (
+         |  SELECT n.doc_id
+         |  FROM near n JOIN sets st ON n.doc_id = st.doc_id, evg
+         |  WHERE len(list_intersect(st.sh, evg.grams))::DOUBLE
+         |        / len(st.sh)::DOUBLE >= 0.5),
+         |decon AS (
+         |  SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |-- stage 6: quality floor (composite score >= 0.39 — drops the
+         |-- bottom ~10% of the synth corpus at every sf) over the final text
+         |qm AS (
+         |  SELECT doc_id, lang, text, ${LlmGates.wordsSql()} AS w FROM decon),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |         0.4 * (CASE WHEN len(w) = 0 THEN 0.0
+         |                     ELSE len(list_filter(w, x -> x IN
+         |                            ('the','a','of','and','to','in','is','it','that','for')))::DOUBLE
+         |                          / len(w)::DOUBLE END)
+         |         + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0
+         |                       ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+         |                            / length(text)::DOUBLE END)
+         |         + 0.2 * least((CASE WHEN trim(text) = '' THEN 0
+         |                             ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE
+         |                       / 100.0, 1.0) AS quality
+         |  FROM qm),
+         |qf AS (SELECT * FROM q WHERE quality >= 0.39),
+         |-- stage 6b: per-lang cap (lowest-id keeper, k = 40)
+         |capd AS (
+         |  SELECT doc_id, text, quality FROM (
+         |    SELECT doc_id, text, quality,
+         |           row_number() OVER (PARTITION BY lang
+         |                              ORDER BY doc_id ASC) AS rk
+         |    FROM qf)
+         |  WHERE rk <= 40)
+         |-- stage 7: split assignment (seed 'graft', 0.8/0.1/0.1)
+         |SELECT doc_id, md5(text) AS text_md5,
+         |       round(quality, 6) AS quality,
+         |       CASE WHEN ${LlmGates.h60("'graft:' || doc_id")} % $B
+         |                 < ${(0.8 * B).toLong} THEN 'train'
+         |            WHEN ${LlmGates.h60("'graft:' || doc_id")} % $B
+         |                 < ${(0.9 * B).toLong} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM capd""".stripMargin
+  )
+}
