@@ -180,4 +180,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.count() == 8)
     assert((System.nanoTime() - t0) / 1e9 < 120.0)
   }
+
+  test("ivfTopKWith from persisted centroids == in-line ivfTopK (save/load roundtrip)") {
+    // the deployment path: build the index once, persist it, and run the
+    // search from the loaded table with the Lloyd loop skipped entirely
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+      nCentroids = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cents")
+      .resolve("centroids").toString
+    Similarity.saveCentroids(cents, dir)
+    val loaded = Similarity.loadCentroids(spark, dir)
+    // loaded table is a driver-local leaf relation like the in-line build
+    assert(loaded.queryExecution.optimizedPlan.children.isEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), round(col("score"), 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = rows(Similarity.ivfTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, nCentroids = 8, nProbe = 3))
+    val fromSaved = rows(Similarity.ivfTopKWith(corpus, queries, "embedding", "vec_id",
+      loaded, k = 5, nProbe = 3))
+    assert(fromSaved == inline)
+    assert(fromSaved.nonEmpty)
+  }
 }
