@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.gates.{InfraGates, KernelGates, LlmGates, PipelineGates, SourceGates, V2FGates}
+import graft.gates.{InfraGates, KernelGates, LlmGates, PipelineGates, SourceGates, V2FGates, VectorGates}
 import graft.operators.Transformations
 
 /**
@@ -38,7 +38,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KernelGates.queries ++ SourceGates.queries ++ V2FGates.queries ++
-      LlmGates.queries ++ InfraGates.queries ++ PipelineGates.queries
+      LlmGates.queries ++ InfraGates.queries ++ PipelineGates.queries ++
+      VectorGates.queries
 
   /**
    * DuckDB-runnable oracle SQL per queries key. Column names must match the
@@ -47,5 +48,6 @@ object SparkEntry {
    */
   def oracleSql: Map[String, String] =
     KernelGates.oracleSql ++ SourceGates.oracleSql ++ V2FGates.oracleSql ++
-      LlmGates.oracleSql ++ InfraGates.oracleSql ++ PipelineGates.oracleSql
+      LlmGates.oracleSql ++ InfraGates.oracleSql ++ PipelineGates.oracleSql ++
+      VectorGates.oracleSql
 }

@@ -469,6 +469,15 @@ object LlmGates {
       Sampling.binByTokenBudget(withTokens, "tok", "doc_id", budget = 2000L)
         .select("doc_id", "tok", "bin_id")
     },
+    // §2.4 row 63 — sliding token-window chunking (chunk 64, overlap 16):
+    // chunk provenance, boundaries, and text all re-derived by the oracle
+    "q_chunk_tokens" -> { (s, dir) =>
+      graft.operators.Chunking.chunkByTokens(
+          docs(s, dir).select("doc_id", "text"), "text", "doc_id",
+          chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("token_start"),
+          col("n_tokens"), md5(col("chunk")).as("chunk_md5"))
+    },
     // §2.4 row 38 — tumbling-window event aggregation (batch plan is
     // identical to the streaming plan; streaming equivalence in spec)
     "q_events_window" -> { (s, dir) =>
@@ -1128,6 +1137,25 @@ object LlmGates {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
         |  FROM t)
         |SELECT doc_id, tok, (prefix // 2000)::BIGINT AS bin_id FROM p""".stripMargin,
+    "q_chunk_tokens" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) > 0),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         greatest(1, ceil((n - 16)::DOUBLE / 48))::BIGINT AS n_chunks
+        |  FROM n),
+        |e AS (
+        |  SELECT doc_id, w, unnest(range(n_chunks)) AS i FROM c)
+        |SELECT doc_id,
+        |       i::INT AS chunk_idx,
+        |       (i * 48)::INT AS token_start,
+        |       len(w[i*48+1 : i*48+64])::INT AS n_tokens,
+        |       md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS chunk_md5
+        |FROM e""".stripMargin,
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP) AS window_start,
         |       event_type,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Token-window document chunking: split each document into fixed-size
+ * overlapping token windows — the sequence-preparation step between a
+ * curated corpus and an LLM training/RAG pipeline (context windows are
+ * token-bounded; documents are not).
+ *
+ * Chunk i covers tokens [i·stride, i·stride + chunkTokens) of the
+ * whitespace token sequence, stride = chunkTokens − overlap, and the
+ * chunk count is ceil((n − overlap) / stride) (minimum 1), so every
+ * token lands in at least one chunk and consecutive chunks share
+ * exactly `overlap` tokens (the standard sliding-window recipe).
+ * Chunk text is the token slice re-joined with single spaces —
+ * chunking is defined over TOKENS, so original whitespace runs are
+ * not preserved. A token is a maximal non-whitespace run (the
+ * [[TextAnalysis.wsTokenCount]] notion, derived split-and-filter so
+ * no empty token survives ANY whitespace shape); empty,
+ * whitespace-only, and NULL documents produce no chunks.
+ *
+ * Scale shape: one generate (posexplode of a per-doc index range) over
+ * a projection — the word array is materialized ONCE per document and
+ * each chunk slices it by bound attribute (no per-chunk re-split, no
+ * shuffle, no window; chunk provenance is (doc_id, chunk_idx), so the
+ * op rides the corpus scan exactly like the line rules).
+ */
+object Chunking {
+
+  /**
+   * (doc_id, chunk_idx, token_start, n_tokens, chunk): the sliding
+   * token windows of each document, deterministic and contiguous per
+   * doc (chunk_idx 0..n_chunks−1).
+   */
+  def chunkByTokens(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    chunkTokens: Int = 512,
+    overlap: Int = 64
+  ): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
+    val stride = chunkTokens - overlap
+    val words = df.select(
+        col(idCol).as("doc_id"),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("w"))
+      // NULL text: split -> NULL, size -> -1, filtered here with the
+      // token-free docs
+      .filter(size(col("w")) > 0)
+      // doubles are exact for any realistic token count (< 2^53), and
+      // ceil-on-double avoids an integral-division detour through SQL
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          ceil((size(col("w")).cast("double") - lit(overlap)) / lit(stride))))
+    words
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("chunk_idx", "i")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("i") * stride).cast("int").as("token_start"),
+        slice(col("w"), (col("i") * stride).cast("int") + 1, lit(chunkTokens)).as("cw"))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("token_start"),
+        size(col("cw")).as("n_tokens"),
+        concat_ws(" ", col("cw")).as("chunk"))
+  }
+}

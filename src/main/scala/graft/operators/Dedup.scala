@@ -712,4 +712,74 @@ object Dedup {
         Similarity.cosine(col("p.x.v"), col("p.y.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ---------------------------------------------- semantic dedup (SemDeDup)
+
+  /**
+   * Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+   * arXiv:2303.09540): k-means-cluster the embedding space, then compare
+   * pairs ONLY within a cluster and keep those with cosine ≥ threshold.
+   * Where [[embeddingNearDup]]'s hyperplane LSH finds near-IDENTICAL
+   * vectors (tight cosine), the cluster route finds semantically
+   * redundant ones at looser thresholds — LSH bucket collision
+   * probability decays with angle, while cluster co-membership holds
+   * across a whole semantic neighborhood.
+   *
+   * Scale shape: one k-means build ([[Similarity.kmeansCentroids]] —
+   * corpus never shuffled, centroid folds are the only collects), one
+   * assignment projection, one groupBy shuffle on centroid_id, in-cluster
+   * pair generation only. UNLIKE the LSH families, cluster sizes are
+   * ~n/nCentroids BY CONSTRUCTION — size nCentroids for your corpus
+   * (SemDeDup uses n/cluster ≈ thousands; the default cap drops oversized
+   * clusters LOUDLY via the observed metric, it does not save an
+   * under-provisioned k).
+   */
+  def semanticNearDups(
+    df: DataFrame,
+    vecCol: String,
+    idCol: String,
+    threshold: Double = 0.95,
+    nCentroids: Int = 16,
+    kmeansIters: Int = 2,
+    maxCluster: Option[Int] = DefaultMaxBucket
+  ): DataFrame = {
+    val assigned = Similarity
+      .ivfAssign(df, vecCol, idCol, nCentroids, kmeansIters)
+      .select(
+        struct(col(idCol).as("vid"), col(vecCol).as("v")).as("item"),
+        col("centroid_id"))
+    val clusters = assigned
+      .groupBy("centroid_id")
+      .agg(collect_list("item").as("items"))
+      .filter(size(col("items")) >= 2)
+    capBuckets(clusters, "items", maxCluster, "semantic")
+      .select(explode(bucketPairs(col("items"))).as("p"))
+      .select(
+        least(col("p.x.vid"), col("p.y.vid")).as("id_a"),
+        greatest(col("p.x.vid"), col("p.y.vid")).as("id_b"),
+        Similarity.cosine(col("p.x.v"), col("p.y.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * The semantically deduplicated corpus: drops the HIGHER id of every
+   * [[semanticNearDups]] pair (greedy lowest-id keeper, the
+   * [[dropNearDuplicates]] convention). Pairs are cluster-local and
+   * small; the prune is one broadcast-able anti join — the corpus is
+   * never shuffled for it.
+   */
+  def dropSemanticDuplicates(
+    df: DataFrame,
+    vecCol: String,
+    idCol: String,
+    threshold: Double = 0.95,
+    nCentroids: Int = 16,
+    kmeansIters: Int = 2,
+    maxCluster: Option[Int] = DefaultMaxBucket
+  ): DataFrame = {
+    val losers =
+      semanticNearDups(df, vecCol, idCol, threshold, nCentroids, kmeansIters, maxCluster)
+        .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Embeddings}
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val embs =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+
+  test("l2Normalize yields unit vectors; zero-norm and NULL vectors go NULL") {
+    val unit = embs.select(
+        Embeddings.l2Norm(Embeddings.l2Normalize(col("embedding"))).as("n"))
+      .agg(min("n"), max("n")).head()
+    assert(math.abs(unit.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(unit.getDouble(1) - 1.0) < 1e-9)
+    val edge = Seq(
+      (1L, Some(Seq(0.0f, 0.0f))),
+      (2L, Option.empty[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+      .select(Embeddings.l2Normalize(col("embedding")).as("nv"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
+  test("quantize/dequantize roundtrip error is bounded by half a step (scale/254)") {
+    val q = Embeddings.quantizeInt8(embs, "embedding", "vec_id")
+    val joined = embs.join(q, "vec_id")
+      .select(
+        col("scale"),
+        aggregate(
+          zip_with(
+            col("embedding"),
+            Embeddings.dequantize(col("q"), col("scale")),
+            (x, d) => abs(x.cast("double") - d)),
+          lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"))
+    val bad = joined.filter(col("max_err") > col("scale") / 254.0 + 1e-12).count()
+    assert(bad == 0)
+    // bytes actually span the int8 range: every vector's max |element|
+    // quantizes to ±127
+    val extremes = q.select(array_max(transform(col("q"), x => abs(x.cast("int")))).as("m"))
+      .filter(col("m") =!= 127).count()
+    assert(extremes == 0)
+  }
+
+  test("quantizeInt8: all-zero vector -> scale 0, zero bytes") {
+    val out = Embeddings.quantizeInt8(
+        Seq((1L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        "embedding", "vec_id").head()
+    assert(out.getAs[Double]("scale") == 0.0)
+    assert(out.getSeq[Byte](out.fieldIndex("q")).toSeq == Seq(0, 0, 0).map(_.toByte))
+  }
+
+  test("semanticNearDups multi-cluster: planted identical vectors always pair at 1.0") {
+    val e = embs
+    val dups = e.filter(col("vec_id") % 25 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = e.unionByName(dups)
+    val pairs = Dedup.semanticNearDups(corpus, "embedding", "vec_id",
+        threshold = 0.999, nCentroids = 8, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = dups.select("vec_id").collect()
+      .map(r => (r.getLong(0) - 100000, r.getLong(0))).toSet
+    // identical vectors share an argmax centroid, so the cluster route
+    // can never miss an exact duplicate
+    assert(expected.subsetOf(pairs), s"missing: ${expected -- pairs}")
+  }
+
+  test("semanticNearDups multi-cluster pairs are a subset of the all-pairs set") {
+    val corpus = embs
+    val multi = Dedup.semanticNearDups(corpus, "embedding", "vec_id",
+        threshold = 0.9, nCentroids = 8, kmeansIters = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Dedup.semanticNearDups(corpus, "embedding", "vec_id",
+        threshold = 0.9, nCentroids = 1, kmeansIters = 1, maxCluster = None)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.subsetOf(all))
+  }
+
+  test("dropSemanticDuplicates keeps the lowest id of each duplicate group") {
+    val e = embs.filter(col("vec_id") < 100)
+    val corpus = e.unionByName(
+      e.filter(col("vec_id") % 10 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    val kept = Dedup.dropSemanticDuplicates(corpus, "embedding", "vec_id",
+        threshold = 0.999, nCentroids = 1, kmeansIters = 1, maxCluster = None)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every planted copy (higher id) gone, every original still there
+    assert(kept.forall(_ < 100000))
+    assert(e.collect().map(_.getLong(0)).toSet.subsetOf(kept))
+  }
+}
