@@ -50,7 +50,11 @@ object Bench {
     "q_topk_by",            // WindowGroupLimit rank window — local top-k pre-shuffle (r7)
     "q_top_fraction",       // rank + count in one Window node over one shuffle (r7)
     "q_line_dedup_doc",     // within-doc positional-HOF line rule, pure projection (r7)
-    "q_top_words"           // word explode + partial counts + TakeOrderedAndProject (r7)
+    "q_top_words",          // word explode + partial counts + TakeOrderedAndProject (r7)
+    "q_chunk_tokens",       // token-window chunk generate over a projection (r8)
+    "q_embed_quantize",     // int8 quantization projection, per-element lambda (r8)
+    "q_semdedup_pairs",     // degenerate single-cluster all-pairs cosine — worst-case in-bucket pair throughput (r8)
+    "q_curation_e2e"        // the COMPOSED curation pipeline: scrub→line rules→dedups→decontaminate→quality→cap→split (r8)
   )
 
   private def jsonStr(s: String): String =

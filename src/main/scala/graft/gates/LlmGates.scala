@@ -469,6 +469,21 @@ object LlmGates {
       Sampling.binByTokenBudget(withTokens, "tok", "doc_id", budget = 2000L)
         .select("doc_id", "tok", "bin_id")
     },
+    // §2.4 row 66 — unigram-LM quality scoring (CCNet-lite): model fit on
+    // the corpus + planted rows, add-1 smoothing; the plants pin the OOV
+    // (gibberish) and repeated-known-word paths value-exactly (directional
+    // properties live in TextAnalysisSpec)
+    "q_unigram_nll" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (800001L, "zxqv gibberish tokenstream qqwzx vvkjh zzzyx plmokn"),
+        (800002L, "the the the the the the the the"))
+        .toDF("doc_id", "text")
+      val corpus = docs(s, dir).select("doc_id", "text").unionByName(planted)
+      val model = TextAnalysis.unigramModel(corpus, "text", vocabSize = 100)
+      TextAnalysis.unigramNll(corpus, model, "text", "doc_id")
+        .withColumn("nll", round(col("nll"), 4))
+    },
     // §2.4 row 63 — sliding token-window chunking (chunk 64, overlap 16):
     // chunk provenance, boundaries, and text all re-derived by the oracle
     "q_chunk_tokens" -> { (s, dir) =>
@@ -1137,6 +1152,27 @@ object LlmGates {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
         |  FROM t)
         |SELECT doc_id, tok, (prefix // 2000)::BIGINT AS bin_id FROM p""".stripMargin,
+    "q_unigram_nll" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (800001::BIGINT, 'zxqv gibberish tokenstream qqwzx vvkjh zzzyx plmokn'),
+         |    (800002::BIGINT, 'the the the the the the the the')
+         |  ) v(doc_id, text)),
+         |d AS (
+         |  SELECT doc_id, ${wordsSql()} AS w FROM all_docs),
+         |wrd AS (SELECT doc_id, unnest(w) AS word FROM d),
+         |m AS (
+         |  SELECT word, count(*) AS n FROM wrd
+         |  GROUP BY word ORDER BY n DESC, word ASC LIMIT 100),
+         |tv AS (SELECT sum(n)::DOUBLE AS t, count(*)::DOUBLE AS v FROM m)
+         |SELECT doc_id,
+         |       count(*) AS n_tokens,
+         |       round(sum(-ln((coalesce(m.n, 0) + 1.0) / (t + (v + 1.0))))
+         |             / count(*), 4) AS nll
+         |FROM wrd LEFT JOIN m USING (word), tv
+         |GROUP BY doc_id""".stripMargin,
     "q_chunk_tokens" ->
       """WITH d AS (
         |  SELECT doc_id,

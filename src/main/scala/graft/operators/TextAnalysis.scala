@@ -355,6 +355,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Fit a unigram language model over the corpus: the top-`vocabSize`
+   * normalized-word frequencies ([[topWords]] — deterministic through
+   * ties). The CCNet-style perplexity filter without a pretrained LM:
+   * fit on the corpus (or a trusted reference slice), score with
+   * [[unigramNll]], cut both tails (high = gibberish/OOV/wrong-language,
+   * low = repetitive boilerplate).
+   */
+  def unigramModel(df: DataFrame, textCol: String, vocabSize: Int = 50000): DataFrame =
+    topWords(df, textCol, vocabSize)
+
+  /**
+   * Per-document mean negative log-likelihood (nats/token) under a
+   * unigram `model` (word, n) with add-alpha smoothing:
+   * p(w) = (c_w + α) / (T + α·(V+1)), OOV words get c_w = 0 — every
+   * token has positive probability, so the score is always finite.
+   * Returns (doc_id, n_tokens, nll); documents with zero normalized
+   * tokens have no likelihood and are absent (filter them first or
+   * treat absence as "no signal", like the contamination NULL-text rule).
+   *
+   * Scale shape: T and V fold to ONE driver row (metadata, like the
+   * k-means centroid fold); the word stream explodes and left-joins the
+   * BROADCAST model, and the per-doc regroup shuffles one
+   * partially-aggregated row per document, not one per token — the
+   * [[Contamination.contaminationScores]] shape exactly.
+   */
+  def unigramNll(
+    df: DataFrame,
+    model: DataFrame,
+    textCol: String,
+    idCol: String,
+    alpha: Double = 1.0
+  ): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive for finite OOV scores: $alpha")
+    val tv = model.agg(
+      coalesce(sum(col("n")), lit(0L)).as("t"),
+      count(lit(1)).as("v")).head()
+    val denom = tv.getLong(0).toDouble + alpha * (tv.getLong(1).toDouble + 1.0)
+    val words = Dedup.wordTable(df, textCol, idCol)
+      .select(col("doc_id"), explode(col("w")).as("word"))
+    words
+      .join(broadcast(model), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(-log((coalesce(col("n"), lit(0L)).cast("double") + alpha) / denom))
+          .as("nll_sum"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("nll_sum") / col("n_tokens").cast("double")).as("nll"))
+  }
+
   /** PII patterns chosen to mean the same thing in Java regex and RE2
     * (no backrefs, no lookaround) so engine and oracle agree: emails,
     * IPv4 literals, and phone-ish digit runs. */

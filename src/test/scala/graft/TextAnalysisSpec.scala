@@ -153,4 +153,42 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(ap95 - p95) <= math.max(1.0, 0.05 * p95), s"$lang p95")
     }
   }
+
+  test("unigramNll: gibberish scores above the corpus, boilerplate below; empty docs absent") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // the boilerplate plant repeats the corpus's MOST FREQUENT word, so
+    // its per-token nll is the model's minimum — below every real doc
+    val topWord = TextAnalysis.unigramModel(docs, "text", vocabSize = 1)
+      .head().getString(0)
+    val planted = Seq(
+      (800001L, "zxqv gibberish tokenstream qqwzx vvkjh zzzyx plmokn"),
+      (800002L, Seq.fill(20)(topWord).mkString(" ")),
+      (800003L, "   ")) // zero normalized tokens -> absent from the output
+      .toDF("doc_id", "text")
+    val corpus = docs.unionByName(planted)
+    val model = TextAnalysis.unigramModel(corpus, "text", vocabSize = 100)
+    val out = TextAnalysis.unigramNll(corpus, model, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    assert(!out.contains(800003L))
+    val base = out.view.filterKeys(_ < 800000L).values.toSeq.sorted
+    val p90 = base(base.size * 9 / 10)
+    assert(out(800001L) > p90, s"gibberish ${out(800001L)} should exceed p90 $p90")
+    assert(out(800002L) <= base.head,
+      s"boilerplate ${out(800002L)} should undercut the corpus minimum ${base.head}")
+    // every score is finite and positive (add-alpha smoothing)
+    assert(out.values.forall(v => v > 0.0 && !v.isNaN && !v.isInfinite))
+  }
+
+  test("unigramNll plan: model broadcast, one per-doc regroup (contamination shape)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val model = TextAnalysis.unigramModel(docs, "text", vocabSize = 100)
+    val plan = TextAnalysis.unigramNll(docs, model, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // partial_count proves the per-doc agg partial-aggregates map-side
+    assert(plan.contains("partial_count") || plan.contains("partial count"), plan.take(2000))
+  }
 }
