@@ -53,8 +53,9 @@ object Bench {
     "q_top_words",          // word explode + partial counts + TakeOrderedAndProject (r7)
     "q_chunk_tokens",       // token-window chunk generate over a projection (r8)
     "q_embed_quantize",     // int8 quantization projection, per-element lambda (r8)
-    "q_semdedup_pairs",     // degenerate single-cluster all-pairs cosine — worst-case in-bucket pair throughput (r8)
-    "q_curation_e2e"        // the COMPOSED curation pipeline: scrub→line rules→dedups→decontaminate→quality→cap→split (r8)
+    "q_semdedup_pairs",     // degenerate single-cluster all-pairs cosine — worst-case in-bucket pair throughput, 520-vector fixture (r8)
+    "q_unigram_nll",        // word explode + broadcast model join + per-doc regroup (r8)
+    "q_curation_e2e"        // the COMPOSED curation pipeline via run(): persisted scrub intermediate, scrub→line rules→dedups→decontaminate→quality→cap→split (r8)
   )
 
   private def jsonStr(s: String): String =

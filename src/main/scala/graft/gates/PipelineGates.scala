@@ -52,13 +52,22 @@ object PipelineGates {
           .withColumn("doc_id", col("doc_id") + 100000))
       val ev = LlmGates.docs(s, dir)
         .filter(col("doc_id") % 100 === 7).select("doc_id", "text")
-      CurationPipeline.curate(corpus, "text", "doc_id",
-          GateCfg.copy(evalSet = Some(ev)))
-        .select(
+      // the documented execution path: run() persists the scrubbed
+      // intermediate across its many consumers for the action's
+      // lifetime; the action here materializes the (4-column) result
+      // once, so the returned frame is self-contained after the
+      // intermediates unpersist. The lazy curate() plan recomputes the
+      // text-rewriting stages through every self-join — benched at 34 s
+      // vs ~run's cost at sf0.1, which is exactly why run() exists.
+      CurationPipeline.run(corpus, "text", "doc_id",
+          GateCfg.copy(evalSet = Some(ev))) {
+        _.select(
           col("doc_id"),
           md5(col("text")).as("text_md5"),
           round(col("quality"), 6).as("quality"),
           col("split"))
+         .localCheckpoint()
+      }
     }
   )
 

@@ -24,10 +24,15 @@ object VectorGates {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** embeddings ∪ re-keyed copies of every 25th vector — planted
-    * cosine-1.0 semantic duplicates (the LlmGates fixture). */
+  /** The first 500 embeddings ∪ re-keyed copies of every 25th — planted
+    * cosine-1.0 semantic duplicates (the LlmGates fixture). The id cut
+    * (the whole table at sf≤0.01) bounds the DEGENERATE single-cluster
+    * gate config: all-pairs in one cluster is one task's sequential
+    * work, and an uncut sf0.1 run put 2.16M pairs on that task (13 s in
+    * the bench) for no extra gate power. */
   private def embsWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") < 500)
     e.unionByName(
       e.filter(col("vec_id") % 25 === 0)
         .withColumn("vec_id", col("vec_id") + 100000))
@@ -104,9 +109,10 @@ object VectorGates {
         |FROM s""".stripMargin,
     "q_semdedup_pairs" ->
       """WITH all_e AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
         |  UNION ALL
-        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+        |  SELECT vec_id + 100000, embedding FROM embeddings
+        |  WHERE vec_id % 25 = 0 AND vec_id < 500),
         |v AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
         |  FROM all_e)
@@ -120,9 +126,10 @@ object VectorGates {
         |       sqrt(list_dot_product(b.ve, b.ve))) >= 0.9""".stripMargin,
     "q_semdedup_rows" ->
       """WITH all_e AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
         |  UNION ALL
-        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+        |  SELECT vec_id + 100000, embedding FROM embeddings
+        |  WHERE vec_id % 25 = 0 AND vec_id < 500),
         |v AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
         |  FROM all_e),
