@@ -75,6 +75,64 @@ class StreamingSpec extends SparkSpec {
       batch(1L).indexOf("MENU") == batch(1L).lastIndexOf("MENU")) // line rule ran
   }
 
+  test("chunking + quantization + unigram scoring run unchanged on a stream") {
+    // chunkByTokens is a stateless generate; quantizeInt8 a stateless
+    // projection; unigramNll a stream-static broadcast join + per-key
+    // agg (the model is a static frame) — the ingestion-time shapes of
+    // the r8 operators. Streamed output must equal batch exactly.
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+    val chunkStream = MemoryStream[(Long, String)]
+    chunkStream.addData(rows: _*)
+    def chunk(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Chunking.chunkByTokens(df, "text", "doc_id",
+        chunkTokens = 40, overlap = 10)
+    val q1 = chunk(chunkStream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    def chunkKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))
+    assert(spark.table("chunk_stream").collect().map(chunkKey).toSet ==
+      chunk(rows.toDF("doc_id", "text")).collect().map(chunkKey).toSet)
+
+    val vecs = Seq((1L, Seq(1.0f, -2.0f, 0.5f)), (2L, Seq(0.25f, 0.0f, -0.125f)))
+    val vecStream = MemoryStream[(Long, Seq[Float])]
+    vecStream.addData(vecs: _*)
+    val q2 = graft.operators.Embeddings.quantizeInt8(
+        vecStream.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id")
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("append").start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    def qKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2).toList)
+    assert(spark.table("quant_stream").collect().map(qKey).toSet ==
+      graft.operators.Embeddings.quantizeInt8(
+        vecs.toDF("vec_id", "embedding"), "embedding", "vec_id")
+        .collect().map(qKey).toSet)
+
+    val model = graft.operators.TextAnalysis.unigramModel(
+      rows.toDF("doc_id", "text"), "text", vocabSize = 50)
+    val nllStream = MemoryStream[(Long, String)]
+    nllStream.addData(rows: _*)
+    val q3 = graft.operators.TextAnalysis.unigramNll(
+        nllStream.toDF().toDF("doc_id", "text"), model, "text", "doc_id")
+      .writeStream.format("memory").queryName("nll_stream")
+      .outputMode("complete").start() // per-doc agg needs complete mode
+    try q3.processAllAvailable()
+    finally q3.stop()
+    def nKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    assert(spark.table("nll_stream").collect().map(nKey).toSet ==
+      graft.operators.TextAnalysis.unigramNll(
+        rows.toDF("doc_id", "text"), model, "text", "doc_id")
+        .collect().map(nKey).toSet)
+  }
+
   test("streaming plan carries the event-time watermark") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]
