@@ -742,9 +742,25 @@ object Dedup {
     nCentroids: Int = 16,
     kmeansIters: Int = 2,
     maxCluster: Option[Int] = DefaultMaxBucket
+  ): DataFrame =
+    semanticNearDupsWith(df, vecCol, idCol,
+      Similarity.kmeansCentroids(df, vecCol, idCol, nCentroids, kmeansIters),
+      threshold, maxCluster)
+
+  /** [[semanticNearDups]] against a PREBUILT centroid table — the
+    * deployment pairing with [[Similarity.saveCentroids]] /
+    * [[Similarity.loadCentroids]]: one persisted k-means index serves
+    * ANN probes AND semantic dedup over the same embedding space. */
+  def semanticNearDupsWith(
+    df: DataFrame,
+    vecCol: String,
+    idCol: String,
+    centroids: DataFrame,
+    threshold: Double = 0.95,
+    maxCluster: Option[Int] = DefaultMaxBucket
   ): DataFrame = {
     val assigned = Similarity
-      .ivfAssign(df, vecCol, idCol, nCentroids, kmeansIters)
+      .ivfAssignWith(df, vecCol, centroids)
       .select(
         struct(col(idCol).as("vid"), col(vecCol).as("v")).as("item"),
         col("centroid_id"))

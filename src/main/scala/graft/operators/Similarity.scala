@@ -164,6 +164,12 @@ object Similarity {
     assignTo(corpus, vecCol,
       kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters))
 
+  /** [[ivfAssign]] against a PREBUILT centroid table (centroid_id, cv) —
+    * pairs with [[loadCentroids]] the way [[ivfTopKWith]] does, so
+    * assignment reuses a persisted index instead of refitting k-means. */
+  def ivfAssignWith(corpus: DataFrame, vecCol: String, centroids: DataFrame): DataFrame =
+    assignTo(corpus, vecCol, centroids)
+
   /**
    * IVF top-k: probe the nProbe centroid buckets nearest to each query and
    * run exact cosine only inside those buckets. Approximate: recall

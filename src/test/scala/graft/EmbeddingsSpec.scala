@@ -79,6 +79,22 @@ class EmbeddingsSpec extends SparkSpec {
     assert(multi.subsetOf(all))
   }
 
+  test("semanticNearDupsWith from persisted centroids == in-line build") {
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      embs, "embedding", "vec_id", nCentroids = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-cents")
+      .resolve("centroids").toString
+    graft.operators.Similarity.saveCentroids(cents, dir)
+    val loaded = graft.operators.Similarity.loadCentroids(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = pairs(Dedup.semanticNearDups(embs, "embedding", "vec_id",
+      threshold = 0.9, nCentroids = 8, kmeansIters = 2))
+    val fromSaved = pairs(Dedup.semanticNearDupsWith(embs, "embedding", "vec_id",
+      loaded, threshold = 0.9))
+    assert(fromSaved == inline)
+  }
+
   test("dropSemanticDuplicates keeps the lowest id of each duplicate group") {
     val e = embs.filter(col("vec_id") < 100)
     val corpus = e.unionByName(
