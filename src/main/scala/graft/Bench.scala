@@ -55,6 +55,7 @@ object Bench {
     "q_embed_quantize",     // int8 quantization projection, per-element lambda (r8)
     "q_semdedup_pairs",     // degenerate single-cluster all-pairs cosine — worst-case in-bucket pair throughput, 520-vector fixture (r8)
     "q_unigram_nll",        // word explode + broadcast model join + per-doc regroup (r8)
+    "q_pack_sequences",     // token-bin window + id-ordered concat per bin (r8)
     "q_curation_e2e"        // the COMPOSED curation pipeline via run(): persisted scrub intermediate, scrub→line rules→dedups→decontaminate→quality→cap→split (r8)
   )
 

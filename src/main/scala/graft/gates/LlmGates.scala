@@ -493,6 +493,16 @@ object LlmGates {
         .select(col("doc_id"), col("chunk_idx"), col("token_start"),
           col("n_tokens"), md5(col("chunk")).as("chunk_md5"))
     },
+    // §2.4 row 67 — sequence packing over the token bins: each bin's
+    // docs concatenated in id order into one training sequence
+    "q_pack_sequences" -> { (s, dir) =>
+      val withTokens = docs(s, dir).select(
+        col("doc_id"), col("text"),
+        TextAnalysis.wsTokenCount(col("text")).as("tok"))
+      Sampling.packSequences(withTokens, "text", "doc_id", "tok", budget = 2000L)
+        .select(col("bin_id"), col("n_docs"), col("total_tokens"),
+          md5(col("packed")).as("packed_md5"))
+    },
     // §2.4 row 38 — tumbling-window event aggregation (batch plan is
     // identical to the streaming plan; streaming equivalence in spec)
     "q_events_window" -> { (s, dir) =>
@@ -1192,6 +1202,24 @@ object LlmGates {
         |       len(w[i*48+1 : i*48+64])::INT AS n_tokens,
         |       md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS chunk_md5
         |FROM e""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, text, tok,
+        |         coalesce(sum(tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, text, tok, (prefix // 2000)::BIGINT AS bin_id FROM p)
+        |SELECT bin_id,
+        |       count(*) AS n_docs,
+        |       sum(tok)::BIGINT AS total_tokens,
+        |       md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS packed_md5
+        |FROM b GROUP BY bin_id""".stripMargin,
     "q_events_window" ->
       """SELECT time_bucket(INTERVAL 5 MINUTES, ts::TIMESTAMP) AS window_start,
         |       event_type,

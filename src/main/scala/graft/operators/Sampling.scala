@@ -316,4 +316,40 @@ object Sampling {
     val prefix = coalesce(sum(col(tokenCol)).over(w), lit(0L))
     df.withColumn(binCol, floor(prefix / lit(budget)))
   }
+
+  /**
+   * Sequence PACKING on top of [[binByTokenBudget]]: concatenates each
+   * bin's documents (in id order, `sep`-joined) into one training
+   * sequence — the step that turns a curated corpus into fixed-budget
+   * model inputs without padding waste. Returns one row per bin:
+   * ([byCol,] bin_id, n_docs, total_tokens, packed).
+   *
+   * Scale shape: the binning window's shuffle (see [[binByTokenBudget]]
+   * — pass `byCol` at corpus scale) feeds ONE groupBy on the same key
+   * space; in-bin order is restored from the collected (id, text)
+   * structs, never by a second sort of the corpus. Bins are
+   * budget-bounded by construction, so the collected array is one
+   * sequence's worth of text — bounded task memory.
+   */
+  def packSequences(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    tokenCol: String,
+    budget: Long,
+    byCol: Option[String] = None,
+    sep: String = "\n\n"
+  ): DataFrame = {
+    val binned = binByTokenBudget(df, tokenCol, idCol, budget, byCol)
+    val keys = (byCol.toSeq :+ "bin_id").map(col)
+    binned
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("total_tokens"),
+        concat_ws(sep,
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s(textCol))).as("packed"))
+  }
 }

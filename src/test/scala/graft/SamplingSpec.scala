@@ -289,4 +289,31 @@ class SamplingSpec extends SparkSpec {
     // both groups restart at bin 0 — doc 3 is de's FIRST row, not a continuation
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
+
+  test("packSequences: id-ordered concat per bin, totals preserved, keyed form keyed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", 900L), (2L, "bravo", 900L), (3L, "charlie", 900L),
+      (4L, "delta", 900L), (5L, "echo", 2500L))
+      .toDF("doc_id", "text", "tok")
+    val out = Sampling.packSequences(df, "text", "doc_id", "tok", budget = 2000L)
+      .collect().map(r => r.getAs[Long]("bin_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"), r.getAs[String]("packed")))
+      .toMap
+    // prefix sums 0/900/1800/2700/3600 -> bins 0,0,0,1,1
+    assert(out(0L) == ((3L, 2700L, "alpha\n\nbravo\n\ncharlie")))
+    assert(out(1L) == ((2L, 3400L, "delta\n\necho")))
+    // every token lands in exactly one bin
+    assert(out.values.map(_._2).sum == 900L * 4 + 2500L)
+    // keyed form packs each group independently on its own bin space
+    val keyed = Sampling.packSequences(
+        df.withColumn("lang", when(col("doc_id") <= 2, "en").otherwise("de")),
+        "text", "doc_id", "tok", budget = 2000L, byCol = Some("lang"))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin_id")) ->
+        r.getAs[String]("packed")).toMap
+    assert(keyed(("en", 0L)) == "alpha\n\nbravo")
+    // de restarts its prefix sum: 0/900/1800 all open bin 0
+    assert(keyed(("de", 0L)) == "charlie\n\ndelta\n\necho")
+    assert(!keyed.contains(("de", 1L)))
+  }
 }
