@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, VectorMeanAgg}
+import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -90,6 +90,15 @@ object GraftFunctions {
       s"bloom_might_contain expects (filter BINARY, value), got ${args.length} args")
   }
 
+  private def unicodeNormBuilder: Seq[Expression] => Expression = {
+    case Seq(e) => UnicodeNormExpr(e, "NFC")
+    case Seq(e, Literal(f: org.apache.spark.unsafe.types.UTF8String, _)) =>
+      UnicodeNormExpr(e, f.toString)
+    case args => throw new IllegalArgumentException(
+      "unicode_norm expects (text[, form STRING literal: NFC|NFD|NFKC|NFKD]), " +
+        s"got ${args.length} args")
+  }
+
   /** (name, builder, implementing class) for each SQL function. */
   val all: Seq[(String, Seq[Expression] => Expression, Class[_])] = Seq(
     ("md5_long60", oneArg("md5_long60")(Md5Long60Expr.apply(_: Expression)),
@@ -109,7 +118,8 @@ object GraftFunctions {
     // Spark's native runtime-filter pair (not SQL-registered upstream):
     // build a serialized bloom filter, then probe it
     ("bloom_filter_agg", bloomAggBuilder, classOf[BloomFilterAggregate]),
-    ("bloom_might_contain", bloomMightContainBuilder, classOf[BloomFilterMightContain])
+    ("bloom_might_contain", bloomMightContainBuilder, classOf[BloomFilterMightContain]),
+    ("unicode_norm", unicodeNormBuilder, classOf[UnicodeNormExpr])
   )
 
   /** Register every graft SQL function on an existing session. */

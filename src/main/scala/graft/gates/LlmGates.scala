@@ -493,6 +493,22 @@ object LlmGates {
         .select(col("doc_id"), col("chunk_idx"), col("token_start"),
           col("n_tokens"), md5(col("chunk")).as("chunk_md5"))
     },
+    // §2.4 row 68 — NFC Unicode normalization (native expression):
+    // planted composed/decomposed pairs must converge to identical
+    // bytes (md5-compared) while ASCII passes through untouched
+    "q_unicode_norm" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (900001L, "Cafe\u0301 du Monde"),        // decomposed e + combining acute
+        (900002L, "Caf\u00e9 du Monde"),         // composed — same NFC bytes as 900001
+        (900003L, "A\u030angstro\u0308m units"), // decomposed ring + diaeresis
+        (900004L, "\u00c5ngstr\u00f6m units"))   // composed — same NFC bytes as 900003
+        .toDF("doc_id", "text")
+      docs(s, dir).select("doc_id", "text").unionByName(planted)
+        .select(
+          col("doc_id"),
+          md5(TextAnalysis.normalizeUnicode(col("text"))).as("nfc_md5"))
+    },
     // §2.4 row 67 — sequence packing over the token bins: each bin's
     // docs concatenated in id order into one training sequence
     "q_pack_sequences" -> { (s, dir) =>
@@ -1202,6 +1218,19 @@ object LlmGates {
         |       len(w[i*48+1 : i*48+64])::INT AS n_tokens,
         |       md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS chunk_md5
         |FROM e""".stripMargin,
+    // planted strings assemble from explicit chr() codepoints so no
+    // editor/transport step can silently re-normalize the fixtures
+    "q_unicode_norm" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (900001::BIGINT, 'Cafe' || chr(769) || ' du Monde'),
+        |    (900002::BIGINT, 'Caf' || chr(233) || ' du Monde'),
+        |    (900003::BIGINT, 'A' || chr(778) || 'ngstro' || chr(776) || 'm units'),
+        |    (900004::BIGINT, chr(197) || 'ngstr' || chr(246) || 'm units')
+        |  ) v(doc_id, text))
+        |SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5 FROM all_docs""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, text,

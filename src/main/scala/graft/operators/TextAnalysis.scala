@@ -407,6 +407,17 @@ object TextAnalysis {
         (col("nll_sum") / col("n_tokens").cast("double")).as("nll"))
   }
 
+  /**
+   * Unicode-normalize text (default NFC) — run BEFORE any hash-keyed
+   * operator on multilingual corpora: composed and decomposed accents
+   * are different bytes, so unnormalized text defeats exact dedup,
+   * line rules, shingle hashing, and contamination grams on visually
+   * identical content. Native codegen'd expression
+   * ([[graft.functions.UnicodeNormExpr]]), pure scan projection.
+   */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    graft.functions.UnicodeNormExpr(c, form)
+
   /** PII patterns chosen to mean the same thing in Java regex and RE2
     * (no backrefs, no lookaround) so engine and oracle agree: emails,
     * IPv4 literals, and phone-ish digit runs. */

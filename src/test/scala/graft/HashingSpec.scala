@@ -232,6 +232,42 @@ class HashingSpec extends SparkSpec {
     assert(java.util.Arrays.equals(sqlBytes, apiBytes))
   }
 
+  test("unicode_norm: NFC converges composed/decomposed; forms match java.text.Normalizer") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "Café du Monde",        // decomposed acute
+      "Café du Monde",         // composed
+      "Ångström",       // decomposed ring + diaeresis
+      "ﬁnancial ﬂow",     // ligatures (NFKC folds, NFC keeps)
+      "plain ascii",
+      "")
+    val df = fixtures.toDF("text")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.select(
+        graft.functions.UnicodeNormExpr(col("text"), form).as("n"))
+        .collect().map(_.getString(0)).toSeq
+      val want = fixtures.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.valueOf(form)))
+      assert(got == want, form)
+    }
+    // the dedup consequence: different bytes pre-norm, identical post-NFC
+    val pair = df.limit(2).select(
+      md5(col("text")).as("raw"),
+      md5(graft.functions.UnicodeNormExpr(col("text"), "NFC")).as("nfc"))
+      .collect()
+    assert(pair(0).getString(0) != pair(1).getString(0))
+    assert(pair(0).getString(1) == pair(1).getString(1))
+    // SQL surface ≡ DataFrame API; bad form fails at analysis
+    df.limit(1).createOrReplaceTempView("un_probe")
+    assert(spark.sql("SELECT unicode_norm(text) = unicode_norm(text, 'NFC') AS eq FROM un_probe")
+      .head().getBoolean(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT unicode_norm(text, 'NFX') FROM un_probe").collect()
+    }
+    // NULL propagates
+    assert(Seq(Option.empty[String]).toDF("text")
+      .select(graft.functions.UnicodeNormExpr(col("text"), "NFC")).head().isNullAt(0))
+  }
+
   test("constant folding collapses seed hashes to literals") {
     val plan = spark.range(1)
       .select(Hashing.md5Long60(lit("0")).as("seed"))
