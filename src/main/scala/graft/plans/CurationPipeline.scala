@@ -10,6 +10,8 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  * cleanup in the canonical order, each stage an individually
  * oracle-gated operator of this engine.
  *
+ *   0. optional Unicode normalization (`unicodeNorm = Some("NFC")`) so
+ *      composed/decomposed forms collapse for every hash-keyed stage
  *   1. PII scrub (emails / IPv4s / phone runs masked)
  *   2. WITHIN-doc repeated-line removal (scraper loops), then
  *      corpus-wide duplicate-LINE removal (C4 rule)
@@ -49,6 +51,12 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
 object CurationPipeline {
 
   final case class Config(
+    /** Unicode-normalize text FIRST (e.g. Some("NFC")) so composed and
+      * decomposed forms of the same content collapse for every
+      * hash-keyed stage downstream — line rules, exact dedup, shingle
+      * hashing, contamination grams. Off by default: ASCII-only corpora
+      * pay nothing and the composed e2e oracle stays form-agnostic. */
+    unicodeNorm: Option[String] = None,
     evalSet: Option[DataFrame] = None,
     minLineCount: Int = 3,
     dropRepeatedLinesInDoc: Boolean = true,
@@ -88,8 +96,10 @@ object CurationPipeline {
   private def scrub(
     corpus: DataFrame, textCol: String, idCol: String, cfg: Config
   ): DataFrame = {
+    val normed = cfg.unicodeNorm.fold(col(textCol))(f =>
+      TextAnalysis.normalizeUnicode(col(textCol), f))
     val masked = corpus
-      .select(col(idCol), TextAnalysis.scrubPii(col(textCol)).as(textCol))
+      .select(col(idCol), TextAnalysis.scrubPii(normed).as(textCol))
     val inDoc =
       if (cfg.dropRepeatedLinesInDoc)
         Dedup.dropRepeatedLinesWithinDoc(masked, textCol)

@@ -136,4 +136,32 @@ class CurationPipelineSpec extends SparkSpec {
     assert(CurationPipeline.curate(corpus, "text", "doc_id").columns.toSeq ==
       Seq("doc_id", "text", "quality", "split"))
   }
+
+  test("unicodeNorm stage: mixed composed/decomposed boilerplate collapses for the line rule") {
+    import spark.implicits._
+    // the same boilerplate line in three byte forms: composed, decomposed,
+    // composed — only NFC makes the corpus-wide count reach minLineCount=3
+    val composed = "Caf\u00e9 newsletter footer"
+    val decomposed = "Cafe\u0301 newsletter footer"
+    val corpus = Seq(
+      (1L, s"$composed\nkeep one"),
+      (2L, s"$decomposed\nkeep two"),
+      (3L, s"$composed\nkeep three")
+    ).toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minQuality = -1.0,
+      splits = Seq(("train", 1.0)))
+    def texts(c: CurationPipeline.Config): Map[Long, String] =
+      CurationPipeline.run(corpus, "text", "doc_id", c)(
+        _.select("doc_id", "text").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // without normalization the decomposed copy keeps the count at 2+1:
+    // the rule never fires and every footer survives
+    val raw = texts(cfg)
+    assert(raw.values.forall(_.contains("newsletter footer")))
+    // with NFC the three forms are one line occurring 3 times -> deleted
+    // everywhere, and doc 2's surviving text is byte-identical composed
+    val nfc = texts(cfg.copy(unicodeNorm = Some("NFC")))
+    assert(nfc.values.forall(!_.contains("newsletter footer")))
+    assert(nfc(2L) == "keep two")
+  }
 }
