@@ -316,4 +316,17 @@ class SamplingSpec extends SparkSpec {
     assert(keyed(("de", 0L)) == "charlie\n\ndelta\n\necho")
     assert(!keyed.contains(("de", 1L)))
   }
+
+  test("keyed packSequences plans ONE exchange: the groupBy reuses the window's partitioning") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i =>
+      (i, s"t$i", 100L + i % 7, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "tok", "lang")
+    val plan = Sampling.packSequences(df, "text", "doc_id", "tok", 500L,
+        byCol = Some("lang"))
+      .queryExecution.executedPlan.toString
+    // HashPartitioning(lang) satisfies the (lang, bin_id) aggregation's
+    // clustered distribution, so binning + packing share one shuffle
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
 }
