@@ -79,6 +79,27 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("round-8 operators tolerate empty input") {
+    assert(graft.operators.Chunking.chunkByTokens(emptyDocs, "text", "doc_id").count() == 0)
+    assert(graft.operators.Embeddings.quantizeInt8(emptyEmbs, "embedding", "vec_id").count() == 0)
+    assert(emptyEmbs.select(
+      graft.operators.Embeddings.l2Normalize(col("embedding"))).count() == 0)
+    assert(Dedup.semanticNearDups(emptyEmbs, "embedding", "vec_id").count() == 0)
+    assert(Dedup.dropSemanticDuplicates(emptyEmbs, "embedding", "vec_id").count() == 0)
+    assert(graft.operators.Sampling.packSequences(
+      emptyDocs.withColumn("tok", lit(1L)), "text", "doc_id", "tok", 100L).count() == 0)
+    // an EMPTY model is a valid degenerate fit: every word is OOV and
+    // scores the smoothed floor; an empty corpus scores nothing
+    val emptyModel = TextAnalysis.unigramModel(emptyDocs, "text")
+    assert(TextAnalysis.unigramNll(emptyDocs, emptyModel, "text", "doc_id").count() == 0)
+    import spark.implicits._
+    val one = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val scored = TextAnalysis.unigramNll(one, emptyModel, "text", "doc_id").head()
+    assert(scored.getAs[Long]("n_tokens") == 2L &&
+      !scored.isNullAt(scored.fieldIndex("nll")))
+    assert(one.select(TextAnalysis.normalizeUnicode(col("text"))).count() == 1)
+  }
+
   test("similarity operators over an empty corpus yield empty results") {
     assert(Similarity.bruteForceTopK(emptyEmbs, emptyEmbs, "embedding", "vec_id").count() == 0)
     assert(Similarity.kmeansCentroids(emptyEmbs, "embedding", "vec_id", 4, 1).count() == 0)
