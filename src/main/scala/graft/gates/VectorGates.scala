@@ -68,6 +68,27 @@ object VectorGates {
           threshold = 0.9, nCentroids = 1, kmeansIters = 1, maxCluster = None)
         .withColumn("cosine", round(col("cosine"), 4))
     },
+    // §2.4 row 65c — the MULTI-cluster (production) config, gated the
+    // q_ann_ivf_recall way: identical vectors share an argmax centroid
+    // deterministically, so the real clustered search must find every
+    // planted duplicate pair — a constant-table oracle checks the
+    // summary (20 planted copies at every sf under the id cut)
+    "q_semdedup_planted" -> { (s, dir) =>
+      val pairs = Dedup.semanticNearDups(embsWithDups(s, dir), "embedding", "vec_id",
+          threshold = 0.999, nCentroids = 8, kmeansIters = 2)
+        .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+      val planted = embs(s, dir)
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+        .select(col("vec_id").as("id_a"), (col("vec_id") + 100000).as("id_b"))
+      planted
+        .join(pairs, Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_planted"),
+          coalesce(sum(col("hit")), lit(0)).cast("long").as("n_found"))
+        .select(
+          col("n_planted"), col("n_found"),
+          (col("n_planted") === col("n_found")).cast("int").as("all_found"))
+    },
     // §2.4 row 65b — the semantically deduplicated corpus (lowest-id
     // keeper): every planted copy must vanish, its original survive
     "q_semdedup_rows" -> { (s, dir) =>
@@ -124,6 +145,10 @@ object VectorGates {
         |WHERE list_dot_product(a.ve, b.ve) /
         |      (sqrt(list_dot_product(a.ve, a.ve)) *
         |       sqrt(list_dot_product(b.ve, b.ve))) >= 0.9""".stripMargin,
+    // 20 = count of vec_id % 25 == 0 under the vec_id < 500 cut — fixed
+    // at every sf (the embeddings table ids are 0..N with N >= 499)
+    "q_semdedup_planted" ->
+      "SELECT 20::BIGINT AS n_planted, 20::BIGINT AS n_found, 1 AS all_found",
     "q_semdedup_rows" ->
       """WITH all_e AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
