@@ -23,11 +23,11 @@ object LlmGates {
   private[gates] def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  private def embs(s: SparkSession, dir: String): DataFrame =
+  private[gates] def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** documents ∪ re-keyed copies of every 10th doc — planted exact dups. */
-  private[gates] def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)

@@ -22,7 +22,7 @@ import graft.operators.{Dedup, Embeddings}
 object VectorGates {
 
   private def embs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    LlmGates.embs(s, dir)
 
   /** The first 500 embeddings ∪ re-keyed copies of every 25th — planted
     * cosine-1.0 semantic duplicates (the LlmGates fixture). The id cut

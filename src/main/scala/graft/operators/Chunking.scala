@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
  * no empty token survives ANY whitespace shape); empty,
  * whitespace-only, and NULL documents produce no chunks.
  *
- * Scale shape: one generate (posexplode of a per-doc index range) over
+ * Scale shape: one generate (explode of a per-doc index range) over
  * a projection — the word array is materialized ONCE per document and
  * each chunk slices it by bound attribute (no per-chunk re-split, no
  * shuffle, no window; chunk provenance is (doc_id, chunk_idx), so the
@@ -58,12 +58,12 @@ object Chunking {
           ceil((size(col("w")).cast("double") - lit(overlap)) / lit(stride))))
     words
       .select(col("doc_id"), col("w"),
-        posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("chunk_idx", "i")))
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
       .select(
         col("doc_id"),
         col("chunk_idx").cast("int").as("chunk_idx"),
-        (col("i") * stride).cast("int").as("token_start"),
-        slice(col("w"), (col("i") * stride).cast("int") + 1, lit(chunkTokens)).as("cw"))
+        (col("chunk_idx") * stride).cast("int").as("token_start"),
+        slice(col("w"), (col("chunk_idx") * stride).cast("int") + 1, lit(chunkTokens)).as("cw"))
       .select(
         col("doc_id"), col("chunk_idx"), col("token_start"),
         size(col("cw")).as("n_tokens"),

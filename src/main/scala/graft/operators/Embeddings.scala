@@ -28,10 +28,18 @@ object Embeddings {
    * NULL inputs — a zero embedding has no direction, and downstream
    * cosine math treats NULL as "not a neighbor" (the
    * [[Similarity.bruteForceTopK]] convention).
+   *
+   * The norm must NOT appear inside the per-element lambda: there is no
+   * codegen CSE across HOF lambda iterations, so `transform(vec, _ / n)`
+   * re-evaluates the O(dim) norm for every element — O(dim²) per row.
+   * Instead the norm is evaluated once per row (array_repeat argument)
+   * and zipped alongside the elements; same arithmetic, same bits.
    */
   def l2Normalize(vec: Column): Column = {
     val n = l2Norm(vec)
-    when(n > 0.0, transform(vec, x => x.cast("double") / n)).otherwise(lit(null))
+    when(n > 0.0,
+      zip_with(vec, array_repeat(n, size(vec)), (x, nn) => x.cast("double") / nn))
+      .otherwise(lit(null))
   }
 
   /**

@@ -130,10 +130,6 @@ object Similarity {
     nCentroids: Int = 16,
     iters: Int = 2
   ): DataFrame = {
-    val spark = corpus.sparkSession
-    def localize(df: DataFrame): DataFrame =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1), df.schema)
     var cents = localize(seedCentroids(corpus, vecCol, idCol, nCentroids))
     var i = 0
     while (i < iters) {
@@ -211,11 +207,10 @@ object Similarity {
     k: Int = 10,
     nProbe: Int = 4
   ): DataFrame = {
-    val cents = centroids
-    val assigned = assignTo(corpus, vecCol, cents)
+    val assigned = assignTo(corpus, vecCol, centroids)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = q
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("centroid_id"),
         cosine(col("qv"), col("cv")).as("c_score"))
       .withColumn("rn",
@@ -254,12 +249,21 @@ object Similarity {
    * fold) so downstream plans embed a flat local table instead of a scan
    * — probes and assignment broadcast it exactly like an in-line build.
    */
-  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(path).select(
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    localize(spark.read.parquet(path).select(
       col("centroid_id").cast("long").as("centroid_id"),
-      transform(col("cv"), x => x.cast("double")).as("cv"))
+      transform(col("cv"), x => x.cast("double")).as("cv")))
+
+  /**
+   * Collapse a metadata-sized frame (centroids, unigram models — never a
+   * corpus) to a driver-local single-partition relation: ONE execution of
+   * the source plan, and downstream consumers embed a flat local table
+   * instead of re-running the plan per action.
+   */
+  private[operators] def localize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     spark.createDataFrame(
-      spark.sparkContext.parallelize(raw.collect().toIndexedSeq, 1), raw.schema)
+      spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1), df.schema)
   }
 
   /**

@@ -389,14 +389,20 @@ object TextAnalysis {
     alpha: Double = 1.0
   ): DataFrame = {
     require(alpha > 0.0, s"alpha must be positive for finite OOV scores: $alpha")
-    val tv = model.agg(
+    // The model plan may itself be a corpus-wide aggregation (unigramModel);
+    // localize it ONCE (metadata-sized: <= vocabSize rows) so the T/V fold
+    // and the scoring join both read the local relation instead of each
+    // re-running the full model plan.
+    val localModel = Similarity.localize(
+      model.select(col("word"), col("n").cast("long").as("n")))
+    val tv = localModel.agg(
       coalesce(sum(col("n")), lit(0L)).as("t"),
       count(lit(1)).as("v")).head()
     val denom = tv.getLong(0).toDouble + alpha * (tv.getLong(1).toDouble + 1.0)
     val words = Dedup.wordTable(df, textCol, idCol)
       .select(col("doc_id"), explode(col("w")).as("word"))
     words
-      .join(broadcast(model), Seq("word"), "left")
+      .join(broadcast(localModel), Seq("word"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),

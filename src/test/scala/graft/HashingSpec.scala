@@ -234,11 +234,15 @@ class HashingSpec extends SparkSpec {
 
   test("unicode_norm: NFC converges composed/decomposed; forms match java.text.Normalizer") {
     import spark.implicits._
+    // Fixtures assembled from \u escapes, NOT raw non-ASCII bytes — an
+    // editor/formatter/transport step that NFC-normalizes the source file
+    // would silently collapse a raw decomposed fixture into the composed
+    // one (the q_unicode_norm oracle takes the same chr() precaution).
     val fixtures = Seq(
-      "Café du Monde",        // decomposed acute
-      "Café du Monde",         // composed
-      "Ångström",       // decomposed ring + diaeresis
-      "ﬁnancial ﬂow",     // ligatures (NFKC folds, NFC keeps)
+      "Cafe\u0301 du Monde",            // decomposed acute
+      "Caf\u00e9 du Monde",             // composed
+      "A\u030angstro\u0308m",          // decomposed ring + diaeresis
+      "\ufb01nancial \ufb02ow",        // ligatures (NFKC folds, NFC keeps)
       "plain ascii",
       "")
     val df = fixtures.toDF("text")
