@@ -56,7 +56,11 @@ object Bench {
     "q_semdedup_pairs",     // degenerate single-cluster all-pairs cosine — worst-case in-bucket pair throughput, 520-vector fixture (r8)
     "q_unigram_nll",        // word explode + broadcast model join + per-doc regroup (r8)
     "q_pack_sequences",     // token-bin window + id-ordered concat per bin (r8)
-    "q_curation_e2e"        // the COMPOSED curation pipeline via run(): persisted scrub intermediate, scrub→line rules→dedups→decontaminate→quality→cap→split (r8)
+    "q_curation_e2e",       // the COMPOSED curation pipeline via run(): persisted scrub intermediate, scrub→line rules→dedups→decontaminate→quality→cap→split (r8)
+    "q_bm25",               // corpus explode + broadcast term semi join + postings window + per-(query,doc) regroup (r8)
+    "q_unigram_kl",         // two persisted word-count aggs + vocab-sized KL projection, localized result (r8)
+    "q_char_entropy",       // per-row distinct-char counting HOFs over a bounded prefix, pure projection (r8)
+    "q_dsir_weights"        // DSIR: model fit (two localized dense count tables) + gram explode + broadcast model join + per-doc regroup (r8)
   )
 
   private def jsonStr(s: String): String =

@@ -1,0 +1,248 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dsir, Retrieval, TextAnalysis}
+
+/**
+ * Correctness gates for corpus-level retrieval and distribution
+ * analytics (SURVEY.md §2.4 rows 69-71): BM25 targeted selection,
+ * unigram KL drift, and character-entropy quality scoring.
+ *
+ * Oracle strategy: every probability is exact rational arithmetic in
+ * doubles (single division, identical operands both engines →
+ * bit-identical, rounded at 9 for serialization safety only); every
+ * ln-bearing sum rounds at 4-6 to absorb cross-engine libm ulp drift
+ * and partial-aggregation order (the q_unigram_nll precedent).
+ */
+object CorpusGates {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    LlmGates.docs(s, dir)
+
+  /** Keyword queries over the synthetic corpus vocabulary; query 3
+    * carries an out-of-corpus term (zzzmissing) to pin that absent
+    * terms contribute nothing rather than poisoning the join. */
+  private def bm25Queries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "fast hash join"),
+      (2L, "window agg stream"),
+      (3L, "customer query zzzmissing"))
+      .toDF("query_id", "qtext")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 row 69 — BM25 scoring (the value surface; ranking is a
+    // row_number window over these scores, oracle-gated via q_topk_by's
+    // WindowGroupLimit pattern and spec-pinned in RetrievalSpec)
+    "q_bm25" -> { (s, dir) =>
+      Retrieval.bm25Scores(
+          docs(s, dir).select("doc_id", "text"), "text", "doc_id",
+          bm25Queries(s), "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
+    // §2.4 row 70 — unigram KL drift: corpus A = documents; corpus B =
+    // a biased subsample (every 3rd doc) + planted spam flood — the
+    // drifted-batch shape the monitor exists to catch
+    "q_unigram_kl" -> { (s, dir) =>
+      import s.implicits._
+      val a = docs(s, dir).select("doc_id", "text")
+      val spam = Seq(
+        (910001L, "buy cheap pills buy cheap pills buy cheap pills"),
+        (910002L, "buy cheap pills now now now"))
+        .toDF("doc_id", "text")
+      val b = a.filter(col("doc_id") % 3 === 0).unionByName(spam)
+      TextAnalysis.unigramDivergence(a, b, "text", vocabSize = 50)
+        .select(col("word"),
+          round(col("p_a"), 9).as("p_a"),
+          round(col("p_b"), 9).as("p_b"),
+          round(col("kl_term"), 6).as("kl_term"))
+    },
+    // §2.4 row 71 — character entropy: planted single-char flood (0
+    // bits), alternating pair (1 bit), empty and NULL (no distribution)
+    "q_char_entropy" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (920001L, Option("aaaaaaaaaaaaaaaa")),
+        (920002L, Option("abababababababab")),
+        (920003L, Option("")),
+        (920004L, Option.empty[String]))
+        .toDF("doc_id", "text")
+      TextAnalysis.withCharEntropy(
+          docs(s, dir).select("doc_id", "text").unionByName(planted),
+          "text")
+        .select(col("doc_id"), round(col("char_entropy"), 6).as("char_entropy"))
+    },
+    // §2.4 row 72 — DSIR: target = every 7th doc (a "trusted slice" of
+    // the same corpus), raw = the full corpus; 256 hash buckets so the
+    // oracle re-derives the whole dense model
+    "q_dsir_model" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      Dsir.logRatioModel(d.filter(col("doc_id") % 7 === 0), d, "text", nBuckets = 256)
+        .select(col("bucket"), round(col("log_ratio"), 6).as("log_ratio"))
+    },
+    "q_dsir_weights" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val model = Dsir.logRatioModel(d.filter(col("doc_id") % 7 === 0), d, "text", nBuckets = 256)
+      Dsir.importanceWeights(d, model, "text", "doc_id", nBuckets = 256)
+        .select(col("doc_id"), round(col("weight"), 4).as("weight"))
+    },
+    // the full selection key surface: weight, hash-Gumbel noise, and the
+    // resampling key at τ=2 — the top-n cut over `key` is the already-
+    // gated TakeOrdered pattern (DsirSpec pins the plan + determinism)
+    "q_dsir_keys" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val model = Dsir.logRatioModel(d.filter(col("doc_id") % 7 === 0), d, "text", nBuckets = 256)
+      Dsir.gumbelKeys(
+          Dsir.importanceWeights(d, model, "text", "doc_id", nBuckets = 256),
+          tau = 2.0, seed = "dsir")
+        .select(col("doc_id"), round(col("weight"), 4).as("weight"),
+          round(col("gumbel"), 6).as("gumbel"), round(col("key"), 4).as("key"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_bm25" -> {
+      val qnorm = "trim(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'))"
+      s"""WITH q(query_id, qtext) AS (VALUES
+         |  (1::BIGINT, 'fast hash join'),
+         |  (2::BIGINT, 'window agg stream'),
+         |  (3::BIGINT, 'customer query zzzmissing')),
+         |d AS (SELECT doc_id, ${LlmGates.wordsSql()} AS w FROM documents),
+         |docs AS (SELECT doc_id, w, len(w)::BIGINT AS dl FROM d),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
+         |qt AS (SELECT DISTINCT query_id, word FROM (
+         |  SELECT query_id, unnest(${LlmGates.wordsSql(qnorm)}) AS word FROM q)),
+         |post AS (
+         |  SELECT word, doc_id, dl, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, dl, unnest(w) AS word FROM docs)
+         |  WHERE word IN (SELECT word FROM qt)
+         |  GROUP BY word, doc_id, dl),
+         |dfreq AS (SELECT word, count(*)::BIGINT AS df FROM post GROUP BY word),
+         |contrib AS (
+         |  SELECT p.word, p.doc_id,
+         |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |           ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avgdl))) AS c
+         |  FROM post p JOIN dfreq USING (word), stats)
+         |SELECT qt.query_id, c.doc_id, round(sum(c.c), 4) AS score
+         |FROM contrib c JOIN qt USING (word)
+         |GROUP BY qt.query_id, c.doc_id""".stripMargin
+    },
+    "q_unigram_kl" ->
+      s"""WITH a_docs AS (SELECT doc_id, text FROM documents),
+         |b_docs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (910001::BIGINT, 'buy cheap pills buy cheap pills buy cheap pills'),
+         |    (910002::BIGINT, 'buy cheap pills now now now')
+         |  ) v(doc_id, text)),
+         |ca AS (SELECT word, count(*)::BIGINT AS n FROM (
+         |  SELECT unnest(${LlmGates.wordsSql()}) AS word FROM a_docs) GROUP BY word),
+         |cb AS (SELECT word, count(*)::BIGINT AS n FROM (
+         |  SELECT unnest(${LlmGates.wordsSql()}) AS word FROM b_docs) GROUP BY word),
+         |va AS (SELECT word FROM ca ORDER BY n DESC, word ASC LIMIT 50),
+         |vb AS (SELECT word FROM cb ORDER BY n DESC, word ASC LIMIT 50),
+         |vocab AS (SELECT word FROM va UNION SELECT word FROM vb),
+         |joined AS (
+         |  SELECT v.word,
+         |         coalesce(ca.n, 0)::BIGINT AS n_a,
+         |         coalesce(cb.n, 0)::BIGINT AS n_b
+         |  FROM vocab v LEFT JOIN ca USING (word) LEFT JOIN cb USING (word)),
+         |stats AS (
+         |  SELECT coalesce(sum(n_a), 0)::BIGINT AS va_mass,
+         |         coalesce(sum(n_b), 0)::BIGINT AS vb_mass,
+         |         count(*)::BIGINT AS v,
+         |         (SELECT coalesce(sum(n), 0)::BIGINT FROM ca) AS t_a,
+         |         (SELECT coalesce(sum(n), 0)::BIGINT FROM cb) AS t_b
+         |  FROM joined),
+         |symbols AS (
+         |  SELECT word, n_a, n_b FROM joined
+         |  UNION ALL
+         |  SELECT '<oov>' AS word, (t_a - va_mass) AS n_a, (t_b - vb_mass) AS n_b
+         |  FROM stats),
+         |p AS (
+         |  SELECT word,
+         |         (n_a + 1.0) / (t_a + 1.0 * (v + 1)) AS p_a,
+         |         (n_b + 1.0) / (t_b + 1.0 * (v + 1)) AS p_b
+         |  FROM symbols, stats)
+         |SELECT word, round(p_a, 9) AS p_a, round(p_b, 9) AS p_b,
+         |       round(p_a * ln(p_a / p_b), 6) AS kl_term
+         |FROM p""".stripMargin,
+    "q_char_entropy" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (920001::BIGINT, 'aaaaaaaaaaaaaaaa'),
+        |    (920002::BIGINT, 'abababababababab'),
+        |    (920003::BIGINT, ''),
+        |    (920004::BIGINT, NULL::VARCHAR)
+        |  ) v(doc_id, text)),
+        |c AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(substring(text, 1, 2000), ''),
+        |                     x -> x <> '') AS ch
+        |  FROM all_docs),
+        |e AS (
+        |  SELECT doc_id, len(ch)::DOUBLE AS n, unnest(ch) AS x
+        |  FROM c WHERE len(ch) > 0),
+        |g AS (
+        |  SELECT doc_id, n, x, count(*)::DOUBLE AS cnt
+        |  FROM e GROUP BY doc_id, n, x),
+        |ent AS (
+        |  SELECT doc_id, sum(-(cnt / n) * ln(cnt / n) / ln(2)) AS ent
+        |  FROM g GROUP BY doc_id)
+        |SELECT a.doc_id, round(ent.ent, 6) AS char_entropy
+        |FROM all_docs a LEFT JOIN ent USING (doc_id)""".stripMargin,
+    "q_dsir_model" -> (DsirModelCte +
+      "\nSELECT bucket, round(log_ratio, 6) AS log_ratio FROM model"),
+    "q_dsir_weights" -> (DsirModelCte + ",\n" + DsirWeightsSql +
+      "\nSELECT doc_id, round(weight, 4) AS weight FROM wts"),
+    "q_dsir_keys" -> (DsirModelCte + ",\n" + DsirWeightsSql + ",\n" +
+      """keys AS (
+        |  SELECT doc_id, weight,
+        |         -ln(-ln((((('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |                    % 1073741824) + 0.5) / 1073741824.0))) AS gumbel
+        |  FROM wts)
+        |SELECT doc_id, round(weight, 4) AS weight, round(gumbel, 6) AS gumbel,
+        |       round(weight / 2.0 + gumbel, 4) AS key
+        |FROM keys""".stripMargin)
+  )
+
+  /** Shared DSIR oracle prefix: grams → 256-bucket dense counts for the
+    * target slice (doc_id % 7 = 0) and the full corpus → add-1
+    * log-likelihood-ratio model (mirrors Dsir.logRatioModel). */
+  private val DsirModelCte: String = {
+    val gram = s"""list_concat(w, CASE WHEN len(w) >= 2
+                  |    THEN list_transform(range(len(w) - 1), j -> w[j+1] || ' ' || w[j+2])
+                  |    ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, ${LlmGates.wordsSql()} AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, (${LlmGates.h60("gram")} % 256) AS bucket
+       |  FROM (SELECT doc_id, unnest($gram) AS gram FROM d)),
+       |spine AS (SELECT range::BIGINT AS bucket FROM range(256)),
+       |tc AS (SELECT bucket, count(*)::BIGINT AS n_t FROM g
+       |       WHERE doc_id % 7 = 0 GROUP BY bucket),
+       |rc AS (SELECT bucket, count(*)::BIGINT AS n_r FROM g GROUP BY bucket),
+       |dense AS (
+       |  SELECT s.bucket,
+       |         coalesce(tc.n_t, 0)::BIGINT AS n_t,
+       |         coalesce(rc.n_r, 0)::BIGINT AS n_r
+       |  FROM spine s LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+       |tot AS (SELECT coalesce(sum(n_t), 0)::BIGINT AS t_t,
+       |               coalesce(sum(n_r), 0)::BIGINT AS t_r FROM dense),
+       |model AS (
+       |  SELECT bucket,
+       |         (ln((n_t + 1.0) / (t_t + 1.0 * 256)) -
+       |          ln((n_r + 1.0) / (t_r + 1.0 * 256))) AS log_ratio
+       |  FROM dense, tot)""".stripMargin
+  }
+
+  /** Per-doc weight over the gram stream (mirrors Dsir.importanceWeights). */
+  private val DsirWeightsSql: String =
+    """wts AS (
+      |  SELECT doc_id, sum(log_ratio) AS weight
+      |  FROM g JOIN model USING (bucket) GROUP BY doc_id)""".stripMargin
+}

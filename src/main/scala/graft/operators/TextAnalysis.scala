@@ -414,6 +414,127 @@ object TextAnalysis {
   }
 
   /**
+   * Smoothed unigram KL divergence between two corpora — the
+   * distribution-drift monitor: how far corpus A's token distribution
+   * has moved from reference corpus B (new crawl vs last crawl, a
+   * filtered mix vs its target, batch N vs batch N−1). Returns one row
+   * per symbol — the union of both corpora's top-`vocabSize`
+   * vocabularies plus a `<oov>` bucket holding all remaining mass —
+   * with add-α smoothed probabilities and the KL integrand:
+   * {{{
+   *   p(w) = (c_A(w) + α) / (T_A + α·(V+1))      (q likewise from B)
+   *   kl_term(w) = p(w) · ln(p(w) / q(w))
+   * }}}
+   * `sum(kl_term)` is KL(A‖B) in nats, ≥ 0, finite by construction
+   * (both distributions sum to 1 exactly over the V+1 symbols; the
+   * `<oov>` label is safe — normalized words are [a-z0-9]+ only).
+   *
+   * Scale shape: each corpus is exploded and count-aggregated ONCE into
+   * a PERSISTED word-count table (vocabulary-sized — bounded far below
+   * corpus scale). Persisting is load-bearing, not a cache nicety: the
+   * top-V cut, the in-vocab lookup, and the total-token fold all
+   * consume the counts, and without the cache boundary Catalyst pushes
+   * the in-vocab semi join BELOW the count aggregate, splitting the
+   * consumers into non-identical subtrees that each re-scan the corpus
+   * (observed: 26 scans at plan level). With it, the corpus is scanned
+   * once per side. Everything past the counts is vocab-sized, so the
+   * result (≤ 2V+1 rows) is computed EAGERLY, returned as a localized
+   * relation, and both caches are dropped before returning — no
+   * persisted state outlives the call (TextAnalysisSpec pins it).
+   */
+  def unigramDivergence(
+    dfA: DataFrame,
+    dfB: DataFrame,
+    textCol: String,
+    vocabSize: Int = 10000,
+    alpha: Double = 1.0
+  ): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    require(alpha > 0.0, s"alpha must be positive for finite KL: $alpha")
+    def counts(df: DataFrame) =
+      df.select(explode(Hashing.normalizedWords(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cA = counts(dfA)
+    val cB = counts(dfB)
+    def topV(c: DataFrame) =
+      c.orderBy(col("n").desc, col("word").asc).limit(vocabSize).select("word")
+    val vocab = topV(cA).union(topV(cB)).distinct()
+    val inA = cA.join(broadcast(vocab), Seq("word"), "left_semi")
+      .withColumnRenamed("n", "n_a")
+    val inB = cB.join(broadcast(vocab), Seq("word"), "left_semi")
+      .withColumnRenamed("n", "n_b")
+    val joined = vocab
+      .join(broadcast(inA), Seq("word"), "left")
+      .join(broadcast(inB), Seq("word"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    // one broadcast row: totals, in-vocab mass, vocab size
+    val stats = joined
+      .agg(
+        coalesce(sum(col("n_a")), lit(0L)).as("va"),
+        coalesce(sum(col("n_b")), lit(0L)).as("vb"),
+        count(lit(1)).as("v"))
+      .crossJoin(cA.agg(coalesce(sum(col("n")), lit(0L)).as("t_a")))
+      .crossJoin(cB.agg(coalesce(sum(col("n")), lit(0L)).as("t_b")))
+    val symbols = joined.select(col("word"), col("n_a"), col("n_b"))
+      .unionByName(stats.select(
+        lit("<oov>").as("word"),
+        (col("t_a") - col("va")).as("n_a"),
+        (col("t_b") - col("vb")).as("n_b")))
+    val pA = (col("n_a") + alpha) / (col("t_a") + lit(alpha) * (col("v") + 1))
+    val pB = (col("n_b") + alpha) / (col("t_b") + lit(alpha) * (col("v") + 1))
+    try
+      Similarity.localize(
+        symbols
+          .crossJoin(broadcast(stats))
+          .select(col("word"), pA.as("p_a"), pB.as("p_b"))
+          .select(col("word"), col("p_a"), col("p_b"),
+            (col("p_a") * log(col("p_a") / col("p_b"))).as("kl_term")))
+    finally {
+      cA.unpersist(false)
+      cB.unpersist(false)
+    }
+  }
+
+  /**
+   * Per-document Shannon character entropy (bits/char) over the first
+   * `maxChars` characters — the cheapest repetitive-garbage detector:
+   * natural English runs ~4 bits/char, keyboard mash and single-char
+   * floods sit far lower, random base64 higher. NULL for NULL/empty
+   * text (no distribution to measure).
+   *
+   * The character array is materialized ONCE as a bound attribute (no
+   * codegen CSE inside HOF lambdas — the [[graft.operators.Embeddings.l2Normalize]]
+   * lesson), then counted per distinct character: O(distinct · maxChars)
+   * comparisons per row, bounded and codegen'd, zero shuffle. `maxChars`
+   * keeps the cost flat at 100 TB (quality signals don't need the tail
+   * of a 10 MB document).
+   */
+  def withCharEntropy(
+    df: DataFrame,
+    textCol: String,
+    outCol: String = "char_entropy",
+    maxChars: Int = 2000
+  ): DataFrame = {
+    require(maxChars >= 1, s"maxChars must be >= 1: $maxChars")
+    Cols.requireAbsent(df, outCol, "__ce_chars")
+    val n = size(col("__ce_chars")).cast("double")
+    df
+      .withColumn("__ce_chars",
+        filter(split(substring(col(textCol), 1, maxChars), ""), ch => ch =!= ""))
+      .withColumn(outCol,
+        when(size(col("__ce_chars")) > 0,
+          aggregate(
+            transform(array_distinct(col("__ce_chars")),
+              ch => size(filter(col("__ce_chars"), x => x === ch))),
+            lit(0.0),
+            (acc, cnt) =>
+              acc - (cnt.cast("double") / n) * log(cnt.cast("double") / n) / log(lit(2.0))))
+          .otherwise(lit(null).cast("double")))
+      .drop("__ce_chars")
+  }
+
+  /**
    * Unicode-normalize text (default NFC) — run BEFORE any hash-keyed
    * operator on multilingual corpora: composed and decomposed accents
    * are different bytes, so unnormalized text defeats exact dedup,

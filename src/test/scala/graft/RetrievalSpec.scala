@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffle join spark spark"),
+    (2L, "spark join"),
+    (3L, "window aggregate stream window"),
+    (4L, "completely unrelated text here"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  private def queries = Seq(
+    (10L, "spark join"),
+    (20L, "window"),
+    (30L, "zzznothere")
+  ).toDF("query_id", "qtext")
+
+  test("bm25Scores: only matching docs appear; tf and missing terms behave") {
+    val scores = Retrieval
+      .bm25Scores(corpus, "text", "doc_id", queries, "query_id", "qtext")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // query 10 matches docs 1 and 2 only; query 20 matches doc 3 only;
+    // query 30 (no corpus term) matches nothing
+    assert(scores.keySet == Set((10L, 1L), (10L, 2L), (20L, 3L)))
+    // at default b=0.75 length normalization favors the shorter doc 2
+    // (dl 2 vs 5) over doc 1's higher tf
+    assert(scores((10L, 2L)) > scores((10L, 1L)))
+    assert(scores.values.forall(_ > 0.0))
+    // with length normalization off (b=0) raw tf dominates: doc 1 wins
+    val raw = Retrieval
+      .bm25Scores(corpus, "text", "doc_id", queries, "query_id", "qtext", b = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(raw((10L, 1L)) > raw((10L, 2L)))
+  }
+
+  test("bm25Scores matches a hand-computed single-term score") {
+    val c = Seq((1L, "apple banana"), (2L, "apple apple"), (3L, "cherry")).toDF("doc_id", "text")
+    val q = Seq((1L, "cherry")).toDF("query_id", "qtext")
+    val got = Retrieval.bm25Scores(c, "text", "doc_id", q, "query_id", "qtext")
+      .collect()
+    assert(got.length == 1)
+    val n = 3.0; val df = 1.0; val tf = 1.0; val dl = 1.0; val avgdl = 5.0 / 3.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val expect = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    assert(math.abs(got(0).getDouble(2) - expect) < 1e-12)
+  }
+
+  test("bm25TopK: rank bounded by k, deterministic tiebreak, WindowGroupLimit plan") {
+    val top = Retrieval.bm25TopK(
+      corpus, "text", "doc_id", queries, "query_id", "qtext", k = 1)
+    val rows = top.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(rows.forall(_._3 == 1))
+    assert(rows.map(_._1).toSet == Set(10L, 20L))
+    // doc 2 wins query 10 (length normalization at default b)
+    assert(rows.contains((10L, 2L, 1)))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("the corpus is exploded exactly once (df is a window, not a second agg)") {
+    val q = Retrieval.bm25Scores(corpus, "text", "doc_id", queries, "query_id", "qtext")
+    q.collect() // materialize AQE's final plan
+    // AQE's toString echoes the pre-adaptive plan under "== Initial Plan =="
+    // — count only the executed section
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // corpus-side generates explode the bound word array `w#...`;
+    // query-side generates explode a CASE over qtext — distinguishable
+    val corpusExplodes = "Generate explode\\(w#".r.findAllIn(plan).size
+    assert(corpusExplodes == 1, s"corpus exploded $corpusExplodes times:\n${plan.take(4000)}")
+  }
+
+  test("argument validation fails loudly") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25Scores(corpus, "text", "doc_id", queries, "query_id", "qtext", b = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, "text", "doc_id", queries, "query_id", "qtext", k = 0)
+    }
+  }
+}

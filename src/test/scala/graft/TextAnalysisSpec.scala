@@ -191,4 +191,63 @@ class TextAnalysisSpec extends SparkSpec {
     // partial_count proves the per-doc agg partial-aggregates map-side
     assert(plan.contains("partial_count") || plan.contains("partial count"), plan.take(2000))
   }
+
+  test("unigramDivergence: zero on identical corpora, positive under drift, mass sums to 1") {
+    import spark.implicits._
+    val a = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val same = TextAnalysis.unigramDivergence(a, a, "text", vocabSize = 50).collect()
+    // identical corpora: p == q symbol-for-symbol, so every kl term is 0
+    assert(same.forall(r => math.abs(r.getAs[Double]("kl_term")) < 1e-15))
+    // both smoothed distributions sum to 1 exactly over vocab + <oov>
+    assert(math.abs(same.map(_.getAs[Double]("p_a")).sum - 1.0) < 1e-9)
+    assert(same.count(_.getString(0) == "<oov>") == 1)
+    val spam = Seq((910001L, "buy cheap pills buy cheap pills")).toDF("doc_id", "text")
+    val drifted = TextAnalysis
+      .unigramDivergence(a, a.limit(50).unionByName(spam), "text", vocabSize = 50)
+      .collect()
+    val kl = drifted.map(_.getAs[Double]("kl_term")).sum
+    assert(kl > 0.0, s"KL must be positive under drift: $kl")
+    assert(math.abs(drifted.map(_.getAs[Double]("p_b")).sum - 1.0) < 1e-9)
+  }
+
+  test("unigramDivergence: result is localized and no persisted counts outlive the call") {
+    val a = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = TextAnalysis.unigramDivergence(a, a.limit(100), "text", vocabSize = 20)
+    // the count caches (load-bearing: they stop semi-join pushdown from
+    // splitting consumers into corpus re-scans) are dropped on return
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+    // vocab-sized output comes back as a flat local relation — consumers
+    // never re-run the corpus aggregation
+    assert(out.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+      out.queryExecution.optimizedPlan.toString.take(1000))
+  }
+
+  test("withCharEntropy: known values, NULL/empty handling, collision guard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("aaaa")),           // one symbol -> 0 bits
+      (2L, Option("abab")),           // two equiprobable -> 1 bit
+      (3L, Option("abcd")),           // four equiprobable -> 2 bits
+      (4L, Option("")),               // empty -> NULL
+      (5L, Option.empty[String]))     // NULL -> NULL
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withCharEntropy(df, "text")
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("char_entropy"))).toMap
+    assert(math.abs(out(1L).get - 0.0) < 1e-12)
+    assert(math.abs(out(2L).get - 1.0) < 1e-12)
+    assert(math.abs(out(3L).get - 2.0) < 1e-12)
+    assert(out(4L).isEmpty && out(5L).isEmpty)
+    // maxChars bounds the measured prefix: beyond-prefix chars are invisible
+    val capped = TextAnalysis.withCharEntropy(
+      Seq((1L, "aaaa" + "b" * 100)).toDF("doc_id", "text"), "text", maxChars = 4)
+      .head().getAs[Double]("char_entropy")
+    assert(math.abs(capped - 0.0) < 1e-12)
+    // caller columns colliding with staging/output names fail loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.withCharEntropy(df.withColumn("char_entropy", lit(1)), "text")
+    }
+  }
 }
