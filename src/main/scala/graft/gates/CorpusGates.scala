@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dsir, Retrieval, TextAnalysis}
+import graft.operators.{Dsir, Retrieval, Sampling, TextAnalysis, Web}
 
 /**
  * Correctness gates for corpus-level retrieval and distribution
@@ -99,6 +99,33 @@ object CorpusGates {
           tau = 2.0, seed = "dsir")
         .select(col("doc_id"), round(col("weight"), 4).as("weight"),
           round(col("gumbel"), 6).as("gumbel"), round(col("key"), 4).as("key"))
+    },
+    // §2.4 row 73 — HTML → text: script/style/comment blocks dropped
+    // wholesale, tags stripped, entities decoded one level (the
+    // double-escape plant pins the decode ORDER); markup-free corpus
+    // docs pass through byte-identical
+    "q_strip_html" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (930001L, Option("<html><head><SCRIPT type=\"x\">var a=1;</SCRIPT>" +
+          "<style>.x{color:red}</style></head><!-- note --><body>" +
+          "<p>Hi &amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p></body></html>")),
+        (930002L, Option("no markup here")),
+        (930003L, Option("<div class=\"a\"><span>nested <b>bold</b></span> tail</div>")),
+        (930004L, Option("loose &amp; entity &gt; here")),
+        (930005L, Option.empty[String]))
+        .toDF("doc_id", "text")
+      docs(s, dir).select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"), md5(Web.stripHtml(col("text"))).as("text_md5"))
+    },
+    // §2.4 row 74 — quantile-threshold bucketing (exact boundaries ≡
+    // quantile_cont; the n=500/5000 corpus makes every interpolation
+    // fraction dyadic, so boundary doubles are bit-identical)
+    "q_quantile_bucket" -> { (s, dir) =>
+      val withTok = docs(s, dir).select(
+        col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("tok"))
+      Sampling.withQuantileBucket(withTok, "tok", nBuckets = 4)
+        .select("doc_id", "tok", "q_bucket")
     }
   )
 
@@ -208,7 +235,41 @@ object CorpusGates {
         |  FROM wts)
         |SELECT doc_id, round(weight, 4) AS weight, round(gumbel, 6) AS gumbel,
         |       round(weight / 2.0 + gumbel, 4) AS key
-        |FROM keys""".stripMargin)
+        |FROM keys""".stripMargin),
+    "q_strip_html" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (930001::BIGINT, '<html><head><SCRIPT type="x">var a=1;</SCRIPT><style>.x{color:red}</style></head><!-- note --><body><p>Hi &amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p></body></html>'),
+        |    (930002::BIGINT, 'no markup here'),
+        |    (930003::BIGINT, '<div class="a"><span>nested <b>bold</b></span> tail</div>'),
+        |    (930004::BIGINT, 'loose &amp; entity &gt; here'),
+        |    (930005::BIGINT, NULL::VARCHAR)
+        |  ) v(doc_id, text))
+        |SELECT doc_id,
+        |       md5(replace(replace(replace(replace(replace(replace(
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |           '(?s)<!--.*?-->', ' ', 'g'),
+        |         '<[^>]+>', ' ', 'g'),
+        |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')) AS text_md5
+        |FROM all_docs""".stripMargin,
+    "q_quantile_bucket" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |  FROM documents),
+        |b AS (SELECT quantile_cont(tok, [0.25, 0.5, 0.75]) AS bs FROM t)
+        |SELECT doc_id, tok,
+        |       CASE WHEN tok IS NULL THEN NULL
+        |            ELSE len(list_filter(bs, x -> tok > x)) END::INT AS q_bucket
+        |FROM t, b""".stripMargin
   )
 
   /** Shared DSIR oracle prefix: grams → 256-bucket dense counts for the

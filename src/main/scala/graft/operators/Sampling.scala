@@ -352,4 +352,50 @@ object Sampling {
             array_sort(collect_list(struct(col(idCol), col(textCol)))),
             s => s(textCol))).as("packed"))
   }
+
+  /**
+   * Assign each row its quantile bucket of `valueCol`: bucket i holds
+   * values in (b_i, b_{i+1}] where the boundaries are the 1/n … (n−1)/n
+   * percentiles — the quality-tier / curriculum-binning primitive
+   * (bucket by perplexity, length, entropy; then mix per tier). Ties at
+   * a boundary fall to the LOWER bucket (strict `>`); NULL values get a
+   * NULL bucket.
+   *
+   * Scale shape: boundaries are ONE broadcast aggregate row (kept
+   * inside the plan, no eager action) and bucketing is a codegen'd
+   * projection — unlike ntile there is NO global window and no
+   * Exchange SinglePartition (the binByTokenBudget hazard). Exact
+   * percentiles (default) sort per-group state — fine to a few hundred
+   * million rows and required by the DuckDB oracle; pass
+   * `approx = true` at corpus scale for the bounded
+   * percentile_approx sketch (same plan shape, spec-pinned near
+   * exact).
+   */
+  def withQuantileBucket(
+    df: DataFrame,
+    valueCol: String,
+    nBuckets: Int = 4,
+    outCol: String = "q_bucket",
+    approx: Boolean = false,
+    accuracy: Int = 10000
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    Cols.requireAbsent(df, outCol, "__qb_bounds")
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val v = col(valueCol).cast("double")
+    val boundsExpr =
+      if (approx)
+        transform(
+          percentile_approx(v, array(qs.map(lit): _*), lit(accuracy)),
+          x => x.cast("double"))
+      else percentile(v, array(qs.map(lit): _*))
+    val bounds = df.agg(boundsExpr.as("__qb_bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        when(v.isNotNull,
+          aggregate(col("__qb_bounds"), lit(0),
+            (acc, b) => acc + when(v > b, 1).otherwise(0)))
+          .otherwise(lit(null).cast("int")))
+      .drop("__qb_bounds")
+  }
 }

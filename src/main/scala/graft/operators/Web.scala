@@ -194,4 +194,34 @@ object Web {
       !domainOfHost(host(col(urlCol)), normalizePsl(psl)).isin(entries: _*),
       lit(true)))
   }
+
+  /**
+   * HTML → text: drop script/style blocks and comments wholesale, strip
+   * the remaining tags, then decode the six dominant entities — the
+   * crawl-to-corpus extraction step that precedes every other text
+   * operator here. Four codegen'd regexp passes + six literal replaces,
+   * all in the scan projection; patterns are Java-regex/RE2
+   * common-subset (inline `(?is)` flags + non-greedy, no lookaround),
+   * so the DuckDB oracle re-derives every byte.
+   *
+   * Entity decode order is load-bearing: specific entities first and
+   * `&amp;` LAST, so double-escaped text decodes exactly ONE level
+   * (`&amp;lt;` → `&lt;`, never `<`) — the single-pass HTML semantic.
+   * Escaped markup in the source (`&lt;b&gt;`) therefore survives as
+   * visible text `<b>`, matching what a browser renders. Numeric
+   * entities beyond `&#39;` and named entities beyond these six pass
+   * through untouched (documented scope, not a TODO: full entity
+   * tables are data, like the PSL). NULL propagates.
+   */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) =>
+        replace(acc, lit(from), lit(to))
+      }
+  }
 }

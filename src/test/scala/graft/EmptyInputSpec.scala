@@ -117,6 +117,37 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.fingerprints(emptyDocs, "text", "doc_id").count() == 0)
   }
 
+  test("late-round-8 operators tolerate empty input") {
+    import spark.implicits._
+    val emptyQueries = Seq.empty[(Long, String)].toDF("query_id", "qtext")
+    // empty corpus, empty queries, and both
+    val someQueries = Seq((1L, "anything")).toDF("query_id", "qtext")
+    assert(graft.operators.Retrieval.bm25Scores(
+      emptyDocs, "text", "doc_id", someQueries, "query_id", "qtext").count() == 0)
+    assert(graft.operators.Retrieval.bm25TopK(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "text", "doc_id",
+      emptyQueries, "query_id", "qtext").count() == 0)
+    assert(graft.operators.Retrieval.bm25Scores(
+      emptyDocs, "text", "doc_id", emptyQueries, "query_id", "qtext").count() == 0)
+    // KL of two empty corpora: just the <oov> row with p == q == 1 -> kl 0
+    val kl = TextAnalysis.unigramDivergence(emptyDocs, emptyDocs, "text", vocabSize = 5)
+      .collect()
+    assert(kl.length == 1 && kl(0).getString(0) == "<oov>")
+    assert(math.abs(kl(0).getAs[Double]("kl_term")) < 1e-15)
+    assert(TextAnalysis.withCharEntropy(emptyDocs, "text").count() == 0)
+    // DSIR: empty target and empty scoring corpus
+    val model = graft.operators.Dsir.logRatioModel(
+      emptyDocs, emptyDocs, "text", nBuckets = 8)
+    assert(model.count() == 8)
+    assert(graft.operators.Dsir.importanceWeights(
+      emptyDocs, model, "text", "doc_id", nBuckets = 8).count() == 0)
+    assert(graft.operators.Dsir.resample(
+      emptyDocs, model, "text", "doc_id", n = 3, nBuckets = 8).count() == 0)
+    assert(emptyDocs.select(graft.operators.Web.stripHtml(col("text"))).count() == 0)
+    assert(graft.operators.Sampling.withQuantileBucket(
+      emptyDocs.withColumn("v", lit(1)), "v").count() == 0)
+  }
+
   test("event operators over an empty frame yield empty results") {
     val emptyEvents = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -329,4 +329,41 @@ class SamplingSpec extends SparkSpec {
     // clustered distribution, so binning + packing share one shuffle
     assert("Exchange".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("withQuantileBucket: boundary ties fall low, NULL bucket for NULL, no window exchange") {
+    import spark.implicits._
+    // values 1..8: quartile boundaries 2.75 / 4.5 / 6.25
+    val df = (1 to 8).map(i => (i.toLong, Option(i))).toDF("id", "v")
+      .unionByName(Seq((9L, Option.empty[Int])).toDF("id", "v"))
+    val got = Sampling.withQuantileBucket(df, "v", nBuckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Integer]("q_bucket")).map(_.toInt)).toMap
+    assert(got(1L).contains(0) && got(2L).contains(0))
+    assert(got(3L).contains(1) && got(4L).contains(1))
+    assert(got(5L).contains(2) && got(6L).contains(2))
+    assert(got(7L).contains(3) && got(8L).contains(3))
+    assert(got(9L).isEmpty)
+    // a value exactly AT a boundary falls to the lower bucket (strict >)
+    val tie = Sampling.withQuantileBucket(
+        Seq(1, 1, 3, 3).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+        "v", nBuckets = 2) // median boundary = 2.0... values 1,1,3,3 -> boundary 2
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).distinct.toMap
+    assert(tie(1) == 0 && tie(3) == 1)
+    // approx variant agrees on well-separated data
+    val approx = Sampling.withQuantileBucket(df, "v", nBuckets = 4, approx = true)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Integer]("q_bucket")).map(_.toInt)).toMap
+    assert(approx(1L).contains(0) && approx(8L).contains(3))
+    // no Window/SinglePartition in the plan — boundaries broadcast, bucketing
+    // is a projection (the anti-ntile design)
+    val plan = Sampling.withQuantileBucket(df, "v", nBuckets = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    intercept[IllegalArgumentException] {
+      Sampling.withQuantileBucket(df, "v", nBuckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.withQuantileBucket(df.withColumn("q_bucket", lit(1)), "v")
+    }
+  }
 }

@@ -133,6 +133,53 @@ class StreamingSpec extends SparkSpec {
         .collect().map(nKey).toSet)
   }
 
+  test("char entropy and DSIR scoring run unchanged on a stream") {
+    // withCharEntropy is a stateless projection; DSIR scoring is a
+    // stream-static broadcast join (localized model) + per-doc agg +
+    // key projection — the ingestion-time shapes of the late-r8 ops.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "aabbbb banana apple"),
+      (2L, "zzz zzz quantum physics quantum"),
+      (3L, ""))
+    val entStream = MemoryStream[(Long, String)]
+    entStream.addData(rows: _*)
+    val q1 = graft.operators.TextAnalysis.withCharEntropy(
+        entStream.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("ent_stream")
+      .outputMode("append").start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    def eKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        Option(r.getAs[java.lang.Double]("char_entropy")).map(d => math.round(d * 1e9)))
+    assert(spark.table("ent_stream").collect().map(eKey).toSet ==
+      graft.operators.TextAnalysis.withCharEntropy(
+        rows.toDF("doc_id", "text"), "text").collect().map(eKey).toSet)
+
+    val target = Seq((10L, "quantum physics measurement")).toDF("doc_id", "text")
+    val model = graft.operators.Dsir.logRatioModel(
+      target, rows.toDF("doc_id", "text"), "text", nBuckets = 64)
+    val dsirStream = MemoryStream[(Long, String)]
+    dsirStream.addData(rows: _*)
+    val q2 = graft.operators.Dsir.gumbelKeys(
+        graft.operators.Dsir.importanceWeights(
+          dsirStream.toDF().toDF("doc_id", "text"), model, "text", "doc_id", nBuckets = 64),
+        tau = 2.0, seed = "st")
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("complete").start() // per-doc agg needs complete mode
+    try q2.processAllAvailable()
+    finally q2.stop()
+    def dKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), math.round(r.getDouble(1) * 1e9), math.round(r.getDouble(3) * 1e9))
+    assert(spark.table("dsir_stream").collect().map(dKey).toSet ==
+      graft.operators.Dsir.gumbelKeys(
+        graft.operators.Dsir.importanceWeights(
+          rows.toDF("doc_id", "text"), model, "text", "doc_id", nBuckets = 64),
+        tau = 2.0, seed = "st").collect().map(dKey).toSet)
+  }
+
   test("streaming plan carries the event-time watermark") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]

@@ -143,4 +143,22 @@ class WebSpec extends SparkSpec {
     assert(Web.withUrlParts(empty, "url").count() == 0)
     assert(Web.dropBlockedDomains(empty, "url", Seq("x.com")).count() == 0)
   }
+
+  test("stripHtml: blocks dropped, tags stripped, entities decode one level, NULL propagates") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      // script/style content and comments vanish entirely, even multiline/uppercase
+      (1L, Option("<SCRIPT a=b>\nalert('x')\n</SCRIPT>before<style>.c{}</style>after<!-- gone -->")),
+      // double-escaped text decodes exactly one level; escaped markup stays text
+      (2L, Option("Hi &amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b")),
+      (3L, Option("plain text stays")),
+      (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), Web.stripHtml(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).get == " before after ")
+    assert(got(2L).get == "Hi &lt; <b> \"q\" 's' a b")
+    assert(got(3L).get == "plain text stays")
+    assert(got(4L).isEmpty)
+  }
 }
