@@ -10,7 +10,8 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  * cleanup in the canonical order, each stage an individually
  * oracle-gated operator of this engine.
  *
- *   0. optional Unicode normalization (`unicodeNorm = Some("NFC")`) so
+ *   0. optional HTML→text extraction (`stripHtml = true`), then optional
+ *      Unicode normalization (`unicodeNorm = Some("NFC")`) so
  *      composed/decomposed forms collapse for every hash-keyed stage
  *   1. PII scrub (emails / IPv4s / phone runs masked)
  *   2. WITHIN-doc repeated-line removal (scraper loops), then
@@ -51,7 +52,13 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
 object CurationPipeline {
 
   final case class Config(
-    /** Unicode-normalize text FIRST (e.g. Some("NFC")) so composed and
+    /** Strip HTML markup FIRST ([[graft.operators.Web.stripHtml]]) —
+      * the crawl-shaped corpus entry point: script/style/comment blocks
+      * and tags removed, entities decoded one level, BEFORE Unicode
+      * normalization and every text stage. Off by default: pre-extracted
+      * corpora pay nothing and the composed e2e oracle is markup-free. */
+    stripHtml: Boolean = false,
+    /** Unicode-normalize text next (e.g. Some("NFC")) so composed and
       * decomposed forms of the same content collapse for every
       * hash-keyed stage downstream — line rules, exact dedup, shingle
       * hashing, contamination grams. Off by default: ASCII-only corpora
@@ -96,8 +103,10 @@ object CurationPipeline {
   private def scrub(
     corpus: DataFrame, textCol: String, idCol: String, cfg: Config
   ): DataFrame = {
-    val normed = cfg.unicodeNorm.fold(col(textCol))(f =>
-      TextAnalysis.normalizeUnicode(col(textCol), f))
+    val detagged =
+      if (cfg.stripHtml) graft.operators.Web.stripHtml(col(textCol)) else col(textCol)
+    val normed = cfg.unicodeNorm.fold(detagged)(f =>
+      TextAnalysis.normalizeUnicode(detagged, f))
     val masked = corpus
       .select(col(idCol), TextAnalysis.scrubPii(normed).as(textCol))
     val inDoc =

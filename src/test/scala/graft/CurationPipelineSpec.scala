@@ -164,4 +164,34 @@ class CurationPipelineSpec extends SparkSpec {
     assert(nfc.values.forall(!_.contains("newsletter footer")))
     assert(nfc(2L) == "keep two")
   }
+
+  test("stripHtml stage: markup-shrouded boilerplate collapses for the hash stages") {
+    import spark.implicits._
+    // one body wrapped in three different markups: only tag-stripping
+    // makes the exact-dedup stage see them as the same document
+    val corpus = Seq(
+      (1L, "<p>only unique content</p>"),
+      (2L, "<div><b>same</b> doc body</div>"),
+      (3L, "<span>same</span> doc <i>body</i>"),
+      (4L, "same doc body")
+    ).toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minQuality = -1.0, minLineCount = 99,
+      splits = Seq(("train", 1.0)))
+    def ids(c: CurationPipeline.Config): Set[Long] =
+      CurationPipeline.run(corpus, "text", "doc_id", c)(
+        _.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // without stripping, tag NAMES survive text normalization as words
+    // ("div b same b doc body div" ≠ "same doc body") — all four docs
+    // pass exact dedup
+    assert(ids(cfg) == Set(1L, 2L, 3L, 4L))
+    // with the stage on, the three markup variants of one body become
+    // byte-identical and exact-dedup to a single survivor
+    assert(ids(cfg.copy(stripHtml = true)).intersect(Set(2L, 3L, 4L)).size == 1)
+    // and the surviving text is detagged
+    val out = CurationPipeline.run(corpus, "text", "doc_id",
+      cfg.copy(stripHtml = true))(
+      _.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap)
+    assert(out.values.forall(t => !t.contains("<") && !t.contains(">")))
+  }
 }
