@@ -85,7 +85,7 @@ object CorpusGates {
     "q_dsir_weights" -> { (s, dir) =>
       val d = docs(s, dir).select("doc_id", "text")
       val model = Dsir.logRatioModel(d.filter(col("doc_id") % 7 === 0), d, "text", nBuckets = 256)
-      Dsir.importanceWeights(d, model, "text", "doc_id", nBuckets = 256)
+      Dsir.importanceWeights(d, model, "text", "doc_id")
         .select(col("doc_id"), round(col("weight"), 4).as("weight"))
     },
     // the full selection key surface: weight, hash-Gumbel noise, and the
@@ -95,7 +95,7 @@ object CorpusGates {
       val d = docs(s, dir).select("doc_id", "text")
       val model = Dsir.logRatioModel(d.filter(col("doc_id") % 7 === 0), d, "text", nBuckets = 256)
       Dsir.gumbelKeys(
-          Dsir.importanceWeights(d, model, "text", "doc_id", nBuckets = 256),
+          Dsir.importanceWeights(d, model, "text", "doc_id"),
           tau = 2.0, seed = "dsir")
         .select(col("doc_id"), round(col("weight"), 4).as("weight"),
           round(col("gumbel"), 6).as("gumbel"), round(col("key"), 4).as("key"))
@@ -113,7 +113,8 @@ object CorpusGates {
         (930002L, Option("no markup here")),
         (930003L, Option("<div class=\"a\"><span>nested <b>bold</b></span> tail</div>")),
         (930004L, Option("loose &amp; entity &gt; here")),
-        (930005L, Option.empty[String]))
+        (930005L, Option.empty[String]),
+        (930006L, Option("1<2 but 5>3 and <em>real</em> tag")))
         .toDF("doc_id", "text")
       docs(s, dir).select("doc_id", "text").unionByName(planted)
         .select(col("doc_id"), md5(Web.stripHtml(col("text"))).as("text_md5"))
@@ -245,7 +246,8 @@ object CorpusGates {
         |    (930002::BIGINT, 'no markup here'),
         |    (930003::BIGINT, '<div class="a"><span>nested <b>bold</b></span> tail</div>'),
         |    (930004::BIGINT, 'loose &amp; entity &gt; here'),
-        |    (930005::BIGINT, NULL::VARCHAR)
+        |    (930005::BIGINT, NULL::VARCHAR),
+        |    (930006::BIGINT, '1<2 but 5>3 and <em>real</em> tag')
         |  ) v(doc_id, text))
         |SELECT doc_id,
         |       md5(replace(replace(replace(replace(replace(replace(
@@ -255,7 +257,7 @@ object CorpusGates {
         |               regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |           '(?s)<!--.*?-->', ' ', 'g'),
-        |         '<[^>]+>', ' ', 'g'),
+        |         '(?i)<[/!]?[a-z][^>]*>', ' ', 'g'),
         |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')) AS text_md5
         |FROM all_docs""".stripMargin,

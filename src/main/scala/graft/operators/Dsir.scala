@@ -45,16 +45,20 @@ object Dsir {
           i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
         .otherwise(array().cast("array<string>")))
 
-  /** (doc_id, bucket) per gram occurrence — the feature stream. */
+  /** (doc_id, bucket) per gram occurrence — the feature stream, built
+    * on [[Dedup.wordTable]] (the corpus-wide normalized-word notion). */
   private def gramBuckets(
     df: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), Hashing.normalizedWords(col(textCol)).as("w"))
+    Dedup.wordTable(df, textCol, idCol)
       .select(col("doc_id"), explode(gramsOf(col("w"))).as("gram"))
       .select(col("doc_id"),
         pmod(Hashing.md5Long60(col("gram")), lit(nBuckets.toLong)).as("bucket"))
 
   /** Dense per-bucket occurrence counts for one corpus, LOCALIZED
-    * (nBuckets rows): one corpus scan, no re-triggerable lineage. */
+    * (nBuckets rows): one corpus scan, no re-triggerable lineage.
+    * Inline word materialization (not [[Dedup.wordTable]]) only because
+    * model fitting takes no id column; the word notion is still
+    * [[Hashing.normalizedWords]]. */
   private def denseCounts(
     df: DataFrame, textCol: String, nBuckets: Int, outCol: String): DataFrame = {
     val spine = df.sparkSession.range(nBuckets).select(col("id").as("bucket"))
@@ -97,20 +101,27 @@ object Dsir {
 
   /**
    * (doc_id, weight): per-document importance weight under a fitted
-   * `model`. Documents with zero grams have no profile and are absent
-   * (the contamination NULL-text convention).
+   * `model`. The bucket count is READ OFF the model (it is dense by
+   * [[logRatioModel]]'s contract — one row per bucket, metadata-sized),
+   * so scoring can never hash into buckets the model lacks: a separate
+   * nBuckets parameter here would let a fit/score mismatch silently
+   * drop gram occurrences through the inner join. Documents with zero
+   * grams have no profile and are absent (the contamination NULL-text
+   * convention).
    */
   def importanceWeights(
     df: DataFrame,
     model: DataFrame,
     textCol: String,
-    idCol: String,
-    nBuckets: Int = 10000
-  ): DataFrame =
-    gramBuckets(df, textCol, idCol, nBuckets)
+    idCol: String
+  ): DataFrame = {
+    val nBuckets = model.count()
+    require(nBuckets >= 1, "model is empty — fit it with logRatioModel first")
+    gramBuckets(df, textCol, idCol, nBuckets.toInt)
       .join(broadcast(model), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("log_ratio")).as("weight"))
+  }
 
   /**
    * Deterministic Gumbel keys over a weights table: u from a 30-bit md5
@@ -147,12 +158,11 @@ object Dsir {
     textCol: String,
     idCol: String,
     n: Int,
-    nBuckets: Int = 10000,
     tau: Double = 1.0,
     seed: String = "dsir"
   ): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
-    gumbelKeys(importanceWeights(df, model, textCol, idCol, nBuckets), tau, seed)
+    gumbelKeys(importanceWeights(df, model, textCol, idCol), tau, seed)
       .orderBy(col("key").desc, col("doc_id").asc)
       .limit(n)
   }

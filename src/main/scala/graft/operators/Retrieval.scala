@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Hashing
 
 /**
  * BM25 ranked retrieval over the corpus — the targeted-data-selection
@@ -17,8 +16,8 @@ import graft.functions.Hashing
  *   idf(t)      = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
  *   score(q, d) = Σ_{t ∈ q}  idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
  * }}}
- * over [[Hashing.normalizedWords]] tokens (the corpus-wide word notion
- * shared with dedup/top-words/unigram scoring). N and avgdl count ALL
+ * over [[Dedup.wordTable]] tokens (the corpus-wide word notion shared
+ * with dedup/top-words/unigram scoring). N and avgdl count ALL
  * corpus docs, including token-free ones.
  *
  * Scale shape: the query term set is metadata-sized and BROADCAST; the
@@ -55,18 +54,19 @@ object Retrieval {
   ): DataFrame = {
     require(k1 >= 0.0, s"k1 must be non-negative: $k1")
     require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1]: $b")
-    val docs = corpus.select(
-      col(idCol).as("doc_id"),
-      Hashing.normalizedWords(col(textCol)).as("w"))
+    val docs = Dedup.wordTable(corpus, textCol, idCol)
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
     // one broadcast row: corpus size + average doc length (metadata fold
     // kept inside the plan — no eager action)
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       coalesce(avg(col("dl")), lit(0.0)).as("avgdl"))
+    // query side inlines the same word notion (metadata-sized frame;
+    // keeping its explode textually distinct from the corpus's bound-`w`
+    // explode also lets RetrievalSpec count corpus scans unambiguously)
     val qterms = queries.select(
       col(queryIdCol).as("query_id"),
-      explode(Hashing.normalizedWords(col(queryTextCol))).as("word"))
+      explode(graft.functions.Hashing.normalizedWords(col(queryTextCol))).as("word"))
       .distinct()
     val terms = qterms.select("word").distinct()
     // postings restricted to query terms BEFORE any shuffle

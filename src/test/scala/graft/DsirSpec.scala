@@ -31,7 +31,7 @@ class DsirSpec extends SparkSpec {
 
   test("importanceWeights: target-flavored docs outweigh spam; empty docs absent") {
     val model = Dsir.logRatioModel(target, raw, "text", nBuckets = 64)
-    val w = Dsir.importanceWeights(raw, model, "text", "doc_id", nBuckets = 64)
+    val w = Dsir.importanceWeights(raw, model, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(!w.contains(5L), "zero-gram doc must be absent")
     // every science doc outweighs every spam doc under a science target
@@ -42,8 +42,7 @@ class DsirSpec extends SparkSpec {
   test("resample: deterministic per seed, top-n size, hard selection at tiny tau") {
     val model = Dsir.logRatioModel(target, raw, "text", nBuckets = 64)
     def ids(seed: String, tau: Double) =
-      Dsir.resample(raw, model, "text", "doc_id", n = 2, nBuckets = 64,
-          tau = tau, seed = seed)
+      Dsir.resample(raw, model, "text", "doc_id", n = 2, tau = tau, seed = seed)
         .collect().map(_.getLong(0)).toSet
     // rerun-stable for a fixed seed
     assert(ids("a", 1.0) == ids("a", 1.0))
@@ -54,7 +53,7 @@ class DsirSpec extends SparkSpec {
 
   test("resample plans as TakeOrderedAndProject (no global sort)") {
     val model = Dsir.logRatioModel(target, raw, "text", nBuckets = 64)
-    val plan = Dsir.resample(raw, model, "text", "doc_id", n = 2, nBuckets = 64)
+    val plan = Dsir.resample(raw, model, "text", "doc_id", n = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
@@ -69,6 +68,14 @@ class DsirSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dsir.gumbelKeys(w, tau = 0.0) }
     intercept[IllegalArgumentException] {
       Dsir.logRatioModel(target, raw, "text", nBuckets = 0)
+    }
+    // an empty model frame cannot score anything — fails loudly instead
+    // of silently dropping every gram in the join (the bucket count is
+    // inferred from the dense model, so a fit/score mismatch is
+    // impossible by construction)
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(raw, Seq.empty[(Long, Double)].toDF("bucket", "log_ratio"),
+        "text", "doc_id")
     }
   }
 

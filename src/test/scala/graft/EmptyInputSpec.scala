@@ -140,9 +140,9 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs, emptyDocs, "text", nBuckets = 8)
     assert(model.count() == 8)
     assert(graft.operators.Dsir.importanceWeights(
-      emptyDocs, model, "text", "doc_id", nBuckets = 8).count() == 0)
+      emptyDocs, model, "text", "doc_id").count() == 0)
     assert(graft.operators.Dsir.resample(
-      emptyDocs, model, "text", "doc_id", n = 3, nBuckets = 8).count() == 0)
+      emptyDocs, model, "text", "doc_id", n = 3).count() == 0)
     assert(emptyDocs.select(graft.operators.Web.stripHtml(col("text"))).count() == 0)
     assert(graft.operators.Sampling.withQuantileBucket(
       emptyDocs.withColumn("v", lit(1)), "v").count() == 0)

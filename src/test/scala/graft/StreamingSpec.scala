@@ -165,7 +165,7 @@ class StreamingSpec extends SparkSpec {
     dsirStream.addData(rows: _*)
     val q2 = graft.operators.Dsir.gumbelKeys(
         graft.operators.Dsir.importanceWeights(
-          dsirStream.toDF().toDF("doc_id", "text"), model, "text", "doc_id", nBuckets = 64),
+          dsirStream.toDF().toDF("doc_id", "text"), model, "text", "doc_id"),
         tau = 2.0, seed = "st")
       .writeStream.format("memory").queryName("dsir_stream")
       .outputMode("complete").start() // per-doc agg needs complete mode
@@ -176,7 +176,7 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dsir_stream").collect().map(dKey).toSet ==
       graft.operators.Dsir.gumbelKeys(
         graft.operators.Dsir.importanceWeights(
-          rows.toDF("doc_id", "text"), model, "text", "doc_id", nBuckets = 64),
+          rows.toDF("doc_id", "text"), model, "text", "doc_id"),
         tau = 2.0, seed = "st").collect().map(dKey).toSet)
   }
 

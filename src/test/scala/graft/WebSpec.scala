@@ -152,7 +152,9 @@ class WebSpec extends SparkSpec {
       // double-escaped text decodes exactly one level; escaped markup stays text
       (2L, Option("Hi &amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b")),
       (3L, Option("plain text stays")),
-      (4L, Option.empty[String]))
+      (4L, Option.empty[String]),
+      // unescaped inequalities are NOT pseudo-tags (letter-anchored pass)
+      (5L, Option("1<2 but 5>3 and <em>real</em> tag")))
       .toDF("doc_id", "text")
     val got = rows.select(col("doc_id"), Web.stripHtml(col("text")).as("t"))
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
@@ -160,5 +162,6 @@ class WebSpec extends SparkSpec {
     assert(got(2L).get == "Hi &lt; <b> \"q\" 's' a b")
     assert(got(3L).get == "plain text stays")
     assert(got(4L).isEmpty)
+    assert(got(5L).get == "1<2 but 5>3 and  real  tag")
   }
 }
