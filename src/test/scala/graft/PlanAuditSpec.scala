@@ -227,4 +227,28 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(lowerCount(opt) == 1, opt)
   }
+
+  test("late-round-8 operators: column pruning reaches the parquet scan, no UDFs") {
+    import spark.implicits._
+    val queries = Seq((1L, "fast hash join")).toDF("query_id", "qtext")
+    val bm25 = graft.operators.Retrieval.bm25Scores(
+      docs, "text", "doc_id", queries, "query_id", "qtext")
+    val bm25Plan = bm25.queryExecution.executedPlan.toString
+    // every corpus scan in the BM25 plan reads at most (doc_id, text)
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(bm25Plan).toSeq
+    assert(schemas.nonEmpty &&
+      schemas.forall(s => s == "ReadSchema: struct<doc_id:bigint,text:string>" ||
+        s == "ReadSchema: struct<text:string>"), schemas.mkString("\n"))
+    assert(!bm25Plan.contains("BatchEvalPython"), bm25Plan.take(1000))
+    // entropy and stripHtml ride the scan in whole-stage codegen
+    val proj = docs.select(
+        graft.operators.Web.stripHtml(col("text")).as("clean"))
+    val projPlan = proj.queryExecution.executedPlan.toString
+    assert(projPlan.contains("*(1)") &&
+      projPlan.contains("ReadSchema: struct<text:string>"), projPlan)
+    val ent = graft.operators.TextAnalysis.withCharEntropy(
+      docs.select("doc_id", "text"), "text")
+    val entPlan = ent.queryExecution.executedPlan.toString
+    assert(entPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), entPlan)
+  }
 }
