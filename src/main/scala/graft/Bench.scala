@@ -62,7 +62,8 @@ object Bench {
     "q_char_entropy",       // per-row sorted run-length entropy fold over a bounded prefix, pure projection (r8)
     "q_dsir_weights",       // DSIR: model fit (two localized dense count tables) + gram explode + broadcast model join + per-doc regroup (r8)
     "q_strip_html",         // 4 regexp passes + 6 entity replaces in the scan projection (r8)
-    "q_quantile_bucket"     // broadcast percentile boundaries + boundary-count projection (r8)
+    "q_quantile_bucket",    // broadcast percentile boundaries + boundary-count projection (r8)
+    "q_url_canonical"       // URL canonicalization regex/substring projection (r8)
   )
 
   private def jsonStr(s: String): String =

@@ -119,6 +119,28 @@ object CorpusGates {
       docs(s, dir).select("doc_id", "text").unionByName(planted)
         .select(col("doc_id"), md5(Web.stripHtml(col("text"))).as("text_md5"))
     },
+    // §2.4 row 75 — URL canonicalization: fragments, tracking params
+    // (leading/mid/trailing/only), mixed-case scheme+host, default and
+    // non-default ports, schemeless and NULL inputs all pinned
+    "q_url_canonical" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (940001L, Option("HTTP://Example.COM:80/Path/Sub?b=2&utm_source=x&a=1#frag")),
+        (940002L, Option("https://example.com:443/a?utm_a=1&utm_b=2")),
+        (940003L, Option("https://example.com:8443/a?gclid=z&real=1")),
+        (940004L, Option("example.com/NoScheme?fbclid=1&keep=2")),
+        (940005L, Option("http://user@Example.com:80/x")),
+        (940006L, Option("http://example.com/plain")),
+        (940007L, Option.empty[String]))
+        .toDF("doc_id", "url")
+      val base = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://Site"), col("doc_id") % 17,
+          lit(".example.org/d/"), col("doc_id"),
+          lit("?utm_campaign=c"), col("doc_id"), lit("&id="), col("doc_id"),
+          lit("#s")).as("url"))
+      Web.withCanonicalUrl(base.unionByName(planted), "url")
+        .select("doc_id", "canonical_url")
+    },
     // §2.4 row 74 — quantile-threshold bucketing (exact boundaries ≡
     // quantile_cont; the n=500/5000 corpus makes every interpolation
     // fraction dyadic, so boundary doubles are bit-identical)
@@ -261,6 +283,51 @@ object CorpusGates {
         |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')) AS text_md5
         |FROM all_docs""".stripMargin,
+    "q_url_canonical" ->
+      """WITH all_urls AS (
+        |  SELECT doc_id,
+        |         'https://Site' || (doc_id % 17) || '.example.org/d/' || doc_id ||
+        |         '?utm_campaign=c' || doc_id || '&id=' || doc_id || '#s' AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (940001::BIGINT, 'HTTP://Example.COM:80/Path/Sub?b=2&utm_source=x&a=1#frag'),
+        |    (940002::BIGINT, 'https://example.com:443/a?utm_a=1&utm_b=2'),
+        |    (940003::BIGINT, 'https://example.com:8443/a?gclid=z&real=1'),
+        |    (940004::BIGINT, 'example.com/NoScheme?fbclid=1&keep=2'),
+        |    (940005::BIGINT, 'http://user@Example.com:80/x'),
+        |    (940006::BIGINT, 'http://example.com/plain'),
+        |    (940007::BIGINT, NULL::VARCHAR)
+        |  ) v(doc_id, url)),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(url, '#.*', '', 'g'),
+        |            '([?&])(?:utm_[^&=]*|gclid|fbclid|msclkid|mc_eid)=[^&]*', '\1', 'g'),
+        |          '&&+', '&', 'g'),
+        |        '\?&', '?', 'g'),
+        |      '[?&]+$', '', 'g') AS clean
+        |  FROM all_urls),
+        |p AS (
+        |  SELECT doc_id, clean,
+        |         regexp_extract(clean, '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?)', 1) AS pre
+        |  FROM c),
+        |h AS (
+        |  SELECT doc_id, clean, pre,
+        |         regexp_extract(substring(clean, length(pre) + 1), '^([^/?#]*)', 1) AS hp
+        |  FROM p)
+        |SELECT doc_id,
+        |       lower(pre) ||
+        |       CASE WHEN lower(pre) LIKE 'http://%' AND lower(hp) LIKE '%:80'
+        |              THEN regexp_replace(lower(hp), ':80$', '')
+        |            WHEN lower(pre) LIKE 'https://%' AND lower(hp) LIKE '%:443'
+        |              THEN regexp_replace(lower(hp), ':443$', '')
+        |            ELSE lower(hp) END ||
+        |       substring(clean, length(pre) + length(hp) + 1) AS canonical_url
+        |FROM h""".stripMargin,
     "q_quantile_bucket" ->
       """WITH t AS (
         |  SELECT doc_id,

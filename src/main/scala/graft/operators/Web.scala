@@ -195,6 +195,74 @@ object Web {
       lit(true)))
   }
 
+  /** Tracking query parameters dropped by [[withCanonicalUrl]] —
+    * analytics/click-id noise that splinters one page into many URLs. */
+  val TrackingParamPattern: String =
+    "utm_[^&=]*|gclid|fbclid|msclkid|mc_eid"
+
+  /**
+   * URL canonicalization for URL-level dedup and provenance joins: the
+   * same page crawled as `HTTP://Example.com:80/a?utm_source=x#top` and
+   * `http://example.com/a` must produce ONE canonical key. Steps, in
+   * order:
+   *
+   *   1. drop the fragment (`#…` — client-side only)
+   *   2. drop tracking parameters ([[TrackingParamPattern]]), then
+   *      repair delimiters (`?&&x` → `?x`, trailing `?`/`&` dropped)
+   *   3. lowercase the scheme and authority (path/query stay
+   *      case-sensitive per RFC 3986; any userinfo is lowercased with
+   *      the authority — crawl URLs don't carry credentials) and strip
+   *      default ports (`:80` for http, `:443` for https — other
+   *      ports kept)
+   *
+   * Trailing-slash and path normalization are deliberately OUT of
+   * scope (`/a` vs `/a/` can be different resources). Non-URL strings
+   * degrade gracefully (no scheme/host match → steps 1-2 still apply);
+   * NULL propagates. All regex is Java/RE2 common-subset; the pieces
+   * materialize as columns so nothing is re-derived per reference.
+   */
+  def withCanonicalUrl(
+    df: DataFrame, urlCol: String, outCol: String = "canonical_url"
+  ): DataFrame = {
+    Cols.requireAbsent(df, outCol, "__cu_clean", "__cu_pre", "__cu_hp")
+    df
+      // steps 1-2: fragment, tracking params (keeping the leading
+      // delimiter via $1 so a kept param after a dropped one stays
+      // attached), then delimiter repair: && runs collapse, ?& heals,
+      // trailing ?/& drops
+      .withColumn("__cu_clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col(urlCol), "#.*", ""),
+                s"([?&])(?:$TrackingParamPattern)=[^&]*", "$1"),
+              "&&+", "&"),
+            "\\?&", "?"),
+          "[?&]+$", ""))
+      // scheme://userinfo@ prefix and host[:port], materialized once
+      .withColumn("__cu_pre",
+        regexp_extract(col("__cu_clean"),
+          "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?)", 1))
+      .withColumn("__cu_hp",
+        regexp_extract(
+          substring(col("__cu_clean"), length(col("__cu_pre")) + 1, lit(1000000)),
+          "^([^/?#]*)", 1))
+      .withColumn(outCol, {
+        val lowerPre = lower(col("__cu_pre"))
+        val hp = lower(col("__cu_hp"))
+        val noPort = when(lowerPre.startsWith("http://") && hp.endsWith(":80"),
+            regexp_replace(hp, ":80$", ""))
+          .when(lowerPre.startsWith("https://") && hp.endsWith(":443"),
+            regexp_replace(hp, ":443$", ""))
+          .otherwise(hp)
+        concat(lowerPre, noPort,
+          substring(col("__cu_clean"),
+            length(col("__cu_pre")) + length(col("__cu_hp")) + 1, lit(1000000)))
+      })
+      .drop("__cu_clean", "__cu_pre", "__cu_hp")
+  }
+
   /**
    * HTML → text: drop script/style blocks and comments wholesale, strip
    * the remaining tags, then decode the six dominant entities — the

@@ -144,6 +144,36 @@ class WebSpec extends SparkSpec {
     assert(Web.dropBlockedDomains(empty, "url", Seq("x.com")).count() == 0)
   }
 
+  test("withCanonicalUrl: fragments/tracking dropped, case+port normalized, NULL propagates") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, Option("HTTP://Example.COM:80/Path?b=2&utm_source=x&a=1#frag")),
+      (2L, Option("https://example.com:443/a?utm_a=1&utm_b=2")),     // only tracking -> bare path
+      (3L, Option("https://example.com:8443/a?gclid=z&real=1")),     // non-default port kept
+      (4L, Option("example.com/NoScheme?fbclid=1&keep=2")),          // schemeless
+      (5L, Option("http://example.com/plain")),                      // untouched
+      (6L, Option("http://example.com/a?utm_a=1&b=2&utm_c=3&d=4")),  // interleaved
+      (7L, Option.empty[String]))
+      .toDF("doc_id", "url")
+    val got = Web.withCanonicalUrl(rows, "url")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got(1L).get == "http://example.com/Path?b=2&a=1")
+    assert(got(2L).get == "https://example.com/a")
+    assert(got(3L).get == "https://example.com:8443/a?real=1")
+    assert(got(4L).get == "example.com/NoScheme?keep=2")
+    assert(got(5L).get == "http://example.com/plain")
+    assert(got(6L).get == "http://example.com/a?b=2&d=4")
+    assert(got(7L).isEmpty)
+    // the point of the exercise: variant spellings of one page converge
+    val variants = Seq(
+      (1L, "HTTP://Example.com:80/a?x=1&utm_b=2"),
+      (2L, "http://example.com/a?x=1"))
+      .toDF("doc_id", "url")
+    val keys = Web.withCanonicalUrl(variants, "url")
+      .collect().map(_.getString(2)).distinct
+    assert(keys.length == 1, keys.mkString(", "))
+  }
+
   test("stripHtml: blocks dropped, tags stripped, entities decode one level, NULL propagates") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(
