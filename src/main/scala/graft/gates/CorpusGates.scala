@@ -279,7 +279,7 @@ object CorpusGates {
         |               regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |           '(?s)<!--.*?-->', ' ', 'g'),
-        |         '(?i)<[/!]?[a-z][^>]*>', ' ', 'g'),
+        |         '<[/!]?[a-zA-Z][^>]*>', ' ', 'g'),
         |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')) AS text_md5
         |FROM all_docs""".stripMargin,

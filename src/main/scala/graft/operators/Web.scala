@@ -272,10 +272,10 @@ object Web {
    * common-subset (inline `(?is)` flags + non-greedy, no lookaround),
    * so the DuckDB oracle re-derives every byte.
    *
-   * The tag pass is LETTER-ANCHORED — `</?[a-z][^>]*>` or `<![a-z]…>`
-   * (doctype), never a bare `<[^>]+>` — so unescaped inequalities in
-   * prose ("1<2 but 5>3") survive instead of being swallowed as a
-   * pseudo-tag; the standard lossy-extraction heuristic, spec-pinned.
+   * The tag pass is LETTER-ANCHORED — `<[/!]?[a-zA-Z][^>]*>`, never a
+   * bare `<[^>]+>` — so unescaped inequalities in prose ("1<2 but
+   * 5>3") survive instead of being swallowed as a pseudo-tag; the
+   * standard lossy-extraction heuristic, spec-pinned.
    *
    * Entity decode order is load-bearing: specific entities first and
    * `&amp;` LAST, so double-escaped text decodes exactly ONE level
@@ -290,7 +290,7 @@ object Web {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "(?i)<[/!]?[a-z][^>]*>", " ")
+    val noTags = regexp_replace(noComment, "<[/!]?[a-zA-Z][^>]*>", " ")
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (acc, (from, to)) =>
