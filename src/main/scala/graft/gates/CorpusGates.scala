@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dsir, Retrieval, Sampling, TextAnalysis, Web}
+import graft.operators.{Contamination, Dsir, Retrieval, Sampling, TextAnalysis, Web}
 
 /**
  * Correctness gates for corpus-level retrieval and distribution
@@ -118,6 +118,27 @@ object CorpusGates {
         .toDF("doc_id", "text")
       docs(s, dir).select("doc_id", "text").unionByName(planted)
         .select(col("doc_id"), md5(Web.stripHtml(col("text"))).as("text_md5"))
+    },
+    // §2.4 row 76 — span-level decontamination: every 10th doc gets the
+    // eval sentence spliced on; the span (and ONLY the span) must come
+    // back out, short docs pass through, NULL text stays NULL
+    "q_decontam_spans" -> { (s, dir) =>
+      import s.implicits._
+      val evalSet = Seq((1L, "the secret benchmark answer sequence"))
+        .toDF("doc_id", "text")
+      val planted = Seq(
+        (950001L, Option("short doc")),
+        (950002L, Option.empty[String]))
+        .toDF("doc_id", "text")
+      val corpus = docs(s, dir).select(
+          col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" the secret benchmark answer sequence")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(planted)
+      Contamination.decontaminateSpans(corpus, evalSet, "text", "doc_id", k = 5)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_tokens_removed"))
     },
     // §2.4 row 75 — URL canonicalization: fragments, tracking params
     // (leading/mid/trailing/only), mixed-case scheme+host, default and
@@ -283,6 +304,62 @@ object CorpusGates {
         |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')) AS text_md5
         |FROM all_docs""".stripMargin,
+    "q_decontam_spans" -> {
+      val h60 = LlmGates.h60("array_to_string(nt[i+1:i+5], ' ')")
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 0
+         |              THEN text || ' the secret benchmark answer sequence'
+         |              ELSE text END AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (950001::BIGINT, 'short doc'),
+         |    (950002::BIGINT, NULL::VARCHAR)
+         |  ) v(doc_id, text)),
+         |tok AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+         |  FROM corpus),
+         |nrm AS (
+         |  SELECT doc_id, text, w,
+         |         list_transform(w, t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g')) AS nt
+         |  FROM tok),
+         |grams AS (
+         |  SELECT doc_id, text, w,
+         |         CASE WHEN len(nt) >= 5
+         |              THEN list_transform(range(len(nt) - 4), i -> $h60)
+         |              ELSE CAST([] AS BIGINT[]) END AS gs
+         |  FROM nrm),
+         |ev AS (
+         |  SELECT list_transform(
+         |           list_filter(string_split_regex('the secret benchmark answer sequence', '\\s+'),
+         |                       x -> x <> ''),
+         |           t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g')) AS nt),
+         |eg AS (
+         |  SELECT DISTINCT unnest(
+         |    CASE WHEN len(nt) >= 5
+         |         THEN list_transform(range(len(nt) - 4), i -> $h60)
+         |         ELSE CAST([] AS BIGINT[]) END) AS g
+         |  FROM ev),
+         |st AS (
+         |  SELECT doc_id, list(i - 1) AS starts
+         |  FROM (SELECT doc_id, unnest(gs) AS gg, generate_subscripts(gs, 1) AS i FROM grams)
+         |  WHERE gg IN (SELECT g FROM eg)
+         |  GROUP BY doc_id),
+         |kept AS (
+         |  SELECT g.doc_id, g.text, g.w,
+         |         CASE WHEN st.starts IS NULL THEN g.w
+         |              ELSE list_filter(g.w, (x, i) ->
+         |                len(list_filter(st.starts,
+         |                  p -> (i - 1) >= p AND (i - 1) < p + 5)) = 0) END AS kw
+         |  FROM grams g LEFT JOIN st USING (doc_id))
+         |SELECT doc_id,
+         |       md5(CASE WHEN text IS NULL THEN NULL
+         |                ELSE array_to_string(kw, ' ') END) AS text_md5,
+         |       (coalesce(len(w), 0) - coalesce(len(kw), 0))::INT AS n_tokens_removed
+         |FROM kept""".stripMargin
+    },
     "q_url_canonical" ->
       """WITH all_urls AS (
         |  SELECT doc_id,

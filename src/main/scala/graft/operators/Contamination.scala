@@ -126,4 +126,79 @@ object Contamination {
       .select(col("doc_id").as(idCol))
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Span-level decontamination: CUT every matched eval k-gram out of
+   * each document instead of dropping the document — the surgical pass
+   * the published recipes apply to long documents that merely QUOTE a
+   * benchmark item (dropping a whole book for one embedded eval
+   * question wastes data; [[decontaminate]] is the doc-level blunt
+   * instrument, this is the scalpel).
+   *
+   * The gram notion here is TOKEN-ALIGNED, deliberately different from
+   * [[contaminationScores]]' text-normalized grams: a gram is k
+   * consecutive whitespace tokens hashed on their per-token normalized
+   * forms (lowercase, non-alphanumerics stripped within each token).
+   * Whole-text normalization loses token alignment ("don't" becomes
+   * two normalized words), and span removal needs exact positions in
+   * the original token stream. Matched spans [p, p+k) are unioned and
+   * the surviving ORIGINAL tokens re-joined with single spaces (the
+   * [[Chunking.chunkByTokens]] token-stream convention). Documents
+   * shorter than k tokens have no spans to cut and pass through;
+   * NULL text stays NULL.
+   *
+   * Returns the corpus with `textCol` cleaned plus `n_tokens_removed`.
+   *
+   * Scale shape: one corpus scan; gram hashes explode WITH position
+   * and are immediately semi-joined against the broadcast eval gram
+   * set, so only matched (doc_id, pos) rows — contamination is sparse
+   * — reach the per-doc regroup; the rebuild is a left join of the
+   * corpus against that matched-docs table (broadcast-sized in
+   * practice) and a per-row indexed filter. The corpus is never
+   * shuffled.
+   */
+  def decontaminateSpans(
+    corpus: DataFrame,
+    evalSet: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 13
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    Cols.requireAbsent(corpus,
+      "n_tokens_removed", "__w", "__nt", "__g", "__starts", "__kept", "__did")
+    def tokensOf(c: Column) = filter(split(c, "\\s+"), t => t =!= "")
+    def normTok(w: Column) =
+      transform(w, t => regexp_replace(lower(t), "[^a-z0-9]", ""))
+    def gramHashes(nt: Column) =
+      when(size(nt) >= k,
+        transform(sequence(lit(0), size(nt) - k),
+          i => graft.functions.Hashing.md5Long60(
+            concat_ws(" ", slice(nt, i + 1, lit(k))))))
+        .otherwise(array().cast("array<bigint>"))
+    val docs = corpus
+      .withColumn("__w", tokensOf(col(textCol)))
+      .withColumn("__nt", normTok(col("__w")))
+      .withColumn("__g", gramHashes(col("__nt")))
+    val evalGrams = evalSet.select(tokensOf(col(textCol)).as("__w"))
+      .select(normTok(col("__w")).as("__nt"))
+      .select(explode(gramHashes(col("__nt"))).as("g"))
+      .distinct()
+    val starts = docs
+      .select(col(idCol).as("__did"), posexplode(col("__g")).as(Seq("pos", "g")))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("__did").agg(collect_list(col("pos")).as("__starts"))
+    docs.join(starts, col(idCol) === col("__did"), "left").drop("__did")
+      .withColumn("__kept",
+        when(col("__starts").isNull, col("__w"))
+          .otherwise(filter(col("__w"),
+            (x, i) => !exists(col("__starts"), p => i >= p && i < p + k))))
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", col("__kept"))))
+      .withColumn("n_tokens_removed",
+        (coalesce(size(col("__w")), lit(0)) -
+          coalesce(size(col("__kept")), lit(0))).cast("int"))
+      .drop("__w", "__nt", "__g", "__starts", "__kept")
+  }
 }

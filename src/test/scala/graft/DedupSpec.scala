@@ -177,6 +177,40 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(2L))
   }
 
+  test("decontaminateSpans: the quoted span comes out, overlapping grams union, rest intact") {
+    import spark.implicits._
+    // 7-word eval sentence with k=3 -> 5 overlapping grams; the union of
+    // matched spans must cover exactly the 7 spliced tokens
+    val evalQ = "alpha bravo charlie delta echo foxtrot golf"
+    val corpus = Seq(
+      (1L, Option(s"keep one two $evalQ keep three four")),
+      (2L, Option("no quote in this document at all")),
+      (3L, Option(evalQ)),            // verbatim member -> everything removed
+      (4L, Option("Alpha BRAVO, charlie! delta echo foxtrot golf")), // case/punct variants match
+      (5L, Option("tiny doc")),       // < k tokens: passes through
+      (6L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalQ)).toDF("doc_id", "text")
+    val out = graft.operators.Contamination
+      .decontaminateSpans(corpus, evalSet, "text", "doc_id", k = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getAs[Int]("n_tokens_removed"))).toMap
+    assert(out(1L) == (Some("keep one two keep three four"), 7))
+    assert(out(2L) == (Some("no quote in this document at all"), 0))
+    assert(out(3L) == (Some(""), 7))
+    // original tokens (case/punctuation) are what gets REMOVED — match
+    // happens on normalized forms, output is the original token stream
+    assert(out(4L) == (Some(""), 7))
+    assert(out(5L) == (Some("tiny doc"), 0))
+    assert(out(6L) == (None, 0))
+    // column collision guard
+    intercept[IllegalArgumentException] {
+      graft.operators.Contamination.decontaminateSpans(
+        corpus.withColumn("n_tokens_removed", lit(1)), evalSet, "text", "doc_id")
+    }
+  }
+
   test("dropRepeatedLinesWithinDoc: first occurrence kept, blanks exempt, order preserved") {
     import spark.implicits._
     val df = Seq(
