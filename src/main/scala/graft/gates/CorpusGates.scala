@@ -140,6 +140,21 @@ object CorpusGates {
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("n_tokens_removed"))
     },
+    // §2.4 row 77 — eval-side leakage report: slice items are fully
+    // contained (leakage 1), a gibberish plant scores 0, and a
+    // corpus-prefix + gibberish-suffix plant lands strictly between
+    "q_eval_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir).select("doc_id", "text")
+      val partial = d.filter(col("doc_id") === 0)
+        .select(lit(960002L).as("doc_id"),
+          concat(col("text"), lit(" zzq1 zzq2 zzq3 zzq4 zzq5")).as("text"))
+      val evalSet = d.filter(col("doc_id") % 100 === 7)
+        .unionByName(Seq((960001L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text"))
+        .unionByName(partial)
+      Contamination.evalOverlapReport(d, evalSet, "text", "doc_id", k = 3)
+        .withColumn("leakage", round(col("leakage"), 6))
+    },
     // §2.4 row 75 — URL canonicalization: fragments, tracking params
     // (leading/mid/trailing/only), mixed-case scheme+host, default and
     // non-default ports, schemeless and NULL inputs all pinned
@@ -359,6 +374,36 @@ object CorpusGates {
          |                ELSE array_to_string(kw, ' ') END) AS text_md5,
          |       (coalesce(len(w), 0) - coalesce(len(kw), 0))::INT AS n_tokens_removed
          |FROM kept""".stripMargin
+    },
+    "q_eval_overlap" -> {
+      val norm = LlmGates.NormSql
+      val words = LlmGates.wordsSql()
+      val sh = LlmGates.ShinglesSql
+      val h = LlmGates.h60("x")
+      s"""WITH edocs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 100 = 7
+         |  UNION ALL
+         |  SELECT 960001::BIGINT AS doc_id, 'zz1 zz2 zz3 zz4' AS text
+         |  UNION ALL
+         |  SELECT 960002::BIGINT AS doc_id,
+         |         text || ' zzq1 zzq2 zzq3 zzq4 zzq5' AS text
+         |  FROM documents WHERE doc_id = 0),
+         |ed AS (SELECT doc_id, $norm AS norm, $words AS w FROM edocs),
+         |esh AS (SELECT doc_id, $sh AS s FROM ed),
+         |eset AS (
+         |  SELECT doc_id AS eval_id,
+         |         list_distinct(list_transform(s, x -> $h)) AS g FROM esh),
+         |eg AS (SELECT eval_id, unnest(g) AS g FROM eset),
+         |cd AS (SELECT doc_id, $norm AS norm, $words AS w FROM documents),
+         |csh AS (SELECT doc_id, $sh AS s FROM cd),
+         |cset AS (SELECT DISTINCT unnest(list_transform(s, x -> $h)) AS g FROM csh),
+         |hit AS (SELECT g, 1::BIGINT AS f FROM cset)
+         |SELECT eval_id,
+         |       count(*)::BIGINT AS n_grams,
+         |       coalesce(sum(f), 0)::BIGINT AS n_found,
+         |       round(coalesce(sum(f), 0)::DOUBLE / count(*)::DOUBLE, 6) AS leakage
+         |FROM eg LEFT JOIN hit USING (g)
+         |GROUP BY eval_id""".stripMargin
     },
     "q_url_canonical" ->
       """WITH all_urls AS (

@@ -128,6 +128,47 @@ object Contamination {
   }
 
   /**
+   * The eval-side view of contamination: per EVAL ITEM, how much of it
+   * already appears anywhere in the training corpus —
+   * (eval_id, n_grams, n_found, leakage) over distinct k-gram hashes.
+   * [[contaminationScores]] answers "which training docs to clean";
+   * this answers "which benchmark items are already compromised" — the
+   * report that decides whether an eval number can be trusted at all.
+   *
+   * Scale shape: the corpus is scanned ONCE; its gram stream is
+   * semi-joined against the BROADCAST eval gram set immediately, so
+   * only grams that occur in the eval set (≤ benchmark size, tiny)
+   * survive to the distinct — the corpus is never shuffled at gram
+   * granularity and the output is eval-sized. The eval side (benchmark
+   * scale) is scanned twice — metadata economics.
+   */
+  def evalOverlapReport(
+    corpus: DataFrame,
+    evalSet: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 13
+  ): DataFrame = {
+    val evalGrams = Dedup.hashedShingleTable(evalSet, textCol, idCol, k)
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id").as("eval_id"), explode(array_distinct(col("hs"))).as("g"))
+    val evalGramSet = evalGrams.select("g").distinct()
+    val found = Dedup.hashedShingleTable(corpus, textCol, idCol, k)
+      .filter(col("hs").isNotNull)
+      .select(explode(col("hs")).as("g"))
+      .join(broadcast(evalGramSet), Seq("g"), "left_semi")
+      .distinct()
+      .withColumn("found", lit(1L))
+    evalGrams.join(found, Seq("g"), "left")
+      .groupBy("eval_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(col("found")), lit(0L)).as("n_found"))
+      .select(col("eval_id"), col("n_grams"), col("n_found"),
+        (col("n_found").cast("double") / col("n_grams").cast("double")).as("leakage"))
+  }
+
+  /**
    * Span-level decontamination: CUT every matched eval k-gram out of
    * each document instead of dropping the document — the surgical pass
    * the published recipes apply to long documents that merely QUOTE a

@@ -177,6 +177,28 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(2L))
   }
 
+  test("evalOverlapReport: contained items score 1, unseen 0, partial in between") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "alpha bravo charlie delta echo"),          // fully inside doc 1
+      (101L, "zz1 zz2 zz3 zz4 zz5"),                     // nowhere in the corpus
+      (102L, "four five six zz8 zz9"))                   // one corpus gram + gibberish: partial
+      .toDF("doc_id", "text")
+    val out = graft.operators.Contamination
+      .evalOverlapReport(corpus, evalSet, "text", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(100L)._3 == 1.0)
+    assert(out(101L)._3 == 0.0)
+    assert(out(102L)._3 > 0.0 && out(102L)._3 < 1.0, out(102L).toString)
+    // gram accounting: 5-word item with k=3 -> 3 distinct grams
+    assert(out(100L)._1 == 3L && out(100L)._2 == 3L)
+  }
+
   test("decontaminateSpans: the quoted span comes out, overlapping grams union, rest intact") {
     import spark.implicits._
     // 7-word eval sentence with k=3 -> 5 overlapping grams; the union of
