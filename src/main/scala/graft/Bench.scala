@@ -64,7 +64,8 @@ object Bench {
     "q_strip_html",         // 4 regexp passes + 6 entity replaces in the scan projection (r8)
     "q_quantile_bucket",    // broadcast percentile boundaries + boundary-count projection (r8)
     "q_url_canonical",      // URL canonicalization regex/substring projection (r8)
-    "q_decontam_spans"      // positional gram explode + broadcast eval semi join + matched-docs rebuild (r8)
+    "q_decontam_spans",     // positional gram explode + broadcast eval semi join + matched-docs rebuild (r8)
+    "q_eval_overlap"        // corpus gram stream vs broadcast eval grams, eval-sized output (r8)
   )
 
   private def jsonStr(s: String): String =

@@ -211,11 +211,13 @@ object Contamination {
     def tokensOf(c: Column) = filter(split(c, "\\s+"), t => t =!= "")
     def normTok(w: Column) =
       transform(w, t => regexp_replace(lower(t), "[^a-z0-9]", ""))
+    // fused native windowed hashing (one call per row, no interpreted
+    // per-position lambda — a transform(sequence…slice…md5) spelling of
+    // the same values ran ~20× slower at sf0.1); the size guard keeps
+    // ShingleHashExpr's whole-text fallback out (short docs have no
+    // spans to cut), so the norm argument is never read
     def gramHashes(nt: Column) =
-      when(size(nt) >= k,
-        transform(sequence(lit(0), size(nt) - k),
-          i => graft.functions.Hashing.md5Long60(
-            concat_ws(" ", slice(nt, i + 1, lit(k))))))
+      when(size(nt) >= k, graft.functions.ShingleHashExpr(nt, lit(""), k))
         .otherwise(array().cast("array<bigint>"))
     val docs = corpus
       .withColumn("__w", tokensOf(col(textCol)))
