@@ -59,7 +59,7 @@ object Bench {
     "q_curation_e2e",       // the COMPOSED curation pipeline via run(): persisted scrub intermediate, scrub→line rules→dedups→decontaminate→quality→cap→split (r8)
     "q_bm25",               // corpus explode + broadcast term semi join + postings window + per-(query,doc) regroup (r8)
     "q_unigram_kl",         // two persisted word-count aggs + vocab-sized KL projection, localized result (r8)
-    "q_char_entropy",       // per-row sorted run-length entropy fold over a bounded prefix, pure projection (r8)
+    "q_char_entropy",       // native code-point entropy pass over a bounded prefix, pure projection (r8)
     "q_dsir_weights",       // DSIR: model fit (two localized dense count tables) + gram explode + broadcast model join + per-doc regroup (r8)
     "q_strip_html",         // 4 regexp passes + 6 entity replaces in the scan projection (r8)
     "q_quantile_bucket",    // broadcast percentile boundaries + boundary-count projection (r8)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
+import graft.functions.{CharEntropyExpr, CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -119,7 +119,9 @@ object GraftFunctions {
     // build a serialized bloom filter, then probe it
     ("bloom_filter_agg", bloomAggBuilder, classOf[BloomFilterAggregate]),
     ("bloom_might_contain", bloomMightContainBuilder, classOf[BloomFilterMightContain]),
-    ("unicode_norm", unicodeNormBuilder, classOf[UnicodeNormExpr])
+    ("unicode_norm", unicodeNormBuilder, classOf[UnicodeNormExpr]),
+    ("char_entropy", oneArg("char_entropy")(CharEntropyExpr.apply(_: Expression)),
+      classOf[CharEntropyExpr])
   )
 
   /** Register every graft SQL function on an existing session. */

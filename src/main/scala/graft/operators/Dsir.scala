@@ -35,24 +35,28 @@ import graft.functions.Hashing
  */
 object Dsir {
 
-  /** Unigram + bigram grams over a BOUND word-array attribute (`w` must
-    * be a materialized column — no CSE inside HOF lambdas). */
-  private def gramsOf(w: Column): Column =
+  /** Unigram + bigram gram HASHES over a BOUND word-array attribute —
+    * fused native windowed hashing (ShingleHashExpr at k=1 and k=2)
+    * rather than an interpreted per-gram concat lambda: md5_60 of each
+    * word, then of each space-joined word pair — byte-identical to
+    * hashing the gram strings (the oracle's h60(gram) spelling). The
+    * size guards keep the whole-text fallback out (an empty doc has no
+    * grams; a 1-word doc has no bigrams), so the norm argument is
+    * never read. */
+  private def gramHashesOf(w: Column): Column =
     concat(
-      w,
-      when(size(w) >= 2,
-        transform(sequence(lit(0), size(w) - 2),
-          i => concat(element_at(w, i + 1), lit(" "), element_at(w, i + 2))))
-        .otherwise(array().cast("array<string>")))
+      when(size(w) >= 1, graft.functions.ShingleHashExpr(w, lit(""), 1))
+        .otherwise(array().cast("array<bigint>")),
+      when(size(w) >= 2, graft.functions.ShingleHashExpr(w, lit(""), 2))
+        .otherwise(array().cast("array<bigint>")))
 
   /** (doc_id, bucket) per gram occurrence — the feature stream, built
     * on [[Dedup.wordTable]] (the corpus-wide normalized-word notion). */
   private def gramBuckets(
     df: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame =
     Dedup.wordTable(df, textCol, idCol)
-      .select(col("doc_id"), explode(gramsOf(col("w"))).as("gram"))
-      .select(col("doc_id"),
-        pmod(Hashing.md5Long60(col("gram")), lit(nBuckets.toLong)).as("bucket"))
+      .select(col("doc_id"), explode(gramHashesOf(col("w"))).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(nBuckets.toLong)).as("bucket"))
 
   /** Dense per-bucket occurrence counts for one corpus, LOCALIZED
     * (nBuckets rows): one corpus scan, no re-triggerable lineage.
@@ -64,8 +68,8 @@ object Dsir {
     val spine = df.sparkSession.range(nBuckets).select(col("id").as("bucket"))
     val counts = df
       .select(Hashing.normalizedWords(col(textCol)).as("w"))
-      .select(explode(gramsOf(col("w"))).as("gram"))
-      .select(pmod(Hashing.md5Long60(col("gram")), lit(nBuckets.toLong)).as("bucket"))
+      .select(explode(gramHashesOf(col("w"))).as("h"))
+      .select(pmod(col("h"), lit(nBuckets.toLong)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(outCol))
     Similarity.localize(
       spine.join(counts, Seq("bucket"), "left").na.fill(0L, Seq(outCol)))

@@ -503,15 +503,14 @@ object TextAnalysis {
    * floods sit far lower, random base64 higher. NULL for NULL/empty
    * text (no distribution to measure).
    *
-   * The character array is materialized ONCE as a bound attribute (no
-   * codegen CSE inside HOF lambdas — the [[graft.operators.Embeddings.l2Normalize]]
-   * lesson), SORTED, and folded in a single run-length pass using the
-   * identity H = (n·ln n − Σ c·ln c) / (n·ln 2) — O(maxChars·log) per
-   * row instead of the O(distinct·maxChars) per-distinct-count HOF,
-   * measured 3× faster at sf0.1 with values equal to ~1e-15 (the
-   * oracle's round-6 absorbs it). Zero shuffle; `maxChars` keeps the
-   * cost flat at 100 TB (quality signals don't need the tail of a
-   * 10 MB document).
+   * One NATIVE pass per row ([[graft.functions.CharEntropyExpr]]):
+   * code-point counts into a small map, then
+   * H = (ln n − Σ c·ln c / n) / ln 2, code-gen'd as a single static
+   * call. Earlier portable spellings of the same values — a
+   * per-distinct-count HOF, then a sorted run-length fold — measured
+   * 5-8× and ~2× slower respectively (HOF lambdas are interpreted).
+   * Zero shuffle; `maxChars` keeps the cost flat at 100 TB (quality
+   * signals don't need the tail of a 10 MB document).
    */
   def withCharEntropy(
     df: DataFrame,
@@ -520,31 +519,9 @@ object TextAnalysis {
     maxChars: Int = 2000
   ): DataFrame = {
     require(maxChars >= 1, s"maxChars must be >= 1: $maxChars")
-    Cols.requireAbsent(df, outCol, "__ce_chars")
-    // c·ln c for a finished run (0 for the empty sentinel run)
-    val runTerm = (r: Column) =>
-      when(r > 0, r.cast("double") * log(r.cast("double"))).otherwise(lit(0.0))
-    val n = size(col("__ce_chars")).cast("double")
-    df
-      .withColumn("__ce_chars",
-        array_sort(filter(split(substring(col(textCol), 1, maxChars), ""), ch => ch =!= "")))
-      .withColumn(outCol,
-        when(size(col("__ce_chars")) > 0, {
-          // fold state: (p = current run's char, r = its length so far,
-          // s = Σ c·ln c over finished runs); "" never equals a real char
-          val sumClnC = aggregate(
-            col("__ce_chars"),
-            struct(lit("").as("p"), lit(0L).as("r"), lit(0.0).as("s")),
-            (acc, x) => when(x === acc.getField("p"),
-                struct(acc.getField("p").as("p"),
-                  (acc.getField("r") + 1L).as("r"),
-                  acc.getField("s").as("s")))
-              .otherwise(struct(x.as("p"), lit(1L).as("r"),
-                (acc.getField("s") + runTerm(acc.getField("r"))).as("s"))),
-            acc => acc.getField("s") + runTerm(acc.getField("r")))
-          (log(n) - sumClnC / n) / log(lit(2.0))
-        }).otherwise(lit(null).cast("double")))
-      .drop("__ce_chars")
+    Cols.requireAbsent(df, outCol)
+    df.withColumn(outCol,
+      graft.functions.CharEntropyExpr(substring(col(textCol), 1, maxChars)))
   }
 
   /**

@@ -272,6 +272,22 @@ class HashingSpec extends SparkSpec {
       .select(graft.functions.UnicodeNormExpr(col("text"), "NFC")).head().isNullAt(0))
   }
 
+  test("char_entropy: SQL surface ≡ expression API; known values; NULL/empty -> NULL") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT char_entropy('abab') AS a, char_entropy('aaaa') AS b,
+        |       char_entropy('') AS c, char_entropy(CAST(NULL AS STRING)) AS d,
+        |       char_entropy('abcd') AS e""".stripMargin).head()
+    assert(rows.getDouble(0) == 1.0 && rows.getDouble(1) == 0.0)
+    assert(rows.isNullAt(2) && rows.isNullAt(3))
+    assert(rows.getDouble(4) == 2.0)
+    val api = Seq("abab").toDF("t")
+      .select(graft.functions.CharEntropyExpr(org.apache.spark.sql.functions.col("t")))
+      .head().getDouble(0)
+    assert(api == 1.0)
+  }
+
   test("constant folding collapses seed hashes to literals") {
     val plan = spark.range(1)
       .select(Hashing.md5Long60(lit("0")).as("seed"))
