@@ -167,7 +167,10 @@ object CorpusGates {
         (940004L, Option("example.com/NoScheme?fbclid=1&keep=2")),
         (940005L, Option("http://user@Example.com:80/x")),
         (940006L, Option("http://example.com/plain")),
-        (940007L, Option.empty[String]))
+        (940007L, Option.empty[String]),
+        (940008L, Option("http://EXAMPLE.com?to=Bob@Mail.com")),  // '@' in query is NOT userinfo
+        (940009L, Option("http://x.com/a&utm_b=2/more")),         // '&' in path untouched
+        (940010L, Option("https://x.com/a?UTM_Source=n&b=1")))    // param names case-insensitive
         .toDF("doc_id", "url")
       val base = docs(s, dir).select(col("doc_id"),
         concat(lit("https://Site"), col("doc_id") % 17,
@@ -363,16 +366,17 @@ object CorpusGates {
          |  WHERE gg IN (SELECT g FROM eg)
          |  GROUP BY doc_id),
          |kept AS (
-         |  SELECT g.doc_id, g.text, g.w,
-         |         CASE WHEN st.starts IS NULL THEN g.w
+         |  SELECT g.doc_id, g.text, g.w, st.starts,
+         |         CASE WHEN st.starts IS NULL THEN NULL
          |              ELSE list_filter(g.w, (x, i) ->
          |                len(list_filter(st.starts,
          |                  p -> (i - 1) >= p AND (i - 1) < p + 5)) = 0) END AS kw
          |  FROM grams g LEFT JOIN st USING (doc_id))
          |SELECT doc_id,
-         |       md5(CASE WHEN text IS NULL THEN NULL
+         |       md5(CASE WHEN starts IS NULL THEN text
          |                ELSE array_to_string(kw, ' ') END) AS text_md5,
-         |       (coalesce(len(w), 0) - coalesce(len(kw), 0))::INT AS n_tokens_removed
+         |       (CASE WHEN starts IS NULL THEN 0
+         |             ELSE len(w) - len(kw) END)::INT AS n_tokens_removed
          |FROM kept""".stripMargin
     },
     "q_eval_overlap" -> {
@@ -419,23 +423,29 @@ object CorpusGates {
         |    (940004::BIGINT, 'example.com/NoScheme?fbclid=1&keep=2'),
         |    (940005::BIGINT, 'http://user@Example.com:80/x'),
         |    (940006::BIGINT, 'http://example.com/plain'),
-        |    (940007::BIGINT, NULL::VARCHAR)
+        |    (940007::BIGINT, NULL::VARCHAR),
+        |    (940008::BIGINT, 'http://EXAMPLE.com?to=Bob@Mail.com'),
+        |    (940009::BIGINT, 'http://x.com/a&utm_b=2/more'),
+        |    (940010::BIGINT, 'https://x.com/a?UTM_Source=n&b=1')
         |  ) v(doc_id, url)),
+        |nofrag AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM all_urls),
         |c AS (
         |  SELECT doc_id,
+        |    regexp_replace(u, '\?.*', '', 'g') ||
         |    regexp_replace(
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            regexp_replace(url, '#.*', '', 'g'),
-        |            '([?&])(?:utm_[^&=]*|gclid|fbclid|msclkid|mc_eid)=[^&]*', '\1', 'g'),
+        |            regexp_extract(u, '\?.*'),
+        |            '([?&])(?i:utm_[^&=]*|gclid|fbclid|msclkid|mc_eid)=[^&]*', '\1', 'g'),
         |          '&&+', '&', 'g'),
         |        '\?&', '?', 'g'),
         |      '[?&]+$', '', 'g') AS clean
-        |  FROM all_urls),
+        |  FROM nofrag),
         |p AS (
         |  SELECT doc_id, clean,
-        |         regexp_extract(clean, '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?)', 1) AS pre
+        |         regexp_extract(clean, '^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?)', 1) AS pre
         |  FROM c),
         |h AS (
         |  SELECT doc_id, clean, pre,

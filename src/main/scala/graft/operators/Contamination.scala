@@ -134,6 +134,9 @@ object Contamination {
    * [[contaminationScores]] answers "which training docs to clean";
    * this answers "which benchmark items are already compromised" — the
    * report that decides whether an eval number can be trusted at all.
+   * Eval items with NULL text have no grams and are ABSENT from the
+   * report (the [[contaminationScores]] NULL-doc convention) — absence
+   * means "not measurable", not "not leaked".
    *
    * Scale shape: the corpus is scanned ONCE; its gram stream is
    * semi-joined against the BROADCAST eval gram set immediately, so
@@ -182,11 +185,13 @@ object Contamination {
    * forms (lowercase, non-alphanumerics stripped within each token).
    * Whole-text normalization loses token alignment ("don't" becomes
    * two normalized words), and span removal needs exact positions in
-   * the original token stream. Matched spans [p, p+k) are unioned and
-   * the surviving ORIGINAL tokens re-joined with single spaces (the
-   * [[Chunking.chunkByTokens]] token-stream convention). Documents
-   * shorter than k tokens have no spans to cut and pass through;
-   * NULL text stays NULL.
+   * the original token stream. Matched spans [p, p+k) are unioned; a
+   * MATCHED document is rebuilt from its surviving original tokens
+   * joined with single spaces (the [[Chunking.chunkByTokens]]
+   * token-stream convention — within-doc whitespace shape is not
+   * preserved for docs that needed surgery). Documents with NO matched
+   * span — the overwhelming majority, including everything shorter than
+   * k tokens and NULL text — pass through BYTE-VERBATIM.
    *
    * Returns the corpus with `textCol` cleaned plus `n_tokens_removed`.
    *
@@ -231,17 +236,22 @@ object Contamination {
       .select(col(idCol).as("__did"), posexplode(col("__g")).as(Seq("pos", "g")))
       .join(broadcast(evalGrams), Seq("g"), "left_semi")
       .groupBy("__did").agg(collect_list(col("pos")).as("__starts"))
-    docs.join(starts, col(idCol) === col("__did"), "left").drop("__did")
+    // matched-docs table is contamination-sparse — broadcast it so the
+    // corpus is never shuffled for the rebuild (the documented shape)
+    docs.join(broadcast(starts), col(idCol) === col("__did"), "left").drop("__did")
+      // UNMATCHED documents (the overwhelming majority, plus every NULL
+      // and sub-k doc) pass through BYTE-VERBATIM — only docs that
+      // actually need surgery are rebuilt from their token stream
       .withColumn("__kept",
-        when(col("__starts").isNull, col("__w"))
-          .otherwise(filter(col("__w"),
+        when(col("__starts").isNotNull,
+          filter(col("__w"),
             (x, i) => !exists(col("__starts"), p => i >= p && i < p + k))))
-      .withColumn(textCol,
-        when(col(textCol).isNull, lit(null).cast("string"))
-          .otherwise(concat_ws(" ", col("__kept"))))
       .withColumn("n_tokens_removed",
-        (coalesce(size(col("__w")), lit(0)) -
-          coalesce(size(col("__kept")), lit(0))).cast("int"))
+        when(col("__starts").isNull, lit(0))
+          .otherwise(size(col("__w")) - size(col("__kept"))).cast("int"))
+      .withColumn(textCol,
+        when(col("__starts").isNull, col(textCol))
+          .otherwise(concat_ws(" ", col("__kept"))))
       .drop("__w", "__nt", "__g", "__starts", "__kept")
   }
 }

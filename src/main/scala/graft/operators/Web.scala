@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
  */
 object Web {
 
+  /** Userinfo (`user:pass@`), shared by [[HostPattern]] and
+    * [[withCanonicalUrl]]. Must stop at `? #` as well as `/` — with the
+    * looser `[^/@]*@`, a path-less URL carrying '@' in a QUERY value
+    * (`http://x.com?to=a@b`) would mis-read everything up to that '@'
+    * as userinfo and report the wrong host. */
+  private[operators] val UserinfoPattern = "(?:[^/?#@]*@)?"
+
   /** Host extraction: optional scheme, optional userinfo, then
     * everything up to the first `/ : ? #`. Ports and paths excluded. */
-  val HostPattern = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)"
+  val HostPattern =
+    s"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?$UserinfoPattern([^/:?#]+)"
 
   /** Lowercased host of a URL-ish string ('' when nothing matches). */
   def host(url: Column): Column =
@@ -224,26 +232,34 @@ object Web {
   def withCanonicalUrl(
     df: DataFrame, urlCol: String, outCol: String = "canonical_url"
   ): DataFrame = {
-    Cols.requireAbsent(df, outCol, "__cu_clean", "__cu_pre", "__cu_hp")
+    Cols.requireAbsent(df, outCol, "__cu_nofrag", "__cu_clean", "__cu_pre", "__cu_hp")
     df
-      // steps 1-2: fragment, tracking params (keeping the leading
-      // delimiter via $1 so a kept param after a dropped one stays
-      // attached), then delimiter repair: && runs collapse, ?& heals,
-      // trailing ?/& drops
+      // step 1: drop the fragment, then SPLIT at the first '?' — the
+      // tracking-param pass must only ever see the query ('&' is a legal
+      // path sub-delimiter; an unrestricted pass would delete real path
+      // content like /a&utm_b=2/more)
+      .withColumn("__cu_nofrag", regexp_replace(col(urlCol), "#.*", ""))
+      // step 2 over the query alone: drop tracking params with
+      // case-insensitive NAMES (values stay case-sensitive), keeping the
+      // leading delimiter via $1 so a kept param after a dropped one
+      // stays attached; then delimiter repair: && runs collapse, ?&
+      // heals, trailing ?/& drops
       .withColumn("__cu_clean",
-        regexp_replace(
+        concat(
+          regexp_replace(col("__cu_nofrag"), "\\?.*", ""),
           regexp_replace(
             regexp_replace(
               regexp_replace(
-                regexp_replace(col(urlCol), "#.*", ""),
-                s"([?&])(?:$TrackingParamPattern)=[^&]*", "$1"),
-              "&&+", "&"),
-            "\\?&", "?"),
-          "[?&]+$", ""))
+                regexp_replace(
+                  regexp_extract(col("__cu_nofrag"), "\\?.*", 0),
+                  s"([?&])(?i:$TrackingParamPattern)=[^&]*", "$1"),
+                "&&+", "&"),
+              "\\?&", "?"),
+            "[?&]+$", "")))
       // scheme://userinfo@ prefix and host[:port], materialized once
       .withColumn("__cu_pre",
         regexp_extract(col("__cu_clean"),
-          "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?)", 1))
+          s"^([a-zA-Z][a-zA-Z0-9+.-]*://$UserinfoPattern)", 1))
       .withColumn("__cu_hp",
         regexp_extract(
           substring(col("__cu_clean"), length(col("__cu_pre")) + 1, lit(1000000)),
@@ -260,7 +276,7 @@ object Web {
           substring(col("__cu_clean"),
             length(col("__cu_pre")) + length(col("__cu_hp")) + 1, lit(1000000)))
       })
-      .drop("__cu_clean", "__cu_pre", "__cu_hp")
+      .drop("__cu_nofrag", "__cu_clean", "__cu_pre", "__cu_hp")
   }
 
   /**

@@ -210,7 +210,9 @@ class DedupSpec extends SparkSpec {
       (3L, Option(evalQ)),            // verbatim member -> everything removed
       (4L, Option("Alpha BRAVO, charlie! delta echo foxtrot golf")), // case/punct variants match
       (5L, Option("tiny doc")),       // < k tokens: passes through
-      (6L, Option.empty[String]))
+      (6L, Option.empty[String]),
+      // unmatched docs pass through BYTE-VERBATIM: newlines/tabs/runs kept
+      (7L, Option("line1\nline2\tkeep  intact")))
       .toDF("doc_id", "text")
     val evalSet = Seq((100L, evalQ)).toDF("doc_id", "text")
     val out = graft.operators.Contamination
@@ -226,6 +228,7 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (Some(""), 7))
     assert(out(5L) == (Some("tiny doc"), 0))
     assert(out(6L) == (None, 0))
+    assert(out(7L) == (Some("line1\nline2\tkeep  intact"), 0))
     // column collision guard
     intercept[IllegalArgumentException] {
       graft.operators.Contamination.decontaminateSpans(

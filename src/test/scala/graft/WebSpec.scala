@@ -153,7 +153,10 @@ class WebSpec extends SparkSpec {
       (4L, Option("example.com/NoScheme?fbclid=1&keep=2")),          // schemeless
       (5L, Option("http://example.com/plain")),                      // untouched
       (6L, Option("http://example.com/a?utm_a=1&b=2&utm_c=3&d=4")),  // interleaved
-      (7L, Option.empty[String]))
+      (7L, Option.empty[String]),
+      (8L, Option("http://EXAMPLE.com?to=Bob@Mail.com")),  // '@' in query is NOT userinfo
+      (9L, Option("http://x.com/a&utm_b=2/more")),         // '&' in path untouched
+      (10L, Option("https://x.com/a?UTM_Source=n&b=1")))   // names case-insensitive, values not
       .toDF("doc_id", "url")
     val got = Web.withCanonicalUrl(rows, "url")
       .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
@@ -164,6 +167,13 @@ class WebSpec extends SparkSpec {
     assert(got(5L).get == "http://example.com/plain")
     assert(got(6L).get == "http://example.com/a?b=2&d=4")
     assert(got(7L).isEmpty)
+    // host lowered and query case/content untouched — '@' in a query
+    // value must not be read as a userinfo delimiter
+    assert(got(8L).get == "http://example.com?to=Bob@Mail.com")
+    // '&' is a legal path sub-delimiter: the path stays intact
+    assert(got(9L).get == "http://x.com/a&utm_b=2/more")
+    // tracking-param NAMES match case-insensitively
+    assert(got(10L).get == "https://x.com/a?b=1")
     // the point of the exercise: variant spellings of one page converge
     val variants = Seq(
       (1L, "HTTP://Example.com:80/a?x=1&utm_b=2"),
