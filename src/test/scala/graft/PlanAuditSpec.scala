@@ -251,4 +251,17 @@ class PlanAuditSpec extends SparkSpec {
     val entPlan = ent.queryExecution.executedPlan.toString
     assert(entPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), entPlan)
   }
+
+  test("decontaminateSpans: corpus never sort-merge-joined, rebuild side broadcast") {
+    import spark.implicits._
+    val ev = Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text")
+    val q = graft.operators.Contamination.decontaminateSpans(
+      docs.select("doc_id", "text"), ev, "text", "doc_id", k = 3)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // the rebuild is a broadcast LEFT join of the corpus against the
+    // matched-docs table; the gram match is a broadcast semi join
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
 }
