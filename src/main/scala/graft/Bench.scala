@@ -100,6 +100,7 @@ object Bench {
     // so the first timed query isn't charged for it.
     try run("q_rename")
     catch { case _: Throwable => () }
+    GraftSession.sweepPersistedState(spark)
 
     // Each query runs 1 + SteadyRuns times: the first (cold) timing
     // includes the one-time plan compile (Catalyst + codegen — at local
@@ -107,19 +108,34 @@ object Bench {
     // of the reruns — the per-execution cost that actually scales with
     // data volume, with the median absorbing the shared-machine transients
     // that made single-run steady numbers swing ±30% between rounds.
+    //
+    // ISOLATION: every timed run starts from zero persisted state — after
+    // each run the session is swept (cached frames + persisted RDDs,
+    // including checkpoint-backed operator results whose blocks nothing
+    // else can free). Without the sweep, blocks accumulate across the
+    // 51-query board and BlockManager pressure bleeds between queries
+    // (round 8 measured q_neardup_cluster 3.3× worse on the full board
+    // than in isolation, steady WORSE than cold). The per-query leak
+    // counts observed after the cold run are reported in the JSON so a
+    // new operator that starts leaking is visible, not silent.
     val SteadyRuns = 3
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val steady = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val leaks = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
         run(name)
         timings(name) = (System.nanoTime() - t0) / 1e9
+        val leaked = GraftSession.sweepPersistedState(spark)
+        if (leaked > 0) leaks(name) = leaked
         val reruns = (1 to SteadyRuns).map { _ =>
           val t1 = System.nanoTime()
           run(name)
-          (System.nanoTime() - t1) / 1e9
+          val dt = (System.nanoTime() - t1) / 1e9
+          GraftSession.sweepPersistedState(spark)
+          dt
         }.sorted
         steady(name) = reruns(reruns.size / 2)
       } catch {
@@ -129,7 +145,13 @@ object Bench {
           timings.remove(name)
           steady.remove(name)
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          try GraftSession.sweepPersistedState(spark)
+          catch { case _: Throwable => () }
       }
+      // between queries (outside any timed region): give ContextCleaner a
+      // GC edge so dead broadcasts/accumulators from the previous query
+      // are actually released instead of aging into the next one's run
+      System.gc()
     }
 
     // Locale.ROOT: default-locale %.3f would emit comma decimals
@@ -140,9 +162,11 @@ object Bench {
         .mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
       .mkString("{", ",", "}")
+    val lJson = leaks.map { case (k, v) => s"${jsonStr(k)}:$v" }
+      .mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"steady_runs":$SteadyRuns,"steady_stat":"median","errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"steady_runs":$SteadyRuns,"steady_stat":"median","isolation":"swept","leaked_rdds":$lJson,"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

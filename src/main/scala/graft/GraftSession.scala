@@ -55,6 +55,32 @@ object GraftSession {
     spark
   }
 
+  /**
+   * Drop EVERY persisted block on the session: cached Datasets (via the
+   * catalog) and directly-persisted RDDs — which includes the backing
+   * blocks of `localCheckpoint()`ed frames, invisible to
+   * `Dataset.unpersist`. Returns the number of persisted RDDs found
+   * (the leak count, when called at a boundary where all prior work
+   * should have cleaned up after itself).
+   *
+   * Session-hygiene primitive for long-lived multi-query sessions
+   * (Bench sweeps between queries; SessionHygieneSpec pins it). Needed
+   * because some operators legitimately RETURN checkpoint-backed frames
+   * — connectedComponents' final label table IS its cached blocks, and
+   * no handle survives the call to free them — so blocks otherwise
+   * accumulate until ContextCleaner GC, and the resulting BlockManager
+   * pressure made UNRELATED queries' steady timings regress 3× on the
+   * round-8 full-board bench. NEVER call with an unconsumed
+   * checkpoint-backed frame still needed: the cached blocks are its
+   * only copy (lineage is truncated).
+   */
+  def sweepPersistedState(spark: SparkSession): Int = {
+    val leaked = spark.sparkContext.getPersistentRDDs
+    spark.catalog.clearCache()
+    leaked.values.foreach(_.unpersist(blocking = true))
+    leaked.size
+  }
+
   // ------------------------------------------- observed-metric reporting
 
   /** Drop counts one capped bucket stage reported after an action (see

@@ -58,11 +58,15 @@ object Contamination {
       .select(explode(col("hs")).as("g")).distinct()
       .withColumn("hit", lit(1L))
     // the bloom build consumes the eval gram table EAGERLY and the exact
-    // join consumes it again — localCheckpoint materializes the (eval-
-    // set-sized) distinct grams once for both (the connectedComponents
-    // lineage pattern), instead of re-running its shuffle per consumer
+    // join consumes it again — LOCALIZE the (eval-set-sized) distinct
+    // grams once for both, instead of re-running their shuffle per
+    // consumer. A driver-local relation is the right boundary here: the
+    // exact join broadcasts evalGrams anyway, so the driver already
+    // bears this table's size; an earlier localCheckpoint spelling had
+    // the same plan shape but left the checkpoint blocks cached for the
+    // session's lifetime (no handle survives the call to free them)
     val evalGrams =
-      if (bloomPrefilter) evalGramsPlan.localCheckpoint() else evalGramsPlan
+      if (bloomPrefilter) Similarity.localize(evalGramsPlan) else evalGramsPlan
     // With the prefilter on, each doc's gram ARRAY is pruned by a
     // broadcast-sized bloom of the eval grams BEFORE exploding: the rows
     // entering the join drop from |grams(doc)| to ~hits + fpp·|grams(doc)|

@@ -109,8 +109,13 @@ object Dsir {
    * [[logRatioModel]]'s contract — one row per bucket, metadata-sized),
    * so scoring can never hash into buckets the model lacks: a separate
    * nBuckets parameter here would let a fit/score mismatch silently
-   * drop gram occurrences through the inner join. Documents with zero
-   * grams have no profile and are absent (the contamination NULL-text
+   * drop gram occurrences through the inner join. Density is VALIDATED,
+   * not assumed: a filtered or deduplicated model frame would otherwise
+   * silently re-derive a different bucket modulus than the fit used and
+   * skew every weight — that caller error fails loudly here instead
+   * (the model is a localized metadata-sized relation, so the one
+   * validating aggregate is driver-cheap). Documents with zero grams
+   * have no profile and are absent (the contamination NULL-text
    * convention).
    */
   def importanceWeights(
@@ -119,8 +124,20 @@ object Dsir {
     textCol: String,
     idCol: String
   ): DataFrame = {
-    val nBuckets = model.count()
+    val shape = model
+      .agg(count(lit(1)).as("n"), countDistinct(col("bucket")).as("nd"),
+        min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .head()
+    val nBuckets = shape.getAs[Long]("n")
     require(nBuckets >= 1, "model is empty — fit it with logRatioModel first")
+    require(
+      shape.getAs[Long]("nd") == nBuckets &&
+        shape.getAs[Long]("lo") == 0L &&
+        shape.getAs[Long]("hi") == nBuckets - 1,
+      s"model is not a dense bucket spine (expected one row per bucket " +
+        s"0..${nBuckets - 1}; found ${shape.getAs[Long]("nd")} distinct " +
+        s"buckets in [${shape.getAs[Long]("lo")}, ${shape.getAs[Long]("hi")}] " +
+        s"over $nBuckets rows) — pass the unmodified logRatioModel output")
     gramBuckets(df, textCol, idCol, nBuckets.toInt)
       .join(broadcast(model), Seq("bucket"))
       .groupBy("doc_id")

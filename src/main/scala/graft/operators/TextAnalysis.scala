@@ -14,9 +14,16 @@ import graft.functions.Hashing
  */
 object TextAnalysis {
 
-  /** Whitespace token count (0 for blank text). */
+  /** Whitespace token count (0 for blank text, NULL for NULL text).
+    * The explicit NULL branch matters: without it a NULL falls through
+    * the blank test into `size(split(NULL))` = -1 under Spark's default
+    * sizeOfNull, silently diverging from the SQL-oracle spelling
+    * (`CASE WHEN trim(text)='' THEN 0 ELSE len(...)`), which NULL-
+    * propagates — and -1 would poison downstream token budgets. */
   def wsTokenCount(c: Column): Column =
-    when(trim(c) === "", lit(0)).otherwise(size(split(trim(c), "\\s+")))
+    when(c.isNull, lit(null).cast("int"))
+      .when(trim(c) === "", lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
 
   /**
    * BPE-ish token count: alphabetic runs, digit runs, and single
@@ -54,6 +61,24 @@ object TextAnalysis {
   /** Stopword count over an already-materialized word-array column. */
   def stopwordCountOf(w: Column, stopwords: Seq[String]): Column =
     size(filter(w, x => x.isin(stopwords.map(lit): _*)))
+
+  /** Stopword density over an already-materialized word array (0 for
+    * empty) — the `stopword_r` component shared by [[withQuality]] and
+    * [[appendQuality]]. */
+  private def stopwordRatioOf(w: Column): Column =
+    coalesce(
+      stopwordCountOf(w, EnStopwords).cast("double") /
+        nullif(size(w), lit(0)).cast("double"),
+      lit(0.0))
+
+  /** The composite-quality combination over already-computed component
+    * columns — the single source of the 0.4/0.4/0.2 formula for both
+    * DataFrame quality forms. */
+  private def qualityFromComponents(
+    stopwordR: Column, alphaR: Column, nWords: Column
+  ): Column =
+    lit(0.4) * stopwordR + lit(0.4) * alphaR +
+      lit(0.2) * least(nWords.cast("double") / lit(100.0), lit(1.0))
 
   /** Count of tokens (with multiplicity) belonging to a stopword set. */
   def stopwordCount(c: Column, stopwords: Seq[String]): Column =
@@ -152,16 +177,37 @@ object TextAnalysis {
         wsTokenCount(col("text")).as("n_words"),
         alphaRatio(col("text")).as("alpha_r"),
         punctRatio(col("text")).as("punct_r"),
-        coalesce(
-          stopwordCountOf(col("w"), EnStopwords).cast("double") /
-            nullif(size(col("w")), lit(0)).cast("double"),
-          lit(0.0)).as("stopword_r"))
+        stopwordRatioOf(col("w")).as("stopword_r"))
       .select(
         col("doc_id"), col("n_chars"), col("n_words"),
         col("alpha_r"), col("punct_r"), col("stopword_r"),
-        (lit(0.4) * col("stopword_r") + lit(0.4) * col("alpha_r") +
-          lit(0.2) * least(col("n_words").cast("double") / lit(100.0), lit(1.0)))
+        qualityFromComponents(col("stopword_r"), col("alpha_r"), col("n_words"))
           .as("quality"))
+
+  /**
+   * `df.*` + `quality`: the same composite score as [[withQuality]] but
+   * APPENDED to every input column, for pipeline stages that need the
+   * score without losing the text — no self-join back to the source
+   * required (the join the curation pipeline used to pay re-evaluated
+   * its whole upstream dedup chain twice). Same staged-select structure
+   * as [[withQuality]]: the word array and each component materialize
+   * once per row across a projection boundary, because the stopword
+   * count is a lambda HOF and codegen CSE does not deduplicate lambdas.
+   */
+  def appendQuality(
+    df: DataFrame, textCol: String, qualityCol: String = "quality"
+  ): DataFrame = {
+    val passthrough = df.columns.map(col).toIndexedSeq
+    df.select(passthrough ++ Seq(
+        Hashing.normalizedWords(col(textCol)).as("__gq_w")): _*)
+      .select(passthrough ++ Seq(
+        stopwordRatioOf(col("__gq_w")).as("__gq_stop"),
+        alphaRatio(col(textCol)).as("__gq_alpha"),
+        wsTokenCount(col(textCol)).as("__gq_nw")): _*)
+      .select(passthrough :+
+        qualityFromComponents(col("__gq_stop"), col("__gq_alpha"), col("__gq_nw"))
+          .as(qualityCol): _*)
+  }
 
   /**
    * (doc_id, fingerprint, minhash_0): content fingerprints with the
@@ -430,17 +476,22 @@ object TextAnalysis {
    * `<oov>` label is safe — normalized words are [a-z0-9]+ only).
    *
    * Scale shape: each corpus is exploded and count-aggregated ONCE into
-   * a PERSISTED word-count table (vocabulary-sized — bounded far below
-   * corpus scale). Persisting is load-bearing, not a cache nicety: the
-   * top-V cut, the in-vocab lookup, and the total-token fold all
-   * consume the counts, and without the cache boundary Catalyst pushes
-   * the in-vocab semi join BELOW the count aggregate, splitting the
-   * consumers into non-identical subtrees that each re-scan the corpus
-   * (observed: 26 scans at plan level). With it, the corpus is scanned
-   * once per side. Everything past the counts is vocab-sized, so the
-   * result (≤ 2V+1 rows) is computed EAGERLY, returned as a localized
-   * relation, and both caches are dropped before returning — no
-   * persisted state outlives the call (TextAnalysisSpec pins it).
+   * a LOCALIZED word-count table (vocabulary-sized — Heaps-law bounded
+   * far below corpus scale, the same driver economics as the vocab
+   * broadcasts this function already does). The plan boundary is
+   * load-bearing, not a cache nicety: the top-V cut, the in-vocab
+   * lookup, and the total-token fold all consume the counts, and
+   * without it Catalyst pushes the in-vocab semi join BELOW the count
+   * aggregate, splitting the consumers into non-identical subtrees that
+   * each re-scan the corpus (observed: 26 scans at plan level). With
+   * it, the corpus is scanned once per side. An earlier persist()-based
+   * boundary had the same plan shape but left the counts in the
+   * BlockManager while the call ran — under a memory-pressured session
+   * its first access swung 1.9-14.5 s with eviction thrash; the
+   * localized relation is deterministic. Everything past the counts is
+   * vocab-sized; the result (≤ 2V+1 rows) is likewise computed EAGERLY
+   * and returned localized — no persisted state outlives the call
+   * (TextAnalysisSpec pins it).
    */
   def unigramDivergence(
     dfA: DataFrame,
@@ -452,9 +503,9 @@ object TextAnalysis {
     require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
     require(alpha > 0.0, s"alpha must be positive for finite KL: $alpha")
     def counts(df: DataFrame) =
-      df.select(explode(Hashing.normalizedWords(col(textCol))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Similarity.localize(
+        df.select(explode(Hashing.normalizedWords(col(textCol))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n")))
     val cA = counts(dfA)
     val cB = counts(dfB)
     def topV(c: DataFrame) =
@@ -483,17 +534,12 @@ object TextAnalysis {
         (col("t_b") - col("vb")).as("n_b")))
     val pA = (col("n_a") + alpha) / (col("t_a") + lit(alpha) * (col("v") + 1))
     val pB = (col("n_b") + alpha) / (col("t_b") + lit(alpha) * (col("v") + 1))
-    try
-      Similarity.localize(
-        symbols
-          .crossJoin(broadcast(stats))
-          .select(col("word"), pA.as("p_a"), pB.as("p_b"))
-          .select(col("word"), col("p_a"), col("p_b"),
-            (col("p_a") * log(col("p_a") / col("p_b"))).as("kl_term")))
-    finally {
-      cA.unpersist(false)
-      cB.unpersist(false)
-    }
+    Similarity.localize(
+      symbols
+        .crossJoin(broadcast(stats))
+        .select(col("word"), pA.as("p_a"), pB.as("p_b"))
+        .select(col("word"), col("p_a"), col("p_b"),
+          (col("p_a") * log(col("p_a") / col("p_b"))).as("kl_term")))
   }
 
   /**

@@ -163,10 +163,13 @@ object CurationPipeline {
     val ruled =
       if (!cfg.gopherFilter) clean
       else TextAnalysis.gopherFilter(clean, textCol)
-    val scored = TextAnalysis.withQuality(ruled, textCol, "doc_id")
+    // quality is a pure per-row projection (appendQuality keeps every
+    // input column), so it is computed INLINE on `ruled` — an earlier
+    // spelling projected (doc_id, quality) via withQuality and joined
+    // back to `ruled`, which made both join sides re-evaluate the whole
+    // exact+near dedup chain (the pipeline's most expensive stages)
+    val scored = TextAnalysis.appendQuality(ruled, textCol)
       .filter(col("quality") >= cfg.minQuality)
-      .select(col("doc_id"), col("quality"))
-      .join(ruled, "doc_id")
     // 6b/6c share ONE group lookup join (the final select sheds the
     // group columns, so nothing needs dropping in between)
     val groupCols =

@@ -252,6 +252,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(entPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), entPlan)
   }
 
+  test("curation: the near-dup chain is evaluated once (quality inline, no self-join)") {
+    val plan = graft.plans.CurationPipeline.curate(
+        docs.select("doc_id", "text"), "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    // the shingle-hash derivation appears exactly twice — the near-dup
+    // chain's two legitimate consumers (signature + in-bucket verify).
+    // The pre-round-9 quality stage joined (doc_id, quality) back to the
+    // ruled frame, doubling this to four: BOTH join sides re-evaluated
+    // the exact+near dedup chain (the pipeline's most expensive stages)
+    val shingles = "shingle_hashes".r.findAllIn(plan).size
+    assert(shingles == 2,
+      s"expected 2 shingle_hashes consumers (signature + verify), got $shingles")
+  }
+
   test("decontaminateSpans: corpus never sort-merge-joined, rebuild side broadcast") {
     import spark.implicits._
     val ev = Seq((1L, "alpha bravo charlie delta echo")).toDF("doc_id", "text")
