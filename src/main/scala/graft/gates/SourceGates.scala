@@ -23,6 +23,30 @@ object SourceGates {
     ()
   }
 
+  /** Deterministic fixture tarball: `members` as regular entries plus one
+    * directory entry (which the source must skip), optionally gzipped. */
+  private def writeTar(
+    dest: Path, members: Seq[(String, String)], gzip: Boolean
+  ): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    val fileOut = Files.newOutputStream(dest)
+    val tar = new TarArchiveOutputStream(
+      if (gzip) new GzipCompressorOutputStream(fileOut) else fileOut)
+    try {
+      tar.putArchiveEntry(new TarArchiveEntry("sub/"))
+      tar.closeArchiveEntry()
+      members.foreach { case (name, content) =>
+        val bytes = content.getBytes("UTF-8")
+        val e = new TarArchiveEntry(name)
+        e.setSize(bytes.length.toLong)
+        tar.putArchiveEntry(e)
+        tar.write(bytes)
+        tar.closeArchiveEntry()
+      }
+    } finally tar.close()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 row 18 — header-TSV source: cells trimmed, empty-after-trim → NULL
     "q_tsv_roundtrip" -> { (s, _) =>
@@ -59,6 +83,24 @@ object SourceGates {
       val df = TsvSource.readGlob(s, s"$dir/absent-*.tsv")
       Seq((df.count(), df.columns.length)).toDF("n_rows", "n_cols")
     },
+    // archive ingestion — tar members as rows (plain + gzipped in one
+    // glob, gzip auto-detected; the directory entry must be skipped).
+    // The oracle re-derives each member's size and md5 from the same
+    // literal content, so the member BYTES are checked, not just names
+    "q_tar_members" -> { (s, _) =>
+      val dir = Files.createTempDirectory("graft-tar")
+      writeTar(dir.resolve("drop1.tar"), Seq(
+        "a.txt" -> "alpha\n",
+        "sub/b.txt" -> "bravo bravo\n"), gzip = false)
+      writeTar(dir.resolve("drop2.tar.gz"), Seq(
+        "c.json" -> "{\"k\":1}\n"), gzip = true)
+      graft.sources.Archives.readTar(s, s"$dir/drop*")
+        .select(
+          regexp_extract(col("archive_path"), "[^/]+$", 0).as("archive"),
+          col("member_name"),
+          col("member_size"),
+          md5(col("member_bytes")).as("member_md5"))
+    },
     // §2.2 row 19 — ancestry ID extracted from the file path
     "q_ancestry_id" -> { (s, _) =>
       import s.implicits._
@@ -85,6 +127,15 @@ object SourceGates {
         |) AS t(a, b, c, a_type, b_type)""".stripMargin,
     "q_glob_empty_ok" ->
       "SELECT CAST(0 AS BIGINT) AS n_rows, 0 AS n_cols",
+    "q_tar_members" ->
+      """SELECT archive, member_name,
+        |       CAST(length(content) AS BIGINT) AS member_size,
+        |       md5(content) AS member_md5
+        |FROM (VALUES
+        |  ('drop1.tar',    'a.txt',     'alpha' || chr(10)),
+        |  ('drop1.tar',    'sub/b.txt', 'bravo bravo' || chr(10)),
+        |  ('drop2.tar.gz', 'c.json',    '{"k":1}' || chr(10))
+        |) AS t(archive, member_name, content)""".stripMargin,
     "q_ancestry_id" ->
       """SELECT * FROM (VALUES
         |  ('r1', '/data/in/ancestry=EU/part-0.tsv',  'EU'),

@@ -261,21 +261,63 @@ object Multimodal {
   }
 
   /**
+   * Per-partition frame decoder — the injection seam for [[sampleFrames]].
+   * The JDK ships no audio/video codec, so graft cannot decode real
+   * frames here; a deployment that has one on the executor classpath
+   * (jcodec, a JNI ffmpeg binding, …) implements this trait and the
+   * operator's distribution shape — 1→N partition-local explode, payload
+   * never shuffled, per-partition codec init — is unchanged.
+   *
+   * Instances are constructed per PARTITION via the factory passed to
+   * [[sampleFrames]] (never serialized, may hold non-serializable codec
+   * state, single-threaded within a task); `dispose` runs on partition
+   * exhaustion for native-resource cleanup.
+   */
+  trait FrameDecoder {
+    /** Decode/sample frame `frameIdx` of `nFrames` from `payload`. */
+    def decodeFrame(payload: Array[Byte], frameIdx: Int, nFrames: Int): Array[Byte]
+    def dispose(): Unit = ()
+  }
+
+  /** The default [[FrameDecoder]] factory: the documented deterministic
+    * STUB — frame i of a payload is UTF-8 "md5hex(payload):<i>" (the
+    * DuckDB oracle in LlmGates re-derives this exact encoding). */
+  val Md5StubFrames: () => FrameDecoder = () =>
+    new FrameDecoder {
+      private val digest = java.security.MessageDigest.getInstance("MD5")
+      private var lastPayload: Array[Byte] = _
+      private var lastHex: String = _
+      def decodeFrame(payload: Array[Byte], frameIdx: Int, nFrames: Int): Array[Byte] = {
+        // frames of one payload share the hash — compute it once per row
+        // (eq, not equals: the same row's array reference, not a scan)
+        if (lastHex == null || (payload ne lastPayload)) {
+          lastPayload = payload
+          lastHex = md5Hex(digest, payload)
+        }
+        s"$lastHex:$frameIdx".getBytes("UTF-8")
+      }
+    }
+
+  /**
    * Frame sampling: one media row explodes into `n` frame rows — the
    * 1→N row shape (and its shuffle-free, partition-local execution) is
-   * the real contract; frame content is a deterministic STUB
-   * ("md5hex(payload):<idx>" as UTF-8) standing in for decoded frames.
+   * the real contract. Frame CONTENT comes from the injected
+   * [[FrameDecoder]] factory; the default is the deterministic
+   * [[Md5StubFrames]] stub (no JDK A/V codec exists to do better —
+   * MultimodalSpec shows a real codec riding the same operator).
    */
-  def sampleFrames(media: Dataset[MediaRecord], n: Int): Dataset[FrameRecord] = {
+  def sampleFrames(
+    media: Dataset[MediaRecord],
+    n: Int,
+    decoder: () => FrameDecoder = Md5StubFrames
+  ): Dataset[FrameRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
-      rows.flatMap { rec =>
-        // >>> STUB FRAME DECODE <<< a real deployment seeks + decodes here
-        val hex = md5Hex(digest, rec.payload)
+      val dec = decoder()
+      onExhaustion(rows.flatMap { rec =>
         (0 until n).iterator.map(i =>
-          FrameRecord(rec.doc_id, i, s"$hex:$i".getBytes("UTF-8")))
-      }
+          FrameRecord(rec.doc_id, i, dec.decodeFrame(rec.payload, i, n)))
+      })(() => dec.dispose())
     }
   }
 

@@ -24,14 +24,19 @@ import org.apache.spark.sql.functions._
  * corpus is exploded ONCE and immediately semi-joined against it, so
  * only query-matching postings (docs × query terms, a sliver of the
  * token stream) ever reach a shuffle. Document frequencies are a
- * count window over that same postings table — NOT a second
- * aggregation of the corpus (a separate `postings.groupBy` branch
- * gets column-pruned into a different exchange and silently re-scans
- * the corpus; RetrievalSpec pins exactly one corpus explode). N/avgdl
- * ride along as a broadcast 1-row aggregate (the
- * [[TextAnalysis.unigramNll]] T/V shape, kept inside the plan — no
- * eager action). The corpus is never shuffled and never joined to
- * itself; every shuffle after the semi join is postings-sized.
+ * PARTIAL-AGGREGATED terms-sized table over the postings aggregate,
+ * re-read through the SAME shuffle (ReuseExchange) and broadcast back
+ * — NOT a per-word count window (a window gathers every posting of a
+ * word into one task, so a stopword-like query term at corpus scale
+ * is a straggler) and NOT a second aggregation of the corpus (a
+ * naïve `postings.groupBy` branch gets column-pruned into a different
+ * exchange and silently re-scans the corpus; see the reuse guard in
+ * the code, and RetrievalSpec pins exactly one corpus explode plus
+ * the ReusedExchange). N/avgdl ride along as a broadcast 1-row
+ * aggregate (the [[TextAnalysis.unigramNll]] T/V shape, kept inside
+ * the plan — no eager action). The corpus is never shuffled and never
+ * joined to itself; every shuffle after the semi join is
+ * postings-sized or smaller.
  */
 object Retrieval {
 
@@ -75,10 +80,28 @@ object Retrieval {
       .join(broadcast(terms), Seq("word"), "left_semi")
       .groupBy("word", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
-    // document frequency as a window over the postings — one corpus
-    // explode total (see scale note above)
-    val withDf = postings.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("word")))
+    // document frequency: partial-aggregated per word over the postings
+    // aggregate — the partials collapse to ≤ |terms| rows per partition
+    // BEFORE the word shuffle, so a stopword-like term costs the same as
+    // a rare one (a count window over partitionBy(word) would instead
+    // drag every posting of the word into one task — the straggler this
+    // round removed). count(when(tf > 0, 1)), NOT count(1), and the
+    // difference is load-bearing: tf = count(1) ≥ 1 always, so counting
+    // rows where
+    // tf > 0 is the row count — but the predicate is opaque to the
+    // optimizer, so this branch KEEPS consuming tf and its copy of the
+    // postings aggregate stays column-identical to the scoring
+    // branch's. count(1) — or anything Catalyst can simplify to it
+    // (count(tf) rewrites via tf's non-nullability) — lets pruning
+    // specialize the partial aggregate under the postings exchange,
+    // breaking exchange identity → no ReuseExchange → a silent second
+    // corpus scan (the pruned-agg trap; RetrievalSpec pins scan count
+    // AND the ReusedExchange)
+    val dfTable = postings
+      .groupBy("word")
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
+    // terms-sized (≤ |query terms| rows): broadcast it back onto postings
+    val withDf = postings.join(broadcast(dfTable), Seq("word"))
     val idf: Column =
       log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfPart: Column =

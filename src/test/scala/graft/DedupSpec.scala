@@ -236,6 +236,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateSpans saturated-corpus fallback: shuffle join, same values") {
+    import spark.implicits._
+    val evalQ = "alpha bravo charlie delta echo foxtrot golf"
+    // 100%-contaminated corpus: EVERY document quotes the eval sentence —
+    // the shape where an unconditional broadcast of the matched-docs
+    // table would OOM a driver at scale
+    val corpus = (1L to 50L)
+      .map(i => (i, s"doc $i says $evalQ end")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalQ)).toDF("doc_id", "text")
+    // disable auto-broadcast so the unhinted rebuild join genuinely takes
+    // the shuffle path (the explicit broadcast() on the eval gram set
+    // still forces that one — hints outrank the threshold)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = graft.operators.Contamination.decontaminateSpans(
+        corpus, evalSet, "text", "doc_id", k = 3, broadcastMatches = false)
+      val rows = q.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getAs[Int]("n_tokens_removed")))
+        .toMap
+      assert(rows.size == 50)
+      assert((1L to 50L).forall(i => rows(i) == (s"doc $i says end", 7)), rows(1L))
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected the rebuild join to fall back to a shuffle join:\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dropRepeatedLinesWithinDoc: first occurrence kept, blanks exempt, order preserved") {
     import spark.implicits._
     val df = Seq(

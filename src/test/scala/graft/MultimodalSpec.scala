@@ -35,6 +35,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame.toSeq).distinct.length == 6)
   }
 
+  test("sampleFrames: an injected decoder produces real frame content, same operator") {
+    // a "codec" that actually derives frame content from the payload —
+    // stands in for a deployment's jcodec/ffmpeg FrameDecoder; dispose
+    // must fire per partition (native-resource contract)
+    val disposed = spark.sparkContext.collectionAccumulator[Int]("disposed")
+    val fake: () => Multimodal.FrameDecoder = () =>
+      new Multimodal.FrameDecoder {
+        def decodeFrame(payload: Array[Byte], i: Int, n: Int): Array[Byte] =
+          payload.reverse ++ Array(i.toByte, n.toByte)
+        override def dispose(): Unit = disposed.add(1)
+      }
+    val media = Seq(MediaRecord(1L, jpegHeader), MediaRecord(2L, pngHeader)).toDS()
+    val frames = Multimodal.sampleFrames(media, 2, fake).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap
+    assert(frames.size == 4)
+    assert(frames((1L, 0)) == (jpegHeader.reverse ++ Array[Byte](0, 2)).toSeq)
+    assert(frames((2L, 1)) == (pngHeader.reverse ++ Array[Byte](1, 2)).toSeq)
+    assert(!disposed.value.isEmpty, "dispose() never ran on partition exhaustion")
+  }
+
   test("resize: deterministic content-derived payload, schema preserved") {
     val media = Seq(MediaRecord(1L, jpegHeader)).toDS()
     val r1 = Multimodal.resize(media, 64, 64).head

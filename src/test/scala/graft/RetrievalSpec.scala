@@ -67,7 +67,7 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
-  test("the corpus is exploded exactly once (df is a window, not a second agg)") {
+  test("one corpus explode; df reuses the postings exchange; no per-word window") {
     val q = Retrieval.bm25Scores(corpus, "text", "doc_id", queries, "query_id", "qtext")
     q.collect() // materialize AQE's final plan
     // AQE's toString echoes the pre-adaptive plan under "== Initial Plan =="
@@ -77,6 +77,16 @@ class RetrievalSpec extends SparkSpec {
     // query-side generates explode a CASE over qtext — distinguishable
     val corpusExplodes = "Generate explode\\(w#".r.findAllIn(plan).size
     assert(corpusExplodes == 1, s"corpus exploded $corpusExplodes times:\n${plan.take(4000)}")
+    // the df branch re-reads the postings shuffle (ReuseExchange over the
+    // (word, doc_id, dl) hashpartitioning) instead of recomputing it —
+    // this is what the count(when(tf > 0, 1)) pruning guard protects; if
+    // Catalyst ever specializes that branch again, the explode count
+    // above goes to 2 and THIS names the mechanism
+    assert("ReusedExchange.*hashpartitioning\\(word#\\d+, doc_id#".r
+      .findAllIn(plan).nonEmpty, s"postings exchange not reused:\n${plan.take(4000)}")
+    // and df is no longer a per-word count window (the skewed shape this
+    // replaced: a stopword-like term dragged all its postings to one task)
+    assert(!plan.contains("Window"), plan.take(4000))
   }
 
   test("argument validation fails loudly") {

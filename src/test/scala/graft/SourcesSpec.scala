@@ -168,6 +168,59 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("name").select("name").collect().map(_.getString(0)).toSeq ==
       Seq("ada", "bob"))
   }
+
+  private def writeTarFixture(
+    dest: Path, members: Seq[(String, Array[Byte])], gzip: Boolean
+  ): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    val fileOut = Files.newOutputStream(dest)
+    val tar = new TarArchiveOutputStream(fileOut match {
+      case o if gzip => new GzipCompressorOutputStream(o)
+      case o => o
+    })
+    // allow >100-char member names (PAX extended headers)
+    tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    try {
+      tar.putArchiveEntry(new TarArchiveEntry("dir-entry/"))
+      tar.closeArchiveEntry()
+      members.foreach { case (name, bytes) =>
+        val e = new TarArchiveEntry(name)
+        e.setSize(bytes.length.toLong)
+        tar.putArchiveEntry(e)
+        tar.write(bytes)
+        tar.closeArchiveEntry()
+      }
+    } finally tar.close()
+  }
+
+  test("readTar: one row per regular member, dirs skipped, gzip auto-detected") {
+    val d = tmpDir("graft-tartest")
+    val longName = "deep/" + ("x" * 120) + ".bin" // forces a PAX header
+    writeTarFixture(d.resolve("a.tar"), Seq(
+      "one.txt" -> "hello\n".getBytes("UTF-8"),
+      longName -> Array.tabulate(256)(_.toByte)), gzip = false)
+    writeTarFixture(d.resolve("b.tar.gz"), Seq(
+      "two.txt" -> "world\n".getBytes("UTF-8")), gzip = true)
+    val rows = graft.sources.Archives.readTar(spark, s"$d/*.tar*")
+      .collect()
+      .map(r => r.getAs[String]("member_name") ->
+        (r.getAs[Long]("member_size"), r.getAs[Array[Byte]]("member_bytes")))
+      .toMap
+    assert(rows.keySet == Set("one.txt", longName, "two.txt")) // no dir-entry/
+    assert(rows("one.txt")._1 == 6L &&
+      new String(rows("one.txt")._2, "UTF-8") == "hello\n")
+    assert(rows("two.txt")._1 == 6L &&
+      new String(rows("two.txt")._2, "UTF-8") == "world\n")
+    assert(rows(longName)._1 == 256L &&
+      rows(longName)._2.toSeq == Array.tabulate(256)(_.toByte).toSeq)
+  }
+
+  test("readTar: empty tar yields zero rows") {
+    val d = tmpDir("graft-tarempty")
+    writeTarFixture(d.resolve("empty.tar"), Seq.empty, gzip = false)
+    assert(graft.sources.Archives.readTar(spark, s"$d/empty.tar").count() == 0L)
+  }
 }
 
 case class Person(name: String, age: Long)
