@@ -65,7 +65,9 @@ object Bench {
     "q_quantile_bucket",    // broadcast percentile boundaries + boundary-count projection (r8)
     "q_url_canonical",      // URL canonicalization regex/substring projection (r8)
     "q_decontam_spans",     // positional gram explode + broadcast eval semi join + matched-docs rebuild (r8)
-    "q_eval_overlap"        // corpus gram stream vs broadcast eval grams, eval-sized output (r8)
+    "q_eval_overlap",       // corpus gram stream vs broadcast eval grams, eval-sized output (r8)
+    "q_incr_exact",         // batch anti-join against the corpus fingerprint index (r9)
+    "q_incr_neardup"        // batch-vs-index banded LSH + signature-agreement verify, index never shuffled (r9)
   )
 
   private def jsonStr(s: String): String =
@@ -118,7 +120,13 @@ object Bench {
     // than in isolation, steady WORSE than cold). The per-query leak
     // counts observed after the cold run are reported in the JSON so a
     // new operator that starts leaking is visible, not silent.
+    // Sub-second queries are fixed-overhead-bound: a 30 ms scheduler or
+    // GC transient is ±15% of a 0.2 s steady, so cheap queries take 5
+    // reruns (≈20 s extra across the board) and expensive ones — whose
+    // timings are data-path-dominated and stable — keep 3.
     val SteadyRuns = 3
+    val CheapSteadyRuns = 5
+    val CheapColdSec = 2.0
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val steady = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -130,7 +138,8 @@ object Bench {
         timings(name) = (System.nanoTime() - t0) / 1e9
         val leaked = GraftSession.sweepPersistedState(spark)
         if (leaked > 0) leaks(name) = leaked
-        val reruns = (1 to SteadyRuns).map { _ =>
+        val n = if (timings(name) < CheapColdSec) CheapSteadyRuns else SteadyRuns
+        val reruns = (1 to n).map { _ =>
           val t1 = System.nanoTime()
           run(name)
           val dt = (System.nanoTime() - t1) / 1e9
@@ -166,7 +175,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"steady_runs":$SteadyRuns,"steady_stat":"median","isolation":"swept","leaked_rdds":$lJson,"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"steady_runs":$SteadyRuns,"steady_runs_cheap":$CheapSteadyRuns,"cheap_cold_sec":${num(CheapColdSec)},"steady_stat":"median","isolation":"swept","leaked_rdds":$lJson,"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

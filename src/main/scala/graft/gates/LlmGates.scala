@@ -34,6 +34,23 @@ object LlmGates {
         .withColumn("doc_id", col("doc_id") + 100000))
   }
 
+  /** The incremental-dedup fixture's PRIOR corpus: even-id documents —
+    * the side that gets indexed (fingerprints / signatures) and is never
+    * re-scanned by the batch queries. */
+  private def incrPrior(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select("doc_id", "text").filter(col("doc_id") % 2 === 0)
+
+  /** The incremental-dedup fixture's NEW BATCH: odd-id documents (never
+    * indexed) ∪ re-keyed copies of every 10th doc — planted members of
+    * the prior corpus arriving again in a later drop. */
+  private def incrBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.filter(col("doc_id") % 2 === 1)
+      .unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
   /** embeddings ∪ copies of every 25th vector — planted cosine-1 dups. */
   private def embsWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select("vec_id", "embedding")
@@ -134,6 +151,32 @@ object LlmGates {
       Dedup.clusterNearDuplicates(docsWithDups(s, dir), "text", "doc_id",
           k = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select("doc_id", "cluster_id")
+    },
+    // §2.4 row 79a — incremental exact dedup: batch rows not already in
+    // the prior corpus's fingerprint index (anti-join; within-batch dups
+    // deliberately untouched). Planted re-keyed copies of prior docs must
+    // vanish; the text digest is gated so surviving rows are value-checked.
+    "q_incr_exact" -> { (s, dir) =>
+      Dedup.dropExactDuplicatesAgainst(incrBatch(s, dir),
+          Dedup.exactFingerprintIndex(incrPrior(s, dir), "text"), "text")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    },
+    // §2.4 row 79b — incremental near-dup: banded-LSH candidates between
+    // the batch and the prior corpus's signature index, verified by
+    // signature agreement (est. Jaccard in exact 1/16 steps — the
+    // estimator available when the indexed text is gone)
+    "q_incr_neardup" -> { (s, dir) =>
+      Dedup.nearDuplicatesAgainstIndex(incrBatch(s, dir),
+          Dedup.minHashSignatures(incrPrior(s, dir), "text", "doc_id"),
+          "text", "doc_id", k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+    },
+    // §2.4 row 79c — the surviving batch (near-dup matches anti-joined)
+    "q_incr_neardup_rows" -> { (s, dir) =>
+      Dedup.dropNearDuplicatesAgainst(incrBatch(s, dir),
+          Dedup.minHashSignatures(incrPrior(s, dir), "text", "doc_id"),
+          "text", "doc_id", k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select("doc_id")
     },
     // §2.4 row 28 — 60-bit SimHash
     "q_simhash" -> { (s, dir) =>
@@ -560,6 +603,46 @@ object LlmGates {
   /** Shared doc → shingles → base hashes → signature CTE prefix. */
   private val DocSigCte = docSigCte("documents")
 
+  /** Signature-agreement sum over the 16 positions of x.sig vs y.sig
+    * (mirrors the zip_with agreement in Dedup.nearDuplicatesAgainstIndex). */
+  private val SigAgreeSql =
+    (1 to 16).map(i => s"CASE WHEN x.sig[$i] = y.sig[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
+  /** Shared by the incremental near-dup oracles: signatures over
+    * all_docs = documents ∪ planted batch copies (the q_neardup_cluster
+    * union), sides re-derived from ids (0 = indexed prior: even id
+    * < 100000; 1 = batch: odd or re-keyed), two-sided 1024 bucket cap,
+    * cross-side candidates, est. Jaccard = agreement/16. */
+  private lazy val IncrEstSql =
+    s"""${docSigCte("all_docs").replaceFirst("^WITH ",
+           """WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+             |""".stripMargin)},
+       |bands AS (
+       |  SELECT doc_id, rt.b AS band,
+       |         array_to_string(list_transform(sig[rt.b*4+1:rt.b*4+4],
+       |                                        v -> v::VARCHAR), ',') AS band_key
+       |  FROM sig, range(0, 4) rt(b)),
+       |b2 AS (
+       |  SELECT doc_id, band, band_key,
+       |         CASE WHEN doc_id % 2 = 0 AND doc_id < 100000 THEN 0 ELSE 1 END AS side
+       |  FROM bands),
+       |bok AS (
+       |  SELECT band, band_key FROM b2 GROUP BY band, band_key
+       |  HAVING count(DISTINCT CASE WHEN side = 0 THEN doc_id END) BETWEEN 1 AND 1024
+       |     AND count(DISTINCT CASE WHEN side = 1 THEN doc_id END) BETWEEN 1 AND 1024),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS index_id, b.doc_id AS batch_id
+       |  FROM bok JOIN b2 i USING (band, band_key) JOIN b2 b USING (band, band_key)
+       |  WHERE i.side = 0 AND b.side = 1),
+       |est AS (
+       |  SELECT batch_id, index_id, ($SigAgreeSql) / 16.0 AS ej
+       |  FROM cand JOIN sig x ON cand.index_id = x.doc_id
+       |            JOIN sig y ON cand.batch_id = y.doc_id)""".stripMargin
+
   /** URL edge shapes planted by the q_url_parts / q_domain_block gates:
     * userinfo+port, non-http scheme, bare host, port-only host, empty. */
   private val UrlFixtures: Seq[(Long, String)] = Seq(
@@ -738,6 +821,28 @@ object LlmGates {
          |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cluster_id
          |FROM all_docs a LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    "q_incr_exact" ->
+      s"""WITH prior AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |pf AS (SELECT DISTINCT md5($NormSql) AS f FROM prior)
+         |SELECT doc_id, md5(text) AS text_md5 FROM batch
+         |WHERE NOT EXISTS (SELECT 1 FROM pf WHERE pf.f = md5($NormSql))""".stripMargin,
+    "q_incr_neardup" ->
+      s"""$IncrEstSql
+         |SELECT batch_id, index_id, round(ej, 6) AS est_jaccard
+         |FROM est WHERE ej >= 0.8""".stripMargin,
+    "q_incr_neardup_rows" ->
+      s"""$IncrEstSql,
+         |batch AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 100000 FROM documents WHERE doc_id % 10 = 0),
+         |m AS (SELECT DISTINCT batch_id FROM est WHERE ej >= 0.8)
+         |SELECT doc_id FROM batch
+         |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.batch_id = batch.doc_id)""".stripMargin,
     "q_simhash" ->
       s"""WITH d AS (
          |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM documents),

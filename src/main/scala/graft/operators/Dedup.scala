@@ -228,15 +228,20 @@ object Dedup {
    * boilerplate text — would otherwise produce a quadratic pair blowup);
    * dropped buckets are a completeness tradeoff the caller sizes.
    */
-  def lshCandidates(
+  /**
+   * (doc_id, band, band_key) from a (doc_id, signature) table: each
+   * signature cut into `bands` bands of numHashes/bands values, the band's
+   * values joined into a comma string key. One explode — the signature
+   * expression is evaluated exactly once per document.
+   */
+  def bandTable(
     signatures: DataFrame,
     numHashes: Int = 16,
-    bands: Int = 4,
-    maxBucket: Option[Int] = DefaultMaxBucket
+    bands: Int = 4
   ): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
-    val banded = signatures.select(
+    signatures.select(
       col("doc_id"),
       explode(
         transform(
@@ -251,6 +256,15 @@ object Dedup {
         )
       ).as("bk")
     ).select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  def lshCandidates(
+    signatures: DataFrame,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    maxBucket: Option[Int] = DefaultMaxBucket
+  ): DataFrame = {
+    val banded = bandTable(signatures, numHashes, bands)
 
     val buckets = banded
       .groupBy("band", "band_key")
@@ -797,5 +811,149 @@ object Dedup {
       semanticNearDups(df, vecCol, idCol, threshold, nCentroids, kmeansIters, maxCluster)
         .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------ incremental (indexed) dedup
+  //
+  // The corpus-growth shape: a new drop (crawl batch, dataset delivery)
+  // must be deduplicated against an EXISTING corpus without re-scanning
+  // that corpus's text. The index is a compact parquet artifact derived
+  // once per corpus — 32-char fingerprints for exact, (doc_id, signature)
+  // MinHash rows for near-dup — and each subsequent batch pays only
+  // batch-sized compute plus one streaming pass over the index. At 100 TB
+  // this is the difference between a per-drop cost proportional to the
+  // DROP and one proportional to the whole corpus.
+
+  /**
+   * The exact-dedup index of a corpus: distinct fingerprints (md5 hex of
+   * normalized text). Write to parquet once; [[dropExactDuplicatesAgainst]]
+   * dedupes any future batch against it. One scan + one distinct shuffle
+   * of 32-char strings; the index is |distinct docs| × 32 chars — ~3 GB
+   * per 100M distinct documents, a small fraction of corpus size.
+   */
+  def exactFingerprintIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(Hashing.normalizeText(col(textCol))).as("fingerprint")).distinct()
+
+  /**
+   * Batch rows whose normalized text does NOT already appear in `index`
+   * (an [[exactFingerprintIndex]] frame), original columns intact.
+   * Within-batch duplicates are deliberately untouched — compose with
+   * [[dropExactDuplicates]] for those; this operator answers only "is it
+   * already in the corpus".
+   *
+   * Scale shape: one left-anti hash join on the fingerprint. The batch
+   * (small side) is typically broadcast by AQE; either way the index
+   * streams — no index shuffle when the batch broadcasts, one fingerprint
+   * shuffle of both sides when it does not. NULL-text batch rows have a
+   * NULL key, match nothing, and are KEPT (anti-join semantics — same as
+   * the NOT EXISTS oracle spelling).
+   */
+  def dropExactDuplicatesAgainst(
+    batch: DataFrame,
+    index: DataFrame,
+    textCol: String
+  ): DataFrame =
+    batch.join(
+      index,
+      md5(Hashing.normalizeText(col(textCol))) === index("fingerprint"),
+      "left_anti")
+
+  /**
+   * Near-duplicate pairs between a new batch and a PERSISTED signature
+   * index ([[minHashSignatures]] output written to parquet): banded-LSH
+   * candidates between the two sides, verified by MinHash signature
+   * agreement. Returns (batch_id, index_id, est_jaccard) for pairs whose
+   * estimated Jaccard — the fraction of agreeing signature positions, the
+   * standard estimator when the indexed corpus's text is no longer on
+   * hand — meets the threshold. With numHashes=16 the estimate moves in
+   * exact 1/16 steps, so thresholds are float-drift-free.
+   *
+   * Scale shape: the index is banded with ONE generate and — when
+   * `broadcastBatch` holds (default; a drop is much smaller than the
+   * corpus it joins) — the batch's band table is broadcast onto it, so
+   * the INDEX IS NEVER SHUFFLED. Pass broadcastBatch=false for a
+   * corpus-sized batch: the hint is dropped and AQE sizes the join at
+   * runtime (the [[Contamination.decontaminateSpans]] fallback
+   * convention). Matched buckets are regrouped (candidate-sized shuffle)
+   * and capped per side with observed drop metrics — a boilerplate band
+   * key shared by thousands of index docs would otherwise emit quadratic
+   * candidates. The verify join moves only candidate-sized data; the
+   * batch side's signatures are evaluated once per plan reference
+   * (band + verify = two batch scans — batch-sized, the cheap side).
+   */
+  def nearDuplicatesAgainstIndex(
+    batch: DataFrame,
+    indexSignatures: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    threshold: Double = 0.8,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    val batchSigs = minHashSignatures(batch, textCol, idCol, k, numHashes)
+    val idxBands = bandTable(indexSignatures, numHashes, bands)
+      .withColumnRenamed("doc_id", "index_id")
+    val batchBandsRaw = bandTable(batchSigs, numHashes, bands)
+      .withColumnRenamed("doc_id", "batch_id")
+    val batchBands =
+      if (broadcastBatch) broadcast(batchBandsRaw) else batchBandsRaw
+    // candidate buckets: only (band, key) groups present on BOTH sides
+    // survive the join; collect_set per side, cap each (the observed-metric
+    // recall trade — see capBuckets)
+    val buckets = idxBands.join(batchBands, Seq("band", "band_key"))
+      .groupBy("band", "band_key")
+      .agg(
+        collect_set("index_id").as("idx_ids"),
+        collect_set("batch_id").as("batch_ids"))
+    val capped = capBuckets(
+      capBuckets(buckets, "idx_ids", maxBucket, "incr_lsh_idx"),
+      "batch_ids", maxBucket, "incr_lsh_batch")
+    val cand = capped
+      .select(explode(col("idx_ids")).as("index_id"), col("batch_ids"))
+      .select(col("index_id"), explode(col("batch_ids")).as("batch_id"))
+      .distinct()
+    // verify: candidate-sized joins against the two signature tables
+    val agree = zip_with(col("__sig_i"), col("__sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0))
+    cand
+      .join(indexSignatures.select(
+        col("doc_id").as("index_id"), col("signature").as("__sig_i")),
+        Seq("index_id"))
+      .join(batchSigs.select(
+        col("doc_id").as("batch_id"), col("signature").as("__sig_b")),
+        Seq("batch_id"))
+      .withColumn("est_jaccard",
+        aggregate(agree, lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("batch_id", "index_id", "est_jaccard")
+  }
+
+  /**
+   * Batch rows that do NOT near-duplicate the indexed corpus: the
+   * [[nearDuplicatesAgainstIndex]] matches anti-joined away, original
+   * columns intact. The matched-id set is candidate-bounded (small);
+   * the anti join broadcasts it in practice, so the batch is scanned,
+   * never shuffled.
+   */
+  def dropNearDuplicatesAgainst(
+    batch: DataFrame,
+    indexSignatures: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    threshold: Double = 0.8,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    val matched = nearDuplicatesAgainstIndex(
+      batch, indexSignatures, textCol, idCol,
+      k, numHashes, bands, threshold, maxBucket, broadcastBatch)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
   }
 }

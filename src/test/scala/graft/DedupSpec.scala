@@ -461,4 +461,60 @@ class DedupSpec extends SparkSpec {
     assert(planted.subsetOf(found),
       s"missing ${planted.diff(found).size} of ${planted.size} planted dup pairs")
   }
+
+  // ------------------------------------------------- incremental (indexed)
+
+  test("incremental exact: indexed text vanishes, NULL and within-batch dups kept") {
+    val prior = Seq((2L, "alpha beta gamma"), (4L, "delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "ALPHA beta. gamma"),            // normalized dup of indexed 2
+      (13L, "brand new text"),               // genuinely new
+      (15L, null.asInstanceOf[String]),      // NULL key matches nothing — kept
+      (17L, "brand new text")                // within-batch dup — kept by design
+    ).toDF("doc_id", "text")
+    val idx = Dedup.exactFingerprintIndex(prior, "text")
+    val out = Dedup.dropExactDuplicatesAgainst(batch, idx, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(13L, 15L, 17L))
+  }
+
+  test("incremental near-dup: planted index copy matches at est 1.0 and is pruned") {
+    val prior = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different content about spark partitioning")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minHashSignatures(prior, "text", "doc_id")
+    val batch = Seq(
+      (11L, "The QUICK brown fox jumps over the lazy dog today."), // ≡ indexed 2
+      (13L, "unrelated fresh material nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatesAgainstIndex(batch, idx, "text", "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("index_id"),
+        r.getAs[Double]("est_jaccard"))).toSet
+    assert(pairs == Set((11L, 2L, 1.0)), pairs)
+    val kept = Dedup.dropNearDuplicatesAgainst(batch, idx, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(13L))
+  }
+
+  test("incremental near-dup bucket join broadcasts the batch bands by default") {
+    val prior = docs.filter(col("doc_id") % 2 === 0)
+    val idx = Dedup.minHashSignatures(prior, "text", "doc_id")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val q = Dedup.nearDuplicatesAgainstIndex(batch, idx, "text", "doc_id")
+    q.collect()
+    val plan = q.queryExecution.toString
+    // the bucket join streams the index against the broadcast batch bands —
+    // the index-side band table is never shuffled before the join
+    assert("BroadcastHashJoin \\[band#\\d+, band_key#".r.findAllIn(plan).nonEmpty,
+      plan.take(4000))
+    // and with the hint dropped the query still computes the same pairs
+    val viaAqe = Dedup.nearDuplicatesAgainstIndex(batch, idx, "text", "doc_id",
+        broadcastBatch = false)
+      .select("batch_id", "index_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHint = q.select("batch_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAqe == viaHint)
+  }
 }
