@@ -847,6 +847,13 @@ object Dedup {
    * shuffle of both sides when it does not. NULL-text batch rows have a
    * NULL key, match nothing, and are KEPT (anti-join semantics — same as
    * the NOT EXISTS oracle spelling).
+   *
+   * Also works UNCHANGED on a streaming `batch` frame: a stream-static
+   * left-anti join is stateless (the static index is the build side), so
+   * a live ingest can drop already-in-corpus documents with no watermark
+   * and no state store — within-stream duplicates remain
+   * [[graft.streaming.Events.dedupStream]]'s job (DedupSpec drives both
+   * arms).
    */
   def dropExactDuplicatesAgainst(
     batch: DataFrame,

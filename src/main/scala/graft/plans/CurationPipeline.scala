@@ -16,6 +16,9 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  *   1. PII scrub (emails / IPv4s / phone runs masked)
  *   2. WITHIN-doc repeated-line removal (scraper loops), then
  *      corpus-wide duplicate-LINE removal (C4 rule)
+ *   2b. optional incremental prune against a PRIOR corpus's persisted
+ *       indexes (`priorFingerprints` / `priorSignatures`): exact, then
+ *       near-dup by signature agreement — the corpus-growth entry point
  *   3. exact dedup (normalized-hash, lowest-id keeper)
  *   4. MinHash-LSH near-dup removal
  *   5. decontamination against an eval set (optional; bloom-prefiltered
@@ -65,6 +68,18 @@ object CurationPipeline {
       * pay nothing and the composed e2e oracle stays form-agnostic. */
     unicodeNorm: Option[String] = None,
     evalSet: Option[DataFrame] = None,
+    /** Prior corpus's [[graft.operators.Dedup.exactFingerprintIndex]] —
+      * when set, batch docs already in the indexed corpus are anti-joined
+      * away after scrubbing and BEFORE within-batch dedup (the
+      * corpus-growth shape: per-drop cost, no prior-corpus re-scan).
+      * Build the index over text that went through the SAME scrub
+      * stages, or fingerprints won't line up. */
+    priorFingerprints: Option[DataFrame] = None,
+    /** Prior corpus's [[graft.operators.Dedup.minHashSignatures]] index —
+      * when set, batch docs near-duplicating the indexed corpus
+      * (signature agreement ≥ nearDupThreshold) are pruned right after
+      * the exact prune. Same same-scrub caveat as priorFingerprints. */
+    priorSignatures: Option[DataFrame] = None,
     minLineCount: Int = 3,
     dropRepeatedLinesInDoc: Boolean = true,
     shingleK: Int = 3,
@@ -148,8 +163,17 @@ object CurationPipeline {
   ): DataFrame = {
     def groupLookup(gcols: Seq[String]): DataFrame =
       corpus.select((col(idCol).as("doc_id") +: gcols.map(col)).toIndexedSeq: _*)
+    // 2b: incremental prune against a prior corpus's persisted indexes
+    // (optional) — runs BEFORE within-batch dedup so the already-seen
+    // majority of a re-crawl never reaches the shingle/signature stages
+    val fresh0 = cfg.priorFingerprints.fold(scrubbed)(idx =>
+      Dedup.dropExactDuplicatesAgainst(scrubbed, idx, textCol))
+    val fresh = cfg.priorSignatures.fold(fresh0)(idx =>
+      Dedup.dropNearDuplicatesAgainst(fresh0, idx, textCol, "doc_id",
+        k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+        threshold = cfg.nearDupThreshold))
     // 3-4: exact then near dedup
-    val exact = Dedup.dropExactDuplicates(scrubbed, textCol, "doc_id")
+    val exact = Dedup.dropExactDuplicates(fresh, textCol, "doc_id")
     val near = Dedup.dropNearDuplicates(exact, textCol, "doc_id",
       k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
       threshold = cfg.nearDupThreshold)

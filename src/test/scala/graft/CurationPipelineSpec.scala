@@ -49,6 +49,34 @@ class CurationPipelineSpec extends SparkSpec {
     assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
   }
 
+  test("incremental prune: prior-corpus indexes drop seen docs before within-batch dedup") {
+    import graft.operators.Dedup
+    val prose = "the cat is in the hat and it is flat for all of us to see " * 2
+    val prior = Seq(
+      (100L, s"$prose exactly as the corpus already has it"),
+      (101L, s"$prose near enough to be the same document for all practical purposes")
+    ).toDF("doc_id", "text")
+    // indexes built over SAME-scrubbed text (fixture has nothing to scrub)
+    val fps = Dedup.exactFingerprintIndex(prior, "text")
+    val sigs = Dedup.minHashSignatures(prior, "text", "doc_id")
+    val batch = Seq(
+      (1L, s"$prose EXACTLY as the corpus already has it!"), // exact dup of 100
+      (2L, s"$prose near enough to be the same document for all practical purposes"), // sig dup of 101
+      (3L, s"$prose genuinely new content nothing indexed resembles at all")
+    ).toDF("doc_id", "text")
+    val ids = CurationPipeline.run(batch, "text", "doc_id",
+      CurationPipeline.Config(
+        priorFingerprints = Some(fps),
+        priorSignatures = Some(sigs),
+        minLineCount = 99))(_.collect()).map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(3L), ids)
+    // and with no indexes configured the same batch keeps all three
+    val all = CurationPipeline.run(batch, "text", "doc_id",
+      CurationPipeline.Config(minLineCount = 99))(_.collect())
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(all == Set(1L, 2L, 3L))
+  }
+
   test("within-doc line rule and gopher gate fire when enabled; bloom path agrees") {
     val prose = "the cat is in the hat and it is flat for all of us to see " * 2
     // 64 words, mean length and stopword mix pass the paper-default rules

@@ -498,6 +498,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(13L))
   }
 
+  test("incremental exact dedup works unchanged on a STREAM (stateless stream-static anti join)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val prior = Seq((2L, "alpha beta gamma"), (4L, "delta")).toDF("doc_id", "text")
+    val idx = Dedup.exactFingerprintIndex(prior, "text")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((11L, "ALPHA beta. gamma"), (13L, "brand new text"))
+    val q = Dedup.dropExactDuplicatesAgainst(
+        stream.toDF().toDF("doc_id", "text"), idx, "text")
+      .writeStream.format("memory").queryName("incr_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table("incr_stream").select("doc_id").as[Long].collect().toSet
+    assert(out == Set(13L))
+  }
+
   test("incremental near-dup bucket join broadcasts the batch bands by default") {
     val prior = docs.filter(col("doc_id") % 2 === 0)
     val idx = Dedup.minHashSignatures(prior, "text", "doc_id")
