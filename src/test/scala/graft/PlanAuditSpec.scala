@@ -252,6 +252,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(entPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), entPlan)
   }
 
+  test("incremental near-dup: index bands stream into the bucket join with no shuffle beneath") {
+    val idx = Dedup.minHashSignatures(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val q = Dedup.nearDuplicatesAgainstIndex(batch, idx, "text", "doc_id")
+    // pre-AQE physical plan: find the (band, band_key) broadcast join and
+    // walk its STREAMED (index) side — the 100 TB claim is that the
+    // corpus-sized index reaches this join scan→generate, never shuffled
+    val sp = q.queryExecution.sparkPlan
+    val bj = sp.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }.find(_.leftKeys.exists(_.references.exists(_.name == "band")))
+    assert(bj.nonEmpty, s"no band-keyed broadcast join:\n$sp")
+    val shuffles = bj.get.left.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"index side shuffled before the bucket join:\n${bj.get.left}")
+  }
+
   test("curation: the near-dup chain is evaluated once (quality inline, no self-join)") {
     val plan = graft.plans.CurationPipeline.curate(
         docs.select("doc_id", "text"), "text", "doc_id")
