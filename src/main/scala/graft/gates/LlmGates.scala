@@ -190,6 +190,20 @@ object LlmGates {
         Dedup.simHashes(docsWithDups(s, dir), "text", "doc_id"),
         maxHamming = 3, bands = 4)
     },
+    // §2.4 row 79d — incremental embedding near-dup: batch vs a persisted
+    // embedding table, hyperplane buckets cross-side, cosine verify
+    // (even vectors indexed; odd ∪ planted copies arrive as the batch)
+    "q_incr_embed" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val idx = e.filter(col("vec_id") % 2 === 0)
+      val batch = e.filter(col("vec_id") % 2 === 1)
+        .unionByName(
+          e.filter(col("vec_id") % 25 === 0)
+            .withColumn("vec_id", col("vec_id") + 100000))
+      Dedup.embeddingNearDupAgainstIndex(batch, idx, "embedding", "vec_id",
+          planes = 16, threshold = 0.9)
+        .withColumn("cosine", round(col("cosine"), 4))
+    },
     // §2.4 row 30 — embedding near-dup via hyperplane LSH + cosine verify
     "q_embed_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDup(embsWithDups(s, dir), "embedding", "vec_id",
@@ -884,6 +898,35 @@ object LlmGates {
          |JOIN bands b USING (band, band_key)
          |WHERE a.doc_id < b.doc_id
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q_incr_embed" ->
+      s"""WITH all_e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM all_e),
+         |b AS (
+         |  SELECT vec_id, ve,
+         |         array_to_string(list_transform(range(0, 16), p ->
+         |           CASE WHEN list_sum(list_transform(ve, (x, i) ->
+         |                  x * CASE WHEN (${h60("(i-1)::VARCHAR")} >> p) & 1 = 1
+         |                           THEN 1.0 ELSE -1.0 END)) > 0
+         |                THEN '1' ELSE '0' END), '') AS bucket,
+         |         CASE WHEN vec_id % 2 = 0 AND vec_id < 100000 THEN 0 ELSE 1 END AS side
+         |  FROM v),
+         |ok AS (
+         |  SELECT bucket FROM b
+         |  GROUP BY bucket
+         |  HAVING count(DISTINCT CASE WHEN side = 0 THEN vec_id END) BETWEEN 1 AND 1024
+         |     AND count(DISTINCT CASE WHEN side = 1 THEN vec_id END) BETWEEN 1 AND 1024)
+         |SELECT bb.vec_id AS batch_id, a.vec_id AS index_id,
+         |       round(list_dot_product(a.ve, bb.ve) /
+         |             (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(bb.ve, bb.ve))),
+         |             4) AS cosine
+         |FROM ok JOIN b a USING (bucket) JOIN b bb USING (bucket)
+         |WHERE a.side = 0 AND bb.side = 1
+         |  AND list_dot_product(a.ve, bb.ve) /
+         |      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(bb.ve, bb.ve))) >= 0.9""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH all_e AS (
          |  SELECT vec_id, embedding FROM embeddings

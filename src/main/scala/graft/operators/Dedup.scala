@@ -939,6 +939,77 @@ object Dedup {
   }
 
   /**
+   * Embedding near-duplicate pairs between a new batch and a PERSISTED
+   * embedding table (the prior corpus's (id, vector) parquet — e.g. the
+   * same artifact an IVF index was built from): hyperplane-LSH buckets
+   * on both sides, exact cosine verify ≥ threshold on cross-side bucket
+   * pairs. Returns (batch_id, index_id, cosine) — the embedding arm of
+   * the incremental family ([[nearDuplicatesAgainstIndex]]'s shape, with
+   * the vectors riding the bucket rows so the verify needs no second
+   * join against either corpus).
+   *
+   * Scale shape: identical to the MinHash incremental — the index is
+   * bucketed in one projection and (under `broadcastBatch`, the default)
+   * joined against the BROADCAST batch buckets, so the index is never
+   * shuffled; matched buckets regroup (candidate-sized) with two-sided
+   * observed caps before pair explosion + cosine verify.
+   */
+  def embeddingNearDupAgainstIndex(
+    batch: DataFrame,
+    index: DataFrame,
+    vecCol: String,
+    idCol: String,
+    planes: Int = 16,
+    threshold: Double = 0.9,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    def bucketed(df: DataFrame, as: String, vAs: String) = df.select(
+      col(idCol).as(as), col(vecCol).as(vAs),
+      graft.functions.HyperplaneBucketExpr(col(vecCol), planes).as("bucket"))
+    val idxB = bucketed(index, "index_id", "__vi")
+    val batchBRaw = bucketed(batch, "batch_id", "__vb")
+    val batchB = if (broadcastBatch) broadcast(batchBRaw) else batchBRaw
+    val buckets = idxB.join(batchB, Seq("bucket"))
+      .groupBy("bucket")
+      .agg(
+        collect_set(struct(col("index_id"), col("__vi"))).as("idx_items"),
+        collect_set(struct(col("batch_id"), col("__vb"))).as("batch_items"))
+    capBuckets(
+      capBuckets(buckets, "idx_items", maxBucket, "incr_hyperplane_idx"),
+      "batch_items", maxBucket, "incr_hyperplane_batch")
+      .select(explode(col("idx_items")).as("i"), col("batch_items"))
+      .select(col("i"), explode(col("batch_items")).as("b"))
+      .select(
+        col("b.batch_id").as("batch_id"),
+        col("i.index_id").as("index_id"),
+        Similarity.cosine(col("b.__vb"), col("i.__vi")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
+   * Batch rows whose embedding does NOT near-duplicate the indexed
+   * corpus — [[embeddingNearDupAgainstIndex]] matches anti-joined away,
+   * original columns intact (candidate-bounded matched-id set; the
+   * batch is scanned, never shuffled).
+   */
+  def dropEmbeddingDuplicatesAgainst(
+    batch: DataFrame,
+    index: DataFrame,
+    vecCol: String,
+    idCol: String,
+    planes: Int = 16,
+    threshold: Double = 0.9,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    val matched = embeddingNearDupAgainstIndex(
+      batch, index, vecCol, idCol, planes, threshold, maxBucket, broadcastBatch)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Batch rows that do NOT near-duplicate the indexed corpus: the
    * [[nearDuplicatesAgainstIndex]] matches anti-joined away, original
    * columns intact. The matched-id set is candidate-bounded (small);

@@ -515,6 +515,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(13L))
   }
 
+  test("incremental embedding near-dup finds planted index copies and prunes them") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val idx = e.filter(col("vec_id") % 2 === 0)
+    val planted = idx.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val batch = e.filter(col("vec_id") % 2 === 1).unionByName(planted)
+    val pairs = Dedup.embeddingNearDupAgainstIndex(batch, idx, "embedding", "vec_id")
+      .select("batch_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = idx.filter(col("vec_id") % 50 === 0).select("vec_id")
+      .as[Long].collect().map(id => (id + 100000L, id)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing ${expected.diff(pairs).size} of ${expected.size} planted pairs")
+    val kept = Dedup.dropEmbeddingDuplicatesAgainst(batch, idx, "embedding", "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(expected.forall { case (bid, _) => !kept.contains(bid) })
+  }
+
   test("incremental near-dup bucket join broadcasts the batch bands by default") {
     val prior = docs.filter(col("doc_id") % 2 === 0)
     val idx = Dedup.minHashSignatures(prior, "text", "doc_id")
