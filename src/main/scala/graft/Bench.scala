@@ -68,7 +68,8 @@ object Bench {
     "q_eval_overlap",       // corpus gram stream vs broadcast eval grams, eval-sized output (r8)
     "q_incr_exact",         // batch anti-join against the corpus fingerprint index (r9)
     "q_incr_neardup",       // batch-vs-index banded LSH + signature-agreement verify, index never shuffled (r9)
-    "q_incr_embed"          // batch-vs-index hyperplane buckets + cosine verify (r9)
+    "q_incr_embed",         // batch-vs-index hyperplane buckets + cosine verify (r9)
+    "q_incr_simhash"        // batch-vs-index pigeonhole bands + Hamming verify (r9)
   )
 
   private def jsonStr(s: String): String =

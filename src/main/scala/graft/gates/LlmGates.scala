@@ -190,6 +190,14 @@ object LlmGates {
         Dedup.simHashes(docsWithDups(s, dir), "text", "doc_id"),
         maxHamming = 3, bands = 4)
     },
+    // §2.4 row 79e — incremental SimHash near-dup: batch simhash table vs
+    // a persisted one, cross-side pigeonhole bands, exact Hamming verify
+    "q_incr_simhash" -> { (s, dir) =>
+      Dedup.simHashNearDupsAgainstIndex(
+        Dedup.simHashes(incrBatch(s, dir), "text", "doc_id"),
+        Dedup.simHashes(incrPrior(s, dir), "text", "doc_id"),
+        maxHamming = 3, bands = 4)
+    },
     // §2.4 row 79d — incremental embedding near-dup: batch vs a persisted
     // embedding table, hyperplane buckets cross-side, cosine verify
     // (even vectors indexed; odd ∪ planted copies arrive as the batch)
@@ -897,6 +905,38 @@ object LlmGates {
          |JOIN bands a USING (band, band_key)
          |JOIN bands b USING (band, band_key)
          |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q_incr_simhash" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |d AS (
+         |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM all_docs),
+         |wh AS (
+         |  SELECT doc_id, list_transform(w, x -> ${h60("x")}) AS h FROM d),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_sum(list_transform(range(0, 60), b ->
+         |           CASE WHEN list_sum(list_transform(h,
+         |                       v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |                THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+         |  FROM wh),
+         |bands AS (
+         |  SELECT doc_id, simhash, rt.b AS band,
+         |         (simhash >> (rt.b * 15)) % 32768 AS band_key,
+         |         CASE WHEN doc_id % 2 = 0 AND doc_id < 100000 THEN 0 ELSE 1 END AS side
+         |  FROM sh, range(0, 4) rt(b)),
+         |bok AS (
+         |  SELECT band, band_key FROM bands GROUP BY band, band_key
+         |  HAVING count(DISTINCT CASE WHEN side = 0 THEN doc_id END) BETWEEN 1 AND 1024
+         |     AND count(DISTINCT CASE WHEN side = 1 THEN doc_id END) BETWEEN 1 AND 1024)
+         |SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id,
+         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM bok
+         |JOIN bands a USING (band, band_key)
+         |JOIN bands b USING (band, band_key)
+         |WHERE a.side = 0 AND b.side = 1
          |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q_incr_embed" ->
       s"""WITH all_e AS (

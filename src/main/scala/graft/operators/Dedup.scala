@@ -939,6 +939,63 @@ object Dedup {
   }
 
   /**
+   * SimHash near-dup pairs between a new batch's simhash table and a
+   * PERSISTED one ([[simHashes]] output — at 8 bytes/doc the most compact
+   * near-dup index this engine persists): 15-bit pigeonhole bands on both
+   * sides, exact Hamming verify via bit_count(xor) on cross-side bucket
+   * pairs only. Returns (batch_id, index_id, hamming) for pairs within
+   * `maxHamming`. A pair sharing several bands is emitted once
+   * ([[simHashNearDups]]'s distinct convention).
+   *
+   * Scale shape: the [[nearDuplicatesAgainstIndex]] pattern — index
+   * banded in one generate and joined against the BROADCAST batch bands
+   * (never shuffled; `broadcastBatch = false` for corpus-sized batches),
+   * matched buckets regrouped candidate-sized with two-sided observed
+   * caps. The hashes ride the band rows, so the verify needs no join
+   * back to either corpus.
+   */
+  def simHashNearDupsAgainstIndex(
+    batchSimhashes: DataFrame,
+    indexSimhashes: DataFrame,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    val chunkBits = 60 / bands
+    def banded(df: DataFrame, idAs: String, shAs: String) = df.select(
+      col("doc_id").as(idAs), col("simhash").as(shAs),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            (call_function("shiftright", col("simhash"), b * chunkBits) %
+              (1L << chunkBits)).as("band_key"))))
+        .as("bk")
+    ).select(col(idAs), col(shAs),
+      col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val idxB = banded(indexSimhashes, "index_id", "__sh_i")
+    val batchBRaw = banded(batchSimhashes, "batch_id", "__sh_b")
+    val batchB = if (broadcastBatch) broadcast(batchBRaw) else batchBRaw
+    val buckets = idxB.join(batchB, Seq("band", "band_key"))
+      .groupBy("band", "band_key")
+      .agg(
+        collect_set(struct(col("index_id"), col("__sh_i"))).as("idx_items"),
+        collect_set(struct(col("batch_id"), col("__sh_b"))).as("batch_items"))
+    capBuckets(
+      capBuckets(buckets, "idx_items", maxBucket, "incr_simhash_idx"),
+      "batch_items", maxBucket, "incr_simhash_batch")
+      .select(explode(col("idx_items")).as("i"), col("batch_items"))
+      .select(col("i"), explode(col("batch_items")).as("b"))
+      .select(
+        col("b.batch_id").as("batch_id"),
+        col("i.index_id").as("index_id"),
+        bit_count(col("b.__sh_b").bitwiseXOR(col("i.__sh_i"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * Embedding near-duplicate pairs between a new batch and a PERSISTED
    * embedding table (the prior corpus's (id, vector) parquet — e.g. the
    * same artifact an IVF index was built from): hyperplane-LSH buckets

@@ -515,6 +515,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(13L))
   }
 
+  test("incremental simhash near-dup: planted index copy matches at hamming 0") {
+    val prior = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different content about spark partitioning")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "The QUICK brown fox jumps over the lazy dog today."), // ≡ indexed 2
+      (13L, "unrelated fresh material nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDupsAgainstIndex(
+        Dedup.simHashes(batch, "text", "doc_id"),
+        Dedup.simHashes(prior, "text", "doc_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("index_id"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(pairs == Set((11L, 2L, 0)), pairs)
+  }
+
   test("incremental embedding near-dup finds planted index copies and prunes them") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     val idx = e.filter(col("vec_id") % 2 === 0)
