@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Dsir, Retrieval, Sampling, TextAnalysis, Web}
+import graft.operators.{Contamination, Dedup, Dsir, Retrieval, Sampling, TextAnalysis, Web}
 
 /**
  * Correctness gates for corpus-level retrieval and distribution
@@ -137,6 +137,28 @@ object CorpusGates {
             .otherwise(col("text")).as("text"))
         .unionByName(planted)
       Contamination.decontaminateSpans(corpus, evalSet, "text", "doc_id", k = 5)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_tokens_removed"))
+    },
+    // §2.4 row 80 — corpus-self duplicate-span removal (ExactSubstr):
+    // every 10th doc gets the same fabricated sentence appended — the
+    // lowest-id occurrence keeps it, every other loses exactly it; a
+    // planted within-doc repeat loses its second half; short docs and
+    // NULL pass through byte-verbatim
+    "q_dup_spans" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (970001L, Option("aa1 bb2 cc3 dd4 ee5 ff6 gg7 aa1 bb2 cc3 dd4 ee5 ff6 gg7")),
+        (970002L, Option("short doc")),
+        (970003L, Option.empty[String]))
+        .toDF("doc_id", "text")
+      val corpus = docs(s, dir).select(
+          col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(planted)
+      Dedup.dropDuplicateSpans(corpus, "text", "doc_id", k = 6)
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("n_tokens_removed"))
     },
@@ -322,6 +344,62 @@ object CorpusGates {
         |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')) AS text_md5
         |FROM all_docs""".stripMargin,
+    "q_dup_spans" -> {
+      val h60 = LlmGates.h60("array_to_string(nt[i+1:i+6], ' ')")
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 0
+         |              THEN text || ' zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8'
+         |              ELSE text END AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (970001::BIGINT, 'aa1 bb2 cc3 dd4 ee5 ff6 gg7 aa1 bb2 cc3 dd4 ee5 ff6 gg7'),
+         |    (970002::BIGINT, 'short doc'),
+         |    (970003::BIGINT, NULL::VARCHAR)
+         |  ) v(doc_id, text)),
+         |tok AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+         |  FROM corpus),
+         |nrm AS (
+         |  SELECT doc_id, text, w,
+         |         list_transform(w, t -> regexp_replace(lower(t), '[^a-z0-9]', '', 'g')) AS nt
+         |  FROM tok),
+         |grams AS (
+         |  SELECT doc_id, text, w,
+         |         CASE WHEN len(nt) >= 6
+         |              THEN list_transform(range(len(nt) - 5), i -> $h60)
+         |              ELSE CAST([] AS BIGINT[]) END AS gs
+         |  FROM nrm),
+         |occ AS (
+         |  SELECT doc_id, unnest(gs) AS gg, generate_subscripts(gs, 1) AS i FROM grams),
+         |r AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         row_number() OVER (PARTITION BY gg ORDER BY doc_id, i) AS rn,
+         |         count(*) OVER (PARTITION BY gg) AS n
+         |  FROM occ),
+         |st AS (
+         |  SELECT doc_id, list(pos) AS starts FROM r
+         |  WHERE n BETWEEN 2 AND 1024 AND rn > 1
+         |  GROUP BY doc_id),
+         |kept AS (
+         |  SELECT g.doc_id, g.text, g.w, st.starts,
+         |         CASE WHEN st.starts IS NULL THEN NULL
+         |              ELSE list_filter(g.w, (x, i) ->
+         |                len(list_filter(st.starts,
+         |                  p -> (i - 1) >= p AND (i - 1) < p + 6)) = 0) END AS kw
+         |  FROM grams g LEFT JOIN st USING (doc_id))
+         |SELECT doc_id,
+         |       md5(CASE WHEN starts IS NULL THEN text
+         |                ELSE coalesce(array_to_string(kw, ' '), '') END) AS text_md5,
+         |       (CASE WHEN starts IS NULL THEN 0
+         |             ELSE len(w) - len(kw) END)::INT AS n_tokens_removed
+         |FROM kept""".stripMargin
+         // the coalesce matters: a FULLY-cut document has kw = [] and
+         // DuckDB's array_to_string([]) is NULL where Spark's concat_ws
+         // is '' — without it every fully-duplicated doc hash-mismatches
+    },
     "q_decontam_spans" -> {
       val h60 = LlmGates.h60("array_to_string(nt[i+1:i+5], ' ')")
       s"""WITH corpus AS (
@@ -374,10 +452,12 @@ object CorpusGates {
          |  FROM grams g LEFT JOIN st USING (doc_id))
          |SELECT doc_id,
          |       md5(CASE WHEN starts IS NULL THEN text
-         |                ELSE array_to_string(kw, ' ') END) AS text_md5,
+         |                ELSE coalesce(array_to_string(kw, ' '), '') END) AS text_md5,
          |       (CASE WHEN starts IS NULL THEN 0
          |             ELSE len(w) - len(kw) END)::INT AS n_tokens_removed
          |FROM kept""".stripMargin
+         // coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws
+         // is '' — a 100%-contaminated doc would hash-mismatch without it
     },
     "q_eval_overlap" -> {
       val norm = LlmGates.NormSql

@@ -229,17 +229,9 @@ object Contamination {
     require(k >= 1, s"k must be >= 1: $k")
     Cols.requireAbsent(corpus,
       "n_tokens_removed", "__w", "__nt", "__g", "__starts", "__kept", "__did")
-    def tokensOf(c: Column) = filter(split(c, "\\s+"), t => t =!= "")
-    def normTok(w: Column) =
-      transform(w, t => regexp_replace(lower(t), "[^a-z0-9]", ""))
-    // fused native windowed hashing (one call per row, no interpreted
-    // per-position lambda — a transform(sequence…slice…md5) spelling of
-    // the same values ran ~20× slower at sf0.1); the size guard keeps
-    // ShingleHashExpr's whole-text fallback out (short docs have no
-    // spans to cut), so the norm argument is never read
-    def gramHashes(nt: Column) =
-      when(size(nt) >= k, graft.functions.ShingleHashExpr(nt, lit(""), k))
-        .otherwise(array().cast("array<bigint>"))
+    // token-aligned gram machinery shared with Dedup.dropDuplicateSpans
+    import SpanGrams.{tokensOf, normTok}
+    def gramHashes(nt: Column) = SpanGrams.gramHashes(nt, k)
     val docs = corpus
       .withColumn("__w", tokensOf(col(textCol)))
       .withColumn("__nt", normTok(col("__w")))

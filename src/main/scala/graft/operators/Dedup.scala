@@ -533,6 +533,84 @@ object Dedup {
   }
 
   /**
+   * Corpus-self duplicate-SPAN removal, ExactSubstr-style (Lee et al.
+   * 2021, arXiv:2107.06499 "Deduplicating Training Data Makes Language
+   * Models Better"): any k-token window occurring `minCount`+ times
+   * ANYWHERE in the corpus is cut from every occurrence EXCEPT the
+   * first (lexicographically smallest (doc_id, position)) — one copy of
+   * every repeated passage survives corpus-wide. The scalpel between
+   * [[dropDuplicateLines]] (needs the repetition to be line-aligned) and
+   * [[dropNearDuplicates]] (needs the whole DOCUMENT to be similar):
+   * it catches a paragraph quoted verbatim inside otherwise-unrelated
+   * documents. Overlapping duplicated windows union into one cut span
+   * (the [[Contamination.decontaminateSpans]] rebuild). Returns the
+   * corpus with `textCol` cleaned plus `n_tokens_removed`; untouched
+   * documents (including NULL and sub-k) pass through byte-verbatim.
+   *
+   * The reference paper cuts 50-BPE-token substrings via a corpus-wide
+   * suffix array; this is the k-gram-window formulation of the same
+   * rule — token-aligned grams (the [[SpanGrams]] convention shared
+   * with span decontamination), which a distributed engine can compute
+   * with ONE gram-keyed shuffle instead of a global suffix sort.
+   *
+   * Scale shape: one corpus gram explode partially aggregated into
+   * per-gram occurrence lists (the only corpus-scale shuffle — inherent
+   * to the rule: every window must be globally counted), occurrence
+   * lists over `maxOccurrences` dropped LOUDLY (observed metric — a
+   * megadup gram is boilerplate for [[dropDuplicateLines]], and its
+   * cut list would be a skewed task), cut positions regrouped per doc
+   * (cut-sized), and the rebuild join broadcast under `broadcastCuts`
+   * (duplication is sparse in real corpora; pass false for a
+   * boilerplate-saturated corpus and AQE sizes it — the
+   * decontaminateSpans fallback convention).
+   */
+  def dropDuplicateSpans(
+    corpus: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 25,
+    minCount: Int = 2,
+    maxOccurrences: Option[Int] = DefaultMaxBucket,
+    broadcastCuts: Boolean = true
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minCount >= 2, s"minCount must be at least 2: $minCount")
+    Cols.requireAbsent(corpus,
+      "n_tokens_removed", "__w", "__nt", "__g", "__starts", "__kept", "__did")
+    val docs = corpus
+      .withColumn("__w", SpanGrams.tokensOf(col(textCol)))
+      .withColumn("__nt", SpanGrams.normTok(col("__w")))
+      .withColumn("__g", SpanGrams.gramHashes(col("__nt"), k))
+    // per-gram occurrence lists; map-side partials collapse the common
+    // (unique-gram) case before the shuffle
+    val occ = docs
+      .select(col(idCol).as("__did"), posexplode(col("__g")).as(Seq("pos", "g")))
+      .groupBy("g")
+      .agg(collect_list(struct(col("__did"), col("pos"))).as("occs"))
+      .filter(size(col("occs")) >= minCount)
+    // every occurrence except the lexicographic first gets cut;
+    // array_sort orders struct(did, pos) fields left-to-right
+    val cuts = capBuckets(occ, "occs", maxOccurrences, "dup_span")
+      .select(explode(
+        slice(array_sort(col("occs")), lit(2), size(col("occs")) - 1)).as("o"))
+      .groupBy(col("o.__did").as("__did"))
+      .agg(collect_list(col("o.pos")).as("__starts"))
+    val matched = if (broadcastCuts) broadcast(cuts) else cuts
+    docs.join(matched, col(idCol) === col("__did"), "left").drop("__did")
+      .withColumn("__kept",
+        when(col("__starts").isNotNull,
+          filter(col("__w"),
+            (x, i) => !exists(col("__starts"), p => i >= p && i < p + k))))
+      .withColumn("n_tokens_removed",
+        when(col("__starts").isNull, lit(0))
+          .otherwise(size(col("__w")) - size(col("__kept"))).cast("int"))
+      .withColumn(textCol,
+        when(col("__starts").isNull, col(textCol))
+          .otherwise(concat_ws(" ", col("__kept"))))
+      .drop("__w", "__nt", "__g", "__starts", "__kept")
+  }
+
+  /**
    * WITHIN-document repeated-line removal: keeps the FIRST occurrence of
    * each line inside a document and deletes later repeats (scraper menus
    * and generated boilerplate often loop within one page — the corpus-wide

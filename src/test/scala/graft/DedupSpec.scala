@@ -462,6 +462,28 @@ class DedupSpec extends SparkSpec {
       s"missing ${planted.diff(found).size} of ${planted.size} planted dup pairs")
   }
 
+  test("dropDuplicateSpans: repeated passage survives once corpus-wide; within-doc repeat cut") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique one tail here"),
+      // quotes doc 1's 6-token run mid-document
+      (2L, "prefix words alpha beta gamma delta epsilon zeta and more stuff"),
+      // within-doc repeat: the second half duplicates the first
+      (3L, "r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6"),
+      (4L, "nothing shared with anything at all right"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateSpans(df, "text", "doc_id", k = 6)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_tokens_removed"))).toMap
+    // the canonical (lowest doc_id, position) occurrence keeps the span
+    assert(out(1L) == (("alpha beta gamma delta epsilon zeta unique one tail here", 0)))
+    assert(out(2L) == (("prefix words and more stuff", 6)), out(2L))
+    assert(out(3L) == (("r1 r2 r3 r4 r5 r6", 6)), out(3L))
+    assert(out(4L)._2 == 0)
+    assert(out(5L) == ((null, 0)))
+  }
+
   // ------------------------------------------------- incremental (indexed)
 
   test("incremental exact: indexed text vanishes, NULL and within-batch dups kept") {
