@@ -70,7 +70,8 @@ object Bench {
     "q_incr_neardup",       // batch-vs-index banded LSH + signature-agreement verify, index never shuffled (r9)
     "q_incr_embed",         // batch-vs-index hyperplane buckets + cosine verify (r9)
     "q_incr_simhash",       // batch-vs-index pigeonhole bands + Hamming verify (r9)
-    "q_dup_spans"           // corpus-self duplicate-span removal: gram-keyed occurrence shuffle + span rebuild (r9)
+    "q_dup_spans",          // corpus-self duplicate-span removal: gram-keyed occurrence shuffle + span rebuild (r9)
+    "q_incr_neardup_stream" // stateless stream-shape matcher vs the statically-capped flat index (r9)
   )
 
   private def jsonStr(s: String): String =

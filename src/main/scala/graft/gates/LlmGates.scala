@@ -171,6 +171,21 @@ object LlmGates {
           "text", "doc_id", k = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
     },
+    // §2.4 row 81 — the STREAMING arm's batch surface: matches against
+    // the statically-capped flat stream index (stateless projection +
+    // generate + equi-join — the exact plan a readStream would run;
+    // StreamingSpec drives the live-stream side). One row per agreeing
+    // band collapsed by distinct; the oracle re-derives the index-only
+    // static cap and the per-pair agreement.
+    "q_incr_neardup_stream" -> { (s, dir) =>
+      Dedup.nearDupMatchesAgainstIndex(incrBatch(s, dir),
+          Dedup.nearDupStreamIndex(
+            Dedup.minHashSignatures(incrPrior(s, dir), "text", "doc_id"),
+            numHashes = 16, bands = 4),
+          "text", "doc_id", k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .distinct()
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+    },
     // §2.4 row 79c — the surviving batch (near-dup matches anti-joined)
     "q_incr_neardup_rows" -> { (s, dir) =>
       Dedup.dropNearDuplicatesAgainst(incrBatch(s, dir),
@@ -856,6 +871,22 @@ object LlmGates {
       s"""$IncrEstSql
          |SELECT batch_id, index_id, round(ej, 6) AS est_jaccard
          |FROM est WHERE ej >= 0.8""".stripMargin,
+    "q_incr_neardup_stream" ->
+      s"""$IncrEstSql,
+         |iok AS (
+         |  SELECT band, band_key FROM b2 WHERE side = 0
+         |  GROUP BY band, band_key HAVING count(DISTINCT doc_id) <= 1024),
+         |scand AS (
+         |  SELECT DISTINCT i.doc_id AS index_id, b.doc_id AS batch_id
+         |  FROM b2 i JOIN iok USING (band, band_key)
+         |            JOIN b2 b USING (band, band_key)
+         |  WHERE i.side = 0 AND b.side = 1),
+         |sest AS (
+         |  SELECT batch_id, index_id, ($SigAgreeSql) / 16.0 AS ej
+         |  FROM scand JOIN sig x ON scand.index_id = x.doc_id
+         |             JOIN sig y ON scand.batch_id = y.doc_id)
+         |SELECT batch_id, index_id, round(ej, 6) AS est_jaccard
+         |FROM sest WHERE ej >= 0.8""".stripMargin,
     "q_incr_neardup_rows" ->
       s"""$IncrEstSql,
          |batch AS (

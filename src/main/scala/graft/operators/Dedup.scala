@@ -1169,4 +1169,122 @@ object Dedup {
       .select(col("batch_id").as(idCol)).distinct()
     batch.join(matched, Seq(idCol), "left_anti")
   }
+
+  // --------------------------------------- streaming near-dup (stateless)
+  //
+  // [[nearDuplicatesAgainstIndex]] regroups candidate buckets
+  // (groupBy + collect_set), which a streaming query cannot run without
+  // state. The streaming arm splits the work differently: everything
+  // bucket-shaped — banding the index, capping oversized buckets —
+  // happens ONCE at index-build time (batch), leaving the per-document
+  // matching side a pure projection + generate + stream-static equi-join:
+  // no state store, no watermark, no aggregation anywhere in the
+  // streaming plan.
+
+  /** One band row per (band, band_key) with the signature riding — the
+    * shared projection of [[nearDupStreamIndex]] (index side, built in
+    * batch) and [[nearDupMatchesAgainstIndex]] (match side, possibly
+    * streaming). Key format is [[bandTable]]'s, so the two artifacts
+    * inter-operate with the rest of the MinHash family. */
+  private def bandRowsWithSig(
+    signatures: DataFrame,
+    idAs: String,
+    sigAs: String,
+    numHashes: Int,
+    bands: Int
+  ): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    signatures.select(
+      col("doc_id").as(idAs),
+      col("signature").as(sigAs),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            concat_ws(",",
+              transform(slice(col("signature"), b * rows + 1, lit(rows)),
+                v => v.cast("string"))).as("band_key"))))
+        .as("bk"))
+      .select(col(idAs), col(sigAs),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /**
+   * The stream-joinable near-dup index: the corpus signature table
+   * banded into FLAT rows (band, band_key, index_id, index_signature),
+   * with oversized buckets dropped STATICALLY at build time — a
+   * streaming matcher cannot regroup candidates, so the
+   * [[nearDuplicatesAgainstIndex]] bucket cap must live in the artifact
+   * itself. Build once per corpus, write to parquet; every future batch
+   * OR STREAM matches against it via [[nearDupMatchesAgainstIndex]]
+   * with zero index-side recompute.
+   *
+   * Scale shape: one groupBy shuffle of the (small) signature band
+   * table at build time, amortized over every subsequent drop. The cap
+   * uses the observed-metric convention (graft.stream_lsh_idx.bucket_cap)
+   * so boilerplate-shingle buckets are dropped with counts, not
+   * silently. For high-rate streams, persist the artifact bucketed on
+   * band_key ([[graft.sources.Bucketing.writeBucketed]]) so each
+   * micro-batch's join probes co-located index partitions instead of
+   * re-exchanging the index.
+   */
+  def nearDupStreamIndex(
+    indexSignatures: DataFrame,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    maxBucket: Option[Int] = DefaultMaxBucket
+  ): DataFrame = {
+    val banded =
+      bandRowsWithSig(indexSignatures, "index_id", "index_signature", numHashes, bands)
+    val buckets = banded
+      .groupBy("band", "band_key")
+      .agg(collect_set(struct(col("index_id"), col("index_signature"))).as("items"))
+    capBuckets(buckets, "items", maxBucket, "stream_lsh_idx")
+      .select(col("band"), col("band_key"), explode(col("items")).as("i"))
+      .select(
+        col("band"), col("band_key"),
+        col("i.index_id").as("index_id"),
+        col("i.index_signature").as("index_signature"))
+  }
+
+  /**
+   * Near-dup matches of `docs` against a [[nearDupStreamIndex]]
+   * artifact — STATELESS, so it runs unchanged on a batch frame or a
+   * STREAMING one (readStream → this → writeStream, append mode, no
+   * watermark): the doc side is signature projection + band generate,
+   * the join is a stream-static equi-join on (band, band_key), and the
+   * signature-agreement verify is a row-local filter. Returns
+   * (batch_id, index_id, est_jaccard) with one row per AGREEING BAND —
+   * `.distinct()` collapses it in batch (est_jaccard is
+   * pair-determined); streams collapse downstream (streaming dedup, or
+   * exact per-micro-batch semantics via foreachBatch — see
+   * StreamingSpec), keeping this operator state-free.
+   *
+   * Scale shape: per micro-batch the moving side is drop-sized; the
+   * index side is a static parquet scan, ideally bucketed on band_key
+   * so the probe is exchange-free. Bucket skew is already capped inside
+   * the artifact, so a boilerplate band key cannot fan one stream row
+   * out quadratically.
+   */
+  def nearDupMatchesAgainstIndex(
+    docs: DataFrame,
+    streamIndex: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    threshold: Double = 0.8
+  ): DataFrame = {
+    val sigs = minHashSignatures(docs, textCol, idCol, k, numHashes)
+    val docBands = bandRowsWithSig(sigs, "batch_id", "__sig_b", numHashes, bands)
+    val agree = zip_with(col("index_signature"), col("__sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0))
+    docBands.join(streamIndex, Seq("band", "band_key"))
+      .withColumn("est_jaccard",
+        aggregate(agree, lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("batch_id", "index_id", "est_jaccard")
+  }
 }

@@ -573,6 +573,87 @@ class DedupSpec extends SparkSpec {
     assert(expected.forall { case (bid, _) => !kept.contains(bid) })
   }
 
+  test("stream-index near-dup matches the regrouping batch operator and prunes via foreachBatch") {
+    // The statically-capped flat index must reproduce the batch
+    // operator's verified pairs (no batch-side cap is the only
+    // semantic delta, and the fixture is cap-free), and the full drop
+    // semantics compose per micro-batch through foreachBatch.
+    val prior = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different content about spark partitioning")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(prior, "text", "doc_id")
+    val streamIdx = Dedup.nearDupStreamIndex(sigs)
+    val batch = Seq(
+      (11L, "The QUICK brown fox jumps over the lazy dog today."), // ≡ indexed 2
+      (13L, "unrelated fresh material nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val viaStream = Dedup.nearDupMatchesAgainstIndex(batch, streamIdx, "text", "doc_id")
+      .select("batch_id", "index_id", "est_jaccard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStream == Set((11L, 2L, 1.0)), viaStream)
+  }
+
+  test("stream-index near-dup runs LIVE on a stream with zero state operators") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val prior = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different content about spark partitioning")
+    ).toDF("doc_id", "text")
+    val streamIdx = Dedup.nearDupStreamIndex(
+      Dedup.minHashSignatures(prior, "text", "doc_id"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(
+      (11L, "The QUICK brown fox jumps over the lazy dog today."),
+      (13L, "unrelated fresh material nothing shared here at all"))
+    val q = Dedup.nearDupMatchesAgainstIndex(
+        stream.toDF().toDF("doc_id", "text"), streamIdx, "text", "doc_id")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second drop arrives: another copy of indexed doc 2 — matched
+      // with no recompute of the index side and no state carried
+      stream.addData((21L, "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+      val prog = q.lastProgress
+      assert(prog.stateOperators.isEmpty,
+        s"expected a stateless plan, got ${prog.stateOperators.length} state operators")
+    } finally q.stop()
+    val out = spark.table("neardup_stream")
+      .select("batch_id", "index_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((11L, 2L), (21L, 2L)), out)
+  }
+
+  test("foreachBatch composes the regrouping drop operator over a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val prior = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely different content about spark partitioning")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(prior, "text", "doc_id")
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(
+      (11L, "The QUICK brown fox jumps over the lazy dog today."),
+      (13L, "unrelated fresh material nothing shared here at all"))
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = Dedup.dropNearDuplicatesAgainst(df, sigs, "text", "doc_id")
+          .select("doc_id").as[Long].collect()
+        survivors.synchronized { survivors ++= kept }
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(survivors.toSet == Set(13L))
+  }
+
   test("incremental near-dup bucket join broadcasts the batch bands by default") {
     val prior = docs.filter(col("doc_id") % 2 === 0)
     val idx = Dedup.minHashSignatures(prior, "text", "doc_id")
