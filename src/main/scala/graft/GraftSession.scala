@@ -83,6 +83,59 @@ object GraftSession {
 
   // ------------------------------------------- observed-metric reporting
 
+  /**
+   * One connectedComponents execution's convergence record (see
+   * Dedup.connectedComponents): `method` is "localized" (driver-side
+   * union-find — always exact, rounds = 0) or "distributed" (the
+   * pointer-jumping label-propagation loop); `converged = false` means
+   * the distributed loop hit maxIters with labels still moving and the
+   * returned clusters may be SPLIT — callers that need exact cluster
+   * identity should check this instead of relying on the WARN log line.
+   */
+  final case class CcRun(
+    method: String,
+    rounds: Int,
+    converged: Boolean,
+    edges: Long)
+
+  /** Per-session connectedComponents convergence records, newest last.
+    * Weak keys — records die with their session; bounded like
+    * [[bucketCapDrops]] records (oldest evicted past the cap). */
+  private val ccRunRecords =
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.mutable.ArrayBuffer[CcRun]]()
+
+  private def ccRecordsFor(spark: SparkSession) =
+    ccRunRecords.synchronized {
+      ccRunRecords.computeIfAbsent(
+        spark, _ => scala.collection.mutable.ArrayBuffer.empty[CcRun])
+    }
+
+  /** Record one connectedComponents run (called by the operator itself —
+    * the loop is driver-side, so no listener machinery is needed). */
+  def recordCcRun(spark: SparkSession, run: CcRun): Unit = {
+    val buf = ccRecordsFor(spark)
+    buf.synchronized {
+      buf += run
+      if (buf.size > MaxCapDropRecords) buf.remove(0, buf.size - MaxCapDropRecords)
+    }
+  }
+
+  /** Convergence records of every [[recordCcRun]]-reporting run on this
+    * session since creation (or the last [[clearCcRuns]]), oldest first —
+    * the observable companion to the operator's UNCONVERGED warn. */
+  def ccRuns(spark: SparkSession): Seq[CcRun] = {
+    val buf = ccRecordsFor(spark)
+    buf.synchronized(buf.toSeq)
+  }
+
+  /** Reset [[ccRuns]] (e.g. between pipeline stages whose convergence
+    * decisions are independent). */
+  def clearCcRuns(spark: SparkSession): Unit = {
+    val buf = ccRecordsFor(spark)
+    buf.synchronized(buf.clear())
+  }
+
   /** Drop counts one capped bucket stage reported after an action (see
     * Dedup.capBuckets): `metric` is the plan-unique observed-metric name
     * (`graft.<family>.bucket_cap#<n>`). */

@@ -54,19 +54,21 @@ object PipelineGates {
         .filter(col("doc_id") % 100 === 7).select("doc_id", "text")
       // the documented execution path: run() persists the scrubbed
       // intermediate across its many consumers for the action's
-      // lifetime; the action here materializes the (4-column) result
-      // once, so the returned frame is self-contained after the
-      // intermediates unpersist. The lazy curate() plan recomputes the
-      // text-rewriting stages through every self-join — benched at 34 s
-      // vs ~run's cost at sf0.1, which is exactly why run() exists.
+      // lifetime; the action here materializes the (4-column, metadata-
+      // sized) result as a LOCAL relation, so the returned frame is
+      // self-contained after the intermediates unpersist AND leaves no
+      // cached blocks behind (an earlier localCheckpoint spelling leaked
+      // its blocks to the session until the bench sweep freed them). The
+      // lazy curate() plan recomputes the text-rewriting stages through
+      // every self-join — benched at 34 s vs ~run's cost at sf0.1,
+      // which is exactly why run() exists.
       CurationPipeline.run(corpus, "text", "doc_id",
-          GateCfg.copy(evalSet = Some(ev))) {
-        _.select(
+          GateCfg.copy(evalSet = Some(ev))) { curated =>
+        graft.operators.Similarity.localize(curated.select(
           col("doc_id"),
           md5(col("text")).as("text_md5"),
           round(col("quality"), 6).as("quality"),
-          col("split"))
-         .localCheckpoint()
+          col("split")))
       }
     }
   )

@@ -370,22 +370,148 @@ object Dedup {
    * every vertex labeled with the MINIMUM id reachable from it. Returns
    * (doc_id, cluster_id).
    *
-   * Distributed min-label propagation — labels start as each vertex's
-   * own id and every round takes the min over the 1-hop neighborhood,
-   * so it converges in O(graph diameter) rounds. Near-dup graphs are
-   * dense little cliques-with-bridges (diameter a handful), which is
-   * why plain propagation is used over the log-n large-star/small-star
-   * scheme: fewer shuffles per round on the realistic shape. Each round
-   * is one join + one groupBy on the EDGE list (pairs only — tiny
-   * relative to the corpus); nothing is ever collected to the driver.
-   * `localCheckpoint` after each round truncates the logical plan, which
-   * otherwise doubles per iteration and blows up analysis time
-   * (the same lineage trap kmeansCentroids documents).
+   * Two execution strategies, chosen by the MEASURED size of the
+   * deduplicated edge list (duplicate/reversed/self edges never change
+   * components, so they are normalized away before counting):
+   *
+   *  - `edges <= localizeEdgeLimit` — the overwhelmingly common case:
+   *    verified near-dup pairs are pair-bounded, a vanishing fraction of
+   *    any corpus. The edge list is collected and resolved with
+   *    driver-side union-find (path compression, min-id roots) and the
+   *    labels return as a driver-local relation. This is metadata-scale
+   *    work by the same argument as k-means centroid localization
+   *    (Similarity.localize), and it is exact — no iteration bound. The
+   *    returned frame holds NO cached blocks and schedules no per-round
+   *    jobs: leak-free and fixed-overhead-free by construction.
+   *  - larger edge lists: distributed min-label propagation WITH pointer
+   *    jumping — each round takes the 1-hop neighborhood min and then
+   *    adopts its own label's label (path compression), so the label's
+   *    distance to the component minimum shrinks geometrically and
+   *    convergence is O(log diameter) rounds, not O(diameter). Each
+   *    round touches the EDGE list only; the corpus is never shuffled.
+   *    `localCheckpoint` per round truncates the otherwise-doubling
+   *    lineage; superseded checkpoints are freed eagerly. The RETURNED
+   *    frame is backed by the final checkpoint's cached blocks — a
+   *    caller looping over corpus-scale clustering should free them via
+   *    `GraftSqlBridge.unpersistLocalCheckpoint` once consumed.
+   *
+   * Convergence is an OBSERVED metric, not just a WARN:
+   * [[graft.GraftSession.ccRuns]] records (method, rounds, converged,
+   * edges) per run — the bucketCapDrops pattern — so a pipeline can
+   * fail or retry on an unconverged distributed result instead of
+   * silently shipping split clusters. The localized path is always
+   * exact (`converged = true`, `rounds = 0`).
    */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val sym = edges
+  def connectedComponents(
+    edges: DataFrame,
+    maxIters: Int = 20,
+    localizeEdgeLimit: Long = 2000000L
+  ): DataFrame = {
+    val e = edges
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+      .persist()
+    try {
+      val edgeCount = e.count()
+      if (edgeCount <= localizeEdgeLimit) localizedComponents(e, edgeCount)
+      else distributedComponents(e, edgeCount, maxIters)
+    } finally e.unpersist()
+  }
+
+  /** Upper bound on label rows embedded as a LocalRelation (accurate
+    * stats → statically broadcast-able corpus join); bigger localized
+    * results go through `parallelize` to keep the logical plan small. */
+  private val LocalRelationLabelLimit = 200000
+
+  /** `a < b` under the SAME ordering Spark's `min`/`least` (and the
+    * DuckDB oracle) use: numeric/temporal ids via their natural
+    * `Comparable`, strings via unsigned UTF-8 byte order — which is
+    * code-point order, NOT Java's UTF-16 `String.compareTo` (the two
+    * disagree between supplementary characters and U+E000..U+FFFF). */
+  private def idLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xb.length, yb.length)
+      while (i < n) {
+        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      xb.length < yb.length
+    case (x: Comparable[_], _) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    case _ =>
+      throw new IllegalArgumentException(
+        s"connectedComponents: unorderable id type ${a.getClass.getName}")
+  }
+
+  /**
+   * Driver-side union-find over a (normalized, counted) edge list: path
+   * compression keeps finds amortized near-constant, and unions always
+   * root at the smaller id, so each root IS its component's minimum.
+   * Returns the labels as a local relation (small) or a parallelized
+   * one (plan stays flat) — either way, zero cached blocks. Callers go
+   * through [[connectedComponents]], which bounds the collected size.
+   */
+  private def localizedComponents(e: DataFrame, edgeCount: Long): DataFrame = {
+    val spark = e.sparkSession
+    val idType = e.schema("id_a").dataType
+    val parent = new java.util.HashMap[Any, Any](
+      math.max(16, math.min(edgeCount * 4, Int.MaxValue.toLong / 2).toInt))
+    def find(x0: Any): Any = {
+      var r = x0
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x0
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    for (row <- e.collect()) {
+      val a = row.get(0)
+      val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (idLt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    val it = parent.keySet().iterator() // find() only rewrites values of
+    while (it.hasNext) {                // existing keys — not structural
+      val v = it.next()
+      out.add(org.apache.spark.sql.Row(v, find(v)))
+    }
+    graft.GraftSession.recordCcRun(spark,
+      graft.GraftSession.CcRun("localized", 0, converged = true, edgeCount))
+    if (out.size <= LocalRelationLabelLimit) spark.createDataFrame(out, schema)
+    else {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          out.asScala.toIndexedSeq, math.max(1, out.size / 500000)),
+        schema)
+    }
+  }
+
+  /** The distributed arm of [[connectedComponents]]: min-label
+    * propagation with a pointer-jump (label-of-label) step per round for
+    * O(log diameter) convergence. Edge-list-only joins; the per-round
+    * `localCheckpoint`s truncate the otherwise-doubling lineage (the
+    * same trap kmeansCentroids documents) and superseded checkpoints
+    * are freed eagerly. */
+  private def distributedComponents(
+    e: DataFrame, edgeCount: Long, maxIters: Int): DataFrame = {
+    val sym = e
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     try {
       var labels = sym.select(col("src").as("doc_id")).distinct()
@@ -403,24 +529,45 @@ object Dedup {
           .join(labels.withColumnRenamed("doc_id", "src"), "src")
           .groupBy(col("dst").as("doc_id"))
           .agg(min(col("cluster_id")).as("nbr_min"))
-        val updated = labels
+        // 1-hop neighborhood min — checkpointed so the pointer-jump
+        // self-join reads the materialized rows once instead of running
+        // the join+groupBy on both sides of the self-join
+        val hop = labels
           .withColumnRenamed("cluster_id", "old")
           .join(nbrMin, Seq("doc_id"), "left")
           .select(
             col("doc_id"), col("old"),
             least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"))
           .localCheckpoint()
+        // pointer jump: adopt the label's own label. Labels are always
+        // vertex ids present in the table and monotonically
+        // non-increasing, so label(label(v)) is reachable from v and
+        // the distance to the component minimum shrinks geometrically —
+        // a diameter-d chain converges in O(log d) rounds, not d
+        val updated = hop.as("a")
+          .join(
+            hop.select(col("doc_id").as("p"), col("cluster_id").as("pc")).as("b"),
+            col("a.cluster_id") === col("b.p"), "left")
+          .select(
+            col("a.doc_id").as("doc_id"), col("a.old").as("old"),
+            least(col("a.cluster_id"),
+              coalesce(col("b.pc"), col("a.cluster_id"))).as("cluster_id"))
+          .localCheckpoint()
         converged = updated.filter(col("cluster_id") =!= col("old")).isEmpty
         labels = updated.select("doc_id", "cluster_id")
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(hop)
         org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(prevCheckpoint)
         prevCheckpoint = updated
         i += 1
       }
+      graft.GraftSession.recordCcRun(e.sparkSession,
+        graft.GraftSession.CcRun("distributed", i, converged, edgeCount))
       if (!converged)
         org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
           s"connectedComponents stopped UNCONVERGED after $maxIters rounds — " +
-            "a component with diameter > maxIters is still split across " +
-            "labels; raise maxIters if exact cluster identity matters")
+            "a component whose label tree still spans rounds is split; " +
+            "raise maxIters (convergence is O(log diameter)) and check " +
+            "GraftSession.ccRuns if exact cluster identity matters")
       labels
     } finally sym.unpersist()
   }
@@ -447,11 +594,12 @@ object Dedup {
     bands: Int = 4,
     threshold: Double = 0.8,
     maxBucket: Option[Int] = DefaultMaxBucket,
-    maxIters: Int = 20
+    maxIters: Int = 20,
+    localizeEdgeLimit: Long = 2000000L
   ): DataFrame = {
     val comp = connectedComponents(
       nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold, maxBucket),
-      maxIters)
+      maxIters, localizeEdgeLimit)
       .withColumnRenamed("doc_id", idCol)
     // no explicit broadcast hint: comp is usually tiny (AQE broadcasts
     // it), but a pathological all-dups corpus must still be joinable

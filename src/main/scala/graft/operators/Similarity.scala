@@ -260,7 +260,7 @@ object Similarity {
    * the source plan, and downstream consumers embed a flat local table
    * instead of re-running the plan per action.
    */
-  private[operators] def localize(df: DataFrame): DataFrame = {
+  private[graft] def localize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.createDataFrame(
       spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1), df.schema)

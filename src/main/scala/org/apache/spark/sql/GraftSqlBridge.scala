@@ -34,16 +34,22 @@ object GraftSqlBridge {
       true
     } catch { case _: java.util.concurrent.TimeoutException => false }
 
-  /** Unpersist the cached blocks behind a `localCheckpoint()`ed frame.
-    * A checkpointed Dataset's plan is a `LogicalRDD` over an RDD cached
-    * outside the cache manager, so `Dataset.unpersist()` (which routes
-    * through `CacheManager.uncacheQuery`) silently no-ops on it; the
-    * blocks otherwise linger until ContextCleaner GC. Safe no-op for any
-    * other plan shape. NEVER call this on a checkpoint still in use —
-    * the cached blocks are the only copy (lineage is truncated). */
+  /** Unpersist the cached blocks behind a `localCheckpoint()`ed frame —
+    * the caller-visible FREE HANDLE for operators whose result is backed
+    * by checkpoint blocks (e.g. the distributed arm of
+    * `Dedup.connectedComponents`). A checkpointed Dataset's plan is a
+    * `LogicalRDD` over an RDD cached outside the cache manager, so
+    * `Dataset.unpersist()` (which routes through
+    * `CacheManager.uncacheQuery`) silently no-ops on it; the blocks
+    * otherwise linger until ContextCleaner GC. Walks the WHOLE analyzed
+    * plan, freeing every checkpoint leaf under it, so it also works on
+    * frames DERIVED from a checkpoint (a select/filter over the
+    * returned labels). Safe no-op for any other plan shape. NEVER call
+    * this on a checkpoint still in use — the cached blocks are the only
+    * copy (lineage is truncated). */
   def unpersistLocalCheckpoint(df: Dataset[_]): Unit = df match {
     case cd: org.apache.spark.sql.classic.Dataset[_] =>
-      cd.queryExecution.analyzed match {
+      cd.queryExecution.analyzed.foreach {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           l.rdd.unpersist(blocking = false)
         case _ => ()

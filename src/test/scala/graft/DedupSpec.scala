@@ -100,6 +100,48 @@ class DedupSpec extends SparkSpec {
     assert(leftover.size <= 1, s"leaked cached RDDs: $leftover")
   }
 
+  test("connectedComponents: both arms agree, and convergence is an observed metric") {
+    import spark.implicits._
+    // star + chain + triangle + self-loop singleton, shuffled edge order
+    val raw = Seq(
+      (5L, 1L), (5L, 7L), (5L, 9L),            // star rooted past its min
+      (20L, 21L), (21L, 22L), (22L, 23L),      // chain
+      (30L, 31L), (31L, 32L), (32L, 30L),      // triangle
+      (40L, 40L),                              // self-loop singleton
+      (1L, 5L), (9L, 5L)                       // duplicate + reversed edges
+    )
+    val edges = scala.util.Random.shuffle(raw).toDF("id_a", "id_b")
+    GraftSession.clearCcRuns(spark)
+    val localRes = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distRes = Dedup.connectedComponents(edges, localizeEdgeLimit = 0L)
+    val distMap = distRes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(distRes)
+    assert(localRes == distMap, s"arms disagree: $localRes vs $distMap")
+    assert(localRes(1L) == 1L && localRes(5L) == 1L && localRes(9L) == 1L)
+    assert(localRes(23L) == 20L && localRes(32L) == 30L && localRes(40L) == 40L)
+    val runs = GraftSession.ccRuns(spark)
+    assert(runs.map(_.method) == Seq("localized", "distributed"), runs.toString)
+    assert(runs.forall(_.converged), runs.toString)
+    assert(runs.forall(_.edges == 10L), runs.toString) // dup + reversed collapsed
+  }
+
+  test("connectedComponents: diameter-50 chain converges within default iterations " +
+    "(pointer jumping, O(log d) rounds)") {
+    import spark.implicits._
+    val edges = (1L until 51L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    GraftSession.clearCcRuns(spark)
+    val out = Dedup.connectedComponents(edges, localizeEdgeLimit = 0L)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(out)
+    assert(labels.size == 51 && labels.values.forall(_ == 1L),
+      s"chain split: ${labels.values.toSet}")
+    val run = GraftSession.ccRuns(spark).last
+    assert(run.converged, run.toString)
+    // plain propagation needs 50 rounds; the jump step must beat 20
+    assert(run.rounds <= 12, s"expected O(log 50) rounds, took ${run.rounds}")
+  }
+
   test("clusterNearDuplicates: transitive chain lands in ONE cluster; singletons keep own id") {
     import spark.implicits._
     // hub-and-spokes chain: doc 2 is near-dup of both 1 and 3, but 1 and

@@ -206,15 +206,24 @@ class PlanAuditSpec extends SparkSpec {
 
   test("connectedComponents: result plan is iteration-flat (lineage truncated per round)") {
     import spark.implicits._
-    // a 6-vertex path graph needs ~5 propagation rounds; without the
-    // per-round localCheckpoint the returned plan would embed every
-    // round's join chain and DOUBLE in size per iteration
+    // distributed arm (localizeEdgeLimit = 0): without the per-round
+    // localCheckpoint the returned plan would embed every round's join
+    // chain and DOUBLE in size per iteration
     val edges = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(edges)
+    val out = Dedup.connectedComponents(edges, localizeEdgeLimit = 0L)
     val planNodes = out.queryExecution.optimizedPlan.collect { case p => p }.size
     assert(planNodes <= 3, s"expected a flat checkpointed relation, got $planNodes nodes")
     // and the propagation actually converged across those rounds
     assert(out.collect().map(_.getLong(1)).distinct.toSeq == Seq(0L))
+    org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(out)
+  }
+
+  test("connectedComponents: localized arm is a driver-local relation (no jobs per read)") {
+    import spark.implicits._
+    val edges = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"), plan)
   }
 
   test("near-dup chain: no cartesian product, no bucket self-join") {

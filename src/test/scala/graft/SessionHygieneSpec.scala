@@ -23,22 +23,46 @@ class SessionHygieneSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog once more today")
   ).toDF("doc_id", "text")
 
-  test("connectedComponents returns a checkpoint-backed frame; sweep reclaims it") {
+  test("connectedComponents (localized arm) leaves no persisted state at all") {
     GraftSession.sweepPersistedState(spark)
     val edges = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Dedup.connectedComponents(edges)
-    // the result must be CONSUMED before sweeping — the checkpoint blocks
+    assert(labels.collect().length == 6)
+    // the round-10 contract: below localizeEdgeLimit the labels are a
+    // driver-local relation — no checkpoint blocks, nothing to sweep
+    assert(persistedCount == 0,
+      s"localized connectedComponents left $persistedCount persisted RDDs")
+  }
+
+  test("looping over clustering leaves zero persisted blocks (no sweep needed)") {
+    GraftSession.sweepPersistedState(spark)
+    for (_ <- 1 to 3) {
+      val out = Dedup.clusterNearDuplicates(docsFixture, "text", "doc_id")
+      assert(out.collect().length == 4)
+    }
+    assert(persistedCount == 0,
+      s"clustering loop accumulated $persistedCount persisted RDDs")
+  }
+
+  test("connectedComponents (distributed arm) returns a checkpoint-backed frame; " +
+    "unpersistLocalCheckpoint frees it") {
+    GraftSession.sweepPersistedState(spark)
+    val edges = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // localizeEdgeLimit = 0 forces the corpus-scale distributed loop
+    val labels = Dedup.connectedComponents(edges, localizeEdgeLimit = 0L)
+    // the result must be CONSUMED before freeing — the checkpoint blocks
     // are its only copy
     assert(labels.collect().length == 6)
-    // the final label checkpoint is persisted by design (no handle inside
-    // the operator outlives the return to free it) — this is the leak the
-    // bench sweep exists for
+    // the final label checkpoint is persisted by design on this arm (the
+    // labels ARE the blocks); the caller-visible free handle is
+    // GraftSqlBridge.unpersistLocalCheckpoint on the returned frame
     assert(persistedCount > 0,
       "expected the final label checkpoint to be persisted")
-    val swept = GraftSession.sweepPersistedState(spark)
-    assert(swept > 0)
+    // the handle works on the returned (derived) frame itself — no need
+    // to have kept the raw checkpoint
+    org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(labels)
     assert(persistedCount == 0,
-      s"sweep left $persistedCount persisted RDDs behind")
+      s"free handle left $persistedCount persisted RDDs behind")
   }
 
   test("bloom-prefiltered contamination leaves no persisted state (localized eval grams)") {
