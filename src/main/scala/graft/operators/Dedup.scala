@@ -1103,16 +1103,22 @@ object Dedup {
    *
    * Scale shape: the index is banded with ONE generate and — when
    * `broadcastBatch` holds (default; a drop is much smaller than the
-   * corpus it joins) — the batch's band table is broadcast onto it, so
-   * the INDEX IS NEVER SHUFFLED. Pass broadcastBatch=false for a
-   * corpus-sized batch: the hint is dropped and AQE sizes the join at
-   * runtime (the [[Contamination.decontaminateSpans]] fallback
-   * convention). Matched buckets are regrouped (candidate-sized shuffle)
-   * and capped per side with observed drop metrics — a boilerplate band
-   * key shared by thousands of index docs would otherwise emit quadratic
-   * candidates. The verify join moves only candidate-sized data; the
-   * batch side's signatures are evaluated once per plan reference
-   * (band + verify = two batch scans — batch-sized, the cheap side).
+   * corpus it joins) — filtered by a broadcast SEMI join against the
+   * batch's distinct band keys, so the INDEX IS NEVER SHUFFLED beyond
+   * the matched (candidate-sized) rows. Pass broadcastBatch=false for a
+   * corpus-sized batch: the hints are dropped and AQE sizes the joins
+   * at runtime (the [[Contamination.decontaminateSpans]] fallback
+   * convention). Each side is then grouped and capped INDEPENDENTLY
+   * BEFORE the cross-side bucket join — the semi join emits each
+   * matched index row once, so a boilerplate band key shared by I index
+   * docs and B batch docs costs O(I + B) rows into aggregation, never
+   * the I×B join explosion a join-then-group spelling would pay before
+   * its cap could drop the bucket. The capped arrays join 1:1 per
+   * (band, key) and only then explode to pairs — bounded by cap² per
+   * bucket. Caps carry observed drop metrics per side. The verify join
+   * moves only candidate-sized data; the batch side's signatures are
+   * evaluated once per plan reference (band + verify = two batch scans
+   * — batch-sized, the cheap side).
    */
   def nearDuplicatesAgainstIndex(
     batch: DataFrame,
@@ -1129,20 +1135,26 @@ object Dedup {
     val batchSigs = minHashSignatures(batch, textCol, idCol, k, numHashes)
     val idxBands = bandTable(indexSignatures, numHashes, bands)
       .withColumnRenamed("doc_id", "index_id")
-    val batchBandsRaw = bandTable(batchSigs, numHashes, bands)
+    val batchBands = bandTable(batchSigs, numHashes, bands)
       .withColumnRenamed("doc_id", "batch_id")
-    val batchBands =
-      if (broadcastBatch) broadcast(batchBandsRaw) else batchBandsRaw
-    // candidate buckets: only (band, key) groups present on BOTH sides
-    // survive the join; collect_set per side, cap each (the observed-metric
-    // recall trade — see capBuckets)
-    val buckets = idxBands.join(batchBands, Seq("band", "band_key"))
-      .groupBy("band", "band_key")
-      .agg(
-        collect_set("index_id").as("idx_ids"),
-        collect_set("batch_id").as("batch_ids"))
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    // matched index rows: semi join against the batch's distinct band
+    // keys — each index row emitted AT MOST ONCE (candidate-sized, no
+    // cross-side row explosion), then grouped and capped on its own
+    val matchedIdx = idxBands.join(
+      hinted(batchBands.select("band", "band_key").distinct()),
+      Seq("band", "band_key"), "left_semi")
+    val idxBuckets = capBuckets(
+      matchedIdx.groupBy("band", "band_key")
+        .agg(collect_set("index_id").as("idx_ids")),
+      "idx_ids", maxBucket, "incr_lsh_idx")
+    val batchBuckets = batchBands.groupBy("band", "band_key")
+      .agg(collect_set("batch_id").as("batch_ids"))
+    // capped-array-to-array join is 1:1 per (band, key); the batch cap
+    // runs after the inner join so its drop metric counts only buckets
+    // present on both sides (the join-then-group spelling's bucket set)
     val capped = capBuckets(
-      capBuckets(buckets, "idx_ids", maxBucket, "incr_lsh_idx"),
+      idxBuckets.join(hinted(batchBuckets), Seq("band", "band_key")),
       "batch_ids", maxBucket, "incr_lsh_batch")
     val cand = capped
       .select(explode(col("idx_ids")).as("index_id"), col("batch_ids"))
@@ -1174,11 +1186,12 @@ object Dedup {
    * ([[simHashNearDups]]'s distinct convention).
    *
    * Scale shape: the [[nearDuplicatesAgainstIndex]] pattern — index
-   * banded in one generate and joined against the BROADCAST batch bands
-   * (never shuffled; `broadcastBatch = false` for corpus-sized batches),
-   * matched buckets regrouped candidate-sized with two-sided observed
-   * caps. The hashes ride the band rows, so the verify needs no join
-   * back to either corpus.
+   * banded in one generate and semi-joined against the BROADCAST batch
+   * band keys (never shuffled beyond matched rows; `broadcastBatch =
+   * false` for corpus-sized batches), each side grouped and capped
+   * independently BEFORE the cross-side join (O(I + B) rows per bucket,
+   * never I×B), with two-sided observed caps. The hashes ride the band
+   * rows, so the verify needs no join back to either corpus.
    */
   def simHashNearDupsAgainstIndex(
     batchSimhashes: DataFrame,
@@ -1201,15 +1214,21 @@ object Dedup {
     ).select(col(idAs), col(shAs),
       col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val idxB = banded(indexSimhashes, "index_id", "__sh_i")
-    val batchBRaw = banded(batchSimhashes, "batch_id", "__sh_b")
-    val batchB = if (broadcastBatch) broadcast(batchBRaw) else batchBRaw
-    val buckets = idxB.join(batchB, Seq("band", "band_key"))
-      .groupBy("band", "band_key")
-      .agg(
-        collect_set(struct(col("index_id"), col("__sh_i"))).as("idx_items"),
-        collect_set(struct(col("batch_id"), col("__sh_b"))).as("batch_items"))
+    val batchB = banded(batchSimhashes, "batch_id", "__sh_b")
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    // per-side group + cap BEFORE the cross-side join (see
+    // nearDuplicatesAgainstIndex — O(I + B) rows per bucket, not I×B)
+    val matchedIdx = idxB.join(
+      hinted(batchB.select("band", "band_key").distinct()),
+      Seq("band", "band_key"), "left_semi")
+    val idxBuckets = capBuckets(
+      matchedIdx.groupBy("band", "band_key")
+        .agg(collect_set(struct(col("index_id"), col("__sh_i"))).as("idx_items")),
+      "idx_items", maxBucket, "incr_simhash_idx")
+    val batchBuckets = batchB.groupBy("band", "band_key")
+      .agg(collect_set(struct(col("batch_id"), col("__sh_b"))).as("batch_items"))
     capBuckets(
-      capBuckets(buckets, "idx_items", maxBucket, "incr_simhash_idx"),
+      idxBuckets.join(hinted(batchBuckets), Seq("band", "band_key")),
       "batch_items", maxBucket, "incr_simhash_batch")
       .select(explode(col("idx_items")).as("i"), col("batch_items"))
       .select(col("i"), explode(col("batch_items")).as("b"))
@@ -1233,9 +1252,10 @@ object Dedup {
    *
    * Scale shape: identical to the MinHash incremental — the index is
    * bucketed in one projection and (under `broadcastBatch`, the default)
-   * joined against the BROADCAST batch buckets, so the index is never
-   * shuffled; matched buckets regroup (candidate-sized) with two-sided
-   * observed caps before pair explosion + cosine verify.
+   * semi-joined against the BROADCAST batch bucket keys, so the index
+   * is never shuffled beyond the matched rows; each side groups and
+   * caps independently BEFORE the cross-side bucket join (O(I + B)
+   * rows per bucket, never I×B), then pair explosion + cosine verify.
    */
   def embeddingNearDupAgainstIndex(
     batch: DataFrame,
@@ -1251,15 +1271,20 @@ object Dedup {
       col(idCol).as(as), col(vecCol).as(vAs),
       graft.functions.HyperplaneBucketExpr(col(vecCol), planes).as("bucket"))
     val idxB = bucketed(index, "index_id", "__vi")
-    val batchBRaw = bucketed(batch, "batch_id", "__vb")
-    val batchB = if (broadcastBatch) broadcast(batchBRaw) else batchBRaw
-    val buckets = idxB.join(batchB, Seq("bucket"))
-      .groupBy("bucket")
-      .agg(
-        collect_set(struct(col("index_id"), col("__vi"))).as("idx_items"),
-        collect_set(struct(col("batch_id"), col("__vb"))).as("batch_items"))
+    val batchB = bucketed(batch, "batch_id", "__vb")
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    // per-side group + cap BEFORE the cross-side join (see
+    // nearDuplicatesAgainstIndex — O(I + B) rows per bucket, not I×B)
+    val matchedIdx = idxB.join(
+      hinted(batchB.select("bucket").distinct()), Seq("bucket"), "left_semi")
+    val idxBuckets = capBuckets(
+      matchedIdx.groupBy("bucket")
+        .agg(collect_set(struct(col("index_id"), col("__vi"))).as("idx_items")),
+      "idx_items", maxBucket, "incr_hyperplane_idx")
+    val batchBuckets = batchB.groupBy("bucket")
+      .agg(collect_set(struct(col("batch_id"), col("__vb"))).as("batch_items"))
     capBuckets(
-      capBuckets(buckets, "idx_items", maxBucket, "incr_hyperplane_idx"),
+      idxBuckets.join(hinted(batchBuckets), Seq("bucket")),
       "batch_items", maxBucket, "incr_hyperplane_batch")
       .select(explode(col("idx_items")).as("i"), col("batch_items"))
       .select(col("i"), explode(col("batch_items")).as("b"))

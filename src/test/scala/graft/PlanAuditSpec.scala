@@ -261,24 +261,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(entPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), entPlan)
   }
 
-  test("incremental near-dup: index bands stream into the bucket join with no shuffle beneath") {
+  test("incremental near-dup: index streams unshuffled into the semi join; " +
+    "both sides aggregated BEFORE the cross-side bucket join") {
     val idx = Dedup.minHashSignatures(
       docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
     val batch = docs.filter(col("doc_id") % 2 === 1)
     val q = Dedup.nearDuplicatesAgainstIndex(batch, idx, "text", "doc_id")
-    // pre-AQE physical plan: find the (band, band_key) broadcast join and
-    // walk its STREAMED (index) side — the 100 TB claim is that the
-    // corpus-sized index reaches this join scan→generate, never shuffled
+    // pre-AQE physical plan: the corpus-sized index meets the batch at a
+    // band-keyed broadcast SEMI join — the 100 TB claim is that the index
+    // reaches it scan→generate, never shuffled
     val sp = q.queryExecution.sparkPlan
-    val bj = sp.collect {
-        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
-      }.find(_.leftKeys.exists(_.references.exists(_.name == "band")))
-    assert(bj.nonEmpty, s"no band-keyed broadcast join:\n$sp")
-    val shuffles = bj.get.left.collect {
+    val bandJoins = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "band")) => j
+    }
+    val semi = bandJoins.find(_.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi)
+    assert(semi.nonEmpty, s"no band-keyed broadcast semi join:\n$sp")
+    val shuffles = semi.get.left.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(shuffles.isEmpty,
-      s"index side shuffled before the bucket join:\n${bj.get.left}")
+      s"index side shuffled before the semi join:\n${semi.get.left}")
+    // the cross-side bucket join consumes two ALREADY-AGGREGATED sides —
+    // a megabucket shared by I index and B batch docs costs O(I + B)
+    // rows into aggregation, never an I×B join explosion (ADVICE r9)
+    val inner = bandJoins.find(_.joinType == org.apache.spark.sql.catalyst.plans.Inner)
+    assert(inner.nonEmpty, s"no band-keyed inner bucket join:\n$sp")
+    Seq(inner.get.left -> "index", inner.get.right -> "batch").foreach {
+      case (side, name) =>
+        val agg = side.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(agg.nonEmpty,
+          s"$name side of the bucket join is not pre-aggregated:\n$side")
+    }
   }
 
   test("curation: the near-dup chain is evaluated once (quality inline, no self-join)") {
