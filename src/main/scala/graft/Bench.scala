@@ -93,7 +93,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a subset (iteration aid; the
+    // driver's full-board runs leave it unset)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val headline = Headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n)))
 
     // Evaluate via the no-op sink, NOT count(): count() lets Catalyst prune
     // every projection, so a pure map-side query would "run" in the time it

@@ -695,22 +695,43 @@ object Dedup {
    * corpus with `textCol` cleaned plus `n_tokens_removed`; untouched
    * documents (including NULL and sub-k) pass through byte-verbatim.
    *
+   * A document receiving ANY cut is rebuilt by joining its surviving
+   * tokens with single spaces (the decontaminateSpans convention), so
+   * ALL its original whitespace — including newlines — collapses: one
+   * 25-token cut costs every line boundary in that document. Run span
+   * removal AFTER the line-structured rules ([[dropDuplicateLines]],
+   * [[dropRepeatedLinesWithinDoc]]) so they see intact newlines.
+   *
    * The reference paper cuts 50-BPE-token substrings via a corpus-wide
    * suffix array; this is the k-gram-window formulation of the same
    * rule — token-aligned grams (the [[SpanGrams]] convention shared
    * with span decontamination), which a distributed engine can compute
    * with ONE gram-keyed shuffle instead of a global suffix sort.
    *
-   * Scale shape: one corpus gram explode partially aggregated into
-   * per-gram occurrence lists (the only corpus-scale shuffle — inherent
-   * to the rule: every window must be globally counted), occurrence
-   * lists over `maxOccurrences` dropped LOUDLY (observed metric — a
-   * megadup gram is boilerplate for [[dropDuplicateLines]], and its
-   * cut list would be a skewed task), cut positions regrouped per doc
-   * (cut-sized), and the rebuild join broadcast under `broadcastCuts`
-   * (duplication is sparse in real corpora; pass false for a
-   * boilerplate-saturated corpus and AQE sizes it — the
+   * Scale shape: TWO-PHASE occurrence detection over ONE shared gram
+   * exchange. The corpus gram stream is exploded and hash-partitioned
+   * on the gram exactly once; phase 1 COUNTS grams off that exchange (a
+   * codegen'd aggregate — no per-gram object buffers) and keeps only
+   * grams reaching `minCount` (tiny — duplication is sparse in real
+   * corpora), and phase 2 re-reads the SAME exchange (ReuseExchange —
+   * see the pruning guard in the code) semi-joined against that
+   * duplicated-gram set, so the collect_list aggregation materializes
+   * O(duplicated positions), never a position buffer per unique gram —
+   * the overwhelmingly-common unique gram costs one counted row and
+   * nothing more. Occurrence lists over `maxOccurrences` are dropped
+   * LOUDLY (observed metric — a megadup gram is boilerplate for
+   * [[dropDuplicateLines]], and its cut list would be a skewed task),
+   * cut positions regroup per doc (cut-sized), and the dup-gram semi
+   * join and rebuild join broadcast under `broadcastCuts` (pass false
+   * for a boilerplate-saturated corpus and AQE sizes them — the
    * decontaminateSpans fallback convention).
+   *
+   * Gram identity is the 60-bit [[SpanGrams]] hash, so two UNRELATED
+   * k-windows can collide and cut an innocent span: expect ~n²/2⁶¹
+   * spurious co-occurrences for n corpus windows (birthday bound — at
+   * 10¹² windows, a ~20% chance of ONE false pair corpus-wide). The
+   * reference suffix-array formulation is exact; this engine trades
+   * that vanishing false-positive rate for the one-shuffle plan.
    */
   def dropDuplicateSpans(
     corpus: DataFrame,
@@ -729,13 +750,38 @@ object Dedup {
       .withColumn("__w", SpanGrams.tokensOf(col(textCol)))
       .withColumn("__nt", SpanGrams.normTok(col("__w")))
       .withColumn("__g", SpanGrams.gramHashes(col("__nt"), k))
-    // per-gram occurrence lists; map-side partials collapse the common
-    // (unique-gram) case before the shuffle
-    val occ = docs
+    // the explicit isNotNull is load-bearing for exchange reuse: the
+    // dup-gram join below infers it on ITS copy of this subtree, and if
+    // it were only inferred, predicate pushdown would specialize that
+    // copy and break the ReuseExchange into a second corpus scan
+    val gramRows = docs
       .select(col(idCol).as("__did"), posexplode(col("__g")).as(Seq("pos", "g")))
+      .filter(col("g").isNotNull)
+      .repartition(col("g"))
+    def hinted(d: DataFrame) = if (broadcastCuts) broadcast(d) else d
+    // phase 1: global gram counts, read off the SAME gram exchange that
+    // phase 2 consumes (ReuseExchange — the corpus gram stream is
+    // computed and shuffled ONCE). count(when(pos >= 0 OR did NOT NULL))
+    // ≡ count(1) — posexplode positions are non-negative — but it
+    // references BOTH payload columns, so column pruning cannot
+    // specialize this branch's exchange copy and silently break the
+    // reuse into a second corpus scan (the BM25 pruned-agg guard,
+    // Retrieval.scala; PlanAuditSpec pins the ReusedExchange here too)
+    val dupGrams = gramRows
+      .groupBy("g")
+      .agg(count(when(col("pos") >= 0 || col("__did").isNotNull, lit(1))).as("c"))
+      .filter(col("c") >= minCount)
+      .select("g")
+    // phase 2: occurrence lists ONLY for duplicated grams — collect_list
+    // materializes O(dup positions), never a buffer per unique gram.
+    // INNER join, not semi: dup-gram keys are unique (groupBy output) so
+    // the semantics are identical, but PushDownLeftSemiAntiJoin would
+    // push a semi join below the repartition, splitting the shared
+    // exchange back into two corpus scans
+    val occ = gramRows
+      .join(hinted(dupGrams), Seq("g"))
       .groupBy("g")
       .agg(collect_list(struct(col("__did"), col("pos"))).as("occs"))
-      .filter(size(col("occs")) >= minCount)
     // every occurrence except the lexicographic first gets cut;
     // array_sort orders struct(did, pos) fields left-to-right
     val cuts = capBuckets(occ, "occs", maxOccurrences, "dup_span")

@@ -297,6 +297,54 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dropDuplicateSpans: occurrence collection is count-pruned (two-phase)") {
+    val q = Dedup.dropDuplicateSpans(
+      docs.select("doc_id", "text"), "text", "doc_id", k = 5)
+    val sp = q.queryExecution.sparkPlan
+    // phase boundary: a gram-keyed join prunes the position stream to
+    // duplicated grams BEFORE any collect_list — the O(tokens)-object
+    // aggregation a single group-then-filter spelling would pay never
+    // exists (inner join ≡ semi here: dup-gram keys are unique)
+    val semi = sp.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+          j.leftKeys.exists(_.references.exists(_.name == "g")) => j
+    }
+    assert(semi.nonEmpty, s"no gram-keyed broadcast prune join:\n$sp")
+    // the dup-gram build side is a codegen'd COUNT aggregate…
+    val buildAggs = semi.head.right.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(buildAggs.exists(_.aggregateExpressions.exists(
+      _.aggregateFunction.toString.startsWith("count"))),
+      s"dup-gram side is not a count aggregate:\n${semi.head.right}")
+    assert(buildAggs.forall(!_.aggregateExpressions.exists(
+      _.aggregateFunction.toString.contains("collect_list"))),
+      s"dup-gram side collects positions:\n${semi.head.right}")
+    // …and every occurrence-collecting aggregate sits ABOVE the semi join
+    val collectAggs = sp.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.aggregateExpressions.exists(
+          _.aggregateFunction.toString.contains("collect_list")) => a
+    }
+    assert(collectAggs.nonEmpty, s"no occurrence collect_list aggregate:\n$sp")
+    assert(collectAggs.forall(a => a.find(_ eq semi.head).isDefined),
+      s"collect_list aggregate not fed by the count-prune semi join:\n$sp")
+    // both phases read ONE shared gram exchange: a single corpus gram
+    // explode, the other branch a ReusedExchange (the count's opaque
+    // predicate keeps the two exchange copies column-identical — the
+    // BM25 pruned-agg guard; if this explode count goes to 2, pruning
+    // specialized a branch and the corpus is silently scanned twice).
+    // collect(), not a noop write: AQE dedupes identical stages at
+    // EXECUTION, and only this dataset's own QueryExecution finalizes
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val gramExplodes = "Generate posexplode".r.findAllIn(plan).size
+    assert(gramExplodes == 1, s"corpus grams exploded $gramExplodes times:\n${plan.take(4000)}")
+    assert("ReusedExchange.*hashpartitioning\\(g#".r.findAllIn(plan).nonEmpty,
+      s"gram exchange not reused:\n${plan.take(4000)}")
+  }
+
   test("curation: the near-dup chain is evaluated once (quality inline, no self-join)") {
     val plan = graft.plans.CurationPipeline.curate(
         docs.select("doc_id", "text"), "text", "doc_id")
