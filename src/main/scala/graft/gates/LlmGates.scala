@@ -106,6 +106,53 @@ object LlmGates {
     ))
   }
 
+  /** Encode frames as one ANIMATED GIF via the JDK's sequence writer —
+    * the fixture side of the real multi-frame decode gate. Shared with
+    * MultimodalSpec. */
+  private[graft] def encodeAnimatedGif(
+    frames: Seq[java.awt.image.BufferedImage]
+  ): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** A solid-color TYPE_INT_RGB frame (single color → exact under GIF's
+    * 256-color palette; no quantization loss). */
+  private[graft] def solidFrame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    img
+  }
+
+  /** The animated-GIF fixture: 6 solid-gray 4×8 frames, frame j gray
+    * j·40 — solid single-color frames survive GIF palettization exactly,
+    * and every sampled frame's band luminance is gray/255 on all 8
+    * bands (hand-checkable literals in the oracle). */
+  private def animatedGifFixture(s: SparkSession): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val frames = (0 until 6).map { j =>
+      val v = j * 40
+      solidFrame(4, 8, (v << 16) | (v << 8) | v)
+    }
+    s.createDataset(Seq(Multimodal.MediaRecord(-10L, encodeAnimatedGif(frames))))
+  }
+
   /** The gated projection of [[Multimodal.DecodedMedia]]: id, dimensions,
     * and the 8 band features rounded to 4 decimals. */
   private def decodedCols: Seq[org.apache.spark.sql.Column] =
@@ -395,6 +442,21 @@ object LlmGates {
         .as[Multimodal.MediaRecord]
       Multimodal.sampleFrames(media, 4).toDF()
         .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))
+    },
+    // §2.4 row 37d' — REAL multi-frame decode under the oracle: 3 frames
+    // sampled from a 6-frame animated GIF via Multimodal.GifFrames
+    // (stored frames 0/2/4 — even temporal sampling), each decoded
+    // frame PNG re-encoded, re-decoded by decodeFeatures, and its
+    // actual band luminance gated against hand-derived literals
+    "q_multimodal_frames_gif" -> { (s, dir) =>
+      import s.implicits._
+      val frames =
+        Multimodal.sampleFrames(animatedGifFixture(s), 3, Multimodal.GifFrames)
+      val asMedia = frames
+        .map(f => Multimodal.MediaRecord(f.frame_idx.toLong, f.frame))
+      Multimodal.decodeFeatures(asMedia, featureDim = 8)
+        .toDF()
+        .select(col("doc_id").as("frame_idx") +: decodedCols.tail: _*)
     },
     // §2.4 row 51 — corpus-wide duplicate-line removal (C4 rule):
     // planted boilerplate appearing in 3 docs must vanish from all of
@@ -1178,6 +1240,16 @@ object LlmGates {
       """SELECT doc_id, rt.i::INT AS frame_idx,
         |       md5(md5(text) || ':' || rt.i) AS frame_md5
         |FROM documents, range(0, 4) rt(i)""".stripMargin,
+    // real GIF frames: sampling 3 of 6 stored frames hits ⌊i·6/3⌋ =
+    // 0/2/4 → solid grays 0/80/160; a solid gray v frame's 8 band
+    // luminances are all round(v/255, 4) — hand-derived exact literals
+    "q_multimodal_frames_gif" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 4, 8, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+        |   0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE),
+        |  (1::BIGINT, 4, 8, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137),
+        |  (2::BIGINT, 4, 8, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275)
+        |) t(frame_idx, width, height, f0, f1, f2, f3, f4, f5, f6, f7)""".stripMargin,
     "q_line_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
  * per-partition [[ImageDecoder]] reader reuse amortizing codec setup.
  * Undecodable payloads (non-image bytes, truncated images) fall back to a
  * deterministic MD5-derived stub, which doubles as the DuckDB-oracle
- * branch for the text fixtures. Audio/video codecs don't ship in the JDK,
- * so [[sampleFrames]] keeps the stub content under the real 1→N shape.
+ * branch for the text fixtures. [[sampleFrames]] does REAL multi-frame
+ * decode for animated GIF via [[GifFrames]] (the one animated format the
+ * JDK reads); audio/video codecs don't ship in the JDK, so other A/V
+ * formats keep the stub content under the real 1→N shape behind the
+ * [[FrameDecoder]] seam.
  */
 object Multimodal {
 
@@ -299,12 +302,90 @@ object Multimodal {
     }
 
   /**
+   * REAL multi-frame decoding for the one animated format the JDK can
+   * read: animated GIF. Frame `i` of `nFrames` requested maps to stored
+   * frame `⌊i·m/n⌋` of the GIF's `m` image descriptors (even temporal
+   * sampling — the frame-sample policy a video pipeline uses), decoded
+   * via the partition's reused GIF `ImageReader` and re-encoded as PNG
+   * (lossless, so downstream [[decodeFeatures]] sees exact pixels).
+   * Stored frames are returned AS STORED: GIF inter-frame disposal /
+   * patch compositing is NOT applied — frame k of an optimized GIF may
+   * be a partial patch raster, not the composited screen. Non-GIF and
+   * undecodable payloads fall back to the [[Md5StubFrames]] stub bytes
+   * (the operator-wide fallback convention). The open input stream and
+   * frame count are cached per payload, so the n frames of one row pay
+   * one header parse.
+   */
+  val GifFrames: () => FrameDecoder = () =>
+    new FrameDecoder {
+      private val stub = Md5StubFrames()
+      private var reader: javax.imageio.ImageReader = _
+      private var iis: javax.imageio.stream.ImageInputStream = _
+      private var lastPayload: Array[Byte] = _
+      private var lastCount: Int = 0
+
+      private def closeInput(): Unit = {
+        if (iis != null) {
+          try iis.close() catch { case scala.util.control.NonFatal(_) => () }
+          iis = null
+        }
+        lastPayload = null
+        lastCount = 0
+      }
+
+      /** (Re)open the reader on a new payload; returns the frame count
+        * (0 = unreadable → caller stubs). */
+      private def open(payload: Array[Byte]): Int = {
+        if (payload eq lastPayload) lastCount
+        else {
+          closeInput()
+          try {
+            if (reader == null) {
+              val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+              if (!it.hasNext) return 0
+              reader = it.next()
+            }
+            iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            // seekForwardOnly = false: frame sampling random-accesses
+            // stored frames
+            reader.setInput(iis, false, true)
+            lastPayload = payload
+            lastCount = reader.getNumImages(true)
+            lastCount
+          } catch {
+            case scala.util.control.NonFatal(_) => closeInput(); 0
+          }
+        }
+      }
+
+      def decodeFrame(payload: Array[Byte], frameIdx: Int, nFrames: Int): Array[Byte] = {
+        val isGif = imageFormat(payload).contains("gif")
+        val m = if (isGif) open(payload) else 0
+        if (m <= 0) stub.decodeFrame(payload, frameIdx, nFrames)
+        else try {
+          encodePng(reader.read((frameIdx.toLong * m / nFrames).toInt))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            stub.decodeFrame(payload, frameIdx, nFrames)
+        }
+      }
+
+      override def dispose(): Unit = {
+        closeInput()
+        if (reader != null) { reader.dispose(); reader = null }
+      }
+    }
+
+  /**
    * Frame sampling: one media row explodes into `n` frame rows — the
    * 1→N row shape (and its shuffle-free, partition-local execution) is
    * the real contract. Frame CONTENT comes from the injected
-   * [[FrameDecoder]] factory; the default is the deterministic
-   * [[Md5StubFrames]] stub (no JDK A/V codec exists to do better —
-   * MultimodalSpec shows a real codec riding the same operator).
+   * [[FrameDecoder]] factory: [[GifFrames]] does REAL multi-frame
+   * decode for animated GIF (the one JDK-readable animated format); the
+   * default [[Md5StubFrames]] is the deterministic stub for formats
+   * whose codecs the JDK lacks (MultimodalSpec shows an external codec
+   * riding the same seam).
    */
   def sampleFrames(
     media: Dataset[MediaRecord],

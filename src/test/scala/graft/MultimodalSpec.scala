@@ -55,6 +55,47 @@ class MultimodalSpec extends SparkSpec {
     assert(!disposed.value.isEmpty, "dispose() never ran on partition exhaustion")
   }
 
+  test("GifFrames: real animated-GIF frames decode with even temporal sampling") {
+    // 6 stored solid-gray frames (j·40); sampling 3 must hit stored
+    // frames 0/2/4 — grays 0/80/160 — with real pixels, not stub bytes
+    val gif = graft.gates.LlmGates.encodeAnimatedGif(
+      (0 until 6).map { j =>
+        val v = j * 40
+        graft.gates.LlmGates.solidFrame(4, 8, (v << 16) | (v << 8) | v)
+      })
+    val media = Seq(MediaRecord(7L, gif)).toDS()
+    val frames = Multimodal.sampleFrames(media, 3, Multimodal.GifFrames).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSeq ==
+      Seq((7L, 0), (7L, 1), (7L, 2)))
+    val grays = frames.map { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert(img.getWidth == 4 && img.getHeight == 8)
+      img.getRGB(2, 3) & 0xff
+    }
+    assert(grays.toSeq == Seq(0, 80, 160), grays.toSeq.toString)
+    // oversampling a short GIF repeats stored frames (⌊i·m/n⌋), still real
+    val over = Multimodal.sampleFrames(media, 12, Multimodal.GifFrames).collect()
+    assert(over.length == 12)
+    val overGrays = over.sortBy(_.frame_idx).map { f =>
+      javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame)).getRGB(0, 0) & 0xff
+    }
+    assert(overGrays.toSeq == Seq(0, 0, 40, 40, 80, 80, 120, 120, 160, 160, 200, 200))
+  }
+
+  test("GifFrames: non-GIF and truncated payloads fall back to the md5 stub") {
+    val gif = graft.gates.LlmGates.encodeAnimatedGif(
+      Seq(graft.gates.LlmGates.solidFrame(2, 2, 0x123456)))
+    val truncated = gif.take(20) // valid magic, unreadable body
+    val media = Seq(
+      MediaRecord(1L, jpegHeader), MediaRecord(2L, truncated)).toDS()
+    val frames = Multimodal.sampleFrames(media, 2, Multimodal.GifFrames).collect()
+    val stub = Multimodal.sampleFrames(media, 2).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap ==
+      stub.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap)
+  }
+
   test("resize: deterministic content-derived payload, schema preserved") {
     val media = Seq(MediaRecord(1L, jpegHeader)).toDS()
     val r1 = Multimodal.resize(media, 64, 64).head
