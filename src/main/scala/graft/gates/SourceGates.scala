@@ -24,7 +24,10 @@ object SourceGates {
   }
 
   /** Deterministic fixture tarball: `members` as regular entries plus one
-    * directory entry (which the source must skip), optionally gzipped. */
+    * directory entry (which the source must skip), optionally gzipped.
+    * LONGFILE_POSIX: names over ustar's 100-char field are written as
+    * PAX extended headers — the pseudo-entries the source must consume,
+    * not surface. */
   private def writeTar(
     dest: Path, members: Seq[(String, String)], gzip: Boolean
   ): Unit = {
@@ -33,6 +36,7 @@ object SourceGates {
     val fileOut = Files.newOutputStream(dest)
     val tar = new TarArchiveOutputStream(
       if (gzip) new GzipCompressorOutputStream(fileOut) else fileOut)
+    tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
     try {
       tar.putArchiveEntry(new TarArchiveEntry("sub/"))
       tar.closeArchiveEntry()
@@ -83,17 +87,22 @@ object SourceGates {
       val df = TsvSource.readGlob(s, s"$dir/absent-*.tsv")
       Seq((df.count(), df.columns.length)).toDF("n_rows", "n_cols")
     },
-    // archive ingestion — tar members as rows (plain + gzipped in one
-    // glob, gzip auto-detected; the directory entry must be skipped).
-    // The oracle re-derives each member's size and md5 from the same
-    // literal content, so the member BYTES are checked, not just names
+    // archive ingestion — tar members as rows: 301 members across a
+    // mixed plain/.tar.gz glob (gzip auto-detected), nested directories,
+    // one PAX long-name member (>100 chars, exercising the extended
+    // header path), and a directory entry that must be skipped. Member
+    // contents follow a formula the oracle re-derives with range() +
+    // repeat(), so every member's BYTES are value-checked, not just
+    // names/counts
     "q_tar_members" -> { (s, _) =>
       val dir = Files.createTempDirectory("graft-tar")
-      writeTar(dir.resolve("drop1.tar"), Seq(
-        "a.txt" -> "alpha\n",
-        "sub/b.txt" -> "bravo bravo\n"), gzip = false)
-      writeTar(dir.resolve("drop2.tar.gz"), Seq(
-        "c.json" -> "{\"k\":1}\n"), gzip = true)
+      val drop1 = (0 until 200).map(i =>
+        s"d${i / 50}/f$i.txt" -> s"m$i:${"x" * (i % 37)}\n") :+
+        (s"longdir-${"p" * 120}/deep.txt" -> "pax long name member\n")
+      val drop2 = (200 until 300).map(i =>
+        s"g/f$i.txt" -> s"z$i:${"y" * (i % 23)}\n")
+      writeTar(dir.resolve("drop1.tar"), drop1, gzip = false)
+      writeTar(dir.resolve("drop2.tar.gz"), drop2, gzip = true)
       graft.sources.Archives.readTar(s, s"$dir/drop*")
         .select(
           regexp_extract(col("archive_path"), "[^/]+$", 0).as("archive"),
@@ -131,11 +140,21 @@ object SourceGates {
       """SELECT archive, member_name,
         |       CAST(length(content) AS BIGINT) AS member_size,
         |       md5(content) AS member_md5
-        |FROM (VALUES
-        |  ('drop1.tar',    'a.txt',     'alpha' || chr(10)),
-        |  ('drop1.tar',    'sub/b.txt', 'bravo bravo' || chr(10)),
-        |  ('drop2.tar.gz', 'c.json',    '{"k":1}' || chr(10))
-        |) AS t(archive, member_name, content)""".stripMargin,
+        |FROM (
+        |  SELECT 'drop1.tar' AS archive,
+        |         'd' || (i // 50) || '/f' || i || '.txt' AS member_name,
+        |         'm' || i || ':' || repeat('x', CAST(i % 37 AS INT)) || chr(10) AS content
+        |  FROM range(0, 200) t(i)
+        |  UNION ALL
+        |  SELECT 'drop2.tar.gz',
+        |         'g/f' || i || '.txt',
+        |         'z' || i || ':' || repeat('y', CAST(i % 23 AS INT)) || chr(10)
+        |  FROM range(200, 300) t(i)
+        |  UNION ALL
+        |  SELECT 'drop1.tar',
+        |         'longdir-' || repeat('p', 120) || '/deep.txt',
+        |         'pax long name member' || chr(10)
+        |)""".stripMargin,
     "q_ancestry_id" ->
       """SELECT * FROM (VALUES
         |  ('r1', '/data/in/ancestry=EU/part-0.tsv',  'EU'),

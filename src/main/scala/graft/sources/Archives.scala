@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, InputStream}
 import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
 import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /**
  * Binary-archive ingestion: tarballs → one row per regular member —
@@ -22,10 +23,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * tar reader one at a time; only the current member's bytes are
  * materialized alongside the archive's.
  *
+ * Both memory hazards are GUARDED with actionable errors instead of an
+ * opaque mid-job failure: archives over the on-disk cap are rejected at
+ * plan time from file-listing metadata (no bytes read), and a gzipped
+ * archive whose DECOMPRESSED members blow past `maxDecompressedBytes`
+ * (a compression bomb, or just a too-big drop) fails executor-side
+ * naming the archive and the fix.
+ *
  * Gzip is auto-detected per archive from the magic bytes, so one glob
  * can mix `.tar` and `.tar.gz` drops.
  */
 object Archives {
+
+  /** binaryFile's hard single-row limit: file bytes become one Array
+    * slot, so 2 GiB minus array-header slack. */
+  val MaxArchiveOnDiskBytes: Long = Int.MaxValue.toLong - 512
+
+  /** Default cap on one archive's total decompressed member bytes (the
+    * executor-memory hazard the on-disk cap can't see: gzip routinely
+    * compresses text 5-10×, a crafted bomb far more). */
+  val DefaultMaxDecompressedBytes: Long = 8L << 30
 
   /** Magic-byte gzip sniff (1f 8b) — extension-independent. */
   private def inputStreamFor(bytes: Array[Byte]): InputStream = {
@@ -43,26 +60,68 @@ object Archives {
    * header pseudo-entries tar writers emit are skipped (commons-compress
    * consumes PAX metadata internally, so extended member names and
    * sizes are already resolved in what this returns).
+   *
+   * Guards (see the object doc): archives whose ON-DISK size exceeds
+   * the binaryFile row cap fail AT PLAN TIME with the offending paths
+   * (one metadata-only listing pass — `content` is pruned, no archive
+   * bytes are read for the check); an archive whose DECOMPRESSED
+   * members exceed `maxDecompressedBytes` fails executor-side naming
+   * the archive. Both errors say the fix: split the drop upstream, or
+   * raise the cap if the executors genuinely have the memory.
    */
-  def readTar(spark: SparkSession, path: String): DataFrame = {
+  def readTar(
+    spark: SparkSession,
+    path: String,
+    maxDecompressedBytes: Long = DefaultMaxDecompressedBytes
+  ): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    require(maxDecompressedBytes > 0,
+      s"maxDecompressedBytes must be positive: $maxDecompressedBytes")
+    val files = spark.read.format("binaryFile").load(path)
+    // metadata-only guard: length comes from the file listing, so this
+    // action reads zero archive bytes (content is pruned away)
+    val oversized = files
+      .select("path", "length")
+      .filter(col("length") > MaxArchiveOnDiskBytes)
+      .as[(String, Long)]
+      .take(5)
+    if (oversized.nonEmpty) {
+      val worst = oversized
+        .map { case (p, n) => s"$p (${n >> 20} MiB)" }.mkString(", ")
+      throw new IllegalArgumentException(
+        s"readTar: archive(s) exceed the ${MaxArchiveOnDiskBytes >> 20} MiB " +
+          s"single-file cap binaryFile can materialize as one row: $worst. " +
+          "Split the drop into smaller tarballs upstream (tar has no block " +
+          "index — one archive is one task regardless), or repackage as " +
+          "parquet/jsonl parts.")
+    }
+    files
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (archivePath, bytes) =>
         val tar = new TarArchiveInputStream(inputStreamFor(bytes))
         // strict iterator: members are read eagerly into a buffer while
-        // the stream is open (a lazy iterator would outlive it); bounded
-        // by the archive's decompressed size, which binaryFile already
-        // holds in memory as one row
+        // the stream is open (a lazy iterator would outlive it); the
+        // running decompressed total is capped so a gzip bomb (or an
+        // honestly-too-big drop) fails with a named archive instead of
+        // an executor OOM
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(String, String, Long, Array[Byte])]
+        var total = 0L
         try {
           var e = tar.getNextEntry
           while (e != null) {
-            if (e.isFile)
-              out += ((archivePath, e.getName, e.getSize,
-                tar.readAllBytes()))
+            if (e.isFile) {
+              val member = tar.readAllBytes()
+              total += member.length
+              if (total > maxDecompressedBytes)
+                throw new IllegalStateException(
+                  s"readTar: decompressed members of $archivePath exceed " +
+                    s"maxDecompressedBytes=$maxDecompressedBytes (at member " +
+                    s"'${e.getName}'). Split the drop upstream, or raise " +
+                    "maxDecompressedBytes if executors have the memory.")
+              out += ((archivePath, e.getName, e.getSize, member))
+            }
             e = tar.getNextEntry
           }
         } finally tar.close()

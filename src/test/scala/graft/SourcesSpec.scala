@@ -221,6 +221,47 @@ class SourcesSpec extends SparkSpec {
     writeTarFixture(d.resolve("empty.tar"), Seq.empty, gzip = false)
     assert(graft.sources.Archives.readTar(spark, s"$d/empty.tar").count() == 0L)
   }
+
+  test("readTar: decompressed-size cap fails actionably, naming the archive") {
+    val d = tmpDir("graft-tarbomb")
+    // 3 members × 1 KiB decompressed; cap below that must fail at the
+    // member that crosses it, with the archive path in the message
+    writeTarFixture(d.resolve("big.tar.gz"),
+      (0 until 3).map(i => s"m$i.bin" -> Array.fill(1024)('a'.toByte)),
+      gzip = true)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.Archives
+        .readTar(spark, s"$d/big.tar.gz", maxDecompressedBytes = 2048L)
+        .count()
+    }
+    val msg = Seq(e.getMessage, String.valueOf(e.getCause))
+      .flatMap(m => Option(m)).mkString(" ")
+    assert(msg.contains("maxDecompressedBytes") && msg.contains("big.tar.gz"),
+      msg.take(500))
+    // and the same archives pass under the default cap
+    assert(graft.sources.Archives.readTar(spark, s"$d/big.tar.gz").count() == 3L)
+  }
+
+  test("readTar: over-cap on-disk archive is rejected at plan time with its path") {
+    val d = tmpDir("graft-tarcap")
+    writeTarFixture(d.resolve("ok.tar"),
+      Seq("a.txt" -> "fine\n".getBytes("UTF-8")), gzip = false)
+    // the guard reads listing metadata only, so a sparse truncate-made
+    // file over the cap triggers it without writing 2 GiB
+    val big = d.resolve("huge.tar")
+    val ch = java.nio.channels.FileChannel.open(big,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.position(graft.sources.Archives.MaxArchiveOnDiskBytes + 1024)
+      ch.write(java.nio.ByteBuffer.wrap(Array[Byte](0)))
+    } finally ch.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Archives.readTar(spark, s"$d/*.tar")
+    }
+    assert(e.getMessage.contains("huge.tar") &&
+      e.getMessage.contains("Split the drop"), e.getMessage.take(500))
+  }
 }
 
 case class Person(name: String, age: Long)
