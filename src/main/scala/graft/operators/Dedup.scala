@@ -1287,6 +1287,31 @@ object Dedup {
   }
 
   /**
+   * Batch rows whose SimHash lands within `maxHamming` of the indexed
+   * corpus ([[simHashes]] output persisted to parquet) anti-joined away,
+   * original columns intact — the SimHash arm of the drop-vs-index
+   * family ([[dropExactDuplicatesAgainst]] / [[dropNearDuplicatesAgainst]]
+   * conventions: matched-id set is candidate-bounded, the batch is
+   * scanned, never shuffled).
+   */
+  def dropSimHashDuplicatesAgainst(
+    batch: DataFrame,
+    indexSimhashes: DataFrame,
+    textCol: String,
+    idCol: String,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    val matched = simHashNearDupsAgainstIndex(
+      simHashes(batch.select(col(idCol).as("doc_id"), col(textCol)), textCol, "doc_id"),
+      indexSimhashes, maxHamming, bands, maxBucket, broadcastBatch)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Embedding near-duplicate pairs between a new batch and a PERSISTED
    * embedding table (the prior corpus's (id, vector) parquet — e.g. the
    * same artifact an IVF index was built from): hyperplane-LSH buckets

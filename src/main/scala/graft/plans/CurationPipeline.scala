@@ -17,8 +17,13 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  *   2. WITHIN-doc repeated-line removal (scraper loops), then
  *      corpus-wide duplicate-LINE removal (C4 rule)
  *   2b. optional incremental prune against a PRIOR corpus's persisted
- *       indexes (`priorFingerprints` / `priorSignatures`): exact, then
- *       near-dup by signature agreement — the corpus-growth entry point
+ *       indexes — all four of row 79's arms compose: exact
+ *       (`priorFingerprints`), MinHash signature agreement
+ *       (`priorSignatures`), SimHash Hamming (`priorSimhashes`), and
+ *       embedding cosine (`priorEmbeddings`) — the corpus-growth entry
+ *       point. Build the text-keyed artifacts with [[exactIndex]] /
+ *       [[signatureIndex]] / [[simhashIndex]] so the index's scrub
+ *       config provably matches this run's
  *   3. exact dedup (normalized-hash, lowest-id keeper)
  *   4. MinHash-LSH near-dup removal
  *   5. decontamination against an eval set (optional; bloom-prefiltered
@@ -54,6 +59,18 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  */
 object CurationPipeline {
 
+  /** The embedding-prior pair for [[Config.priorEmbeddings]]:
+    * `batchEmbeddings` is THIS drop's (id, vector) table, `index` the
+    * prior corpus's persisted one — both keyed by the corpus id column
+    * (`idCol`, default the pipeline's post-scrub "doc_id"), vectors in
+    * `vecCol`. Embeddings are text-independent, so no scrub-config
+    * caveat applies to this arm. */
+  final case class EmbeddingPrior(
+    batchEmbeddings: DataFrame,
+    index: DataFrame,
+    vecCol: String = "embedding",
+    idCol: String = "doc_id")
+
   final case class Config(
     /** Strip HTML markup FIRST ([[graft.operators.Web.stripHtml]]) —
       * the crawl-shaped corpus entry point: script/style/comment blocks
@@ -72,14 +89,34 @@ object CurationPipeline {
       * when set, batch docs already in the indexed corpus are anti-joined
       * away after scrubbing and BEFORE within-batch dedup (the
       * corpus-growth shape: per-drop cost, no prior-corpus re-scan).
-      * Build the index over text that went through the SAME scrub
-      * stages, or fingerprints won't line up. */
+      * The index MUST be built over text that went through the SAME
+      * scrub stages, or fingerprints silently won't line up — build it
+      * with [[exactIndex]], which runs this Config's scrub first. */
     priorFingerprints: Option[DataFrame] = None,
     /** Prior corpus's [[graft.operators.Dedup.minHashSignatures]] index —
       * when set, batch docs near-duplicating the indexed corpus
       * (signature agreement ≥ nearDupThreshold) are pruned right after
-      * the exact prune. Same same-scrub caveat as priorFingerprints. */
+      * the exact prune. Same same-scrub caveat — build with
+      * [[signatureIndex]]. */
     priorSignatures: Option[DataFrame] = None,
+    /** Prior corpus's [[graft.operators.Dedup.simHashes]] index — when
+      * set, batch docs whose SimHash lands within `simhashMaxHamming`
+      * of any indexed doc are pruned after the signature prune (row
+      * 79's SimHash arm, composed). Same same-scrub caveat — build with
+      * [[simhashIndex]]. */
+    priorSimhashes: Option[DataFrame] = None,
+    simhashMaxHamming: Int = 3,
+    /** SimHash pigeonhole bands (NOT the MinHash `bands`): guarantees
+      * recall only while maxHamming < bands. */
+    simhashBands: Int = 4,
+    /** Embedding arm of the incremental prune: this DROP's embedding
+      * table plus the prior corpus's persisted one ([[EmbeddingPrior]]).
+      * Embeddings are keyed by the same ids as the corpus rows; batch
+      * docs whose vector cosine-matches the index ≥ embedThreshold are
+      * pruned after the SimHash prune. */
+    priorEmbeddings: Option[EmbeddingPrior] = None,
+    embedPlanes: Int = 16,
+    embedThreshold: Double = 0.9,
     minLineCount: Int = 3,
     dropRepeatedLinesInDoc: Boolean = true,
     shingleK: Int = 3,
@@ -113,6 +150,40 @@ object CurationPipeline {
     cfg: Config = Config()
   ): DataFrame =
     stages(scrub(corpus, textCol, idCol, cfg), textCol, cfg, corpus, idCol)
+
+  // ------------------------------------------- prior-index builders
+  //
+  // The prior* config fields silently depend on the index having been
+  // built over text that went through the IDENTICAL scrub stages
+  // (stripHtml / unicodeNorm / PII / line rules) — a config drift
+  // between index build and batch run yields quiet under-dedup, not an
+  // error. These builders close that hole: they run [[scrub]] with the
+  // SAME Config the batch run will use, then derive the artifact, so
+  // "same scrub" is guaranteed by construction. Write the result to
+  // parquet alongside a record of the Config used.
+
+  /** [[graft.operators.Dedup.exactFingerprintIndex]] over SAME-scrubbed
+    * text — the artifact [[Config.priorFingerprints]] expects. */
+  def exactIndex(
+    corpus: DataFrame, textCol: String, idCol: String, cfg: Config = Config()
+  ): DataFrame =
+    Dedup.exactFingerprintIndex(scrub(corpus, textCol, idCol, cfg), textCol)
+
+  /** [[graft.operators.Dedup.minHashSignatures]] over SAME-scrubbed
+    * text (cfg's shingleK/numHashes, so banding lines up too) — the
+    * artifact [[Config.priorSignatures]] expects. */
+  def signatureIndex(
+    corpus: DataFrame, textCol: String, idCol: String, cfg: Config = Config()
+  ): DataFrame =
+    Dedup.minHashSignatures(scrub(corpus, textCol, idCol, cfg), textCol,
+      "doc_id", cfg.shingleK, cfg.numHashes)
+
+  /** [[graft.operators.Dedup.simHashes]] over SAME-scrubbed text — the
+    * artifact [[Config.priorSimhashes]] expects. */
+  def simhashIndex(
+    corpus: DataFrame, textCol: String, idCol: String, cfg: Config = Config()
+  ): DataFrame =
+    Dedup.simHashes(scrub(corpus, textCol, idCol, cfg), textCol, "doc_id")
 
   /** Stages 1-2: PII scrub, within-doc line rule, corpus-wide line rule. */
   private def scrub(
@@ -168,10 +239,23 @@ object CurationPipeline {
     // majority of a re-crawl never reaches the shingle/signature stages
     val fresh0 = cfg.priorFingerprints.fold(scrubbed)(idx =>
       Dedup.dropExactDuplicatesAgainst(scrubbed, idx, textCol))
-    val fresh = cfg.priorSignatures.fold(fresh0)(idx =>
+    val fresh1 = cfg.priorSignatures.fold(fresh0)(idx =>
       Dedup.dropNearDuplicatesAgainst(fresh0, idx, textCol, "doc_id",
         k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
         threshold = cfg.nearDupThreshold))
+    val fresh2 = cfg.priorSimhashes.fold(fresh1)(idx =>
+      Dedup.dropSimHashDuplicatesAgainst(fresh1, idx, textCol, "doc_id",
+        maxHamming = cfg.simhashMaxHamming, bands = cfg.simhashBands))
+    // the embedding arm prunes by MATCHED IDS (embeddings live in their
+    // own table, not on the text rows); candidate-bounded matched set,
+    // corpus anti join — the dropNearDuplicatesAgainst shape
+    val fresh = cfg.priorEmbeddings.fold(fresh2) { ep =>
+      val matched = Dedup.embeddingNearDupAgainstIndex(
+        ep.batchEmbeddings, ep.index, ep.vecCol, ep.idCol,
+        planes = cfg.embedPlanes, threshold = cfg.embedThreshold)
+        .select(col("batch_id").as("doc_id")).distinct()
+      fresh2.join(matched, Seq("doc_id"), "left_anti")
+    }
     // 3-4: exact then near dedup
     val exact = Dedup.dropExactDuplicates(fresh, textCol, "doc_id")
     val near = Dedup.dropNearDuplicates(exact, textCol, "doc_id",

@@ -77,6 +77,53 @@ class CurationPipelineSpec extends SparkSpec {
     assert(all == Set(1L, 2L, 3L))
   }
 
+  test("incremental prune: SimHash and embedding arms ≡ the standalone operator chain") {
+    import graft.operators.Dedup
+    val prose = "the cat is in the hat and it is flat for all of us to see " * 2
+    val prior = Seq(
+      (100L, s"$prose exactly as the corpus already has it"),
+      (101L, s"$prose near enough to be the same document for all practical purposes")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // same words as 100 (hamming 0 — only the simhash arm is on, so
+      // this pins that arm, not the exact one)
+      (1L, s"$prose exactly as the corpus already has it"),
+      (2L, s"$prose genuinely new content nothing indexed resembles at all"),
+      (3L, s"$prose another genuinely novel document with fresh words entirely")
+    ).toDF("doc_id", "text")
+    val cfg0 = CurationPipeline.Config(minLineCount = 99)
+    // builders guarantee same-scrub by construction (fixture scrub is
+    // identity, but the call path is the contract under test)
+    val shIdx = CurationPipeline.simhashIndex(prior, "text", "doc_id", cfg0)
+    // embedding tables: batch doc 3 is a near-exact vector match of an
+    // indexed one; docs 1/2 are far
+    val embIdx = Seq((500L, Array(1.0f, 0.0f, 0.0f))).toDF("doc_id", "embedding")
+    val embBatch = Seq(
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.999f, 0.001f, 0.0f))
+    ).toDF("doc_id", "embedding")
+    val cfg = cfg0.copy(
+      priorSimhashes = Some(shIdx),
+      priorEmbeddings = Some(CurationPipeline.EmbeddingPrior(embBatch, embIdx)))
+    val pipelineIds = CurationPipeline.run(batch, "text", "doc_id", cfg)(_.collect())
+      .map(_.getAs[Long]("doc_id")).toSet
+    // the standalone chain the pipeline must equal: simhash prune, then
+    // embedding-matched ids anti-joined (fixture needs no scrub stages)
+    val afterSim = Dedup.dropSimHashDuplicatesAgainst(
+      batch, Dedup.simHashes(prior, "text", "doc_id"), "text", "doc_id")
+    val matched = Dedup.embeddingNearDupAgainstIndex(
+        embBatch, embIdx, "embedding", "doc_id", planes = 16, threshold = 0.9)
+      .select(col("batch_id").as("doc_id")).distinct()
+    val standaloneIds = afterSim.join(matched, Seq("doc_id"), "left_anti")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(pipelineIds == standaloneIds,
+      s"pipeline $pipelineIds != standalone $standaloneIds")
+    // the fixture actually exercises both arms: 1 gone via simhash,
+    // 3 gone via embedding, 2 survives
+    assert(pipelineIds == Set(2L), pipelineIds)
+  }
+
   test("within-doc line rule and gopher gate fire when enabled; bloom path agrees") {
     val prose = "the cat is in the hat and it is flat for all of us to see " * 2
     // 64 words, mean length and stopword mix pass the paper-default rules
