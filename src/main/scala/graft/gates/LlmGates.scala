@@ -160,6 +160,91 @@ object LlmGates {
       (0 until 8).map(i =>
         round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i"))
 
+  /** Encode interleaved 16-bit PCM as a WAV/AIFF/AU container via the
+    * JDK's `javax.sound` writers — the fixture side of the real audio
+    * gates. `bigEndian` must match the container's stored convention
+    * (WAV: little; AIFF/AU: big). Shared with MultimodalSpec. */
+  private[graft] def encodeAudio(
+    tpe: javax.sound.sampled.AudioFileFormat.Type,
+    rate: Int,
+    channels: Int,
+    samples: Array[Short],
+    bigEndian: Boolean
+  ): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, channels, channels * 2, rate.toFloat, bigEndian)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      if (bigEndian) {
+        bytes(2 * i) = ((s >> 8) & 0xff).toByte; bytes(2 * i + 1) = (s & 0xff).toByte
+      } else {
+        bytes(2 * i) = (s & 0xff).toByte; bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, (samples.length / channels).toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, tpe, baos)
+    baos.toByteArray
+  }
+
+  /** A constant-amplitude run alternating sign per sample — audio-like
+    * (zero-mean square wave) with a hand-checkable RMS of |amp|/32768. */
+  private[graft] def squareRun(amp: Int, n: Int): Array[Short] =
+    Array.tabulate(n)(i => (if (i % 2 == 0) amp else -amp).toShort)
+
+  /**
+   * Deterministic audio fixtures for the REAL decode branch — one per
+   * JDK-readable container, patterns chosen so every window RMS is a
+   * hand-checkable dyadic rational (constant-amplitude square waves:
+   * RMS = amp/32768 exactly, float-exact for amp < 2²⁴):
+   *  -21  WAV  mono 8 kHz, 48 samples: window j of 8 (6 samples) at
+   *       amp j·4000 → f_j = j·4000/32768 (0.0, 0.1221, …, 0.8545)
+   *  -22  AIFF stereo 16 kHz (big-endian PCM — pins the endianness
+   *       conversion), 16 frames: L=+8192 R=−16384 throughout → every
+   *       window RMS = √((8192²+16384²)/2)/32768 ≈ 0.3953
+   *  -23  AU   mono 11025 Hz, 8 samples at constant ±1000 → every
+   *       1-sample window RMS = 1000/32768 ≈ 0.0305
+   */
+  private def audioFixtures(s: SparkSession): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val Au = javax.sound.sampled.AudioFileFormat.Type.AU
+    val wav = (0 until 8).flatMap(j => squareRun(j * 4000, 6)).toArray
+    val aiff = Array.tabulate[Short](32)(i => if (i % 2 == 0) 8192 else -16384)
+    val au = squareRun(1000, 8)
+    s.createDataset(Seq(
+      Multimodal.MediaRecord(-21L, encodeAudio(Wave, 8000, 1, wav, bigEndian = false)),
+      Multimodal.MediaRecord(-22L, encodeAudio(Aiff, 16000, 2, aiff, bigEndian = true)),
+      Multimodal.MediaRecord(-23L, encodeAudio(Au, 11025, 1, au, bigEndian = true))
+    ))
+  }
+
+  /** The WAV frame-sampling fixture: mono 8 kHz, 60 samples in 6
+    * constant-amplitude segments of 10 (amp seg·5000) — sampling 3
+    * windows yields 20-sample WAVs spanning segment pairs (0,1), (2,3),
+    * (4,5), whose re-decoded 8-window RMS values are exact dyadic
+    * literals in the oracle. */
+  private def wavFramesFixture(s: SparkSession): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val samples = (0 until 6).flatMap(seg => squareRun(seg * 5000, 10)).toArray
+    s.createDataset(Seq(Multimodal.MediaRecord(-30L,
+      encodeAudio(javax.sound.sampled.AudioFileFormat.Type.WAVE, 8000, 1,
+        samples, bigEndian = false))))
+  }
+
+  /** The gated projection of [[Multimodal.DecodedAudio]]: id, stream
+    * properties, and the 8 window-RMS features rounded to 4 decimals. */
+  private def decodedAudioCols: Seq[org.apache.spark.sql.Column] =
+    Seq(col("doc_id"), col("sample_rate"), col("channels"), col("n_samples")) ++
+      (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 row 26 — exact dedup: normalized-hash groupBy, min-id keeper
     "q_dedup_exact" -> { (s, dir) =>
@@ -457,6 +542,35 @@ object LlmGates {
       Multimodal.decodeFeatures(asMedia, featureDim = 8)
         .toDF()
         .select(col("doc_id").as("frame_idx") +: decodedCols.tail: _*)
+    },
+    // §2.4 row 37e — REAL audio decode under the oracle: a mixed table
+    // of text payloads (stub branch) and WAV/AIFF/AU fixtures (real
+    // javax.sound branch); audio rows gate actual sample rate, channel
+    // count, frame count, and window-RMS energy against hand-derived
+    // exact literals (constant-amplitude square waves → dyadic RMS)
+    "q_multimodal_audio" -> { (s, dir) =>
+      import s.implicits._
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.decodeAudioFeatures(texts.union(audioFixtures(s)), featureDim = 8)
+        .toDF().select(decodedAudioCols: _*)
+    },
+    // §2.4 row 37e' — REAL audio frame sampling under the oracle: 3
+    // windows sampled from a 60-sample WAV via Multimodal.WavFrames
+    // (frames 0-19 / 20-39 / 40-59 — even temporal sampling), each
+    // window WAV re-decoded by decodeAudioFeatures, and its actual
+    // window-RMS profile gated against hand-derived literals
+    "q_multimodal_frames_wav" -> { (s, dir) =>
+      import s.implicits._
+      val frames =
+        Multimodal.sampleFrames(wavFramesFixture(s), 3, Multimodal.WavFrames)
+      val asMedia = frames
+        .map(f => Multimodal.MediaRecord(f.frame_idx.toLong, f.frame))
+      Multimodal.decodeAudioFeatures(asMedia, featureDim = 8)
+        .toDF()
+        .select(col("doc_id").as("frame_idx") +: decodedAudioCols.tail: _*)
     },
     // §2.4 row 51 — corpus-wide duplicate-line removal (C4 rule):
     // planted boilerplate appearing in 3 docs must vanish from all of
@@ -1250,6 +1364,47 @@ object LlmGates {
         |  (1::BIGINT, 4, 8, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137),
         |  (2::BIGINT, 4, 8, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275)
         |) t(frame_idx, width, height, f0, f1, f2, f3, f4, f5, f6, f7)""".stripMargin,
+    // mixed-branch audio decode: text rows re-derive the MD5 stub
+    // (n_samples = payload byte length); audio rows are a literal table
+    // of hand-derived values — constant-amplitude square waves make
+    // every window RMS the dyadic rational amp/32768 (exact in float),
+    // and the stereo AIFF row pins √((8192²+16384²)/2)/32768 → 0.3953
+    "q_multimodal_audio" -> {
+      val feats = (0 until 8).map { i =>
+        s"round((((('0x' || substr(h, ${2 * (i % 16) + 1}, 2))::INT) / 255.0)::FLOAT)::DOUBLE, 4) AS f$i"
+      }.mkString(",\n|       ")
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h,
+         |                  octet_length(text::BLOB) AS bl
+         |           FROM documents WHERE doc_id < 50)
+         |SELECT doc_id,
+         |       (('0x' || substr(h, 1, 2))::INT % 64) + 1 AS sample_rate,
+         |       (('0x' || substr(h, 3, 2))::INT % 64) + 1 AS channels,
+         |       bl::BIGINT AS n_samples,
+         |       $feats
+         |FROM d
+         |UNION ALL
+         |SELECT * FROM (VALUES
+         |  (-21::BIGINT, 8000, 1, 48::BIGINT, 0.0::DOUBLE, 0.1221::DOUBLE, 0.2441::DOUBLE,
+         |   0.3662::DOUBLE, 0.4883::DOUBLE, 0.6104::DOUBLE, 0.7324::DOUBLE, 0.8545::DOUBLE),
+         |  (-22::BIGINT, 16000, 2, 16::BIGINT, 0.3953, 0.3953, 0.3953, 0.3953,
+         |   0.3953, 0.3953, 0.3953, 0.3953),
+         |  (-23::BIGINT, 11025, 1, 8::BIGINT, 0.0305, 0.0305, 0.0305, 0.0305,
+         |   0.0305, 0.0305, 0.0305, 0.0305)
+         |) t(doc_id, sample_rate, channels, n_samples, f0, f1, f2, f3, f4, f5, f6, f7)""".stripMargin
+    },
+    // real WAV frames: sampling 3 of 60 sample frames yields windows
+    // [0,20)/[20,40)/[40,60) over the 6 constant-amp segments (seg·5000);
+    // each re-decoded 20-sample window splits 8 ways as 2/3/2/3/… with
+    // sub-windows inside one segment → RMS = amp/32768 exact literals
+    "q_multimodal_frames_wav" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 8000, 1, 20::BIGINT, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+        |   0.0::DOUBLE, 0.1526::DOUBLE, 0.1526::DOUBLE, 0.1526::DOUBLE, 0.1526::DOUBLE),
+        |  (1::BIGINT, 8000, 1, 20::BIGINT, 0.3052, 0.3052, 0.3052, 0.3052,
+        |   0.4578, 0.4578, 0.4578, 0.4578),
+        |  (2::BIGINT, 8000, 1, 20::BIGINT, 0.6104, 0.6104, 0.6104, 0.6104,
+        |   0.7629, 0.7629, 0.7629, 0.7629)
+        |) t(frame_idx, sample_rate, channels, n_samples, f0, f1, f2, f3, f4, f5, f6, f7)""".stripMargin,
     "q_line_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
  * deterministic MD5-derived stub, which doubles as the DuckDB-oracle
  * branch for the text fixtures. [[sampleFrames]] does REAL multi-frame
  * decode for animated GIF via [[GifFrames]] (the one animated format the
- * JDK reads); audio/video codecs don't ship in the JDK, so other A/V
- * formats keep the stub content under the real 1→N shape behind the
- * [[FrameDecoder]] seam.
+ * JDK's image stack reads). Audio is REAL too: the JDK ships a working
+ * audio codec (`javax.sound.sampled` reads WAV/AIFF/AU, including
+ * μ-law/A-law transcode to PCM), so [[decodeAudioFeatures]] extracts
+ * actual sample rate / channels / per-window RMS energy and [[WavFrames]]
+ * samples actual PCM windows re-encoded as standalone WAVs. Only VIDEO
+ * lacks a JDK codec; video formats keep the stub content under the real
+ * 1→N shape behind the [[FrameDecoder]] seam.
  */
 object Multimodal {
 
@@ -35,6 +39,17 @@ object Multimodal {
     doc_id: Long,
     width: Int,
     height: Int,
+    features: Array[Float]
+  )
+
+  /** Decoded audio: real stream properties + per-window energy features
+    * ([[decodeAudioFeatures]]); `n_samples` counts sample FRAMES (one
+    * per instant across channels). */
+  final case class DecodedAudio(
+    doc_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    n_samples: Long,
     features: Array[Float]
   )
 
@@ -263,13 +278,100 @@ object Multimodal {
     }
   }
 
+  // ----------------------------------------------------- real audio work
+
+  /** Leading-bytes sniff for the JDK-decodable audio containers — WAV
+    * (RIFF/WAVE, distinguished from RIFF/AVI video by the form type at
+    * offset 8), AIFF/AIFC (IFF FORM/AIF), and AU (.snd). Byte-level, no
+    * hex string, because it guards the decode hot path: a text payload
+    * must cost four byte compares, not an `UnsupportedAudioFileException`
+    * throw per row. */
+  private def isAudioContainer(payload: Array[Byte]): Boolean = {
+    def at(i: Int, c: Char): Boolean = payload(i) == c.toByte
+    payload.length >= 12 && (
+      (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+        at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) ||
+      (at(0, 'F') && at(1, 'O') && at(2, 'R') && at(3, 'M') &&
+        at(8, 'A') && at(9, 'I') && at(10, 'F')) ||
+      (at(0, '.') && at(1, 's') && at(2, 'n') && at(3, 'd')))
+  }
+
+  /** 16-bit signed little-endian PCM at the SOURCE rate/channel-count —
+    * the one normalized form every downstream consumer here reads, so
+    * container differences (WAV's LE vs AIFF/AU's BE, μ-law/A-law/8-bit
+    * encodings) are erased exactly once, by the JDK's own converters. */
+  private def pcm16Format(rate: Float, channels: Int): javax.sound.sampled.AudioFormat =
+    new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      rate, 16, channels, channels * 2, rate, false)
+
+  /**
+   * Per-partition audio decoder: any JDK-readable payload (WAV/AIFF/AU;
+   * PCM of either endianness, μ-law, A-law, 8-bit) decodes to
+   * `(sampleRate, channels, interleaved 16-bit samples)` via
+   * `javax.sound.sampled` with a conversion to canonical little-endian
+   * 16-bit PCM when the stored encoding differs. Non-audio and corrupt
+   * payloads → None (caller stubs — the operator-wide fallback
+   * convention). Decoded size is bounded by the payload's own (already
+   * in-memory) size ×2 — these containers carry no deep compression the
+   * JDK would inflate.
+   */
+  private[operators] final class AudioDecoder {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (!isAudioContainer(payload)) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = in.getFormat
+          val target = pcm16Format(src.getSampleRate, src.getChannels)
+          val pcm =
+            if (src.matches(target)) in
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val bytes = pcm.readAllBytes()
+          val n = bytes.length / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some((math.round(src.getSampleRate), src.getChannels, samples))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Per-window RMS amplitude in [0,1]: `dim` even windows over the
+    * sample FRAMES (all channels of a frame pool into its window), each
+    * `sqrt(mean(sample²))/32768`. Long integer square-sums + one IEEE
+    * sqrt/divide per window — bit-deterministic across partitionings and
+    * JVMs. Windows past the stream end (fewer frames than `dim`) are 0. */
+  private def windowRms(samples: Array[Short], channels: Int, dim: Int): Array[Float] = {
+    val frames = if (channels <= 0) 0 else samples.length / channels
+    Array.tabulate(dim) { j =>
+      val lo = (j.toLong * frames / dim).toInt
+      val hi = ((j + 1).toLong * frames / dim).toInt
+      if (hi <= lo) 0f
+      else {
+        var sum = 0L
+        var i = lo * channels
+        val end = hi * channels
+        while (i < end) { val s = samples(i).toLong; sum += s * s; i += 1 }
+        (math.sqrt(sum.toDouble / (end - lo * channels)) / 32768.0).toFloat
+      }
+    }
+  }
+
   /**
    * Per-partition frame decoder — the injection seam for [[sampleFrames]].
-   * The JDK ships no audio/video codec, so graft cannot decode real
+   * The JDK ships no VIDEO codec, so graft cannot decode real video
    * frames here; a deployment that has one on the executor classpath
    * (jcodec, a JNI ffmpeg binding, …) implements this trait and the
    * operator's distribution shape — 1→N partition-local explode, payload
-   * never shuffled, per-partition codec init — is unchanged.
+   * never shuffled, per-partition codec init — is unchanged. (Animated
+   * images and audio need no external codec: [[GifFrames]] and
+   * [[WavFrames]] are real implementations riding this same seam.)
    *
    * Instances are constructed per PARTITION via the factory passed to
    * [[sampleFrames]] (never serialized, may hold non-serializable codec
@@ -377,6 +479,69 @@ object Multimodal {
       }
     }
 
+  /** One PCM window re-encoded as a standalone WAV via the JDK's WAVE
+    * writer — the audio analogue of [[GifFrames]]' PNG re-encode
+    * (lossless: 16-bit samples round-trip bit-exactly). */
+  private def encodeWavWindow(
+    rate: Int, channels: Int, samples: Array[Short], lo: Int, hi: Int
+  ): Array[Byte] = {
+    val nBytes = (hi - lo) * channels * 2
+    val bytes = new Array[Byte](nBytes)
+    var i = lo * channels
+    var o = 0
+    while (o < nBytes) {
+      val s = samples(i)
+      bytes(o) = (s & 0xff).toByte
+      bytes(o + 1) = ((s >> 8) & 0xff).toByte
+      i += 1; o += 2
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes),
+      pcm16Format(rate.toFloat, channels), (hi - lo).toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /**
+   * REAL frame sampling for JDK-readable AUDIO (WAV/AIFF/AU): frame `i`
+   * of `nFrames` is the even temporal window of sample frames
+   * `[⌊i·S/n⌋, ⌊(i+1)·S/n⌋)` of the payload's `S` frames, decoded via
+   * the partition's reused [[AudioDecoder]] (endianness/μ-law/A-law
+   * normalized to 16-bit PCM) and re-encoded as a standalone WAV —
+   * lossless, so downstream [[decodeAudioFeatures]] sees exact samples.
+   * A stream with fewer frames than `nFrames` yields empty-but-valid
+   * WAV windows for the unpopulated tail (the window math, not a stub —
+   * the payload IS audio, it just has nothing in that interval).
+   * Non-audio and undecodable payloads fall back to the
+   * [[Md5StubFrames]] stub bytes (the operator-wide convention). The
+   * decoded PCM is cached per payload, so the n windows of one row pay
+   * one decode.
+   */
+  val WavFrames: () => FrameDecoder = () =>
+    new FrameDecoder {
+      private val stub = Md5StubFrames()
+      private val decoder = new AudioDecoder
+      private var lastPayload: Array[Byte] = _
+      private var lastPcm: Option[(Int, Int, Array[Short])] = None
+
+      def decodeFrame(payload: Array[Byte], frameIdx: Int, nFrames: Int): Array[Byte] = {
+        if (payload ne lastPayload) {
+          lastPayload = payload
+          lastPcm = decoder.decode(payload)
+        }
+        lastPcm match {
+          case Some((rate, ch, samples)) =>
+            val frames = samples.length / ch
+            val lo = (frameIdx.toLong * frames / nFrames).toInt
+            val hi = ((frameIdx + 1).toLong * frames / nFrames).toInt
+            encodeWavWindow(rate, ch, samples, lo, math.max(lo, hi))
+          case None => stub.decodeFrame(payload, frameIdx, nFrames)
+        }
+      }
+    }
+
   /**
    * Frame sampling: one media row explodes into `n` frame rows — the
    * 1→N row shape (and its shuffle-free, partition-local execution) is
@@ -444,6 +609,53 @@ object Multimodal {
           }
         }
       })(() => decoder.dispose())
+    }
+  }
+
+  /**
+   * Batched decode + feature extraction over AUDIO payloads — the audio
+   * arm of [[decodeFeatures]], and like the image arm the content work
+   * is REAL: `javax.sound.sampled` decode (WAV/AIFF/AU, any stored
+   * encoding the JDK converts) yields the actual sample rate, channel
+   * count, sample-frame count, and `featureDim` per-window RMS energy
+   * features ([[windowRms]] — integer square-sums, bit-deterministic).
+   * Non-audio payloads fall back to the deterministic MD5-derived stub
+   * the DuckDB oracle re-derives for text fixtures (`n_samples` = the
+   * payload byte length — real metadata even on the stub branch). Scale
+   * shape: typed Dataset in/out, per-partition batching, no driver
+   * involvement, payload never shuffled.
+   */
+  def decodeAudioFeatures(
+    media: Dataset[MediaRecord],
+    featureDim: Int = 8,
+    batchSize: Int = 64
+  ): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new AudioDecoder
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { rec =>
+          decoder.decode(rec.payload) match {
+            case Some((rate, ch, samples)) =>
+              DecodedAudio(
+                rec.doc_id, rate, ch, (samples.length / ch).toLong,
+                windowRms(samples, ch, featureDim))
+            case None =>
+              // deterministic stub for non-audio payloads — the same
+              // hash-byte derivation as decodeFeatures' stub branch
+              val h = digest.digest(rec.payload)
+              val feats = Array.tabulate(featureDim)(i => (h(i % h.length) & 0xff) / 255.0f)
+              DecodedAudio(
+                rec.doc_id,
+                sample_rate = ((h(0) & 0xff) % 64) + 1,
+                channels = ((h(1) & 0xff) % 64) + 1,
+                n_samples = rec.payload.length.toLong,
+                features = feats
+              )
+          }
+        }
+      }
     }
   }
 }

@@ -190,4 +190,113 @@ class MultimodalSpec extends SparkSpec {
     // distinct payloads get distinct features (content-derived, not constant)
     assert(out.map(_.features.toSeq).distinct.size > 90)
   }
+
+  private val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+  private val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+  private val Au = javax.sound.sampled.AudioFileFormat.Type.AU
+
+  test("decodeAudioFeatures: real WAV decode — rate, channels, frames, window RMS") {
+    // 8 windows of 6 samples, window j a ±(j·4000) square wave → RMS
+    // exactly j·4000/32768 (dyadic, float-exact)
+    val samples = (0 until 8).flatMap(j => graft.gates.LlmGates.squareRun(j * 4000, 6)).toArray
+    val wav = graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, samples, bigEndian = false)
+    val d = Multimodal.decodeAudioFeatures(Seq(MediaRecord(1L, wav)).toDS(), 8).head()
+    assert((d.sample_rate, d.channels, d.n_samples) == ((8000, 1, 48L)))
+    assert(d.features.toSeq == (0 until 8).map(j => j * 4000 / 32768.0f))
+  }
+
+  test("decodeAudioFeatures: big-endian stereo AIFF converts exactly") {
+    // L=+8192 R=−16384 throughout; BE storage must byte-swap, channels
+    // pool per window: RMS = √((8192²+16384²)/2)/32768 everywhere
+    val samples = Array.tabulate[Short](32)(i => if (i % 2 == 0) 8192 else -16384)
+    val aiff = graft.gates.LlmGates.encodeAudio(Aiff, 16000, 2, samples, bigEndian = true)
+    val d = Multimodal.decodeAudioFeatures(Seq(MediaRecord(1L, aiff)).toDS(), 8).head()
+    assert((d.sample_rate, d.channels, d.n_samples) == ((16000, 2, 16L)))
+    val want = (math.sqrt((8192.0 * 8192 + 16384.0 * 16384) / 2) / 32768.0).toFloat
+    assert(d.features.toSeq == Seq.fill(8)(want))
+  }
+
+  test("decodeAudioFeatures: μ-law AU transcodes through the JDK codec") {
+    // PCM → μ-law → AU file → decode: lossy but deterministic; stream
+    // properties exact, RMS within μ-law quantization error of the source
+    val pcmFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, true)
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, true)
+    val samples = graft.gates.LlmGates.squareRun(12000, 16)
+    val bytes = new Array[Byte](32)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = ((s >> 8) & 0xff).toByte; bytes(2 * i + 1) = (s & 0xff).toByte
+    }
+    val pcmAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), pcmFmt, 16L)
+    val ulawAis = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt, pcmAis)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ulawAis, Au, baos)
+    val d = Multimodal.decodeAudioFeatures(Seq(MediaRecord(1L, baos.toByteArray)).toDS(), 4).head()
+    assert((d.sample_rate, d.channels, d.n_samples) == ((8000, 1, 16L)))
+    d.features.foreach(f => assert(math.abs(f - 12000 / 32768.0) < 0.02, f.toString))
+  }
+
+  test("decodeAudioFeatures: non-audio and truncated payloads take the md5 stub") {
+    val wav = graft.gates.LlmGates.encodeAudio(
+      Wave, 8000, 1, graft.gates.LlmGates.squareRun(5000, 10), bigEndian = false)
+    val text = "not audio at all".getBytes("UTF-8")
+    val out = Multimodal.decodeAudioFeatures(
+      Seq(MediaRecord(1L, text), MediaRecord(2L, wav.take(16))).toDS(), 8)
+      .collect().map(d => d.doc_id -> d).toMap
+    // text: stub derivation — hash-byte dims, byte-length n_samples
+    val h = java.security.MessageDigest.getInstance("MD5").digest(text)
+    assert(out(1L).sample_rate == ((h(0) & 0xff) % 64) + 1)
+    assert(out(1L).channels == ((h(1) & 0xff) % 64) + 1)
+    assert(out(1L).n_samples == text.length.toLong)
+    assert(out(1L).features.toSeq == (0 until 8).map(i => (h(i) & 0xff) / 255.0f))
+    // truncated WAV header: sniffs as RIFF/WAVE but fails decode → stub
+    assert(out(2L).n_samples == 16L)
+  }
+
+  test("WavFrames: real PCM windows re-encoded as WAVs, even temporal sampling") {
+    val samples = (0 until 6).flatMap(seg => graft.gates.LlmGates.squareRun(seg * 5000, 10)).toArray
+    val wav = graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, samples, bigEndian = false)
+    val frames = Multimodal.sampleFrames(
+      Seq(MediaRecord(9L, wav)).toDS(), 3, Multimodal.WavFrames).collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).toSeq == Seq((9L, 0), (9L, 1), (9L, 2)))
+    // every frame is itself a decodable 20-sample WAV; window i holds
+    // segments 2i (first 10) and 2i+1 (last 10)
+    frames.foreach { f =>
+      val d = Multimodal.decodeAudioFeatures(
+        Seq(MediaRecord(f.frame_idx.toLong, f.frame)).toDS(), 2).head()
+      assert((d.sample_rate, d.channels, d.n_samples) == ((8000, 1, 20L)))
+      assert(d.features.toSeq ==
+        Seq((2 * f.frame_idx) * 5000 / 32768.0f, (2 * f.frame_idx + 1) * 5000 / 32768.0f))
+    }
+  }
+
+  test("WavFrames: oversampling a short stream yields empty-but-valid WAV windows") {
+    // 3 sample frames sampled 8 ways: the ⌊i·3/8⌋ window boundaries
+    // leave windows 2/5/7 populated with one sample each (1000, −2000,
+    // 3000 respectively), the rest 0-sample WAVs
+    val wav = graft.gates.LlmGates.encodeAudio(
+      Wave, 8000, 1, Array[Short](1000, -2000, 3000), bigEndian = false)
+    val frames = Multimodal.sampleFrames(
+      Seq(MediaRecord(1L, wav)).toDS(), 8, Multimodal.WavFrames).collect()
+    assert(frames.length == 8)
+    val decoded = Multimodal.decodeAudioFeatures(
+      frames.toSeq.map(f => MediaRecord(f.frame_idx.toLong, f.frame)).toDS(), 1)
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(decoded.values.forall(d => d.sample_rate == 8000 && d.channels == 1))
+    assert(decoded.filter(_._2.n_samples > 0L).keySet == Set(2L, 5L, 7L))
+    assert(decoded(2L).features.toSeq == Seq(1000 / 32768.0f))
+    assert(decoded(5L).features.toSeq == Seq(2000 / 32768.0f))
+    assert(decoded(7L).features.toSeq == Seq(3000 / 32768.0f))
+    assert(decoded(1L).n_samples == 0L && decoded(1L).features.toSeq == Seq(0.0f))
+  }
+
+  test("WavFrames: non-audio payloads fall back to the md5 stub") {
+    val media = Seq(MediaRecord(1L, jpegHeader), MediaRecord(2L, pngHeader)).toDS()
+    val real = Multimodal.sampleFrames(media, 2, Multimodal.WavFrames).collect()
+    val stub = Multimodal.sampleFrames(media, 2).collect()
+    assert(real.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap ==
+      stub.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap)
+  }
 }
