@@ -197,6 +197,83 @@ object LlmGates {
   private[graft] def squareRun(amp: Int, n: Int): Array[Short] =
     Array.tabulate(n)(i => (if (i % 2 == 0) amp else -amp).toShort)
 
+  /** Encode frames as a minimal spec-conformant AVI (RIFF tree: hdrl
+    * with avih + one vids strl, movi with one chunk per frame) — raw
+    * 24-bit BI_RGB DIB frames by default (bottom-up BGR rows, 4-byte
+    * stride, bit-exact), MJPEG (per-frame JPEG via ImageIO) when
+    * `mjpeg`; `topDown` stores rows top-down with negative biHeight.
+    * The fixture side of the real video gates; shared with
+    * MultimodalSpec. */
+  private[graft] def encodeAvi(
+    frames: Seq[java.awt.image.BufferedImage],
+    mjpeg: Boolean = false,
+    topDown: Boolean = false
+  ): Array[Byte] = {
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(tpe) ++ body)
+
+    val stride = ((w * 3 + 3) / 4) * 4
+    def dibBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val srcY = if (topDown) y else h - 1 - y // DIB rows store bottom-up
+        val rgb = img.getRGB(x, srcY)
+        val p = y * stride + x * 3
+        out(p) = (rgb & 0xff).toByte
+        out(p + 1) = ((rgb >> 8) & 0xff).toByte
+        out(p + 2) = ((rgb >> 16) & 0xff).toByte
+      }
+      out
+    }
+    def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+
+    val datas = if (mjpeg) frames.map(jpegBytes) else frames.map(dibBytes)
+    val handler = if (mjpeg) "MJPG" else "DIB "
+    val strh = cc("vids") ++ cc(handler) ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(30) ++ le32(0) ++ le32(frames.size) ++
+      le32(datas.map(_.length).max) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+      le16(1) ++ le16(24) ++
+      (if (mjpeg) cc("MJPG") else le32(0)) ++ le32(stride * h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val avih = le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      datas.map(d => chunk(if (mjpeg) "00dc" else "00db", d))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    chunk("RIFF", cc("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** The raw-DIB AVI fixture: the animated-GIF fixture's shape — 6
+    * solid-gray 4×8 frames, frame j gray j·40 — in the AVI container,
+    * so the frames gate shares its hand-derived literal table. */
+  private def rawAviFixture(s: SparkSession): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val frames = (0 until 6).map { j =>
+      val v = j * 40
+      solidFrame(4, 8, (v << 16) | (v << 8) | v)
+    }
+    s.createDataset(Seq(Multimodal.MediaRecord(-31L, encodeAvi(frames))))
+  }
+
   /**
    * Deterministic audio fixtures for the REAL decode branch — one per
    * JDK-readable container, patterns chosen so every window RMS is a
@@ -571,6 +648,21 @@ object LlmGates {
       Multimodal.decodeAudioFeatures(asMedia, featureDim = 8)
         .toDF()
         .select(col("doc_id").as("frame_idx") +: decodedAudioCols.tail: _*)
+    },
+    // §2.4 row 37f — REAL video frame decode under the oracle: 3 frames
+    // sampled from a 6-frame raw-DIB AVI via Multimodal.AviFrames (the
+    // hand-rolled RIFF demux + bit-exact BI_RGB decode), stored frames
+    // 0/2/4 PNG re-encoded, re-decoded by decodeFeatures, and gated
+    // against the same hand-derived literals as the GIF twin fixture
+    "q_multimodal_frames_avi" -> { (s, dir) =>
+      import s.implicits._
+      val frames =
+        Multimodal.sampleFrames(rawAviFixture(s), 3, Multimodal.AviFrames)
+      val asMedia = frames
+        .map(f => Multimodal.MediaRecord(f.frame_idx.toLong, f.frame))
+      Multimodal.decodeFeatures(asMedia, featureDim = 8)
+        .toDF()
+        .select(col("doc_id").as("frame_idx") +: decodedCols.tail: _*)
     },
     // §2.4 row 51 — corpus-wide duplicate-line removal (C4 rule):
     // planted boilerplate appearing in 3 docs must vanish from all of
@@ -1358,6 +1450,16 @@ object LlmGates {
     // 0/2/4 → solid grays 0/80/160; a solid gray v frame's 8 band
     // luminances are all round(v/255, 4) — hand-derived exact literals
     "q_multimodal_frames_gif" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 4, 8, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+        |   0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE),
+        |  (1::BIGINT, 4, 8, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137, 0.3137),
+        |  (2::BIGINT, 4, 8, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275, 0.6275)
+        |) t(frame_idx, width, height, f0, f1, f2, f3, f4, f5, f6, f7)""".stripMargin,
+    // real AVI frames: same sampling math and solid-gray literals as
+    // the GIF gate — the container and codec differ (RIFF demux +
+    // raw-DIB decode), the hand-derived expected pixels do not
+    "q_multimodal_frames_avi" ->
       """SELECT * FROM (VALUES
         |  (0::BIGINT, 4, 8, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
         |   0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE),

@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
  * audio codec (`javax.sound.sampled` reads WAV/AIFF/AU, including
  * μ-law/A-law transcode to PCM), so [[decodeAudioFeatures]] extracts
  * actual sample rate / channels / per-window RMS energy and [[WavFrames]]
- * samples actual PCM windows re-encoded as standalone WAVs. Only VIDEO
- * lacks a JDK codec; video formats keep the stub content under the real
- * 1→N shape behind the [[FrameDecoder]] seam.
+ * samples actual PCM windows re-encoded as standalone WAVs. Video gets
+ * real frames for the AVI container via [[AviFrames]] (a hand-rolled
+ * RIFF demux: bit-exact raw BI_RGB DIB decode, MJPEG via the JDK JPEG
+ * reader); only compressed video codecs (H.264, VP9, …) have no JDK
+ * decoder and keep the stub content under the real 1→N shape behind
+ * the [[FrameDecoder]] seam.
  */
 object Multimodal {
 
@@ -479,6 +482,133 @@ object Multimodal {
       }
     }
 
+  /**
+   * Minimal RIFF/AVI demuxer for the two codecs the container can carry
+   * WITHOUT an external library: BI_RGB raw DIB frames (uncompressed
+   * bottom-up BGR — bit-deterministic) and MJPEG (every frame a
+   * standalone JPEG, decoded by `javax.imageio`). Format per the public
+   * AVI RIFF File Reference (Microsoft): a RIFF('AVI ') tree holding
+   * LIST('hdrl') stream headers and LIST('movi') frame chunks named
+   * `##db`/`##dc` by two-digit stream number. Anything else (H.264,
+   * VP9, …) needs a real codec on the classpath via the [[FrameDecoder]]
+   * seam; this demuxer returns None and the caller stubs.
+   */
+  private[operators] object AviDemux {
+    /** The video stream of one AVI payload: dimensions, codec id, and
+      * each stored frame's (offset, length) into the payload — frames
+      * stay IN PLACE, no copies until a frame is actually decoded. */
+    final case class Video(
+      width: Int,
+      height: Int,
+      topDown: Boolean,
+      bitCount: Int,
+      mjpeg: Boolean,
+      frames: IndexedSeq[(Int, Int)]
+    )
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+
+    private val MjpgFourcc = i32("MJPG".getBytes("ISO-8859-1"), 0)
+
+    def parse(payload: Array[Byte]): Option[Video] = {
+      if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+          fourcc(payload, 8) != "AVI ") return None
+      try {
+        var nStreams = 0 // strh chunks seen, in declaration order
+        var vidsStream = -1 // two-digit number of the FIRST video stream
+        var vidsHandlerMjpg = false
+        var expectStrf = false // next strf belongs to the vids stream
+        var w, h, bits = 0
+        var topDown = false
+        var comprMjpg = false
+        val frames = IndexedSeq.newBuilder[(Int, Int)]
+
+        def walk(start: Int, end: Int): Unit = {
+          var o = start
+          while (o + 8 <= end) {
+            val id = fourcc(payload, o)
+            val size = i32(payload, o + 4)
+            val body = o + 8
+            if (size < 0 || body + size > end) return // truncated/corrupt: stop
+            if (id == "LIST") walk(body + 4, body + size)
+            else if (id == "strh" && size >= 8) {
+              val isVids = fourcc(payload, body) == "vids"
+              if (isVids && vidsStream < 0) {
+                vidsStream = nStreams
+                vidsHandlerMjpg = fourcc(payload, body + 4) == "MJPG"
+                expectStrf = true
+              } else expectStrf = false
+              nStreams += 1
+            } else if (id == "strf" && expectStrf && size >= 20) {
+              // BITMAPINFOHEADER: biWidth@4, biHeight@8 (negative =
+              // top-down), biBitCount@14, biCompression@16
+              w = i32(payload, body + 4)
+              val rawH = i32(payload, body + 8)
+              topDown = rawH < 0
+              h = math.abs(rawH)
+              bits = u16(payload, body + 14)
+              comprMjpg = i32(payload, body + 16) == MjpgFourcc
+              expectStrf = false
+            } else if (id.length == 4 && vidsStream >= 0 &&
+                (id.endsWith("db") || id.endsWith("dc")) &&
+                id.take(2).forall(_.isDigit) &&
+                id.take(2).toInt == vidsStream) {
+              frames += ((body, size))
+            }
+            o = body + size + (size & 1) // chunks pad to even offsets
+          }
+        }
+
+        walk(12, payload.length)
+        val fs = frames.result()
+        if (vidsStream < 0 || w <= 0 || h <= 0 || fs.isEmpty) None
+        else Some(Video(w, h, topDown, bits, vidsHandlerMjpg || comprMjpg, fs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Decode one stored frame to pixels: raw 24-bit BI_RGB DIB
+      * (bottom-up BGR rows, 4-byte-aligned stride) decoded directly —
+      * bit-exact; MJPEG frames handed to the JDK's JPEG reader. */
+    def decodeStoredFrame(
+      payload: Array[Byte], v: Video, idx: Int
+    ): Option[java.awt.image.BufferedImage] = {
+      val (off, len) = v.frames(idx)
+      if (v.mjpeg) {
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, off, len)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      } else if (v.bitCount == 24) {
+        val stride = ((v.width * 3 + 3) / 4) * 4
+        if (len < stride * v.height) None
+        else {
+          val img = new java.awt.image.BufferedImage(
+            v.width, v.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < v.height) {
+            val srcRow = if (v.topDown) y else v.height - 1 - y
+            var x = 0
+            val rowOff = off + srcRow * stride
+            while (x < v.width) {
+              val p = rowOff + x * 3
+              img.setRGB(x, y,
+                ((payload(p + 2) & 0xff) << 16) |
+                  ((payload(p + 1) & 0xff) << 8) | (payload(p) & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          Some(img)
+        }
+      } else None
+    }
+  }
+
   /** One PCM window re-encoded as a standalone WAV via the JDK's WAVE
     * writer — the audio analogue of [[GifFrames]]' PNG re-encode
     * (lossless: 16-bit samples round-trip bit-exactly). */
@@ -539,6 +669,42 @@ object Multimodal {
             encodeWavWindow(rate, ch, samples, lo, math.max(lo, hi))
           case None => stub.decodeFrame(payload, frameIdx, nFrames)
         }
+      }
+    }
+
+  /**
+   * REAL frame sampling for VIDEO in the AVI container, for the two
+   * codecs decodable with zero external dependencies: uncompressed
+   * BI_RGB DIB frames (decoded directly from the demuxed chunk —
+   * bit-deterministic) and MJPEG (each stored frame is a JPEG the JDK's
+   * image reader decodes; determinism is the JPEG decoder's, which can
+   * vary across JDK vendors — fine for pipelines, excluded from the
+   * exact-literal oracle). Frame `i` of `nFrames` maps to stored frame
+   * `⌊i·m/n⌋` (the [[GifFrames]] temporal-sampling policy), re-encoded
+   * as PNG so downstream [[decodeFeatures]] sees exact pixels. The
+   * demux (a single chunk-tree walk recording frame offsets, no frame
+   * copies) is cached per payload. Compressed codecs (H.264, VP9, …)
+   * and non-AVI containers fall back to the [[Md5StubFrames]] stub —
+   * a deployment supplies a real codec through this same seam.
+   */
+  val AviFrames: () => FrameDecoder = () =>
+    new FrameDecoder {
+      private val stub = Md5StubFrames()
+      private var lastPayload: Array[Byte] = _
+      private var lastVideo: Option[AviDemux.Video] = None
+
+      def decodeFrame(payload: Array[Byte], frameIdx: Int, nFrames: Int): Array[Byte] = {
+        if (payload ne lastPayload) {
+          lastPayload = payload
+          lastVideo = AviDemux.parse(payload)
+        }
+        (lastVideo match {
+          case Some(v) =>
+            AviDemux.decodeStoredFrame(
+              payload, v, (frameIdx.toLong * v.frames.size / nFrames).toInt)
+              .map(encodePng)
+          case None => None
+        }).getOrElse(stub.decodeFrame(payload, frameIdx, nFrames))
       }
     }
 

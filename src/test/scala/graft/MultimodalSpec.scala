@@ -292,6 +292,69 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded(1L).n_samples == 0L && decoded(1L).features.toSeq == Seq(0.0f))
   }
 
+  test("AviFrames: raw-DIB AVI frames decode bit-exactly with even sampling") {
+    // 6 solid-gray 4×8 frames (j·40) in a raw BI_RGB AVI; sampling 3
+    // must hit stored frames 0/2/4 with exact pixels
+    val avi = graft.gates.LlmGates.encodeAvi(
+      (0 until 6).map { j =>
+        val v = j * 40
+        graft.gates.LlmGates.solidFrame(4, 8, (v << 16) | (v << 8) | v)
+      })
+    val frames = Multimodal.sampleFrames(
+      Seq(MediaRecord(3L, avi)).toDS(), 3, Multimodal.AviFrames).collect().sortBy(_.frame_idx)
+    val grays = frames.map { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert(img.getWidth == 4 && img.getHeight == 8)
+      img.getRGB(2, 3) & 0xff
+    }
+    assert(grays.toSeq == Seq(0, 80, 160), grays.toSeq.toString)
+  }
+
+  test("AviFrames: BGR channel order and bottom-up row order decode correctly") {
+    // one frame, row y solid color from a per-row palette: catches a
+    // swapped channel (red≠blue) and a flipped vertical axis
+    val rows = Array(0xff0000, 0x00ff00, 0x0000ff, 0x804020)
+    val src = rgbImage(3, 4)((_, y) => rows(y))
+    for (topDown <- Seq(false, true)) {
+      val avi = graft.gates.LlmGates.encodeAvi(Seq(src), topDown = topDown)
+      val f = Multimodal.sampleFrames(
+        Seq(MediaRecord(1L, avi)).toDS(), 1, Multimodal.AviFrames).head()
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      for (y <- 0 until 4; x <- 0 until 3)
+        assert((img.getRGB(x, y) & 0xffffff) == rows(y), s"topDown=$topDown ($x,$y)")
+    }
+  }
+
+  test("AviFrames: MJPEG frames decode through the JDK JPEG reader") {
+    val avi = graft.gates.LlmGates.encodeAvi(
+      (0 until 4).map(j => graft.gates.LlmGates.solidFrame(16, 16, 0x406080 + j)),
+      mjpeg = true)
+    val frames = Multimodal.sampleFrames(
+      Seq(MediaRecord(1L, avi)).toDS(), 2, Multimodal.AviFrames).collect()
+    assert(frames.length == 2)
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      // JPEG is lossy: solid mid-tone survives within a small tolerance
+      val rgb = img.getRGB(8, 8)
+      assert(math.abs(((rgb >> 16) & 0xff) - 0x40) < 12, f"red ${rgb}%08x")
+      assert(math.abs((rgb & 0xff) - 0x80) < 12, f"blue ${rgb}%08x")
+    }
+  }
+
+  test("AviFrames: non-AVI and truncated payloads fall back to the md5 stub") {
+    val avi = graft.gates.LlmGates.encodeAvi(
+      Seq(graft.gates.LlmGates.solidFrame(4, 4, 0x112233)))
+    val media = Seq(
+      MediaRecord(1L, jpegHeader), // not an AVI
+      MediaRecord(2L, avi.take(40)) // RIFF magic, truncated tree
+    ).toDS()
+    val real = Multimodal.sampleFrames(media, 2, Multimodal.AviFrames).collect()
+    val stub = Multimodal.sampleFrames(media, 2).collect()
+    assert(real.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap ==
+      stub.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap)
+  }
+
   test("WavFrames: non-audio payloads fall back to the md5 stub") {
     val media = Seq(MediaRecord(1L, jpegHeader), MediaRecord(2L, pngHeader)).toDS()
     val real = Multimodal.sampleFrames(media, 2, Multimodal.WavFrames).collect()
