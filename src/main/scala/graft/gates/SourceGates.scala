@@ -110,6 +110,28 @@ object SourceGates {
           col("member_size"),
           md5(col("member_bytes")).as("member_md5"))
     },
+    // §2.2 row 82 — tar-shard SINK roundtrip: the documents table
+    // written as rolling gzipped tar shards (small cap forces several
+    // shards per partition), read back with readTar, and gated
+    // member-by-member against the original rows — names, sizes, and
+    // content hashes must survive the container
+    "q_tar_shard_roundtrip" -> { (s, dir) =>
+      val out = Files.createTempDirectory("graft-tarsink").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          concat(lit("doc_"), col("doc_id"), lit(".txt")).as("member_name"),
+          col("text").cast("binary").as("member_bytes"))
+        .repartition(4)
+      val manifest =
+        graft.sources.Archives.writeTarShards(
+          docs, out, maxShardBytes = 16 << 10, gzip = true)
+      assert(manifest.count() > 4, "shard rolling never triggered")
+      graft.sources.Archives.readTar(s, s"$out/part-*")
+        .select(
+          col("member_name"),
+          col("member_size"),
+          md5(col("member_bytes")).as("member_md5"))
+    },
     // §2.2 row 19 — ancestry ID extracted from the file path
     "q_ancestry_id" -> { (s, _) =>
       import s.implicits._
@@ -155,6 +177,11 @@ object SourceGates {
         |         'longdir-' || repeat('p', 120) || '/deep.txt',
         |         'pax long name member' || chr(10)
         |)""".stripMargin,
+    "q_tar_shard_roundtrip" ->
+      """SELECT 'doc_' || doc_id || '.txt' AS member_name,
+        |       CAST(octet_length(text::BLOB) AS BIGINT) AS member_size,
+        |       md5(text) AS member_md5
+        |FROM documents""".stripMargin,
     "q_ancestry_id" ->
       """SELECT * FROM (VALUES
         |  ('r1', '/data/in/ancestry=EU/part-0.tsv',  'EU'),

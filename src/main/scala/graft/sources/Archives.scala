@@ -129,4 +129,122 @@ object Archives {
       }
       .toDF("archive_path", "member_name", "member_size", "member_bytes")
   }
+
+  /** Hadoop `Configuration` made task-shippable via its own `Writable`
+    * serialization (Spark's equivalent helper is `private[spark]`). */
+  private final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration
+  ) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /**
+   * Tar-shard SINK — the inverse of [[readTar]], and the delivery format
+   * a training pipeline PUBLISHES (webdataset-style: a corpus shipped as
+   * N modest tarballs whose members are individually addressable by
+   * name). Rows of (`nameCol`: member path, `bytesCol`: member bytes)
+   * stream into rolling `.tar`/`.tar.gz` shards under `dir`: each input
+   * partition writes its own shard sequence, cutting a new shard once
+   * the current one's member-byte total passes `maxShardBytes` — shard
+   * size tracks content, executor memory holds one member at a time,
+   * and the write is fully DISTRIBUTED (no driver loop, no shuffle of
+   * its own: the caller's partitioning controls shard count, and
+   * `sortWithinPartitions` upstream makes member order — and therefore
+   * shard bytes — deterministic). Output goes through the Hadoop
+   * FileSystem API, so local, HDFS, and object-store destinations all
+   * work; shards are named `part-<partition>-<seq>.tar[.gz]`, and a
+   * retried task overwrites its OWN names (idempotent, no duplicate
+   * members across attempts). PAX long-name mode handles member paths
+   * past tar's 100-byte classic header.
+   *
+   * The write runs EXACTLY ONCE, eagerly; the returned shard manifest
+   * (shard_path, n_members, member_bytes) is a driver-local relation
+   * (shard-count-sized), so re-evaluating it cannot re-run the job.
+   */
+  def writeTarShards(
+    df: DataFrame,
+    dir: String,
+    nameCol: String = "member_name",
+    bytesCol: String = "member_bytes",
+    maxShardBytes: Long = 1L << 30,
+    gzip: Boolean = false
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(maxShardBytes > 0, s"maxShardBytes must be positive: $maxShardBytes")
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val suffix = if (gzip) ".tar.gz" else ".tar"
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(conf.value).mkdirs(dirPath)
+
+    val manifest: Array[(String, Long, Long)] = df
+      .select(col(nameCol).cast("string"), col(bytesCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+          val shards = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          var seq = 0
+          var tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = null
+          var shardPath: String = null
+          var nMembers = 0L
+          var nBytes = 0L
+
+          def open(): Unit = {
+            shardPath = new org.apache.hadoop.fs.Path(
+              dirPath, f"part-$pid%05d-$seq%04d$suffix").toString
+            val raw: java.io.OutputStream =
+              fs.create(new org.apache.hadoop.fs.Path(shardPath), true)
+            val maybeGz =
+              if (gzip)
+                new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(raw)
+              else raw
+            tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(maybeGz)
+            tar.setLongFileMode(
+              org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
+            nMembers = 0L
+            nBytes = 0L
+          }
+
+          def close(): Unit = if (tar != null) {
+            tar.finish()
+            tar.close()
+            shards += ((shardPath, nMembers, nBytes))
+            tar = null
+          }
+
+          open()
+          try {
+            rows.foreach { case (name, bytes) =>
+              if (nBytes > 0 && nBytes + bytes.length > maxShardBytes) {
+                close(); seq += 1; open()
+              }
+              val entry = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(name)
+              entry.setSize(bytes.length.toLong)
+              tar.putArchiveEntry(entry)
+              tar.write(bytes)
+              tar.closeArchiveEntry()
+              nMembers += 1
+              nBytes += bytes.length
+            }
+            close()
+          } finally if (tar != null) tar.close() // failure path: release the handle
+          shards.iterator
+        }
+      }
+      .collect()
+
+    spark.createDataFrame(manifest.toSeq)
+      .toDF("shard_path", "n_members", "member_bytes")
+  }
 }

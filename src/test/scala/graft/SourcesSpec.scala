@@ -262,6 +262,63 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("huge.tar") &&
       e.getMessage.contains("Split the drop"), e.getMessage.take(500))
   }
+
+  test("writeTarShards: roundtrip through readTar preserves names, sizes, bytes") {
+    import spark.implicits._
+    val d = tmpDir("graft-tarsink")
+    val rows = (0 until 100)
+      .map(i => (s"dir${i % 3}/m$i.bin", Array.tabulate(50 + i)(j => (i + j).toByte)))
+    val df = rows.toDF("member_name", "member_bytes").repartition(3)
+    val manifest = graft.sources.Archives
+      .writeTarShards(df, d.toString, gzip = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.map(_._2).sum == 100L, manifest.toSeq.toString)
+    assert(manifest.map(_._3).sum == rows.map(_._2.length.toLong).sum)
+    // every shard path actually exists and is gzip (magic bytes)
+    manifest.foreach { case (p, _, _) =>
+      val head = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(p).getPath)).take(2)
+      assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b, p)
+    }
+    val back = graft.sources.Archives.readTar(spark, s"$d/part-*")
+      .collect()
+      .map(r => r.getAs[String]("member_name") -> r.getAs[Array[Byte]]("member_bytes").toSeq)
+      .toMap
+    assert(back.size == 100)
+    rows.foreach { case (n, b) => assert(back(n) == b.toSeq, n) }
+  }
+
+  test("writeTarShards: rolls shards at maxShardBytes, long names survive") {
+    import spark.implicits._
+    val d = tmpDir("graft-tarroll")
+    val longName = "deep/" + ("n" * 150) + ".bin"
+    val rows = (0 until 20).map(i =>
+      (if (i == 7) longName else s"m$i.bin", Array.fill(1000)(i.toByte))) // 20 KB total
+    val df = rows.toDF("member_name", "member_bytes").coalesce(1)
+    val manifest = graft.sources.Archives
+      .writeTarShards(df, d.toString, maxShardBytes = 4000L)
+      .collect()
+    // 1 KB members, 4 KB cap, one partition → 5 shards of 4
+    assert(manifest.length == 5, manifest.toSeq.toString)
+    assert(manifest.forall(_.getLong(1) == 4L))
+    val back = graft.sources.Archives.readTar(spark, s"$d/part-*")
+    assert(back.count() == 20L)
+    assert(back.filter(col("member_name") === longName).count() == 1L)
+  }
+
+  test("writeTarShards: empty partitions write no shards; empty frame yields empty manifest") {
+    import spark.implicits._
+    val d = tmpDir("graft-tarsparse")
+    val df = Seq(("only.bin", Array[Byte](1, 2, 3))).toDF("member_name", "member_bytes")
+      .repartition(8) // 7 empty partitions
+    val manifest = graft.sources.Archives.writeTarShards(df, d.toString)
+    assert(manifest.count() == 1L)
+    val none = graft.sources.Archives.writeTarShards(
+      spark.emptyDataset[(String, Array[Byte])].toDF("member_name", "member_bytes"),
+      d.resolve("none").toString)
+    assert(none.count() == 0L)
+    assert(none.columns.toSeq == Seq("shard_path", "n_members", "member_bytes"))
+  }
 }
 
 case class Person(name: String, age: Long)
