@@ -1161,10 +1161,20 @@ object Dedup {
    * the I×B join explosion a join-then-group spelling would pay before
    * its cap could drop the bucket. The capped arrays join 1:1 per
    * (band, key) and only then explode to pairs — bounded by cap² per
-   * bucket. Caps carry observed drop metrics per side. The verify join
-   * moves only candidate-sized data; the batch side's signatures are
-   * evaluated once per plan reference (band + verify = two batch scans
-   * — batch-sized, the cheap side).
+   * bucket. Caps carry observed drop metrics per side.
+   *
+   * Signatures RIDE THE BAND ROWS (the [[simHashNearDupsAgainstIndex]]
+   * convention), so the verify needs NO join back to either signature
+   * table — each side's MinHash computation appears exactly once in the
+   * plan. This matters because Spark re-evaluates a computed frame per
+   * plan reference: a join-back spelling pays the index derivation
+   * twice (a second parquet scan for a persisted index, a full
+   * shingling+hashing recompute for an inline one) and the batch's
+   * shingling twice on the hot path — measured 1.0-exponent linear
+   * scaling in the 10× index trend before this was flattened. The semi
+   * probe likewise derives from the GROUPED batch buckets, so
+   * ReuseExchange shares the single batch shuffle between the probe
+   * and the bucket join rather than re-evaluating the batch.
    */
   def nearDuplicatesAgainstIndex(
     batch: DataFrame,
@@ -1178,48 +1188,61 @@ object Dedup {
     maxBucket: Option[Int] = DefaultMaxBucket,
     broadcastBatch: Boolean = true
   ): DataFrame = {
-    val batchSigs = minHashSignatures(batch, textCol, idCol, k, numHashes)
-    val idxBands = bandTable(indexSignatures, numHashes, bands)
-      .withColumnRenamed("doc_id", "index_id")
-    val batchBands = bandTable(batchSigs, numHashes, bands)
-      .withColumnRenamed("doc_id", "batch_id")
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    // band rows with the signature riding along — one evaluation per
+    // side for banding AND verify (see the scale-shape doc above)
+    def sigBands(sigs: DataFrame, idAs: String, sigAs: String): DataFrame =
+      sigs.select(
+        col("doc_id").as(idAs),
+        col("signature").as(sigAs),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              concat_ws(",",
+                transform(slice(col("signature"), b * rows + 1, lit(rows)),
+                  v => v.cast("string"))).as("band_key"))))
+          .as("bk"))
+        .select(col(idAs), col(sigAs),
+          col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
-    // matched index rows: semi join against the batch's distinct band
-    // keys — each index row emitted AT MOST ONCE (candidate-sized, no
+    val batchBuckets = sigBands(
+        minHashSignatures(batch, textCol, idCol, k, numHashes), "batch_id", "__sig_b")
+      .groupBy("band", "band_key")
+      .agg(collect_set(struct(col("batch_id"), col("__sig_b"))).as("batch_items"))
+    // the semi probe derives from the SAME aggregation, so the batch's
+    // one shuffle feeds both the probe and the bucket join
+    val probe = batchBuckets.select("band", "band_key")
+    // matched index rows: semi join against the batch's band keys —
+    // each index row emitted AT MOST ONCE (candidate-sized, no
     // cross-side row explosion), then grouped and capped on its own
-    val matchedIdx = idxBands.join(
-      hinted(batchBands.select("band", "band_key").distinct()),
-      Seq("band", "band_key"), "left_semi")
+    val matchedIdx = sigBands(indexSignatures, "index_id", "__sig_i")
+      .join(hinted(probe), Seq("band", "band_key"), "left_semi")
     val idxBuckets = capBuckets(
       matchedIdx.groupBy("band", "band_key")
-        .agg(collect_set("index_id").as("idx_ids")),
-      "idx_ids", maxBucket, "incr_lsh_idx")
-    val batchBuckets = batchBands.groupBy("band", "band_key")
-      .agg(collect_set("batch_id").as("batch_ids"))
+        .agg(collect_set(struct(col("index_id"), col("__sig_i"))).as("idx_items")),
+      "idx_items", maxBucket, "incr_lsh_idx")
     // capped-array-to-array join is 1:1 per (band, key); the batch cap
     // runs after the inner join so its drop metric counts only buckets
     // present on both sides (the join-then-group spelling's bucket set)
     val capped = capBuckets(
       idxBuckets.join(hinted(batchBuckets), Seq("band", "band_key")),
-      "batch_ids", maxBucket, "incr_lsh_batch")
-    val cand = capped
-      .select(explode(col("idx_ids")).as("index_id"), col("batch_ids"))
-      .select(col("index_id"), explode(col("batch_ids")).as("batch_id"))
-      .distinct()
-    // verify: candidate-sized joins against the two signature tables
-    val agree = zip_with(col("__sig_i"), col("__sig_b"),
+      "batch_items", maxBucket, "incr_lsh_batch")
+    val agree = zip_with(col("i.__sig_i"), col("b.__sig_b"),
       (x, y) => when(x === y, 1).otherwise(0))
-    cand
-      .join(indexSignatures.select(
-        col("doc_id").as("index_id"), col("signature").as("__sig_i")),
-        Seq("index_id"))
-      .join(batchSigs.select(
-        col("doc_id").as("batch_id"), col("signature").as("__sig_b")),
-        Seq("batch_id"))
-      .withColumn("est_jaccard",
-        aggregate(agree, lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+    capped
+      .select(explode(col("idx_items")).as("i"), col("batch_items"))
+      .select(col("i"), explode(col("batch_items")).as("b"))
+      .select(
+        col("b.batch_id").as("batch_id"),
+        col("i.index_id").as("index_id"),
+        (aggregate(agree, lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select("batch_id", "index_id", "est_jaccard")
+      // a pair sharing several bands verified identically in each — one row
+      .distinct()
   }
 
   /**
