@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Dedup, Dsir, Retrieval, Sampling, TextAnalysis, Web}
+import graft.operators.{Contamination, Dedup, Dsir, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
 
 /**
  * Correctness gates for corpus-level retrieval and distribution
@@ -87,6 +87,19 @@ object CorpusGates {
       val model = Dsir.logRatioModel(d.filter(col("doc_id") % 7 === 0), d, "text", nBuckets = 256)
       Dsir.importanceWeights(d, model, "text", "doc_id")
         .select(col("doc_id"), round(col("weight"), 4).as("weight"))
+    },
+    // §2.4 row 83 — fastText-style linear quality scoring under a
+    // LITERAL weight spine (the deployment shape: the model is fitted
+    // offline — QualityClassifierSpec drives fit() — and scoring is the
+    // 100 TB operation): w(b) = ((b % 7) − 3)/10, bias 0.1, 256 buckets
+    // over the shared DSIR gram space, score = sigmoid(bias + mean w)
+    "q_quality_score" -> { (s, dir) =>
+      val weights = s.range(256).select(col("id").as("bucket"),
+        (((col("id") % 7) - 3) / lit(10.0)).as("weight"))
+      QualityClassifier.score(
+          docs(s, dir).select("doc_id", "text"), weights, "text", "doc_id",
+          bias = 0.1)
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
     },
     // the full selection key surface: weight, hash-Gumbel noise, and the
     // resampling key at τ=2 — the top-n cut over `key` is the already-
@@ -309,6 +322,22 @@ object CorpusGates {
         |FROM all_docs a LEFT JOIN ent USING (doc_id)""".stripMargin,
     "q_dsir_model" -> (DsirModelCte +
       "\nSELECT bucket, round(log_ratio, 6) AS log_ratio FROM model"),
+    // same gram CTE as DSIR (shared feature space); weight per gram
+    // occurrence is the literal formula, score the mean through sigmoid
+    "q_quality_score" -> {
+      val gram = s"""list_concat(w, CASE WHEN len(w) >= 2
+                    |    THEN list_transform(range(len(w) - 1), j -> w[j+1] || ' ' || w[j+2])
+                    |    ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, ${LlmGates.wordsSql()} AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, (${LlmGates.h60("gram")} % 256) AS bucket
+         |  FROM (SELECT doc_id, unnest($gram) AS gram FROM d)),
+         |sc AS (
+         |  SELECT doc_id,
+         |         1.0 / (1.0 + exp(-(0.1 + avg(((bucket % 7) - 3) / 10.0)))) AS q
+         |  FROM g GROUP BY doc_id)
+         |SELECT doc_id, round(q, 6) AS quality_score FROM sc""".stripMargin
+    },
     "q_dsir_weights" -> (DsirModelCte + ",\n" + DsirWeightsSql +
       "\nSELECT doc_id, round(weight, 4) AS weight FROM wts"),
     "q_dsir_keys" -> (DsirModelCte + ",\n" + DsirWeightsSql + ",\n" +

@@ -51,8 +51,10 @@ object Dsir {
         .otherwise(array().cast("array<bigint>")))
 
   /** (doc_id, bucket) per gram occurrence — the feature stream, built
-    * on [[Dedup.wordTable]] (the corpus-wide normalized-word notion). */
-  private def gramBuckets(
+    * on [[Dedup.wordTable]] (the corpus-wide normalized-word notion).
+    * Shared with [[QualityClassifier]]: one hashed-gram feature space
+    * serves importance resampling AND model-based quality scoring. */
+  private[operators] def gramBuckets(
     df: DataFrame, textCol: String, idCol: String, nBuckets: Int): DataFrame =
     Dedup.wordTable(df, textCol, idCol)
       .select(col("doc_id"), explode(gramHashesOf(col("w"))).as("h"))
@@ -118,18 +120,18 @@ object Dsir {
    * have no profile and are absent (the contamination NULL-text
    * convention).
    */
-  def importanceWeights(
-    df: DataFrame,
-    model: DataFrame,
-    textCol: String,
-    idCol: String
-  ): DataFrame = {
+  /** Validate that `model` is a dense (bucket, …) spine — one row per
+    * bucket 0..D−1 — and return D. Shared with [[QualityClassifier]];
+    * see [[importanceWeights]] for why density is validated, not
+    * assumed. `fitHint` names the fitting entry point in the error. */
+  private[operators] def requireDenseBucketSpine(
+    model: DataFrame, fitHint: String): Int = {
     val shape = model
       .agg(count(lit(1)).as("n"), countDistinct(col("bucket")).as("nd"),
         min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .head()
     val nBuckets = shape.getAs[Long]("n")
-    require(nBuckets >= 1, "model is empty — fit it with logRatioModel first")
+    require(nBuckets >= 1, s"model is empty — fit it with $fitHint first")
     require(
       shape.getAs[Long]("nd") == nBuckets &&
         shape.getAs[Long]("lo") == 0L &&
@@ -137,8 +139,18 @@ object Dsir {
       s"model is not a dense bucket spine (expected one row per bucket " +
         s"0..${nBuckets - 1}; found ${shape.getAs[Long]("nd")} distinct " +
         s"buckets in [${shape.getAs[Long]("lo")}, ${shape.getAs[Long]("hi")}] " +
-        s"over $nBuckets rows) — pass the unmodified logRatioModel output")
-    gramBuckets(df, textCol, idCol, nBuckets.toInt)
+        s"over $nBuckets rows) — pass the unmodified $fitHint output")
+    nBuckets.toInt
+  }
+
+  def importanceWeights(
+    df: DataFrame,
+    model: DataFrame,
+    textCol: String,
+    idCol: String
+  ): DataFrame = {
+    val nBuckets = requireDenseBucketSpine(model, "logRatioModel")
+    gramBuckets(df, textCol, idCol, nBuckets)
       .join(broadcast(model), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("log_ratio")).as("weight"))

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * FastText-style linear quality classifier (Joulin et al. 2016,
+ * arXiv:1607.01759 "Bag of Tricks for Efficient Text Classification") —
+ * the model-based quality filter the CCNet / LLaMA data recipes run
+ * after rule-based gates: score every document by a trained linear
+ * model over hashed gram features and keep what looks like the
+ * reference corpus.
+ *
+ * Features are the SAME hashed unigram+bigram bucket space as [[Dsir]]
+ * ([[Dsir.gramBuckets]] — md5-based, so the DuckDB oracle re-derives
+ * every bucket): one feature pipeline serves importance RESAMPLING
+ * (DSIR) and model-based SCORING, and an artifact fitted against either
+ * notion of "target-like" is comparable with the other. A document's
+ * score is `sigmoid(bias + Σ_b w_b·c_b / N)` — the mean bucket weight
+ * over its N gram occurrences (fastText's mean-of-embeddings with a
+ * 1-d "embedding" per bucket).
+ *
+ * Scale shape, scoring (the 100 TB operation): the model is a dense
+ * (bucket, weight) spine — metadata-sized, broadcast — and scoring is
+ * one corpus scan: explode grams, join the broadcast model at the gram
+ * level, partially aggregate per document (shuffle volume: one row per
+ * doc — the [[Dsir.importanceWeights]] shape). Gram counts are never
+ * shuffled.
+ *
+ * Scale shape, fitting: logistic regression by full-batch gradient
+ * descent — the per-doc sparse feature lists are built once, persisted
+ * for the duration of the fit (released before return; fitting is an
+ * ACTION, so the persist cannot leak), and each iteration is one
+ * `treeAggregate` of a D-sized dense gradient with the current weights
+ * broadcast. D defaults small (4096) because quality models are
+ * vocabulary sketches, not language models; iterations × one pass over
+ * doc-sized feature rows is the inherent cost of an iterative fit.
+ */
+object QualityClassifier {
+
+  /** A fitted model: the dense per-bucket weight spine plus the bias.
+    * `weights` is a driver-local relation (metadata-sized) — persist it
+    * to parquet alongside the bias for reuse across runs. */
+  final case class Model(weights: DataFrame, bias: Double)
+
+  /**
+   * Score documents under a fitted (or literal) weight spine:
+   * (doc_id, quality_score) with score = sigmoid(bias + Σ w·c / N).
+   * The bucket modulus is READ OFF the dense model (validated, not
+   * assumed — [[Dsir.importanceWeights]]' contract: a filtered model
+   * would silently re-bucket every document). Documents with zero
+   * grams have no profile and are absent (the DSIR convention).
+   */
+  def score(
+    df: DataFrame,
+    weights: DataFrame,
+    textCol: String,
+    idCol: String,
+    bias: Double = 0.0
+  ): DataFrame = {
+    val nBuckets = Dsir.requireDenseBucketSpine(weights, "QualityClassifier.fit")
+    Dsir.gramBuckets(df, textCol, idCol, nBuckets)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg((lit(1.0) /
+        (lit(1.0) + exp(-(lit(bias) + sum(col("weight")) / count(lit(1))))))
+        .as("quality_score"))
+  }
+
+  /**
+   * Fit by full-batch logistic regression: minimize mean log-loss (+ L2)
+   * of `labelCol` ∈ {0, 1} against sigmoid(bias + Σ w·c/N) with `iters`
+   * gradient steps at rate `lr`. Returns the dense weight spine
+   * (localized — downstream consumers cannot re-trigger the fit) and
+   * the bias. Deterministic up to float summation order in the gradient
+   * aggregate (the classifier's decisions are threshold-scale; a 1-ulp
+   * gradient wiggle does not move them — exact-replay scoring is the
+   * gate-checked path above, which is expression-level).
+   */
+  def fit(
+    df: DataFrame,
+    textCol: String,
+    labelCol: String,
+    idCol: String,
+    nBuckets: Int = 4096,
+    iters: Int = 50,
+    lr: Double = 1.0,
+    l2: Double = 1e-6
+  ): Model = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // per-doc sparse features: (label, [(bucket, c/N)]) — built once,
+    // persisted across the iteration loop, freed before return
+    val feats = Dsir.gramBuckets(df, textCol, idCol, nBuckets)
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("bucket").cast("int"), col("c").cast("double"))).as("f"))
+      // labels join one row per doc, after aggregation
+      .join(
+        df.select(col(idCol).as("doc_id"), col(labelCol).cast("double").as("__y")),
+        Seq("doc_id"))
+      .select(col("__y"), col("f"))
+      .as[(Double, Seq[(Int, Double)])]
+      .map { case (y, f) =>
+        val n = f.map(_._2).sum
+        (y, f.map { case (b, c) => (b, c / n) }.toArray)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = feats.count().toDouble
+      require(nDocs >= 1, "no documents with grams to fit on")
+      var w = new Array[Double](nBuckets)
+      var b = 0.0
+      var it = 0
+      while (it < iters) {
+        val bw = spark.sparkContext.broadcast(w)
+        val bb = b
+        // dense D-sized gradient: treeAggregate keeps the combine tree
+        // shallow and the driver receives one array, not one per task
+        val (gw, gb) = feats.rdd.treeAggregate((new Array[Double](nBuckets), 0.0))(
+          seqOp = { case ((aw, ab), (y, f)) =>
+            var z = bb
+            var i = 0
+            while (i < f.length) { z += bw.value(f(i)._1) * f(i)._2; i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-z))
+            val d = p - y
+            i = 0
+            while (i < f.length) { aw(f(i)._1) += d * f(i)._2; i += 1 }
+            (aw, ab + d)
+          },
+          combOp = { case ((aw, ab), (cw, cb)) =>
+            var i = 0
+            while (i < nBuckets) { aw(i) += cw(i); i += 1 }
+            (aw, ab + cb)
+          })
+        bw.destroy()
+        val next = new Array[Double](nBuckets)
+        var i = 0
+        while (i < nBuckets) {
+          next(i) = w(i) - lr * (gw(i) / nDocs + l2 * w(i))
+          i += 1
+        }
+        w = next
+        b -= lr * gb / nDocs
+        it += 1
+      }
+      val spine = Similarity.localize(
+        spark.createDataFrame(w.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+          .toDF("bucket", "weight"))
+      Model(spine, b)
+    } finally feats.unpersist()
+  }
+}
