@@ -29,7 +29,10 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  *   5. decontamination against an eval set (optional; bloom-prefiltered
  *      on request)
  *   6. quality floor (composite score ≥ minQuality), optionally with the
- *      Gopher rule verdict as an additional hard gate
+ *      Gopher rule verdict as an additional hard gate, and optionally a
+ *      MODEL-based gate (`qualityModel`: a fitted
+ *      [[graft.operators.QualityClassifier]] weight spine — survivors
+ *      must score ≥ its threshold; zero-gram docs fail it)
  *   6b. optional per-group document cap (`perGroupCap = Some(groupCol, k)`:
  *       at most k survivors per group, lowest-id keeper — the
  *       anti-crawler-loop / per-domain budget rule)
@@ -70,6 +73,15 @@ object CurationPipeline {
     index: DataFrame,
     vecCol: String = "embedding",
     idCol: String = "doc_id")
+
+  /** The model-quality gate for [[Config.qualityModel]]: a fitted
+    * [[graft.operators.QualityClassifier]] dense weight spine + bias
+    * (e.g. `QualityClassifier.fit(...)` unpacked, or weights read back
+    * from parquet) and the keep threshold. */
+  final case class ModelGate(
+    weights: DataFrame,
+    bias: Double,
+    minScore: Double = 0.5)
 
   final case class Config(
     /** Strip HTML markup FIRST ([[graft.operators.Web.stripHtml]]) —
@@ -128,6 +140,15 @@ object CurationPipeline {
     bloomPrefilter: Boolean = false,
     minQuality: Double = 0.0,
     gopherFilter: Boolean = false,
+    /** Model-based quality gate: survivors must score ≥ `minScore`
+      * under the fitted [[graft.operators.QualityClassifier]] spine
+      * (fit offline — over SAME-scrubbed text, the prior-index caveat —
+      * or supply domain weights). Documents with zero grams have no
+      * profile and FAIL the gate (absent from the score relation).
+      * Scale shape: one scan of the surviving candidates joining the
+      * broadcast spine, one score row per doc into a semi join — the
+      * [[graft.operators.Contamination.decontaminate]] shape. */
+    qualityModel: Option[ModelGate] = None,
     perGroupCap: Option[(String, Int)] = None,
     targetMix: Option[(String, Seq[(String, Long)])] = None,
     splits: Seq[(String, Double)] = Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)),
@@ -278,13 +299,26 @@ object CurationPipeline {
     // exact+near dedup chain (the pipeline's most expensive stages)
     val scored = TextAnalysis.appendQuality(ruled, textCol)
       .filter(col("quality") >= cfg.minQuality)
+    // 6 (model gate, optional): the score is an aggregation over the
+    // gram explode (not a row-local projection), so it necessarily
+    // joins back — both sides reference `scored`, hence the pin (run()
+    // persists it; curate() accepts the documented recompute)
+    val modelGated = cfg.qualityModel.fold(scored) { qm =>
+      val base = pin(scored)
+      val keep = graft.operators.QualityClassifier
+        .score(base.select(col("doc_id"), col(textCol)),
+          qm.weights, textCol, "doc_id", qm.bias)
+        .filter(col("quality_score") >= qm.minScore)
+        .select("doc_id")
+      base.join(keep, Seq("doc_id"), "left_semi")
+    }
     // 6b/6c share ONE group lookup join (the final select sheds the
     // group columns, so nothing needs dropping in between)
     val groupCols =
       (cfg.perGroupCap.map(_._1).toSeq ++ cfg.targetMix.map(_._1).toSeq).distinct
     val withGroups =
-      if (groupCols.isEmpty) scored
-      else scored.join(groupLookup(groupCols), "doc_id")
+      if (groupCols.isEmpty) modelGated
+      else modelGated.join(groupLookup(groupCols), "doc_id")
     // 6b: per-group cap over the final survivors (lowest-id keeper, so
     // the cap is deterministic and rerun-stable like the dedup keepers)
     val capped = cfg.perGroupCap.fold(withGroups) { case (gcol, k) =>

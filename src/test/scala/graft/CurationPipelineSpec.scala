@@ -124,6 +124,34 @@ class CurationPipelineSpec extends SparkSpec {
     assert(pipelineIds == Set(2L), pipelineIds)
   }
 
+  test("model quality gate ≡ standalone fit-then-score chain; zero-gram docs fail it") {
+    import graft.operators.QualityClassifier
+    val good = (0 until 20).map(i =>
+      (i.toLong, s"well written informative careful article number $i", 1))
+    val spam = (0 until 20).map(i =>
+      (100L + i, s"buy cheap pills casino bonus click now $i", 0))
+    val train = (good ++ spam).toDF("doc_id", "text", "label")
+    val m = QualityClassifier.fit(
+      train, "text", "label", "doc_id", nBuckets = 256, iters = 40, lr = 2.0)
+    // batch: one good-flavored, one spam-flavored, one empty (zero grams)
+    val batch = Seq(
+      (1L, "careful informative well written piece"),
+      (2L, "cheap casino pills bonus click"),
+      (3L, "")).toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minLineCount = 99,
+      qualityModel = Some(CurationPipeline.ModelGate(m.weights, m.bias, minScore = 0.5)))
+    val pipelineIds = CurationPipeline.run(batch, "text", "doc_id", cfg)(_.collect())
+      .map(_.getAs[Long]("doc_id")).toSet
+    val keep = QualityClassifier.score(batch, m.weights, "text", "doc_id", m.bias)
+      .filter(col("quality_score") >= 0.5).select("doc_id")
+    val standaloneIds = batch.join(keep, Seq("doc_id"), "left_semi")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(pipelineIds == standaloneIds, s"$pipelineIds != $standaloneIds")
+    // the gate actually discriminates: good kept, spam cut, empty cut
+    assert(pipelineIds == Set(1L), pipelineIds)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "run() leaked persists")
+  }
+
   test("within-doc line rule and gopher gate fire when enabled; bloom path agrees") {
     val prose = "the cat is in the hat and it is flat for all of us to see " * 2
     // 64 words, mean length and stopword mix pass the paper-default rules
