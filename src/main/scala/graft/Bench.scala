@@ -71,7 +71,9 @@ object Bench {
     "q_incr_embed",         // batch-vs-index hyperplane buckets + cosine verify (r9)
     "q_incr_simhash",       // batch-vs-index pigeonhole bands + Hamming verify (r9)
     "q_dup_spans",          // corpus-self duplicate-span removal: gram-keyed occurrence shuffle + span rebuild (r9)
-    "q_incr_neardup_stream" // stateless stream-shape matcher vs the statically-capped flat index (r9)
+    "q_incr_neardup_stream", // stateless stream-shape matcher vs the statically-capped flat index (r9)
+    "q_quality_score",      // classifier scoring: gram explode + broadcast weight spine + per-doc regroup (r10)
+    "q_tar_shard_roundtrip" // tar-shard sink + readTar roundtrip over the documents table — real file IO both ways (r10)
   )
 
   private def jsonStr(s: String): String =
