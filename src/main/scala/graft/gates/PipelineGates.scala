@@ -70,6 +70,23 @@ object PipelineGates {
           round(col("quality"), 6).as("quality"),
           col("split")))
       }
+    },
+    // §2.4 row 52b — the pipeline's per-stage row ACCOUNTING: the
+    // observe (CollectMetrics) counters runObserved rides on the one
+    // action, gated against DuckDB re-counting every stage CTE — a
+    // stage silently dropping (or failing to drop) rows breaks this
+    // even when the final rows happen to hash-match
+    "q_curation_stage_counts" -> { (s, dir) =>
+      import s.implicits._
+      val d = LlmGates.docs(s, dir).select("doc_id", "text", "lang")
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val ev = LlmGates.docs(s, dir)
+        .filter(col("doc_id") % 100 === 7).select("doc_id", "text")
+      val (_, metrics) = CurationPipeline.runObserved(corpus, "text", "doc_id",
+        GateCfg.copy(evalSet = Some(ev)))(_.count())
+      s.createDataset(metrics.toSeq).toDF("stage", "n_rows")
     }
   )
 
@@ -83,9 +100,11 @@ object PipelineGates {
 
   private val B = Sampling.Buckets
 
-  val oracleSql: Map[String, String] = Map(
-    "q_curation_e2e" ->
-      s"""WITH all_docs AS (
+  /** The q_curation_e2e oracle CTE chain through `capd` — every stage
+    * a named relation (sc/ind/lined/exact/near/decon/qf/capd), shared
+    * by the e2e value gate and the stage-count accounting gate. */
+  private lazy val CurationCte: String =
+    s"""WITH all_docs AS (
          |  SELECT doc_id, text, lang FROM documents
          |  UNION ALL
          |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0),
@@ -181,8 +200,11 @@ object PipelineGates {
          |           row_number() OVER (PARTITION BY lang
          |                              ORDER BY doc_id ASC) AS rk
          |    FROM qf)
-         |  WHERE rk <= 40)
-         |-- stage 7: split assignment (seed 'graft', 0.8/0.1/0.1)
+         |  WHERE rk <= 40)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_curation_e2e" -> (CurationCte + "\n" +
+      s"""-- stage 7: split assignment (seed 'graft', 0.8/0.1/0.1)
          |SELECT doc_id, md5(text) AS text_md5,
          |       round(quality, 6) AS quality,
          |       CASE WHEN ${LlmGates.h60("'graft:' || doc_id")} % $B
@@ -190,6 +212,18 @@ object PipelineGates {
          |            WHEN ${LlmGates.h60("'graft:' || doc_id")} % $B
          |                 < ${(0.9 * B).toLong} THEN 'val'
          |            ELSE 'test' END AS split
-         |FROM capd""".stripMargin
+         |FROM capd""".stripMargin),
+    // per-stage accounting: each CTE relation's count, matching the
+    // observe (CollectMetrics) counters runObserved emits — 'scrubbed'
+    // equals the input count because the scrub stages rewrite text but
+    // never drop a document
+    "q_curation_stage_counts" -> (CurationCte + """
+      |SELECT * FROM (
+      |  SELECT 'scrubbed' AS stage, count(*)::BIGINT AS n_rows FROM lined
+      |  UNION ALL SELECT 'after_exact_dedup', count(*)::BIGINT FROM exact
+      |  UNION ALL SELECT 'after_near_dedup', count(*)::BIGINT FROM near
+      |  UNION ALL SELECT 'after_decontamination', count(*)::BIGINT FROM decon
+      |  UNION ALL SELECT 'after_quality', count(*)::BIGINT FROM qf
+      |  UNION ALL SELECT 'final', count(*)::BIGINT FROM capd)""".stripMargin)
   )
 }

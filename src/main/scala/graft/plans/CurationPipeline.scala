@@ -234,11 +234,57 @@ object CurationPipeline {
     textCol: String,
     idCol: String,
     cfg: Config = Config()
+  )(action: DataFrame => T): T =
+    execute(corpus, textCol, idCol, cfg, (_, df) => df)(action)
+
+  /**
+   * [[run]] with per-stage row ACCOUNTING at zero extra cost: each
+   * stage boundary carries an `observe` (CollectMetrics) counter that
+   * rides the one action — no additional scan, no extra shuffle, no
+   * recompute (the [[graft.GraftSession]] bucketCapDrops doctrine: a
+   * 100 TB pipeline must report what each stage dropped, and it must
+   * not pay a second pass to find out). Returns (action result,
+   * stage → surviving row count) with stages in execution order:
+   * `scrubbed` (always — the scrub stages rewrite text but never drop
+   * a document, so this equals the input count), `after_incremental_
+   * prune` (when any prior index is configured), `after_exact_dedup`,
+   * `after_near_dedup`, `after_decontamination` (when an eval set is
+   * configured), `after_quality` (composite floor + optional Gopher +
+   * optional model gate), and `final` (post cap/mix/split).
+   *
+   * Counter placement is persist-aware: observations sit UNDER the
+   * pinned intermediates, so a multiply-consumed stage (scrub, the
+   * model-gate base, the mix input) counts once, at materialization —
+   * not once per consumer.
+   */
+  def runObserved[T](
+    corpus: DataFrame,
+    textCol: String,
+    idCol: String,
+    cfg: Config = Config()
+  )(action: DataFrame => T): (T, Map[String, Long]) = {
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.Observation]
+    val hook: (String, DataFrame) => DataFrame = (name, df) => {
+      val o = new org.apache.spark.sql.Observation(s"graft_curation_$name")
+      seen(name) = o
+      df.observe(o, count(lit(1)).as("rows"))
+    }
+    val result = execute(corpus, textCol, idCol, cfg, hook)(action)
+    (result, seen.map { case (n, o) => n -> o.get("rows").asInstanceOf[Long] }.toMap)
+  }
+
+  private def execute[T](
+    corpus: DataFrame,
+    textCol: String,
+    idCol: String,
+    cfg: Config,
+    observe: (String, DataFrame) => DataFrame
   )(action: DataFrame => T): T = {
-    val scrubbed = scrub(corpus, textCol, idCol, cfg).persist()
+    val scrubbed = observe("scrubbed", scrub(corpus, textCol, idCol, cfg)).persist()
     val pinned = scala.collection.mutable.Buffer[DataFrame](scrubbed)
     val pin: DataFrame => DataFrame = df => { pinned += df.persist(); df }
-    try action(stages(scrubbed, textCol, cfg, corpus, idCol, pin))
+    try action(stages(scrubbed, textCol, cfg, corpus, idCol, pin, observe))
     finally pinned.foreach(_.unpersist())
   }
 
@@ -251,7 +297,8 @@ object CurationPipeline {
   private def stages(
     scrubbed: DataFrame, textCol: String, cfg: Config,
     corpus: DataFrame, idCol: String,
-    pin: DataFrame => DataFrame = identity
+    pin: DataFrame => DataFrame = identity,
+    observe: (String, DataFrame) => DataFrame = (_, df) => df
   ): DataFrame = {
     def groupLookup(gcols: Seq[String]): DataFrame =
       corpus.select((col(idCol).as("doc_id") +: gcols.map(col)).toIndexedSeq: _*)
@@ -270,23 +317,30 @@ object CurationPipeline {
     // the embedding arm prunes by MATCHED IDS (embeddings live in their
     // own table, not on the text rows); candidate-bounded matched set,
     // corpus anti join — the dropNearDuplicatesAgainst shape
-    val fresh = cfg.priorEmbeddings.fold(fresh2) { ep =>
+    val fresh3 = cfg.priorEmbeddings.fold(fresh2) { ep =>
       val matched = Dedup.embeddingNearDupAgainstIndex(
         ep.batchEmbeddings, ep.index, ep.vecCol, ep.idCol,
         planes = cfg.embedPlanes, threshold = cfg.embedThreshold)
         .select(col("batch_id").as("doc_id")).distinct()
       fresh2.join(matched, Seq("doc_id"), "left_anti")
     }
+    val anyPrior = cfg.priorFingerprints.nonEmpty || cfg.priorSignatures.nonEmpty ||
+      cfg.priorSimhashes.nonEmpty || cfg.priorEmbeddings.nonEmpty
+    val fresh =
+      if (anyPrior) observe("after_incremental_prune", fresh3) else fresh3
     // 3-4: exact then near dedup
-    val exact = Dedup.dropExactDuplicates(fresh, textCol, "doc_id")
-    val near = Dedup.dropNearDuplicates(exact, textCol, "doc_id",
-      k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
-      threshold = cfg.nearDupThreshold)
+    val exact = observe("after_exact_dedup",
+      Dedup.dropExactDuplicates(fresh, textCol, "doc_id"))
+    val near = observe("after_near_dedup",
+      Dedup.dropNearDuplicates(exact, textCol, "doc_id",
+        k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+        threshold = cfg.nearDupThreshold))
     // 5: decontamination (optional)
     val clean = cfg.evalSet.fold(near)(ev =>
-      Contamination.decontaminate(near, ev, textCol, "doc_id",
-        k = cfg.contaminationK, maxContamination = cfg.maxContamination,
-        bloomPrefilter = cfg.bloomPrefilter))
+      observe("after_decontamination",
+        Contamination.decontaminate(near, ev, textCol, "doc_id",
+          k = cfg.contaminationK, maxContamination = cfg.maxContamination,
+          bloomPrefilter = cfg.bloomPrefilter)))
     // 6: quality gates — composite floor, plus the Gopher rule verdict
     // as a hard gate when requested (paper-default thresholds)
     val ruled =
@@ -303,15 +357,16 @@ object CurationPipeline {
     // gram explode (not a row-local projection), so it necessarily
     // joins back — both sides reference `scored`, hence the pin (run()
     // persists it; curate() accepts the documented recompute)
-    val modelGated = cfg.qualityModel.fold(scored) { qm =>
-      val base = pin(scored)
-      val keep = graft.operators.QualityClassifier
-        .score(base.select(col("doc_id"), col(textCol)),
-          qm.weights, textCol, "doc_id", qm.bias)
-        .filter(col("quality_score") >= qm.minScore)
-        .select("doc_id")
-      base.join(keep, Seq("doc_id"), "left_semi")
-    }
+    val modelGated = observe("after_quality",
+      cfg.qualityModel.fold(scored) { qm =>
+        val base = pin(scored)
+        val keep = graft.operators.QualityClassifier
+          .score(base.select(col("doc_id"), col(textCol)),
+            qm.weights, textCol, "doc_id", qm.bias)
+          .filter(col("quality_score") >= qm.minScore)
+          .select("doc_id")
+        base.join(keep, Seq("doc_id"), "left_semi")
+      })
     // 6b/6c share ONE group lookup join (the final select sheds the
     // group columns, so nothing needs dropping in between)
     val groupCols =
@@ -335,7 +390,8 @@ object CurationPipeline {
         seed = cfg.splitSeed + ":mix")
     }
     // 7: split labels
-    Sampling.splitAssign(mixed, "doc_id", cfg.splits, cfg.splitSeed)
-      .select(col("doc_id"), col(textCol), col("quality"), col("split"))
+    observe("final",
+      Sampling.splitAssign(mixed, "doc_id", cfg.splits, cfg.splitSeed)
+        .select(col("doc_id"), col(textCol), col("quality"), col("split")))
   }
 }

@@ -152,6 +152,49 @@ class CurationPipelineSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty, "run() leaked persists")
   }
 
+  test("runObserved: stage counts ride the one action and match direct counts") {
+    val base = (0 until 40).map(i =>
+      (i.toLong, s"document number $i with reasonably long unique content body", s"l${i % 2}"))
+    // planted exact dups: 4 re-keyed copies the exact stage must drop
+    val dups = (0 until 4).map(i =>
+      (1000L + i, s"document number $i with reasonably long unique content body", s"l${i % 2}"))
+    val corpus = (base ++ dups).toDF("doc_id", "text", "lang")
+    val cfg = CurationPipeline.Config(minLineCount = 99, minQuality = 0.0)
+    val ((rows, n), metrics) =
+      CurationPipeline.runObserved(corpus, "text", "doc_id", cfg) { df =>
+        (df.collect(), df.count())
+      }
+    assert(n == rows.length.toLong)
+    // stage set: no eval set / priors / model → fixed four counters
+    assert(metrics.keySet ==
+      Set("scrubbed", "after_exact_dedup", "after_near_dedup", "after_quality", "final"))
+    assert(metrics("scrubbed") == 44L) // scrub rewrites, never drops
+    assert(metrics("after_exact_dedup") == 40L, metrics.toString)
+    // counts only shrink through the funnel
+    val order = Seq("scrubbed", "after_exact_dedup", "after_near_dedup",
+      "after_quality", "final").map(metrics)
+    assert(order.zip(order.tail).forall { case (a, b) => b <= a }, metrics.toString)
+    assert(metrics("final") == n)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "runObserved leaked persists")
+  }
+
+  test("runObserved: optional stages add counters only when configured; mix's eager action agrees") {
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, s"unique prose item $i carrying its own words", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    val prior = CurationPipeline.exactIndex(
+      corpus.filter(col("doc_id") < 5), "text", "doc_id",
+      CurationPipeline.Config(minLineCount = 99))
+    val cfg = CurationPipeline.Config(minLineCount = 99,
+      priorFingerprints = Some(prior),
+      targetMix = Some(("lang", Seq(("l0", 1L), ("l1", 1L), ("l2", 1L)))))
+    val (_, metrics) =
+      CurationPipeline.runObserved(corpus, "text", "doc_id", cfg)(_.count())
+    assert(metrics.contains("after_incremental_prune"), metrics.toString)
+    assert(metrics("after_incremental_prune") == 25L, metrics.toString)
+    assert(metrics("scrubbed") == 30L)
+  }
+
   test("within-doc line rule and gopher gate fire when enabled; bloom path agrees") {
     val prose = "the cat is in the hat and it is flat for all of us to see " * 2
     // 64 words, mean length and stopword mix pass the paper-default rules
