@@ -832,6 +832,23 @@ object LlmGates {
       TextAnalysis.unigramNll(corpus, model, "text", "doc_id")
         .withColumn("nll", round(col("nll"), 4))
     },
+    // §2.4 row 84 — interpolated bigram-LM NLL (the KenLM-style
+    // perplexity filter one rung up from unigram): the repeated-word
+    // plant's bigrams are frequent (low NLL) while the SHUFFLED-order
+    // plant shares its unigrams with common text but has unseen
+    // bigrams (high NLL) — word-order signal the unigram gate can't see
+    "q_bigram_nll" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (800001L, "zxqv gibberish tokenstream qqwzx vvkjh zzzyx plmokn"),
+        (800002L, "the the the the the the the the"))
+        .toDF("doc_id", "text")
+      val corpus = docs(s, dir).select("doc_id", "text").unionByName(planted)
+      val uni = TextAnalysis.unigramModel(corpus, "text", vocabSize = 100)
+      val bi = TextAnalysis.bigramModel(corpus, "text", bigramVocab = 300)
+      TextAnalysis.bigramNll(corpus, uni, bi, "text", "doc_id")
+        .withColumn("nll", round(col("nll"), 4))
+    },
     // §2.4 row 63 — sliding token-window chunking (chunk 64, overlap 16):
     // chunk provenance, boundaries, and text all re-derived by the oracle
     "q_chunk_tokens" -> { (s, dir) =>
@@ -1747,6 +1764,49 @@ object LlmGates {
          |             / count(*), 4) AS nll
          |FROM wrd LEFT JOIN m USING (word), tv
          |GROUP BY doc_id""".stripMargin,
+    // interpolated bigram NLL: the unigram oracle's m/tv plus a 300-pair
+    // bigram table; position 1 scores unigram-only, later positions
+    // 0.7·p_bi + 0.3·p_uni with successor add-1 smoothing over V+1
+    "q_bigram_nll" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (800001::BIGINT, 'zxqv gibberish tokenstream qqwzx vvkjh zzzyx plmokn'),
+         |    (800002::BIGINT, 'the the the the the the the the')
+         |  ) v(doc_id, text)),
+         |d AS (
+         |  SELECT doc_id, ${wordsSql()} AS w FROM all_docs),
+         |tok AS (
+         |  SELECT doc_id, t['word'] AS word, t['prev'] AS prev
+         |  FROM (SELECT doc_id,
+         |               unnest(list_transform(range(len(w)),
+         |                 i -> {'word': w[i+1],
+         |                       'prev': CASE WHEN i = 0 THEN NULL ELSE w[i] END})) AS t
+         |        FROM d WHERE len(w) >= 1)),
+         |wrd AS (SELECT doc_id, unnest(w) AS word FROM d),
+         |m AS (
+         |  SELECT word, count(*) AS n FROM wrd
+         |  GROUP BY word ORDER BY n DESC, word ASC LIMIT 100),
+         |bm AS (
+         |  SELECT prev, word, count(*) AS nb FROM tok WHERE prev IS NOT NULL
+         |  GROUP BY prev, word ORDER BY nb DESC, prev ASC, word ASC LIMIT 300),
+         |tv AS (SELECT sum(n)::DOUBLE AS t, count(*)::DOUBLE AS v FROM m),
+         |probs AS (
+         |  SELECT tok.doc_id,
+         |         CASE WHEN tok.prev IS NULL
+         |              THEN (coalesce(m.n, 0) + 1.0) / (t + (v + 1.0))
+         |              ELSE 0.7 * ((coalesce(bm.nb, 0) + 1.0)
+         |                          / (coalesce(mp.n, 0) + (v + 1.0)))
+         |                   + 0.3 * ((coalesce(m.n, 0) + 1.0) / (t + (v + 1.0)))
+         |         END AS p
+         |  FROM tok
+         |  LEFT JOIN m ON tok.word = m.word
+         |  LEFT JOIN m mp ON tok.prev = mp.word
+         |  LEFT JOIN bm ON tok.prev = bm.prev AND tok.word = bm.word, tv)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(sum(-ln(p)) / count(*), 4) AS nll
+         |FROM probs GROUP BY doc_id""".stripMargin,
     "q_chunk_tokens" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -460,6 +460,104 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram model: the top-`bigramVocab` adjacent normalized-word PAIR
+   * counts (prev, word, n), deterministic through ties (n desc, prev
+   * asc, word asc — the [[topWords]] convention). Pairs come from one
+   * explode over per-document positions; documents under 2 words
+   * contribute none. Pair with [[unigramModel]] for [[bigramNll]]'s
+   * interpolated scorer. Bounded: `bigramVocab` rows regardless of
+   * corpus size (TakeOrdered — each partition surrenders k rows).
+   */
+  def bigramModel(
+    df: DataFrame,
+    textCol: String,
+    bigramVocab: Int = 200000
+  ): DataFrame = {
+    require(bigramVocab >= 1, s"bigramVocab must be >= 1: $bigramVocab")
+    df.select(Hashing.normalizedWords(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(
+            element_at(col("w"), i).as("prev"),
+            element_at(col("w"), i + 1).as("word")))).as("p"))
+      .select(col("p.prev").as("prev"), col("p.word").as("word"))
+      .groupBy("prev", "word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("prev").asc, col("word").asc)
+      .limit(bigramVocab)
+  }
+
+  /**
+   * Per-document mean negative log-likelihood under an INTERPOLATED
+   * bigram LM — the distributed stand-in for the CCNet/KenLM perplexity
+   * filter one rung up from [[unigramNll]]: repetitive boilerplate
+   * ("the the the…") scores LOW (its bigrams are frequent), shuffled or
+   * gibberish text scores HIGH even when its unigrams are common —
+   * word-ORDER signal a unigram model cannot see. Per position i:
+   * {{{
+   *   p_uni(w)   = (c_w + α) / (T + α·(V+1))          (unigramNll's formula)
+   *   p_bi(w|v)  = (c_vw + α) / (c_v + α·(V+1))       (successor smoothing)
+   *   p_1        = p_uni                               (no predecessor)
+   *   p_i        = λ·p_bi + (1−λ)·p_uni                (i ≥ 2)
+   * }}}
+   * with c_vw from `biModel` (0 when absent), c_v / c_w from `uniModel`
+   * (0 for OOV), T/V the unigram total/vocab. Every probability is
+   * positive, so NLL is always finite. Returns (doc_id, n_tokens, nll);
+   * zero-token documents are absent (the [[unigramNll]] convention).
+   *
+   * Scale shape: both models localize once (metadata-sized) and
+   * broadcast; the token stream is ONE explode carrying each token's
+   * predecessor alongside (no self-join to find it), three broadcast
+   * joins (word / prev / pair), and the per-doc regroup shuffles one
+   * partially-aggregated row per document.
+   */
+  def bigramNll(
+    df: DataFrame,
+    uniModel: DataFrame,
+    biModel: DataFrame,
+    textCol: String,
+    idCol: String,
+    alpha: Double = 1.0,
+    lambda: Double = 0.7
+  ): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive for finite OOV scores: $alpha")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val uni = Similarity.localize(
+      uniModel.select(col("word"), col("n").cast("long").as("n")))
+    val bi = Similarity.localize(
+      biModel.select(col("prev"), col("word"), col("n").cast("long").as("n_bi")))
+    val tv = uni.agg(
+      coalesce(sum(col("n")), lit(0L)).as("t"),
+      count(lit(1)).as("v")).head()
+    val denom = tv.getLong(0).toDouble + alpha * (tv.getLong(1).toDouble + 1.0)
+    val succDenomAdd = alpha * (tv.getLong(1).toDouble + 1.0)
+    val toks = Dedup.wordTable(df, textCol, idCol)
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"),
+        explode(
+          transform(sequence(lit(1), size(col("w"))),
+            i => struct(
+              element_at(col("w"), i).as("word"),
+              when(i === 1, lit(null).cast("string"))
+                .otherwise(element_at(col("w"), i - 1)).as("prev")))).as("t"))
+      .select(col("doc_id"), col("t.word").as("word"), col("t.prev").as("prev"))
+    val pUni = (coalesce(col("n"), lit(0L)).cast("double") + alpha) / denom
+    val pBi = (coalesce(col("n_bi"), lit(0L)).cast("double") + alpha) /
+      (coalesce(col("n_prev"), lit(0L)).cast("double") + succDenomAdd)
+    val p = when(col("prev").isNull, pUni)
+      .otherwise(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)
+    toks
+      .join(broadcast(uni), Seq("word"), "left")
+      .join(broadcast(uni.select(col("word").as("prev"), col("n").as("n_prev"))),
+        Seq("prev"), "left")
+      .join(broadcast(bi), Seq("prev", "word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(-log(p)).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("nll_sum") / col("n_tokens").cast("double")).as("nll"))
+  }
+
+  /**
    * Smoothed unigram KL divergence between two corpora — the
    * distribution-drift monitor: how far corpus A's token distribution
    * has moved from reference corpus B (new crawl vs last crawl, a

@@ -192,6 +192,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial count"), plan.take(2000))
   }
 
+  test("bigramNll: word order matters — shuffled text outscores its ordered twin") {
+    import spark.implicits._
+    // a corpus of one repeated sentence: its adjacent pairs are frequent
+    val sentence = "the quick brown fox jumps over the lazy dog"
+    val base = (0 until 30).map(i => (i.toLong, sentence)).toDF("doc_id", "text")
+    val planted = Seq(
+      (900001L, sentence), // in-order: every bigram is in the model
+      (900002L, "dog the over fox lazy quick jumps brown the"), // same unigrams, unseen order
+      (900003L, "   ")) // zero tokens -> absent
+      .toDF("doc_id", "text")
+    val corpus = base.unionByName(planted)
+    val uni = TextAnalysis.unigramModel(corpus, "text", vocabSize = 50)
+    val bi = TextAnalysis.bigramModel(corpus, "text", bigramVocab = 100)
+    val out = TextAnalysis.bigramNll(corpus, uni, bi, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    assert(!out.contains(900003L))
+    // identical unigram profile, so a unigram model CANNOT separate them…
+    val uniOut = TextAnalysis.unigramNll(corpus, uni, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    assert(math.abs(uniOut(900001L) - uniOut(900002L)) < 1e-9)
+    // …while the bigram model separates them decisively
+    assert(out(900002L) > out(900001L) + 1.0,
+      s"shuffled ${out(900002L)} vs ordered ${out(900001L)}")
+    assert(out.values.forall(v => v > 0.0 && !v.isNaN && !v.isInfinite))
+  }
+
+  test("bigramModel: deterministic top-k cut; sub-2-word docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramModel(docs, "text", bigramVocab = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // pairs of "a b a b a": (a,b)x2, (b,a)x2 — ties broken prev asc
+    assert(m.toSeq == Seq(("a", "b", 2L), ("b", "a", 2L)), m.toSeq.toString)
+  }
+
   test("unigramDivergence: zero on identical corpora, positive under drift, mass sums to 1") {
     import spark.implicits._
     val a = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
