@@ -101,6 +101,17 @@ object CorpusGates {
           bias = 0.1)
         .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
     },
+    // §2.4 row 83b — the same scoring as a ZERO-SHUFFLE row-local
+    // projection (spine embedded as a plan literal): must value-match
+    // the joined spelling's oracle exactly
+    "q_quality_score_inline" -> { (s, dir) =>
+      val weights = s.range(256).select(col("id").as("bucket"),
+        (((col("id") % 7) - 3) / lit(10.0)).as("weight"))
+      QualityClassifier.scoreInline(
+          docs(s, dir).select("doc_id", "text"), weights, "text", "doc_id",
+          bias = 0.1)
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
+    },
     // the full selection key surface: weight, hash-Gumbel noise, and the
     // resampling key at τ=2 — the top-n cut over `key` is the already-
     // gated TakeOrdered pattern (DsirSpec pins the plan + determinism)
@@ -226,6 +237,23 @@ object CorpusGates {
     }
   )
 
+  /** q_quality_score oracle — shared verbatim by the joined (score)
+    * and row-local (scoreInline) gates: same math, same literals. */
+  private lazy val QualityScoreSql: String = {
+      val gram = s"""list_concat(w, CASE WHEN len(w) >= 2
+                    |    THEN list_transform(range(len(w) - 1), j -> w[j+1] || ' ' || w[j+2])
+                    |    ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, ${LlmGates.wordsSql()} AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, (${LlmGates.h60("gram")} % 256) AS bucket
+         |  FROM (SELECT doc_id, unnest($gram) AS gram FROM d)),
+         |sc AS (
+         |  SELECT doc_id,
+         |         1.0 / (1.0 + exp(-(0.1 + avg(((bucket % 7) - 3) / 10.0)))) AS q
+         |  FROM g GROUP BY doc_id)
+         |SELECT doc_id, round(q, 6) AS quality_score FROM sc""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_bm25" -> {
       val qnorm = "trim(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'))"
@@ -324,20 +352,9 @@ object CorpusGates {
       "\nSELECT bucket, round(log_ratio, 6) AS log_ratio FROM model"),
     // same gram CTE as DSIR (shared feature space); weight per gram
     // occurrence is the literal formula, score the mean through sigmoid
-    "q_quality_score" -> {
-      val gram = s"""list_concat(w, CASE WHEN len(w) >= 2
-                    |    THEN list_transform(range(len(w) - 1), j -> w[j+1] || ' ' || w[j+2])
-                    |    ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
-      s"""WITH d AS (SELECT doc_id, ${LlmGates.wordsSql()} AS w FROM documents),
-         |g AS (
-         |  SELECT doc_id, (${LlmGates.h60("gram")} % 256) AS bucket
-         |  FROM (SELECT doc_id, unnest($gram) AS gram FROM d)),
-         |sc AS (
-         |  SELECT doc_id,
-         |         1.0 / (1.0 + exp(-(0.1 + avg(((bucket % 7) - 3) / 10.0)))) AS q
-         |  FROM g GROUP BY doc_id)
-         |SELECT doc_id, round(q, 6) AS quality_score FROM sc""".stripMargin
-    },
+    "q_quality_score" -> QualityScoreSql,
+    // identical math through the zero-shuffle row-local projection
+    "q_quality_score_inline" -> QualityScoreSql,
     "q_dsir_weights" -> (DsirModelCte + ",\n" + DsirWeightsSql +
       "\nSELECT doc_id, round(weight, 4) AS weight FROM wts"),
     "q_dsir_keys" -> (DsirModelCte + ",\n" + DsirWeightsSql + ",\n" +

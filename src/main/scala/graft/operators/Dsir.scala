@@ -43,7 +43,7 @@ object Dsir {
     * size guards keep the whole-text fallback out (an empty doc has no
     * grams; a 1-word doc has no bigrams), so the norm argument is
     * never read. */
-  private def gramHashesOf(w: Column): Column =
+  private[operators] def gramHashesOf(w: Column): Column =
     concat(
       when(size(w) >= 1, graft.functions.ShingleHashExpr(w, lit(""), 1))
         .otherwise(array().cast("array<bigint>")),

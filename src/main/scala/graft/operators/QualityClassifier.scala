@@ -68,6 +68,54 @@ object QualityClassifier {
   }
 
   /**
+   * Row-LOCAL scoring — the ZERO-SHUFFLE plan for the same math as
+   * [[score]]: the dense spine is metadata-sized, so it collapses into
+   * a literal map inside one projection — per document, hash the grams
+   * ([[Dsir.gramHashesOf]], the identical feature derivation), look
+   * each bucket up in the map, mean, sigmoid. No explode, no join, no
+   * per-doc regroup: where [[score]] shuffles one row per document,
+   * this shuffles NOTHING — the score materializes inside the scan,
+   * and predicate pushdown can drop rejected documents before they
+   * move. Being a pure stateless projection it also runs UNCHANGED on
+   * a `readStream` (no watermark, no state store) — the streaming arm
+   * of model-based quality filtering.
+   *
+   * Same output as [[score]] up to float summation order (left-to-right
+   * over the gram array here, partial-aggregation order there): ulp
+   * differences, identical at any sane rounding. Zero-gram documents
+   * are dropped (the [[score]] absence convention). The spine rides the
+   * plan as a literal — fine for classifier-sized D (the 4096 default
+   * is ~64 KB of plan); refuse corpus-sized spines rather than build a
+   * megabyte literal.
+   */
+  def scoreInline(
+    df: DataFrame,
+    weights: DataFrame,
+    textCol: String,
+    idCol: String,
+    bias: Double = 0.0
+  ): DataFrame = {
+    val nBuckets = Dsir.requireDenseBucketSpine(weights, "QualityClassifier.fit")
+    require(nBuckets <= (1 << 16),
+      s"scoreInline embeds the spine as a plan literal — $nBuckets buckets is " +
+        "past the 65536 cap; use score() (broadcast join) for larger models")
+    val w: Map[Long, Double] = weights
+      .select(col("bucket").cast("long"), col("weight").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wmap = typedLit(w)
+    val grams = Dsir.gramHashesOf(
+      graft.functions.Hashing.normalizedWords(col(textCol)))
+    df.select(col(idCol).as("doc_id"), grams.as("__g"))
+      .filter(size(col("__g")) >= 1)
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-(lit(bias) +
+          aggregate(col("__g"), lit(0.0),
+            (acc, h) => acc + element_at(wmap, pmod(h, lit(nBuckets.toLong))))
+            / size(col("__g"))))))
+          .as("quality_score"))
+  }
+
+  /**
    * Fit by full-batch logistic regression: minimize mean log-loss (+ L2)
    * of `labelCol` ∈ {0, 1} against sigmoid(bias + Σ w·c/N) with `iters`
    * gradient steps at rate `lr`. Returns the dense weight spine

@@ -59,6 +59,51 @@ class QualityClassifierSpec extends SparkSpec {
     assert(math.abs(out(1L) - want) < 1e-12, s"${out(1L)} vs $want")
   }
 
+  test("scoreInline ≡ score (ulp-level), zero shuffles, streams unchanged") {
+    val weights = spark.range(256).select(col("id").as("bucket"),
+      (((col("id") % 7) - 3) / lit(10.0)).as("weight"))
+    val joined = QualityClassifier.score(labeled, weights, "text", "doc_id", 0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inline = QualityClassifier.scoreInline(labeled, weights, "text", "doc_id", 0.1)
+    val inlineMap = inline.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inlineMap.keySet == joined.keySet)
+    inlineMap.foreach { case (id, v) =>
+      assert(math.abs(v - joined(id)) < 1e-9, s"doc $id: $v vs ${joined(id)}")
+    }
+    // the zero-shuffle claim, pinned at plan level
+    val shuffles = inline.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, inline.queryExecution.executedPlan.toString.take(1500))
+    // and the same projection runs on a stream — stateless, no watermark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((7L, "well written informative article"), (8L, "   "))
+    val q = QualityClassifier.scoreInline(
+        stream.toDF().toDF("doc_id", "text"), weights, "text", "doc_id", 0.1)
+      .writeStream.format("memory").queryName("q_inline_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("q_inline_stream")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.keySet == Set(7L)) // zero-gram doc dropped on the stream too
+    val batchTwin = QualityClassifier.scoreInline(
+        Seq((7L, "well written informative article")).toDF("doc_id", "text"),
+        weights, "text", "doc_id", 0.1)
+      .head().getDouble(1)
+    assert(streamed(7L) == batchTwin)
+  }
+
+  test("scoreInline refuses a corpus-sized spine (plan-literal cap)") {
+    val big = spark.range(1 << 17).select(col("id").as("bucket"), lit(0.0).as("weight"))
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.scoreInline(labeled, big, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("65536"), e.getMessage)
+  }
+
   test("score rejects a filtered (non-dense) model loudly") {
     val weights = spark.range(128).select(col("id").as("bucket"),
       lit(0.5).as("weight"))
