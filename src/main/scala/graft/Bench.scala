@@ -73,7 +73,9 @@ object Bench {
     "q_dup_spans",          // corpus-self duplicate-span removal: gram-keyed occurrence shuffle + span rebuild (r9)
     "q_incr_neardup_stream", // stateless stream-shape matcher vs the statically-capped flat index (r9)
     "q_quality_score",      // classifier scoring: gram explode + broadcast weight spine + per-doc regroup (r10)
-    "q_tar_shard_roundtrip" // tar-shard sink + readTar roundtrip over the documents table — real file IO both ways (r10)
+    "q_quality_score_inline", // same math, zero-shuffle row-local projection — the plan-shape comparison rides the board (r10)
+    "q_tar_shard_roundtrip", // tar-shard sink + readTar roundtrip over the documents table — real file IO both ways (r10)
+    "q_bigram_nll"          // interpolated bigram LM: predecessor-carrying explode + 3 broadcast model joins + per-doc regroup (r10)
   )
 
   private def jsonStr(s: String): String =

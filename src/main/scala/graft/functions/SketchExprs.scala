@@ -366,3 +366,66 @@ object HyperplaneBucketExpr {
     GraftSqlBridge.column(
       HyperplaneBucketExpr(GraftSqlBridge.expression(vec), planes))
 }
+
+/**
+ * Mean dense-spine weight over 60-bit gram hashes:
+ * `(Σ_h weights[h mod D]) / n` over the non-null elements, NULL for an
+ * empty input — the evaluation core of
+ * [[graft.operators.QualityClassifier.scoreInline]]. The equivalent
+ * `aggregate` higher-order function pays an interpreted lambda frame
+ * per element (and `element_at` on a MAP literal a linear key scan per
+ * lookup); this is one tight primitive loop over an O(1)-indexed
+ * weight array.
+ */
+case class BucketMeanExpr(child: Expression, weights: Seq[Double])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SketchExprs.checkLongArray(child, prettyName)
+
+  override def dataType: DataType = DoubleType
+  // NULL on empty input even for a non-null child
+  override def nullable: Boolean = true
+  override def prettyName: String = "bucket_mean"
+
+  @transient private lazy val w: Array[Double] = weights.toArray
+  @transient private lazy val d: Long = weights.size.toLong
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sum = 0.0
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val m = arr.getLong(i) % d
+        sum += w((if (m < 0) m + d else m).toInt)
+        cnt += 1
+      }
+      i += 1
+    }
+    if (cnt == 0) null else java.lang.Double.valueOf(sum / cnt)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketMeanExpr", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = ((graft.functions.BucketMeanExpr) $ref).nullSafeEval($c);
+         |if (r == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = ((java.lang.Double) r).doubleValue();
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketMeanExpr =
+    copy(child = newChild)
+}
+
+object BucketMeanExpr {
+  def apply(hashes: Column, weights: Seq[Double]): Column =
+    GraftSqlBridge.column(
+      BucketMeanExpr(GraftSqlBridge.expression(hashes), weights))
+}

@@ -99,19 +99,26 @@ object QualityClassifier {
     require(nBuckets <= (1 << 16),
       s"scoreInline embeds the spine as a plan literal — $nBuckets buckets is " +
         "past the 65536 cap; use score() (broadcast join) for larger models")
-    val w: Map[Long, Double] = weights
-      .select(col("bucket").cast("long"), col("weight").cast("double"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val wmap = typedLit(w)
+    // the spine is DENSE 0..D−1, so it rides as a plain weight ARRAY
+    // inside one native expression ([[graft.functions.BucketMeanExpr]]
+    // — O(1) indexed, one tight loop). The first spelling here used
+    // `aggregate` + a map literal: the HOF pays an interpreted lambda
+    // frame per gram and GetMapValue a linear key scan per lookup —
+    // measured ~2× SLOWER than the broadcast join it was meant to beat
+    val w = new Array[Double](nBuckets)
+    weights.select(col("bucket").cast("long"), col("weight").cast("double"))
+      .collect().foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
     val grams = Dsir.gramHashesOf(
       graft.functions.Hashing.normalizedWords(col(textCol)))
-    df.select(col(idCol).as("doc_id"), grams.as("__g"))
-      .filter(size(col("__g")) >= 1)
-      .select(col("doc_id"),
+    // zero-gram absence via the CHEAP exact predicate (no grams ⇔ the
+    // normalized text is empty), kept OUT of the projection: filtering
+    // on the score itself inlines the whole gram chain into the Filter
+    // AND the Project (alias substitution during predicate pushdown) —
+    // measured as 2× the entire scoring cost
+    df.filter(graft.functions.Hashing.normalizeText(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
         (lit(1.0) / (lit(1.0) + exp(-(lit(bias) +
-          aggregate(col("__g"), lit(0.0),
-            (acc, h) => acc + element_at(wmap, pmod(h, lit(nBuckets.toLong))))
-            / size(col("__g"))))))
+          graft.functions.BucketMeanExpr(grams, w.toSeq)))))
           .as("quality_score"))
   }
 

@@ -360,9 +360,18 @@ object CurationPipeline {
     val modelGated = observe("after_quality",
       cfg.qualityModel.fold(scored) { qm =>
         val base = pin(scored)
-        val keep = graft.operators.QualityClassifier
-          .score(base.select(col("doc_id"), col(textCol)),
-            qm.weights, textCol, "doc_id", qm.bias)
+        // classifier-sized spines take the zero-shuffle row-local scorer
+        // (the score itself then adds no exchange — only the semi join
+        // moves ids); oversized spines fall back to the broadcast join
+        val spineRows = qm.weights.count()
+        val scoreFn: (DataFrame => DataFrame) =
+          if (spineRows <= (1 << 16))
+            df => graft.operators.QualityClassifier
+              .scoreInline(df, qm.weights, textCol, "doc_id", qm.bias)
+          else
+            df => graft.operators.QualityClassifier
+              .score(df, qm.weights, textCol, "doc_id", qm.bias)
+        val keep = scoreFn(base.select(col("doc_id"), col(textCol)))
           .filter(col("quality_score") >= qm.minScore)
           .select("doc_id")
         base.join(keep, Seq("doc_id"), "left_semi")
