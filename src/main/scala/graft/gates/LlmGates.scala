@@ -664,6 +664,27 @@ object LlmGates {
         .toDF()
         .select(col("doc_id").as("frame_idx") +: decodedCols.tail: _*)
     },
+    // §2.4 row 85 — corpus-wide duplicate-PARAGRAPH removal (the
+    // RefinedWeb granularity): a 2-LINE banner block planted in 3 docs
+    // must vanish from all of them even though each of its lines alone
+    // is under the LINE rule's threshold; a banner-only doc survives
+    // empty; blank-run separators normalize to exactly one blank line
+    "q_para_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val banner = "COOKIE BANNER LINE ONE\nCOOKIE BANNER LINE TWO"
+      val planted = Seq(
+        (410001L, s"intro paragraph a\n\n$banner\n\nunique tail a"),
+        (410002L, s"$banner\n\nunique tail b"),
+        (410003L, banner),
+        (410004L, "solo paragraph\n\nrepeated twice block\nsecond line"),
+        (410005L, "repeated twice block\nsecond line\n\nalso kept"),
+        (410006L, "\n\n\nleading blanks\n\n\n\nnormalized tail\n\n"))
+        .toDF("doc_id", "text")
+      Dedup.dropDuplicateParagraphs(
+          docs(s, dir).select("doc_id", "text").unionByName(planted),
+          "text", "doc_id", minCount = 3)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    },
     // §2.4 row 51 — corpus-wide duplicate-line removal (C4 rule):
     // planted boilerplate appearing in 3 docs must vanish from all of
     // them, a doc of pure boilerplate survives empty
@@ -1547,6 +1568,30 @@ object LlmGates {
         |                     x -> NOT list_contains(dl.dls, md5(x))),
         |         chr(10)), '')) AS text_md5
         |FROM all_docs, dl""".stripMargin,
+    "q_para_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (410001::BIGINT, 'intro paragraph a' || chr(10) || chr(10) || 'COOKIE BANNER LINE ONE' || chr(10) || 'COOKIE BANNER LINE TWO' || chr(10) || chr(10) || 'unique tail a'),
+        |    (410002::BIGINT, 'COOKIE BANNER LINE ONE' || chr(10) || 'COOKIE BANNER LINE TWO' || chr(10) || chr(10) || 'unique tail b'),
+        |    (410003::BIGINT, 'COOKIE BANNER LINE ONE' || chr(10) || 'COOKIE BANNER LINE TWO'),
+        |    (410004::BIGINT, 'solo paragraph' || chr(10) || chr(10) || 'repeated twice block' || chr(10) || 'second line'),
+        |    (410005::BIGINT, 'repeated twice block' || chr(10) || 'second line' || chr(10) || chr(10) || 'also kept'),
+        |    (410006::BIGINT, chr(10) || chr(10) || chr(10) || 'leading blanks' || chr(10) || chr(10) || chr(10) || chr(10) || 'normalized tail' || chr(10) || chr(10))
+        |  ) v(doc_id, text)),
+        |dup AS (
+        |  SELECT md5(para) AS ph
+        |  FROM (SELECT unnest(string_split_regex(text, '\n{2,}')) AS para FROM all_docs)
+        |  WHERE para <> '' -- split artifacts exempt, as in the engine
+        |  GROUP BY md5(para) HAVING count(*) >= 3),
+        |dp AS (SELECT coalesce(list(ph), []) AS dps FROM dup)
+        |SELECT doc_id,
+        |       md5(coalesce(array_to_string(
+        |         list_filter(string_split_regex(text, '\n{2,}'),
+        |                     x -> x <> '' AND NOT list_contains(dp.dps, md5(x))),
+        |         chr(10) || chr(10)), '')) AS text_md5
+        |FROM all_docs, dp""".stripMargin,
     "q_repetition" ->
       s"""${docSigCte("all_docs").replaceFirst("^WITH ",
              """WITH all_docs AS (

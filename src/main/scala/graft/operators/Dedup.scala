@@ -681,6 +681,59 @@ object Dedup {
   }
 
   /**
+   * Corpus-wide duplicate-PARAGRAPH removal (the RefinedWeb granularity
+   * between [[dropDuplicateLines]] and whole-document dedup): any
+   * paragraph — a maximal run of text between blank-line separators
+   * (`\n{2,}`) — occurring at least `minCount` times across the corpus
+   * is deleted from EVERY document; surviving paragraphs keep their
+   * order. Catches multi-line boilerplate blocks (cookie banners,
+   * license headers, nav footers) that the LINE rule only erodes when
+   * every individual line independently crosses its threshold, and
+   * that near-dup dedup only catches when the whole documents are
+   * similar. Exact-hash matching: a one-character variant is a
+   * different paragraph ([[dropNearDuplicates]] is the fuzzy tool).
+   *
+   * Rebuild normalizes paragraph separators to exactly one blank line
+   * (`\n\n`) and drops leading/trailing blank runs — documented
+   * normalization, the [[dropDuplicateSpans]] whitespace convention at
+   * paragraph granularity. Single-newline structure INSIDE a surviving
+   * paragraph is untouched. NULL text rebuilds as empty (the
+   * [[dropDuplicateLines]] convention).
+   *
+   * Scale shape: identical to [[dropDuplicateLines]] — one
+   * paragraph-keyed corpus-wide shuffle on a 16-byte binary hash, a
+   * tiny ≥minCount dup set, one anti join, one per-doc regroup.
+   */
+  def dropDuplicateParagraphs(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    minCount: Int = 2
+  ): DataFrame = {
+    require(minCount >= 2, s"minCount must be at least 2: $minCount")
+    val paras = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\\n{2,}")).as(Seq("pos", "para")))
+      .withColumn("ph", unhex(md5(col("para"))))
+    val dup = paras.filter(col("para") =!= "") // split artifacts exempt
+      .groupBy("ph")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select("ph")
+    val rebuilt = paras
+      .filter(col("para") =!= "") // leading/trailing blank runs drop
+      .join(dup, Seq("ph"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws("\n\n",
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s("para"))).as(textCol))
+    df.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
+  /**
    * Corpus-self duplicate-SPAN removal, ExactSubstr-style (Lee et al.
    * 2021, arXiv:2107.06499 "Deduplicating Training Data Makes Language
    * Models Better"): any k-token window occurring `minCount`+ times

@@ -165,6 +165,34 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(9L))
   }
 
+  test("dropDuplicateParagraphs: multi-line blocks vanish whole; separators normalize") {
+    import spark.implicits._
+    val banner = "BANNER LINE ONE\nBANNER LINE TWO"
+    val df = Seq(
+      (1L, s"intro\n\n$banner\n\ntail one"),
+      (2L, s"$banner\n\ntail two"),
+      (3L, banner), // banner-only doc survives empty
+      (4L, "solo\n\nunique block\nwith two lines"),
+      (5L, "\n\n\nleading\n\n\n\ntrailing\n\n") // blank runs normalize
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(df, "text", "doc_id", minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "intro\n\ntail one",
+      2L -> "tail two",
+      3L -> "",
+      // single-newline structure INSIDE a surviving paragraph intact
+      4L -> "solo\n\nunique block\nwith two lines",
+      5L -> "leading\n\ntrailing"))
+    // the line rule would NOT have caught the banner: each line occurs
+    // 3 times but the paragraph rule removes the BLOCK as one unit —
+    // here, below-threshold corpora stay untouched (bar normalization)
+    val none = Dedup.dropDuplicateParagraphs(
+        df.filter(col("doc_id") <= 2), "text", "doc_id", minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(none(1L) == s"intro\n\n$banner\n\ntail one")
+  }
+
   test("dropDuplicateLines: corpus-wide boilerplate vanishes, order kept, empty doc survives") {
     import spark.implicits._
     val df = Seq(
