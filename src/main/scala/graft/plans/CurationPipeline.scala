@@ -14,8 +14,10 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  *      Unicode normalization (`unicodeNorm = Some("NFC")`) so
  *      composed/decomposed forms collapse for every hash-keyed stage
  *   1. PII scrub (emails / IPv4s / phone runs masked)
- *   2. WITHIN-doc repeated-line removal (scraper loops), then
- *      corpus-wide duplicate-LINE removal (C4 rule)
+ *   2. WITHIN-doc repeated-line removal (scraper loops), then optional
+ *      corpus-wide duplicate-PARAGRAPH removal (`paraMinCount` — the
+ *      RefinedWeb block rule, coarse before fine), then corpus-wide
+ *      duplicate-LINE removal (C4 rule)
  *   2b. optional incremental prune against a PRIOR corpus's persisted
  *       indexes — all four of row 79's arms compose: exact
  *       (`priorFingerprints`), MinHash signature agreement
@@ -131,6 +133,14 @@ object CurationPipeline {
     embedThreshold: Double = 0.9,
     minLineCount: Int = 3,
     dropRepeatedLinesInDoc: Boolean = true,
+    /** Corpus-wide duplicate-PARAGRAPH removal
+      * ([[graft.operators.Dedup.dropDuplicateParagraphs]]) between the
+      * within-doc and corpus line rules (coarse block before fine line)
+      * — Some(minCount) enables it. Off by default: the composed e2e
+      * oracle stays paragraph-agnostic, and single-paragraph corpora
+      * pay nothing. NOTE the normalization side effect: blank-run
+      * separators collapse to one blank line even in untouched docs. */
+    paraMinCount: Option[Int] = None,
     shingleK: Int = 3,
     numHashes: Int = 16,
     bands: Int = 4,
@@ -220,7 +230,12 @@ object CurationPipeline {
       if (cfg.dropRepeatedLinesInDoc)
         Dedup.dropRepeatedLinesWithinDoc(masked, textCol)
       else masked
-    Dedup.dropDuplicateLines(inDoc, textCol, idCol = idCol, minCount = cfg.minLineCount)
+    // scrub stages keyed by idCol until here; the corpus-wide rules
+    // return (doc_id, text) — paragraph rule (coarse) before line rule
+    val paraed = cfg.paraMinCount.fold(inDoc)(mc =>
+      Dedup.dropDuplicateParagraphs(inDoc, textCol, idCol, mc)
+        .withColumnRenamed("doc_id", idCol))
+    Dedup.dropDuplicateLines(paraed, textCol, idCol = idCol, minCount = cfg.minLineCount)
   }
 
   /**

@@ -195,6 +195,29 @@ class CurationPipelineSpec extends SparkSpec {
     assert(metrics("scrubbed") == 30L)
   }
 
+  test("paragraph rule composes into scrub: banner blocks vanish before dedup") {
+    val banner = "BANNER LINE A\nBANNER LINE B"
+    val corpus = Seq(
+      (1L, s"unique intro one\n\n$banner"),
+      (2L, s"unique intro two\n\n$banner"),
+      (3L, s"unique intro three\n\n$banner"),
+      (4L, "untouched solitary document"))
+      .toDF("doc_id", "text")
+    val cfg = CurationPipeline.Config(minLineCount = 99, paraMinCount = Some(3))
+    val out = CurationPipeline.run(corpus, "text", "doc_id", cfg)(_.collect())
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // the banner paragraph is gone from all three docs; all four docs
+    // survive (their intros differ, so no doc-level dedup fires)
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == "unique intro one" && out(3L) == "unique intro three")
+    assert(out(4L) == "untouched solitary document")
+    // without the stage the banner survives
+    val off = CurationPipeline.run(corpus, "text", "doc_id",
+        cfg.copy(paraMinCount = None))(_.collect())
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(off(1L).contains("BANNER LINE A"))
+  }
+
   test("within-doc line rule and gopher gate fire when enabled; bloom path agrees") {
     val prose = "the cat is in the hat and it is flat for all of us to see " * 2
     // 64 words, mean length and stopword mix pass the paper-default rules
