@@ -327,6 +327,9 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         try {
           val src = in.getFormat
+          // a malformed header claiming 0 channels would divide-by-zero
+          // every frame computation downstream — treat as undecodable
+          if (src.getChannels <= 0 || src.getSampleRate <= 0) return None
           val target = pcm16Format(src.getSampleRate, src.getChannels)
           val pcm =
             if (src.matches(target)) in
@@ -529,14 +532,15 @@ object Multimodal {
         var comprMjpg = false
         val frames = IndexedSeq.newBuilder[(Int, Int)]
 
-        def walk(start: Int, end: Int): Unit = {
+        def walk(start: Int, end: Int, depth: Int): Unit = {
+          if (depth > 32) return // crafted deep LIST nesting: stop, stub
           var o = start
           while (o + 8 <= end) {
             val id = fourcc(payload, o)
             val size = i32(payload, o + 4)
             val body = o + 8
             if (size < 0 || body + size > end) return // truncated/corrupt: stop
-            if (id == "LIST") walk(body + 4, body + size)
+            if (id == "LIST") walk(body + 4, body + size, depth + 1)
             else if (id == "strh" && size >= 8) {
               val isVids = fourcc(payload, body) == "vids"
               if (isVids && vidsStream < 0) {
@@ -565,9 +569,13 @@ object Multimodal {
           }
         }
 
-        walk(12, payload.length)
+        walk(12, payload.length, 0)
         val fs = frames.result()
-        if (vidsStream < 0 || w <= 0 || h <= 0 || fs.isEmpty) None
+        // dimension sanity: a crafted header claiming huge biWidth/Height
+        // would overflow the stride·height arithmetic and allocate wild
+        // rasters; nothing legitimate in-container exceeds 1<<15
+        if (vidsStream < 0 || w <= 0 || h <= 0 || w > (1 << 15) || h > (1 << 15) ||
+          fs.isEmpty) None
         else Some(Video(w, h, topDown, bits, vidsHandlerMjpg || comprMjpg, fs))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
@@ -585,7 +593,7 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => None }
       } else if (v.bitCount == 24) {
         val stride = ((v.width * 3 + 3) / 4) * 4
-        if (len < stride * v.height) None
+        if (len.toLong < stride.toLong * v.height) None
         else {
           val img = new java.awt.image.BufferedImage(
             v.width, v.height, java.awt.image.BufferedImage.TYPE_INT_RGB)

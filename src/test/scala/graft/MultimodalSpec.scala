@@ -342,6 +342,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AviFrames: a crafted header claiming huge dimensions stubs instead of allocating") {
+    val avi = graft.gates.LlmGates.encodeAvi(
+      Seq(graft.gates.LlmGates.solidFrame(4, 4, 0x112233)))
+    // patch biWidth (offset strf-body + 4) to 2^30 — the stride·height
+    // math would overflow without the dimension sanity gate
+    def indexOf(hay: Array[Byte], needle: String): Int = {
+      val n = needle.getBytes("ISO-8859-1")
+      hay.indices.find(i => i + n.length <= hay.length &&
+        n.indices.forall(j => hay(i + j) == n(j))).get
+    }
+    val patched = avi.clone()
+    val strfBody = indexOf(patched, "strf") + 8
+    val huge = 1 << 30
+    patched(strfBody + 4) = (huge & 0xff).toByte
+    patched(strfBody + 5) = ((huge >> 8) & 0xff).toByte
+    patched(strfBody + 6) = ((huge >> 16) & 0xff).toByte
+    patched(strfBody + 7) = ((huge >> 24) & 0xff).toByte
+    val media = Seq(MediaRecord(1L, patched)).toDS()
+    val real = Multimodal.sampleFrames(media, 2, Multimodal.AviFrames).collect()
+    val stub = Multimodal.sampleFrames(media, 2).collect()
+    assert(real.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap ==
+      stub.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap)
+  }
+
+  test("decodeAudioFeatures: a zero-channel header stubs instead of dividing by zero") {
+    val wav = graft.gates.LlmGates.encodeAudio(
+      Wave, 8000, 1, graft.gates.LlmGates.squareRun(1000, 8), bigEndian = false)
+    // WAV fmt chunk: channels is a u16 at fmt-body + 2
+    def indexOf(hay: Array[Byte], needle: String): Int = {
+      val n = needle.getBytes("ISO-8859-1")
+      hay.indices.find(i => i + n.length <= hay.length &&
+        n.indices.forall(j => hay(i + j) == n(j))).get
+    }
+    val patched = wav.clone()
+    val fmtBody = indexOf(patched, "fmt ") + 8
+    patched(fmtBody + 2) = 0
+    patched(fmtBody + 3) = 0
+    val d = Multimodal.decodeAudioFeatures(
+      Seq(MediaRecord(1L, patched)).toDS(), 4).head()
+    // stub branch: n_samples = payload byte length (the md5 fallback)
+    assert(d.n_samples == patched.length.toLong)
+  }
+
   test("AviFrames: non-AVI and truncated payloads fall back to the md5 stub") {
     val avi = graft.gates.LlmGates.encodeAvi(
       Seq(graft.gates.LlmGates.solidFrame(4, 4, 0x112233)))
