@@ -271,6 +271,11 @@ object CurationPipeline {
    * pinned intermediates, so a multiply-consumed stage (scrub, the
    * model-gate base, the mix input) counts once, at materialization —
    * not once per consumer.
+   *
+   * The counters see exactly what the action CONSUMES: a full action
+   * (write, count, collect) yields full stage counts, while a
+   * short-circuiting one (`limit(1).collect()`) stops evaluating early
+   * and under-counts — use a full action when the accounting matters.
    */
   def runObserved[T](
     corpus: DataFrame,
