@@ -99,7 +99,9 @@ object Archives {
       .select("path", "content")
       .as[(String, Array[Byte])]
       .flatMap { case (archivePath, bytes) =>
-        val tar = new TarArchiveInputStream(inputStreamFor(bytes))
+        // UTF-8 name decoding (PAX path headers are UTF-8 by spec; this
+        // also reads classic-header names written by a UTF-8 tar)
+        val tar = new TarArchiveInputStream(inputStreamFor(bytes), "UTF-8")
         // strict iterator: members are read eagerly into a buffer while
         // the stream is open (a lazy iterator would outlive it); the
         // running decompressed total is capped so a gzip bomb (or an
@@ -209,9 +211,14 @@ object Archives {
               if (gzip)
                 new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(raw)
               else raw
-            tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(maybeGz)
+            // UTF-8 name encoding + PAX path headers for non-ASCII names:
+            // the default encoding %U-escapes anything non-ASCII, which
+            // silently corrupts member names on the roundtrip
+            tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+              maybeGz, "UTF-8")
             tar.setLongFileMode(
               org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
+            tar.setAddPaxHeadersForNonAsciiNames(true)
             nMembers = 0L
             nBytes = 0L
           }

@@ -342,6 +342,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AviFrames: frames wrapped in rec-LISTs (interleaved AVI shape) still demux") {
+    // real-world interleaved AVIs group frame chunks inside LIST('rec ')
+    // wrappers within movi; the demuxer's generic LIST recursion must
+    // find them. Build one by re-wrapping a flat AVI's movi body.
+    val flat = graft.gates.LlmGates.encodeAvi(
+      (0 until 2).map(j => graft.gates.LlmGates.solidFrame(4, 4, j * 100)))
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def indexOf(hay: Array[Byte], needle: String): Int = {
+      val n = needle.getBytes("ISO-8859-1")
+      hay.indices.find(i => i + n.length <= hay.length &&
+        n.indices.forall(j => hay(i + j) == n(j))).get
+    }
+    // movi LIST: "LIST" size "movi" <chunks> — rebuild with the chunks
+    // wrapped in one LIST('rec ')
+    val moviTag = indexOf(flat, "movi")
+    val moviSizeOff = moviTag - 4
+    val moviSize = (flat(moviSizeOff) & 0xff) | ((flat(moviSizeOff + 1) & 0xff) << 8) |
+      ((flat(moviSizeOff + 2) & 0xff) << 16) | ((flat(moviSizeOff + 3) & 0xff) << 24)
+    val chunks = flat.slice(moviTag + 4, moviTag + moviSize)
+    val rec = "LIST".getBytes("ISO-8859-1") ++ le32(4 + chunks.length) ++
+      "rec ".getBytes("ISO-8859-1") ++ chunks
+    val newMovi = "LIST".getBytes("ISO-8859-1") ++ le32(4 + rec.length) ++
+      "movi".getBytes("ISO-8859-1") ++ rec
+    val head = flat.take(moviSizeOff - 4) // up to the movi LIST header
+    val wrapped = head ++ newMovi
+    // fix the RIFF size (offset 4): total - 8
+    val riffSize = le32(wrapped.length - 8)
+    riffSize.indices.foreach(i => wrapped(4 + i) = riffSize(i))
+    val frames = Multimodal.sampleFrames(
+      Seq(MediaRecord(1L, wrapped)).toDS(), 2, Multimodal.AviFrames).collect()
+      .sortBy(_.frame_idx)
+    val grays = frames.map { f =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame)).getRGB(1, 1)
+    }
+    assert(grays.toSeq == Seq(0xff000000, 0xff000064), grays.map(_.toHexString).toSeq)
+  }
+
   test("AviFrames: a crafted header claiming huge dimensions stubs instead of allocating") {
     val avi = graft.gates.LlmGates.encodeAvi(
       Seq(graft.gates.LlmGates.solidFrame(4, 4, 0x112233)))

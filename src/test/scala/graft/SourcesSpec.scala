@@ -306,6 +306,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.filter(col("member_name") === longName).count() == 1L)
   }
 
+  test("writeTarShards: non-ASCII member names survive the roundtrip (PAX UTF-8)") {
+    import spark.implicits._
+    val d = tmpDir("graft-tarutf8")
+    val names = Seq("docs/résumé.txt", "docs/日本語-メモ.bin", "emoji/🗂️-index.dat")
+    val rows = names.zipWithIndex.map { case (n, i) => (n, Array.fill(8)(i.toByte)) }
+    graft.sources.Archives.writeTarShards(
+      rows.toDF("member_name", "member_bytes"), d.toString)
+    val back = graft.sources.Archives.readTar(spark, s"$d/part-*")
+      .collect().map(_.getAs[String]("member_name")).toSet
+    assert(back == names.toSet, back.toString)
+  }
+
   test("writeTarShards: empty partitions write no shards; empty frame yields empty manifest") {
     import spark.implicits._
     val d = tmpDir("graft-tarsparse")
