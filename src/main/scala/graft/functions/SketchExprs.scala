@@ -380,6 +380,11 @@ object HyperplaneBucketExpr {
 case class BucketMeanExpr(child: Expression, weights: Seq[Double])
   extends UnaryExpression {
 
+  // fail at construction, not as a per-row ArithmeticException from
+  // `% 0` at eval time — the expression is public beyond the callers
+  // that pre-validate via requireDenseBucketSpine
+  require(weights.nonEmpty, "bucket_mean needs at least one weight")
+
   override def checkInputDataTypes(): TypeCheckResult =
     SketchExprs.checkLongArray(child, prettyName)
 

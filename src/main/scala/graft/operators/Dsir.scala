@@ -125,22 +125,43 @@ object Dsir {
     * see [[importanceWeights]] for why density is validated, not
     * assumed. `fitHint` names the fitting entry point in the error. */
   private[operators] def requireDenseBucketSpine(
-    model: DataFrame, fitHint: String): Int = {
-    val shape = model
-      .agg(count(lit(1)).as("n"), countDistinct(col("bucket")).as("nd"),
-        min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
-      .head()
-    val nBuckets = shape.getAs[Long]("n")
-    require(nBuckets >= 1, s"model is empty — fit it with $fitHint first")
+    model: DataFrame, fitHint: String): Int =
+    localizedDenseSpine(model, fitHint)._2
+
+  /** Collect a metadata-sized dense (bucket, …) spine in ONE job,
+    * validate density on the DRIVER, and re-root it as a local relation
+    * plus D. This is the score-path spelling of
+    * [[requireDenseBucketSpine]]: the first cut ran a validation
+    * AGGREGATION job per `score()` call and then let the broadcast
+    * exchange re-scan the caller's plan — two extra jobs per scoring
+    * call. Here validation shares the one collect the broadcast needs
+    * anyway, and the returned frame is a LocalRelation, so the exchange
+    * builds from driver rows with no scan job underneath: score-shaped
+    * callers run exactly one corpus job. The spine is metadata-sized by
+    * [[logRatioModel]]'s contract, so the collect is bounded. */
+  private[operators] def localizedDenseSpine(
+    model: DataFrame, fitHint: String): (DataFrame, Int) = {
+    val rows = model.collect()
+    val n = rows.length.toLong
+    require(n >= 1, s"model is empty — fit it with $fitHint first")
+    val idx = model.schema.fieldIndex("bucket")
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    val seen = new scala.collection.mutable.HashSet[Long]
+    rows.foreach { r =>
+      val b = r.get(idx).asInstanceOf[Number].longValue()
+      if (b < lo) lo = b
+      if (b > hi) hi = b
+      seen += b
+    }
     require(
-      shape.getAs[Long]("nd") == nBuckets &&
-        shape.getAs[Long]("lo") == 0L &&
-        shape.getAs[Long]("hi") == nBuckets - 1,
+      seen.size.toLong == n && lo == 0L && hi == n - 1,
       s"model is not a dense bucket spine (expected one row per bucket " +
-        s"0..${nBuckets - 1}; found ${shape.getAs[Long]("nd")} distinct " +
-        s"buckets in [${shape.getAs[Long]("lo")}, ${shape.getAs[Long]("hi")}] " +
-        s"over $nBuckets rows) — pass the unmodified $fitHint output")
-    nBuckets.toInt
+        s"0..${n - 1}; found ${seen.size} distinct " +
+        s"buckets in [$lo, $hi] " +
+        s"over $n rows) — pass the unmodified $fitHint output")
+    val spark = model.sparkSession
+    (spark.createDataFrame(java.util.Arrays.asList(rows: _*), model.schema), n.toInt)
   }
 
   def importanceWeights(
@@ -149,9 +170,9 @@ object Dsir {
     textCol: String,
     idCol: String
   ): DataFrame = {
-    val nBuckets = requireDenseBucketSpine(model, "logRatioModel")
+    val (spine, nBuckets) = localizedDenseSpine(model, "logRatioModel")
     gramBuckets(df, textCol, idCol, nBuckets)
-      .join(broadcast(model), Seq("bucket"))
+      .join(broadcast(spine), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("log_ratio")).as("weight"))
   }

@@ -539,7 +539,9 @@ object Multimodal {
             val id = fourcc(payload, o)
             val size = i32(payload, o + 4)
             val body = o + 8
-            if (size < 0 || body + size > end) return // truncated/corrupt: stop
+            // Long arithmetic: a crafted size near Int.MaxValue would
+            // int-overflow `body + size` and slip past this guard
+            if (size < 0 || body.toLong + size.toLong > end.toLong) return
             if (id == "LIST") walk(body + 4, body + size, depth + 1)
             else if (id == "strh" && size >= 8) {
               val isVids = fourcc(payload, body) == "vids"
@@ -592,27 +594,33 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload, off, len)))
         catch { case scala.util.control.NonFatal(_) => None }
       } else if (v.bitCount == 24) {
-        val stride = ((v.width * 3 + 3) / 4) * 4
-        if (len.toLong < stride.toLong * v.height) None
-        else {
-          val img = new java.awt.image.BufferedImage(
-            v.width, v.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < v.height) {
-            val srcRow = if (v.topDown) y else v.height - 1 - y
-            var x = 0
-            val rowOff = off + srcRow * stride
-            while (x < v.width) {
-              val p = rowOff + x * 3
-              img.setRGB(x, y,
-                ((payload(p + 2) & 0xff) << 16) |
-                  ((payload(p + 1) & 0xff) << 8) | (payload(p) & 0xff))
-              x += 1
+        // own bounds check (not just walk()'s) + the same NonFatal
+        // fallback as the MJPEG branch: a frame entry escaping a
+        // refactored walk() must degrade to None, not throw per-row
+        if (off < 0 || len < 0 || off.toLong + len.toLong > payload.length) None
+        else try {
+          val stride = ((v.width * 3 + 3) / 4) * 4
+          if (len.toLong < stride.toLong * v.height) None
+          else {
+            val img = new java.awt.image.BufferedImage(
+              v.width, v.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < v.height) {
+              val srcRow = if (v.topDown) y else v.height - 1 - y
+              var x = 0
+              val rowOff = off + srcRow * stride
+              while (x < v.width) {
+                val p = rowOff + x * 3
+                img.setRGB(x, y,
+                  ((payload(p + 2) & 0xff) << 16) |
+                    ((payload(p + 1) & 0xff) << 8) | (payload(p) & 0xff))
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            Some(img)
           }
-          Some(img)
-        }
+        } catch { case scala.util.control.NonFatal(_) => None }
       } else None
     }
   }

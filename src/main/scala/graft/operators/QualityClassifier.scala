@@ -58,9 +58,12 @@ object QualityClassifier {
     idCol: String,
     bias: Double = 0.0
   ): DataFrame = {
-    val nBuckets = Dsir.requireDenseBucketSpine(weights, "QualityClassifier.fit")
+    // one collect validates density AND feeds the broadcast (the spine
+    // comes back as a LocalRelation) — scoring runs exactly one corpus
+    // job, with no per-call validation aggregation or broadcast re-scan
+    val (spine, nBuckets) = Dsir.localizedDenseSpine(weights, "QualityClassifier.fit")
     Dsir.gramBuckets(df, textCol, idCol, nBuckets)
-      .join(broadcast(weights), Seq("bucket"))
+      .join(broadcast(spine), Seq("bucket"))
       .groupBy("doc_id")
       .agg((lit(1.0) /
         (lit(1.0) + exp(-(lit(bias) + sum(col("weight")) / count(lit(1))))))
@@ -95,7 +98,10 @@ object QualityClassifier {
     idCol: String,
     bias: Double = 0.0
   ): DataFrame = {
-    val nBuckets = Dsir.requireDenseBucketSpine(weights, "QualityClassifier.fit")
+    // the local spine shares validation's ONE collect; the follow-up
+    // select().collect() below runs on a LocalRelation (driver-side,
+    // no Spark job)
+    val (spine, nBuckets) = Dsir.localizedDenseSpine(weights, "QualityClassifier.fit")
     require(nBuckets <= (1 << 16),
       s"scoreInline embeds the spine as a plan literal — $nBuckets buckets is " +
         "past the 65536 cap; use score() (broadcast join) for larger models")
@@ -106,7 +112,7 @@ object QualityClassifier {
     // frame per gram and GetMapValue a linear key scan per lookup —
     // measured ~2× SLOWER than the broadcast join it was meant to beat
     val w = new Array[Double](nBuckets)
-    weights.select(col("bucket").cast("long"), col("weight").cast("double"))
+    spine.select(col("bucket").cast("long"), col("weight").cast("double"))
       .collect().foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
     val grams = Dsir.gramHashesOf(
       graft.functions.Hashing.normalizedWords(col(textCol)))
@@ -144,6 +150,14 @@ object QualityClassifier {
   ): Model = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // logistic loss assumes y ∈ {0, 1}; a score-valued or multi-class
+    // label column would silently skew gradients (p − y leaves [−1, 1])
+    // into a plausible-looking but meaningless model — fail loudly
+    require(
+      df.filter(col(labelCol).isNotNull &&
+        !col(labelCol).cast("double").isin(0.0, 1.0)).isEmpty,
+      s"fit() is binary logistic regression: label column '$labelCol' has " +
+        "values outside {0, 1} — binarize it (or pick the right column) first")
     val spark = df.sparkSession
     import spark.implicits._
     // per-doc sparse features: (label, [(bucket, c/N)]) — built once,

@@ -195,6 +195,17 @@ object Archives {
         else {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+          // task-start cleanup: drop every existing part-<pid>-* shard
+          // before writing. "A retried task overwrites its OWN names"
+          // only holds per-name — after a nondeterministic upstream
+          // shuffle a failed attempt can leave HIGHER-seq orphans the
+          // retry never reaches, and a prior run into the same dir
+          // leaves stale shards; glob readers would see duplicates
+          fs.globStatus(new org.apache.hadoop.fs.Path(
+              dirPath, f"part-$pid%05d-*$suffix")) match {
+            case null => ()
+            case stale => stale.foreach(s => fs.delete(s.getPath, false))
+          }
           val shards = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
           var seq = 0
           var tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = null
