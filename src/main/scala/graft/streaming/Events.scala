@@ -31,13 +31,22 @@ object Events {
       "readEventsParquet needs spark.sql.legacy.parquet.nanosAsLong=true at " +
         "session build time (a GraftSession default) to read TIMESTAMP(NANOS) parquet")
     val raw = spark.read.parquet(path)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // FLOOR division, not `div` (which truncates toward zero): a
-      // pre-epoch nanosecond count that is not a multiple of 1000 must
-      // round DOWN to match DuckDB's ::TIMESTAMP floor semantics.
-      raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // FLOOR division, not `div` (which truncates toward zero): a
+        // pre-epoch nanosecond count that is not a multiple of 1000 must
+        // round DOWN to match DuckDB's ::TIMESTAMP floor semantics.
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // TIMESTAMP(MICROS) with isAdjustedToUTC=false arrives as NTZ;
+        // the session runs UTC (a GraftSession default), so the cast is
+        // wall-clock-preserving and lands on the same epoch micros the
+        // oracle's naive-timestamp reading produces. Downstream window /
+        // unix_micros operators need the zoned type.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /**
