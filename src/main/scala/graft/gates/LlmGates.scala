@@ -20,6 +20,34 @@ import graft.streaming.Events
  */
 object LlmGates {
 
+  /** Per-language planted sentences (2 per family) for the q_lang_id
+    * gate and the fitted-classifier specs: short natural sentences,
+    * ASCII-only (SQL-literal-safe AND normalization-stable — see
+    * [[TextAnalysis.StopwordFamilies]] on diacritics). Each sentence
+    * wins its own family under the stopword vote, margins checked by
+    * the gate's lang_conf. */
+  private[graft] val LangFixture: Seq[(String, String)] = Seq(
+    "en" -> "the cat is in the house and it is for me",
+    "en" -> "that dog and the bird are in a tree for fun",
+    "de" -> "der hund ist nicht mit der katze zu den baumen",
+    "de" -> "die frau und das kind sind mit ein auto",
+    "fr" -> "le chat est dans la maison pour que le chien",
+    "fr" -> "la fille et un garcon dans une ecole pour les amis",
+    "es" -> "el nino y la nina es en una casa del pueblo",
+    "es" -> "los perros y el gato es por la calle con pan",
+    "it" -> "il ragazzo e la ragazza sono di casa per un anno",
+    "it" -> "che bella giornata per un caffe con non troppo zucchero",
+    "pt" -> "o gato esta em casa para que um dia como os outros",
+    "pt" -> "a menina do rio e da praia em um dia para casa",
+    "nl" -> "de hond en het kind van een huis dat op te gaan",
+    "nl" -> "het meisje en de jongen zijn niet van een school",
+    "sv" -> "jag har en hund och den har inte att det som",
+    "sv" -> "det och som av en har jag inte den att",
+    "pl" -> "to jest dom i nie ma w nim nic ale po co",
+    "pl" -> "z domu do szkoly i na pole ale nie po to",
+    "tr" -> "ben bu eve bir kedi ile ve o gibi ama ne",
+    "tr" -> "bu da bir ev ve ben o ile ama ne gibi")
+
   private[gates] def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -477,9 +505,19 @@ object LlmGates {
           k = 5, nCentroids = 16, nProbe = 16)
         .withColumn("score", round(col("score"), 4))
     },
-    // §2.4 row 33 — stopword language ID
+    // §2.4 row 33 — stopword language ID over the 10-family table,
+    // with per-language planted sentences unioned in (doc_id 200000+)
+    // so every family's win — and the shared-stopword confidence
+    // margins — is value-checked, not just the corpus's English bias
     "q_lang_id" -> { (s, dir) =>
-      TextAnalysis.withLangId(docs(s, dir), "text", "doc_id")
+      import s.implicits._
+      val planted = LlmGates.LangFixture.zipWithIndex
+        .map { case ((_, text), i) => (200000L + i, text) }
+        .toDF("doc_id", "text")
+      TextAnalysis.withLangId(
+          docs(s, dir).select("doc_id", "text").unionByName(planted),
+          "text", "doc_id")
+        .withColumn("lang_conf", round(col("lang_conf"), 6))
     },
     // §2.4 row 34 — quality ratios + composite score
     "q_text_quality" -> { (s, dir) =>
@@ -1367,23 +1405,35 @@ object LlmGates {
         |  FROM s)
         |SELECT query_id, neighbor_id, round(score, 4) AS score
         |FROM r WHERE rn <= 5""".stripMargin,
-    "q_lang_id" ->
+    "q_lang_id" -> {
+      val fams = TextAnalysis.StopwordFamilies
+      val counts = fams.map { case (l, sw) =>
+        s"    len(list_filter(w, x -> x IN (${sw.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+      }.mkString(",\n")
+      val sCols = fams.map { case (l, _) => s"s_$l" }
+      val m = s"greatest(${sCols.mkString(", ")})"
+      val caseArms = fams.init.map { case (l, _) =>
+        s"            WHEN s_$l = $m THEN '$l'"
+      }.mkString("\n")
+      val plantedRows = LlmGates.LangFixture.zipWithIndex
+        .map { case ((_, text), i) => s"(${200000L + i}, '$text')" }.mkString(", ")
       s"""WITH d AS (
-         |  SELECT doc_id, ${wordsSql()} AS w FROM documents),
+         |  SELECT doc_id, ${wordsSql()} AS w FROM (
+         |    SELECT doc_id, text FROM documents
+         |    UNION ALL
+         |    SELECT * FROM (VALUES $plantedRows) p(doc_id, text))),
          |sc AS (
          |  SELECT doc_id,
-         |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
-         |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS s_de,
-         |    len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr,
-         |    len(list_filter(w, x -> x IN ('el','los','de','y','es','en','una','del','por','con'))) AS s_es
+         |$counts
          |  FROM d)
          |SELECT doc_id,
-         |       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-         |            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-         |            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-         |            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-         |            ELSE 'es' END AS lang_pred
-         |FROM sc""".stripMargin,
+         |       CASE WHEN $m = 0 THEN 'und'
+         |$caseArms
+         |            ELSE '${fams.last._1}' END AS lang_pred,
+         |       round(CASE WHEN $m = 0 THEN 0.0
+         |             ELSE $m / CAST(${sCols.mkString(" + ")} AS DOUBLE) END, 6) AS lang_conf
+         |FROM sc""".stripMargin
+    },
     "q_text_quality" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, ${wordsSql()} AS w FROM documents),

@@ -128,6 +128,188 @@ object QualityClassifier {
           .as("quality_score"))
   }
 
+  /** A fitted K-class model: label order (= weight-row order), the
+    * dense per-(label, bucket) weight table, and per-label biases. */
+  final case class MultiModel(
+    labels: IndexedSeq[String], weights: DataFrame, biases: Map[String, Double])
+
+  /**
+   * Row-LOCAL K-class scoring — the multi-class arm of [[scoreInline]]
+   * (same zero-shuffle/streaming-safe shape): per document, one
+   * [[graft.functions.BucketMeanExpr]] per class over the shared gram
+   * hashes, softmax over the K logits, argmax with first-label
+   * precedence on exact ties. Output (doc_id, label_pred, label_prob)
+   * where label_prob is the winner's softmax probability — the
+   * confidence a routing pipeline thresholds on. Zero-gram documents
+   * are absent (the [[score]] convention). K is class-count-sized
+   * (language ID ~dozens), so K tight loops stay a scan-local cost.
+   */
+  def scoreMultiInline(
+    df: DataFrame,
+    model: MultiModel,
+    textCol: String,
+    idCol: String
+  ): DataFrame = {
+    require(model.labels.nonEmpty, "model has no classes")
+    require(model.labels.distinct == model.labels,
+      s"duplicate labels in model: ${model.labels}")
+    // one localizing collect serves all K density validations
+    val (spine, nBuckets) =
+      Dsir.localizedDenseSpine(
+        model.weights.filter(col("label") === model.labels.head)
+          .select("bucket", "weight"), "QualityClassifier.fitMulti")
+    val w = Array.fill(model.labels.size)(new Array[Double](nBuckets))
+    val byLabel = model.weights
+      .select(col("label").cast("string"), col("bucket").cast("long"),
+        col("weight").cast("double"))
+      .collect()
+    val labelIdx = model.labels.zipWithIndex.toMap
+    byLabel.foreach { r =>
+      val li = labelIdx.getOrElse(r.getString(0),
+        throw new IllegalArgumentException(
+          s"weight row for unknown label '${r.getString(0)}'"))
+      val b = r.getLong(1)
+      require(b >= 0 && b < nBuckets,
+        s"bucket $b outside the dense spine 0..${nBuckets - 1}")
+      w(li)(b.toInt) = r.getDouble(2)
+    }
+    require(byLabel.length == model.labels.size * nBuckets,
+      s"weights table is not K dense spines: ${byLabel.length} rows for " +
+        s"${model.labels.size} labels × $nBuckets buckets")
+    val grams = Dsir.gramHashesOf(
+      graft.functions.Hashing.normalizedWords(col(textCol)))
+    val z = model.labels.indices.map { i =>
+      (lit(model.biases(model.labels(i))) +
+        graft.functions.BucketMeanExpr(grams, w(i).toSeq)).as(s"__z$i")
+    }
+    val scored = df
+      .filter(graft.functions.Hashing.normalizeText(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id") +: z: _*)
+    val zCols = model.labels.indices.map(i => col(s"__z$i"))
+    val zMax = greatest(zCols: _*)
+    // numerically-stable softmax of the winner: exp(z−max) then
+    // normalize; sumExp ≥ 1 by construction (the max term)
+    val sumExp = zCols.map(zc => exp(zc - zMax)).reduce(_ + _)
+    val pred = model.labels.indices.init.foldLeft(
+      when(zCols.head === zMax, lit(model.labels.head))) { case (acc, i) =>
+        acc.when(zCols(i) === zMax, lit(model.labels(i)))
+      }.otherwise(lit(model.labels.last))
+    scored.select(
+      col("doc_id"),
+      pred.as("label_pred"),
+      (lit(1.0) / sumExp).as("label_prob"))
+  }
+
+  /**
+   * Fit the K-class arm by full-batch softmax regression on the same
+   * hashed-gram feature space as [[fit]]: per-doc sparse features built
+   * once and persisted across the iteration loop, each iteration ONE
+   * `treeAggregate` of a K×D dense gradient with the current weights
+   * broadcast (K×D for language-ID-sized K is a few hundred KB — still
+   * metadata). Labels come from the data (sorted distinct), so the
+   * caller controls classes by controlling the training frame.
+   */
+  def fitMulti(
+    df: DataFrame,
+    textCol: String,
+    labelCol: String,
+    idCol: String,
+    nBuckets: Int = 4096,
+    iters: Int = 50,
+    lr: Double = 1.0,
+    l2: Double = 1e-6
+  ): MultiModel = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labels = df.select(col(labelCol).cast("string"))
+      .filter(col(labelCol).isNotNull)
+      .distinct().as[String].collect().sorted.toIndexedSeq
+    require(labels.size >= 2, s"need >= 2 classes, found ${labels.size}")
+    val labelIdx = labels.zipWithIndex.toMap
+    val k = labels.size
+    val feats = Dsir.gramBuckets(df, textCol, idCol, nBuckets)
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("bucket").cast("int"), col("c").cast("double"))).as("f"))
+      .join(
+        df.select(col(idCol).as("doc_id"), col(labelCol).cast("string").as("__y")),
+        Seq("doc_id"))
+      .select(col("__y"), col("f"))
+      .as[(String, Seq[(Int, Double)])]
+      .map { case (y, f) =>
+        val n = f.map(_._2).sum
+        (labelIdx(y), f.map { case (b, c) => (b, c / n) }.toArray)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = feats.count().toDouble
+      require(nDocs >= 1, "no documents with grams to fit on")
+      var wFlat = new Array[Double](k * nBuckets) // row-major K × D
+      var b = new Array[Double](k)
+      var it = 0
+      while (it < iters) {
+        val bw = spark.sparkContext.broadcast(wFlat)
+        val bb = spark.sparkContext.broadcast(b)
+        val (gw, gb) = feats.rdd.treeAggregate(
+          (new Array[Double](k * nBuckets), new Array[Double](k)))(
+          seqOp = { case ((aw, ab), (y, f)) =>
+            val z = new Array[Double](k)
+            var c = 0
+            while (c < k) {
+              var s = bb.value(c)
+              var i = 0
+              while (i < f.length) { s += bw.value(c * nBuckets + f(i)._1) * f(i)._2; i += 1 }
+              z(c) = s
+              c += 1
+            }
+            var zMax = z(0); c = 1
+            while (c < k) { if (z(c) > zMax) zMax = z(c); c += 1 }
+            var sum = 0.0; c = 0
+            while (c < k) { z(c) = math.exp(z(c) - zMax); sum += z(c); c += 1 }
+            c = 0
+            while (c < k) {
+              val d = z(c) / sum - (if (c == y) 1.0 else 0.0)
+              ab(c) += d
+              var i = 0
+              while (i < f.length) { aw(c * nBuckets + f(i)._1) += d * f(i)._2; i += 1 }
+              c += 1
+            }
+            (aw, ab)
+          },
+          combOp = { case ((aw, ab), (cw, cb)) =>
+            var i = 0
+            while (i < aw.length) { aw(i) += cw(i); i += 1 }
+            i = 0
+            while (i < k) { ab(i) += cb(i); i += 1 }
+            (aw, ab)
+          })
+        bw.destroy(); bb.destroy()
+        val nextW = new Array[Double](k * nBuckets)
+        var i = 0
+        while (i < nextW.length) {
+          nextW(i) = wFlat(i) - lr * (gw(i) / nDocs + l2 * wFlat(i))
+          i += 1
+        }
+        wFlat = nextW
+        val nextB = new Array[Double](k)
+        i = 0
+        while (i < k) { nextB(i) = b(i) - lr * gb(i) / nDocs; i += 1 }
+        b = nextB
+        it += 1
+      }
+      val rows = for {
+        c <- 0 until k
+        d <- 0 until nBuckets
+      } yield (labels(c), d.toLong, wFlat(c * nBuckets + d))
+      val spine = Similarity.localize(
+        spark.createDataFrame(rows).toDF("label", "bucket", "weight"))
+      MultiModel(labels, spine, labels.zipWithIndex.map { case (l, i) => l -> b(i) }.toMap)
+    } finally feats.unpersist()
+  }
+
   /**
    * Fit by full-batch logistic regression: minimize mean log-loss (+ L2)
    * of `labelCol` ∈ {0, 1} against sigmoid(bias + Σ w·c/N) with `iters`

@@ -58,6 +58,28 @@ object TextAnalysis {
   val EsStopwords: Seq[String] =
     Seq("el", "los", "de", "y", "es", "en", "una", "del", "por", "con")
 
+  /**
+   * Stopword families for language ID, PRECEDENCE order (ties resolve
+   * to the earlier family). Ten Latin-script languages; every list is
+   * the language's top function words in NORMALIZED form —
+   * [[Hashing.normalizeText]] lowercases and strips non-[a-z0-9], so
+   * diacritic-bearing stopwords (på, się, için) can never match the
+   * word stream and are deliberately absent. Real corpora share
+   * function words across languages (de/en/la/un/e/o…); the confidence
+   * column exists exactly because membership is not exclusive.
+   */
+  val StopwordFamilies: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnStopwords,
+    "de" -> DeStopwords,
+    "fr" -> FrStopwords,
+    "es" -> EsStopwords,
+    "it" -> Seq("il", "di", "che", "e", "la", "per", "un", "sono", "con", "non"),
+    "pt" -> Seq("o", "que", "do", "da", "em", "um", "para", "uma", "os", "como"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "op", "te", "niet", "zijn"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "av", "har", "inte", "den", "jag"),
+    "pl" -> Seq("i", "w", "nie", "na", "z", "do", "to", "jest", "ale", "po"),
+    "tr" -> Seq("bir", "ve", "bu", "da", "ne", "ile", "ben", "gibi", "ama", "o"))
+
   /** Stopword count over an already-materialized word-array column. */
   def stopwordCountOf(w: Column, stopwords: Seq[String]): Column =
     size(filter(w, x => x.isin(stopwords.map(lit): _*)))
@@ -102,22 +124,17 @@ object TextAnalysis {
       lit(0.2) * least(wsTokenCount(c).cast("double") / lit(100.0), lit(1.0))
 
   /**
-   * N-gram-free stopword-list language ID over {en, de, fr, es}: the
-   * language whose stopword list matches the most tokens wins, fixed
-   * precedence en > de > fr > es on ties, 'und' (undetermined) when no
-   * list matches at all.
+   * N-gram-free stopword-list language ID over [[StopwordFamilies]]
+   * (10 languages as of r11): the language whose stopword list matches
+   * the most tokens wins, family order breaks ties, 'und'
+   * (undetermined) when no list matches at all.
    */
   def langId(c: Column): Column = {
-    val en = stopwordCount(c, EnStopwords)
-    val de = stopwordCount(c, DeStopwords)
-    val fr = stopwordCount(c, FrStopwords)
-    val es = stopwordCount(c, EsStopwords)
-    val m = greatest(en, de, fr, es)
-    when(m === 0, lit("und"))
-      .when(en === m, lit("en"))
-      .when(de === m, lit("de"))
-      .when(fr === m, lit("fr"))
-      .otherwise(lit("es"))
+    val counts = StopwordFamilies.map { case (l, sw) => l -> stopwordCount(c, sw) }
+    val m = greatest(counts.map(_._2): _*)
+    counts.init.foldLeft(when(m === 0, lit("und"))) {
+      case (acc, (l, n)) => acc.when(n === m, lit(l))
+    }.otherwise(lit(StopwordFamilies.last._1))
   }
 
   /**
@@ -142,23 +159,28 @@ object TextAnalysis {
   // document as a projection column and compute everything downstream from
   // bound attributes; use them on 100 TB paths.
 
-  /** (doc_id, lang_pred): language ID with each stopword list counted once. */
+  /** (doc_id, lang_pred, lang_conf): language ID over the full
+    * [[StopwordFamilies]] table with each stopword list counted once
+    * off the materialized word array. `lang_conf` is the winning
+    * family's share of ALL stopword matches (1.0 = no other family
+    * matched anything; 0.0 for 'und') — the margin signal a routing
+    * pipeline thresholds on, since function words are shared across
+    * languages and a bare argmax hides how contested the call was. */
   def withLangId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val counted = Dedup.wordTable(df, textCol, idCol)
-      .select(
-        col("doc_id"),
-        stopwordCountOf(col("w"), EnStopwords).as("s_en"),
-        stopwordCountOf(col("w"), DeStopwords).as("s_de"),
-        stopwordCountOf(col("w"), FrStopwords).as("s_fr"),
-        stopwordCountOf(col("w"), EsStopwords).as("s_es"))
-    val m = greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+      .select(col("doc_id") +: StopwordFamilies.map { case (l, sw) =>
+        stopwordCountOf(col("w"), sw).as(s"s_$l")
+      }: _*)
+    val cols = StopwordFamilies.map { case (l, _) => l -> col(s"s_$l") }
+    val m = greatest(cols.map(_._2): _*)
+    val tot = cols.map(_._2).reduce(_ + _)
     counted.select(
       col("doc_id"),
-      when(m === 0, lit("und"))
-        .when(col("s_en") === m, lit("en"))
-        .when(col("s_de") === m, lit("de"))
-        .when(col("s_fr") === m, lit("fr"))
-        .otherwise(lit("es")).as("lang_pred"))
+      cols.init.foldLeft(when(m === 0, lit("und"))) {
+        case (acc, (l, n)) => acc.when(n === m, lit(l))
+      }.otherwise(lit(StopwordFamilies.last._1)).as("lang_pred"),
+      when(m === 0, lit(0.0))
+        .otherwise(m.cast("double") / tot.cast("double")).as("lang_conf"))
   }
 
   /**

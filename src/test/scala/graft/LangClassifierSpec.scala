@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gates.LlmGates
+import graft.operators.{QualityClassifier, TextAnalysis}
+
+/** Language-ID breadth (§2.4 row 33 extension): the 10-family stopword
+  * vote and the FITTED multi-class softmax arm on the classifier spine,
+  * both pinned against the committed per-language sentence fixtures. */
+class LangClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = LlmGates.LangFixture
+  // held-out sentences, one per family — same function-word register,
+  // different content words
+  private val heldOut: Seq[(String, String)] = Seq(
+    "en" -> "the fish is in the water and it is for the cat",
+    "de" -> "das haus ist mit der tur und nicht zu den fenstern",
+    "fr" -> "le garcon est pour la fille et dans les champs que",
+    "es" -> "la casa es del nino y por los campos con el sol",
+    "it" -> "il cane e di casa che sono per un con non",
+    "pt" -> "o menino do campo e da cidade em um dia para que os",
+    "nl" -> "de kat en het huis van een dat op te zijn niet",
+    "sv" -> "jag har inte en katt och det som av den att",
+    "pl" -> "i w nie na z do to jest ale po domu",
+    "tr" -> "ben bir kedi ve bu da ne ile o gibi ama")
+
+  private def df(rows: Seq[(String, String)]) =
+    rows.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+
+  test("stopword vote: every planted sentence wins its own family, with margin") {
+    val out = TextAnalysis.withLangId(df(train), "text", "doc_id")
+      .join(df(train).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect()
+    assert(out.length == train.size)
+    out.foreach { r =>
+      assert(r.getAs[String]("lang_pred") == r.getAs[String]("lang"),
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[String]("lang_pred")} != ${r.getAs[String]("lang")}")
+      assert(r.getAs[Double]("lang_conf") > 0.5,
+        s"doc ${r.getAs[Long]("doc_id")}: conf ${r.getAs[Double]("lang_conf")} not a clear win")
+    }
+  }
+
+  test("stopword vote: 'und' with conf 0.0 when nothing matches") {
+    val out = TextAnalysis.withLangId(
+      Seq((1L, "xyzzy plugh quux")).toDF("doc_id", "text"), "text", "doc_id").head()
+    assert(out.getAs[String]("lang_pred") == "und")
+    assert(out.getAs[Double]("lang_conf") == 0.0)
+  }
+
+  test("fitMulti + scoreMultiInline: memorizes training fixtures, generalizes held-out") {
+    val model = QualityClassifier.fitMulti(
+      df(train), "text", "lang", "doc_id", nBuckets = 512, iters = 200, lr = 2.0)
+    assert(model.labels == train.map(_._1).distinct.sorted.toIndexedSeq)
+
+    def acc(rows: Seq[(String, String)]): (Double, Seq[(String, String)]) = {
+      val want = rows.zipWithIndex.map { case ((l, _), i) => i.toLong -> l }.toMap
+      val got = QualityClassifier.scoreMultiInline(df(rows), model, "text", "doc_id")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("label_pred"), r.getAs[Double]("label_prob")))
+      got.foreach { case (_, (_, p)) => assert(p > 0.0 && p <= 1.0) }
+      val pairs = got.map { case (id, (pred, _)) => (want(id), pred) }.toSeq
+      (pairs.count(p => p._1 == p._2).toDouble / rows.size, pairs.filter(p => p._1 != p._2))
+    }
+    val (trainAcc, trainMiss) = acc(train)
+    assert(trainAcc == 1.0, s"training misclassified: $trainMiss")
+    val (testAcc, testMiss) = acc(heldOut)
+    assert(testAcc >= 0.8, s"held-out accuracy $testAcc; misses: $testMiss")
+  }
+
+  test("scoreMultiInline rejects a weights table that is not K dense spines") {
+    val model = QualityClassifier.fitMulti(
+      df(train.take(4)), "text", "lang", "doc_id", nBuckets = 64, iters = 5)
+    val broken = model.copy(weights = model.weights.filter(col("bucket") =!= 3))
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.scoreMultiInline(df(train.take(4)), broken, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("dense"), e.getMessage)
+  }
+}
