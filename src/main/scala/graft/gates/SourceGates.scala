@@ -29,13 +29,16 @@ object SourceGates {
     * PAX extended headers — the pseudo-entries the source must consume,
     * not surface. */
   private def writeTar(
-    dest: Path, members: Seq[(String, String)], gzip: Boolean
+    dest: Path, members: Seq[(String, String)], codec: String
   ): Unit = {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
     val fileOut = Files.newOutputStream(dest)
-    val tar = new TarArchiveOutputStream(
-      if (gzip) new GzipCompressorOutputStream(fileOut) else fileOut)
+    val tar = new TarArchiveOutputStream(codec match {
+      case "gzip" => new GzipCompressorOutputStream(fileOut)
+      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(fileOut)
+      case _      => fileOut
+    })
     tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
     try {
       tar.putArchiveEntry(new TarArchiveEntry("sub/"))
@@ -87,13 +90,13 @@ object SourceGates {
       val df = TsvSource.readGlob(s, s"$dir/absent-*.tsv")
       Seq((df.count(), df.columns.length)).toDF("n_rows", "n_cols")
     },
-    // archive ingestion — tar members as rows: 301 members across a
-    // mixed plain/.tar.gz glob (gzip auto-detected), nested directories,
-    // one PAX long-name member (>100 chars, exercising the extended
-    // header path), and a directory entry that must be skipped. Member
-    // contents follow a formula the oracle re-derives with range() +
-    // repeat(), so every member's BYTES are value-checked, not just
-    // names/counts
+    // archive ingestion — tar members as rows: 341 members across a
+    // mixed plain/.tar.gz/.tar.zst glob (compression sniffed by magic
+    // bytes, never extension), nested directories, one PAX long-name
+    // member (>100 chars, exercising the extended header path), and a
+    // directory entry that must be skipped. Member contents follow a
+    // formula the oracle re-derives with range() + repeat(), so every
+    // member's BYTES are value-checked, not just names/counts
     "q_tar_members" -> { (s, _) =>
       val dir = Files.createTempDirectory("graft-tar")
       val drop1 = (0 until 200).map(i =>
@@ -101,8 +104,11 @@ object SourceGates {
         (s"longdir-${"p" * 120}/deep.txt" -> "pax long name member\n")
       val drop2 = (200 until 300).map(i =>
         s"g/f$i.txt" -> s"z$i:${"y" * (i % 23)}\n")
-      writeTar(dir.resolve("drop1.tar"), drop1, gzip = false)
-      writeTar(dir.resolve("drop2.tar.gz"), drop2, gzip = true)
+      val drop3 = (300 until 340).map(i =>
+        s"h/f$i.txt" -> s"w$i:${"v" * (i % 29)}\n")
+      writeTar(dir.resolve("drop1.tar"), drop1, codec = "none")
+      writeTar(dir.resolve("drop2.tar.gz"), drop2, codec = "gzip")
+      writeTar(dir.resolve("drop3.tar.zst"), drop3, codec = "zstd")
       graft.sources.Archives.readTar(s, s"$dir/drop*")
         .select(
           regexp_extract(col("archive_path"), "[^/]+$", 0).as("archive"),
@@ -110,23 +116,29 @@ object SourceGates {
           col("member_size"),
           md5(col("member_bytes")).as("member_md5"))
     },
-    // §2.2 row 82 — tar-shard SINK roundtrip: the documents table
-    // written as rolling gzipped tar shards (small cap forces several
-    // shards per partition), read back with readTar, and gated
-    // member-by-member against the original rows — names, sizes, and
-    // content hashes must survive the container
+    // §2.2 row 82 — tar-shard SINK roundtrip, gzip AND zstd arms: the
+    // documents table written as rolling compressed tar shards (small
+    // cap forces several shards per partition) under each codec, read
+    // back with readTar, and gated member-by-member against the
+    // original rows — names, sizes, and content hashes must survive
+    // both containers
     "q_tar_shard_roundtrip" -> { (s, dir) =>
-      val out = Files.createTempDirectory("graft-tarsink").toString
+      val outGz = Files.createTempDirectory("graft-tarsink").toString
+      val outZst = Files.createTempDirectory("graft-tarsink-zst").toString
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(
           concat(lit("doc_"), col("doc_id"), lit(".txt")).as("member_name"),
           col("text").cast("binary").as("member_bytes"))
         .repartition(4)
-      val manifest =
-        graft.sources.Archives.writeTarShards(
-          docs, out, maxShardBytes = 16 << 10, gzip = true)
+      val manifest = graft.sources.Archives.writeTarShards(
+        docs, outGz, maxShardBytes = 16 << 10, codec = "gzip")
       assert(manifest.count() > 4, "shard rolling never triggered")
-      graft.sources.Archives.readTar(s, s"$out/part-*")
+      val zdocs = docs.withColumn("member_name", concat(lit("z_"), col("member_name")))
+      val zManifest = graft.sources.Archives.writeTarShards(
+        zdocs, outZst, maxShardBytes = 16 << 10, codec = "zstd")
+      assert(zManifest.count() > 4, "zstd shard rolling never triggered")
+      graft.sources.Archives.readTar(s, s"$outGz/part-*")
+        .unionByName(graft.sources.Archives.readTar(s, s"$outZst/part-*"))
         .select(
           col("member_name"),
           col("member_size"),
@@ -173,6 +185,11 @@ object SourceGates {
         |         'z' || i || ':' || repeat('y', CAST(i % 23 AS INT)) || chr(10)
         |  FROM range(200, 300) t(i)
         |  UNION ALL
+        |  SELECT 'drop3.tar.zst',
+        |         'h/f' || i || '.txt',
+        |         'w' || i || ':' || repeat('v', CAST(i % 29 AS INT)) || chr(10)
+        |  FROM range(300, 340) t(i)
+        |  UNION ALL
         |  SELECT 'drop1.tar',
         |         'longdir-' || repeat('p', 120) || '/deep.txt',
         |         'pax long name member' || chr(10)
@@ -181,6 +198,11 @@ object SourceGates {
       """SELECT 'doc_' || doc_id || '.txt' AS member_name,
         |       CAST(octet_length(text::BLOB) AS BIGINT) AS member_size,
         |       md5(text) AS member_md5
+        |FROM documents
+        |UNION ALL
+        |SELECT 'z_doc_' || doc_id || '.txt',
+        |       CAST(octet_length(text::BLOB) AS BIGINT),
+        |       md5(text)
         |FROM documents""".stripMargin,
     "q_ancestry_id" ->
       """SELECT * FROM (VALUES

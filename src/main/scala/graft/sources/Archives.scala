@@ -44,12 +44,18 @@ object Archives {
     * compresses text 5-10×, a crafted bomb far more). */
   val DefaultMaxDecompressedBytes: Long = 8L << 30
 
-  /** Magic-byte gzip sniff (1f 8b) — extension-independent. */
+  /** Magic-byte compression sniff — extension-independent: gzip
+    * (1f 8b) and zstd (28 b5 2f fd, the de-facto webdataset codec;
+    * zstd-jni is a Spark transitive dependency). */
   private def inputStreamFor(bytes: Array[Byte]): InputStream = {
     val raw = new ByteArrayInputStream(bytes)
     if (bytes.length >= 2 &&
       (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
       new GzipCompressorInputStream(raw)
+    else if (bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
+      (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd)
+      new com.github.luben.zstd.ZstdInputStream(raw)
     else raw
   }
 
@@ -153,7 +159,9 @@ object Archives {
    * a training pipeline PUBLISHES (webdataset-style: a corpus shipped as
    * N modest tarballs whose members are individually addressable by
    * name). Rows of (`nameCol`: member path, `bytesCol`: member bytes)
-   * stream into rolling `.tar`/`.tar.gz` shards under `dir`: each input
+   * stream into rolling `.tar`/`.tar.gz`/`.tar.zst` shards under `dir`
+   * (`codec` ∈ none|gzip|zstd — zstd is the de-facto webdataset
+   * standard, via the zstd-jni already on Spark's classpath): each input
    * partition writes its own shard sequence, cutting a new shard once
    * the current one's member-byte total passes `maxShardBytes` — shard
    * size tracks content, executor memory holds one member at a time,
@@ -177,13 +185,19 @@ object Archives {
     nameCol: String = "member_name",
     bytesCol: String = "member_bytes",
     maxShardBytes: Long = 1L << 30,
-    gzip: Boolean = false
+    codec: String = "none"
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(maxShardBytes > 0, s"maxShardBytes must be positive: $maxShardBytes")
+    require(Set("none", "gzip", "zstd")(codec),
+      s"codec must be one of none|gzip|zstd: '$codec'")
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    val suffix = if (gzip) ".tar.gz" else ".tar"
+    val suffix = codec match {
+      case "gzip" => ".tar.gz"
+      case "zstd" => ".tar.zst"
+      case _      => ".tar"
+    }
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     dirPath.getFileSystem(conf.value).mkdirs(dirPath)
 
@@ -202,7 +216,7 @@ object Archives {
           // retry never reaches, and a prior run into the same dir
           // leaves stale shards; glob readers would see duplicates
           fs.globStatus(new org.apache.hadoop.fs.Path(
-              dirPath, f"part-$pid%05d-*$suffix")) match {
+              dirPath, f"part-$pid%05d-*")) match {
             case null => ()
             case stale => stale.foreach(s => fs.delete(s.getPath, false))
           }
@@ -218,10 +232,12 @@ object Archives {
               dirPath, f"part-$pid%05d-$seq%04d$suffix").toString
             val raw: java.io.OutputStream =
               fs.create(new org.apache.hadoop.fs.Path(shardPath), true)
-            val maybeGz =
-              if (gzip)
+            val maybeGz = codec match {
+              case "gzip" =>
                 new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(raw)
-              else raw
+              case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+              case _      => raw
+            }
             // UTF-8 name encoding + PAX path headers for non-ASCII names:
             // the default encoding %U-escapes anything non-ASCII, which
             // silently corrupts member names on the roundtrip

@@ -270,7 +270,7 @@ class SourcesSpec extends SparkSpec {
       .map(i => (s"dir${i % 3}/m$i.bin", Array.tabulate(50 + i)(j => (i + j).toByte)))
     val df = rows.toDF("member_name", "member_bytes").repartition(3)
     val manifest = graft.sources.Archives
-      .writeTarShards(df, d.toString, gzip = true)
+      .writeTarShards(df, d.toString, codec = "gzip")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(manifest.map(_._2).sum == 100L, manifest.toSeq.toString)
     assert(manifest.map(_._3).sum == rows.map(_._2.length.toLong).sum)
@@ -286,6 +286,51 @@ class SourcesSpec extends SparkSpec {
       .toMap
     assert(back.size == 100)
     rows.foreach { case (n, b) => assert(back(n) == b.toSeq, n) }
+  }
+
+  test("writeTarShards: zstd shards roundtrip, carry the zstd magic, and shrink the bytes") {
+    import spark.implicits._
+    val d = tmpDir("graft-tarzst")
+    val rows = (0 until 60)
+      .map(i => (s"m$i.txt", (s"member $i " * 40).getBytes("UTF-8")))
+    val df = rows.toDF("member_name", "member_bytes").repartition(2)
+    val manifest = graft.sources.Archives
+      .writeTarShards(df, d.toString, codec = "zstd")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(manifest.map(_._2).sum == 60L)
+    manifest.foreach { case (p, _) =>
+      assert(p.endsWith(".tar.zst"), p)
+      val f = java.nio.file.Paths.get(new java.net.URI(p).getPath)
+      val head = java.nio.file.Files.readAllBytes(f).take(4)
+      assert((head(0) & 0xff) == 0x28 && (head(1) & 0xff) == 0xb5 &&
+        (head(2) & 0xff) == 0x2f && (head(3) & 0xff) == 0xfd, p)
+      // repetitive text in a tar of >=30 512-byte blocks must compress
+      assert(java.nio.file.Files.size(f) < 16 * 1024, p)
+    }
+    val back = graft.sources.Archives.readTar(spark, s"$d/part-*")
+      .collect()
+      .map(r => r.getAs[String]("member_name") -> r.getAs[Array[Byte]]("member_bytes").toSeq)
+      .toMap
+    assert(back.size == 60)
+    rows.foreach { case (n, b) => assert(back(n) == b.toSeq, n) }
+  }
+
+  test("writeTarShards: a rerun into the same dir leaves no stale higher-seq shards") {
+    import spark.implicits._
+    val d = tmpDir("graft-tarstale")
+    // first run: small cap → many shards per partition
+    val big = (0 until 20).map(i => (s"m$i.bin", Array.fill(1000)(i.toByte)))
+      .toDF("member_name", "member_bytes").coalesce(1)
+    assert(graft.sources.Archives
+      .writeTarShards(big, d.toString, maxShardBytes = 4000L).count() == 5L)
+    // second run, same dir, different codec and far fewer shards: the
+    // task-start cleanup must remove the first run's five .tar shards
+    val small = Seq(("only.bin", Array[Byte](1))).toDF("member_name", "member_bytes")
+      .coalesce(1)
+    graft.sources.Archives.writeTarShards(small, d.toString, codec = "gzip")
+    val back = graft.sources.Archives.readTar(spark, s"$d/part-*").collect()
+    assert(back.map(_.getAs[String]("member_name")).toSeq == Seq("only.bin"),
+      back.map(_.getAs[String]("member_name")).toSeq.toString)
   }
 
   test("writeTarShards: rolls shards at maxShardBytes, long names survive") {
