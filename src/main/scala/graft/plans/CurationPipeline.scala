@@ -294,6 +294,95 @@ object CurationPipeline {
     (result, seen.map { case (n, o) => n -> o.get("rows").asInstanceOf[Long] }.toMap)
   }
 
+  /**
+   * STREAMING curation as a `foreachBatch` sink — the corpus-growth
+   * pipeline running continuously: each micro-batch goes through the
+   * full batch flow (scrub → dedups → quality gates → split; every
+   * stage already audited), with CROSS-batch exact/near dedup supplied
+   * by persisted indexes under `indexDir` that this sink GROWS from
+   * each batch's survivors. Inside `foreachBatch` the stream-illegal
+   * stages (groupBy dedup, window caps) are plain batch operators over
+   * one bounded micro-batch — this is the standard Structured Streaming
+   * recipe for pipelines whose state (here: the fingerprint/signature
+   * indexes) outgrows the state store. The stateless stages (scrub
+   * projections, the zero-shuffle [[graft.operators
+   * .QualityClassifier.scoreInline]] model gate, the stream-static
+   * incremental prunes) would also run directly on the stream frame;
+   * they ride along here so ONE code path serves both modes.
+   *
+   * Wire it as:
+   * {{{
+   * stream.writeStream.foreachBatch(
+   *   CurationPipeline.streamingSink(textCol, idCol, cfg, indexDir) {
+   *     (curated, batchId) => curated.write.mode("append").parquet(out)
+   *   }).start()
+   * }}}
+   *
+   * Equivalence to one batch run over the union of all batches (spec-
+   * pinned on a MemoryStream): exact — identical, given ids ascend
+   * across batches (the keeper is the earliest-arriving = lowest id,
+   * both modes). Near-dup — identical for pairwise clusters away from
+   * the threshold; two documented divergences at the margins: (a) a
+   * transitive chain SPANNING three or more batches can retain more
+   * than batch mode, because only survivors are indexed (batch mode
+   * compares against dropped docs too); (b) the against-index arm
+   * verifies SIGNATURE agreement (the index stores numHashes longs per
+   * doc, not shingle sets) while the within-batch arm verifies true
+   * n-gram Jaccard — a pair whose Jaccard and signature estimates
+   * straddle the threshold resolves differently by mode. Also note the
+   * corpus-wide LINE rule counts per micro-batch here, globally in
+   * batch mode — set minLineCount for the batch cadence you run. Alternatives (index every doc)
+   * over-drop instead; survivors-only is the convention that never
+   * loses a document the batch pipeline would have kept... it keeps
+   * MORE. A retried micro-batch appends its survivors' index rows
+   * twice — harmless to dedup semantics (the prune is an anti join;
+   * duplicate index rows change nothing) — and re-emits to `sink`,
+   * whose idempotence is the caller's contract as with any
+   * foreachBatch.
+   *
+   * Scale shape: per batch, index reads are parquet scans feeding the
+   * already-audited stream-static prune joins (index never shuffled);
+   * index growth appends only survivor fingerprints/signatures
+   * (metadata-per-doc, not text). `nearDup = false` skips the
+   * signature index entirely (exact-only growth).
+   */
+  def streamingSink(
+    textCol: String,
+    idCol: String,
+    cfg: Config,
+    indexDir: String,
+    nearDup: Boolean = true
+  )(sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val fpPath = s"$indexDir/fingerprints"
+    val sigPath = s"$indexDir/signatures"
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      def readIf(p: String): Option[DataFrame] = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) Some(spark.read.parquet(p)) else None
+      }
+      val cfgWithPriors = cfg.copy(
+        priorFingerprints = readIf(fpPath),
+        priorSignatures = if (nearDup) readIf(sigPath) else cfg.priorSignatures)
+      run(batch, textCol, idCol, cfgWithPriors) { curated =>
+        val pinned = curated.persist()
+        try {
+          sink(pinned, batchId)
+          // grow the indexes from THIS batch's survivors. The curated
+          // text is already scrubbed, so the index derives directly —
+          // same artifact exactIndex/signatureIndex build via scrub
+          Dedup.exactFingerprintIndex(pinned, textCol)
+            .write.mode("append").parquet(fpPath)
+          if (nearDup)
+            Dedup.minHashSignatures(pinned, textCol, "doc_id",
+                cfg.shingleK, cfg.numHashes)
+              .write.mode("append").parquet(sigPath)
+        } finally pinned.unpersist()
+      }
+    }
+  }
+
   private def execute[T](
     corpus: DataFrame,
     textCol: String,

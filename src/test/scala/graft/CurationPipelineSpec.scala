@@ -363,4 +363,71 @@ class CurationPipelineSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getString(1)).toMap)
     assert(out.values.forall(t => !t.contains("<") && !t.contains(">")))
   }
+
+  test("streamingSink: MemoryStream batches drop exactly what one batch run drops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prose = "the cat is in the hat and it is flat for all of us to see " * 2
+    // long shared core (≈33 distinct shingles) + a one-word tail:
+    // Jaccard ≈ 0.94, comfortably past the 0.8 signature threshold
+    val core = "the quick brown fox jumps over a lazy dog while it is raining " +
+      "in the old town and every bird sings to find its nest before dark " +
+      "clouds gather above them all for warmth tonight"
+    val nearA = s"$core one"
+    val nearB = s"$core two"
+    // three ascending-id batches: exact dups within AND across batches,
+    // one pairwise near-dup pair spanning batches, junk below the floor
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(
+        (1L, s"$prose first keeper"),
+        (2L, s"$prose first keeper"),      // within-batch exact dup of 1
+        (3L, nearA)),
+      Seq(
+        (4L, s"$prose first keeper"),      // cross-batch exact dup of 1
+        (5L, nearB),                       // cross-batch near dup of 3
+        // keepers carry genuinely fresh text: the against-index arm
+        // verifies SIGNATURE agreement (the index stores 16 longs per
+        // doc, not shingle sets), the within-batch arm true Jaccard —
+        // a pair sitting between the two estimates would diverge by
+        // mode, which is a documented arm difference, not a recipe bug
+        (6L, "every mountain stream carries cold water down to the " +
+          "valley floor where it feeds the green meadows each spring")),
+      Seq(
+        (7L, nearB),                       // cross-batch EXACT dup of 5 (dropped doc: must stay dropped)
+        (8L, "@@@ ### $$$ %%% ^^^ &&&"),   // junk below the quality floor
+        (9L, "the harbor lights glow softly when the evening boats " +
+          "return with their catch and the town gathers to meet them")))
+    // minLineCount high: the corpus-wide line rule counts GLOBALLY in
+    // batch mode but per-micro-batch in streaming — the one stage whose
+    // thresholds are mode-sensitive, so the equivalence fixture keeps
+    // it out of range (the e2e gate covers it in batch mode)
+    val cfg = CurationPipeline.Config(minQuality = 0.3, minLineCount = 10)
+
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-cursink").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val sinkFn = CurationPipeline.streamingSink("text", "doc_id", cfg, indexDir) {
+      (curated, _) =>
+        collected ++= curated.select("doc_id", "text", "split").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    }
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch(sinkFn).start()
+    try batches.foreach { b => stream.addData(b: _*); query.processAllAvailable() }
+    finally query.stop()
+
+    val batchRun = CurationPipeline.run(
+      batches.flatten.toDF("doc_id", "text"), "text", "doc_id", cfg)(
+      _.select("doc_id", "text", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))))
+
+    assert(collected.map(_._1).toSet == batchRun.map(_._1).toSet,
+      s"streaming ${collected.map(_._1).sorted} vs batch ${batchRun.map(_._1).sorted}")
+    // full rows agree too — scrubbed text and the hash-split assignment
+    // are both id-deterministic, so mode cannot change them
+    assert(collected.toSet == batchRun.toSet)
+    // and the cross-batch drops actually happened via the GROWN indexes
+    assert(!collected.map(_._1).contains(4L) && !collected.map(_._1).contains(5L)
+      && !collected.map(_._1).contains(7L))
+  }
 }
