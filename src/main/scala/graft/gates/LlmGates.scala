@@ -563,7 +563,11 @@ object LlmGates {
       val synth = docs(s, dir).select(col("doc_id"),
         concat(lit("https://www."), col("source"), lit(".Example.COM/p/"),
           col("doc_id").cast("string")).as("url"))
-      Web.withUrlParts(synth.unionByName(planted), "url", GatePsl)
+      // the PSL arrives TABLE-shaped and goes through pslFromTable —
+      // the deployment path (collect + validate + plan-literal embed)
+      // — at realistic size (9,304 rules)
+      Web.withUrlParts(synth.unionByName(planted), "url",
+        Web.pslFromTable(LlmGates.GatePsl9k.toDF("suffix")))
         .select("doc_id", "host", "domain")
     },
     // §2.4 row 62 — domain blocklist: every synthesized example.com doc
@@ -1042,10 +1046,33 @@ object LlmGates {
     710004L -> "co.uk",
     710005L -> "https://User@Sub.Portal.AC.UK:8443/x",
     710006L -> "localhost:8080/x",
-    710007L -> "")
+    710007L -> "",
+    // formulaic-PSL hits, one per depth + the longest-match precedence
+    // and suffix-is-the-whole-host edge (falls through to depth 1)
+    710008L -> "https://a.b.z17/path",          // depth-1 z17 → b.z17
+    710009L -> "http://x.co3.z42/q",            // depth-2 beats depth-1 → x.co3.z42
+    710010L -> "https://w.p2.co0.z7/",          // depth-3 → w.p2.co0.z7
+    710011L -> "https://deep.a.p3.co0.z299",    // depth-3 under more labels → a.p3.co0.z299
+    710012L -> "co5.z13",                       // = a depth-2 suffix; only depth-1 can match
+    710013L -> "z13",                           // single label: no rule, heuristic keeps host
+    710014L -> "https://sub.host.co24.z0:9090/a") // depth-2 → host.co24.z0
 
   /** The deployment-data public-suffix fixture the PSL gate runs under. */
   private val GatePsl = Seq("co.uk", "ac.uk", "gov.uk", "com.au")
+
+  /** REALISTIC-size PSL (r11): the 4 real rules + 9,300 formulaic
+    * entries across depths 1–3 (300 TLDs × {bare, 25 second-level, 4
+    * third-level under co0}) — the size class of the actual public
+    * suffix list (~9k active rules), generated by a formula so the
+    * DuckDB oracle re-derives the SAME set with range(). What the gate
+    * proves at this size: [[graft.operators.Web.pslFromTable]]'s
+    * collect path, longest-match across three depths, and that the
+    * plan stays a scan-local InSet projection (PlanAuditSpec pins
+    * no-join/no-exchange). */
+  private[graft] val GatePsl9k: Seq[String] = GatePsl ++
+    (0 until 300).map(i => s"z$i") ++
+    (for { i <- 0 until 300; j <- 0 until 25 } yield s"co$j.z$i") ++
+    (for { i <- 0 until 300; k <- 0 until 4 } yield s"p$k.co0.z$i")
 
   /** CTEs synthesizing the per-doc URL + planted fixtures and deriving
     * `hosts(doc_id, host)`, shared by the URL-family oracles. */
@@ -1677,15 +1704,34 @@ object LlmGates {
         |       coalesce(nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''), host) AS domain
         |FROM hosts"""),
     "q_url_parts_psl" -> UrlPartsSql(
-      s"""SELECT doc_id, host,
-         |       CASE
-         |         WHEN len(L) > 2 AND array_to_string(L[-2:], '.')
-         |              IN (${GatePsl.map(e => s"'$e'").mkString(", ")})
-         |           THEN array_to_string(L[-3:], '.')
-         |         WHEN len(L) >= 2 THEN array_to_string(L[-2:], '.')
-         |         ELSE host
+      s"""SELECT hl.doc_id, hl.host,
+         |       CASE c.k
+         |         WHEN 3 THEN array_to_string(hl.L[-4:], '.')
+         |         WHEN 2 THEN array_to_string(hl.L[-3:], '.')
+         |         WHEN 1 THEN array_to_string(hl.L[-2:], '.')
+         |         ELSE CASE WHEN len(hl.L) >= 2
+         |                   THEN array_to_string(hl.L[-2:], '.')
+         |                   ELSE hl.host END
          |       END AS domain
-         |FROM (SELECT doc_id, host, string_split(host, '.') AS L FROM hosts)""",
+         |FROM (SELECT doc_id, host, string_split(host, '.') AS L FROM hosts) hl
+         |LEFT JOIN (
+         |  SELECT h2.doc_id, max(d.k) AS k
+         |  FROM (SELECT doc_id, string_split(host, '.') AS L FROM hosts) h2
+         |  CROSS JOIN (VALUES (1), (2), (3)) d(k)
+         |  JOIN (
+         |    SELECT * FROM (VALUES ${GatePsl.map(e =>
+                s"('$e', ${e.count(_ == '.') + 1})").mkString(", ")}) q(suffix, depth)
+         |    UNION ALL SELECT 'z' || i, 1 FROM range(0, 300) t(i)
+         |    UNION ALL SELECT 'co' || j || '.z' || i, 2
+         |      FROM range(0, 300) t(i) CROSS JOIN range(0, 25) u(j)
+         |    UNION ALL SELECT 'p' || k || '.co0.z' || i, 3
+         |      FROM range(0, 300) t(i) CROSS JOIN range(0, 4) u(k)
+         |  ) p ON p.depth = d.k
+         |     AND p.suffix = CASE d.k WHEN 1 THEN array_to_string(h2.L[-1:], '.')
+         |                             WHEN 2 THEN array_to_string(h2.L[-2:], '.')
+         |                             ELSE array_to_string(h2.L[-3:], '.') END
+         |  WHERE len(h2.L) > d.k
+         |  GROUP BY h2.doc_id) c ON c.doc_id = hl.doc_id""",
       plantedOnly = PslUrlFixtures.map(_._1), fixtures = PslUrlFixtures),
     "q_domain_block" -> UrlPartsSql(
       """SELECT doc_id FROM (

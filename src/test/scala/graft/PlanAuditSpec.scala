@@ -114,6 +114,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(lowerCount(plan) == 1, plan)
   }
 
+  test("withUrlParts under the full-size PSL stays a scan projection: no join, no exchange") {
+    // 9,304 rules — the real public-suffix list's size class. The PSL
+    // must ride the plan as per-depth InSet literals inside ONE
+    // projection; a join/exchange here would shuffle the corpus against
+    // deployment metadata
+    val psl = graft.operators.Web.pslFromTable {
+      import spark.implicits._
+      graft.gates.LlmGates.GatePsl9k.toDF("suffix")
+    }
+    assert(psl.size > 9000, s"fixture shrank: ${psl.size}")
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://a."), col("doc_id"), lit(".co3.z42/x")).as("url"))
+    val plan = graft.operators.Web.withUrlParts(urls, "url", psl)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(2000))
+    assert(plan.contains("Project"), plan.take(500))
+  }
+
   test("hashSample is one scan-stage filter: no exchange, no UDF, codegen'd") {
     val plan = graft.operators.Sampling.hashSample(docs, "doc_id", 0.25)
       .queryExecution.executedPlan.toString
