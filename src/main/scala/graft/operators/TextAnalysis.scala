@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Hashing
+import graft.functions.{Hashing, TextScanExpr}
 
 /**
  * Text statistics for training-data curation: token counts, quality
@@ -14,39 +14,46 @@ import graft.functions.Hashing
  */
 object TextAnalysis {
 
-  /** Whitespace token count (0 for blank text, NULL for NULL text).
-    * The explicit NULL branch matters: without it a NULL falls through
-    * the blank test into `size(split(NULL))` = -1 under Spark's default
-    * sizeOfNull, silently diverging from the SQL-oracle spelling
-    * (`CASE WHEN trim(text)='' THEN 0 ELSE len(...)`), which NULL-
-    * propagates — and -1 would poison downstream token budgets. */
+  /** Whitespace token count (0 for blank text, NULL for NULL text) —
+    * the number of maximal non-whitespace runs, equivalent to the
+    * `CASE WHEN trim(text)='' THEN 0 ELSE len(split(trim(text),'\s+'))`
+    * oracle spelling (which NULL-propagates), evaluated by the one-pass
+    * [[graft.functions.TextScanExpr]] instead of a split allocation. */
   def wsTokenCount(c: Column): Column =
-    when(c.isNull, lit(null).cast("int"))
-      .when(trim(c) === "", lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+    TextScanExpr(c).getField("ws_tokens")
 
   /**
    * BPE-ish token count: alphabetic runs, digit runs, and single
    * non-alphanumeric marks each count as one token — a deterministic,
-   * vocabulary-free approximation of subword tokenizers.
+   * vocabulary-free approximation of subword tokenizers. Evaluated by
+   * [[graft.functions.TextScanExpr]] (value-identical to
+   * `regexp_count(c, BpeishPattern)`, which the oracle still spells);
+   * the regex engine was the sf1 board's only exponent-1.0 non-IO cell.
    */
   val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  def bpeishTokenCount(c: Column): Column = regexp_count(c, lit(BpeishPattern))
+  def bpeishTokenCount(c: Column): Column =
+    TextScanExpr(c).getField("bpeish_tokens")
+
+  /** [[alphaRatio]] over an already-computed [[TextScanExpr]] struct. */
+  private def alphaRatioOf(ts: Column): Column =
+    coalesce(
+      ts.getField("n_alpha").cast("double") /
+        nullif(ts.getField("n_chars"), lit(0)).cast("double"),
+      lit(0.0))
+
+  /** [[punctRatio]] over an already-computed [[TextScanExpr]] struct. */
+  private def punctRatioOf(ts: Column): Column =
+    coalesce(
+      ts.getField("n_other").cast("double") /
+        nullif(ts.getField("n_chars"), lit(0)).cast("double"),
+      lit(0.0))
 
   /** Ratio of alphabetic characters to all characters (NULL-safe, 0 for empty). */
-  def alphaRatio(c: Column): Column =
-    coalesce(
-      length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") /
-        nullif(length(c), lit(0)).cast("double"),
-      lit(0.0))
+  def alphaRatio(c: Column): Column = alphaRatioOf(TextScanExpr(c))
 
   /** Ratio of punctuation/symbol characters to all characters. */
-  def punctRatio(c: Column): Column =
-    coalesce(
-      length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") /
-        nullif(length(c), lit(0)).cast("double"),
-      lit(0.0))
+  def punctRatio(c: Column): Column = punctRatioOf(TextScanExpr(c))
 
   /** Small English stopword list used for quality/language scoring. */
   val EnStopwords: Seq[String] =
@@ -191,14 +198,14 @@ object TextAnalysis {
   def withQuality(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(
         col(idCol).as("doc_id"),
-        col(textCol).as("text"),
+        TextScanExpr(col(textCol)).as("ts"),
         Hashing.normalizedWords(col(textCol)).as("w"))
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        wsTokenCount(col("text")).as("n_words"),
-        alphaRatio(col("text")).as("alpha_r"),
-        punctRatio(col("text")).as("punct_r"),
+        col("ts").getField("n_chars").as("n_chars"),
+        col("ts").getField("ws_tokens").as("n_words"),
+        alphaRatioOf(col("ts")).as("alpha_r"),
+        punctRatioOf(col("ts")).as("punct_r"),
         stopwordRatioOf(col("w")).as("stopword_r"))
       .select(
         col("doc_id"), col("n_chars"), col("n_words"),
@@ -221,11 +228,12 @@ object TextAnalysis {
   ): DataFrame = {
     val passthrough = df.columns.map(col).toIndexedSeq
     df.select(passthrough ++ Seq(
-        Hashing.normalizedWords(col(textCol)).as("__gq_w")): _*)
+        Hashing.normalizedWords(col(textCol)).as("__gq_w"),
+        TextScanExpr(col(textCol)).as("__gq_ts")): _*)
       .select(passthrough ++ Seq(
         stopwordRatioOf(col("__gq_w")).as("__gq_stop"),
-        alphaRatio(col(textCol)).as("__gq_alpha"),
-        wsTokenCount(col(textCol)).as("__gq_nw")): _*)
+        alphaRatioOf(col("__gq_ts")).as("__gq_alpha"),
+        col("__gq_ts").getField("ws_tokens").as("__gq_nw")): _*)
       .select(passthrough :+
         qualityFromComponents(col("__gq_stop"), col("__gq_alpha"), col("__gq_nw"))
           .as(qualityCol): _*)

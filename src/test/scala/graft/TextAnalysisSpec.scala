@@ -21,6 +21,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one("hello, world42", TextAnalysis.bpeishTokenCount(col("text"))) == 4)
   }
 
+  test("TextScanExpr matches the regex spellings it replaced, incl. non-ASCII") {
+    // the regex formulations bpeishTokenCount/alphaRatio/punctRatio/
+    // wsTokenCount were defined by, run via expr() so both engines eval
+    val cases = Seq(
+      "café au lait",          // non-ASCII letter splits an alpha run
+      "a\u00A0b",              // NBSP: not Java \s — joins one ws-token, is punct
+      "😀x😀", // supplementary cps count once each
+      "a\u000Bb",              // vertical tab IS Java \s
+      "  tab\tmix 12ab34  ",
+      "", "   ", "!§$%&",
+      "žluťoučký kůň 42")
+    val df = cases.toDF("text")
+    val native = df.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bp"),
+      TextAnalysis.alphaRatio(col("text")).as("ar"),
+      TextAnalysis.punctRatio(col("text")).as("pr"))
+    val regex = df.select(
+      when(col("text").isNull, lit(null).cast("int"))
+        .when(trim(col("text")) === "", lit(0))
+        .otherwise(size(split(trim(col("text")), "\\s+"))).as("ws"),
+      regexp_count(col("text"), lit(TextAnalysis.BpeishPattern)).as("bp"),
+      coalesce(length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+        nullif(length(col("text")), lit(0)).cast("double"), lit(0.0)).as("ar"),
+      coalesce(length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+        nullif(length(col("text")), lit(0)).cast("double"), lit(0.0)).as("pr"))
+    assert(native.collect().toSeq == regex.collect().toSeq)
+    // NULL text: all four NULL-or-zero exactly as before
+    val nrow = Seq(Option.empty[String]).toDF("text").select(
+      TextAnalysis.wsTokenCount(col("text")),
+      TextAnalysis.bpeishTokenCount(col("text")),
+      TextAnalysis.alphaRatio(col("text")),
+      TextAnalysis.punctRatio(col("text"))).head
+    assert(nrow.isNullAt(0) && nrow.isNullAt(1) &&
+      nrow.getDouble(2) == 0.0 && nrow.getDouble(3) == 0.0)
+  }
+
   test("ratios: alpha, punct, stopword") {
     assert(one("ab!?", TextAnalysis.alphaRatio(col("text"))) == 0.5)
     assert(one("ab!?", TextAnalysis.punctRatio(col("text"))) == 0.5)
