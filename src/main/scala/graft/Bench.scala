@@ -76,7 +76,8 @@ object Bench {
     "q_quality_score_inline", // same math, zero-shuffle row-local projection — the plan-shape comparison rides the board (r10)
     "q_tar_shard_roundtrip", // tar-shard sink + readTar roundtrip over the documents table — real file IO both ways (r10)
     "q_bigram_nll",         // interpolated bigram LM: predecessor-carrying explode + 3 broadcast model joins + per-doc regroup (r10)
-    "q_bpe_tokens"          // loadable BPE: regex pre-tokenize + cached per-word merge loop, pure projection (r11)
+    "q_bpe_tokens",         // loadable BPE: regex pre-tokenize + cached per-word merge loop, pure projection (r11)
+    "q_epoch_shuffle"       // deterministic epoch shuffle: one hash shuffle on the shard key + per-shard rank window (r11)
   )
 
   private def jsonStr(s: String): String =

@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
  *  - embeddings: 10 copies, vec_id offset per copy, each copy's vectors
  *    dimension-ROTATED by the copy index — norm and per-dimension
  *    distribution preserved, cross-copy cosine decorrelated, so copies
- *    are not planted duplicates.
+ *    are not planted duplicates. Above `dim` copies rotation alone
+ *    would repeat (copy c ≡ copy c+dim), so copies > 0 additionally
+ *    flip each dimension's sign by a murmur3 hash of (copy, dim) —
+ *    still norm-preserving, decorrelated at any copy count.
  *  - every other table: symlinked at sf0.1 (the scale story under test
  *    is the documents/embeddings operator families).
  *
- * Usage: sbt "runMain graft.DeriveSf1 [outDir]"   (default target/sf1)
+ * Usage: sbt "runMain graft.DeriveSf1 [outDir] [copies]"
+ * (defaults target/sf1, 10; copies=100 builds the sf10 decade)
  */
 object DeriveSf1 {
   val CopyIdOffset: Long = 10_000_000L
@@ -51,16 +55,22 @@ object DeriveSf1 {
       .withColumn("vec_id", col("vec_id") + col("copy") * lit(CopyIdOffset))
       .withColumn(
         "embedding",
-        // rotate left by the copy index: element j of the output is input
-        // element (j + copy) mod dim
+        // rotate left by the copy index (element j of the output is input
+        // element (j + copy) mod dim); for copies past 0, also flip signs
+        // by hash(copy, j) parity so the scheme stays decorrelated when
+        // copies exceeds dim
         transform(sequence(lit(0), dim - 1), j =>
-          element_at(col("embedding"), ((j + col("copy")) % dim) + 1)))
+          when(col("copy") > 0 && pmod(hash(col("copy"), j), lit(2)) === 1,
+            -element_at(col("embedding"), ((j + col("copy")) % dim) + 1))
+            .otherwise(
+              element_at(col("embedding"), ((j + col("copy")) % dim) + 1))))
       .drop("copy")
       .select("vec_id", "embedding", "label")
   }
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/sf1")
+    val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SRC_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder("graft-derive-sf1")
       .config("spark.ui.enabled", "false")
@@ -70,11 +80,11 @@ object DeriveSf1 {
     val out = new java.io.File(outDir)
     out.mkdirs()
 
-    deriveDocuments(spark, srcDir, 10)
+    deriveDocuments(spark, srcDir, copies)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    deriveEmbeddings(spark, srcDir, 10)
-      .repartition(8)
+    deriveEmbeddings(spark, srcDir, copies)
+      .repartition(math.max(8, copies * 4 / 5))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     val others = Seq("region", "nation", "customer", "supplier", "part",

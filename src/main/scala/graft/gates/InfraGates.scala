@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Skew
+import graft.operators.{Skew, TrainingOrder}
 import graft.sources.Bucketing
 import graft.streaming.Events
 
@@ -80,6 +80,15 @@ object InfraGates {
           Events.readEventsParquet(s, s"$dir/events.parquet"),
           Seq("user_id", "event_type"))
         .select("user_id", "event_type")
+    },
+    // §2.4 row 86 — deterministic epoch shuffle: the (shard, shard_pos)
+    // permutation is a pure function of (seed, epoch, id), so the oracle
+    // re-derives every slot from the portable 60-bit MD5 key
+    "q_epoch_shuffle" -> { (s, dir) =>
+      TrainingOrder.assignShards(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+          "doc_id", numShards = 8, epoch = 1)
+        .select("doc_id", "shard", "shard_pos")
     }
   )
 
@@ -99,6 +108,16 @@ object InfraGates {
       """SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_dedup_stream" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_epoch_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |         ${LlmGates.h60("'graft:1:' || doc_id")} AS key
+         |  FROM documents)
+         |SELECT doc_id,
+         |       key % 8 AS shard,
+         |       row_number() OVER (PARTITION BY key % 8
+         |                          ORDER BY key, doc_id) AS shard_pos
+         |FROM k""".stripMargin
   )
 }

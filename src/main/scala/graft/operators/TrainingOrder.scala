@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/**
+ * Deterministic epoch shuffling for training delivery: every epoch is a
+ * reproducible pseudo-random permutation of the corpus, expressed as a
+ * (shard, shard_pos) assignment rather than a global sort — the form a
+ * multi-reader trainer actually consumes (reader r of N takes shards
+ * r, r+N, …, reads each in shard_pos order), and the form that scales
+ * (one hash shuffle on the shard key; a global ORDER BY at 100 TB is
+ * an Exchange-SinglePartition-shaped anti-pattern this module exists
+ * to avoid — see [[Sampling.binByTokenBudget]]'s hazard note for the
+ * same stance).
+ *
+ * Determinism contract (the training-reproducibility requirement): the
+ * permutation is a pure function of (seed, epoch, id) via the
+ * engine-portable 60-bit MD5 primitive the sampling family uses — the
+ * same corpus always shuffles the same way at any parallelism, rerun
+ * or resubmission, and each epoch's permutation is independent of
+ * every other's. Adding documents never reorders existing (shard,
+ * relative-order) relationships within an epoch: a new doc splices in
+ * where its hash lands, everything else keeps its relative order (the
+ * property incremental corpus refreshes need).
+ */
+object TrainingOrder {
+
+  /** The epoch-seeded 60-bit order key: md5_long60(seed:epoch:id).
+    * Uniform on [0, 2^60); engine-portable (DuckDB re-derives it
+    * byte-for-byte, see the q_epoch_shuffle oracle). */
+  def epochKey(id: Column, epoch: Int, seed: String = "graft"): Column =
+    Hashing.md5Long60(
+      concat(lit(seed), lit(":"), lit(epoch.toString), lit(":"), id.cast("string")))
+
+  /**
+   * Assign every row its epoch-shuffled delivery slot: `shardCol` =
+   * key mod `numShards` (uniform, balanced in expectation) and
+   * `posCol` = the row's 1-based rank within its shard by (key, id) —
+   * id breaks hash collisions, so the permutation is total and
+   * deterministic. One row in, one row out; (shard, pos) pairs are
+   * unique.
+   *
+   * Scale shape: ONE hash shuffle on the shard key feeds a per-shard
+   * rank window — shards are numerous and balanced by construction, so
+   * there is no single-partition hazard and no global sort anywhere in
+   * the plan. Compose with [[graft.sources.Archives.writeTarShards]]
+   * (repartition by `shardCol`, sort within partitions by `posCol`) to
+   * deliver webdataset-style shards in shuffled order.
+   */
+  def assignShards(
+    df: DataFrame,
+    idCol: String,
+    numShards: Int,
+    epoch: Int,
+    seed: String = "graft",
+    shardCol: String = "shard",
+    posCol: String = "shard_pos"
+  ): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    Cols.requireAbsent(df, shardCol, posCol, "__to_key")
+    val key = epochKey(col(idCol), epoch, seed)
+    df.withColumn("__to_key", key)
+      .withColumn(shardCol, pmod(col("__to_key"), lit(numShards.toLong)))
+      .withColumn(posCol,
+        row_number().over(
+          Window.partitionBy(col(shardCol))
+            .orderBy(col("__to_key"), col(idCol))).cast("long"))
+      .drop("__to_key")
+  }
+}
