@@ -77,7 +77,11 @@ object Bench {
     "q_tar_shard_roundtrip", // tar-shard sink + readTar roundtrip over the documents table — real file IO both ways (r10)
     "q_bigram_nll",         // interpolated bigram LM: predecessor-carrying explode + 3 broadcast model joins + per-doc regroup (r10)
     "q_bpe_tokens",         // loadable BPE: regex pre-tokenize + cached per-word merge loop, pure projection (r11)
-    "q_epoch_shuffle"       // deterministic epoch shuffle: one hash shuffle on the shard key + per-shard rank window (r11)
+    "q_epoch_shuffle",      // deterministic epoch shuffle: one hash shuffle on the shard key + per-shard rank window (r11)
+    "q_asof_join",          // as-of join via union + running-last window: one shuffle, zero join nodes (r11)
+    "q_range_join",         // range join via interval binning + equi-join, no nested loop (r11)
+    "q_overlap_join",       // interval-overlap join: binned both sides + first-shared-bin dedup (r11)
+    "q_global_index"        // dense global index: range shuffle + zipWithIndex, no single-partition sort (r11)
   )
 
   private def jsonStr(s: String): String =

@@ -68,6 +68,25 @@ object DeriveSf1 {
       .select("vec_id", "embedding", "label")
   }
 
+  /** 10× events: copy i offsets event_id by i·10⁷ and user_id by i·10⁶ —
+    * new user COHORTS, not denser per-user streams, so per-key history
+    * length (what the as-of window walks) is preserved and growth adds
+    * parallel keys, the shape real event-volume growth has. Timestamps
+    * are unchanged: interval density per wall-clock window grows 10×,
+    * which is exactly the stress a range join should absorb via its bin
+    * key staying balanced. */
+  def deriveEvents(spark: SparkSession, srcDir: String, copies: Int): DataFrame = {
+    // normalized read (nanos-long / NTZ → TimestampType) so the derived
+    // table is uniform regardless of the source's physical ts encoding
+    val base = graft.streaming.Events.readEventsParquet(spark, s"$srcDir/events.parquet")
+    base
+      .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+      .withColumn("event_id", col("event_id") + col("copy") * lit(CopyIdOffset))
+      .withColumn("user_id", col("user_id") + col("copy") * lit(1_000_000L))
+      .drop("copy")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/sf1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -87,8 +106,12 @@ object DeriveSf1 {
       .repartition(math.max(8, copies * 4 / 5))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    deriveEvents(spark, srcDir, copies)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events")
+      "orders", "lineitem")
     for (t <- others) {
       val link = java.nio.file.Paths.get(outDir, s"$t.parquet")
       java.nio.file.Files.deleteIfExists(link)

@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Skew, TrainingOrder}
+import graft.operators.{Joins, Skew, TrainingOrder}
 import graft.sources.Bucketing
 import graft.streaming.Events
 
@@ -89,6 +89,58 @@ object InfraGates {
           s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
           "doc_id", numShards = 8, epoch = 1)
         .select("doc_id", "shard", "shard_pos")
+    },
+    // §2.4 row 87 — as-of join: each purchase picks the user's most
+    // recent at-or-before click via the union+running-last spelling
+    // (one shuffle, zero join nodes); the oracle is the DEFINITIONAL
+    // lateral-argmax spelling, a completely different algorithm
+    "q_asof_join" -> { (s, dir) =>
+      val ev = Events.readEventsParquet(s, s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      Joins.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        tieBreak = Some("click_id"))
+    },
+    // §2.4 row 88 — range join: every event inside any 10-minute
+    // error-incident window, via interval binning + equi-join; the
+    // oracle is the definitional inequality join
+    "q_range_join" -> { (s, dir) =>
+      val ev = Events.readEventsParquet(s, s"$dir/events.parquet")
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("interval_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL '10' MINUTE")).as("end_ts"))
+      Joins.rangeJoin(
+          ev.select("event_id", "user_id", "ts"), "ts",
+          windows, "start_ts", "end_ts",
+          binWidth = 10L * 60 * 1000 * 1000) // 10 min of micros = interval length
+        .select("event_id", "user_id", "interval_id", "start_ts")
+    },
+    // §2.4 row 90 — interval-overlap join: purchase attention windows ×
+    // error-incident windows, binned with first-shared-bin dedup; the
+    // oracle is the definitional inequality join
+    "q_overlap_join" -> { (s, dir) =>
+      val ev = Events.readEventsParquet(s, s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL '5' MINUTE")).as("p_end"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts").as("e_start"),
+          (col("ts") + expr("INTERVAL '10' MINUTE")).as("e_end"))
+      Joins.overlapJoin(purchases, "p_start", "p_end",
+          errors, "e_start", "e_end", binWidth = 5L * 60 * 1000 * 1000)
+        .select("p_id", "p_start", "e_id", "e_start")
+    },
+    // §2.4 row 89 — dense global index without a single-partition sort:
+    // range shuffle + zipWithIndex ≡ row_number() OVER (ORDER BY …)
+    "q_global_index" -> { (s, dir) =>
+      TrainingOrder.withGlobalIndex(
+          Events.readEventsParquet(s, s"$dir/events.parquet")
+            .select("event_id", "ts"),
+          Seq("ts", "event_id"))
+        .select("event_id", "global_idx")
     }
   )
 
@@ -118,6 +170,39 @@ object InfraGates {
          |       key % 8 AS shard,
          |       row_number() OVER (PARTITION BY key % 8
          |                          ORDER BY key, doc_id) AS shard_pos
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id, ts AS click_ts FROM events r
+        |  WHERE r.event_type = 'click' AND r.user_id = l.user_id
+        |    AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true""".stripMargin,
+    "q_range_join" ->
+      """WITH w AS (
+        |  SELECT event_id AS interval_id, ts AS start_ts,
+        |         ts + INTERVAL 10 MINUTE AS end_ts
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, w.interval_id, w.start_ts
+        |FROM events e JOIN w
+        |  ON e.ts >= w.start_ts AND e.ts < w.end_ts""".stripMargin,
+    "q_overlap_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, ts AS p_start,
+        |         ts + INTERVAL 5 MINUTE AS p_end
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT event_id AS e_id, ts AS e_start,
+        |         ts + INTERVAL 10 MINUTE AS e_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT p.p_id, p.p_start, e.e_id, e.e_start
+        |FROM p JOIN e
+        |  ON greatest(p.p_start, e.e_start) < least(p.p_end, e.e_end)""".stripMargin,
+    "q_global_index" ->
+      """SELECT event_id,
+        |       row_number() OVER (ORDER BY ts, event_id) AS global_idx
+        |FROM events""".stripMargin
   )
 }

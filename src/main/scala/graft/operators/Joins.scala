@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/**
+ * Temporal joins Spark's built-in operators don't express directly:
+ * as-of join (each left row picks the nearest right row at-or-before /
+ * at-or-after its timestamp) and range join (points matched to the
+ * intervals containing them).
+ *
+ * Both are composed from existing relational operators — no custom
+ * physical plan needed, because the scalable SPELLING of each is itself
+ * relational:
+ *
+ *  - naive as-of  = inequality join + per-left-row argmax → Spark plans
+ *    an O(n·m) BroadcastNestedLoopJoin. The scalable spelling is
+ *    union + running-`last` window: ONE hash shuffle on the equality
+ *    keys, one sort, zero join nodes (the Flink temporal-join /
+ *    pandas merge_asof shape, re-expressed relationally).
+ *  - naive range join = inequality theta-join, same nested-loop hazard.
+ *    The scalable spelling is bin-and-equi-join: intervals explode to
+ *    the fixed-width bins they cover, points map to exactly one bin,
+ *    and the match becomes a plain shuffled equi-join + residual
+ *    filter that AQE can skew-split like any other.
+ */
+object Joins {
+
+  /** Long ordering key: timestamps key by epoch micros, numerics by
+    * their own (integral) value. */
+  private def keyOf(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case TimestampType    => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case _                => c.cast(LongType)
+    }
+
+  /** Exact floor(x / w) at any long magnitude: Column `/` is double
+    * division (loses precision past 2^53), but pmod is non-negative so
+    * `x - pmod(x, w)` is exactly divisible and the decimal division is
+    * exact, including for negative keys. */
+  private def floorDivExact(x: Column, w: Long): Column =
+    ((x - pmod(x, lit(w))).cast("decimal(38,0)") / lit(w)).cast(LongType)
+
+  /**
+   * As-of join: for every `left` row, the single nearest `right` row
+   * sharing the `on` equality keys with `rightTs <= leftTs`
+   * (`direction = "backward"`, the default) or `rightTs >= leftTs`
+   * (`"forward"`). Output columns are `left`'s plus `right`'s non-key
+   * payload (null-extended when no right row qualifies); `joinType`
+   * `"left"` keeps unmatched left rows, `"inner"` drops them.
+   *
+   * Physical shape — the reason this exists: the definitional spelling
+   * (inequality join + argmax) gives Spark a nested-loop join. Here
+   * both sides UNION on (keys, ts, side-tag), one window per key runs
+   * `last(rightPayload, ignoreNulls)` over rows-unbounded-preceding in
+   * (ts, side) order, and left rows read off the most recent right
+   * payload in O(1) per row. Total cost: one hash shuffle on `on` +
+   * one sort — the same bill as a plain equi-join, at any corpus size.
+   * (Hot equality keys shuffle to one task like any keyed window; salt
+   * upstream or widen the key if a single key dominates — see [[Skew]].)
+   *
+   * Right payload rides in ONE struct so every output column comes from
+   * the SAME right row even when payload fields are null (per-column
+   * `last(ignoreNulls)` would tear rows apart).
+   *
+   * Determinism: when several right rows tie on (keys, rightTs), the
+   * winner is the greatest `tieBreak` for backward / least for forward;
+   * pass a unique right column (an id) or guarantee (keys, rightTs)
+   * unique. `tolerance` (a positive interval/long Column matching the
+   * ts type) discards matches farther than that from `leftTs`.
+   */
+  def asofJoin(
+    left: DataFrame,
+    right: DataFrame,
+    on: Seq[String],
+    leftTs: String,
+    rightTs: String,
+    direction: String = "backward",
+    tolerance: Option[Column] = None,
+    joinType: String = "left",
+    tieBreak: Option[String] = None
+  ): DataFrame = {
+    require(on.nonEmpty, "asofJoin needs at least one equality key")
+    require(Set("backward", "forward").contains(direction),
+      s"direction must be backward|forward: $direction")
+    require(Set("left", "inner").contains(joinType),
+      s"joinType must be left|inner: $joinType")
+    val rPayload = right.columns.filterNot(on.contains).toSeq
+    require(rPayload.contains(rightTs),
+      s"rightTs '$rightTs' must be a non-key column of the right side")
+    tieBreak.foreach(tb => require(rPayload.contains(tb),
+      s"tieBreak '$tb' must be a non-key column of the right side"))
+    val lCols = left.columns.toSeq
+    val overlap = rPayload.filter(c => lCols.exists(_.equalsIgnoreCase(c)))
+    require(overlap.isEmpty,
+      s"right payload column(s) ${overlap.mkString(", ")} collide with left " +
+        "columns — rename one side before joining")
+    Cols.requireAbsent(left, "__ts", "__side", "__r", "__m")
+
+    val backward = direction == "backward"
+    // side tag 0 = right, 1 = left: at equal ts the right row sorts first
+    // in traversal order, so the comparison is INCLUSIVE (<= / >=).
+    val lSide = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(
+        structType(right, rPayload)))
+    val rSide = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__r", struct(rPayload.map(col): _*))
+      .select((on.map(col) ++ Seq(col("__ts"), col("__side"), col("__r")) ++
+        lCols.filterNot(on.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val unioned = lSide.select(
+      (on.map(col) ++ Seq(col("__ts"), col("__side"), col("__r")) ++
+        lCols.filterNot(on.contains).map(col)): _*)
+      .unionByName(rSide)
+
+    // traversal order: backward walks ts ascending (last-seen right row =
+    // most recent at-or-before); forward walks descending (= nearest
+    // at-or-after). tieBreak ascending/descending so the documented
+    // winner is the last traversed among ts ties.
+    val tbCols = tieBreak.toSeq.map(tb =>
+      if (backward) col("__r")(tb).asc_nulls_first else col("__r")(tb).desc_nulls_first)
+    val ord =
+      (if (backward) Seq(col("__ts").asc, col("__side").asc)
+       else Seq(col("__ts").desc, col("__side").asc)) ++ tbCols
+    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withMatch = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val tolFiltered = tolerance match {
+      case Some(tol) =>
+        val near =
+          if (backward) col("__m")(rightTs) >= col("__ts") - tol
+          else col("__m")(rightTs) <= col("__ts") + tol
+        withMatch.withColumn("__m", when(near, col("__m")))
+      case None => withMatch
+    }
+    val matched =
+      if (joinType == "inner") tolFiltered.filter(col("__m").isNotNull)
+      else tolFiltered
+
+    matched.select(
+      (lCols.map(col) ++ rPayload.map(c => col("__m")(c).as(c))): _*)
+  }
+
+  /** StructType over `cols` of `df`, fields nullable (a null-extended
+    * match must be able to carry them). */
+  private def structType(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(
+        c, df.schema(c).dataType, nullable = true)))
+
+  /**
+   * Range (point-in-interval) join: every `points` row paired with every
+   * `intervals` row whose half-open [startCol, endCol) contains
+   * `pointCol`. Inner join; output = point columns ++ interval columns.
+   *
+   * Physical shape: each interval explodes to the `binWidth`-wide bins
+   * it covers (a `sequence` + explode — bounded by `maxBinsPerInterval`,
+   * enforced with `raise_error` so a mis-sized width fails loudly
+   * instead of exploding a year-long interval into 10⁶ rows), each
+   * point maps to exactly ONE bin, and the match is a plain shuffled
+   * equi-join on the bin plus a residual containment filter. No
+   * nested-loop join at any size; a point meets an interval through at
+   * most one shared bin, so no duplicate pairs and no post-join dedup.
+   *
+   * `binWidth` is in epoch MICROSECONDS for timestamp columns, in the
+   * column's own units for integral columns. Pick it near the typical
+   * interval length: per-interval fan-out is len/width + 1 rows, and the
+   * join key space (time bins) stays balanced for AQE to split if a hot
+   * bin emerges.
+   */
+  def rangeJoin(
+    points: DataFrame,
+    pointCol: String,
+    intervals: DataFrame,
+    startCol: String,
+    endCol: String,
+    binWidth: Long,
+    maxBinsPerInterval: Int = 4096
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val pCols = points.columns.toSeq
+    val iCols = intervals.columns.toSeq
+    val overlap = iCols.filter(c => pCols.exists(_.equalsIgnoreCase(c)))
+    require(overlap.isEmpty,
+      s"interval column(s) ${overlap.mkString(", ")} collide with point " +
+        "columns — rename one side before joining")
+    Cols.requireAbsent(points, "__bin")
+    Cols.requireAbsent(intervals, "__bin", "__b0", "__b1")
+
+    val pDt = points.schema(pointCol).dataType
+    val sDt = intervals.schema(startCol).dataType
+    val eDt = intervals.schema(endCol).dataType
+
+    val p = points.withColumn("__bin",
+      floorDivExact(keyOf(col(pointCol), pDt), binWidth))
+    val iv = intervals
+      .withColumn("__b0", floorDivExact(keyOf(col(startCol), sDt), binWidth))
+      // end is EXCLUSIVE: the last covered bin holds end − 1 unit
+      .withColumn("__b1", floorDivExact(keyOf(col(endCol), eDt) - 1, binWidth))
+      .withColumn("__b1",
+        when(col("__b1") - col("__b0") >= maxBinsPerInterval, raise_error(concat(
+          lit(s"rangeJoin: an interval spans more than $maxBinsPerInterval bins " +
+            s"of width $binWidth — raise binWidth or maxBinsPerInterval (interval start "),
+          col(startCol).cast("string"), lit(")"))))
+          .otherwise(col("__b1")))
+      .filter(col("__b1") >= col("__b0")) // empty/degenerate intervals match nothing
+      .withColumn("__bin", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__b0", "__b1")
+
+    p.join(iv, "__bin")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .select((pCols ++ iCols).map(col): _*)
+  }
+
+  /**
+   * Interval-overlap join: every (left, right) interval pair whose
+   * half-open spans intersect in a NON-EMPTY range —
+   * `greatest(start) < least(end)` (that spelling, not the textbook
+   * `aS < bE && bS < aE`, so degenerate [x, x) intervals match nothing).
+   *
+   * Same bin machinery as [[rangeJoin]], plus the standard first-shared-
+   * bin dedup: a pair can meet in several bins, so only the instance in
+   * bin `floor(max(starts) / width)` survives — each pair emitted
+   * exactly once with no distinct/groupBy pass.
+   */
+  def overlapJoin(
+    left: DataFrame,
+    leftStart: String,
+    leftEnd: String,
+    right: DataFrame,
+    rightStart: String,
+    rightEnd: String,
+    binWidth: Long,
+    maxBinsPerInterval: Int = 4096
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val overlap = rCols.filter(c => lCols.exists(_.equalsIgnoreCase(c)))
+    require(overlap.isEmpty,
+      s"right column(s) ${overlap.mkString(", ")} collide with left " +
+        "columns — rename one side before joining")
+    Cols.requireAbsent(left, "__bin", "__b0", "__b1", "__ks", "__ke")
+    Cols.requireAbsent(right, "__bin", "__b0", "__b1", "__ks", "__ke")
+
+    def binned(df: DataFrame, sc: String, ec: String): DataFrame = {
+      df.withColumn("__ks", keyOf(col(sc), df.schema(sc).dataType))
+        .withColumn("__ke", keyOf(col(ec), df.schema(ec).dataType))
+        .withColumn("__b0", floorDivExact(col("__ks"), binWidth))
+        .withColumn("__b1", floorDivExact(col("__ke") - 1, binWidth))
+        .withColumn("__b1",
+          when(col("__b1") - col("__b0") >= maxBinsPerInterval, raise_error(concat(
+            lit(s"overlapJoin: an interval spans more than $maxBinsPerInterval " +
+              s"bins of width $binWidth — raise binWidth or maxBinsPerInterval " +
+              "(interval start "),
+            col(sc).cast("string"), lit(")"))))
+            .otherwise(col("__b1")))
+        .filter(col("__b1") >= col("__b0")) // empty intervals match nothing
+        .withColumn("__bin", explode(sequence(col("__b0"), col("__b1"))))
+        .drop("__b0", "__b1")
+    }
+
+    val l = binned(left, leftStart, leftEnd)
+      .withColumnRenamed("__ks", "__lks").withColumnRenamed("__ke", "__lke")
+    val r = binned(right, rightStart, rightEnd)
+      .withColumnRenamed("__ks", "__rks").withColumnRenamed("__ke", "__rke")
+
+    l.join(r, "__bin")
+      // non-empty intersection, compared in shared key space
+      .filter(greatest(col("__lks"), col("__rks")) < least(col("__lke"), col("__rke")))
+      // first shared bin: exactly one surviving instance per pair
+      .filter(col("__bin") === floorDivExact(greatest(col("__lks"), col("__rks")), binWidth))
+      .select((lCols ++ rCols).map(col): _*)
+  }
+}

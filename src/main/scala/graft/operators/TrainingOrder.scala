@@ -70,4 +70,45 @@ object TrainingOrder {
             .orderBy(col("__to_key"), col(idCol))).cast("long"))
       .drop("__to_key")
   }
+
+  /**
+   * Dense 1-based global index in `orderCols` order — the scalable
+   * replacement for `row_number() OVER (ORDER BY …)`, whose empty
+   * `Window.orderBy` plans an Exchange-SinglePartition (one task sorts
+   * the corpus; the anti-pattern [[assignShards]]' scaladoc names).
+   *
+   * Shape: ONE range shuffle (`repartitionByRange` on `orderCols` —
+   * partition i's keys all precede partition i+1's) + in-partition
+   * sort, then `zipWithIndex` numbers rows with per-partition offsets
+   * from partition sizes. zipWithIndex's two jobs share the sorted
+   * lineage, so the shuffle is paid once (stage reuse) — strictly
+   * cheaper than any dataframe spelling, which needs either a second
+   * full shuffle (window over partition id) or a corpus-sized persist.
+   * This is the rare case the brief's "RDD only for genuine
+   * per-partition imperative logic" carve-out describes: a contiguous
+   * cross-partition counter has no relational expression.
+   *
+   * The index is a total order extending `orderCols`: ties land in
+   * adjacent slots in a deterministic-but-unspecified order, so pass a
+   * key set that is UNIQUE (append an id column) whenever exact slot
+   * assignments must be reproducible.
+   */
+  def withGlobalIndex(
+    df: DataFrame,
+    orderCols: Seq[String],
+    idxCol: String = "global_idx",
+    numPartitions: Option[Int] = None
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "withGlobalIndex needs at least one order column")
+    Cols.requireAbsent(df, idxCol)
+    val n = numPartitions.getOrElse(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val sorted = df
+      .repartitionByRange(n, orderCols.map(c => col(c).asc): _*)
+      .sortWithinPartitions(orderCols.map(c => col(c).asc): _*)
+    val schema = sorted.schema.add(idxCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
 }

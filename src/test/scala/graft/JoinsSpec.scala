@@ -1,0 +1,233 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.functions._
+import graft.operators.{Joins, TrainingOrder}
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** trades: the left side. quotes: the right side (id, price). */
+  private def trades: DataFrame = Seq(
+    (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+    (2L, "A", ts("2024-01-01 10:00:10"), 101.0),
+    (3L, "B", ts("2024-01-01 10:00:03"), 50.0),
+    (4L, "C", ts("2024-01-01 10:00:07"), 77.0) // no quotes for C at all
+  ).toDF("trade_id", "sym", "t_ts", "t_price")
+
+  private def quotes: DataFrame = Seq(
+    (10L, "A", ts("2024-01-01 10:00:01"), 99.5),
+    (11L, "A", ts("2024-01-01 10:00:05"), 99.9), // ties trade 1 exactly (inclusive)
+    (12L, "A", ts("2024-01-01 10:00:09"), 100.4),
+    (13L, "B", ts("2024-01-01 10:00:04"), 49.9)  // AFTER trade 3
+  ).toDF("quote_id", "sym", "q_ts", "q_price")
+
+  test("asofJoin backward: most recent quote at-or-before each trade, left join") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts",
+        tieBreak = Some("quote_id"))
+      .select("trade_id", "quote_id", "q_price")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1)
+    assert(out === Seq(
+      (1L, Some(11L), Some(99.9)), // equal ts is inclusive
+      (2L, Some(12L), Some(100.4)),
+      (3L, None, None),            // only later quotes for B
+      (4L, None, None)))           // no quotes for C
+  }
+
+  test("asofJoin forward: nearest quote at-or-after; inner drops unmatched") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts",
+        direction = "forward", joinType = "inner", tieBreak = Some("quote_id"))
+      .select("trade_id", "quote_id").as[(Long, Long)].collect().sortBy(_._1)
+    // trade 1 ties quote 11 (inclusive); trade 2 (10:00:10) has no later
+    // quote (12 is at :09) and drops; trade 3 gets B's later quote 13
+    assert(out === Seq((1L, 11L), (3L, 13L)))
+  }
+
+  test("asofJoin tolerance: matches farther than the tolerance null out") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts",
+        tolerance = Some(expr("INTERVAL '1' SECOND")), tieBreak = Some("quote_id"))
+      .select("trade_id", "quote_id").as[(Long, Option[Long])].collect().sortBy(_._1)
+    // trade 1 ties quote 11 at 0s; trade 2 is 1s after quote 12 (kept);
+    // everything else has no within-1s quote
+    assert(out === Seq((1L, Some(11L)), (2L, Some(12L)), (3L, None), (4L, None)))
+  }
+
+  test("asofJoin ties on rightTs: greatest tieBreak wins backward, least forward") {
+    val l = Seq((1L, "A", ts("2024-01-01 10:00:10"))).toDF("lid", "k", "lts")
+    val r = Seq(
+      (20L, "A", ts("2024-01-01 10:00:05")),
+      (21L, "A", ts("2024-01-01 10:00:05"))).toDF("rid", "k", "rts")
+    val back = Joins.asofJoin(l, r, Seq("k"), "lts", "rts", tieBreak = Some("rid"))
+      .select("rid").as[Long].head()
+    assert(back === 21L)
+    val l2 = Seq((1L, "A", ts("2024-01-01 10:00:01"))).toDF("lid", "k", "lts")
+    val fwd = Joins.asofJoin(l2, r, Seq("k"), "lts", "rts",
+        direction = "forward", tieBreak = Some("rid"))
+      .select("rid").as[Long].head()
+    assert(fwd === 20L)
+  }
+
+  test("asofJoin: null payload fields do not tear the matched row apart") {
+    // quote 31 is nearest and has a NULL price; per-column last(ignoreNulls)
+    // would reach back to quote 30's price — the struct must not
+    val l = Seq((1L, "A", ts("2024-01-01 10:00:10"))).toDF("lid", "k", "lts")
+    val r = Seq(
+      (30L, "A", ts("2024-01-01 10:00:01"), Some(9.9)),
+      (31L, "A", ts("2024-01-01 10:00:05"), Option.empty[Double]))
+      .toDF("rid", "k", "rts", "rprice")
+    val out = Joins.asofJoin(l, r, Seq("k"), "lts", "rts", tieBreak = Some("rid"))
+      .select("rid", "rprice").as[(Long, Option[Double])].head()
+    assert(out === ((31L, None)))
+  }
+
+  test("asofJoin plan: one hash shuffle on the keys, zero join nodes") {
+    val out = Joins.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of spelling must not plan a join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 1, s"expected exactly one hash exchange:\n$plan")
+  }
+
+  test("asofJoin rejects colliding payload names and bad args") {
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(trades, quotes.withColumnRenamed("q_price", "t_price"),
+        Seq("sym"), "t_ts", "q_ts")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(trades, quotes, Seq.empty, "t_ts", "q_ts")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.asofJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts", direction = "nearest")
+    }
+  }
+
+  // ---- rangeJoin ----
+
+  private def points: DataFrame = Seq(
+    (1L, 5L), (2L, 10L), (3L, 17L), (4L, 100L)
+  ).toDF("pid", "x")
+
+  private def intervals: DataFrame = Seq(
+    (100L, 0L, 10L),   // [0,10): catches x=5
+    (101L, 5L, 18L),   // [5,18): catches 5, 10, 17
+    (102L, 17L, 17L),  // empty interval: catches nothing
+    (103L, 90L, 101L)  // catches 100
+  ).toDF("iid", "s", "e")
+
+  test("rangeJoin: half-open containment, exact pairs, no duplicates") {
+    val out = Joins.rangeJoin(points, "x", intervals, "s", "e", binWidth = 4)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    assert(out === Seq((1L, 100L), (1L, 101L), (2L, 101L), (3L, 101L), (4L, 103L)))
+  }
+
+  test("rangeJoin agrees with the definitional cross-filter at several widths") {
+    val expected = points.join(intervals)
+      .filter(col("x") >= col("s") && col("x") < col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    for (w <- Seq(1L, 3L, 7L, 1000L)) {
+      val got = Joins.rangeJoin(points, "x", intervals, "s", "e", binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted
+      assert(got === expected, s"binWidth=$w")
+    }
+  }
+
+  test("rangeJoin on timestamps matches the cross-filter") {
+    val p = trades.select(col("trade_id"), col("t_ts"))
+    val iv = quotes.select(col("quote_id"), col("q_ts").as("w_start"),
+      (col("q_ts") + expr("INTERVAL '4' SECOND")).as("w_end"))
+    val expected = p.join(iv)
+      .filter(col("t_ts") >= col("w_start") && col("t_ts") < col("w_end"))
+      .select("trade_id", "quote_id").as[(Long, Long)].collect().sorted
+    val got = Joins.rangeJoin(p, "t_ts", iv, "w_start", "w_end",
+        binWidth = 2L * 1000 * 1000) // 2s bins, in micros
+      .select("trade_id", "quote_id").as[(Long, Long)].collect().sorted
+    assert(got === expected && got.nonEmpty)
+  }
+
+  test("rangeJoin plan: shuffled equi-join, no nested-loop join") {
+    val out = Joins.rangeJoin(points, "x", intervals, "s", "e", binWidth = 4)
+    val nested = out.queryExecution.executedPlan.collect {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(nested.isEmpty, "bin spelling must not plan a nested-loop join")
+  }
+
+  test("rangeJoin: an interval wider than the bin cap fails loudly") {
+    val huge = Seq((1L, 0L, 10000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      Joins.rangeJoin(points, "x", huge, "s", "e",
+        binWidth = 1, maxBinsPerInterval = 64).collect()
+    }
+    assert(ex.getMessage.contains("rangeJoin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
+  }
+
+  // ---- overlapJoin ----
+
+  test("overlapJoin: exactly the overlapping pairs, once each, empty intervals never") {
+    val l = Seq(
+      (1L, 0L, 10L),   // overlaps 100, 101
+      (2L, 9L, 12L),   // overlaps 100 (at 9), 101
+      (3L, 20L, 25L),  // overlaps nothing
+      (4L, 30L, 30L)   // empty: overlaps nothing, even inside 102
+    ).toDF("lid", "ls", "le")
+    val r = Seq(
+      (100L, 5L, 10L),
+      (101L, 8L, 18L),
+      (102L, 28L, 40L)
+    ).toDF("rid", "rs", "re")
+    val expected = l.join(r)
+      .filter(greatest(col("ls"), col("rs")) < least(col("le"), col("re")))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted
+    assert(expected === Seq((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L)))
+    for (w <- Seq(1L, 4L, 100L)) {
+      val got = Joins.overlapJoin(l, "ls", "le", r, "rs", "re", binWidth = w)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted
+      assert(got === expected, s"binWidth=$w")
+    }
+  }
+
+  test("overlapJoin on timestamps: pair count and values match the cross-filter") {
+    val p = trades.select(col("trade_id"), col("t_ts").as("p_s"),
+      (col("t_ts") + expr("INTERVAL '3' SECOND")).as("p_e"))
+    val q = quotes.select(col("quote_id"), col("q_ts").as("q_s"),
+      (col("q_ts") + expr("INTERVAL '2' SECOND")).as("q_e"))
+    val expected = p.join(q)
+      .filter(greatest(col("p_s"), col("q_s")) < least(col("p_e"), col("q_e")))
+      .select("trade_id", "quote_id").as[(Long, Long)].collect().sorted
+    val got = Joins.overlapJoin(p, "p_s", "p_e", q, "q_s", "q_e",
+        binWidth = 2L * 1000 * 1000)
+      .select("trade_id", "quote_id").as[(Long, Long)].collect().sorted
+    assert(got === expected && got.nonEmpty)
+  }
+
+  // ---- withGlobalIndex ----
+
+  test("withGlobalIndex equals row_number over the total order") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("k", pmod(col("id") * 2654435761L, lit(1000)))
+    val got = TrainingOrder.withGlobalIndex(df, Seq("k", "id"), numPartitions = Some(7))
+      .select("id", "global_idx").as[(Long, Long)].collect().toMap
+    val expected = df.select(col("id"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("withGlobalIndex: empty input, single row, and name guard") {
+    val empty = spark.range(0).toDF("id")
+    assert(TrainingOrder.withGlobalIndex(empty, Seq("id")).count() === 0)
+    val one = TrainingOrder.withGlobalIndex(spark.range(1).toDF("id"), Seq("id"))
+      .select("global_idx").as[Long].collect()
+    assert(one === Seq(1L))
+    intercept[IllegalArgumentException] {
+      TrainingOrder.withGlobalIndex(
+        spark.range(3).toDF("global_idx"), Seq("global_idx"))
+    }
+  }
+}
