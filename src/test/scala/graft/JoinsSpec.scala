@@ -219,6 +219,71 @@ class JoinsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("asofJoin matches brute-force argmax on randomized inputs (ties forced)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      // tiny key/ts domains force equal-ts ties, empty keys, and
+      // left-before-any-right cases
+      val l = Seq.tabulate(60)(i =>
+        (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(20).toLong))
+        .toDF("lid", "k", "lts")
+      val r = Seq.tabulate(40)(i =>
+        (1000L + i, s"k${rnd.nextInt(6)}", rnd.nextInt(20).toLong, rnd.nextDouble()))
+        .toDF("rid", "k", "rts", "payload")
+      for (dir <- Seq("backward", "forward")) {
+        val got = Joins.asofJoin(l, r, Seq("k"), "lts", "rts",
+            direction = dir, tieBreak = Some("rid"))
+          .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+        // brute force: per left row, the extreme qualifying right row.
+        // backward: max (rts, rid); forward: min (rts, rid) — encoded as
+        // max of (-rts, -rid) so one max_by spelling serves both.
+        val sign = if (dir == "backward") 1L else -1L
+        val expected = l.join(r, Seq("k"), "left")
+          .filter(if (dir == "backward") col("rts") <= col("lts")
+                  else col("rts") >= col("lts"))
+          .groupBy("lid")
+          .agg(max(struct((col("rts") * sign).as("o1"), (col("rid") * sign).as("o2")))
+            .as("best"))
+          .select(col("lid"), (col("best")("o2") * sign).as("rid"))
+          .as[(Long, Long)].collect().toMap
+        val lids = l.select("lid").as[Long].collect()
+        for (lid <- lids) {
+          assert(got(lid) === expected.get(lid),
+            s"trial=$trial dir=$dir lid=$lid")
+        }
+      }
+    }
+  }
+
+  test("rangeJoin and overlapJoin match brute force on randomized intervals") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(80)(i => (i.toLong, rnd.nextInt(100).toLong))
+      .toDF("pid", "x")
+    val ivs = Seq.tabulate(50) { i =>
+      val s = rnd.nextInt(100).toLong
+      (500L + i, s, s + rnd.nextInt(12).toLong) // includes empty intervals
+    }.toDF("iid", "s", "e")
+    val ivs2 = Seq.tabulate(50) { i =>
+      val s = rnd.nextInt(100).toLong
+      (900L + i, s, s + rnd.nextInt(9).toLong)
+    }.toDF("jid", "s2", "e2")
+
+    val expectedR = pts.join(ivs)
+      .filter(col("x") >= col("s") && col("x") < col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    val expectedO = ivs.join(ivs2)
+      .filter(greatest(col("s"), col("s2")) < least(col("e"), col("e2")))
+      .select("iid", "jid").as[(Long, Long)].collect().sorted
+    for (w <- Seq(1L, 5L, 13L, 64L)) {
+      val gotR = Joins.rangeJoin(pts, "x", ivs, "s", "e", binWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted
+      assert(gotR === expectedR, s"rangeJoin binWidth=$w")
+      val gotO = Joins.overlapJoin(ivs, "s", "e", ivs2, "s2", "e2", binWidth = w)
+        .select("iid", "jid").as[(Long, Long)].collect().sorted
+      assert(gotO === expectedO, s"overlapJoin binWidth=$w")
+    }
+  }
+
   test("withGlobalIndex: empty input, single row, and name guard") {
     val empty = spark.range(0).toDF("id")
     assert(TrainingOrder.withGlobalIndex(empty, Seq("id")).count() === 0)
