@@ -81,7 +81,8 @@ object Bench {
     "q_asof_join",          // as-of join via union + running-last window: one shuffle, zero join nodes (r11)
     "q_range_join",         // range join via interval binning + equi-join, no nested loop (r11)
     "q_overlap_join",       // interval-overlap join: binned both sides + first-shared-bin dedup (r11)
-    "q_global_index"        // dense global index: range shuffle + zipWithIndex, no single-partition sort (r11)
+    "q_global_index",       // dense global index: range shuffle + zipWithIndex, no single-partition sort (r11)
+    "q_pagerank"            // domain PageRank: per-round one join + one agg over a persisted weighted edge list (r11)
   )
 
   private def jsonStr(s: String): String =

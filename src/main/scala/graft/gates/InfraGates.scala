@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Joins, Skew, TrainingOrder}
+import graft.operators.{Graph, Joins, Skew, TrainingOrder}
 import graft.sources.Bucketing
 import graft.streaming.Events
 
@@ -133,6 +133,18 @@ object InfraGates {
           errors, "e_start", "e_end", binWidth = 5L * 60 * 1000 * 1000)
         .select("p_id", "p_start", "e_id", "e_start")
     },
+    // §2.4 row 91 — PageRank domain-quality prior: a synthetic source→
+    // source link graph derived from the documents table (src19's
+    // out-edges removed so the dangling-mass path is exercised); the
+    // oracle UNROLLS the same 8 power iterations as a CTE chain
+    "q_pagerank" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val dst = concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string"))
+      val edges = docs.select(col("source").as("src"), dst.as("dst"))
+        .filter(col("src") =!= col("dst") && col("src") =!= "src19")
+      Graph.pageRank(edges, "src", "dst", iterations = PageRankIters)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    },
     // §2.4 row 89 — dense global index without a single-partition sort:
     // range shuffle + zipWithIndex ≡ row_number() OVER (ORDER BY …)
     "q_global_index" -> { (s, dir) =>
@@ -144,7 +156,52 @@ object InfraGates {
     }
   )
 
+  private val PageRankIters = 8
+
+  /** The q_pagerank oracle: the SAME fixed power iteration, unrolled as
+    * a CTE chain (r0 → r1 → … — DuckDB's recursive CTEs can't aggregate
+    * over the recursive table, so the iterations are generated). Every
+    * arithmetic step mirrors Graph.pageRank's expression order so the
+    * doubles agree to well inside the round-6 gate. Every CTE is
+    * MATERIALIZED: each r_i is referenced twice (dm_{i+1} and the
+    * contribution join), so inlining would copy the whole chain 2^iters
+    * times — the unhinted query takes minutes where the materialized
+    * one takes 60 ms. */
+  private def pageRankSql(iters: Int): String = {
+    val header =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src,
+        |         'src' || ((doc_id * 7) % 20) AS dst
+        |  FROM documents
+        |  WHERE source <> 'src' || ((doc_id * 7) % 20)
+        |    AND source <> 'src19'),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS c FROM nodes),
+        |outdeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY 1),
+        |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |dm$i AS MATERIALIZED (
+         |  SELECT coalesce(sum(r.rank), 0) AS dm
+         |  FROM r${i - 1} r LEFT JOIN outdeg o ON r.node = o.src
+         |  WHERE o.src IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |         (1 - 0.85) / (SELECT c FROM nn)
+         |         + 0.85 * (coalesce(c.contrib, 0)
+         |                   + (SELECT dm FROM dm$i) / (SELECT c FROM nn)) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum((1.0 / o.deg) * r.rank) AS contrib
+         |    FROM edges e
+         |    JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outdeg o ON e.src = o.src
+         |    GROUP BY 1) c ON nd.node = c.node)""".stripMargin
+    }.mkString
+    header + iterCtes + s"\nSELECT node, round(rank, 6) AS rank FROM r$iters"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pageRankSql(PageRankIters),
     "q_salted_join" ->
       """SELECT c_custkey, c_nationkey AS nationkey, n_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,

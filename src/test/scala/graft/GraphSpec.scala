@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference power iteration over a dense map — the
+    * definitional computation, shared by every case below. */
+  private def referenceRanks(
+    edges: Seq[(String, String)],
+    iterations: Int,
+    d: Double = 0.85
+  ): Map[String, Double] = {
+    val dedup = edges.distinct
+    val nodes = dedup.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = dedup.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val dm = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = dedup
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (u, _) => rank(u) / out(u) }.sum)
+        .toMap
+      rank = nodes.map(v =>
+        v -> ((1.0 - d) / n + d * (contrib.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    rank
+  }
+
+  private val diamond = Seq(
+    ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a"))
+
+  test("pageRank matches the definitional power iteration on a known graph") {
+    val got = Graph.pageRank(diamond.toDF("s", "t"), "s", "t", iterations = 12)
+      .as[(String, Double)].collect().toMap
+    val want = referenceRanks(diamond, 12)
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, k)
+    // conservation: total rank mass stays 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank handles dangling nodes (mass re-spreads, still sums to 1)") {
+    // e is a pure sink: without the dangling correction, mass drains
+    val g = Seq(("a", "b"), ("b", "e"), ("a", "e"), ("c", "a"), ("a", "c"))
+    val got = Graph.pageRank(g.toDF("s", "t"), "s", "t", iterations = 15)
+      .as[(String, Double)].collect().toMap
+    val want = referenceRanks(g, 15)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, k)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the sink fed by everyone outranks its feeders' average
+    assert(got("e") > got("b"))
+  }
+
+  test("pageRank on a randomized graph: parallel edges dedup, nulls dropped") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.fill(300)((s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+    val withNulls = edges.map { case (a, b) => (a, b) } ++
+      Seq((null.asInstanceOf[String], "n1"), ("n2", null.asInstanceOf[String]))
+    val got = Graph.pageRank(withNulls.toDF("s", "t"), "s", "t", iterations = 8)
+      .as[(String, Double)].collect().toMap
+    val want = referenceRanks(edges, 8)
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, k)
+  }
+
+  test("pageRank is deterministic, localizes under the node limit, leaves no blocks") {
+    val df = diamond.toDF("s", "t")
+    val r1 = Graph.pageRank(df, "s", "t", iterations = 6)
+    // localized arm: the result is a driver-local relation — every loop
+    // checkpoint already freed, nothing for the session sweep to find
+    assert(GraftSession.sweepPersistedState(spark) === 0)
+    val v1 = r1.as[(String, Double)].collect().toMap
+    val v2 = Graph.pageRank(df, "s", "t", iterations = 6)
+      .as[(String, Double)].collect().toMap
+    assert(v1 === v2)
+    GraftSession.sweepPersistedState(spark)
+  }
+
+  test("pageRank above the localize limit: checkpoint-backed, caller frees") {
+    val df = diamond.toDF("s", "t")
+    val r = Graph.pageRank(df, "s", "t", iterations = 4, localizeNodeLimit = 0)
+    val v = r.as[(String, Double)].collect().toMap
+    val want = referenceRanks(diamond, 4)
+    for ((k, x) <- want) assert(math.abs(v(k) - x) < 1e-12, k)
+    org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(r)
+    assert(GraftSession.sweepPersistedState(spark) === 0)
+  }
+
+  test("pageRank validates its arguments") {
+    val df = diamond.toDF("s", "t")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, "s", "t", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(df, "s", "t", damping = 1.0)
+    }
+  }
+}
