@@ -80,6 +80,14 @@ object Graph {
             Seq("node"), "left_anti")
           .persist()
         try {
+          // node-sized rank state under the localize limit is broadcast-
+          // sized by the same argument (domains ≪ edges): broadcasting it
+          // into the contribution join keeps the persisted edge list
+          // STATIONARY every round — the per-round bill drops to one scan
+          // of the edges + a map-side-combined sum, no edge-side shuffle
+          val smallState = n <= localizeNodeLimit
+          def asRanks(df: DataFrame): DataFrame =
+            if (smallState) broadcast(df) else df
           var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
           var prev = ranks
           var i = 0
@@ -90,11 +98,11 @@ object Graph {
             val dm = ranks.join(dangling, "node")
               .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
             val contribs = weighted
-              .join(ranks.withColumnRenamed("node", "src"), "src")
+              .join(asRanks(ranks.withColumnRenamed("node", "src")), "src")
               .groupBy(col("dst").as("node"))
               .agg(sum(col("w") * col("rank")).as("contrib"))
             val next = nodes
-              .join(contribs, Seq("node"), "left")
+              .join(asRanks(contribs), Seq("node"), "left")
               .crossJoin(dm)
               .select(col("node"),
                 (lit((1.0 - damping) / n) + lit(damping) *
