@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Embeddings}
+import graft.operators.{Dedup, Embeddings, Pq}
 
 /**
  * Correctness gates for the embedding-column utilities and semantic
@@ -95,8 +95,66 @@ object VectorGates {
       Dedup.dropSemanticDuplicates(embsWithDups(s, dir), "embedding", "vec_id",
           threshold = 0.9, nCentroids = 1, kmeansIters = 1, maxCluster = None)
         .select("vec_id")
+    },
+    // §2.4 row 92a — PQ encode against a PLANTED codebook (constant
+    // codewords, asymmetric levels so no data value sits on a decision
+    // midpoint): every code re-derived value-exactly in DuckDB — the
+    // argmin agrees bit-for-bit because both engines run the same
+    // element-order double arithmetic
+    "q_pq_encode" -> { (s, dir) =>
+      Pq.encode(embs(s, dir).select("vec_id", "embedding"),
+          "embedding", plantedPqCodebook(s))
+        .select(col("vec_id"),
+          element_at(col("pq_code"), 1).as("c0"),
+          element_at(col("pq_code"), 2).as("c1"))
+    },
+    // §2.4 row 92b — ADC top-k with the planted codebook: per-query
+    // distance TABLES + m positional lookups per corpus row; the oracle
+    // re-derives tables, lookups, and the id-tiebroken rank
+    "q_pq_topk" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val cb = plantedPqCodebook(s)
+      Pq.adcTopK(Pq.encode(e, "embedding", cb),
+          e.filter(col("vec_id") < 10), "embedding", "vec_id", cb, k = 5)
+        .withColumn("adc_dist", round(col("adc_dist"), 6))
+    },
+    // §2.4 row 92c — the REAL trained pipeline (fused per-subspace L2
+    // k-means → encode → ADC candidates → exact re-rank) as recall@5
+    // against exact L2 top-k: every stage deterministic, so the
+    // thresholded summary is a constant the oracle compares value-
+    // exactly (the q_ann_ivf_recall strategy). Measured recall:
+    // 1.0 (sf0.001) / 1.0 (sf0.01) / 0.94 (sf0.1) at m=16, kc=150.
+    "q_pq_recall" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      Pq.adcRecallSummary(e, e.filter(col("vec_id") < 10), "embedding", "vec_id",
+          k = 5, kCandidates = 150, subspaces = 16, codebookSize = 16,
+          iters = 2, minRecall = 0.9)
+        .select("n_queries", "n_truth", "recall_ok")
     }
   )
+
+  /** Constant-codeword planted codebook for the value-exact PQ gates:
+    * m=2 subspaces × k=4 codes over the 64-dim embeddings; levels are
+    * deliberately NOT symmetric around 0 (subvector means cluster at 0,
+    * which would sit exactly on a symmetric decision midpoint). */
+  private[gates] val PqGateLevels = Seq(-0.75, -0.25, 0.1, 0.55)
+
+  private def plantedPqCodebook(s: SparkSession): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("subspace",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    val rows = for {
+      j <- 0 until 2
+      (a, c) <- PqGateLevels.zipWithIndex
+    } yield org.apache.spark.sql.Row(j, c.toLong, Seq.fill(32)(a))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_embed_normalize" ->
@@ -165,6 +223,63 @@ object VectorGates {
         |        (sqrt(list_dot_product(a.ve, a.ve)) *
         |         sqrt(list_dot_product(b.ve, b.ve))) >= 0.9)
         |SELECT vec_id FROM all_e
-        |WHERE vec_id NOT IN (SELECT id_b FROM losers)""".stripMargin
+        |WHERE vec_id NOT IN (SELECT id_b FROM losers)""".stripMargin,
+    "q_pq_encode" -> s"""$pqEncodeCtes
+        |SELECT vec_id, c0, c1 FROM enc""".stripMargin,
+    "q_pq_topk" -> s"""$pqEncodeCtes,
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |      WHERE vec_id < 10),
+        |qt AS MATERIALIZED (
+        |  SELECT query_id, code,
+        |         list_sum(list_transform(range(1, 33),
+        |           i -> (qv[i]::DOUBLE - a) * (qv[i]::DOUBLE - a))) AS dlo,
+        |         list_sum(list_transform(range(33, 65),
+        |           i -> (qv[i]::DOUBLE - a) * (qv[i]::DOUBLE - a))) AS dhi
+        |  FROM q CROSS JOIN cb),
+        |s AS (
+        |  SELECT t0.query_id, enc.vec_id AS neighbor_id,
+        |         t0.dlo + t1.dhi AS adc_dist
+        |  FROM enc
+        |  JOIN qt t0 ON t0.code = enc.c0
+        |  JOIN qt t1 ON t1.query_id = t0.query_id AND t1.code = enc.c1),
+        |r AS (
+        |  SELECT query_id, neighbor_id, adc_dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY adc_dist ASC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist
+        |FROM r WHERE rn <= 5""".stripMargin,
+    // recall threshold holds at every sf dir (see the queries entry)
+    "q_pq_recall" ->
+      "SELECT 10::BIGINT AS n_queries, 50::BIGINT AS n_truth, 1 AS recall_ok"
   )
+
+  /** Shared CTEs for the planted-codebook PQ oracles: the 2×4 constant
+    * codebook and per-subspace argmin codes, mirroring Pq.encode's
+    * element-order double arithmetic ((x−a)·(x−a), NOT pow — libm pow
+    * need not be the exact product). */
+  private def pqEncodeCtes: String = {
+    val values = PqGateLevels.zipWithIndex
+      .map { case (a, c) => s"($c, ${a}::DOUBLE)" }.mkString(", ")
+    // distances computed in a plain cross join (a lambda cannot reference
+    // a CORRELATED outer table in DuckDB, so no scalar-subquery argmin);
+    // the argmin is a (dist, code)-ordered window
+    s"""WITH cb(code, a) AS (VALUES $values),
+       |dists AS MATERIALIZED (
+       |  SELECT e.vec_id, cb.code,
+       |         list_sum(list_transform(range(1, 33),
+       |           i -> (e.embedding[i]::DOUBLE - a) * (e.embedding[i]::DOUBLE - a))) AS d0,
+       |         list_sum(list_transform(range(33, 65),
+       |           i -> (e.embedding[i]::DOUBLE - a) * (e.embedding[i]::DOUBLE - a))) AS d1
+       |  FROM embeddings e CROSS JOIN cb),
+       |enc AS MATERIALIZED (
+       |  SELECT a.vec_id, a.code AS c0, b.code AS c1
+       |  FROM (SELECT vec_id, code,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY d0, code) AS rn
+       |        FROM dists) a
+       |  JOIN (SELECT vec_id, code,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY d1, code) AS rn
+       |        FROM dists) b
+       |    ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 1)""".stripMargin
+  }
 }

@@ -1,0 +1,318 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.L2DistSqExpr
+
+/**
+ * Product quantization (Jégou et al. 2011, "Product Quantization for
+ * Nearest Neighbor Search") — the ANN scale path past IVF: vectors
+ * compress to `m` small codes (one per subspace), and query scoring
+ * becomes `m` table lookups per corpus vector instead of a `dim`-wide
+ * float pass. A 64-dim float corpus at m=4 stores 4 bytes/vector of
+ * codes — RAM-resident at corpus sizes where raw vectors are not.
+ *
+ * Spark shapes, per stage:
+ *  - [[trainCodebooks]]: per-subspace L2 k-means, all subspaces fused
+ *    into ONE corpus scan per Lloyd round (posexplode to (subspace,
+ *    subvector), broadcast codebook join, one VectorMeanAgg). Codebooks
+ *    are m·k rows — localized, exact stats, broadcast everywhere.
+ *  - [[encode]]: pure zero-shuffle projection — the codebook rides as
+ *    one broadcast row, each subspace's code is an `aggregate` fold
+ *    with the native [[L2DistSqExpr]].
+ *  - [[adcTopK]]: asymmetric distance computation — each query
+ *    precomputes its m×k distance TABLE once (broadcast), corpus rows
+ *    pay m `element_at` lookups + adds. [[adcRerankTopK]] is the
+ *    standard two-stage deployment: ADC candidates, exact re-rank.
+ *
+ * Codes are dense 0..k−1 per subspace ([[trainCodebooks]] guarantees
+ * it; [[encode]]/[[adcTopK]] rely on code = array position).
+ */
+object Pq {
+
+  /** (m, sd): subspace count and subvector width, read from the
+    * localized codebook table (metadata-sized collect). */
+  private def codebookMeta(codebooks: DataFrame): (Int, Int) = {
+    val rows = codebooks
+      .select(col("subspace"), size(col("cv")).as("sd"))
+      .distinct().collect()
+    require(rows.nonEmpty, "empty codebook table")
+    val m = rows.map(_.getInt(0)).distinct.length
+    val sds = rows.map(_.getInt(1)).distinct
+    require(sds.length == 1,
+      s"codebook subvector widths differ across subspaces: ${sds.mkString(",")}")
+    (m, sds.head)
+  }
+
+  /** One broadcast row carrying every subspace's codewords as
+    * `__cents_<j>`: array of (code, cv) structs sorted by code, so a
+    * dense code c is the struct at position c+1. */
+  private def codebookRow(codebooks: DataFrame, m: Int): DataFrame = {
+    val aggs = (0 until m).map(j =>
+      array_sort(collect_list(
+        when(col("subspace") === j, struct(col("code"), col("cv")))))
+        .as(s"__cents_$j"))
+    broadcast(codebooks.agg(aggs.head, aggs.tail: _*))
+  }
+
+  /** Double-cast subvector j of `vecCol` (slice is 1-based). */
+  private def subVec(vecCol: String, j: Int, sd: Int): Column =
+    transform(slice(col(vecCol), j * sd + 1, sd), x => x.cast("double"))
+
+  /** Argmin fold over one subspace's codewords: the code whose codeword
+    * is L2-nearest to `sv` (ties → lowest code, strict `<`). */
+  private def nearestCode(cents: Column, sv: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("c")),
+      (acc, cent) => {
+        val d = L2DistSqExpr(sv, cent("cv"))
+        when(d < acc("d"), struct(d.as("d"), cent("code").as("c"))).otherwise(acc)
+      })("c")
+
+  /**
+   * Train per-subspace codebooks: `m` independent L2 k-means runs of
+   * `codebookSize` centroids each, FUSED so every Lloyd round is one
+   * corpus scan (subspace-exploded) + one broadcast assignment fold +
+   * one mean aggregation. Seeds are the `codebookSize` lowest-id
+   * vectors' subvectors (deterministic, the [[Similarity.kmeansCentroids]]
+   * convention); empty clusters keep their previous codeword.
+   *
+   * Returns (`subspace`, `code`, `cv`) — m·k rows, localized (exact
+   * stats; downstream encode/score joins broadcast statically). Persist
+   * it like any index artifact and reuse across encode/search calls.
+   */
+  def trainCodebooks(
+    corpus: DataFrame,
+    vecCol: String,
+    idCol: String,
+    subspaces: Int = 4,
+    codebookSize: Int = 16,
+    iters: Int = 2
+  ): DataFrame = {
+    require(subspaces > 0, s"subspaces must be positive: $subspaces")
+    require(codebookSize > 0, s"codebookSize must be positive: $codebookSize")
+    val spark = corpus.sparkSession
+    val dimRow = corpus.select(size(col(vecCol)).as("d")).head(1)
+    require(dimRow.nonEmpty, "cannot train codebooks on an empty corpus")
+    val dim = dimRow.head.getInt(0)
+    require(dim % subspaces == 0,
+      s"vector dim $dim is not divisible into $subspaces subspaces")
+    val sd = dim / subspaces
+
+    // deterministic seeds: subvectors of the codebookSize lowest-id rows,
+    // dense codes in id order (metadata-sized collect, like IVF seeding)
+    val seedRows = corpus.orderBy(col(idCol)).limit(codebookSize)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect()
+    require(seedRows.length == codebookSize,
+      s"corpus has fewer rows (${seedRows.length}) than codebookSize $codebookSize")
+    val init = for {
+      j <- 0 until subspaces
+      (row, c) <- seedRows.zipWithIndex
+    } yield Row(j, c.toLong, row.getSeq[Double](0).slice(j * sd, (j + 1) * sd))
+    val cbSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("subspace",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    var cb = spark.createDataFrame(java.util.Arrays.asList(init: _*), cbSchema)
+
+    // subspace-exploded corpus view: ONE scan feeds every subspace's
+    // assignment and mean in each round
+    val sub = corpus.select(
+      posexplode(array((0 until subspaces).map(j => subVec(vecCol, j, sd)): _*))
+        .as(Seq("subspace", "sv")))
+
+    var i = 0
+    while (i < iters) {
+      val cbArr = broadcast(cb.groupBy("subspace")
+        .agg(array_sort(collect_list(struct(col("code"), col("cv")))).as("cents")))
+      val means = sub
+        .join(cbArr, "subspace")
+        .withColumn("code", nearestCode(col("cents"), col("sv")))
+        .groupBy("subspace", "code")
+        .agg(graft.functions.VectorMeanAgg(col("sv")).as("next"))
+      cb = Similarity.localize(
+        cb.join(means, Seq("subspace", "code"), "left")
+          .select(col("subspace"), col("code"),
+            coalesce(col("next"), col("cv")).as("cv")))
+      i += 1
+    }
+    cb
+  }
+
+  /**
+   * Encode every vector to its `m` nearest-codeword codes — a pure
+   * zero-shuffle projection (codebook rides as one broadcast row), so
+   * it runs unchanged over `readStream` inputs. Adds `codeCol`:
+   * array<long> of length m, element j in [0, k).
+   */
+  def encode(
+    df: DataFrame,
+    vecCol: String,
+    codebooks: DataFrame,
+    codeCol: String = "pq_code"
+  ): DataFrame = {
+    val (m, sd) = codebookMeta(codebooks)
+    Cols.requireAbsent(df, codeCol)
+    val withSv = (0 until m).foldLeft(df.crossJoin(codebookRow(codebooks, m))) {
+      (acc, j) => acc.withColumn(s"__sv_$j", subVec(vecCol, j, sd))
+    }
+    withSv
+      .withColumn(codeCol, array((0 until m).map(j =>
+        nearestCode(col(s"__cents_$j"), col(s"__sv_$j"))): _*))
+      .drop((0 until m).flatMap(j => Seq(s"__cents_$j", s"__sv_$j")): _*)
+  }
+
+  /** Exact squared-L2 top-k (ascending distance, ties by neighbor id) —
+    * the ground truth ADC approximates; queries broadcast. */
+  def exactL2TopK(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    k: Int = 10
+  ): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        L2DistSqExpr(
+          transform(col("qv"), x => x.cast("double")),
+          transform(col("nv"), x => x.cast("double"))).as("dist"))
+      .filter(col("dist").isNotNull)
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /**
+   * ADC top-k over a PQ-encoded corpus: each query precomputes its m×k
+   * distance table ONCE (distances from each query subvector to every
+   * codeword — broadcast, m·k doubles per query), and scoring a corpus
+   * row is m positional lookups + adds on its codes — no float vector
+   * is read from the corpus at all. Approximate; ties by neighbor id.
+   */
+  def adcTopK(
+    encoded: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    codebooks: DataFrame,
+    k: Int = 10,
+    codeCol: String = "pq_code"
+  ): DataFrame = {
+    val (m, sd) = codebookMeta(codebooks)
+    val qt = broadcast(
+      (0 until m).foldLeft(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+          .crossJoin(codebookRow(codebooks, m))) { (acc, j) =>
+        acc.withColumn(s"__qtab_$j",
+          transform(col(s"__cents_$j"),
+            cent => L2DistSqExpr(subVec("qv", j, sd), cent("cv"))))
+      }.select(col("query_id") +: (0 until m).map(j => col(s"__qtab_$j")): _*))
+    val dist = (0 until m).map(j =>
+        element_at(col(s"__qtab_$j"),
+          element_at(col(codeCol), j + 1).cast("int") + 1))
+      .reduce(_ + _)
+    encoded
+      .select(col(idCol).as("neighbor_id"), col(codeCol))
+      .crossJoin(qt)
+      .select(col("query_id"), col("neighbor_id"), dist.as("adc_dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /**
+   * The standard two-stage PQ deployment: ADC generates `kCandidates`
+   * per query from codes alone, then ONLY those rows are re-ranked with
+   * exact L2 on the raw vectors. The exact pass touches |queries| ×
+   * kCandidates vectors — broadcast-sized — via a semi-join on the
+   * candidate ids, never the whole corpus.
+   */
+  def adcRerankTopK(
+    corpus: DataFrame,
+    encoded: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    codebooks: DataFrame,
+    k: Int = 10,
+    kCandidates: Int = 50,
+    codeCol: String = "pq_code"
+  ): DataFrame = {
+    require(kCandidates >= k, s"kCandidates $kCandidates must be >= k $k")
+    val cands = adcTopK(encoded, queries, vecCol, idCol, codebooks,
+      kCandidates, codeCol)
+    val candVecs = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(broadcast(cands.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    candVecs
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        L2DistSqExpr(
+          transform(col("qv"), x => x.cast("double")),
+          transform(col("nv"), x => x.cast("double"))).as("dist"))
+      .filter(col("dist").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /**
+   * Recall\@k of the two-stage (ADC → exact re-rank) search against
+   * exact L2 top-k, as one summary row — the
+   * [[Similarity.ivfRecallSummary]] contract: `(n_queries, n_truth,
+   * n_hits, recall_ok)`, fail-closed on an empty truth set. Train +
+   * encode + search are all deterministic, so a constant-row oracle can
+   * gate the threshold.
+   */
+  def adcRecallSummary(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    k: Int = 10,
+    kCandidates: Int = 50,
+    subspaces: Int = 4,
+    codebookSize: Int = 16,
+    iters: Int = 2,
+    minRecall: Double = 0.9
+  ): DataFrame = {
+    val cb = trainCodebooks(corpus, vecCol, idCol, subspaces, codebookSize, iters)
+    val encoded = encode(corpus, vecCol, cb)
+    val truth = exactL2TopK(corpus, queries, vecCol, idCol, k)
+      .select("query_id", "neighbor_id")
+    val approx = adcRerankTopK(corpus, encoded, queries, vecCol, idCol, cb,
+        k, kCandidates)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"),
+        coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("n_hits"))
+      .select(
+        col("n_queries"), col("n_truth"), col("n_hits"),
+        when(col("n_truth") === 0, lit(0))
+          .otherwise(
+            (col("n_hits").cast("double") / col("n_truth").cast("double") >= lit(minRecall))
+              .cast("int"))
+          .as("recall_ok"))
+  }
+}

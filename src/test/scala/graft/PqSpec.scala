@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.L2DistSqExpr
+import graft.operators.Pq
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cbSchema = StructType(Seq(
+    StructField("subspace", IntegerType, nullable = false),
+    StructField("code", LongType, nullable = false),
+    StructField("cv", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** planted m=2, sd=2, k=2 codebook: subspace 0 splits on sign of the
+    * first pair, subspace 1 on the second. */
+  private def plantedCb = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row(0, 0L, Seq(-1.0, -1.0)), Row(0, 1L, Seq(1.0, 1.0)),
+      Row(1, 0L, Seq(-2.0, -2.0)), Row(1, 1L, Seq(2.0, 2.0))),
+    cbSchema)
+
+  test("L2DistSqExpr equals the zip_with reference and null rules") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0, -1.0)),
+      (Seq(0.0f, 0.0f), Seq(0.0, 0.0))
+    ).toDF("a", "b")
+    val ref = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(L2DistSqExpr(col("a"), col("b")).as("n"), ref.as("r"))
+      .as[(Double, Double)].collect()
+    for ((n, r) <- rows) assert(n === r)
+    // length mismatch -> NULL
+    val bad = Seq((Seq(1.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(L2DistSqExpr(col("a"), col("b"))).collect()
+    assert(bad.head.isNullAt(0))
+  }
+
+  test("encode picks the nearest codeword per subspace, zero-shuffle") {
+    val vecs = Seq(
+      (1L, Seq(0.9f, 1.1f, -2.1f, -1.9f)),  // -> codes [1, 0]
+      (2L, Seq(-0.5f, -0.7f, 1.5f, 2.5f)),  // -> codes [0, 1]
+      (3L, Seq(1.0f, 1.0f, 2.0f, 2.0f))     // -> codes [1, 1] (exact)
+    ).toDF("vec_id", "embedding")
+    val out = Pq.encode(vecs, "embedding", plantedCb)
+      .select("vec_id", "pq_code").as[(Long, Seq[Long])].collect().toMap
+    assert(out === Map(1L -> Seq(1L, 0L), 2L -> Seq(0L, 1L), 3L -> Seq(1L, 1L)))
+    val plan = Pq.encode(vecs, "embedding", plantedCb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"encode must not shuffle:\n$plan")
+  }
+
+  test("ADC is exact when vectors sit on codewords; rerank equals exact search") {
+    // every vector IS a codeword concatenation -> quantization error 0,
+    // so ADC distances equal true distances
+    val corpus = Seq(
+      (1L, Seq(-1.0f, -1.0f, -2.0f, -2.0f)),
+      (2L, Seq(-1.0f, -1.0f, 2.0f, 2.0f)),
+      (3L, Seq(1.0f, 1.0f, -2.0f, -2.0f)),
+      (4L, Seq(1.0f, 1.0f, 2.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val encoded = Pq.encode(corpus, "embedding", plantedCb)
+    val queries = corpus.filter(col("vec_id") <= 2)
+    val adc = Pq.adcTopK(encoded, queries, "embedding", "vec_id", plantedCb, k = 4)
+      .select("query_id", "neighbor_id", "adc_dist")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Pq.exactL2TopK(corpus, queries, "embedding", "vec_id", k = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(adc === exact)
+    // two-stage with kCandidates = |corpus| degenerates to exact search
+    val rr = Pq.adcRerankTopK(corpus, encoded, queries, "embedding", "vec_id",
+        plantedCb, k = 2, kCandidates = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact2 = Pq.exactL2TopK(corpus, queries, "embedding", "vec_id", k = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rr === exact2)
+  }
+
+  test("trainCodebooks: dense codes, planted clusters recovered after one round") {
+    // 2 clean clusters per subspace; seeds (2 lowest ids) land one per
+    // cluster, so one Lloyd round must converge codewords to the means
+    val rows = (0 until 40).map { i =>
+      val s0 = if (i % 2 == 0) 1.0f else -1.0f
+      val s1 = if (i % 2 == 0) 3.0f else -3.0f
+      (i.toLong, Seq(s0 + (i % 4) * 0.01f, s0, s1, s1 - (i % 4) * 0.01f))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cb = Pq.trainCodebooks(corpus, "embedding", "vec_id",
+      subspaces = 2, codebookSize = 2, iters = 2)
+    val got = cb.as[(Int, Long, Seq[Double])].collect()
+    assert(got.map(r => (r._1, r._2)).sorted ===
+      Seq((0, 0L), (0, 1L), (1, 0L), (1, 1L)))
+    // every codeword is the mean of its cluster: distances within 1e-9 of
+    // a driver-side recomputation
+    val byKey = got.map(r => (r._1, r._2) -> r._3).toMap
+    def mean(sel: Int => Boolean, a: Int, b: Int): Seq[Double] = {
+      val sub = rows.filter(r => sel(r._1.toInt)).map(_._2.slice(a, b).map(_.toDouble))
+      sub.transpose.map(c => c.sum / c.length)
+    }
+    // seed 0 (vec 0) is the even cluster, seed 1 (vec 1) the odd one
+    val tol = 1e-9
+    def close(x: Seq[Double], y: Seq[Double]): Boolean =
+      x.zip(y).forall { case (p, q) => math.abs(p - q) < tol }
+    assert(close(byKey((0, 0L)), mean(_ % 2 == 0, 0, 2)))
+    assert(close(byKey((0, 1L)), mean(_ % 2 == 1, 0, 2)))
+    assert(close(byKey((1, 0L)), mean(_ % 2 == 0, 2, 4)))
+    assert(close(byKey((1, 1L)), mean(_ % 2 == 1, 2, 4)))
+  }
+
+  test("adcRecallSummary on random vectors: deterministic and above threshold") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val s1 = Pq.adcRecallSummary(corpus, queries, "embedding", "vec_id",
+      k = 5, kCandidates = 50, subspaces = 4, codebookSize = 8, iters = 2,
+      minRecall = 0.8).collect().head
+    assert(s1.getLong(0) === 8L)       // n_queries
+    assert(s1.getLong(1) === 40L)      // n_truth = 8 * 5
+    assert(s1.getInt(3) === 1, s"recall too low: $s1")
+    val s2 = Pq.adcRecallSummary(corpus, queries, "embedding", "vec_id",
+      k = 5, kCandidates = 50, subspaces = 4, codebookSize = 8, iters = 2,
+      minRecall = 0.8).collect().head
+    assert(s1 === s2)
+  }
+
+  test("guards: bad dims, empty corpus, oversized codebook") {
+    val tiny = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pq.trainCodebooks(tiny, "embedding", "vec_id", subspaces = 2, codebookSize = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.trainCodebooks(tiny.filter(col("vec_id") < 0), "embedding", "vec_id",
+        subspaces = 1, codebookSize = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.trainCodebooks(tiny, "embedding", "vec_id", subspaces = 1, codebookSize = 5)
+    }
+  }
+}
