@@ -189,11 +189,7 @@ object Pq {
           transform(col("qv"), x => x.cast("double")),
           transform(col("nv"), x => x.cast("double"))).as("dist"))
       .filter(col("dist").isNotNull)
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    keepTopK(scored, "dist", k)
   }
 
   /**
@@ -203,6 +199,40 @@ object Pq {
    * row is m positional lookups + adds on its codes — no float vector
    * is read from the corpus at all. Approximate; ties by neighbor id.
    */
+  /** Broadcast per-query ADC distance tables: `query_id` plus, per
+    * subspace j, `__qtab_j` = distances from the query's subvector j to
+    * every codeword (positional by code). m·k doubles per query. */
+  private def queryDistTables(
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    codebooks: DataFrame,
+    m: Int,
+    sd: Int
+  ): DataFrame = broadcast(
+    (0 until m).foldLeft(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .crossJoin(codebookRow(codebooks, m))) { (acc, j) =>
+      acc.withColumn(s"__qtab_$j",
+        transform(col(s"__cents_$j"),
+          cent => L2DistSqExpr(subVec("qv", j, sd), cent("cv"))))
+    }.select(col("query_id") +: (0 until m).map(j => col(s"__qtab_$j")): _*))
+
+  /** m positional lookups + adds: the ADC distance of a row's codes
+    * against the joined query tables. */
+  private def adcDist(m: Int, codeCol: String): Column =
+    (0 until m).map(j =>
+        element_at(col(s"__qtab_$j"),
+          element_at(col(codeCol), j + 1).cast("int") + 1))
+      .reduce(_ + _)
+
+  /** Per-query ascending top-k with id tie-break. */
+  private def keepTopK(df: DataFrame, distCol: String, k: Int): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col(distCol).asc, col("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+
   def adcTopK(
     encoded: DataFrame,
     queries: DataFrame,
@@ -213,26 +243,13 @@ object Pq {
     codeCol: String = "pq_code"
   ): DataFrame = {
     val (m, sd) = codebookMeta(codebooks)
-    val qt = broadcast(
-      (0 until m).foldLeft(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-          .crossJoin(codebookRow(codebooks, m))) { (acc, j) =>
-        acc.withColumn(s"__qtab_$j",
-          transform(col(s"__cents_$j"),
-            cent => L2DistSqExpr(subVec("qv", j, sd), cent("cv"))))
-      }.select(col("query_id") +: (0 until m).map(j => col(s"__qtab_$j")): _*))
-    val dist = (0 until m).map(j =>
-        element_at(col(s"__qtab_$j"),
-          element_at(col(codeCol), j + 1).cast("int") + 1))
-      .reduce(_ + _)
-    encoded
-      .select(col(idCol).as("neighbor_id"), col(codeCol))
-      .crossJoin(qt)
-      .select(col("query_id"), col("neighbor_id"), dist.as("adc_dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id"))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    val qt = queryDistTables(queries, vecCol, idCol, codebooks, m, sd)
+    keepTopK(
+      encoded
+        .select(col(idCol).as("neighbor_id"), col(codeCol))
+        .crossJoin(qt)
+        .select(col("query_id"), col("neighbor_id"), adcDist(m, codeCol).as("adc_dist")),
+      "adc_dist", k)
   }
 
   /**
@@ -261,17 +278,79 @@ object Pq {
       .join(broadcast(cands.select("query_id", "neighbor_id")), Seq("neighbor_id"))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    candVecs
-      .join(q, Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        L2DistSqExpr(
-          transform(col("qv"), x => x.cast("double")),
-          transform(col("nv"), x => x.cast("double"))).as("dist"))
-      .filter(col("dist").isNotNull)
+    keepTopK(
+      candVecs
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          L2DistSqExpr(
+            transform(col("qv"), x => x.cast("double")),
+            transform(col("nv"), x => x.cast("double"))).as("dist"))
+        .filter(col("dist").isNotNull),
+      "dist", k)
+  }
+
+  /**
+   * IVF + PQ — the composition a 100 TB ANN deployment actually runs
+   * (FAISS's IVFPQ): the corpus is bucketed once at index-build time
+   * ([[Similarity.ivfAssignWith]] over persisted centroids, then
+   * [[encode]] — `encoded` must carry that build-time `centroid_id`
+   * column), queries probe their `nProbe` nearest buckets, ADC scores
+   * ONLY the probed buckets' codes, and exact re-rank touches just the
+   * surviving candidates' raw vectors. Scan cost per query batch:
+   * (nProbe/nCentroids) of the code table — the raw-vector table is
+   * never scanned at all.
+   */
+  def ivfAdcRerankTopK(
+    corpus: DataFrame,
+    encoded: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: Int = 10,
+    nProbe: Int = 4,
+    kCandidates: Int = 50,
+    codeCol: String = "pq_code"
+  ): DataFrame = {
+    require(kCandidates >= k, s"kCandidates $kCandidates must be >= k $k")
+    require(encoded.columns.contains("centroid_id"),
+      "encoded corpus must carry its build-time centroid_id bucket column " +
+        "(ivfAssignWith + encode at index-build time)")
+    val (m, sd) = codebookMeta(codebooks)
+    // probe the nProbe cosine-nearest buckets (the IVF convention —
+    // ivfTopKWith's probe stage, over the same centroid artifact)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("c_score"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+        Window.partitionBy("query_id").orderBy(col("c_score").desc, col("centroid_id"))))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "centroid_id")
+    val qt = queryDistTables(queries, vecCol, idCol, codebooks, m, sd)
+    val cands = keepTopK(
+      encoded
+        .select(col(idCol).as("neighbor_id"), col(codeCol), col("centroid_id"))
+        .join(broadcast(probes), "centroid_id")
+        .join(qt, "query_id")
+        .select(col("query_id"), col("neighbor_id"), adcDist(m, codeCol).as("adc_dist")),
+      "adc_dist", kCandidates)
+    val candVecs = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(broadcast(cands.select("query_id", "neighbor_id")), Seq("neighbor_id"))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    keepTopK(
+      candVecs
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          L2DistSqExpr(
+            transform(col("qv"), x => x.cast("double")),
+            transform(col("nv"), x => x.cast("double"))).as("dist"))
+        .filter(col("dist").isNotNull),
+      "dist", k)
   }
 
   /**

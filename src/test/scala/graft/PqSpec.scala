@@ -128,6 +128,40 @@ class PqSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("ivfAdcRerankTopK: degenerate config equals exact search; partial probes recall") {
+    val rnd = new scala.util.Random(9)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    val cents = operators.Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+      nCentroids = 4, iters = 2)
+    val cb = Pq.trainCodebooks(corpus, "embedding", "vec_id",
+      subspaces = 8, codebookSize = 8, iters = 2)
+    val encoded = Pq.encode(
+      operators.Similarity.ivfAssignWith(corpus, "embedding", cents),
+      "embedding", cb)
+    assert(encoded.columns.contains("centroid_id"))
+    // nProbe = all buckets, kCandidates = |corpus| -> exact
+    val full = Pq.ivfAdcRerankTopK(corpus, encoded, queries, "embedding", "vec_id",
+        cents, cb, k = 5, nProbe = 4, kCandidates = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Pq.exactL2TopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+    // partial probes: still a valid top-k list per query, mostly overlapping
+    val part = Pq.ivfAdcRerankTopK(corpus, encoded, queries, "embedding", "vec_id",
+        cents, cb, k = 5, nProbe = 2, kCandidates = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(part.groupBy(_._1).forall(_._2.length <= 5))
+    val hits = part.toSet.intersect(exact).size
+    assert(hits >= exact.size / 2, s"partial-probe recall collapsed: $hits/${exact.size}")
+    // missing bucket column fails loudly
+    intercept[IllegalArgumentException] {
+      Pq.ivfAdcRerankTopK(corpus, Pq.encode(corpus, "embedding", cb), queries,
+        "embedding", "vec_id", cents, cb)
+    }
+  }
+
   test("guards: bad dims, empty corpus, oversized codebook") {
     val tiny = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
