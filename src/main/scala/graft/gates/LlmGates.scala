@@ -953,6 +953,14 @@ object LlmGates {
       Events.windowedAgg(Events.readEventsParquet(s, s"$dir/events.parquet"))
         .withColumn("total_value", round(col("total_value"), 4))
     },
+    // §2.4 row 38b — SLIDING windows (10-minute window, 5-minute slide):
+    // each event lands in two overlapping windows; the oracle enumerates
+    // the covered 5-min-aligned starts per event and re-aggregates
+    "q_events_sliding" -> { (s, dir) =>
+      Events.windowedAgg(Events.readEventsParquet(s, s"$dir/events.parquet"),
+          windowDuration = "10 minutes", slide = Some("5 minutes"))
+        .withColumn("total_value", round(col("total_value"), 4))
+    },
     // §2.4 row 39 — gap sessionization, relational batch form (equivalence
     // with the stateful streaming form is gated by StreamingSpec)
     "q_sessionize" -> { (s, dir) =>
@@ -2004,6 +2012,20 @@ object LlmGates {
         |       count(*) AS n_events,
         |       round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event's covered window starts: the two 5-min-aligned epochs
+    // in (ts - 10min, ts] — enumerated micro-exactly, then re-aggregated
+    "q_events_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, epoch_us(ts::TIMESTAMP) AS e FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |         make_timestamp((e // 300000000) * 300000000
+        |                        - i.i * 300000000) AS window_start
+        |  FROM ev CROSS JOIN (SELECT unnest(range(0, 2)) AS i) i)
+        |SELECT window_start, event_type,
+        |       count(*) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),

@@ -62,6 +62,12 @@ object Sampling {
    * weight ranges. Weights are normalized (pass 98/1/1 or 0.98/0.01/0.01
    * alike); every row is assigned to exactly one split (the last range
    * absorbs the rounding remainder). Pure projection.
+   *
+   * Leakage-safe GROUPED splits need no separate operator: pass the
+   * group key as `idCol` (the URL domain from [[Web.withUrlParts]], a
+   * [[Dedup.clusterNearDuplicates]] cluster_id) and every row of a
+   * group lands in the same split — near-duplicates can then never
+   * straddle train and validation.
    */
   def splitAssign(
     df: DataFrame,

@@ -60,11 +60,17 @@ object Events {
   def windowedAgg(
     events: DataFrame,
     windowDuration: String = "5 minutes",
-    watermark: Option[String] = None
+    watermark: Option[String] = None,
+    slide: Option[String] = None
   ): DataFrame = {
     val src = watermark.fold(events)(w => events.withWatermark("ts", w))
     src
-      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      // slide < duration = SLIDING windows: each event lands in
+      // duration/slide overlapping windows (Spark's window() replicates
+      // the row per covered window — the same explode a hand-rolled
+      // spelling would pay, with watermark/streaming semantics intact)
+      .groupBy(window(col("ts"), windowDuration,
+        slide.getOrElse(windowDuration)), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value")

@@ -162,6 +162,22 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("encode runs unchanged on a memory stream (zero-shuffle claim)") {
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    stream.addData(
+      (1L, Seq(0.9f, 1.1f, -2.1f, -1.9f)),
+      (2L, Seq(-0.5f, -0.7f, 1.5f, 2.5f)))
+    val q = Pq.encode(stream.toDF().toDF("vec_id", "embedding"),
+        "embedding", plantedCb)
+      .select("vec_id", "pq_code")
+      .writeStream.format("memory").queryName("pq_enc").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("pq_enc").as[(Long, Seq[Long])].collect().toMap
+    assert(got === Map(1L -> Seq(1L, 0L), 2L -> Seq(0L, 1L)))
+  }
+
   test("guards: bad dims, empty corpus, oversized codebook") {
     val tiny = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
