@@ -79,6 +79,8 @@ object Bench {
     "q_bpe_tokens",         // loadable BPE: regex pre-tokenize + cached per-word merge loop, pure projection (r11)
     "q_epoch_shuffle",      // deterministic epoch shuffle: one hash shuffle on the shard key + per-shard rank window (r11)
     "q_asof_join",          // as-of join via union + running-last window: one shuffle, zero join nodes (r11)
+    "q_asof_join_bcast",    // streaming as-of arm: per-key history array + broadcast equi-join + row-local fold (r11)
+    "q_events_sliding",     // sliding windows: native window replication, overlapping 10m/5m (r11)
     "q_range_join",         // range join via interval binning + equi-join, no nested loop (r11)
     "q_overlap_join",       // interval-overlap join: binned both sides + first-shared-bin dedup (r11)
     "q_global_index",       // dense global index: range shuffle + zipWithIndex, no single-partition sort (r11)

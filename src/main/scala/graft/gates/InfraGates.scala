@@ -104,6 +104,19 @@ object InfraGates {
       Joins.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
         tieBreak = Some("click_id"))
     },
+    // §2.4 row 87b — the BROADCAST/STREAMING as-of arm (per-key history
+    // array + row-local fold): must produce byte-identical output to
+    // the window arm, so it shares the definitional lateral oracle
+    "q_asof_join_bcast" -> { (s, dir) =>
+      val ev = Events.readEventsParquet(s, s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      Joins.asofJoinBroadcast(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        tieBreak = Some("click_id"))
+    },
     // §2.4 row 88 — range join: every event inside any 10-minute
     // error-incident window, via interval binning + equi-join; the
     // oracle is the definitional inequality join
@@ -229,6 +242,16 @@ object InfraGates {
          |                          ORDER BY key, doc_id) AS shard_pos
          |FROM k""".stripMargin,
     "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id, ts AS click_ts FROM events r
+        |  WHERE r.event_type = 'click' AND r.user_id = l.user_id
+        |    AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true""".stripMargin,
+    // identical semantics to the window arm: same definitional oracle
+    "q_asof_join_bcast" ->
       """SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_ts
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'purchase') l

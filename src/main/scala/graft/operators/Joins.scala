@@ -160,6 +160,97 @@ object Joins {
         c, df.schema(c).dataType, nullable = true)))
 
   /**
+   * As-of join against a DIMENSION-SIZED right side — the Flink
+   * temporal-table-join shape, and the arm that runs on STREAMS: the
+   * right side collapses to one ordered history array per key
+   * (`collect_list` + `array_sort` — each key's full history must fit
+   * in a row, so this is for slowly-changing dimensions, not
+   * event-sized rights), the join is a broadcast stream-static
+   * equi-join on the keys, and the match is a row-local fold over the
+   * history — no window, no union, nothing Structured Streaming
+   * rejects. Left can be a `readStream`; JoinsSpec pins the streaming
+   * arm and value-equality with [[asofJoin]] on every direction/
+   * tolerance/joinType combination.
+   *
+   * Semantics are identical to [[asofJoin]] (inclusive comparison,
+   * same tie rule: greatest `tieBreak` backward / least forward —
+   * the history sorts by (ts, tieBreak) and the fold keeps the LAST
+   * qualifying element backward, FIRST forward).
+   */
+  def asofJoinBroadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: Seq[String],
+    leftTs: String,
+    rightTs: String,
+    direction: String = "backward",
+    tolerance: Option[Column] = None,
+    joinType: String = "left",
+    tieBreak: Option[String] = None
+  ): DataFrame = {
+    require(on.nonEmpty, "asofJoinBroadcast needs at least one equality key")
+    require(Set("backward", "forward").contains(direction),
+      s"direction must be backward|forward: $direction")
+    require(Set("left", "inner").contains(joinType),
+      s"joinType must be left|inner: $joinType")
+    val rPayload = right.columns.filterNot(on.contains).toSeq
+    require(rPayload.contains(rightTs),
+      s"rightTs '$rightTs' must be a non-key column of the right side")
+    tieBreak.foreach(tb => require(rPayload.contains(tb),
+      s"tieBreak '$tb' must be a non-key column of the right side"))
+    val lCols = left.columns.toSeq
+    val overlap = rPayload.filter(c => lCols.exists(_.equalsIgnoreCase(c)))
+    require(overlap.isEmpty,
+      s"right payload column(s) ${overlap.mkString(", ")} collide with left " +
+        "columns — rename one side before joining")
+    Cols.requireAbsent(left, "__hist", "__m")
+
+    // history entries sort by (ts, tieBreak) — the leading sort fields —
+    // then carry the payload struct; lexicographic struct order gives
+    // exactly the traversal order asofJoin's window uses
+    val ordFields = Seq(col(rightTs).as("__ots")) ++
+      tieBreak.map(tb => col(tb).as("__otb")).toSeq
+    val hist = right.groupBy(on.map(col): _*)
+      .agg(array_sort(collect_list(
+        struct(ordFields :+ struct(rPayload.map(col): _*).as("__p"): _*)))
+        .as("__hist"))
+
+    val backward = direction == "backward"
+    val joined = left.join(broadcast(hist), on, "left")
+    // fold: keep the LAST qualifying entry (backward) or the FIRST
+    // (forward) of the ascending history
+    val qualifies = (entry: Column) =>
+      if (backward) entry("__ots") <= col(leftTs)
+      else entry("__ots") >= col(leftTs)
+    // a null __hist (unmatched key under the left join) null-propagates
+    // through the fold — exactly the no-match result
+    val pick = aggregate(
+      col("__hist"),
+      lit(null).cast(structType(right, rPayload)),
+      (acc, entry) => {
+        val take =
+          if (backward) qualifies(entry) // later qualifying entries overwrite
+          else qualifies(entry) && acc.isNull // first qualifying wins
+        when(take, entry("__p")).otherwise(acc)
+      })
+
+    val withMatch = joined.withColumn("__m", pick)
+    val tolFiltered = tolerance match {
+      case Some(tol) =>
+        val near =
+          if (backward) col("__m")(rightTs) >= col(leftTs) - tol
+          else col("__m")(rightTs) <= col(leftTs) + tol
+        withMatch.withColumn("__m", when(near, col("__m")))
+      case None => withMatch
+    }
+    val matched =
+      if (joinType == "inner") tolFiltered.filter(col("__m").isNotNull)
+      else tolFiltered
+    matched.select(
+      (lCols.map(col) ++ rPayload.map(c => col("__m")(c).as(c))): _*)
+  }
+
+  /**
    * Range (point-in-interval) join: every `points` row paired with every
    * `intervals` row whose half-open [startCol, endCol) contains
    * `pointCol`. Inner join; output = point columns ++ interval columns.

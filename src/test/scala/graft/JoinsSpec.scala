@@ -255,6 +255,53 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinBroadcast equals asofJoin on randomized inputs, all arms") {
+    val rnd = new scala.util.Random(13)
+    val l = Seq.tabulate(60)(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(20).toLong))
+      .toDF("lid", "k", "lts")
+    val r = Seq.tabulate(40)(i =>
+      (1000L + i, s"k${rnd.nextInt(6)}", rnd.nextInt(20).toLong, rnd.nextDouble()))
+      .toDF("rid", "k", "rts", "payload")
+    for {
+      dir <- Seq("backward", "forward")
+      jt <- Seq("left", "inner")
+      tol <- Seq(None, Some(lit(3L)))
+    } {
+      val a = Joins.asofJoin(l, r, Seq("k"), "lts", "rts",
+          direction = dir, tolerance = tol, joinType = jt, tieBreak = Some("rid"))
+        .select("lid", "rid", "payload")
+        .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+      val b = Joins.asofJoinBroadcast(l, r, Seq("k"), "lts", "rts",
+          direction = dir, tolerance = tol, joinType = jt, tieBreak = Some("rid"))
+        .select("lid", "rid", "payload")
+        .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+      assert(a === b, s"dir=$dir joinType=$jt tol=${tol.isDefined}")
+    }
+  }
+
+  test("asofJoinBroadcast runs on a memory stream (stream-static temporal join)") {
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    stream.addData((1L, "A", 10L), (2L, "A", 3L), (3L, "B", 7L))
+    val dim = Seq(
+      (100L, "A", 5L, "v1"), (101L, "A", 9L, "v2"), (102L, "B", 8L, "w1"))
+      .toDF("rid", "k", "rts", "ver")
+    val q = Joins.asofJoinBroadcast(
+        stream.toDF().toDF("lid", "k", "lts"), dim,
+        Seq("k"), "lts", "rts", tieBreak = Some("rid"))
+      .select("lid", "rid", "ver")
+      .writeStream.format("memory").queryName("asof_bcast").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("asof_bcast")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(got === Set(
+      (1L, Some(101L), Some("v2")), // latest A version at ts 10
+      (2L, None, None),             // before any A version
+      (3L, None, None)))            // B's only version is later
+  }
+
   test("rangeJoin and overlapJoin match brute force on randomized intervals") {
     val rnd = new scala.util.Random(7)
     val pts = Seq.tabulate(80)(i => (i.toLong, rnd.nextInt(100).toLong))
