@@ -37,6 +37,13 @@ object Graph {
    * like any edge; pass `dedupEdges = false` only if the input is
    * already distinct (parallel edges would double-count mass).
    *
+   * Two arms, chosen by edge count (the [[Dedup.connectedComponents]]
+   * convention): at or below `localizeEdgeLimit` the (deduped) edge
+   * list collects and iterates on the DRIVER — metadata-scale flops,
+   * ZERO per-round jobs or cached blocks; above it, the distributed
+   * join-shaped loop below runs. Both arms evaluate the same formula
+   * in the same per-term order (GraphSpec pins agreement to 1e-12).
+   *
    * Returns (`node`, `rank`). Output is node-sized; at web scale that
    * is domains — metadata next to the corpus. When the node count is at
    * most `localizeNodeLimit` (the common case: domains, not documents),
@@ -54,7 +61,8 @@ object Graph {
     iterations: Int = 10,
     damping: Double = 0.85,
     dedupEdges: Boolean = true,
-    localizeNodeLimit: Long = 200000L
+    localizeNodeLimit: Long = 200000L,
+    localizeEdgeLimit: Long = 2000000L
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1): $damping")
@@ -63,6 +71,14 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = (if (dedupEdges) raw.distinct() else raw).persist()
     try {
+      // localized arm (the connectedComponents convention): a small edge
+      // list iterates on the DRIVER — metadata-scale flops, zero
+      // per-round jobs — instead of paying 2·iterations Spark jobs of
+      // fixed scheduling cost. Same formula, same (ts-free) determinism;
+      // GraphSpec pins arm agreement to 1e-12.
+      val edgeCount = e.count()
+      if (edgeCount <= localizeEdgeLimit)
+        return localizedPageRank(e, iterations, damping)
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
         .distinct()
@@ -126,5 +142,71 @@ object Graph {
         } finally { weighted.unpersist(); dangling.unpersist() }
       } finally nodes.unpersist()
     } finally e.unpersist()
+  }
+
+  /**
+   * Driver-side power iteration over a collected (bounded) edge list:
+   * index-mapped arrays, the SAME per-round formula as the distributed
+   * arm in the same evaluation order per term. Zero per-round jobs,
+   * zero cached blocks; the labels return as a local relation (or a
+   * parallelized flat plan past 200k nodes, the localizedComponents
+   * convention).
+   */
+  private def localizedPageRank(
+    e: DataFrame, iterations: Int, damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val idx = new java.util.LinkedHashMap[Any, Integer]()
+    def id(x: Any): Int = {
+      var i = idx.get(x)
+      if (i == null) { i = Integer.valueOf(idx.size()); idx.put(x, i) }
+      i.intValue
+    }
+    val srcs = new Array[Int](rows.length)
+    val dsts = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      srcs(i) = id(rows(i).get(0)); dsts(i) = id(rows(i).get(1)); i += 1
+    }
+    val n = idx.size()
+    val out = new Array[Double](n)
+    i = 0
+    while (i < rows.length) { out(srcs(i)) += 1.0; i += 1 }
+    var rank = Array.fill(n)(1.0 / n)
+    val base = (1.0 - damping) / n
+    var it = 0
+    while (it < iterations) {
+      val contrib = new Array[Double](n)
+      i = 0
+      while (i < rows.length) {
+        contrib(dsts(i)) += (1.0 / out(srcs(i))) * rank(srcs(i)); i += 1
+      }
+      var dm = 0.0
+      var v = 0
+      while (v < n) { if (out(v) == 0.0) dm += rank(v); v += 1 }
+      val next = new Array[Double](n)
+      v = 0
+      while (v < n) { next(v) = base + damping * (contrib(v) + dm / n); v += 1 }
+      rank = next
+      it += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", e.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    val nodeIt = idx.keySet().iterator()
+    var v = 0
+    while (nodeIt.hasNext) {
+      outRows.add(org.apache.spark.sql.Row(nodeIt.next(), rank(v))); v += 1
+    }
+    if (n <= 200000) spark.createDataFrame(outRows, schema)
+    else {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          outRows.asScala.toIndexedSeq, math.max(1, n / 500000)),
+        schema)
+    }
   }
 }

@@ -80,14 +80,33 @@ class GraphSpec extends SparkSpec {
     GraftSession.sweepPersistedState(spark)
   }
 
-  test("pageRank above the localize limit: checkpoint-backed, caller frees") {
+  test("pageRank distributed arm (forced): agrees with the localized arm to 1e-12") {
     val df = diamond.toDF("s", "t")
-    val r = Graph.pageRank(df, "s", "t", iterations = 4, localizeNodeLimit = 0)
+    // localizeEdgeLimit = 0 forces the join-shaped loop even on a tiny
+    // graph; localizeNodeLimit = 0 additionally forces the
+    // checkpoint-backed result (caller frees)
+    val r = Graph.pageRank(df, "s", "t", iterations = 4,
+      localizeNodeLimit = 0, localizeEdgeLimit = 0)
     val v = r.as[(String, Double)].collect().toMap
+    val local = Graph.pageRank(df, "s", "t", iterations = 4)
+      .as[(String, Double)].collect().toMap
     val want = referenceRanks(diamond, 4)
-    for ((k, x) <- want) assert(math.abs(v(k) - x) < 1e-12, k)
+    for ((k, x) <- want) {
+      assert(math.abs(v(k) - x) < 1e-12, k)
+      assert(math.abs(local(k) - x) < 1e-12, k)
+      assert(math.abs(v(k) - local(k)) < 1e-12, k)
+    }
     org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(r)
     assert(GraftSession.sweepPersistedState(spark) === 0)
+  }
+
+  test("pageRank distributed arm with node-localized result: no blocks left") {
+    val df = diamond.toDF("s", "t")
+    val r = Graph.pageRank(df, "s", "t", iterations = 3, localizeEdgeLimit = 0)
+    val v = r.as[(String, Double)].collect().toMap
+    assert(GraftSession.sweepPersistedState(spark) === 0)
+    val want = referenceRanks(diamond, 3)
+    for ((k, x) <- want) assert(math.abs(v(k) - x) < 1e-12, k)
   }
 
   test("pageRank validates its arguments") {
