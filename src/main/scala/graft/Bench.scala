@@ -86,7 +86,8 @@ object Bench {
     "q_global_index",       // dense global index: range shuffle + zipWithIndex, no single-partition sort (r11)
     "q_pagerank",           // domain PageRank: per-round one join + one agg over a persisted weighted edge list (r11)
     "q_pq_topk",            // PQ ADC search: broadcast distance tables + m positional lookups per corpus row (r11)
-    "q_pq_recall"           // trained PQ two-stage pipeline vs exact L2 (train+encode+ADC+rerank+compare) (r11)
+    "q_pq_recall",          // trained PQ two-stage pipeline vs exact L2 (train+encode+ADC+rerank+compare) (r11)
+    "q_corpus_diff"         // snapshot diff: (id, digest) projections + one full-outer join, delta-sized output (r11)
   )
 
   private def jsonStr(s: String): String =

@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Joins, Skew, TrainingOrder}
+import graft.operators.{Dedup, Graph, Joins, Skew, TrainingOrder}
 import graft.sources.Bucketing
 import graft.streaming.Events
 
@@ -158,6 +158,19 @@ object InfraGates {
       Graph.pageRank(edges, "src", "dst", iterations = PageRankIters)
         .select(col("node"), round(col("rank"), 6).as("rank"))
     },
+    // §2.4 row 93 — corpus snapshot diff: a derived "refresh" snapshot
+    // (deterministic removals, revisions, additions) diffed against the
+    // original; the oracle rebuilds the same snapshot and full-joins
+    "q_corpus_diff" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val revised = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev]")))
+            .otherwise(col("text")))
+      val added = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.corpusDiff(docs, revised.unionByName(added), "text", "doc_id")
+    },
     // §2.4 row 89 — dense global index without a single-partition sort:
     // range shuffle + zipWithIndex ≡ row_number() OVER (ORDER BY …)
     "q_global_index" -> { (s, dir) =>
@@ -280,6 +293,25 @@ object InfraGates {
         |SELECT p.p_id, p.p_start, e.e_id, e.e_start
         |FROM p JOIN e
         |  ON greatest(p.p_start, e.e_start) < least(p.p_end, e.e_end)""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |n AS (
+        |  SELECT doc_id, md5(text) AS fp FROM (
+        |    SELECT doc_id,
+        |           CASE WHEN doc_id % 5 = 0 THEN text || ' [rev]'
+        |                ELSE text END AS text
+        |    FROM documents WHERE doc_id % 7 <> 0
+        |    UNION ALL
+        |    SELECT doc_id + 1000000 AS doc_id, text
+        |    FROM documents WHERE doc_id % 11 = 0)),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS id,
+        |         CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.fp <> n.fp THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
     "q_global_index" ->
       """SELECT event_id,
         |       row_number() OVER (ORDER BY ts, event_id) AS global_idx

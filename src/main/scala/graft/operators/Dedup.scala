@@ -100,6 +100,38 @@ object Dedup {
       .drop("__rn")
   }
 
+  /**
+   * Corpus snapshot diff — the audit a periodic refresh ships with its
+   * drop ([[dropExactDuplicatesAgainst]]'s sibling): per id, whether the
+   * document was `added` (id only in the new snapshot), `removed` (only
+   * in the old), `changed` (same id, different md5 of the RAW text — a
+   * refresh that re-cases or re-spaces a doc is a change worth seeing,
+   * so no normalization here), or `unchanged`.
+   *
+   * Scale shape: both sides reduce to (id, 16-byte digest) projections
+   * before the ONE full-outer hash join — text never shuffles. By
+   * default `unchanged` rows are omitted so the output is DELTA-sized
+   * (at 100 TB the delta is what fits; pass `includeUnchanged = true`
+   * for the corpus-sized audit table).
+   */
+  def corpusDiff(
+    oldDf: DataFrame,
+    newDf: DataFrame,
+    textCol: String,
+    idCol: String,
+    includeUnchanged: Boolean = false
+  ): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__ofp"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nfp"))
+    val joined = o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") =!= col("__nfp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+    if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /**

@@ -743,4 +743,24 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaAqe == viaHint)
   }
+
+  test("corpusDiff: added/removed/changed/unchanged, delta-sized by default") {
+    import spark.implicits._
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val newDf = Seq((1L, "a"), (2L, "B!"), (4L, "d"), (9L, "new")).toDF("doc_id", "text")
+    val delta = Dedup.corpusDiff(oldDf, newDf, "text", "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(delta === Set((2L, "changed"), (3L, "removed"), (9L, "added")))
+    val full = Dedup.corpusDiff(oldDf, newDf, "text", "doc_id",
+        includeUnchanged = true)
+      .as[(Long, String)].collect().toSet
+    assert(full === delta ++ Set((1L, "unchanged"), (4L, "unchanged")))
+    // raw-text digest: a case change IS a change (no normalization)
+    val cased = Dedup.corpusDiff(oldDf, oldDf.withColumn("text", upper(col("text"))),
+        "text", "doc_id")
+      .as[(Long, String)].collect()
+    assert(cased.length === 4 && cased.forall(_._2 == "changed"))
+    // identical snapshots → empty delta
+    assert(Dedup.corpusDiff(oldDf, oldDf, "text", "doc_id").isEmpty)
+  }
 }
