@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Graph, Joins, Skew, TrainingOrder}
+import graft.operators.{Dedup, Graph, Joins, Sampling, Skew, TrainingOrder}
 import graft.sources.Bucketing
 import graft.streaming.Events
 
@@ -171,6 +171,25 @@ object InfraGates {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       Dedup.corpusDiff(docs, revised.unionByName(added), "text", "doc_id")
     },
+    // §2.4 row 94 — SCD2 dimension build: each user's signup events
+    // become versioned rows with half-open validity (lead per key)
+    "q_scd2" -> { (s, dir) =>
+      Joins.scd2(
+          Events.readEventsParquet(s, s"$dir/events.parquet")
+            .filter(col("event_type") === "signup")
+            .select("event_id", "user_id", "ts"),
+          Seq("user_id"), "ts")
+        .select("event_id", "user_id", "valid_from", "valid_to")
+    },
+    // §2.4 row 95 — temperature mixing at T=2: weights = floor(sqrt(count))
+    // per language (sqrt is exactly rounded, so the oracle re-derives the
+    // integer weights bit-for-bit), then rebalance's exact-arithmetic cut
+    "q_temp_rebalance" -> { (s, dir) =>
+      Sampling.temperatureRebalance(
+          s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "lang", Seq("en", "de", "fr"), temperature = 2.0)
+        .select("doc_id", "lang")
+    },
     // §2.4 row 89 — dense global index without a single-partition sort:
     // range shuffle + zipWithIndex ≡ row_number() OVER (ORDER BY …)
     "q_global_index" -> { (s, dir) =>
@@ -312,6 +331,23 @@ object InfraGates {
         |              ELSE 'unchanged' END AS status
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
+    "q_scd2" ->
+      """SELECT event_id, user_id, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |FROM events WHERE event_type = 'signup'""".stripMargin,
+    "q_temp_rebalance" ->
+      s"""WITH c AS (
+         |  SELECT lang, count(*)::BIGINT AS c FROM documents
+         |  WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
+         |w AS (SELECT lang, c,
+         |        greatest(1, floor(sqrt(c::DOUBLE))::BIGINT) AS w FROM c),
+         |sw AS (SELECT sum(w)::BIGINT AS sumw FROM w),
+         |nn AS (SELECT min(c * sumw // w) AS n FROM w, sw),
+         |th AS (SELECT lang, ((n * w // sumw) * ${graft.operators.Sampling.Buckets} // c) AS t
+         |       FROM w, sw, nn)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN th ON d.lang = th.lang
+         |WHERE ${LlmGates.h60("'graft:' || doc_id")} % ${graft.operators.Sampling.Buckets} < th.t""".stripMargin,
     "q_global_index" ->
       """SELECT event_id,
         |       row_number() OVER (ORDER BY ts, event_id) AS global_idx

@@ -251,6 +251,34 @@ object Joins {
   }
 
   /**
+   * Type-2 slowly-changing-dimension build: each key's change events
+   * become versioned rows with half-open validity — `validFrom` = the
+   * row's own `tsCol`, `validTo` = the key's NEXT change (`lead`), NULL
+   * for the current version. One hash shuffle on the keys + one sorted
+   * window pass.
+   *
+   * Composes with the temporal joins above: [[asofJoin]] a fact stream
+   * directly against the raw change events, or cap the open `validTo`
+   * with a sentinel max-timestamp and [[rangeJoin]] facts into the
+   * versions for a point-in-time join. `(keyCols, tsCol)` must be
+   * unique per row — two changes in the same instant have no defined
+   * order (the same contract as [[TrainingOrder.withGlobalIndex]]).
+   */
+  def scd2(
+    df: DataFrame,
+    keyCols: Seq[String],
+    tsCol: String,
+    validFrom: String = "valid_from",
+    validTo: String = "valid_to"
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    Cols.requireAbsent(df, validFrom, validTo)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
+    df.withColumn(validFrom, col(tsCol))
+      .withColumn(validTo, lead(col(tsCol), 1).over(w))
+  }
+
+  /**
    * Range (point-in-interval) join: every `points` row paired with every
    * `intervals` row whose half-open [startCol, endCol) contains
    * `pointCol`. Inner join; output = point columns ++ interval columns.

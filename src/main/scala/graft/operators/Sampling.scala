@@ -211,6 +211,53 @@ object Sampling {
   }
 
   /**
+   * Temperature-based corpus mixing (the XLM-R / mT5 multilingual rule):
+   * stratum s is kept in proportion to count(s)^(1/T) — T = 1 preserves
+   * the natural mix, T → ∞ approaches uniform, T = 2 (the default, and
+   * the common published setting) square-roots the counts so
+   * low-resource strata are upsampled RELATIVELY without exhausting
+   * them. The exponentiated counts become integer target weights
+   * (floored, min 1) for [[rebalance]], which does the exact-arithmetic
+   * membership cut — deterministic, nesting, rerun-stable.
+   *
+   * T = 2 computes weights via `sqrt` — exactly rounded by IEEE 754 on
+   * every engine, so an oracle can re-derive the floored weights
+   * bit-for-bit. Other temperatures go through `pow`, whose last-ulp
+   * behavior is libm-specific; results are deterministic WITHIN a
+   * deployment but a cross-engine re-derivation may flip a weight at a
+   * perfect-power boundary (the gate pins T = 2).
+   *
+   * Cost: one metadata-sized count aggregation here plus rebalance's
+   * own — two tiny jobs before the single corpus-scan filter.
+   */
+  def temperatureRebalance(
+    df: DataFrame,
+    idCol: String,
+    strataCol: String,
+    strata: Seq[String],
+    temperature: Double = 2.0,
+    seed: String = "graft"
+  ): DataFrame = {
+    require(strata.nonEmpty, "at least one stratum required")
+    require(strata.distinct.size == strata.size, s"duplicate strata in $strata")
+    require(temperature >= 1.0, s"temperature must be >= 1: $temperature")
+    val strataC = col(strataCol).cast("string")
+    val counts = df.filter(strataC.isin(strata: _*))
+      .groupBy(strataC.as("__stratum")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = strata.toSet -- counts.keySet
+    require(missing.isEmpty,
+      s"strata absent from the corpus: ${missing.mkString(", ")}")
+    val weights = strata.map { s =>
+      val root =
+        if (temperature == 2.0) math.sqrt(counts(s).toDouble) // exactly rounded
+        else math.pow(counts(s).toDouble, 1.0 / temperature)
+      s -> math.max(1L, math.floor(root).toLong)
+    }
+    rebalance(df, idCol, strataCol, weights, seed)
+  }
+
+  /**
    * Keep the top `fraction` of each group by `orderCol` — the RELATIVE
    * quality floor ("drop the worst 30% per language"), done rank-wise
    * rather than threshold-wise so the cut is exact even when scores tie

@@ -206,6 +206,30 @@ class JoinsSpec extends SparkSpec {
     assert(got === expected && got.nonEmpty)
   }
 
+  // ---- scd2 ----
+
+  test("scd2: versioned validity chains per key, open-ended current version") {
+    val changes = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (2L, "A", ts("2024-01-02 10:00:00")),
+      (3L, "A", ts("2024-01-03 10:00:00")),
+      (4L, "B", ts("2024-01-05 10:00:00"))
+    ).toDF("change_id", "k", "t")
+    val out = Joins.scd2(changes, Seq("k"), "t")
+      .select("change_id", "valid_from", "valid_to")
+      .as[(Long, Timestamp, Option[Timestamp])].collect().sortBy(_._1)
+    assert(out.map(_._2) === Seq(
+      ts("2024-01-01 10:00:00"), ts("2024-01-02 10:00:00"),
+      ts("2024-01-03 10:00:00"), ts("2024-01-05 10:00:00")))
+    assert(out.map(_._3) === Seq(
+      Some(ts("2024-01-02 10:00:00")), Some(ts("2024-01-03 10:00:00")),
+      None, None)) // each key's last version is open
+    intercept[IllegalArgumentException] { Joins.scd2(changes, Seq.empty, "t") }
+    intercept[IllegalArgumentException] {
+      Joins.scd2(changes.withColumnRenamed("change_id", "valid_to"), Seq("k"), "t")
+    }
+  }
+
   // ---- withGlobalIndex ----
 
   test("withGlobalIndex equals row_number over the total order") {

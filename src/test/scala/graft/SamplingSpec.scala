@@ -366,4 +366,35 @@ class SamplingSpec extends SparkSpec {
       Sampling.withQuantileBucket(df.withColumn("q_bucket", lit(1)), "v")
     }
   }
+
+  test("temperatureRebalance: T=2 upsamples scarce strata relative to natural mix") {
+    import spark.implicits._
+    // natural mix 1600:100 (16:1); sqrt weights 40:10 → target mix 4:1 —
+    // the scarce stratum's SHARE quadruples without exhausting it
+    val df = ((1L to 1600L).map(i => (i, "en")) ++ (2001L to 2100L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureRebalance(df, "doc_id", "lang",
+        Seq("en", "de"), temperature = 2.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // de binds: N = min(1600*50/40, 100*50/10) = 500 → takes 400/100
+    // de keeps ~all 100; en samples ~400 of 1600
+    assert(out("de") > 85 && out("de") <= 100, out.toString)
+    assert(math.abs(out("en") - 400.0) / 400.0 < 0.2, out.toString)
+    val share = out("en").toDouble / out("de")
+    assert(share > 2.5 && share < 5.5, s"expected ~4:1 mix, got $share")
+    // T=1 preserves the natural mix (weights = raw counts)
+    val nat = Sampling.temperatureRebalance(df, "doc_id", "lang",
+        Seq("en", "de"), temperature = 1.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natShare = nat("en").toDouble / nat("de")
+    assert(natShare > 10 && natShare < 22, s"expected ~16:1 natural mix, got $natShare")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureRebalance(df, "doc_id", "lang", Seq("en"), temperature = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureRebalance(df, "doc_id", "lang", Seq("en", "ja"))
+    }
+  }
 }
