@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Graph, Joins, Sampling, Skew, TrainingOrder}
+import graft.operators.{Checks, Dedup, Graph, Joins, Sampling, Skew, TrainingOrder}
 import graft.sources.Bucketing
 import graft.streaming.Events
 
@@ -190,6 +190,18 @@ object InfraGates {
           "doc_id", "lang", Seq("en", "de", "fr"), temperature = 2.0)
         .select("doc_id", "lang")
     },
+    // §2.4 row 96 — declarative data-quality checks: five rule types in
+    // ONE aggregation pass; the oracle recomputes every metric and
+    // verdict from the same count ratios
+    "q_quality_checks" -> { (s, dir) =>
+      Checks.report(s.read.parquet(s"$dir/documents.parquet"), Seq(
+          Checks.NonNullRate("text", 1.0),
+          Checks.UniqueRate("doc_id", 1.0),
+          Checks.AcceptedValues("lang", Seq("en", "de", "fr", "es", "zh"), 1.0),
+          Checks.MatchRate("source", "^src[0-9]+$", 1.0),
+          Checks.ValueRange("n_chars", Some(1.0), Some(1.0e9))))
+        .withColumn("metric", round(col("metric"), 6))
+    },
     // §2.4 row 89 — dense global index without a single-partition sort:
     // range shuffle + zipWithIndex ≡ row_number() OVER (ORDER BY …)
     "q_global_index" -> { (s, dir) =>
@@ -331,6 +343,37 @@ object InfraGates {
         |              ELSE 'unchanged' END AS status
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
+    "q_quality_checks" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         count(text) AS nn_text,
+        |         count(DISTINCT doc_id) AS d_id, count(doc_id) AS nn_id,
+        |         count(CASE WHEN lang IN ('en','de','fr','es','zh')
+        |                    THEN 1 END) AS acc, count(lang) AS nn_lang,
+        |         count(CASE WHEN regexp_matches(source, '^src[0-9]+$')
+        |                    THEN 1 END) AS mt, count(source) AS nn_src,
+        |         min(n_chars::DOUBLE) AS lo, max(n_chars::DOUBLE) AS hi
+        |  FROM documents)
+        |SELECT 'non_null_rate(text)' AS rule, 'text' AS "column",
+        |       round(nn_text::DOUBLE / n, 6) AS metric, 1.0 AS threshold,
+        |       CASE WHEN nn_text::DOUBLE / n >= 1.0 THEN 1 ELSE 0 END AS ok
+        |FROM m
+        |UNION ALL
+        |SELECT 'unique_rate(doc_id)', 'doc_id',
+        |       round(d_id::DOUBLE / nn_id, 6), 1.0,
+        |       CASE WHEN d_id::DOUBLE / nn_id >= 1.0 THEN 1 ELSE 0 END FROM m
+        |UNION ALL
+        |SELECT 'accepted_values(lang)', 'lang',
+        |       round(acc::DOUBLE / nn_lang, 6), 1.0,
+        |       CASE WHEN acc::DOUBLE / nn_lang >= 1.0 THEN 1 ELSE 0 END FROM m
+        |UNION ALL
+        |SELECT 'match_rate(source)', 'source',
+        |       round(mt::DOUBLE / nn_src, 6), 1.0,
+        |       CASE WHEN mt::DOUBLE / nn_src >= 1.0 THEN 1 ELSE 0 END FROM m
+        |UNION ALL
+        |SELECT 'value_range(n_chars)', 'n_chars',
+        |       CASE WHEN lo >= 1.0 AND hi <= 1.0e9 THEN 1.0 ELSE 0.0 END, 1.0,
+        |       CASE WHEN lo >= 1.0 AND hi <= 1.0e9 THEN 1 ELSE 0 END FROM m""".stripMargin,
     "q_scd2" ->
       """SELECT event_id, user_id, ts AS valid_from,
         |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality validation (the Deequ/dbt-tests niche,
+ * re-expressed Spark-first): a rule set compiles to ONE aggregation
+ * pass over the corpus — however many rules, the data is scanned once
+ * and every metric rides the same partial-aggregate shuffle of a single
+ * row. The report is metadata-sized (one row per rule), so acting on
+ * it (gate a pipeline stage, alert, fail the job) costs nothing beyond
+ * the scan.
+ *
+ * Metrics are exact (count ratios and min/max — engine-portable, so a
+ * SQL oracle re-derives them bit-for-bit), with the one documented
+ * exception that [[Checks.UniqueRate]] uses an exact count-distinct:
+ * Spark plans multi-distinct aggregates with an Expand (input rows
+ * duplicated per distinct column), so prefer ONE UniqueRate per call
+ * at corpus scale, or accept the Expand cost knowingly.
+ */
+object Checks {
+
+  /** A named expectation over one column. `name` defaults per type. */
+  sealed trait Rule {
+    def column: String
+    def name: String
+  }
+
+  /** Fraction of rows with `column` non-null must be ≥ `minRate`. */
+  case class NonNullRate(column: String, minRate: Double) extends Rule {
+    require(minRate >= 0 && minRate <= 1, s"minRate must be in [0,1]: $minRate")
+    def name = s"non_null_rate($column)"
+  }
+
+  /** Distinct non-null values / non-null rows must be ≥ `minRate`
+    * (1.0 = the column is a key among non-null rows). */
+  case class UniqueRate(column: String, minRate: Double) extends Rule {
+    require(minRate >= 0 && minRate <= 1, s"minRate must be in [0,1]: $minRate")
+    def name = s"unique_rate($column)"
+  }
+
+  /** Every non-null value must lie in [min, max] (either side optional). */
+  case class ValueRange(column: String,
+      min: Option[Double] = None, max: Option[Double] = None) extends Rule {
+    require(min.isDefined || max.isDefined, "ValueRange needs min and/or max")
+    def name = s"value_range($column)"
+  }
+
+  /** Fraction of non-null values inside `values` must be ≥ `minRate`. */
+  case class AcceptedValues(column: String, values: Seq[String],
+      minRate: Double = 1.0) extends Rule {
+    require(values.nonEmpty, "AcceptedValues needs at least one value")
+    require(minRate >= 0 && minRate <= 1, s"minRate must be in [0,1]: $minRate")
+    def name = s"accepted_values($column)"
+  }
+
+  /** Fraction of non-null values matching `regex` must be ≥ `minRate`. */
+  case class MatchRate(column: String, regex: String, minRate: Double) extends Rule {
+    require(minRate >= 0 && minRate <= 1, s"minRate must be in [0,1]: $minRate")
+    def name = s"match_rate($column)"
+  }
+
+  /** ratio with fail-closed semantics: 0 denominator → NULL metric
+    * (which never satisfies ≥, so an empty corpus FAILS its checks
+    * rather than vacuously passing). */
+  private def rate(num: Column, den: Column): Column =
+    when(den === 0, lit(null)).otherwise(num.cast("double") / den.cast("double"))
+
+  /**
+   * Evaluate every rule in one corpus scan. Returns one row per rule:
+   * `(rule, column, metric, threshold, ok)` — `metric` the measured
+   * value (null on an empty/all-null input where the rate is
+   * undefined), `ok` 1/0 with null-metric failing closed. Row order
+   * follows the input rule order.
+   */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    // one aggregate expression list; each rule contributes its terms
+    val exprs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    exprs += count(lit(1)).as("__n")
+    rules.zipWithIndex.foreach { case (r, i) =>
+      r match {
+        case NonNullRate(c, _) =>
+          exprs += count(col(c)).as(s"__m$i")
+        case UniqueRate(c, _) =>
+          exprs += countDistinct(col(c)).as(s"__m$i")
+          exprs += count(col(c)).as(s"__d$i")
+        case ValueRange(c, _, _) =>
+          exprs += min(col(c).cast("double")).as(s"__lo$i")
+          exprs += max(col(c).cast("double")).as(s"__hi$i")
+          exprs += count(col(c)).as(s"__d$i")
+        case AcceptedValues(c, vs, _) =>
+          exprs += count(when(col(c).isin(vs: _*), lit(1))).as(s"__m$i")
+          exprs += count(col(c)).as(s"__d$i")
+        case MatchRate(c, re, _) =>
+          exprs += count(when(regexp_like(col(c), lit(re)), lit(1))).as(s"__m$i")
+          exprs += count(col(c)).as(s"__d$i")
+      }
+    }
+    val row = df.agg(exprs.head, exprs.tail.toSeq: _*).collect().head
+    def l(n: String): Long = row.getAs[Long](n)
+    def dOpt(n: String): Option[Double] =
+      if (row.isNullAt(row.fieldIndex(n))) None else Some(row.getAs[Double](n))
+    val n = l("__n")
+    val out = rules.zipWithIndex.map { case (r, i) =>
+      val (metric: Option[Double], threshold: Double) = r match {
+        case NonNullRate(_, t) =>
+          (if (n == 0) None else Some(l(s"__m$i").toDouble / n.toDouble), t)
+        case UniqueRate(_, t) =>
+          val d = l(s"__d$i")
+          (if (d == 0) None else Some(l(s"__m$i").toDouble / d.toDouble), t)
+        case ValueRange(_, lo, hi) =>
+          val d = l(s"__d$i")
+          if (d == 0) (None, 1.0)
+          else {
+            val mn = dOpt(s"__lo$i").get
+            val mx = dOpt(s"__hi$i").get
+            val inRange = lo.forall(mn >= _) && hi.forall(mx <= _)
+            (Some(if (inRange) 1.0 else 0.0), 1.0)
+          }
+        case AcceptedValues(_, _, t) =>
+          val d = l(s"__d$i")
+          (if (d == 0) None else Some(l(s"__m$i").toDouble / d.toDouble), t)
+        case MatchRate(_, _, t) =>
+          val d = l(s"__d$i")
+          (if (d == 0) None else Some(l(s"__m$i").toDouble / d.toDouble), t)
+      }
+      Row(r.name, r.column, metric.orNull, threshold,
+        if (metric.exists(_ >= threshold)) 1 else 0)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rule",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("column",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("metric",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("threshold",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("ok",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
+  }
+
+  /**
+   * Gate form: run [[report]], throw `IllegalStateException` naming
+   * every failed rule (with measured vs required) if any `ok` = 0;
+   * return the input unchanged otherwise — drop it into a pipeline
+   * between stages.
+   */
+  def enforce(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val rep = report(df, rules).collect()
+    val bad = rep.filter(_.getInt(4) == 0)
+    if (bad.nonEmpty) {
+      val detail = bad.map { r =>
+        val m = if (r.isNullAt(2)) "undefined (empty input)" else f"${r.getDouble(2)}%.6f"
+        s"${r.getString(0)}: measured $m, required >= ${r.getDouble(3)}"
+      }.mkString("; ")
+      throw new IllegalStateException(s"data-quality checks failed: $detail")
+    }
+    df
+  }
+}
