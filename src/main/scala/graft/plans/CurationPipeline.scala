@@ -92,6 +92,13 @@ object CurationPipeline {
       * normalization and every text stage. Off by default: pre-extracted
       * corpora pay nothing and the composed e2e oracle is markup-free. */
     stripHtml: Boolean = false,
+    /** Fail-fast data-quality gate on the RAW input corpus
+      * ([[graft.operators.Checks.enforce]]): when non-empty, the rules
+      * run as ONE aggregation pass before any pipeline stage and an
+      * `IllegalStateException` naming every failed rule aborts the run
+      * — malformed drops are rejected before a 100 TB pipeline spends
+      * its scans on them. Empty (default) costs nothing. */
+    inputExpectations: Seq[graft.operators.Checks.Rule] = Seq.empty,
     /** Unicode-normalize text next (e.g. Some("NFC")) so composed and
       * decomposed forms of the same content collapse for every
       * hash-keyed stage downstream — line rules, exact dedup, shingle
@@ -390,6 +397,10 @@ object CurationPipeline {
     cfg: Config,
     observe: (String, DataFrame) => DataFrame
   )(action: DataFrame => T): T = {
+    // fail-fast expectations on the RAW input, before any stage spends a
+    // pass on it (one extra aggregation scan — only when configured)
+    if (cfg.inputExpectations.nonEmpty)
+      graft.operators.Checks.enforce(corpus, cfg.inputExpectations)
     val scrubbed = observe("scrubbed", scrub(corpus, textCol, idCol, cfg)).persist()
     val pinned = scala.collection.mutable.Buffer[DataFrame](scrubbed)
     val pin: DataFrame => DataFrame = df => { pinned += df.persist(); df }

@@ -292,6 +292,26 @@ class CurationPipelineSpec extends SparkSpec {
     assert(splitsOfA.size > 1, s"cut stratum landed only in $splitsOfA")
   }
 
+  test("inputExpectations: a failing rule aborts before any stage; passing rules cost-gate through") {
+    val corpus = Seq(
+      (1L, "plain text one"),
+      (1L, "plain text two"), // duplicate id → UniqueRate fails
+      (3L, "plain text three")
+    ).toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      CurationPipeline.run(corpus, "text", "doc_id",
+        CurationPipeline.Config(inputExpectations = Seq(
+          graft.operators.Checks.UniqueRate("doc_id", 1.0))))(_.count())
+    }
+    assert(ex.getMessage.contains("unique_rate(doc_id)"))
+    // passing expectations: pipeline runs normally
+    val n = CurationPipeline.run(corpus.filter(col("doc_id") =!= 1L), "text", "doc_id",
+      CurationPipeline.Config(inputExpectations = Seq(
+        graft.operators.Checks.UniqueRate("doc_id", 1.0),
+        graft.operators.Checks.NonNullRate("text", 1.0))))(_.count())
+    assert(n === 1L)
+  }
+
   test("no eval set, no quality floor: only scrub/line/dedup stages act") {
     val corpus = Seq(
       (1L, "plain text one"),
