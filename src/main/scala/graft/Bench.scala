@@ -90,7 +90,8 @@ object Bench {
     "q_corpus_diff",        // snapshot diff: (id, digest) projections + one full-outer join, delta-sized output (r11)
     "q_scd2",               // SCD2 build: one key shuffle + lead window (r11)
     "q_temp_rebalance",     // temperature mixing: two metadata jobs + one scan filter (r11)
-    "q_quality_checks"      // data-quality rules: one aggregation pass, metadata-sized report (r11)
+    "q_quality_checks",     // data-quality rules: one aggregation pass, metadata-sized report (r11)
+    "q_funnel"              // ordered funnel: one user-keyed min-agg pass per step (r11)
   )
 
   private def jsonStr(s: String): String =

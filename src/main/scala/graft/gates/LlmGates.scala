@@ -961,6 +961,13 @@ object LlmGates {
           windowDuration = "10 minutes", slide = Some("5 minutes"))
         .withColumn("total_value", round(col("total_value"), 4))
     },
+    // §2.4 row 97 — ordered funnel (signup → click → purchase): greedy
+    // earliest completion per user, one min-agg pass per step, every
+    // shuffle on user_id; the oracle chains the same conditional mins
+    "q_funnel" -> { (s, dir) =>
+      Events.funnel(Events.readEventsParquet(s, s"$dir/events.parquet"),
+        Seq("signup", "click", "purchase"))
+    },
     // §2.4 row 39 — gap sessionization, relational batch form (equivalence
     // with the stateful streaming form is gated by StreamingSpec)
     "q_sessionize" -> { (s, dir) =>
@@ -2026,6 +2033,25 @@ object LlmGates {
         |       count(*) AS n_events,
         |       round(sum(value), 4) AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t_1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t_1 GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t_2 GROUP BY 1)
+        |SELECT t1.user_id, t1.t_1, t2.t_2, t3.t_3,
+        |       1 + (t2.t_2 IS NOT NULL)::INT + (t3.t_3 IS NOT NULL)::INT
+        |         AS steps_completed,
+        |       (t3.t_3 IS NOT NULL)::INT AS converted
+        |FROM t1
+        |LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),

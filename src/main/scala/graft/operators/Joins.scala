@@ -297,6 +297,12 @@ object Joins {
    * interval length: per-interval fan-out is len/width + 1 rows, and the
    * join key space (time bins) stays balanced for AQE to split if a hot
    * bin emerges.
+   *
+   * STREAM-STATIC: with streaming `points` and a static `intervals`
+   * table the whole plan is a projection + stream-static equi-join —
+   * Structured Streaming runs it unchanged (JoinsSpec pins the
+   * MemoryStream arm), e.g. live events tagged against a maintained
+   * incident/session window table.
    */
   def rangeJoin(
     points: DataFrame,

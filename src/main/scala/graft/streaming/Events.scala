@@ -260,4 +260,50 @@ object Events {
         out.result().iterator
       }
   }
+
+  /**
+   * Ordered-funnel analysis: per user, the earliest completion of the
+   * ordered `steps` sequence — step i's timestamp is the MIN ts of a
+   * step-i event at-or-after step i−1's chosen timestamp (the greedy
+   * earliest rule, which finds a completion iff ANY assignment of
+   * events to steps exists; the standard exchange argument). One row
+   * per user who reached step 1: `user_id, t_1..t_k` (null from the
+   * first unreached step), `steps_completed`, `converted`.
+   *
+   * Scale shape: NO per-user event collection and no state machine —
+   * the corpus scans once per step through a min-aggregation keyed by
+   * user, and the running per-user frontier (one row per qualifying
+   * user, k timestamps wide) joins back user-keyed each round. Every
+   * shuffle is on `userCol`; the event table is filtered to the step's
+   * type before it moves. k is the funnel length (small); a power user
+   * with millions of events costs the same as anyone else per pass.
+   */
+  def funnel(
+    events: DataFrame,
+    steps: Seq[String],
+    userCol: String = "user_id",
+    typeCol: String = "event_type",
+    tsCol: String = "ts"
+  ): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
+    require(steps.distinct.size == steps.size, s"duplicate steps in $steps")
+    val ev = events.select(
+      col(userCol).as("user_id"), col(typeCol).as("__t"), col(tsCol).as("__ts"))
+    var acc = ev.filter(col("__t") === steps.head)
+      .groupBy("user_id").agg(min(col("__ts")).as("t_1"))
+    for (i <- 2 to steps.size) {
+      val next = ev.filter(col("__t") === steps(i - 1))
+        .join(acc.select(col("user_id"), col(s"t_${i - 1}")), "user_id")
+        .filter(col("__ts") >= col(s"t_${i - 1}"))
+        .groupBy("user_id").agg(min(col("__ts")).as(s"t_$i"))
+      acc = acc.join(next, Seq("user_id"), "left")
+    }
+    val completed = (2 to steps.size)
+      .map(i => col(s"t_$i").isNotNull.cast("int"))
+      .foldLeft(lit(1))(_ + _)
+    acc
+      .withColumn("steps_completed", completed)
+      .withColumn("converted",
+        (col("steps_completed") === steps.size).cast("int"))
+  }
 }

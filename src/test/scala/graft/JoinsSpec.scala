@@ -206,6 +206,20 @@ class JoinsSpec extends SparkSpec {
     assert(got === expected && got.nonEmpty)
   }
 
+  test("rangeJoin runs stream-static: streaming points against static intervals") {
+    implicit val ctx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    stream.addData((1L, 5L), (2L, 10L), (3L, 17L), (4L, 100L))
+    val q = Joins.rangeJoin(
+        stream.toDF().toDF("pid", "x"), "x", intervals, "s", "e", binWidth = 4)
+      .select("pid", "iid")
+      .writeStream.format("memory").queryName("range_stream").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("range_stream").as[(Long, Long)].collect().sorted
+    assert(got === Seq((1L, 100L), (1L, 101L), (2L, 101L), (3L, 101L), (4L, 103L)))
+  }
+
   // ---- scd2 ----
 
   test("scd2: versioned validity chains per key, open-ended current version") {

@@ -314,4 +314,32 @@ class StreamingSpec extends SparkSpec {
     assert(s2.n_events == 1L && s2.session_start == ts(50))
     assert(sessions(2).user_id == 2L && sessions(2).total_value == 8.0)
   }
+
+  test("funnel: greedy earliest completion, ordering respected, partial depths") {
+    val ev = Seq(
+      // user 1 completes in order
+      (1L, ts(0), "signup"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // user 2: purchase BEFORE the click → stalls at depth 2
+      (2L, ts(0), "signup"), (2L, ts(3), "purchase"), (2L, ts(7), "click"),
+      // user 3: signup only
+      (3L, ts(1), "signup"),
+      // user 4: never signs up → absent from the report
+      (4L, ts(0), "click"), (4L, ts(1), "purchase"),
+      // user 5: same-ts signup+click (inclusive >=), later purchase;
+      // an EARLIER click (ts 1) must not count — it precedes signup
+      (5L, ts(1), "click"), (5L, ts(2), "signup"), (5L, ts(2), "click"),
+      (5L, ts(6), "purchase")
+    ).map { case (u, t, ty) => (u, t, ty) }.toDF("user_id", "ts", "event_type")
+    val out = Events.funnel(ev, Seq("signup", "click", "purchase"))
+      .select("user_id", "steps_completed", "converted")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(out === Seq((1L, 3, 1), (2L, 2, 0), (3L, 1, 0), (5L, 3, 1)))
+    // user 2's depth-2 timestamp is the click AFTER signup
+    val t2 = Events.funnel(ev, Seq("signup", "click", "purchase"))
+      .filter(col("user_id") === 2L).select("t_2")
+      .as[Option[Timestamp]].head()
+    assert(t2 === Some(ts(7)))
+    intercept[IllegalArgumentException] { Events.funnel(ev, Seq("signup")) }
+    intercept[IllegalArgumentException] { Events.funnel(ev, Seq("a", "a")) }
+  }
 }
