@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Checks, Dedup, Graph, Joins, Sampling, Skew, TrainingOrder}
+import graft.operators.{Checks, Dedup, Graph, Joins, Sampling, Sketches, Skew, TrainingOrder}
 import graft.sources.Bucketing
 import graft.streaming.Events
 
@@ -202,6 +202,22 @@ object InfraGates {
           Checks.ValueRange("n_chars", Some(1.0), Some(1.0e9))))
         .withColumn("metric", round(col("metric"), 6))
     },
+    // §2.4 row 98 — mergeable distinct-count sketches: per-lang estimate
+    // vs the exact distinct computed in the SAME query; the
+    // deterministic within-band verdict is what the oracle checks
+    // (DuckDB's approx_distinct is a different sketch — the estimate
+    // itself is not portable, the band contract is)
+    "q_hll_distinct" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val est = Sketches.estimate(
+        Sketches.distinctSketches(docs, Seq("lang"), "text"), Seq("lang"))
+      val exact = docs.groupBy("lang")
+        .agg(countDistinct(col("text")).as("__exact"))
+      est.join(exact, "lang")
+        .select(col("lang"),
+          (abs(col("distinct_est") - col("__exact")) / col("__exact") <= 0.05)
+            .cast("int").as("ok"))
+    },
     // §2.4 row 89 — dense global index without a single-partition sort:
     // range shuffle + zipWithIndex ≡ row_number() OVER (ORDER BY …)
     "q_global_index" -> { (s, dir) =>
@@ -343,6 +359,8 @@ object InfraGates {
         |              ELSE 'unchanged' END AS status
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
+    "q_hll_distinct" ->
+      "SELECT DISTINCT lang, 1 AS ok FROM documents",
     "q_quality_checks" ->
       """WITH m AS (
         |  SELECT count(*) AS n,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable cardinality sketches for incremental corpus statistics —
+ * the sketch-index sibling of the dedup indexes in [[Dedup]]: a
+ * per-group HllSketch (Apache DataSketches, Spark's `hll_sketch_agg`
+ * family) is a few KB however many values it saw, unions losslessly,
+ * and answers "distinct X per group" WITHOUT rescanning history.
+ *
+ * The corpus-growth shape this buys at 100 TB: sketch each DROP once
+ * (drop-sized scan), persist the per-group sketch table, and fold new
+ * drops in with [[merge]] — per-drop cost forever, where an exact
+ * `count(DISTINCT …)` re-shuffles the full union every refresh. The
+ * estimate's relative standard error is ~1.04/√2^lgConfigK (~1.6% at
+ * the default lgConfigK = 12); estimates are DETERMINISTIC for a given
+ * input multiset. Merging is lossless at the REGISTER level, but the
+ * merged estimate need not equal the direct whole-corpus estimate
+ * bit-for-bit: a small drop's sketch may still be in sparse (exact)
+ * mode while the direct sketch went dense, and the two states estimate
+ * slightly differently — both inside the error band (SketchesSpec pins
+ * determinism, the band, and merged-vs-direct agreement within it).
+ */
+object Sketches {
+
+  /** Per-group distinct-count sketches: `(groupCols…, sketch BINARY)` —
+    * the persistable index artifact. One hash shuffle on the group
+    * keys; sketches partial-aggregate map-side like any agg. */
+  def distinctSketches(
+    df: DataFrame,
+    groupCols: Seq[String],
+    valueCol: String,
+    lgConfigK: Int = 12
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
+  }
+
+  /** Union sketch tables (e.g. the persisted index plus a new drop's
+    * sketches): same schema in, same schema out, per-group lossless
+    * merge. `allowDifferentLgConfigK` accepts mixed precisions (the
+    * union downgrades to the coarser). */
+  def merge(
+    sketchTables: Seq[DataFrame],
+    groupCols: Seq[String],
+    allowDifferentLgConfigK: Boolean = false
+  ): DataFrame = {
+    require(sketchTables.nonEmpty, "at least one sketch table required")
+    sketchTables.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch"), lit(allowDifferentLgConfigK)).as("sketch"))
+  }
+
+  /** Read estimates off a sketch table: `(groupCols…, distinct_est
+    * DOUBLE)`. Pure projection — no data pass. */
+  def estimate(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.select(
+      (groupCols.map(col) :+ hll_sketch_estimate(col("sketch")).as("distinct_est")): _*)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (1L to 5000L).map(i =>
+    (i, s"g${i % 4}", s"v${i % 997}")).toDF("id", "grp", "value")
+
+  test("estimates land within the documented error band of exact distincts") {
+    val est = Sketches.estimate(
+        Sketches.distinctSketches(corpus, Seq("grp"), "value"), Seq("grp"))
+      .as[(String, Double)].collect().toMap
+    val exact = corpus.groupBy("grp").agg(countDistinct(col("value")))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    for ((g, e) <- exact) {
+      val rel = math.abs(est(g) - e) / e
+      assert(rel < 0.05, s"group $g: est ${est(g)} vs exact $e (rel $rel)")
+    }
+  }
+
+  test("incremental contract: merged drop sketches agree with the direct sketch") {
+    val drop1 = corpus.filter(col("id") <= 2500)
+    val drop2 = corpus.filter(col("id") > 2500)
+    val merged = Sketches.merge(Seq(
+        Sketches.distinctSketches(drop1, Seq("grp"), "value"),
+        Sketches.distinctSketches(drop2, Seq("grp"), "value")), Seq("grp"))
+    val whole = Sketches.distinctSketches(corpus, Seq("grp"), "value")
+    val a = Sketches.estimate(merged, Seq("grp"))
+      .as[(String, Double)].collect().toMap
+    val b = Sketches.estimate(whole, Seq("grp"))
+      .as[(String, Double)].collect().toMap
+    val exact = corpus.groupBy("grp").agg(countDistinct(col("value")))
+      .as[(String, Long)].collect().toMap
+    // NOT bit-equal (a drop sketch can still be sparse where the direct
+    // one went dense); both must sit inside the error band of exact, and
+    // within the band of each other
+    for (g <- exact.keys) {
+      assert(math.abs(a(g) - exact(g)) / exact(g) < 0.05, s"merged $g")
+      assert(math.abs(b(g) - exact(g)) / exact(g) < 0.05, s"direct $g")
+      assert(math.abs(a(g) - b(g)) / exact(g) < 0.05, s"merged-vs-direct $g")
+    }
+    // determinism across runs
+    val again = Sketches.estimate(
+        Sketches.distinctSketches(corpus, Seq("grp"), "value"), Seq("grp"))
+      .as[(String, Double)].collect().toMap
+    assert(again === b)
+  }
+
+  test("sketch artifact survives a parquet round-trip (the index shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch").toString
+    Sketches.distinctSketches(corpus, Seq("grp"), "value")
+      .write.mode("overwrite").parquet(s"$dir/sketches")
+    val loaded = spark.read.parquet(s"$dir/sketches")
+    val est = Sketches.estimate(
+        Sketches.merge(Seq(loaded,
+          Sketches.distinctSketches(corpus.filter(col("id") <= 10), Seq("grp"), "value")),
+          Seq("grp")),
+        Seq("grp"))
+      .as[(String, Double)].collect().toMap
+    val base = Sketches.estimate(
+        Sketches.distinctSketches(corpus, Seq("grp"), "value"), Seq("grp"))
+      .as[(String, Double)].collect().toMap
+    // folding in a subset of already-seen values changes nothing
+    assert(est === base)
+  }
+
+  test("guards") {
+    intercept[IllegalArgumentException] {
+      Sketches.distinctSketches(corpus, Seq.empty, "value")
+    }
+    intercept[IllegalArgumentException] { Sketches.merge(Seq.empty, Seq("grp")) }
+  }
+}
