@@ -968,6 +968,12 @@ object LlmGates {
       Events.funnel(Events.readEventsParquet(s, s"$dir/events.parquet"),
         Seq("signup", "click", "purchase"))
     },
+    // §2.4 row 99 — cohort retention (7-day epoch periods): distinct
+    // users per (cohort, offset); oracle re-derives the exact integer
+    // period indexes
+    "q_retention" -> { (s, dir) =>
+      Events.retention(Events.readEventsParquet(s, s"$dir/events.parquet"))
+    },
     // §2.4 row 39 — gap sessionization, relational batch form (equivalence
     // with the stateful streaming form is gated by StreamingSpec)
     "q_sessionize" -> { (s, dir) =>
@@ -2033,6 +2039,17 @@ object LlmGates {
         |       count(*) AS n_events,
         |       round(sum(value), 4) AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) // 604800000000 AS p
+        |  FROM events),
+        |f AS (SELECT user_id, min(p) AS cohort_period FROM ev GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT ev.user_id, f.cohort_period,
+        |         ev.p - f.cohort_period AS period_offset
+        |  FROM ev JOIN f ON ev.user_id = f.user_id)
+        |SELECT cohort_period, period_offset, count(*) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, min(ts) AS t_1 FROM events

@@ -30,7 +30,7 @@ object Joins {
 
   /** Long ordering key: timestamps key by epoch micros, numerics by
     * their own (integral) value. */
-  private def keyOf(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+  private[graft] def keyOf(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
     dt match {
       case TimestampType    => unix_micros(c)
       case TimestampNTZType => unix_micros(c.cast(TimestampType))
@@ -41,7 +41,7 @@ object Joins {
     * division (loses precision past 2^53), but pmod is non-negative so
     * `x - pmod(x, w)` is exactly divisible and the decimal division is
     * exact, including for negative keys. */
-  private def floorDivExact(x: Column, w: Long): Column =
+  private[graft] def floorDivExact(x: Column, w: Long): Column =
     ((x - pmod(x, lit(w))).cast("decimal(38,0)") / lit(w)).cast(LongType)
 
   /**

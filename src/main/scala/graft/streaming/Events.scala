@@ -306,4 +306,39 @@ object Events {
       .withColumn("converted",
         (col("steps_completed") === steps.size).cast("int"))
   }
+
+  /**
+   * Cohort retention: users cohort by the period of their FIRST event
+   * (`cohort_period` = floor(first ts / periodMicros)), and the matrix
+   * counts distinct users active in each later period —
+   * `(cohort_period, period_offset, n_users)`, offset 0 = the cohort's
+   * own period (so offset-0 n_users is the cohort size).
+   *
+   * Periods are exact integer indexes of `periodMicros`-wide epoch
+   * buckets (floor division in exact arithmetic), not calendar months —
+   * engine-portable and timezone-free. Scale shape: one shuffle on the
+   * user for first-event minimums, the events re-join user-keyed (same
+   * key, no extra exchange pattern), then a distinct + count on the
+   * (cohort, offset) pair — all standard aggregations, no per-user
+   * history collection.
+   */
+  def retention(
+    events: DataFrame,
+    userCol: String = "user_id",
+    tsCol: String = "ts",
+    periodMicros: Long = 7L * 24 * 3600 * 1000000
+  ): DataFrame = {
+    require(periodMicros > 0, s"periodMicros must be positive: $periodMicros")
+    val key = graft.operators.Joins.keyOf(
+      col(tsCol), events.schema(tsCol).dataType)
+    val p = graft.operators.Joins.floorDivExact(key, periodMicros)
+    val ev = events.select(col(userCol).as("user_id"), p.as("__p"))
+    val firsts = ev.groupBy("user_id").agg(min(col("__p")).as("cohort_period"))
+    ev.join(firsts, "user_id")
+      .select(col("user_id"), col("cohort_period"),
+        (col("__p") - col("cohort_period")).as("period_offset"))
+      .distinct()
+      .groupBy("cohort_period", "period_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -342,4 +342,25 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Events.funnel(ev, Seq("signup")) }
     intercept[IllegalArgumentException] { Events.funnel(ev, Seq("a", "a")) }
   }
+
+  test("retention: cohort by first period, distinct users per offset") {
+    val P = 10L * 60 * 1000000 // 10-minute periods of ts(minutes) fixture
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(5)),   // u1: cohort 0, active offsets {0}
+      (1L, ts(25)),               // ... and offset 2
+      (2L, ts(3)), (2L, ts(12)),  // u2: cohort 0, offsets {0, 1}
+      (3L, ts(11)),               // u3: cohort 1, offset {0}
+      (4L, ts(14)), (4L, ts(21)), (4L, ts(22)) // u4: cohort 1, offsets {0,1}
+    ).toDF("user_id", "ts")
+    val out = Events.retention(ev, periodMicros = P)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (0L, 0L, 2L), // u1, u2 in their cohort period
+      (0L, 1L, 1L), // u2 back in period 1
+      (0L, 2L, 1L), // u1 back in period 2
+      (1L, 0L, 2L), // u3, u4
+      (1L, 1L, 1L)  // u4 back — counted once despite two events
+    ))
+    intercept[IllegalArgumentException] { Events.retention(ev, periodMicros = 0) }
+  }
 }
