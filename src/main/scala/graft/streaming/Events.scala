@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -278,12 +278,19 @@ object Events {
    * type before it moves. k is the funnel length (small); a power user
    * with millions of events costs the same as anyone else per pass.
    */
+  /** @param within optional conversion window (an interval Column):
+    *   every later step must land at or before `t_1 + within` —
+    *   measured from the user's chosen (earliest) first-step event, the
+    *   first-touch convention. A user whose earliest entry stalls does
+    *   NOT get re-anchored to a later entry; document-simple and
+    *   deterministic rather than exhaustively searching anchors. */
   def funnel(
     events: DataFrame,
     steps: Seq[String],
     userCol: String = "user_id",
     typeCol: String = "event_type",
-    tsCol: String = "ts"
+    tsCol: String = "ts",
+    within: Option[Column] = None
   ): DataFrame = {
     require(steps.size >= 2, s"a funnel needs at least 2 steps: $steps")
     require(steps.distinct.size == steps.size, s"duplicate steps in $steps")
@@ -292,9 +299,13 @@ object Events {
     var acc = ev.filter(col("__t") === steps.head)
       .groupBy("user_id").agg(min(col("__ts")).as("t_1"))
     for (i <- 2 to steps.size) {
+      val inWindow = within.fold(lit(true))(w => col("__ts") <= col("t_1") + w)
+      val prevCols =
+        if (i == 2) Seq(col("user_id"), col("t_1"))
+        else Seq(col("user_id"), col("t_1"), col(s"t_${i - 1}"))
       val next = ev.filter(col("__t") === steps(i - 1))
-        .join(acc.select(col("user_id"), col(s"t_${i - 1}")), "user_id")
-        .filter(col("__ts") >= col(s"t_${i - 1}"))
+        .join(acc.select(prevCols: _*), "user_id")
+        .filter(col("__ts") >= col(s"t_${i - 1}") && inWindow)
         .groupBy("user_id").agg(min(col("__ts")).as(s"t_$i"))
       acc = acc.join(next, Seq("user_id"), "left")
     }

@@ -341,6 +341,19 @@ class StreamingSpec extends SparkSpec {
     assert(t2 === Some(ts(7)))
     intercept[IllegalArgumentException] { Events.funnel(ev, Seq("signup")) }
     intercept[IllegalArgumentException] { Events.funnel(ev, Seq("a", "a")) }
+    // conversion window (first-touch): user 1 completes at ts 9 — inside
+    // a 10-minute window but outside a 5-minute one (click at 5 ok,
+    // purchase at 9 > 5)
+    val within5 = Events.funnel(ev, Seq("signup", "click", "purchase"),
+        within = Some(expr("INTERVAL '5' MINUTE")))
+      .filter(col("user_id") === 1L)
+      .select("steps_completed").as[Int].head()
+    assert(within5 === 2)
+    val within10 = Events.funnel(ev, Seq("signup", "click", "purchase"),
+        within = Some(expr("INTERVAL '10' MINUTE")))
+      .filter(col("user_id") === 1L)
+      .select("converted").as[Int].head()
+    assert(within10 === 1)
   }
 
   test("retention: cohort by first period, distinct users per offset") {
