@@ -156,5 +156,42 @@ class EmptyInputSpec extends SparkSpec {
         StructField("event_type", StringType), StructField("value", DoubleType))))
     assert(Events.windowedAgg(emptyEvents).count() == 0)
     assert(Events.sessionizeBatch(emptyEvents).count() == 0)
+    assert(Events.funnel(emptyEvents, Seq("a", "b")).count() == 0)
+    assert(Events.retention(emptyEvents).count() == 0)
+  }
+
+  test("r11 operators over empty frames yield empty (or fail-closed) results") {
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", LongType), StructField("k", StringType),
+        StructField("ts", TimestampType))))
+    val emptyRight = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("rid", LongType), StructField("k", StringType),
+        StructField("rts", TimestampType))))
+    import graft.operators.{Graph, Joins, Sketches, TrainingOrder}
+    assert(Joins.asofJoin(emptyEvents, emptyRight, Seq("k"), "ts", "rts").count() == 0)
+    assert(Joins.asofJoinBroadcast(emptyEvents, emptyRight, Seq("k"), "ts", "rts").count() == 0)
+    val emptyIv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("iid", LongType), StructField("s", LongType),
+        StructField("e", LongType))))
+    val emptyPts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("pid", LongType), StructField("x", LongType))))
+    assert(Joins.rangeJoin(emptyPts, "x", emptyIv, "s", "e", 10).count() == 0)
+    assert(Joins.scd2(emptyEvents, Seq("k"), "ts").count() == 0)
+    assert(Graph.pageRank(
+      emptyEvents.selectExpr("k AS src", "k AS dst"), "src", "dst").count() == 0)
+    assert(TrainingOrder.assignShards(emptyEvents, "id", 4, epoch = 0).count() == 0)
+    assert(Dedup.corpusDiff(emptyDocs, emptyDocs, "text", "doc_id").count() == 0)
+    assert(Sketches.distinctSketches(emptyDocs, Seq("text"), "doc_id").count() == 0)
+    // Checks fail CLOSED on an empty corpus (undefined metrics are not passes)
+    val rep = graft.operators.Checks.report(emptyDocs,
+      Seq(graft.operators.Checks.NonNullRate("text", 0.0)))
+    assert(rep.collect().forall(_.getInt(4) == 0))
   }
 }
