@@ -93,7 +93,8 @@ object Bench {
     "q_quality_checks",     // data-quality rules: one aggregation pass, metadata-sized report (r11)
     "q_funnel",             // ordered funnel: one user-keyed min-agg pass per step (r11)
     "q_hll_distinct",       // mergeable HLL distinct sketches + estimate-vs-exact verdict (r11)
-    "q_retention"           // cohort retention: user shuffle + (cohort, offset) agg (r11)
+    "q_retention",          // cohort retention: user shuffle + (cohort, offset) agg (r11)
+    "q_cms_counts"          // CMS frequency sketches + union agg + group-localized point queries (r11)
   )
 
   private def jsonStr(s: String): String =

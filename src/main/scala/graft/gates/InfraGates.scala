@@ -218,6 +218,23 @@ object InfraGates {
           (abs(col("distinct_est") - col("__exact")) / col("__exact") <= 0.05)
             .cast("int").as("ok"))
     },
+    // §2.4 row 98b — CMS frequency sketches: per-lang counts of two
+    // source values; at these widths (20k counters vs ~20 values per
+    // group) the deterministic estimate equals the exact count, and the
+    // verdict is what the oracle checks (the sketch bytes are not
+    // engine-portable, the never-undercount contract is)
+    "q_cms_counts" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val est = Sketches.estimateCounts(
+        Sketches.cmsSketches(docs, Seq("lang"), "source"),
+        Seq("lang"), Seq("src1", "src5"))
+      val exact = docs.groupBy(col("lang"), col("source").as("term"))
+        .agg(count(lit(1)).as("__exact"))
+      est.join(exact, Seq("lang", "term"), "left")
+        .select(col("lang"), col("term"),
+          (col("count_est") === coalesce(col("__exact"), lit(0L)))
+            .cast("int").as("ok"))
+    },
     // §2.4 row 89 — dense global index without a single-partition sort:
     // range shuffle + zipWithIndex ≡ row_number() OVER (ORDER BY …)
     "q_global_index" -> { (s, dir) =>
@@ -361,6 +378,10 @@ object InfraGates {
         |SELECT id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
     "q_hll_distinct" ->
       "SELECT DISTINCT lang, 1 AS ok FROM documents",
+    "q_cms_counts" ->
+      """SELECT DISTINCT lang, t.term, 1 AS ok
+        |FROM documents
+        |CROSS JOIN (VALUES ('src1'), ('src5')) t(term)""".stripMargin,
     "q_quality_checks" ->
       """WITH m AS (
         |  SELECT count(*) AS n,

@@ -59,4 +59,68 @@ object Sketches {
   def estimate(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
     sketches.select(
       (groupCols.map(col) :+ hll_sketch_estimate(col("sketch")).as("distinct_est")): _*)
+
+  // ------------------------------------------------ count-min (frequency)
+
+  /** Per-group Count-Min frequency sketches over `valueCol`:
+    * `(groupCols…, sketch BINARY)`. Estimates later read off the sketch
+    * NEVER undercount and overcount by at most eps·N with probability
+    * `confidence` — the one-sided guarantee [[estimateCounts]] exposes.
+    * Same index shape as [[distinctSketches]]; merge new drops with
+    * [[mergeCms]] (the custom [[graft.functions.CmsUnionAgg]] — Spark
+    * ships the builder aggregate but no union). */
+  def cmsSketches(
+    df: DataFrame,
+    groupCols: Seq[String],
+    valueCol: String,
+    eps: Double = 0.0001,
+    confidence: Double = 0.99,
+    seed: Int = 77
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"count_min_sketch(`$valueCol`, ${eps}d, ${confidence}d, $seed)")
+        .as("sketch"))
+  }
+
+  /** Union CMS tables per group (same (eps, confidence, seed) family —
+    * mixed parameters throw, they are a pipeline bug). */
+  def mergeCms(sketchTables: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketchTables.nonEmpty, "at least one sketch table required")
+    sketchTables.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.CmsUnionAgg(col("sketch")).as("sketch"))
+  }
+
+  /** Frequency estimates for `terms` from a CMS table: one output row
+    * per (group, term) — `(groupCols…, term, count_est)`. The sketch
+    * table is GROUP-sized (KB per group), so it localizes to the driver
+    * for the point queries and returns as a local relation — metadata
+    * work, the centroid-localization argument. */
+  def estimateCounts(
+    sketches: DataFrame,
+    groupCols: Seq[String],
+    terms: Seq[String]
+  ): DataFrame = {
+    require(terms.nonEmpty, "at least one term required")
+    val spark = sketches.sparkSession
+    val rows = sketches
+      .select((groupCols.map(col) :+ col("sketch")): _*).collect()
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length * terms.size)
+    for (r <- rows) {
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sketch")))
+      for (t <- terms)
+        out.add(org.apache.spark.sql.Row.fromSeq(
+          (0 until groupCols.size).map(r.get) ++ Seq(t, sk.estimateCount(t))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      groupCols.map(g => org.apache.spark.sql.types.StructField(
+        g, sketches.schema(g).dataType)) ++ Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("count_est",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(out, schema)
+  }
 }

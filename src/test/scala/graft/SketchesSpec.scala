@@ -68,6 +68,31 @@ class SketchesSpec extends SparkSpec {
     assert(est === base)
   }
 
+  test("CMS: never undercounts, tight at small scale, drops merge by union") {
+    val exact = corpus.groupBy("grp", "value").count()
+      .as[(String, String, Long)].collect()
+      .map { case (g, v, c) => (g, v) -> c }.toMap
+    val terms = Seq("v0", "v1", "v500")
+    val sk = Sketches.cmsSketches(corpus, Seq("grp"), "value")
+    val est = Sketches.estimateCounts(sk, Seq("grp"), terms)
+      .as[(String, String, Long)].collect()
+    assert(est.length === 4 * terms.size)
+    for ((g, t, e) <- est) {
+      val truth = exact.getOrElse((g, t), 0L)
+      assert(e >= truth, s"CMS undercounted ($g,$t): $e < $truth")
+      assert(e <= truth + (0.0001 * 5000).ceil.toLong + 1, s"($g,$t): $e vs $truth")
+    }
+    // drop-merge contract: union of drop sketches == direct sketch,
+    // estimate-for-estimate (CMS counters are exact sums, unlike HLL)
+    val merged = Sketches.mergeCms(Seq(
+      Sketches.cmsSketches(corpus.filter(col("id") <= 2500), Seq("grp"), "value"),
+      Sketches.cmsSketches(corpus.filter(col("id") > 2500), Seq("grp"), "value")),
+      Seq("grp"))
+    val a = Sketches.estimateCounts(merged, Seq("grp"), terms)
+      .as[(String, String, Long)].collect().toSet
+    assert(a === est.toSet)
+  }
+
   test("guards") {
     intercept[IllegalArgumentException] {
       Sketches.distinctSketches(corpus, Seq.empty, "value")
