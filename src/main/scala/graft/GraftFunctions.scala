@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CharEntropyExpr, CosineSimExpr, HyperplaneBucketExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
+import graft.functions.{CharEntropyExpr, CmsUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -41,6 +41,12 @@ object GraftFunctions {
     case Seq(a, b) => CosineSimExpr(a, b)
     case args => throw new IllegalArgumentException(
       s"cosine_sim expects 2 arguments, got ${args.length}")
+  }
+
+  private def l2DistSqBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => L2DistSqExpr(a, b)
+    case args => throw new IllegalArgumentException(
+      s"l2_dist_sq expects 2 arguments, got ${args.length}")
   }
 
   private def hyperplaneBuilder: Seq[Expression] => Expression = {
@@ -121,7 +127,12 @@ object GraftFunctions {
     ("bloom_might_contain", bloomMightContainBuilder, classOf[BloomFilterMightContain]),
     ("unicode_norm", unicodeNormBuilder, classOf[UnicodeNormExpr]),
     ("char_entropy", oneArg("char_entropy")(CharEntropyExpr.apply(_: Expression)),
-      classOf[CharEntropyExpr])
+      classOf[CharEntropyExpr]),
+    ("l2_dist_sq", l2DistSqBuilder, classOf[L2DistSqExpr]),
+    // union of serialized count-min sketches — pairs with Spark's own
+    // count_min_sketch builder aggregate (which has no SQL union)
+    ("cms_union", oneArg("cms_union")(CmsUnionAgg(_: Expression)),
+      classOf[CmsUnionAgg])
   )
 
   /** Register every graft SQL function on an existing session. */

@@ -288,6 +288,25 @@ class HashingSpec extends SparkSpec {
     assert(api == 1.0)
   }
 
+  test("SQL surface: l2_dist_sq and cms_union resolve and agree with the API") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT l2_dist_sq(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d").head().getDouble(0)
+    assert(d === 25.0)
+    // cms_union: two half-sketches union to the whole one's counts
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("v", "half")
+      .createOrReplaceTempView("cms_probe")
+    spark.sql(
+      """SELECT half, count_min_sketch(v, 0.001d, 0.99d, 7) AS sk
+        |FROM cms_probe GROUP BY half""".stripMargin)
+      .createOrReplaceTempView("cms_halves")
+    val merged = spark.sql("SELECT cms_union(sk) AS sk FROM cms_halves")
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(merged))
+    assert(sk.estimateCount("a") === 2L && sk.estimateCount("b") === 1L)
+  }
+
   test("constant folding collapses seed hashes to literals") {
     val plan = spark.range(1)
       .select(Hashing.md5Long60(lit("0")).as("seed"))
