@@ -244,6 +244,41 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("composition: scd2 + rangeJoin point-in-time lookup == asofJoin, randomized") {
+    // the documented composition: version the dimension with scd2, cap
+    // open validity, range-join facts into versions — for a keyed
+    // dimension this must agree with the as-of join against the raw
+    // change events (same key, backward, inclusive)
+    val rnd = new scala.util.Random(21)
+    val changes = Seq.tabulate(30)(i =>
+      (1000L + i, s"k${rnd.nextInt(3)}", rnd.nextInt(50).toLong))
+      .distinctBy(r => (r._2, r._3)) // scd2 needs unique (key, ts)
+      .toDF("ver_id", "k", "vts")
+    val facts = Seq.tabulate(50)(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(60).toLong))
+      .toDF("fid", "k", "fts")
+
+    val viaAsof = Joins.asofJoin(facts, changes, Seq("k"), "fts", "vts",
+        tieBreak = Some("ver_id"), joinType = "inner")
+      .select("fid", "ver_id").as[(Long, Long)].collect().sorted
+
+    // cap the open version at the DATA HORIZON (max fact ts + 1), not a
+    // sentinel max — a near-infinite interval would explode to millions
+    // of bins, which is precisely what maxBinsPerInterval fails loudly on
+    val versions = Joins.scd2(changes, Seq("k"), "vts")
+      .withColumn("valid_to_capped", coalesce(col("valid_to"), lit(61L)))
+    // per-key point-in-time: range-join on validity then keep the key match
+    val viaRange = Joins.rangeJoin(
+        facts, "fts",
+        versions.select(col("ver_id"), col("k").as("vk"),
+          col("valid_from"), col("valid_to_capped")),
+        "valid_from", "valid_to_capped", binWidth = 16)
+      .filter(col("k") === col("vk"))
+      .select("fid", "ver_id").as[(Long, Long)].collect().sorted
+
+    assert(viaRange === viaAsof && viaAsof.nonEmpty)
+  }
+
   // ---- withGlobalIndex ----
 
   test("withGlobalIndex equals row_number over the total order") {

@@ -389,4 +389,39 @@ class PlanAuditSpec extends SparkSpec {
     // matched-docs table; the gram match is a broadcast semi join
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
+
+  test("temperatureRebalance is a single-scan filter: no shuffle in the corpus plan") {
+    import spark.implicits._
+    val df = ((1L to 400L).map(i => (i, "en")) ++ (401L to 500L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val q = graft.operators.Sampling.temperatureRebalance(
+      df, "doc_id", "lang", Seq("en", "de"))
+    // the weight derivation ran as two metadata jobs at CALL time; the
+    // returned corpus plan is a pure filter — no Exchange at all
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("corpusDiff: digests computed below ONE join, no extra corpus passes") {
+    val q = graft.operators.Dedup.corpusDiff(
+      docs.select("doc_id", "text"),
+      docs.select("doc_id", "text").filter(col("doc_id") % 2 === 0),
+      "text", "doc_id")
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 1, plan.take(3000))
+    // full-outer join keyed on id: exactly one exchange per side
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan.take(3000))
+  }
+
+  test("overlapJoin plans a shuffled equi-join on the bin, no nested loop") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val r = Seq((2L, 5L, 12L)).toDF("rid", "rs", "re")
+    val q = graft.operators.Joins.overlapJoin(l, "ls", "le", r, "rs", "re", binWidth = 4)
+    val nested = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty, "overlap spelling must not plan a nested-loop/cartesian join")
+  }
 }
