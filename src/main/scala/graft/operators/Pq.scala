@@ -170,6 +170,22 @@ object Pq {
       .drop((0 until m).flatMap(j => Seq(s"__cents_$j", s"__sv_$j")): _*)
   }
 
+  /** Persist a codebook table for reuse across encode/search calls —
+    * m·k rows of doubles, metadata-sized, one file (the
+    * [[Similarity.saveCentroids]] convention: the index artifact ships
+    * alongside the encoded corpus). */
+  def saveCodebooks(codebooks: DataFrame, path: String): Unit =
+    codebooks.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted codebook table, re-typed to the (subspace INT,
+    * code BIGINT, cv ARRAY<DOUBLE>) contract and LOCALIZED so downstream
+    * plans embed a flat local relation. */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    Similarity.localize(spark.read.parquet(path).select(
+      col("subspace").cast("int").as("subspace"),
+      col("code").cast("long").as("code"),
+      transform(col("cv"), x => x.cast("double")).as("cv")))
+
   /** Exact squared-L2 top-k (ascending distance, ties by neighbor id) —
     * the ground truth ADC approximates; queries broadcast. */
   def exactL2TopK(

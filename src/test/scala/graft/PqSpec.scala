@@ -178,6 +178,25 @@ class PqSpec extends SparkSpec {
     assert(got === Map(1L -> Seq(1L, 0L), 2L -> Seq(0L, 1L)))
   }
 
+  test("codebooks survive a save/load round-trip; searches agree exactly") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 150).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val cb = Pq.trainCodebooks(corpus, "embedding", "vec_id",
+      subspaces = 4, codebookSize = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Pq.saveCodebooks(cb, s"$dir/cb")
+    val loaded = Pq.loadCodebooks(spark, s"$dir/cb")
+    val a = Pq.adcTopK(Pq.encode(corpus, "embedding", cb), queries,
+        "embedding", "vec_id", cb, k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Pq.adcTopK(Pq.encode(corpus, "embedding", loaded), queries,
+        "embedding", "vec_id", loaded, k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("guards: bad dims, empty corpus, oversized codebook") {
     val tiny = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

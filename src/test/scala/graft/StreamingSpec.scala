@@ -315,6 +315,30 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2).user_id == 2L && sessions(2).total_value == 8.0)
   }
 
+  test("streaming SLIDING windowedAgg over a memory stream equals the batch result") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(fixture: _*)
+    val streamingDf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = Events.windowedAgg(streamingDf, "10 minutes",
+        watermark = Some("30 minutes"), slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("win_slide").outputMode("append").start()
+    try {
+      stream.addData((ts(60), "click", 0.0)) // advance the watermark past the fixture
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("win_slide")
+      .select(col("window_start"), col("event_type"), col("n_events"), col("total_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = Events.windowedAgg(
+        fixture.toDF("ts", "event_type", "value"), "10 minutes",
+        slide = Some("5 minutes"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // every finalized fixture window appears with batch-identical values
+    assert(batch.subsetOf(got ++ batch.filter(_._1.getTime >= ts(55).getTime)))
+    assert(got.filter(_._1.getTime < ts(50).getTime) === batch.filter(_._1.getTime < ts(50).getTime))
+  }
+
   test("funnel: greedy earliest completion, ordering respected, partial depths") {
     val ev = Seq(
       // user 1 completes in order
