@@ -87,9 +87,17 @@ object Checks {
           exprs += countDistinct(col(c)).as(s"__m$i")
           exprs += count(col(c)).as(s"__d$i")
         case ValueRange(c, _, _) =>
-          exprs += min(col(c).cast("double")).as(s"__lo$i")
-          exprs += max(col(c).cast("double")).as(s"__hi$i")
+          // try_cast, not cast: ANSI mode makes a plain cast THROW on the
+          // first junk value mid-aggregate; try_cast nulls it so the scan
+          // completes and the junk is counted as a violation below
+          val d = expr(s"try_cast(`$c` AS DOUBLE)")
+          exprs += min(d).as(s"__lo$i")
+          exprs += max(d).as(s"__hi$i")
           exprs += count(col(c)).as(s"__d$i")
+          // non-null values the double cast loses are VIOLATIONS, not
+          // ignorable: fail-closed on junk ("abc" in a numeric column)
+          exprs += count(when(col(c).isNotNull && d.isNull,
+            lit(1))).as(s"__bad$i")
         case AcceptedValues(c, vs, _) =>
           exprs += count(when(col(c).isin(vs: _*), lit(1))).as(s"__m$i")
           exprs += count(col(c)).as(s"__d$i")
@@ -113,10 +121,14 @@ object Checks {
         case ValueRange(_, lo, hi) =>
           val d = l(s"__d$i")
           if (d == 0) (None, 1.0)
+          else if (l(s"__bad$i") > 0) (Some(0.0), 1.0) // uncastable values present
           else {
-            val mn = dOpt(s"__lo$i").get
-            val mx = dOpt(s"__hi$i").get
-            val inRange = lo.forall(mn >= _) && hi.forall(mx <= _)
+            // d > 0 with no cast-nulls ⇒ min/max are defined; a missing
+            // one still fails closed rather than throwing
+            val inRange = (dOpt(s"__lo$i"), dOpt(s"__hi$i")) match {
+              case (Some(mn), Some(mx)) => lo.forall(mn >= _) && hi.forall(mx <= _)
+              case _ => false
+            }
             (Some(if (inRange) 1.0 else 0.0), 1.0)
           }
         case AcceptedValues(_, _, t) =>

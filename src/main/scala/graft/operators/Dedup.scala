@@ -121,14 +121,20 @@ object Dedup {
     idCol: String,
     includeUnchanged: Boolean = false
   ): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__ofp"))
-    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nfp"))
+    // Presence comes from its own marker column, NOT from fingerprint
+    // nullity: a NULL-text doc present in both snapshots must read
+    // `unchanged`, and a NULL↔text revision must read `changed` — the
+    // null-safe <=> handles both without special-casing.
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__ofp"),
+      lit(true).as("__in_old"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nfp"),
+      lit(true).as("__in_new"))
     val joined = o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__ofp").isNull, lit("added"))
-          .when(col("__nfp").isNull, lit("removed"))
-          .when(col("__ofp") =!= col("__nfp"), lit("changed"))
-          .otherwise(lit("unchanged")).as("status"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__ofp") <=> col("__nfp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
     if (includeUnchanged) joined else joined.filter(col("status") =!= "unchanged")
   }
 

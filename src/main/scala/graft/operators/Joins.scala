@@ -108,7 +108,13 @@ object Joins {
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(
         structType(right, rPayload)))
+    // NULL-ts right rows can never be a nearest-neighbour (pandas
+    // merge_asof rejects NaT keys); dropping them here keeps the two
+    // arms and the definitional semantics aligned — otherwise
+    // asc_nulls_first would sort a NULL-ts right row before everything
+    // and the running-last could return it as a "match".
     val rSide = right
+      .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .withColumn("__r", struct(rPayload.map(col): _*))
@@ -132,8 +138,12 @@ object Joins {
     val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // A NULL-ts LEFT row has no defined position on the timeline: it
+    // keeps its place in the output (left join) but never matches —
+    // same rule the broadcast arm's null-propagating fold applies.
     val withMatch = unioned
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", when(col("__ts").isNotNull,
+        last(col("__r"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
 
     val tolFiltered = tolerance match {
@@ -210,7 +220,9 @@ object Joins {
     // exactly the traversal order asofJoin's window uses
     val ordFields = Seq(col(rightTs).as("__ots")) ++
       tieBreak.map(tb => col(tb).as("__otb")).toSeq
-    val hist = right.groupBy(on.map(col): _*)
+    // NULL-ts right rows dropped for the same reason as in [[asofJoin]]:
+    // they have no timeline position and must never match.
+    val hist = right.filter(col(rightTs).isNotNull).groupBy(on.map(col): _*)
       .agg(array_sort(collect_list(
         struct(ordFields :+ struct(rPayload.map(col): _*).as("__p"): _*)))
         .as("__hist"))

@@ -35,14 +35,27 @@ object Pq {
     * localized codebook table (metadata-sized collect). */
   private def codebookMeta(codebooks: DataFrame): (Int, Int) = {
     val rows = codebooks
-      .select(col("subspace"), size(col("cv")).as("sd"))
-      .distinct().collect()
+      .select(col("subspace"), col("code"), size(col("cv")).as("sd"))
+      .collect()
     require(rows.nonEmpty, "empty codebook table")
-    val m = rows.map(_.getInt(0)).distinct.length
-    val sds = rows.map(_.getInt(1)).distinct
+    val sds = rows.map(_.getInt(2)).distinct
     require(sds.length == 1,
       s"codebook subvector widths differ across subspaces: ${sds.mkString(",")}")
-    (m, sds.head)
+    // encode/adcTopK index codewords BY POSITION (code = array slot), so
+    // a hand-built/corrupt artifact with gaps or duplicate codes would
+    // silently mis-encode — validate density 0..k−1 per subspace here,
+    // where every load path funnels through.
+    val bySub = rows.groupBy(_.getInt(0))
+    val subs = bySub.keySet
+    require(subs == (0 until subs.size).toSet,
+      s"codebook subspaces are not dense 0..${subs.size - 1}: ${subs.toSeq.sorted.mkString(",")}")
+    val k = bySub.values.head.length
+    bySub.foreach { case (j, rs) =>
+      val codes = rs.map(_.getLong(1)).sorted.toSeq
+      require(codes == (0L until k).toSeq,
+        s"codebook subspace $j codes are not dense 0..${k - 1}: ${codes.mkString(",")}")
+    }
+    (subs.size, sds.head)
   }
 
   /** One broadcast row carrying every subspace's codewords as
@@ -161,7 +174,15 @@ object Pq {
   ): DataFrame = {
     val (m, sd) = codebookMeta(codebooks)
     Cols.requireAbsent(df, codeCol)
-    val withSv = (0 until m).foldLeft(df.crossJoin(codebookRow(codebooks, m))) {
+    // a wrong-length vector would slice short and silently encode -1
+    // (then fail downstream as an obscure element_at error) — fail here,
+    // loudly, naming the row's actual length
+    val guarded = df.withColumn(vecCol,
+      when(size(col(vecCol)) === m * sd, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"Pq.encode: vector length "), size(col(vecCol)).cast("string"),
+          lit(s" != codebook dim ${m * sd} (m=$m × sd=$sd)")))))
+    val withSv = (0 until m).foldLeft(guarded.crossJoin(codebookRow(codebooks, m))) {
       (acc, j) => acc.withColumn(s"__sv_$j", subVec(vecCol, j, sd))
     }
     withSv

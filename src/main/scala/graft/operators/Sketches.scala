@@ -78,6 +78,16 @@ object Sketches {
     seed: Int = 77
   ): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
+    // CountMinSketch hashes the NATIVE type it is fed, but
+    // [[estimateCounts]] point-queries with estimateCount(String) — a
+    // sketch built over longs would silently answer ~0 for every term.
+    // Require the string type up front so the mismatch is a build-time
+    // error, not a wrong-answer.
+    require(df.schema(valueCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"cmsSketches: valueCol '$valueCol' must be StringType (point queries " +
+        s"read back as strings); got ${df.schema(valueCol).dataType.sql} — " +
+        "cast it before sketching")
     df.groupBy(groupCols.map(col): _*)
       .agg(expr(s"count_min_sketch(`$valueCol`, ${eps}d, ${confidence}d, $seed)")
         .as("sketch"))

@@ -78,4 +78,24 @@ class ChecksSpec extends SparkSpec {
     intercept[IllegalArgumentException] { NonNullRate("x", 1.5) }
     intercept[IllegalArgumentException] { ValueRange("x") }
   }
+
+  test("ValueRange: uncastable values are violations, not silently ignored") {
+    import spark.implicits._
+    // all-junk column: previously threw NoSuchElementException (min/max
+    // null with count > 0); must fail closed instead
+    val junk = Seq("abc", "xyz").toDF("v")
+    val r1 = Checks.report(junk, Seq(ValueRange("v", Some(0.0), None)))
+      .as[(String, String, Option[Double], Double, Int)].collect().head
+    assert(r1._3 === Some(0.0) && r1._5 === 0)
+    // partially castable with in-range numerics: junk rows still fail it
+    val mixed = Seq("1.0", "abc", "2.0").toDF("v")
+    val r2 = Checks.report(mixed, Seq(ValueRange("v", Some(0.0), Some(10.0))))
+      .as[(String, String, Option[Double], Double, Int)].collect().head
+    assert(r2._3 === Some(0.0) && r2._5 === 0)
+    // fully castable strings in range still pass
+    val clean = Seq("1.0", "2.5").toDF("v")
+    val r3 = Checks.report(clean, Seq(ValueRange("v", Some(0.0), Some(10.0))))
+      .as[(String, String, Option[Double], Double, Int)].collect().head
+    assert(r3._3 === Some(1.0) && r3._5 === 1)
+  }
 }

@@ -763,4 +763,20 @@ class DedupSpec extends SparkSpec {
     // identical snapshots → empty delta
     assert(Dedup.corpusDiff(oldDf, oldDf, "text", "doc_id").isEmpty)
   }
+
+  test("corpusDiff: NULL-text rows diff by presence, not fingerprint nullity") {
+    import spark.implicits._
+    // (1) NULL in both → unchanged; (2) NULL → text → changed;
+    // (3) text → NULL → changed; (5) NULL only in old → removed;
+    // (6) NULL only in new → added
+    val oldDf = Seq((1L, null), (2L, null), (3L, "t3"), (5L, null))
+      .toDF("doc_id", "text")
+    val newDf = Seq((1L, null), (2L, "t2"), (3L, null), (6L, null))
+      .toDF("doc_id", "text")
+    val full = Dedup.corpusDiff(oldDf, newDf, "text", "doc_id",
+        includeUnchanged = true)
+      .as[(Long, String)].collect().toMap
+    assert(full === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      5L -> "removed", 6L -> "added"))
+  }
 }

@@ -404,6 +404,30 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: NULL timestamps never match, both arms agree") {
+    // right rows with NULL ts would otherwise sort nulls-first and be
+    // returned as a backward "match"; left rows with NULL ts have no
+    // timeline position and keep their place unmatched (left join)
+    val l = Seq((1L, "A", Option(ts("2024-01-01 10:00:05"))),
+      (2L, "A", Option.empty[Timestamp])).toDF("lid", "k", "lts")
+    val r = Seq((10L, "A", Option.empty[Timestamp], 1.0),
+      (11L, "A", Option(ts("2024-01-01 10:00:01")), 2.0))
+      .toDF("rid", "k", "rts", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val a = Joins.asofJoin(l, r, Seq("k"), "lts", "rts", direction = dir,
+          tieBreak = Some("rid"))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().sortBy(_._1)
+      val b = Joins.asofJoinBroadcast(l, r, Seq("k"), "lts", "rts",
+          direction = dir, tieBreak = Some("rid"))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().sortBy(_._1)
+      assert(a === b, s"arms diverge on NULL ts, direction=$dir")
+      val expected =
+        if (dir == "backward") Seq((1L, Some(11L)), (2L, None))
+        else Seq((1L, None), (2L, None))
+      assert(a === expected, s"direction=$dir")
+    }
+  }
+
   test("withGlobalIndex: empty input, single row, and name guard") {
     val empty = spark.range(0).toDF("id")
     assert(TrainingOrder.withGlobalIndex(empty, Seq("id")).count() === 0)

@@ -210,4 +210,32 @@ class PqSpec extends SparkSpec {
       Pq.trainCodebooks(tiny, "embedding", "vec_id", subspaces = 1, codebookSize = 5)
     }
   }
+
+  test("guards: corrupt codebooks and wrong-length vectors fail loudly") {
+    val vecs = Seq((1L, Seq(1.0f, 1.0f, 2.0f, 2.0f))).toDF("vec_id", "embedding")
+    // gap in codes (0,2 — no 1): must be rejected at meta validation
+    val gappy = spark.createDataFrame(java.util.Arrays.asList(
+      Row(0, 0L, Seq(-1.0, -1.0)), Row(0, 2L, Seq(1.0, 1.0)),
+      Row(1, 0L, Seq(-2.0, -2.0)), Row(1, 1L, Seq(2.0, 2.0))), cbSchema)
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.encode(vecs, "embedding", gappy)
+    }
+    assert(e1.getMessage.contains("not dense"))
+    // non-dense subspace numbering (0,2)
+    val skewedSubs = spark.createDataFrame(java.util.Arrays.asList(
+      Row(0, 0L, Seq(-1.0, -1.0)), Row(0, 1L, Seq(1.0, 1.0)),
+      Row(2, 0L, Seq(-2.0, -2.0)), Row(2, 1L, Seq(2.0, 2.0))), cbSchema)
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.encode(vecs, "embedding", skewedSubs)
+    }
+    assert(e2.getMessage.contains("subspaces are not dense"))
+    // wrong-length vector vs a valid codebook: loud runtime error naming
+    // the mismatch, not a silent code -1
+    val short = Seq((1L, Seq(1.0f, 1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      Pq.encode(short, "embedding", plantedCb).collect()
+    }
+    assert(e3.getMessage.contains("codebook dim") ||
+      Option(e3.getCause).exists(_.getMessage.contains("codebook dim")))
+  }
 }

@@ -98,5 +98,18 @@ class SketchesSpec extends SparkSpec {
       Sketches.distinctSketches(corpus, Seq.empty, "value")
     }
     intercept[IllegalArgumentException] { Sketches.merge(Seq.empty, Seq("grp")) }
+    // non-string valueCol would hash the native type and make every later
+    // string point-query silently answer ~0 — rejected at build time
+    import spark.implicits._
+    val typed = Seq(("a", 1L), ("a", 2L)).toDF("grp", "n")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsSketches(typed, Seq("grp"), "n")
+    }
+    assert(e.getMessage.contains("StringType"))
+    // and the documented escape hatch works: cast first
+    val ok = Sketches.cmsSketches(
+      typed.withColumn("n", col("n").cast("string")), Seq("grp"), "n")
+    assert(Sketches.estimateCounts(ok, Seq("grp"), Seq("1"))
+      .as[(String, String, Long)].collect().head._3 >= 1L)
   }
 }
