@@ -117,6 +117,22 @@ object InfraGates {
       Joins.asofJoinBroadcast(purchases, clicks, Seq("user_id"), "ts", "click_ts",
         tieBreak = Some("click_id"))
     },
+    // §2.4 row 87c — the SKEW-SAFE as-of arm: 90% of users remapped to
+    // one hot key, hotKeyCount forced low so that key takes the
+    // broadcast arm while the rest stay on the window arm; the union
+    // must still equal the definitional lateral-argmax oracle
+    "q_asof_join_skew" -> { (s, dir) =>
+      val ev = Events.readEventsParquet(s, s"$dir/events.parquet")
+        .withColumn("user_id",
+          when(col("user_id") % 10 < 9, lit(0L)).otherwise(col("user_id")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      Joins.asofJoinSkew(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        tieBreak = Some("click_id"), hotKeyCount = 50)
+    },
     // §2.4 row 88 — range join: every event inside any 10-minute
     // error-incident window, via interval binning + equi-join; the
     // oracle is the definitional inequality join
@@ -334,6 +350,21 @@ object InfraGates {
         |      WHERE event_type = 'purchase') l
         |LEFT JOIN LATERAL (
         |  SELECT event_id AS click_id, ts AS click_ts FROM events r
+        |  WHERE r.event_type = 'click' AND r.user_id = l.user_id
+        |    AND r.ts <= l.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true""".stripMargin,
+    // identical semantics again (hot + cold arms union): same
+    // definitional oracle over the skew-remapped key
+    "q_asof_join_skew" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, ts,
+        |         CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS user_id
+        |  FROM events)
+        |SELECT l.event_id, l.user_id, l.ts, r.click_id, r.click_ts
+        |FROM (SELECT event_id, user_id, ts FROM ev
+        |      WHERE event_type = 'purchase') l
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id AS click_id, ts AS click_ts FROM ev r
         |  WHERE r.event_type = 'click' AND r.user_id = l.user_id
         |    AND r.ts <= l.ts
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true""".stripMargin,

@@ -54,6 +54,66 @@ object SourceGates {
     } finally tar.close()
   }
 
+  /** Deterministic WARC fixture: records of (type, uri, contentType,
+    * payload) written per ISO 28500; `perRecordGzip` writes each record
+    * as its own gzip member (the Common Crawl layout). */
+  private def writeWarc(
+    dest: Path,
+    records: Seq[(String, String, String, Array[Byte])],
+    perRecordGzip: Boolean
+  ): Unit = {
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    val out = Files.newOutputStream(dest)
+    try {
+      records.zipWithIndex.foreach { case ((rtype, uri, ctype, payload), i) =>
+        val sb = new StringBuilder
+        sb.append("WARC/1.0\r\n")
+        sb.append(s"WARC-Type: $rtype\r\n")
+        sb.append(s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n")
+        sb.append("WARC-Date: 2024-01-01T00:00:00Z\r\n")
+        if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
+        sb.append(s"Content-Type: $ctype\r\n")
+        sb.append(s"Content-Length: ${payload.length}\r\n")
+        sb.append("\r\n")
+        val head = sb.toString.getBytes("UTF-8")
+        val tail = "\r\n\r\n".getBytes("UTF-8")
+        if (perRecordGzip) {
+          val gz = new GzipCompressorOutputStream(out)
+          gz.write(head); gz.write(payload); gz.write(tail)
+          gz.finish()
+        } else {
+          out.write(head); out.write(payload); out.write(tail)
+        }
+      }
+    } finally out.close()
+  }
+
+  /** The shared WARC gate fixture (both gates read the same files):
+    * crawl1.warc — warcinfo + 40 HTML `response` records;
+    * crawl2.warc.gz — 31 WET `conversion` records, one gzip member
+    * each. Contents follow range()-re-derivable formulas. */
+  private def warcFixtureDir(): Path = {
+    val dir = Files.createTempDirectory("graft-warc")
+    val responses = (0 until 40).map { i =>
+      val html =
+        s"<html><body><p>doc $i ${"ha " * (i % 13)}</p></body></html>"
+      val payload =
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+          html).getBytes("UTF-8")
+      ("response", s"http://site${i % 7}.example/p$i",
+        "application/http; msgtype=response", payload)
+    }
+    val info = ("warcinfo", null: String, "application/warc-fields",
+      "software: graft-fixture\r\n".getBytes("UTF-8"))
+    writeWarc(dir.resolve("crawl1.warc"), info +: responses, perRecordGzip = false)
+    val wets = (0 until 31).map { i =>
+      ("conversion", s"http://wet$i.example/", "text/plain",
+        s"wet doc $i: ${"tok " * (i % 11)}".getBytes("UTF-8"))
+    }
+    writeWarc(dir.resolve("crawl2.warc.gz"), wets, perRecordGzip = true)
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 row 18 — header-TSV source: cells trimmed, empty-after-trim → NULL
     "q_tsv_roundtrip" -> { (s, _) =>
@@ -144,6 +204,36 @@ object SourceGates {
           col("member_size"),
           md5(col("member_bytes")).as("member_md5"))
     },
+    // WARC/WET ingestion — one row per record across a mixed
+    // plain-.warc / per-record-gzipped-.warc.gz glob: types, URIs,
+    // lengths, payload AND parsed-HTTP-body bytes all value-checked
+    // against a formula the oracle re-derives with range(); the
+    // warcinfo pseudo-record surfaces too (callers filter by type)
+    "q_warc_records" -> { (s, _) =>
+      val dir = warcFixtureDir()
+      graft.sources.Warc.readWarc(s, s"$dir/crawl*")
+        .select(
+          regexp_extract(col("warc_path"), "[^/]+$", 0).as("warc"),
+          col("record_index"),
+          col("record_type"),
+          col("target_uri"),
+          col("content_length"),
+          md5(col("payload")).as("payload_md5"),
+          col("http_status"),
+          md5(col("body")).as("body_md5"))
+    },
+    // WARC → text composition: responses strip their HTML (via the
+    // HTTP Content-Type parsed off the payload), WET conversion text
+    // passes through; whitespace-normalized so the oracle re-derives
+    // the exact visible text
+    "q_warc_to_text" -> { (s, _) =>
+      val dir = warcFixtureDir()
+      graft.sources.Warc.warcToText(graft.sources.Warc.readWarc(s, s"$dir/crawl*"))
+        .select(
+          regexp_extract(col("warc_path"), "[^/]+$", 0).as("warc"),
+          col("record_index"), col("url"),
+          trim(regexp_replace(col("text"), "\\s+", " ")).as("text_norm"))
+    },
     // §2.2 row 19 — ancestry ID extracted from the file path
     "q_ancestry_id" -> { (s, _) =>
       import s.implicits._
@@ -204,6 +294,52 @@ object SourceGates {
         |       CAST(octet_length(text::BLOB) AS BIGINT),
         |       md5(text)
         |FROM documents""".stripMargin,
+    "q_warc_records" ->
+      """WITH resp AS (
+        |  SELECT i,
+        |         '<html><body><p>doc ' || i || ' ' ||
+        |           repeat('ha ', CAST(i % 13 AS INT)) || '</p></body></html>' AS html
+        |  FROM range(0, 40) t(i)
+        |), wet AS (
+        |  SELECT i,
+        |         'wet doc ' || i || ': ' || repeat('tok ', CAST(i % 11 AS INT)) AS txt
+        |  FROM range(0, 31) t(i)
+        |)
+        |SELECT 'crawl1.warc' AS warc, CAST(0 AS BIGINT) AS record_index,
+        |       'warcinfo' AS record_type, CAST(NULL AS VARCHAR) AS target_uri,
+        |       CAST(octet_length(('software: graft-fixture' || chr(13) || chr(10))::BLOB)
+        |            AS BIGINT) AS content_length,
+        |       md5('software: graft-fixture' || chr(13) || chr(10)) AS payload_md5,
+        |       CAST(NULL AS INT) AS http_status,
+        |       md5('software: graft-fixture' || chr(13) || chr(10)) AS body_md5
+        |UNION ALL
+        |SELECT 'crawl1.warc', i + 1, 'response',
+        |       'http://site' || (i % 7) || '.example/p' || i,
+        |       CAST(octet_length(('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |         'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+        |         chr(13) || chr(10) || html)::BLOB) AS BIGINT),
+        |       md5('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |         'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+        |         chr(13) || chr(10) || html),
+        |       200,
+        |       md5(html)
+        |FROM resp
+        |UNION ALL
+        |SELECT 'crawl2.warc.gz', i, 'conversion',
+        |       'http://wet' || i || '.example/',
+        |       CAST(octet_length(txt::BLOB) AS BIGINT), md5(txt), NULL, md5(txt)
+        |FROM wet""".stripMargin,
+    "q_warc_to_text" ->
+      """SELECT 'crawl1.warc' AS warc, CAST(i + 1 AS BIGINT) AS record_index,
+        |       'http://site' || (i % 7) || '.example/p' || i AS url,
+        |       trim('doc ' || i || ' ' || repeat('ha ', CAST(i % 13 AS INT)))
+        |         AS text_norm
+        |FROM range(0, 40) t(i)
+        |UNION ALL
+        |SELECT 'crawl2.warc.gz', CAST(i AS BIGINT),
+        |       'http://wet' || i || '.example/',
+        |       trim('wet doc ' || i || ': ' || repeat('tok ', CAST(i % 11 AS INT)))
+        |FROM range(0, 31) t(i)""".stripMargin,
     "q_ancestry_id" ->
       """SELECT * FROM (VALUES
         |  ('r1', '/data/in/ancestry=EU/part-0.tsv',  'EU'),

