@@ -337,13 +337,16 @@ object Sampling {
    * the whole budget occupies its own bin); bins are never built by
    * driver-side iteration.
    *
-   * Scale shape: ONE window. Partitioned by `byCol` it is a hash
-   * shuffle + per-partition sort — the corpus-scale form. Global
-   * (byCol = None) it is an empty-partition window, which Spark plans
-   * as Exchange SinglePartition: EVERY row moves to one task, because
-   * an exact global prefix sum is inherently a total order. That is
-   * fine for per-key-sized data and wrong for a whole corpus — always
-   * pass a partition key (shard id, language) at scale.
+   * Scale shape: partitioned by `byCol` it is ONE window — a hash
+   * shuffle + per-partition sort, the per-key form. Global (byCol =
+   * None) it takes the [[TrainingOrder.withGlobalIndex]] recipe instead
+   * of a global window (which would plan Exchange SinglePartition and
+   * move EVERY row to one task): a range shuffle on `idCol`, local
+   * prefix sums per partition, a metadata-sized collect of the
+   * per-partition token totals (numPartitions longs), and broadcast
+   * exclusive offsets — no single-task stage at any corpus size. The
+   * shuffle files are written once and read by both jobs (one RDD
+   * lineage — the second job skips the map stage).
    */
   def binByTokenBudget(
     df: DataFrame,
@@ -355,19 +358,67 @@ object Sampling {
   ): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     Cols.requireAbsent(df, binCol)
-    // the global form is correct but a deliberate scale hazard (see
-    // Scaladoc) — make misuse loud at the call site, not silent in a
-    // slow stage 40 minutes into a job
-    if (byCol.isEmpty)
-      org.slf4j.LoggerFactory.getLogger("graft.Sampling").warn(
-        "binByTokenBudget called WITHOUT a partition key: an exact global " +
-          "prefix sum plans Exchange SinglePartition — every row moves to " +
-          "ONE task. Fine for per-key-sized inputs; pass byCol (shard id, " +
-          "language) at corpus scale.")
-    val w = byCol.fold(Window.orderBy(col(idCol)))(c => Window.partitionBy(col(c)).orderBy(col(idCol)))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val prefix = coalesce(sum(col(tokenCol)).over(w), lit(0L))
-    df.withColumn(binCol, floor(prefix / lit(budget)))
+    byCol match {
+      case Some(c) =>
+        val w = Window.partitionBy(col(c)).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        val prefix = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+        df.withColumn(binCol, floor(prefix / lit(budget)))
+      case None => globalBins(df, tokenCol, idCol, budget, binCol)
+    }
+  }
+
+  /** The scale-safe global arm: exact corpus-wide prefix sums without a
+    * total-order exchange. Same carve-out rationale as
+    * [[TrainingOrder.withGlobalIndex]] — a contiguous cross-partition
+    * running total has no relational spelling that avoids Exchange
+    * SinglePartition, but it IS two cheap passes over one range
+    * shuffle: per-partition totals (collected — numPartitions longs,
+    * metadata), then a map with each partition's broadcast exclusive
+    * offset. NULL tokens count 0, matching the window arm's null-
+    * skipping sum. */
+  private def globalBins(
+    df: DataFrame,
+    tokenCol: String,
+    idCol: String,
+    budget: Long,
+    binCol: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartitionByRange(n, col(idCol).asc)
+      .sortWithinPartitions(col(idCol).asc)
+    val tokIdx = sorted.schema.fieldIndex(tokenCol)
+    def tokOf(r: org.apache.spark.sql.Row): Long = r.get(tokIdx) match {
+      case null => 0L
+      case v: Number => v.longValue()
+      case other => throw new IllegalArgumentException(
+        s"binByTokenBudget: tokenCol '$tokenCol' must be numeric, " +
+          s"got ${other.getClass.getName}")
+    }
+    // ONE lineage: job 1 (totals) materializes the range shuffle, job 2
+    // (binning) reuses its files with the map stage skipped
+    val rdd = sorted.rdd
+    val totals = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += tokOf(r))
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val schema = sorted.schema
+      .add(binCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val binned = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var prefix = offsets.value(pid)
+      it.map { r =>
+        val bin = prefix / budget // exclusive prefix opens the row's bin
+        prefix += tokOf(r)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    spark.createDataFrame(binned, schema)
   }
 
   /**

@@ -140,21 +140,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*(1) Filter"), plan) // the * prefix = whole-stage codegen
   }
 
-  test("binByTokenBudget: ONE window; keyed = hash exchange, global = SinglePartition") {
+  test("binByTokenBudget: keyed = one window; global = range shuffle, NO SinglePartition") {
     val withTok = docs.select(col("doc_id"), col("lang"),
       TextAnalysis.wsTokenCount(col("text")).as("tok"))
+    // the global arm takes the withGlobalIndex recipe: range shuffle +
+    // per-partition prefix + broadcast offsets — no stage may plan a
+    // single-task exchange (the r11-and-earlier scale hazard, closed)
     val global = graft.operators.Sampling
       .binByTokenBudget(withTok, "tok", "doc_id", budget = 2000L)
       .queryExecution.executedPlan.toString
-    assert("(?m)^.*Window".r.findAllIn(global).size == 1, global)
-    assert("Sort ".r.findAllIn(global).size == 1, global)
-    // the global form IS a total order on one task — the docstring says
-    // so, and this pins that claim to the actual plan
-    assert(global.contains("Exchange SinglePartition"), global)
+    assert(!global.contains("Exchange SinglePartition"), global)
+    assert(!global.contains("Window"), global) // no global window either
+    // the range shuffle + prefix passes live in the RDD lineage (the
+    // documented withGlobalIndex carve-out) — the plan surfaces it as
+    // an ExistingRDD scan, same as withGlobalIndex's own audit
+    assert(global.contains("ExistingRDD"), global)
 
     val keyed = graft.operators.Sampling
       .binByTokenBudget(withTok, "tok", "doc_id", budget = 2000L, byCol = Some("lang"))
       .queryExecution.executedPlan.toString
+    assert("(?m)^.*Window".r.findAllIn(keyed).size == 1, keyed)
     assert(keyed.contains("Exchange hashpartitioning"), keyed)
     assert(!keyed.contains("Exchange SinglePartition"), keyed)
   }

@@ -238,6 +238,32 @@ class SamplingSpec extends SparkSpec {
     sums.foreach(r => assert(r.getLong(1) <= 2000L + r.getLong(2)))
   }
 
+  test("binByTokenBudget global arm: distributed prefix equals a single-task window") {
+    import spark.implicits._
+    // many input partitions + an out-of-order id column: the range
+    // shuffle must reassemble the exact global order before prefixing
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((1L to 5000L).toList).map(i => (i, (i % 97) + 1))
+    val df = rows.toDF("doc_id", "tok").repartition(17)
+    val got = Sampling.binByTokenBudget(df, "tok", "doc_id", budget = 500L)
+      .select("doc_id", "bin_id")
+      .as[(Long, Long)].collect().toMap
+    // reference: exact driver-side prefix sum in id order
+    var prefix = 0L
+    val want = (1L to 5000L).map { i =>
+      val b = prefix / 500L
+      prefix += (i % 97) + 1
+      i -> b
+    }.toMap
+    assert(got === want)
+    // NULL tokens count 0 (window-arm sum-skips-null parity)
+    val withNull = Seq((1L, Some(100L)), (2L, None), (3L, Some(450L)))
+      .toDF("doc_id", "tok")
+    val nb = Sampling.binByTokenBudget(withNull, "tok", "doc_id", budget = 500L)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(nb === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("duplicate split names are rejected loudly") {
     // Seq(("train",0.8),("train",0.1)) would otherwise silently pool 0.9
     // of the bucket space into 'train'
