@@ -74,12 +74,15 @@ object Bench {
     "q_incr_neardup_stream", // stateless stream-shape matcher vs the statically-capped flat index (r9)
     "q_quality_score",      // classifier scoring: gram explode + broadcast weight spine + per-doc regroup (r10)
     "q_quality_score_inline", // same math, zero-shuffle row-local projection — the plan-shape comparison rides the board (r10)
-    "q_tar_shard_roundtrip", // tar-shard sink + readTar roundtrip over the documents table — real file IO both ways (r10)
+    "q_tar_shard_write",    // tar-shard sink alone, both codecs — the WRITE half of the r10 roundtrip cell, split for variance attribution (r12)
+    "q_tar_shard_read",     // readTar over a pre-written two-codec shard fixture — the READ half (r12)
     "q_bigram_nll",         // interpolated bigram LM: predecessor-carrying explode + 3 broadcast model joins + per-doc regroup (r10)
     "q_bpe_tokens",         // loadable BPE: regex pre-tokenize + cached per-word merge loop, pure projection (r11)
     "q_epoch_shuffle",      // deterministic epoch shuffle: one hash shuffle on the shard key + per-shard rank window (r11)
     "q_asof_join",          // as-of join via union + running-last window: one shuffle, zero join nodes (r11)
     "q_asof_join_bcast",    // streaming as-of arm: per-key history array + broadcast equi-join + row-local fold (r11)
+    "q_asof_join_skew",     // skew-safe as-of arm: hot keys to the broadcast arm, cold keys to the window (r12)
+    "q_warc_records",       // WARC record extraction: executor-side parse of plain + per-record-gzip crawl files (r12)
     "q_events_sliding",     // sliding windows: native window replication, overlapping 10m/5m (r11)
     "q_range_join",         // range join via interval binning + equi-join, no nested loop (r11)
     "q_overlap_join",       // interval-overlap join: binned both sides + first-shared-bin dedup (r11)

@@ -234,6 +234,79 @@ object SourceGates {
           col("record_index"), col("url"),
           trim(regexp_replace(col("text"), "\\s+", " ")).as("text_norm"))
     },
+    // §2.2 row 82 WRITE half in isolation — the r11 verdict's variance
+    // attribution: q_tar_shard_roundtrip timed write+read through both
+    // codecs in one number, so its swings couldn't be attributed. This
+    // cell pays ONLY the sink cost (fresh temp dir per run, both
+    // codecs); the oracle checks the aggregate member accounting
+    "q_tar_shard_write" -> { (s, dir) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          concat(lit("doc_"), col("doc_id"), lit(".txt")).as("member_name"),
+          col("text").cast("binary").as("member_bytes"))
+        .repartition(4)
+      val outGz = Files.createTempDirectory("graft-tarw-gz").toString
+      val outZst = Files.createTempDirectory("graft-tarw-zst").toString
+      val mGz = graft.sources.Archives.writeTarShards(
+        docs, outGz, maxShardBytes = 16 << 10, codec = "gzip")
+      val mZst = graft.sources.Archives.writeTarShards(
+        docs, outZst, maxShardBytes = 16 << 10, codec = "zstd")
+      mGz.withColumn("codec", lit("gzip"))
+        .unionByName(mZst.withColumn("codec", lit("zstd")))
+        .groupBy("codec")
+        .agg(sum("n_members").as("total_members"),
+          sum("member_bytes").as("total_bytes"))
+    },
+    // §2.2 row 82 READ half in isolation: shards are written ONCE into
+    // a per-sf fixture dir (only if absent — bench reruns pay read-only
+    // cost), then read back member-by-member under the roundtrip's
+    // member-level oracle
+    "q_tar_shard_read" -> { (s, dir) =>
+      val fix = new java.io.File(
+        s"/tmp/graft_tarfix_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      val done = new java.io.File(fix, "_FIXTURE_DONE")
+      if (!done.exists()) {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(
+            concat(lit("doc_"), col("doc_id"), lit(".txt")).as("member_name"),
+            col("text").cast("binary").as("member_bytes"))
+          .repartition(4)
+        graft.sources.Archives.writeTarShards(
+          docs, s"$fix/gz", maxShardBytes = 16 << 10, codec = "gzip")
+        graft.sources.Archives.writeTarShards(
+          docs.withColumn("member_name", concat(lit("z_"), col("member_name"))),
+          s"$fix/zst", maxShardBytes = 16 << 10, codec = "zstd")
+        done.createNewFile()
+      }
+      graft.sources.Archives.readTar(s, s"$fix/gz/part-*")
+        .unionByName(graft.sources.Archives.readTar(s, s"$fix/zst/part-*"))
+        .select(
+          col("member_name"),
+          col("member_size"),
+          md5(col("member_bytes")).as("member_md5"))
+    },
+    // document-text extraction seam — mixed txt/html/rtf/binary corpus
+    // through the built-in extractors: format sniffed from magic bytes,
+    // text re-derived by the oracle per format (html entity + tag
+    // semantics, rtf control words), binary rows surface NULL text
+    "q_doc_extract" -> { (s, _) =>
+      import s.implicits._
+      val rows: Seq[(Long, Array[Byte])] =
+        (0 until 20).map(i => (i.toLong,
+          s"plain doc $i body ${"w " * (i % 5)}".getBytes("UTF-8"))) ++
+        (0 until 20).map(i => (100L + i,
+          s"<html><body><p>web doc $i &amp; x${"<br>" * (i % 3)}</p></body></html>"
+            .getBytes("UTF-8"))) ++
+        (0 until 20).map(i => (200L + i,
+          s"{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}\\f0 rtf doc $i\\par line $i}"
+            .getBytes("UTF-8"))) ++
+        Seq((300L, Array[Byte](0x00, 0x01, 0x02)))
+      val df = rows.toDF("doc_id", "payload")
+      graft.operators.DocExtract.extractText(df, "payload")
+        .select(col("doc_id"), col("doc_format"),
+          trim(regexp_replace(col("text"), "\\s+", " ")).as("text_norm"))
+    },
     // §2.2 row 19 — ancestry ID extracted from the file path
     "q_ancestry_id" -> { (s, _) =>
       import s.implicits._
@@ -340,6 +413,37 @@ object SourceGates {
         |       'http://wet' || i || '.example/',
         |       trim('wet doc ' || i || ': ' || repeat('tok ', CAST(i % 11 AS INT)))
         |FROM range(0, 31) t(i)""".stripMargin,
+    "q_tar_shard_write" ->
+      """SELECT codec,
+        |       (SELECT count(*) FROM documents) AS total_members,
+        |       (SELECT CAST(sum(octet_length(text::BLOB)) AS BIGINT)
+        |        FROM documents) AS total_bytes
+        |FROM (VALUES ('gzip'), ('zstd')) c(codec)""".stripMargin,
+    "q_tar_shard_read" ->
+      """SELECT 'doc_' || doc_id || '.txt' AS member_name,
+        |       CAST(octet_length(text::BLOB) AS BIGINT) AS member_size,
+        |       md5(text) AS member_md5
+        |FROM documents
+        |UNION ALL
+        |SELECT 'z_doc_' || doc_id || '.txt',
+        |       CAST(octet_length(text::BLOB) AS BIGINT),
+        |       md5(text)
+        |FROM documents""".stripMargin,
+    "q_doc_extract" ->
+      """SELECT CAST(i AS BIGINT) AS doc_id, 'txt' AS doc_format,
+        |       trim('plain doc ' || i || ' body ' || repeat('w ', CAST(i % 5 AS INT)))
+        |         AS text_norm
+        |FROM range(0, 20) t(i)
+        |UNION ALL
+        |SELECT 100 + i, 'html',
+        |       trim('web doc ' || i || ' & x')
+        |FROM range(0, 20) t(i)
+        |UNION ALL
+        |SELECT 200 + i, 'rtf',
+        |       'rtf doc ' || i || ' line ' || i
+        |FROM range(0, 20) t(i)
+        |UNION ALL
+        |SELECT 300, 'bin', NULL""".stripMargin,
     "q_ancestry_id" ->
       """SELECT * FROM (VALUES
         |  ('r1', '/data/in/ancestry=EU/part-0.tsv',  'EU'),

@@ -268,21 +268,28 @@ object Joins {
    * to ONE window task). Strategy: one map-side-combined count pass over
    * `left` finds keys with more than `hotKeyCount` probe rows (by
    * construction at most n_left/hotKeyCount keys — metadata-sized);
-   * those keys' probes take the [[asofJoinBroadcast]] arm, where the
-   * match is a broadcast equi-join + row-local fold, so the hot key's
-   * probes stay spread across their natural scan partitions and NO task
-   * ever holds the full hot-key partition. Every other key takes the
-   * [[asofJoin]] window arm unchanged (filtered through a broadcast
-   * anti-join, so hot keys structurally cannot reach the window). The
-   * two arms' semantics are value-identical (JoinsSpec pins parity on a
-   * 90%-one-key fixture and randomized inputs), so the union is exact.
+   * cold keys take the [[asofJoin]] window arm unchanged (filtered
+   * through a broadcast anti-join, so hot keys structurally cannot
+   * reach its window), while each hot key's probes are CHUNKED by a
+   * deterministic row salt and its history replicated to every chunk —
+   * the same union + running-last window, but partitioned by
+   * (keys, salt), so a hot key's probes spread over `saltN` tasks and
+   * NO task ever holds the full hot-key partition. Per-chunk the full
+   * history is present, so semantics are value-identical to the
+   * unsalted arm (JoinsSpec pins parity on a 90%-one-key fixture and
+   * randomized inputs; the gate runs it against the definitional
+   * lateral oracle).
    *
-   * Cost/limits: the extra count pass is one partial-aggregated scan of
-   * `left`'s keys; each HOT key's right-side history must fit in one
-   * row (the [[asofJoinBroadcast]] contract — histories are typically
-   * dimension-sized even when probes are event-sized; if a hot key's
-   * history is also event-sized, no as-of spelling avoids materializing
-   * it per task, and upstream compaction is the fix).
+   * Why not the [[asofJoinBroadcast]] fold for the hot arm: its
+   * per-probe cost is O(|history|) (a linear fold), which goes
+   * quadratic exactly in the hot case this arm exists for. The salted
+   * window keeps every row O(1) after sort; the price is saltN× history
+   * replication through one shuffle — histories are the small side of a
+   * skewed as-of by construction (probes dominate), so that's the
+   * cheap direction. The salt is a deterministic full-row hash (the
+   * [[Skew.saltedJoin]] SPARK-23207 rationale — byte-identical
+   * duplicate probe rows share a chunk; add a distinguishing column
+   * upstream to spread those).
    */
   def asofJoinSkew(
     left: DataFrame,
@@ -294,10 +301,13 @@ object Joins {
     tolerance: Option[Column] = None,
     joinType: String = "left",
     tieBreak: Option[String] = None,
-    hotKeyCount: Long = 4000000L
+    hotKeyCount: Long = 4000000L,
+    saltN: Int = 16
   ): DataFrame = {
     require(hotKeyCount > 0, s"hotKeyCount must be positive: $hotKeyCount")
-    Cols.requireAbsent(left, "__n")
+    require(saltN > 0, s"saltN must be positive: $saltN")
+    Cols.requireAbsent(left, "__n", "__skewsalt")
+    Cols.requireAbsent(right, "__skewsalt")
     val hotKeys = broadcast(
       left.groupBy(on.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > hotKeyCount)
@@ -306,10 +316,14 @@ object Joins {
       left.join(hotKeys, on, "left_anti"),
       right.join(hotKeys, on, "left_anti"),
       on, leftTs, rightTs, direction, tolerance, joinType, tieBreak)
-    val hot = asofJoinBroadcast(
-      left.join(hotKeys, on, "left_semi"),
-      right.join(hotKeys, on, "left_semi"),
-      on, leftTs, rightTs, direction, tolerance, joinType, tieBreak)
+    val leftHot = left.join(hotKeys, on, "left_semi")
+      .withColumn("__skewsalt", Skew.rowSalt(left, saltN))
+    val rightHot = right.join(hotKeys, on, "left_semi")
+      .withColumn("__skewsalt", explode(sequence(lit(0), lit(saltN - 1))))
+    val hot = asofJoin(
+      leftHot, rightHot, on :+ "__skewsalt", leftTs, rightTs,
+      direction, tolerance, joinType, tieBreak)
+      .drop("__skewsalt")
     cold.unionByName(hot)
   }
 

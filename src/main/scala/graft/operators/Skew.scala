@@ -37,7 +37,7 @@ object Skew {
     * column. Map-typed columns are EXCLUDED (xxhash64 rejects them), so
     * rows differing only in a map column share a salt — the same
     * documented limitation as byte-identical duplicates. */
-  private def rowSalt(df: DataFrame, saltN: Int): Column = {
+  private[operators] def rowSalt(df: DataFrame, saltN: Int): Column = {
     val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
     require(cols.nonEmpty,
       "salting needs at least one non-map column to hash deterministically")

@@ -436,13 +436,15 @@ class JoinsSpec extends SparkSpec {
       hotKeyCount = 50, tieBreak = Some("rid"))
     val plan = out.queryExecution.executedPlan.toString
     // structural proof no task receives the full hot-key partition: the
-    // window arm's input passes a broadcast LeftAnti against the hot-key
-    // set, and the hot arm is a broadcast equi-join + fold (no window,
-    // no hot-key shuffle); both shapes must appear
+    // cold window's input passes a broadcast LeftAnti against the
+    // hot-key set, and the hot arm windows over (key, __skewsalt) — the
+    // hot key's probes shuffle across saltN sub-partitions
     assert(plan.contains("Window"), plan.take(3000))
-    assert("BuildRight.*LeftAnti|LeftAnti.*BuildRight|BroadcastHashJoin.*LeftAnti".r
-      .findFirstIn(plan).isDefined || plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
     assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(plan.contains("__skewsalt"), plan.take(3000))
+    assert("hashpartitioning\\(k#\\d+, __skewsalt".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
     // with the threshold above every key count, it degrades to pure window
     val noHot = Joins.asofJoinSkew(l, r, Seq("k"), "lts", "rts",
       hotKeyCount = 100000, tieBreak = Some("rid"))
