@@ -112,6 +112,46 @@ object CorpusGates {
           bias = 0.1)
         .select(col("doc_id"), round(col("quality_score"), 6).as("quality_score"))
     },
+    // §2.4 row 83c — the FITTED binary arm, oracle-gated end to end: a
+    // planted-separation fixture (disjoint good/bad vocabularies) is
+    // fitted live and self-scored; the oracle re-derives the decision
+    // boundary from the plant formula. Prediction parity (not raw
+    // float weights) makes the gate robust to gradient-sum ordering
+    // while still failing on any fit/score regression that moves a
+    // decision
+    "q_quality_fit" -> { (s, _) =>
+      import s.implicits._
+      val good = (0 until 20).map(i => (950000L + i,
+        s"alpha$i excellent wonderful brilliant superb insightful", 1.0))
+      val bad = (0 until 20).map(i => (951000L + i,
+        s"beta$i terrible awful garbage dreadful spammy", 0.0))
+      val train = (good ++ bad).toDF("doc_id", "text", "label")
+      val model = QualityClassifier.fit(train, "text", "label", "doc_id",
+        nBuckets = 64, iters = 30)
+      QualityClassifier.scoreInline(
+          train.select("doc_id", "text"), model.weights, "text", "doc_id",
+          bias = model.bias)
+        .select(col("doc_id"),
+          (col("quality_score") > 0.5).cast("int").as("predicted"))
+    },
+    // §2.4 row 83d — the fitted MULTI-class arm (softmax regression +
+    // row-local argmax scoring), same planted-separation strategy with
+    // three disjoint vocabularies
+    "q_quality_fit_multi" -> { (s, _) =>
+      import s.implicits._
+      val en = (0 until 15).map(i => (960000L + i,
+        s"gamma$i the quick brown fox jumps", "en"))
+      val fr = (0 until 15).map(i => (961000L + i,
+        s"delta$i le chat noir dort bien", "fr"))
+      val de = (0 until 15).map(i => (962000L + i,
+        s"eps$i der hund lauft schnell heute", "de"))
+      val train = (en ++ fr ++ de).toDF("doc_id", "text", "label")
+      val model = QualityClassifier.fitMulti(train, "text", "label", "doc_id",
+        nBuckets = 64, iters = 40)
+      QualityClassifier.scoreMultiInline(
+          train.select("doc_id", "text"), model, "text", "doc_id")
+        .select("doc_id", "label_pred")
+    },
     // the full selection key surface: weight, hash-Gumbel noise, and the
     // resampling key at τ=2 — the top-n cut over `key` is the already-
     // gated TakeOrdered pattern (DsirSpec pins the plan + determinism)
@@ -352,6 +392,19 @@ object CorpusGates {
       "\nSELECT bucket, round(log_ratio, 6) AS log_ratio FROM model"),
     // same gram CTE as DSIR (shared feature space); weight per gram
     // occurrence is the literal formula, score the mean through sigmoid
+    "q_quality_fit" ->
+      """SELECT CAST(950000 + i AS BIGINT) AS doc_id, 1 AS predicted
+        |FROM range(0, 20) t(i)
+        |UNION ALL
+        |SELECT CAST(951000 + i AS BIGINT), 0
+        |FROM range(0, 20) t(i)""".stripMargin,
+    "q_quality_fit_multi" ->
+      """SELECT CAST(960000 + i AS BIGINT) AS doc_id, 'en' AS label_pred
+        |FROM range(0, 15) t(i)
+        |UNION ALL
+        |SELECT CAST(961000 + i AS BIGINT), 'fr' FROM range(0, 15) t(i)
+        |UNION ALL
+        |SELECT CAST(962000 + i AS BIGINT), 'de' FROM range(0, 15) t(i)""".stripMargin,
     "q_quality_score" -> QualityScoreSql,
     // identical math through the zero-shuffle row-local projection
     "q_quality_score_inline" -> QualityScoreSql,

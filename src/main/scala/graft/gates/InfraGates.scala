@@ -133,6 +133,21 @@ object InfraGates {
       Joins.asofJoinSkew(purchases, clicks, Seq("user_id"), "ts", "click_ts",
         tieBreak = Some("click_id"), hotKeyCount = 50)
     },
+    // stream-stream interval join, batch surface — the SAME
+    // Events.joinStreams plan StreamingSpec runs over MemoryStreams:
+    // each purchase pairs with the user's clicks in the 10 minutes
+    // before it; the oracle is the definitional inequality join
+    "q_join_streams" -> { (s, dir) =>
+      val ev = Events.readEventsParquet(s, s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      Events.joinStreams(purchases, clicks, Seq("user_id"),
+          leftTs = "p_ts", rightTs = "c_ts",
+          lookback = "10 minutes", lookahead = "0 seconds")
+        .select("user_id", "p_id", "c_id")
+    },
     // §2.4 row 88 — range join: every event inside any 10-minute
     // error-incident window, via interval binning + equi-join; the
     // oracle is the definitional inequality join
@@ -368,6 +383,15 @@ object InfraGates {
         |  WHERE r.event_type = 'click' AND r.user_id = l.user_id
         |    AND r.ts <= l.ts
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true""".stripMargin,
+    "q_join_streams" ->
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE
+        | AND c.ts <= p.ts""".stripMargin,
     "q_range_join" ->
       """WITH w AS (
         |  SELECT event_id AS interval_id, ts AS start_ts,

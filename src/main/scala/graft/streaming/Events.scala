@@ -319,6 +319,58 @@ object Events {
   }
 
   /**
+   * Watermarked STREAM-STREAM interval join — the live analogue of
+   * [[graft.operators.Joins.rangeJoin]]: each left event pairs with the
+   * right events sharing its `on` keys whose timestamp lies in
+   * `[leftTs − lookback, leftTs + lookahead]` (inclusive both ends).
+   * Output = `on` keys + left payload + right payload (right
+   * null-extended under `leftOuter`).
+   *
+   * Both sides carry the SAME event-time watermark and the join
+   * condition carries the explicit time range — exactly the two things
+   * Structured Streaming needs to bound join state: buffered rows are
+   * evicted once the watermark passes their end of the range, so state
+   * is O(rate × (watermark + range)), not O(stream). `leftOuter` also
+   * works (Spark emits null-extended rows when the watermark proves no
+   * match can arrive); `full`/`right` outer follow the same recipe but
+   * are not exposed until a gate needs them.
+   *
+   * The SAME code runs in batch (withWatermark is a no-op there), so
+   * StreamingSpec pins the MemoryStream arm row-for-row against this
+   * function's own batch run — and the batch run against the
+   * definitional inequality join.
+   */
+  def joinStreams(
+    left: DataFrame,
+    right: DataFrame,
+    on: Seq[String],
+    leftTs: String,
+    rightTs: String,
+    lookback: String = "10 minutes",
+    lookahead: String = "0 seconds",
+    watermark: String = "10 minutes",
+    joinType: String = "inner"
+  ): DataFrame = {
+    require(on.nonEmpty, "joinStreams needs at least one equality key")
+    require(Set("inner", "leftOuter")(joinType),
+      s"joinType must be inner|leftOuter: '$joinType'")
+    val lPayload = left.columns.filterNot(on.contains).toSeq
+    val rPayload = right.columns.filterNot(on.contains).toSeq
+    val overlap = rPayload.filter(c => lPayload.exists(_.equalsIgnoreCase(c)))
+    require(overlap.isEmpty,
+      s"right column(s) ${overlap.mkString(", ")} collide with left " +
+        "columns — rename one side before joining")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = on.map(k => l(k) === r(k)).reduce(_ && _)
+    val range =
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL '$lookback'") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL '$lookahead'")
+    l.join(r, keyCond && range, joinType)
+      .select((on.map(l(_)) ++ lPayload.map(l(_)) ++ rPayload.map(r(_))): _*)
+  }
+
+  /**
    * Cohort retention: users cohort by the period of their FIRST event
    * (`cohort_period` = floor(first ts / periodMicros)), and the matrix
    * counts distinct users active in each later period —

@@ -400,4 +400,69 @@ class StreamingSpec extends SparkSpec {
     ))
     intercept[IllegalArgumentException] { Events.retention(ev, periodMicros = 0) }
   }
+
+  test("joinStreams: stream-stream interval join equals batch, state bounded") {
+    implicit val ctx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Events.joinStreams(
+      impressions.toDF().toDF("user_id", "imp_ts", "ad"),
+      clicks.toDF().toDF("user_id", "click_ts", "value"),
+      on = Seq("user_id"), leftTs = "imp_ts", rightTs = "click_ts",
+      lookback = "0 seconds", lookahead = "10 minutes",
+      watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    val impData = Seq(
+      (1L, ts(60), "adA"), (2L, ts(62), "adB"), (1L, ts(90), "adC"))
+    val clickData = Seq(
+      (1L, ts(65), 1.0),  // matches adA (+5m)
+      (2L, ts(75), 2.0),  // 13m after adB -> outside lookahead
+      (1L, ts(95), 3.0))  // matches adC (+5m)
+    try {
+      impressions.addData(impData.take(2): _*)
+      clicks.addData(clickData.take(1): _*)
+      q.processAllAvailable()
+      impressions.addData(impData.drop(2): _*)
+      clicks.addData(clickData.drop(1): _*)
+      q.processAllAvailable()
+      // advance both watermarks far past everything so all matches emit
+      impressions.addData((99L, ts(400), "late"))
+      clicks.addData((99L, ts(401), 0.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join")
+        .select("user_id", "ad", "value")
+        .as[(Long, String, Double)].collect().toSet
+      // batch run of the SAME function on the same data
+      val batch = Events.joinStreams(
+          (impData :+ ((99L, ts(400), "late"))).toDF("user_id", "imp_ts", "ad"),
+          (clickData :+ ((99L, ts(401), 0.0))).toDF("user_id", "click_ts", "value"),
+          on = Seq("user_id"), leftTs = "imp_ts", rightTs = "click_ts",
+          lookback = "0 seconds", lookahead = "10 minutes")
+        .select("user_id", "ad", "value")
+        .as[(Long, String, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, "adA", 1.0), (1L, "adC", 3.0),
+        (99L, "late", 0.0)))
+      // and the batch run equals the definitional inequality join
+      val definitional = impData.toDF("user_id", "imp_ts", "ad")
+        .join(clickData.toDF("cu", "click_ts", "value"),
+          col("user_id") === col("cu") &&
+            col("click_ts") >= col("imp_ts") &&
+            col("click_ts") <= col("imp_ts") + expr("INTERVAL '10' MINUTE"))
+        .select("user_id", "ad", "value")
+        .as[(Long, String, Double)].collect().toSet
+      assert(streamed - ((99L, "late", 0.0)) === definitional)
+      // watermark-bounded state: the join keeps a state store, and after
+      // the watermark passed the early events their buffered rows were
+      // evicted — state must hold fewer rows than were ingested
+      val prog = q.lastProgress
+      assert(prog.stateOperators.nonEmpty, "no state operator in progress")
+      val rowsTotal = prog.stateOperators.map(_.numRowsTotal).sum
+      val ingested = impData.size + 1 + clickData.size + 1
+      assert(rowsTotal < ingested,
+        s"state not watermark-bounded: $rowsTotal rows buffered of $ingested")
+    } finally q.stop()
+  }
 }
