@@ -97,7 +97,10 @@ object Bench {
     "q_funnel",             // ordered funnel: one user-keyed min-agg pass per step (r11)
     "q_hll_distinct",       // mergeable HLL distinct sketches + estimate-vs-exact verdict (r11)
     "q_retention",          // cohort retention: user shuffle + (cohort, offset) agg (r11)
-    "q_cms_counts"          // CMS frequency sketches + union agg + group-localized point queries (r11)
+    "q_cms_counts",         // CMS frequency sketches + union agg + group-localized point queries (r11)
+    "q_kll_quantiles",      // KLL quantile sketches + rank-band verdict join (r12)
+    "q_join_streams",       // stream-stream interval join, batch surface (r12)
+    "q_doc_extract"         // document-extraction seam: sniff + builtin extractors over mixed formats (r12)
   )
 
   private def jsonStr(s: String): String =

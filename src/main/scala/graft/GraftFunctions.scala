@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CharEntropyExpr, CmsUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
+import graft.functions.{CharEntropyExpr, CmsUnionAgg, KllBuildAgg, KllUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -132,8 +132,20 @@ object GraftFunctions {
     // union of serialized count-min sketches — pairs with Spark's own
     // count_min_sketch builder aggregate (which has no SQL union)
     ("cms_union", oneArg("cms_union")(CmsUnionAgg(_: Expression)),
-      classOf[CmsUnionAgg])
+      classOf[CmsUnionAgg]),
+    // mergeable KLL quantile sketches (build + union) — Spark has
+    // approx_percentile but no persistable/mergeable quantile artifact
+    ("kll_sketch", kllSketchBuilder, classOf[KllBuildAgg]),
+    ("kll_union", oneArg("kll_union")(KllUnionAgg(_: Expression)),
+      classOf[KllUnionAgg])
   )
+
+  private def kllSketchBuilder: Seq[Expression] => Expression = {
+    case Seq(e) => KllBuildAgg(e)
+    case Seq(e, Literal(k: Int, _)) => KllBuildAgg(e, k)
+    case args => throw new IllegalArgumentException(
+      s"kll_sketch expects (value DOUBLE[, k INT literal]), got ${args.length} args")
+  }
 
   /** Register every graft SQL function on an existing session. */
   def register(spark: SparkSession): Unit =

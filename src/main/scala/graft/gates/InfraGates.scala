@@ -249,6 +249,24 @@ object InfraGates {
           (abs(col("distinct_est") - col("__exact")) / col("__exact") <= 0.05)
             .cast("int").as("ok"))
     },
+    // §2.4 row 106 — KLL quantile sketches: per-lang n_chars quantiles
+    // read off the mergeable artifact; the verdict is the normalized-
+    // rank band (the estimate is an actual corpus value whose empirical
+    // rank must sit within 3ε+ties of the requested q — sketch bytes
+    // and exact estimates are not engine-portable, the band contract is)
+    "q_kll_quantiles" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), col("n_chars").cast("double").as("v"))
+      val qs = Seq(0.25, 0.5, 0.9)
+      val est = Sketches.estimateQuantiles(
+        Sketches.quantileSketches(docs, Seq("lang"), "v"), Seq("lang"), qs)
+      val ranked = est.join(docs, Seq("lang"))
+        .groupBy("lang", "q", "value_est")
+        .agg((sum((col("v") <= col("value_est")).cast("long")) /
+          count(lit(1))).as("__rank"))
+      ranked.select(col("lang"), col("q"),
+        (abs(col("__rank") - col("q")) <= 0.1).cast("int").as("ok"))
+    },
     // §2.4 row 98b — CMS frequency sketches: per-lang counts of two
     // source values; at these widths (20k counters vs ~20 values per
     // group) the deterministic estimate equals the exact count, and the
@@ -433,6 +451,10 @@ object InfraGates {
         |SELECT id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
     "q_hll_distinct" ->
       "SELECT DISTINCT lang, 1 AS ok FROM documents",
+    "q_kll_quantiles" ->
+      """SELECT DISTINCT lang, t.q, 1 AS ok
+        |FROM documents
+        |CROSS JOIN (VALUES (0.25), (0.5), (0.9)) t(q)""".stripMargin,
     "q_cms_counts" ->
       """SELECT DISTINCT lang, t.term, 1 AS ok
         |FROM documents

@@ -102,6 +102,75 @@ object Sketches {
       .agg(graft.functions.CmsUnionAgg(col("sketch")).as("sketch"))
   }
 
+  // ------------------------------------------------- kll (quantiles)
+
+  /** Per-group KLL quantile sketches over `valueCol` (cast to double):
+    * `(groupCols…, sketch BINARY)` — the QUANTILE member of the
+    * incremental-index family (HLL = distinct, CMS = frequency, KLL =
+    * distribution). KB-scale per group at any n; ~1.65% normalized
+    * RANK error at the k = 200 default. Same index shape as
+    * [[distinctSketches]]; fold new drops in with [[mergeKll]]. Sketch
+    * BYTES are not run-deterministic once compaction kicks in
+    * (randomized compaction) — the rank-error band is the contract
+    * (SketchesSpec pins it; the gate checks the band verdict, the HLL
+    * precedent). */
+  def quantileSketches(
+    df: DataFrame,
+    groupCols: Seq[String],
+    valueCol: String,
+    k: Int = 200
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(k >= 8, s"k must be >= 8: $k")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KllBuildAgg(col(valueCol).cast("double"), k)
+        .as("sketch"))
+  }
+
+  /** Union KLL tables per group (mixed k downgrades to the coarser —
+    * the DataSketches union rule, like HLL's allowDifferentLgConfigK). */
+  def mergeKll(sketchTables: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketchTables.nonEmpty, "at least one sketch table required")
+    sketchTables.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.KllUnionAgg(col("sketch")).as("sketch"))
+  }
+
+  /** Quantile-value estimates off a KLL table: one output row per
+    * (group, q) — `(groupCols…, q, value_est)`. Group-localized point
+    * queries (the [[estimateCounts]] argument: the sketch table is
+    * KB-per-group, so it localizes and returns as a local relation).
+    * `qs` are normalized ranks in [0, 1]; the estimate is an actual
+    * retained input value whose true rank is within ε(k) of q. */
+  def estimateQuantiles(
+    sketches: DataFrame,
+    groupCols: Seq[String],
+    qs: Seq[Double]
+  ): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    qs.foreach(q => require(q >= 0 && q <= 1, s"quantile out of [0,1]: $q"))
+    val spark = sketches.sparkSession
+    val rows = sketches
+      .select((groupCols.map(col) :+ col("sketch")): _*).collect()
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length * qs.size)
+    for (r <- rows) {
+      val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]]("sketch")))
+      for (q <- qs)
+        out.add(org.apache.spark.sql.Row.fromSeq(
+          (0 until groupCols.size).map(r.get) ++
+            Seq(q, if (sk.isEmpty) null else sk.getQuantile(q))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      groupCols.map(g => org.apache.spark.sql.types.StructField(
+        g, sketches.schema(g).dataType)) ++ Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("value_est",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(out, schema)
+  }
+
   /** Frequency estimates for `terms` from a CMS table: one output row
     * per (group, term) — `(groupCols…, term, count_est)`. The sketch
     * table is GROUP-sized (KB per group), so it localizes to the driver

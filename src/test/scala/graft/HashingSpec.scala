@@ -307,6 +307,23 @@ class HashingSpec extends SparkSpec {
     assert(sk.estimateCount("a") === 2L && sk.estimateCount("b") === 1L)
   }
 
+  test("SQL surface: kll_sketch and kll_union resolve and answer quantiles") {
+    GraftFunctions.register(spark)
+    spark.range(1, 101)
+      .select((col("id") % 2).as("half"), col("id").cast("double").as("v"))
+      .createOrReplaceTempView("kll_probe")
+    spark.sql(
+      "SELECT half, kll_sketch(v, 200) AS sk FROM kll_probe GROUP BY half")
+      .createOrReplaceTempView("kll_halves")
+    val merged = spark.sql("SELECT kll_union(sk) AS sk FROM kll_halves")
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(merged))
+    // 100 values at k=200: uncompacted, the median is exact
+    assert(sk.getN === 100L)
+    assert(sk.getQuantile(0.5) >= 49.0 && sk.getQuantile(0.5) <= 51.0)
+  }
+
   test("constant folding collapses seed hashes to literals") {
     val plan = spark.range(1)
       .select(Hashing.md5Long60(lit("0")).as("seed"))

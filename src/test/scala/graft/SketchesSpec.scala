@@ -93,6 +93,50 @@ class SketchesSpec extends SparkSpec {
     assert(a === est.toSet)
   }
 
+  test("KLL quantiles: exact under capacity, rank-band above it") {
+    // 100 values per group at k=200: no compaction — the estimate IS an
+    // exact order statistic
+    val small = (1L to 400L).map(i => (i, s"g${i % 4}", (i / 4).toDouble))
+      .toDF("id", "grp", "v")
+    val smallEst = Sketches.estimateQuantiles(
+        Sketches.quantileSketches(small, Seq("grp"), "v"),
+        Seq("grp"), Seq(0.5))
+      .as[(String, Double, Option[Double])].collect()
+    assert(smallEst.length === 4)
+    for ((g, _, e) <- smallEst) {
+      // values per group are ~uniform 0..100; exact median within the set
+      assert(e.isDefined && e.get >= 40 && e.get <= 60, s"$g median ${e}")
+    }
+    // 50k values in one group: compaction has kicked in — verify the
+    // normalized-rank band (ε ≈ 1.65% at k=200; assert 3ε)
+    val big = (1L to 50000L).map(i => (i, "g", i.toDouble)).toDF("id", "grp", "v")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = Sketches.estimateQuantiles(
+        Sketches.quantileSketches(big, Seq("grp"), "v"), Seq("grp"), qs)
+      .as[(String, Double, Option[Double])].collect()
+    for ((_, q, e) <- est) {
+      val empiricalRank = e.get / 50000.0 // values are 1..n so rank(v) = v/n
+      assert(math.abs(empiricalRank - q) <= 0.05,
+        s"q=$q est=${e.get} rank=$empiricalRank")
+    }
+  }
+
+  test("KLL incremental contract: merged drop sketches stay in the band") {
+    val all = (1L to 30000L).map(i => (i, s"g${i % 2}", i.toDouble)).toDF("id", "grp", "v")
+    val merged = Sketches.mergeKll(Seq(
+        Sketches.quantileSketches(all.filter(col("id") <= 15000), Seq("grp"), "v"),
+        Sketches.quantileSketches(all.filter(col("id") > 15000), Seq("grp"), "v")),
+      Seq("grp"))
+    val est = Sketches.estimateQuantiles(merged, Seq("grp"), Seq(0.25, 0.75))
+      .as[(String, Double, Option[Double])].collect()
+    assert(est.length === 4)
+    for ((g, q, e) <- est) {
+      // per-group values are an arithmetic sequence over ~1..30000
+      val empiricalRank = e.get / 30000.0
+      assert(math.abs(empiricalRank - q) <= 0.05, s"$g q=$q rank=$empiricalRank")
+    }
+  }
+
   test("guards") {
     intercept[IllegalArgumentException] {
       Sketches.distinctSketches(corpus, Seq.empty, "value")
