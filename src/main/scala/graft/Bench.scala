@@ -100,7 +100,9 @@ object Bench {
     "q_cms_counts",         // CMS frequency sketches + union agg + group-localized point queries (r11)
     "q_kll_quantiles",      // KLL quantile sketches + rank-band verdict join (r12)
     "q_join_streams",       // stream-stream interval join, batch surface (r12)
-    "q_doc_extract"         // document-extraction seam: sniff + builtin extractors over mixed formats (r12)
+    "q_doc_extract",        // document-extraction seam: sniff + builtin extractors over mixed formats (r12)
+    "q_warc_roundtrip",     // WARC sink + readWarc roundtrip over the documents table — per-record-gzip WET shards (r12)
+    "q_theta_setops"        // theta set-algebra sketches: two drop sketches -> union/intersect/diff cardinalities (r12)
   )
 
   private def jsonStr(s: String): String =

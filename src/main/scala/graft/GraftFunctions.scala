@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CharEntropyExpr, CmsUnionAgg, KllBuildAgg, KllUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
+import graft.functions.{CharEntropyExpr, CmsUnionAgg, KllBuildAgg, KllUnionAgg, ThetaBuildAgg, ThetaUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -137,8 +137,20 @@ object GraftFunctions {
     // approx_percentile but no persistable/mergeable quantile artifact
     ("kll_sketch", kllSketchBuilder, classOf[KllBuildAgg]),
     ("kll_union", oneArg("kll_union")(KllUnionAgg(_: Expression)),
-      classOf[KllUnionAgg])
+      classOf[KllUnionAgg]),
+    // theta set-algebra sketches (build + union) — set operations
+    // across sketched drops, which HLL cannot answer
+    ("theta_sketch", thetaSketchBuilder, classOf[ThetaBuildAgg]),
+    ("theta_union", oneArg("theta_union")(ThetaUnionAgg(_: Expression)),
+      classOf[ThetaUnionAgg])
   )
+
+  private def thetaSketchBuilder: Seq[Expression] => Expression = {
+    case Seq(e) => ThetaBuildAgg(e)
+    case Seq(e, Literal(lgK: Int, _)) => ThetaBuildAgg(e, lgK)
+    case args => throw new IllegalArgumentException(
+      s"theta_sketch expects (value STRING[, lgK INT literal]), got ${args.length} args")
+  }
 
   private def kllSketchBuilder: Seq[Expression] => Expression = {
     case Seq(e) => KllBuildAgg(e)

@@ -267,6 +267,25 @@ object InfraGates {
       ranked.select(col("lang"), col("q"),
         (abs(col("__rank") - col("q")) <= 0.1).cast("int").as("ok"))
     },
+    // §2.4 row 108 — theta set-operation sketches: the corpus split
+    // into two "drops" by id parity, per-lang union/intersection/
+    // difference cardinalities read off the two sketch artifacts. At
+    // gate widths (~100 distinct texts per side vs 2^12 nominal
+    // entries) theta runs in EXACT mode and is deterministic, so the
+    // oracle re-derives the precise set cardinalities
+    "q_theta_setops" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val a = Sketches.thetaSketches(
+        docs.filter(col("doc_id") % 2 === 0), Seq("lang"), "text")
+      val b = Sketches.thetaSketches(
+        docs.filter(col("doc_id") % 2 === 1), Seq("lang"), "text")
+      Sketches.thetaSetOps(a, b, Seq("lang"))
+        .select(col("lang"),
+          col("union_est").cast("long").as("union_d"),
+          col("intersect_est").cast("long").as("intersect_d"),
+          col("a_not_b_est").cast("long").as("a_not_b_d"),
+          col("b_not_a_est").cast("long").as("b_not_a_d"))
+    },
     // §2.4 row 98b — CMS frequency sketches: per-lang counts of two
     // source values; at these widths (20k counters vs ~20 values per
     // group) the deterministic estimate equals the exact count, and the
@@ -455,6 +474,31 @@ object InfraGates {
       """SELECT DISTINCT lang, t.q, 1 AS ok
         |FROM documents
         |CROSS JOIN (VALUES (0.25), (0.5), (0.9)) t(q)""".stripMargin,
+    "q_theta_setops" ->
+      """WITH a AS (SELECT DISTINCT lang, text FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT lang, text FROM documents WHERE doc_id % 2 = 1),
+        |langs AS (SELECT DISTINCT lang FROM documents),
+        |u AS (SELECT lang, count(*) AS union_d FROM
+        |       (SELECT lang, text FROM a UNION SELECT lang, text FROM b)
+        |      GROUP BY lang),
+        |i AS (SELECT a.lang, count(*) AS intersect_d FROM a
+        |      JOIN b ON a.lang = b.lang AND a.text = b.text GROUP BY a.lang),
+        |anb AS (SELECT a.lang, count(*) AS a_not_b_d FROM a
+        |        ANTI JOIN b ON a.lang = b.lang AND a.text = b.text
+        |        GROUP BY a.lang),
+        |bna AS (SELECT b.lang, count(*) AS b_not_a_d FROM b
+        |        ANTI JOIN a ON b.lang = a.lang AND b.text = a.text
+        |        GROUP BY b.lang)
+        |SELECT l.lang,
+        |       CAST(coalesce(u.union_d, 0) AS BIGINT) AS union_d,
+        |       CAST(coalesce(i.intersect_d, 0) AS BIGINT) AS intersect_d,
+        |       CAST(coalesce(anb.a_not_b_d, 0) AS BIGINT) AS a_not_b_d,
+        |       CAST(coalesce(bna.b_not_a_d, 0) AS BIGINT) AS b_not_a_d
+        |FROM langs l
+        |LEFT JOIN u ON l.lang = u.lang
+        |LEFT JOIN i ON l.lang = i.lang
+        |LEFT JOIN anb ON l.lang = anb.lang
+        |LEFT JOIN bna ON l.lang = bna.lang""".stripMargin,
     "q_cms_counts" ->
       """SELECT DISTINCT lang, t.term, 1 AS ok
         |FROM documents

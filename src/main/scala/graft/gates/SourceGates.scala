@@ -234,6 +234,23 @@ object SourceGates {
           col("record_index"), col("url"),
           trim(regexp_replace(col("text"), "\\s+", " ")).as("text_norm"))
     },
+    // WARC SINK roundtrip — the documents table published as rolling
+    // per-record-gzip WET shards (small cap forces several shards per
+    // partition), read back with readWarc and gated record-by-record:
+    // URIs, types, and body bytes must survive the container
+    "q_warc_roundtrip" -> { (s, dir) =>
+      val out = Files.createTempDirectory("graft-warcsink").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(concat(lit("http://corpus.example/doc/"), col("doc_id")).as("url"),
+          col("text"))
+        .repartition(4)
+      val manifest = graft.sources.Warc.writeWarcShards(
+        docs, out, maxShardBytes = 16 << 10)
+      assert(manifest.count() > 4, "warc shard rolling never triggered")
+      graft.sources.Warc.readWarc(s, s"$out/part-*")
+        .select(col("target_uri").as("url"), col("record_type"),
+          md5(col("body")).as("text_md5"))
+    },
     // §2.2 row 82 WRITE half in isolation — the r11 verdict's variance
     // attribution: q_tar_shard_roundtrip timed write+read through both
     // codecs in one number, so its swings couldn't be attributed. This
@@ -413,6 +430,11 @@ object SourceGates {
         |       'http://wet' || i || '.example/',
         |       trim('wet doc ' || i || ': ' || repeat('tok ', CAST(i % 11 AS INT)))
         |FROM range(0, 31) t(i)""".stripMargin,
+    "q_warc_roundtrip" ->
+      """SELECT 'http://corpus.example/doc/' || doc_id AS url,
+        |       'conversion' AS record_type,
+        |       md5(text) AS text_md5
+        |FROM documents""".stripMargin,
     "q_tar_shard_write" ->
       """SELECT codec,
         |       (SELECT count(*) FROM documents) AS total_members,

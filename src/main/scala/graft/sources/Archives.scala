@@ -140,7 +140,7 @@ object Archives {
 
   /** Hadoop `Configuration` made task-shippable via its own `Writable`
     * serialization (Spark's equivalent helper is `private[spark]`). */
-  private final class SerializableHadoopConf(
+  private[sources] final class SerializableHadoopConf(
     @transient var value: org.apache.hadoop.conf.Configuration
   ) extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {

@@ -230,6 +230,122 @@ object Warc {
         "payload", "http_status", "http_content_type", "body")
   }
 
+  /**
+   * WARC SINK — the inverse of [[readWarc]], publishing a curated text
+   * corpus as WET-style `conversion` records in rolling `.warc.gz`
+   * shards (each record its OWN gzip member, the Common Crawl layout —
+   * so consumers get record-level random access and [[readWarc]]'s
+   * concatenated-member mode reads them back). Same distributed shape
+   * as [[Archives.writeTarShards]]: each input partition writes its own
+   * shard sequence (`part-<partition>-<seq>.warc.gz`), cutting a new
+   * shard past `maxShardBytes` of RECORD bytes; task-start cleanup
+   * drops a prior attempt's shards so retries are idempotent; output
+   * goes through the Hadoop FileSystem API.
+   *
+   * Records are DETERMINISTIC: `WARC-Record-ID` derives from the md5 of
+   * (uri, payload) — a content urn, not a random uuid — and `WARC-Date`
+   * comes from `dateCol` (ISO 8601) or the fixed epoch default, so a
+   * re-published corpus is byte-stable modulo gzip mtime (which the
+   * writer zeroes via a fixed-deflater path: commons-compress writes no
+   * name/mtime by default).
+   *
+   * Returns the shard manifest (shard_path, n_records, record_bytes) —
+   * driver-local, the [[Archives.writeTarShards]] exactly-once
+   * contract.
+   */
+  def writeWarcShards(
+    df: DataFrame,
+    dir: String,
+    uriCol: String = "url",
+    textCol: String = "text",
+    dateCol: Option[String] = None,
+    maxShardBytes: Long = 1L << 30
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(maxShardBytes > 0, s"maxShardBytes must be positive: $maxShardBytes")
+    val conf = new Archives.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(conf.value).mkdirs(dirPath)
+    val dateExpr = dateCol.fold(lit("2000-01-01T00:00:00Z"))(c =>
+      date_format(col(c).cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+    val manifest: Array[(String, Long, Long)] = df
+      .select(col(uriCol).cast("string"), col(textCol).cast("string"),
+        dateExpr.cast("string"))
+      .as[(String, String, String)]
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+          fs.globStatus(new org.apache.hadoop.fs.Path(
+              dirPath, f"part-$pid%05d-*")) match {
+            case null => ()
+            case stale => stale.foreach(s => fs.delete(s.getPath, false))
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val shards = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          var seq = 0
+          var out: java.io.OutputStream = null
+          var shardPath: String = null
+          var nRecords = 0L
+          var nBytes = 0L
+
+          def open(): Unit = {
+            shardPath = new org.apache.hadoop.fs.Path(
+              dirPath, f"part-$pid%05d-$seq%04d.warc.gz").toString
+            out = fs.create(new org.apache.hadoop.fs.Path(shardPath), true)
+            nRecords = 0L
+            nBytes = 0L
+          }
+          def close(): Unit = if (out != null) {
+            out.close()
+            shards += ((shardPath, nRecords, nBytes))
+            out = null
+          }
+
+          open()
+          try {
+            rows.foreach { case (uri, text, date) =>
+              val payload = Option(text).getOrElse("").getBytes("UTF-8")
+              if (nBytes > 0 && nBytes + payload.length > maxShardBytes) {
+                close(); seq += 1; open()
+              }
+              md.reset()
+              md.update(Option(uri).getOrElse("").getBytes("UTF-8"))
+              md.update(0.toByte)
+              md.update(payload)
+              val rid = md.digest().map("%02x".format(_)).mkString
+              val head = new StringBuilder()
+                .append("WARC/1.0\r\n")
+                .append("WARC-Type: conversion\r\n")
+                .append(s"WARC-Record-ID: <urn:md5:$rid>\r\n")
+                .append(s"WARC-Date: $date\r\n")
+              if (uri != null) head.append(s"WARC-Target-URI: $uri\r\n")
+              head.append("Content-Type: text/plain\r\n")
+                .append(s"Content-Length: ${payload.length}\r\n\r\n")
+              // one gzip member per record (Common Crawl layout)
+              val gz = new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(out)
+              gz.write(head.toString.getBytes("UTF-8"))
+              gz.write(payload)
+              gz.write("\r\n\r\n".getBytes("UTF-8"))
+              gz.finish()
+              nRecords += 1
+              nBytes += payload.length
+            }
+            close()
+          } finally if (out != null) out.close()
+          shards.iterator
+        }
+      }
+      .collect()
+
+    spark.createDataFrame(manifest.toSeq)
+      .toDF("shard_path", "n_records", "record_bytes")
+  }
+
   /** The crawl-to-corpus projection: `response` (full WARC) and
     * `conversion` (WET) records as one text row each —
     * `(warc_path, record_index, url, warc_date, text)` — with HTML

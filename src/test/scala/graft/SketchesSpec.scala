@@ -137,6 +137,48 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("theta set ops: exact below capacity, deterministic, drop-merge") {
+    import spark.implicits._
+    // per-group sets with known overlap: g0 A={v0..v99} B={v50..v149}
+    val a = (0 until 100).map(i => ("g0", s"v$i")).toDF("grp", "value")
+    val b = (50 until 150).map(i => ("g0", s"v$i")).toDF("grp", "value")
+    val ops = Sketches.thetaSetOps(
+        Sketches.thetaSketches(a, Seq("grp"), "value"),
+        Sketches.thetaSketches(b, Seq("grp"), "value"), Seq("grp"))
+      .as[(String, Double, Double, Double, Double)].collect().head
+    assert(ops === (("g0", 150.0, 50.0, 50.0, 50.0)))
+    // a group present on one side only estimates against the empty set
+    val c = (0 until 10).map(i => ("solo", s"x$i")).toDF("grp", "value")
+    val ops2 = Sketches.thetaSetOps(
+        Sketches.thetaSketches(c, Seq("grp"), "value"),
+        Sketches.thetaSketches(b, Seq("grp"), "value"), Seq("grp"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(ops2("solo") === ((10.0, 0.0, 10.0, 0.0)))
+    // merged drop sketches == direct sketch (KMV is deterministic)
+    val whole = (0 until 150).map(i => ("g0", s"v$i")).toDF("grp", "value")
+    val merged = Sketches.mergeTheta(Seq(
+        Sketches.thetaSketches(a, Seq("grp"), "value"),
+        Sketches.thetaSketches(b, Seq("grp"), "value")), Seq("grp"))
+    val viaMerge = Sketches.thetaSetOps(merged,
+        Sketches.thetaSketches(whole, Seq("grp"), "value"), Seq("grp"))
+      .as[(String, Double, Double, Double, Double)].collect().head
+    assert(viaMerge === (("g0", 150.0, 150.0, 0.0, 0.0)))
+    // estimation mode (50k distincts at lgK=12): inside the ~3·RSE band
+    val big1 = (1 to 50000).map(i => ("g", s"u$i")).toDF("grp", "value")
+    val big2 = (25001 to 75000).map(i => ("g", s"u$i")).toDF("grp", "value")
+    val est = Sketches.thetaSetOps(
+        Sketches.thetaSketches(big1, Seq("grp"), "value"),
+        Sketches.thetaSketches(big2, Seq("grp"), "value"), Seq("grp"))
+      .as[(String, Double, Double, Double, Double)].collect().head
+    assert(math.abs(est._2 - 75000) / 75000 < 0.05, s"union ${est._2}")
+    assert(math.abs(est._3 - 25000) / 25000 < 0.10, s"intersect ${est._3}")
+    // non-string valueCol rejected
+    intercept[IllegalArgumentException] {
+      Sketches.thetaSketches(Seq(("g", 1L)).toDF("grp", "v"), Seq("grp"), "v")
+    }
+  }
+
   test("guards") {
     intercept[IllegalArgumentException] {
       Sketches.distinctSketches(corpus, Seq.empty, "value")
