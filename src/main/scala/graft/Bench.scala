@@ -42,7 +42,7 @@ object Bench {
     "q_multimodal_decode",  // mapPartitions decode stage — real imageio path since r6 (r7)
     "q_multimodal_resize",  // mapPartitions resize + re-encode stage (r7)
     "q_neardup_cluster",    // near-dup chain + iterative connected components (r7)
-    "q_token_bins",         // global-window prefix-sum binning — the single-partition total-order shape (r7)
+    "q_token_bins",         // GLOBAL token-budget binning — r12: range shuffle + per-partition prefix + broadcast offsets, no SinglePartition (was a global window, r7)
     "q_line_dedup",         // line explode + corpus-wide count + regroup rebuild (r7)
     "q_contamination",      // gram explode + broadcast eval join + per-doc regroup (r7)
     "q_contamination_bloom",// same chain behind the bloom gram prefilter (r7)

@@ -324,6 +324,20 @@ object SourceGates {
         .select(col("doc_id"), col("doc_format"),
           trim(regexp_replace(col("text"), "\\s+", " ")).as("text_norm"))
     },
+    // crawl-to-corpus COMPOSITION: readWarc → warcToText →
+    // Web.withUrlParts → per-domain doc counts and total visible text —
+    // the first three steps a real crawl pipeline runs, composed over
+    // the shared WARC fixture and re-derived end-to-end by the oracle
+    "q_warc_domains" -> { (s, _) =>
+      val dir = warcFixtureDir()
+      val text = graft.sources.Warc.warcToText(
+        graft.sources.Warc.readWarc(s, s"$dir/crawl*"))
+      graft.operators.Web.withUrlParts(text, "url")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .as("text_chars"))
+    },
     // §2.2 row 19 — ancestry ID extracted from the file path
     "q_ancestry_id" -> { (s, _) =>
       import s.implicits._
@@ -466,6 +480,24 @@ object SourceGates {
         |FROM range(0, 20) t(i)
         |UNION ALL
         |SELECT 300, 'bin', NULL""".stripMargin,
+    "q_warc_domains" ->
+      """WITH resp AS (
+        |  SELECT 'site' || (i % 7) || '.example' AS domain,
+        |         length(trim('doc ' || i || ' ' ||
+        |           repeat('ha ', CAST(i % 13 AS INT)))) AS chars
+        |  FROM range(0, 40) t(i)
+        |), wet AS (
+        |  SELECT 'wet' || i || '.example' AS domain,
+        |         length(trim('wet doc ' || i || ': ' ||
+        |           repeat('tok ', CAST(i % 11 AS INT)))) AS chars
+        |  FROM range(0, 31) t(i)
+        |), allr AS (
+        |  SELECT domain, chars FROM resp
+        |  UNION ALL SELECT domain, chars FROM wet
+        |)
+        |SELECT domain, count(*) AS n_docs,
+        |       CAST(sum(chars) AS BIGINT) AS text_chars
+        |FROM allr GROUP BY domain""".stripMargin,
     "q_ancestry_id" ->
       """SELECT * FROM (VALUES
         |  ('r1', '/data/in/ancestry=EU/part-0.tsv',  'EU'),

@@ -59,8 +59,9 @@ object Joins {
    * (ts, side) order, and left rows read off the most recent right
    * payload in O(1) per row. Total cost: one hash shuffle on `on` +
    * one sort — the same bill as a plain equi-join, at any corpus size.
-   * (Hot equality keys shuffle to one task like any keyed window; salt
-   * upstream or widen the key if a single key dominates — see [[Skew]].)
+   * (Hot equality keys shuffle to one task like any keyed window; use
+   * [[asofJoinSkew]] when a single key dominates — it routes hot keys
+   * to a salt-chunked window automatically.)
    *
    * Right payload rides in ONE struct so every output column comes from
    * the SAME right row even when payload fields are null (per-column

@@ -135,6 +135,17 @@ class WarcSpec extends SparkSpec {
     assert(again === ids1)
   }
 
+  test("writeWarcShards: whole-shard gzip arm round-trips identically") {
+    val out = Files.createTempDirectory("warc-sink-wg").toString
+    val docs = (1 to 30).map(i => (s"http://w/$i", s"doc $i body"))
+      .toDF("url", "text").repartition(2)
+    Warc.writeWarcShards(docs, out, maxShardBytes = 500, perRecordGzip = false)
+    val back = Warc.readWarc(spark, s"$out/part-*")
+      .select(col("target_uri"), col("body").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(back === (1 to 30).map(i => s"http://w/$i" -> s"doc $i body").toMap)
+  }
+
   test("readWarc guards: bad maxDecompressedBytes") {
     intercept[IllegalArgumentException] {
       Warc.readWarc(spark, "/tmp/none", maxDecompressedBytes = 0)
