@@ -70,6 +70,21 @@ object BpeGates {
           size(col("ids")).cast("long").as("n_tokens"),
           md5(array_join(transform(col("ids"), _.cast("string")), ",")).as("ids_md5"))
     },
+    // §2.4 row 109 — BPE TRAINING: the Sennrich hug/pug/pun/bun/hugs
+    // plant trained live; every learned merge and its rank is
+    // hand-derivable from the planted pair masses (incl. the final-round
+    // tie broken lexicographically), so the oracle is the exact
+    // expected merge table
+    "q_bpe_train" -> { (s, _) =>
+      import s.implicits._
+      val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+        Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+        .toDF("text")
+      val merges = graft.operators.Bpe.train(corpus, "text", numMerges = 5)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "left", "right")
+    },
     // §2.4 row 63 under REAL tokens: fixed-size token-id windows with
     // overlap (chunkTokens 32, overlap 8) — the trainer-facing chunker
     "q_bpe_chunk" -> { (s, dir) =>
@@ -130,6 +145,14 @@ object BpeGates {
        |  GROUP BY m.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_train" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'u', 'g'),
+        |  (1, 'u', 'n'),
+        |  (2, 'h', 'ug'),
+        |  (3, 'p', 'un'),
+        |  (4, 'hug', 's')
+        |) AS t(rank, "left", "right")""".stripMargin,
     "q_bpe_tokens" ->
       s"""WITH RECURSIVE
          |$bpeDeriveSql

@@ -100,6 +100,164 @@ object Bpe {
     new BpeTokenizer(spark.sparkContext.broadcast(
       new BpeModel(merges.toIndexedSeq, vocab)))
 
+  /** The GPT-2 whitespace marker mapping (' '→Ġ, \n→Ċ, \t→ĉ, \r→č) —
+    * training must see the SAME symbols encoding will
+    * ([[graft.functions.BpeEncodeExpr]] applies this per pre-token). */
+  private[graft] def mapWhitespace(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case ' '  => sb.append('Ġ')
+        case '\n' => sb.append('Ċ')
+        case '\t' => sb.append('ĉ')
+        case '\r' => sb.append('č')
+        case c    => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Merge every left-to-right non-overlapping occurrence of `pair` —
+    * the same occurrence rule [[graft.functions.BpeModel.encodeWord]]
+    * applies, so training and encoding agree on segmentations. */
+  private def mergePair(syms: Array[String], pair: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /**
+   * TRAIN a BPE merge list from a corpus (Sennrich et al. 2016) —
+   * closes the loop with [[load]]: the engine can now learn the
+   * tokenizer it encodes with, not only load one.
+   *
+   * Scale shape — the reason this is cheap at 100 TB: BPE training
+   * operates on the WORD-FREQUENCY table, not the corpus. One scan
+   * (pre-token explode → map-side-combined count shuffle) reduces any
+   * corpus to its distinct pre-tokens; the top `maxWords` most
+   * frequent (deterministic ties by word) localize as a
+   * TakeOrdered — vocabulary-sized metadata — and the merge loop runs
+   * driver-side over (symbols, freq) pairs, exactly how reference
+   * trainers work. The truncation is LOUD (logged with the cap) and
+   * principled: sub-cap-rare words contribute negligible pair mass.
+   *
+   * Determinism: pair selection is (count desc, pair lexicographically
+   * asc) — fully reproducible for a given corpus (reference trainers
+   * vary in tie rule; ours is documented). Merging stops early when no
+   * pair reaches `minPairCount` (merging singletons just memorizes the
+   * corpus).
+   */
+  def train(
+    df: DataFrame,
+    textCol: String,
+    numMerges: Int,
+    maxWords: Int = 1000000,
+    minPairCount: Long = 2L
+  ): IndexedSeq[(String, String)] =
+    trainCore(df, textCol, numMerges, maxWords, minPairCount)._1
+
+  private def trainCore(
+    df: DataFrame,
+    textCol: String,
+    numMerges: Int,
+    maxWords: Int,
+    minPairCount: Long
+  ): (IndexedSeq[(String, String)], Seq[String]) = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1: $maxWords")
+    val counts = df
+      .select(explode(
+        regexp_extract_all(col(textCol), lit(Bpe.PreTokenPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+    if (counts.length == maxWords)
+      org.slf4j.LoggerFactory.getLogger("graft.Bpe").warn(
+        s"Bpe.train: corpus has more than maxWords=$maxWords distinct " +
+          "pre-tokens — training on the most frequent (rare-word pair mass " +
+          "is negligible; raise maxWords to include more)")
+    var words: Array[(Array[String], Long)] = counts.map { r =>
+      val w = mapWhitespace(r.getString(0))
+      val syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      (syms, r.getLong(1))
+    }
+    val alphabet = words.iterator.flatMap(_._1).toSeq.distinct.sorted
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      val best = pairCounts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (acc, (p, n)) =>
+          acc match {
+            case Some((bp, bn)) if n < bn => acc
+            case Some((bp, bn)) if n == bn &&
+              implicitly[Ordering[(String, String)]].lteq(bp, p) => acc
+            case _ => Some((p, n))
+          }
+      }
+      best match {
+        case Some((p, n)) if n >= minPairCount =>
+          merges += p
+          words = words.map { case (syms, c) => (mergePair(syms, p), c) }
+        case _ => continue = false
+      }
+    }
+    (merges.toIndexedSeq, alphabet)
+  }
+
+  /**
+   * [[train]] + build the broadcast tokenizer in one call: the derived
+   * vocabulary covers the corpus alphabet (every single-code-point
+   * symbol of the training words, sorted) plus one token per merge, so
+   * encoding the training distribution never hits UnknownId.
+   */
+  def trainTokenizer(
+    df: DataFrame,
+    textCol: String,
+    numMerges: Int,
+    maxWords: Int = 1000000,
+    minPairCount: Long = 2L
+  ): BpeTokenizer = {
+    val (merges, alphabet) =
+      trainCore(df, textCol, numMerges, maxWords, minPairCount)
+    tokenizer(df.sparkSession, merges, derivedVocab(merges, alphabet))
+  }
+
+  /** Persist a merge list as a GPT-2-style `merges.txt` (Hadoop
+    * FileSystem — local/HDFS/object stores), loadable by [[load]]. */
+  def saveMerges(
+    spark: SparkSession, merges: Seq[(String, String)], path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      out.write("#version: 0.2 (graft-trained)\n".getBytes("UTF-8"))
+      merges.foreach { case (a, b) =>
+        out.write(s"$a $b\n".getBytes("UTF-8"))
+      }
+    } finally out.close()
+  }
+
   /** Load + broadcast from GPT-2-style files; `vocabPath = None`
     * derives ids from the merges (base alphabet = the merges'
     * single-code-point constituents, sorted). */

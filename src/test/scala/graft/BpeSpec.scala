@@ -119,4 +119,42 @@ class BpeSpec extends SparkSpec {
     assert(ids("Ġline") == Seq(v("Ġ"), v("l"), v("ine")))
     assert(ids("Ġwindow") == Seq(v("Ġw"), v("in"), v("d"), v("ow")))
   }
+
+  test("train: the Sennrich example learns the hand-derived merges, in order") {
+    import spark.implicits._
+    val corpus = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .toDF("text")
+    val merges = graft.operators.Bpe.train(corpus, "text", numMerges = 5)
+    // pair mass: ug 20, pu 17 -> after (u,g): un 16, h+ug 15, p+un 12;
+    // final round ties p+ug = hug+s = 5 -> lexicographic asc picks (hug, s)
+    assert(merges === IndexedSeq(
+      ("u", "g"), ("u", "n"), ("h", "ug"), ("p", "un"), ("hug", "s")))
+    // determinism: second run identical
+    assert(graft.operators.Bpe.train(corpus, "text", numMerges = 5) === merges)
+    // the trained tokenizer segments accordingly: hugs -> 1 token,
+    // pug -> p + ug, bun -> b + un
+    val tok = graft.operators.Bpe.trainTokenizer(corpus, "text", numMerges = 5)
+    val nTok = Seq("hugs", "pug", "bun").toDF("text")
+      .select(tok.tokenCount(col("text"))).as[Long].collect()
+    assert(nTok.toSeq === Seq(1L, 2L, 2L))
+    // save -> load roundtrip encodes identically
+    val dir = java.nio.file.Files.createTempDirectory("bpe-train").toString
+    graft.operators.Bpe.saveMerges(spark, merges, s"$dir/merges.txt")
+    val loaded = graft.operators.Bpe.load(spark, s"$dir/merges.txt")
+    val viaLoaded = Seq("hugs", "pug", "bun").toDF("text")
+      .select(loaded.tokenCount(col("text"))).as[Long].collect()
+    assert(viaLoaded.toSeq === Seq(1L, 2L, 2L))
+  }
+
+  test("train: minPairCount stops before memorizing singleton pairs") {
+    import spark.implicits._
+    val corpus = Seq("ab", "cd", "ef").toDF("text") // every pair count 1
+    assert(graft.operators.Bpe.train(corpus, "text", numMerges = 10).isEmpty)
+    // whitespace-marked pre-tokens train like any symbol: " aa" repeated
+    // makes (Ġ, a) a frequent pair
+    val ws = Seq.fill(5)("aa aa").toDF("text")
+    val m = graft.operators.Bpe.train(ws, "text", numMerges = 2)
+    assert(m.contains(("Ġ", "a")) || m.contains(("a", "a")), m.toString)
+  }
 }
