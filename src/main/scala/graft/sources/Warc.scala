@@ -334,12 +334,17 @@ object Warc {
                 .append(s"Content-Length: ${payload.length}\r\n\r\n")
               if (perRecordGzip) {
                 // one gzip member per record (Common Crawl layout:
-                // record-level random access for consumers)
-                val gz = new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(out)
+                // record-level random access for consumers). close(),
+                // not just finish(): close releases the member's native
+                // Deflater immediately (finish alone leaves one Deflater
+                // per RECORD to the GC — native-memory pressure at shard
+                // scale); the close shield keeps the FS stream open
+                val gz = new org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream(
+                  org.apache.commons.io.output.CloseShieldOutputStream.wrap(out))
                 gz.write(head.toString.getBytes("UTF-8"))
                 gz.write(payload)
                 gz.write("\r\n\r\n".getBytes("UTF-8"))
-                gz.finish()
+                gz.close()
               } else {
                 out.write(head.toString.getBytes("UTF-8"))
                 out.write(payload)

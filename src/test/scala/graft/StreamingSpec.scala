@@ -465,4 +465,21 @@ class StreamingSpec extends SparkSpec {
         s"state not watermark-bounded: $rowsTotal rows buffered of $ingested")
     } finally q.stop()
   }
+
+  test("joinStreams leftOuter: unmatched left rows null-extend (batch surface)") {
+    val imps = Seq((1L, ts(60), "adA"), (2L, ts(62), "adB"))
+      .toDF("user_id", "imp_ts", "ad")
+    val clicks = Seq((1L, ts(65), 1.0)).toDF("user_id", "click_ts", "value")
+    val out = Events.joinStreams(imps, clicks, Seq("user_id"),
+        leftTs = "imp_ts", rightTs = "click_ts",
+        lookback = "0 seconds", lookahead = "10 minutes",
+        joinType = "leftOuter")
+      .select("user_id", "ad", "value")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(out === Set((1L, "adA", Some(1.0)), (2L, "adB", None)))
+    intercept[IllegalArgumentException] {
+      Events.joinStreams(imps, clicks, Seq("user_id"), "imp_ts", "click_ts",
+        joinType = "full")
+    }
+  }
 }
