@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Dedup, Dsir, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
+import graft.operators.{Contamination, Dedup, Dsir, PhraseMatch, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
 
 /**
  * Correctness gates for corpus-level retrieval and distribution
@@ -151,6 +151,23 @@ object CorpusGates {
       QualityClassifier.scoreMultiInline(
           train.select("doc_id", "text"), model, "text", "doc_id")
         .select("doc_id", "label_pred")
+    },
+    // §2.4 row 110 — Aho–Corasick phrase blocklist: planted needles at
+    // formula positions, one automaton pass matches all patterns incl.
+    // the case-insensitive arm; the oracle re-derives every row's match
+    // set (original pattern forms, pattern-list order) from the plant
+    "q_phrase_match" -> { (s, _) =>
+      import s.implicits._
+      val docs = (0 until 100).map { i =>
+        (i.toLong,
+          s"row $i contains Token" +
+            (if (i % 3 == 0) " needle one" else "") +
+            (if (i % 5 == 0) " bad phrase" else ""))
+      }.toDF("doc_id", "text")
+      PhraseMatch.withMatches(docs, "text",
+          Seq("needle one", "bad phrase", "TOKEN", "absent marker"))
+        .select(col("doc_id"),
+          array_join(col("matched_phrases"), ",").as("matched"))
     },
     // the full selection key surface: weight, hash-Gumbel noise, and the
     // resampling key at τ=2 — the top-n cut over `key` is the already-
@@ -392,6 +409,13 @@ object CorpusGates {
       "\nSELECT bucket, round(log_ratio, 6) AS log_ratio FROM model"),
     // same gram CTE as DSIR (shared feature space); weight per gram
     // occurrence is the literal formula, score the mean through sigmoid
+    "q_phrase_match" ->
+      """SELECT CAST(i AS BIGINT) AS doc_id,
+        |       ltrim(
+        |         CASE WHEN i % 3 = 0 THEN ',needle one' ELSE '' END ||
+        |         CASE WHEN i % 5 = 0 THEN ',bad phrase' ELSE '' END ||
+        |         ',TOKEN', ',') AS matched
+        |FROM range(0, 100) t(i)""".stripMargin,
     "q_quality_fit" ->
       """SELECT CAST(950000 + i AS BIGINT) AS doc_id, 1 AS predicted
         |FROM range(0, 20) t(i)
