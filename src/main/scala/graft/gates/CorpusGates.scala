@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Dedup, Dsir, PhraseMatch, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
+import graft.operators.{Contamination, Dedup, Dsir, PhraseMatch, Profile, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
 
 /**
  * Correctness gates for corpus-level retrieval and distribution
@@ -168,6 +168,51 @@ object CorpusGates {
           Seq("needle one", "bad phrase", "TOKEN", "absent marker"))
         .select(col("doc_id"),
           array_join(col("matched_phrases"), ",").as("matched"))
+    },
+    // §2.4 row 111 — one-scan corpus profiler: exact metrics compared
+    // value-for-value, sketch-backed metrics (HLL distincts, KLL
+    // quantiles) as band verdicts computed in-plan against exact
+    // aggregates (the q_hll_distinct precedent)
+    "q_corpus_profile" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars", "text")
+      val p = Profile.profile(docs).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val exact = docs.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).cast("double").as("d_id"),
+        countDistinct(col("lang")).cast("double").as("d_lang"),
+        countDistinct(col("n_chars")).cast("double").as("d_nc"),
+        countDistinct(col("text")).cast("double").as("d_text"),
+        (sum((col("doc_id") <= p(("doc_id", "p50")).get).cast("long")).cast("double") /
+          count(lit(1))).as("r_id"),
+        (sum((col("n_chars") <= p(("n_chars", "p50")).get).cast("long")).cast("double") /
+          count(lit(1))).as("r_nc")).collect().head
+      def distOk(c: String, ex: Double): Double =
+        if (math.abs(p((c, "distinct_est")).get - ex) / ex <= 0.05) 1.0 else 0.0
+      val rows = Seq("doc_id", "lang", "n_chars", "text").flatMap { c =>
+        Seq(
+          (c, "n_rows", p((c, "n_rows"))),
+          (c, "n_null", p((c, "n_null"))),
+          (c, "null_rate", p((c, "null_rate")).map(v => math.rint(v * 1e6) / 1e6)))
+      } ++ Seq(
+        ("doc_id", "distinct_ok", Some(distOk("doc_id", exact.getDouble(1)))),
+        ("lang", "distinct_ok", Some(distOk("lang", exact.getDouble(2)))),
+        ("n_chars", "distinct_ok", Some(distOk("n_chars", exact.getDouble(3)))),
+        ("text", "distinct_ok", Some(distOk("text", exact.getDouble(4))))
+      ) ++ Seq("doc_id", "n_chars").flatMap { c =>
+        Seq(
+          (c, "min", p((c, "min"))),
+          (c, "max", p((c, "max"))),
+          (c, "mean", p((c, "mean")).map(v => math.rint(v * 1e4) / 1e4)))
+      } ++ Seq(
+        ("doc_id", "p50_rank_ok",
+          Some(if (math.abs(exact.getDouble(5) - 0.5) <= 0.1) 1.0 else 0.0)),
+        ("n_chars", "p50_rank_ok",
+          Some(if (math.abs(exact.getDouble(6) - 0.5) <= 0.1) 1.0 else 0.0)))
+      import s.implicits._
+      rows.map { case (c, m, v) => (c, m, v) }.toDF("column", "metric", "value")
     },
     // the full selection key surface: weight, hash-Gumbel noise, and the
     // resampling key at τ=2 — the top-n cut over `key` is the already-
@@ -409,6 +454,42 @@ object CorpusGates {
       "\nSELECT bucket, round(log_ratio, 6) AS log_ratio FROM model"),
     // same gram CTE as DSIR (shared feature space); weight per gram
     // occurrence is the literal formula, score the mean through sigmoid
+    "q_corpus_profile" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |         count(doc_id) AS nn_id, count(lang) AS nn_lang,
+        |         count(n_chars) AS nn_nc, count(text) AS nn_text,
+        |         CAST(min(doc_id) AS DOUBLE) AS min_id,
+        |         CAST(max(doc_id) AS DOUBLE) AS max_id,
+        |         round(avg(doc_id), 4) AS mean_id,
+        |         CAST(min(n_chars) AS DOUBLE) AS min_nc,
+        |         CAST(max(n_chars) AS DOUBLE) AS max_nc,
+        |         round(avg(n_chars), 4) AS mean_nc
+        |  FROM documents)
+        |SELECT 'doc_id' AS "column", 'n_rows' AS metric, CAST(n AS DOUBLE) AS value FROM s
+        |UNION ALL SELECT 'doc_id', 'n_null', CAST(n - nn_id AS DOUBLE) FROM s
+        |UNION ALL SELECT 'doc_id', 'null_rate', round((n - nn_id) * 1.0 / n, 6) FROM s
+        |UNION ALL SELECT 'lang', 'n_rows', CAST(n AS DOUBLE) FROM s
+        |UNION ALL SELECT 'lang', 'n_null', CAST(n - nn_lang AS DOUBLE) FROM s
+        |UNION ALL SELECT 'lang', 'null_rate', round((n - nn_lang) * 1.0 / n, 6) FROM s
+        |UNION ALL SELECT 'n_chars', 'n_rows', CAST(n AS DOUBLE) FROM s
+        |UNION ALL SELECT 'n_chars', 'n_null', CAST(n - nn_nc AS DOUBLE) FROM s
+        |UNION ALL SELECT 'n_chars', 'null_rate', round((n - nn_nc) * 1.0 / n, 6) FROM s
+        |UNION ALL SELECT 'text', 'n_rows', CAST(n AS DOUBLE) FROM s
+        |UNION ALL SELECT 'text', 'n_null', CAST(n - nn_text AS DOUBLE) FROM s
+        |UNION ALL SELECT 'text', 'null_rate', round((n - nn_text) * 1.0 / n, 6) FROM s
+        |UNION ALL SELECT 'doc_id', 'distinct_ok', 1.0
+        |UNION ALL SELECT 'lang', 'distinct_ok', 1.0
+        |UNION ALL SELECT 'n_chars', 'distinct_ok', 1.0
+        |UNION ALL SELECT 'text', 'distinct_ok', 1.0
+        |UNION ALL SELECT 'doc_id', 'min', min_id FROM s
+        |UNION ALL SELECT 'doc_id', 'max', max_id FROM s
+        |UNION ALL SELECT 'doc_id', 'mean', mean_id FROM s
+        |UNION ALL SELECT 'n_chars', 'min', min_nc FROM s
+        |UNION ALL SELECT 'n_chars', 'max', max_nc FROM s
+        |UNION ALL SELECT 'n_chars', 'mean', mean_nc FROM s
+        |UNION ALL SELECT 'doc_id', 'p50_rank_ok', 1.0
+        |UNION ALL SELECT 'n_chars', 'p50_rank_ok', 1.0""".stripMargin,
     "q_phrase_match" ->
       """SELECT CAST(i AS BIGINT) AS doc_id,
         |       ltrim(
