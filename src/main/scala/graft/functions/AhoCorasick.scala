@@ -33,6 +33,11 @@ final class AcAutomaton(
   val norm: IndexedSeq[String] =
     if (caseInsensitive) patterns.map(_.toLowerCase(java.util.Locale.ROOT))
     else patterns
+  // duplicates after normalization would double-report the same phrase
+  // (and silently alias ids) — a blocklist bug worth failing on
+  require(norm.distinct.size == norm.size,
+    s"duplicate pattern(s) after ${if (caseInsensitive) "case folding" else "exact"} " +
+      s"normalization: ${norm.diff(norm.distinct).distinct.take(5).mkString(", ")}")
 
   // goto as per-node char->node maps, fail links, and per-node matched
   // pattern indexes (merged along fail links at build, so matching

@@ -69,5 +69,16 @@ class PhraseMatchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       new AcAutomaton(IndexedSeq("a", ""), caseInsensitive = false)
     }
+    // duplicates — including ones created by case folding — are a
+    // blocklist bug, not something to silently alias
+    intercept[IllegalArgumentException] {
+      new AcAutomaton(IndexedSeq("x", "x"), caseInsensitive = false)
+    }
+    intercept[IllegalArgumentException] {
+      new AcAutomaton(IndexedSeq("Spam", "spam"), caseInsensitive = true)
+    }
+    // same two are DISTINCT case-sensitively
+    assert(new AcAutomaton(IndexedSeq("Spam", "spam"), caseInsensitive = false)
+      .matchIds("spam Spam").toSeq === Seq(0, 1))
   }
 }
