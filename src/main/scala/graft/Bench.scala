@@ -81,7 +81,7 @@ object Bench {
     "q_epoch_shuffle",      // deterministic epoch shuffle: one hash shuffle on the shard key + per-shard rank window (r11)
     "q_asof_join",          // as-of join via union + running-last window: one shuffle, zero join nodes (r11)
     "q_asof_join_bcast",    // streaming as-of arm: per-key history array + broadcast equi-join + row-local fold (r11)
-    "q_asof_join_skew",     // skew-safe as-of arm: hot keys to the broadcast arm, cold keys to the window (r12)
+    "q_asof_join_skew",     // skew-safe as-of arm: hot keys salt-chunked across window sub-partitions, cold keys to the plain window (r12)
     "q_warc_records",       // WARC record extraction: executor-side parse of plain + per-record-gzip crawl files (r12)
     "q_events_sliding",     // sliding windows: native window replication, overlapping 10m/5m (r11)
     "q_range_join",         // range join via interval binning + equi-join, no nested loop (r11)

@@ -41,25 +41,26 @@ final class AcAutomaton(
 
   // goto as per-node char->node maps, fail links, and per-node matched
   // pattern indexes (merged along fail links at build, so matching
-  // never chases fail chains for output)
-  private val children = scala.collection.mutable.ArrayBuffer(
-    scala.collection.mutable.Map.empty[Char, Int])
-  private val failB = scala.collection.mutable.ArrayBuffer(0)
-  private val outB = scala.collection.mutable.ArrayBuffer(List.empty[Int])
-
-  norm.zipWithIndex.foreach { case (p, pi) =>
-    var node = 0
-    p.foreach { ch =>
-      node = children(node).getOrElseUpdate(ch, {
-        children += scala.collection.mutable.Map.empty[Char, Int]
-        failB += 0
-        outB += Nil
-        children.size - 1
-      })
+  // never chases fail chains for output). The mutable build scaffolding
+  // is LOCAL to this block — only the three compact arrays become
+  // instance state, so the broadcast ships exactly what matching reads.
+  private val (childArr, fail, out): (Array[Map[Char, Int]], Array[Int], Array[Array[Int]]) = {
+    val children = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.Map.empty[Char, Int])
+    val failB = scala.collection.mutable.ArrayBuffer(0)
+    val outB = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    norm.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.foreach { ch =>
+        node = children(node).getOrElseUpdate(ch, {
+          children += scala.collection.mutable.Map.empty[Char, Int]
+          failB += 0
+          outB += Nil
+          children.size - 1
+        })
+      }
+      outB(node) = pi :: outB(node)
     }
-    outB(node) = pi :: outB(node)
-  }
-  locally {
     val queue = scala.collection.mutable.Queue.empty[Int]
     children(0).values.foreach { c => failB(c) = 0; queue += c }
     while (queue.nonEmpty) {
@@ -73,10 +74,9 @@ final class AcAutomaton(
         queue += v
       }
     }
+    (children.map(_.toMap).toArray, failB.toArray,
+      outB.map(_.toArray.sorted).toArray)
   }
-  private val childArr: Array[Map[Char, Int]] = children.map(_.toMap).toArray
-  private val fail: Array[Int] = failB.toArray
-  private val out: Array[Array[Int]] = outB.map(_.toArray.sorted).toArray
 
   /** Distinct matched pattern indexes, ascending. */
   def matchIds(text: String): Array[Int] = {

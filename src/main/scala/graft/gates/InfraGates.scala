@@ -118,9 +118,10 @@ object InfraGates {
         tieBreak = Some("click_id"))
     },
     // §2.4 row 87c — the SKEW-SAFE as-of arm: 90% of users remapped to
-    // one hot key, hotKeyCount forced low so that key takes the
-    // broadcast arm while the rest stay on the window arm; the union
-    // must still equal the definitional lateral-argmax oracle
+    // one hot key, hotKeyCount forced low so that key salt-chunks
+    // across window sub-partitions (history replicated per chunk)
+    // while the rest stay on the plain window arm; the union must
+    // still equal the definitional lateral-argmax oracle
     "q_asof_join_skew" -> { (s, dir) =>
       val ev = Events.readEventsParquet(s, s"$dir/events.parquet")
         .withColumn("user_id",

@@ -51,15 +51,22 @@ object DocExtract {
   /** Magic-byte format sniff (extension-independent, like
     * [[graft.sources.Archives]] codec sniffing). */
   private[graft] def sniff(b: Array[Byte]): String = {
+    // UTF-8 BOM (EF BB BF) is transparent to the sniff: a BOM-prefixed
+    // HTML page must still classify html (in the ISO-8859-1 head view a
+    // BOM reads as 'ï»¿', which no char-level trim catches)
+    val off =
+      if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+        (b(2) & 0xff) == 0xbf) 3
+      else 0
     def startsWith(prefix: String): Boolean = {
       val p = prefix.getBytes("ISO-8859-1")
-      b.length >= p.length && java.util.Arrays.equals(
-        java.util.Arrays.copyOfRange(b, 0, p.length), p)
+      b.length - off >= p.length && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(b, off, off + p.length), p)
     }
-    val head = new String(b, 0, math.min(b.length, 256),
+    val head = new String(b, off, math.min(b.length - off, 256),
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val headTrim = head.dropWhile(c => c == ' ' || c == '\t' || c == '\r' ||
-      c == '\n' || c == '﻿')
+      c == '\n')
     if (startsWith("{\\rtf")) "rtf"
     else if (startsWith("%PDF")) "pdf"
     else if (headTrim.take(64).toLowerCase(java.util.Locale.ROOT)
@@ -132,10 +139,17 @@ object DocExtract {
           if (c == '\\' || c == '{' || c == '}') {
             if (skipDepth == 0) out.append(c)
             i += 2
-          } else if (c == '\'' && i + 3 < s.length + 1) {
-            if (skipDepth == 0)
-              out.append(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar)
-            i += 4
+          } else if (c == '\'') {
+            // \'hh needs two hex digits; a truncated or junk escape is
+            // DROPPED, not a crash (the seam's junk-input contract)
+            val ok = i + 4 <= s.length &&
+              Character.digit(s.charAt(i + 2), 16) >= 0 &&
+              Character.digit(s.charAt(i + 3), 16) >= 0
+            if (ok) {
+              if (skipDepth == 0)
+                out.append(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar)
+              i += 4
+            } else i += 2 // drop the bad escape marker, keep scanning
           } else if (c.isLetter) {
             var j = i + 1
             while (j < s.length && s.charAt(j).isLetter) j += 1

@@ -177,10 +177,15 @@ object Pq {
     // a wrong-length vector would slice short and silently encode -1
     // (then fail downstream as an obscure element_at error) — fail here,
     // loudly, naming the row's actual length
+    // NULL vectors pass through as NULL codes (the pre-guard behavior);
+    // only a present-but-wrong-length vector is an error — and its
+    // message must not concat a NULL size into nothing
     val guarded = df.withColumn(vecCol,
-      when(size(col(vecCol)) === m * sd, col(vecCol))
+      when(col(vecCol).isNull, col(vecCol))
+        .when(size(col(vecCol)) === m * sd, col(vecCol))
         .otherwise(raise_error(concat(
-          lit(s"Pq.encode: vector length "), size(col(vecCol)).cast("string"),
+          lit(s"Pq.encode: vector length "),
+          coalesce(size(col(vecCol)).cast("string"), lit("?")),
           lit(s" != codebook dim ${m * sd} (m=$m × sd=$sd)")))))
     val withSv = (0 until m).foldLeft(guarded.crossJoin(codebookRow(codebooks, m))) {
       (acc, j) => acc.withColumn(s"__sv_$j", subVec(vecCol, j, sd))

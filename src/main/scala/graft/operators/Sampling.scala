@@ -385,7 +385,11 @@ object Sampling {
     binCol: String
   ): DataFrame = {
     val spark = df.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // the conf's textual form may be non-numeric on AQE-managed
+    // platforms ("auto") — fall back to the context default
+    val n = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val sorted = df
       .repartitionByRange(n, col(idCol).asc)
       .sortWithinPartitions(col(idCol).asc)

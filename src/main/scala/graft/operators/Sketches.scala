@@ -154,12 +154,17 @@ object Sketches {
       .select((groupCols.map(col) :+ col("sketch")): _*).collect()
     val out = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length * qs.size)
     for (r <- rows) {
-      val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
-        org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]]("sketch")))
+      // a group whose values were all NULL carries a NULL sketch
+      // (KllBuildAgg's empty-group convention) — its quantiles are NULL,
+      // not an NPE
+      val bytes = r.getAs[Array[Byte]]("sketch")
+      val sk = if (bytes == null) null
+        else org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(bytes))
       for (q <- qs)
         out.add(org.apache.spark.sql.Row.fromSeq(
           (0 until groupCols.size).map(r.get) ++
-            Seq(q, if (sk.isEmpty) null else sk.getQuantile(q))))
+            Seq(q, if (sk == null || sk.isEmpty) null else sk.getQuantile(q))))
     }
     val schema = org.apache.spark.sql.types.StructType(
       groupCols.map(g => org.apache.spark.sql.types.StructField(
@@ -218,10 +223,13 @@ object Sketches {
   ): DataFrame = {
     import org.apache.datasketches.theta.{SetOperation, Sketch, Sketches => DsSketches}
     val spark = a.sparkSession
+    // a NULL sketch (all-NULL valueCol group) is the empty set — drop
+    // it here so the empty-sketch fallback below applies instead of
+    // Some(null) reaching Memory.wrap
     def localize(df: DataFrame): Map[Seq[Any], Array[Byte]] =
       df.select((groupCols.map(col) :+ col("sketch")): _*).collect()
-        .map(r => (0 until groupCols.size).map(r.get) ->
-          r.getAs[Array[Byte]]("sketch")).toMap
+        .flatMap(r => Option(r.getAs[Array[Byte]]("sketch"))
+          .map((0 until groupCols.size).map(r.get) -> _)).toMap
     val la = localize(a)
     val lb = localize(b)
     def sk(m: Map[Seq[Any], Array[Byte]], k: Seq[Any]): Sketch =

@@ -120,6 +120,9 @@ object Warc {
           throw new IllegalStateException(
             s"readWarc: $warcPath record $idx has no Content-Length — " +
               "malformed WARC"))
+        require(len >= 0,
+          s"readWarc: $warcPath record $idx has negative Content-Length " +
+            s"$len — malformed WARC")
         require(len <= Int.MaxValue - 512,
           s"readWarc: $warcPath record $idx Content-Length $len exceeds the " +
             "single-record byte cap — split the crawl file upstream")
@@ -269,13 +272,17 @@ object Warc {
       spark.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     dirPath.getFileSystem(conf.value).mkdirs(dirPath)
-    val dateExpr = dateCol.fold(lit("2000-01-01T00:00:00Z"))(c =>
-      date_format(col(c).cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    // WARC-Date renders from epoch micros in the JVM (ISO instant,
+    // always UTC) — date_format would print in the SESSION time zone
+    // while the header suffix says Z, silently shifting every instant
+    // on non-UTC sessions; NULL dates fall back to the fixed default
+    val dateExpr = dateCol.fold(lit(null).cast("long"))(c =>
+      unix_micros(col(c).cast("timestamp")))
 
     val manifest: Array[(String, Long, Long)] = df
       .select(col(uriCol).cast("string"), col(textCol).cast("string"),
-        dateExpr.cast("string"))
-      .as[(String, String, String)]
+        dateExpr)
+      .as[(String, String, Option[Long])]
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
@@ -312,9 +319,16 @@ object Warc {
             out = null
           }
 
+          val dateFmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+            .withZone(java.time.ZoneOffset.UTC)
           open()
           try {
-            rows.foreach { case (uri, text, date) =>
+            rows.foreach { case (uri, text, dateMicros) =>
+              val date = dateMicros
+                .map(us => dateFmt.format(java.time.Instant.ofEpochSecond(
+                  Math.floorDiv(us, 1000000L))))
+                .getOrElse("2000-01-01T00:00:00Z")
               val payload = Option(text).getOrElse("").getBytes("UTF-8")
               if (nBytes > 0 && nBytes + payload.length > maxShardBytes) {
                 close(); seq += 1; open()

@@ -25,6 +25,18 @@ class DocExtractSpec extends SparkSpec {
     assert(DocExtract.sniff(Array[Byte](0xff.toByte, 0xfe.toByte, 0x41)) === "bin")
   }
 
+  test("sniff: UTF-8 BOM is transparent — BOM-prefixed HTML is html, not txt") {
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+    assert(DocExtract.sniff(bom ++ "<html><p>x</p></html>".getBytes("UTF-8")) === "html")
+    assert(DocExtract.sniff(bom ++ "plain".getBytes("UTF-8")) === "txt")
+  }
+
+  test("rtfToText: truncated or junk hex escapes are dropped, never a crash") {
+    // the bad escape marker drops; trailing chars stay as literal text
+    assert(DocExtract.rtfToText("{\\rtf1 ok\\'a") === "oka")
+    assert(DocExtract.rtfToText("{\\rtf1 a\\'zqb}") === "azqb")
+  }
+
   test("htmlToText equals the Web.stripHtml Column pass, byte for byte") {
     val fixtures = Seq(
       "<html><head><script>var x=1;</script><style>p{}</style></head>" +

@@ -179,6 +179,27 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("all-NULL value groups: NULL sketches yield NULL/empty estimates, not NPEs") {
+    import spark.implicits._
+    val df = Seq(("g1", Option("a")), ("g1", Option("b")),
+      ("g2", Option.empty[String])).toDF("grp", "v")
+    // KLL: numeric sketch over an all-NULL group
+    val kll = Sketches.estimateQuantiles(
+        Sketches.quantileSketches(
+          df.withColumn("v", when(col("v").isNotNull, lit(1.0))), Seq("grp"), "v"),
+        Seq("grp"), Seq(0.5))
+      .as[(String, Double, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(kll("g1").isDefined && kll("g2").isEmpty)
+    // theta: the NULL-sketch group estimates against the empty set
+    val a = Sketches.thetaSketches(df, Seq("grp"), "v")
+    val ops = Sketches.thetaSetOps(a, a, Seq("grp"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(ops("g1") === 2.0)
+    assert(!ops.contains("g2") || ops("g2") === 0.0) // empty on both sides
+  }
+
   test("guards") {
     intercept[IllegalArgumentException] {
       Sketches.distinctSketches(corpus, Seq.empty, "value")

@@ -64,6 +64,12 @@ class WarcSpec extends SparkSpec {
       Warc.parseAll(new ByteArrayInputStream("hello world\r\n".getBytes), "t.warc", 1L << 20)
     }
     assert(e2.getMessage.contains("WARC/"))
+    // negative Content-Length: named error, not NegativeArraySizeException
+    val neg = ("WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: -1\r\n\r\n").getBytes("UTF-8")
+    val e4 = intercept[IllegalArgumentException] {
+      Warc.parseAll(new ByteArrayInputStream(neg), "t.warc", 1L << 20)
+    }
+    assert(e4.getMessage.contains("negative Content-Length"))
     // decompressed cap
     val e3 = intercept[IllegalStateException] {
       Warc.parseAll(new ByteArrayInputStream(good ++ good), "t.warc", 1L)
