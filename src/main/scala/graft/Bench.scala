@@ -105,7 +105,8 @@ object Bench {
     "q_theta_setops",       // theta set-algebra sketches: two drop sketches -> union/intersect/diff cardinalities (r12)
     "q_bpe_train",          // BPE merge learning: word-count shuffle + driver merge loop on the planted corpus (r12)
     "q_phrase_match",       // Aho-Corasick multi-phrase blocklist: broadcast automaton, one O(text) pass (r12)
-    "q_corpus_profile"      // one-scan profiler: per-column exact + HLL/KLL sketch metrics in a single agg (r12)
+    "q_corpus_profile",     // one-scan profiler: per-column exact + HLL/KLL sketch metrics in a single agg (r12)
+    "q_embed_project"       // JL random projection: native mat-vec per row, zero shuffle (r12)
   )
 
   private def jsonStr(s: String): String =

@@ -61,6 +61,15 @@ object VectorGates {
           round(col("scale"), 6).as("scale"),
           to_json(col("q")).as("q_json"))
     },
+    // §2.4 row 112 — JL random projection: every projected coordinate of
+    // every vector re-derived by the oracle from the SAME portable
+    // md5-hash Rademacher sign matrix (64-d → 16-d over the embeddings
+    // table; round(6) absorbs the sum-order double noise)
+    "q_embed_project" -> { (s, dir) =>
+      Embeddings.randomProject(embs(s, dir), "embedding", outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "p")))
+        .select(col("vec_id"), col("j"), round(col("p"), 6).as("p"))
+    },
     // §2.4 row 65a — semantic near-dup pairs, degenerate single-cluster
     // config ≡ all-pairs cosine (planted dups must appear at 1.0)
     "q_semdedup_pairs" -> { (s, dir) =>
@@ -170,6 +179,18 @@ object VectorGates {
         |       round(ve[3] / nrm, 6) AS e2,
         |       round(ve[4] / nrm, 6) AS e3
         |FROM n""".stripMargin,
+    "q_embed_project" ->
+      """WITH m AS (
+        |  SELECT j, i,
+        |         CASE WHEN (('0x' || substr(md5('jl:' || j || ':' || i), 1, 15))::BIGINT
+        |                    % 2) = 0
+        |              THEN 1.0 / sqrt(16.0) ELSE -1.0 / sqrt(16.0) END AS w
+        |  FROM range(0, 16) t1(j) CROSS JOIN range(0, 64) t2(i)
+        |)
+        |SELECT e.vec_id, CAST(m.j AS INT) AS j,
+        |       round(sum(m.w * e.embedding[m.i + 1]), 6) AS p
+        |FROM embeddings e CROSS JOIN m
+        |GROUP BY e.vec_id, m.j""".stripMargin,
     "q_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve

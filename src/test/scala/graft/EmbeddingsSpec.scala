@@ -106,4 +106,69 @@ class EmbeddingsSpec extends SparkSpec {
     assert(kept.forall(_ < 100000))
     assert(e.collect().map(_.getLong(0)).toSet.subsetOf(kept))
   }
+
+  test("randomProject: matches the driver-side reference, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (1L to 50L).map(i => (i, Seq.fill(32)(rnd.nextFloat())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Embeddings.randomProject(df, "embedding", outDim = 8, seed = "t")
+      .select("vec_id", "proj").as[(Long, Seq[Double])].collect().toMap
+    // reference: same signs from the same hash
+    val s = 1.0 / math.sqrt(8.0)
+    def sign(j: Int, i: Int): Double =
+      if (graft.functions.Md5Long60Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"t:$j:$i")) % 2 == 0) s else -s
+    for ((id, v) <- vecs) {
+      val want = (0 until 8).map { j =>
+        (0 until 32).map(i => sign(j, i) * v(i).toDouble).sum
+      }
+      val got = out(id)
+      assert(got.size === 8)
+      (got, want).zipped.foreach((g, w) => assert(math.abs(g - w) < 1e-12))
+    }
+    // determinism across runs
+    val again = Embeddings.randomProject(df, "embedding", outDim = 8, seed = "t")
+      .select("vec_id", "proj").as[(Long, Seq[Double])].collect().toMap
+    assert(again === out)
+  }
+
+  test("randomProject: JL distance preservation in expectation (loose band)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (1L to 40L).map(i => (i, Seq.fill(256)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = Embeddings.randomProject(df, "embedding", outDim = 64)
+      .select("vec_id", "proj").as[(Long, Seq[Double])].collect().toMap
+    // mean relative squared-distance distortion over random pairs must be
+    // small (E[dist² preserved]; ε ~ sqrt(8·ln(pairs)/outDim) is ~0.6 at
+    // these sizes per-pair — the MEAN over 40 pairs concentrates much
+    // tighter; assert a generous 0.25)
+    val pairs = (1L to 40L).sliding(2).toSeq
+    val rel = pairs.map { case Seq(a, b) =>
+      val va = vecs(a.toInt - 1)._2.map(_.toDouble)
+      val vb = vecs(b.toInt - 1)._2.map(_.toDouble)
+      val d2 = (va, vb).zipped.map((x, y) => (x - y) * (x - y)).sum
+      val pa = proj(a); val pb = proj(b)
+      val p2 = (pa, pb).zipped.map((x, y) => (x - y) * (x - y)).sum
+      math.abs(p2 - d2) / d2
+    }
+    assert(rel.sum / rel.size < 0.25, s"mean distortion ${rel.sum / rel.size}")
+    // wrong-length and NULL vectors project to NULL
+    val odd = Seq((1L, Seq(1.0f, 2.0f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val nulls = Embeddings.randomProject(
+        odd.unionByName(Seq((3L, Seq.fill(2)(1.0f))).toDF("vec_id", "embedding")),
+        "embedding", outDim = 4)
+      .select(col("vec_id"), col("proj").isNull).as[(Long, Boolean)]
+      .collect().toMap
+    assert(!nulls(1L) && nulls(2L) && !nulls(3L))
+    // a mismatched row against the inferred dim nulls out
+    val mixed = Seq((1L, Seq.fill(8)(1.0f)), (2L, Seq.fill(5)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val m = Embeddings.randomProject(mixed, "embedding", outDim = 2)
+      .select(col("vec_id"), col("proj").isNull).as[(Long, Boolean)]
+      .collect().toMap
+    assert(!m(1L) && m(2L))
+  }
 }
