@@ -106,7 +106,9 @@ object Bench {
     "q_bpe_train",          // BPE merge learning: word-count shuffle + driver merge loop on the planted corpus (r12)
     "q_phrase_match",       // Aho-Corasick multi-phrase blocklist: broadcast automaton, one O(text) pass (r12)
     "q_corpus_profile",     // one-scan profiler: per-column exact + HLL/KLL sketch metrics in a single agg (r12)
-    "q_embed_project"       // JL random projection: native mat-vec per row, zero shuffle (r12)
+    "q_embed_project",      // JL random projection: native mat-vec per row, zero shuffle (r12)
+    "q_setsim_pairs",       // exact set-similarity join: token-df agg + rare-first prefix equi-join + array_intersect verify (r12)
+    "q_editdist_pairs"      // exact edit-distance join: deletion-neighborhood explode + variant equi-join + bounded levenshtein verify (r12)
   )
 
   private def jsonStr(s: String): String =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.gates.{BpeGates, CorpusGates, InfraGates, KernelGates, LlmGates, PipelineGates, SourceGates, V2FGates, VectorGates}
+import graft.gates.{BpeGates, CorpusGates, InfraGates, KernelGates, LlmGates, PipelineGates, SimJoinGates, SourceGates, V2FGates, VectorGates}
 import graft.operators.Transformations
 
 /**
@@ -39,7 +39,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     KernelGates.queries ++ SourceGates.queries ++ V2FGates.queries ++
       LlmGates.queries ++ InfraGates.queries ++ PipelineGates.queries ++
-      VectorGates.queries ++ CorpusGates.queries ++ BpeGates.queries
+      VectorGates.queries ++ CorpusGates.queries ++ BpeGates.queries ++
+      SimJoinGates.queries
 
   /**
    * DuckDB-runnable oracle SQL per queries key. Column names must match the
@@ -49,5 +50,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     KernelGates.oracleSql ++ SourceGates.oracleSql ++ V2FGates.oracleSql ++
       LlmGates.oracleSql ++ InfraGates.oracleSql ++ PipelineGates.oracleSql ++
-      VectorGates.oracleSql ++ CorpusGates.oracleSql ++ BpeGates.oracleSql
+      VectorGates.oracleSql ++ CorpusGates.oracleSql ++ BpeGates.oracleSql ++
+      SimJoinGates.oracleSql
 }

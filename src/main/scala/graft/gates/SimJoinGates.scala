@@ -1,0 +1,119 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{EditSim, SetSim}
+
+/**
+ * Correctness gates for the EXACT similarity self-joins (SURVEY.md §2
+ * rows 113-114): prefix-filtered set-similarity (Jaccard) and
+ * deletion-neighborhood edit-distance.
+ *
+ * Oracle strategy: the DEFINITIONAL spelling — DuckDB re-derives every
+ * qualifying pair by brute force (full token-intersection join /
+ * all-pairs levenshtein), a different algorithm from the engine's
+ * prefix/neighborhood filters, so a filter that loses a candidate pair
+ * fails the gate (the q_asof_join precedent: same-algorithm oracles are
+ * weak, definitional ones are strong). Jaccard is one double division
+ * with identical operands on both engines — bit-identical, rounded at 6
+ * for serialization only; levenshtein is integer-exact.
+ */
+object SimJoinGates {
+
+  /** documents (id cut at 400 to bound the oracle's brute-force side) ∪
+    * planted near-identical copies: every 10th doc re-keyed +100000 with
+    * a 3-word tail appended — 3 new shingles, jaccard = n/(n+3). */
+  private def setsimFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = LlmGates.docs(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") < 400)
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" zzz qqq www"))))
+  }
+
+  /** 24-char normalized-text prefixes ∪ planted mutations: every 10th
+    * key re-keyed +100000 with one substitution (ed 1) and every 20th
+    * re-keyed +200000 with two substitutions (ed <= 2) — exercises both
+    * verify distances; natural duplicate prefixes supply the ed-0 pairs. */
+  private def editdistFixture(s: SparkSession, dir: String): DataFrame = {
+    val keys = LlmGates.docs(s, dir)
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"),
+        substring(graft.functions.Hashing.normalizeText(col("text")), 1, 24).as("s"))
+    val sub1 = keys.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id") + 100000,
+        concat(lit("z"), col("s").substr(lit(2), length(col("s")))).as("s"))
+      .toDF("doc_id", "s")
+    val sub2 = keys.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id") + 200000,
+        concat(lit("z"), substring(col("s"), 2, 3), lit("q"),
+          col("s").substr(lit(6), length(col("s")))).as("s"))
+      .toDF("doc_id", "s")
+    keys.unionByName(sub1).unionByName(sub2)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 row 113 — exact prefix-filtered Jaccard self-join over 3-word
+    // shingle sets (the Dedup.shingles semantics, so LSH and this exact
+    // join agree on what "similar" means)
+    "q_setsim_pairs" -> { (s, dir) =>
+      SetSim.setSimilarityPairs(setsimFixture(s, dir), "text", "doc_id",
+          threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    },
+    // §2 row 114 — exact deletion-neighborhood levenshtein self-join at
+    // maxDist=2 over 24-char normalized key prefixes
+    "q_editdist_pairs" -> { (s, dir) =>
+      EditSim.editDistancePairs(editdistFixture(s, dir), "s", "doc_id",
+        maxDist = 2)
+    }
+  )
+
+  /** Shared normalized-words spelling (mirrors Hashing.normalizeText). */
+  private val NormSql =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_setsim_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' zzz qqq www' FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id < 400),
+         |w AS (SELECT doc_id, $NormSql AS norm,
+         |             string_split($NormSql, ' ') AS w FROM base),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(CASE WHEN len(w) < 3 THEN [norm]
+         |                ELSE list_transform(range(0, len(w) - 2),
+         |                       j -> array_to_string(w[j+1:j+3], ' ')) END) AS tok
+         |       FROM w),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id ia, b.doc_id ib, count(*) ov
+         |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b,
+         |       round(ov * 1.0 / (sa.n + sb.n - ov), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = ia
+         |JOIN sizes sb ON sb.doc_id = ib
+         |WHERE ov * 1.0 / (sa.n + sb.n - ov) >= 0.5""".stripMargin,
+    "q_editdist_pairs" ->
+      s"""WITH keys AS (
+         |  SELECT doc_id, substr($NormSql, 1, 24) AS s
+         |  FROM documents WHERE doc_id < 400),
+         |base AS (
+         |  SELECT doc_id, s FROM keys
+         |  UNION ALL
+         |  SELECT doc_id + 100000, 'z' || substr(s, 2) FROM keys
+         |  WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, 'z' || substr(s, 2, 3) || 'q' || substr(s, 6)
+         |  FROM keys WHERE doc_id % 20 = 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       levenshtein(a.s, b.s) AS edit_dist
+         |FROM base a JOIN base b ON a.doc_id < b.doc_id
+         |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EditSim
+
+class EditSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference unit-cost Levenshtein. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("deletion-neighborhood join equals brute force at maxDist 1 and 2") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcd"
+    val rows = (0L until 150L).map { i =>
+      (i, (1 to (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    }
+    val df = rows.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = EditSim.editDistancePairs(df, "s", "id", maxDist = d)
+        .as[(Long, Long, Int)].collect()
+        .map { case (a, b, e) => (a, b) -> e }.toMap
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        e = lev(sa, sb)
+        if e <= d
+      } yield (ia, ib) -> e).toMap
+      assert(got === want, s"maxDist $d")
+    }
+  }
+
+  test("substitution, insertion, deletion, and exact pairs all surface") {
+    val df = Seq(
+      (1L, "spark"), (2L, "spork"),   // substitution, ed 1
+      (3L, "sparks"),                 // insertion vs 1, ed 1
+      (4L, "spak"),                   // deletion vs 1, ed 1
+      (5L, "spark"),                  // exact, ed 0
+      (6L, "flink")).toDF("id", "s")
+    val out = EditSim.editDistancePairs(df, "s", "id", maxDist = 1)
+      .as[(Long, Long, Int)].collect().map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(out((1L, 2L)) === 1 && out((1L, 3L)) === 1 &&
+      out((1L, 4L)) === 1 && out((1L, 5L)) === 0)
+    assert(!out.keySet.exists { case (a, b) => a == 6L || b == 6L })
+    // spork vs sparks is ed 2: absent at maxDist 1, present at 2
+    assert(!out.contains((2L, 3L)))
+    val out2 = EditSim.editDistancePairs(df, "s", "id", maxDist = 2)
+      .as[(Long, Long, Int)].collect().map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(out2((2L, 3L)) === 2)
+  }
+
+  test("null keys drop out; empty strings pair with each other and 1-char keys") {
+    val df = Seq((1L, ""), (2L, ""), (3L, "a"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val out = EditSim.editDistancePairs(df, "s", "id", maxDist = 1)
+      .as[(Long, Long, Int)].collect().map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(out === Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1))
+  }
+
+  test("variant bucket cap drops loudly, never silently") {
+    GraftSession.registerBucketCapListener(spark)
+    GraftSession.clearBucketCapDrops(spark)
+    val df = (0L until 30L).map(i => (i, "same")).toDF("id", "s")
+    val out = EditSim.editDistancePairs(df, "s", "id", maxDist = 1,
+      maxVariantBucket = Some(10))
+    assert(out.count() === 0L)
+    val drops = GraftSession.bucketCapDrops(spark)
+      .filter(_.metric.startsWith("graft.editsim.bucket_cap#"))
+    assert(drops.nonEmpty && drops.exists(_.droppedBuckets > 0), drops.toString)
+    GraftSession.clearBucketCapDrops(spark)
+    assert(EditSim.editDistancePairs(df, "s", "id", maxDist = 1,
+      maxVariantBucket = None).count() === 435L)
+  }
+}

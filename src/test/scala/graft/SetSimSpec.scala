@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SetSim
+
+class SetSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jaccard[T](a: Set[T], b: Set[T]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  test("prefix-filtered join equals brute force on randomized token sets") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"t$i")
+    // skewed token popularity: low-index tokens are common, high rare —
+    // exercises the rare-first prefix ordering
+    def randSet(): Set[String] =
+      (1 to (3 + rnd.nextInt(10))).map { _ =>
+        vocab(math.min(rnd.nextInt(40), rnd.nextInt(40)))
+      }.toSet
+    val rows = (0L until 120L).map(i => (i, randSet().toSeq))
+    val df = rows.toDF("id", "toks")
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9, 1.0)) {
+      val got = SetSim.setSimilarityJoin(df, "toks", "id", t)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      val want = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        j = jaccard(sa.toSet, sb.toSet)
+        if j >= t
+      } yield (ia, ib) -> j).toMap
+      assert(got.keySet === want.keySet, s"threshold $t")
+      got.foreach { case (k, j) =>
+        assert(math.abs(j - want(k)) < 1e-12, s"pair $k at $t") }
+    }
+  }
+
+  test("duplicate tokens inside an array collapse to set semantics") {
+    val df = Seq(
+      (1L, Seq("a", "a", "b")),
+      (2L, Seq("b", "a")),
+      (3L, Seq("c"))).toDF("id", "toks")
+    val out = SetSim.setSimilarityJoin(df, "toks", "id", 0.99)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1.0)))
+  }
+
+  test("length filter and threshold=1 exactness") {
+    val df = Seq(
+      (1L, Seq("x", "y", "z")),
+      (2L, Seq("x", "y", "z")),
+      (3L, Seq("x", "y", "z", "w")),
+      (4L, Seq("q"))).toDF("id", "toks")
+    val exact = SetSim.setSimilarityJoin(df, "toks", "id", 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((1L, 2L)))
+    val loose = SetSim.setSimilarityJoin(df, "toks", "id", 0.75)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("null and empty sets drop out; no self pairs") {
+    val df = Seq(
+      (1L, Seq("a", "b")),
+      (2L, null.asInstanceOf[Seq[String]]),
+      (3L, Seq.empty[String]),
+      (4L, Seq("a", "b"))).toDF("id", "toks")
+    val out = SetSim.setSimilarityJoin(df, "toks", "id", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 4L)))
+  }
+
+  test("text arm matches shingle-set brute force and keeps Dedup's shingling") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now"),
+      (4L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val out = SetSim.setSimilarityPairs(docs, "text", "id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    // shingle sets of 1,4 identical; 1,2 share 5 of 7+7 distinct 3-shingles
+    assert(out((1L, 4L)) === 1.0)
+    val s1 = Set("the quick brown", "quick brown fox", "brown fox jumps",
+      "fox jumps over", "jumps over the", "over the lazy", "the lazy dog")
+    val s2 = s1 - "the lazy dog" + "the lazy cat"
+    assert(math.abs(out((1L, 2L)) - jaccard(s1, s2)) < 1e-12)
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+
+  test("prefix-token bucket cap drops loudly, never silently") {
+    GraftSession.registerBucketCapListener(spark)
+    GraftSession.clearBucketCapDrops(spark)
+    // 30 identical sets: every prefix token bucket holds all 30 ids
+    val df = (0L until 30L).map(i => (i, Seq("a", "b", "c"))).toDF("id", "toks")
+    val out = SetSim.setSimilarityJoin(df, "toks", "id", 0.9,
+      maxTokenBucket = Some(10))
+    assert(out.count() === 0L) // all buckets oversized -> dropped
+    val drops = GraftSession.bucketCapDrops(spark)
+      .filter(_.metric.startsWith("graft.setsim.bucket_cap#"))
+    assert(drops.nonEmpty && drops.exists(_.droppedBuckets > 0), drops.toString)
+    GraftSession.clearBucketCapDrops(spark)
+    // uncapped finds all 435 pairs
+    assert(SetSim.setSimilarityJoin(df, "toks", "id", 0.9,
+      maxTokenBucket = None).count() === 435L)
+  }
+}
