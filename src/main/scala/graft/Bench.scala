@@ -108,7 +108,9 @@ object Bench {
     "q_corpus_profile",     // one-scan profiler: per-column exact + HLL/KLL sketch metrics in a single agg (r12)
     "q_embed_project",      // JL random projection: native mat-vec per row, zero shuffle (r12)
     "q_setsim_pairs",       // exact set-similarity join: token-df agg + rare-first prefix equi-join + array_intersect verify (r12)
-    "q_editdist_pairs"      // exact edit-distance join: deletion-neighborhood explode + variant equi-join + bounded levenshtein verify (r12)
+    "q_editdist_pairs",     // exact edit-distance join: deletion-neighborhood explode + variant equi-join + bounded levenshtein verify (r12)
+    "q_zorder",             // z-order values: one metadata agg + pure shift/mask projection, zero shuffle (r12)
+    "q_skip_index"          // skipping index: clustered write + one-scan min/max+bloom build + pruned point reads (r12)
   )
 
   private def jsonStr(s: String): String =
