@@ -110,7 +110,9 @@ object Bench {
     "q_setsim_pairs",       // exact set-similarity join: token-df agg + rare-first prefix equi-join + array_intersect verify (r12)
     "q_editdist_pairs",     // exact edit-distance join: deletion-neighborhood explode + variant equi-join + bounded levenshtein verify (r12)
     "q_zorder",             // z-order values: one metadata agg + pure shift/mask projection, zero shuffle (r12)
-    "q_skip_index"          // skipping index: clustered write + one-scan min/max+bloom build + pruned point reads (r12)
+    "q_skip_index",         // skipping index: clustered write + one-scan min/max+bloom build + pruned point reads (r12)
+    "q_resample",           // per-user resampling: one (key,bucket) agg + sequence-explode grid + ffill window (r12)
+    "q_feature_hash"        // hashing-trick TF: word explode + one map-side-combined (id,bucket) agg, native md5 (r12)
   )
 
   private def jsonStr(s: String): String =

@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Dedup, Dsir, PhraseMatch, Profile, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
+import graft.operators.{Contamination, Dedup, Dsir, FeatureHash, PhraseMatch, Profile, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
 
 /**
  * Correctness gates for corpus-level retrieval and distribution
@@ -151,6 +151,13 @@ object CorpusGates {
       QualityClassifier.scoreMultiInline(
           train.select("doc_id", "text"), model, "text", "doc_id")
         .select("doc_id", "label_pred")
+    },
+    // §2 row 118 — signed feature hashing (hashing-trick TF): every
+    // nonzero (doc, bucket) weight re-derived by the oracle from the
+    // same portable md5 bucket/sign formulas (the q_embed_project
+    // precedent — no vocabulary to agree on, which is the point)
+    "q_feature_hash" -> { (s, dir) =>
+      FeatureHash.hashedTf(docs(s, dir), "text", "doc_id", dim = 64)
     },
     // §2.4 row 110 — Aho–Corasick phrase blocklist: planted needles at
     // formula positions, one automaton pass matches all patterns incl.
@@ -383,6 +390,19 @@ object CorpusGates {
          |FROM contrib c JOIN qt USING (word)
          |GROUP BY qt.query_id, c.doc_id""".stripMargin
     },
+    "q_feature_hash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(${LlmGates.NormSql}, ' ')) AS tok
+         |  FROM documents),
+         |t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+         |h AS (
+         |  SELECT doc_id,
+         |         ${LlmGates.h60("tok")} % 64 AS j,
+         |         CASE WHEN ${LlmGates.h60("'sign:' || tok")} % 2 = 0
+         |              THEN 1 ELSE -1 END AS s
+         |  FROM t)
+         |SELECT doc_id, j, CAST(sum(s) AS BIGINT) AS w
+         |FROM h GROUP BY 1, 2 HAVING sum(s) <> 0""".stripMargin,
     "q_unigram_kl" ->
       s"""WITH a_docs AS (SELECT doc_id, text FROM documents),
          |b_docs AS (

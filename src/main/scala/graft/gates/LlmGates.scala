@@ -974,6 +974,16 @@ object LlmGates {
     "q_retention" -> { (s, dir) =>
       Events.retention(Events.readEventsParquet(s, s"$dir/events.parquet"))
     },
+    // §2 row 117 — per-user 6h resampling with gap fill: the oracle
+    // re-derives the bucket aggregates, the grid, and the forward fill
+    // (row_number spelling for the per-bucket last — a different
+    // algorithm from the engine's max_by struct ordering)
+    "q_resample" -> { (s, dir) =>
+      Events.resample(Events.readEventsParquet(s, s"$dir/events.parquet"),
+          intervalMicros = 21600000000L)
+        .withColumn("value_sum", round(col("value_sum"), 6))
+        .withColumn("last_value", round(col("last_value"), 6))
+    },
     // §2.4 row 39 — gap sessionization, relational batch form (equivalence
     // with the stateful streaming form is gated by StreamingSpec)
     "q_sessionize" -> { (s, dir) =>
@@ -2050,6 +2060,34 @@ object LlmGates {
         |  FROM ev JOIN f ON ev.user_id = f.user_id)
         |SELECT cohort_period, period_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS k, event_id, value,
+        |         epoch_us(ts::TIMESTAMP) // 21600000000 AS b
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, b, count(*) AS n_events, sum(value) AS value_sum
+        |  FROM e GROUP BY 1, 2),
+        |lastv AS (
+        |  SELECT user_id, b, value FROM (
+        |    SELECT user_id, b, value,
+        |           row_number() OVER (PARTITION BY user_id, b
+        |                              ORDER BY k DESC, event_id DESC) AS rn
+        |    FROM e) t WHERE rn = 1),
+        |span AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS b FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.b, a.n_events, a.value_sum, l.value AS lv
+        |  FROM grid g
+        |  LEFT JOIN agg a ON a.user_id = g.user_id AND a.b = g.b
+        |  LEFT JOIN lastv l ON l.user_id = g.user_id AND l.b = g.b)
+        |SELECT user_id, make_timestamp(b * 21600000000) AS bucket_start,
+        |       coalesce(n_events, 0) AS n_events,
+        |       round(coalesce(value_sum, 0), 6) AS value_sum,
+        |       round(last_value(lv IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY b), 6) AS last_value,
+        |       (n_events IS NULL) AS is_gap
+        |FROM j""".stripMargin,
     "q_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, min(ts) AS t_1 FROM events

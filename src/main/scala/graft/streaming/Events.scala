@@ -404,4 +404,63 @@ object Events {
       .groupBy("cohort_period", "period_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * Per-key time-series RESAMPLING with gap fill: one row per
+   * `intervalMicros`-wide epoch bucket from each key's first to last
+   * observed bucket, carrying the bucket's event count and value sum
+   * plus a forward-filled "last observed value" across gaps — the
+   * regular-grid view every downstream rate/trend computation wants,
+   * without per-key driver loops.
+   *
+   * Output: (key, bucket_start timestamp, n_events, value_sum,
+   * last_value, is_gap). `last_value` is the value of the latest event
+   * at-or-before the bucket (ties broken by `orderCol`, then forward
+   * filled); empty buckets have n_events 0 / value_sum 0 / is_gap true.
+   *
+   * Scale shape: ONE shuffle on (key, bucket) aggregates count, sum and
+   * the deterministic per-bucket last value (max_by over the (ts,
+   * orderCol) struct — partial-aggregated, no per-bucket collection);
+   * per-key bucket spans re-aggregate from THAT result (tiny); the grid
+   * is a generator-side `sequence` explode (no shuffle — bounded by
+   * span/interval per key, callers pick the interval); the fill is one
+   * `last(_, ignoreNulls)` window pass per key. No driver loop, no
+   * cartesian, grid rows ∝ output.
+   */
+  def resample(
+    events: DataFrame,
+    intervalMicros: Long,
+    keyCol: String = "user_id",
+    tsCol: String = "ts",
+    valueCol: String = "value",
+    orderCol: String = "event_id"
+  ): DataFrame = {
+    require(intervalMicros > 0, s"intervalMicros must be positive: $intervalMicros")
+    val key = graft.operators.Joins.keyOf(col(tsCol), events.schema(tsCol).dataType)
+    val bucket = graft.operators.Joins.floorDivExact(key, intervalMicros)
+    val ev = events.select(col(keyCol).as("__k"), bucket.as("__b"),
+      key.as("__ts"), col(orderCol).as("__o"), col(valueCol).as("__v"))
+
+    val perBucket = ev.groupBy("__k", "__b").agg(
+      count(lit(1)).as("n_events"),
+      sum(col("__v")).as("value_sum"),
+      max_by(col("__v"), struct(col("__ts"), col("__o"))).as("__last"))
+
+    val grid = perBucket.groupBy("__k")
+      .agg(min(col("__b")).as("__mn"), max(col("__b")).as("__mx"))
+      .select(col("__k"), explode(sequence(col("__mn"), col("__mx"))).as("__b"))
+
+    val filled = grid.join(perBucket, Seq("__k", "__b"), "left")
+      .withColumn("__ffill",
+        last(col("__last"), ignoreNulls = true)
+          .over(Window.partitionBy("__k").orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled.select(
+      col("__k").as(keyCol),
+      timestamp_micros(col("__b") * intervalMicros).as("bucket_start"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      coalesce(col("value_sum"), lit(0.0)).as("value_sum"),
+      col("__ffill").as("last_value"),
+      col("n_events").isNull.as("is_gap"))
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.Events
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+  private val Minute = 60L * 1000000L
+
+  test("resample fills gaps, forward-fills last value, hand-computed") {
+    val df = Seq(
+      // user 1: bucket 0 twice, bucket 1, gap 2-3, bucket 4
+      (0L, ts(0), 1L, 1.0),
+      (1L, ts(30), 1L, 2.0),
+      (2L, ts(100), 1L, 4.0),
+      (3L, ts(250), 1L, 7.0),
+      // user 2: single bucket
+      (4L, ts(95), 2L, 9.0)).toDF("event_id", "ts", "user_id", "value")
+    val out = Events.resample(df, Minute)
+      .select(col("user_id"), unix_micros(col("bucket_start")).as("bs"),
+        col("n_events"), col("value_sum"), col("last_value"), col("is_gap"))
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => (r._1, r._2 / Minute) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(out((1L, 0L)) === ((2L, 3.0, 2.0, false)))
+    assert(out((1L, 1L)) === ((1L, 4.0, 4.0, false)))
+    assert(out((1L, 2L)) === ((0L, 0.0, 4.0, true)))
+    assert(out((1L, 3L)) === ((0L, 0.0, 4.0, true)))
+    assert(out((1L, 4L)) === ((1L, 7.0, 7.0, false)))
+    assert(out((2L, 1L)) === ((1L, 9.0, 9.0, false)))
+    assert(out.size === 6)
+  }
+
+  test("per-bucket last value ties break by orderCol, then forward-fills") {
+    val df = Seq(
+      (10L, ts(5), 1L, 100.0),
+      (11L, ts(5), 1L, 200.0), // same ts, higher event_id wins
+      (12L, ts(130), 1L, 1.0)).toDF("event_id", "ts", "user_id", "value")
+    // bucket 1 is a gap carrying 200.0 forward; buckets 0 and 2 observed
+    val byBucket = Events.resample(df, Minute)
+      .select(unix_micros(col("bucket_start")).as("b"), col("last_value"))
+      .as[(Long, Double)].collect().map(r => r._1 / Minute -> r._2).toMap
+    assert(byBucket(0L) === 200.0 && byBucket(1L) === 200.0 && byBucket(2L) === 1.0)
+  }
+
+  test("interval guard and empty input") {
+    val df = Seq.empty[(Long, Timestamp, Long, Double)]
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(Events.resample(df, Minute).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Events.resample(df, 0L)
+    }
+  }
+}
