@@ -112,7 +112,11 @@ object Bench {
     "q_zorder",             // z-order values: one metadata agg + pure shift/mask projection, zero shuffle (r12)
     "q_skip_index",         // skipping index: clustered write + one-scan min/max+bloom build + pruned point reads (r12)
     "q_resample",           // per-user resampling: one (key,bucket) agg + sequence-explode grid + ffill window (r12)
-    "q_feature_hash"        // hashing-trick TF: word explode + one map-side-combined (id,bucket) agg, native md5 (r12)
+    "q_feature_hash",       // hashing-trick TF: word explode + one map-side-combined (id,bucket) agg, native md5 (r12)
+    "q_rolling",            // trailing-window aggregates: one key shuffle + RANGE-frame window pass (r12)
+    "q_cdc_apply",          // CDC merge: union + per-key last-writer-wins window, no join node (r12)
+    "q_k_anonymity",        // quasi-identifier classes: one map-side-combined agg (r12)
+    "q_blocking_pairs"      // sorted-neighborhood blocking: global index + offset explode + rank equi-join (r12)
   )
 
   private def jsonStr(s: String): String =

@@ -984,6 +984,15 @@ object LlmGates {
         .withColumn("value_sum", round(col("value_sum"), 6))
         .withColumn("last_value", round(col("last_value"), 6))
     },
+    // §2 row 120 — per-event trailing-window aggregates (6h): RANGE
+    // frame on exact epoch micros, peers included on both engines
+    "q_rolling" -> { (s, dir) =>
+      Events.rolling(Events.readEventsParquet(s, s"$dir/events.parquet"),
+          windowMicros = 21600000000L)
+        .select(col("user_id"), col("event_id"), col("n_window"),
+          round(col("sum_window"), 6).as("sum_window"),
+          round(col("avg_window"), 6).as("avg_window"))
+    },
     // §2.4 row 39 — gap sessionization, relational batch form (equivalence
     // with the stateful streaming form is gated by StreamingSpec)
     "q_sessionize" -> { (s, dir) =>
@@ -2088,6 +2097,15 @@ object LlmGates {
         |               OVER (PARTITION BY user_id ORDER BY b), 6) AS last_value,
         |       (n_events IS NULL) AS is_gap
         |FROM j""".stripMargin,
+    "q_rolling" ->
+      """SELECT user_id, event_id,
+        |       count(*) OVER w AS n_window,
+        |       round(sum(value) OVER w, 6) AS sum_window,
+        |       round(avg(value) OVER w, 6) AS avg_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_us(ts::TIMESTAMP)
+        |             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, min(ts) AS t_1 FROM events

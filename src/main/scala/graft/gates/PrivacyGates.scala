@@ -1,0 +1,80 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Cdc, Privacy}
+
+/**
+ * Correctness gates for the governance operators (SURVEY.md §2 rows
+ * 119 and 121): k-anonymity / l-diversity risk reports and CDC
+ * changelog application. All exact relational math — the oracles
+ * re-derive every row (the CDC oracle definitionally, via CASE
+ * priority over the formula-built changelog, a different spelling
+ * from the engine's union + last-writer-wins window).
+ */
+object PrivacyGates {
+
+  private def cust(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/customer.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 row 119a — per-class k-anonymity over (nation, segment)
+    "q_k_anonymity" -> { (s, dir) =>
+      Privacy.kAnonymity(cust(s, dir), Seq("c_nationkey", "c_mktsegment"), k = 10)
+    },
+    // §2 row 119b — l-diversity with a banded sensitive attribute
+    "q_l_diversity" -> { (s, dir) =>
+      Privacy.lDiversity(
+        cust(s, dir).withColumn("bal_band", floor(col("c_acctbal") / 1000)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+    },
+    // §2 row 121 — CDC changelog apply: updates (7), re-updates (21),
+    // deletes (13), inserts (9000001..5), all formula-derived so the
+    // oracle re-derives the merged table definitionally
+    "q_cdc_apply" -> { (s, dir) =>
+      import s.implicits._
+      val snap = cust(s, dir).select("c_custkey", "c_name", "c_acctbal")
+      val key = col("c_custkey")
+      val u1 = snap.filter(key % 7 === 0).select(key,
+        concat(lit("upd_"), key.cast("string")).as("c_name"),
+        (key * 1.5).as("c_acctbal"), lit(1L).as("seq"), lit("U").as("op"))
+      val u2 = snap.filter(key % 21 === 0).select(key,
+        concat(lit("upd2_"), key.cast("string")).as("c_name"),
+        (key * 2.5).as("c_acctbal"), lit(2L).as("seq"), lit("U").as("op"))
+      val del = snap.filter(key % 13 === 0).select(key,
+        lit(null).cast("string").as("c_name"),
+        lit(null).cast("double").as("c_acctbal"),
+        lit(3L).as("seq"), lit("D").as("op"))
+      val ins = (1 to 5).map(i => (9000000L + i, s"new_$i", i * 0.5))
+        .toDF("c_custkey", "c_name", "c_acctbal")
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      Cdc.applyChangelog(snap,
+        u1.unionByName(u2).unionByName(del).unionByName(ins), Seq("c_custkey"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       count(*) AS class_size,
+        |       count(*) < 10 AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       count(*) AS class_size,
+        |       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS diversity,
+        |       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 AS diverse
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q_cdc_apply" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 21 = 0 THEN 'upd2_' || c_custkey
+        |            WHEN c_custkey % 7 = 0 THEN 'upd_' || c_custkey
+        |            ELSE c_name END AS c_name,
+        |       CASE WHEN c_custkey % 21 = 0 THEN c_custkey * 2.5
+        |            WHEN c_custkey % 7 = 0 THEN c_custkey * 1.5
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_custkey % 13 <> 0
+        |UNION ALL
+        |SELECT 9000000 + i, 'new_' || i, i * 0.5 FROM range(1, 6) t(i)""".stripMargin
+  )
+}

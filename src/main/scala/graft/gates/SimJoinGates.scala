@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{EditSim, SetSim}
+import graft.operators.{Blocking, EditSim, SetSim}
 
 /**
  * Correctness gates for the EXACT similarity self-joins (SURVEY.md §2
@@ -67,6 +67,18 @@ object SimJoinGates {
     "q_editdist_pairs" -> { (s, dir) =>
       EditSim.editDistancePairs(editdistFixture(s, dir), "s", "doc_id",
         maxDist = 2)
+    },
+    // §2 row 122 — sorted-neighborhood blocking pass (window 5) over the
+    // same normalized key prefixes: every pair within rank distance < 5
+    // of the (key, id) total order, re-derived by the oracle's
+    // row_number self-join (the engine computes the rank via the
+    // range-shuffle global index — a different algorithm)
+    "q_blocking_pairs" -> { (s, dir) =>
+      val keys = LlmGates.docs(s, dir)
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          substring(graft.functions.Hashing.normalizeText(col("text")), 1, 24).as("s"))
+      Blocking.sortedNeighborhoodPairs(keys, "s", "doc_id", windowSize = 5)
     }
   )
 
@@ -114,6 +126,16 @@ object SimJoinGates {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       levenshtein(a.s, b.s) AS edit_dist
          |FROM base a JOIN base b ON a.doc_id < b.doc_id
-         |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin
+         |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin,
+    "q_blocking_pairs" ->
+      s"""WITH keys AS (
+         |  SELECT doc_id, substr($NormSql, 1, 24) AS s
+         |  FROM documents WHERE doc_id < 400),
+         |r AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY s, doc_id) AS rn
+         |  FROM keys)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       b.rn - a.rn AS rank_dist
+         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 5""".stripMargin
   )
 }

@@ -463,4 +463,37 @@ object Events {
       col("__ffill").as("last_value"),
       col("n_events").isNull.as("is_gap"))
   }
+
+  /**
+   * Per-event TRAILING-window aggregates: for every event, the count,
+   * sum and mean of `valueCol` over the same key's events in
+   * `[ts − windowMicros, ts]` (inclusive both ends; simultaneous events
+   * are peers and see each other — SQL RANGE-frame semantics on the
+   * exact epoch-micros key, so engine-portable and timezone-free).
+   *
+   * The moving-average / rate-limiter / burst-detection primitive that
+   * [[resample]]'s fixed grid can't express (each event gets ITS OWN
+   * trailing horizon). Scale shape: ONE shuffle on the key, one sort,
+   * one RANGE-frame window pass — Spark evaluates the frame with two
+   * moving pointers over the sorted run, O(n) per key, no
+   * self-join and no per-event re-scan.
+   */
+  def rolling(
+    events: DataFrame,
+    windowMicros: Long,
+    keyCol: String = "user_id",
+    tsCol: String = "ts",
+    valueCol: String = "value",
+    idCol: String = "event_id"
+  ): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be positive: $windowMicros")
+    val key = graft.operators.Joins.keyOf(col(tsCol), events.schema(tsCol).dataType)
+    val w = Window.partitionBy(col(keyCol)).orderBy(key)
+      .rangeBetween(-windowMicros, 0)
+    events.select(
+      col(keyCol), col(idCol), col(tsCol),
+      count(lit(1)).over(w).as("n_window"),
+      sum(col(valueCol)).over(w).as("sum_window"),
+      avg(col(valueCol)).over(w).as("avg_window"))
+  }
 }

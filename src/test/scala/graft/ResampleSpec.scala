@@ -45,6 +45,28 @@ class ResampleSpec extends SparkSpec {
     assert(byBucket(0L) === 200.0 && byBucket(1L) === 200.0 && byBucket(2L) === 1.0)
   }
 
+  test("rolling trailing window matches brute force, peers included") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 120L).map { i =>
+      (i, ts(rnd.nextInt(600).toLong), (i % 4) + 1L, rnd.nextInt(100).toDouble)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val w = 120L * 1000000L // 2 minutes
+    val got = Events.rolling(df, w)
+      .select(col("event_id"), col("n_window"), col("sum_window"), col("avg_window"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    rows.foreach { case (id, t, u, _) =>
+      val in = rows.filter { case (_, t2, u2, _) =>
+        u2 == u && t2.getTime <= t.getTime && t2.getTime * 1000L >= t.getTime * 1000L - w
+      }
+      val s = in.map(_._4).sum
+      val (n, sm, av) = got(id)
+      assert(n === in.size.toLong, s"event $id")
+      assert(math.abs(sm - s) < 1e-9 && math.abs(av - s / in.size) < 1e-9)
+    }
+  }
+
   test("interval guard and empty input") {
     val df = Seq.empty[(Long, Timestamp, Long, Double)]
       .toDF("event_id", "ts", "user_id", "value")
