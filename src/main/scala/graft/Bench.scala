@@ -116,7 +116,10 @@ object Bench {
     "q_rolling",            // trailing-window aggregates: one key shuffle + RANGE-frame window pass (r12)
     "q_cdc_apply",          // CDC merge: union + per-key last-writer-wins window, no join node (r12)
     "q_k_anonymity",        // quasi-identifier classes: one map-side-combined agg (r12)
-    "q_blocking_pairs"      // sorted-neighborhood blocking: global index + offset explode + rank equi-join (r12)
+    "q_blocking_pairs",     // sorted-neighborhood blocking: global index + offset explode + rank equi-join (r12)
+    "q_label_prop",         // label propagation: 4 synchronous rounds (localized arm at this scale) (r12)
+    "q_pmi",                // PMI co-occurrence: row-local pair transform + two map-side-combined counts + broadcast vocab joins (r12)
+    "q_weighted_sample"     // Efraimidis-Spirakis A-Res: hash-key projection + TakeOrderedAndProject (r12)
   )
 
   private def jsonStr(s: String): String =

@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Dedup, Dsir, FeatureHash, PhraseMatch, Profile, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
+import graft.operators.{CoOccur, Contamination, Dedup, Dsir, FeatureHash, PhraseMatch, Profile, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
 
 /**
  * Correctness gates for corpus-level retrieval and distribution
@@ -158,6 +158,19 @@ object CorpusGates {
     // precedent — no vocabulary to agree on, which is the point)
     "q_feature_hash" -> { (s, dir) =>
       FeatureHash.hashedTf(docs(s, dir), "text", "doc_id", dim = 64)
+    },
+    // §2 row 124 — PMI co-occurrence (window 3): counts exact, the
+    // ln-bearing score rounded at 4 (the q_unigram_nll precedent)
+    "q_pmi" -> { (s, dir) =>
+      CoOccur.pmi(docs(s, dir), "text", window = 3)
+        .withColumn("pmi", round(col("pmi"), 4))
+    },
+    // §2 row 125 — Efraimidis–Spirakis weighted sample (k=50 by
+    // n_chars): the oracle re-derives every A-Res key from the same
+    // portable hash and takes the same top-k
+    "q_weighted_sample" -> { (s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "n_chars", "doc_id", k = 50)
+        .select(col("doc_id"), round(col("es_key"), 6).as("es_key"))
     },
     // §2.4 row 110 — Aho–Corasick phrase blocklist: planted needles at
     // formula positions, one automaton pass matches all patterns incl.
@@ -390,6 +403,38 @@ object CorpusGates {
          |FROM contrib c JOIN qt USING (word)
          |GROUP BY qt.query_id, c.doc_id""".stripMargin
     },
+    "q_pmi" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(${LlmGates.NormSql}, ' ') AS ws
+         |  FROM documents WHERE ${LlmGates.NormSql} <> ''),
+         |p AS (
+         |  SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, len(ws) + 1),
+         |                  i -> {'i': i, 'tok': ws[i]})) AS u
+         |    FROM w) t),
+         |pr AS (
+         |  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+         |  FROM p a JOIN p b
+         |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3),
+         |pc AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY 1, 2),
+         |uni AS (SELECT tok AS w, count(*) AS n_w FROM p GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(n_pair) FROM pc)::DOUBLE AS pp,
+         |               (SELECT sum(n_w) FROM uni)::DOUBLE AS tt)
+         |SELECT w1, w2, n_pair,
+         |       round(ln((n_pair::DOUBLE / pp) /
+         |                ((u1.n_w::DOUBLE / tt) * (u2.n_w::DOUBLE / tt))), 4) AS pmi
+         |FROM pc
+         |JOIN uni u1 ON u1.w = pc.w1
+         |JOIN uni u2 ON u2.w = pc.w2, tot""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH kk AS (
+        |  SELECT doc_id,
+        |         ln((('0x' || substr(md5('es:' || doc_id), 1, 15))::BIGINT + 1)
+        |            / 1152921504606846976.0) / n_chars::DOUBLE AS es_key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, round(es_key, 6) AS es_key
+        |FROM kk ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
     "q_feature_hash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(${LlmGates.NormSql}, ' ')) AS tok

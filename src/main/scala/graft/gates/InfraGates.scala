@@ -190,6 +190,15 @@ object InfraGates {
       Graph.pageRank(edges, "src", "dst", iterations = PageRankIters)
         .select(col("node"), round(col("rank"), 6).as("rank"))
     },
+    // §2 row 123 — label-propagation communities over the same derived
+    // link graph (no src19 cut — LPA has no dangling-mass concept); the
+    // oracle UNROLLS the same 4 synchronous min-label-tie rounds
+    "q_label_prop" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val dst = concat(lit("src"), ((col("doc_id") * 7) % 20).cast("string"))
+      val edges = docs.select(col("source").as("src"), dst.as("dst"))
+      Graph.labelPropagation(edges, "src", "dst", iterations = LabelPropIters)
+    },
     // §2.4 row 93 — corpus snapshot diff: a derived "refresh" snapshot
     // (deterministic removals, revisions, additions) diffed against the
     // original; the oracle rebuilds the same snapshot and full-joins
@@ -359,8 +368,38 @@ object InfraGates {
     header + iterCtes + s"\nSELECT node, round(rank, 6) AS rank FROM r$iters"
   }
 
+  private val LabelPropIters = 4
+
+  /** Unrolled synchronous LPA rounds (the pageRankSql discipline —
+    * every chained CTE MATERIALIZED). Round rule: most frequent
+    * neighbor label, ties to the smallest label, over the symmetrized
+    * deduplicated self-loop-free edge list. */
+  private def labelPropSql(iters: Int): String = {
+    val header =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT source AS src,
+        |         'src' || ((doc_id * 7) % 20) AS dst
+        |  FROM documents
+        |  WHERE source <> 'src' || ((doc_id * 7) % 20)),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |r0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |r$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT s.dst AS node, l.label,
+         |           row_number() OVER (PARTITION BY s.dst
+         |                              ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM sym s JOIN r${i - 1} l ON l.node = s.src
+         |    GROUP BY s.dst, l.label) t WHERE rn = 1)""".stripMargin
+    }.mkString
+    header + iterCtes + s"\nSELECT node, label FROM r$iters"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql(PageRankIters),
+    "q_label_prop" -> labelPropSql(LabelPropIters),
     "q_salted_join" ->
       """SELECT c_custkey, c_nationkey AS nationkey, n_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,

@@ -172,6 +172,159 @@ object Graph {
   }
 
   /**
+   * Label-propagation community detection (Raghavan et al. 2007 —
+   * public algorithm) over an UNDIRECTED edge list: every node starts
+   * labeled with itself; each synchronous round relabels every node
+   * with its neighbors' most frequent label, ties broken by the
+   * SMALLEST label — a fixed `iterations` count, so the result is
+   * deterministic (the asynchronous/convergence variants are not, and a
+   * non-deterministic operator can't be gated). Self-loops are dropped
+   * (a node seconding its own vote distorts the neighborhood count),
+   * parallel edges are deduplicated, and the graph is symmetrized
+   * internally — pass each undirected edge once in either direction.
+   *
+   * Near-duplicate clusters ([[Dedup.connectedComponents]]) answer
+   * "what is transitively linked"; LPA answers the finer "which dense
+   * groups exist inside the link graph" — the domain-community feature
+   * next to [[pageRank]]'s centrality prior.
+   *
+   * Two arms by edge count (the [[pageRank]] convention): a bounded
+   * edge list iterates driver-side (zero per-round jobs); above the
+   * limit, each round is one labels⋈edges equi-join + one (dst, label)
+   * count + one per-dst argmax window, with per-round localCheckpoint
+   * truncating the lineage and superseded checkpoints freed eagerly.
+   * Labels are node-sized state, edges stay stationary and persisted.
+   *
+   * Returns (`node`, `label`). Ordering note: the distributed tie-break
+   * uses Spark's native ordering (strings: binary UTF-8); the localized
+   * arm matches it for numeric and ASCII-string nodes (GraphSpec pins
+   * arm agreement).
+   */
+  def labelPropagation(
+    edges: DataFrame,
+    srcCol: String,
+    dstCol: String,
+    iterations: Int = 5,
+    localizeNodeLimit: Long = 200000L,
+    localizeEdgeLimit: Long = 2000000L
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val raw = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = raw
+      .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    try {
+      val edgeCount = sym.count()
+      if (edgeCount <= localizeEdgeLimit)
+        return localizedLabelPropagation(sym, iterations)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("cnt").desc, col("label").asc)
+      def round(labels: DataFrame): DataFrame =
+        sym.join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy("dst", "label").agg(count(lit(1)).as("cnt"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("dst").as("node"), col("label"))
+
+      var labels = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      var i = 0
+      while (i < iterations) {
+        val next = round(labels).localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(labels)
+        labels = next
+        i += 1
+      }
+      // node-sized = metadata-sized under the limit (the pageRank result
+      // discipline): free the final checkpoint and hand back a local
+      // relation with exact stats; above it the checkpoint-backed frame
+      // is the caller's to free (the connectedComponents contract)
+      val nodeCount = labels.count()
+      if (nodeCount <= localizeNodeLimit) {
+        val rows = labels.collect()
+        org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(labels)
+        edges.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), labels.schema)
+      } else labels
+    } finally sym.unpersist()
+  }
+
+  /** Driver-side LPA over a collected symmetrized edge list: the same
+    * synchronous most-frequent/min-label rule, per-round O(E). */
+  private def localizedLabelPropagation(sym: DataFrame, iterations: Int): DataFrame = {
+    val spark = sym.sparkSession
+    val rows = sym.collect()
+    val ord: Ordering[Any] = sym.schema("src").dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
+      case _ => Ordering.by((x: Any) => x.toString)
+    }
+    val idx = new java.util.LinkedHashMap[Any, Integer]()
+    def id(x: Any): Int = {
+      var i = idx.get(x)
+      if (i == null) { i = Integer.valueOf(idx.size()); idx.put(x, i) }
+      i.intValue
+    }
+    val srcs = new Array[Int](rows.length)
+    val dsts = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      srcs(i) = id(rows(i).get(0)); dsts(i) = id(rows(i).get(1)); i += 1
+    }
+    val n = idx.size()
+    val values = new Array[Any](n)
+    val it0 = idx.keySet().iterator()
+    i = 0
+    while (it0.hasNext) { values(i) = it0.next(); i += 1 }
+    var labels = Array.tabulate[Any](n)(v => values(v))
+    var round = 0
+    while (round < iterations) {
+      val counts = Array.fill(n)(
+        new java.util.HashMap[Any, Integer]())
+      i = 0
+      while (i < rows.length) {
+        val m = counts(dsts(i))
+        val l = labels(srcs(i))
+        val c = m.get(l)
+        m.put(l, if (c == null) 1 else c.intValue + 1)
+        i += 1
+      }
+      val next = new Array[Any](n)
+      var v = 0
+      while (v < n) {
+        val m = counts(v)
+        var bestLabel: Any = null
+        var bestCnt = -1
+        val eIt = m.entrySet().iterator()
+        while (eIt.hasNext) {
+          val e = eIt.next()
+          val c = e.getValue.intValue
+          if (c > bestCnt ||
+            (c == bestCnt && ord.lt(e.getKey, bestLabel))) {
+            bestLabel = e.getKey; bestCnt = c
+          }
+        }
+        next(v) = if (bestLabel == null) labels(v) else bestLabel
+        v += 1
+      }
+      labels = next
+      round += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", sym.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("label", sym.schema("src").dataType)))
+    val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    var v = 0
+    while (v < n) { outRows.add(org.apache.spark.sql.Row(values(v), labels(v))); v += 1 }
+    spark.createDataFrame(outRows, schema)
+  }
+
+  /**
    * Driver-side power iteration over a collected (bounded) edge list:
    * index-mapped arrays, the SAME per-round formula as the distributed
    * arm in the same evaluation order per term. Zero per-round jobs,

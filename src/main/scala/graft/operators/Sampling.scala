@@ -506,4 +506,48 @@ object Sampling {
           .otherwise(lit(null).cast("int")))
       .drop("__qb_bounds")
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-Res
+   * (IPL 2006 — the public one-pass algorithm): each row gets the key
+   * ln(u)/w with u = (md5_long60(seed:id) + 1) / 2^60 ∈ (0, 1], and the
+   * k LARGEST keys are the sample — distributed exactly as u^(1/w)
+   * top-k (ln is monotone; the log spelling avoids pow's cross-platform
+   * non-portability). Deterministic for a (seed, id) pair — re-runs,
+   * engines, and retries agree; rows with NULL/non-positive weight have
+   * zero inclusion probability and drop out.
+   *
+   * Scale shape: the key is a pure projection on the portable hash;
+   * the global arm is TakeOrderedAndProject (per-partition heaps, only
+   * k rows cross the wire — never a global sort); the grouped arm is
+   * one hash shuffle + a rank window (WindowGroupLimit pushes the
+   * per-group heap below the exchange, the [[topKBy]] shape).
+   */
+  def weightedSample(
+    df: DataFrame,
+    weightCol: String,
+    idCol: String,
+    k: Int,
+    seed: String = "es",
+    byCol: Option[String] = None
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    Cols.requireAbsent(df, "es_key")
+    val u = (Hashing.md5Long60(
+      concat(lit(seed + ":"), col(idCol).cast("string"))) + 1).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val w = col(weightCol).cast("double")
+    val keyed = df.filter(w.isNotNull && w > 0.0)
+      .withColumn("es_key", log(u) / w)
+    byCol match {
+      case None =>
+        keyed.orderBy(col("es_key").desc, col(idCol)).limit(k)
+      case Some(g) =>
+        val win = Window.partitionBy(col(g))
+          .orderBy(col("es_key").desc, col(idCol))
+        keyed.withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") <= k)
+          .drop("__rn")
+    }
+  }
 }

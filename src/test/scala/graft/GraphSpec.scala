@@ -118,4 +118,54 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(df, "s", "t", damping = 1.0)
     }
   }
+
+  test("labelPropagation: hand-computed synchronous rounds with min-label ties") {
+    // triangle 1-2-3 plus the 4-5 pair (which oscillates under
+    // synchronous updates — bipartite, the documented LPA behavior;
+    // determinism is the contract, not convergence)
+    val df = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("s", "t")
+    val r1 = Graph.labelPropagation(df, "s", "t", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 4L))
+    val r2 = Graph.labelPropagation(df, "s", "t", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("labelPropagation separates two dense communities joined by one bridge") {
+    val cliqueA = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val cliqueB = for (a <- 11L to 15L; b <- (a + 1) to 15L) yield (a, b)
+    val df = (cliqueA ++ cliqueB ++ Seq((5L, 11L))).toDF("s", "t")
+    val labels = Graph.labelPropagation(df, "s", "t", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val la = (1L to 5L).map(labels)
+    val lb = (12L to 15L).map(labels)
+    assert(la.distinct.size === 1, s"community A split: $labels")
+    assert(lb.distinct.size === 1, s"community B split: $labels")
+    assert(la.head !== lb.head, s"communities merged: $labels")
+  }
+
+  test("labelPropagation distributed arm agrees with the localized arm") {
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = edges.toDF("s", "t")
+    val local = Graph.labelPropagation(df, "s", "t", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.labelPropagation(df, "s", "t", iterations = 3,
+        localizeEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
+    assert(GraftSession.sweepPersistedState(spark) === 0)
+  }
+
+  test("labelPropagation on string nodes: binary-order ties agree across arms") {
+    val df = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"))
+      .toDF("s", "t")
+    val local = Graph.labelPropagation(df, "s", "t", iterations = 2)
+      .as[(String, String)].collect().toMap
+    val dist = Graph.labelPropagation(df, "s", "t", iterations = 2,
+        localizeEdgeLimit = 0)
+      .as[(String, String)].collect().toMap
+    assert(local === dist)
+  }
 }
