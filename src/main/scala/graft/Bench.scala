@@ -119,7 +119,9 @@ object Bench {
     "q_blocking_pairs",     // sorted-neighborhood blocking: global index + offset explode + rank equi-join (r12)
     "q_label_prop",         // label propagation: 4 synchronous rounds (localized arm at this scale) (r12)
     "q_pmi",                // PMI co-occurrence: row-local pair transform + two map-side-combined counts + broadcast vocab joins (r12)
-    "q_weighted_sample"     // Efraimidis-Spirakis A-Res: hash-key projection + TakeOrderedAndProject (r12)
+    "q_weighted_sample",    // Efraimidis-Spirakis A-Res: hash-key projection + TakeOrderedAndProject (r12)
+    "q_extract_links",      // out-link extraction + RFC3986-lite resolution: scan-stage regex explode, zero shuffle (r12)
+    "q_assoc_rules"         // association rules: per-txn set collect + row-local pairs + broadcast item joins (r12)
   )
 
   private def jsonStr(s: String): String =

@@ -159,6 +159,26 @@ object CorpusGates {
     "q_feature_hash" -> { (s, dir) =>
       FeatureHash.hashedTf(docs(s, dir), "text", "doc_id", dim = 64)
     },
+    // §2 row 126 — out-link extraction + RFC 3986-lite resolution over a
+    // formula-planted HTML fixture (the q_phrase_match strategy: the
+    // oracle re-derives every resolved URL and anchor from the plant
+    // formulas — absolute, root-relative, sibling-relative, ../-up, and
+    // skipped fragment/mailto links all exercised per row)
+    "q_extract_links" -> { (s, _) =>
+      import s.implicits._
+      val rows = (0L until 120L).map { i =>
+        val base = s"http://site${i % 7}.com/dir${i % 3}/sub/page.html"
+        val html =
+          s"""<p><a href="http://abs$i.example/p">Abs $i</a></p>""" +
+            s"""<a href="/r/$i">Root</a>""" +
+            s"""<a href="s$i.html">Sib <b>$i</b></a>""" +
+            s"""<a href="../u$i.html">Up</a>""" +
+            s"""<a href="#frag">skip</a><a href="mailto:a@b.c">skip</a>"""
+        (i, html, base)
+      }
+      Web.extractLinks(rows.toDF("doc_id", "html", "url"), "html", "url")
+        .select("doc_id", "link_url", "anchor_text")
+    },
     // §2 row 124 — PMI co-occurrence (window 3): counts exact, the
     // ln-bearing score rounded at 4 (the q_unigram_nll precedent)
     "q_pmi" -> { (s, dir) =>
@@ -403,6 +423,20 @@ object CorpusGates {
          |FROM contrib c JOIN qt USING (word)
          |GROUP BY qt.query_id, c.doc_id""".stripMargin
     },
+    "q_extract_links" ->
+      """WITH r AS (SELECT i FROM range(0, 120) t(i)),
+        |e AS (
+        |  SELECT i AS doc_id, 'http://abs' || i || '.example/p' AS link_url,
+        |         'Abs ' || i AS anchor_text FROM r
+        |  UNION ALL
+        |  SELECT i, 'http://site' || (i % 7) || '.com/r/' || i, 'Root' FROM r
+        |  UNION ALL
+        |  SELECT i, 'http://site' || (i % 7) || '.com/dir' || (i % 3)
+        |           || '/sub/s' || i || '.html', 'Sib ' || i FROM r
+        |  UNION ALL
+        |  SELECT i, 'http://site' || (i % 7) || '.com/dir' || (i % 3)
+        |           || '/u' || i || '.html', 'Up' FROM r)
+        |SELECT doc_id, link_url, anchor_text FROM e""".stripMargin,
     "q_pmi" ->
       s"""WITH w AS (
          |  SELECT doc_id, string_split(${LlmGates.NormSql}, ' ') AS ws

@@ -974,6 +974,17 @@ object LlmGates {
     "q_retention" -> { (s, dir) =>
       Events.retention(Events.readEventsParquet(s, s"$dir/events.parquet"))
     },
+    // §2 row 127 — pairwise association rules over (user → event types):
+    // exact rational support/confidence/lift, oracle re-derives via a
+    // definitional transaction self-join
+    "q_assoc_rules" -> { (s, dir) =>
+      graft.operators.CoOccur.associationRules(
+          Events.readEventsParquet(s, s"$dir/events.parquet"),
+          "user_id", "event_type")
+        .withColumn("support", round(col("support"), 6))
+        .withColumn("confidence", round(col("confidence"), 6))
+        .withColumn("lift", round(col("lift"), 6))
+    },
     // §2 row 117 — per-user 6h resampling with gap fill: the oracle
     // re-derives the bucket aggregates, the grid, and the forward fill
     // (row_number spelling for the per-bucket last — a different
@@ -2069,6 +2080,25 @@ object LlmGates {
         |  FROM ev JOIN f ON ev.user_id = f.user_id)
         |SELECT cohort_period, period_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH ti AS (SELECT DISTINCT user_id AS t, event_type AS i FROM events),
+        |n AS (SELECT count(DISTINCT t)::DOUBLE AS nn FROM ti),
+        |ic AS (SELECT i, count(*) AS n_item FROM ti GROUP BY 1),
+        |pc AS (
+        |  SELECT a.i AS a, b.i AS b, count(*) AS n_ab
+        |  FROM ti a JOIN ti b ON a.t = b.t AND a.i < b.i GROUP BY 1, 2),
+        |d AS (
+        |  SELECT a AS antecedent, b AS consequent, n_ab FROM pc
+        |  UNION ALL
+        |  SELECT b, a, n_ab FROM pc)
+        |SELECT antecedent, consequent, n_ab,
+        |       round(n_ab::DOUBLE / nn, 6) AS support,
+        |       round(n_ab::DOUBLE / ia.n_item, 6) AS confidence,
+        |       round((n_ab::DOUBLE / ia.n_item) /
+        |             (ic2.n_item::DOUBLE / nn), 6) AS lift
+        |FROM d
+        |JOIN ic ia ON ia.i = d.antecedent
+        |JOIN ic ic2 ON ic2.i = d.consequent, n""".stripMargin,
     "q_resample" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS k, event_id, value,

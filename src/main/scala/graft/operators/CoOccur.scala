@@ -93,4 +93,69 @@ object CoOccur {
           ((col("n_w1").cast("double") / lit(t)) *
             (col("n_w2").cast("double") / lit(t)))).as("pmi"))
   }
+
+  /** All unordered (a, b) pairs (a before b in the SORTED set array) —
+    * row-local, same short-circuit as [[pairsOf]]. */
+  private def setPairsOf(sorted: Column): Column =
+    when(size(sorted) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(flatten(transform(
+        sequence(lit(0), size(sorted) - 2),
+        i => transform(
+          sequence(i + 1, size(sorted) - 1),
+          j => struct(
+            element_at(sorted, i + 1).as("a"),
+            element_at(sorted, j + 1).as("b"))))))
+
+  /**
+   * Association rules over transactions (Agrawal & Srikant, VLDB 1994 —
+   * market-basket analysis, pairwise): for every DIRECTED item pair
+   * co-occurring in at least `minSupportCount` transactions,
+   *
+   *   support    = n_ab / N          (fraction of transactions with both)
+   *   confidence = n_ab / n_ant      (P(consequent | antecedent))
+   *   lift       = confidence / (n_cons / N)   (>1 ⇒ positive association)
+   *
+   * Item presence is per-transaction SET semantics (duplicates collapse).
+   *
+   * Scale shape: one distinct + one per-transaction set collection
+   * (keyed shuffles), pair generation row-local over the sorted set
+   * array, one map-side-combined pair count, broadcast item-count joins
+   * (item vocabulary is metadata-sized), N localized as a scalar. A
+   * transaction with s distinct items yields s(s−1)/2 pairs — pairwise
+   * basket analysis presumes bounded item-type cardinality per basket
+   * (event types, categories), not free text; use [[pmi]] for that.
+   */
+  def associationRules(
+    df: DataFrame,
+    txnCol: String,
+    itemCol: String,
+    minSupportCount: Long = 1L
+  ): DataFrame = {
+    require(minSupportCount >= 1, s"minSupportCount must be >= 1: $minSupportCount")
+    val ti = df.filter(col(itemCol).isNotNull)
+      .select(col(txnCol).as("__t"), col(itemCol).cast("string").as("__i"))
+      .distinct()
+    val nRow = ti.agg(count_distinct(col("__t"))).head()
+    val n = if (nRow.isNullAt(0)) 1.0 else math.max(nRow.getLong(0), 1L).toDouble
+    val itemCounts = ti.groupBy("__i").agg(count(lit(1)).as("__n"))
+    val pairs = ti.groupBy("__t").agg(sort_array(collect_set(col("__i"))).as("__s"))
+      .select(explode(setPairsOf(col("__s"))).as("__p"))
+      .select(col("__p.a"), col("__p.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupportCount)
+    val directed = pairs
+      .select(col("a").as("antecedent"), col("b").as("consequent"), col("n_ab"))
+      .unionByName(pairs
+        .select(col("b").as("antecedent"), col("a").as("consequent"), col("n_ab")))
+    directed
+      .join(broadcast(itemCounts.select(col("__i").as("antecedent"),
+        col("__n").as("__n_ant"))), "antecedent")
+      .join(broadcast(itemCounts.select(col("__i").as("consequent"),
+        col("__n").as("__n_cons"))), "consequent")
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        (col("n_ab").cast("double") / lit(n)).as("support"),
+        (col("n_ab").cast("double") / col("__n_ant")).as("confidence"),
+        ((col("n_ab").cast("double") / col("__n_ant")) /
+          (col("__n_cons").cast("double") / lit(n))).as("lift"))
+  }
 }

@@ -313,4 +313,81 @@ object Web {
         replace(acc, lit(from), lit(to))
       }
   }
+
+  // ------------------------------------------------------------- links
+
+  /** One `<a ...>anchor</a>` match: href attribute (either quote style)
+    * and inner text. Case-insensitive; DOTALL for multi-line anchors. */
+  private val AnchorRegex =
+    """(?is)<a\s[^>]*href\s*=\s*["']([^"'#][^"']*)["'][^>]*>(.*?)</a>"""
+
+  /**
+   * Out-link extraction from raw HTML — the edge-list feeder for the
+   * link-graph operators ([[Graph.pageRank]] / [[Graph
+   * .labelPropagation]]) and the step after [[graft.sources.Warc
+   * .readWarc]] in a crawl pipeline: one row per `<a href>` with the
+   * RESOLVED absolute URL and the tag's anchor text (stripped via
+   * [[stripHtml]]).
+   *
+   * Resolution (RFC 3986-lite, pure Column expressions — row-local,
+   * zero shuffle, streaming-safe): absolute `scheme://` hrefs pass
+   * through; `//host/...` adopts the base scheme; `/path` adopts the
+   * base origin; other hrefs resolve against the base DIRECTORY with
+   * `.`/`..` segment normalization (an aggregate fold over the path
+   * segments — no UDF). Fragment-only and `javascript:`/`mailto:`
+   * pseudo-links are skipped by the href pattern (`#`-first) or the
+   * scheme check. NULL html/base → no rows.
+   *
+   * Scale shape: regexp_extract_all + a per-match projection — a pure
+   * scan-stage explode, the only shuffle is whatever the caller
+   * aggregates next (e.g. groupBy domain for the page graph).
+   */
+  def extractLinks(
+    df: DataFrame,
+    htmlCol: String,
+    baseUrlCol: String
+  ): DataFrame = {
+    val html = col(htmlCol)
+    val base = col(baseUrlCol)
+    val matches = regexp_extract_all(html, lit(AnchorRegex), lit(0))
+    val exploded = df
+      .filter(html.isNotNull && base.isNotNull)
+      .select(df.columns.map(col) :+ explode(matches).as("__a"): _*)
+    val href = regexp_extract(col("__a"), AnchorRegex, 1)
+    val anchor = trim(regexp_replace(stripHtml(regexp_extract(col("__a"), AnchorRegex, 2)),
+      "\\s+", " "))
+    // base decomposition: scheme, origin (scheme://host[:port]), directory
+    val scheme = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val origin = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    // base path: strip query/fragment, then everything after the last /
+    val basePath = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    val isAbsolute = href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    val isPseudo = href.rlike("^(?i)(javascript|mailto|tel|data):")
+    val isProtoRel = href.startsWith("//")
+    val isRootRel = href.startsWith("/") && !isProtoRel
+    // merge dir + relative href, normalize . and .. segments with a fold
+    val merged = concat(baseDir, href)
+    val segs = split(regexp_replace(merged, "[?#].*$", ""), "/")
+    val normSegs = aggregate(segs, array().cast("array<string>"),
+      (acc, s) =>
+        when(s === "." || s === "", acc)
+          .when(s === "..",
+            when(size(acc) > 0, slice(acc, lit(1), size(acc) - 1)).otherwise(acc))
+          .otherwise(concat(acc, array(s))))
+    val suffix = regexp_extract(merged, "([?#].*)$", 1)
+    val relative = concat(origin, lit("/"), array_join(normSegs, "/"), suffix)
+    val resolved =
+      when(isPseudo, lit(null).cast("string"))
+        .when(isAbsolute, href)
+        .when(isProtoRel, concat(scheme, lit(":"), href))
+        .when(isRootRel, concat(origin, href))
+        .otherwise(when(origin === "", lit(null).cast("string")).otherwise(relative))
+    exploded
+      .withColumn("link_url", resolved)
+      .withColumn("anchor_text", anchor)
+      .filter(col("link_url").isNotNull)
+      .drop("__a")
+  }
 }

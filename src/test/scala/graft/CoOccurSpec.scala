@@ -65,6 +65,30 @@ class CoOccurSpec extends SparkSpec {
     assert(math.abs(filtered.head._4 - ref(3, 3, 2)) < 1e-12)
   }
 
+  test("associationRules: hand-computed support/confidence/lift, set semantics") {
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // duplicate x collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x"),
+      (4L, "y"), (4L, "w")).toDF("txn", "item")
+    val got = CoOccur.associationRules(df, "txn", "item")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // N=4, n_x=3, n_y=3, n_z=1, n_w=1
+    val (nab, sup, conf, lift) = got(("x", "y"))
+    assert(nab === 2L && sup === 0.5)
+    assert(math.abs(conf - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(lift - (2.0 / 3.0) / (3.0 / 4.0)) < 1e-15)
+    val zx = got(("z", "x"))
+    assert(zx._1 === 1L && zx._3 === 1.0) // z always with x
+    assert(math.abs(zx._4 - 1.0 / (3.0 / 4.0)) < 1e-15)
+    assert(got.contains(("y", "x")) && !got.contains(("z", "w")))
+    // minSupportCount prunes pairs, both directions
+    val pruned = CoOccur.associationRules(df, "txn", "item", minSupportCount = 2)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(pruned.map(r => (r._1, r._2)).toSet === Set(("x", "y"), ("y", "x")))
+  }
+
   test("short and empty docs contribute no pairs; window guard") {
     val df = Seq((1L, "solo"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("id", "text")

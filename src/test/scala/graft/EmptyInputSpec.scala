@@ -194,4 +194,34 @@ class EmptyInputSpec extends SparkSpec {
       Seq(graft.operators.Checks.NonNullRate("text", 0.0)))
     assert(rep.collect().forall(_.getInt(4) == 0))
   }
+
+  test("r12 operators over empty frames yield empty results") {
+    import graft.operators.{Blocking, Cdc, CoOccur, EditSim, FeatureHash,
+      Graph, Layout, Privacy, Sampling, SetSim}
+    assert(SetSim.setSimilarityPairs(emptyDocs, "text", "doc_id", 0.5).count() == 0)
+    assert(EditSim.editDistancePairs(emptyDocs, "text", "doc_id", 2).count() == 0)
+    assert(CoOccur.coOccurrence(emptyDocs, "text").count() == 0)
+    assert(CoOccur.pmi(emptyDocs, "text").count() == 0)
+    assert(FeatureHash.hashedTf(emptyDocs, "text", "doc_id", 16).count() == 0)
+    assert(Blocking.sortedNeighborhoodPairs(emptyDocs, "text", "doc_id", 3).count() == 0)
+    assert(Privacy.kAnonymity(emptyDocs, Seq("text"), 2).count() == 0)
+    assert(Privacy.lDiversity(emptyDocs, Seq("text"), "doc_id", 2).count() == 0)
+    assert(Privacy.suppressSmallClasses(emptyDocs, Seq("text"), 2).count() == 0)
+    assert(Sampling.weightedSample(
+      emptyDocs.withColumn("w", lit(1.0)), "w", "doc_id", 5).count() == 0)
+    assert(Graph.labelPropagation(
+      emptyDocs.selectExpr("text AS src", "text AS dst"), "src", "dst").count() == 0)
+    assert(Layout.withZorderValue(
+      emptyDocs.select("doc_id"), Seq("doc_id"), 8).count() == 0)
+    val emptyChg = emptyDocs
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    assert(Cdc.applyChangelog(emptyDocs, emptyChg, Seq("doc_id")).count() == 0)
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType))))
+    assert(Events.resample(emptyEv, 1000000L).count() == 0)
+    assert(Events.rolling(emptyEv, 1000000L).count() == 0)
+  }
 }

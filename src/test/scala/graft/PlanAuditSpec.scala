@@ -429,4 +429,70 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(nested.isEmpty, "overlap spelling must not plan a nested-loop/cartesian join")
   }
+
+  private def noNestedJoin(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val nested = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty, s"$what must not plan a nested-loop/cartesian join")
+  }
+
+  test("exact similarity joins: equi-join candidates only, never a cartesian") {
+    noNestedJoin(
+      graft.operators.SetSim.setSimilarityPairs(docs, "text", "doc_id", 0.8),
+      "setSimilarityPairs")
+    noNestedJoin(
+      graft.operators.EditSim.editDistancePairs(
+        docs.select(col("doc_id"), substring(col("text"), 1, 12).as("s")),
+        "s", "doc_id", 1),
+      "editDistancePairs")
+  }
+
+  test("z-order value is a pure projection; clustering pays exactly one range exchange") {
+    val zv = graft.operators.Layout.withZorderValue(
+      li.select("l_partkey", "l_suppkey"), Seq("l_partkey", "l_suppkey"), 8)
+    val zvPlan = zv.queryExecution.executedPlan.toString
+    assert(!zvPlan.contains("Exchange"), s"z-value must not shuffle:\n$zvPlan")
+    assert(zvPlan.contains("*(1)"), zvPlan) // shift/mask stays codegen'd
+    val clustered = graft.operators.Layout.clusterByZorder(
+      li.select("l_partkey", "l_suppkey"), Seq("l_partkey", "l_suppkey"), 8)
+    val cPlan = clustered.queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(cPlan).size == 1, cPlan.take(3000))
+    assert(!cPlan.contains("Exchange hashpartitioning"), cPlan.take(3000))
+  }
+
+  test("weightedSample global arm plans TakeOrderedAndProject, never a global sort") {
+    val q = graft.operators.Sampling.weightedSample(
+      docs.select(col("doc_id"), col("n_chars")), "n_chars", "doc_id", 25)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(3000))
+  }
+
+  test("rolling window: one hash exchange, the RANGE frame rides one Window node") {
+    val ev = graft.streaming.Events.readEventsParquet(spark, s"$sfDir/events.parquet")
+    val plan = graft.streaming.Events.rolling(ev, 60000000L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert("Window".r.findAllIn(plan).size >= 1, plan.take(3000))
+  }
+
+  test("cdc apply: union + one key shuffle + one window, zero join nodes") {
+    import spark.implicits._
+    val snap = Seq((1L, "a")).toDF("id", "v")
+    val chg = Seq((1L, "b", 1L, "U")).toDF("id", "v", "seq", "op")
+    val plan = graft.operators.Cdc.applyChangelog(snap, chg, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"cdc must not plan a join:\n${plan.take(3000)}")
+    assert(plan.contains("Union"), plan.take(3000))
+  }
+
+  test("feature hashing: one shuffle, partial-aggregated, native hash in the scan") {
+    val q = graft.operators.FeatureHash.hashedTf(docs, "text", "doc_id", 64)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(plan.contains("partial_"), plan.take(3000))
+    assert(plan.contains("md5_long60"), plan.take(3000))
+  }
 }

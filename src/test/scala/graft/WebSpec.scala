@@ -204,4 +204,45 @@ class WebSpec extends SparkSpec {
     assert(got(4L).isEmpty)
     assert(got(5L).get == "1<2 but 5>3 and  real  tag")
   }
+
+  test("extractLinks resolves every RFC 3986-lite case against the base") {
+    import spark.implicits._
+    val base = "http://ex.com/a/b/page.html?x=1"
+    val html =
+      """<a href="http://other.com/abs">absolute</a>
+        |<A HREF='//cdn.com/p'>proto-rel</A>
+        |<a class="x" href="/root/r">root <b>rel</b></a>
+        |<a href="sib.html">sibling</a>
+        |<a href="../up/one.html">up</a>
+        |<a href="./here.html?q=2#frag">dot</a>
+        |<a href="../../../past/root">clamped</a>
+        |<a href="#frag-only">skip</a>
+        |<a href="javascript:void(0)">skip2</a>
+        |<a href="mailto:x@y.z">skip3</a>""".stripMargin
+    val out = Web.extractLinks(
+        Seq((1L, html, base)).toDF("id", "html", "url"), "html", "url")
+      .select("link_url", "anchor_text").as[(String, String)].collect().toSeq
+    assert(out === Seq(
+      ("http://other.com/abs", "absolute"),
+      ("http://cdn.com/p", "proto-rel"),
+      ("http://ex.com/root/r", "root rel"),
+      ("http://ex.com/a/b/sib.html", "sibling"),
+      ("http://ex.com/a/up/one.html", "up"),
+      ("http://ex.com/a/b/here.html?q=2#frag", "dot"),
+      ("http://ex.com/past/root", "clamped")))
+  }
+
+  test("extractLinks: NULL/relative-to-unparseable bases and null html drop out") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """<a href="x.html">a</a>""", null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String], "http://ex.com/"),
+      (3L, """<a href="x.html">a</a>""", "not a url"),
+      (4L, """<a href="http://abs.com/">abs</a>""", "not a url"))
+      .toDF("id", "html", "url")
+    val out = Web.extractLinks(df, "html", "url")
+      .select("id", "link_url").as[(Long, String)].collect().toSeq
+    // an unparseable base still passes ABSOLUTE hrefs through
+    assert(out === Seq((4L, "http://abs.com/")))
+  }
 }
