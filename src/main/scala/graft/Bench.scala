@@ -121,7 +121,9 @@ object Bench {
     "q_pmi",                // PMI co-occurrence: row-local pair transform + two map-side-combined counts + broadcast vocab joins (r12)
     "q_weighted_sample",    // Efraimidis-Spirakis A-Res: hash-key projection + TakeOrderedAndProject (r12)
     "q_extract_links",      // out-link extraction + RFC3986-lite resolution: scan-stage regex explode, zero shuffle (r12)
-    "q_assoc_rules"         // association rules: per-txn set collect + row-local pairs + broadcast item joins (r12)
+    "q_assoc_rules",        // association rules: per-txn set collect + row-local pairs + broadcast item joins (r12)
+    "q_transitions",        // event-transition matrix: one key shuffle + lead window + pair counts (r12)
+    "q_rendezvous"          // HRW sharding: row-local scoreboard sort, zero shuffle (r12)
   )
 
   private def jsonStr(s: String): String =

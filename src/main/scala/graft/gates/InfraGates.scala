@@ -190,6 +190,16 @@ object InfraGates {
       Graph.pageRank(edges, "src", "dst", iterations = PageRankIters)
         .select(col("node"), round(col("rank"), 6).as("rank"))
     },
+    // §2 row 129 — rendezvous (HRW) sharding: every key's top-2 shard
+    // scoreboard over a 32-slot grid re-derived by the oracle from the
+    // same portable hash
+    "q_rendezvous" -> { (s, dir) =>
+      graft.operators.Sharding.rendezvousAssign(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+          "doc_id", nShards = 32, replicas = 2)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("replica_rank"))
+    },
     // §2 row 123 — label-propagation communities over the same derived
     // link graph (no src19 cut — LPA has no dangling-mass concept); the
     // oracle UNROLLS the same 4 synchronous min-label-tie rounds
@@ -400,6 +410,20 @@ object InfraGates {
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql(PageRankIters),
     "q_label_prop" -> labelPropSql(LabelPropIters),
+    "q_rendezvous" ->
+      """WITH s AS (SELECT i FROM range(0, 32) t(i)),
+        |sc AS (
+        |  SELECT d.doc_id, i AS shard,
+        |         ('0x' || substr(md5('hrw:' || doc_id || ':' || i), 1, 15))::BIGINT
+        |           AS score
+        |  FROM documents d CROSS JOIN s),
+        |r AS (
+        |  SELECT doc_id, shard,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, shard ASC) AS rn
+        |  FROM sc)
+        |SELECT doc_id, shard, CAST(rn - 1 AS INT) AS replica_rank
+        |FROM r WHERE rn <= 2""".stripMargin,
     "q_salted_join" ->
       """SELECT c_custkey, c_nationkey AS nationkey, n_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,

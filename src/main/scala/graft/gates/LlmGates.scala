@@ -974,6 +974,12 @@ object LlmGates {
     "q_retention" -> { (s, dir) =>
       Events.retention(Events.readEventsParquet(s, s"$dir/events.parquet"))
     },
+    // §2 row 128 — first-order event-transition matrix: deterministic
+    // (ts, event_id) ordering, exact rational conditional probabilities
+    "q_transitions" -> { (s, dir) =>
+      Events.transitions(Events.readEventsParquet(s, s"$dir/events.parquet"))
+        .withColumn("prob", round(col("prob"), 6))
+    },
     // §2 row 127 — pairwise association rules over (user → event types):
     // exact rational support/confidence/lift, oracle re-derives via a
     // definitional transaction self-join
@@ -2080,6 +2086,19 @@ object LlmGates {
         |  FROM ev JOIN f ON ev.user_id = f.user_id)
         |SELECT cohort_period, period_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "q_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pc AS (
+        |  SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT from_type, sum(n_trans) AS nf FROM pc GROUP BY 1)
+        |SELECT pc.from_type, to_type, n_trans,
+        |       round(n_trans::DOUBLE / nf, 6) AS prob
+        |FROM pc JOIN m ON m.from_type = pc.from_type""".stripMargin,
     "q_assoc_rules" ->
       """WITH ti AS (SELECT DISTINCT user_id AS t, event_type AS i FROM events),
         |n AS (SELECT count(DISTINCT t)::DOUBLE AS nn FROM ti),

@@ -496,4 +496,37 @@ object Events {
       sum(col(valueCol)).over(w).as("sum_window"),
       avg(col(valueCol)).over(w).as("avg_window"))
   }
+
+  /**
+   * First-order event-transition matrix (the Markov-chain / user-flow
+   * "Sankey" statistic): for every ordered consecutive pair of events
+   * per key — ordered by (ts, orderCol), fully deterministic — the
+   * count `n_trans` and the conditional probability
+   * P(to | from) = n_trans / Σ_to n_trans.
+   *
+   * Scale shape: ONE shuffle on the key, one lead() window pass, one
+   * map-side-combined (from, to) count; the per-from normalization is
+   * a broadcast join of the from-marginal (state-vocabulary-sized).
+   * No per-key history collection.
+   */
+  def transitions(
+    events: DataFrame,
+    keyCol: String = "user_id",
+    tsCol: String = "ts",
+    typeCol: String = "event_type",
+    orderCol: String = "event_id"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(orderCol),
+        col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
+    val marginals = pairs.groupBy("from_type")
+      .agg(sum(col("n_trans")).as("__n_from"))
+    pairs.join(broadcast(marginals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        (col("n_trans").cast("double") / col("__n_from")).as("prob"))
+  }
 }

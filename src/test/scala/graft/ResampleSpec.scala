@@ -67,6 +67,30 @@ class ResampleSpec extends SparkSpec {
     }
   }
 
+  test("transition matrix: hand-computed counts and conditional probabilities") {
+    val df = Seq(
+      (0L, ts(0), 1L, "view"), (1L, ts(10), 1L, "click"), (2L, ts(20), 1L, "buy"),
+      (3L, ts(5), 2L, "view"), (4L, ts(15), 2L, "click"), (5L, ts(25), 2L, "view"),
+      (6L, ts(1), 3L, "view") // single event: no transition
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.transitions(df)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("view", "click")) === ((2L, 1.0)))
+    assert(got(("click", "buy")) === ((1L, 0.5)))
+    assert(got(("click", "view")) === ((1L, 0.5)))
+    assert(got.size === 3)
+  }
+
+  test("transition ordering ties break by orderCol") {
+    val df = Seq(
+      (10L, ts(5), 1L, "a"), (11L, ts(5), 1L, "b"), (12L, ts(9), 1L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.transitions(df)
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+    assert(got === Set(("a", "b"), ("b", "c")))
+  }
+
   test("interval guard and empty input") {
     val df = Seq.empty[(Long, Timestamp, Long, Double)]
       .toDF("event_id", "ts", "user_id", "value")
