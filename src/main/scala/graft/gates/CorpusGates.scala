@@ -159,6 +159,25 @@ object CorpusGates {
     "q_feature_hash" -> { (s, dir) =>
       FeatureHash.hashedTf(docs(s, dir), "text", "doc_id", dim = 64)
     },
+    // §2 row 130 — snapshot drift report: a formula-derived "refresh"
+    // (rows dropped, text nulled, n_chars retyped, source removed,
+    // quality added) vs the original; the oracle re-derives schema rows
+    // as constants and every metric from the same formulas
+    "q_snapshot_drift" -> { (s, dir) =>
+      val old = docs(s, dir).select("doc_id", "text", "lang", "source", "n_chars")
+      val neu = old.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("text")))
+        .withColumn("n_chars", col("n_chars").cast("double"))
+        .withColumn("quality", lit(1.0))
+        .drop("source")
+      Profile.drift(old, neu)
+        .select(col("kind"), col("column"), col("old_type"), col("new_type"),
+          round(col("old_val"), 6).as("old_val"),
+          round(col("new_val"), 6).as("new_val"),
+          round(col("delta"), 6).as("delta"))
+    },
     // §2 row 126 — out-link extraction + RFC 3986-lite resolution over a
     // formula-planted HTML fixture (the q_phrase_match strategy: the
     // oracle re-derives every resolved URL and anchor from the plant
@@ -423,6 +442,57 @@ object CorpusGates {
          |FROM contrib c JOIN qt USING (word)
          |GROUP BY qt.query_id, c.doc_id""".stripMargin
     },
+    "q_snapshot_drift" ->
+      """WITH newd AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN NULL ELSE text END AS text,
+        |         lang, n_chars::DOUBLE AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |o AS (
+        |  SELECT count(*) AS n, count(doc_id) AS nn_doc, count(lang) AS nn_lang,
+        |         count(n_chars) AS nn_nc, count(text) AS nn_text,
+        |         avg(doc_id) AS m_doc, avg(n_chars) AS m_nc
+        |  FROM documents),
+        |w AS (
+        |  SELECT count(*) AS n, count(doc_id) AS nn_doc, count(lang) AS nn_lang,
+        |         count(n_chars) AS nn_nc, count(text) AS nn_text,
+        |         avg(doc_id) AS m_doc, avg(n_chars) AS m_nc
+        |  FROM newd)
+        |SELECT 'column_added' AS kind, 'quality' AS "column",
+        |       NULL AS old_type, 'double' AS new_type,
+        |       NULL::DOUBLE AS old_val, NULL::DOUBLE AS new_val, NULL::DOUBLE AS delta
+        |UNION ALL SELECT 'column_removed', 'source', 'string', NULL, NULL, NULL, NULL
+        |UNION ALL SELECT 'type_changed', 'n_chars', 'bigint', 'double', NULL, NULL, NULL
+        |UNION ALL SELECT 'row_count', '*', NULL, NULL, o.n::DOUBLE, w.n::DOUBLE,
+        |          w.n::DOUBLE - o.n::DOUBLE FROM o, w
+        |UNION ALL SELECT 'null_rate', 'doc_id', NULL, NULL,
+        |          round((o.n - o.nn_doc)::DOUBLE / o.n, 6),
+        |          round((w.n - w.nn_doc)::DOUBLE / w.n, 6),
+        |          round((w.n - w.nn_doc)::DOUBLE / w.n
+        |                - (o.n - o.nn_doc)::DOUBLE / o.n, 6) FROM o, w
+        |UNION ALL SELECT 'null_rate', 'lang', NULL, NULL,
+        |          round((o.n - o.nn_lang)::DOUBLE / o.n, 6),
+        |          round((w.n - w.nn_lang)::DOUBLE / w.n, 6),
+        |          round((w.n - w.nn_lang)::DOUBLE / w.n
+        |                - (o.n - o.nn_lang)::DOUBLE / o.n, 6) FROM o, w
+        |UNION ALL SELECT 'null_rate', 'n_chars', NULL, NULL,
+        |          round((o.n - o.nn_nc)::DOUBLE / o.n, 6),
+        |          round((w.n - w.nn_nc)::DOUBLE / w.n, 6),
+        |          round((w.n - w.nn_nc)::DOUBLE / w.n
+        |                - (o.n - o.nn_nc)::DOUBLE / o.n, 6) FROM o, w
+        |UNION ALL SELECT 'null_rate', 'text', NULL, NULL,
+        |          round((o.n - o.nn_text)::DOUBLE / o.n, 6),
+        |          round((w.n - w.nn_text)::DOUBLE / w.n, 6),
+        |          round((w.n - w.nn_text)::DOUBLE / w.n
+        |                - (o.n - o.nn_text)::DOUBLE / o.n, 6) FROM o, w
+        |UNION ALL SELECT 'mean', 'doc_id', NULL, NULL,
+        |          round(o.m_doc, 6), round(w.m_doc, 6),
+        |          round(w.m_doc - o.m_doc, 6) FROM o, w
+        |UNION ALL SELECT 'mean', 'lang', NULL, NULL, NULL, NULL, NULL
+        |UNION ALL SELECT 'mean', 'n_chars', NULL, NULL,
+        |          round(o.m_nc, 6), round(w.m_nc, 6),
+        |          round(w.m_nc - o.m_nc, 6) FROM o, w
+        |UNION ALL SELECT 'mean', 'text', NULL, NULL, NULL, NULL, NULL""".stripMargin,
     "q_extract_links" ->
       """WITH r AS (SELECT i FROM range(0, 120) t(i)),
         |e AS (

@@ -83,4 +83,86 @@ object Profile {
         org.apache.spark.sql.types.DoubleType, nullable = true)))
     df.sparkSession.createDataFrame(out, schema)
   }
+
+  /**
+   * Snapshot drift report — the schema-contract + distribution-shift
+   * check between two corpus versions (a refresh vs. its predecessor,
+   * a new drop vs. the standing corpus): schema changes from the
+   * catalogs (NO job), plus exact metric drift (row count; per-common-
+   * column null rate and mean) from ONE aggregation pass per side.
+   * Metadata-sized, driver-local (the [[profile]] conventions).
+   *
+   * Rows: (`kind`, `column`, `old_type`, `new_type`, `old_val`,
+   * `new_val`, `delta`) with kind ∈ column_added | column_removed |
+   * type_changed | row_count | null_rate | mean; type columns carry
+   * Catalyst simpleStrings for schema kinds and NULL otherwise;
+   * numeric kinds carry old/new/delta (delta = new − old, NULL when a
+   * side is undefined, e.g. an uncastable mean). Wire it into [[Checks]]
+   * as a fail-fast by thresholding `delta` downstream.
+   */
+  def drift(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val oldTypes = oldDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val newTypes = newDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val out = new java.util.ArrayList[Row]()
+    (newTypes.keySet -- oldTypes.keySet).toSeq.sorted.foreach { c =>
+      out.add(Row("column_added", c, null, newTypes(c), null, null, null))
+    }
+    (oldTypes.keySet -- newTypes.keySet).toSeq.sorted.foreach { c =>
+      out.add(Row("column_removed", c, oldTypes(c), null, null, null, null))
+    }
+    val common = (oldTypes.keySet & newTypes.keySet).toSeq.sorted
+    common.filter(c => oldTypes(c) != newTypes(c)).foreach { c =>
+      out.add(Row("type_changed", c, oldTypes(c), newTypes(c), null, null, null))
+    }
+
+    def sideRow(df: DataFrame): Row = {
+      val exprs = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
+      exprs += count(lit(1)).as("__n")
+      common.zipWithIndex.foreach { case (c, i) =>
+        exprs += count(col(c)).as(s"__nn$i")
+        exprs += avg(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"__mean$i")
+      }
+      df.agg(exprs.head, exprs.tail.toSeq: _*).collect().head
+    }
+    val o = sideRow(oldDf)
+    val nw = sideRow(newDf)
+    val nOld = o.getAs[Long]("__n")
+    val nNew = nw.getAs[Long]("__n")
+    def delta(a: Any, b: Any): Any = (a, b) match {
+      case (x: java.lang.Double, y: java.lang.Double) => y - x
+      case _ => null
+    }
+    out.add(Row("row_count", "*", null, null, nOld.toDouble, nNew.toDouble,
+      nNew.toDouble - nOld.toDouble))
+    common.zipWithIndex.foreach { case (c, i) =>
+      val nrOld: Any =
+        if (nOld == 0) null
+        else Double.box((nOld - o.getAs[Long](s"__nn$i")).toDouble / nOld)
+      val nrNew: Any =
+        if (nNew == 0) null
+        else Double.box((nNew - nw.getAs[Long](s"__nn$i")).toDouble / nNew)
+      out.add(Row("null_rate", c, null, null, nrOld, nrNew, delta(nrOld, nrNew)))
+      val mOld: Any = if (o.isNullAt(o.fieldIndex(s"__mean$i"))) null
+        else Double.box(o.getAs[Double](s"__mean$i"))
+      val mNew: Any = if (nw.isNullAt(nw.fieldIndex(s"__mean$i"))) null
+        else Double.box(nw.getAs[Double](s"__mean$i"))
+      out.add(Row("mean", c, null, null, mOld, mNew, delta(mOld, mNew)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("column",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("old_type",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("new_type",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("old_val",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("new_val",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("delta",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    oldDf.sparkSession.createDataFrame(out, schema)
+  }
 }

@@ -54,4 +54,43 @@ class ProfileSpec extends SparkSpec {
     assert(m("null_rate") === None)
     assert(m("min") === None && m("p50") === None)
   }
+
+  test("drift: schema changes, row count, null-rate and mean deltas") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, Some("c"), 30L),
+      (4L, Some("d"), 40L)).toDF("id", "tag", "v")
+    val neu = Seq(
+      (1L, Option.empty[String], 1.5, true), (2L, Some("b"), 2.5, false))
+      .toDF("id", "tag", "v", "flag")
+    val rows = Profile.drift(old, neu)
+      .as[(String, String, Option[String], Option[String],
+        Option[Double], Option[Double], Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(rows(("column_added", "flag"))._4 === Some("boolean"))
+    assert(rows(("type_changed", "v"))._3 === Some("bigint"))
+    assert(rows(("type_changed", "v"))._4 === Some("double"))
+    assert(!rows.contains(("column_removed", "tag")))
+    assert(rows(("row_count", "*"))._5 === Some(4.0))
+    assert(rows(("row_count", "*"))._7 === Some(-2.0))
+    assert(rows(("null_rate", "tag"))._6 === Some(0.5))
+    assert(rows(("null_rate", "tag"))._7 === Some(0.5))
+    assert(rows(("mean", "v"))._5 === Some(25.0))
+    assert(rows(("mean", "v"))._6 === Some(2.0))
+    assert(rows(("mean", "tag"))._5 === None) // uncastable: undefined
+    assert(rows(("mean", "tag"))._7 === None)
+  }
+
+  test("drift: removed columns and empty sides stay defined") {
+    import spark.implicits._
+    val old = Seq((1L, "x")).toDF("id", "gone")
+    val neu = Seq(2L).toDF("id").filter(col("id") < 0)
+    val rows = Profile.drift(old, neu)
+      .as[(String, String, Option[String], Option[String],
+        Option[Double], Option[Double], Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(rows(("column_removed", "gone"))._3 === Some("string"))
+    assert(rows(("row_count", "*"))._6 === Some(0.0))
+    assert(rows(("null_rate", "id"))._6 === None) // empty side: undefined
+  }
 }
