@@ -124,7 +124,8 @@ object Bench {
     "q_assoc_rules",        // association rules: per-txn set collect + row-local pairs + broadcast item joins (r12)
     "q_transitions",        // event-transition matrix: one key shuffle + lead window + pair counts (r12)
     "q_rendezvous",         // HRW sharding: row-local scoreboard sort, zero shuffle (r12)
-    "q_snapshot_drift"      // snapshot drift: schema diff (no job) + one agg pass per side (r12)
+    "q_snapshot_drift",     // snapshot drift: schema diff (no job) + one agg pass per side (r12)
+    "q_cdc_stream"          // streaming materialized table: 3 foreachBatch folds + versioned snapshot reads (r12)
   )
 
   private def jsonStr(s: String): String =

@@ -32,26 +32,49 @@ object PrivacyGates {
     // deletes (13), inserts (9000001..5), all formula-derived so the
     // oracle re-derives the merged table definitionally
     "q_cdc_apply" -> { (s, dir) =>
-      import s.implicits._
-      val snap = cust(s, dir).select("c_custkey", "c_name", "c_acctbal")
-      val key = col("c_custkey")
-      val u1 = snap.filter(key % 7 === 0).select(key,
-        concat(lit("upd_"), key.cast("string")).as("c_name"),
-        (key * 1.5).as("c_acctbal"), lit(1L).as("seq"), lit("U").as("op"))
-      val u2 = snap.filter(key % 21 === 0).select(key,
-        concat(lit("upd2_"), key.cast("string")).as("c_name"),
-        (key * 2.5).as("c_acctbal"), lit(2L).as("seq"), lit("U").as("op"))
-      val del = snap.filter(key % 13 === 0).select(key,
-        lit(null).cast("string").as("c_name"),
-        lit(null).cast("double").as("c_acctbal"),
-        lit(3L).as("seq"), lit("D").as("op"))
-      val ins = (1 to 5).map(i => (9000000L + i, s"new_$i", i * 0.5))
-        .toDF("c_custkey", "c_name", "c_acctbal")
-        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      val (snap, u1, u2, del, ins) = cdcParts(s, dir)
       Cdc.applyChangelog(snap,
         u1.unionByName(u2).unionByName(del).unionByName(ins), Seq("c_custkey"))
+    },
+    // §2 row 131 — the STREAMING materialized table: the same changelog
+    // arrives as THREE out-of-order micro-batches (the seq-2 re-updates
+    // land AFTER the seq-3 deletes — the tombstones must reject them),
+    // folded by materializedSink into the versioned snapshot; the live
+    // readCurrent must equal the one-shot apply, so the SAME oracle
+    "q_cdc_stream" -> { (s, dir) =>
+      val (snap, u1, u2, del, ins) = cdcParts(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-cdcmat-gate").toString
+      val sink = Cdc.materializedSink(out, Seq("c_custkey"))
+      val seed = snap.withColumn("seq", lit(0L)).withColumn("op", lit("I"))
+      sink(seed, 0)
+      sink(u1.unionByName(del), 1)
+      sink(u2.unionByName(ins), 2)
+      Cdc.readCurrent(s, out)
     }
   )
+
+  /** The shared formula-built CDC fixture: snapshot + changelog parts
+    * (seq-1 updates at keys %7, seq-2 re-updates at %21, seq-3 deletes
+    * at %13, seq-1 inserts at 9000001..5). */
+  private def cdcParts(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val snap = cust(s, dir).select("c_custkey", "c_name", "c_acctbal")
+    val key = col("c_custkey")
+    val u1 = snap.filter(key % 7 === 0).select(key,
+      concat(lit("upd_"), key.cast("string")).as("c_name"),
+      (key * 1.5).as("c_acctbal"), lit(1L).as("seq"), lit("U").as("op"))
+    val u2 = snap.filter(key % 21 === 0).select(key,
+      concat(lit("upd2_"), key.cast("string")).as("c_name"),
+      (key * 2.5).as("c_acctbal"), lit(2L).as("seq"), lit("U").as("op"))
+    val del = snap.filter(key % 13 === 0).select(key,
+      lit(null).cast("string").as("c_name"),
+      lit(null).cast("double").as("c_acctbal"),
+      lit(3L).as("seq"), lit("D").as("op"))
+    val ins = (1 to 5).map(i => (9000000L + i, s"new_$i", i * 0.5))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+    (snap, u1, u2, del, ins)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_k_anonymity" ->
@@ -66,6 +89,19 @@ object PrivacyGates {
         |       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 AS diverse
         |FROM customer GROUP BY 1, 2""".stripMargin,
     "q_cdc_apply" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 21 = 0 THEN 'upd2_' || c_custkey
+        |            WHEN c_custkey % 7 = 0 THEN 'upd_' || c_custkey
+        |            ELSE c_name END AS c_name,
+        |       CASE WHEN c_custkey % 21 = 0 THEN c_custkey * 2.5
+        |            WHEN c_custkey % 7 = 0 THEN c_custkey * 1.5
+        |            ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_custkey % 13 <> 0
+        |UNION ALL
+        |SELECT 9000000 + i, 'new_' || i, i * 0.5 FROM range(1, 6) t(i)""".stripMargin,
+    // identical expectation: the stream of out-of-order batches must
+    // land exactly where the one-shot apply does
+    "q_cdc_stream" ->
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 21 = 0 THEN 'upd2_' || c_custkey
         |            WHEN c_custkey % 7 = 0 THEN 'upd_' || c_custkey

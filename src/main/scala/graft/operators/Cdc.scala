@@ -66,4 +66,119 @@ object Cdc {
       .filter(col("__rn") === 1 && col("__op") =!= Delete)
       .select(payload.map(col): _*)
   }
+
+  // ------------------------------------------------- streaming material
+
+  /** State-table apply: BOTH sides carry (seqCol, opCol); winners kept
+    * INCLUDING delete tombstones — a tombstone must survive so a
+    * stale, late upsert (lower seq, later batch) cannot resurrect the
+    * key. Same union + per-key window shape as [[applyChangelog]]. */
+  private[operators] def applyState(
+    state: DataFrame,
+    changelog: DataFrame,
+    keyCols: Seq[String],
+    seqCol: String,
+    opCol: String
+  ): DataFrame = {
+    val cols = state.columns.toSeq
+    val chg = changelog.select(cols.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    state.unionByName(chg)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  private def fs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def currentVersion(
+    spark: org.apache.spark.sql.SparkSession, tableDir: String): Option[Long] = {
+    val f = fs(spark, tableDir)
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/_CURRENT")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+          in, java.nio.charset.StandardCharsets.UTF_8))
+        Some(r.readLine().trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /**
+   * A continuously-maintained materialized table: wire as
+   * `changelogStream.writeStream.foreachBatch(Cdc.materializedSink(dir,
+   * keys)).start()`. Each micro-batch folds into a VERSIONED snapshot
+   * under `tableDir` (`v<N>/` parquet + `_CURRENT` pointer, updated by
+   * atomic rename — readers never see a half-written version; the
+   * previous `keepVersions` stay on disk for in-flight readers).
+   *
+   * The stored state keeps (seqCol, opCol) per key INCLUDING delete
+   * tombstones, so late cross-batch data is ordered correctly: a batch-N
+   * upsert with a LOWER sequence than the stored state (or than a
+   * tombstone) loses, exactly as if all batches had been applied at
+   * once — StreamingSpec pins stream ≡ one-shot batch equivalence. A
+   * retried micro-batch re-applies the same changelog over the already-
+   * applied state, which is value-idempotent (same winners by the same
+   * keys/seqs) — the foreachBatch contract.
+   *
+   * Scale shape per batch: one snapshot scan + the batch through ONE
+   * key shuffle and window (no join nodes); the write is snapshot-sized
+   * — the standard compaction cost any materialized table pays. Read
+   * the live table with [[readCurrent]].
+   */
+  def materializedSink(
+    tableDir: String,
+    keyCols: Seq[String],
+    seqCol: String = "seq",
+    opCol: String = "op",
+    keepVersions: Int = 2
+  ): (DataFrame, Long) => Unit = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    (batch: DataFrame, _: Long) => {
+      val spark = batch.sparkSession
+      val f = fs(spark, tableDir)
+      val cur = currentVersion(spark, tableDir)
+      val state = cur match {
+        case Some(v) => spark.read.parquet(s"$tableDir/v$v")
+        case None => batch.limit(0)
+      }
+      val next = cur.getOrElse(0L) + 1
+      applyState(state, batch, keyCols, seqCol, opCol)
+        .write.mode("overwrite").parquet(s"$tableDir/v$next")
+      val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/_CURRENT.tmp")
+      val out = f.create(tmp, true)
+      try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val ptr = new org.apache.hadoop.fs.Path(s"$tableDir/_CURRENT")
+      if (f.exists(ptr)) f.delete(ptr, false)
+      f.rename(tmp, ptr)
+      // retire superseded versions beyond the reader grace window
+      val floor = next - keepVersions
+      var v = floor
+      while (v >= 1 && f.exists(new org.apache.hadoop.fs.Path(s"$tableDir/v$v"))) {
+        f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v$v"), true)
+        v -= 1
+      }
+    }
+  }
+
+  /** The live materialized table: current version, tombstones hidden,
+    * bookkeeping columns dropped. */
+  def readCurrent(
+    spark: org.apache.spark.sql.SparkSession,
+    tableDir: String,
+    seqCol: String = "seq",
+    opCol: String = "op"
+  ): DataFrame = {
+    val v = currentVersion(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no _CURRENT pointer under $tableDir"))
+    spark.read.parquet(s"$tableDir/v$v")
+      .filter(col(opCol) =!= Delete)
+      .drop(seqCol, opCol)
+  }
 }

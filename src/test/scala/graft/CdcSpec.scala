@@ -57,6 +57,61 @@ class CdcSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("unknown changelog op")))
   }
 
+  test("materializedSink: stream of batches equals one-shot apply; tombstones reject stale") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcmat").toString
+    val sink = Cdc.materializedSink(dir, Seq("id"))
+    def chg(rows: Seq[(Long, String, Double, Long, String)]) =
+      rows.toDF("id", "name", "bal", "seq", "op")
+    val b1 = chg(Seq((1L, "a", 1.0, 10L, "I"), (2L, "b", 2.0, 10L, "I")))
+    val b2 = chg(Seq((1L, null, 0.0, 20L, "D"), (3L, "c", 3.0, 5L, "I")))
+    // key 1's upsert at seq 15 arrives AFTER its seq-20 delete: the
+    // tombstone must reject it — the key stays deleted
+    val b3 = chg(Seq((1L, "zombie", 9.0, 15L, "U"), (2L, "b2", 2.5, 30L, "U")))
+    sink(b1, 0); sink(b2, 1); sink(b3, 2)
+    val got = Cdc.readCurrent(spark, dir)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((2L, "b2", 2.5), (3L, "c", 3.0)))
+    // one-shot batch equivalence over the concatenated changelog
+    val empty = b1.limit(0).drop("seq", "op")
+    val oneShot = Cdc.applyChangelog(
+        empty, b1.unionByName(b2).unionByName(b3), Seq("id"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(oneShot === got)
+    // version retirement: with keepVersions=2 after 3 batches, v1 is
+    // gone, v2 and v3 remain, the pointer reads v3
+    assert(!new java.io.File(s"$dir/v1").exists())
+    assert(new java.io.File(s"$dir/v2").exists() &&
+      new java.io.File(s"$dir/v3").exists())
+    // a RETRIED batch is value-idempotent (version advances, values don't)
+    sink(b3, 2)
+    val retried = Cdc.readCurrent(spark, dir)
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(retried === got)
+  }
+
+  test("materializedSink wires as a real foreachBatch stream sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcstream").toString
+    val mem = MemoryStream[(Long, String, Double, Long, String)]
+    val sink = Cdc.materializedSink(dir, Seq("id"))
+    val q = mem.toDF().toDF("id", "name", "bal", "seq", "op")
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long) => sink(b, id))
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData((1L, "x", 1.0, 1L, "I"), (2L, "y", 2.0, 1L, "I"))
+      q.processAllAvailable()
+      mem.addData((1L, null.asInstanceOf[String], 0.0, 2L, "D"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = Cdc.readCurrent(spark, dir)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((2L, "y", 2.0)))
+  }
+
   test("empty changelog returns the snapshot; seq/op collision guarded") {
     val empty = Seq.empty[(Long, String, Double, Long, String)]
       .toDF("id", "name", "bal", "seq", "op")
