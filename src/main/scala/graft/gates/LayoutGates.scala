@@ -54,7 +54,11 @@ object LayoutGates {
       s.read.parquet(s"$dir/documents.parquet")
         .repartitionByRange(8, col("doc_id"))
         .write.mode("overwrite").parquet(out)
-      val index = SkipIndex.build(s, out, Seq("doc_id")).cache()
+      // the 8-row index is metadata: localize it (no cached blocks to
+      // leak — the gate is reused 7× across asserts and probes)
+      val built = SkipIndex.build(s, out, Seq("doc_id"))
+      val index = s.createDataFrame(
+        java.util.Arrays.asList(built.collect(): _*), built.schema)
       // the clustered key must actually prune: one file per point probe
       assert(SkipIndex.prunedFiles(index, "doc_id", 7L).size == 1,
         "range-clustered point probe did not prune to one file")

@@ -39,11 +39,20 @@ object CoOccur {
             least(element_at(words, i + 1), element_at(words, j + 1)).as("w1"),
             greatest(element_at(words, i + 1), element_at(words, j + 1)).as("w2"))))))
 
+  /** (doc rows) → one materialized `__w` token-array column. The §4
+    * doctrine: [[pairsOf]]'s lambdas index `__w` per element, so the
+    * regex+split normalization MUST be a real projection column — left
+    * inline it re-evaluates per element access, O(words²) per doc (the
+    * Dedup.wordTable precedent; measured 185 s → sub-second on the
+    * sf0.1 PMI cell). Multi-referenced ⇒ CollapseProject keeps it. */
+  private def wordCol(df: DataFrame, textCol: String): DataFrame =
+    df.select(Hashing.normalizedWords(col(textCol)).as("__w"))
+
   /** All (w1, w2, n_pair) co-occurrence counts (unfiltered). */
   private def pairCounts(df: DataFrame, textCol: String, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
-    val words = Hashing.normalizedWords(col(textCol))
-    df.select(explode(pairsOf(words, window)).as("__p"))
+    wordCol(df, textCol)
+      .select(explode(pairsOf(col("__w"), window)).as("__p"))
       .select(col("__p.w1"), col("__p.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
   }
@@ -72,10 +81,9 @@ object CoOccur {
     minCount: Long = 1L
   ): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
-    val words = Hashing.normalizedWords(col(textCol))
     val all = pairCounts(df, textCol, window)
     val pairs = all.filter(col("n_pair") >= minCount)
-    val uni = df.select(explode(words).as("w"))
+    val uni = wordCol(df, textCol).select(explode(col("__w")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     // P counts ALL pairs (the probability space), not just minCount
     // survivors; P and T are single scalars — localized eagerly (two

@@ -133,9 +133,20 @@ object SetSim {
 
   /**
    * Text arm: exact near-duplicate pairs over k-word shingle sets —
-   * the same shingling as the MinHash chain ([[Dedup.shingles]]), so a
-   * pipeline can run LSH at crawl scale and this exact join on the
-   * suspicious partition, with identical similarity semantics.
+   * the same shingling as the MinHash chain, evaluated over the 60-bit
+   * HASHED shingles ([[Dedup.hashedShingleTable]], the
+   * jaccardVerifyHashed precedent): Jaccard over distinct hashed
+   * shingles equals Jaccard over distinct shingle strings up to a
+   * ~2⁻⁶⁰-per-pair collision — and the hashed table's generator child
+   * is the cheap native ShingleHashExpr, which matters because
+   * Catalyst's InferFiltersFromGenerate INLINES the generator child
+   * into a pushed-down `size(..) > 0` filter evaluated per input row:
+   * with the string-shingle HOF spelling that filter re-derives
+   * normalize+split per lambda element — O(words·shingles) regex per
+   * document, measured 11 s on a 440-doc fixture; the hashed spelling
+   * is O(words) per evaluation and sub-second. A pipeline can run LSH
+   * at crawl scale and this exact join on the suspicious partition
+   * with identical similarity semantics.
    */
   def setSimilarityPairs(
     df: DataFrame,
@@ -146,6 +157,8 @@ object SetSim {
     maxTokenBucket: Option[Int] = DefaultMaxTokenBucket
   ): DataFrame =
     setSimilarityJoin(
-      df.select(col(idCol), Dedup.shingles(col(textCol), k).as("__shingles")),
+      Dedup.hashedShingleTable(df, textCol, idCol, k)
+        .withColumnRenamed("doc_id", idCol)
+        .withColumnRenamed("hs", "__shingles"),
       "__shingles", idCol, threshold, maxTokenBucket)
 }
