@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Cdc, Privacy}
+import graft.operators.{Cdc, Checks, Privacy}
 
 /**
  * Correctness gates for the governance operators (SURVEY.md §2 rows
@@ -27,6 +27,24 @@ object PrivacyGates {
       Privacy.lDiversity(
         cust(s, dir).withColumn("bal_band", floor(col("c_acctbal") / 1000)),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+    },
+    // §2 row 132 — robust median/MAD outliers per segment: planted
+    // 1e8-scale extremes must flag, the uniform bulk must not; the
+    // oracle re-derives medians, MADs, and every modified z-score
+    "q_robust_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val planted = segs.zipWithIndex
+        .map { case (g, i) => (9000001L + i, g, 1.0e8 + i) }
+        .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      val base = cust(s, dir).select("c_custkey", "c_mktsegment", "c_acctbal")
+        .unionByName(planted)
+      Checks.robustOutliers(base, "c_acctbal", byCol = Some("c_mktsegment"))
+        .filter(col("is_outlier"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("median"), 6).as("median"),
+          round(col("mad"), 6).as("mad"),
+          round(col("robust_z"), 6).as("robust_z"))
     },
     // §2 row 121 — CDC changelog apply: updates (7), re-updates (21),
     // deletes (13), inserts (9000001..5), all formula-derived so the
@@ -77,6 +95,25 @@ object PrivacyGates {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_robust_outliers" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 9000001 + i, seg, 1e8 + i FROM (VALUES
+        |    (0, 'AUTOMOBILE'), (1, 'BUILDING'), (2, 'FURNITURE'),
+        |    (3, 'HOUSEHOLD'), (4, 'MACHINERY')) v(i, seg)),
+        |m AS (SELECT c_mktsegment, median(c_acctbal) AS med
+        |      FROM base GROUP BY 1),
+        |d AS (SELECT b.*, m.med FROM base b JOIN m USING (c_mktsegment)),
+        |a AS (SELECT c_mktsegment, median(abs(c_acctbal - med)) AS mad
+        |      FROM d GROUP BY 1),
+        |j AS (
+        |  SELECT d.c_custkey, d.c_mktsegment, d.med, a.mad,
+        |         0.6745 * (d.c_acctbal - d.med) / a.mad AS z
+        |  FROM d JOIN a USING (c_mktsegment))
+        |SELECT c_custkey, c_mktsegment, round(med, 6) AS median,
+        |       round(mad, 6) AS mad, round(z, 6) AS robust_z
+        |FROM j WHERE abs(z) > 3.5""".stripMargin,
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |       count(*) AS class_size,

@@ -174,4 +174,51 @@ object Checks {
     }
     df
   }
+
+  /**
+   * Robust (median/MAD) outlier annotation — the data-quality screen
+   * that mean/stddev z-scores can't be (one wild value drags the mean
+   * toward itself; the median and the median-absolute-deviation have a
+   * 50% breakdown point — Iglewicz & Hoaglin 1993, the standard
+   * modified z-score):
+   *
+   *   robust_z = 0.6745 · (x − median) / MAD,  outlier ⇔ |z| > k
+   *
+   * Returns the input plus (`median`, `mad`, `robust_z`, `is_outlier`)
+   * per row, optionally per `byCol` group. Degenerate groups (MAD 0 —
+   * over half the values identical) flag exactly the values ≠ median
+   * and leave `robust_z` NULL; NULL values are never outliers.
+   *
+   * Scale shape: MAD is definitionally two-pass (the deviation needs
+   * the median first) — two value shuffles, each an EXACT percentile
+   * aggregation, with the group-sized stats broadcast back both times.
+   * Exact per-group percentiles hold the group's values in the
+   * aggregation buffer; for groups past memory, screen with the KLL
+   * sketch quantiles ([[Sketches.quantileSketches]]) instead.
+   */
+  def robustOutliers(
+    df: DataFrame,
+    valueCol: String,
+    byCol: Option[String] = None,
+    k: Double = 3.5
+  ): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    Cols.requireAbsent(df, "median", "mad", "robust_z", "is_outlier")
+    val v = col(valueCol).cast("double")
+    val g = byCol.map(col).getOrElse(lit(0))
+    val med = df.groupBy(g.as("__g"))
+      .agg(percentile(v, lit(0.5)).as("median"))
+    val withMed = df.withColumn("__g", g).join(broadcast(med), "__g")
+    val mad = withMed.groupBy("__g")
+      .agg(percentile(abs(v - col("median")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "__g")
+      .withColumn("robust_z",
+        when(col("mad") > 0, lit(0.6745) * (v - col("median")) / col("mad")))
+      .withColumn("is_outlier", coalesce(
+        when(v.isNull, lit(false))
+          .when(col("mad") === 0, v =!= col("median"))
+          .otherwise(abs(col("robust_z")) > k),
+        lit(false)))
+      .drop("__g")
+  }
 }

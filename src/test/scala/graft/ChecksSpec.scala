@@ -98,4 +98,31 @@ class ChecksSpec extends SparkSpec {
       .as[(String, String, Option[Double], Double, Int)].collect().head
     assert(r3._3 === Some(1.0) && r3._5 === 1)
   }
+
+  test("robustOutliers: hand-computed modified z-scores per group") {
+    val df = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", Some(2.0)), (3L, "a", Some(3.0)),
+      (4L, "a", Some(4.0)), (5L, "a", Some(100.0)),
+      (6L, "b", Some(5.0)), (7L, "b", Some(5.0)), (8L, "b", Some(5.0)),
+      (9L, "b", Some(9.0)),
+      (10L, "a", None)).toDF("id", "g", "v")
+    val out = Checks.robustOutliers(df, "v", byCol = Some("g"))
+      .select("id", "median", "mad", "robust_z", "is_outlier")
+      .as[(Long, Double, Double, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // group a: med 3 (percentile over 5 non-null values: 1,2,3,4,100),
+    // deviations 2,1,0,1,97 -> mad 1; z(100) = 0.6745*97
+    assert(out(5L)._2 === 3.0 && out(5L)._3 === 1.0)
+    assert(math.abs(out(5L)._4.get - 0.6745 * 97.0) < 1e-9 && out(5L)._5)
+    assert(math.abs(out(1L)._4.get - -0.6745 * 2.0) < 1e-9 && !out(1L)._5)
+    // group b: mad 0 (median of 0,0,0,4) -> degenerate rule: != median
+    assert(out(9L)._3 === 0.0 && out(9L)._4.isEmpty && out(9L)._5)
+    assert(!out(6L)._5)
+    // NULL value: never an outlier, stats NULL-safe
+    assert(out(10L)._4.isEmpty && !out(10L)._5)
+    // global arm runs without a group column
+    val glob = Checks.robustOutliers(df.select("id", "v"), "v")
+    assert(glob.filter(col("is_outlier")).select("id").as[Long].collect().toSet
+      === Set(5L))
+  }
 }
