@@ -974,6 +974,12 @@ object LlmGates {
     "q_retention" -> { (s, dir) =>
       Events.retention(Events.readEventsParquet(s, s"$dir/events.parquet"))
     },
+    // §2 row 133 — recency-decayed engagement: exact binary 2^-k decay
+    // (no pow in either engine), sum-order noise absorbed at round 6
+    "q_decayed_score" -> { (s, dir) =>
+      Events.decayedScore(Events.readEventsParquet(s, s"$dir/events.parquet"))
+        .withColumn("decayed_sum", round(col("decayed_sum"), 6))
+    },
     // §2 row 128 — first-order event-transition matrix: deterministic
     // (ts, event_id) ordering, exact rational conditional probabilities
     "q_transitions" -> { (s, dir) =>
@@ -2086,6 +2092,18 @@ object LlmGates {
         |  FROM ev JOIN f ON ev.user_id = f.user_id)
         |SELECT cohort_period, period_offset, count(*) AS n_users
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "q_decayed_score" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) - 1 AS k
+        |  FROM events)
+        |SELECT user_id,
+        |       round(sum(CASE WHEN k <= 62
+        |                      THEN value / (1::BIGINT << k)
+        |                      ELSE 0 END), 6) AS decayed_sum,
+        |       count(*) AS n_events
+        |FROM r GROUP BY 1""".stripMargin,
     "q_transitions" ->
       """WITH o AS (
         |  SELECT event_type AS from_type,

@@ -498,6 +498,40 @@ object Events {
   }
 
   /**
+   * Recency-decayed engagement score per key: each event contributes
+   * `value · 2^(−k)` where k is its DISTANCE FROM THE LATEST event in
+   * the key's (ts, orderCol) order — half-life of one event. The
+   * classic recency-weighted activity feature, spelled with EXACT
+   * binary decay: `1 / (1L << k)` is an exact double for k ≤ 62 (and
+   * the contribution is exactly 0 beyond — under double ulp anyway),
+   * so there is NO libm `pow` in the plan and any engine re-derives
+   * the per-event factors bit-for-bit (the §4 portability doctrine;
+   * only the final sum order rounds).
+   *
+   * Scale shape: one key shuffle; the rank window and the sum ride the
+   * same partitioning (no second exchange); output is key-sized.
+   */
+  def decayedScore(
+    events: DataFrame,
+    keyCol: String = "user_id",
+    tsCol: String = "ts",
+    valueCol: String = "value",
+    orderCol: String = "event_id"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(orderCol).desc)
+    events
+      .select(col(keyCol), col(valueCol).cast("double").as("__v"),
+        (row_number().over(w) - 1).as("__k"))
+      .withColumn("__c",
+        when(col("__k") <= 62,
+          col("__v") / expr("shiftleft(CAST(1 AS BIGINT), __k)"))
+          .otherwise(lit(0.0)))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("decayed_sum"), count(lit(1)).as("n_events"))
+  }
+
+  /**
    * First-order event-transition matrix (the Markov-chain / user-flow
    * "Sankey" statistic): for every ordered consecutive pair of events
    * per key — ordered by (ts, orderCol), fully deterministic — the

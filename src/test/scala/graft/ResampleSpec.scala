@@ -91,6 +91,23 @@ class ResampleSpec extends SparkSpec {
     assert(got === Set(("a", "b"), ("b", "c")))
   }
 
+  test("decayedScore: exact binary decay from the latest event") {
+    val df = Seq(
+      (0L, ts(10), 1L, 8.0),  // k=2 -> 2.0
+      (1L, ts(20), 1L, 4.0),  // k=1 -> 2.0
+      (2L, ts(30), 1L, 6.0),  // k=0 -> 6.0
+      (3L, ts(5), 2L, 1.0)).toDF("event_id", "ts", "user_id", "value")
+    val out = Events.decayedScore(df)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((10.0, 3L)))
+    assert(out(2L) === ((1.0, 1L)))
+    // ties break by orderCol: same ts, higher event_id is "latest"
+    val tied = Seq((5L, ts(1), 3L, 2.0), (6L, ts(1), 3L, 4.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val t = Events.decayedScore(tied).as[(Long, Double, Long)].collect().head
+    assert(t._2 === 4.0 + 1.0) // id 6 at k=0, id 5 at k=1
+  }
+
   test("interval guard and empty input") {
     val df = Seq.empty[(Long, Timestamp, Long, Double)]
       .toDF("event_id", "ts", "user_id", "value")
