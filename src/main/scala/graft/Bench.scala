@@ -127,7 +127,8 @@ object Bench {
     "q_snapshot_drift",     // snapshot drift: schema diff (no job) + one agg pass per side (r12)
     "q_cdc_stream",         // streaming materialized table: 3 foreachBatch folds + versioned snapshot reads (r12)
     "q_robust_outliers",    // median/MAD outliers: two exact percentile aggs + broadcast stats joins (r12)
-    "q_decayed_score"       // recency decay: one key shuffle, rank window + sum on the same partitioning (r12)
+    "q_decayed_score",      // recency decay: one key shuffle, rank window + sum on the same partitioning (r12)
+    "q_bloom_semi_join"     // bloom-prefiltered semi join: scan-stage might_contain before the exchange (r12)
   )
 
   private def jsonStr(s: String): String =

@@ -159,6 +159,21 @@ object CorpusGates {
     "q_feature_hash" -> { (s, dir) =>
       FeatureHash.hashedTf(docs(s, dir), "text", "doc_id", dim = 64)
     },
+    // §2 row 135 — accent folding: NFD + strip \p{M} + NFC must agree
+    // with DuckDB's strip_accents on decomposable accents AND on the
+    // non-transliteration contract (ß/Ø/æ pass through unchanged)
+    "q_fold_accents" -> { (s, _) =>
+      import s.implicits._
+      val rows = Seq(
+        (1L, "café crème brûlée"),
+        (2L, "Müller straße"),
+        (3L, "naïve façade piñata"),
+        (4L, "Ångström Ørsted æon"),
+        (5L, "plain ascii stays"),
+        (6L, null.asInstanceOf[String]))
+      rows.toDF("id", "text")
+        .select(col("id"), TextAnalysis.foldAccents(col("text")).as("folded"))
+    },
     // §2 row 130 — snapshot drift report: a formula-derived "refresh"
     // (rows dropped, text nulled, n_chars retyped, source removed,
     // quality added) vs the original; the oracle re-derives schema rows
@@ -442,6 +457,14 @@ object CorpusGates {
          |FROM contrib c JOIN qt USING (word)
          |GROUP BY qt.query_id, c.doc_id""".stripMargin
     },
+    "q_fold_accents" ->
+      """SELECT id, strip_accents(text) AS folded FROM (VALUES
+        |  (1::BIGINT, 'café crème brûlée'),
+        |  (2::BIGINT, 'Müller straße'),
+        |  (3::BIGINT, 'naïve façade piñata'),
+        |  (4::BIGINT, 'Ångström Ørsted æon'),
+        |  (5::BIGINT, 'plain ascii stays'),
+        |  (6::BIGINT, NULL)) t(id, text)""".stripMargin,
     "q_snapshot_drift" ->
       """WITH newd AS (
         |  SELECT doc_id,

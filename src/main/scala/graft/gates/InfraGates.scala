@@ -190,6 +190,17 @@ object InfraGates {
       Graph.pageRank(edges, "src", "dst", iterations = PageRankIters)
         .select(col("node"), round(col("rank"), 6).as("rank"))
     },
+    // §2 row 134 — bloom-prefiltered semi join: ~1%-selective key set,
+    // results must be EXACTLY the plain semi join's (fp removed by the
+    // exact join, fn impossible); the prefilter plan shape is audited
+    // in PlanAuditSpec
+    "q_bloom_semi_join" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber")
+      val keys = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 0).select("o_orderkey")
+      graft.operators.Joins.bloomSemiJoin(li, keys, "l_orderkey", "o_orderkey")
+    },
     // §2 row 129 — rendezvous (HRW) sharding: every key's top-2 shard
     // scoreboard over a 32-slot grid re-derived by the oracle from the
     // same portable hash
@@ -410,6 +421,10 @@ object InfraGates {
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql(PageRankIters),
     "q_label_prop" -> labelPropSql(LabelPropIters),
+    "q_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)""".stripMargin,
     "q_rendezvous" ->
       """WITH s AS (SELECT i FROM range(0, 32) t(i)),
         |sc AS (

@@ -486,4 +486,43 @@ object Joins {
       .filter(col("__bin") === floorDivExact(greatest(col("__lks"), col("__rks")), binWidth))
       .select((lCols ++ rCols).map(col): _*)
   }
+
+  /**
+   * Bloom-prefiltered SEMI join: keep `left` rows whose `leftKey`
+   * appears in `right.rightKey` — exact results (the bloom's false
+   * positives are removed by the exact semi join that follows; false
+   * negatives don't exist), but non-matching left rows die IN THE SCAN
+   * STAGE, before the exchange. The explicit form of the runtime
+   * filtering Catalyst sometimes injects (InjectRuntimeFilter) — for
+   * when the selectivity is known and the planner's heuristics aren't
+   * taken: a 0.1%-selective semi join shuffles 1000× less left data
+   * behind a ~1 MiB broadcast bitmap.
+   *
+   * The filter is built in ONE distributed aggregation over the right
+   * keys (partials OR map-side; one numBits/8-byte row per task), and
+   * localized driver-side as a literal — the [[graft.operators
+   * .Contamination]] bloom-prefilter discipline generalized to any
+   * equi-semi-join. Keys hash through the portable md5_long60 of their
+   * string form. An EMPTY right side short-circuits to an empty result.
+   */
+  def bloomSemiJoin(
+    left: DataFrame,
+    right: DataFrame,
+    leftKey: String,
+    rightKey: String,
+    expectedItems: Long = graft.functions.BloomExprs.DefaultExpectedItems,
+    numBits: Long = graft.functions.BloomExprs.DefaultNumBits
+  ): DataFrame = {
+    val h = (c: Column) => graft.functions.Hashing.md5Long60(c.cast("string"))
+    val rightKeys = right.filter(col(rightKey).isNotNull)
+      .select(col(rightKey).as("__rk"))
+    val bytes = rightKeys
+      .agg(graft.functions.BloomExprs.bloomAgg(h(col("__rk")), expectedItems, numBits))
+      .head().getAs[Array[Byte]](0)
+    if (bytes == null) left.filter(lit(false)) // empty right: nothing matches
+    else
+      left
+        .filter(graft.functions.BloomExprs.mightContain(bytes, h(col(leftKey))))
+        .join(rightKeys, col(leftKey) === col("__rk"), "left_semi")
+  }
 }

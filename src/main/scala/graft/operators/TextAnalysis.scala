@@ -709,6 +709,22 @@ object TextAnalysis {
   def normalizeUnicode(c: Column, form: String = "NFC"): Column =
     graft.functions.UnicodeNormExpr(c, form)
 
+  /**
+   * Accent folding for match keys (entity resolution, URL slugs,
+   * blocklist lookups): NFD-decompose, strip every combining mark
+   * (`\p{M}` — the Unicode category, not a hand list), NFC-recompose —
+   * "café" → "cafe", "Müller" → "Muller". Deliberately NOT a
+   * transliteration: characters that are not base+mark decompositions
+   * (ß, æ, ø) pass through unchanged, the same contract as public
+   * `strip_accents` implementations, which is what keeps the DuckDB
+   * oracle exact. Pure scan projection (native norm expr + one regex),
+   * streaming-safe. NULL propagates.
+   */
+  def foldAccents(c: Column): Column =
+    graft.functions.UnicodeNormExpr(
+      regexp_replace(graft.functions.UnicodeNormExpr(c, "NFD"), "\\p{M}", ""),
+      "NFC")
+
   /** PII patterns chosen to mean the same thing in Java regex and RE2
     * (no backrefs, no lookaround) so engine and oracle agree: emails,
     * IPv4 literals, and phone-ish digit runs. */

@@ -490,4 +490,19 @@ class JoinsSpec extends SparkSpec {
         spark.range(3).toDF("global_idx"), Seq("global_idx"))
     }
   }
+
+  test("bloomSemiJoin equals the plain semi join, including nulls and misses") {
+    val rnd = new scala.util.Random(29)
+    val left = (0 until 500).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(10)))
+      .map { case (k, v) => (if (k == 0) null.asInstanceOf[java.lang.Long] else Long.box(k), v) }
+      .toDF("k", "v")
+    val right = (0 until 40).map(_ => Long.box(rnd.nextInt(300).toLong)).toDF("rk")
+    val got = Joins.bloomSemiJoin(left, right, "k", "rk")
+      .select("k", "v").as[(Option[Long], Int)].collect().sorted.toSeq
+    val want = left.join(right, col("k") === col("rk"), "left_semi")
+      .select("k", "v").as[(Option[Long], Int)].collect().sorted.toSeq
+    assert(got === want)
+    // empty right side: nothing matches (null bloom short-circuit)
+    assert(Joins.bloomSemiJoin(left, right.limit(0), "k", "rk").count() === 0L)
+  }
 }

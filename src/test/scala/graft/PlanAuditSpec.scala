@@ -488,6 +488,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Union"), plan.take(3000))
   }
 
+  test("bloomSemiJoin: might_contain filters in the scan stage, below the join") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber")
+    val keys = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 97 === 0).select("o_orderkey")
+    val plan = graft.operators.Joins.bloomSemiJoin(li, keys, "l_orderkey", "o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(3000))
+    // the prefilter must sit on the scan side, not above the join: the
+    // first (top-down) Join node appears AFTER the filter in the tree,
+    // so the text between the root and the filter holds no semi join
+    val filterIdx = plan.indexOf("might_contain")
+    assert(plan.take(filterIdx).contains("Join"), // join is above the filter
+      plan.take(3000))
+  }
+
   test("feature hashing: one shuffle, partial-aggregated, native hash in the scan") {
     val q = graft.operators.FeatureHash.hashedTf(docs, "text", "doc_id", 64)
     val plan = q.queryExecution.executedPlan.toString

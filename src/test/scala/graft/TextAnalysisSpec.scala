@@ -322,4 +322,29 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.withCharEntropy(df.withColumn("char_entropy", lit(1)), "text")
     }
   }
+
+  test("foldAccents strips decomposable marks, passes non-decomposables, idempotent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "café crème brûlée"),
+      (2L, "Müller straße"),
+      // NFD (decomposed) input folds identically to NFC input
+      (3L, "café"),
+      (4L, "Ångström Ørsted æon"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.foldAccents(col("text")).as("f"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("cafe creme brulee"))
+    assert(out(2L) === Some("Müller straße".replace("ü", "u")))
+    assert(out(3L) === Some("cafe"))
+    assert(out(4L) === Some("Angstrom Ørsted æon")) // Ø æ ß pass through
+    assert(out(5L) === None)
+    // idempotent: folding folded text is a no-op
+    val twice = df.select(
+      TextAnalysis.foldAccents(TextAnalysis.foldAccents(col("text"))).as("f"))
+      .as[Option[String]].collect().toSet
+    val once = df.select(TextAnalysis.foldAccents(col("text")).as("f"))
+      .as[Option[String]].collect().toSet
+    assert(twice === once)
+  }
 }
