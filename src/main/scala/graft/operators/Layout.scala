@@ -50,8 +50,13 @@ object Layout {
       if (mx == mn) lit(0L)
       else {
         val unit = (c.cast("double") - lit(mn)) / lit(mx - mn)
+        // clamp: with CALLER-provided bounds (a stable layout contract
+        // reused across drops), out-of-range values saturate at the
+        // edge levels instead of corrupting the interleave
         coalesce(
-          floor(unit * lit(maxLevel.toDouble) + lit(0.5)).cast("long"),
+          least(greatest(
+            floor(unit * lit(maxLevel.toDouble) + lit(0.5)).cast("long"),
+            lit(0L)), lit(maxLevel)),
           lit(0L))
       }
     }

@@ -74,6 +74,20 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("caller-provided bounds: out-of-range values clamp to edge levels") {
+    val df = Seq((-5L, 0L), (50L, 0L), (2L, 0L)).toDF("a", "k")
+    val out = df.select(col("a"),
+        graft.operators.Layout.zorderValueWith(
+          Seq((col("a"), (0.0, 3.0)), (col("k"), (0.0, 0.0))), bits = 2)
+          .as("z"))
+      .as[(Long, Long)].collect().toMap
+    // n=2 cols, a at even bit positions: level 0 -> z 0, level 3 -> z
+    // bits {0,2} = 5, in-range 2 -> level 2 -> z bit {2} = 4
+    assert(out(-5L) === 0L)
+    assert(out(50L) === 5L)
+    assert(out(2L) === 4L)
+  }
+
   test("bits*cols width guard") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
