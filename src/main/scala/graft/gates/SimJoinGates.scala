@@ -53,6 +53,52 @@ object SimJoinGates {
     keys.unionByName(sub1).unionByName(sub2)
   }
 
+  /** Cross-corpus fixture, prior side: even-id docs under 400 — the
+    * indexed corpus. */
+  private def simPrior(s: SparkSession, dir: String): DataFrame =
+    LlmGates.docs(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") < 400 && col("doc_id") % 2 === 0)
+
+  /** Cross-corpus fixture, batch side: odd-id docs (never indexed) ∪
+    * re-keyed near-copies of every 10th indexed doc (3-word tail →
+    * jaccard n/(n+3) against their originals). */
+  private def setsimIncrBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = LlmGates.docs(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") < 400)
+    d.filter(col("doc_id") % 2 === 1)
+      .unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(col("text"), lit(" zzz qqq www"))))
+  }
+
+  /** 24-char key fixture split the same way: even keys indexed; batch =
+    * odd keys ∪ 1-sub mutations of every 10th even key ∪ 2-sub
+    * mutations of every 20th. */
+  private def editPriorKeys(s: SparkSession, dir: String): DataFrame =
+    LlmGates.docs(s, dir)
+      .filter(col("doc_id") < 400 && col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        substring(graft.functions.Hashing.normalizeText(col("text")), 1, 24).as("s"))
+
+  private def editIncrBatch(s: SparkSession, dir: String): DataFrame = {
+    val keys = LlmGates.docs(s, dir)
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"),
+        substring(graft.functions.Hashing.normalizeText(col("text")), 1, 24).as("s"))
+    val even = keys.filter(col("doc_id") % 2 === 0)
+    val sub1 = even.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id") + 100000,
+        concat(lit("z"), col("s").substr(lit(2), length(col("s")))).as("s"))
+      .toDF("doc_id", "s")
+    val sub2 = even.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id") + 200000,
+        concat(lit("z"), substring(col("s"), 2, 3), lit("q"),
+          col("s").substr(lit(6), length(col("s")))).as("s"))
+      .toDF("doc_id", "s")
+    keys.filter(col("doc_id") % 2 === 1).unionByName(sub1).unionByName(sub2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2 row 113 — exact prefix-filtered Jaccard self-join over 3-word
     // shingle sets (the Dedup.shingles semantics, so LSH and this exact
@@ -67,6 +113,29 @@ object SimJoinGates {
     "q_editdist_pairs" -> { (s, dir) =>
       EditSim.editDistancePairs(editdistFixture(s, dir), "s", "doc_id",
         maxDist = 2)
+    },
+    // §2 row 136 — cross-corpus (R-S) exact Jaccard: a new batch vs the
+    // persisted prefix index of the prior corpus (unilateral prefix +
+    // position filters; the index is built in-plan here exactly as a
+    // parquet round-trip would persist it). Oracle: definitional
+    // brute-force cross-corpus shingle join.
+    "q_setsim_incr" -> { (s, dir) =>
+      SetSim.setSimilarityPairsAgainst(
+          setsimIncrBatch(s, dir),
+          SetSim.setSimShingleIndex(simPrior(s, dir), "text", "doc_id",
+            threshold = 0.5),
+          "text", "doc_id", threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    },
+    // §2 row 137 — cross-corpus (R-S) exact levenshtein: a new key batch
+    // vs the persisted deletion-neighborhood index of the prior corpus.
+    // Oracle: definitional all-pairs levenshtein across the two sides.
+    "q_editdist_incr" -> { (s, dir) =>
+      EditSim.editDistancePairsAgainst(
+        editIncrBatch(s, dir),
+        EditSim.editVariantIndex(editPriorKeys(s, dir), "s", "doc_id",
+          maxDist = 2),
+        "s", "doc_id", maxDist = 2)
     },
     // §2 row 122 — sorted-neighborhood blocking pass (window 5) over the
     // same normalized key prefixes: every pair within rank distance < 5
@@ -127,6 +196,58 @@ object SimJoinGates {
          |       levenshtein(a.s, b.s) AS edit_dist
          |FROM base a JOIN base b ON a.doc_id < b.doc_id
          |WHERE levenshtein(a.s, b.s) <= 2""".stripMargin,
+    "q_setsim_incr" ->
+      s"""WITH prior AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' zzz qqq www' FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id < 400),
+         |wp AS (SELECT doc_id, $NormSql AS norm,
+         |              string_split($NormSql, ' ') AS w FROM prior),
+         |shp AS (SELECT DISTINCT doc_id,
+         |          unnest(CASE WHEN len(w) < 3 THEN [norm]
+         |                 ELSE list_transform(range(0, len(w) - 2),
+         |                        j -> array_to_string(w[j+1:j+3], ' ')) END) AS tok
+         |        FROM wp),
+         |wb AS (SELECT doc_id, $NormSql AS norm,
+         |              string_split($NormSql, ' ') AS w FROM batch),
+         |shb AS (SELECT DISTINCT doc_id,
+         |          unnest(CASE WHEN len(w) < 3 THEN [norm]
+         |                 ELSE list_transform(range(0, len(w) - 2),
+         |                        j -> array_to_string(w[j+1:j+3], ' ')) END) AS tok
+         |        FROM wb),
+         |sp AS (SELECT doc_id, count(*) n FROM shp GROUP BY 1),
+         |sb AS (SELECT doc_id, count(*) n FROM shb GROUP BY 1),
+         |inter AS (
+         |  SELECT b.doc_id bid, p.doc_id iid, count(*) ov
+         |  FROM shb b JOIN shp p ON b.tok = p.tok
+         |  GROUP BY 1, 2)
+         |SELECT bid AS batch_id, iid AS index_id,
+         |       round(ov * 1.0 / (sb.n + sp.n - ov), 6) AS jaccard
+         |FROM inter
+         |JOIN sb ON sb.doc_id = bid
+         |JOIN sp ON sp.doc_id = iid
+         |WHERE ov * 1.0 / (sb.n + sp.n - ov) >= 0.5""".stripMargin,
+    "q_editdist_incr" ->
+      s"""WITH keys AS (
+         |  SELECT doc_id, substr($NormSql, 1, 24) AS s
+         |  FROM documents WHERE doc_id < 400),
+         |prior AS (SELECT doc_id, s FROM keys WHERE doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT doc_id, s FROM keys WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 100000, 'z' || substr(s, 2) FROM keys
+         |  WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, 'z' || substr(s, 2, 3) || 'q' || substr(s, 6)
+         |  FROM keys WHERE doc_id % 20 = 0)
+         |SELECT b.doc_id AS batch_id, p.doc_id AS index_id,
+         |       levenshtein(b.s, p.s) AS edit_dist
+         |FROM batch b JOIN prior p ON levenshtein(b.s, p.s) <= 2""".stripMargin,
     "q_blocking_pairs" ->
       s"""WITH keys AS (
          |  SELECT doc_id, substr($NormSql, 1, 24) AS s

@@ -176,18 +176,22 @@ object Bpe {
   ): (IndexedSeq[(String, String)], Seq[String]) = {
     require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
     require(maxWords >= 1, s"maxWords must be >= 1: $maxWords")
-    val counts = df
+    // fetch maxWords+1 rows so the truncation warning only fires when the
+    // distinct-pre-token count STRICTLY exceeds the cap (exactly maxWords
+    // distinct pre-tokens drops nothing and must not warn)
+    val countsAll = df
       .select(explode(
         regexp_extract_all(col(textCol), lit(Bpe.PreTokenPattern), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w").asc)
-      .limit(maxWords)
+      .limit(maxWords + 1)
       .collect()
-    if (counts.length == maxWords)
+    if (countsAll.length > maxWords)
       org.slf4j.LoggerFactory.getLogger("graft.Bpe").warn(
         s"Bpe.train: corpus has more than maxWords=$maxWords distinct " +
           "pre-tokens — training on the most frequent (rare-word pair mass " +
           "is negligible; raise maxWords to include more)")
+    val counts = countsAll.take(maxWords)
     var words: Array[(Array[String], Long)] = counts.map { r =>
       val w = mapWhitespace(r.getString(0))
       val syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))

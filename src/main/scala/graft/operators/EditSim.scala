@@ -118,4 +118,129 @@ object EditSim {
       .filter(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
+
+  // ------------------------------------------------- cross-corpus (R-S)
+
+  /** The loud-cap helper of [[Dedup]]'s incremental family, editsim-named. */
+  private def capBuckets(
+    buckets: DataFrame,
+    itemsCol: String,
+    cap: Option[Int],
+    what: String
+  ): DataFrame =
+    cap.fold(buckets) { c =>
+      require(c >= 2, s"maxVariantBucket must be >= 2 (a pair), got $c")
+      val oversized = size(col(itemsCol)) > c
+      buckets
+        .observe(
+          s"graft.$what.bucket_cap#${capObsId.incrementAndGet()}",
+          coalesce(sum(when(oversized, lit(1L))), lit(0L)).as("dropped_buckets"),
+          coalesce(sum(when(oversized, size(col(itemsCol)).cast("long"))), lit(0L))
+            .as("dropped_rows"))
+        .filter(!oversized)
+    }
+
+  /** The <= maxDist deletion neighborhood of every key, deduplicated per
+    * id, with the original string riding: (v, id, len, s). */
+  private def variantTable(
+    df: DataFrame,
+    strCol: String,
+    idCol: String,
+    maxDist: Int
+  ): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+    val lvl0 = base.select(col("id"), col("len"), col("s"), col("s").as("v"))
+    val lvl1 = base.select(col("id"), col("len"), col("s"),
+      explode(deleteOne(col("s"))).as("v"))
+    val levels =
+      if (maxDist == 1) lvl0.unionByName(lvl1)
+      else lvl0.unionByName(lvl1).unionByName(
+        lvl1.select(col("id"), col("len"), col("s"),
+          explode(deleteOne(col("v"))).as("v")))
+    levels.distinct().select("v", "id", "len", "s")
+  }
+
+  /**
+   * The persisted edit-distance index of a corpus: the <= maxDist
+   * deletion neighborhood of every key — `(v, id, len, s, d)` with the
+   * original string riding every variant row (strings here are short by
+   * the operator's contract, so riding costs less than the join-back it
+   * saves — the [[SetSim.setSimPrefixIndex]] convention). Write to
+   * parquet once; [[editDistancePairsAgainst]] finds every pair within
+   * maxDist between any future batch and the corpus. Valid for any
+   * probe maxDist <= the build maxDist (deeper deletions are a
+   * superset); [[editDistancePairsAgainst]] rejects a deeper probe
+   * loudly via the persisted `d` column.
+   */
+  def editVariantIndex(
+    df: DataFrame,
+    strCol: String,
+    idCol: String,
+    maxDist: Int = 1
+  ): DataFrame =
+    variantTable(df, strCol, idCol, maxDist).withColumn("d", lit(maxDist))
+
+  /**
+   * Exact levenshtein join between a new batch and a PERSISTED
+   * [[editVariantIndex]] — the cross-corpus (R-S) arm: a new drop of
+   * short keys (titles, canonical URLs, product codes) asks "which
+   * corpus keys is each new key within d edits of" without rescanning
+   * the corpus. Returns (batch_id, index_id, edit_dist), exact.
+   *
+   * Completeness is the symmetric-delete property ([[editDistancePairs]]
+   * scaladoc) — it needs <= d deletions on BOTH sides, so the batch
+   * generates its own neighborhood (bounded per-row work on the small
+   * side) and the index must have been built at >= the probe maxDist.
+   *
+   * Scale shape (the [[Dedup.nearDuplicatesAgainstIndex]] doctrine):
+   * index variants are semi-joined against the BROADCAST batch variant
+   * set — the index is never shuffled beyond matched rows — then each
+   * side groups and caps INDEPENDENTLY before the 1:1-per-variant
+   * bucket join (O(I + B) rows per bucket, never I×B). Both strings
+   * ride their variant rows, so verification needs no join back to
+   * either corpus. `broadcastBatch = false` drops the hints for a
+   * corpus-sized batch.
+   */
+  def editDistancePairsAgainst(
+    batch: DataFrame,
+    index: DataFrame,
+    strCol: String,
+    idCol: String,
+    maxDist: Int = 1,
+    maxVariantBucket: Option[Int] = DefaultMaxVariantBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    val guardedIndex = index.filter(
+      when(col("d") >= lit(maxDist), lit(true))
+        .otherwise(raise_error(concat(
+          lit("editDistancePairsAgainst: index built at d="), col("d").cast("string"),
+          lit(s" cannot serve maxDist=$maxDist > build depth")))))
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    val batchBuckets = variantTable(batch, strCol, idCol, maxDist)
+      .groupBy("v")
+      .agg(collect_set(struct(col("id"), col("len"), col("s"))).as("batch_items"))
+    val probe = batchBuckets.select("v")
+    val matchedIdx = guardedIndex.join(hinted(probe), Seq("v"), "left_semi")
+    val idxBuckets = capBuckets(
+      matchedIdx.groupBy("v")
+        .agg(collect_set(struct(col("id"), col("len"), col("s"))).as("idx_items")),
+      "idx_items", maxVariantBucket, "editsim_incr_idx")
+    capBuckets(
+      idxBuckets.join(hinted(batchBuckets), Seq("v")),
+      "batch_items", maxVariantBucket, "editsim_incr_batch")
+      .select(explode(col("idx_items")).as("i"), col("batch_items"))
+      .select(col("i"), explode(col("batch_items")).as("b"))
+      .filter(abs(col("i.len") - col("b.len")) <= maxDist)
+      .select(col("b.id").as("batch_id"), col("i.id").as("index_id"),
+        col("b.s").as("__bs"), col("i.s").as("__is"))
+      // per-pair rows carry identical strings — any survivor works
+      .dropDuplicates("batch_id", "index_id")
+      .withColumn("edit_dist", levenshtein(col("__bs"), col("__is"), maxDist))
+      .filter(col("edit_dist") >= 0)
+      .select(col("batch_id"), col("index_id"), col("edit_dist"))
+  }
 }

@@ -68,8 +68,10 @@ object Embeddings {
   ): DataFrame = {
     require(outDim > 0, s"outDim must be positive: $outDim")
     Cols.requireAbsent(df, outCol)
-    val head = df.select(size(col(vecCol)).as("d")).head(1)
-    require(head.nonEmpty, "cannot infer vector dim from an empty frame")
+    val head = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).head(1)
+    require(head.nonEmpty,
+      "cannot infer vector dim: frame has no non-null vectors")
     val inDim = head.head.getInt(0)
     require(inDim > 0, s"input vectors are empty (dim $inDim)")
     val s = 1.0 / math.sqrt(outDim.toDouble)

@@ -259,7 +259,13 @@ object Graph {
   private def localizedLabelPropagation(sym: DataFrame, iterations: Int): DataFrame = {
     val spark = sym.sparkSession
     val rows = sym.collect()
+    // integral ids order via longValue — exact for 64-bit ids (a double
+    // conversion loses precision above 2^53 and could diverge from the
+    // distributed arm's native ordering); fractional types via doubleValue
     val ord: Ordering[Any] = sym.schema("src").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
       case _: org.apache.spark.sql.types.NumericType =>
         Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
       case _ => Ordering.by((x: Any) => x.toString)

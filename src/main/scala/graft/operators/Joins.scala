@@ -513,6 +513,7 @@ object Joins {
     expectedItems: Long = graft.functions.BloomExprs.DefaultExpectedItems,
     numBits: Long = graft.functions.BloomExprs.DefaultNumBits
   ): DataFrame = {
+    Cols.requireAbsent(left, "__rk")
     val h = (c: Column) => graft.functions.Hashing.md5Long60(c.cast("string"))
     val rightKeys = right.filter(col(rightKey).isNotNull)
       .select(col(rightKey).as("__rk"))

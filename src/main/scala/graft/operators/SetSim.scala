@@ -31,6 +31,23 @@ import org.apache.spark.sql.functions._
  *    never generate candidates except for tiny sets.
  *  - The length filter `t·|a| <= |b| <= |a|/t` prunes candidates
  *    before verification (jaccard <= min/max of the sizes).
+ *  - The PPJoin POSITION filter (Xiao et al. WWW'08 §3.2) prunes what
+ *    the prefix filter admits: a matched prefix token at rank i of `a`
+ *    and rank j of `b` (ranks ascending-df, globally consistent) bounds
+ *    the overlap by `1 + min(|a|−i, |b|−j)` — the match itself plus
+ *    whatever remains after it on the SHORTER remaining side. Jaccard
+ *    >= t needs overlap >= t·(|a|+|b|)/(1+t), so a row whose bound
+ *    falls short cannot witness a qualifying pair. Soundness of the
+ *    per-row form (filter BEFORE pair-distinct): for a qualifying
+ *    pair, its rarest common token w1 sits in BOTH prefixes (if w1
+ *    were outside b's prefix, every common token would sit at b-rank
+ *    > |b| − ceil(t·|b|), capping overlap at ceil(t·|b|) − 1 < t·|b|
+ *    — not qualifying), and at w1's row the bound is exact-valid
+ *    (no rarer common token exists), so that row always survives.
+ *    This is what tames the degenerate fixed-vocabulary corpus where
+ *    prefix buckets alone admit ~df² candidates: both-late prefix
+ *    matches die in the join stage, before the distinct exchange and
+ *    verification ever see them.
  *  - Verification is exact `array_intersect` on the two deduplicated
  *    token arrays — per candidate pair, no corpus re-scan.
  *  - Shuffles: one map-side-combined token-frequency agg, one
@@ -91,14 +108,14 @@ object SetSim {
       .join(tokenDf, "__tok")
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <= col("__n") - ceil(col("__n") * threshold) + 1)
-      .select("__tok", "__id", "__n")
+      .select("__tok", "__id", "__n", "__pos")
 
     val capped = maxTokenBucket.fold(prefix) { c =>
       require(c >= 2, s"maxTokenBucket must be >= 2 (a pair), got $c")
       val oversized = size(col("__ids")) > c
       prefix
         .groupBy("__tok")
-        .agg(collect_list(struct(col("__id"), col("__n"))).as("__ids"))
+        .agg(collect_list(struct(col("__id"), col("__n"), col("__pos"))).as("__ids"))
         .observe(
           s"graft.setsim.bucket_cap#${capObsId.incrementAndGet()}",
           coalesce(sum(when(oversized, lit(1L))), lit(0L)).as("dropped_buckets"),
@@ -106,17 +123,29 @@ object SetSim {
             .as("dropped_rows"))
         .filter(!oversized)
         .select(col("__tok"), explode(col("__ids")).as("__e"))
-        .select(col("__tok"), col("__e.__id").as("__id"), col("__e.__n").as("__n"))
+        .select(col("__tok"), col("__e.__id").as("__id"), col("__e.__n").as("__n"),
+          col("__e.__pos").as("__pos"))
     }
 
-    // candidate pairs: prefix-token equi-join + the length filter;
-    // id_a < id_b halves the space and fixes the output orientation
-    val cands = capped.select(col("__tok"), col("__id").as("id_a"), col("__n").as("__na"))
-      .join(capped.select(col("__tok"), col("__id").as("id_b"), col("__n").as("__nb")),
+    // candidate pairs: prefix-token equi-join + length filter + the
+    // PPJoin position filter (see scaladoc for the per-row soundness
+    // argument — a qualifying pair's rarest-common-token row always
+    // passes). The 1e-9 slack keeps a float-rounded-up alpha from
+    // pruning an exactly-at-threshold integer bound.
+    // id_a < id_b halves the space and fixes the output orientation.
+    val alpha = (col("__na") + col("__nb")).cast("double") *
+      (threshold / (1.0 + threshold)) - lit(1e-9)
+    val posBound = lit(1) +
+      least(col("__na") - col("__pa"), col("__nb") - col("__pb"))
+    val cands = capped.select(col("__tok"), col("__id").as("id_a"),
+        col("__n").as("__na"), col("__pos").as("__pa"))
+      .join(capped.select(col("__tok"), col("__id").as("id_b"),
+        col("__n").as("__nb"), col("__pos").as("__pb")),
         Seq("__tok"))
       .filter(col("id_a") < col("id_b") &&
         col("__na") >= col("__nb") * threshold &&
-        col("__nb") >= col("__na") * threshold)
+        col("__nb") >= col("__na") * threshold &&
+        posBound.cast("double") >= alpha)
       .select("id_a", "id_b")
       .distinct()
 
@@ -161,4 +190,206 @@ object SetSim {
         .withColumnRenamed("doc_id", idCol)
         .withColumnRenamed("hs", "__shingles"),
       "__shingles", idCol, threshold, maxTokenBucket)
+
+  // ------------------------------------------------- cross-corpus (R-S)
+
+  /** The loud-cap helper of [[Dedup]]'s incremental family, setsim-named. */
+  private def capBuckets(
+    buckets: DataFrame,
+    itemsCol: String,
+    cap: Option[Int],
+    what: String
+  ): DataFrame =
+    cap.fold(buckets) { c =>
+      require(c >= 2, s"maxTokenBucket must be >= 2 (a pair), got $c")
+      val oversized = size(col(itemsCol)) > c
+      buckets
+        .observe(
+          s"graft.$what.bucket_cap#${capObsId.incrementAndGet()}",
+          coalesce(sum(when(oversized, lit(1L))), lit(0L)).as("dropped_buckets"),
+          coalesce(sum(when(oversized, size(col(itemsCol)).cast("long"))), lit(0L))
+            .as("dropped_rows"))
+        .filter(!oversized)
+    }
+
+  /**
+   * The persisted exact-Jaccard index of a corpus: one row per PREFIX
+   * token of each document — `(tok, id, n, pos, set)` with the full
+   * distinct token set riding the prefix rows (the [[Dedup
+   * .nearDuplicatesAgainstIndex]] signature-rides-the-band-rows
+   * convention: verification against the index needs NO join back to a
+   * corpus that may no longer be on hand, and the index derivation
+   * appears exactly once in any probe plan). Write to parquet once;
+   * [[setSimilarityJoinAgainst]] finds every qualifying pair between
+   * any future batch and the corpus.
+   *
+   * Size: ~`(1−t)·|set|` rows per document, each carrying the |set|
+   * array — a `(1−t)·|set|` multiplier over the raw set table. At
+   * t = 0.8 and 100-token shingle sets that is ~21× the set bytes;
+   * the index is the price of EXACT cross-corpus recall (the LSH
+   * index at 16 hashes is far smaller but probabilistic — row 79's
+   * trade, documented there).
+   *
+   * The index is valid for any probe threshold >= the build threshold
+   * (prefix length shrinks as t grows, so the persisted prefixes are a
+   * superset of what a stricter probe needs); probing BELOW the build
+   * threshold would lose pairs and [[setSimilarityJoinAgainst]] rejects
+   * it loudly via the persisted `t` column on every row.
+   */
+  def setSimPrefixIndex(
+    df: DataFrame,
+    setCol: String,
+    idCol: String,
+    threshold: Double
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sets = df.select(
+        col(idCol).as("__id"),
+        array_distinct(col(setCol)).as("__set"))
+      .filter(col("__set").isNotNull && size(col("__set")) > 0)
+    val tokenDf = sets
+      .select(explode(col("__set")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy("__id")
+      .orderBy(col("__df").asc, col("__tok").asc)
+    sets
+      .select(col("__id"), col("__set"), size(col("__set")).as("__n"),
+        explode(col("__set")).as("__tok"))
+      .join(tokenDf, "__tok")
+      .withColumn("__pos", row_number().over(byRarity))
+      .filter(col("__pos") <= col("__n") - ceil(col("__n") * threshold) + 1)
+      .select(col("__tok").as("tok"), col("__id").as("id"), col("__n").as("n"),
+        col("__pos").as("pos"), col("__set").as("set"), lit(threshold).as("t"))
+  }
+
+  /**
+   * Exact Jaccard join between a new batch and a PERSISTED
+   * [[setSimPrefixIndex]] — the cross-corpus (R-S) arm of the exact
+   * family, completing the row-79 incremental pattern the LSH chain
+   * already has: a daily drop asks "which corpus documents is each new
+   * document similar to" without rescanning or re-shuffling the corpus.
+   * Returns (batch_id, index_id, jaccard) for every pair with
+   * jaccard >= threshold — EXACT, no false negatives.
+   *
+   * The filter scheme is UNILATERAL: only the index side carries
+   * prefixes; the batch probes with ALL its tokens. Completeness needs
+   * only the indexed side's prefix (for a qualifying pair (a, b), if no
+   * common token sat in b's prefix, every common token would sit at
+   * b-rank > |b| − ceil(t·|b|), capping the overlap at ceil(t·|b|) − 1
+   * < t·|b| — not qualifying), so the batch needs NO document-frequency
+   * ordering at all — no dependence on the corpus vocabulary table, and
+   * a batch token the corpus has never seen simply matches nothing.
+   * The index-side POSITION bound (1 + n − pos >= t·(n + |batch set|)
+   * / (1 + t)) prunes per-row with the same rarest-common-token
+   * soundness argument as [[setSimilarityJoin]]'s two-sided filter.
+   *
+   * Scale shape (the [[Dedup.nearDuplicatesAgainstIndex]] doctrine):
+   * the index is semi-joined against the BROADCAST batch token set —
+   * matched (candidate-sized) rows only, the index is never shuffled
+   * beyond them — then each side is grouped and capped INDEPENDENTLY
+   * before the 1:1-per-token bucket join (O(I + B) rows into
+   * aggregation, never I×B). `broadcastBatch = false` drops the hints
+   * for a corpus-sized batch and lets AQE size the joins. Verification
+   * intersects the batch set (one broadcast join back to the small
+   * batch) with the set RIDING the matched index rows — the corpus
+   * text/sets are never touched.
+   */
+  def setSimilarityJoinAgainst(
+    batch: DataFrame,
+    index: DataFrame,
+    setCol: String,
+    idCol: String,
+    threshold: Double,
+    maxTokenBucket: Option[Int] = DefaultMaxTokenBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val bsets = batch.select(
+        col(idCol).as("batch_id"),
+        array_distinct(col(setCol)).as("__bset"))
+      .filter(col("__bset").isNotNull && size(col("__bset")) > 0)
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    // loud build-threshold guard: probing below the build threshold
+    // would silently lose pairs (shorter persisted prefixes than the
+    // probe needs) — fail the query instead, at plan-execution time
+    val guardedIndex = index.filter(
+      when(col("t") <= lit(threshold) + lit(1e-12), lit(true))
+        .otherwise(raise_error(concat(
+          lit("setSimilarityJoinAgainst: index built at t="), col("t").cast("string"),
+          lit(s" cannot serve threshold=$threshold < build threshold")))))
+    val batchBuckets = bsets
+      .select(col("batch_id"), size(col("__bset")).as("__bn"),
+        explode(col("__bset")).as("tok"))
+      .groupBy("tok")
+      .agg(collect_set(struct(col("batch_id"), col("__bn"))).as("batch_items"))
+    // the semi probe derives from the SAME aggregation, so the batch's
+    // one shuffle feeds both the probe and the bucket join
+    val probe = batchBuckets.select("tok")
+    val matchedIdx = guardedIndex.join(hinted(probe), Seq("tok"), "left_semi")
+    val idxBuckets = capBuckets(
+      matchedIdx.groupBy("tok")
+        .agg(collect_list(struct(col("id"), col("n"), col("pos"), col("set")))
+          .as("idx_items")),
+      "idx_items", maxTokenBucket, "setsim_incr_idx")
+    val capped = capBuckets(
+      idxBuckets.join(hinted(batchBuckets), Seq("tok")),
+      "batch_items", maxTokenBucket, "setsim_incr_batch")
+    val alpha = (col("i.n") + col("b.__bn")).cast("double") *
+      (threshold / (1.0 + threshold)) - lit(1e-9)
+    val pairs = capped
+      .select(explode(col("idx_items")).as("i"), col("batch_items"))
+      .select(col("i"), explode(col("batch_items")).as("b"))
+      .filter(
+        col("i.n") >= col("b.__bn") * threshold &&
+        col("b.__bn") >= col("i.n") * threshold &&
+        (lit(1) + col("i.n") - col("i.pos")).cast("double") >= alpha)
+      .select(col("b.batch_id").as("batch_id"), col("i.id").as("index_id"),
+        col("i.n").as("__in"), col("b.__bn").as("__bn"), col("i.set").as("__iset"))
+      // per-pair rows carry identical (n, bn, set) — any survivor works
+      .dropDuplicates("batch_id", "index_id")
+    pairs
+      .join(hinted(bsets), Seq("batch_id"))
+      .withColumn("__ov", size(array_intersect(col("__iset"), col("__bset"))))
+      .withColumn("jaccard", col("__ov").cast("double") /
+        (col("__in") + col("__bn") - col("__ov")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("index_id"), col("jaccard"))
+  }
+
+  /** Text arm of [[setSimPrefixIndex]]: the index over k-word hashed
+    * shingle sets ([[Dedup.hashedShingleTable]] — the same shingling as
+    * the LSH chain and [[setSimilarityPairs]], so every similarity
+    * family in this engine agrees on what "similar" means). */
+  def setSimShingleIndex(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    threshold: Double,
+    k: Int = 3
+  ): DataFrame =
+    setSimPrefixIndex(
+      Dedup.hashedShingleTable(df, textCol, idCol, k)
+        .withColumnRenamed("doc_id", idCol)
+        .withColumnRenamed("hs", "__shingles"),
+      "__shingles", idCol, threshold)
+
+  /** Text arm of [[setSimilarityJoinAgainst]]: a document batch vs a
+    * persisted [[setSimShingleIndex]]. */
+  def setSimilarityPairsAgainst(
+    batch: DataFrame,
+    index: DataFrame,
+    textCol: String,
+    idCol: String,
+    threshold: Double,
+    k: Int = 3,
+    maxTokenBucket: Option[Int] = DefaultMaxTokenBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame =
+    setSimilarityJoinAgainst(
+      Dedup.hashedShingleTable(batch, textCol, idCol, k)
+        .withColumnRenamed("doc_id", idCol)
+        .withColumnRenamed("hs", "__shingles"),
+      index, "__shingles", idCol, threshold, maxTokenBucket, broadcastBatch)
 }

@@ -242,7 +242,7 @@ object Sketches {
               .compact().toByteArray))
       }
     val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    for (k <- (la.keySet ++ lb.keySet).toSeq.sortBy(_.mkString(" "))) {
+    for (k <- (la.keySet ++ lb.keySet).toSeq.sortBy(_.mkString("\u0000"))) {
       val sa = sk(la, k)
       val sb = sk(lb, k)
       val u = SetOperation.builder().buildUnion()

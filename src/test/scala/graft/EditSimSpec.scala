@@ -65,6 +65,45 @@ class EditSimSpec extends SparkSpec {
     assert(out === Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1))
   }
 
+  test("against-index join equals brute force across two randomized corpora") {
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcd"
+    def randKey(): String =
+      (1 to (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(4))).mkString
+    val prior = (0L until 100L).map(i => (i, randKey()))
+    val batch = (1000L until 1060L).map(i => (i, randKey())) ++
+      prior.take(10).map { case (i, s) => (2000L + i, s) }
+    val priorDf = prior.toDF("id", "s")
+    val batchDf = batch.toDF("id", "s")
+    for (d <- Seq(1, 2); bcast <- Seq(true, false)) {
+      val idx = EditSim.editVariantIndex(priorDf, "s", "id", maxDist = d)
+      val got = EditSim.editDistancePairsAgainst(batchDf, idx, "s", "id",
+          maxDist = d, broadcastBatch = bcast)
+        .as[(Long, Long, Int)].collect()
+        .map { case (b, i, e) => (b, i) -> e }.toMap
+      val want = (for {
+        (ib, sb) <- batch; (ip, sp) <- prior
+        e = lev(sb, sp)
+        if e <= d
+      } yield (ib, ip) -> e).toMap
+      assert(got === want, s"maxDist $d bcast $bcast")
+    }
+  }
+
+  test("against-index probe deeper than the build depth fails loudly") {
+    val df = Seq((1L, "spark")).toDF("id", "s")
+    val idx = EditSim.editVariantIndex(df, "s", "id", maxDist = 1)
+    val ex = intercept[Exception] {
+      EditSim.editDistancePairsAgainst(df, idx, "s", "id", maxDist = 2).collect()
+    }
+    assert(ex.getMessage != null)
+    // shallower probe against a deeper index: complete (superset variants)
+    val idx2 = EditSim.editVariantIndex(df, "s", "id", maxDist = 2)
+    assert(EditSim.editDistancePairsAgainst(
+      Seq((9L, "spork")).toDF("id", "s"), idx2, "s", "id", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSeq === Seq((9L, 1L, 1)))
+  }
+
   test("variant bucket cap drops loudly, never silently") {
     GraftSession.registerBucketCapListener(spark)
     GraftSession.clearBucketCapDrops(spark)

@@ -88,6 +88,47 @@ class SetSimSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
   }
 
+  test("against-index join equals brute force across two randomized corpora") {
+    val rnd = new scala.util.Random(21)
+    val vocab = (0 until 40).map(i => s"t$i")
+    def randSet(): Set[String] =
+      (1 to (3 + rnd.nextInt(10))).map { _ =>
+        vocab(math.min(rnd.nextInt(40), rnd.nextInt(40)))
+      }.toSet
+    val prior = (0L until 90L).map(i => (i, randSet().toSeq))
+    val batch = (1000L until 1060L).map(i => (i, randSet().toSeq)) ++
+      prior.take(12).map { case (i, s) => (2000L + i, s) } // planted members
+    val priorDf = prior.toDF("id", "toks")
+    val batchDf = batch.toDF("id", "toks")
+    for (t <- Seq(0.4, 0.6, 0.9); bcast <- Seq(true, false)) {
+      val idx = SetSim.setSimPrefixIndex(priorDf, "toks", "id", t)
+      val got = SetSim.setSimilarityJoinAgainst(batchDf, idx, "toks", "id", t,
+          broadcastBatch = bcast)
+        .as[(Long, Long, Double)].collect()
+        .map { case (b, i, j) => (b, i) -> j }.toMap
+      val want = (for {
+        (ib, sb) <- batch; (ip, sp) <- prior
+        j = jaccard(sb.toSet, sp.toSet)
+        if j >= t
+      } yield (ib, ip) -> j).toMap
+      assert(got.keySet === want.keySet, s"threshold $t bcast $bcast")
+      got.foreach { case (k, j) =>
+        assert(math.abs(j - want(k)) < 1e-12, s"pair $k at $t") }
+    }
+  }
+
+  test("against-index probe below the build threshold fails loudly") {
+    val df = Seq((1L, Seq("a", "b", "c"))).toDF("id", "toks")
+    val idx = SetSim.setSimPrefixIndex(df, "toks", "id", 0.8)
+    val ex = intercept[Exception] {
+      SetSim.setSimilarityJoinAgainst(df, idx, "toks", "id", 0.5).collect()
+    }
+    assert(ex.getMessage != null)
+    // at or above the build threshold: fine (index prefixes are a superset)
+    assert(SetSim.setSimilarityJoinAgainst(df, idx, "toks", "id", 0.9)
+      .count() === 1L)
+  }
+
   test("prefix-token bucket cap drops loudly, never silently") {
     GraftSession.registerBucketCapListener(spark)
     GraftSession.clearBucketCapDrops(spark)
