@@ -39,4 +39,13 @@ object Hashing {
     val n = normalizeText(c)
     when(n === "", array().cast("array<string>")).otherwise(split(n, " "))
   }
+
+  /** UAX#29 words of case-folded text ([[Uax29WordsExpr]]) — the
+    * multilingual arm of [[normalizedWords]]: CJK segments at
+    * ideograph/run granularity instead of collapsing to one "word"
+    * per whitespace gap. Lowercased for the same vocabulary-keyed
+    * determinism; punctuation-only segments already drop inside the
+    * expression, so no regex strip is needed (and none would be safe —
+    * `[^a-z0-9]` would erase every non-Latin script). */
+  def uax29NormalizedWords(c: Column): Column = Uax29WordsExpr(lower(c))
 }

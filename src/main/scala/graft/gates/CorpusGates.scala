@@ -174,6 +174,31 @@ object CorpusGates {
       rows.toDF("id", "text")
         .select(col("id"), TextAnalysis.foldAccents(col("text")).as("folded"))
     },
+    // §2 row 138 — UAX#29 word segmentation: planted multilingual
+    // fixtures with HAND-PINNED boundaries as a constant-table oracle
+    // (the q_multimodal precedent — the JDK segmenter has no DuckDB
+    // analogue, so the oracle pins the exact expected segmentation:
+    // Chinese/Japanese per ideograph, Katakana/Hangul/Thai runs, Latin
+    // keeping internal apostrophes and decimal points, punctuation
+    // segments dropped)
+    "q_uax29" -> { (s, _) =>
+      import s.implicits._
+      val rows = Seq(
+        (1L, "Hello, world! It's 3.5 miles."),
+        (2L, "我爱大规模数据处理引擎"),
+        (3L, "日本語のテキストです"),
+        (4L, "スパークとカタカナ"),
+        (5L, "한국어 텍스트 처리"),
+        (6L, "สวัสดีครับ ยินดีต้อนรับ"),
+        (7L, "naïve café résumé"),
+        (8L, "C++ is fun; x2=4"),
+        (9L, "我爱Spark和DataFrame"),
+        (10L, ""))
+      rows.toDF("id", "text")
+        .select(col("id"),
+          TextAnalysis.uax29TokenCount(col("text")).as("n_tokens"),
+          concat_ws("|", TextAnalysis.uax29Words(col("text"))).as("words"))
+    },
     // §2 row 130 — snapshot drift report: a formula-derived "refresh"
     // (rows dropped, text nulled, n_chars retyped, source removed,
     // quality added) vs the original; the oracle re-derives schema rows
@@ -465,6 +490,18 @@ object CorpusGates {
         |  (4::BIGINT, 'Ångström Ørsted æon'),
         |  (5::BIGINT, 'plain ascii stays'),
         |  (6::BIGINT, NULL)) t(id, text)""".stripMargin,
+    "q_uax29" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 5, 'Hello|world|It''s|3.5|miles'),
+        |  (2::BIGINT, 11, '我|爱|大|规|模|数|据|处|理|引|擎'),
+        |  (3::BIGINT, 7, '日|本|語|の|テキスト|で|す'),
+        |  (4::BIGINT, 3, 'スパーク|と|カタカナ'),
+        |  (5::BIGINT, 3, '한국어|텍스트|처리'),
+        |  (6::BIGINT, 2, 'สวัสดีครับ|ยินดีต้อนรับ'),
+        |  (7::BIGINT, 3, 'naïve|café|résumé'),
+        |  (8::BIGINT, 5, 'C|is|fun|x2|4'),
+        |  (9::BIGINT, 5, '我|爱|Spark|和|DataFrame'),
+        |  (10::BIGINT, 0, '')) t(id, n_tokens, words)""".stripMargin,
     "q_snapshot_drift" ->
       """WITH newd AS (
         |  SELECT doc_id,

@@ -199,6 +199,34 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.ShingleHashExpr(col("w"), col("norm"), k).as("hs"))
 
+  /** [[wordTable]]'s multilingual arm: (doc_id, norm, w) where `w` is
+    * the UAX#29 word array of the case-folded text
+    * ([[graft.functions.Hashing.uax29NormalizedWords]]) and `norm` is
+    * those words space-joined (the whole-text fallback shingle for
+    * < k-word documents, as in the whitespace arm). An unspaced Chinese
+    * document shingles at ideograph granularity instead of collapsing
+    * to one whole-line shingle — without this, MinHash/LSH and the
+    * exact set-sim join see every unpunctuated CJK line as a single
+    * token and near-dup recall on multilingual corpora silently dies. */
+  def uax29WordTable(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        graft.functions.Hashing.uax29NormalizedWords(col(textCol)).as("w"))
+      .withColumn("norm", concat_ws(" ", col("w")))
+
+  /** [[shingleTable]] under UAX#29 segmentation — composes with every
+    * shingle consumer (MinHash, SetSim, contamination) unchanged. */
+  def uax29ShingleTable(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    uax29WordTable(df, textCol, idCol)
+      .select(col("doc_id"), shinglesOf(col("norm"), col("w"), k).as("sh"))
+
+  /** [[hashedShingleTable]] under UAX#29 segmentation (same fused
+    * native hash; the hot-path entry for multilingual dedup chains). */
+  def uax29HashedShingleTable(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    uax29WordTable(df, textCol, idCol)
+      .select(col("doc_id"),
+        graft.functions.ShingleHashExpr(col("w"), col("norm"), k).as("hs"))
+
   /**
    * MinHash signature over an array of 60-bit base shingle hashes:
    * element i is min over shingles of (md5_60(shingle) XOR seed_i), with

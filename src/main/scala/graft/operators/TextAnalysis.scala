@@ -35,6 +35,36 @@ object TextAnalysis {
   def bpeishTokenCount(c: Column): Column =
     TextScanExpr(c).getField("bpeish_tokens")
 
+  /** UAX#29 default-rules word array of the raw text
+    * ([[graft.functions.Uax29WordsExpr]]) — the multilingual tokenizer
+    * arm: Chinese/Japanese segment per ideograph, Katakana/Hangul/Thai
+    * as runs, Latin words keep internal apostrophes and decimal points.
+    * Whitespace splitting remains every operator's DEFAULT (it is
+    * oracle-portable and right for space-delimited corpora); this arm
+    * exists because whitespace collapses unspaced scripts to one "word"
+    * per line, silently distorting shingles, quality signals, and token
+    * budgets. */
+  def uax29Words(c: Column): Column = graft.functions.Uax29WordsExpr(c)
+
+  /** UAX#29 token count (0 for blank text, NULL for NULL text) — the
+    * [[wsTokenCount]] contract under the multilingual segmenter: a
+    * 40-ideograph unspaced Chinese line counts 40 tokens, not 1. */
+  def uax29TokenCount(c: Column): Column = size(uax29Words(c))
+
+  /** Tokenizer selector accepted by the word-keyed operators. */
+  val WhitespaceTokenizer = "whitespace"
+  val Uax29Tokenizer = "uax29"
+
+  /** Normalized word array under the named tokenizer (plan-time error
+    * for an unknown name — the [[graft.operators.Checks]] fail-loud
+    * convention). */
+  def normalizedWordsFor(c: Column, tokenizer: String): Column = tokenizer match {
+    case WhitespaceTokenizer => Hashing.normalizedWords(c)
+    case Uax29Tokenizer => Hashing.uax29NormalizedWords(c)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other' (expected $WhitespaceTokenizer or $Uax29Tokenizer)")
+  }
+
   /** [[alphaRatio]] over an already-computed [[TextScanExpr]] struct. */
   private def alphaRatioOf(ts: Column): Column =
     coalesce(
@@ -309,12 +339,13 @@ object TextAnalysis {
     maxBulletRatio: Double = 0.9,
     maxEllipsisRatio: Double = 0.3,
     minAlphaWordRatio: Double = 0.8,
-    minStopHits: Int = 2
+    minStopHits: Int = 2,
+    tokenizer: String = WhitespaceTokenizer
   ): DataFrame = {
     val staged = df.select(
       col(idCol).as("doc_id"),
       col(textCol).as("text"),
-      gopherWords(col(textCol)).as("w"),
+      gopherWordsFor(col(textCol), tokenizer).as("w"),
       split(col(textCol), "\n").as("ln"))
     val s = gopherSignals(col("text"), col("w"), col("ln"))
     staged.select(
@@ -377,6 +408,18 @@ object TextAnalysis {
     when(trim(t) === "", array().cast("array<string>"))
       .otherwise(split(trim(t), "\\s+"))
 
+  /** Gopher word array under the named tokenizer — RAW case either way
+    * (the signals measure the text as written; [[uax29Words]] already
+    * drops punctuation-only segments, which for the symbol/alpha ratios
+    * is the UAX notion of "word" doing its job). */
+  private def gopherWordsFor(t: Column, tokenizer: String): Column =
+    tokenizer match {
+      case WhitespaceTokenizer => gopherWords(t)
+      case Uax29Tokenizer => uax29Words(t)
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (expected $WhitespaceTokenizer or $Uax29Tokenizer)")
+    }
+
   private final case class GopherSignals(
     nWords: Column, meanLen: Column, symbolRatio: Column, bulletRatio: Column,
     ellipsisRatio: Column, alphaWordRatio: Column, stopHits: Column)
@@ -423,9 +466,14 @@ object TextAnalysis {
    * each partition surrenders only its local top-k, never a full sort
    * of the vocabulary (PlanAuditSpec asserts it).
    */
-  def topWords(df: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
+  def topWords(
+    df: DataFrame,
+    textCol: String,
+    k: Int = 1000,
+    tokenizer: String = WhitespaceTokenizer
+  ): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    df.select(explode(Hashing.normalizedWords(col(textCol))).as("word"))
+    df.select(explode(normalizedWordsFor(col(textCol), tokenizer)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
