@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.gates.{BpeGates, CorpusGates, InfraGates, KernelGates, LayoutGates, LlmGates, PipelineGates, PrivacyGates, SimJoinGates, SourceGates, V2FGates, VectorGates}
+import graft.gates.{BpeGates, CorpusGates, ForgetGates, InfraGates, KernelGates, LayoutGates, LlmGates, PipelineGates, PrivacyGates, SimJoinGates, SourceGates, V2FGates, VectorGates}
 import graft.operators.Transformations
 
 /**
@@ -40,7 +40,8 @@ object SparkEntry {
     KernelGates.queries ++ SourceGates.queries ++ V2FGates.queries ++
       LlmGates.queries ++ InfraGates.queries ++ PipelineGates.queries ++
       VectorGates.queries ++ CorpusGates.queries ++ BpeGates.queries ++
-      SimJoinGates.queries ++ LayoutGates.queries ++ PrivacyGates.queries
+      SimJoinGates.queries ++ LayoutGates.queries ++ PrivacyGates.queries ++
+      ForgetGates.queries
 
   /**
    * DuckDB-runnable oracle SQL per queries key. Column names must match the
@@ -51,5 +52,6 @@ object SparkEntry {
     KernelGates.oracleSql ++ SourceGates.oracleSql ++ V2FGates.oracleSql ++
       LlmGates.oracleSql ++ InfraGates.oracleSql ++ PipelineGates.oracleSql ++
       VectorGates.oracleSql ++ CorpusGates.oracleSql ++ BpeGates.oracleSql ++
-      SimJoinGates.oracleSql ++ LayoutGates.oracleSql ++ PrivacyGates.oracleSql
+      SimJoinGates.oracleSql ++ LayoutGates.oracleSql ++ PrivacyGates.oracleSql ++
+      ForgetGates.oracleSql
 }

@@ -90,11 +90,11 @@ object Cdc {
       .drop("__rn")
   }
 
-  private def fs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+  private[operators] def fs(spark: org.apache.spark.sql.SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
 
-  private def currentVersion(
+  private[operators] def currentVersion(
     spark: org.apache.spark.sql.SparkSession, tableDir: String): Option[Long] = {
     val f = fs(spark, tableDir)
     val p = new org.apache.hadoop.fs.Path(s"$tableDir/_CURRENT")
@@ -150,20 +150,33 @@ object Cdc {
       val next = cur.getOrElse(0L) + 1
       applyState(state, batch, keyCols, seqCol, opCol)
         .write.mode("overwrite").parquet(s"$tableDir/v$next")
-      val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/_CURRENT.tmp")
-      val out = f.create(tmp, true)
-      try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val ptr = new org.apache.hadoop.fs.Path(s"$tableDir/_CURRENT")
-      if (f.exists(ptr)) f.delete(ptr, false)
-      f.rename(tmp, ptr)
-      // retire superseded versions beyond the reader grace window
-      val floor = next - keepVersions
-      var v = floor
-      while (v >= 1 && f.exists(new org.apache.hadoop.fs.Path(s"$tableDir/v$v"))) {
-        f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v$v"), true)
-        v -= 1
-      }
+      publishVersion(spark, tableDir, next, keepVersions)
+    }
+  }
+
+  /** Flip `_CURRENT` to `next` by atomic rename (readers never see a
+    * half-written pointer) and retire versions beyond the grace window.
+    * The `v$next` directory must already be fully written. Shared by
+    * [[materializedSink]] and [[Forget.rewriteVersioned]]. */
+  private[operators] def publishVersion(
+    spark: org.apache.spark.sql.SparkSession,
+    tableDir: String,
+    next: Long,
+    keepVersions: Int
+  ): Unit = {
+    val f = fs(spark, tableDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$tableDir/_CURRENT.tmp")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$tableDir/_CURRENT")
+    if (f.exists(ptr)) f.delete(ptr, false)
+    f.rename(tmp, ptr)
+    // retire superseded versions beyond the reader grace window
+    var v = next - keepVersions
+    while (v >= 1 && f.exists(new org.apache.hadoop.fs.Path(s"$tableDir/v$v"))) {
+      f.delete(new org.apache.hadoop.fs.Path(s"$tableDir/v$v"), true)
+      v -= 1
     }
   }
 

@@ -1226,6 +1226,20 @@ object Dedup {
     df.select(md5(Hashing.normalizeText(col(textCol))).as("fingerprint")).distinct()
 
   /**
+   * The COUNTED exact-dedup index: (fingerprint, n_docs) — how many
+   * corpus documents share each fingerprint. `.select("fingerprint")`
+   * is exactly [[exactFingerprintIndex]]; the count is what makes
+   * DELETION propagation possible ([[Forget.forgetFingerprints]]): a
+   * fingerprint set cannot tell "remove this doc's fingerprint" from
+   * "a kept duplicate still needs it". Same one-agg scale shape as the
+   * plain index (map-side combined groupBy instead of distinct), 8
+   * extra bytes per row.
+   */
+  def exactFingerprintIndexCounted(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(Hashing.normalizeText(col(textCol))).as("fingerprint"))
+      .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
+
+  /**
    * Batch rows whose normalized text does NOT already appear in `index`
    * (an [[exactFingerprintIndex]] frame), original columns intact.
    * Within-batch duplicates are deliberately untouched — compose with
