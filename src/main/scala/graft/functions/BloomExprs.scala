@@ -53,4 +53,17 @@ object BloomExprs {
       BloomFilterMightContain(Literal.create(bloomBytes, BinaryType),
         GraftSqlBridge.expression(value)))
   }
+
+  /** Per-ROW bloom probe: `might_contain(bloomCol, hashCol)` where the
+    * FILTER side is a column, not a constant — what Spark's own
+    * `BloomFilterMightContain` refuses (it requires a foldable filter).
+    * Built for probing a TABLE of filters, one per row — e.g. the
+    * [[graft.operators.SkipIndex]] per-file blooms, probed inside the
+    * plan so only surviving FILE NAMES are collected, never the bloom
+    * bytes. Deserializes the filter per row — right when each row's
+    * filter is probed once (a per-file index); keep the constant
+    * [[mightContain]] for probing one filter against many rows. */
+  def mightContainCol(bloomCol: Column, hashCol: Column): Column =
+    GraftSqlBridge.column(BloomProbeExpr(
+      GraftSqlBridge.expression(bloomCol), GraftSqlBridge.expression(hashCol)))
 }

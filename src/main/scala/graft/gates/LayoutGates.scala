@@ -29,14 +29,16 @@ object LayoutGates {
 
   private val ZBits = 8
 
-  /** The oracle's interleave arm for 2 columns at [[ZBits]] bits:
+  /** The oracle's interleave arm for 2 columns (`sp`, `ss`) at `bits`:
     * Σ_b ((sp // 2^b) % 2)·2^(2b) + ((ss // 2^b) % 2)·2^(2b+1). */
-  private val InterleaveSql: String =
-    (0 until ZBits).flatMap { b =>
+  private def interleaveSql(bits: Int): String =
+    (0 until bits).flatMap { b =>
       Seq(
         s"((sp // ${1L << b}) % 2) * ${1L << (2 * b)}",
         s"((ss // ${1L << b}) % 2) * ${1L << (2 * b + 1)}")
     }.mkString(" + ")
+
+  private val InterleaveSql: String = interleaveSql(ZBits)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2 row 115 — z-order values over (l_partkey, l_suppkey) at 8 bits
@@ -45,6 +47,22 @@ object LayoutGates {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       Layout.withZorderValue(li, Seq("l_partkey", "l_suppkey"), bits = ZBits)
         .select("l_orderkey", "l_linenumber", "z_value")
+    },
+    // §2 row 140 — RANK-scaled z-order values on a skewed fixture: a
+    // planted 10^9 outlier that would collapse the min-max arm's y
+    // dimension to one level. 97 rows with 8 levels put every exact
+    // quantile at integer rank 12k — both engines return exact data
+    // values as boundaries, no interpolation drift (the oracle
+    // re-derives levels as counts of boundaries strictly below)
+    "q_zorder_rank" -> { (s, dir) =>
+      val f = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 97)
+        .select(col("doc_id"),
+          col("doc_id").cast("double").as("x"),
+          when(col("doc_id") === 0, lit(1.0e9))
+            .otherwise(col("n_chars").cast("double")).as("y"))
+      Layout.withZorderValueRanked(f, Seq("x", "y"), bits = 3)
+        .select("doc_id", "z_value")
     },
     // §2 row 116 — skipping index over a range-clustered copy of
     // documents: point probes through the pruned read path (absent key
@@ -68,6 +86,39 @@ object LayoutGates {
         SkipIndex.readPruned(s, out, index, "doc_id", p)
           .select(lit(p).as("probe"), col("doc_id"), col("lang"), col("n_chars"))
       }.reduce(_.unionByName(_))
+    },
+    // §2 row 141 — incremental skip-index maintenance: base files are
+    // indexed once, a later drop appends files, SkipIndex.append
+    // indexes ONLY the new files — asserted in-gate to equal the full
+    // rebuild field-for-field (bloom bytes compared via base64), then
+    // probed through the pruned read path like q_skip_index
+    "q_skip_append" -> { (s, dir) =>
+      val out = Files.createTempDirectory("graft-skipappend-gate").toString
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.filter(col("doc_id") < 250)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(out)
+      val base = SkipIndex.build(s, out, Seq("doc_id"))
+      val baseLocal = s.createDataFrame(
+        java.util.Arrays.asList(base.collect(): _*), base.schema)
+      d.filter(col("doc_id") >= 250)
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("append").parquet(out)
+      val appended = SkipIndex.append(s, out, baseLocal, Seq("doc_id"))
+      def fields(ix: org.apache.spark.sql.DataFrame) = ix.select(
+          col("file"), col("n_rows"), col("doc_id_min"), col("doc_id_max"),
+          col("doc_id_nulls"), base64(col("doc_id_bloom")).as("b"))
+        .collect().map(_.toSeq).toSet
+      assert(fields(appended) == fields(SkipIndex.build(s, out, Seq("doc_id"))),
+        "append-built index must equal the full rebuild over the grown dir")
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(appended.collect(): _*), appended.schema)
+      assert(SkipIndex.append(s, out, local, Seq("doc_id")) eq local,
+        "append with no new files must return the existing index unchanged")
+      Seq(7L, 300L, 987654L).map { p =>
+        SkipIndex.readPruned(s, out, local, "doc_id", p)
+          .select(lit(p).as("probe"), col("doc_id"), col("lang"), col("n_chars"))
+      }.reduce(_.unionByName(_))
     }
   )
 
@@ -89,8 +140,28 @@ object LayoutGates {
          |SELECT l_orderkey, l_linenumber,
          |       CAST($InterleaveSql AS BIGINT) AS z_value
          |FROM s""".stripMargin,
+    "q_zorder_rank" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, doc_id::DOUBLE AS x,
+         |         CASE WHEN doc_id = 0 THEN 1000000000.0
+         |              ELSE n_chars::DOUBLE END AS y
+         |  FROM documents WHERE doc_id < 97),
+         |b AS (
+         |  SELECT quantile_cont(x, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bx,
+         |         quantile_cont(y, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS by
+         |  FROM f),
+         |lv AS (
+         |  SELECT doc_id,
+         |         len(list_filter(bx, t -> x > t))::BIGINT AS sp,
+         |         len(list_filter(by, t -> y > t))::BIGINT AS ss
+         |  FROM f, b)
+         |SELECT doc_id, CAST(${interleaveSql(3)} AS BIGINT) AS z_value
+         |FROM lv""".stripMargin,
     "q_skip_index" ->
       """SELECT doc_id AS probe, doc_id, lang, n_chars FROM documents
-        |WHERE doc_id IN (7, 37, 137, 444, 987654)""".stripMargin
+        |WHERE doc_id IN (7, 37, 137, 444, 987654)""".stripMargin,
+    "q_skip_append" ->
+      """SELECT doc_id AS probe, doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (7, 300, 987654)""".stripMargin
   )
 }

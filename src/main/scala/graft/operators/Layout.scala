@@ -115,4 +115,99 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  // ------------------------------------------------------- rank scaling
+
+  /**
+   * Per-column QUANTILE boundaries (2^bits − 1 cut points each) in ONE
+   * aggregation job — the rank-scaling prep. Exact percentiles by
+   * default (sorts per-column agg state; right up to a few hundred
+   * million rows and required by the DuckDB oracle); `approx = true`
+   * switches to the bounded `percentile_approx` sketch for corpus
+   * scale — same single-agg plan shape, no global sort either way.
+   * All-NULL columns get all-zero boundaries (every level 0, the
+   * constant-column convention).
+   */
+  def rankBounds(
+    df: DataFrame,
+    cols: Seq[String],
+    bits: Int,
+    approx: Boolean = false,
+    accuracy: Int = 10000
+  ): Seq[Array[Double]] = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1, 20]: $bits")
+    val levels = 1 << bits
+    val qs = (1 until levels).map(_.toDouble / levels)
+    val aggs = cols.map { c =>
+      val v = col(c).cast("double")
+      (if (approx)
+        transform(percentile_approx(v, typedlit(qs), lit(accuracy)),
+          x => x.cast("double"))
+      else percentile(v, typedlit(qs))).as(s"__qb_$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map { i =>
+      if (row.isNullAt(i)) Array.fill(levels - 1)(0.0)
+      else row.getSeq[Double](i).toArray
+    }
+  }
+
+  /**
+   * The RANK-SCALED z-value: each column's level is its quantile
+   * bucket (count of boundaries strictly below the value, by the
+   * native binary-search [[graft.functions.SortedBucketExpr]]) instead
+   * of its min-max position. This is the skew-proof arm: min-max
+   * scaling gives ONE extreme outlier an entire half of the level
+   * range — every normal value collapses into level 0 and the
+   * dimension stops contributing to the interleave, defeating
+   * [[SkipIndex]] pruning on exactly the skewed columns that need
+   * clustering most. Rank scaling spreads levels by POPULATION, so an
+   * outlier costs one level, not the scale.
+   *
+   * Cost: one quantile aggregation (no global sort — the
+   * [[graft.operators.Sampling.withQuantileBucket]] discipline) and
+   * ~8·(2^bits − 1) bytes of plan state per column. NULL → level 0
+   * (sorts first, [[zorderValueWith]]'s missing-key convention).
+   */
+  def withZorderValueRanked(
+    df: DataFrame,
+    cols: Seq[String],
+    bits: Int = 8,
+    outCol: String = "z_value",
+    approx: Boolean = false,
+    accuracy: Int = 10000
+  ): DataFrame = {
+    val n = cols.length
+    require(n >= 1, "need at least one clustering column")
+    require(bits >= 1 && bits * n <= 62,
+      s"bits*cols must fit a signed long: bits=$bits cols=$n")
+    Cols.requireAbsent(df, outCol)
+    val bounds = rankBounds(df, cols, bits, approx, accuracy)
+    val scaled = cols.zip(bounds).map { case (c, bs) =>
+      coalesce(
+        graft.functions.SortedBucketExpr(col(c).cast("double"), bs.toSeq),
+        lit(0L))
+    }
+    val pieces = for {
+      b <- 0 until bits
+      (s, j) <- scaled.zipWithIndex
+    } yield shiftleft(shiftright(s, b).bitwiseAND(lit(1L)), b * n + j)
+    df.withColumn(outCol, pieces.reduce(_.bitwiseOR(_)))
+  }
+
+  /** [[clusterByZorder]] under rank scaling — the layout rewrite for
+    * skewed clustering columns. */
+  def clusterByZorderRanked(
+    df: DataFrame,
+    cols: Seq[String],
+    numPartitions: Int,
+    bits: Int = 8,
+    approx: Boolean = false
+  ): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions must be >= 1: $numPartitions")
+    withZorderValueRanked(df, cols, bits, "__z", approx)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 }

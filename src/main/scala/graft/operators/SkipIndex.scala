@@ -19,12 +19,14 @@ import graft.functions.{BloomExprs, Hashing}
  *  - The index is per-FILE metadata: at 128 MiB files, 100 TB ≈ 800k
  *    rows — persist it as parquet next to the data and re-read it, the
  *    build never reruns per query.
- *  - Pruning reads the INDEX, not the data: min/max range checks run as
- *    a Spark filter over the index; bloom probes deserialize each
- *    candidate file's filter driver-side (bounded by the pruned
- *    candidate count — bloom bytes for files already excluded by
- *    min/max are never collected... the index projection keeps only
- *    candidates).
+ *  - Pruning reads the INDEX, not the data: min/max range checks AND
+ *    the bloom probes run as plan-side filters over the index
+ *    ([[graft.functions.BloomExprs.mightContainCol]]); only surviving
+ *    FILE NAMES reach the driver — never bloom bytes, whatever the
+ *    probe's selectivity.
+ *  - A growing corpus maintains the index INCREMENTALLY: [[append]]
+ *    lists the directory (metadata), indexes only files absent from
+ *    the manifest, and unions — indexed files are never rescanned.
  *  - The pruned read opens ONLY the surviving files; the residual
  *    predicate still applies (bloom false positives possible, false
  *    negatives not — so results are exact).
@@ -56,9 +58,16 @@ object SkipIndex {
     keyCols: Seq[String],
     expectedItems: Long = DefaultExpectedItems,
     numBits: Long = DefaultNumBits
+  ): DataFrame =
+    buildOver(spark.read.parquet(tableDir), keyCols, expectedItems, numBits)
+
+  private def buildOver(
+    df: DataFrame,
+    keyCols: Seq[String],
+    expectedItems: Long,
+    numBits: Long
   ): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val df = spark.read.parquet(tableDir)
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ keyCols.flatMap { c =>
       Seq(
         min(col(c)).as(s"${c}_min"),
@@ -71,30 +80,84 @@ object SkipIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Scheme-and-encoding-insensitive file identity: `input_file_name()`
+    * yields a URL-encoded URI ("file:///a%20b/part-0.parquet"), Hadoop
+    * listings yield Path strings ("file:/a b/part-0.parquet") — compare
+    * both through the decoded URI path. */
+  private def canonical(name: String): String = {
+    val u = java.net.URI.create(
+      new org.apache.hadoop.fs.Path(name).toUri.toString)
+    Option(u.getPath).getOrElse(name)
+  }
+
   /**
-   * Files that may contain `keyCol = value`: min/max range check as a
-   * Spark filter over the index, then a driver-side bloom probe on the
-   * surviving candidates only. NULL-valued probes match nothing (SQL
-   * equality semantics).
+   * INCREMENTAL index maintenance: scan only the data files of
+   * `tableDir` that are absent from `existing`'s manifest, index them
+   * with the same per-file aggregation, and union the result onto the
+   * existing rows — a growing corpus indexes each append once, never
+   * rescanning indexed files (a full [[build]] over 100 TB re-reads
+   * 100 TB; an append after a 1 TB drop reads 1 TB).
+   *
+   * New files are discovered by a filesystem LISTING (a metadata
+   * operation) diffed against the manifest on decoded URI paths, so
+   * the same file never indexes twice whether it was named by
+   * `input_file_name()` or a Hadoop listing. Returns `existing`
+   * unchanged when nothing is new. Callers pass the SAME keyCols and
+   * bloom sizing as the original build (per-file stats must be
+   * homogeneous — a mixed index would probe inconsistently; the gate
+   * proves append ≡ full rebuild over the grown directory).
+   */
+  def append(
+    spark: SparkSession,
+    tableDir: String,
+    existing: DataFrame,
+    keyCols: Seq[String],
+    expectedItems: Long = DefaultExpectedItems,
+    numBits: Long = DefaultNumBits
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dirPath = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = fs.listStatus(dirPath).iterator
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .toSeq
+    val known = existing.select("file").collect()
+      .map(r => canonical(r.getString(0))).toSet
+    val fresh = listed.filterNot(p => known.contains(canonical(p.toString)))
+    if (fresh.isEmpty) existing
+    else existing.unionByName(
+      buildOver(spark.read.parquet(fresh.map(_.toString): _*),
+        keyCols, expectedItems, numBits))
+  }
+
+  /**
+   * Files that may contain `keyCol = value`: min/max range check AND
+   * the bloom probe both run as plan-side filters over the index
+   * ([[BloomExprs.mightContainCol]] — the bloom side is a column, so
+   * each candidate's filter deserializes where its index row lives),
+   * and ONLY the surviving file names are collected — driver traffic
+   * is the answer, never the bloom bytes (a low-selectivity probe over
+   * an 800k-file corpus would otherwise pull hundreds of GB of filters
+   * to one machine). A NULL bloom (all-NULL keys in that file) cannot
+   * match an equality probe and is filtered with the ranges.
+   * NULL-valued probes match nothing (SQL equality semantics).
    */
   def prunedFiles(index: DataFrame, keyCol: String, value: Any): Seq[String] = {
     if (value == null) return Seq.empty
-    val cand = index
+    index
       .filter(col(s"${keyCol}_min") <= lit(value) &&
-        col(s"${keyCol}_max") >= lit(value))
-      .select(col("file"), col(s"${keyCol}_bloom").as("__bloom"),
-        keyHash(lit(value)).as("__h"))
+        col(s"${keyCol}_max") >= lit(value) &&
+        col(s"${keyCol}_bloom").isNotNull &&
+        BloomExprs.mightContainCol(col(s"${keyCol}_bloom"), keyHash(lit(value))))
+      .select("file")
       .collect()
-    cand.iterator.flatMap { r =>
-      val bytes = r.getAs[Array[Byte]]("__bloom")
-      if (bytes == null) None // all-NULL keys in this file: no match possible
-      else {
-        val bf = org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-        if (bf.mightContainLong(r.getAs[Long]("__h"))) Some(r.getAs[String]("file"))
-        else None
-      }
-    }.toSeq
+      .map(_.getString(0))
+      .toSeq
   }
 
   /**

@@ -94,4 +94,74 @@ class LayoutSpec extends SparkSpec {
       Layout.withZorderValue(df, Seq("a", "b"), bits = 32)
     }
   }
+
+  test("SortedBucketExpr: binary search equals linear count, duplicates and edges included") {
+    val bounds = Seq(1.0, 3.0, 3.0, 7.0, 10.0)
+    for (v <- Seq(0.5, 1.0, 2.0, 3.0, 5.0, 7.0, 9.0, 10.0, 11.0)) {
+      val got = graft.functions.SortedBucketExpr.search(bounds.toArray, v)
+      assert(got === bounds.count(_ < v).toLong, s"v=$v")
+    }
+    val df = Seq(Some(2.5), None).toDF("v")
+    val out = df.select(
+      graft.functions.SortedBucketExpr(col("v"), bounds).as("b")).collect()
+    assert(out(0).getLong(0) === 1L) // only 1.0 < 2.5
+    assert(out(1).isNullAt(0))
+  }
+
+  test("one outlier collapses min-max levels but not rank levels") {
+    // 100 uniform values plus one 10^9 outlier on dimension y
+    val df = (0L until 100L).map(i => (i, i, i % 50))
+      .toDF("id", "x", "y")
+      .unionByName(Seq((100L, 100L, 1000000000L)).toDF("id", "x", "y"))
+    val minmax = Layout.withZorderValue(df, Seq("y"), bits = 4)
+      .filter(col("id") < 100)
+      .select("z_value").distinct().count()
+    val ranked = Layout.withZorderValueRanked(df, Seq("y"), bits = 4)
+      .filter(col("id") < 100)
+      .select("z_value").distinct().count()
+    assert(minmax === 1L, "min-max: all non-outlier values collapse to level 0")
+    assert(ranked >= 15L, s"rank: population spreads the levels, got $ranked")
+  }
+
+  test("rank z-order equals the definitional quantile-level interleave on random data") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 257L).map(i =>
+      (i, math.abs(rnd.nextLong() % 1000L), math.exp(rnd.nextDouble() * 10)))
+    val df = rows.toDF("id", "a", "b")
+    val bits = 3
+    val got = Layout.withZorderValueRanked(df, Seq("a", "b"), bits = bits)
+      .select("id", "z_value").as[(Long, Long)].collect().toMap
+    // reference: exact percentile boundaries (Spark's own percentile agg
+    // is the engine's source of truth; levels + interleave re-derived here)
+    val bounds = Layout.rankBounds(df, Seq("a", "b"), bits)
+    def level(v: Double, bs: Array[Double]): Long = bs.count(_ < v).toLong
+    rows.foreach { case (id, a, b) =>
+      val la = level(a.toDouble, bounds(0))
+      val lb = level(b, bounds(1))
+      val z = (0 until bits).map { bit =>
+        (((la >> bit) & 1L) << (2 * bit)) | (((lb >> bit) & 1L) << (2 * bit + 1))
+      }.reduce(_ | _)
+      assert(got(id) === z, s"id $id")
+    }
+  }
+
+  test("clusterByZorderRanked prunes point probes on the skewed column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zrank-spec").toString
+    val df = (0L until 400L).map(i => (i, i % 20, (i * i) % 997))
+      .toDF("id", "hot", "v")
+      .unionByName(Seq((400L, 1000000000L, 3L)).toDF("id", "hot", "v"))
+    Layout.clusterByZorderRanked(df, Seq("hot"), numPartitions = 8, bits = 4)
+      .write.mode("overwrite").parquet(dir)
+    val idx = graft.operators.SkipIndex.build(spark, dir, Seq("hot"))
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(idx.collect(): _*), idx.schema)
+    // a point probe on a normal key touches ≤ 2 of 8 files even with the
+    // outlier present (min-max clustering would put all normal keys in
+    // one z-level and spread them across every file)
+    val files = graft.operators.SkipIndex.prunedFiles(local, "hot", 7L)
+    assert(files.size <= 2, s"probe touched ${files.size} of 8 files")
+    val got = graft.operators.SkipIndex.readPruned(spark, dir, local, "hot", 7L)
+      .select("id").as[Long].collect().toSet
+    assert(got === (0L until 400L).filter(_ % 20 == 7).toSet)
+  }
 }

@@ -60,6 +60,53 @@ class SkipIndexSpec extends SparkSpec {
     assert(got === Seq((501L, 1L)))
   }
 
+  test("append indexes only new files and equals the full rebuild") {
+    val dir = Files.createTempDirectory("graft-skipidx4").toString
+    (0L until 300L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartitionByRange(3, col("id")).write.mode("overwrite").parquet(dir)
+    val base = SkipIndex.build(spark, dir, Seq("id"))
+    val baseLocal = spark.createDataFrame(
+      java.util.Arrays.asList(base.collect(): _*), base.schema)
+    val baseFiles = baseLocal.select("file").as[String].collect().toSet
+    (300L until 500L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartitionByRange(2, col("id")).write.mode("append").parquet(dir)
+    val appended = SkipIndex.append(spark, dir, baseLocal, Seq("id"))
+    def fields(ix: org.apache.spark.sql.DataFrame) = ix.select(
+        col("file"), col("n_rows"), col("id_min"), col("id_max"),
+        col("id_nulls"), base64(col("id_bloom")))
+      .collect().map(_.toSeq).toSet
+    assert(fields(appended) === fields(SkipIndex.build(spark, dir, Seq("id"))))
+    // old files kept their EXACT original rows (never rescanned/rebuilt)
+    val keptOld = appended.filter(col("file").isin(baseFiles.toSeq: _*))
+    assert(fields(keptOld) === fields(baseLocal))
+    assert(appended.count() === 5L)
+    // idempotence: nothing new -> same reference back
+    val appendedLocal = spark.createDataFrame(
+      java.util.Arrays.asList(appended.collect(): _*), appended.schema)
+    assert(SkipIndex.append(spark, dir, appendedLocal, Seq("id")) eq appendedLocal)
+    // probes through the appended index stay exact on both halves
+    assert(SkipIndex.readPruned(spark, dir, appendedLocal, "id", 7L)
+      .select("s").as[String].collect().toSeq === Seq("v7"))
+    assert(SkipIndex.readPruned(spark, dir, appendedLocal, "id", 432L)
+      .select("s").as[String].collect().toSeq === Seq("v432"))
+  }
+
+  test("plan-side bloom probe collects only surviving file names") {
+    val dir = Files.createTempDirectory("graft-skipidx5").toString
+    val df = (0L until 1000L).map(i => (i, i % 2)).toDF("id", "parity")
+    df.repartitionByRange(2, col("parity")).write.mode("overwrite").parquet(dir)
+    val index = SkipIndex.build(spark, dir, Seq("id"))
+    // the per-row probe expression agrees with driver-side deserialization
+    val rows = index.select(col("file"), col("id_bloom")).collect()
+    val h = graft.functions.Md5Long60Expr.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("501"))
+    val expect = rows.filter { r =>
+      graft.functions.BloomProbeExpr.probe(r.getAs[Array[Byte]](1), h)
+    }.map(_.getString(0)).toSet
+    assert(SkipIndex.prunedFiles(index, "id", 501L).toSet === expect)
+    assert(expect.size === 1)
+  }
+
   test("all-NULL key files never match an equality probe") {
     val dir = Files.createTempDirectory("graft-skipidx3").toString
     val df = Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "s")
