@@ -48,8 +48,19 @@ import org.apache.spark.sql.functions._
  *    prefix buckets alone admit ~df² candidates: both-late prefix
  *    matches die in the join stage, before the distinct exchange and
  *    verification ever see them.
- *  - Verification is exact `array_intersect` on the two deduplicated
- *    token arrays — per candidate pair, no corpus re-scan.
+ *  - The candidate join is ASYMMETRIC (PPJoin's index/probe split):
+ *    the size-smaller side of every pair needs only its INDEX prefix
+ *    of `n − ceil(2t/(1+t)·n) + 1` tokens (overlap >= 2t/(1+t)·n_s
+ *    once sizes are ordered), so one join side carries systematically
+ *    shorter prefixes — candidate enumeration drops by the
+ *    index/probe length ratio at zero recall cost (derivation at the
+ *    join site).
+ *  - Verification is an exact merge-count over the PRE-SORTED
+ *    deduplicated token arrays ([[graft.functions
+ *    .SortedIntersectCountExpr]] for long sets — zero allocation per
+ *    candidate; generic element types fall back to array_intersect)
+ *    — per candidate pair, no corpus re-scan. Sets sort ONCE at the
+ *    corpus-sized build, never per pair.
  *  - Shuffles: one map-side-combined token-frequency agg, one
  *    token-keyed join to attach frequencies, one per-id window to
  *    rank tokens, one prefix equi-join, one distinct, two id-keyed
@@ -88,9 +99,11 @@ object SetSim {
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // sorted ONCE per document row so verification can merge-count
+    // (corpus-sized sort, candidate-sized gain)
     val sets = df.select(
         col(idCol).as("__id"),
-        array_distinct(col(setCol)).as("__set"))
+        sort_array(array_distinct(col(setCol))).as("__set"))
       .filter(col("__set").isNotNull && size(col("__set")) > 0)
 
     // global token document frequencies — ONE map-side-combined agg
@@ -127,38 +140,73 @@ object SetSim {
           col("__e.__pos").as("__pos"))
     }
 
-    // candidate pairs: prefix-token equi-join + length filter + the
-    // PPJoin position filter (see scaladoc for the per-row soundness
-    // argument — a qualifying pair's rarest-common-token row always
-    // passes). The 1e-9 slack keeps a float-rounded-up alpha from
-    // pruning an exactly-at-threshold integer bound.
-    // id_a < id_b halves the space and fixes the output orientation.
-    val alpha = (col("__na") + col("__nb")).cast("double") *
+    // candidate pairs: ASYMMETRIC prefix-token equi-join (PPJoin's
+    // index/probe split) + length filter + the position filter. The
+    // "small" side keeps only its INDEX prefix — the first
+    // n − ceil(2t/(1+t)·n) + 1 tokens — and pairs with the size-larger
+    // "large" side's full probe prefix, (size, id) lexicographic as
+    // the tie-break. Soundness (Xiao WWW'08 §3.1, re-derived in the
+    // scaladoc): for a qualifying pair with ns <= nl, the overlap o
+    // >= t(ns+nl)/(1+t) >= 2t/(1+t)·ns, and the globally-rarest common
+    // token sits at rank <= n − o + 1 in EACH side's df-ascending
+    // order — inside the small side's index prefix AND (o >= t·nl,
+    // using ns >= t·nl) inside the large side's probe prefix, so that
+    // token's joined row always survives. Halving only the indexed
+    // side's prefix cuts candidate enumeration by the index/probe
+    // length ratio at ZERO recall cost. The 1e-9 slack keeps a
+    // float-rounded-up alpha from pruning an exactly-at-threshold
+    // integer bound.
+    val indexPrefix = 2.0 * threshold / (1.0 + threshold)
+    val small = capped
+      .filter(col("__pos") <=
+        col("__n") - ceil(col("__n") * indexPrefix) + 1)
+      .select(col("__tok"), col("__id").as("__ids"),
+        col("__n").as("__ns"), col("__pos").as("__ps"))
+    val large = capped.select(col("__tok"), col("__id").as("__idl"),
+      col("__n").as("__nl"), col("__pos").as("__pl"))
+    val alpha = (col("__ns") + col("__nl")).cast("double") *
       (threshold / (1.0 + threshold)) - lit(1e-9)
     val posBound = lit(1) +
-      least(col("__na") - col("__pa"), col("__nb") - col("__pb"))
-    val cands = capped.select(col("__tok"), col("__id").as("id_a"),
-        col("__n").as("__na"), col("__pos").as("__pa"))
-      .join(capped.select(col("__tok"), col("__id").as("id_b"),
-        col("__n").as("__nb"), col("__pos").as("__pb")),
-        Seq("__tok"))
-      .filter(col("id_a") < col("id_b") &&
-        col("__na") >= col("__nb") * threshold &&
-        col("__nb") >= col("__na") * threshold &&
+      least(col("__ns") - col("__ps"), col("__nl") - col("__pl"))
+    val cands = small.join(large, Seq("__tok"))
+      .filter(
+        (col("__ns") < col("__nl") ||
+          (col("__ns") === col("__nl") && col("__ids") < col("__idl"))) &&
+        col("__ns") >= col("__nl") * threshold &&
         posBound.cast("double") >= alpha)
-      .select("id_a", "id_b")
+      .select(
+        least(col("__ids"), col("__idl")).as("id_a"),
+        greatest(col("__ids"), col("__idl")).as("id_b"))
       .distinct()
 
-    // exact verification on the candidate pairs only
+    // exact verification on the candidate pairs only — the native
+    // merge-count over the pre-sorted long sets when the element type
+    // allows it (zero allocation per pair; generic array_intersect
+    // builds a hash set and an output array per CANDIDATE, measured
+    // 94% of this join's runtime on the sf1 degenerate-corpus probe)
     cands
       .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb")), "id_b")
-      .withColumn("__ov", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__ov", intersectCount(df, setCol, col("__sa"), col("__sb")))
       .withColumn("jaccard", col("__ov").cast("double") /
         (size(col("__sa")) + size(col("__sb")) - col("__ov")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Overlap size of two distinct-element set columns: the native
+    * sorted-merge count for long sets (the hashed-shingle hot path —
+    * set columns in this file are always `sort_array`ed at their
+    * corpus-sized build site), generic `array_intersect` for any
+    * other element type. */
+  private def intersectCount(
+    df: DataFrame, setCol: String, a: Column, b: Column): Column =
+    df.schema(setCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) =>
+        graft.functions.SortedIntersectCountExpr(a, b)
+      case _ => size(array_intersect(a, b))
+    }
 
   /**
    * Text arm: exact near-duplicate pairs over k-word shingle sets —
@@ -244,9 +292,11 @@ object SetSim {
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // sorted ONCE per document row so verification can merge-count
+    // (corpus-sized sort, candidate-sized gain)
     val sets = df.select(
         col(idCol).as("__id"),
-        array_distinct(col(setCol)).as("__set"))
+        sort_array(array_distinct(col(setCol))).as("__set"))
       .filter(col("__set").isNotNull && size(col("__set")) > 0)
     val tokenDf = sets
       .select(explode(col("__set")).as("__tok"))
@@ -306,9 +356,10 @@ object SetSim {
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // sorted ONCE per batch row so verification can merge-count
     val bsets = batch.select(
         col(idCol).as("batch_id"),
-        array_distinct(col(setCol)).as("__bset"))
+        sort_array(array_distinct(col(setCol))).as("__bset"))
       .filter(col("__bset").isNotNull && size(col("__bset")) > 0)
     def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
     // loud build-threshold guard: probing below the build threshold
@@ -327,7 +378,11 @@ object SetSim {
     // the semi probe derives from the SAME aggregation, so the batch's
     // one shuffle feeds both the probe and the bucket join
     val probe = batchBuckets.select("tok")
+    // re-sort defensively at MATCHED-row size (an index persisted by a
+    // pre-merge-verify build may carry unsorted sets; sorting sorted
+    // input is cheap and this is candidate-bounded, not corpus work)
     val matchedIdx = guardedIndex.join(hinted(probe), Seq("tok"), "left_semi")
+      .withColumn("set", sort_array(col("set")))
     val idxBuckets = capBuckets(
       matchedIdx.groupBy("tok")
         .agg(collect_list(struct(col("id"), col("n"), col("pos"), col("set")))
@@ -351,7 +406,7 @@ object SetSim {
       .dropDuplicates("batch_id", "index_id")
     pairs
       .join(hinted(bsets), Seq("batch_id"))
-      .withColumn("__ov", size(array_intersect(col("__iset"), col("__bset"))))
+      .withColumn("__ov", intersectCount(batch, setCol, col("__iset"), col("__bset")))
       .withColumn("jaccard", col("__ov").cast("double") /
         (col("__in") + col("__bn") - col("__ov")).cast("double"))
       .filter(col("jaccard") >= threshold)
