@@ -134,6 +134,36 @@ object LlmGates {
     ))
   }
 
+  /** dHash fixtures at EXACTLY the 9×8 grid (nearest resize is the
+    * identity there), gray pixels, so every hash bit is hand-derivable:
+    * bit y·8+x is set iff gray(x+1,y) > gray(x,y).
+    *  - 800001 ramp  g=10x: all 64 comparisons true → dhash −1
+    *  - 800002 flat  g=100: none strict              → dhash 0
+    *  - 800003 half  g=10·min(x,4): bits x∈0..3/row  → 0x0F0F0F0F0F0F0F0F
+    *  - 800004 ramp with g(0,0) raised to 10: ONLY bit 0 flips → −2
+    *    (Hamming 1 from the ramp)
+    *  - 800005 the ramp at 18×16 (g=10·⌊x/2⌋): nearest resize samples
+    *    source (2x, 2y) → identical grid → dhash −1 (Hamming 0 from
+    *    the ramp — the re-scaled-copy detection story) */
+  private def dhashFixtures(s: SparkSession): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val Rgb = java.awt.image.BufferedImage.TYPE_INT_RGB
+    def gray(g: Int): Int = (g << 16) | (g << 8) | g
+    s.createDataset(Seq(
+      Multimodal.MediaRecord(800001L,
+        fixtureImage(9, 8, Rgb, "png")((x, _) => gray(x * 10))),
+      Multimodal.MediaRecord(800002L,
+        fixtureImage(9, 8, Rgb, "png")((_, _) => gray(100))),
+      Multimodal.MediaRecord(800003L,
+        fixtureImage(9, 8, Rgb, "png")((x, _) => gray(math.min(x, 4) * 10))),
+      Multimodal.MediaRecord(800004L,
+        fixtureImage(9, 8, Rgb, "png")((x, y) =>
+          gray(if (x == 0 && y == 0) 10 else x * 10))),
+      Multimodal.MediaRecord(800005L,
+        fixtureImage(18, 16, Rgb, "png")((x, _) => gray((x / 2) * 10)))
+    ))
+  }
+
   /** Encode frames as one ANIMATED GIF via the JDK's sequence writer —
     * the fixture side of the real multi-frame decode gate. Shared with
     * MultimodalSpec. */
@@ -705,6 +735,29 @@ object LlmGates {
       Multimodal.decodeFeatures(asMedia, featureDim = 8)
         .toDF()
         .select(col("doc_id").as("frame_idx") +: decodedCols.tail: _*)
+    },
+    // §2 row 142 — image dHash: hand-derivable 9×8 gray fixtures (the
+    // real decode+resize path) mixed with text payloads (undecodable →
+    // NULL); expected hashes re-derived bit-by-bit in the oracle table
+    "q_image_dhash" -> { (s, dir) =>
+      import s.implicits._
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.imageDHash(texts.union(dhashFixtures(s)))
+    },
+    // §2 row 142 — image near-dup pairs: Hamming ≤ 3 over the dHashes
+    // via pigeonhole banding (4×16-bit chunks); the ramp, its one-bit
+    // edit, and its 2×-rescaled copy pair up, nothing else does, and
+    // the text rows (NULL dhash) stay out
+    "q_image_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.imageNearDups(texts.union(dhashFixtures(s)), maxHamming = 3)
     },
     // §2.4 row 85 — corpus-wide duplicate-PARAGRAPH removal (the
     // RefinedWeb granularity): a 2-LINE banner block planted in 3 docs
@@ -1617,6 +1670,35 @@ object LlmGates {
         |  (-3::BIGINT, 5, 4, 0.0, 0.6, 0.0, 0.6, 0.0, 0.6, 0.0, 0.6),
         |  (-4::BIGINT, 5, 4, 0.0, 0.502, 0.0, 0.502, 0.0, 0.502, 0.0, 0.502)
         |) t(doc_id, width, height, f0, f1, f2, f3, f4, f5, f6, f7)""".stripMargin,
+    // dHash literals re-derived by hand from the fixture definitions
+    // (see dhashFixtures scaladoc): all-ones = −1, none = 0, bits
+    // x∈0..3 of each row = 0x0F0F0F0F0F0F0F0F = 1085102592571150095,
+    // ramp with bit 0 cleared = −2, rescaled ramp = −1 again
+    "q_image_dhash" ->
+      """SELECT doc_id, NULL::BIGINT AS dhash FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (800001::BIGINT, -1::BIGINT),
+        |  (800002::BIGINT, 0::BIGINT),
+        |  (800003::BIGINT, 1085102592571150095::BIGINT),
+        |  (800004::BIGINT, -2::BIGINT),
+        |  (800005::BIGINT, -1::BIGINT)
+        |) t(doc_id, dhash)""".stripMargin,
+    // the three qualifying pairs among the five fixture hashes
+    // (−1/−2 differ in bit 0 only; the flat and half-ramp hashes sit
+    // 32+ bits from everything): re-derived by the oracle as the
+    // brute-force Hamming join over the same literal hash table
+    "q_image_neardup" ->
+      """WITH h(doc_id, dhash) AS (VALUES
+        |  (800001::BIGINT, -1::BIGINT),
+        |  (800002::BIGINT, 0::BIGINT),
+        |  (800003::BIGINT, 1085102592571150095::BIGINT),
+        |  (800004::BIGINT, -2::BIGINT),
+        |  (800005::BIGINT, -1::BIGINT))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
     "q_multimodal_resize" ->
       """SELECT doc_id, md5(md5(text) || ':64x64') AS resized_md5
         |FROM documents""".stripMargin,

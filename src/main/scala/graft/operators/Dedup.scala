@@ -384,15 +384,19 @@ object Dedup {
     hashedShingles: DataFrame,
     threshold: Double
   ): DataFrame = {
+    // sorted ONCE per document so the per-pair verify can merge-count
+    // ([[graft.functions.SortedIntersectCountExpr]] — zero allocation
+    // per candidate; generic array_intersect hashes per pair and
+    // dominated the exact-join probe at sf1)
     val sets = hashedShingles
-      .select(col("doc_id"), array_distinct(col("hs")).as("sh"))
+      .select(col("doc_id"), sort_array(array_distinct(col("hs"))).as("sh"))
     val sides = candidates
       .select(
         struct(col("id_a"), col("id_b")).as("pair"),
         explode(array(col("id_a"), col("id_b"))).as("doc_id"))
     val sa = element_at(col("items"), 1)
     val sb = element_at(col("items"), 2)
-    val inter = size(array_intersect(sa, sb))
+    val inter = graft.functions.SortedIntersectCountExpr(sa, sb)
     val union = size(sa) + size(sb) - inter
     sides
       .join(sets, "doc_id")
@@ -1019,16 +1023,51 @@ object Dedup {
     maxHamming: Int = 3,
     bands: Int = 4,
     maxBucket: Option[Int] = DefaultMaxBucket
+  ): DataFrame =
+    hammingNearDups(simhashes, "doc_id", "simhash", 60, maxHamming, bands, maxBucket)
+
+  /**
+   * GENERIC Hamming near-dup pairs over any `bits`-wide hash column by
+   * pigeonhole banding — the machinery behind [[simHashNearDups]]
+   * (60-bit text SimHash) and [[Multimodal.imageNearDups]] (64-bit
+   * image dHash): the hash splits into `bands` chunks of bits/bands
+   * bits; Hamming distance < bands forces an exact match on some chunk
+   * (pigeonhole), so candidates come only from per-chunk buckets —
+   * never all pairs — and are verified with exact bit_count(xor).
+   * Band keys MASK (bitwiseAND) rather than mod so a 64-bit hash with
+   * the sign bit set still buckets correctly (arithmetic shiftright
+   * sign-extends; the mask strips the extension).
+   *
+   * Recall contract (dual, like the row-27 LSH trade): with
+   * maxHamming < bands the result is COMPLETE (pigeonhole — every
+   * qualifying pair shares a chunk; the oracle-gated settings);
+   * maxHamming >= bands is allowed and stays sound (every returned
+   * pair's Hamming is exact) but recall turns probabilistic — a pair
+   * can differ in all chunks and never collide. Buckets over
+   * maxBucket drop with the observed-metric discipline.
+   */
+  def hammingNearDups(
+    hashes: DataFrame,
+    idCol: String,
+    hashCol: String,
+    bits: Int,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = DefaultMaxBucket
   ): DataFrame = {
-    val chunkBits = 60 / bands
-    val banded = simhashes.select(
-      struct(col("doc_id"), col("simhash")).as("item"),
+    require(bands >= 1 && bits % bands == 0,
+      s"bits must divide into bands: bits=$bits bands=$bands")
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    val chunkBits = bits / bands
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val banded = hashes.select(
+      struct(col(idCol).as("doc_id"), col(hashCol).as("simhash")).as("item"),
       explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(
             b.as("band"),
-            (call_function("shiftright", col("simhash"), b * chunkBits) %
-              (1L << chunkBits)).as("band_key"))))
+            call_function("shiftright", col(hashCol), b * chunkBits)
+              .bitwiseAND(lit(mask)).as("band_key"))))
         .as("bk")
     ).select(col("item"), col("bk.band"), col("bk.band_key"))
     val buckets = banded

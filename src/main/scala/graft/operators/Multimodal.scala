@@ -281,6 +281,78 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------- perceptual hashing
+
+  /**
+   * 64-bit difference hash (dHash) of an image payload — the perceptual
+   * near-dup key for IMAGE deduplication (the row-27/28 story for the
+   * multimodal columns: re-encoded, resized, or lightly edited copies
+   * of one image share most dHash bits, so Hamming banding finds them
+   * without any pairwise pixel work). Public technique (difference
+   * hash: compare adjacent pixels of a fixed tiny downsample).
+   *
+   * Derivation, chosen so every step is already bit-deterministic in
+   * this file: decode (the reused per-partition [[ImageDecoder]]) →
+   * [[nearestResize]] to a 9×8 grid (pure integer sampling; alpha
+   * dropped — the resize semantics) → per-pixel INTEGER luminance sum
+   * r+g+b (no float anywhere) → bit y·8+x set iff the right neighbor's
+   * sum is strictly greater: `sum(x+1, y) > sum(x, y)`. A 9-wide row
+   * yields 8 comparisons × 8 rows = 64 bits. Undecodable payloads →
+   * NULL (callers keep or drop; the near-dup join drops — a text row
+   * can't be an image near-dup).
+   *
+   * Scale shape: pure per-row projection (decode + 72 samples), no
+   * shuffle; the pairing is [[Dedup.hammingNearDups]]' pigeonhole
+   * banding, never all-pairs.
+   */
+  def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new ImageDecoder
+      onExhaustion(rows.map { rec =>
+        (rec.doc_id, decoder.decode(rec.payload).map { img =>
+          val g = nearestResize(img, 9, 8)
+          var h = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            var prev = lumSum(g.getRGB(0, y))
+            while (x < 8) {
+              val cur = lumSum(g.getRGB(x + 1, y))
+              if (cur > prev) h |= 1L << (y * 8 + x)
+              prev = cur
+              x += 1
+            }
+            y += 1
+          }
+          h
+        })
+      })(() => decoder.dispose())
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** Integer luminance proxy: r+g+b of a packed RGB pixel (0..765).
+    * Sums compare identically to means — no division, no float. */
+  private def lumSum(rgb: Int): Int =
+    ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+
+  /**
+   * Image near-duplicate pairs: [[imageDHash]] each payload, drop
+   * undecodables, then [[Dedup.hammingNearDups]] over the 64-bit
+   * hashes (pigeonhole banding + exact bit_count verify — candidates
+   * from chunk buckets only, never all pairs). Returns
+   * (id_a, id_b, hamming) with id_a < id_b.
+   */
+  def imageNearDups(
+    media: Dataset[MediaRecord],
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket
+  ): DataFrame =
+    Dedup.hammingNearDups(
+      imageDHash(media).filter(col("dhash").isNotNull),
+      "doc_id", "dhash", 64, maxHamming, bands, maxBucket)
+
   // ----------------------------------------------------- real audio work
 
   /** Leading-bytes sniff for the JDK-decodable audio containers — WAV

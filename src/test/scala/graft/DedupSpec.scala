@@ -779,4 +779,35 @@ class DedupSpec extends SparkSpec {
     assert(full === Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
       5L -> "removed", 6L -> "added"))
   }
+
+  test("hammingNearDups: equals brute force on random 64-bit hashes incl. sign bits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    // random bases (many with the sign bit set) plus planted near-copies
+    // at distance 1..3 so the qualifying set is non-trivial
+    val bases = (0 until 30).map(i => (i.toLong, rnd.nextLong()))
+    val edits = bases.take(10).zipWithIndex.map { case ((id, h), j) =>
+      val flips = 1 + j % 3
+      val flipped = (0 until flips).foldLeft(h)((acc, _) =>
+        acc ^ (1L << rnd.nextInt(64)))
+      (100L + id, flipped)
+    }
+    val all = bases ++ edits
+    val got = Dedup.hammingNearDups(all.toDF("id", "h"), "id", "h",
+        bits = 64, maxHamming = 3, bands = 4, maxBucket = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+  }
+
+  test("hammingNearDups: rejects bits that don't divide into bands") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("id", "h")
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(df, "id", "h", bits = 64, maxHamming = 2, bands = 3)
+    }
+  }
 }

@@ -443,4 +443,69 @@ class MultimodalSpec extends SparkSpec {
     assert(real.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap ==
       stub.map(f => (f.doc_id, f.frame_idx) -> f.frame.toSeq).toMap)
   }
+
+  private def grayPng(w: Int, h: Int)(g: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = g(x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("imageDHash: hand-derived hashes, NULL for undecodable payloads") {
+    val media = Seq(
+      MediaRecord(1L, grayPng(9, 8)((x, _) => x * 10)),          // ramp
+      MediaRecord(2L, grayPng(9, 8)((_, _) => 100)),             // flat
+      MediaRecord(3L, grayPng(9, 8)((x, _) => math.min(x, 4) * 10)),
+      MediaRecord(4L, grayPng(9, 8)((x, y) => if (x == 0 && y == 0) 10 else x * 10)),
+      MediaRecord(5L, grayPng(18, 16)((x, _) => (x / 2) * 10)),  // 2x ramp
+      MediaRecord(6L, "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val got = Multimodal.imageDHash(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L) === Some(-1L))
+    assert(got(2L) === Some(0L))
+    assert(got(3L) === Some(0x0F0F0F0F0F0F0F0FL))
+    assert(got(4L) === Some(-2L))
+    assert(got(5L) === Some(-1L), "nearest resize of the doubled ramp = the ramp")
+    assert(got(6L) === None)
+  }
+
+  test("imageDHash: definitional parity on random 9x8 gray images") {
+    val rnd = new scala.util.Random(47)
+    val imgs = (0 until 20).map { i =>
+      val px = Array.fill(8, 9)(rnd.nextInt(256))
+      (i.toLong, px)
+    }
+    val media = imgs.map { case (id, px) =>
+      MediaRecord(id, grayPng(9, 8)((x, y) => px(y)(x)))
+    }.toDS()
+    val got = Multimodal.imageDHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    imgs.foreach { case (id, px) =>
+      var want = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (px(y)(x + 1) > px(y)(x)) want |= 1L << (y * 8 + x)
+      assert(got(id) === want, s"image $id")
+    }
+  }
+
+  test("imageNearDups: the ramp family pairs up, nothing else") {
+    val media = Seq(
+      MediaRecord(1L, grayPng(9, 8)((x, _) => x * 10)),
+      MediaRecord(2L, grayPng(9, 8)((_, _) => 100)),
+      MediaRecord(3L, grayPng(9, 8)((x, _) => math.min(x, 4) * 10)),
+      MediaRecord(4L, grayPng(9, 8)((x, y) => if (x == 0 && y == 0) 10 else x * 10)),
+      MediaRecord(5L, grayPng(18, 16)((x, _) => (x / 2) * 10)),
+      MediaRecord(6L, "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val got = Multimodal.imageNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 4L, 1), (1L, 5L, 0), (4L, 5L, 1)))
+  }
 }
