@@ -199,6 +199,43 @@ object CorpusGates {
           TextAnalysis.uax29TokenCount(col("text")).as("n_tokens"),
           concat_ws("|", TextAnalysis.uax29Words(col("text"))).as("words"))
     },
+    // §2 row 143 — UAX#29 sentence segmentation: hand-pinned boundary
+    // fixtures (validated against UAX#29's default rules: terminator +
+    // lowercase does NOT break, "Dr." DOES — no abbreviation list in
+    // the default rules — CJK 。 breaks, trailing whitespace attaches,
+    // an unterminated tail is its own sentence); segments must
+    // partition the text losslessly, so the oracle pins EXACT strings
+    // including attached whitespace
+    "q_uax29_sentences" -> { (s, _) =>
+      import s.implicits._
+      val rows = Seq(
+        (1L, "First sentence. Second one! Third? 第一。第二。"),
+        (2L, "Dr. Smith arrived. He sat down."),
+        (3L, "No terminal punctuation here"),
+        (4L, "Trailing spaces.   "),
+        (5L, "A. b stays joined. C starts new."),
+        (6L, "Line one.\nLine two."),
+        (7L, ""))
+      rows.toDF("id", "text")
+        .select(col("id"),
+          posexplode(TextAnalysis.uax29Sentences(col("text"))))
+        .toDF("id", "sent_idx", "sentence")
+    },
+    // §2 row 143 — sentence-preserving chunking (greedy pack, ws
+    // tokens, maxTokens = 5): hand-derived chunks — exact budget fits,
+    // an oversized sentence alone in its own chunk, and chunks that
+    // concatenate back to the document byte-for-byte
+    "q_sent_chunks" -> { (s, _) =>
+      import s.implicits._
+      val rows = Seq(
+        (1L, "One two three. Four five. Six seven eight nine. Ten."),
+        (2L, "This single sentence has way more than five tokens total. Tiny one."),
+        (3L, "One two. Three four. Five six."),
+        (4L, ""),
+        (5L, null.asInstanceOf[String]))
+      graft.operators.Chunking.chunkBySentences(
+        rows.toDF("id", "text"), "text", "id", maxTokens = 5)
+    },
     // §2 row 130 — snapshot drift report: a formula-derived "refresh"
     // (rows dropped, text nulled, n_chars retyped, source removed,
     // quality added) vs the original; the oracle re-derives schema rows
@@ -502,6 +539,38 @@ object CorpusGates {
         |  (8::BIGINT, 5, 'C|is|fun|x2|4'),
         |  (9::BIGINT, 5, '我|爱|Spark|和|DataFrame'),
         |  (10::BIGINT, 0, '')) t(id, n_tokens, words)""".stripMargin,
+    // exact segments incl. attached trailing whitespace (lossless
+    // partition); newline via chr(10)
+    "q_uax29_sentences" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 0, 'First sentence. '),
+        |  (1::BIGINT, 1, 'Second one! '),
+        |  (1::BIGINT, 2, 'Third? '),
+        |  (1::BIGINT, 3, '第一。'),
+        |  (1::BIGINT, 4, '第二。'),
+        |  (2::BIGINT, 0, 'Dr. '),
+        |  (2::BIGINT, 1, 'Smith arrived. '),
+        |  (2::BIGINT, 2, 'He sat down.'),
+        |  (3::BIGINT, 0, 'No terminal punctuation here'),
+        |  (4::BIGINT, 0, 'Trailing spaces.   '),
+        |  (5::BIGINT, 0, 'A. b stays joined. '),
+        |  (5::BIGINT, 1, 'C starts new.'),
+        |  (6::BIGINT, 0, 'Line one.' || chr(10)),
+        |  (6::BIGINT, 1, 'Line two.')) t(id, sent_idx, sentence)""".stripMargin,
+    // greedy pack at maxTokens = 5 over ws token counts, derived by
+    // hand: doc 1 sentences carry 3/2/4/1 tokens -> chunks (3+2) and
+    // (4+1); doc 2's first sentence is 10 tokens -> its own oversized
+    // chunk; doc 3 carries 2/2/2 -> (2+2) and (2)
+    "q_sent_chunks" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 0, 2, 5::BIGINT, 'One two three. Four five. '),
+        |  (1::BIGINT, 1, 2, 5::BIGINT, 'Six seven eight nine. Ten.'),
+        |  (2::BIGINT, 0, 1, 10::BIGINT,
+        |   'This single sentence has way more than five tokens total. '),
+        |  (2::BIGINT, 1, 1, 2::BIGINT, 'Tiny one.'),
+        |  (3::BIGINT, 0, 2, 4::BIGINT, 'One two. Three four. '),
+        |  (3::BIGINT, 1, 1, 2::BIGINT, 'Five six.')
+        |) t(doc_id, chunk_idx, n_sentences, n_tokens, chunk)""".stripMargin,
     "q_snapshot_drift" ->
       """WITH newd AS (
         |  SELECT doc_id,

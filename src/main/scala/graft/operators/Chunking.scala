@@ -69,4 +69,43 @@ object Chunking {
         size(col("cw")).as("n_tokens"),
         concat_ws(" ", col("cw")).as("chunk"))
   }
+
+  /**
+   * SENTENCE-preserving chunking: pack consecutive UAX#29 sentences
+   * greedily into chunks of at most `maxTokens` tokens, never
+   * splitting a sentence — the RAG/context-window prep where
+   * [[chunkByTokens]]' sliding windows would cut mid-sentence. One
+   * native pass per document ([[graft.functions.SentencePackExpr]]:
+   * segmentation + token counting + packing with no intermediate
+   * plan arrays) followed by one generate — no shuffle, the op rides
+   * the corpus scan. Because sentence segments partition the text
+   * losslessly, the chunks of a document CONCATENATE back to exactly
+   * its original text (unlike the token windows, which re-join on
+   * single spaces) — chunking is reversible with zero bookkeeping.
+   * A sentence longer than maxTokens becomes its own oversized chunk
+   * (n_tokens says so — callers route those to [[chunkByTokens]] if
+   * they must be bounded). Empty/NULL documents produce no chunks.
+   *
+   * @param tokenizer "ws" (whitespace tokens, the engine's budget
+   *                  notion) or "uax29" (multilingual word count —
+   *                  CJK has no spaces, so "ws" would pack by
+   *                  sentence count, not budget)
+   */
+  def chunkBySentences(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    maxTokens: Int = 512,
+    tokenizer: String = "ws"
+  ): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        explode(graft.functions.SentencePackExpr(
+          col(textCol), maxTokens, tokenizer)).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_sentences").as("n_sentences"),
+        col("c.n_tokens").as("n_tokens"),
+        col("c.chunk").as("chunk"))
 }

@@ -51,6 +51,12 @@ object TextAnalysis {
     * 40-ideograph unspaced Chinese line counts 40 tokens, not 1. */
   def uax29TokenCount(c: Column): Column = size(uax29Words(c))
 
+  /** UAX#29 default-rules SENTENCE segments — a LOSSLESS partition of
+    * the input (concat(segments) == input; trailing whitespace stays
+    * attached), via the native [[graft.functions.Uax29SentencesExpr]].
+    * The boundary primitive behind [[Chunking.chunkBySentences]]. */
+  def uax29Sentences(c: Column): Column = graft.functions.Uax29SentencesExpr(c)
+
   /** Tokenizer selector accepted by the word-keyed operators. */
   val WhitespaceTokenizer = "whitespace"
   val Uax29Tokenizer = "uax29"

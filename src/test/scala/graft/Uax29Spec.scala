@@ -83,4 +83,32 @@ class Uax29Spec extends SparkSpec {
       Dedup.uax29ShingleTable(df, "text", "id", k = 3)
         .select(explode(col("sh"))).distinct().count())
   }
+
+  test("uax29Sentences: lossless partition on random text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val pieces = Array("Hello world", "ok.", "No!", "Really?", "第一。",
+      "x y z", " ", "\n", "e.g. fine", "Dr. Who", "a.b", "  tail")
+    val texts = (0L until 40L).map { i =>
+      (i, (0 until rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(" "))
+    }
+    val got = texts.toDF("id", "text")
+      .select(col("id"), col("text"),
+        concat_ws("", graft.operators.TextAnalysis.uax29Sentences(col("text")))
+          .as("rebuilt"))
+      .as[(Long, String, String)].collect()
+    got.foreach { case (id, t, r) => assert(r === t, s"doc $id") }
+  }
+
+  test("uax29Sentences: empty array for empty, NULL for NULL") {
+    import spark.implicits._
+    val out = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), graft.operators.TextAnalysis.uax29Sentences(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1)))
+      .toMap
+    assert(out(1L) === Seq.empty)
+    assert(out(2L) === null)
+  }
 }
