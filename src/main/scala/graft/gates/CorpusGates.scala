@@ -309,6 +309,28 @@ object CorpusGates {
     // value-for-value, sketch-backed metrics (HLL distincts, KLL
     // quantiles) as band verdicts computed in-plan against exact
     // aggregates (the q_hll_distinct precedent)
+    // §2 row 144 — one-pass correlation/covariance matrix over the
+    // lineitem numerics (6 pairs from one agg; a planted NULL row and
+    // a planted uncastable-free frame exercise pairwise-complete
+    // counting); corr is scale-free → round 6, covar carries the
+    // columns' raw magnitude → round 4 (error headroom ~1e5 over the
+    // engines' co-moment summation differences)
+    "q_corr_matrix" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(
+          col("l_quantity").cast("double").as("qty"),
+          when(col("l_orderkey") % 1000 === 0, lit(null).cast("double"))
+            .otherwise(col("l_extendedprice").cast("double")).as("price"),
+          col("l_discount").cast("double").as("disc"),
+          col("l_tax").cast("double").as("tax"))
+      // "+ 0" collapses IEEE −0.0 to +0.0 on both engines (a covar a
+      // hair below zero rounds to −0.0 in one engine and 0.0 in the
+      // other; −0.0 + 0.0 = +0.0 by IEEE 754)
+      Profile.correlations(li, Seq("qty", "price", "disc", "tax"))
+        .select(col("col_a"), col("col_b"), col("n_pairs"),
+          (round(col("covar"), 4) + lit(0)).as("covar"),
+          (round(col("corr"), 6) + lit(0)).as("corr"))
+    },
     "q_corpus_profile" -> { (s, dir) =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "lang", "n_chars", "text")
@@ -752,6 +774,40 @@ object CorpusGates {
       "\nSELECT bucket, round(log_ratio, 6) AS log_ratio FROM model"),
     // same gram CTE as DSIR (shared feature space); weight per gram
     // occurrence is the literal formula, score the mean through sigmoid
+    "q_corr_matrix" ->
+      """WITH li AS (
+        |  SELECT l_quantity::DOUBLE AS qty,
+        |         CASE WHEN l_orderkey % 1000 = 0 THEN NULL
+        |              ELSE l_extendedprice::DOUBLE END AS price,
+        |         l_discount::DOUBLE AS disc,
+        |         l_tax::DOUBLE AS tax
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'qty' AS col_a, 'price' AS col_b,
+        |         count(CASE WHEN qty IS NOT NULL AND price IS NOT NULL THEN 1 END) AS n_pairs,
+        |         round(covar_samp(qty, price), 4) + 0 AS covar,
+        |         round(corr(qty, price), 6) + 0 AS corr FROM li
+        |  UNION ALL
+        |  SELECT 'qty', 'disc',
+        |         count(CASE WHEN qty IS NOT NULL AND disc IS NOT NULL THEN 1 END),
+        |         round(covar_samp(qty, disc), 4) + 0, round(corr(qty, disc), 6) + 0 FROM li
+        |  UNION ALL
+        |  SELECT 'qty', 'tax',
+        |         count(CASE WHEN qty IS NOT NULL AND tax IS NOT NULL THEN 1 END),
+        |         round(covar_samp(qty, tax), 4) + 0, round(corr(qty, tax), 6) + 0 FROM li
+        |  UNION ALL
+        |  SELECT 'price', 'disc',
+        |         count(CASE WHEN price IS NOT NULL AND disc IS NOT NULL THEN 1 END),
+        |         round(covar_samp(price, disc), 4) + 0, round(corr(price, disc), 6) + 0 FROM li
+        |  UNION ALL
+        |  SELECT 'price', 'tax',
+        |         count(CASE WHEN price IS NOT NULL AND tax IS NOT NULL THEN 1 END),
+        |         round(covar_samp(price, tax), 4) + 0, round(corr(price, tax), 6) + 0 FROM li
+        |  UNION ALL
+        |  SELECT 'disc', 'tax',
+        |         count(CASE WHEN disc IS NOT NULL AND tax IS NOT NULL THEN 1 END),
+        |         round(covar_samp(disc, tax), 4) + 0, round(corr(disc, tax), 6) + 0 FROM li
+        |) t""".stripMargin,
     "q_corpus_profile" ->
       """WITH s AS (
         |  SELECT count(*) AS n,

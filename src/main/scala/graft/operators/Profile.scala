@@ -100,6 +100,63 @@ object Profile {
    * side is undefined, e.g. an uncastable mean). Wire it into [[Checks]]
    * as a fail-fast by thresholding `delta` downstream.
    */
+  /**
+   * Pairwise Pearson correlation / sample covariance of numeric
+   * columns in ONE aggregation pass — the feature-redundancy and
+   * drift-debug companion to [[profile]] (k columns = k·(k−1)/2
+   * pairs, but the DATA still moves exactly once: every co-moment is
+   * a partial-aggregable expression in the same single-row agg, so
+   * the corpus-of-record cost is one scan + one 1-row shuffle however
+   * many pairs are requested; a per-pair loop would scan k²/2 times).
+   *
+   * Per unordered pair (column order as given): `n_pairs` counts rows
+   * where BOTH cast to non-null double (pairwise-complete semantics —
+   * exactly what the co-moments aggregate over), `covar` is sample
+   * covariance, `corr` Pearson correlation (NULL when either side is
+   * constant — 0/0, via try_divide; Spark's own `corr` agg THROWS
+   * DIVIDE_BY_ZERO there under ANSI mode, so corr derives from the
+   * covariance and PAIR-COMPLETE stddevs — each side masked to rows
+   * where the other is present, so the normalization covers exactly
+   * the rows the covariance saw and the value equals textbook
+   * pairwise Pearson, which is also what DuckDB's corr computes).
+   * Values cast via try_cast (uncastable → NULL → excluded), the
+   * [[profile]] convention. Output is pair-count-sized, in-plan
+   * (explode of the agg row), no driver collect.
+   */
+  def correlations(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.length >= 2, s"need >= 2 columns: $columns")
+    columns.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    require(columns.distinct.length == columns.length,
+      s"duplicate columns: $columns")
+    val pairs = for {
+      i <- columns.indices
+      j <- (i + 1) until columns.length
+    } yield (i, j)
+    def d(c: String) = expr(s"try_cast(`$c` AS DOUBLE)")
+    val aggs = pairs.flatMap { case (i, j) =>
+      val (ca, cb) = (d(columns(i)), d(columns(j)))
+      Seq(
+        count(when(ca.isNotNull && cb.isNotNull, 1)).as(s"__n_${i}_$j"),
+        covar_samp(ca, cb).as(s"__cov_${i}_$j"),
+        // pair-complete stddevs: each side restricted to rows where the
+        // OTHER side is present, so corr normalizes over exactly the
+        // rows the covariance saw
+        stddev_samp(when(cb.isNotNull, ca)).as(s"__sa_${i}_$j"),
+        stddev_samp(when(ca.isNotNull, cb)).as(s"__sb_${i}_$j"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (i, j) =>
+        struct(
+          lit(columns(i)).as("col_a"),
+          lit(columns(j)).as("col_b"),
+          col(s"__n_${i}_$j").as("n_pairs"),
+          col(s"__cov_${i}_$j").as("covar"),
+          try_divide(col(s"__cov_${i}_$j"),
+            col(s"__sa_${i}_$j") * col(s"__sb_${i}_$j")).as("corr"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
   def drift(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val oldTypes = oldDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
     val newTypes = newDf.schema.map(f => f.name -> f.dataType.simpleString).toMap

@@ -93,4 +93,52 @@ class ProfileSpec extends SparkSpec {
     assert(rows(("row_count", "*"))._6 === Some(0.0))
     assert(rows(("null_rate", "id"))._6 === None) // empty side: undefined
   }
+
+  test("correlations: exact hand-derived co-moments, pairwise-complete nulls") {
+    import spark.implicits._
+    // y = 2x exactly (corr 1); z anti-correlates with x except where NULL
+    val df = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0), (4.0, 8.0, null))
+      .toDF("x", "y", "z")
+    val got = Profile.correlations(df, Seq("x", "y", "z"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // x over 4 rows: mean 2.5, covar(x, 2x) = 2*var(x) = 2*(5/3)
+    val (nXy, covXy, corXy) = got(("x", "y"))
+    assert(nXy === 4L)
+    assert(math.abs(covXy - 10.0 / 3.0) < 1e-12)
+    assert(math.abs(corXy - 1.0) < 1e-12)
+    // (x, z) pairwise-complete: rows 1..3 only — covar = -1, corr = -1
+    val (nXz, covXz, corXz) = got(("x", "z"))
+    assert(nXz === 3L)
+    assert(math.abs(covXz - (-1.0)) < 1e-12)
+    assert(math.abs(corXz - (-1.0)) < 1e-12)
+  }
+
+  test("correlations: constant column yields NULL corr, non-null covar 0") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "c")
+    val r = Profile.correlations(df, Seq("x", "c")).head()
+    assert(r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.isNullAt(4), "corr with a constant column is 0/0 -> NULL")
+    intercept[IllegalArgumentException] {
+      Profile.correlations(df, Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.correlations(df, Seq("x", "x"))
+    }
+  }
+
+  test("correlations: one aggregate however many pairs (single-pass plan)") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 3.0, 4.0)).toDF("a", "b", "c", "d")
+    val plan = Profile.correlations(df, Seq("a", "b", "c", "d"))
+      .queryExecution.executedPlan.toString
+    // exactly one partial+final HashAggregate pair -> 2 occurrences
+    assert("HashAggregate".r.findAllIn(plan).size <= 2,
+      s"expected one aggregation pass:\n$plan")
+  }
 }
