@@ -44,8 +44,12 @@ case class SentencePackExpr(child: Expression, maxTokens: Int, tokenizer: String
   extends UnaryExpression {
 
   require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
-  require(tokenizer == "ws" || tokenizer == "uax29",
-    s"unknown tokenizer '$tokenizer' (expected ws or uax29)")
+  // "whitespace" is the engine-wide selector constant
+  // (TextAnalysis.WhitespaceTokenizer); "ws" kept as the historical
+  // short form — one vocabulary across every tokenizer-parameterized
+  // operator, no construction-time surprises
+  require(tokenizer == "ws" || tokenizer == "whitespace" || tokenizer == "uax29",
+    s"unknown tokenizer '$tokenizer' (expected ws, whitespace, or uax29)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!child.dataType.isInstanceOf[StringType])

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, DoubleType, LongType, NumericType}
 
 /**
  * Bucket index against a SORTED boundary array by binary search: the
@@ -46,6 +46,8 @@ case class SortedBucketExpr(child: Expression, boundaries: Seq[Double])
   override protected def nullSafeEval(input: Any): Any = {
     val v = child.dataType match {
       case DoubleType => input.asInstanceOf[Double]
+      // Spark's Decimal is not a java.lang.Number — cast explicitly
+      case _: DecimalType => input.asInstanceOf[Decimal].toDouble
       case _ => input.asInstanceOf[Number].doubleValue()
     }
     SortedBucketExpr.search(b, v)
@@ -53,8 +55,14 @@ case class SortedBucketExpr(child: Expression, boundaries: Seq[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("sortedBucketExpr", this)
+    // a C-style (double) cast does not compile for the Decimal object
+    // type — use its own conversion
+    val toDouble: String => String = child.dataType match {
+      case _: DecimalType => c => s"($c).toDouble()"
+      case _ => c => s"(double)($c)"
+    }
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SortedBucketExpr.search($ref.b(), (double)($c))")
+      s"graft.functions.SortedBucketExpr.search($ref.b(), ${toDouble(c)})")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SortedBucketExpr =

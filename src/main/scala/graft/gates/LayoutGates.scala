@@ -87,23 +87,26 @@ object LayoutGates {
           .select(lit(p).as("probe"), col("doc_id"), col("lang"), col("n_chars"))
       }.reduce(_.unionByName(_))
     },
-    // §2 row 141 — incremental skip-index maintenance: base files are
-    // indexed once, a later drop appends files, SkipIndex.append
-    // indexes ONLY the new files — asserted in-gate to equal the full
-    // rebuild field-for-field (bloom bytes compared via base64), then
-    // probed through the pruned read path like q_skip_index
+    // §2 row 141 — incremental skip-index maintenance over a
+    // HIVE-PARTITIONED layout (lang=*/part-*): base files are indexed
+    // once, a later drop appends files into nested partition dirs,
+    // SkipIndex.append's recursive listing indexes ONLY the new files —
+    // asserted in-gate to equal the full rebuild field-for-field
+    // (bloom bytes compared via base64), then probed through the
+    // pruned read path like q_skip_index (basePath keeps the lang
+    // partition column populated)
     "q_skip_append" -> { (s, dir) =>
       val out = Files.createTempDirectory("graft-skipappend-gate").toString
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.filter(col("doc_id") < 250)
         .repartitionByRange(4, col("doc_id"))
-        .write.mode("overwrite").parquet(out)
+        .write.partitionBy("lang").mode("overwrite").parquet(out)
       val base = SkipIndex.build(s, out, Seq("doc_id"))
       val baseLocal = s.createDataFrame(
         java.util.Arrays.asList(base.collect(): _*), base.schema)
       d.filter(col("doc_id") >= 250)
         .repartitionByRange(4, col("doc_id"))
-        .write.mode("append").parquet(out)
+        .write.partitionBy("lang").mode("append").parquet(out)
       val appended = SkipIndex.append(s, out, baseLocal, Seq("doc_id"))
       def fields(ix: org.apache.spark.sql.DataFrame) = ix.select(
           col("file"), col("n_rows"), col("doc_id_min"), col("doc_id_max"),

@@ -120,7 +120,8 @@ object SetSim {
         explode(col("__set")).as("__tok"))
       .join(tokenDf, "__tok")
       .withColumn("__pos", row_number().over(byRarity))
-      .filter(col("__pos") <= col("__n") - ceil(col("__n") * threshold) + 1)
+      .filter(col("__pos") <=
+        col("__n") - ceil(col("__n") * threshold - lit(1e-9)) + 1)
       .select("__tok", "__id", "__n", "__pos")
 
     val capped = maxTokenBucket.fold(prefix) { c =>
@@ -159,7 +160,7 @@ object SetSim {
     val indexPrefix = 2.0 * threshold / (1.0 + threshold)
     val small = capped
       .filter(col("__pos") <=
-        col("__n") - ceil(col("__n") * indexPrefix) + 1)
+        col("__n") - ceil(col("__n") * indexPrefix - lit(1e-9)) + 1)
       .select(col("__tok"), col("__id").as("__ids"),
         col("__n").as("__ns"), col("__pos").as("__ps"))
     val large = capped.select(col("__tok"), col("__id").as("__idl"),
@@ -308,7 +309,8 @@ object SetSim {
         explode(col("__set")).as("__tok"))
       .join(tokenDf, "__tok")
       .withColumn("__pos", row_number().over(byRarity))
-      .filter(col("__pos") <= col("__n") - ceil(col("__n") * threshold) + 1)
+      .filter(col("__pos") <=
+        col("__n") - ceil(col("__n") * threshold - lit(1e-9)) + 1)
       .select(col("__tok").as("tok"), col("__id").as("id"), col("__n").as("n"),
         col("__pos").as("pos"), col("__set").as("set"), lit(threshold).as("t"))
   }

@@ -98,14 +98,24 @@ object SkipIndex {
    * rescanning indexed files (a full [[build]] over 100 TB re-reads
    * 100 TB; an append after a 1 TB drop reads 1 TB).
    *
-   * New files are discovered by a filesystem LISTING (a metadata
-   * operation) diffed against the manifest on decoded URI paths, so
-   * the same file never indexes twice whether it was named by
-   * `input_file_name()` or a Hadoop listing. Returns `existing`
-   * unchanged when nothing is new. Callers pass the SAME keyCols and
-   * bloom sizing as the original build (per-file stats must be
-   * homogeneous — a mixed index would probe inconsistently; the gate
-   * proves append ≡ full rebuild over the grown directory).
+   * New files are discovered by a RECURSIVE filesystem LISTING (a
+   * metadata operation — partitioned layouts like `dt=.../part-*` nest
+   * data files in subdirectories exactly as `build`'s partition
+   * discovery reads them; a non-recursive listing would see only
+   * directories and silently append nothing, leaving growth unindexed
+   * and readPruned dropping the new files' rows) diffed against the
+   * manifest on decoded URI paths, so the same file never indexes
+   * twice whether it was named by `input_file_name()` or a Hadoop
+   * listing. Files under hidden/metadata path segments (`_`/`.`
+   * prefixed, e.g. `_SUCCESS`, `.crc`, `_delta_log/`) are skipped at
+   * EVERY depth, matching what Spark's own file index ignores. New
+   * files read with `basePath = tableDir` so Hive-partition columns
+   * keep their values (an explicit file list alone would lose them).
+   * Returns `existing` unchanged when nothing is new. Callers pass
+   * the SAME keyCols and bloom sizing as the original build (per-file
+   * stats must be homogeneous — a mixed index would probe
+   * inconsistently; the gate proves append ≡ full rebuild over the
+   * grown directory, and the spec pins the partitioned layout).
    */
   def append(
     spark: SparkSession,
@@ -118,20 +128,32 @@ object SkipIndex {
     require(keyCols.nonEmpty, "need at least one key column")
     val dirPath = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listed = fs.listStatus(dirPath).iterator
-      .filter(_.isFile)
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        !n.startsWith("_") && !n.startsWith(".")
+    val basePath = canonical(fs.makeQualified(dirPath).toString)
+    val listed = {
+      val it = fs.listFiles(dirPath, /* recursive = */ true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) buf += st.getPath
       }
-      .toSeq
+      buf.result()
+    }.filter { p =>
+      // every path segment below the table root must be visible —
+      // a visible file under _delta_log/ is still metadata
+      val cp = canonical(p.toString)
+      val rel =
+        if (cp.startsWith(basePath)) cp.stripPrefix(basePath) else p.getName
+      rel.split('/').filter(_.nonEmpty)
+        .forall(s => !s.startsWith("_") && !s.startsWith("."))
+    }
     val known = existing.select("file").collect()
       .map(r => canonical(r.getString(0))).toSet
     val fresh = listed.filterNot(p => known.contains(canonical(p.toString)))
     if (fresh.isEmpty) existing
     else existing.unionByName(
-      buildOver(spark.read.parquet(fresh.map(_.toString): _*),
+      buildOver(
+        spark.read.option("basePath", tableDir)
+          .parquet(fresh.map(_.toString): _*),
         keyCols, expectedItems, numBits))
   }
 
@@ -163,7 +185,9 @@ object SkipIndex {
   /**
    * Read only the files that may satisfy `keyCol = value`, re-applying
    * the exact predicate (bloom false positives removed here). Zero
-   * surviving files → an empty frame with the table's schema.
+   * surviving files → an empty frame with the table's schema. The
+   * surviving-files read passes `basePath = tableDir` so
+   * Hive-partition columns keep their directory-derived values.
    */
   def readPruned(
     spark: SparkSession,
@@ -176,7 +200,8 @@ object SkipIndex {
     val full = spark.read.parquet(tableDir)
     if (files.isEmpty) full.limit(0).filter(lit(false))
     else
-      spark.read.schema(full.schema).parquet(files: _*)
+      spark.read.option("basePath", tableDir).schema(full.schema)
+        .parquet(files: _*)
         .filter(col(keyCol) === lit(value))
   }
 }

@@ -91,6 +91,41 @@ class SkipIndexSpec extends SparkSpec {
       .select("s").as[String].collect().toSeq === Seq("v432"))
   }
 
+  test("append recurses into Hive-partitioned layouts and equals the rebuild") {
+    val dir = Files.createTempDirectory("graft-skipidx6").toString
+    // dt=*/part-* nesting: a non-recursive listing sees only the dt=
+    // directories and would silently append nothing
+    (0L until 300L).map(i => (i, s"d${i % 2}", s"v$i")).toDF("id", "dt", "s")
+      .repartitionByRange(2, col("id"))
+      .write.partitionBy("dt").mode("overwrite").parquet(dir)
+    val base = SkipIndex.build(spark, dir, Seq("id"))
+    val baseLocal = spark.createDataFrame(
+      java.util.Arrays.asList(base.collect(): _*), base.schema)
+    (300L until 500L).map(i => (i, s"d${i % 2}", s"v$i")).toDF("id", "dt", "s")
+      .repartitionByRange(2, col("id"))
+      .write.partitionBy("dt").mode("append").parquet(dir)
+    val appended = SkipIndex.append(spark, dir, baseLocal, Seq("id"))
+    def fields(ix: org.apache.spark.sql.DataFrame) = ix.select(
+        col("file"), col("n_rows"), col("id_min"), col("id_max"),
+        col("id_nulls"), base64(col("id_bloom")))
+      .collect().map(_.toSeq).toSet
+    assert(fields(appended) === fields(SkipIndex.build(spark, dir, Seq("id"))))
+    assert(appended.count() > baseLocal.count())
+    // idempotence holds through the recursive listing too
+    val appendedLocal = spark.createDataFrame(
+      java.util.Arrays.asList(appended.collect(): _*), appended.schema)
+    assert(SkipIndex.append(spark, dir, appendedLocal, Seq("id")) eq appendedLocal)
+    // pruned reads over the appended index see BOTH drops, with the
+    // partition column populated (basePath) — the old listing bug made
+    // exactly this read silently drop the second drop's rows
+    assert(SkipIndex.readPruned(spark, dir, appendedLocal, "id", 432L)
+      .select("s", "dt").as[(String, String)].collect().toSeq ===
+      Seq(("v432", "d0")))
+    assert(SkipIndex.readPruned(spark, dir, appendedLocal, "id", 7L)
+      .select("s", "dt").as[(String, String)].collect().toSeq ===
+      Seq(("v7", "d1")))
+  }
+
   test("plan-side bloom probe collects only surviving file names") {
     val dir = Files.createTempDirectory("graft-skipidx5").toString
     val df = (0L until 1000L).map(i => (i, i % 2)).toDF("id", "parity")
