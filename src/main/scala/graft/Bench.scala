@@ -128,7 +128,17 @@ object Bench {
     "q_cdc_stream",         // streaming materialized table: 3 foreachBatch folds + versioned snapshot reads (r12)
     "q_robust_outliers",    // median/MAD outliers: two exact percentile aggs + broadcast stats joins (r12)
     "q_decayed_score",      // recency decay: one key shuffle, rank window + sum on the same partitioning (r12)
-    "q_bloom_semi_join"     // bloom-prefiltered semi join: scan-stage might_contain before the exchange (r12)
+    "q_bloom_semi_join",    // bloom-prefiltered semi join: scan-stage might_contain before the exchange (r12)
+    "q_setsim_incr",        // cross-corpus exact set-sim join: persisted prefix index semi-joined vs broadcast batch tokens (r13, benched r14)
+    "q_editdist_incr",      // cross-corpus edit-distance join: persisted variant index vs broadcast batch neighborhood (r13, benched r14)
+    "q_forget_neardup",     // index forget, heaviest arm: anti-join removal ids off the minhash signature index + rebuild-parity check (r13, benched r14)
+    "q_zorder_rank",        // rank-scaled z-order: one quantile agg + native sorted-bucket interleave projection (r13, benched r14)
+    "q_skip_append",        // incremental skip-index append over a partitioned layout + pruned point reads (r13, benched r14)
+    "q_image_neardup",      // image dHash + generalized Hamming banding near-dup (r13, benched r14)
+    "q_sent_chunks",        // UAX#29 sentence-preserving chunking: one native segmentation+packing pass (r13, benched r14)
+    "q_uax29",              // UAX#29 word segmentation: native BreakIterator scan projection (r13, benched r14)
+    "q_corr_matrix",        // one-pass correlation/covariance matrix: single agg, pair-sized explode (r13, benched r14)
+    "q_bm25_incr"           // persisted BM25 index: parquet build + broadcast-term probe, match-bounded scoring (r14)
   )
 
   private def jsonStr(s: String): String =

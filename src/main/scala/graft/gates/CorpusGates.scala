@@ -42,6 +42,21 @@ object CorpusGates {
           bm25Queries(s), "query_id", "qtext")
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
     },
+    // §2 row 145 — persisted BM25 retrieval index: the inverted index
+    // is built ONCE, round-tripped through parquet (the artifact a
+    // real deployment persists), and probed with broadcast query
+    // terms — gated under the SAME oracle as q_bm25, so index-probe
+    // scores are pinned value-equal to the inline recompute
+    "q_bm25_incr" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25idx-gate").toString
+      Retrieval.bm25Index(
+          docs(s, dir).select("doc_id", "text"), "text", "doc_id")
+        .write.mode("overwrite").parquet(out)
+      Retrieval.bm25ScoresAgainst(
+          s.read.parquet(out), bm25Queries(s), "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
     // §2.4 row 70 — unigram KL drift: corpus A = documents; corpus B =
     // a biased subsample (every 3rd doc) + planted spam flood — the
     // drifted-batch shape the monitor exists to catch
@@ -514,8 +529,10 @@ object CorpusGates {
          |SELECT doc_id, round(q, 6) AS quality_score FROM sc""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "q_bm25" -> {
+  /** Shared verbatim by q_bm25 (inline) and q_bm25_incr (persisted
+    * index probe): same corpus, same queries, same math — the gate
+    * pair IS the index-equals-inline contract. */
+  private lazy val Bm25Sql: String = {
       val qnorm = "trim(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'))"
       s"""WITH q(query_id, qtext) AS (VALUES
          |  (1::BIGINT, 'fast hash join'),
@@ -540,7 +557,11 @@ object CorpusGates {
          |SELECT qt.query_id, c.doc_id, round(sum(c.c), 4) AS score
          |FROM contrib c JOIN qt USING (word)
          |GROUP BY qt.query_id, c.doc_id""".stripMargin
-    },
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_bm25" -> Bm25Sql,
+    "q_bm25_incr" -> Bm25Sql,
     "q_fold_accents" ->
       """SELECT id, strip_accents(text) AS folded FROM (VALUES
         |  (1::BIGINT, 'café crème brûlée'),

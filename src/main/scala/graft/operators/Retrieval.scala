@@ -116,6 +116,121 @@ object Retrieval {
   }
 
   /**
+   * PERSISTED retrieval index — the build-once artifact that makes
+   * repeated targeted selection match-bounded: [[bm25Scores]] re-scans
+   * and re-aggregates the corpus per query batch (fine for one probe,
+   * wasteful when a 100 TB corpus is probed daily), this builds the
+   * full inverted index ONCE and [[bm25ScoresAgainst]] probes it with
+   * only broadcast-joined query terms — the row-79/136 incremental
+   * pattern applied to retrieval.
+   *
+   * One frame, persist as parquet: one row per (word, doc) posting —
+   * `(word, doc_id, tf, dl, df, n_docs, avgdl)` with the per-word
+   * document frequency DENORMALIZED onto its postings (8 bytes a row
+   * buys probe-time scoring with zero extra joins) and the corpus
+   * stats riding every row as constants (parquet RLE stores a
+   * constant column in a handful of bytes per row group). All BM25
+   * inputs are in the row, so k1/b stay PROBE-time parameters — one
+   * index serves any scoring configuration.
+   *
+   * Scale shape: one corpus explode → one map-side-combined
+   * (word, doc) aggregation (the token stream collapses to postings
+   * before its shuffle); df is the [[bm25Scores]] partial-agg shape
+   * over the postings aggregate (per-partition partials collapse to
+   * ≤ |vocab-per-partition| rows before the word shuffle — never a
+   * per-word count window, a stopword's postings would straggle one
+   * task) joined back SHUFFLE-wise on word (vocabulary at corpus
+   * scale is NOT broadcast-sized — billions of distinct tokens — and
+   * a skewed word join is AQE-splittable where a window is not);
+   * stats are a broadcast 1-row aggregate. Corpus text never
+   * persists into the index.
+   */
+  def bm25Index(
+    corpus: DataFrame,
+    textCol: String,
+    idCol: String
+  ): DataFrame = {
+    val docs = Dedup.wordTable(corpus, textCol, idCol)
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    // N/avgdl count ALL docs incl. token-free ones (bm25Scores parity)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(avg(col("dl")), lit(0.0)).as("avgdl"))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
+      .groupBy("word", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    // the opaque-predicate spelling keeps this branch column-identical
+    // to the postings aggregate (the bm25Scores ReuseExchange guard)
+    val dfTable = postings
+      .groupBy("word")
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
+    postings
+      .join(dfTable, Seq("word"))
+      .crossJoin(broadcast(stats))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"),
+        col("df"), col("n_docs"), col("avgdl"))
+  }
+
+  /**
+   * BM25 scores probed from a persisted [[bm25Index]]: value-identical
+   * to [[bm25Scores]] over the same corpus (identical operands through
+   * identical arithmetic — tf/dl/df/N are exact longs and avgdl
+   * round-trips parquet bit-exactly; the gate pins it under the same
+   * oracle), at MATCH-bounded cost: the metadata-sized query term set
+   * is broadcast-inner-joined onto the index scan (only postings of
+   * query words survive the scan stage — the index is never shuffled
+   * beyond them) and the only exchange is the candidate-sized
+   * (query, doc) score aggregation. A query term the corpus has never
+   * seen matches nothing; document frequencies are read, not
+   * recomputed.
+   */
+  def bm25ScoresAgainst(
+    index: DataFrame,
+    queries: DataFrame,
+    queryIdCol: String,
+    queryTextCol: String,
+    k1: Double = 1.2,
+    b: Double = 0.75
+  ): DataFrame = {
+    require(k1 >= 0.0, s"k1 must be non-negative: $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1]: $b")
+    val qterms = queries.select(
+      col(queryIdCol).as("query_id"),
+      explode(graft.functions.Hashing.normalizedWords(col(queryTextCol))).as("word"))
+      .distinct()
+    val idf: Column =
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfPart: Column =
+      col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    index
+      .join(broadcast(qterms), Seq("word"))
+      .select(col("query_id"), col("doc_id"), (idf * tfPart).as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+  }
+
+  /** Top-k per query over the persisted index: [[bm25ScoresAgainst]]
+    * + the [[bm25TopK]] WindowGroupLimit ranking. */
+  def bm25TopKAgainst(
+    index: DataFrame,
+    queries: DataFrame,
+    queryIdCol: String,
+    queryTextCol: String,
+    k: Int = 10,
+    k1: Double = 1.2,
+    b: Double = 0.75
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    bm25ScoresAgainst(index, queries, queryIdCol, queryTextCol, k1, b)
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * Top-k documents per query: (query_id, doc_id, score, rank), rank
    * 1..k by score desc with doc_id tiebreak. row_number ≤ k plans as
    * WindowGroupLimit — each partition surrenders only its local top-k

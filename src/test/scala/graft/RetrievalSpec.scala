@@ -96,5 +96,68 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(corpus, "text", "doc_id", queries, "query_id", "qtext", k = 0)
     }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25ScoresAgainst(
+        Retrieval.bm25Index(corpus, "text", "doc_id"),
+        queries, "query_id", "qtext", k1 = -1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKAgainst(
+        Retrieval.bm25Index(corpus, "text", "doc_id"),
+        queries, "query_id", "qtext", k = 0)
+    }
+  }
+
+  private def persistedIndex(): org.apache.spark.sql.DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    Retrieval.bm25Index(corpus, "text", "doc_id")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  test("index probe is value-identical to the inline scores through parquet") {
+    val idx = persistedIndex()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // default params and a probe-time override both match EXACTLY —
+    // identical longs through identical arithmetic, avgdl round-trips
+    // parquet bit-exactly, and k1/b live only at probe time
+    val inline0 = m(Retrieval.bm25Scores(
+      corpus, "text", "doc_id", queries, "query_id", "qtext"))
+    val probe0 = m(Retrieval.bm25ScoresAgainst(idx, queries, "query_id", "qtext"))
+    assert(probe0 == inline0)
+    val inlineB0 = m(Retrieval.bm25Scores(
+      corpus, "text", "doc_id", queries, "query_id", "qtext", b = 0.0))
+    val probeB0 = m(Retrieval.bm25ScoresAgainst(idx, queries, "query_id", "qtext", b = 0.0))
+    assert(probeB0 == inlineB0)
+    // the out-of-corpus query term (query 30) still matches nothing
+    assert(!probe0.keySet.exists(_._1 == 30L))
+  }
+
+  test("bm25TopKAgainst ranks like bm25TopK") {
+    val idx = persistedIndex()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(
+      rows(Retrieval.bm25TopKAgainst(idx, queries, "query_id", "qtext", k = 1)) ==
+      rows(Retrieval.bm25TopK(
+        corpus, "text", "doc_id", queries, "query_id", "qtext", k = 1)))
+  }
+
+  test("index stores exact postings stats; probe broadcasts terms, no sort-merge") {
+    val idx = Retrieval.bm25Index(corpus, "text", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    // doc 1 = "spark shuffle join spark spark": tf(spark)=3, dl=5;
+    // df(spark)=2 (docs 1,2); N=5 incl. the empty doc; avgdl=15/5
+    assert(idx(("spark", 1L)) == ((3L, 5, 2L, 5L, 3.0)))
+    assert(idx(("join", 2L)) == ((1L, 2, 2L, 5L, 3.0)))
+    val q = Retrieval.bm25ScoresAgainst(persistedIndex(), queries, "query_id", "qtext")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 }
