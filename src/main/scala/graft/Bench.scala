@@ -138,7 +138,9 @@ object Bench {
     "q_sent_chunks",        // UAX#29 sentence-preserving chunking: one native segmentation+packing pass (r13, benched r14)
     "q_uax29",              // UAX#29 word segmentation: native BreakIterator scan projection (r13, benched r14)
     "q_corr_matrix",        // one-pass correlation/covariance matrix: single agg, pair-sized explode (r13, benched r14)
-    "q_bm25_incr"           // persisted BM25 index: parquet build + broadcast-term probe, match-bounded scoring (r14)
+    "q_bm25_incr",          // persisted BM25 index: parquet build + broadcast-term probe, match-bounded scoring (r14)
+    "q_forget_setsim",      // forget over the setsim prefix index + cross-corpus probe through the stale-order index (r14)
+    "q_forget_editsim"      // forget over the edit-variant index + in-gate rebuild-parity + cross-corpus probe (r14)
   )
 
   private def jsonStr(s: String): String =

@@ -137,6 +137,49 @@ object SimJoinGates {
           maxDist = 2),
         "s", "doc_id", maxDist = 2)
     },
+    // §2 row 139 × 136 — forget over the persisted setsim prefix index:
+    // Forget.removeIds drops the removed docs' prefix rows; the gate
+    // pins the post-forget index through the JOIN SURFACE (probe batch
+    // vs forgotten index ≡ brute-force join vs the REDUCED corpus) —
+    // deliberately NOT index ≡ rebuild: the kept rows' rarity ranks
+    // were computed under the FULL corpus' df and a rebuild re-ranks
+    // under the reduced df, but stale order costs ZERO exactness — the
+    // prefix-completeness and position-bound arguments are
+    // ORDER-INDEPENDENT (any fixed per-doc order works: if no prefix
+    // token matches, overlap <= n - prefixLen < t·n; the FIRST common
+    // token in a's stored order bounds overlap <= 1 + n - pos), so
+    // forgotten docs never match and every kept qualifying pair
+    // survives. Removed originals' re-keyed near-copies ride the batch
+    // (doc_id % 30 == 0 → +100000): their pairs must VANISH.
+    "q_forget_setsim" -> { (s, dir) =>
+      val kept = graft.operators.Forget.removeIds(
+        SetSim.setSimShingleIndex(simPrior(s, dir), "text", "doc_id",
+          threshold = 0.5),
+        "id",
+        simPrior(s, dir).filter(col("doc_id") % 6 === 0), "doc_id")
+      SetSim.setSimilarityPairsAgainst(
+          setsimIncrBatch(s, dir), kept, "text", "doc_id", threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    },
+    // §2 row 139 × 137 — forget over the persisted edit-variant index:
+    // variants are ROW-LOCAL (a string's deletion neighborhood depends
+    // on nothing global), so here post-forget ≡ rebuild holds exactly
+    // and is asserted in-gate; the oracle pins the join surface vs the
+    // reduced corpus like q_editdist_incr
+    "q_forget_editsim" -> { (s, dir) =>
+      val kept = graft.operators.Forget.removeIds(
+        EditSim.editVariantIndex(editPriorKeys(s, dir), "s", "doc_id",
+          maxDist = 2),
+        "id",
+        editPriorKeys(s, dir).filter(col("doc_id") % 6 === 0), "doc_id")
+      val rebuilt = EditSim.editVariantIndex(
+        editPriorKeys(s, dir).filter(col("doc_id") % 6 =!= 0), "s", "doc_id",
+        maxDist = 2)
+      assert(kept.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(kept).isEmpty,
+        "post-forget edit-variant index must equal a rebuild from the reduced corpus")
+      EditSim.editDistancePairsAgainst(
+        editIncrBatch(s, dir), kept, "s", "doc_id", maxDist = 2)
+    },
     // §2 row 122 — sorted-neighborhood blocking pass (window 5) over the
     // same normalized key prefixes: every pair within rank distance < 5
     // of the (key, id) total order, re-derived by the oracle's
@@ -232,6 +275,59 @@ object SimJoinGates {
          |JOIN sb ON sb.doc_id = bid
          |JOIN sp ON sp.doc_id = iid
          |WHERE ov * 1.0 / (sb.n + sp.n - ov) >= 0.5""".stripMargin,
+    "q_forget_setsim" ->
+      s"""WITH prior AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 2 = 0 AND doc_id % 6 <> 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' zzz qqq www' FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id < 400),
+         |wp AS (SELECT doc_id, $NormSql AS norm,
+         |              string_split($NormSql, ' ') AS w FROM prior),
+         |shp AS (SELECT DISTINCT doc_id,
+         |          unnest(CASE WHEN len(w) < 3 THEN [norm]
+         |                 ELSE list_transform(range(0, len(w) - 2),
+         |                        j -> array_to_string(w[j+1:j+3], ' ')) END) AS tok
+         |        FROM wp),
+         |wb AS (SELECT doc_id, $NormSql AS norm,
+         |              string_split($NormSql, ' ') AS w FROM batch),
+         |shb AS (SELECT DISTINCT doc_id,
+         |          unnest(CASE WHEN len(w) < 3 THEN [norm]
+         |                 ELSE list_transform(range(0, len(w) - 2),
+         |                        j -> array_to_string(w[j+1:j+3], ' ')) END) AS tok
+         |        FROM wb),
+         |sp AS (SELECT doc_id, count(*) n FROM shp GROUP BY 1),
+         |sb AS (SELECT doc_id, count(*) n FROM shb GROUP BY 1),
+         |inter AS (
+         |  SELECT b.doc_id bid, p.doc_id iid, count(*) ov
+         |  FROM shb b JOIN shp p ON b.tok = p.tok
+         |  GROUP BY 1, 2)
+         |SELECT bid AS batch_id, iid AS index_id,
+         |       round(ov * 1.0 / (sb.n + sp.n - ov), 6) AS jaccard
+         |FROM inter
+         |JOIN sb ON sb.doc_id = bid
+         |JOIN sp ON sp.doc_id = iid
+         |WHERE ov * 1.0 / (sb.n + sp.n - ov) >= 0.5""".stripMargin,
+    "q_forget_editsim" ->
+      s"""WITH keys AS (
+         |  SELECT doc_id, substr($NormSql, 1, 24) AS s
+         |  FROM documents WHERE doc_id < 400),
+         |prior AS (SELECT doc_id, s FROM keys
+         |          WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0),
+         |batch AS (
+         |  SELECT doc_id, s FROM keys WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 100000, 'z' || substr(s, 2) FROM keys
+         |  WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, 'z' || substr(s, 2, 3) || 'q' || substr(s, 6)
+         |  FROM keys WHERE doc_id % 20 = 0)
+         |SELECT b.doc_id AS batch_id, p.doc_id AS index_id,
+         |       levenshtein(b.s, p.s) AS edit_dist
+         |FROM batch b JOIN prior p ON levenshtein(b.s, p.s) <= 2""".stripMargin,
     "q_editdist_incr" ->
       s"""WITH keys AS (
          |  SELECT doc_id, substr($NormSql, 1, 24) AS s
