@@ -48,4 +48,18 @@ object Hashing {
     * expression, so no regex strip is needed (and none would be safe —
     * `[^a-z0-9]` would erase every non-Latin script). */
   def uax29NormalizedWords(c: Column): Column = Uax29WordsExpr(lower(c))
+
+  /** Normalized text under the named tokenizer — the one string every
+    * hash-keyed EXACT arm fingerprints. "whitespace" is
+    * [[normalizeText]] (which maps non-ASCII-alnum to spaces: ALL CJK
+    * text normalizes to EMPTY — fine for Latin corpora, catastrophic
+    * over-collapse for multilingual ones); "uax29" space-joins
+    * [[uax29NormalizedWords]], so two CJK docs are equal iff their
+    * segmented word sequences are. */
+  def normalizedTextFor(c: Column, tokenizer: String): Column = tokenizer match {
+    case "whitespace" => normalizeText(c)
+    case "uax29" => concat_ws(" ", uax29NormalizedWords(c))
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other' (expected whitespace or uax29)")
+  }
 }

@@ -71,6 +71,40 @@ object PipelineGates {
           col("split")))
       }
     },
+    // §2 row 138 × 52 — the capstone's uax29 tokenizer arm over a
+    // planted CJK fixture (constant-table oracle, the q_uax29
+    // precedent): docs 1/2 share a 56-ideograph run (doc 2 inserts one
+    // ideograph + a different Latin tail — uax29 3-shingle jaccard
+    // 54/59 ≈ 0.915 ≥ 0.8), doc 3 is a DISJOINT ideograph run, doc 4
+    // Latin control. Under tokenizer="uax29" near-dup drops doc 2;
+    // under the whitespace default the SAME corpus keeps it (CJK
+    // normalizes away, each doc's norm is just its distinct Latin tail
+    // → single whole-norm fallback shingles, jaccard 0) — asserted
+    // in-gate as the contrast the arm exists for
+    "q_curation_uax29" -> { (s, dir) =>
+      import s.implicits._
+      val cjkA = "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁" +
+        "律吕调阳云腾致雨露结为霜金生丽水玉出昆冈剑号巨阙珠称夜光"
+      val cjkB = "果珍李柰菜重芥姜海咸河淡鳞潜羽翔龙师火帝鸟官人皇始制文字" +
+        "乃服衣裳推位让国有虞陶唐吊民伐罪周发殷汤坐朝问道垂拱平章"
+      def corpus = Seq(
+        (1L, cjkA + " latin one"),
+        (2L, cjkA + "异 latin two"),
+        (3L, cjkB + " latin three"),
+        (4L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      val wsKept = CurationPipeline.run(corpus, "text", "doc_id",
+        CurationPipeline.Config(minQuality = 0.0)) {
+        _.select("doc_id").as[Long].collect().toSet
+      }
+      assert(wsKept == Set(1L, 2L, 3L, 4L),
+        s"whitespace tokenizer must MISS the CJK near-dup pair; kept $wsKept")
+      CurationPipeline.run(corpus, "text", "doc_id",
+        CurationPipeline.Config(
+          tokenizer = TextAnalysis.Uax29Tokenizer, minQuality = 0.0)) {
+        curated => graft.operators.Similarity.localize(curated.select("doc_id"))
+      }
+    },
     // §2.4 row 52b — the pipeline's per-stage row ACCOUNTING: the
     // observe (CollectMetrics) counters runObserved rides on the one
     // action, gated against DuckDB re-counting every stage CTE — a
@@ -203,6 +237,11 @@ object PipelineGates {
          |  WHERE rk <= 40)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the surviving ids of the planted CJK fixture: doc 2 is the
+    // uax29-caught near-dup of doc 1 (dropped), 3 and 4 unrelated —
+    // hand-derived constant table, the q_uax29 precedent
+    "q_curation_uax29" ->
+      "SELECT * FROM (VALUES (1::BIGINT), (3::BIGINT), (4::BIGINT)) t(doc_id)",
     "q_curation_e2e" -> (CurationCte + "\n" +
       s"""-- stage 7: split assignment (seed 'graft', 0.8/0.1/0.1)
          |SELECT doc_id, md5(text) AS text_md5,

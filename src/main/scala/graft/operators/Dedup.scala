@@ -91,9 +91,12 @@ object Dedup {
    * would re-scan it). Spark's WindowGroupLimit pushes the rn=1 filter
    * into a per-partition top-1 before the shuffle.
    */
-  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def dropExactDuplicates(
+    df: DataFrame, textCol: String, idCol: String,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
+  ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(Hashing.normalizeText(col(textCol))))
+      .partitionBy(md5(Hashing.normalizedTextFor(col(textCol), tokenizer)))
       .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -227,6 +230,21 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.ShingleHashExpr(col("w"), col("norm"), k).as("hs"))
 
+  /** Tokenizer dispatch for the hashed-shingle entry (the
+    * [[graft.operators.TextAnalysis.normalizedWordsFor]] convention):
+    * "whitespace" → [[hashedShingleTable]], "uax29" →
+    * [[uax29HashedShingleTable]] — every shingle consumer that takes a
+    * `tokenizer` parameter routes through here, so the whole dedup
+    * family agrees on what a word is. */
+  def hashedShingleTableFor(
+    df: DataFrame, textCol: String, idCol: String, k: Int, tokenizer: String
+  ): DataFrame = tokenizer match {
+    case TextAnalysis.WhitespaceTokenizer => hashedShingleTable(df, textCol, idCol, k)
+    case TextAnalysis.Uax29Tokenizer => uax29HashedShingleTable(df, textCol, idCol, k)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other' (expected ${TextAnalysis.WhitespaceTokenizer} or ${TextAnalysis.Uax29Tokenizer})")
+  }
+
   /**
    * MinHash signature over an array of 60-bit base shingle hashes:
    * element i is min over shingles of (md5_60(shingle) XOR seed_i), with
@@ -260,9 +278,10 @@ object Dedup {
     textCol: String,
     idCol: String,
     k: Int = 3,
-    numHashes: Int = 16
+    numHashes: Int = 16,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
   ): DataFrame =
-    hashedShingleTable(df, textCol, idCol, k)
+    hashedShingleTableFor(df, textCol, idCol, k, tokenizer)
       .select(
         col("doc_id"),
         graft.functions.MinHashSignatureExpr(col("hs"), numHashes).as("signature")
@@ -422,12 +441,13 @@ object Dedup {
     numHashes: Int = 16,
     bands: Int = 4,
     threshold: Double = 0.8,
-    maxBucket: Option[Int] = DefaultMaxBucket
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
   ): DataFrame = {
     // one hashed-shingle derivation feeds BOTH the signature and verify
     // stages (persist it upstream to pay the normalize+shingle+hash cost
     // once at cluster scale)
-    val hst = hashedShingleTable(df, textCol, idCol, k)
+    val hst = hashedShingleTableFor(df, textCol, idCol, k, tokenizer)
     val sigs = hst.select(
       col("doc_id"),
       graft.functions.MinHashSignatureExpr(col("hs"), numHashes).as("signature"))
@@ -696,9 +716,11 @@ object Dedup {
     numHashes: Int = 16,
     bands: Int = 4,
     threshold: Double = 0.8,
-    maxBucket: Option[Int] = DefaultMaxBucket
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
   ): DataFrame = {
-    val losers = nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold, maxBucket)
+    val losers = nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold,
+      maxBucket, tokenizer)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -1261,8 +1283,12 @@ object Dedup {
    * of 32-char strings; the index is |distinct docs| × 32 chars — ~3 GB
    * per 100M distinct documents, a small fraction of corpus size.
    */
-  def exactFingerprintIndex(df: DataFrame, textCol: String): DataFrame =
-    df.select(md5(Hashing.normalizeText(col(textCol))).as("fingerprint")).distinct()
+  def exactFingerprintIndex(
+    df: DataFrame, textCol: String,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
+  ): DataFrame =
+    df.select(md5(Hashing.normalizedTextFor(col(textCol), tokenizer))
+      .as("fingerprint")).distinct()
 
   /**
    * The COUNTED exact-dedup index: (fingerprint, n_docs) — how many
@@ -1274,8 +1300,12 @@ object Dedup {
    * plain index (map-side combined groupBy instead of distinct), 8
    * extra bytes per row.
    */
-  def exactFingerprintIndexCounted(df: DataFrame, textCol: String): DataFrame =
-    df.select(md5(Hashing.normalizeText(col(textCol))).as("fingerprint"))
+  def exactFingerprintIndexCounted(
+    df: DataFrame, textCol: String,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
+  ): DataFrame =
+    df.select(md5(Hashing.normalizedTextFor(col(textCol), tokenizer))
+        .as("fingerprint"))
       .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
 
   /**
@@ -1302,11 +1332,12 @@ object Dedup {
   def dropExactDuplicatesAgainst(
     batch: DataFrame,
     index: DataFrame,
-    textCol: String
+    textCol: String,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
   ): DataFrame =
     batch.join(
       index,
-      md5(Hashing.normalizeText(col(textCol))) === index("fingerprint"),
+      md5(Hashing.normalizedTextFor(col(textCol), tokenizer)) === index("fingerprint"),
       "left_anti")
 
   /**
@@ -1358,7 +1389,8 @@ object Dedup {
     bands: Int = 4,
     threshold: Double = 0.8,
     maxBucket: Option[Int] = DefaultMaxBucket,
-    broadcastBatch: Boolean = true
+    broadcastBatch: Boolean = true,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
   ): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
@@ -1381,7 +1413,8 @@ object Dedup {
           col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
     val batchBuckets = sigBands(
-        minHashSignatures(batch, textCol, idCol, k, numHashes), "batch_id", "__sig_b")
+        minHashSignatures(batch, textCol, idCol, k, numHashes, tokenizer),
+        "batch_id", "__sig_b")
       .groupBy("band", "band_key")
       .agg(collect_set(struct(col("batch_id"), col("__sig_b"))).as("batch_items"))
     // the semi probe derives from the SAME aggregation, so the batch's
@@ -1600,11 +1633,12 @@ object Dedup {
     bands: Int = 4,
     threshold: Double = 0.8,
     maxBucket: Option[Int] = DefaultMaxBucket,
-    broadcastBatch: Boolean = true
+    broadcastBatch: Boolean = true,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
   ): DataFrame = {
     val matched = nearDuplicatesAgainstIndex(
       batch, indexSignatures, textCol, idCol,
-      k, numHashes, bands, threshold, maxBucket, broadcastBatch)
+      k, numHashes, bands, threshold, maxBucket, broadcastBatch, tokenizer)
       .select(col("batch_id").as(idCol)).distinct()
     batch.join(matched, Seq(idCol), "left_anti")
   }

@@ -391,11 +391,12 @@ object TextAnalysis {
     maxBulletRatio: Double = 0.9,
     maxEllipsisRatio: Double = 0.3,
     minAlphaWordRatio: Double = 0.8,
-    minStopHits: Int = 2
+    minStopHits: Int = 2,
+    tokenizer: String = WhitespaceTokenizer
   ): DataFrame = {
     Cols.requireAbsent(df, "__w", "__ln")
     val staged = df
-      .withColumn("__w", gopherWords(col(textCol)))
+      .withColumn("__w", gopherWordsFor(col(textCol), tokenizer))
       .withColumn("__ln", split(col(textCol), "\n"))
     val s = gopherSignals(col(textCol), col("__w"), col("__ln"))
     staged.filter(

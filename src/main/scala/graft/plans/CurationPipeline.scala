@@ -76,6 +76,23 @@ object CurationPipeline {
     vecCol: String = "embedding",
     idCol: String = "doc_id")
 
+  /** The image near-dup stage for [[Config.imageDedup]] — the
+    * multimodal arm of the dedup chain: `payloads` is the corpus's
+    * media side-table keyed by the SAME ids as the text rows
+    * (`idCol`, matched against the pipeline's post-scrub "doc_id"),
+    * raw encoded bytes in `payloadCol`. Documents whose decoded image
+    * dHash lands within `maxHamming` bits of a lower-id document's are
+    * dropped ([[graft.operators.Multimodal.imageNearDups]] — 64-bit
+    * perceptual hash + the generalized Hamming banding, never
+    * all-pairs); undecodable/absent payloads never match and are never
+    * dropped by this stage. */
+  final case class ImageDedup(
+    payloads: DataFrame,
+    payloadCol: String = "payload",
+    idCol: String = "doc_id",
+    maxHamming: Int = 3,
+    bands: Int = 4)
+
   /** The model-quality gate for [[Config.qualityModel]]: a fitted
     * [[graft.operators.QualityClassifier]] dense weight spine + bias
     * (e.g. `QualityClassifier.fit(...)` unpacked, or weights read back
@@ -166,6 +183,26 @@ object CurationPipeline {
       * broadcast spine, one score row per doc into a semi join — the
       * [[graft.operators.Contamination.decontaminate]] shape. */
     qualityModel: Option[ModelGate] = None,
+    /** Word notion for every hash-keyed dedup/shingle/Gopher stage:
+      * [[TextAnalysis.WhitespaceTokenizer]] (default — oracle-portable,
+      * right for Latin-script corpora) or [[TextAnalysis.Uax29Tokenizer]]
+      * for multilingual corpora, where whitespace keying is actively
+      * WRONG twice over: `normalizeText` maps CJK to empty (exact dedup
+      * collapses every CJK doc into one fingerprint) and unspaced text
+      * shingles as one whole-line token (near-dup recall dies). Threads
+      * to exact dedup + fingerprints, MinHash shingling (within-batch,
+      * against-index, and the [[signatureIndex]]/[[exactIndex]]
+      * builders — the same-scrub caveat extends to same-tokenizer), and
+      * the Gopher word signals. The SimHash prior arm and the
+      * contamination grams stay whitespace-keyed (eval sets are
+      * Latin-script benchmarks; a uax29 SimHash arm composes via
+      * [[graft.operators.Dedup.uax29WordTable]] when needed). */
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer,
+    /** Optional multimodal dedup stage ([[ImageDedup]]): runs right
+      * after text near-dup, dropping docs whose IMAGE near-duplicates a
+      * kept doc's — re-encoded/rescaled copies that byte-exact and
+      * text dedup both miss. */
+    imageDedup: Option[ImageDedup] = None,
     perGroupCap: Option[(String, Int)] = None,
     targetMix: Option[(String, Seq[(String, Long)])] = None,
     splits: Seq[(String, Double)] = Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)),
@@ -205,7 +242,8 @@ object CurationPipeline {
   def exactIndex(
     corpus: DataFrame, textCol: String, idCol: String, cfg: Config = Config()
   ): DataFrame =
-    Dedup.exactFingerprintIndex(scrub(corpus, textCol, idCol, cfg), textCol)
+    Dedup.exactFingerprintIndex(scrub(corpus, textCol, idCol, cfg), textCol,
+      cfg.tokenizer)
 
   /** [[graft.operators.Dedup.minHashSignatures]] over SAME-scrubbed
     * text (cfg's shingleK/numHashes, so banding lines up too) — the
@@ -214,7 +252,7 @@ object CurationPipeline {
     corpus: DataFrame, textCol: String, idCol: String, cfg: Config = Config()
   ): DataFrame =
     Dedup.minHashSignatures(scrub(corpus, textCol, idCol, cfg), textCol,
-      "doc_id", cfg.shingleK, cfg.numHashes)
+      "doc_id", cfg.shingleK, cfg.numHashes, cfg.tokenizer)
 
   /** [[graft.operators.Dedup.simHashes]] over SAME-scrubbed text — the
     * artifact [[Config.priorSimhashes]] expects. */
@@ -379,11 +417,11 @@ object CurationPipeline {
           // grow the indexes from THIS batch's survivors. The curated
           // text is already scrubbed, so the index derives directly —
           // same artifact exactIndex/signatureIndex build via scrub
-          Dedup.exactFingerprintIndex(pinned, textCol)
+          Dedup.exactFingerprintIndex(pinned, textCol, cfg.tokenizer)
             .write.mode("append").parquet(fpPath)
           if (nearDup)
             Dedup.minHashSignatures(pinned, textCol, "doc_id",
-                cfg.shingleK, cfg.numHashes)
+                cfg.shingleK, cfg.numHashes, cfg.tokenizer)
               .write.mode("append").parquet(sigPath)
         } finally pinned.unpersist()
       }
@@ -426,11 +464,11 @@ object CurationPipeline {
     // (optional) — runs BEFORE within-batch dedup so the already-seen
     // majority of a re-crawl never reaches the shingle/signature stages
     val fresh0 = cfg.priorFingerprints.fold(scrubbed)(idx =>
-      Dedup.dropExactDuplicatesAgainst(scrubbed, idx, textCol))
+      Dedup.dropExactDuplicatesAgainst(scrubbed, idx, textCol, cfg.tokenizer))
     val fresh1 = cfg.priorSignatures.fold(fresh0)(idx =>
       Dedup.dropNearDuplicatesAgainst(fresh0, idx, textCol, "doc_id",
         k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
-        threshold = cfg.nearDupThreshold))
+        threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
     val fresh2 = cfg.priorSimhashes.fold(fresh1)(idx =>
       Dedup.dropSimHashDuplicatesAgainst(fresh1, idx, textCol, "doc_id",
         maxHamming = cfg.simhashMaxHamming, bands = cfg.simhashBands))
@@ -450,11 +488,26 @@ object CurationPipeline {
       if (anyPrior) observe("after_incremental_prune", fresh3) else fresh3
     // 3-4: exact then near dedup
     val exact = observe("after_exact_dedup",
-      Dedup.dropExactDuplicates(fresh, textCol, "doc_id"))
-    val near = observe("after_near_dedup",
+      Dedup.dropExactDuplicates(fresh, textCol, "doc_id", cfg.tokenizer))
+    val nearText = observe("after_near_dedup",
       Dedup.dropNearDuplicates(exact, textCol, "doc_id",
         k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
-        threshold = cfg.nearDupThreshold))
+        threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
+    // 4b: image near-dup (optional) — perceptual-hash losers (higher id
+    // of each pair) anti-joined off the text survivors; payload rows
+    // for already-dropped docs pair harmlessly (their ids are gone)
+    val near = cfg.imageDedup.fold(nearText) { im =>
+      import corpus.sparkSession.implicits._
+      val media = im.payloads
+        .select(col(im.idCol).cast("long").as("doc_id"),
+          col(im.payloadCol).as("payload"))
+        .as[graft.operators.Multimodal.MediaRecord]
+      val losers = graft.operators.Multimodal
+        .imageNearDups(media, im.maxHamming, im.bands)
+        .select(col("id_b").as("doc_id")).distinct()
+      observe("after_image_dedup",
+        nearText.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+    }
     // 5: decontamination (optional)
     val clean = cfg.evalSet.fold(near)(ev =>
       observe("after_decontamination",
@@ -465,7 +518,7 @@ object CurationPipeline {
     // as a hard gate when requested (paper-default thresholds)
     val ruled =
       if (!cfg.gopherFilter) clean
-      else TextAnalysis.gopherFilter(clean, textCol)
+      else TextAnalysis.gopherFilter(clean, textCol, tokenizer = cfg.tokenizer)
     // quality is a pure per-row projection (appendQuality keeps every
     // input column), so it is computed INLINE on `ruled` — an earlier
     // spelling projected (doc_id, quality) via withQuality and joined

@@ -450,4 +450,71 @@ class CurationPipelineSpec extends SparkSpec {
     assert(!collected.map(_._1).contains(4L) && !collected.map(_._1).contains(5L)
       && !collected.map(_._1).contains(7L))
   }
+
+  // ------------------------------------------------- r14: multimodal arm
+
+  private def pngBytes(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("imageDedup stage: re-encoded image copies drop; text stages untouched") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),   // image = 2x-rescaled copy of doc 1's -> dropped
+      (3L, "how vexingly quick daft zebras jump today"), // unrelated image -> kept
+      (4L, "sphinx of black quartz judge my vow now"),   // undecodable payload -> never dropped
+      (5L, "jived fox nymph grabs quick waltz tonight")  // no payload row at all -> never dropped
+    ).toDF("doc_id", "text")
+    // a gradient image and its nearest-resize 2x upscale share dHash
+    // bits (MultimodalSpec pins rescale invariance); the unrelated
+    // checkerboard is far in Hamming space
+    def grad(scale: Int) = pngBytes(9 * scale, 8 * scale) { (x, y) =>
+      val g = (x / scale) * 28
+      (g << 16) | (g << 8) | g
+    }
+    val checker = pngBytes(9, 8)((x, y) => if (((x + y) % 2) == 0) 0 else 0xffffff)
+    val payloads = Seq(
+      (1L, grad(1)),
+      (2L, grad(2)),
+      (3L, checker),
+      (4L, Array[Byte](1, 2, 3))
+    ).toDF("doc_id", "payload")
+
+    val cfg = CurationPipeline.Config(
+      imageDedup = Some(CurationPipeline.ImageDedup(payloads)),
+      minQuality = 0.0)
+    val (rows, metrics) = CurationPipeline.runObserved(
+      corpus, "text", "doc_id", cfg)(_.select("doc_id").as[Long].collect().toSet)
+    assert(rows == Set(1L, 3L, 4L, 5L), rows.toString)
+    // the stage has its own observed counter, between near-dedup and final
+    assert(metrics("after_near_dedup") == 5L)
+    assert(metrics("after_image_dedup") == 4L)
+    // without the stage nothing image-related drops
+    val plain = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(minQuality = 0.0))(
+      _.select("doc_id").as[Long].collect().toSet)
+    assert(plain == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("tokenizer=uax29 threads to exact dedup: distinct CJK docs stop collapsing") {
+    // under the whitespace default every pure-CJK doc normalizes to ""
+    // -> ONE fingerprint -> catastrophic over-dedup; uax29 keys on the
+    // segmented words and keeps them apart
+    val corpus = Seq(
+      (1L, "天地玄黄宇宙洪荒"),
+      (2L, "日月盈昃辰宿列张"),
+      (3L, "天地玄黄宇宙洪荒")) // true duplicate of 1 -> dropped either way
+      .toDF("doc_id", "text")
+    def kept(cfg: CurationPipeline.Config) =
+      CurationPipeline.run(corpus, "text", "doc_id", cfg)(
+        _.select("doc_id").as[Long].collect().toSet)
+    assert(kept(CurationPipeline.Config(minQuality = 0.0)) == Set(1L))
+    assert(kept(CurationPipeline.Config(minQuality = 0.0,
+      tokenizer = graft.operators.TextAnalysis.Uax29Tokenizer)) == Set(1L, 2L))
+  }
 }
