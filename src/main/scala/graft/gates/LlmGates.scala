@@ -164,6 +164,73 @@ object LlmGates {
     ))
   }
 
+  /** Gradient frame at the exact 9×8 dHash grid (x-only variation, so
+    * the fixture is orientation-proof across containers): gray g(x). */
+  private def gradFrame(g: Int => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = g(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  /** Video-signature fixtures — per-frame dHashes are the
+    * hand-derived q_image_dhash literals (ramp −1, half 0x0F0F…, flat
+    * 0, bit-0-flipped ramp −2), folded as ⊕ᵢ rotl(hᵢ, i·21):
+    *  - 820001 GIF [ramp, half, flat] → −1 ⊕ rotl(0x0F0F…,21)=0xE1E1…
+    *    ⊕ 0 = 0x1E1E1E1E1E1E1E1E
+    *  - 820002 the SAME frames re-encoded as raw-DIB AVI → identical
+    *    vhash (container changes, pixels don't — Hamming 0)
+    *  - 820003 GIF [ramp with g(0,0)→10, half, flat] → bit 0 flips in
+    *    frame 0 (rotation 0) → 0x1E1E…1F (Hamming 1)
+    *  - 820004 GIF [flat, flat, flat] → 0 (32 bits from the others) */
+  private def videoFixtures(s: SparkSession): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val ramp = gradFrame(x => x * 10)
+    val half = gradFrame(x => math.min(x, 4) * 10)
+    val flat = gradFrame(_ => 100)
+    val rampFlip = {
+      val img = gradFrame(x => x * 10)
+      img.setRGB(0, 0, (10 << 16) | (10 << 8) | 10)
+      img
+    }
+    s.createDataset(Seq(
+      Multimodal.MediaRecord(820001L, encodeAnimatedGif(Seq(ramp, half, flat))),
+      Multimodal.MediaRecord(820002L, encodeAvi(Seq(ramp, half, flat))),
+      Multimodal.MediaRecord(820003L, encodeAnimatedGif(Seq(rampFlip, half, flat))),
+      Multimodal.MediaRecord(820004L, encodeAnimatedGif(Seq(flat, flat, flat)))
+    ))
+  }
+
+  /** Audio-fingerprint fixtures — 65 mono samples, one per RMS window,
+    * so window j's RMS is EXACTLY a_j/32768 (dyadic, float-exact) and
+    * bit i = (a_{i+1} > a_i):
+    *  - 810001 WAV ramp a_j=(j+1)·300 → strictly rising → afp −1
+    *  - 810002 WAV constant 1000 → no strict rise → 0
+    *  - 810003 WAV the ramp volume-scaled ×1.5 (a_j=(j+1)·450) → SAME
+    *    contour → −1 (amplitude invariance, Hamming 0 from 810001)
+    *  - 810004 WAV ramp with a_1 dropped to 150 → only bit 0 clears
+    *    → −2 (Hamming 1)
+    *  - 810005 AIFF re-encode of 810001's samples (big-endian PCM) →
+    *    identical RMS → −1 (container invariance) */
+  private def audioFpFixtures(s: SparkSession): Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val ramp = Array.tabulate(65)(j => ((j + 1) * 300).toShort)
+    val flat = Array.fill(65)(1000.toShort)
+    val scaled = Array.tabulate(65)(j => ((j + 1) * 450).toShort)
+    val dip = ramp.clone(); dip(1) = 150.toShort
+    s.createDataset(Seq(
+      Multimodal.MediaRecord(810001L, encodeAudio(Wave, 8000, 1, ramp, bigEndian = false)),
+      Multimodal.MediaRecord(810002L, encodeAudio(Wave, 8000, 1, flat, bigEndian = false)),
+      Multimodal.MediaRecord(810003L, encodeAudio(Wave, 8000, 1, scaled, bigEndian = false)),
+      Multimodal.MediaRecord(810004L, encodeAudio(Wave, 8000, 1, dip, bigEndian = false)),
+      Multimodal.MediaRecord(810005L, encodeAudio(Aiff, 8000, 1, ramp, bigEndian = true))
+    ))
+  }
+
   /** Encode frames as one ANIMATED GIF via the JDK's sequence writer —
     * the fixture side of the real multi-frame decode gate. Shared with
     * MultimodalSpec. */
@@ -758,6 +825,51 @@ object LlmGates {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
       Multimodal.imageNearDups(texts.union(dhashFixtures(s)), maxHamming = 3)
+    },
+    // §2 row 146 — video perceptual signature: per-frame dHash (the
+    // row-142 literals) XOR-rotation-folded; text payloads → NULL;
+    // the AVI row pins container invariance (same pixels, same vhash)
+    "q_video_dhash" -> { (s, dir) =>
+      import s.implicits._
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.videoDHash(texts.union(videoFixtures(s)), n = 3)
+    },
+    // §2 row 146 — video near-dup pairs over the folded signatures:
+    // the GIF clip, its raw-AVI re-encode (Hamming 0), and its
+    // one-bit-edited variant (Hamming 1) pair up; the flat clip and
+    // every text row stay out
+    "q_video_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.videoNearDups(texts.union(videoFixtures(s)), n = 3, maxHamming = 3)
+    },
+    // §2 row 147 — audio energy-contour fingerprint: one sample per
+    // RMS window so every bit is a hand-derived strict comparison of
+    // exact dyadic rationals; text payloads → NULL
+    "q_audio_fp" -> { (s, dir) =>
+      import s.implicits._
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.audioFingerprint(texts.union(audioFpFixtures(s)))
+    },
+    // §2 row 147 — audio near-dup pairs: the ramp, its volume-scaled
+    // copy, and its AIFF re-encode mutually pair at Hamming 0, the
+    // one-window dip at Hamming 1; the flat clip stays out
+    "q_audio_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      Multimodal.audioNearDups(texts.union(audioFpFixtures(s)), maxHamming = 3)
     },
     // §2.4 row 85 — corpus-wide duplicate-PARAGRAPH removal (the
     // RefinedWeb granularity): a 2-LINE banner block planted in 3 docs
@@ -1699,6 +1811,48 @@ object LlmGates {
         |       bit_count(xor(a.dhash, b.dhash))::INT AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+    // folded-video literals: 0x1E1E1E1E1E1E1E1E = 2170205185142300190
+    // (−1 ⊕ 0xE1E1…, the hand derivation in videoFixtures' scaladoc)
+    "q_video_dhash" ->
+      """SELECT doc_id, NULL::BIGINT AS vhash FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (820001::BIGINT, 2170205185142300190::BIGINT),
+        |  (820002::BIGINT, 2170205185142300190::BIGINT),
+        |  (820003::BIGINT, 2170205185142300191::BIGINT),
+        |  (820004::BIGINT, 0::BIGINT)
+        |) t(doc_id, vhash)""".stripMargin,
+    "q_video_neardup" ->
+      """WITH h(doc_id, vhash) AS (VALUES
+        |  (820001::BIGINT, 2170205185142300190::BIGINT),
+        |  (820002::BIGINT, 2170205185142300190::BIGINT),
+        |  (820003::BIGINT, 2170205185142300191::BIGINT),
+        |  (820004::BIGINT, 0::BIGINT))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.vhash, b.vhash))::INT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.vhash, b.vhash)) <= 3""".stripMargin,
+    "q_audio_fp" ->
+      """SELECT doc_id, NULL::BIGINT AS afp FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT * FROM (VALUES
+        |  (810001::BIGINT, -1::BIGINT),
+        |  (810002::BIGINT, 0::BIGINT),
+        |  (810003::BIGINT, -1::BIGINT),
+        |  (810004::BIGINT, -2::BIGINT),
+        |  (810005::BIGINT, -1::BIGINT)
+        |) t(doc_id, afp)""".stripMargin,
+    "q_audio_neardup" ->
+      """WITH h(doc_id, afp) AS (VALUES
+        |  (810001::BIGINT, -1::BIGINT),
+        |  (810002::BIGINT, 0::BIGINT),
+        |  (810003::BIGINT, -1::BIGINT),
+        |  (810004::BIGINT, -2::BIGINT),
+        |  (810005::BIGINT, -1::BIGINT))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       bit_count(xor(a.afp, b.afp))::INT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin,
     "q_multimodal_resize" ->
       """SELECT doc_id, md5(md5(text) || ':64x64') AS resized_md5
         |FROM documents""".stripMargin,

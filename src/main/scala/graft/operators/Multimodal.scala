@@ -310,25 +310,31 @@ object Multimodal {
     media.mapPartitions { rows =>
       val decoder = new ImageDecoder
       onExhaustion(rows.map { rec =>
-        (rec.doc_id, decoder.decode(rec.payload).map { img =>
-          val g = nearestResize(img, 9, 8)
-          var h = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            var prev = lumSum(g.getRGB(0, y))
-            while (x < 8) {
-              val cur = lumSum(g.getRGB(x + 1, y))
-              if (cur > prev) h |= 1L << (y * 8 + x)
-              prev = cur
-              x += 1
-            }
-            y += 1
-          }
-          h
-        })
+        (rec.doc_id, decoder.decode(rec.payload).map(dhash64))
       })(() => decoder.dispose())
     }.toDF("doc_id", "dhash")
+  }
+
+  /** The 64-bit dHash of a decoded image ([[imageDHash]]'s kernel,
+    * shared with the per-frame video arm): integer nearest-resize to
+    * 9×8, bit y·8+x set iff the right neighbor's r+g+b sum is
+    * strictly greater. */
+  private def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val g = nearestResize(img, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      var prev = lumSum(g.getRGB(0, y))
+      while (x < 8) {
+        val cur = lumSum(g.getRGB(x + 1, y))
+        if (cur > prev) h |= 1L << (y * 8 + x)
+        prev = cur
+        x += 1
+      }
+      y += 1
+    }
+    h
   }
 
   /** Integer luminance proxy: r+g+b of a packed RGB pixel (0..765).
@@ -352,6 +358,147 @@ object Multimodal {
     Dedup.hammingNearDups(
       imageDHash(media).filter(col("dhash").isNotNull),
       "doc_id", "dhash", 64, maxHamming, bands, maxBucket)
+
+  // ------------------------------------------- video/audio near-dup
+
+  /** [[FrameDecoder]] that routes by container magic: GIF payloads →
+    * [[GifFrames]], everything else → [[AviFrames]] (which itself
+    * stubs non-AVI) — the mixed-corpus entry for [[videoDHash]], so a
+    * re-encoded copy in a DIFFERENT container still hashes. */
+  val SniffFrames: () => FrameDecoder = () =>
+    new FrameDecoder {
+      private val gif = GifFrames()
+      private val avi = AviFrames()
+      def decodeFrame(payload: Array[Byte], frameIdx: Int, nFrames: Int): Array[Byte] =
+        if (imageFormat(payload).contains("gif")) gif.decodeFrame(payload, frameIdx, nFrames)
+        else avi.decodeFrame(payload, frameIdx, nFrames)
+      override def dispose(): Unit = { gif.dispose(); avi.dispose() }
+    }
+
+  /** Rotation step of the video fold: odd, so successive frames land
+    * on distinct rotations (any odd step generates all 64 under
+    * repeated addition mod 64). */
+  private val VideoRotStep = 21
+
+  /**
+   * 64-bit perceptual VIDEO signature: `n` evenly-sampled frames
+   * (the [[sampleFrames]] ⌊i·m/n⌋ policy via the same [[FrameDecoder]]
+   * seam), each frame's [[dhash64]], XOR-folded with a per-frame-index
+   * bit ROTATION: `vhash = ⊕ᵢ rotl(dhash(frameᵢ), i·21 mod 64)`.
+   *
+   * Why this fold: XOR is LINEAR over GF(2), so for two videos sampled
+   * at the same `n`, `vhash_a ⊕ vhash_b = ⊕ᵢ rot(dᵢ_a ⊕ dᵢ_b, i·21)`
+   * and `hamming(vhash) ≤ Σᵢ hamming(frameᵢ)` — a re-encoded copy
+   * whose frames each differ by a few dHash bits stays within a small
+   * fold Hamming (cross-frame bit collisions can only CANCEL, never
+   * add, so the bound is one-sided: no qualifying copy is pushed OUT
+   * of range; a cancellation pulling an unrelated pair IN is caught
+   * nowhere — the signature Hamming IS the operator's similarity
+   * contract, like SimHash). The rotation decorrelates frame ORDER:
+   * [A,B] and [B,A] fold differently, identical-everywhere frames
+   * (test cards, black leaders) don't collapse every video onto one
+   * signature. Same-pixels-different-container copies (GIF vs raw
+   * AVI) hash IDENTICALLY because every step after the demux is the
+   * bit-deterministic integer path of [[imageDHash]].
+   *
+   * Frames whose bytes don't decode as an image (stub fallbacks,
+   * codec gaps) contribute nothing (XOR identity); a payload with
+   * ZERO decodable frames → NULL. Pure per-row projection — decode +
+   * 72·n integer samples, no shuffle.
+   */
+  def videoDHash(
+    media: Dataset[MediaRecord],
+    n: Int = 4,
+    decoder: () => FrameDecoder = SniffFrames
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val frameDec = decoder()
+      val imgDec = new ImageDecoder
+      onExhaustion(rows.map { rec =>
+        var fold = 0L
+        var decoded = 0
+        var i = 0
+        while (i < n) {
+          val fb = frameDec.decodeFrame(rec.payload, i, n)
+          imgDec.decode(fb) match {
+            case Some(img) =>
+              fold ^= java.lang.Long.rotateLeft(dhash64(img), (i * VideoRotStep) % 64)
+              decoded += 1
+            case None => ()
+          }
+          i += 1
+        }
+        (rec.doc_id, if (decoded == 0) None else Some(fold))
+      })(() => { frameDec.dispose(); imgDec.dispose() })
+    }.toDF("doc_id", "vhash")
+  }
+
+  /** Video near-duplicate pairs: [[videoDHash]] + the generalized
+    * [[Dedup.hammingNearDups]] banding over the folded 64-bit
+    * signatures — re-encoded copies of the same clip (same frames,
+    * any container the demux seam reads) land at Hamming 0, lightly
+    * edited ones within a few bits. (id_a, id_b, hamming), id_a <
+    * id_b; undecodable payloads never pair. */
+  def videoNearDups(
+    media: Dataset[MediaRecord],
+    n: Int = 4,
+    decoder: () => FrameDecoder = SniffFrames,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket
+  ): DataFrame =
+    Dedup.hammingNearDups(
+      videoDHash(media, n, decoder).filter(col("vhash").isNotNull),
+      "doc_id", "vhash", 64, maxHamming, bands, maxBucket)
+
+  /**
+   * 64-bit perceptual AUDIO fingerprint — the energy-contour dHash:
+   * decode ([[AudioDecoder]]: WAV/AIFF/AU, any stored encoding the
+   * JDK converts), split into 65 time windows ([[windowRms]] — integer
+   * square-sums, bit-deterministic), bit i set iff window i+1's RMS is
+   * STRICTLY greater than window i's. Comparing adjacent energies
+   * (not thresholding absolute ones) makes the fingerprint
+   * AMPLITUDE-INVARIANT — a volume-scaled or container-re-encoded
+   * copy of the same clip keeps the same up/down contour, the exact
+   * analogue of dHash's brightness invariance (public technique:
+   * energy-envelope fingerprinting, the shape under Shazam-class
+   * systems; spectral bands need an FFT, deliberately out of scope —
+   * the time-domain contour is what integer math derives exactly).
+   * Non-audio/undecodable payloads → NULL. Pure per-row projection.
+   */
+  def audioFingerprint(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new AudioDecoder
+      rows.map { rec =>
+        (rec.doc_id, decoder.decode(rec.payload).map { case (_, ch, samples) =>
+          val rms = windowRms(samples, ch, 65)
+          var h = 0L
+          var i = 0
+          while (i < 64) {
+            if (rms(i + 1) > rms(i)) h |= 1L << i
+            i += 1
+          }
+          h
+        })
+      }
+    }.toDF("doc_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]] + Hamming
+    * banding — re-encoded (WAV↔AIFF↔AU) and volume-scaled copies of
+    * the same clip land at Hamming 0. (id_a, id_b, hamming). */
+  def audioNearDups(
+    media: Dataset[MediaRecord],
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket
+  ): DataFrame =
+    Dedup.hammingNearDups(
+      audioFingerprint(media).filter(col("afp").isNotNull),
+      "doc_id", "afp", 64, maxHamming, bands, maxBucket)
 
   // ----------------------------------------------------- real audio work
 

@@ -508,4 +508,87 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got === Set((1L, 4L, 1), (1L, 5L, 0), (4L, 5L, 1)))
   }
+
+  // --------------------------------------- r14: video/audio near-dup
+
+  private def grayFrame(g: Int => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = g(x); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("videoDHash: fold matches the hand derivation; containers agree; order matters") {
+    val ramp = grayFrame(x => x * 10)
+    val half = grayFrame(x => math.min(x, 4) * 10)
+    val flat = grayFrame(_ => 100)
+    val gif = graft.gates.LlmGates.encodeAnimatedGif(Seq(ramp, half, flat))
+    val avi = graft.gates.LlmGates.encodeAvi(Seq(ramp, half, flat))
+    val swapped = graft.gates.LlmGates.encodeAnimatedGif(Seq(half, ramp, flat))
+    val media = Seq(
+      MediaRecord(1L, gif), MediaRecord(2L, avi), MediaRecord(3L, swapped),
+      MediaRecord(4L, "not video".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.videoDHash(media, n = 3).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // -1 xor rotl(0x0F0F..., 21)=0xE1E1... xor 0 = 0x1E1E1E1E1E1E1E1E
+    assert(got(1L) === Some(0x1E1E1E1E1E1E1E1EL))
+    // same pixels through the RIFF demux -> identical signature
+    assert(got(2L) === got(1L))
+    // frame ORDER changes the rotation assignment -> different signature
+    assert(got(3L).isDefined && got(3L) != got(1L))
+    // zero decodable frames -> NULL
+    assert(got(4L) === None)
+  }
+
+  test("videoNearDups: re-encoded and one-bit-edited clips pair, unrelated don't") {
+    val ramp = grayFrame(x => x * 10)
+    val half = grayFrame(x => math.min(x, 4) * 10)
+    val flat = grayFrame(_ => 100)
+    val rampFlip = {
+      val img = grayFrame(x => x * 10)
+      img.setRGB(0, 0, (10 << 16) | (10 << 8) | 10); img
+    }
+    val media = Seq(
+      MediaRecord(1L, graft.gates.LlmGates.encodeAnimatedGif(Seq(ramp, half, flat))),
+      MediaRecord(2L, graft.gates.LlmGates.encodeAvi(Seq(ramp, half, flat))),
+      MediaRecord(3L, graft.gates.LlmGates.encodeAnimatedGif(Seq(rampFlip, half, flat))),
+      MediaRecord(4L, graft.gates.LlmGates.encodeAnimatedGif(Seq(flat, flat, flat)))
+    ).toDS()
+    val got = Multimodal.videoNearDups(media, n = 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  test("audioFingerprint: contour bits exact; amplitude and container invariant") {
+    val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val ramp = Array.tabulate(65)(j => ((j + 1) * 300).toShort)
+    val scaled = Array.tabulate(65)(j => ((j + 1) * 450).toShort)
+    val flat = Array.fill(65)(1000.toShort)
+    val dip = ramp.clone(); dip(1) = 150.toShort
+    val media = Seq(
+      MediaRecord(1L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, ramp, bigEndian = false)),
+      MediaRecord(2L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, scaled, bigEndian = false)),
+      MediaRecord(3L, graft.gates.LlmGates.encodeAudio(Aiff, 8000, 1, ramp, bigEndian = true)),
+      MediaRecord(4L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, flat, bigEndian = false)),
+      MediaRecord(5L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, dip, bigEndian = false)),
+      MediaRecord(6L, "not audio".getBytes("UTF-8"))).toDS()
+    val got = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L) === Some(-1L))        // strictly rising contour
+    assert(got(2L) === Some(-1L))        // volume-scaled: same contour
+    assert(got(3L) === Some(-1L))        // AIFF re-encode: same samples
+    assert(got(4L) === Some(0L))         // flat: no strict rise
+    assert(got(5L) === Some(-2L))        // one dipped window: bit 0 only
+    assert(got(6L) === None)             // undecodable
+    val pairs = Multimodal.audioNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set(
+      (1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
+      (1L, 5L, 1), (2L, 5L, 1), (3L, 5L, 1)))
+  }
 }
