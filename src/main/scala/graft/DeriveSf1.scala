@@ -87,6 +87,22 @@ object DeriveSf1 {
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
+  /** 10× lineitem (r14, for the numeric-profile trend cells —
+    * q_corr_matrix needs a lineitem that actually grows): copy i
+    * offsets l_orderkey by i·10⁹ (divisible by 1000, so the gates'
+    * `l_orderkey % 1000` NULL-stripe rate is preserved per copy);
+    * every numeric column unchanged — duplicated data has IDENTICAL
+    * per-pair correlations, so the oracle's expected values are stable
+    * while the one-pass aggregation scans 10× the rows, which is
+    * exactly the scaling term under test. */
+  def deriveLineitem(spark: SparkSession, srcDir: String, copies: Int): DataFrame = {
+    val base = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    base
+      .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy") * lit(1_000_000_000L))
+      .drop("copy")
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/sf1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -110,8 +126,12 @@ object DeriveSf1 {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
+    deriveLineitem(spark, srcDir, copies)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
     val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem")
+      "orders")
     for (t <- others) {
       val link = java.nio.file.Paths.get(outDir, s"$t.parquet")
       java.nio.file.Files.deleteIfExists(link)
