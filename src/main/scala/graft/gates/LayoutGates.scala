@@ -122,6 +122,45 @@ object LayoutGates {
         SkipIndex.readPruned(s, out, local, "doc_id", p)
           .select(lit(p).as("probe"), col("doc_id"), col("lang"), col("n_chars"))
       }.reduce(_.unionByName(_))
+    },
+    // §2 row 141b — index maintenance for DELETED files: the lang=de
+    // partition is removed from a Hive-partitioned copy of documents
+    // (the compaction/retention/takedown shape), SkipIndex.prune drops
+    // exactly its rows — asserted in-gate to equal a full rebuild over
+    // the shrunken dir — and probes through the pruned read stay exact
+    // for surviving rows while the removed partition's keys read empty
+    "q_skip_prune" -> { (s, dir) =>
+      val out = Files.createTempDirectory("graft-skipprune-gate").toString
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.repartitionByRange(4, col("doc_id"))
+        .write.partitionBy("lang").mode("overwrite").parquet(out)
+      val built = SkipIndex.build(s, out, Seq("doc_id"))
+      val full = s.createDataFrame(
+        java.util.Arrays.asList(built.collect(): _*), built.schema)
+      // delete the lang=de partition directory (file-level takedown)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.delete(new org.apache.hadoop.fs.Path(s"$out/lang=de"), true),
+        "fixture partition delete failed")
+      val pruned = SkipIndex.prune(s, out, full)
+      def fields(ix: org.apache.spark.sql.DataFrame) = ix.select(
+          col("file"), col("n_rows"), col("doc_id_min"), col("doc_id_max"),
+          col("doc_id_nulls"), base64(col("doc_id_bloom")).as("b"))
+        .collect().map(_.toSeq).toSet
+      assert(fields(pruned) == fields(SkipIndex.build(s, out, Seq("doc_id"))),
+        "pruned index must equal the full rebuild over the shrunken dir")
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(pruned.collect(): _*), pruned.schema)
+      assert(SkipIndex.prune(s, out, local) eq local,
+        "prune with nothing vanished must return the existing index unchanged")
+      // probe every doc id that was German (now gone) plus two known
+      // survivors: German probes contribute zero rows
+      val deIds = d.filter(col("lang") === "de")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.take(3)
+      (deIds.toSeq :+ 7L :+ 37L).map { p =>
+        SkipIndex.readPruned(s, out, local, "doc_id", p)
+          .select(lit(p).as("probe"), col("doc_id"), col("lang"), col("n_chars"))
+      }.reduce(_.unionByName(_))
     }
   )
 
@@ -165,6 +204,19 @@ object LayoutGates {
         |WHERE doc_id IN (7, 37, 137, 444, 987654)""".stripMargin,
     "q_skip_append" ->
       """SELECT doc_id AS probe, doc_id, lang, n_chars FROM documents
-        |WHERE doc_id IN (7, 300, 987654)""".stripMargin
+        |WHERE doc_id IN (7, 300, 987654)""".stripMargin,
+    // probes = the three lowest German ids (whose partition was
+    // deleted → zero rows) plus 7 and 37; the de-filter drops exactly
+    // what the file deletion dropped
+    "q_skip_prune" ->
+      """WITH de3 AS (
+        |  SELECT doc_id FROM documents WHERE lang = 'de'
+        |  ORDER BY doc_id LIMIT 3),
+        |probes AS (
+        |  SELECT doc_id AS probe FROM de3
+        |  UNION ALL SELECT 7 UNION ALL SELECT 37)
+        |SELECT p.probe, d.doc_id, d.lang, d.n_chars
+        |FROM probes p
+        |JOIN documents d ON d.doc_id = p.probe AND d.lang <> 'de'""".stripMargin
   )
 }

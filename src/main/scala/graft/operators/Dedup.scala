@@ -1025,12 +1025,21 @@ object Dedup {
   /** Per-document SimHash table: (doc_id, simhash). Packing uses the
     * native [[graft.functions.SimHashPackExpr]] (value-identical to
     * [[simHash]]'s expression chain, pinned by HashingSpec). */
-  def simHashes(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    wordTable(df, textCol, idCol)
-      .select(
+  def simHashes(
+    df: DataFrame, textCol: String, idCol: String,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
+  ): DataFrame = {
+    val wt = tokenizer match {
+      case TextAnalysis.WhitespaceTokenizer => wordTable(df, textCol, idCol)
+      case TextAnalysis.Uax29Tokenizer => uax29WordTable(df, textCol, idCol)
+      case other => throw new IllegalArgumentException(
+        s"unknown tokenizer '$other' (expected ${TextAnalysis.WhitespaceTokenizer} or ${TextAnalysis.Uax29Tokenizer})")
+    }
+    wt.select(
         col("doc_id"),
         graft.functions.Md5Long60ArrayExpr(col("w")).as("wh"))
       .select(col("doc_id"), graft.functions.SimHashPackExpr(col("wh")).as("simhash"))
+  }
 
   /**
    * SimHash near-dup pairs by banding the 60-bit hash into `bands`
@@ -1530,10 +1539,12 @@ object Dedup {
     maxHamming: Int = 3,
     bands: Int = 4,
     maxBucket: Option[Int] = DefaultMaxBucket,
-    broadcastBatch: Boolean = true
+    broadcastBatch: Boolean = true,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
   ): DataFrame = {
     val matched = simHashNearDupsAgainstIndex(
-      simHashes(batch.select(col(idCol).as("doc_id"), col(textCol)), textCol, "doc_id"),
+      simHashes(batch.select(col(idCol).as("doc_id"), col(textCol)), textCol, "doc_id",
+        tokenizer),
       indexSimhashes, maxHamming, bands, maxBucket, broadcastBatch)
       .select(col("batch_id").as(idCol)).distinct()
     batch.join(matched, Seq(idCol), "left_anti")

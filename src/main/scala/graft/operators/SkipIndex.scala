@@ -126,26 +126,7 @@ object SkipIndex {
     numBits: Long = DefaultNumBits
   ): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val dirPath = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val basePath = canonical(fs.makeQualified(dirPath).toString)
-    val listed = {
-      val it = fs.listFiles(dirPath, /* recursive = */ true)
-      val buf = Seq.newBuilder[org.apache.hadoop.fs.Path]
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile) buf += st.getPath
-      }
-      buf.result()
-    }.filter { p =>
-      // every path segment below the table root must be visible —
-      // a visible file under _delta_log/ is still metadata
-      val cp = canonical(p.toString)
-      val rel =
-        if (cp.startsWith(basePath)) cp.stripPrefix(basePath) else p.getName
-      rel.split('/').filter(_.nonEmpty)
-        .forall(s => !s.startsWith("_") && !s.startsWith("."))
-    }
+    val listed = listDataFiles(spark, tableDir)
     val known = existing.select("file").collect()
       .map(r => canonical(r.getString(0))).toSet
     val fresh = listed.filterNot(p => known.contains(canonical(p.toString)))
@@ -155,6 +136,60 @@ object SkipIndex {
         spark.read.option("basePath", tableDir)
           .parquet(fresh.map(_.toString): _*),
         keyCols, expectedItems, numBits))
+  }
+
+  /** RECURSIVE data-file listing under `tableDir` (metadata only):
+    * every file whose path segments below the root are all visible —
+    * a visible file under `_delta_log/` is still metadata. Shared by
+    * [[append]] (diff for NEW files) and [[prune]] (diff for VANISHED
+    * ones). */
+  private def listDataFiles(
+    spark: SparkSession, tableDir: String
+  ): Seq[org.apache.hadoop.fs.Path] = {
+    val dirPath = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val basePath = canonical(fs.makeQualified(dirPath).toString)
+    val buf = Seq.newBuilder[org.apache.hadoop.fs.Path]
+    val it = fs.listFiles(dirPath, /* recursive = */ true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) buf += st.getPath
+    }
+    buf.result().filter { p =>
+      val cp = canonical(p.toString)
+      val rel =
+        if (cp.startsWith(basePath)) cp.stripPrefix(basePath) else p.getName
+      rel.split('/').filter(_.nonEmpty)
+        .forall(s => !s.startsWith("_") && !s.startsWith("."))
+    }
+  }
+
+  /**
+   * Index maintenance for DELETED files — the other half of the
+   * [[append]] lifecycle: compaction rewrites, retention expiry, and
+   * file-level takedown all REMOVE data files, and an index row for a
+   * vanished file must go with it (readPruned would pass its name to
+   * the parquet reader, which fails on a missing path — and a stale
+   * row is a lie about what the corpus contains). Diffs the index
+   * manifest against the recursive listing on decoded URI paths and
+   * drops rows whose files are gone; rows for surviving files are
+   * UNTOUCHED (never rescanned — this is a metadata operation end to
+   * end, file-count-sized, no data read). Returns `existing` unchanged
+   * when nothing vanished. Gate-pinned: prune ≡ a full rebuild over
+   * the shrunken directory, field-for-field, and composes with
+   * [[graft.operators.Forget.rewriteVersioned]] for atomic publication.
+   */
+  def prune(
+    spark: SparkSession,
+    tableDir: String,
+    existing: DataFrame
+  ): DataFrame = {
+    val live = listDataFiles(spark, tableDir)
+      .map(p => canonical(p.toString)).toSet
+    val stale = existing.select("file").collect()
+      .map(_.getString(0)).filterNot(f => live.contains(canonical(f)))
+    if (stale.isEmpty) existing
+    else existing.filter(!col("file").isin(stale.toIndexedSeq: _*))
   }
 
   /**

@@ -193,10 +193,9 @@ object CurationPipeline {
       * to exact dedup + fingerprints, MinHash shingling (within-batch,
       * against-index, and the [[signatureIndex]]/[[exactIndex]]
       * builders — the same-scrub caveat extends to same-tokenizer), and
-      * the Gopher word signals. The SimHash prior arm and the
-      * contamination grams stay whitespace-keyed (eval sets are
-      * Latin-script benchmarks; a uax29 SimHash arm composes via
-      * [[graft.operators.Dedup.uax29WordTable]] when needed). */
+      * the Gopher word signals, and the SimHash prior arm +
+      * [[simhashIndex]] builder. The contamination grams stay
+      * whitespace-keyed (eval sets are Latin-script benchmarks). */
     tokenizer: String = TextAnalysis.WhitespaceTokenizer,
     /** Optional multimodal dedup stage ([[ImageDedup]]): runs right
       * after text near-dup, dropping docs whose IMAGE near-duplicates a
@@ -259,7 +258,8 @@ object CurationPipeline {
   def simhashIndex(
     corpus: DataFrame, textCol: String, idCol: String, cfg: Config = Config()
   ): DataFrame =
-    Dedup.simHashes(scrub(corpus, textCol, idCol, cfg), textCol, "doc_id")
+    Dedup.simHashes(scrub(corpus, textCol, idCol, cfg), textCol, "doc_id",
+      cfg.tokenizer)
 
   /** Stages 1-2: PII scrub, within-doc line rule, corpus-wide line rule. */
   private def scrub(
@@ -471,7 +471,8 @@ object CurationPipeline {
         threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
     val fresh2 = cfg.priorSimhashes.fold(fresh1)(idx =>
       Dedup.dropSimHashDuplicatesAgainst(fresh1, idx, textCol, "doc_id",
-        maxHamming = cfg.simhashMaxHamming, bands = cfg.simhashBands))
+        maxHamming = cfg.simhashMaxHamming, bands = cfg.simhashBands,
+        tokenizer = cfg.tokenizer))
     // the embedding arm prunes by MATCHED IDS (embeddings live in their
     // own table, not on the text rows); candidate-bounded matched set,
     // corpus anti join — the dropNearDuplicatesAgainst shape

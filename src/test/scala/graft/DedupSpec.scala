@@ -810,4 +810,23 @@ class DedupSpec extends SparkSpec {
       Dedup.hammingNearDups(df, "id", "h", bits = 64, maxHamming = 2, bands = 3)
     }
   }
+
+  test("simHashes tokenizer=uax29: distinct CJK docs stop hashing identically") {
+    import graft.operators.TextAnalysis.{Uax29Tokenizer, WhitespaceTokenizer}
+    val cjk = Seq(
+      (1L, "天地玄黄宇宙洪荒"),
+      (2L, "日月盈昃辰宿列张")).toDF("doc_id", "text")
+    def hashes(tok: String) = Dedup.simHashes(cjk, "text", "doc_id", tok)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // whitespace normalization maps CJK to empty word lists: BOTH docs
+    // simhash to 0 and would Hamming-0 "near-dup" each other
+    val ws = hashes(WhitespaceTokenizer)
+    assert(ws(1L) == 0L && ws(2L) == 0L)
+    // uax29 segments per ideograph: distinct content, distinct hashes
+    val u = hashes(Uax29Tokenizer)
+    assert(u(1L) != 0L && u(2L) != 0L && u(1L) != u(2L))
+    intercept[IllegalArgumentException] {
+      Dedup.simHashes(cjk, "text", "doc_id", "nope")
+    }
+  }
 }

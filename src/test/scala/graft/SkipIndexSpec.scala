@@ -126,6 +126,35 @@ class SkipIndexSpec extends SparkSpec {
       Seq(("v7", "d1")))
   }
 
+  test("prune drops exactly the vanished files' rows and equals the rebuild") {
+    val dir = Files.createTempDirectory("graft-skipidx7").toString
+    (0L until 300L).map(i => (i, s"d${i % 3}", s"v$i")).toDF("id", "dt", "s")
+      .repartitionByRange(2, col("id"))
+      .write.partitionBy("dt").mode("overwrite").parquet(dir)
+    val built = SkipIndex.build(spark, dir, Seq("id"))
+    val full = spark.createDataFrame(
+      java.util.Arrays.asList(built.collect(): _*), built.schema)
+    // retention expiry: the dt=d1 partition vanishes
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/dt=d1"), true))
+    val pruned = SkipIndex.prune(spark, dir, full)
+    def fields(ix: org.apache.spark.sql.DataFrame) = ix.select(
+        col("file"), col("n_rows"), col("id_min"), col("id_max"),
+        col("id_nulls"), base64(col("id_bloom")))
+      .collect().map(_.toSeq).toSet
+    assert(fields(pruned) === fields(SkipIndex.build(spark, dir, Seq("id"))))
+    assert(pruned.count() < full.count())
+    // idempotence: nothing vanished -> same reference back
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(pruned.collect(): _*), pruned.schema)
+    assert(SkipIndex.prune(spark, dir, local) eq local)
+    // surviving keys still read exactly; vanished-partition keys are gone
+    assert(SkipIndex.readPruned(spark, dir, local, "id", 6L)
+      .select("s").as[String].collect().toSeq === Seq("v6"))  // 6 % 3 == 0
+    assert(SkipIndex.readPruned(spark, dir, local, "id", 7L).count() === 0L) // d1
+  }
+
   test("plan-side bloom probe collects only surviving file names") {
     val dir = Files.createTempDirectory("graft-skipidx5").toString
     val df = (0L until 1000L).map(i => (i, i % 2)).toDF("id", "parity")
