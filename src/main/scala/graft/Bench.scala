@@ -142,7 +142,8 @@ object Bench {
     "q_forget_setsim",      // forget over the setsim prefix index + cross-corpus probe through the stale-order index (r14)
     "q_forget_editsim",     // forget over the edit-variant index + in-gate rebuild-parity + cross-corpus probe (r14)
     "q_video_neardup",      // video clip near-dup: frame sample + per-frame dHash fold + Hamming banding (r14)
-    "q_audio_neardup"       // audio clip near-dup: energy-contour fingerprint + Hamming banding (r14)
+    "q_audio_neardup",      // audio clip near-dup: energy-contour fingerprint + Hamming banding (r14)
+    "q_bm25_part"           // partition-pruned BM25 layout: bucketed write + bucket-pruned probe (r14)
   )
 
   private def jsonStr(s: String): String =

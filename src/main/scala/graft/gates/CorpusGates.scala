@@ -57,6 +57,20 @@ object CorpusGates {
           s.read.parquet(out), bm25Queries(s), "query_id", "qtext")
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
     },
+    // §2 row 148 — partition-pruned BM25 layout: the index written
+    // Hive-partitioned by word-hash bucket with its self-describing
+    // modulus sidecar, probed through bucket partition pruning — same
+    // oracle again, so layout cannot change a score
+    "q_bm25_part" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25part-gate").toString
+      Retrieval.bm25IndexWrite(
+        Retrieval.bm25Index(
+          docs(s, dir).select("doc_id", "text"), "text", "doc_id"),
+        out, buckets = 32)
+      Retrieval.bm25ScoresFromDir(s, out, bm25Queries(s), "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
     // §2.4 row 70 — unigram KL drift: corpus A = documents; corpus B =
     // a biased subsample (every 3rd doc) + planted spam flood — the
     // drifted-batch shape the monitor exists to catch
@@ -562,6 +576,7 @@ object CorpusGates {
   def oracleSql: Map[String, String] = Map(
     "q_bm25" -> Bm25Sql,
     "q_bm25_incr" -> Bm25Sql,
+    "q_bm25_part" -> Bm25Sql,
     "q_fold_accents" ->
       """SELECT id, strip_accents(text) AS folded FROM (VALUES
         |  (1::BIGINT, 'café crème brûlée'),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -209,6 +209,116 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), (idf * tfPart).as("contrib"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("contrib")).as("score"))
+  }
+
+  /** Partition-layout metadata sidecar name (an `_`-prefixed file —
+    * Spark's readers ignore it as data). */
+  private val BucketMetaFile = "_bm25_buckets"
+
+  /**
+   * Persist a [[bm25Index]] HIVE-PARTITIONED by a word-hash bucket —
+   * the layout that makes probe cost independent of corpus size: a
+   * probe's query terms map to a handful of `bucket=` directories and
+   * PARTITION PRUNING keeps every other partition's files closed (the
+   * flat layout's probe still scans the whole index to find matching
+   * words — measured 0.32 exponent in BASELINE.md; this removes that
+   * residual term, leaving only the matched buckets' IO).
+   *
+   * The bucket is `pmod(md5_long60(word), buckets)` — the engine's
+   * portable hash, recomputable at probe time for the query terms.
+   * The bucket COUNT is self-describing: it rides a `_bm25_buckets`
+   * sidecar file next to the data (readers must use the writer's
+   * modulus — a mismatched guess would prune wrong buckets and
+   * silently lose words, so it is never a caller-supplied parameter
+   * on the read side).
+   */
+  def bm25IndexWrite(
+    index: DataFrame,
+    path: String,
+    buckets: Int = 64
+  ): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    index
+      .withColumn("bucket",
+        pmod(graft.functions.Hashing.md5Long60(col("word")), lit(buckets.toLong))
+          .cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    val spark = index.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, BucketMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /**
+   * BM25 scores probed from a [[bm25IndexWrite]] directory: the query
+   * terms' buckets are computed DRIVER-side with the same portable
+   * hash (queries are metadata-sized by contract), the read filters
+   * `bucket IN (...)` — a pure partition-pruning predicate, so only
+   * matched buckets' files open — and the pruned frame feeds
+   * [[bm25ScoresAgainst]] unchanged (every posting row carries its
+   * df/N/avgdl, so pruning cannot change any score). Value-identical
+   * to the flat probe; queries whose terms all miss the corpus read
+   * ZERO partitions.
+   */
+  def bm25ScoresFromDir(
+    spark: SparkSession,
+    path: String,
+    queries: DataFrame,
+    queryIdCol: String,
+    queryTextCol: String,
+    k1: Double = 1.2,
+    b: Double = 0.75
+  ): DataFrame = {
+    val buckets = readBucketMeta(spark, path)
+    val words = queries.select(
+        explode(graft.functions.Hashing.normalizedWords(col(queryTextCol)))
+          .as("word"))
+      .distinct().collect().map(_.getString(0))
+    val wanted = words.map { w =>
+      val h = graft.functions.Md5Long60Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      (((h % buckets) + buckets) % buckets).toInt
+    }.distinct.toIndexedSeq
+    val idx =
+      if (wanted.isEmpty)
+        spark.read.parquet(path).filter(lit(false))
+      else
+        spark.read.parquet(path).filter(col("bucket").isin(wanted: _*))
+    bm25ScoresAgainst(idx.drop("bucket"), queries, queryIdCol, queryTextCol, k1, b)
+  }
+
+  /** Top-k over the partitioned layout: [[bm25ScoresFromDir]] + the
+    * WindowGroupLimit ranking. */
+  def bm25TopKFromDir(
+    spark: SparkSession,
+    path: String,
+    queries: DataFrame,
+    queryIdCol: String,
+    queryTextCol: String,
+    k: Int = 10,
+    k1: Double = 1.2,
+    b: Double = 0.75
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    bm25ScoresFromDir(spark, path, queries, queryIdCol, queryTextCol, k1, b)
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  private def readBucketMeta(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path, BucketMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no $BucketMetaFile sidecar - was it written by bm25IndexWrite?")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](32)
+      val n = in.read(buf)
+      new String(buf, 0, n, "UTF-8").trim.toInt
+    } finally in.close()
   }
 
   /** Top-k per query over the persisted index: [[bm25ScoresAgainst]]

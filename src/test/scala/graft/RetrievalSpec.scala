@@ -160,4 +160,49 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  // ------------------------------------------ r14: partitioned layout
+
+  private def partitionedDir(buckets: Int = 16): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft-bm25part").toString
+    Retrieval.bm25IndexWrite(
+      Retrieval.bm25Index(corpus, "text", "doc_id"), out, buckets)
+    out
+  }
+
+  test("bm25ScoresFromDir: value-identical to the flat probe; pruning in the plan") {
+    val dir = partitionedDir()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val part = Retrieval.bm25ScoresFromDir(spark, dir, queries, "query_id", "qtext")
+    assert(m(part) == m(Retrieval.bm25Scores(
+      corpus, "text", "doc_id", queries, "query_id", "qtext")))
+    // the bucket filter must reach the scan as a PARTITION filter (no
+    // data filter, no full-index scan)
+    part.collect()
+    val plan = part.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+    // topK parity through the same layout
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows(Retrieval.bm25TopKFromDir(spark, dir, queries, "query_id", "qtext", k = 1))
+      == rows(Retrieval.bm25TopK(corpus, "text", "doc_id", queries, "query_id", "qtext", k = 1)))
+  }
+
+  test("bm25ScoresFromDir: all-unseen queries read nothing; sidecar is required") {
+    val dir = partitionedDir(buckets = 8)
+    val missing = Seq((9L, "zzznothere qqqnope")).toDF("query_id", "qtext")
+    assert(Retrieval.bm25ScoresFromDir(spark, dir, missing, "query_id", "qtext")
+      .count() == 0L)
+    // a directory without the sidecar fails loudly instead of guessing
+    // a modulus (a wrong guess would silently lose words)
+    val bare = java.nio.file.Files.createTempDirectory("graft-bm25bare").toString
+    Retrieval.bm25Index(corpus, "text", "doc_id")
+      .write.mode("overwrite").parquet(bare)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25ScoresFromDir(spark, bare, queries, "query_id", "qtext")
+    }
+  }
 }
