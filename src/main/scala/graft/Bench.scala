@@ -143,7 +143,9 @@ object Bench {
     "q_forget_editsim",     // forget over the edit-variant index + in-gate rebuild-parity + cross-corpus probe (r14)
     "q_video_neardup",      // video clip near-dup: frame sample + per-frame dHash fold + Hamming banding (r14)
     "q_audio_neardup",      // audio clip near-dup: energy-contour fingerprint + Hamming banding (r14)
-    "q_bm25_part"           // partition-pruned BM25 layout: bucketed write + bucket-pruned probe (r14)
+    "q_bm25_part",          // partition-pruned BM25 layout: bucketed write + bucket-pruned probe (r14)
+    "q_dedup_keepbest",     // exact dedup, best-score keeper: one fingerprint rank window (r14)
+    "q_neardup_keepbest"    // near-dup cluster argmax keeper: pairs + CC + score join + anti join (r14)
   )
 
   private def jsonStr(s: String): String =

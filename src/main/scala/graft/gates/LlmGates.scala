@@ -486,6 +486,29 @@ object LlmGates {
           k = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select("doc_id", "cluster_id")
     },
+    // §2 row 149a — exact dedup with the BEST-score keeper: planted
+    // re-keyed copies (+100000) share fingerprints with their
+    // originals; score = doc_id % 7 makes the COPY win some groups
+    // (100000 % 7 = 5 shifts its score), so a lowest-id keeper
+    // hash-mismatches — the policy is what's under test
+    "q_dedup_keepbest" -> { (s, dir) =>
+      Dedup.dropExactDuplicatesKeepBest(
+          docsWithDups(s, dir).withColumn("sc", col("doc_id") % 7),
+          "text", "doc_id", "sc")
+        .select("doc_id")
+    },
+    // §2 row 149b — near-dup removal keeping each TRANSITIVE cluster's
+    // best-scoring member (the greedy pairwise rule keeps the lowest
+    // id of every pair — it can keep a low-quality copy and keep 2+
+    // docs of one chain); oracle: the q_neardup_cluster recursive-CC
+    // closure + per-cluster argmax
+    "q_neardup_keepbest" -> { (s, dir) =>
+      Dedup.dropNearDuplicatesKeepBest(
+          docsWithDups(s, dir).withColumn("sc", col("doc_id") % 7),
+          "text", "doc_id", "sc",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select("doc_id")
+    },
     // §2.4 row 79a — incremental exact dedup: batch rows not already in
     // the prior corpus's fingerprint index (anti-join; within-batch dups
     // deliberately untouched). Planted re-keyed copies of prior docs must
@@ -1340,7 +1363,42 @@ object LlmGates {
        |             / len(g)::DOUBLE, 6) AS contamination
        |FROM sets, ev""".stripMargin
 
-  /** [[DocSigCte]] over an arbitrary source table/CTE. */
+  /** The q_neardup_cluster oracle's CTE chain through `comp`
+    * (recursive min-label closure over the re-derived verified-pair
+    * edges of the docsWithDups fixture) — shared with the keep-best
+    * keeper oracle. */
+  private lazy val ClusterCompCte: String =
+    s"""${docSigCte("all_docs").replaceFirst("^WITH ",
+             """WITH RECURSIVE all_docs AS (
+               |  SELECT doc_id, text FROM documents
+               |  UNION ALL
+               |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+               |""".stripMargin)},
+         |bands AS (
+         |  SELECT doc_id, rt.b AS band,
+         |         array_to_string(list_transform(sig[rt.b*4+1:rt.b*4+4],
+         |                                        v -> v::VARCHAR), ',') AS band_key
+         |  FROM sig, range(0, 4) rt(b)),
+         |$CandSql,
+         |sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS sh FROM sh),
+         |ver AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN sets x ON cand.id_a = x.doc_id
+         |            JOIN sets y ON cand.id_b = y.doc_id
+         |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.8),
+         |sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM ver
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM ver),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM sym GROUP BY u
+         |  UNION
+         |  SELECT sym.u, reach.r FROM sym JOIN reach ON sym.v = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** [[docSigCte]] over an arbitrary source table/CTE. */
   private[gates] def docSigCte(src: String) =
     s"""WITH d AS (
        |  SELECT doc_id, $NormSql AS norm, ${wordsSql()} AS w FROM $src),
@@ -1426,37 +1484,34 @@ object LlmGates {
     // closes the re-derived verified-pair edges with a recursive CTE
     // (id reaches r), then labels every doc with min reachable id
     "q_neardup_cluster" ->
-      s"""${docSigCte("all_docs").replaceFirst("^WITH ",
-             """WITH RECURSIVE all_docs AS (
-               |  SELECT doc_id, text FROM documents
-               |  UNION ALL
-               |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
-               |""".stripMargin)},
-         |bands AS (
-         |  SELECT doc_id, rt.b AS band,
-         |         array_to_string(list_transform(sig[rt.b*4+1:rt.b*4+4],
-         |                                        v -> v::VARCHAR), ',') AS band_key
-         |  FROM sig, range(0, 4) rt(b)),
-         |$CandSql,
-         |sets AS (
-         |  SELECT doc_id, list_distinct(list_transform(s, x -> ${h60("x")})) AS sh FROM sh),
-         |ver AS (
-         |  SELECT id_a, id_b
-         |  FROM cand JOIN sets x ON cand.id_a = x.doc_id
-         |            JOIN sets y ON cand.id_b = y.doc_id
-         |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
-         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.8),
-         |sym AS (
-         |  SELECT id_a AS u, id_b AS v FROM ver
-         |  UNION
-         |  SELECT id_b AS u, id_a AS v FROM ver),
-         |reach(id, r) AS (
-         |  SELECT u, u FROM sym GROUP BY u
-         |  UNION
-         |  SELECT sym.u, reach.r FROM sym JOIN reach ON sym.v = reach.id),
-         |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      s"""$ClusterCompCte
          |SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cluster_id
          |FROM all_docs a LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // the same transitive clusters, then the BEST-scoring member of
+    // each (score DESC, id ASC) survives — singletons keep themselves
+    "q_neardup_keepbest" ->
+      s"""$ClusterCompCte,
+         |scored AS (
+         |  SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cid,
+         |         (a.doc_id % 7) AS sc
+         |  FROM all_docs a LEFT JOIN comp c USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, row_number() OVER (
+         |           PARTITION BY cid ORDER BY sc DESC, doc_id) AS rn
+         |  FROM scored)
+         |SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
+    // exact duplicate groups (same normalized text), best score kept
+    "q_dedup_keepbest" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |r AS (
+         |  SELECT doc_id, row_number() OVER (
+         |           PARTITION BY md5($NormSql)
+         |           ORDER BY (doc_id % 7) DESC, doc_id) AS rn
+         |  FROM all_docs)
+         |SELECT doc_id FROM r WHERE rn = 1""".stripMargin,
     "q_incr_exact" ->
       s"""WITH prior AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
          |batch AS (

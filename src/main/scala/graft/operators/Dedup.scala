@@ -698,6 +698,79 @@ object Dedup {
   }
 
   /**
+   * Exact dedup keeping the BEST row per duplicate group instead of
+   * the lowest id — the keeper policy real curation wants when copies
+   * genuinely differ upstream of normalization (casing, spacing,
+   * embedded PII masked later): keep the copy a QUALITY signal ranks
+   * highest. One row survives per distinct normalized text, chosen by
+   * `(scoreCol DESC, idCol ASC)` — the id tiebreak keeps the choice
+   * deterministic and rerun-stable like every dedup keeper here.
+   * Same one-shuffle rank-window shape as [[dropExactDuplicates]]
+   * (WindowGroupLimit pushes rn=1 into per-partition top-1).
+   */
+  def dropExactDuplicatesKeepBest(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    scoreCol: String,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(Hashing.normalizedTextFor(col(textCol), tokenizer)))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Near-dup removal keeping the BEST-scoring document of each
+   * TRANSITIVE duplicate cluster ([[dropNearDuplicates]]' greedy
+   * pairwise rule keeps the lowest id of every pair, which can keep a
+   * low-quality copy and drop the clean one, and can keep 2+ docs of
+   * one chain): verified pairs → [[connectedComponents]] clusters →
+   * per-cluster argmax by `(scoreCol DESC, idCol ASC)` → every other
+   * member anti-joined away. Unpaired documents never enter a cluster
+   * and always survive.
+   *
+   * Scale shape: the corpus is never shuffled — the member table is
+   * PAIR-bounded (only docs appearing in a verified pair), scores
+   * attach via one column-pruned (id, score) join, the keeper window
+   * runs over the member table, and the corpus pays exactly one
+   * anti-join against the (pair-bounded) loser ids.
+   */
+  def dropNearDuplicatesKeepBest(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    scoreCol: String,
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    threshold: Double = 0.8,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    maxIters: Int = 20,
+    localizeEdgeLimit: Long = 2000000L,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
+  ): DataFrame = {
+    val members = connectedComponents(
+      nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold,
+        maxBucket, tokenizer),
+      maxIters, localizeEdgeLimit)
+    val scored = members.join(
+      df.select(col(idCol).as("doc_id"), col(scoreCol).as("__score")),
+      Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("doc_id"))
+    val losers = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * The deduplicated corpus: every document that appears as the GREATER
    * id of a verified near-duplicate pair is dropped, keeping the lowest
    * id of each duplicate cluster reachable by pairwise links (greedy

@@ -829,4 +829,38 @@ class DedupSpec extends SparkSpec {
       Dedup.simHashes(cjk, "text", "doc_id", "nope")
     }
   }
+
+  test("keep-best keepers: cluster argmax beats the greedy lowest-id rule") {
+    // docs 1, 2, 3 are near-identical (one transitive cluster); doc 3
+    // scores highest. 4 is unrelated. The greedy pairwise rule keeps
+    // doc 1 (lowest id — the LOW-quality copy); keep-best keeps doc 3.
+    val base = "the quick brown fox jumps over the lazy dog and then naps all day"
+    val corpus = Seq(
+      (1L, base + " one", 0.1),
+      (2L, base + " two", 0.5),
+      (3L, base + " three", 0.9),
+      (4L, "completely different text about spark shuffles and joins", 0.2))
+      .toDF("doc_id", "text", "sc")
+    val kept = graft.operators.Dedup.dropNearDuplicatesKeepBest(
+        corpus, "text", "doc_id", "sc", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    val greedy = graft.operators.Dedup.dropNearDuplicates(
+        corpus, "text", "doc_id", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy == Set(1L, 4L))
+  }
+
+  test("keep-best exact keeper: highest score wins, id breaks ties") {
+    val corpus = Seq(
+      (1L, "Same Text", 0.2),
+      (2L, "same text", 0.8),   // same normalized text, better score
+      (3L, "same text", 0.8),   // tie with 2 -> lower id (2) wins
+      (4L, "other", 0.1))
+      .toDF("doc_id", "text", "sc")
+    val kept = graft.operators.Dedup.dropExactDuplicatesKeepBest(
+        corpus, "text", "doc_id", "sc")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
 }
