@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.gates.{BpeGates, CorpusGates, ForgetGates, InfraGates, KernelGates, LayoutGates, LlmGates, PipelineGates, PrivacyGates, SimJoinGates, SourceGates, V2FGates, VectorGates}
+import graft.gates.{BpeGates, CorpusGates, ForgetGates, InfraGates, KernelGates, LayoutGates, LlmGates, PipelineGates, PrivacyGates, SimJoinGates, SourceGates, V2FGates, VectorGates, WinnowGates}
 import graft.operators.Transformations
 
 /**
@@ -41,7 +41,7 @@ object SparkEntry {
       LlmGates.queries ++ InfraGates.queries ++ PipelineGates.queries ++
       VectorGates.queries ++ CorpusGates.queries ++ BpeGates.queries ++
       SimJoinGates.queries ++ LayoutGates.queries ++ PrivacyGates.queries ++
-      ForgetGates.queries
+      ForgetGates.queries ++ WinnowGates.queries
 
   /**
    * DuckDB-runnable oracle SQL per queries key. Column names must match the
@@ -53,5 +53,5 @@ object SparkEntry {
       LlmGates.oracleSql ++ InfraGates.oracleSql ++ PipelineGates.oracleSql ++
       VectorGates.oracleSql ++ CorpusGates.oracleSql ++ BpeGates.oracleSql ++
       SimJoinGates.oracleSql ++ LayoutGates.oracleSql ++ PrivacyGates.oracleSql ++
-      ForgetGates.oracleSql
+      ForgetGates.oracleSql ++ WinnowGates.oracleSql
 }

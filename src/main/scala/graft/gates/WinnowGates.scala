@@ -1,0 +1,134 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/**
+ * Correctness gates for winnowing fingerprints (SURVEY.md §2 row 150,
+ * Schleimer–Wilkerson–Aiken SIGMOD 2003).
+ *
+ * Oracle strategy: FULL re-derivation — DuckDB recomputes every
+ * codepoint, every polynomial k-gram hash (the same base-257 /
+ * 1e9+7 constants, spelled as a sum over inlined power literals), and
+ * every window minimum with the rightmost-on-ties rule, then takes
+ * the distinct selections. Nothing is a same-algorithm shortcut: the
+ * engine's O(n) rolling hash + ring-buffer scan is checked against
+ * the O(n·w) definitional join.
+ *
+ * Fixture: documents under id 120 cut to their first 200 normalized
+ * codepoints (bounds the oracle's window join), plus planted rows —
+ * an all-equal-hash run pinning the rightmost-tie rule, a short text
+ * below k pinning emptiness, and re-cased/re-spaced twins pinning the
+ * normalization story the pairs gate needs.
+ */
+object WinnowGates {
+
+  private val K = 8
+  private val W = 4
+
+  /** documents (id < 120, text cut to 200 chars) ∪ planted rows. */
+  private def fixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = LlmGates.docs(s, dir)
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+    val planted = Seq(
+      // constant k-gram hashes: every window's minimum is its RIGHTMOST
+      // position — selected positions are exactly w-1 .. m-1
+      (700001L, "aaaaaaaaaaaaaaaa"),
+      // shorter than k codepoints -> zero fingerprints
+      (700002L, "short"),
+      // re-cased + re-spaced twins: normalized-identical, so their
+      // fingerprint sets coincide (the pairs gate's planted copy)
+      (700003L, "The Quick   Brown Fox\n\nJumps Over The Lazy Dog Tonight"),
+      (700004L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    d.unionByName(planted)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2 row 150a — the selected fingerprints themselves
+    "q_winnow" -> { (s, dir) =>
+      Dedup.winnowTable(fixture(s, dir), "text", "doc_id", K, W)
+    },
+    // §2 row 150b — cross-document overlap pairs by shared distinct
+    // fingerprint hashes (the planted twins must pair with a large
+    // n_shared; natural boilerplate overlaps ride along)
+    "q_winnow_pairs" -> { (s, dir) =>
+      Dedup.winnowedOverlapPairs(fixture(s, dir), "text", "doc_id", K, W,
+        minShared = 2)
+    }
+  )
+
+  /** 257^e mod 1e9+7 for e = 0..7, inlined so the oracle's k-gram
+    * hash is a plain sum of products. */
+  private val Pows = Seq(1L, 257L, 66049L, 16974593L, 362470373L,
+    154885210L, 805498697L, 13163680L)
+
+  /** The k-gram hash of the gram at 0-based `p` over codepoint list
+    * `c` (1-based SQL indexing): Σ c[p+j+1]·257^(k−1−j) mod M. */
+  private def hashSql: String =
+    (0 until K).map(j => s"(c[p + ${j + 1}]::BIGINT) * ${Pows(K - 1 - j)}")
+      .mkString("(", " + ", ") % 1000000007")
+
+  /** Shared CTE chain: normalize → codepoints → k-gram hashes →
+    * window argmin (hash ASC, pos DESC) → distinct selections. */
+  private val SelCte: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, substr(text, 1, 200) AS text FROM documents
+       |  WHERE doc_id < 120
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    (700001::BIGINT, 'aaaaaaaaaaaaaaaa'),
+       |    (700002::BIGINT, 'short'),
+       |    (700003::BIGINT, 'The Quick   Brown Fox' || chr(10) || chr(10) ||
+       |                     'Jumps Over The Lazy Dog Tonight'),
+       |    (700004::BIGINT, 'the quick brown fox jumps over the lazy dog tonight')
+       |  ) t(doc_id, text)),
+       |d AS (
+       |  SELECT doc_id,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+       |  FROM src),
+       |cp AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(s) + 1),
+       |                        i -> unicode(substr(s, i, 1))) AS c,
+       |         len(s) - $K + 1 AS m
+       |  FROM d),
+       |gpos AS (
+       |  SELECT doc_id, c, m, unnest(range(0, greatest(m, 0))) AS p
+       |  FROM cp),
+       |grams AS (
+       |  SELECT doc_id, p, $hashSql AS hash, m FROM gpos),
+       |wins AS (
+       |  SELECT doc_id, m, unnest(range(0, greatest(m - $W + 1, 1))) AS wi
+       |  FROM (SELECT DISTINCT doc_id, m FROM grams)),
+       |ranked AS (
+       |  SELECT w.doc_id, w.wi, g.p, g.hash,
+       |         row_number() OVER (PARTITION BY w.doc_id, w.wi
+       |                            ORDER BY g.hash ASC, g.p DESC) AS rn
+       |  FROM wins w
+       |  JOIN grams g ON g.doc_id = w.doc_id
+       |              AND g.p >= w.wi AND g.p < least(w.wi + $W, w.m)),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, p AS pos, hash
+       |  FROM ranked WHERE rn = 1)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_winnow" -> s"$SelCte\nSELECT doc_id, pos, hash FROM sel",
+    "q_winnow_pairs" ->
+      s"""$SelCte,
+         |fp AS (SELECT DISTINCT doc_id, hash FROM sel),
+         |ok AS (
+         |  SELECT hash FROM fp
+         |  GROUP BY hash HAVING count(*) BETWEEN 2 AND 1024)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       count(*) AS n_shared
+         |FROM fp a
+         |JOIN ok USING (hash)
+         |JOIN fp b ON a.hash = b.hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin
+  )
+}

@@ -698,6 +698,72 @@ object Dedup {
   }
 
   /**
+   * Winnowing fingerprint table (Schleimer–Wilkerson–Aiken, SIGMOD
+   * 2003 — the MOSS primitive; [[graft.functions.WinnowExpr]] holds
+   * the algorithm + guarantee): one row per selected (doc_id, pos,
+   * hash) fingerprint over MOSS-style normalized text (lowercased,
+   * whitespace runs collapsed to one space — so reindented/recased
+   * copies fingerprint identically; identifier-renaming robustness
+   * needs a language lexer and is deliberately a deployment seam).
+   * Any substring match of ≥ w + k − 1 normalized codepoints between
+   * two docs shares a fingerprint. Pure scan projection + explode.
+   */
+  def winnowTable(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 8,
+    w: Int = 4
+  ): DataFrame =
+    df.select(
+        col(idCol).as("doc_id"),
+        explode(graft.functions.WinnowExpr(
+          trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), k, w)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.hash").as("hash"))
+
+  /**
+   * Cross-document overlap pairs by shared winnowed fingerprints —
+   * the code-corpus dedup screen: (id_a, id_b, n_shared) for every
+   * pair sharing at least `minShared` DISTINCT fingerprint hashes.
+   * By the winnowing guarantee a verbatim (whitespace-insensitive)
+   * copy of length L contributes ≥ ⌊(L − k + 1) / w⌋-ish shared
+   * fingerprints, so `minShared` is a length knob, not a similarity
+   * ratio ([[setSimilarityJoin]] is the ratio arm).
+   *
+   * Scale shape: the fingerprint table collapses to DISTINCT
+   * (hash, doc) rows, ONE groupBy on hash with the loud capped-bucket
+   * discipline (`graft.winnow.bucket_cap` — a boilerplate fingerprint
+   * shared by thousands of docs would otherwise pair quadratically),
+   * in-bucket array pair generation, then one (id_a, id_b) count —
+   * never a self-join, never all-pairs.
+   */
+  def winnowedOverlapPairs(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 8,
+    w: Int = 4,
+    minShared: Int = 2,
+    maxBucket: Option[Int] = DefaultMaxBucket
+  ): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val fps = winnowTable(df, textCol, idCol, k, w)
+      .select("doc_id", "hash").distinct()
+    val buckets = capBuckets(
+      fps.groupBy("hash").agg(collect_set(col("doc_id")).as("__ids")),
+      "__ids", maxBucket, "winnow")
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(bucketPairs(sort_array(col("__ids")))).as("p"))
+      .select(
+        least(col("p.x"), col("p.y")).as("id_a"),
+        greatest(col("p.x"), col("p.y")).as("id_b"))
+    buckets
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * Exact dedup keeping the BEST row per duplicate group instead of
    * the lowest id — the keeper policy real curation wants when copies
    * genuinely differ upstream of normalization (casing, spacing,
