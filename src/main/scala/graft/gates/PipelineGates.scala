@@ -105,6 +105,40 @@ object PipelineGates {
         curated => graft.operators.Similarity.localize(curated.select("doc_id"))
       }
     },
+    // §2 row 149 × 52 — the capstone's keeper=best policy over a
+    // planted fixture: docs 1/2 are near-dups where the LOW id is the
+    // junk-laden copy — keeper=first keeps doc 1 (asserted in-gate,
+    // the policy contrast), keeper=best keeps the clean doc 2; docs
+    // 3/4 are an exact-duplicate pair after normalization where the
+    // higher id has the higher quality text shape
+    "q_curation_keepbest" -> { (s, dir) =>
+      import s.implicits._
+      // 26 distinct words -> 24 distinct shingles; doc 1's junk strips
+      // away under normalization (so 1/2 share 24 of 26 shingles,
+      // jaccard 0.923) while its raw punctuation load lowers alpha_r
+      val prose = "alpha bravo charlie delta echo foxtrot golf hotel " +
+        "india juliett kilo lima mike november oscar papa quebec romeo " +
+        "sierra tango uniform victor whiskey xray yankee zulu"
+      def corpus = Seq(
+        (1L, prose + " @@@ ### $$$ %%% ^^^ &&&"),
+        (2L, prose + " ending words"),
+        (3L, "spark, engines;;; shuffle!!! data... across (the) cluster %% nodes ## quickly"),
+        (4L, "spark engines shuffle data across the cluster nodes quickly"))
+        .toDF("doc_id", "text")
+      val first = CurationPipeline.run(corpus, "text", "doc_id",
+        CurationPipeline.Config(minQuality = 0.0)) {
+        _.select("doc_id").as[Long].collect().toSet
+      }
+      // docs 3/4 normalize identically (punctuation maps to spaces) but
+      // doc 3's punctuation load lowers its alpha ratio -> lower quality
+      assert(first == Set(1L, 3L),
+        s"keeper=first must keep the lowest ids; kept $first")
+      CurationPipeline.run(corpus, "text", "doc_id",
+        CurationPipeline.Config(minQuality = 0.0,
+          keeper = CurationPipeline.KeepBest)) {
+        curated => graft.operators.Similarity.localize(curated.select("doc_id"))
+      }
+    },
     // §2.4 row 52b — the pipeline's per-stage row ACCOUNTING: the
     // observe (CollectMetrics) counters runObserved rides on the one
     // action, gated against DuckDB re-counting every stage CTE — a
@@ -242,6 +276,11 @@ object PipelineGates {
     // hand-derived constant table, the q_uax29 precedent
     "q_curation_uax29" ->
       "SELECT * FROM (VALUES (1::BIGINT), (3::BIGINT), (4::BIGINT)) t(doc_id)",
+    // keeper=best keeps each duplicate group's higher-quality member:
+    // the clean near-dup copy (2) and the punctuation-free exact copy
+    // (4) — hand-derived constant table, the q_curation_uax29 precedent
+    "q_curation_keepbest" ->
+      "SELECT * FROM (VALUES (2::BIGINT), (4::BIGINT)) t(doc_id)",
     "q_curation_e2e" -> (CurationCte + "\n" +
       s"""-- stage 7: split assignment (seed 'graft', 0.8/0.1/0.1)
          |SELECT doc_id, md5(text) AS text_md5,

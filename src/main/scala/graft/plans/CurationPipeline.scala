@@ -102,6 +102,21 @@ object CurationPipeline {
     bias: Double,
     minScore: Double = 0.5)
 
+  /** [[Config.keeper]] values: `KeepFirst` keeps each duplicate
+    * group's LOWEST id (deterministic, cheapest — the default);
+    * `KeepBest` keeps the group's highest COMPOSITE-QUALITY member
+    * ([[graft.operators.TextAnalysis.appendQuality]] score, id
+    * tiebreak) — exact groups by fingerprint rank, near-dup groups by
+    * TRANSITIVE-cluster argmax ([[graft.operators.Dedup
+    * .dropNearDuplicatesKeepBest]]), so the pipeline stops throwing
+    * away the clean copy of a duplicate pair just because it arrived
+    * later. The score is a pure projection computed inline for the
+    * dedup stages; the quality FLOOR stage recomputes it on the final
+    * text (duplicate compute, zero extra shuffle — final text differs
+    * from dedup-time text anyway for any doc the line rules touch). */
+  val KeepFirst = "first"
+  val KeepBest = "best"
+
   final case class Config(
     /** Strip HTML markup FIRST ([[graft.operators.Web.stripHtml]]) —
       * the crawl-shaped corpus entry point: script/style/comment blocks
@@ -197,6 +212,10 @@ object CurationPipeline {
       * [[simhashIndex]] builder. The contamination grams stay
       * whitespace-keyed (eval sets are Latin-script benchmarks). */
     tokenizer: String = TextAnalysis.WhitespaceTokenizer,
+    /** Duplicate-group keeper policy: [[KeepFirst]] (lowest id,
+      * default) or [[KeepBest]] (highest composite quality — see the
+      * constants' scaladoc). */
+    keeper: String = KeepFirst,
     /** Optional multimodal dedup stage ([[ImageDedup]]): runs right
       * after text near-dup, dropping docs whose IMAGE near-duplicates a
       * kept doc's — re-encoded/rescaled copies that byte-exact and
@@ -487,11 +506,25 @@ object CurationPipeline {
       cfg.priorSimhashes.nonEmpty || cfg.priorEmbeddings.nonEmpty
     val fresh =
       if (anyPrior) observe("after_incremental_prune", fresh3) else fresh3
-    // 3-4: exact then near dedup
+    // 3-4: exact then near dedup, keeper policy per cfg.keeper
+    require(cfg.keeper == KeepFirst || cfg.keeper == KeepBest,
+      s"unknown keeper '${cfg.keeper}' (expected $KeepFirst or $KeepBest)")
+    val best = cfg.keeper == KeepBest
+    def withKeepScore(df: DataFrame): DataFrame =
+      TextAnalysis.appendQuality(df, textCol, "__keep_sc")
     val exact = observe("after_exact_dedup",
-      Dedup.dropExactDuplicates(fresh, textCol, "doc_id", cfg.tokenizer))
+      if (best)
+        Dedup.dropExactDuplicatesKeepBest(withKeepScore(fresh), textCol, "doc_id",
+          "__keep_sc", cfg.tokenizer).drop("__keep_sc")
+      else Dedup.dropExactDuplicates(fresh, textCol, "doc_id", cfg.tokenizer))
     val nearText = observe("after_near_dedup",
-      Dedup.dropNearDuplicates(exact, textCol, "doc_id",
+      if (best)
+        Dedup.dropNearDuplicatesKeepBest(withKeepScore(exact), textCol, "doc_id",
+            "__keep_sc", k = cfg.shingleK, numHashes = cfg.numHashes,
+            bands = cfg.bands, threshold = cfg.nearDupThreshold,
+            tokenizer = cfg.tokenizer)
+          .drop("__keep_sc")
+      else Dedup.dropNearDuplicates(exact, textCol, "doc_id",
         k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
         threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
     // 4b: image near-dup (optional) — perceptual-hash losers (higher id

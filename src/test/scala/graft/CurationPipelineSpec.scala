@@ -517,4 +517,24 @@ class CurationPipelineSpec extends SparkSpec {
     assert(kept(CurationPipeline.Config(minQuality = 0.0,
       tokenizer = graft.operators.TextAnalysis.Uax29Tokenizer)) == Set(1L, 2L))
   }
+
+  test("keeper=best keeps each duplicate group's higher-quality member") {
+    val prose = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra tango"
+    val corpus = Seq(
+      (1L, prose + " @@@ ### $$$ %%%"),    // junk-laden near-dup copy
+      (2L, prose + " ending words"),       // the clean copy (higher id!)
+      (3L, "unrelated: text, with; lots!!! of??? punctuation %% marks ##"),
+      (4L, "unrelated text with lots of punctuation marks")) // exact twin of 3
+      .toDF("doc_id", "text")
+    def kept(cfg: CurationPipeline.Config) =
+      CurationPipeline.run(corpus, "text", "doc_id", cfg)(
+        _.select("doc_id").as[Long].collect().toSet)
+    assert(kept(CurationPipeline.Config(minQuality = 0.0)) == Set(1L, 3L))
+    assert(kept(CurationPipeline.Config(minQuality = 0.0,
+      keeper = CurationPipeline.KeepBest)) == Set(2L, 4L))
+    intercept[IllegalArgumentException] {
+      kept(CurationPipeline.Config(keeper = "nope"))
+    }
+  }
 }
