@@ -88,6 +88,27 @@ object CorpusGates {
           round(col("p_b"), 9).as("p_b"),
           round(col("kl_term"), 6).as("kl_term"))
     },
+    // §2 row 151 — mojibake repair: corpus text passes through
+    // UNTOUCHED (the no-op guarantee — the oracle re-selects raw text
+    // for those rows) while planted single- and DOUBLE-encoded
+    // mojibake rows repair to hand-derived literals and genuine
+    // accented text aborts the inversion (unicode escapes: the
+    // fixtures contain the C1 control U+009D a sloppy decoder emits)
+    "q_fix_mojibake" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (930001L, "caf\u00C3\u00A9"),
+        (930002L, "it\u00E2\u20AC\u2122s a \u00E2\u20AC\u0153test\u00E2\u20AC\u009D \u00E2\u20AC\u201D na\u00C3\u00AFve"),
+        (930003L, "it\u00C3\u00A2\u00E2\u201A\u00AC\u00E2\u201E\u00A2s a \u00C3\u00A2\u00E2\u201A\u00AC\u00C5\u201Ctest\u00C3\u00A2\u00E2\u201A\u00AC\u00C2\u009D \u00C3\u00A2\u00E2\u201A\u00AC\u00E2\u20AC\u009D na\u00C3\u0192\u00C2\u00AFve"),
+        (930004L, "caf\u00E9 cr\u00E8me stays as written"),
+        (930005L, "plain ascii is untouched"),
+        (930006L, ""))
+        .toDF("doc_id", "text")
+      docs(s, dir).filter(col("doc_id") < 200).select("doc_id", "text")
+        .unionByName(planted)
+        .select(col("doc_id"),
+          TextAnalysis.fixMojibake(col("text")).as("fixed"))
+    },
     // §2.4 row 71 — character entropy: planted single-char flood (0
     // bits), alternating pair (1 bit), empty and NULL (no distribution)
     "q_char_entropy" -> { (s, dir) =>
@@ -577,6 +598,19 @@ object CorpusGates {
     "q_bm25" -> Bm25Sql,
     "q_bm25_incr" -> Bm25Sql,
     "q_bm25_part" -> Bm25Sql,
+    "q_fix_mojibake" -> {
+      val orig2 = "'it' || chr(8217) || 's a ' || chr(8220) || 'test' || " +
+        "chr(8221) || ' ' || chr(8212) || ' na' || chr(239) || 've'"
+      s"""SELECT doc_id, text AS fixed FROM documents WHERE doc_id < 200
+         |UNION ALL
+         |SELECT 930001, 'caf' || chr(233)
+         |UNION ALL SELECT 930002, $orig2
+         |UNION ALL SELECT 930003, $orig2
+         |UNION ALL SELECT 930004, 'caf' || chr(233) || ' cr' || chr(232) ||
+         |  'me stays as written'
+         |UNION ALL SELECT 930005, 'plain ascii is untouched'
+         |UNION ALL SELECT 930006, ''""".stripMargin
+    },
     "q_fold_accents" ->
       """SELECT id, strip_accents(text) AS folded FROM (VALUES
         |  (1::BIGINT, 'café crème brûlée'),

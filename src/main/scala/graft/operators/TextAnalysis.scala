@@ -61,6 +61,14 @@ object TextAnalysis {
   val WhitespaceTokenizer = "whitespace"
   val Uax29Tokenizer = "uax29"
 
+  /** Mojibake repair ([[graft.functions.FixMojibakeExpr]] — UTF-8
+    * bytes mis-decoded as cp1252 upstream, inverted and strictly
+    * re-decoded; clean text is a guaranteed no-op, double-encoding
+    * undone, NULL propagates). Run BEFORE unicode normalization and
+    * every hash-keyed stage: "cafÃ©" and "café" must fingerprint
+    * together or dedup silently forks on crawl-encoding accidents. */
+  def fixMojibake(c: Column): Column = graft.functions.FixMojibakeExpr(c)
+
   /** Normalized word array under the named tokenizer (plan-time error
     * for an unknown name — the [[graft.operators.Checks]] fail-loud
     * convention). */

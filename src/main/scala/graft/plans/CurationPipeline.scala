@@ -131,6 +131,13 @@ object CurationPipeline {
       * — malformed drops are rejected before a 100 TB pipeline spends
       * its scans on them. Empty (default) costs nothing. */
     inputExpectations: Seq[graft.operators.Checks.Rule] = Seq.empty,
+    /** Repair mojibake BEFORE Unicode normalization and every
+      * hash-keyed stage ([[graft.operators.TextAnalysis.fixMojibake]]
+      * — UTF-8 mis-decoded as cp1252 inverted and strictly
+      * re-decoded; clean text is a guaranteed no-op): without it,
+      * "cafÃ©" and "café" fingerprint apart and dedup forks on crawl
+      * encoding accidents. Off by default (pure projection when on). */
+    fixMojibake: Boolean = false,
     /** Unicode-normalize text next (e.g. Some("NFC")) so composed and
       * decomposed forms of the same content collapse for every
       * hash-keyed stage downstream — line rules, exact dedup, shingle
@@ -286,8 +293,10 @@ object CurationPipeline {
   ): DataFrame = {
     val detagged =
       if (cfg.stripHtml) graft.operators.Web.stripHtml(col(textCol)) else col(textCol)
-    val normed = cfg.unicodeNorm.fold(detagged)(f =>
-      TextAnalysis.normalizeUnicode(detagged, f))
+    val repaired =
+      if (cfg.fixMojibake) TextAnalysis.fixMojibake(detagged) else detagged
+    val normed = cfg.unicodeNorm.fold(repaired)(f =>
+      TextAnalysis.normalizeUnicode(repaired, f))
     val masked = corpus
       .select(col(idCol), TextAnalysis.scrubPii(normed).as(textCol))
     val inDoc =

@@ -347,4 +347,64 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Option[String]].collect().toSet
     assert(twice === once)
   }
+
+  // ----------------------------------------------- r14: mojibake repair
+
+  /** What a sloppy cp1252 decode does to UTF-8 bytes (the defect the
+    * operator inverts): byte -> cp1252 char, undefined positions pass
+    * through as C1 controls. */
+  private def mojibake(s: String): String = {
+    val cp1252 = Map(0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192,
+      0x84 -> 0x201E, 0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021,
+      0x88 -> 0x02C6, 0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039,
+      0x8C -> 0x0152, 0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019,
+      0x93 -> 0x201C, 0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013,
+      0x97 -> 0x2014, 0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161,
+      0x9B -> 0x203A, 0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+    s.getBytes("UTF-8").map { b =>
+      val u = b & 0xff
+      cp1252.getOrElse(u, u).toChar
+    }.mkString
+  }
+
+  private def fixOf(ss: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    ss.toDF("t").select(TextAnalysis.fixMojibake(col("t")).as("f"))
+      .as[String].collect().toSeq
+  }
+
+  test("fixMojibake inverts single and double sloppy-cp1252 decodes") {
+    val originals = Seq(
+      "caf\u00E9", "it\u2019s \u201Cfine\u201D \u2014 really",
+      "\u20AC 9,99 \u2022 na\u00EFve \u2026 done",
+      "\u4F60\u597D\u4E16\u754C", // CJK round-trips too
+      "plain ascii")
+    val single = originals.map(mojibake)
+    val double = single.map(mojibake)
+    assert(fixOf(single) == originals)
+    assert(fixOf(double) == originals)
+  }
+
+  test("fixMojibake is a no-op on clean text and idempotent") {
+    val clean = Seq(
+      "caf\u00E9 cr\u00E8me stays", // genuine latin-1: E9+space is malformed UTF-8
+      "plain ascii", "", "\u4F60\u597D", "emoji \uD83D\uDE00 aborts")
+    assert(fixOf(clean) == clean)
+    // idempotence: fixing fixed text changes nothing
+    val fixed = fixOf(Seq(mojibake("it\u2019s")))
+    assert(fixOf(fixed) == fixed)
+  }
+
+  test("fixMojibake propagates NULL and randomized roundtrip holds") {
+    import spark.implicits._
+    val out = Seq(Option.empty[String], Some(mojibake("ok \u2014 fine")))
+      .toDF("t").select(TextAnalysis.fixMojibake(col("t")).as("f"))
+      .collect()
+    assert(out(0).isNullAt(0) && out(1).getString(0) == "ok \u2014 fine")
+    val rnd = new scala.util.Random(11)
+    val pool = "abc \u00E9\u00FC\u2019\u201C\u4F60 xyz"
+    val rs = (1 to 20).map(_ =>
+      (0 until 30).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    assert(fixOf(rs.map(mojibake)) == rs)
+  }
 }
