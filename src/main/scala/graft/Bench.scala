@@ -148,7 +148,8 @@ object Bench {
     "q_neardup_keepbest",   // near-dup cluster argmax keeper: pairs + CC + score join + anti join (r14)
     "q_winnow_pairs",       // winnowing overlap: native rolling-hash scan + capped hash-groupBy pair counts (r14)
     "q_fix_mojibake",       // mojibake repair: invert + strict re-decode scan projection (r14)
-    "q_skip_prune"          // skip-index prune: partitioned fixture + deleted-partition diff + pruned reads (r14)
+    "q_skip_prune",         // skip-index prune: partitioned fixture + deleted-partition diff + pruned reads (r14)
+    "q_containment_incr"    // cross-corpus containment join: batch-prefix probe vs full-postings index (r14)
   )
 
   private def jsonStr(s: String): String =

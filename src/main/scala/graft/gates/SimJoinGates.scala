@@ -137,6 +137,26 @@ object SimJoinGates {
           maxDist = 2),
         "s", "doc_id", maxDist = 2)
     },
+    // §2 row 152 — cross-corpus set-CONTAINMENT join: batch docs are
+    // EXCERPTS (first 120 chars of every 4th indexed doc, re-keyed
+    // +300000 — the quote/excerpt shape whose jaccard vs its source is
+    // tiny) plus never-indexed odd docs; the full-postings index over
+    // the prior corpus answers "is ≥60% of this new doc's shingles
+    // already in some corpus doc". Oracle: definitional brute-force
+    // containment join.
+    "q_containment_incr" -> { (s, dir) =>
+      val batch = LlmGates.docs(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") < 400 && col("doc_id") % 2 === 1)
+        .unionByName(
+          simPrior(s, dir).filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              substring(col("text"), 1, 120).as("text")))
+      SetSim.setContainmentPairsAgainst(
+          batch,
+          SetSim.setContainmentShingleIndex(simPrior(s, dir), "text", "doc_id"),
+          "text", "doc_id", threshold = 0.6)
+        .withColumn("containment", round(col("containment"), 6))
+    },
     // §2 row 139 × 136 — forget over the persisted setsim prefix index:
     // Forget.removeIds drops the removed docs' prefix rows; the gate
     // pins the post-forget index through the JOIN SURFACE (probe batch
@@ -275,6 +295,39 @@ object SimJoinGates {
          |JOIN sb ON sb.doc_id = bid
          |JOIN sp ON sp.doc_id = iid
          |WHERE ov * 1.0 / (sb.n + sp.n - ov) >= 0.5""".stripMargin,
+    "q_containment_incr" ->
+      s"""WITH prior AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 300000, substr(text, 1, 120) FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 2 = 0 AND doc_id % 4 = 0),
+         |wp AS (SELECT doc_id, $NormSql AS norm,
+         |              string_split($NormSql, ' ') AS w FROM prior),
+         |shp AS (SELECT DISTINCT doc_id,
+         |          unnest(CASE WHEN len(w) < 3 THEN [norm]
+         |                 ELSE list_transform(range(0, len(w) - 2),
+         |                        j -> array_to_string(w[j+1:j+3], ' ')) END) AS tok
+         |        FROM wp),
+         |wb AS (SELECT doc_id, $NormSql AS norm,
+         |              string_split($NormSql, ' ') AS w FROM batch),
+         |shb AS (SELECT DISTINCT doc_id,
+         |          unnest(CASE WHEN len(w) < 3 THEN [norm]
+         |                 ELSE list_transform(range(0, len(w) - 2),
+         |                        j -> array_to_string(w[j+1:j+3], ' ')) END) AS tok
+         |        FROM wb),
+         |sb AS (SELECT doc_id, count(*) n FROM shb GROUP BY 1),
+         |inter AS (
+         |  SELECT b.doc_id bid, p.doc_id iid, count(*) ov
+         |  FROM shb b JOIN shp p ON b.tok = p.tok
+         |  GROUP BY 1, 2)
+         |SELECT bid AS batch_id, iid AS index_id,
+         |       round(ov * 1.0 / sb.n, 6) AS containment
+         |FROM inter JOIN sb ON sb.doc_id = bid
+         |WHERE ov * 1.0 / sb.n >= 0.6""".stripMargin,
     "q_forget_setsim" ->
       s"""WITH prior AS (
          |  SELECT doc_id, text FROM documents

@@ -432,6 +432,151 @@ object SetSim {
         .withColumnRenamed("hs", "__shingles"),
       "__shingles", idCol, threshold)
 
+  /**
+   * Cross-corpus set-CONTAINMENT join — the excerpt/quote detector the
+   * symmetric Jaccard arms structurally miss: a 50-word excerpt of a
+   * 5,000-word document has jaccard ≈ 0.01 (never reaches any
+   * threshold) but containment |b ∩ a| / |b| ≈ 1. Returns
+   * (batch_id, index_id, containment) for every pair where at least
+   * `threshold` of the BATCH doc's tokens appear in the index doc —
+   * EXACT, no false negatives.
+   *
+   * The index must carry FULL postings ([[setContainmentIndex]] /
+   * [[setContainmentShingleIndex]] — one row per (token, doc) with the
+   * set riding), NOT a Jaccard prefix index: a prefix bounds overlap
+   * relative to |a|, which proves nothing about t·|b| when the batch
+   * doc is much smaller (exactly the excerpt case) — a loud
+   * plan-execution guard rejects a prefix-built index. The filtering
+   * is all BATCH-side: the batch ranks its own tokens by its own
+   * ascending df and keeps the first |b| − ceil(t·|b|) + 1
+   * (completeness: overlap ≥ t·|b| means ≥ ceil(t·|b|) common tokens,
+   * which cannot all hide in the last ceil(t·|b|) − 1 positions), and
+   * the per-row position bound 1 + |b| − pos ≥ ceil(t·|b|) prunes by
+   * the first-common-token argument of [[setSimilarityJoin]].
+   *
+   * Scale shape: the [[setSimilarityJoinAgainst]] doctrine — index
+   * semi-joined against the BROADCAST batch prefix (never shuffled
+   * beyond matched rows), both sides' buckets capped independently
+   * (loud `graft.setsim_cont.*` metrics), verification intersects the
+   * sets riding the candidate rows (merge-count for long sets),
+   * corpus text never rescanned.
+   */
+  def setContainmentJoinAgainst(
+    batch: DataFrame,
+    index: DataFrame,
+    setCol: String,
+    idCol: String,
+    threshold: Double,
+    maxTokenBucket: Option[Int] = DefaultMaxTokenBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val bsets = batch.select(
+        col(idCol).as("batch_id"),
+        sort_array(array_distinct(col(setCol))).as("__bset"))
+      .filter(col("__bset").isNotNull && size(col("__bset")) > 0)
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    // loud guard: a Jaccard prefix index (t > 0) lacks the suffix
+    // postings containment completeness needs
+    val guardedIndex = index.filter(
+      when(col("t") <= lit(1e-9), lit(true))
+        .otherwise(raise_error(concat(
+          lit("setContainmentJoinAgainst: index built as a Jaccard prefix index (t="),
+          col("t").cast("string"),
+          lit(") cannot serve containment — build with setContainmentIndex")))))
+    // batch tokens ranked rarest-first by the BATCH's own df; keep the
+    // containment prefix
+    val btok = bsets.select(col("batch_id"), size(col("__bset")).as("__bn"),
+      explode(col("__bset")).as("tok"))
+    val bdf = btok.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy("batch_id")
+      .orderBy(col("__df").asc, col("tok").asc)
+    val bprefix = btok.join(bdf, "tok")
+      .withColumn("__pos", row_number().over(byRarity))
+      .filter(col("__pos") <=
+        col("__bn") - ceil(col("__bn") * threshold - lit(1e-9)) + 1)
+    val batchBuckets = bprefix
+      .groupBy("tok")
+      .agg(collect_set(struct(col("batch_id"), col("__bn"), col("__pos")))
+        .as("batch_items"))
+    val probe = batchBuckets.select("tok")
+    val matchedIdx = guardedIndex.join(hinted(probe), Seq("tok"), "left_semi")
+      .withColumn("set", sort_array(col("set")))
+    val idxBuckets = capBuckets(
+      matchedIdx.groupBy("tok")
+        .agg(collect_list(struct(col("id"), col("set"))).as("idx_items")),
+      "idx_items", maxTokenBucket, "setsim_cont_idx")
+    val capped = capBuckets(
+      idxBuckets.join(hinted(batchBuckets), Seq("tok")),
+      "batch_items", maxTokenBucket, "setsim_cont_batch")
+    val pairs = capped
+      .select(explode(col("idx_items")).as("i"), col("batch_items"))
+      .select(col("i"), explode(col("batch_items")).as("b"))
+      // first-common-token bound: 1 + |b| − pos ≥ ceil(t·|b|)
+      .filter((lit(1) + col("b.__bn") - col("b.__pos")).cast("double") >=
+        ceil(col("b.__bn").cast("double") * threshold - lit(1e-9)))
+      .select(col("b.batch_id").as("batch_id"), col("i.id").as("index_id"),
+        col("b.__bn").as("__bn"), col("i.set").as("__iset"))
+      .dropDuplicates("batch_id", "index_id")
+    pairs
+      .join(hinted(bsets), Seq("batch_id"))
+      .withColumn("__ov", intersectCount(batch, setCol, col("__iset"), col("__bset")))
+      .withColumn("containment", col("__ov").cast("double") / col("__bn").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("batch_id"), col("index_id"), col("containment"))
+  }
+
+  /** FULL-postings inverted index for [[setContainmentJoinAgainst]]:
+    * one row per (token, doc) with the sorted set riding — the
+    * [[setSimPrefixIndex]] schema at effective threshold 0 (every
+    * token is a posting; `t` rides as 0.0 so the containment guard
+    * accepts it and the Jaccard guard would reject probing it below
+    * build threshold only vacuously). */
+  def setContainmentIndex(
+    df: DataFrame,
+    setCol: String,
+    idCol: String
+  ): DataFrame = {
+    val sets = df.select(
+        col(idCol).as("id"),
+        sort_array(array_distinct(col(setCol))).as("set"))
+      .filter(col("set").isNotNull && size(col("set")) > 0)
+    sets.select(col("id"), col("set"), size(col("set")).as("n"),
+        explode(col("set")).as("tok"))
+      .withColumn("pos", lit(0))
+      .select(col("tok"), col("id"), col("n"), col("pos"), col("set"),
+        lit(0.0).as("t"))
+  }
+
+  /** Text arm of the containment family: hashed k-word shingles, the
+    * engine-wide similarity vocabulary. */
+  def setContainmentShingleIndex(
+    df: DataFrame, textCol: String, idCol: String, k: Int = 3
+  ): DataFrame =
+    setContainmentIndex(
+      Dedup.hashedShingleTable(df, textCol, idCol, k)
+        .withColumnRenamed("doc_id", idCol)
+        .withColumnRenamed("hs", "__shingles"),
+      "__shingles", idCol)
+
+  /** Text arm of [[setContainmentJoinAgainst]]. */
+  def setContainmentPairsAgainst(
+    batch: DataFrame,
+    index: DataFrame,
+    textCol: String,
+    idCol: String,
+    threshold: Double,
+    k: Int = 3,
+    maxTokenBucket: Option[Int] = DefaultMaxTokenBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame =
+    setContainmentJoinAgainst(
+      Dedup.hashedShingleTable(batch, textCol, idCol, k)
+        .withColumnRenamed("doc_id", idCol)
+        .withColumnRenamed("hs", "__shingles"),
+      index, "__shingles", idCol, threshold, maxTokenBucket, broadcastBatch)
+
   /** Text arm of [[setSimilarityJoinAgainst]]: a document batch vs a
     * persisted [[setSimShingleIndex]]. */
   def setSimilarityPairsAgainst(

@@ -145,4 +145,62 @@ class SetSimSpec extends SparkSpec {
     assert(SetSim.setSimilarityJoin(df, "toks", "id", 0.9,
       maxTokenBucket = None).count() === 435L)
   }
+
+  // --------------------------------------------- r14: containment arm
+
+  test("containment join equals brute force; excerpts found where jaccard misses") {
+    val rnd = new scala.util.Random(33)
+    val vocab = (0 until 60).map(i => s"t$i")
+    def randSet(n: Int): Seq[String] =
+      (1 to n).map(_ => vocab(rnd.nextInt(60))).distinct
+    val prior = (0L until 80L).map(i => (i, randSet(12 + rnd.nextInt(20))))
+    // batch: random sets + planted EXCERPTS (random 40-60% subsets of
+    // prior sets -> containment 1.0 vs their source, low jaccard)
+    val excerpts = prior.take(15).map { case (i, ts) =>
+      (3000L + i, rnd.shuffle(ts).take(math.max(2, ts.size * 2 / 5)))
+    }
+    val batch = (1000L until 1040L).map(i => (i, randSet(5 + rnd.nextInt(8)))) ++ excerpts
+    val idx = SetSim.setContainmentIndex(prior.toDF("id", "toks"), "toks", "id")
+    for (t <- Seq(0.5, 0.8); bcast <- Seq(true, false)) {
+      val got = SetSim.setContainmentJoinAgainst(
+          batch.toDF("id", "toks"), idx, "toks", "id", t, broadcastBatch = bcast)
+        .as[(Long, Long, Double)].collect()
+        .map { case (b, i, c) => (b, i) -> c }.toMap
+      val want = (for {
+        (ib, sb) <- batch; (ip, sp) <- prior
+        c = sb.toSet.intersect(sp.toSet).size.toDouble / sb.toSet.size
+        if c >= t
+      } yield (ib, ip) -> c).toMap
+      assert(got.keySet === want.keySet, s"t=$t bcast=$bcast")
+      got.foreach { case (k, c) =>
+        assert(math.abs(c - want(k)) < 1e-12, s"pair $k at $t") }
+    }
+    // every planted excerpt pairs with its source at containment 1.0 —
+    // while the symmetric jaccard join at 0.8 misses ALL of them
+    val cont = SetSim.setContainmentJoinAgainst(
+        excerpts.toDF("id", "toks"), idx, "toks", "id", 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(excerpts.forall { case (eid, _) =>
+      cont.exists(p => p._1 == eid && p._2 == eid - 3000L && p._3 == 1.0) })
+    val jacc = SetSim.setSimilarityJoinAgainst(
+      excerpts.toDF("id", "toks"),
+      SetSim.setSimPrefixIndex(prior.toDF("id", "toks"), "toks", "id", 0.8),
+      "toks", "id", 0.8)
+    assert(!jacc.as[(Long, Long, Double)].collect()
+      .exists(p => p._2 == p._1 - 3000L && p._1 >= 3000L))
+  }
+
+  test("containment probe rejects a Jaccard prefix index loudly") {
+    val df = Seq((1L, Seq("a", "b", "c", "d"))).toDF("id", "toks")
+    val prefixIdx = SetSim.setSimPrefixIndex(df, "toks", "id", 0.8)
+    val ex = intercept[Exception] {
+      SetSim.setContainmentJoinAgainst(df, prefixIdx, "toks", "id", 0.5).collect()
+    }
+    assert(String.valueOf(ex.getMessage).contains("setContainmentIndex") ||
+      ex.getCause != null)
+    // the containment index serves any threshold
+    val idx = SetSim.setContainmentIndex(df, "toks", "id")
+    assert(SetSim.setContainmentJoinAgainst(df, idx, "toks", "id", 0.3)
+      .count() === 1L)
+  }
 }
