@@ -149,7 +149,8 @@ object Bench {
     "q_winnow_pairs",       // winnowing overlap: native rolling-hash scan + capped hash-groupBy pair counts (r14)
     "q_fix_mojibake",       // mojibake repair: invert + strict re-decode scan projection (r14)
     "q_skip_prune",         // skip-index prune: partitioned fixture + deleted-partition diff + pruned reads (r14)
-    "q_containment_incr"    // cross-corpus containment join: batch-prefix probe vs full-postings index (r14)
+    "q_containment_incr",   // cross-corpus containment join: batch-prefix probe vs full-postings index (r14)
+    "q_winnow_incr"         // cross-corpus winnow overlap: parquet index + broadcast batch hash probe (r14)
   )
 
   private def jsonStr(s: String): String =

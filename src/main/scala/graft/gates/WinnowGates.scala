@@ -58,6 +58,29 @@ object WinnowGates {
     "q_winnow_pairs" -> { (s, dir) =>
       Dedup.winnowedOverlapPairs(fixture(s, dir), "text", "doc_id", K, W,
         minShared = 2)
+    },
+    // §2 row 150c — the cross-corpus arm: odd docs (never indexed) plus
+    // UPPERCASED re-keyed copies of every 4th indexed doc (case folds
+    // away in normalization, so the copies share their originals' full
+    // fingerprint sets) vs the parquet-roundtripped winnow index of
+    // the even docs
+    "q_winnow_incr" -> { (s, dir) =>
+      val prior = LlmGates.docs(s, dir)
+        .filter(col("doc_id") < 120 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+      val batch = LlmGates.docs(s, dir)
+        .filter(col("doc_id") < 120 && col("doc_id") % 2 === 1)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+        .unionByName(
+          prior.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 500000).as("doc_id"),
+              upper(col("text")).as("text")))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-winnowidx-gate").toString
+      Dedup.winnowIndex(prior, "text", "doc_id", K, W)
+        .write.mode("overwrite").parquet(out)
+      Dedup.winnowedOverlapPairsAgainst(batch, s.read.parquet(out),
+        "text", "doc_id", K, W, minShared = 2)
     }
   )
 
@@ -72,53 +95,59 @@ object WinnowGates {
     (0 until K).map(j => s"(c[p + ${j + 1}]::BIGINT) * ${Pows(K - 1 - j)}")
       .mkString("(", " + ", ") % 1000000007")
 
-  /** Shared CTE chain: normalize → codepoints → k-gram hashes →
-    * window argmin (hash ASC, pos DESC) → distinct selections. */
-  private val SelCte: String =
-    s"""WITH src AS (
-       |  SELECT doc_id, substr(text, 1, 200) AS text FROM documents
-       |  WHERE doc_id < 120
-       |  UNION ALL
-       |  SELECT * FROM (VALUES
-       |    (700001::BIGINT, 'aaaaaaaaaaaaaaaa'),
-       |    (700002::BIGINT, 'short'),
-       |    (700003::BIGINT, 'The Quick   Brown Fox' || chr(10) || chr(10) ||
-       |                     'Jumps Over The Lazy Dog Tonight'),
-       |    (700004::BIGINT, 'the quick brown fox jumps over the lazy dog tonight')
-       |  ) t(doc_id, text)),
-       |d AS (
+  /** The q_winnow/q_winnow_pairs fixture as a CTE body. */
+  private val FixtureSrc: String =
+    """  SELECT doc_id, substr(text, 1, 200) AS text FROM documents
+      |  WHERE doc_id < 120
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (700001::BIGINT, 'aaaaaaaaaaaaaaaa'),
+      |    (700002::BIGINT, 'short'),
+      |    (700003::BIGINT, 'The Quick   Brown Fox' || chr(10) || chr(10) ||
+      |                     'Jumps Over The Lazy Dog Tonight'),
+      |    (700004::BIGINT, 'the quick brown fox jumps over the lazy dog tonight')
+      |  ) t(doc_id, text)""".stripMargin
+
+  /** CTE chain deriving `sel$suffix` (the distinct winnow selections)
+    * from an arbitrary source body: normalize → codepoints → k-gram
+    * hashes → window argmin (hash ASC, pos DESC) → distinct. */
+  private def selCte(srcBody: String, suffix: String = ""): String =
+    s"""src$suffix AS (
+       |$srcBody),
+       |d$suffix AS (
        |  SELECT doc_id,
        |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
-       |  FROM src),
-       |cp AS (
+       |  FROM src$suffix),
+       |cp$suffix AS (
        |  SELECT doc_id,
        |         list_transform(range(1, len(s) + 1),
        |                        i -> unicode(substr(s, i, 1))) AS c,
        |         len(s) - $K + 1 AS m
-       |  FROM d),
-       |gpos AS (
+       |  FROM d$suffix),
+       |gpos$suffix AS (
        |  SELECT doc_id, c, m, unnest(range(0, greatest(m, 0))) AS p
-       |  FROM cp),
-       |grams AS (
-       |  SELECT doc_id, p, $hashSql AS hash, m FROM gpos),
-       |wins AS (
+       |  FROM cp$suffix),
+       |grams$suffix AS (
+       |  SELECT doc_id, p, $hashSql AS hash, m FROM gpos$suffix),
+       |wins$suffix AS (
        |  SELECT doc_id, m, unnest(range(0, greatest(m - $W + 1, 1))) AS wi
-       |  FROM (SELECT DISTINCT doc_id, m FROM grams)),
-       |ranked AS (
+       |  FROM (SELECT DISTINCT doc_id, m FROM grams$suffix)),
+       |ranked$suffix AS (
        |  SELECT w.doc_id, w.wi, g.p, g.hash,
        |         row_number() OVER (PARTITION BY w.doc_id, w.wi
        |                            ORDER BY g.hash ASC, g.p DESC) AS rn
-       |  FROM wins w
-       |  JOIN grams g ON g.doc_id = w.doc_id
+       |  FROM wins$suffix w
+       |  JOIN grams$suffix g ON g.doc_id = w.doc_id
        |              AND g.p >= w.wi AND g.p < least(w.wi + $W, w.m)),
-       |sel AS (
+       |sel$suffix AS (
        |  SELECT DISTINCT doc_id, p AS pos, hash
-       |  FROM ranked WHERE rn = 1)""".stripMargin
+       |  FROM ranked$suffix WHERE rn = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "q_winnow" -> s"$SelCte\nSELECT doc_id, pos, hash FROM sel",
+    "q_winnow" ->
+      s"WITH ${selCte(FixtureSrc)}\nSELECT doc_id, pos, hash FROM sel",
     "q_winnow_pairs" ->
-      s"""$SelCte,
+      s"""WITH ${selCte(FixtureSrc)},
          |fp AS (SELECT DISTINCT doc_id, hash FROM sel),
          |ok AS (
          |  SELECT hash FROM fp
@@ -129,6 +158,35 @@ object WinnowGates {
          |JOIN ok USING (hash)
          |JOIN fp b ON a.hash = b.hash AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin,
+    // both sides' fingerprints re-derived independently, then the
+    // shared-hash pair count; the bucket filters mirror the engine's
+    // per-side caps (no fixture bucket is near 1024, so full-count and
+    // matched-count capping agree)
+    "q_winnow_incr" -> {
+      val priorSrc =
+        """  SELECT doc_id, substr(text, 1, 200) AS text FROM documents
+          |  WHERE doc_id < 120 AND doc_id % 2 = 0""".stripMargin
+      val batchSrc =
+        """  SELECT doc_id, substr(text, 1, 200) AS text FROM documents
+          |  WHERE doc_id < 120 AND doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 500000, upper(substr(text, 1, 200)) FROM documents
+          |  WHERE doc_id < 120 AND doc_id % 2 = 0 AND doc_id % 4 = 0""".stripMargin
+      s"""WITH ${selCte(priorSrc, "p")},
+         |${selCte(batchSrc, "b")},
+         |fpp AS (SELECT DISTINCT doc_id, hash FROM selp),
+         |fpb AS (SELECT DISTINCT doc_id, hash FROM selb),
+         |okp AS (SELECT hash FROM fpp GROUP BY hash HAVING count(*) <= 1024),
+         |okb AS (SELECT hash FROM fpb GROUP BY hash HAVING count(*) <= 1024)
+         |SELECT b.doc_id AS batch_id, p.doc_id AS index_id,
+         |       count(*) AS n_shared
+         |FROM fpb b
+         |JOIN okp ON okp.hash = b.hash
+         |JOIN okb ON okb.hash = b.hash
+         |JOIN fpp p ON p.hash = b.hash
+         |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin
+    }
   )
 }

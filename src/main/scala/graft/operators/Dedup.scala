@@ -764,6 +764,81 @@ object Dedup {
   }
 
   /**
+   * Persistable winnow fingerprint index: [[winnowTable]] rows plus
+   * the (k, w) build parameters riding as constants, so a probe can
+   * verify it was built with ITS parameters — mismatched k/w would
+   * silently share zero fingerprints (different gram hashes), the
+   * quiet-under-dedup failure the loud guard exists to prevent.
+   */
+  def winnowIndex(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 8,
+    w: Int = 4
+  ): DataFrame =
+    winnowTable(df, textCol, idCol, k, w)
+      .withColumn("k", lit(k)).withColumn("w", lit(w))
+
+  /**
+   * Cross-corpus winnowed overlap — the incremental arm of
+   * [[winnowedOverlapPairs]], completing the family pattern every
+   * similarity arm in this engine has (LSH/SimHash/embedding/exact
+   * set-sim/edit-distance/containment): a new drop asks "which corpus
+   * docs share ≥ minShared fingerprints with each new doc" against
+   * the PERSISTED [[winnowIndex]], never rescanning corpus text.
+   * Returns (batch_id, index_id, n_shared).
+   *
+   * Scale shape (the row-136 doctrine): batch fingerprints are
+   * winnowed in one projection, the index is semi-joined against the
+   * BROADCAST batch hash set (matched rows only — never shuffled
+   * beyond them), both sides' hash buckets cap independently with
+   * loud metrics, then a 1:1-per-hash bucket join and one
+   * (batch, index) count.
+   */
+  def winnowedOverlapPairsAgainst(
+    batch: DataFrame,
+    index: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 8,
+    w: Int = 4,
+    minShared: Int = 2,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    // loud parameter guard at plan-execution time
+    val guardedIndex = index.filter(
+      when(col("k") === lit(k) && col("w") === lit(w), lit(true))
+        .otherwise(raise_error(concat(
+          lit("winnowedOverlapPairsAgainst: index built at k="),
+          col("k").cast("string"), lit(" w="), col("w").cast("string"),
+          lit(s" cannot serve a k=$k w=$w probe")))))
+    val bfp = winnowTable(batch, textCol, idCol, k, w)
+      .select(col("doc_id").as("batch_id"), col("hash")).distinct()
+    val batchBuckets = bfp.groupBy("hash")
+      .agg(collect_set(col("batch_id")).as("batch_items"))
+    val probe = batchBuckets.select("hash")
+    val matchedIdx = guardedIndex
+      .select(col("doc_id").as("index_id"), col("hash")).distinct()
+      .join(hinted(probe), Seq("hash"), "left_semi")
+    val idxBuckets = capBuckets(
+      matchedIdx.groupBy("hash")
+        .agg(collect_set(col("index_id")).as("idx_items")),
+      "idx_items", maxBucket, "winnow_incr_idx")
+    capBuckets(
+        idxBuckets.join(hinted(batchBuckets), Seq("hash")),
+        "batch_items", maxBucket, "winnow_incr_batch")
+      .select(explode(col("idx_items")).as("index_id"), col("batch_items"))
+      .select(col("index_id"), explode(col("batch_items")).as("batch_id"))
+      .groupBy("batch_id", "index_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * Exact dedup keeping the BEST row per duplicate group instead of
    * the lowest id — the keeper policy real curation wants when copies
    * genuinely differ upstream of normalization (casing, spacing,

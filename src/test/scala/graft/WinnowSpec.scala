@@ -102,4 +102,33 @@ class WinnowSpec extends SparkSpec {
     intercept[IllegalArgumentException] { WinnowExpr(col("text"), 0, 4) }
     intercept[IllegalArgumentException] { WinnowExpr(col("text"), 8, 0) }
   }
+
+  test("winnowedOverlapPairsAgainst: cross-corpus parity and the k/w guard") {
+    val shared = "this exact block of twenty words is copied verbatim between corpora"
+    val prior = Seq(
+      (1L, s"alpha beta gamma $shared delta"),
+      (2L, "nothing of note here at all in this one"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"one two three $shared four"),
+      (11L, "also nothing shared with anyone anywhere"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.winnowIndex(prior, "text", "doc_id", K, W)
+    val got = Dedup.winnowedOverlapPairsAgainst(batch, idx, "text", "doc_id",
+        K, W, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((10L, 1L)))
+    // reference: distinct shared hashes between the two docs directly
+    val expect = winnowOf(
+        s"alpha beta gamma $shared delta".toLowerCase).map(_._2)
+      .intersect(winnowOf(s"one two three $shared four").map(_._2)).size
+    assert(got((10L, 1L)) == expect && expect >= 2)
+    // a mismatched-parameter probe fails loudly instead of silently
+    // sharing nothing
+    val ex = intercept[Exception] {
+      Dedup.winnowedOverlapPairsAgainst(batch, idx, "text", "doc_id",
+        k = K, w = W + 1, minShared = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
