@@ -107,23 +107,37 @@ object WinnowExpr {
     // per window of w hashes: minimum, rightmost on ties; distinct
     // consecutive selections (the standard winnowing rule). A window
     // shorter than w (m < w) degenerates to one window over all.
+    // Monotonic deque over a ring buffer of indices: the front is
+    // always the window's rightmost minimum — pushing index p pops
+    // every back entry with hash >= hashes(p) (popping EQUAL hashes is
+    // what makes the surviving front the RIGHTMOST of a tie), and the
+    // front expires once it leaves the window. Each index enters and
+    // leaves the deque at most once → O(m) total, O(w) extra space.
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    val nWin = math.max(1, m - w + 1)
+    val ring = new Array[Int](w + 1)
+    var head = 0 // ring slot of the deque front
+    var len = 0  // live entries
     var lastPos = -1
-    var wi = 0
-    while (wi < nWin) {
-      val end = math.min(wi + w, m)
-      var best = wi
-      var p = wi + 1
-      while (p < end) {
-        if (hashes(p) <= hashes(best)) best = p // rightmost minimum
-        p += 1
+    var p = 0
+    while (p < m) {
+      while (len > 0 && hashes(ring((head + len - 1) % (w + 1))) >= hashes(p))
+        len -= 1
+      ring((head + len) % (w + 1)) = p
+      len += 1
+      val winStart = p - w + 1 // window [winStart, p] once p >= w-1
+      if (ring(head) < winStart) { head = (head + 1) % (w + 1); len -= 1 }
+      if (p >= w - 1) {
+        val best = ring(head)
+        if (best != lastPos) {
+          out += new GenericInternalRow(Array[Any](best, hashes(best)))
+          lastPos = best
+        }
       }
-      if (best != lastPos) {
-        out += new GenericInternalRow(Array[Any](best, hashes(best)))
-        lastPos = best
-      }
-      wi += 1
+      p += 1
+    }
+    if (m < w) { // degenerate single window over all m hashes
+      val best = ring(head)
+      out += new GenericInternalRow(Array[Any](best, hashes(best)))
     }
     new GenericArrayData(out.toArray)
   }

@@ -818,8 +818,15 @@ object Dedup {
           lit(s" cannot serve a k=$k w=$w probe")))))
     val bfp = winnowTable(batch, textCol, idCol, k, w)
       .select(col("doc_id").as("batch_id"), col("hash")).distinct()
-    val batchBuckets = bfp.groupBy("hash")
-      .agg(collect_set(col("batch_id")).as("batch_items"))
+    // cap the batch side BEFORE it is broadcast/joined (mirroring the
+    // index-side capping order): a degenerate batch hash shared by
+    // huge numbers of batch docs would otherwise inflate the broadcast
+    // with rows the cap drops afterwards anyway — and its matching
+    // index rows would survive the semi-join only to be discarded
+    val batchBuckets = capBuckets(
+      bfp.groupBy("hash")
+        .agg(collect_set(col("batch_id")).as("batch_items")),
+      "batch_items", maxBucket, "winnow_incr_batch")
     val probe = batchBuckets.select("hash")
     val matchedIdx = guardedIndex
       .select(col("doc_id").as("index_id"), col("hash")).distinct()
@@ -828,9 +835,7 @@ object Dedup {
       matchedIdx.groupBy("hash")
         .agg(collect_set(col("index_id")).as("idx_items")),
       "idx_items", maxBucket, "winnow_incr_idx")
-    capBuckets(
-        idxBuckets.join(hinted(batchBuckets), Seq("hash")),
-        "batch_items", maxBucket, "winnow_incr_batch")
+    idxBuckets.join(hinted(batchBuckets), Seq("hash"))
       .select(explode(col("idx_items")).as("index_id"), col("batch_items"))
       .select(col("index_id"), explode(col("batch_items")).as("batch_id"))
       .groupBy("batch_id", "index_id")

@@ -314,11 +314,20 @@ object Retrieval {
     require(fs.exists(p),
       s"$path has no $BucketMetaFile sidecar - was it written by bm25IndexWrite?")
     val in = fs.open(p)
-    try {
+    val text = try {
+      // loop to EOF: a single read() may return short (or -1 on an
+      // empty sidecar, which would make new String(buf, 0, -1) throw
+      // an obscure IndexOutOfBounds instead of a clear error)
       val buf = new Array[Byte](32)
-      val n = in.read(buf)
-      new String(buf, 0, n, "UTF-8").trim.toInt
+      val outBuf = new java.io.ByteArrayOutputStream(32)
+      var n = in.read(buf)
+      while (n > 0) { outBuf.write(buf, 0, n); n = in.read(buf) }
+      new String(outBuf.toByteArray, "UTF-8").trim
     } finally in.close()
+    require(text.nonEmpty && text.forall(_.isDigit),
+      s"$path/$BucketMetaFile is ${if (text.isEmpty) "empty" else s"non-numeric ('$text')"} - " +
+        "was it written by bm25IndexWrite?")
+    text.toInt
   }
 
   /** Top-k per query over the persisted index: [[bm25ScoresAgainst]]

@@ -80,12 +80,15 @@ object CurationPipeline {
     * multimodal arm of the dedup chain: `payloads` is the corpus's
     * media side-table keyed by the SAME ids as the text rows
     * (`idCol`, matched against the pipeline's post-scrub "doc_id"),
-    * raw encoded bytes in `payloadCol`. Documents whose decoded image
-    * dHash lands within `maxHamming` bits of a lower-id document's are
-    * dropped ([[graft.operators.Multimodal.imageNearDups]] — 64-bit
-    * perceptual hash + the generalized Hamming banding, never
-    * all-pairs); undecodable/absent payloads never match and are never
-    * dropped by this stage. */
+    * raw encoded bytes in `payloadCol` (`idCol` must be integral —
+    * fail-loud, no silent cast). Only TEXT SURVIVORS' payloads pair;
+    * dHashes within `maxHamming` bits close into transitive clusters
+    * ([[graft.operators.Multimodal.imageNearDups]] — 64-bit perceptual
+    * hash + the generalized Hamming banding, never all-pairs) and
+    * [[Config.keeper]] picks each cluster's survivor (lowest id, or
+    * the composite-quality argmax under [[KeepBest]]); undecodable /
+    * absent payloads never match and are never dropped by this
+    * stage. */
   final case class ImageDedup(
     payloads: DataFrame,
     payloadCol: String = "payload",
@@ -536,18 +539,52 @@ object CurationPipeline {
       else Dedup.dropNearDuplicates(exact, textCol, "doc_id",
         k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
         threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
-    // 4b: image near-dup (optional) — perceptual-hash losers (higher id
-    // of each pair) anti-joined off the text survivors; payload rows
-    // for already-dropped docs pair harmlessly (their ids are gone)
+    // 4b: image near-dup (optional) — pairs form among TEXT SURVIVORS
+    // only: a payload whose doc was already dropped (line rules, a
+    // prior-corpus prune, a KeepBest text keeper choosing the HIGHER
+    // id) must not delete the surviving copy of its content, so the
+    // payloads are semi-joined against nearText's ids BEFORE pairing
+    // (pairing first and anti-joining id_b would let the pair
+    // (dropped low id, kept high id) silently lose every kept copy).
+    // Pairs close into transitive clusters and the configured keeper
+    // picks the survivor — lowest id, or the composite-quality argmax
+    // under KeepBest, matching the text dedup stages.
     val near = cfg.imageDedup.fold(nearText) { im =>
       import corpus.sparkSession.implicits._
+      val idType = im.payloads.schema(im.idCol).dataType
+      require(
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(idType),
+        s"imageDedup.idCol '${im.idCol}' must be an integral column, " +
+          s"got ${idType.catalogString}: a silent cast would NULL " +
+          "non-numeric ids and exempt those payloads from image dedup")
       val media = im.payloads
         .select(col(im.idCol).cast("long").as("doc_id"),
           col(im.payloadCol).as("payload"))
+        .join(nearText.select("doc_id"), Seq("doc_id"), "left_semi")
         .as[graft.operators.Multimodal.MediaRecord]
-      val losers = graft.operators.Multimodal
-        .imageNearDups(media, im.maxHamming, im.bands)
-        .select(col("id_b").as("doc_id")).distinct()
+      // pair-bounded member table (never the corpus); unpaired docs
+      // are absent from it and always survive
+      val members = Dedup.connectedComponents(
+        graft.operators.Multimodal.imageNearDups(media, im.maxHamming, im.bands))
+      val ranked =
+        if (best) {
+          val scores = TextAnalysis
+            .appendQuality(nearText.select(col("doc_id"), col(textCol)),
+              textCol, "__keep_sc")
+            .select(col("doc_id"), col("__keep_sc"))
+          members.join(scores, Seq("doc_id"))
+            .withColumn("__rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("cluster_id"))
+                .orderBy(col("__keep_sc").desc, col("doc_id"))))
+        } else
+          members.withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id")).orderBy(col("doc_id"))))
+      val losers = ranked.filter(col("__rn") > 1).select("doc_id")
       observe("after_image_dedup",
         nearText.join(broadcast(losers), Seq("doc_id"), "left_anti"))
     }

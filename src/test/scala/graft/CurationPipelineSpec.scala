@@ -501,6 +501,63 @@ class CurationPipelineSpec extends SparkSpec {
     assert(plain == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("imageDedup never deletes the kept copy when the pair's low id was already dropped") {
+    // doc 2's TEXT exact-duplicates doc 1 -> doc 2 drops in the text
+    // stages; docs 2 and 3 carry the SAME image. Pairing all payloads
+    // and anti-joining id_b would form (2, 3) and delete doc 3 too --
+    // every copy of that image content silently lost. Survivor-scoped
+    // pairing keeps doc 3.
+    def grad(scale: Int) = pngBytes(9 * scale, 8 * scale) { (x, y) =>
+      val g = (x / scale) * 28
+      (g << 16) | (g << 8) | g
+    }
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact text dup of 1
+      (3L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    val payloads = Seq((2L, grad(1)), (3L, grad(2))).toDF("doc_id", "payload")
+    val kept = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(
+        imageDedup = Some(CurationPipeline.ImageDedup(payloads)),
+        minQuality = 0.0))(
+      _.select("doc_id").as[Long].collect().toSet)
+    assert(kept == Set(1L, 3L), kept.toString)
+  }
+
+  test("imageDedup honors keeper: best keeps the higher-quality member of an image cluster") {
+    def grad(scale: Int) = pngBytes(9 * scale, 8 * scale) { (x, y) =>
+      val g = (x / scale) * 28
+      (g << 16) | (g << 8) | g
+    }
+    // distinct texts (no text-stage pairing), same image; doc 1's text
+    // is junk, doc 2's is clean prose -> composite quality ranks 2 first
+    val corpus = Seq(
+      (1L, "zzz qqq zzz qqq zzz qqq !!! ??? %%% ### @@@ zzz qqq zzz"),
+      (2L, "the quick brown fox jumps over the lazy dog every single day")
+    ).toDF("doc_id", "text")
+    val payloads = Seq((1L, grad(1)), (2L, grad(2))).toDF("doc_id", "payload")
+    def kept(keeper: String) = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(
+        imageDedup = Some(CurationPipeline.ImageDedup(payloads)),
+        keeper = keeper, minQuality = 0.0))(
+      _.select("doc_id").as[Long].collect().toSet)
+    assert(kept(CurationPipeline.KeepFirst) == Set(1L))
+    assert(kept(CurationPipeline.KeepBest) == Set(2L))
+  }
+
+  test("imageDedup fails loudly on a non-integral id column") {
+    val corpus = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val payloads = Seq(("1", Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.run(corpus, "text", "doc_id",
+        CurationPipeline.Config(
+          imageDedup = Some(CurationPipeline.ImageDedup(payloads)),
+          minQuality = 0.0))(_.count())
+    }
+    assert(e.getMessage.contains("must be an integral column"), e.getMessage)
+  }
+
   test("tokenizer=uax29 threads to exact dedup: distinct CJK docs stop collapsing") {
     // under the whitespace default every pure-CJK doc normalizes to ""
     // -> ONE fingerprint -> catastrophic over-dedup; uax29 keys on the

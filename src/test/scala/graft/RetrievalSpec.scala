@@ -204,5 +204,16 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Retrieval.bm25ScoresFromDir(spark, bare, queries, "query_id", "qtext")
     }
+    // an EMPTY or corrupt sidecar fails with a clear message too (a
+    // single short read used to surface as an obscure IndexOutOfBounds)
+    for (junk <- Seq("", "not-a-number")) {
+      val broken = java.nio.file.Files.createTempDirectory("graft-bm25junk")
+      java.nio.file.Files.write(broken.resolve("_bm25_buckets"),
+        junk.getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.bm25ScoresFromDir(spark, broken.toString, queries, "query_id", "qtext")
+      }
+      assert(e.getMessage.contains("bm25IndexWrite"), e.getMessage)
+    }
   }
 }
