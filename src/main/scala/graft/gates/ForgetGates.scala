@@ -82,6 +82,24 @@ object ForgetGates {
         Forget.removeIds(idx, "index_id", removed(s, dir), "doc_id"))
       Forget.readCurrent(s, out)
         .withColumn("index_signature", to_json(col("index_signature")))
+    },
+    // §2 row 153 (bm25 arm) — forget over the persisted BM25 index:
+    // the rows carry CORPUS aggregates (df/N/avgdl), so a bare
+    // anti-join would leave stale statistics shifting every surviving
+    // score; bm25Forget's anti-join + exact decrements are pinned
+    // ROW-FOR-ROW against the index the oracle rebuilds from the
+    // reduced corpus — every tf, dl, decremented df, and the exact
+    // recomputed N/avgdl/sum_dl
+    "q_forget_bm25" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-forget-bm25").toString
+      graft.operators.Retrieval.bm25Index(prior(s, dir), "text", "doc_id")
+        .write.mode("overwrite").parquet(out)
+      graft.operators.Retrieval.bm25Forget(
+          s.read.parquet(out), removed(s, dir), "doc_id")
+        .select(col("word"), col("doc_id"), col("tf"),
+          col("dl").cast("long").as("dl"), col("df"), col("n_docs"),
+          round(col("avgdl"), 6).as("avgdl"), col("sum_dl"))
     }
   )
 
@@ -142,6 +160,23 @@ object ForgetGates {
          |  SELECT band, band_key FROM bands
          |  GROUP BY band, band_key HAVING count(*) <= 1024)
          |SELECT band, band_key, doc_id AS index_id, index_signature
-         |FROM bands JOIN ok USING (band, band_key)""".stripMargin
+         |FROM bands JOIN ok USING (band, band_key)""".stripMargin,
+    "q_forget_bm25" ->
+      s"""WITH $ReducedCte,
+         |d AS (SELECT doc_id, ${LlmGates.wordsSql()} AS w FROM reduced),
+         |dt AS (SELECT doc_id, len(w) AS dl, w FROM d),
+         |post AS (SELECT doc_id, dl, unnest(w) AS word FROM dt),
+         |tft AS (SELECT word, doc_id, dl, count(*) AS tf
+         |        FROM post GROUP BY 1, 2, 3),
+         |dft AS (SELECT word, count(*) AS df FROM tft GROUP BY 1),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 round(coalesce(avg(dl), 0.0), 6) AS avgdl,
+         |                 coalesce(sum(dl), 0)::BIGINT AS sum_dl FROM dt)
+         |SELECT word, doc_id, tf, dl, df, n_docs, avgdl, sum_dl
+         |FROM tft JOIN dft USING (word) CROSS JOIN stats
+         |UNION ALL
+         |SELECT NULL AS word, doc_id, 0::BIGINT AS tf, dl, 0::BIGINT AS df,
+         |       n_docs, avgdl, sum_dl
+         |FROM dt CROSS JOIN stats WHERE dl = 0""".stripMargin
   )
 }

@@ -200,6 +200,19 @@ object SimJoinGates {
       EditSim.editDistancePairsAgainst(
         editIncrBatch(s, dir), kept, "s", "doc_id", maxDist = 2)
     },
+    // §2 row 153 (containment arm) — forget over the persisted
+    // containment index: FULL postings with only per-doc fields riding
+    // (n, pos, set — no corpus df, no rarity order), so Forget.removeIds
+    // ≡ a rebuild from the reduced corpus, pinned ROW-FOR-ROW (the
+    // oracle re-derives every hashed shingle and per-doc sorted set)
+    "q_forget_containment" -> { (s, dir) =>
+      graft.operators.Forget.removeIds(
+          SetSim.setContainmentShingleIndex(simPrior(s, dir), "text", "doc_id"),
+          "id",
+          simPrior(s, dir).filter(col("doc_id") % 6 === 0), "doc_id")
+        .select(col("tok"), col("id"), col("n").cast("long").as("n"),
+          col("pos"), to_json(col("set")).as("set_json"), col("t"))
+    },
     // §2 row 122 — sorted-neighborhood blocking pass (window 5) over the
     // same normalized key prefixes: every pair within rank distance < 5
     // of the (key, id) total order, re-derived by the oracle's
@@ -381,6 +394,22 @@ object SimJoinGates {
          |SELECT b.doc_id AS batch_id, p.doc_id AS index_id,
          |       levenshtein(b.s, p.s) AS edit_dist
          |FROM batch b JOIN prior p ON levenshtein(b.s, p.s) <= 2""".stripMargin,
+    "q_forget_containment" ->
+      s"""WITH reduced AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 2 = 0 AND doc_id % 6 <> 0),
+         |w AS (SELECT doc_id, $NormSql AS norm,
+         |             string_split($NormSql, ' ') AS w FROM reduced),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest(CASE WHEN len(w) < 3 THEN [${LlmGates.h60("norm")}]
+         |                ELSE list_transform(range(0, len(w) - 2),
+         |                       j -> ${LlmGates.h60("array_to_string(w[j+1:j+3], ' ')")}) END) AS tok
+         |       FROM w),
+         |st AS (SELECT doc_id, list_sort(list(tok)) AS sset, count(*) AS n
+         |       FROM sh GROUP BY 1)
+         |SELECT sh.tok, sh.doc_id AS id, st.n, 0 AS pos,
+         |       to_json(st.sset) AS set_json, 0.0::DOUBLE AS t
+         |FROM sh JOIN st ON st.doc_id = sh.doc_id""".stripMargin,
     "q_editdist_incr" ->
       s"""WITH keys AS (
          |  SELECT doc_id, substr($NormSql, 1, 24) AS s

@@ -81,6 +81,19 @@ object WinnowGates {
         .write.mode("overwrite").parquet(out)
       Dedup.winnowedOverlapPairsAgainst(batch, s.read.parquet(out),
         "text", "doc_id", K, W, minShared = 2)
+    },
+    // §2 row 153 (winnow arm) — forget over the persisted winnow
+    // index: fingerprints are per-doc independent and the (k, w)
+    // constants are corpus-free, so Forget.removeIds ≡ a rebuild from
+    // the reduced corpus, pinned ROW-FOR-ROW (the oracle re-derives
+    // every k-gram hash and window argmin over the reduced fixture)
+    "q_forget_winnow" -> { (s, dir) =>
+      val prior = LlmGates.docs(s, dir)
+        .filter(col("doc_id") < 120 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+      graft.operators.Forget.removeIds(
+        Dedup.winnowIndex(prior, "text", "doc_id", K, W),
+        "doc_id", prior.filter(col("doc_id") % 6 === 0), "doc_id")
     }
   )
 
@@ -187,6 +200,13 @@ object WinnowGates {
          |JOIN fpp p ON p.hash = b.hash
          |GROUP BY 1, 2
          |HAVING count(*) >= 2""".stripMargin
+    },
+    "q_forget_winnow" -> {
+      val reducedSrc =
+        """  SELECT doc_id, substr(text, 1, 200) AS text FROM documents
+          |  WHERE doc_id < 120 AND doc_id % 2 = 0 AND doc_id % 6 <> 0""".stripMargin
+      s"""WITH ${selCte(reducedSrc)}
+         |SELECT doc_id, pos, hash, $K AS k, $W AS w FROM sel""".stripMargin
     }
   )
 }

@@ -27,6 +27,18 @@ import graft.functions.Hashing
  *    corpus); the forgotten index is thus conservative-equal to the
  *    rebuild — identical whenever no bucket was capped, never
  *    emitting a row the rebuild would not.
+ *  - [[Dedup.winnowIndex]] → `doc_id` (fingerprints are per-doc
+ *    independent and the (k, w) constants are corpus-free, so the
+ *    anti-join IS the rebuild)
+ *  - [[SetSim.setContainmentIndex]] → `id` (full postings with only
+ *    per-doc fields riding — n, pos, set — so anti-join ≡ rebuild;
+ *    contrast [[SetSim.setSimShingleIndex]], whose kept rows keep the
+ *    FULL-corpus rarity order: exactness-safe per the q_forget_setsim
+ *    argument, pinned through the join surface)
+ *  - [[Retrieval.bm25Index]] carries corpus aggregates (df/N/avgdl)
+ *    on every row, so a bare anti-join would leave stale statistics —
+ *    [[Retrieval.bm25Forget]] is the dedicated rewrite (anti-join +
+ *    exact removal-set-sized decrements)
  *  - [[Dedup.exactFingerprintIndex]] carries no ids by design (it is a
  *    fingerprint SET), so forgetting needs the COUNTED form
  *    ([[Dedup.exactFingerprintIndexCounted]]): a fingerprint shared by

@@ -125,13 +125,23 @@ object Retrieval {
    * pattern applied to retrieval.
    *
    * One frame, persist as parquet: one row per (word, doc) posting —
-   * `(word, doc_id, tf, dl, df, n_docs, avgdl)` with the per-word
-   * document frequency DENORMALIZED onto its postings (8 bytes a row
-   * buys probe-time scoring with zero extra joins) and the corpus
-   * stats riding every row as constants (parquet RLE stores a
-   * constant column in a handful of bytes per row group). All BM25
-   * inputs are in the row, so k1/b stay PROBE-time parameters — one
-   * index serves any scoring configuration.
+   * `(word, doc_id, tf, dl, df, n_docs, avgdl, sum_dl)` with the
+   * per-word document frequency DENORMALIZED onto its postings
+   * (8 bytes a row buys probe-time scoring with zero extra joins) and
+   * the corpus stats riding every row as constants (parquet RLE
+   * stores a constant column in a handful of bytes per row group).
+   * All BM25 inputs are in the row, so k1/b stay PROBE-time
+   * parameters — one index serves any scoring configuration.
+   *
+   * The index is also a COMPLETE document registry, which is what
+   * makes [[bm25Forget]] exact without a corpus rescan: a TOKEN-FREE
+   * document (counted by N/avgdl but owning no posting) rides as one
+   * SENTINEL row with `word` NULL and `tf = df = 0` — a probe's inner
+   * join on `word` can never match it (NULL equals nothing), so
+   * scoring is untouched, but forget can see every indexed document
+   * and its length. `sum_dl` is the EXACT long document-length total
+   * behind `avgdl`: avgdl alone cannot be decremented exactly in
+   * floating point, `sum_dl − removed` can.
    *
    * Scale shape: one corpus explode → one map-side-combined
    * (word, doc) aggregation (the token stream collapses to postings
@@ -155,7 +165,8 @@ object Retrieval {
     // N/avgdl count ALL docs incl. token-free ones (bm25Scores parity)
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
-      coalesce(avg(col("dl")), lit(0.0)).as("avgdl"))
+      coalesce(avg(col("dl")), lit(0.0)).as("avgdl"),
+      coalesce(sum(col("dl")).cast("long"), lit(0L)).as("sum_dl"))
     val postings = docs
       .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
       .groupBy("word", "doc_id", "dl")
@@ -165,11 +176,80 @@ object Retrieval {
     val dfTable = postings
       .groupBy("word")
       .agg(count(when(col("tf") > 0, lit(1))).as("df"))
+    // token-free docs ride as NULL-word sentinels (never probed, the
+    // forget-time doc registry — see the scaladoc)
+    val tokenless = docs.filter(col("dl") === 0)
+      .select(lit(null).cast("string").as("word"), col("doc_id"),
+        lit(0L).as("tf"), col("dl"), lit(0L).as("df"))
     postings
       .join(dfTable, Seq("word"))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .unionByName(tokenless)
       .crossJoin(broadcast(stats))
       .select(col("word"), col("doc_id"), col("tf"), col("dl"),
-        col("df"), col("n_docs"), col("avgdl"))
+        col("df"), col("n_docs"), col("avgdl"), col("sum_dl"))
+  }
+
+  /**
+   * Deletion propagation for [[bm25Index]] (the [[Forget]] doctrine
+   * applied to the retrieval artifact): returns the index as
+   * [[bm25Index]] would build it from the REDUCED corpus — VALUE-EQUAL
+   * including every denormalized statistic — without touching corpus
+   * text. A takedown must not leave the removed document's postings
+   * scorable, and must not leave STALE df/N/avgdl either: those shift
+   * every surviving score, which is exactly what "as if never indexed"
+   * forbids.
+   *
+   * Unlike the per-doc-row indexes ([[Forget.removeIds]] suffices
+   * there), bm25 rows carry corpus aggregates, so the rewrite is
+   * anti-join + three removal-set-sized deltas, all exact integer
+   * arithmetic:
+   *  - `df' = df − |removed docs containing the word|` (per-word
+   *    decrement, broadcast-joined — the [[Forget.forgetFingerprints]]
+   *    counted-decrement shape; a word whose postings ALL belonged to
+   *    removed docs simply has no surviving rows to decrement),
+   *  - `n_docs' = n_docs − |removed docs found in the index|` (the
+   *    NULL-word sentinels make the index a complete registry, so a
+   *    token-free doc decrements too),
+   *  - `sum_dl' = sum_dl − Σ removed dl`, and
+   *    `avgdl' = sum_dl'/n_docs'` — bit-equal to the rebuild's
+   *    average because both divide the same exact long sum by the
+   *    same count (0.0 when the reduced corpus is empty).
+   *
+   * One index scan (the rewrite itself), removal-set-sized exchanges;
+   * ids absent from the index are no-ops. Wrap in
+   * [[Forget.rewriteVersioned]] for atomic publication.
+   */
+  def bm25Forget(
+    index: DataFrame,
+    removed: DataFrame,
+    removedIdCol: String,
+    broadcastRemoved: Boolean = true
+  ): DataFrame = {
+    def hinted(df: DataFrame) = if (broadcastRemoved) broadcast(df) else df
+    val rem = removed.select(col(removedIdCol).as("__rid")).distinct()
+    val removedRows = index
+      .join(hinted(rem), col("doc_id") === col("__rid"), "left_semi")
+    // one row per removed doc actually indexed (sentinels included)
+    val removedStats = removedRows.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("__r_n"),
+        coalesce(sum(col("dl")).cast("long"), lit(0L)).as("__r_sum"))
+    val removedPerWord = removedRows
+      .filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as("__r_df"))
+    val nDocs2 = col("n_docs") - col("__r_n")
+    val sumDl2 = col("sum_dl") - col("__r_sum")
+    index
+      .join(hinted(rem), col("doc_id") === col("__rid"), "left_anti")
+      .join(hinted(removedPerWord), Seq("word"), "left")
+      .crossJoin(broadcast(removedStats))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"),
+        (col("df") - coalesce(col("__r_df"), lit(0L))).as("df"),
+        nDocs2.as("n_docs"),
+        when(nDocs2 === 0, lit(0.0))
+          .otherwise(sumDl2.cast("double") / nDocs2.cast("double"))
+          .as("avgdl"),
+        sumDl2.as("sum_dl"))
   }
 
   /**

@@ -145,6 +145,38 @@ class RetrievalSpec extends SparkSpec {
         corpus, "text", "doc_id", queries, "query_id", "qtext", k = 1)))
   }
 
+  test("bm25Forget equals a rebuild from the reduced corpus, exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7))).toSet
+    val idx = Retrieval.bm25Index(corpus, "text", "doc_id")
+    // remove doc 1 (changes df(spark), df(shuffle), df(join), N, avgdl)
+    val kept = Retrieval.bm25Forget(idx, Seq(1L).toDF("rid"), "rid")
+    val rebuilt = Retrieval.bm25Index(
+      corpus.filter(col("doc_id") =!= 1L), "text", "doc_id")
+    assert(rows(kept) == rows(rebuilt))
+    // removing the TOKEN-FREE doc 5 still decrements N/avgdl (the
+    // sentinel row is the registry entry that makes this possible)
+    assert(rows(Retrieval.bm25Forget(idx, Seq(5L).toDF("rid"), "rid"))
+      == rows(Retrieval.bm25Index(
+        corpus.filter(col("doc_id") =!= 5L), "text", "doc_id")))
+    // ids absent from the index are no-ops
+    assert(rows(Retrieval.bm25Forget(idx, Seq(99L).toDF("rid"), "rid")) == rows(idx))
+    // removing everything leaves an empty index
+    assert(Retrieval.bm25Forget(idx,
+      Seq(1L, 2L, 3L, 4L, 5L).toDF("rid"), "rid").count() == 0L)
+    // and the forgotten index still probes value-equal to inline
+    // scoring over the reduced corpus
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val probed = m(Retrieval.bm25ScoresAgainst(kept, queries, "query_id", "qtext"))
+    val inline = m(Retrieval.bm25Scores(
+      corpus.filter(col("doc_id") =!= 1L), "text", "doc_id",
+      queries, "query_id", "qtext"))
+    assert(probed.keySet == inline.keySet)
+    probed.foreach { case (k, v) => assert(math.abs(v - inline(k)) < 1e-12, k.toString) }
+  }
+
   test("index stores exact postings stats; probe broadcasts terms, no sort-merge") {
     val idx = Retrieval.bm25Index(corpus, "text", "doc_id").collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
