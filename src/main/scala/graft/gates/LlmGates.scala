@@ -849,6 +849,26 @@ object LlmGates {
         .as[Multimodal.MediaRecord]
       Multimodal.imageNearDups(texts.union(dhashFixtures(s)), maxHamming = 3)
     },
+    // §2 row 154 — CROSS-CORPUS image near-dup: a re-keyed media drop
+    // (the five fixtures at +10000, plus text rows whose dhash is NULL
+    // and must never match) probed against the PERSISTED dHash table
+    // of the fixture corpus — parquet round-trip, prior payloads never
+    // re-decoded. Oracle: brute-force cross-side Hamming join over the
+    // same hand-derived literal hashes
+    "q_image_neardup_incr" -> { (s, dir) =>
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-dhash-idx").toString
+      Multimodal.imageDHash(dhashFixtures(s))
+        .write.mode("overwrite").parquet(out)
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      val batch = texts.union(dhashFixtures(s)
+        .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
+      Multimodal.imageNearDupsAgainst(batch, s.read.parquet(out), maxHamming = 3)
+    },
     // §2 row 146 — video perceptual signature: per-frame dHash (the
     // row-142 literals) XOR-rotation-folded; text payloads → NULL;
     // the AVI row pins container invariance (same pixels, same vhash)
@@ -1866,6 +1886,20 @@ object LlmGates {
         |       bit_count(xor(a.dhash, b.dhash))::INT AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin,
+    // cross-side brute force over the same literals, batch re-keyed
+    // +10000 (text batch rows have NULL dhash and appear in neither
+    // table — NULL never lands within any Hamming distance)
+    "q_image_neardup_incr" ->
+      """WITH hi(doc_id, dhash) AS (VALUES
+        |  (800001::BIGINT, -1::BIGINT),
+        |  (800002::BIGINT, 0::BIGINT),
+        |  (800003::BIGINT, 1085102592571150095::BIGINT),
+        |  (800004::BIGINT, -2::BIGINT),
+        |  (800005::BIGINT, -1::BIGINT)),
+        |hb AS (SELECT doc_id + 10000 AS doc_id, dhash FROM hi)
+        |SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+        |       bit_count(xor(b.dhash, i.dhash))::INT AS hamming
+        |FROM hb b JOIN hi i ON bit_count(xor(b.dhash, i.dhash)) <= 3""".stripMargin,
     // folded-video literals: 0x1E1E1E1E1E1E1E1E = 2170205185142300190
     // (−1 ⊕ 0xE1E1…, the hand derivation in videoFixtures' scaladoc)
     "q_video_dhash" ->

@@ -1334,6 +1334,82 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * Cross-corpus Hamming near-dup — [[hammingNearDups]]' incremental
+   * arm, and the generalized spine under [[simHashNearDupsAgainstIndex]]
+   * (which keeps its 60-bit text contract on top of this): a new batch
+   * of `bits`-wide hashes probed against a PERSISTED hash table (e.g.
+   * [[Multimodal.imageDHash]] / `videoDHash` / `audioFingerprint`
+   * output as parquet — a takedown forgets it via [[Forget.removeIds]],
+   * per-doc rows only) without rescanning the prior corpus. Returns
+   * (batch_id, index_id, hamming) with hamming ≤ maxHamming.
+   *
+   * Recall contract matches [[hammingNearDups]]: COMPLETE for
+   * maxHamming < bands (pigeonhole — a qualifying pair must agree on
+   * some chunk), LSH-style probabilistic beyond. Band keys are MASKED
+   * (not mod'd) so sign-bit 64-bit hashes bucket correctly.
+   *
+   * Scale shape: the [[nearDuplicatesAgainstIndex]] doctrine — the
+   * index is banded in one generate and semi-joined against the
+   * BROADCAST batch band keys (never shuffled beyond matched rows;
+   * `broadcastBatch = false` for corpus-sized batches), each side
+   * grouped and capped independently BEFORE the cross-side join
+   * (O(I + B) rows per bucket, never I×B). Hashes ride the band rows,
+   * so the exact bit_count verify needs no join back to either corpus.
+   */
+  def hammingNearDupsAgainstIndex(
+    batchHashes: DataFrame,
+    indexHashes: DataFrame,
+    idCol: String,
+    hashCol: String,
+    bits: Int,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true,
+    metricPrefix: String = "incr_hamming"
+  ): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bits must divide into bands: bits=$bits bands=$bands")
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    val chunkBits = bits / bands
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    def banded(df: DataFrame, idAs: String, hAs: String) = df.select(
+      col(idCol).as(idAs), col(hashCol).as(hAs),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            call_function("shiftright", col(hashCol), b * chunkBits)
+              .bitwiseAND(lit(mask)).as("band_key"))))
+        .as("bk")
+    ).select(col(idAs), col(hAs),
+      col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val idxB = banded(indexHashes, "index_id", "__h_i")
+    val batchB = banded(batchHashes, "batch_id", "__h_b")
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    val matchedIdx = idxB.join(
+      hinted(batchB.select("band", "band_key").distinct()),
+      Seq("band", "band_key"), "left_semi")
+    val idxBuckets = capBuckets(
+      matchedIdx.groupBy("band", "band_key")
+        .agg(collect_set(struct(col("index_id"), col("__h_i"))).as("idx_items")),
+      "idx_items", maxBucket, s"${metricPrefix}_idx")
+    val batchBuckets = capBuckets(
+      batchB.groupBy("band", "band_key")
+        .agg(collect_set(struct(col("batch_id"), col("__h_b"))).as("batch_items")),
+      "batch_items", maxBucket, s"${metricPrefix}_batch")
+    idxBuckets.join(hinted(batchBuckets), Seq("band", "band_key"))
+      .select(explode(col("idx_items")).as("i"), col("batch_items"))
+      .select(col("i"), explode(col("batch_items")).as("b"))
+      .select(
+        col("b.batch_id").as("batch_id"),
+        col("i.index_id").as("index_id"),
+        bit_count(col("b.__h_b").bitwiseXOR(col("i.__h_i"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---------------------------------------------- embedding near-dup (LSH)
 
   /**
@@ -1702,45 +1778,12 @@ object Dedup {
     bands: Int = 4,
     maxBucket: Option[Int] = DefaultMaxBucket,
     broadcastBatch: Boolean = true
-  ): DataFrame = {
-    val chunkBits = 60 / bands
-    def banded(df: DataFrame, idAs: String, shAs: String) = df.select(
-      col("doc_id").as(idAs), col("simhash").as(shAs),
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            (call_function("shiftright", col("simhash"), b * chunkBits) %
-              (1L << chunkBits)).as("band_key"))))
-        .as("bk")
-    ).select(col(idAs), col(shAs),
-      col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val idxB = banded(indexSimhashes, "index_id", "__sh_i")
-    val batchB = banded(batchSimhashes, "batch_id", "__sh_b")
-    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
-    // per-side group + cap BEFORE the cross-side join (see
-    // nearDuplicatesAgainstIndex — O(I + B) rows per bucket, not I×B)
-    val matchedIdx = idxB.join(
-      hinted(batchB.select("band", "band_key").distinct()),
-      Seq("band", "band_key"), "left_semi")
-    val idxBuckets = capBuckets(
-      matchedIdx.groupBy("band", "band_key")
-        .agg(collect_set(struct(col("index_id"), col("__sh_i"))).as("idx_items")),
-      "idx_items", maxBucket, "incr_simhash_idx")
-    val batchBuckets = batchB.groupBy("band", "band_key")
-      .agg(collect_set(struct(col("batch_id"), col("__sh_b"))).as("batch_items"))
-    capBuckets(
-      idxBuckets.join(hinted(batchBuckets), Seq("band", "band_key")),
-      "batch_items", maxBucket, "incr_simhash_batch")
-      .select(explode(col("idx_items")).as("i"), col("batch_items"))
-      .select(col("i"), explode(col("batch_items")).as("b"))
-      .select(
-        col("b.batch_id").as("batch_id"),
-        col("i.index_id").as("index_id"),
-        bit_count(col("b.__sh_b").bitwiseXOR(col("i.__sh_i"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+  ): DataFrame =
+    // 60-bit simhashes are non-negative, so the generic arm's masked
+    // band keys coincide with the historical mod spelling
+    hammingNearDupsAgainstIndex(batchSimhashes, indexSimhashes,
+      "doc_id", "simhash", 60, maxHamming, bands, maxBucket,
+      broadcastBatch, metricPrefix = "incr_simhash")
 
   /**
    * Batch rows whose SimHash lands within `maxHamming` of the indexed

@@ -359,6 +359,31 @@ object Multimodal {
       imageDHash(media).filter(col("dhash").isNotNull),
       "doc_id", "dhash", 64, maxHamming, bands, maxBucket)
 
+  /**
+   * Cross-corpus image near-dup — the incremental arm every text
+   * similarity family here already has, for the MULTIMODAL columns: a
+   * new media drop probed against the PERSISTED [[imageDHash]] table
+   * (`(doc_id, dhash)` parquet — the prior corpus is never re-decoded,
+   * its payload bytes never re-read) via the generalized
+   * [[Dedup.hammingNearDupsAgainstIndex]] banding. Returns
+   * (batch_id, index_id, hamming ≤ maxHamming); undecodable batch
+   * payloads and NULL index rows never match. Forget the index with
+   * [[Forget.removeIds]] (per-doc rows only — anti-join ≡ rebuild).
+   */
+  def imageNearDupsAgainst(
+    batch: Dataset[MediaRecord],
+    index: DataFrame,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame =
+    Dedup.hammingNearDupsAgainstIndex(
+      imageDHash(batch).filter(col("dhash").isNotNull),
+      index.filter(col("dhash").isNotNull),
+      "doc_id", "dhash", 64, maxHamming, bands, maxBucket,
+      broadcastBatch, metricPrefix = "incr_dhash")
+
   // ------------------------------------------- video/audio near-dup
 
   /** [[FrameDecoder]] that routes by container magic: GIF payloads →
@@ -453,6 +478,27 @@ object Multimodal {
       videoDHash(media, n, decoder).filter(col("vhash").isNotNull),
       "doc_id", "vhash", 64, maxHamming, bands, maxBucket)
 
+  /** Cross-corpus video near-dup: a new clip drop probed against the
+    * persisted [[videoDHash]] table (`(doc_id, vhash)` parquet) — the
+    * [[imageNearDupsAgainst]] contract over the folded signatures.
+    * The index MUST have been built with the same `n` (a different
+    * frame count folds different rotations — disjoint signatures). */
+  def videoNearDupsAgainst(
+    batch: Dataset[MediaRecord],
+    index: DataFrame,
+    n: Int = 4,
+    decoder: () => FrameDecoder = SniffFrames,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame =
+    Dedup.hammingNearDupsAgainstIndex(
+      videoDHash(batch, n, decoder).filter(col("vhash").isNotNull),
+      index.filter(col("vhash").isNotNull),
+      "doc_id", "vhash", 64, maxHamming, bands, maxBucket,
+      broadcastBatch, metricPrefix = "incr_vhash")
+
   /**
    * 64-bit perceptual AUDIO fingerprint — the energy-contour dHash:
    * decode ([[AudioDecoder]]: WAV/AIFF/AU, any stored encoding the
@@ -499,6 +545,23 @@ object Multimodal {
     Dedup.hammingNearDups(
       audioFingerprint(media).filter(col("afp").isNotNull),
       "doc_id", "afp", 64, maxHamming, bands, maxBucket)
+
+  /** Cross-corpus audio near-dup: a new clip drop probed against the
+    * persisted [[audioFingerprint]] table (`(doc_id, afp)` parquet) —
+    * the [[imageNearDupsAgainst]] contract over energy contours. */
+  def audioNearDupsAgainst(
+    batch: Dataset[MediaRecord],
+    index: DataFrame,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame =
+    Dedup.hammingNearDupsAgainstIndex(
+      audioFingerprint(batch).filter(col("afp").isNotNull),
+      index.filter(col("afp").isNotNull),
+      "doc_id", "afp", 64, maxHamming, bands, maxBucket,
+      broadcastBatch, metricPrefix = "incr_afp")
 
   // ----------------------------------------------------- real audio work
 

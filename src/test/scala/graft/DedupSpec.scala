@@ -803,6 +803,43 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("hammingNearDupsAgainstIndex: equals cross-side brute force, sign bits included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val idx = (0 until 40).map(i => (i.toLong, rnd.nextLong()))
+    // batch = fresh randoms + near-copies of index rows at distance 0..3
+    val batch = (0 until 15).map(i => (1000L + i, rnd.nextLong())) ++
+      idx.take(12).zipWithIndex.map { case ((id, h), j) =>
+        val flipped = (0 until j % 4).foldLeft(h)((acc, _) =>
+          acc ^ (1L << rnd.nextInt(64)))
+        (2000L + id, flipped)
+      }
+    val got = Dedup.hammingNearDupsAgainstIndex(
+        batch.toDF("id", "h"), idx.toDF("id", "h"), "id", "h",
+        bits = 64, maxHamming = 3, bands = 4, maxBucket = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // maxHamming < bands -> pigeonhole completeness, so brute force is
+    // the exact truth, not an upper bound
+    val want = (for {
+      (ib, hb) <- batch; (ii, hi) <- idx
+      d = java.lang.Long.bitCount(hb ^ hi) if d <= 3
+    } yield (ib, ii, d)).toSet
+    assert(got === want)
+    // and the simhash arm is literally this spine at 60 bits
+    val sim = Dedup.simHashNearDupsAgainstIndex(
+      batch.map { case (i, h) => (i, h & ((1L << 60) - 1)) }
+        .toDF("doc_id", "simhash"),
+      idx.map { case (i, h) => (i, h & ((1L << 60) - 1)) }
+        .toDF("doc_id", "simhash"),
+      maxHamming = 3, bands = 4, maxBucket = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want60 = (for {
+      (ib, hb) <- batch; (ii, hi) <- idx
+      d = java.lang.Long.bitCount((hb ^ hi) & ((1L << 60) - 1)) if d <= 3
+    } yield (ib, ii, d)).toSet
+    assert(sim === want60)
+  }
+
   test("hammingNearDups: rejects bits that don't divide into bands") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("id", "h")

@@ -509,6 +509,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Set((1L, 4L, 1), (1L, 5L, 0), (4L, 5L, 1)))
   }
 
+  test("imageNearDupsAgainst: batch probes the persisted dHash table; media NULLs stay out") {
+    val index = Multimodal.imageDHash(Seq(
+      MediaRecord(1L, grayPng(9, 8)((x, _) => x * 10)),           // -1
+      MediaRecord(2L, grayPng(9, 8)((_, _) => 100)),              // 0
+      MediaRecord(6L, "not an image".getBytes("UTF-8"))           // NULL
+    ).toDS())
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-dhash-spec").toString
+    index.write.mode("overwrite").parquet(out)
+    val batch = Seq(
+      MediaRecord(100L, grayPng(18, 16)((x, _) => (x / 2) * 10)), // -1: hits 1
+      MediaRecord(101L, grayPng(9, 8)((x, y) =>
+        if (x == 0 && y == 0) 10 else x * 10)),                   // -2: hits 1 at 1
+      MediaRecord(102L, grayPng(9, 8)((_, _) => 55)),             // 0: hits 2
+      MediaRecord(103L, "text again".getBytes("UTF-8"))           // NULL: never
+    ).toDS()
+    val got = Multimodal.imageNearDupsAgainst(
+        batch, spark.read.parquet(out), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((100L, 1L, 0), (101L, 1L, 1), (102L, 2L, 0)))
+  }
+
   // --------------------------------------- r14: video/audio near-dup
 
   private def grayFrame(g: Int => Int): java.awt.image.BufferedImage = {
