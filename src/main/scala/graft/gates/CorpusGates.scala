@@ -544,6 +544,50 @@ object CorpusGates {
         col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("tok"))
       Sampling.withQuantileBucket(withTok, "tok", nBuckets = 4)
         .select("doc_id", "tok", "q_bucket")
+    },
+    // §2 row 155 — C4-style line cleaning over synthesized crawl pages:
+    // each doc becomes a multi-line page of prose chunks (terminal '.')
+    // interleaved with boilerplate (a punctuation-free nav line, a
+    // javascript notice), every 7th page poisoned with a '{' line
+    // (page-level drop), every 11th page cut to 2 prose lines (below
+    // minLines). The oracle re-derives every line verdict and rebuild
+    "q_c4_clean" -> { (s, dir) =>
+      val pageBody = (nChunks: Int) => concat_ws("\n",
+        (lit("Cookie Settings and Navigation Menu") +:
+          (0 until nChunks).flatMap(i => Seq(
+            concat(substring(col("text"), 1 + 40 * i, 40), lit(".")),
+            if (i == 0) lit("Please enable javascript to view this page.")
+            else lit("Share | Print | Top")
+          ))).toIndexedSeq: _*)
+      val pages = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, pageBody(2))
+            .when(col("doc_id") % 7 === 0,
+              concat(pageBody(5), lit("\nfunction() { return 0; }")))
+            .otherwise(pageBody(5)).as("text"))
+      TextAnalysis.c4Clean(pages, "text").select("doc_id", "text")
+    },
+    // §2 row 157 — token-budget selection: the maximal (n_chars DESC,
+    // doc_id ASC)-prefix whose ws-token sum fits 20000 tokens, exact
+    // long cumsum — the oracle is the definitional running-sum window
+    "q_budget_select" -> { (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.wsTokenCount(col("text")).as("toks"))
+      Sampling.selectByBudget(t, "toks", budget = 20000L,
+          orderBy = Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("toks").cast("long").as("toks"))
+    },
+    // §2 row 158 — ORC source/sink (Spark-native columnar alternative
+    // to parquet; readers exist in every warehouse engine): the corpus
+    // round-trips through ORC files value- and type-identically — the
+    // oracle reads the SOURCE parquet, so any ORC write/read
+    // infidelity (types, nulls, row loss) hash-mismatches
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-orc-gate").toString
+      docs(s, dir).select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
     }
   )
 
@@ -1178,7 +1222,64 @@ object CorpusGates {
         |SELECT doc_id, tok,
         |       CASE WHEN tok IS NULL THEN NULL
         |            ELSE len(list_filter(bs, x -> tok > x)) END::INT AS q_bucket
-        |FROM t, b""".stripMargin
+        |FROM t, b""".stripMargin,
+    // every page, line verdict, and rebuild re-derived: a line is kept
+    // iff it ends (after trailing-blank strip) in . ! ? or ", has >= 3
+    // space/tab-separated words, and lacks 'javascript'; a page is kept
+    // iff >= 5 lines survive and no '{' / 'lorem ipsum' anywhere
+    "q_c4_clean" ->
+      """WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |bodies AS (
+        |  SELECT doc_id,
+        |    'Cookie Settings and Navigation Menu' || chr(10) ||
+        |    substr(text, 1, 40) || '.' || chr(10) ||
+        |    'Please enable javascript to view this page.' || chr(10) ||
+        |    substr(text, 41, 40) || '.' || chr(10) || 'Share | Print | Top'
+        |      AS body2,
+        |    'Cookie Settings and Navigation Menu' || chr(10) ||
+        |    substr(text, 1, 40) || '.' || chr(10) ||
+        |    'Please enable javascript to view this page.' || chr(10) ||
+        |    substr(text, 41, 40) || '.' || chr(10) || 'Share | Print | Top' || chr(10) ||
+        |    substr(text, 81, 40) || '.' || chr(10) || 'Share | Print | Top' || chr(10) ||
+        |    substr(text, 121, 40) || '.' || chr(10) || 'Share | Print | Top' || chr(10) ||
+        |    substr(text, 161, 40) || '.' || chr(10) || 'Share | Print | Top'
+        |      AS body5
+        |  FROM src),
+        |pages AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN body2
+        |         WHEN doc_id % 7 = 0
+        |           THEN body5 || chr(10) || 'function() { return 0; }'
+        |         ELSE body5 END AS page
+        |  FROM bodies),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(page, chr(10)), l ->
+        |      right(rtrim(l, ' ' || chr(9) || chr(13)), 1) IN ('.', '!', '?', '"')
+        |      AND len(list_filter(string_split(replace(l, chr(9), ' '), ' '),
+        |                          w -> w <> '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    (contains(page, '{') OR contains(lower(page), 'lorem ipsum')) AS flagged
+        |  FROM pages)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text
+        |FROM cleaned WHERE len(kept) >= 5 AND NOT flagged""".stripMargin,
+    // the definitional running-sum window the operator exists to avoid
+    // planning (Exchange-SinglePartition); inclusive cumsum <= budget
+    "q_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |         sum(toks) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |                         ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, toks::BIGINT AS toks FROM c WHERE cum <= 20000""".stripMargin,
+    // the oracle reads the SOURCE parquet: any ORC infidelity mismatches
+    "q_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents"
   )
 
   /** Shared DSIR oracle prefix: grams → 256-bucket dense counts for the

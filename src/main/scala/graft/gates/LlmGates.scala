@@ -486,6 +486,20 @@ object LlmGates {
           k = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select("doc_id", "cluster_id")
     },
+    // §2 row 156 — LEAKAGE-SAFE splits: near-dup pairs close into
+    // transitive clusters and every member hashes on its CLUSTER id
+    // (singletons on their own id), so the planted re-keyed copies
+    // (+100000) provably land in their originals' split — the oracle
+    // re-derives the clusters recursively and the split CASE from the
+    // same hash constants as q_split_assign
+    "q_split_leakfree" -> { (s, dir) =>
+      val d = docsWithDups(s, dir)
+      Sampling.leakageSafeSplits(d,
+          Dedup.nearDuplicates(d, "text", "doc_id",
+            k = 3, numHashes = 16, bands = 4, threshold = 0.8),
+          "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "split")
+    },
     // §2 row 149a — exact dedup with the BEST-score keeper: planted
     // re-keyed copies (+100000) share fingerprints with their
     // originals; score = doc_id % 7 makes the COPY win some groups
@@ -1507,6 +1521,18 @@ object LlmGates {
       s"""$ClusterCompCte
          |SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cluster_id
          |FROM all_docs a LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    "q_split_leakfree" ->
+      s"""$ClusterCompCte,
+         |keyed AS (
+         |  SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS k
+         |  FROM all_docs a LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id,
+         |       CASE WHEN ${h60("'graft:' || k")} % ${Sampling.Buckets}
+         |                 < ${(0.8 * Sampling.Buckets).toLong} THEN 'train'
+         |            WHEN ${h60("'graft:' || k")} % ${Sampling.Buckets}
+         |                 < ${((0.8 + 0.1) * Sampling.Buckets).toLong} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM keyed""".stripMargin,
     // the same transitive clusters, then the BEST-scoring member of
     // each (score DESC, id ASC) survives — singletons keep themselves
     "q_neardup_keepbest" ->

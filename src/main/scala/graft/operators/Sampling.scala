@@ -106,6 +106,75 @@ object Sampling {
   }
 
   /**
+   * LEAKAGE-SAFE split assignment: [[splitAssign]] keyed by
+   * near-duplicate CLUSTER instead of document, so two near-copies of
+   * one page can never land in different splits — the eval-integrity
+   * failure grouped hashing exists to prevent (a val doc whose
+   * near-twin sits in train is a leaked answer, and pairwise dedup
+   * upstream only helps if it caught and dropped the twin). `pairs` is
+   * any (id_a, id_b) link table — [[Dedup.nearDuplicates]],
+   * [[Dedup.imageNearDups]]' output, SimHash pairs — closed into
+   * TRANSITIVE clusters ([[Dedup.connectedComponents]]; a chain
+   * a~b~c must share one split even if (a, c) never paired), each
+   * document hashing on its cluster id (unpaired documents on their
+   * own id — value-identical to plain [[splitAssign]] for them).
+   *
+   * Scale shape: the member table is PAIR-bounded, never corpus-sized
+   * — one left join attaches cluster ids, then the pure-projection
+   * split hash; the corpus is never shuffled.
+   */
+  def leakageSafeSplits(
+    df: DataFrame,
+    pairs: DataFrame,
+    idCol: String,
+    weights: Seq[(String, Double)],
+    seed: String = "graft",
+    splitCol: String = "split",
+    maxIters: Int = 20,
+    localizeEdgeLimit: Long = 2000000L
+  ): DataFrame = {
+    Cols.requireAbsent(df, "__lsf_cid", "__lsf_key")
+    val members = Dedup.connectedComponents(pairs, maxIters, localizeEdgeLimit)
+      .select(col("doc_id").as(idCol), col("cluster_id").as("__lsf_cid"))
+    val keyed = df.join(members, Seq(idCol), "left")
+      .withColumn("__lsf_key", coalesce(col("__lsf_cid"), col(idCol)))
+    splitAssign(keyed, "__lsf_key", weights, seed, splitCol)
+      .drop("__lsf_cid", "__lsf_key")
+  }
+
+  /**
+   * TOKEN-BUDGET selection: the maximal prefix of the corpus in
+   * `orderBy` order whose cumulative `weightCol` stays ≤ `budget` —
+   * "give me the best N-token training set" as one deterministic
+   * operator (order by a quality score DESC with an id tiebreak and
+   * weight by token count, and the result is the highest-quality
+   * corpus that fits the budget; rerun-stable because the order is
+   * total and the cumsum exact). Docs are kept WHOLE — the boundary
+   * doc that would cross the budget is dropped, not truncated
+   * (truncation is [[packSequences]]' job downstream).
+   *
+   * Shape: [[TrainingOrder.withRunningTotal]] (one range shuffle,
+   * per-partition offsets, exact long cumsum — never a
+   * single-partition window) + one pushed filter. Weights must be
+   * non-negative for the prefix semantics to hold (a negative weight
+   * would re-admit later rows); NULL weights count as zero and never
+   * break the prefix.
+   */
+  def selectByBudget(
+    df: DataFrame,
+    weightCol: String,
+    budget: Long,
+    orderBy: Seq[Column],
+    numPartitions: Option[Int] = None
+  ): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0: $budget")
+    Cols.requireAbsent(df, "__sbb_cum")
+    TrainingOrder.withRunningTotal(df, orderBy, weightCol, "__sbb_cum", numPartitions)
+      .filter(col("__sbb_cum") <= budget)
+      .drop("__sbb_cum")
+  }
+
+  /**
    * Stratified deterministic sample: like [[hashSample]] but with a
    * per-stratum fraction — the knob that rebalances a corpus mix
    * (languages, domains, sources) without an RNG. Strata absent from

@@ -388,6 +388,36 @@ object TextAnalysis {
    * would re-evaluate the caller's upstream plan twice); the signal
    * arrays live in temp columns for the filter's duration only.
    */
+  /**
+   * C4-style line cleaning + page filter (Raffel et al. 2020 §2.2 —
+   * the boilerplate screen the Gopher rules assume already ran): keep
+   * only lines that end in terminal punctuation, have ≥
+   * `minWordsPerLine` words, and don't mention javascript; drop the
+   * whole page when fewer than `minLines` lines survive or the page
+   * contains `{` or "lorem ipsum" anywhere. Returns the corpus with
+   * `textCol` REWRITTEN to the surviving lines (joined by `\n`) and
+   * failing pages removed; NULL text drops (no prose to keep).
+   *
+   * One native [[graft.functions.C4LinesExpr]] call per row — line
+   * split, trailing-blank strip, word counts, and both needle scans
+   * fused into a single byte pass (an HOF `filter` spelling pays an
+   * interpreted lambda frame per line) — then a pushed filter. Pure
+   * projection: no shuffle, composes before every hash-keyed stage.
+   */
+  def c4Clean(
+    df: DataFrame,
+    textCol: String,
+    minWordsPerLine: Int = 3,
+    minLines: Int = 5
+  ): DataFrame = {
+    require(minLines >= 0, s"minLines must be >= 0: $minLines")
+    Cols.requireAbsent(df, "__c4")
+    df.withColumn("__c4", graft.functions.C4LinesExpr(col(textCol), minWordsPerLine))
+      .filter(col("__c4.n_kept") >= minLines && !col("__c4.flagged"))
+      .withColumn(textCol, col("__c4.text"))
+      .drop("__c4")
+  }
+
   def gopherFilter(
     df: DataFrame,
     textCol: String,

@@ -423,4 +423,50 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureRebalance(df, "doc_id", "lang", Seq("en", "ja"))
     }
   }
+
+  test("leakageSafeSplits: transitive chains share one split; singletons match splitAssign") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1~2, 2~3 (1 and 3 never paired directly) + pair 10~11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Sampling.leakageSafeSplits(df, pairs, "doc_id", w)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 200)
+    assert(got(1L) == got(2L) && got(2L) == got(3L), "chain must share a split")
+    assert(got(10L) == got(11L))
+    // cluster members hash on the cluster id = MIN member id
+    val plain = Sampling.splitAssign(df, "doc_id", w)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(3L) == plain(1L), "cluster hashes on its min id")
+    // every unpaired doc is value-identical to plain splitAssign
+    ((1L to 200L).toSet -- Set(1L, 2L, 3L, 10L, 11L)).foreach { i =>
+      assert(got(i) == plain(i), s"doc $i")
+    }
+  }
+
+  test("selectByBudget: maximal prefix, boundary doc dropped whole, NULL weight = 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(100L), 9),  // score 9 -> first
+      (2L, Some(200L), 8),
+      (3L, Some(150L), 8),  // ties with 2 on score; id breaks
+      (4L, Option.empty[Long], 7), // NULL weight: free
+      (5L, Some(300L), 6),  // cum = 100+200+150+0+300 = 750 > 600 -> dropped
+      (6L, Some(50L), 5)    // after the boundary: prefix semantics drop it too
+    ).toDF("id", "w", "score")
+    val kept = Sampling.selectByBudget(df, "w", budget = 600L,
+        orderBy = Seq(col("score").desc, col("id").asc))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+    // exact-fit boundary is KEPT (<=, not <)
+    val exact = Sampling.selectByBudget(df, "w", budget = 450L,
+        orderBy = Seq(col("score").desc, col("id").asc))
+      .select("id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 3L, 4L))
+    assert(Sampling.selectByBudget(df, "w", 0L,
+      Seq(col("score").desc, col("id").asc)).count() == 0L)
+  }
 }

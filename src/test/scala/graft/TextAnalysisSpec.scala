@@ -407,4 +407,43 @@ class TextAnalysisSpec extends SparkSpec {
       (0 until 30).map(_ => pool(rnd.nextInt(pool.length))).mkString)
     assert(fixOf(rs.map(mojibake)) == rs)
   }
+
+  // --------------------------------------------------- r15: C4 cleaning
+
+  test("c4Clean: line rules, page flags, and minLines \u2014 every verdict hand-checked") {
+    import spark.implicits._
+    val goodPage = Seq(
+      "Cookie Settings",                        // no terminal punct -> drop
+      "This is a real sentence about things.",  // keep
+      "Is this prose?",                         // keep (?)
+      "He said \"sure thing.\"",                // keep (closing quote)
+      "Wow, what a day!",                       // keep (!)
+      "Too few.",                               // 2 words -> drop
+      "Enable JavaScript in your browser now.", // javascript -> drop
+      "Trailing blanks still terminate.   ",    // keep: strip then '.'
+      "One more line of honest prose here."     // keep
+    ).mkString("\n")
+    val df = Seq(
+      (1L, goodPage),
+      (2L, goodPage + "\nvar f = function() { return 1; }"), // '{' -> page drop
+      (3L, goodPage + "\nThis page contains Lorem Ipsum filler."), // -> page drop
+      (4L, "Only one good sentence lives here.\nnav | nav | nav"), // 1 < minLines
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Clean(df, "text", minWordsPerLine = 3, minLines = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == Seq(
+      "This is a real sentence about things.",
+      "Is this prose?",
+      "He said \"sure thing.\"",
+      "Wow, what a day!",
+      "Trailing blanks still terminate.   ", // original bytes kept
+      "One more line of honest prose here.").mkString("\n"))
+    // lower minLines keeps page 4's single surviving line
+    val loose = TextAnalysis.c4Clean(df, "text", minWordsPerLine = 3, minLines = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(4L) == "Only one good sentence lives here.")
+    assert(!loose.contains(2L) && !loose.contains(3L) && !loose.contains(5L))
+  }
 }

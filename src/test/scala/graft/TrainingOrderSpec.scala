@@ -60,4 +60,29 @@ class TrainingOrderSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global-sort hazard in:\n$plan")
     assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size >= 1)
   }
+
+  test("withRunningTotal: exact inclusive cumsum in any order, across partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(1000).toLong, rnd.nextInt(50)))
+    val df = rows.toDF("id", "w", "score")
+    val got = graft.operators.TrainingOrder.withRunningTotal(
+        df, Seq(org.apache.spark.sql.functions.col("score").desc,
+          org.apache.spark.sql.functions.col("id").asc),
+        "w", "cum", numPartitions = Some(7))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: driver-side sort + scan
+    var acc = 0L
+    rows.sortBy { case (id, _, s) => (-s, id) }.foreach { case (id, w, _) =>
+      acc += w
+      assert(got(id) == acc, s"id $id")
+    }
+    // more partitions than rows still numbers correctly
+    val tiny = Seq((1L, 5L), (2L, 7L)).toDF("id", "w")
+    val t = graft.operators.TrainingOrder.withRunningTotal(
+        tiny, Seq(org.apache.spark.sql.functions.col("id").asc), "w", "cum",
+        numPartitions = Some(16))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t == Map(1L -> 5L, 2L -> 12L))
+  }
 }
