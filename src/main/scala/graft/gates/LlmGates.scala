@@ -906,6 +906,25 @@ object LlmGates {
         .as[Multimodal.MediaRecord]
       Multimodal.videoNearDups(texts.union(videoFixtures(s)), n = 3, maxHamming = 3)
     },
+    // §2 row 154 (video arm) — cross-corpus video near-dup: re-keyed
+    // clips (+10000) probed against the persisted folded-signature
+    // table; same n (the fold contract), parquet round-trip, text
+    // rows NULL. Brute-force cross Hamming oracle over the literals
+    "q_video_neardup_incr" -> { (s, dir) =>
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-vhash-idx").toString
+      Multimodal.videoDHash(videoFixtures(s), n = 3)
+        .write.mode("overwrite").parquet(out)
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      val batch = texts.union(videoFixtures(s)
+        .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
+      Multimodal.videoNearDupsAgainst(batch, s.read.parquet(out),
+        n = 3, maxHamming = 3)
+    },
     // §2 row 147 — audio energy-contour fingerprint: one sample per
     // RMS window so every bit is a hand-derived strict comparison of
     // exact dyadic rationals; text payloads → NULL
@@ -927,6 +946,23 @@ object LlmGates {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
       Multimodal.audioNearDups(texts.union(audioFpFixtures(s)), maxHamming = 3)
+    },
+    // §2 row 154 (audio arm) — cross-corpus audio near-dup: re-keyed
+    // clips (+10000) probed against the persisted energy-contour
+    // table; parquet round-trip, text rows NULL; brute-force oracle
+    "q_audio_neardup_incr" -> { (s, dir) =>
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-afp-idx").toString
+      Multimodal.audioFingerprint(audioFpFixtures(s))
+        .write.mode("overwrite").parquet(out)
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      val batch = texts.union(audioFpFixtures(s)
+        .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
+      Multimodal.audioNearDupsAgainst(batch, s.read.parquet(out), maxHamming = 3)
     },
     // §2.4 row 85 — corpus-wide duplicate-PARAGRAPH removal (the
     // RefinedWeb granularity): a 2-LINE banner block planted in 3 docs
@@ -1947,6 +1983,16 @@ object LlmGates {
         |       bit_count(xor(a.vhash, b.vhash))::INT AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.vhash, b.vhash)) <= 3""".stripMargin,
+    "q_video_neardup_incr" ->
+      """WITH hi(doc_id, vhash) AS (VALUES
+        |  (820001::BIGINT, 2170205185142300190::BIGINT),
+        |  (820002::BIGINT, 2170205185142300190::BIGINT),
+        |  (820003::BIGINT, 2170205185142300191::BIGINT),
+        |  (820004::BIGINT, 0::BIGINT)),
+        |hb AS (SELECT doc_id + 10000 AS doc_id, vhash FROM hi)
+        |SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+        |       bit_count(xor(b.vhash, i.vhash))::INT AS hamming
+        |FROM hb b JOIN hi i ON bit_count(xor(b.vhash, i.vhash)) <= 3""".stripMargin,
     "q_audio_fp" ->
       """SELECT doc_id, NULL::BIGINT AS afp FROM documents WHERE doc_id < 50
         |UNION ALL
@@ -1968,6 +2014,17 @@ object LlmGates {
         |       bit_count(xor(a.afp, b.afp))::INT AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin,
+    "q_audio_neardup_incr" ->
+      """WITH hi(doc_id, afp) AS (VALUES
+        |  (810001::BIGINT, -1::BIGINT),
+        |  (810002::BIGINT, 0::BIGINT),
+        |  (810003::BIGINT, -1::BIGINT),
+        |  (810004::BIGINT, -2::BIGINT),
+        |  (810005::BIGINT, -1::BIGINT)),
+        |hb AS (SELECT doc_id + 10000 AS doc_id, afp FROM hi)
+        |SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+        |       bit_count(xor(b.afp, i.afp))::INT AS hamming
+        |FROM hb b JOIN hi i ON bit_count(xor(b.afp, i.afp)) <= 3""".stripMargin,
     "q_multimodal_resize" ->
       """SELECT doc_id, md5(md5(text) || ':64x64') AS resized_md5
         |FROM documents""".stripMargin,

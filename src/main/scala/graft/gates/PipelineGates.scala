@@ -139,6 +139,46 @@ object PipelineGates {
         curated => graft.operators.Similarity.localize(curated.select("doc_id"))
       }
     },
+    // §2 row 155 × 52 — the capstone's C4 stage: docs 1/2 carry the
+    // SAME five-sentence article wrapped in DIFFERENT site chrome
+    // (nav + javascript banner vs a share bar) — raw texts differ, so
+    // without c4Clean nothing dedups and the all-chrome doc 3 survives
+    // (asserted in-gate); with c4Clean the chrome drops, 1 and 2
+    // become EXACT duplicates (lowest id kept) and doc 3 dies below
+    // minLines. minLineCount = 3 keeps the corpus line rule inert
+    // (each prose line appears only twice); nearDupThreshold = 0.95 so
+    // the contrast is attributable to c4 alone, not shingle LSH
+    "q_curation_c4" -> { (s, dir) =>
+      import s.implicits._
+      val prose = Seq(
+        "The committee approved the budget on Tuesday.",
+        "Several members raised concerns about timing!",
+        "Was the quorum requirement actually satisfied?",
+        "The chair promised a written follow-up shortly.",
+        "Minutes will be published on the public record.")
+      def corpus = Seq(
+        (1L, ("Cookie Settings Menu Home" +: prose :+
+          "Please enable javascript to continue reading.").mkString("\n")),
+        (2L, ("Share Print Subscribe Links" +: prose).mkString("\n")),
+        (3L, "All Rights Reserved Footer\nContact Us Page Link"),
+        (4L, Seq("A different article begins here today.",
+          "It continues with more honest sentences now!",
+          "Why would anyone doubt the reporting?",
+          "The facts hold up under scrutiny still.",
+          "This one ends as it started, cleanly.").mkString("\n")))
+        .toDF("doc_id", "text")
+      val cfgOff = CurationPipeline.Config(minQuality = 0.0,
+        minLineCount = 3, nearDupThreshold = 0.95)
+      val plain = CurationPipeline.run(corpus, "text", "doc_id", cfgOff) {
+        _.select("doc_id").as[Long].collect().toSet
+      }
+      assert(plain == Set(1L, 2L, 3L, 4L),
+        s"without c4Clean the chrome-wrapped twins must both survive; kept $plain")
+      CurationPipeline.run(corpus, "text", "doc_id",
+        cfgOff.copy(c4Clean = true)) {
+        curated => graft.operators.Similarity.localize(curated.select("doc_id"))
+      }
+    },
     // §2.4 row 52b — the pipeline's per-stage row ACCOUNTING: the
     // observe (CollectMetrics) counters runObserved rides on the one
     // action, gated against DuckDB re-counting every stage CTE — a
@@ -281,6 +321,11 @@ object PipelineGates {
     // (4) — hand-derived constant table, the q_curation_uax29 precedent
     "q_curation_keepbest" ->
       "SELECT * FROM (VALUES (2::BIGINT), (4::BIGINT)) t(doc_id)",
+    // c4Clean makes the chrome-wrapped twins exact duplicates (1 kept)
+    // and kills the all-chrome page; the clean article 4 rides through
+    // — hand-derived constant table, the q_curation_uax29 precedent
+    "q_curation_c4" ->
+      "SELECT * FROM (VALUES (1::BIGINT), (4::BIGINT)) t(doc_id)",
     "q_curation_e2e" -> (CurationCte + "\n" +
       s"""-- stage 7: split assignment (seed 'graft', 0.8/0.1/0.1)
          |SELECT doc_id, md5(text) AS text_md5,

@@ -147,6 +147,19 @@ object CurationPipeline {
       * hashing, contamination grams. Off by default: ASCII-only corpora
       * pay nothing and the composed e2e oracle stays form-agnostic. */
     unicodeNorm: Option[String] = None,
+    /** C4-style boilerplate cleaning AFTER normalization and BEFORE
+      * the PII scrub and every line/hash-keyed stage
+      * ([[graft.operators.TextAnalysis.c4Clean]]): nav/banner lines
+      * dropped, brace / lorem-ipsum pages removed — without it,
+      * boilerplate dominates shingles and line-dedup tables, and two
+      * copies of one article wrapped in different site chrome never
+      * dedup exactly. Off by default (pre-cleaned corpora pay nothing
+      * and the composed e2e oracle is single-line prose). NOTE: this
+      * stage DROPS documents (pages below `c4MinLines` surviving
+      * lines, flagged pages) and REWRITES text. */
+    c4Clean: Boolean = false,
+    c4MinWordsPerLine: Int = 3,
+    c4MinLines: Int = 5,
     evalSet: Option[DataFrame] = None,
     /** Prior corpus's [[graft.operators.Dedup.exactFingerprintIndex]] —
       * when set, batch docs already in the indexed corpus are anti-joined
@@ -300,8 +313,17 @@ object CurationPipeline {
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(detagged) else detagged
     val normed = cfg.unicodeNorm.fold(repaired)(f =>
       TextAnalysis.normalizeUnicode(repaired, f))
-    val masked = corpus
-      .select(col(idCol), TextAnalysis.scrubPii(normed).as(textCol))
+    // C4 boilerplate cleaning drops rows (below-minLines / flagged
+    // pages), so it breaks out of the column-expression chain here;
+    // off by default the extra projection collapses away
+    val preScrub = {
+      val n = corpus.select(col(idCol), normed.as(textCol))
+      if (cfg.c4Clean)
+        TextAnalysis.c4Clean(n, textCol, cfg.c4MinWordsPerLine, cfg.c4MinLines)
+      else n
+    }
+    val masked = preScrub
+      .select(col(idCol), TextAnalysis.scrubPii(col(textCol)).as(textCol))
     val inDoc =
       if (cfg.dropRepeatedLinesInDoc)
         Dedup.dropRepeatedLinesWithinDoc(masked, textCol)

@@ -558,6 +558,31 @@ class CurationPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("must be an integral column"), e.getMessage)
   }
 
+  test("c4Clean stage: boilerplate drops before every hash-keyed stage; text rewritten") {
+    val prose = Seq(
+      "The committee approved the budget on Tuesday.",
+      "Several members raised concerns about timing!",
+      "Was the quorum requirement actually satisfied?",
+      "The chair promised a written follow-up shortly.",
+      "Minutes will be published on the public record.")
+    val corpus = Seq(
+      (1L, ("Cookie Settings Menu Home" +: prose).mkString("\n")),
+      (2L, "Nav Only Header\nFooter Links Page")
+    ).toDF("doc_id", "text")
+    val got = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(c4Clean = true, minQuality = 0.0,
+        minLineCount = 10))(
+      _.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap)
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == prose.mkString("\n"), got(1L))
+    // off by default: nothing drops, text untouched
+    val off = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(minQuality = 0.0, minLineCount = 10))(
+      _.select("doc_id").as[Long].collect().toSet)
+    assert(off == Set(1L, 2L))
+  }
+
   test("tokenizer=uax29 threads to exact dedup: distinct CJK docs stop collapsing") {
     // under the whitespace default every pure-CJK doc normalizes to ""
     // -> ONE fingerprint -> catastrophic over-dedup; uax29 keys on the
