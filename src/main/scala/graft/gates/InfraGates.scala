@@ -90,6 +90,17 @@ object InfraGates {
           "doc_id", numShards = 8, epoch = 1)
         .select("doc_id", "shard", "shard_pos")
     },
+    // §2 row 159 — curriculum order: quantile difficulty stages
+    // (n_chars as the difficulty proxy), epoch-hash shuffling inside
+    // each stage, one dense global index; the oracle re-derives the
+    // stage bounds (quantile_cont — dyadic fractions at n=500/5000,
+    // bit-identical boundaries) and the full permutation
+    "q_curriculum" -> { (s, dir) =>
+      TrainingOrder.curriculumOrder(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"),
+          "n_chars", "doc_id", stages = 4, epoch = 1)
+        .select("doc_id", "stage", "curriculum_idx")
+    },
     // §2.4 row 87 — as-of join: each purchase picks the user's most
     // recent at-or-before click via the union+running-last spelling
     // (one shuffle, zero join nodes); the oracle is the DEFINITIONAL
@@ -455,6 +466,16 @@ object InfraGates {
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_dedup_stream" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, n_chars FROM documents),
+         |b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bs FROM t),
+         |st AS (SELECT doc_id,
+         |              len(list_filter(bs, x -> n_chars > x))::INT AS stage,
+         |              ${LlmGates.h60("'graft:1:' || doc_id")} AS key
+         |       FROM t, b)
+         |SELECT doc_id, stage,
+         |       row_number() OVER (ORDER BY stage, key, doc_id) AS curriculum_idx
+         |FROM st""".stripMargin,
     "q_epoch_shuffle" ->
       s"""WITH k AS (
          |  SELECT doc_id,

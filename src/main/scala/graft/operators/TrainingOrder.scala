@@ -113,6 +113,45 @@ object TrainingOrder {
   }
 
   /**
+   * Curriculum training order — easy-first with per-epoch in-stage
+   * shuffling (Bengio et al. 2009 "Curriculum Learning", the
+   * data-side spelling): documents quantile-bucket into `stages`
+   * difficulty stages (stage 0 = LOWEST `difficultyCol`; point the
+   * score so its easy end is low — length, LM perplexity from rows
+   * 65/83, fitted-quality inverse) and the global order visits every
+   * stage-0 doc before any stage-1 doc; WITHIN a stage, delivery
+   * order is the [[epochKey]] hash permutation, so a new `epoch`
+   * reshuffles inside stages but never lets a hard doc jump the
+   * curriculum. Returns `stageCol` (int) + `idxCol` (dense 1-based
+   * long).
+   *
+   * Scale shape: one quantile aggregation for the stage bounds
+   * ([[Sampling.withQuantileBucket]] — `approx = true` flips it to
+   * percentile_approx for corpus scale) + the [[withGlobalIndex]]
+   * range shuffle; never a single-partition window. NULL difficulty
+   * sorts into stage NULL ahead of stage 0 (Spark ASC nulls-first) —
+   * filter or coalesce upstream if that's not the contract you want.
+   */
+  def curriculumOrder(
+    df: DataFrame,
+    difficultyCol: String,
+    idCol: String,
+    stages: Int = 4,
+    epoch: Int = 0,
+    seed: String = "graft",
+    stageCol: String = "stage",
+    idxCol: String = "curriculum_idx",
+    approx: Boolean = false
+  ): DataFrame = {
+    Cols.requireAbsent(df, stageCol, idxCol, "__cur_key")
+    val staged = Sampling.withQuantileBucket(df, difficultyCol, stages,
+      outCol = stageCol, approx = approx)
+    val keyed = staged.withColumn("__cur_key", epochKey(col(idCol), epoch, seed))
+    withGlobalIndex(keyed, Seq(stageCol, "__cur_key", idCol), idxCol)
+      .drop("__cur_key")
+  }
+
+  /**
    * Global INCLUSIVE running total of `weightCol` in `orderBy` order —
    * [[withGlobalIndex]] generalized from counting rows to accumulating
    * a weight, and the scalable replacement for

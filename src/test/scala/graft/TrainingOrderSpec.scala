@@ -85,4 +85,26 @@ class TrainingOrderSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(t == Map(1L -> 5L, 2L -> 12L))
   }
+
+  test("curriculumOrder: stages ramp, epochs reshuffle inside stages only") {
+    import spark.implicits._
+    val df = (1L to 120L).map(i => (i, (i * 37 % 100).toInt)).toDF("id", "d")
+    def run(epoch: Int) = graft.operators.TrainingOrder.curriculumOrder(
+        df, "d", "id", stages = 4, epoch = epoch)
+      .select("id", "stage", "curriculum_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val e0 = run(0)
+    // the index is dense 1..n and stage is non-decreasing along it
+    val byIdx = e0.sortBy(_._3)
+    assert(byIdx.map(_._3).toSeq == (1L to 120L).toSeq)
+    assert(byIdx.map(_._2).toSeq == byIdx.map(_._2).sorted.toSeq,
+      "every easier-stage doc precedes every harder-stage doc")
+    // a new epoch permutes within stages but stage membership is fixed
+    val e1 = run(1)
+    val st0 = e0.map(r => r._1 -> r._2).toMap
+    val st1 = e1.map(r => r._1 -> r._2).toMap
+    assert(st0 == st1)
+    assert(e0.map(r => r._1 -> r._3).toMap != e1.map(r => r._1 -> r._3).toMap,
+      "epoch must reshuffle delivery order")
+  }
 }
