@@ -150,7 +150,20 @@ object Bench {
     "q_fix_mojibake",       // mojibake repair: invert + strict re-decode scan projection (r14)
     "q_skip_prune",         // skip-index prune: partitioned fixture + deleted-partition diff + pruned reads (r14)
     "q_containment_incr",   // cross-corpus containment join: batch-prefix probe vs full-postings index (r14)
-    "q_winnow_incr"         // cross-corpus winnow overlap: parquet index + broadcast batch hash probe (r14)
+    "q_winnow_incr",        // cross-corpus winnow overlap: parquet index + broadcast batch hash probe (r14)
+    "q_forget_bm25",        // bm25 index forget: parquet roundtrip + anti-join + removal-set-sized stat decrements (r15)
+    "q_forget_winnow",      // winnow index forget: one anti-join rewrite (r15)
+    "q_forget_containment", // containment full-postings forget: one anti-join rewrite (r15)
+    "q_image_neardup_incr", // cross-corpus image near-dup: persisted dHash table + banded batch probe (r15)
+    "q_video_neardup_incr", // cross-corpus video near-dup: persisted folded signatures probed (r15)
+    "q_audio_neardup_incr", // cross-corpus audio near-dup: persisted energy contours probed (r15)
+    "q_split_leakfree",     // cluster-keyed splits: near-dup pairs + CC + pair-bounded join + split hash (r15)
+    "q_budget_select",      // token-budget selection: range shuffle + per-partition offsets + pushed cum filter (r15)
+    "q_c4_clean",           // C4 line cleaning: one fused native byte pass + pushed page filter (r15)
+    "q_orc_roundtrip",      // ORC sink + source roundtrip over the documents table (r15)
+    // q_curation_c4 stays unbenched: constant-fixture parity gate, the
+    // q_curation_uax29/q_curation_keepbest convention
+    "q_curriculum"          // curriculum order: quantile stages + epoch hash + global-index range shuffle (r15)
   )
 
   private def jsonStr(s: String): String =
