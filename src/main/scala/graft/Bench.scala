@@ -159,6 +159,8 @@ object Bench {
     "q_audio_neardup_incr", // cross-corpus audio near-dup: persisted energy contours probed (r15)
     "q_split_leakfree",     // cluster-keyed splits: near-dup pairs + CC + pair-bounded join + split hash (r15)
     "q_budget_select",      // token-budget selection: range shuffle + per-partition offsets + pushed cum filter (r15)
+    "q_budget_select_group",// per-group budgets: one group-partitioned running-sum window (r15)
+    "q_forget_dhash",       // media-hash forget + post-forget probe: anti-join + banded batch probe (r15)
     "q_c4_clean",           // C4 line cleaning: one fused native byte pass + pushed page filter (r15)
     "q_orc_roundtrip",      // ORC sink + source roundtrip over the documents table (r15)
     // q_curation_c4 stays unbenched: constant-fixture parity gate, the

@@ -577,6 +577,17 @@ object CorpusGates {
           orderBy = Seq(col("n_chars").desc, col("doc_id").asc))
         .select(col("doc_id"), col("toks").cast("long").as("toks"))
     },
+    // §2 row 157b — per-group budgets: an independent 5000-token cap
+    // per language (n_chars DESC, doc_id ASC order within each) — the
+    // oracle is the partitioned running-sum window verbatim
+    "q_budget_select_group" -> { (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.wsTokenCount(col("text")).as("toks"))
+      Sampling.selectByBudgetPerGroup(t, "toks", budget = 5000L,
+          groupCol = "lang",
+          orderBy = Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("lang"), col("toks").cast("long").as("toks"))
+    },
     // §2 row 158 — ORC source/sink (Spark-native columnar alternative
     // to parquet; readers exist in every warehouse engine): the corpus
     // round-trips through ORC files value- and type-identically — the
@@ -1279,7 +1290,20 @@ object CorpusGates {
         |SELECT doc_id, toks::BIGINT AS toks FROM c WHERE cum <= 20000""".stripMargin,
     // the oracle reads the SOURCE parquet: any ORC infidelity mismatches
     "q_orc_roundtrip" ->
-      "SELECT doc_id, text, lang, n_chars FROM documents"
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    "q_budget_select_group" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, toks,
+        |         sum(toks) OVER (PARTITION BY lang
+        |                         ORDER BY n_chars DESC, doc_id ASC
+        |                         ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, toks::BIGINT AS toks FROM c WHERE cum <= 5000""".stripMargin
   )
 
   /** Shared DSIR oracle prefix: grams → 256-bucket dense counts for the

@@ -883,6 +883,27 @@ object LlmGates {
         .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
       Multimodal.imageNearDupsAgainst(batch, s.read.parquet(out), maxHamming = 3)
     },
+    // §2 row 153 (media arm) — forget over the persisted dHash table:
+    // per-doc rows only, so Forget.removeIds ≡ rebuild; the forgotten
+    // index then probes a batch WITHOUT the removed doc's copies ever
+    // matching (a takedown must silence perceptual matches too, not
+    // just text). Output: the surviving index ∪ the probe pairs,
+    // re-derived by the oracle from the literal hashes
+    "q_forget_dhash" -> { (s, dir) =>
+      import s.implicits._
+      val kept = graft.operators.Forget.removeIds(
+        Multimodal.imageDHash(dhashFixtures(s)),
+        "doc_id",
+        Seq(800001L, 800004L).toDF("rid"), "rid")
+      val batch = dhashFixtures(s)
+        .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload))
+      val pairs = graft.operators.Dedup.hammingNearDupsAgainstIndex(
+        Multimodal.imageDHash(batch).filter(col("dhash").isNotNull),
+        kept, "doc_id", "dhash", 64, maxHamming = 3)
+      kept.select(col("doc_id").as("a"), col("dhash").as("b"), lit("idx").as("src"))
+        .unionByName(pairs.select(col("batch_id").as("a"),
+          col("index_id").as("b"), lit("pair").as("src")))
+    },
     // §2 row 146 — video perceptual signature: per-frame dHash (the
     // row-142 literals) XOR-rotation-folded; text payloads → NULL;
     // the AVI row pins container invariance (same pixels, same vhash)
@@ -1962,6 +1983,19 @@ object LlmGates {
         |SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
         |       bit_count(xor(b.dhash, i.dhash))::INT AS hamming
         |FROM hb b JOIN hi i ON bit_count(xor(b.dhash, i.dhash)) <= 3""".stripMargin,
+    "q_forget_dhash" ->
+      """WITH hi(doc_id, dhash) AS (VALUES
+        |  (800001::BIGINT, -1::BIGINT),
+        |  (800002::BIGINT, 0::BIGINT),
+        |  (800003::BIGINT, 1085102592571150095::BIGINT),
+        |  (800004::BIGINT, -2::BIGINT),
+        |  (800005::BIGINT, -1::BIGINT)),
+        |kept AS (SELECT * FROM hi WHERE doc_id NOT IN (800001, 800004)),
+        |hb AS (SELECT doc_id + 10000 AS doc_id, dhash FROM hi)
+        |SELECT doc_id AS a, dhash AS b, 'idx' AS src FROM kept
+        |UNION ALL
+        |SELECT b.doc_id AS a, k.doc_id AS b, 'pair' AS src
+        |FROM hb b JOIN kept k ON bit_count(xor(b.dhash, k.dhash)) <= 3""".stripMargin,
     // folded-video literals: 0x1E1E1E1E1E1E1E1E = 2170205185142300190
     // (−1 ⊕ 0xE1E1…, the hand derivation in videoFixtures' scaladoc)
     "q_video_dhash" ->

@@ -175,6 +175,41 @@ object Sampling {
   }
 
   /**
+   * PER-GROUP token budgets — [[selectByBudget]] with an independent
+   * budget for every `groupCol` value ("at most N tokens per language
+   * / domain / source", the mixture-shaping twin of the global
+   * prefix): within each group the maximal `orderBy`-prefix whose
+   * cumulative `weightCol` stays ≤ `budget` survives; groups are
+   * independent, so one bloated domain exhausting its budget never
+   * eats another's.
+   *
+   * Shape: ONE window pass PARTITIONED by group (`sum(w) OVER
+   * (PARTITION BY g ORDER BY … ROWS UNBOUNDED PRECEDING)`) — a
+   * partitioned running sum is shuffle-parallel (hash-partitioned on
+   * the group key, nothing like the single-partition global form
+   * [[TrainingOrder.withRunningTotal]] exists to avoid); a skewed
+   * giant group serializes only its own partition, the usual window
+   * caveat. NULL groups form their own group; NULL weights count 0.
+   */
+  def selectByBudgetPerGroup(
+    df: DataFrame,
+    weightCol: String,
+    budget: Long,
+    groupCol: String,
+    orderBy: Seq[Column]
+  ): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0: $budget")
+    require(orderBy.nonEmpty, "selectByBudgetPerGroup needs an order")
+    Cols.requireAbsent(df, "__sbg_cum")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__sbg_cum",
+        sum(coalesce(col(weightCol).cast("long"), lit(0L))).over(w))
+      .filter(col("__sbg_cum") <= budget)
+      .drop("__sbg_cum")
+  }
+
+  /**
    * Stratified deterministic sample: like [[hashSample]] but with a
    * per-stratum fraction — the knob that rebalances a corpus mix
    * (languages, domains, sources) without an RNG. Strata absent from

@@ -469,4 +469,17 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.selectByBudget(df, "w", 0L,
       Seq(col("score").desc, col("id").asc)).count() == 0L)
   }
+
+  test("selectByBudgetPerGroup: independent budgets, one group can't eat another's") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", 300L), (2L, "en", 300L), (3L, "en", 300L), // en: 1,2 fit 600
+      (4L, "de", 500L), (5L, "de", 200L),                   // de: 4 fits, 5 overflows at 700
+      (6L, "fr", 50L)                                       // fr: trivially fits
+    ).toDF("id", "g", "w")
+    val kept = Sampling.selectByBudgetPerGroup(df, "w", budget = 600L,
+        groupCol = "g", orderBy = Seq(col("id").asc))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L, 6L))
+  }
 }
