@@ -179,6 +179,40 @@ object PipelineGates {
         curated => graft.operators.Similarity.localize(curated.select("doc_id"))
       }
     },
+    // §2 row 156 × 52 — the capstone's leakage-safe split stage: docs
+    // 900001/900004 are a PARAPHRASE pair (3 of 20 tail words differ →
+    // jaccard 15/21 ≈ 0.714 — below the 0.8 dedup bar, so BOTH
+    // survive; numHashes=32/bands=16 make the 2-row LSH bands
+    // deterministic-reliable at that similarity) whose per-doc split
+    // hashes land in DIFFERENT splits (train vs val at 0.8/0.1/0.1 —
+    // the leak, asserted in-gate); splitLeakThreshold = 0.5 keys both
+    // on the cluster min id and they land together. Oracle: the split
+    // CASE over the known cluster keys, same hash constants
+    "q_curation_splitleak" -> { (s, dir) =>
+      import s.implicits._
+      val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+        "india juliett kilo lima mike november oscar papa quebec"   // 17 words
+      def corpus = Seq(
+        (900001L, base + " romeo sierra tango"),
+        (900004L, base + " uniform victor whiskey"),
+        (900010L, "completely different text about other things entirely here"))
+        .toDF("doc_id", "text")
+      val cfg = CurationPipeline.Config(minQuality = 0.0,
+        numHashes = 32, bands = 16,
+        splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      val plain = CurationPipeline.run(corpus, "text", "doc_id", cfg) {
+        _.select("doc_id", "split").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      assert(plain.keySet == Set(900001L, 900004L, 900010L), plain.toString)
+      assert(plain(900001L) != plain(900004L),
+        s"fixture must demonstrate the leak under per-doc hashing: $plain")
+      CurationPipeline.run(corpus, "text", "doc_id",
+        cfg.copy(splitLeakThreshold = Some(0.5))) {
+        curated => graft.operators.Similarity.localize(
+          curated.select("doc_id", "split"))
+      }
+    },
     // §2.4 row 52b — the pipeline's per-stage row ACCOUNTING: the
     // observe (CollectMetrics) counters runObserved rides on the one
     // action, gated against DuckDB re-counting every stage CTE — a
@@ -326,6 +360,23 @@ object PipelineGates {
     // — hand-derived constant table, the q_curation_uax29 precedent
     "q_curation_c4" ->
       "SELECT * FROM (VALUES (1::BIGINT), (4::BIGINT)) t(doc_id)",
+    // the split CASE over the KNOWN cluster keys (the pair keys on its
+    // min id 900001, the singleton on itself) — same hash constants as
+    // q_split_assign/q_split_leakfree
+    "q_curation_splitleak" -> {
+      val B = graft.operators.Sampling.Buckets
+      s"""WITH keyed(doc_id, k) AS (VALUES
+         |  (900001::BIGINT, 900001::BIGINT),
+         |  (900004::BIGINT, 900001::BIGINT),
+         |  (900010::BIGINT, 900010::BIGINT))
+         |SELECT doc_id,
+         |       CASE WHEN ${LlmGates.h60("'graft:' || k")} % $B
+         |                 < ${(0.8 * B).toLong} THEN 'train'
+         |            WHEN ${LlmGates.h60("'graft:' || k")} % $B
+         |                 < ${((0.8 + 0.1) * B).toLong} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM keyed""".stripMargin
+    },
     "q_curation_e2e" -> (CurationCte + "\n" +
       s"""-- stage 7: split assignment (seed 'graft', 0.8/0.1/0.1)
          |SELECT doc_id, md5(text) AS text_md5,

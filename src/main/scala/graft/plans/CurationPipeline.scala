@@ -247,7 +247,15 @@ object CurationPipeline {
     perGroupCap: Option[(String, Int)] = None,
     targetMix: Option[(String, Seq[(String, Long)])] = None,
     splits: Seq[(String, Double)] = Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)),
-    splitSeed: String = "graft"
+    splitSeed: String = "graft",
+    /** Leakage-safe split keying ([[graft.operators.Sampling
+      * .leakageSafeSplits]]): when set, the split stage re-pairs the
+      * SURVIVORS at this (typically LOWER than `nearDupThreshold`)
+      * jaccard bar and every near-dup cluster hashes on one key — a
+      * val doc whose paraphrase-level twin sits in train is a leaked
+      * answer even after dedup removed the ≥ 0.8 copies. None
+      * (default): plain per-doc hashing, zero extra work. */
+    splitLeakThreshold: Option[Double] = None
   )
 
   /**
@@ -673,9 +681,24 @@ object CurationPipeline {
       Sampling.rebalance(pin(capped), "doc_id", gcol, weights,
         seed = cfg.splitSeed + ":mix")
     }
-    // 7: split labels
+    // 7: split labels — optionally cluster-keyed at a LOWER near-dup
+    // threshold than the dedup stage (survivors are pair-free at
+    // cfg.nearDupThreshold by construction, but pairs BELOW it —
+    // paraphrase-level copies — can still put a val doc's near-twin
+    // in train; splitLeakThreshold re-pairs the survivors at that
+    // looser bar and hashes whole clusters together, the row-156
+    // contract; pair-bounded extra work, the corpus never reshuffles)
+    val split = cfg.splitLeakThreshold match {
+      case Some(t) =>
+        val pairs = Dedup.nearDuplicates(mixed, textCol, "doc_id",
+          k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+          threshold = t, tokenizer = cfg.tokenizer)
+        Sampling.leakageSafeSplits(mixed, pairs, "doc_id", cfg.splits,
+          cfg.splitSeed)
+      case None =>
+        Sampling.splitAssign(mixed, "doc_id", cfg.splits, cfg.splitSeed)
+    }
     observe("final",
-      Sampling.splitAssign(mixed, "doc_id", cfg.splits, cfg.splitSeed)
-        .select(col("doc_id"), col(textCol), col("quality"), col("split")))
+      split.select(col("doc_id"), col(textCol), col("quality"), col("split")))
   }
 }
