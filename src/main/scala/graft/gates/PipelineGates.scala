@@ -71,6 +71,29 @@ object PipelineGates {
           col("split")))
       }
     },
+    // §2 row 157 × 52 — the capstone's token-budget stage over the
+    // SAME corpus/config as q_curation_e2e plus tokenBudget = 5000:
+    // the oracle extends the full composed CurationCte with the
+    // definitional running-sum window over (quality DESC, doc_id) —
+    // quality is bit-portable (single divisions + fixed-order weighted
+    // sum), so the cross-engine ordering is exact
+    "q_curation_budget" -> { (s, dir) =>
+      val d = LlmGates.docs(s, dir).select("doc_id", "text", "lang")
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val ev = LlmGates.docs(s, dir)
+        .filter(col("doc_id") % 100 === 7).select("doc_id", "text")
+      CurationPipeline.run(corpus, "text", "doc_id",
+          GateCfg.copy(evalSet = Some(ev), tokenBudget = Some(5000L))) {
+        curated =>
+          graft.operators.Similarity.localize(curated.select(
+            col("doc_id"),
+            md5(col("text")).as("text_md5"),
+            round(col("quality"), 6).as("quality"),
+            col("split")))
+      }
+    },
     // §2 row 138 × 52 — the capstone's uax29 tokenizer arm over a
     // planted CJK fixture (constant-table oracle, the q_uax29
     // precedent): docs 1/2 share a 56-ideograph run (doc 2 inserts one
@@ -387,6 +410,26 @@ object PipelineGates {
          |                 < ${(0.9 * B).toLong} THEN 'val'
          |            ELSE 'test' END AS split
          |FROM capd""".stripMargin),
+    // the full composed pipeline + the budget window: best-quality
+    // prefix whose ws-token sum fits 5000, then the split CASE
+    "q_curation_budget" -> (CurationCte + "\n" +
+      s"""-- stage 6b2: token budget 5000 over (quality DESC, doc_id)
+         |, tokd AS (
+         |  SELECT *, CASE WHEN trim(text) = '' THEN 0
+         |            ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         |  FROM capd),
+         |cumd AS (
+         |  SELECT *, sum(toks) OVER (ORDER BY quality DESC, doc_id ASC
+         |                            ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM tokd)
+         |SELECT doc_id, md5(text) AS text_md5,
+         |       round(quality, 6) AS quality,
+         |       CASE WHEN ${LlmGates.h60("'graft:' || doc_id")} % $B
+         |                 < ${(0.8 * B).toLong} THEN 'train'
+         |            WHEN ${LlmGates.h60("'graft:' || doc_id")} % $B
+         |                 < ${(0.9 * B).toLong} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM cumd WHERE cum <= 5000""".stripMargin),
     // per-stage accounting: each CTE relation's count, matching the
     // observe (CollectMetrics) counters runObserved emits — 'scrubbed'
     // equals the input count because the scrub stages rewrite text but

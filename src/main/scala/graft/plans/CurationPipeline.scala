@@ -248,6 +248,13 @@ object CurationPipeline {
     targetMix: Option[(String, Seq[(String, Long)])] = None,
     splits: Seq[(String, Double)] = Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)),
     splitSeed: String = "graft",
+    /** Token budget over the final survivors ([[graft.operators
+      * .Sampling.selectByBudget]]): keep the best-quality prefix —
+      * (quality DESC, doc_id) order, `tokenizer` token counts — whose
+      * total fits; the "train on the best N tokens" contract as a
+      * pipeline knob. Runs after the caps, before mixing/splitting.
+      * None (default): everything that passed the gates ships. */
+    tokenBudget: Option[Long] = None,
     /** Leakage-safe split keying ([[graft.operators.Sampling
       * .leakageSafeSplits]]): when set, the split stage re-pairs the
       * SURVIVORS at this (typically LOWER than `nearDupThreshold`)
@@ -673,12 +680,29 @@ object CurationPipeline {
           idCol = "doc_id", desc = false, rankCol = "__rk")
         .drop("__rk")
     }
+    // 6b2: token budget (optional) — the best-quality prefix that fits
+    // ([[graft.operators.Sampling.selectByBudget]]: range shuffle +
+    // exact long cumsum, never a single-partition window); ordered by
+    // (quality DESC, doc_id), weighted by the cfg.tokenizer token
+    // count, boundary doc dropped whole
+    val budgeted = cfg.tokenBudget.fold(capped) { bud =>
+      val cnt = cfg.tokenizer match {
+        case TextAnalysis.Uax29Tokenizer =>
+          TextAnalysis.uax29TokenCount(col(textCol))
+        case _ => TextAnalysis.wsTokenCount(col(textCol))
+      }
+      observe("after_budget",
+        Sampling.selectByBudget(
+            capped.withColumn("__tb_w", cnt), "__tb_w", bud,
+            orderBy = Seq(col("quality").desc, col("doc_id").asc))
+          .drop("__tb_w"))
+    }
     // 6c: mixture rebalance (eager per-stratum counts, by design). The
     // seed is SALTED: rebalance and splitAssign partitioning the same
     // hash bucket would make every cut stratum's survivors cluster in
     // the low-bucket split ('train'), starving val/test
-    val mixed = cfg.targetMix.fold(capped) { case (gcol, weights) =>
-      Sampling.rebalance(pin(capped), "doc_id", gcol, weights,
+    val mixed = cfg.targetMix.fold(budgeted) { case (gcol, weights) =>
+      Sampling.rebalance(pin(budgeted), "doc_id", gcol, weights,
         seed = cfg.splitSeed + ":mix")
     }
     // 7: split labels — optionally cluster-keyed at a LOWER near-dup
