@@ -160,6 +160,7 @@ object Bench {
     "q_split_leakfree",     // cluster-keyed splits: near-dup pairs + CC + pair-bounded join + split hash (r15)
     "q_budget_select",      // token-budget selection: range shuffle + per-partition offsets + pushed cum filter (r15)
     "q_budget_select_group",// per-group budgets: one group-partitioned running-sum window (r15)
+    "q_budget_select_ranged",// same budgets, range-partitioned grouped totals — parallel WITHIN groups (r15)
     "q_curation_budget",    // capstone with the token-budget stage: full composed pipeline + budget prefix (r15)
     "q_forget_dhash",       // media-hash forget + post-forget probe: anti-join + banded batch probe (r15)
     "q_c4_clean",           // C4 line cleaning: one fused native byte pass + pushed page filter (r15)

@@ -588,6 +588,19 @@ object CorpusGates {
           orderBy = Seq(col("n_chars").desc, col("doc_id").asc))
         .select(col("doc_id"), col("lang"), col("toks").cast("long").as("toks"))
     },
+    // §2 row 157b (ranged arm) — the SAME per-group budgets through
+    // the range-partitioned grouped running total (parallel WITHIN
+    // groups — the few-giant-groups spelling); same oracle as
+    // q_budget_select_group, so the two arms are pinned value-equal
+    "q_budget_select_ranged" -> { (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.wsTokenCount(col("text")).as("toks"))
+      Sampling.selectByBudgetPerGroup(t, "toks", budget = 5000L,
+          groupCol = "lang",
+          orderBy = Seq(col("n_chars").desc, col("doc_id").asc),
+          ranged = true)
+        .select(col("doc_id"), col("lang"), col("toks").cast("long").as("toks"))
+    },
     // §2 row 158 — ORC source/sink (Spark-native columnar alternative
     // to parquet; readers exist in every warehouse engine): the corpus
     // round-trips through ORC files value- and type-identically — the
@@ -1292,6 +1305,19 @@ object CorpusGates {
     "q_orc_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
     "q_budget_select_group" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, toks,
+        |         sum(toks) OVER (PARTITION BY lang
+        |                         ORDER BY n_chars DESC, doc_id ASC
+        |                         ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, toks::BIGINT AS toks FROM c WHERE cum <= 5000""".stripMargin,
+    "q_budget_select_ranged" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars,
         |         CASE WHEN trim(text) = '' THEN 0

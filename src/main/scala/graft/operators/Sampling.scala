@@ -196,17 +196,25 @@ object Sampling {
     weightCol: String,
     budget: Long,
     groupCol: String,
-    orderBy: Seq[Column]
+    orderBy: Seq[Column],
+    ranged: Boolean = false
   ): DataFrame = {
     require(budget >= 0L, s"budget must be >= 0: $budget")
     require(orderBy.nonEmpty, "selectByBudgetPerGroup needs an order")
     Cols.requireAbsent(df, "__sbg_cum")
-    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__sbg_cum",
-        sum(coalesce(col(weightCol).cast("long"), lit(0L))).over(w))
-      .filter(col("__sbg_cum") <= budget)
-      .drop("__sbg_cum")
+    val cum =
+      if (ranged)
+        // few-giant-groups regime: range-partitioned grouped totals
+        // parallelize WITHIN each group (see withRunningTotalGrouped)
+        TrainingOrder.withRunningTotalGrouped(df, groupCol, orderBy,
+          weightCol, "__sbg_cum")
+      else {
+        val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__sbg_cum",
+          sum(coalesce(col(weightCol).cast("long"), lit(0L))).over(w))
+      }
+    cum.filter(col("__sbg_cum") <= budget).drop("__sbg_cum")
   }
 
   /**

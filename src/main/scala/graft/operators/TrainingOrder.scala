@@ -213,4 +213,81 @@ object TrainingOrder {
     }
     df.sparkSession.createDataFrame(rows, outSchema)
   }
+
+  /**
+   * PER-GROUP inclusive running totals at LOW group cardinality —
+   * [[withRunningTotal]] with the offsets tracked per (partition,
+   * group). The plain window spelling (`sum(w) OVER (PARTITION BY g
+   * ORDER BY …)`) parallelizes ACROSS groups, which is exactly wrong
+   * when there are six languages and a thousand executors: each
+   * group's scan serializes into one task. Here the range shuffle is
+   * on `(group, orderBy…)` — a group's rows stay contiguous but SPAN
+   * as many partitions as their size needs — and the driver-side
+   * offset table grows one entry per (partition, group-present-in-it):
+   * O(partitions + groups) by contiguity, metadata either way.
+   *
+   * Group keys must be ATOMIC values (string/numeric/date — driver-map
+   * equality; an array key would compare by reference) — the usual
+   * grouping-key contract. NULL groups form their own group (nulls
+   * sort first). Prefer the window spelling when groups are plentiful
+   * (domains, shards): it pays no driver round-trip and AQE handles
+   * the skew; this arm exists for the few-giant-groups regime.
+   */
+  def withRunningTotalGrouped(
+    df: DataFrame,
+    groupCol: String,
+    orderBy: Seq[org.apache.spark.sql.Column],
+    weightCol: String,
+    totalCol: String = "running_total",
+    numPartitions: Option[Int] = None
+  ): DataFrame = {
+    require(orderBy.nonEmpty, "withRunningTotalGrouped needs an order")
+    Cols.requireAbsent(df, totalCol, "__rtg_w")
+    val n = numPartitions.getOrElse(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val keys = col(groupCol).asc +: orderBy
+    val sorted = df
+      .withColumn("__rtg_w", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val wIdx = sorted.schema.fieldIndex("__rtg_w")
+    val gIdx = sorted.schema.fieldIndex(groupCol)
+    val rdd = sorted.rdd
+    // one row per (partition, group present in it) — O(parts + groups)
+    val partGroup = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r =>
+        val g = r.get(gIdx)
+        m.update(g, m.getOrElse(g, 0L) + r.getLong(wIdx))
+      }
+      m.iterator.map { case (g, s) => (pid, g, s) }
+    }.collect()
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+    val runToDate = scala.collection.mutable.HashMap.empty[Any, Long]
+    partGroup.sortBy(_._1).foreach { case (pid, g, s) =>
+      val prior = runToDate.getOrElse(g, 0L)
+      offsets((pid, g)) = prior
+      runToDate(g) = prior + s
+    }
+    val bc = df.sparkSession.sparkContext.broadcast(offsets.toMap)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.filterNot(_.name == "__rtg_w"))
+      .add(totalCol, org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Any = null
+      var started = false
+      var acc = 0L
+      it.map { r =>
+        val g = r.get(gIdx)
+        if (!started || g != cur) {
+          cur = g; started = true
+          acc = bc.value.getOrElse((pid, g), 0L)
+        }
+        acc += r.getLong(wIdx)
+        val base = r.toSeq.zipWithIndex.collect { case (v, i) if i != wIdx => v }
+        org.apache.spark.sql.Row.fromSeq(base :+ acc)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, outSchema)
+  }
 }

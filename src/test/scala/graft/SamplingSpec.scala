@@ -481,5 +481,30 @@ class SamplingSpec extends SparkSpec {
         groupCol = "g", orderBy = Seq(col("id").asc))
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 4L, 6L))
+    // the ranged (few-giant-groups) arm is value-identical
+    val ranged = Sampling.selectByBudgetPerGroup(df, "w", budget = 600L,
+        groupCol = "g", orderBy = Seq(col("id").asc), ranged = true)
+      .select("id").as[Long].collect().toSet
+    assert(ranged == kept)
+  }
+
+  test("withRunningTotalGrouped equals the window spelling on random grouped data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val groups = Array("en", "de", "fr", null)
+    val rows = (1L to 400L).map(i =>
+      (i, groups(rnd.nextInt(groups.length)), rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "g", "w")
+    val got = graft.operators.TrainingOrder.withRunningTotalGrouped(
+        df, "g", Seq(col("id").asc), "w", "cum", numPartitions = Some(9))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    // reference: per-group driver-side scan
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var acc = 0L
+      rs.sortBy(_._1).foreach { case (id, _, w) =>
+        acc += w
+        assert(got(id) == acc, s"id $id")
+      }
+    }
   }
 }
