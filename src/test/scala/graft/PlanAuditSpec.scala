@@ -511,4 +511,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan.take(3000))
     assert(plan.contains("md5_long60"), plan.take(3000))
   }
+
+  // ------------------------------------------------------- r15 additions
+
+  test("c4Clean: one native call in a codegen'd projection, filter pushed, no HOFs") {
+    val q = graft.operators.TextAnalysis.c4Clean(docs.select("doc_id", "text"), "text")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("c4_lines"), plan.take(3000))
+    assert(plan.contains("*(1)"), s"expected whole-stage codegen:\n${plan.take(3000)}")
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan.take(3000))
+    assert(!plan.contains("Exchange"), s"pure projection must not shuffle:\n${plan.take(3000)}")
+  }
+
+  test("selectByBudget: never a single-partition window; cumsum filter stays first-stage") {
+    val t = docs.select(col("doc_id"), col("n_chars"),
+      graft.operators.TextAnalysis.wsTokenCount(col("text")).as("toks"))
+    val q = graft.operators.Sampling.selectByBudget(t, "toks", 20000L,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+    val plan = q.queryExecution.executedPlan.toString
+    // the running total is RDD-backed (the withGlobalIndex carve-out),
+    // so the SQL plan must show NO window/exchange at all — just the
+    // pushed budget filter over the numbered lineage; the range shuffle
+    // lives in the RDD DAG, asserted via its partitioner below
+    assert(!plan.contains("SinglePartition"), s"global-sort hazard:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("Filter") && plan.contains("__sbb_cum"), plan.take(3000))
+    val cum = graft.operators.TrainingOrder.withRunningTotal(
+      t, Seq(col("n_chars").desc, col("doc_id").asc), "toks", "cum",
+      numPartitions = Some(8))
+    assert(cum.rdd.getNumPartitions == 8, "offsets ride the 8 range partitions")
+  }
+
+  test("leakageSafeSplits: the corpus side is never shuffled; member join broadcasts") {
+    val pairs = graft.operators.Dedup.nearDuplicates(
+      docs.select("doc_id", "text"), "text", "doc_id")
+    val q = graft.operators.Sampling.leakageSafeSplits(
+      docs.select("doc_id", "text"), pairs, "doc_id",
+      Seq(("train", 0.8), ("val", 0.2)))
+    val plan = q.queryExecution.executedPlan.toString
+    // the final corpus-side join is broadcast (member table pair-bounded
+    // -> AQE/stats pick BHJ); no sort-merge join may touch the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
