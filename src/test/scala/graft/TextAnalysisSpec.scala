@@ -446,4 +446,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(loose(4L) == "Only one good sentence lives here.")
     assert(!loose.contains(2L) && !loose.contains(3L) && !loose.contains(5L))
   }
+
+  test("C4LinesExpr: randomized parity with a straightforward reference") {
+    // independent reference: plain String ops, no byte tricks
+    def ref(text: String, minWords: Int): (String, Int, Boolean) = {
+      val lines = text.split("\n", -1)
+      val kept = lines.filter { l =>
+        val rt = l.reverse.dropWhile(c => c == ' ' || c == '\t' || c == '\r').reverse
+        val terminal = rt.nonEmpty && ".!?\"".contains(rt.last)
+        val words = l.replace('\t', ' ').split(" ").count(_.nonEmpty)
+        terminal && words >= minWords &&
+          !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+      }
+      val flagged = text.contains("{") ||
+        text.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum")
+      (kept.mkString("\n"), kept.length, flagged)
+    }
+    val rnd = new scala.util.Random(31)
+    val tokens = Array("alpha", "beta", "Gamma", "JAVASCRIPT", "JavaScript",
+      "lorem", "ipsum", "Lorem Ipsum", "{", "}", "café", "你好",
+      ".", "!", "?", "\"", "...", "x", "", " ", "\t", "\r")
+    val texts = (1 to 150).map { i =>
+      val nLines = rnd.nextInt(8)
+      (i.toLong, (0 until nLines).map { _ =>
+        (0 until rnd.nextInt(10)).map(_ => tokens(rnd.nextInt(tokens.length)))
+          .mkString(" ")
+      }.mkString("\n"))
+    }
+    val got = graft.functions.C4LinesExpr(col("text"), 2)
+    val rows = texts.toDF("id", "text")
+      .select(col("id"), got.as("c"))
+      .select(col("id"), col("c.text"), col("c.n_kept"), col("c.flagged"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3))))
+      .toMap
+    texts.foreach { case (id, t) =>
+      assert(rows(id) == ref(t, 2), s"id $id text ${t.replace("\n", "\\n")}")
+    }
+  }
 }
