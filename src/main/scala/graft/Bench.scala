@@ -155,6 +155,7 @@ object Bench {
     "q_forget_winnow",      // winnow index forget: one anti-join rewrite (r15)
     "q_forget_containment", // containment full-postings forget: one anti-join rewrite (r15)
     "q_image_neardup_incr", // cross-corpus image near-dup: persisted dHash table + banded batch probe (r15)
+    "q_image_dedup_stream", // streaming media dedup loop: 2 foreachBatch folds over a grown dHash table (r15)
     "q_video_neardup_incr", // cross-corpus video near-dup: persisted folded signatures probed (r15)
     "q_audio_neardup_incr", // cross-corpus audio near-dup: persisted energy contours probed (r15)
     "q_split_leakfree",     // cluster-keyed splits: near-dup pairs + CC + pair-bounded join + split hash (r15)

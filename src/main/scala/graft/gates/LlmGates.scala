@@ -904,6 +904,33 @@ object LlmGates {
         .unionByName(pairs.select(col("batch_id").as("a"),
           col("index_id").as("b"), lit("pair").as("src")))
     },
+    // §2 row 154 (streaming arm) — the media corpus-growth loop driven
+    // over two micro-batches: batch 0 plants a within-batch near-copy
+    // (dropped, lowest id kept), batch 1 a re-encoded copy of a
+    // batch-0 SURVIVOR (dropped via the GROWN parquet dHash table —
+    // batch-0 payloads never re-decoded) plus a genuinely new image
+    // and an undecodable text row (both kept). Constant-table oracle
+    // re-derived from the literal hashes
+    "q_image_dedup_stream" -> { (s, dir) =>
+      import s.implicits._
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-dstream").toString + "/dhash"
+      val out = scala.collection.mutable.Buffer[(Long, Long)]()
+      val sink = Multimodal.imageDedupStreamSink(idx) { (survivors, bid) =>
+        out ++= survivors.collect().map(m => (bid, m.doc_id))
+      }
+      val fx = dhashFixtures(s).collect().map(m => m.doc_id -> m).toMap
+      val b0 = s.createDataset(Seq(
+        fx(800001L), fx(800002L), fx(800004L), // ramp, flat, ramp-one-bit
+        Multimodal.MediaRecord(800006L, "not an image".getBytes("UTF-8"))))
+      val b1 = s.createDataset(Seq(
+        Multimodal.MediaRecord(810005L, fx(800005L).payload), // 2x ramp -> hits grown index
+        Multimodal.MediaRecord(810003L, fx(800003L).payload), // half-ramp -> new
+        Multimodal.MediaRecord(810007L, "text again".getBytes("UTF-8"))))
+      sink(b0, 0L)
+      sink(b1, 1L)
+      out.toSeq.toDF("batch", "doc_id")
+    },
     // §2 row 146 — video perceptual signature: per-frame dHash (the
     // row-142 literals) XOR-rotation-folded; text payloads → NULL;
     // the AVI row pins container invariance (same pixels, same vhash)
@@ -1983,6 +2010,17 @@ object LlmGates {
         |SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
         |       bit_count(xor(b.dhash, i.dhash))::INT AS hamming
         |FROM hb b JOIN hi i ON bit_count(xor(b.dhash, i.dhash)) <= 3""".stripMargin,
+    // batch 0: ramp kept (800001), one-bit copy 800004 dropped within
+    // batch, flat + text kept; batch 1: the rescaled ramp matches the
+    // grown index (Hamming 0), the half-ramp and text are new
+    "q_image_dedup_stream" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 800001::BIGINT),
+        |  (0::BIGINT, 800002::BIGINT),
+        |  (0::BIGINT, 800006::BIGINT),
+        |  (1::BIGINT, 810003::BIGINT),
+        |  (1::BIGINT, 810007::BIGINT)
+        |) t(batch, doc_id)""".stripMargin,
     "q_forget_dhash" ->
       """WITH hi(doc_id, dhash) AS (VALUES
         |  (800001::BIGINT, -1::BIGINT),

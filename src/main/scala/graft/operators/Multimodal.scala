@@ -384,6 +384,70 @@ object Multimodal {
       "doc_id", "dhash", 64, maxHamming, bands, maxBucket,
       broadcastBatch, metricPrefix = "incr_dhash")
 
+  /**
+   * STREAMING image dedup as a `foreachBatch` sink — row 154's
+   * corpus-growth loop running continuously, the media twin of
+   * [[graft.plans.CurationPipeline.streamingSink]]: each micro-batch
+   * of media records is hashed ONCE ([[imageDHash]] — the only decode
+   * pass), probed against the persisted dHash table under `indexDir`
+   * (prior corpus NEVER re-decoded, its payload bytes never re-read),
+   * cross-batch matches and within-batch higher-id copies drop, the
+   * SURVIVORS' hashes append to the table, and `sink` receives the
+   * surviving records. Undecodable payloads (NULL dhash) never match
+   * and always survive — the batch-mode contract.
+   *
+   * Equivalence to one batch [[imageNearDups]]-dedup over the union of
+   * all batches (spec-pinned on a MemoryStream): identical given ids
+   * ascend across batches, with the same documented margin as the
+   * text sink — a transitive chain spanning 3+ batches can retain
+   * more, because only survivors are indexed. A retried micro-batch
+   * appends duplicate index rows — harmless (the probe is a semi
+   * join); `sink` idempotence is the caller's contract as with any
+   * foreachBatch.
+   *
+   * Scale shape: per batch one decode pass, one banded probe against
+   * the parquet index (index never shuffled beyond matched band
+   * rows), one within-batch banding; index growth appends 16 bytes a
+   * survivor, not payloads.
+   */
+  def imageDedupStreamSink(
+    indexDir: String,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket
+  )(sink: (Dataset[MediaRecord], Long) => Unit): (Dataset[MediaRecord], Long) => Unit =
+    (batch: Dataset[MediaRecord], batchId: Long) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val hashes = imageDHash(batch).filter(col("dhash").isNotNull).persist()
+      try {
+        val hp = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val crossMatched =
+          if (!fs.exists(hp)) spark.range(0).select(col("id").as("doc_id"))
+          else Dedup.hammingNearDupsAgainstIndex(
+              hashes, spark.read.parquet(indexDir),
+              "doc_id", "dhash", 64, maxHamming, bands, maxBucket,
+              metricPrefix = "incr_dhash")
+            .select(col("batch_id").as("doc_id")).distinct()
+        val fresh = hashes.join(crossMatched, Seq("doc_id"), "left_anti")
+        val losers = Dedup.hammingNearDups(fresh, "doc_id", "dhash", 64,
+            maxHamming, bands, maxBucket)
+          .select(col("id_b").as("doc_id")).distinct()
+        val dropped = crossMatched.unionByName(losers).persist()
+        try {
+          val survivors = batch.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+            .as[MediaRecord].persist()
+          try {
+            sink(survivors, batchId)
+            // grow the table from THIS batch's surviving decodables
+            hashes.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+              .write.mode("append").parquet(indexDir)
+          } finally survivors.unpersist()
+        } finally dropped.unpersist()
+      } finally hashes.unpersist()
+    }
+
   // ------------------------------------------- video/audio near-dup
 
   /** [[FrameDecoder]] that routes by container magic: GIF payloads →

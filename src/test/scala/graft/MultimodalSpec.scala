@@ -509,6 +509,45 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Set((1L, 4L, 1), (1L, 5L, 0), (4L, 5L, 1)))
   }
 
+  test("imageDedupStreamSink: MemoryStream batches keep exactly what a batch dedup keeps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ramp(scale: Int) = grayPng(9 * scale, 8 * scale)((x, _) => (x / scale) * 10)
+    val flat = grayPng(9, 8)((_, _) => 100)
+    val half = grayPng(9, 8)((x, _) => math.min(x, 4) * 10)
+    val oneBit = grayPng(9, 8)((x, y) => if (x == 0 && y == 0) 10 else x * 10)
+    val batches: Seq[Seq[MediaRecord]] = Seq(
+      Seq(MediaRecord(1L, ramp(1)), MediaRecord(2L, flat),
+        MediaRecord(3L, oneBit),                              // within-batch copy of 1
+        MediaRecord(4L, "text".getBytes("UTF-8"))),           // undecodable: kept
+      Seq(MediaRecord(11L, ramp(2)),                          // cross-batch copy of 1
+        MediaRecord(12L, half),                               // new
+        MediaRecord(13L, "more text".getBytes("UTF-8"))))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-dstream-spec").toString + "/dhash"
+    val got = scala.collection.mutable.Buffer[Long]()
+    val stream = MemoryStream[MediaRecord]
+    val q = stream.toDS().writeStream
+      .foreachBatch(Multimodal.imageDedupStreamSink(idx) { (survivors, _) =>
+        got ++= survivors.collect().map(_.doc_id)
+      })
+      .start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch-mode reference over the union: greedy lowest-id keeper
+    val union = spark.createDataset(batches.flatten)
+    val losers = Multimodal.imageNearDups(union, maxHamming = 3)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val want = batches.flatten.map(_.doc_id).filterNot(losers).toSet
+    assert(got.toSet == want, s"stream ${got.sorted} vs batch ${want.toSeq.sorted}")
+    assert(got.toSet == Set(1L, 2L, 4L, 12L, 13L))
+    // the grown table holds exactly the surviving decodables' hashes
+    val grown = spark.read.parquet(idx).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(grown == Set(1L, 2L, 12L))
+  }
+
   test("imageNearDupsAgainst: batch probes the persisted dHash table; media NULLs stay out") {
     val index = Multimodal.imageDHash(Seq(
       MediaRecord(1L, grayPng(9, 8)((x, _) => x * 10)),           // -1
