@@ -432,8 +432,9 @@ object PipelineGates {
          |FROM cumd WHERE cum <= 5000""".stripMargin),
     // per-stage accounting: each CTE relation's count, matching the
     // observe (CollectMetrics) counters runObserved emits — 'scrubbed'
-    // equals the input count because the scrub stages rewrite text but
-    // never drop a document
+    // equals the input count HERE because this config leaves c4Clean
+    // off (the one scrub-chain stage that drops documents); every
+    // other scrub stage rewrites text but never drops
     "q_curation_stage_counts" -> (CurationCte + """
       |SELECT * FROM (
       |  SELECT 'scrubbed' AS stage, count(*)::BIGINT AS n_rows FROM lined

@@ -1307,6 +1307,9 @@ object Dedup {
   ): DataFrame = {
     require(bands >= 1 && bits % bands == 0,
       s"bits must divide into bands: bits=$bits bands=$bands")
+    require(bits >= 1 && bits <= 64,
+      s"bits must be in [1, 64] (hashes are one long): $bits" +
+        " - a wider shift would wrap mod 64 and silently collapse band keys")
     require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
     val chunkBits = bits / bands
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
@@ -1371,6 +1374,9 @@ object Dedup {
   ): DataFrame = {
     require(bands >= 1 && bits % bands == 0,
       s"bits must divide into bands: bits=$bits bands=$bands")
+    require(bits >= 1 && bits <= 64,
+      s"bits must be in [1, 64] (hashes are one long): $bits" +
+        " - a wider shift would wrap mod 64 and silently collapse band keys")
     require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
     val chunkBits = bits / bands
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1

@@ -400,10 +400,15 @@ object Multimodal {
    * all batches (spec-pinned on a MemoryStream): identical given ids
    * ascend across batches, with the same documented margin as the
    * text sink — a transitive chain spanning 3+ batches can retain
-   * more, because only survivors are indexed. A retried micro-batch
-   * appends duplicate index rows — harmless (the probe is a semi
-   * join); `sink` idempotence is the caller's contract as with any
-   * foreachBatch.
+   * more, because only survivors are indexed. RETRY-safe: the probe
+   * excludes same-id matches (ids are globally unique by contract, so
+   * batch_id == index_id can only mean the batch's OWN hashes from a
+   * previous attempt whose checkpoint commit failed — without the
+   * exclusion a replay would self-match every survivor and deliver a
+   * near-empty batch to an idempotent sink), so a replayed batch
+   * recomputes the SAME survivors and appends duplicate index rows —
+   * harmless, the probe is a semi join; `sink` idempotence is the
+   * caller's contract as with any foreachBatch.
    *
    * Scale shape: per batch one decode pass, one banded probe against
    * the parquet index (index never shuffled beyond matched band
@@ -429,6 +434,9 @@ object Multimodal {
               hashes, spark.read.parquet(indexDir),
               "doc_id", "dhash", 64, maxHamming, bands, maxBucket,
               metricPrefix = "incr_dhash")
+            // same-id matches are this batch's own prior-attempt rows
+            // (see the retry contract above), never a real duplicate
+            .filter(col("batch_id") =!= col("index_id"))
             .select(col("batch_id").as("doc_id")).distinct()
         val fresh = hashes.join(crossMatched, Seq("doc_id"), "left_anti")
         val losers = Dedup.hammingNearDups(fresh, "doc_id", "dhash", 64,

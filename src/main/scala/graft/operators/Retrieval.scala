@@ -59,8 +59,13 @@ object Retrieval {
   ): DataFrame = {
     require(k1 >= 0.0, s"k1 must be non-negative: $k1")
     require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1]: $b")
+    // NULL text counts as a ZERO-LENGTH document (dl = 0, no postings):
+    // N already counts it, so leaving its dl NULL would make avgdl's
+    // denominator diverge from n_docs — the coherent contract, and the
+    // one that keeps bm25Forget's sum_dl/n_docs arithmetic exact
     val docs = Dedup.wordTable(corpus, textCol, idCol)
-      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+      .select(col("doc_id"), col("w"),
+        coalesce(size(col("w")), lit(0)).as("dl"))
     // one broadcast row: corpus size + average doc length (metadata fold
     // kept inside the plan — no eager action)
     val stats = docs.agg(
@@ -160,8 +165,13 @@ object Retrieval {
     textCol: String,
     idCol: String
   ): DataFrame = {
+    // NULL text counts as a ZERO-LENGTH document (dl = 0, no postings):
+    // N already counts it, so leaving its dl NULL would make avgdl's
+    // denominator diverge from n_docs — the coherent contract, and the
+    // one that keeps bm25Forget's sum_dl/n_docs arithmetic exact
     val docs = Dedup.wordTable(corpus, textCol, idCol)
-      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+      .select(col("doc_id"), col("w"),
+        coalesce(size(col("w")), lit(0)).as("dl"))
     // N/avgdl count ALL docs incl. token-free ones (bm25Scores parity)
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
@@ -404,8 +414,12 @@ object Retrieval {
       while (n > 0) { outBuf.write(buf, 0, n); n = in.read(buf) }
       new String(outBuf.toByteArray, "UTF-8").trim
     } finally in.close()
-    require(text.nonEmpty && text.forall(_.isDigit),
-      s"$path/$BucketMetaFile is ${if (text.isEmpty) "empty" else s"non-numeric ('$text')"} - " +
+    // ASCII digits only (Char.isDigit accepts Unicode digits toInt
+    // rejects) and <= 9 of them (no Int overflow): toInt below cannot
+    // throw, so a corrupt sidecar always surfaces as THIS message
+    require(text.nonEmpty && text.length <= 9 &&
+        text.forall(c => c >= '0' && c <= '9'),
+      s"$path/$BucketMetaFile is ${if (text.isEmpty) "empty" else s"not a bucket count ('$text')"} - " +
         "was it written by bm25IndexWrite?")
     text.toInt
   }

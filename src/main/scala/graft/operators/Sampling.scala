@@ -160,6 +160,18 @@ object Sampling {
    * would re-admit later rows); NULL weights count as zero and never
    * break the prefix.
    */
+  /** Non-negative weight enforcement, inline in the projection (no
+    * extra pass — the fail-loud doctrine): a negative weight would
+    * pull the cumsum back UNDER budget and re-admit rows after the
+    * boundary, so the result would be neither a prefix nor
+    * budget-bounded, silently. */
+  private def nonNegWeight(weightCol: String, who: String): Column =
+    when(col(weightCol) < 0,
+      raise_error(concat(
+        lit(s"$who: negative weight breaks prefix semantics: "),
+        col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
+
   def selectByBudget(
     df: DataFrame,
     weightCol: String,
@@ -168,10 +180,12 @@ object Sampling {
     numPartitions: Option[Int] = None
   ): DataFrame = {
     require(budget >= 0L, s"budget must be >= 0: $budget")
-    Cols.requireAbsent(df, "__sbb_cum")
-    TrainingOrder.withRunningTotal(df, orderBy, weightCol, "__sbb_cum", numPartitions)
+    Cols.requireAbsent(df, "__sbb_cum", "__sbb_w")
+    TrainingOrder.withRunningTotal(
+        df.withColumn("__sbb_w", nonNegWeight(weightCol, "selectByBudget")),
+        orderBy, "__sbb_w", "__sbb_cum", numPartitions)
       .filter(col("__sbb_cum") <= budget)
-      .drop("__sbb_cum")
+      .drop("__sbb_cum", "__sbb_w")
   }
 
   /**
@@ -201,20 +215,22 @@ object Sampling {
   ): DataFrame = {
     require(budget >= 0L, s"budget must be >= 0: $budget")
     require(orderBy.nonEmpty, "selectByBudgetPerGroup needs an order")
-    Cols.requireAbsent(df, "__sbg_cum")
+    Cols.requireAbsent(df, "__sbg_cum", "__sbg_w")
+    val guarded = df.withColumn("__sbg_w",
+      nonNegWeight(weightCol, "selectByBudgetPerGroup"))
     val cum =
       if (ranged)
         // few-giant-groups regime: range-partitioned grouped totals
         // parallelize WITHIN each group (see withRunningTotalGrouped)
-        TrainingOrder.withRunningTotalGrouped(df, groupCol, orderBy,
-          weightCol, "__sbg_cum")
+        TrainingOrder.withRunningTotalGrouped(guarded, groupCol, orderBy,
+          "__sbg_w", "__sbg_cum")
       else {
         val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        df.withColumn("__sbg_cum",
-          sum(coalesce(col(weightCol).cast("long"), lit(0L))).over(w))
+        guarded.withColumn("__sbg_cum",
+          sum(coalesce(col("__sbg_w"), lit(0L))).over(w))
       }
-    cum.filter(col("__sbg_cum") <= budget).drop("__sbg_cum")
+    cum.filter(col("__sbg_cum") <= budget).drop("__sbg_cum", "__sbg_w")
   }
 
   /**

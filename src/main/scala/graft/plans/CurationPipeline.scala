@@ -373,7 +373,9 @@ object CurationPipeline {
    * 100 TB pipeline must report what each stage dropped, and it must
    * not pay a second pass to find out). Returns (action result,
    * stage → surviving row count) with stages in execution order:
-   * `scrubbed` (always — the scrub stages rewrite text but never drop
+   * `scrubbed` (equal to the input count UNLESS c4Clean is on — the
+   * C4 page rules are the one scrub-chain stage that DROPS documents;
+   * every other scrub stage rewrites text but never drops
    * a document, so this equals the input count), `after_incremental_
    * prune` (when any prior index is configured), `after_exact_dedup`,
    * `after_near_dedup`, `after_decontamination` (when an eval set is
@@ -588,6 +590,11 @@ object CurationPipeline {
     // under KeepBest, matching the text dedup stages.
     val near = cfg.imageDedup.fold(nearText) { im =>
       import corpus.sparkSession.implicits._
+      // the stage references nearText up to three times (survivor
+      // semi-join, KeepBest scores, final anti-join) — pin it so the
+      // exact+near dedup chain underneath runs once (the model-gate
+      // precedent below)
+      val nt = pin(nearText)
       val idType = im.payloads.schema(im.idCol).dataType
       require(
         Seq(org.apache.spark.sql.types.LongType,
@@ -600,7 +607,7 @@ object CurationPipeline {
       val media = im.payloads
         .select(col(im.idCol).cast("long").as("doc_id"),
           col(im.payloadCol).as("payload"))
-        .join(nearText.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(nt.select("doc_id"), Seq("doc_id"), "left_semi")
         .as[graft.operators.Multimodal.MediaRecord]
       // pair-bounded member table (never the corpus); unpaired docs
       // are absent from it and always survive
@@ -609,7 +616,7 @@ object CurationPipeline {
       val ranked =
         if (best) {
           val scores = TextAnalysis
-            .appendQuality(nearText.select(col("doc_id"), col(textCol)),
+            .appendQuality(nt.select(col("doc_id"), col(textCol)),
               textCol, "__keep_sc")
             .select(col("doc_id"), col("__keep_sc"))
           members.join(scores, Seq("doc_id"))
@@ -623,7 +630,7 @@ object CurationPipeline {
               .partitionBy(col("cluster_id")).orderBy(col("doc_id"))))
       val losers = ranked.filter(col("__rn") > 1).select("doc_id")
       observe("after_image_dedup",
-        nearText.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+        nt.join(broadcast(losers), Seq("doc_id"), "left_anti"))
     }
     // 5: decontamination (optional)
     val clean = cfg.evalSet.fold(near)(ev =>
@@ -714,10 +721,14 @@ object CurationPipeline {
     // contract; pair-bounded extra work, the corpus never reshuffles)
     val split = cfg.splitLeakThreshold match {
       case Some(t) =>
-        val pairs = Dedup.nearDuplicates(mixed, textCol, "doc_id",
+        // both the pair computation and the corpus side of the member
+        // join consume `mixed` — pin it (the rebalance-input precedent
+        // one stage up) so the upstream chain runs once
+        val m = pin(mixed)
+        val pairs = Dedup.nearDuplicates(m, textCol, "doc_id",
           k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
           threshold = t, tokenizer = cfg.tokenizer)
-        Sampling.leakageSafeSplits(mixed, pairs, "doc_id", cfg.splits,
+        Sampling.leakageSafeSplits(m, pairs, "doc_id", cfg.splits,
           cfg.splitSeed)
       case None =>
         Sampling.splitAssign(mixed, "doc_id", cfg.splits, cfg.splitSeed)

@@ -846,6 +846,15 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.hammingNearDups(df, "id", "h", bits = 64, maxHamming = 2, bands = 3)
     }
+    // bits > 64 would wrap the band-key shift mod 64 and silently
+    // collapse every key into one bucket — fail loud instead
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDups(df, "id", "h", bits = 128, maxHamming = 2, bands = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupsAgainstIndex(df, df, "id", "h",
+        bits = 128, maxHamming = 2, bands = 1)
+    }
   }
 
   test("simHashes tokenizer=uax29: distinct CJK docs stop hashing identically") {

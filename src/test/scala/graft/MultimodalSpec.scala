@@ -548,6 +548,34 @@ class MultimodalSpec extends SparkSpec {
     assert(grown == Set(1L, 2L, 12L))
   }
 
+  test("imageDedupStreamSink: a replayed micro-batch recomputes the SAME survivors") {
+    // the retry contract: after a sink+append whose checkpoint commit
+    // failed, the replay must not self-match the hashes the first
+    // attempt appended (that would deliver a near-empty batch to an
+    // idempotent sink, losing the survivors' content permanently)
+    def ramp(scale: Int) = grayPng(9 * scale, 8 * scale)((x, _) => (x / scale) * 10)
+    val batch = Seq(
+      MediaRecord(1L, ramp(1)),
+      MediaRecord(2L, grayPng(9, 8)((_, _) => 100)),
+      MediaRecord(3L, grayPng(9, 8)((x, y) => if (x == 0 && y == 0) 10 else x * 10)),
+      MediaRecord(4L, "text".getBytes("UTF-8"))).toDS()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-dstream-retry").toString + "/dhash"
+    var delivered: Set[Long] = Set.empty
+    val sink = Multimodal.imageDedupStreamSink(idx) { (survivors, _) =>
+      delivered = survivors.collect().map(_.doc_id).toSet
+    }
+    sink(batch, 0L)
+    val first = delivered
+    assert(first == Set(1L, 2L, 4L))
+    sink(batch, 0L) // the replay
+    assert(delivered == first, s"replay delivered $delivered, not $first")
+    // duplicate index rows are harmless: a later batch still matches
+    val later = Seq(MediaRecord(11L, ramp(2))).toDS()
+    sink(later, 1L)
+    assert(delivered == Set.empty[Long])
+  }
+
   test("imageNearDupsAgainst: batch probes the persisted dHash table; media NULLs stay out") {
     val index = Multimodal.imageDHash(Seq(
       MediaRecord(1L, grayPng(9, 8)((x, _) => x * 10)),           // -1

@@ -149,6 +149,15 @@ class RetrievalSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getInt(3),
         r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7))).toSet
+    // NULL-text docs count as zero-length: they get a sentinel row too,
+    // so forgetting them decrements N exactly like the rebuild
+    val nullDoc = Seq((6L, Option.empty[String])).toDF("doc_id", "text")
+    val withNull = corpus.select(col("doc_id"),
+      col("text").cast("string").as("text")).unionByName(nullDoc.toDF("doc_id", "text"))
+    val idxN = Retrieval.bm25Index(withNull, "text", "doc_id")
+    assert(rows(Retrieval.bm25Forget(idxN, Seq(6L).toDF("rid"), "rid"))
+      == rows(Retrieval.bm25Index(
+        withNull.filter(col("doc_id") =!= 6L), "text", "doc_id")))
     val idx = Retrieval.bm25Index(corpus, "text", "doc_id")
     // remove doc 1 (changes df(spark), df(shuffle), df(join), N, avgdl)
     val kept = Retrieval.bm25Forget(idx, Seq(1L).toDF("rid"), "rid")
@@ -238,7 +247,7 @@ class RetrievalSpec extends SparkSpec {
     }
     // an EMPTY or corrupt sidecar fails with a clear message too (a
     // single short read used to surface as an obscure IndexOutOfBounds)
-    for (junk <- Seq("", "not-a-number")) {
+    for (junk <- Seq("", "not-a-number", "99999999999", "١٢٣")) {
       val broken = java.nio.file.Files.createTempDirectory("graft-bm25junk")
       java.nio.file.Files.write(broken.resolve("_bm25_buckets"),
         junk.getBytes("UTF-8"))

@@ -468,6 +468,21 @@ class SamplingSpec extends SparkSpec {
     assert(exact == Set(1L, 2L, 3L, 4L))
     assert(Sampling.selectByBudget(df, "w", 0L,
       Seq(col("score").desc, col("id").asc)).count() == 0L)
+    // a negative weight would re-admit rows after the boundary — the
+    // inline guard fails loud instead of returning a non-prefix set
+    val neg = Seq((1L, 10L, 2), (2L, -5L, 1)).toDF("id", "w", "score")
+    val e = intercept[Exception] {
+      Sampling.selectByBudget(neg, "w", 100L,
+        Seq(col("score").desc, col("id").asc)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("negative weight"),
+      e.toString)
+    val e2 = intercept[Exception] {
+      Sampling.selectByBudgetPerGroup(neg.withColumn("g", lit("x")), "w", 100L,
+        "g", Seq(col("id").asc)).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("negative weight"),
+      e2.toString)
   }
 
   test("selectByBudgetPerGroup: independent budgets, one group can't eat another's") {
