@@ -224,4 +224,40 @@ class EmptyInputSpec extends SparkSpec {
     assert(Events.resample(emptyEv, 1000000L).count() == 0)
     assert(Events.rolling(emptyEv, 1000000L).count() == 0)
   }
+
+  test("r15 operators over empty inputs yield empty results") {
+    import spark.implicits._
+    // C4 cleaning and budgets
+    assert(TextAnalysis.c4Clean(emptyDocs, "text").count() == 0)
+    val weighted = emptyDocs.withColumn("w", lit(1L))
+    assert(graft.operators.Sampling.selectByBudget(
+      weighted, "w", 100L, Seq(col("doc_id").asc)).count() == 0)
+    assert(graft.operators.Sampling.selectByBudgetPerGroup(
+      weighted.withColumn("g", lit("x")), "w", 100L, "g",
+      Seq(col("doc_id").asc)).count() == 0)
+    assert(graft.operators.Sampling.selectByBudgetPerGroup(
+      weighted.withColumn("g", lit("x")), "w", 100L, "g",
+      Seq(col("doc_id").asc), ranged = true).count() == 0)
+    assert(graft.operators.TrainingOrder.withRunningTotal(
+      weighted, Seq(col("doc_id").asc), "w").count() == 0)
+    // curriculum: quantile bounds over zero rows must not crash
+    assert(graft.operators.TrainingOrder.curriculumOrder(
+      weighted.withColumn("d", lit(1)), "d", "doc_id").count() == 0)
+    // leakage-safe splits: empty pairs AND empty corpus
+    val emptyPairs = emptyDocs.select(
+      col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+    assert(graft.operators.Sampling.leakageSafeSplits(
+      emptyDocs, emptyPairs, "doc_id", Seq(("train", 1.0))).count() == 0)
+    // cross-corpus Hamming: empty batch, empty index, both
+    val h = Seq((1L, 5L)).toDF("doc_id", "dhash")
+    val eh = h.limit(0)
+    assert(Dedup.hammingNearDupsAgainstIndex(eh, h, "doc_id", "dhash", 64).count() == 0)
+    assert(Dedup.hammingNearDupsAgainstIndex(h, eh, "doc_id", "dhash", 64).count() == 0)
+    assert(Dedup.hammingNearDupsAgainstIndex(eh, eh, "doc_id", "dhash", 64).count() == 0)
+    // bm25 over an empty corpus: empty index; forget of nothing from it
+    val idx = graft.operators.Retrieval.bm25Index(emptyDocs, "text", "doc_id")
+    assert(idx.count() == 0)
+    assert(graft.operators.Retrieval.bm25Forget(
+      idx, Seq(1L).toDF("rid"), "rid").count() == 0)
+  }
 }
