@@ -57,6 +57,46 @@ object CorpusGates {
           s.read.parquet(out), bm25Queries(s), "query_id", "qtext")
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
     },
+    // §2 row 160 — BM25 index APPEND: the index built from HALF the
+    // corpus (even ids), parquet round-tripped, then GROWN by the odd
+    // half via bm25Append's exact-delta rewrite — pinned ROW-FOR-ROW
+    // (every tf, dl, merged df, and the recomputed N/avgdl/sum_dl)
+    // against the index the oracle rebuilds from the FULL corpus: the
+    // definitional "as if built from corpus ∪ drop" contract
+    "q_bm25_append" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25app-gate").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      Retrieval.bm25Index(
+          d.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .write.mode("overwrite").parquet(out)
+      Retrieval.bm25Append(
+          s.read.parquet(out), d.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id")
+        .select(col("word"), col("doc_id"), col("tf"),
+          col("dl").cast("long").as("dl"), col("df"), col("n_docs"),
+          round(col("avgdl"), 6).as("avgdl"), col("sum_dl"))
+    },
+    // §2 row 160 — append-then-forget ROUNDTRIP: growing the even-id
+    // index by the odd half and then forgetting exactly those ids must
+    // land back on the even-only index, statistic for statistic — the
+    // lifecycle-symmetry proof that bm25Append and bm25Forget run the
+    // same arithmetic in opposite directions
+    "q_bm25_append_forget" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25rt-gate").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      val drop = d.filter(col("doc_id") % 2 === 1)
+      Retrieval.bm25Index(
+          d.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .write.mode("overwrite").parquet(out)
+      Retrieval.bm25Append(s.read.parquet(out), drop, "text", "doc_id")
+        .write.mode("overwrite").parquet(out + "-v2")
+      Retrieval.bm25Forget(s.read.parquet(out + "-v2"), drop, "doc_id")
+        .select(col("word"), col("doc_id"), col("tf"),
+          col("dl").cast("long").as("dl"), col("df"), col("n_docs"),
+          round(col("avgdl"), 6).as("avgdl"), col("sum_dl"))
+    },
     // §2 row 148 — partition-pruned BM25 layout: the index written
     // Hive-partitioned by word-hash bucket with its self-describing
     // modulus sidecar, probed through bucket partition pruning — same
@@ -662,10 +702,35 @@ object CorpusGates {
          |GROUP BY qt.query_id, c.doc_id""".stripMargin
   }
 
+  /** Full [[graft.operators.Retrieval.bm25Index]] rebuild over a
+    * filtered corpus — the definitional oracle for the grow/forget
+    * lifecycle gates (the ForgetGates.q_forget_bm25 shape, corpus
+    * filter parameterized). Token-free docs ride as NULL-word
+    * sentinel rows, matching the index's registry contract. */
+  private def bm25IndexRebuildSql(where: String): String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents $where),
+       |d AS (SELECT doc_id, ${LlmGates.wordsSql()} AS w FROM src),
+       |dt AS (SELECT doc_id, len(w) AS dl, w FROM d),
+       |post AS (SELECT doc_id, dl, unnest(w) AS word FROM dt),
+       |tft AS (SELECT word, doc_id, dl, count(*) AS tf
+       |        FROM post GROUP BY 1, 2, 3),
+       |dft AS (SELECT word, count(*) AS df FROM tft GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs,
+       |                 round(coalesce(avg(dl), 0.0), 6) AS avgdl,
+       |                 coalesce(sum(dl), 0)::BIGINT AS sum_dl FROM dt)
+       |SELECT word, doc_id, tf, dl, df, n_docs, avgdl, sum_dl
+       |FROM tft JOIN dft USING (word) CROSS JOIN stats
+       |UNION ALL
+       |SELECT NULL AS word, doc_id, 0::BIGINT AS tf, dl, 0::BIGINT AS df,
+       |       n_docs, avgdl, sum_dl
+       |FROM dt CROSS JOIN stats WHERE dl = 0""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_bm25" -> Bm25Sql,
     "q_bm25_incr" -> Bm25Sql,
     "q_bm25_part" -> Bm25Sql,
+    "q_bm25_append" -> bm25IndexRebuildSql(""),
+    "q_bm25_append_forget" -> bm25IndexRebuildSql("WHERE doc_id % 2 = 0"),
     "q_fix_mojibake" -> {
       val orig2 = "'it' || chr(8217) || 's a ' || chr(8220) || 'test' || " +
         "chr(8221) || ' ' || chr(8212) || ' na' || chr(239) || 've'"

@@ -263,6 +263,110 @@ object Retrieval {
   }
 
   /**
+   * Append a corpus DROP into a persisted [[bm25Index]] — the GROW arm
+   * the index family's lifecycle was missing ([[bm25Forget]]'s exact
+   * arithmetic run in reverse): returns the index as [[bm25Index]]
+   * would build it from the UNION corpus — VALUE-EQUAL including every
+   * denormalized statistic — while touching only the drop's text. A
+   * daily drop must not force a full corpus re-index just because
+   * bm25 rows carry corpus aggregates; the per-doc-row index families
+   * (winnow/containment/dhash) append by writing rows, this one needs
+   * the three drop-sized deltas too:
+   *  - `df' = df + |drop docs containing the word|` — the per-word
+   *    increment, applied to SURVIVING old rows by a left join against
+   *    the drop's word-frequency table and to the drop's own new
+   *    posting rows by the symmetric lookup of the OLD df (a word the
+   *    index has never seen starts at its drop count);
+   *  - `n_docs' = n_docs + |drop docs|` (token-free drop docs count
+   *    and ride in as NULL-word sentinels, [[bm25Index]] parity);
+   *  - `sum_dl' = sum_dl + Σ drop dl`, and `avgdl' = sum_dl'/n_docs'`
+   *    — the same exact-long-sum division as the rebuild.
+   *
+   * Ids must be NEW: a drop id already present in the index would
+   * double-count every aggregate, so the rewrite FAILS LOUD (a lazy
+   * in-plan `raise_error`, not a driver pre-scan) on the first
+   * collision it sees — "append twice" is a retry bug upstream, never
+   * something to silently absorb. Old corpus stats are read off the
+   * index rows themselves (max over the constant columns — an EMPTY
+   * index appends as a from-scratch build).
+   *
+   * Scale shape: one drop tokenize/aggregate (drop-sized), one index
+   * scan (the rewrite itself — unavoidable, df/N/avgdl change on every
+   * row), drop-vocabulary-sized delta joins (broadcast by default,
+   * `broadcastDrop = false` for giant drops → shuffle joins, AQE
+   * handles skew). The OLD corpus text is never read. Wrap in
+   * [[Forget.rewriteVersioned]] for atomic publication.
+   */
+  def bm25Append(
+    index: DataFrame,
+    drop: DataFrame,
+    textCol: String,
+    idCol: String,
+    broadcastDrop: Boolean = true
+  ): DataFrame = {
+    def hinted(df: DataFrame) = if (broadcastDrop) broadcast(df) else df
+    val docs = Dedup.wordTable(drop, textCol, idCol)
+      .select(col("doc_id"), col("w"),
+        coalesce(size(col("w")), lit(0)).as("dl"))
+    val aStats = docs.agg(
+      count(lit(1)).as("__a_n"),
+      coalesce(sum(col("dl")).cast("long"), lit(0L)).as("__a_sum"))
+    // max over the denormalized constants: 1 row, (0, 0) when empty —
+    // appending onto an empty index degenerates to a fresh build
+    val oldStats = index.agg(
+      coalesce(max(col("n_docs")), lit(0L)).as("__o_n"),
+      coalesce(max(col("sum_dl")), lit(0L)).as("__o_sum"))
+    val stats = broadcast(oldStats.crossJoin(aStats).select(
+      (col("__o_n") + col("__a_n")).as("__n2"),
+      (col("__o_sum") + col("__a_sum")).as("__s2")))
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
+      .groupBy("word", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    // per-word df delta: |drop docs containing the word| (drop-vocab-sized)
+    val aDf = postings.groupBy("word").agg(count(lit(1)).as("__a_df"))
+    // OLD df for exactly the drop's words: df is denormalized onto every
+    // posting of the word, so max() reads it without a full-index agg
+    // (the semi join prunes the scan to drop-word postings first)
+    val oldDf = index
+      .join(hinted(aDf.select("word")), Seq("word"), "left_semi")
+      .groupBy("word").agg(max(col("df")).as("__o_df"))
+    val dropIds = docs.select(col("doc_id").as("__aid")).distinct()
+    val avgdl2 = when(col("__n2") === 0, lit(0.0))
+      .otherwise(col("__s2").cast("double") / col("__n2").cast("double"))
+    // surviving old rows: bump df and stats; an id collision fails
+    // LOUD through the df value itself (the nonNegWeight spelling —
+    // the guard rides a consumed column, so no rewrite can prune it)
+    val dfGuarded =
+      when(col("__aid").isNotNull,
+        raise_error(concat(lit("bm25Append: drop id already indexed: "),
+          col("doc_id").cast("string"),
+          lit(" - appending an indexed document would double-count " +
+            "df/N/avgdl; forget it first or dedup the drop"))).cast("long"))
+        .otherwise(col("df") + coalesce(col("__a_df"), lit(0L)))
+    val oldRows = index
+      .join(hinted(dropIds), col("doc_id") === col("__aid"), "left")
+      .join(hinted(aDf), Seq("word"), "left")
+      .crossJoin(stats)
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"),
+        dfGuarded.as("df"),
+        col("__n2").as("n_docs"), avgdl2.as("avgdl"), col("__s2").as("sum_dl"))
+    val tokenless = docs.filter(col("dl") === 0)
+      .select(lit(null).cast("string").as("word"), col("doc_id"),
+        lit(0L).as("tf"), col("dl"), lit(0L).as("df"))
+    val newRows = postings
+      .join(hinted(aDf), Seq("word"))
+      .join(hinted(oldDf), Seq("word"), "left")
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"),
+        (col("__a_df") + coalesce(col("__o_df"), lit(0L))).as("df"))
+      .unionByName(tokenless)
+      .crossJoin(stats)
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"), col("df"),
+        col("__n2").as("n_docs"), avgdl2.as("avgdl"), col("__s2").as("sum_dl"))
+    oldRows.unionByName(newRows)
+  }
+
+  /**
    * BM25 scores probed from a persisted [[bm25Index]]: value-identical
    * to [[bm25Scores]] over the same corpus (identical operands through
    * identical arithmetic — tf/dl/df/N are exact longs and avgdl
@@ -358,13 +462,24 @@ object Retrieval {
     queryIdCol: String,
     queryTextCol: String,
     k1: Double = 1.2,
-    b: Double = 0.75
+    b: Double = 0.75,
+    maxQueryTerms: Int = 100000
   ): DataFrame = {
+    require(maxQueryTerms >= 1, s"maxQueryTerms must be >= 1: $maxQueryTerms")
     val buckets = readBucketMeta(spark, path)
+    // the query frame is metadata-sized BY CONTRACT (its distinct terms
+    // are collected driver-side to compute the pruned bucket set);
+    // limit(cap + 1) keeps even a misuse collect bounded — the overflow
+    // row exists only to prove the violation and name it
     val words = queries.select(
         explode(graft.functions.Hashing.normalizedWords(col(queryTextCol)))
           .as("word"))
-      .distinct().collect().map(_.getString(0))
+      .distinct().limit(maxQueryTerms + 1).collect().map(_.getString(0))
+    require(words.length <= maxQueryTerms,
+      s"bm25ScoresFromDir: queries carry more than $maxQueryTerms distinct " +
+        "terms - the query frame must be metadata-sized (terms are " +
+        "collected driver-side for partition pruning); probe the flat " +
+        "index with bm25ScoresAgainst or raise maxQueryTerms explicitly")
     val wanted = words.map { w =>
       val h = graft.functions.Md5Long60Expr.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(w))
@@ -388,10 +503,12 @@ object Retrieval {
     queryTextCol: String,
     k: Int = 10,
     k1: Double = 1.2,
-    b: Double = 0.75
+    b: Double = 0.75,
+    maxQueryTerms: Int = 100000
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    bm25ScoresFromDir(spark, path, queries, queryIdCol, queryTextCol, k1, b)
+    bm25ScoresFromDir(spark, path, queries, queryIdCol, queryTextCol, k1, b,
+        maxQueryTerms)
       .withColumn("rank",
         row_number().over(
           Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))

@@ -257,4 +257,84 @@ class RetrievalSpec extends SparkSpec {
       assert(e.getMessage.contains("bm25IndexWrite"), e.getMessage)
     }
   }
+
+  test("bm25ScoresFromDir: oversized query frames fail loud before the collect") {
+    val dir = partitionedDir(buckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25ScoresFromDir(spark, dir, queries, "query_id", "qtext",
+        maxQueryTerms = 2)
+    }
+    assert(e.getMessage.contains("metadata-sized"), e.getMessage)
+    // at or under the cap the probe runs unchanged
+    assert(Retrieval.bm25ScoresFromDir(spark, dir, queries, "query_id", "qtext",
+      maxQueryTerms = 4).count() > 0)
+  }
+
+  // ------------------------------------------------------ append (row 160)
+
+  /** Canonical row view: avgdl rounded (the one float; everything else
+    * is exact integer arithmetic on both paths). */
+  private def idxRows(df: org.apache.spark.sql.DataFrame): Set[(Option[String], Long, Long, Long, Long, Long, Double, Long)] =
+    df.select(col("word"), col("doc_id"), col("tf"), col("dl").cast("long"),
+        col("df"), col("n_docs"), round(col("avgdl"), 9).as("avgdl"), col("sum_dl"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7)))
+      .toSet
+
+  test("bm25Append ≡ bm25Index over the union corpus, through parquet") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bm25app").toString
+    Retrieval.bm25Index(corpus.filter($"doc_id" % 2 === 0), "text", "doc_id")
+      .write.mode("overwrite").parquet(out)
+    val grown = Retrieval.bm25Append(
+      spark.read.parquet(out), corpus.filter($"doc_id" % 2 === 1),
+      "text", "doc_id")
+    assert(idxRows(grown) == idxRows(Retrieval.bm25Index(corpus, "text", "doc_id")))
+    // probe equality rides row equality, but pin it end to end anyway:
+    // scoring the grown index == scoring the full corpus inline
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> math.rint(r.getDouble(2) * 1e9))
+      .toMap
+    assert(m(Retrieval.bm25ScoresAgainst(grown, queries, "query_id", "qtext"))
+      == m(Retrieval.bm25Scores(corpus, "text", "doc_id", queries, "query_id", "qtext")))
+    // the shuffle-join arm for giant drops is value-identical
+    val grownWide = Retrieval.bm25Append(
+      spark.read.parquet(out), corpus.filter($"doc_id" % 2 === 1),
+      "text", "doc_id", broadcastDrop = false)
+    assert(idxRows(grownWide) == idxRows(grown))
+  }
+
+  test("bm25Append: empty index = fresh build; empty drop = no-op; sentinels ride") {
+    val empty = Retrieval.bm25Index(corpus.filter($"doc_id" < 0), "text", "doc_id")
+    assert(idxRows(Retrieval.bm25Append(empty, corpus, "text", "doc_id"))
+      == idxRows(Retrieval.bm25Index(corpus, "text", "doc_id")))
+    val full = Retrieval.bm25Index(corpus, "text", "doc_id")
+    assert(idxRows(Retrieval.bm25Append(full, corpus.filter($"doc_id" < 0), "text", "doc_id"))
+      == idxRows(full))
+    // doc 5 has empty text: appending the odd half carries its
+    // NULL-word sentinel, and N/avgdl count it (bm25Index parity is
+    // already pinned above — here just prove the sentinel is a drop row)
+    val grown = Retrieval.bm25Append(
+      Retrieval.bm25Index(corpus.filter($"doc_id" % 2 === 0), "text", "doc_id"),
+      corpus.filter($"doc_id" % 2 === 1), "text", "doc_id")
+    assert(grown.filter(col("word").isNull && col("doc_id") === 5L).count() == 1L)
+  }
+
+  test("bm25Append fails loud when a drop id is already indexed") {
+    val idx = Retrieval.bm25Index(corpus, "text", "doc_id")
+    val e = intercept[Exception] {
+      Retrieval.bm25Append(idx, corpus.filter($"doc_id" === 2L), "text", "doc_id")
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("already indexed"),
+      String.valueOf(e.getMessage))
+  }
+
+  test("bm25Append then bm25Forget lands back on the original index") {
+    val base = Retrieval.bm25Index(corpus.filter($"doc_id" % 2 === 0), "text", "doc_id")
+    val drop = corpus.filter($"doc_id" % 2 === 1)
+    val roundtrip = Retrieval.bm25Forget(
+      Retrieval.bm25Append(base, drop, "text", "doc_id"), drop, "doc_id")
+    assert(idxRows(roundtrip) == idxRows(base))
+  }
 }
