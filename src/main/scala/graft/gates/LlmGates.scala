@@ -865,15 +865,19 @@ object LlmGates {
     },
     // §2 row 154 — CROSS-CORPUS image near-dup: a re-keyed media drop
     // (the five fixtures at +10000, plus text rows whose dhash is NULL
-    // and must never match) probed against the PERSISTED dHash table
-    // of the fixture corpus — parquet round-trip, prior payloads never
-    // re-decoded. Oracle: brute-force cross-side Hamming join over the
-    // same hand-derived literal hashes
+    // and must never match) probed against the persisted PRE-BANDED
+    // dHash artifact of the fixture corpus (§2 row 161:
+    // bandedMediaIndex — banding and bucket caps live in the artifact,
+    // the probe is a pure equi-join) — parquet round-trip, prior
+    // payloads never re-decoded, prior hashes never re-grouped.
+    // Oracle: brute-force cross-side Hamming join over the same
+    // hand-derived literal hashes
     "q_image_neardup_incr" -> { (s, dir) =>
       import s.implicits._
       val out = java.nio.file.Files
         .createTempDirectory("graft-dhash-idx").toString
-      Multimodal.imageDHash(dhashFixtures(s))
+      Multimodal.bandedMediaIndex(
+          Multimodal.imageDHash(dhashFixtures(s)), "doc_id", "dhash")
         .write.mode("overwrite").parquet(out)
       val texts = docs(s, dir)
         .filter(col("doc_id") < 50)
@@ -881,7 +885,8 @@ object LlmGates {
         .as[Multimodal.MediaRecord]
       val batch = texts.union(dhashFixtures(s)
         .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
-      Multimodal.imageNearDupsAgainst(batch, s.read.parquet(out), maxHamming = 3)
+      Multimodal.imageNearDupsAgainstBanded(batch, s.read.parquet(out),
+        maxHamming = 3)
     },
     // §2 row 153 (media arm) — forget over the persisted dHash table:
     // per-doc rows only, so Forget.removeIds ≡ rebuild; the forgotten
@@ -903,6 +908,20 @@ object LlmGates {
       kept.select(col("doc_id").as("a"), col("dhash").as("b"), lit("idx").as("src"))
         .unionByName(pairs.select(col("batch_id").as("a"),
           col("index_id").as("b"), lit("pair").as("src")))
+    },
+    // §2 row 161 — forget over the PRE-BANDED media-hash artifact:
+    // per-doc band rows only, so Forget.removeIds on index_id ≡ a
+    // rebuild from the reduced hash table; the oracle re-derives every
+    // surviving (band, masked band_key) row from the literal hashes —
+    // a forget that leaves one band row of a removed doc (or drops a
+    // band row of a survivor) hash-mismatches
+    "q_forget_dhash_banded" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Forget.removeIds(
+        Multimodal.bandedMediaIndex(
+          Multimodal.imageDHash(dhashFixtures(s)), "doc_id", "dhash"),
+        "index_id",
+        Seq(800001L, 800004L).toDF("rid"), "rid")
     },
     // §2 row 154 (streaming arm) — the media corpus-growth loop driven
     // over two micro-batches: batch 0 plants a within-batch near-copy
@@ -962,7 +981,8 @@ object LlmGates {
       import s.implicits._
       val out = java.nio.file.Files
         .createTempDirectory("graft-vhash-idx").toString
-      Multimodal.videoDHash(videoFixtures(s), n = 3)
+      Multimodal.bandedMediaIndex(
+          Multimodal.videoDHash(videoFixtures(s), n = 3), "doc_id", "vhash")
         .write.mode("overwrite").parquet(out)
       val texts = docs(s, dir)
         .filter(col("doc_id") < 50)
@@ -970,7 +990,7 @@ object LlmGates {
         .as[Multimodal.MediaRecord]
       val batch = texts.union(videoFixtures(s)
         .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
-      Multimodal.videoNearDupsAgainst(batch, s.read.parquet(out),
+      Multimodal.videoNearDupsAgainstBanded(batch, s.read.parquet(out),
         n = 3, maxHamming = 3)
     },
     // §2 row 147 — audio energy-contour fingerprint: one sample per
@@ -1002,7 +1022,8 @@ object LlmGates {
       import s.implicits._
       val out = java.nio.file.Files
         .createTempDirectory("graft-afp-idx").toString
-      Multimodal.audioFingerprint(audioFpFixtures(s))
+      Multimodal.bandedMediaIndex(
+          Multimodal.audioFingerprint(audioFpFixtures(s)), "doc_id", "afp")
         .write.mode("overwrite").parquet(out)
       val texts = docs(s, dir)
         .filter(col("doc_id") < 50)
@@ -1010,7 +1031,8 @@ object LlmGates {
         .as[Multimodal.MediaRecord]
       val batch = texts.union(audioFpFixtures(s)
         .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
-      Multimodal.audioNearDupsAgainst(batch, s.read.parquet(out), maxHamming = 3)
+      Multimodal.audioNearDupsAgainstBanded(batch, s.read.parquet(out),
+        maxHamming = 3)
     },
     // §2.4 row 85 — corpus-wide duplicate-PARAGRAPH removal (the
     // RefinedWeb granularity): a 2-LINE banner block planted in 3 docs
@@ -2034,6 +2056,20 @@ object LlmGates {
         |UNION ALL
         |SELECT b.doc_id AS a, k.doc_id AS b, 'pair' AS src
         |FROM hb b JOIN kept k ON bit_count(xor(b.dhash, k.dhash)) <= 3""".stripMargin,
+    // surviving banded rows re-derived from the literals: 4 bands of
+    // 16 masked bits each — (dhash >> 16b) & 65535, arithmetic-shift
+    // sign fill masked off identically on both engines
+    "q_forget_dhash_banded" ->
+      """WITH hi(doc_id, dhash) AS (VALUES
+        |  (800001::BIGINT, -1::BIGINT),
+        |  (800002::BIGINT, 0::BIGINT),
+        |  (800003::BIGINT, 1085102592571150095::BIGINT),
+        |  (800004::BIGINT, -2::BIGINT),
+        |  (800005::BIGINT, -1::BIGINT)),
+        |kept AS (SELECT * FROM hi WHERE doc_id NOT IN (800001, 800004))
+        |SELECT rt.b AS band, (dhash >> (rt.b * 16)) & 65535 AS band_key,
+        |       doc_id AS index_id, dhash AS index_hash
+        |FROM kept, range(0, 4) rt(b)""".stripMargin,
     // folded-video literals: 0x1E1E1E1E1E1E1E1E = 2170205185142300190
     // (−1 ⊕ 0xE1E1…, the hand derivation in videoFixtures' scaladoc)
     "q_video_dhash" ->

@@ -1372,27 +1372,10 @@ object Dedup {
     broadcastBatch: Boolean = true,
     metricPrefix: String = "incr_hamming"
   ): DataFrame = {
-    require(bands >= 1 && bits % bands == 0,
-      s"bits must divide into bands: bits=$bits bands=$bands")
-    require(bits >= 1 && bits <= 64,
-      s"bits must be in [1, 64] (hashes are one long): $bits" +
-        " - a wider shift would wrap mod 64 and silently collapse band keys")
+    requireHammingBandParams(bits, bands)
     require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
-    val chunkBits = bits / bands
-    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    def banded(df: DataFrame, idAs: String, hAs: String) = df.select(
-      col(idCol).as(idAs), col(hashCol).as(hAs),
-      explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            call_function("shiftright", col(hashCol), b * chunkBits)
-              .bitwiseAND(lit(mask)).as("band_key"))))
-        .as("bk")
-    ).select(col(idAs), col(hAs),
-      col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val idxB = banded(indexHashes, "index_id", "__h_i")
-    val batchB = banded(batchHashes, "batch_id", "__h_b")
+    val idxB = hammingBandRows(indexHashes, idCol, hashCol, "index_id", "__h_i", bits, bands)
+    val batchB = hammingBandRows(batchHashes, idCol, hashCol, "batch_id", "__h_b", bits, bands)
     def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
     val matchedIdx = idxB.join(
       hinted(batchB.select("band", "band_key").distinct()),
@@ -1412,6 +1395,140 @@ object Dedup {
         col("b.batch_id").as("batch_id"),
         col("i.index_id").as("index_id"),
         bit_count(col("b.__h_b").bitwiseXOR(col("i.__h_i"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def requireHammingBandParams(bits: Int, bands: Int): Unit = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bits must divide into bands: bits=$bits bands=$bands")
+    require(bits >= 1 && bits <= 64,
+      s"bits must be in [1, 64] (hashes are one long): $bits" +
+        " - a wider shift would wrap mod 64 and silently collapse band keys")
+  }
+
+  /** Masked band rows of a `bits`-wide hash column — one row per
+    * (band, band_key) with the hash riding: the shared projection of
+    * [[hammingNearDupsAgainstIndex]] (both sides, per call),
+    * [[hammingBandedIndex]] (build side, once) and
+    * [[hammingMatchesAgainstBanded]] (probe side). MASKED, not mod'd,
+    * so sign-bit 64-bit hashes bucket correctly. */
+  private def hammingBandRows(
+    df: DataFrame,
+    idCol: String,
+    hashCol: String,
+    idAs: String,
+    hAs: String,
+    bits: Int,
+    bands: Int
+  ): DataFrame = {
+    val chunkBits = bits / bands
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    df.select(
+      col(idCol).as(idAs), col(hashCol).as(hAs),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            call_function("shiftright", col(hashCol), b * chunkBits)
+              .bitwiseAND(lit(mask)).as("band_key"))))
+        .as("bk")
+    ).select(col(idAs), col(hAs),
+      col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /**
+   * The PRE-BANDED persisted Hamming-hash index — the
+   * [[nearDupStreamIndex]] doctrine applied to the `bits`-wide hash
+   * family ([[Multimodal.imageDHash]] / video / audio tables): flat
+   * rows `(band, band_key, index_id, index_hash)` with oversized
+   * buckets dropped STATICALLY at build time, so every future probe —
+   * batch drop or streaming micro-batch — is a pure equi-join with
+   * ZERO index-side recompute. The flat-hash probe
+   * ([[hammingNearDupsAgainstIndex]]) re-bands and re-groups the index
+   * per call; at a large prior corpus that is a per-batch index
+   * aggregation this artifact amortizes into the build.
+   *
+   * Build once per corpus, write to parquet. `bits`/`bands` are the
+   * artifact's contract — probes MUST band with the same values (the
+   * [[nearDupMatchesAgainstIndex]] numHashes/bands convention). A
+   * takedown forgets per-doc band rows via [[Forget.removeIds]] on
+   * `index_id` (anti-join ≡ rebuild — no counted refs here). Appends
+   * of NEW ids are row appends of the drop's band rows (cap applied
+   * within each drop; a bucket can only exceed the cap ACROSS drops,
+   * the documented growth margin — re-build to re-cap).
+   *
+   * Scale shape: one groupBy shuffle of the hash table at build,
+   * amortized over every probe. NULL hashes are filtered out before
+   * banding (undecodable media never matches anything).
+   */
+  def hammingBandedIndex(
+    indexHashes: DataFrame,
+    idCol: String,
+    hashCol: String,
+    bits: Int,
+    bands: Int = 4,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    metricPrefix: String = "banded_hamming"
+  ): DataFrame = {
+    requireHammingBandParams(bits, bands)
+    val b = hammingBandRows(
+      indexHashes.filter(col(hashCol).isNotNull),
+      idCol, hashCol, "index_id", "index_hash", bits, bands)
+    val buckets = b.groupBy("band", "band_key")
+      .agg(collect_set(struct(col("index_id"), col("index_hash"))).as("items"))
+    capBuckets(buckets, "items", maxBucket, s"${metricPrefix}_idx")
+      .select(col("band"), col("band_key"), explode(col("items")).as("i"))
+      .select(col("band"), col("band_key"),
+        col("i.index_id").as("index_id"),
+        col("i.index_hash").as("index_hash"))
+  }
+
+  /**
+   * Hamming near-dup matches of a batch against a PRE-BANDED
+   * [[hammingBandedIndex]] artifact: the batch side is banded and
+   * bucket-capped per call (batch-sized work), the index side is a
+   * bare scan joined on `(band, band_key)` — NO aggregation, NO
+   * re-banding, never shuffled when the batch buckets broadcast
+   * (`broadcastBatch = false` for corpus-sized batches → shuffle join,
+   * AQE-splittable). Returns (batch_id, index_id, hamming ≤
+   * maxHamming), exact via the riding hashes.
+   *
+   * `bits`/`bands` MUST match the artifact's build values — mismatched
+   * banding would compute different keys and silently lose recall
+   * (same contract as the MinHash stream index family). In-bucket
+   * candidate cost is |batch bucket| × |index bucket|, both capped —
+   * batch per call, index at build.
+   */
+  def hammingMatchesAgainstBanded(
+    batchHashes: DataFrame,
+    bandedIndex: DataFrame,
+    idCol: String,
+    hashCol: String,
+    bits: Int,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true,
+    metricPrefix: String = "banded_hamming"
+  ): DataFrame = {
+    requireHammingBandParams(bits, bands)
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
+    def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    val batchB = hammingBandRows(
+      batchHashes.filter(col(hashCol).isNotNull),
+      idCol, hashCol, "batch_id", "__h_b", bits, bands)
+    val batchBuckets = capBuckets(
+      batchB.groupBy("band", "band_key")
+        .agg(collect_set(struct(col("batch_id"), col("__h_b"))).as("batch_items")),
+      "batch_items", maxBucket, s"${metricPrefix}_batch")
+    bandedIndex.join(hinted(batchBuckets), Seq("band", "band_key"))
+      .select(col("index_id"), col("index_hash"),
+        explode(col("batch_items")).as("b"))
+      .select(
+        col("b.batch_id").as("batch_id"),
+        col("index_id"),
+        bit_count(col("b.__h_b").bitwiseXOR(col("index_hash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -385,35 +385,88 @@ object Multimodal {
       broadcastBatch, metricPrefix = "incr_dhash")
 
   /**
+   * PRE-BANDED persisted media-hash index over an existing
+   * `(id, 64-bit hash)` table — [[Dedup.hammingBandedIndex]] with the
+   * media family's conventions (64 bits, NULL = undecodable, never
+   * banded). One builder serves the image dHash, video vHash, and
+   * audio fingerprint tables alike: flat
+   * `(band, band_key, index_id, index_hash)` rows, bucket cap applied
+   * AT BUILD, so every probe ([[imageNearDupsAgainstBanded]] et al.,
+   * or a streaming micro-batch in [[imageDedupStreamSink]]) is a pure
+   * equi-join with zero index-side aggregation — the text family's
+   * [[Dedup.nearDupStreamIndex]] doctrine applied to perceptual
+   * hashes. `bands` is the artifact's contract: probes must use the
+   * same value. Forget via [[graft.operators.Forget.removeIds]] on
+   * `index_id` (per-doc rows, anti-join ≡ rebuild).
+   */
+  def bandedMediaIndex(
+    hashes: DataFrame,
+    idCol: String,
+    hashCol: String,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket,
+    metricPrefix: String = "banded_dhash"
+  ): DataFrame =
+    Dedup.hammingBandedIndex(hashes, idCol, hashCol, 64, bands, maxBucket,
+      metricPrefix)
+
+  /** [[imageNearDupsAgainst]] over a PRE-BANDED [[bandedMediaIndex]]
+    * artifact: per-probe work is batch-sized only — the index is
+    * scanned and equi-joined, never re-banded or re-grouped. `bands`
+    * must match the artifact's build value. */
+  def imageNearDupsAgainstBanded(
+    batch: Dataset[MediaRecord],
+    bandedIndex: DataFrame,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame =
+    Dedup.hammingMatchesAgainstBanded(
+      imageDHash(batch).filter(col("dhash").isNotNull),
+      bandedIndex, "doc_id", "dhash", 64, maxHamming, bands, maxBucket,
+      broadcastBatch, metricPrefix = "banded_dhash")
+
+  /**
    * STREAMING image dedup as a `foreachBatch` sink — row 154's
    * corpus-growth loop running continuously, the media twin of
    * [[graft.plans.CurationPipeline.streamingSink]]: each micro-batch
    * of media records is hashed ONCE ([[imageDHash]] — the only decode
-   * pass), probed against the persisted dHash table under `indexDir`
-   * (prior corpus NEVER re-decoded, its payload bytes never re-read),
-   * cross-batch matches and within-batch higher-id copies drop, the
-   * SURVIVORS' hashes append to the table, and `sink` receives the
-   * surviving records. Undecodable payloads (NULL dhash) never match
-   * and always survive — the batch-mode contract.
+   * pass), probed against the PRE-BANDED index under `indexDir` (a
+   * [[bandedMediaIndex]] parquet — prior corpus NEVER re-decoded, its
+   * payload bytes never re-read, and its hash rows never re-banded or
+   * re-grouped: the probe is a pure equi-join on the artifact), cross-
+   * batch matches and within-batch higher-id copies drop, the
+   * SURVIVORS' band rows append to the artifact, and `sink` receives
+   * the surviving records. Undecodable payloads (NULL dhash) never
+   * match and always survive — the batch-mode contract. `bands` is
+   * the artifact's contract and must stay fixed across the stream's
+   * life.
    *
    * Equivalence to one batch [[imageNearDups]]-dedup over the union of
    * all batches (spec-pinned on a MemoryStream): identical given ids
    * ascend across batches, with the same documented margin as the
    * text sink — a transitive chain spanning 3+ batches can retain
-   * more, because only survivors are indexed. RETRY-safe: the probe
-   * excludes same-id matches (ids are globally unique by contract, so
-   * batch_id == index_id can only mean the batch's OWN hashes from a
-   * previous attempt whose checkpoint commit failed — without the
-   * exclusion a replay would self-match every survivor and deliver a
-   * near-empty batch to an idempotent sink), so a replayed batch
-   * recomputes the SAME survivors and appends duplicate index rows —
-   * harmless, the probe is a semi join; `sink` idempotence is the
+   * more, because only survivors are indexed. RETRY-safe, exactly
+   * idempotent: before probing, the index is ANTI-JOINED on the
+   * batch's own id set — under the globally-unique-id contract any
+   * index row keyed by a current-batch id can only be a prior
+   * attempt's append (a checkpoint commit that failed after the index
+   * write), so a replay sees EXACTLY the first attempt's index state
+   * and recomputes the SAME survivors (including within-batch
+   * transitive chains, which a bare same-id exclusion got wrong — a
+   * survivor's appended row could eat its chain-mate before within-
+   * batch pairing). The replay's re-append duplicates band rows —
+   * harmless, the probe is match-finding; `sink` idempotence is the
    * caller's contract as with any foreachBatch.
    *
-   * Scale shape: per batch one decode pass, one banded probe against
-   * the parquet index (index never shuffled beyond matched band
-   * rows), one within-batch banding; index growth appends 16 bytes a
-   * survivor, not payloads.
+   * Scale shape: per batch one decode pass, one batch-sized banding +
+   * bucket cap, one broadcast equi-join against the artifact scan —
+   * ZERO index-side aggregation per micro-batch (the
+   * [[Dedup.nearDupStreamIndex]] economics); index growth appends
+   * ~24 bytes × bands a survivor, not payloads. The per-append bucket
+   * cap bounds each drop; a bucket can only exceed the cap across
+   * appends (rebuild with [[bandedMediaIndex]] to re-cap).
    */
   def imageDedupStreamSink(
     indexDir: String,
@@ -430,14 +483,18 @@ object Multimodal {
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val crossMatched =
           if (!fs.exists(hp)) spark.range(0).select(col("id").as("doc_id"))
-          else Dedup.hammingNearDupsAgainstIndex(
-              hashes, spark.read.parquet(indexDir),
-              "doc_id", "dhash", 64, maxHamming, bands, maxBucket,
-              metricPrefix = "incr_dhash")
-            // same-id matches are this batch's own prior-attempt rows
-            // (see the retry contract above), never a real duplicate
-            .filter(col("batch_id") =!= col("index_id"))
-            .select(col("batch_id").as("doc_id")).distinct()
+          else {
+            // replay idempotency: drop ALL index rows keyed by this
+            // batch's ids — prior-attempt appends, never real dups
+            // (see the retry contract above)
+            val idx = spark.read.parquet(indexDir).join(
+              broadcast(hashes.select(col("doc_id").as("__bid"))),
+              col("index_id") === col("__bid"), "left_anti")
+            Dedup.hammingMatchesAgainstBanded(
+                hashes, idx, "doc_id", "dhash", 64, maxHamming, bands,
+                maxBucket, metricPrefix = "banded_dhash")
+              .select(col("batch_id").as("doc_id")).distinct()
+          }
         val fresh = hashes.join(crossMatched, Seq("doc_id"), "left_anti")
         val losers = Dedup.hammingNearDups(fresh, "doc_id", "dhash", 64,
             maxHamming, bands, maxBucket)
@@ -448,8 +505,11 @@ object Multimodal {
             .as[MediaRecord].persist()
           try {
             sink(survivors, batchId)
-            // grow the table from THIS batch's surviving decodables
-            hashes.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+            // grow the artifact from THIS batch's surviving decodables
+            // (band rows, capped within the drop — batch-sized work)
+            bandedMediaIndex(
+              hashes.join(broadcast(dropped), Seq("doc_id"), "left_anti"),
+              "doc_id", "dhash", bands, maxBucket)
               .write.mode("append").parquet(indexDir)
           } finally survivors.unpersist()
         } finally dropped.unpersist()
@@ -571,6 +631,24 @@ object Multimodal {
       "doc_id", "vhash", 64, maxHamming, bands, maxBucket,
       broadcastBatch, metricPrefix = "incr_vhash")
 
+  /** [[videoNearDupsAgainst]] over a PRE-BANDED [[bandedMediaIndex]]
+    * artifact built from the [[videoDHash]] table (same `n` AND same
+    * `bands` as the build — both are the artifact's contract). */
+  def videoNearDupsAgainstBanded(
+    batch: Dataset[MediaRecord],
+    bandedIndex: DataFrame,
+    n: Int = 4,
+    decoder: () => FrameDecoder = SniffFrames,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame =
+    Dedup.hammingMatchesAgainstBanded(
+      videoDHash(batch, n, decoder).filter(col("vhash").isNotNull),
+      bandedIndex, "doc_id", "vhash", 64, maxHamming, bands, maxBucket,
+      broadcastBatch, metricPrefix = "banded_vhash")
+
   /**
    * 64-bit perceptual AUDIO fingerprint — the energy-contour dHash:
    * decode ([[AudioDecoder]]: WAV/AIFF/AU, any stored encoding the
@@ -634,6 +712,22 @@ object Multimodal {
       index.filter(col("afp").isNotNull),
       "doc_id", "afp", 64, maxHamming, bands, maxBucket,
       broadcastBatch, metricPrefix = "incr_afp")
+
+  /** [[audioNearDupsAgainst]] over a PRE-BANDED [[bandedMediaIndex]]
+    * artifact built from the [[audioFingerprint]] table (`bands` must
+    * match the build). */
+  def audioNearDupsAgainstBanded(
+    batch: Dataset[MediaRecord],
+    bandedIndex: DataFrame,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame =
+    Dedup.hammingMatchesAgainstBanded(
+      audioFingerprint(batch).filter(col("afp").isNotNull),
+      bandedIndex, "doc_id", "afp", 64, maxHamming, bands, maxBucket,
+      broadcastBatch, metricPrefix = "banded_afp")
 
   // ----------------------------------------------------- real audio work
 

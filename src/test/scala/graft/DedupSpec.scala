@@ -840,6 +840,83 @@ class DedupSpec extends SparkSpec {
     assert(sim === want60)
   }
 
+  test("banded hamming index probe == flat probe == brute force, through parquet") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val idx = (0 until 40).map(i => (i.toLong, rnd.nextLong()))
+    val batch = (0 until 15).map(i => (1000L + i, rnd.nextLong())) ++
+      idx.take(12).zipWithIndex.map { case ((id, h), j) =>
+        val flipped = (0 until j % 4).foldLeft(h)((acc, _) =>
+          acc ^ (1L << rnd.nextInt(64)))
+        (2000L + id, flipped)
+      }
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-banded-hamming").toString
+    Dedup.hammingBandedIndex(idx.toDF("id", "h"), "id", "h",
+        bits = 64, bands = 4, maxBucket = None)
+      .write.mode("overwrite").parquet(out)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = pairs(Dedup.hammingMatchesAgainstBanded(
+      batch.toDF("id", "h"), spark.read.parquet(out), "id", "h",
+      bits = 64, maxHamming = 3, bands = 4, maxBucket = None))
+    val flat = pairs(Dedup.hammingNearDupsAgainstIndex(
+      batch.toDF("id", "h"), idx.toDF("id", "h"), "id", "h",
+      bits = 64, maxHamming = 3, bands = 4, maxBucket = None))
+    val want = (for {
+      (ib, hb) <- batch; (ii, hi) <- idx
+      d = java.lang.Long.bitCount(hb ^ hi) if d <= 3
+    } yield (ib, ii, d)).toSet
+    assert(banded === want)
+    assert(flat === want)
+    // the shuffle-join arm for corpus-sized batches is value-identical
+    val wide = pairs(Dedup.hammingMatchesAgainstBanded(
+      batch.toDF("id", "h"), spark.read.parquet(out), "id", "h",
+      bits = 64, maxHamming = 3, bands = 4, maxBucket = None,
+      broadcastBatch = false))
+    assert(wide === want)
+    // NULL hashes on either side never band, never match
+    val nulls = Seq((9000L, Option.empty[Long]), (9001L, Some(batch.head._2)))
+      .toDF("id", "h")
+    assert(pairs(Dedup.hammingMatchesAgainstBanded(
+      nulls, spark.read.parquet(out), "id", "h",
+      bits = 64, maxHamming = 3, bands = 4, maxBucket = None))
+      == want.filter(_._1 == batch.head._1).map { case (_, i, d) => (9001L, i, d) })
+  }
+
+  test("banded probe plan: zero index-side aggregation (the artifact amortizes it)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val idx = (0 until 20).map(i => (i.toLong, i.toLong * 7919))
+    val batch = Seq((100L, 7919L), (101L, 0L))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-banded-plan").toString
+    Dedup.hammingBandedIndex(idx.toDF("id", "h"), "id", "h", bits = 64)
+      .write.mode("overwrite").parquet(out)
+    val probe = Dedup.hammingMatchesAgainstBanded(
+      batch.toDF("id", "h"), spark.read.parquet(out), "id", "h", bits = 64)
+    val joins = probe.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // the join side carrying the artifact (index_hash rides its rows)
+    // must be a bare scan chain - banding/grouping/capping happened at
+    // build, never per probe
+    val idxSides = joins.flatMap(j => Seq(j.left, j.right))
+      .filter(_.output.exists(_.name == "index_hash"))
+    assert(idxSides.nonEmpty, probe.queryExecution.optimizedPlan.toString)
+    idxSides.foreach { side =>
+      assert(side.collect { case a: Aggregate => a }.isEmpty,
+        s"index-side aggregation in banded probe:\n$side")
+    }
+    // contrast: the flat arm re-groups its index side on every call
+    // (what the artifact exists to amortize) - the audit would bite it
+    val flat = Dedup.hammingNearDupsAgainstIndex(
+      batch.toDF("id", "h"), idx.toDF("id", "h"), "id", "h", bits = 64)
+    val flatIdxAggs = flat.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "idx_items") => a
+    }
+    assert(flatIdxAggs.nonEmpty)
+  }
+
   test("hammingNearDups: rejects bits that don't divide into bands") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("id", "h")

@@ -542,9 +542,13 @@ class MultimodalSpec extends SparkSpec {
     val want = batches.flatten.map(_.doc_id).filterNot(losers).toSet
     assert(got.toSet == want, s"stream ${got.sorted} vs batch ${want.toSeq.sorted}")
     assert(got.toSet == Set(1L, 2L, 4L, 12L, 13L))
-    // the grown table holds exactly the surviving decodables' hashes
-    val grown = spark.read.parquet(idx).select("doc_id")
-      .collect().map(_.getLong(0)).toSet
+    // the grown artifact is PRE-BANDED (band rows, not flat hashes) and
+    // holds exactly the surviving decodables
+    val grownDf = spark.read.parquet(idx)
+    assert(grownDf.columns.toSet ==
+      Set("band", "band_key", "index_id", "index_hash"))
+    val grown = grownDf.select("index_id")
+      .distinct().collect().map(_.getLong(0)).toSet
     assert(grown == Set(1L, 2L, 12L))
   }
 
@@ -574,6 +578,39 @@ class MultimodalSpec extends SparkSpec {
     val later = Seq(MediaRecord(11L, ramp(2))).toDS()
     sink(later, 1L)
     assert(delivered == Set.empty[Long])
+  }
+
+  test("imageDedupStreamSink: replays are idempotent across within-batch transitive chains") {
+    // a ~ b ~ c with a !~ c (hamming(a,b)=3, hamming(b,c)=3,
+    // hamming(a,c)=6): first attempt keeps {a}; a NAIVE replay that
+    // only excluded same-id index matches would see survivor a's
+    // appended row eat b BEFORE within-batch pairing, so c never pairs
+    // with b and {a, c} gets delivered - the anti-join on the batch's
+    // own id set restores the exact first-attempt index view
+    val a = grayPng(9, 8)((x, _) => x * 10)                       // all-ascending row
+    val b = grayPng(9, 8)((x, y) =>                               // bits 0-2 cleared
+      if (y == 0 && x <= 3) 30 else x * 10)
+    val c = grayPng(9, 8)((x, y) =>                               // bits 0-5 cleared
+      if (y == 0 && x <= 6) 60 else x * 10)
+    // derivation check: the chain is exactly the shape claimed above
+    val hs = Multimodal.imageDHash(Seq(
+        MediaRecord(1L, a), MediaRecord(2L, b), MediaRecord(3L, c)).toDS())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) == 3)
+    assert(java.lang.Long.bitCount(hs(2L) ^ hs(3L)) == 3)
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) == 6)
+    val batch = Seq(
+      MediaRecord(1L, a), MediaRecord(2L, b), MediaRecord(3L, c)).toDS()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-dstream-chain").toString + "/dhash"
+    var delivered: Set[Long] = Set.empty
+    val sink = Multimodal.imageDedupStreamSink(idx) { (survivors, _) =>
+      delivered = survivors.collect().map(_.doc_id).toSet
+    }
+    sink(batch, 0L)
+    assert(delivered == Set(1L))
+    sink(batch, 0L) // replay after a failed checkpoint commit
+    assert(delivered == Set(1L), s"replay delivered $delivered, not {1}")
   }
 
   test("imageNearDupsAgainst: batch probes the persisted dHash table; media NULLs stay out") {
