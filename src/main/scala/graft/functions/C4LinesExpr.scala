@@ -17,8 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * and share buttons otherwise dominate shingles and line-dedup tables.
  *
  * A line is KEPT iff all of:
- *  - stripped of trailing blanks (space/tab/CR) it ends in a terminal
- *    punctuation mark: `.` `!` `?` or `"` (the paper's rule);
+ *  - stripped of trailing blanks (space/tab/CR) it ends in one of the
+ *    `terminators` codepoints. The paper's rule is the ASCII set
+ *    `.` `!` `?` `"` ([[C4LinesExpr.AsciiTerminators]], the default) —
+ *    ENGLISH-ONLY BY DESIGN: on CJK prose it deletes every line
+ *    (。！？ are different codepoints). [[C4LinesExpr.CjkTerminators]]
+ *    extends it with the CJK/full-width marks; any codepoint string
+ *    works (each codepoint is one terminator);
  *  - it has at least `minWords` words, a word being a maximal run of
  *    non-blank characters (blank = space or tab — the oracle mirrors
  *    this exactly via replace+split);
@@ -37,14 +42,28 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * NULL input → NULL. Pure per-row projection, one codegen'd call,
  * single scan over the UTF-8 bytes (line splitting, trailing-blank
- * strip, word counting, and both needle scans fused; needles are
- * ASCII so the byte-level scan is codepoint-safe — no UTF-8
- * continuation byte can alias an ASCII value).
+ * strip, word counting, and both needle scans fused). The needle
+ * scans stay byte-level codepoint-safe (pure-ASCII needles never
+ * alias UTF-8 continuation bytes); the terminal check is a byte-exact
+ * SUFFIX match of each terminator's UTF-8 encoding, so multi-byte
+ * terminators are matched whole — a continuation byte shared with
+ * another character cannot fake a match because the full sequence
+ * must align with the stripped line end.
  */
-case class C4LinesExpr(child: Expression, minWords: Int)
-  extends UnaryExpression {
+case class C4LinesExpr(
+  child: Expression,
+  minWords: Int,
+  terminators: String = C4LinesExpr.AsciiTerminators
+) extends UnaryExpression {
 
   require(minWords >= 1, s"minWords must be >= 1: $minWords")
+  require(terminators.nonEmpty,
+    "terminators must name at least one line-terminal codepoint " +
+      "(C4LinesExpr.AsciiTerminators is the paper's English rule; " +
+      "CjkTerminators adds the CJK/full-width marks)")
+
+  @transient private lazy val termBytes: Array[Array[Byte]] =
+    C4LinesExpr.terminatorBytes(terminators)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
@@ -56,17 +75,28 @@ case class C4LinesExpr(child: Expression, minWords: Int)
   override def prettyName: String = "c4_lines"
 
   override protected def nullSafeEval(input: Any): Any =
-    C4LinesExpr.scan(input.asInstanceOf[UTF8String], minWords)
+    C4LinesExpr.scan(input.asInstanceOf[UTF8String], minWords, termBytes)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val terms = ctx.addReferenceObj("c4Terminators", termBytes, "byte[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.C4LinesExpr.scan($c, $minWords)")
+      s"graft.functions.C4LinesExpr.scan($c, $minWords, $terms)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): C4LinesExpr =
     copy(child = newChild)
 }
 
 object C4LinesExpr {
+
+  /** The paper's terminal-punctuation set — English-only by design. */
+  val AsciiTerminators: String = ".!?\""
+
+  /** ASCII set + the CJK/full-width terminal marks: 。(ideographic full
+    * stop) ！？(full-width) … (horizontal ellipsis) 」』(quote closes)
+    * ．(full-width period). The documented arm for corpora that
+    * tokenize with UAX#29 — see CurationPipeline's config guard. */
+  val CjkTerminators: String = ".!?\"。！？…」』．"
 
   val Schema: StructType = StructType(Seq(
     StructField("text", StringType, nullable = false),
@@ -76,6 +106,11 @@ object C4LinesExpr {
 
   private val Javascript = "javascript".getBytes("US-ASCII")
   private val LoremIpsum = "lorem ipsum".getBytes("US-ASCII")
+
+  /** One UTF-8 byte sequence per terminator CODEPOINT (astral-safe). */
+  def terminatorBytes(terminators: String): Array[Array[Byte]] =
+    terminators.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)).getBytes("UTF-8"))
 
   /** ASCII-case-insensitive needle scan over raw UTF-8 bytes from
     * `from` until `until`; safe because the needles are pure ASCII and
@@ -102,7 +137,32 @@ object C4LinesExpr {
   private def isBlank(c: Byte): Boolean =
     c == ' ' || c == '\t' || c == '\r'
 
-  def scan(text: UTF8String, minWords: Int): GenericInternalRow = {
+  /** Does the byte range [lineStart, last] end with any terminator's
+    * full UTF-8 sequence? */
+  private def endsWithTerminator(
+    b: Array[Byte], lineStart: Int, last: Int,
+    terms: Array[Array[Byte]]): Boolean = {
+    var t = 0
+    while (t < terms.length) {
+      val term = terms(t)
+      val from = last - term.length + 1
+      if (from >= lineStart) {
+        var j = 0
+        var ok = true
+        while (ok && j < term.length) {
+          if (b(from + j) != term(j)) ok = false
+          j += 1
+        }
+        if (ok) return true
+      }
+      t += 1
+    }
+    false
+  }
+
+  def scan(
+    text: UTF8String, minWords: Int,
+    terms: Array[Array[Byte]]): GenericInternalRow = {
     val b = text.getBytes
     val n = b.length
     val out = new java.io.ByteArrayOutputStream(n)
@@ -126,7 +186,7 @@ object C4LinesExpr {
       var last = lineEnd - 1
       while (last >= lineStart && isBlank(b(last))) last -= 1
       val terminal = last >= lineStart &&
-        (b(last) == '.' || b(last) == '!' || b(last) == '?' || b(last) == '"')
+        endsWithTerminator(b, lineStart, last, terms)
       if (terminal) {
         var words = 0
         var inWord = false
@@ -151,5 +211,9 @@ object C4LinesExpr {
   }
 
   def apply(c: Column, minWords: Int): Column =
-    GraftSqlBridge.column(C4LinesExpr(GraftSqlBridge.expression(c), minWords))
+    apply(c, minWords, AsciiTerminators)
+
+  def apply(c: Column, minWords: Int, terminators: String): Column =
+    GraftSqlBridge.column(
+      C4LinesExpr(GraftSqlBridge.expression(c), minWords, terminators))
 }

@@ -607,6 +607,37 @@ object CorpusGates {
             .otherwise(pageBody(5)).as("text"))
       TextAnalysis.c4Clean(pages, "text").select("doc_id", "text")
     },
+    // §2 row 162 — MULTILINGUAL C4 terminal set, the q_curation_uax29
+    // contrast pattern: corpus pages re-terminated with 。/！ plus
+    // planted CJK fixtures run through BOTH arms — under
+    // CjkTerminators the CJK prose survives and boilerplate/flagged/
+    // short pages die; under the paper's ASCII set (the default the
+    // pipeline fail-louds about) every CJK line dies and the pages
+    // vanish. The oracle re-derives both arms line by line
+    "q_c4_clean_cjk" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (950001L, "これは散文です。\n二番目の文です！\n三番目ですか？\nメニュー ナビゲーション"),
+        (950002L, "コードを含む{ページ。\n散文です。\n三つ目の文。"),
+        (950003L, "一行だけです。\nメニュー"),
+        (950004L, "Mixed ascii line.\n日本語の文…\n「引用」\nその通り。"))
+        .toDF("doc_id", "text")
+      val pages = docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat_ws("\n",
+          lit("ナビゲーション メニュー"),
+          concat(substring(col("text"), 1, 40), lit("。")),
+          concat(substring(col("text"), 41, 40), lit("！")),
+          lit("Please enable javascript to view this page。")).as("text"))
+        .unionByName(planted)
+      val cjk = TextAnalysis.c4Clean(pages, "text",
+          minWordsPerLine = 1, minLines = 2,
+          terminators = graft.functions.C4LinesExpr.CjkTerminators)
+        .select(col("doc_id"), lit("cjk").as("arm"), col("text"))
+      val ascii = TextAnalysis.c4Clean(pages, "text",
+          minWordsPerLine = 1, minLines = 2)
+        .select(col("doc_id"), lit("ascii").as("arm"), col("text"))
+      cjk.unionByName(ascii)
+    },
     // §2 row 157 — token-budget selection: the maximal (n_chars DESC,
     // doc_id ASC)-prefix whose ws-token sum fits 20000 tokens, exact
     // long cumsum — the oracle is the definitional running-sum window
@@ -1352,6 +1383,52 @@ object CorpusGates {
         |  FROM pages)
         |SELECT doc_id, array_to_string(kept, chr(10)) AS text
         |FROM cleaned WHERE len(kept) >= 5 AND NOT flagged""".stripMargin,
+    // both arms re-derived line by line; the only difference between
+    // them is the terminal-codepoint IN-list
+    "q_c4_clean_cjk" -> {
+      def arm(name: String, terms: String): String =
+        s"""SELECT doc_id, '$name' AS arm,
+           |       array_to_string(list_filter(string_split(page, chr(10)), l ->
+           |         right(rtrim(l, ' ' || chr(9) || chr(13)), 1) IN ($terms)
+           |         AND len(list_filter(string_split(replace(l, chr(9), ' '), ' '),
+           |                             w -> w <> '')) >= 1
+           |         AND NOT contains(lower(l), 'javascript')), chr(10)) AS text,
+           |       len(list_filter(string_split(page, chr(10)), l ->
+           |         right(rtrim(l, ' ' || chr(9) || chr(13)), 1) IN ($terms)
+           |         AND len(list_filter(string_split(replace(l, chr(9), ' '), ' '),
+           |                             w -> w <> '')) >= 1
+           |         AND NOT contains(lower(l), 'javascript'))) AS n_kept,
+           |       (contains(page, '{') OR contains(lower(page), 'lorem ipsum'))
+           |         AS flagged
+           |FROM pages""".stripMargin
+      val cjkTerms =
+        "'.', '!', '?', '\"', '。', '！', '？', '…', '」', '』', '．'"
+      val asciiTerms = "'.', '!', '?', '\"'"
+      s"""WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |pages AS (
+         |  SELECT doc_id,
+         |    'ナビゲーション メニュー' || chr(10) ||
+         |    substr(text, 1, 40) || '。' || chr(10) ||
+         |    substr(text, 41, 40) || '！' || chr(10) ||
+         |    'Please enable javascript to view this page。' AS page
+         |  FROM src
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (950001::BIGINT, 'これは散文です。' || chr(10) || '二番目の文です！' ||
+         |       chr(10) || '三番目ですか？' || chr(10) || 'メニュー ナビゲーション'),
+         |    (950002::BIGINT, 'コードを含む{ページ。' || chr(10) || '散文です。' ||
+         |       chr(10) || '三つ目の文。'),
+         |    (950003::BIGINT, '一行だけです。' || chr(10) || 'メニュー'),
+         |    (950004::BIGINT, 'Mixed ascii line.' || chr(10) || '日本語の文…' ||
+         |       chr(10) || '「引用」' || chr(10) || 'その通り。')
+         |  ) v(doc_id, page)),
+         |armed AS (
+         |  ${arm("cjk", cjkTerms)}
+         |  UNION ALL
+         |  ${arm("ascii", asciiTerms)})
+         |SELECT doc_id, arm, text FROM armed
+         |WHERE n_kept >= 2 AND NOT flagged""".stripMargin
+    },
     // the definitional running-sum window the operator exists to avoid
     // planning (Exchange-SinglePartition); inclusive cumsum <= budget
     "q_budget_select" ->

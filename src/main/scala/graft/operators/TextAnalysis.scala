@@ -408,11 +408,13 @@ object TextAnalysis {
     df: DataFrame,
     textCol: String,
     minWordsPerLine: Int = 3,
-    minLines: Int = 5
+    minLines: Int = 5,
+    terminators: String = graft.functions.C4LinesExpr.AsciiTerminators
   ): DataFrame = {
     require(minLines >= 0, s"minLines must be >= 0: $minLines")
     Cols.requireAbsent(df, "__c4")
-    df.withColumn("__c4", graft.functions.C4LinesExpr(col(textCol), minWordsPerLine))
+    df.withColumn("__c4",
+        graft.functions.C4LinesExpr(col(textCol), minWordsPerLine, terminators))
       .filter(col("__c4.n_kept") >= minLines && !col("__c4.flagged"))
       .withColumn(textCol, col("__c4.text"))
       .drop("__c4")

@@ -160,6 +160,16 @@ object CurationPipeline {
     c4Clean: Boolean = false,
     c4MinWordsPerLine: Int = 3,
     c4MinLines: Int = 5,
+    /** Terminal-punctuation set for the C4 line rule. None (default)
+      * = the paper's ASCII `.!?"` — ENGLISH-ONLY BY DESIGN: on CJK
+      * prose it deletes every line (。！？ are different codepoints),
+      * so composing `c4Clean` with `tokenizer = Uax29Tokenizer` (the
+      * multilingual word notion) without an explicit choice here
+      * FAILS LOUD rather than silently emptying the corpus — the same
+      * CJK double-fault the tokenizer knob itself exists to prevent.
+      * [[graft.functions.C4LinesExpr.CjkTerminators]] is the
+      * documented multilingual arm; any codepoint string works. */
+    c4Terminators: Option[String] = None,
     evalSet: Option[DataFrame] = None,
     /** Prior corpus's [[graft.operators.Dedup.exactFingerprintIndex]] —
       * when set, batch docs already in the indexed corpus are anti-joined
@@ -333,9 +343,24 @@ object CurationPipeline {
     // off by default the extra projection collapses away
     val preScrub = {
       val n = corpus.select(col(idCol), normed.as(textCol))
-      if (cfg.c4Clean)
-        TextAnalysis.c4Clean(n, textCol, cfg.c4MinWordsPerLine, cfg.c4MinLines)
-      else n
+      if (cfg.c4Clean) {
+        // the CJK double-fault guard (see Config.c4Terminators): the
+        // multilingual tokenizer + the English-only terminal set would
+        // silently delete every CJK line before any token is cut
+        require(
+          cfg.tokenizer != TextAnalysis.Uax29Tokenizer ||
+            cfg.c4Terminators.nonEmpty,
+          "c4Clean with tokenizer=Uax29Tokenizer needs an explicit " +
+            "c4Terminators choice: the default ASCII .!?\" set deletes " +
+            "every CJK line (terminal marks like 。！？ are " +
+            "different codepoints) - pass " +
+            "Some(C4LinesExpr.CjkTerminators), or Some(C4LinesExpr" +
+            ".AsciiTerminators) to insist on the English-only rule")
+        TextAnalysis.c4Clean(n, textCol, cfg.c4MinWordsPerLine,
+          cfg.c4MinLines,
+          cfg.c4Terminators.getOrElse(
+            graft.functions.C4LinesExpr.AsciiTerminators))
+      } else n
     }
     val masked = preScrub
       .select(col(idCol), TextAnalysis.scrubPii(col(textCol)).as(textCol))

@@ -583,6 +583,42 @@ class CurationPipelineSpec extends SparkSpec {
     assert(off == Set(1L, 2L))
   }
 
+  test("c4Clean + uax29 fails loud without an explicit terminator choice; CJK arm curates CJK") {
+    val corpus = Seq(
+      (1L, "天地玄黄、宇宙は洪荒です。\n日月は盈昃、辰宿は列張します。\nメニュー ホーム リンク"),
+      (2L, "ナビゲーション\nフッター リンク")) // boilerplate only
+      .toDF("doc_id", "text")
+    val uax = graft.operators.TextAnalysis.Uax29Tokenizer
+    // the double-fault guard: c4Clean's default ASCII terminal set
+    // would delete every CJK line before uax29 ever tokenizes
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.run(corpus, "text", "doc_id",
+        CurationPipeline.Config(c4Clean = true, tokenizer = uax,
+          minQuality = 0.0, minLineCount = 10, c4MinLines = 1,
+          c4MinWordsPerLine = 1))(_.count())
+    }
+    assert(e.getMessage.contains("c4Terminators"), e.getMessage)
+    // with the explicit CJK arm the prose survives, boilerplate dies
+    val got = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(c4Clean = true, tokenizer = uax,
+        minQuality = 0.0, minLineCount = 10, c4MinLines = 1,
+        c4MinWordsPerLine = 1,
+        c4Terminators = Some(graft.functions.C4LinesExpr.CjkTerminators)))(
+      _.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap)
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == "天地玄黄、宇宙は洪荒です。\n日月は盈昃、辰宿は列張します。")
+    // an explicit ASCII choice is honored (insisting on the paper's
+    // English-only rule is allowed, just never silent)
+    val asciiKept = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(c4Clean = true, tokenizer = uax,
+        minQuality = 0.0, minLineCount = 10, c4MinLines = 1,
+        c4MinWordsPerLine = 1,
+        c4Terminators = Some(graft.functions.C4LinesExpr.AsciiTerminators)))(
+      _.select("doc_id").as[Long].collect().toSet)
+    assert(asciiKept == Set.empty[Long])
+  }
+
   test("tokenizer=uax29 threads to exact dedup: distinct CJK docs stop collapsing") {
     // under the whitespace default every pure-CJK doc normalizes to ""
     // -> ONE fingerprint -> catastrophic over-dedup; uax29 keys on the

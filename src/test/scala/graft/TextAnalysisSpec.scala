@@ -483,4 +483,67 @@ class TextAnalysisSpec extends SparkSpec {
       assert(rows(id) == ref(t, 2), s"id $id text ${t.replace("\n", "\\n")}")
     }
   }
+
+  test("c4Clean terminators: CJK arm keeps CJK prose the ASCII rule deletes") {
+    import spark.implicits._
+    val page = Seq(
+      "これは散文です。",        // keep under CJK (。)
+      "二番目の文です！",        // keep under CJK (full-width ！)
+      "引用の終わり」",          // keep under CJK (」)
+      "メニュー ナビゲーション", // no terminal -> drop both arms
+      "An ascii sentence."       // keep both arms ('.')
+    ).mkString("\n")
+    val df = Seq((1L, page)).toDF("doc_id", "text")
+    val cjk = TextAnalysis.c4Clean(df, "text", minWordsPerLine = 1,
+        minLines = 1, terminators = graft.functions.C4LinesExpr.CjkTerminators)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cjk(1L) == Seq("これは散文です。", "二番目の文です！",
+      "引用の終わり」", "An ascii sentence.").mkString("\n"))
+    // the paper's English-only default: every CJK line dies — exactly
+    // the double-fault CurationPipeline fail-louds about
+    val ascii = TextAnalysis.c4Clean(df, "text", minWordsPerLine = 1, minLines = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ascii(1L) == "An ascii sentence.")
+    // empty terminator set fails loud at construction
+    intercept[IllegalArgumentException] {
+      graft.functions.C4LinesExpr(col("text"), 1, "")
+    }
+  }
+
+  test("C4LinesExpr: randomized parity holds under a multi-byte terminator set") {
+    val terms = graft.functions.C4LinesExpr.CjkTerminators
+    def ref(text: String, minWords: Int): (String, Int, Boolean) = {
+      val lines = text.split("\n", -1)
+      val kept = lines.filter { l =>
+        val rt = l.reverse.dropWhile(c => c == ' ' || c == '\t' || c == '\r').reverse
+        val terminal = rt.nonEmpty && terms.exists(t => rt.endsWith(t.toString))
+        val words = l.replace('\t', ' ').split(" ").count(_.nonEmpty)
+        terminal && words >= minWords &&
+          !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+      }
+      val flagged = text.contains("{") ||
+        text.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum")
+      (kept.mkString("\n"), kept.length, flagged)
+    }
+    val rnd = new scala.util.Random(37)
+    val tokens = Array("alpha", "日本語", "散文です", "JavaScript", "lorem",
+      "Lorem Ipsum", "{", "café", "你好", ".", "。", "！", "？", "…", "」",
+      "．", "...", "x", "", " ", "\t", "\r")
+    val texts = (1 to 150).map { i =>
+      val nLines = rnd.nextInt(8)
+      (i.toLong, (0 until nLines).map { _ =>
+        (0 until rnd.nextInt(10)).map(_ => tokens(rnd.nextInt(tokens.length)))
+          .mkString(" ")
+      }.mkString("\n"))
+    }
+    import spark.implicits._
+    val rows = texts.toDF("id", "text")
+      .select(col("id"), graft.functions.C4LinesExpr(col("text"), 2, terms).as("c"))
+      .select(col("id"), col("c.text"), col("c.n_kept"), col("c.flagged"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getBoolean(3))))
+      .toMap
+    texts.foreach { case (id, t) =>
+      assert(rows(id) == ref(t, 2), s"id $id text ${t.replace("\n", "\\n")}")
+    }
+  }
 }
