@@ -127,6 +127,57 @@ object VectorGates {
           e.filter(col("vec_id") < 10), "embedding", "vec_id", cb, k = 5)
         .withColumn("adc_dist", round(col("adc_dist"), 6))
     },
+    // §2 row 153 (IVF arm) — forget over the persisted IVF artifacts:
+    // centroids are DOC-FREE (they stay), the assignment table is
+    // per-doc rows, so Forget.removeIds ≡ a re-assignment of the
+    // reduced corpus under the same centroids; probing the forgotten
+    // table in the EXACT degenerate mode (nProbe = nCentroids) must
+    // reproduce brute-force top-k over the reduced corpus — the
+    // q_ann_ivf_exact strategy, independent of centroid placement, so
+    // DuckDB re-derives it without replicating k-means. A removed
+    // vector appearing in any top-5 hash-mismatches
+    "q_forget_ivf" -> { (s, dir) =>
+      val prior = embs(s, dir).select("vec_id", "embedding")
+        .filter(col("vec_id") < 400)
+      val cDir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-cent").toString
+      graft.operators.Similarity.saveCentroids(
+        graft.operators.Similarity.kmeansCentroids(
+          prior, "embedding", "vec_id", nCentroids = 16, iters = 2), cDir)
+      val cents = graft.operators.Similarity.loadCentroids(s, cDir)
+      val aDir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-assign").toString
+      graft.operators.Similarity.ivfAssignWith(prior, "embedding", cents)
+        .write.mode("overwrite").parquet(aDir)
+      val kept = graft.operators.Forget.removeIds(
+        s.read.parquet(aDir), "vec_id",
+        prior.filter(col("vec_id") % 6 === 0), "vec_id")
+      graft.operators.Similarity.ivfTopKAssigned(
+          kept, embs(s, dir).filter(col("vec_id") < 10),
+          "embedding", "vec_id", cents, k = 5, nProbe = 16)
+        .withColumn("score", round(col("score"), 4))
+    },
+    // §2 row 153 (PQ arm) — forget over the persisted PQ codes table:
+    // the codebook is doc-free, codes are per-doc rows (removeIds ≡
+    // re-encode of the reduced corpus); the post-forget ADC probe with
+    // the PLANTED codebook is pinned value-exactly against the oracle's
+    // rebuild from the reduced embedding set — a removed vector
+    // surfacing in any top-5, or a survivor's rank shifting, mismatches
+    "q_forget_pq" -> { (s, dir) =>
+      val prior = embs(s, dir).select("vec_id", "embedding")
+        .filter(col("vec_id") < 400)
+      val cb = plantedPqCodebook(s)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-pq-codes").toString
+      Pq.encode(prior, "embedding", cb)
+        .write.mode("overwrite").parquet(out)
+      val kept = graft.operators.Forget.removeIds(
+        s.read.parquet(out), "vec_id",
+        prior.filter(col("vec_id") % 6 === 0), "vec_id")
+      Pq.adcTopK(kept, embs(s, dir).filter(col("vec_id") < 10),
+          "embedding", "vec_id", cb, k = 5)
+        .withColumn("adc_dist", round(col("adc_dist"), 6))
+    },
     // §2.4 row 92c — the REAL trained pipeline (fused per-subspace L2
     // k-means → encode → ADC candidates → exact re-rank) as recall@5
     // against exact L2 top-k: every stage deterministic, so the
@@ -272,14 +323,65 @@ object VectorGates {
         |FROM r WHERE rn <= 5""".stripMargin,
     // recall threshold holds at every sf dir (see the queries entry)
     "q_pq_recall" ->
-      "SELECT 10::BIGINT AS n_queries, 50::BIGINT AS n_truth, 1 AS recall_ok"
+      "SELECT 10::BIGINT AS n_queries, 50::BIGINT AS n_truth, 1 AS recall_ok",
+    // exact-degenerate probe of the FORGOTTEN assignment table ≡ brute
+    // force over the reduced corpus (queries stay the full <10 set)
+    "q_forget_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 400 AND vec_id % 6 <> 0),
+        |q AS (
+        |  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(qv, v) /
+        |         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+        |  FROM q, e),
+        |r AS (
+        |  SELECT query_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, neighbor_id, round(score, 4) AS score
+        |FROM r WHERE rn <= 5""".stripMargin,
+    // ADC top-k over codes re-derived from the REDUCED embedding set
+    // (the forget ≡ rebuild contract); queries stay the full <10 set
+    "q_forget_pq" -> s"""${pqEncodeCtesFrom(
+          "(SELECT * FROM embeddings WHERE vec_id < 400 AND vec_id % 6 <> 0)")},
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |      WHERE vec_id < 10),
+        |qt AS MATERIALIZED (
+        |  SELECT query_id, code,
+        |         list_sum(list_transform(range(1, 33),
+        |           i -> (qv[i]::DOUBLE - a) * (qv[i]::DOUBLE - a))) AS dlo,
+        |         list_sum(list_transform(range(33, 65),
+        |           i -> (qv[i]::DOUBLE - a) * (qv[i]::DOUBLE - a))) AS dhi
+        |  FROM q CROSS JOIN cb),
+        |s AS (
+        |  SELECT t0.query_id, enc.vec_id AS neighbor_id,
+        |         t0.dlo + t1.dhi AS adc_dist
+        |  FROM enc
+        |  JOIN qt t0 ON t0.code = enc.c0
+        |  JOIN qt t1 ON t1.query_id = t0.query_id AND t1.code = enc.c1),
+        |r AS (
+        |  SELECT query_id, neighbor_id, adc_dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY adc_dist ASC, neighbor_id) AS rn
+        |  FROM s)
+        |SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist
+        |FROM r WHERE rn <= 5""".stripMargin
   )
 
   /** Shared CTEs for the planted-codebook PQ oracles: the 2×4 constant
     * codebook and per-subspace argmin codes, mirroring Pq.encode's
     * element-order double arithmetic ((x−a)·(x−a), NOT pow — libm pow
-    * need not be the exact product). */
-  private def pqEncodeCtes: String = {
+    * need not be the exact product). `src` parameterizes the encoded
+    * corpus (full table for the build gates, the reduced set for the
+    * forget rebuild). */
+  private def pqEncodeCtes: String = pqEncodeCtesFrom("embeddings")
+
+  private def pqEncodeCtesFrom(src: String): String = {
     val values = PqGateLevels.zipWithIndex
       .map { case (a, c) => s"($c, ${a}::DOUBLE)" }.mkString(", ")
     // distances computed in a plain cross join (a lambda cannot reference
@@ -292,7 +394,7 @@ object VectorGates {
        |           i -> (e.embedding[i]::DOUBLE - a) * (e.embedding[i]::DOUBLE - a))) AS d0,
        |         list_sum(list_transform(range(33, 65),
        |           i -> (e.embedding[i]::DOUBLE - a) * (e.embedding[i]::DOUBLE - a))) AS d1
-       |  FROM embeddings e CROSS JOIN cb),
+       |  FROM $src e CROSS JOIN cb),
        |enc AS MATERIALIZED (
        |  SELECT a.vec_id, a.code AS c0, b.code AS c1
        |  FROM (SELECT vec_id, code,

@@ -206,8 +206,30 @@ object Similarity {
     centroids: DataFrame,
     k: Int = 10,
     nProbe: Int = 4
+  ): DataFrame =
+    ivfTopKAssigned(assignTo(corpus, vecCol, centroids), queries,
+      vecCol, idCol, centroids, k, nProbe)
+
+  /**
+   * IVF top-k over an ALREADY-ASSIGNED corpus table (`centroid_id`
+   * riding each row — [[ivfAssignWith]] output, typically persisted
+   * bucketed on `centroid_id`): the fully-amortized deployment probe,
+   * skipping both the Lloyd loop AND the per-probe assignment scan.
+   * This is also the forget-path probe: a takedown rewrites the
+   * assignment table via [[graft.operators.Forget.removeIds]] (per-doc
+   * rows, anti-join ≡ rebuild — centroids are doc-free and stay), and
+   * probing the reduced table here is value-equal to a rebuild from
+   * the reduced corpus under the SAME centroids.
+   */
+  def ivfTopKAssigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    centroids: DataFrame,
+    k: Int = 10,
+    nProbe: Int = 4
   ): DataFrame = {
-    val assigned = assignTo(corpus, vecCol, centroids)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probes = q
       .crossJoin(broadcast(centroids))

@@ -202,4 +202,33 @@ class SimilaritySpec extends SparkSpec {
     assert(fromSaved == inline)
     assert(fromSaved.nonEmpty)
   }
+
+  test("forget on the assignment table == rebuild from the reduced corpus (multi-cluster)") {
+    // the IVF forget contract in the PRODUCTION (nProbe < nCentroids)
+    // config: centroids are doc-free and stay; removeIds over the
+    // persisted assignment table, probed via ivfTopKAssigned, must be
+    // value-equal to re-assigning the reduced corpus under the SAME
+    // centroids - and no removed id may ever surface
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", "vec_id",
+      nCentroids = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-fgt")
+      .resolve("assigned").toString
+    Similarity.ivfAssignWith(corpus, "embedding", cents)
+      .write.mode("overwrite").parquet(dir)
+    val removed = corpus.filter(col("vec_id") % 3 === 0)
+    val kept = graft.operators.Forget.removeIds(
+      spark.read.parquet(dir), "vec_id", removed, "vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), round(col("score"), 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val forgotten = rows(Similarity.ivfTopKAssigned(
+      kept, queries, "embedding", "vec_id", cents, k = 5, nProbe = 3))
+    val rebuilt = rows(Similarity.ivfTopKWith(
+      corpus.join(removed.select("vec_id"), Seq("vec_id"), "left_anti"),
+      queries, "embedding", "vec_id", cents, k = 5, nProbe = 3))
+    assert(forgotten == rebuilt)
+    assert(forgotten.nonEmpty)
+    val removedIds = removed.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(forgotten.forall { case (_, n, _) => !removedIds.contains(n) })
+  }
 }
