@@ -101,6 +101,57 @@ object InfraGates {
           "n_chars", "doc_id", stages = 4, epoch = 1)
         .select("doc_id", "stage", "curriculum_idx")
     },
+    // §2 row 163 — the COMPOSED training-delivery recipe ("best N
+    // tokens, easy-first, shuffled, sharded, shipped"): selectByBudget
+    // (30k ws-tokens, quality = n_chars DESC) → curriculumOrder (4
+    // quantile stages over the SELECTED set, epoch-1 in-stage shuffle)
+    // → assignShards (4 epoch-2 shards) → writeTarShards (repartition
+    // by shard, sorted by shard_pos) → readTar. Every label rides the
+    // member NAME and the payload rides the member bytes, so the gate
+    // pins the artifact a trainer actually opens — stage, curriculum
+    // slot, shard, slot-in-shard, and text md5 — against one composed
+    // DuckDB CTE (budget window → quantile stages → hash permutations)
+    "q_delivery_e2e" -> { (s, dir) =>
+      val t = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          graft.operators.TextAnalysis.wsTokenCount(col("text")).as("toks"))
+      val picked = Sampling.selectByBudget(t, "toks", budget = 30000L,
+        orderBy = Seq(col("n_chars").desc, col("doc_id").asc))
+      val ordered = TrainingOrder.curriculumOrder(picked, "n_chars", "doc_id",
+        stages = 4, epoch = 1)
+      val sharded = TrainingOrder.assignShards(ordered, "doc_id",
+        numShards = 4, epoch = 2)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-delivery").toString
+      graft.sources.Archives.writeTarShards(
+        sharded
+          .repartition(4, col("shard"))
+          .sortWithinPartitions(col("shard"), col("shard_pos"))
+          .select(
+            concat_ws("/",
+              col("shard").cast("string"),
+              lpad(col("shard_pos").cast("string"), 8, "0"),
+              concat_ws("_", col("stage").cast("string"),
+                col("curriculum_idx").cast("string"),
+                concat(col("doc_id").cast("string"), lit(".txt"))))
+              .as("member_name"),
+            col("text").cast("binary").as("member_bytes")),
+        out)
+      graft.sources.Archives.readTar(s, s"$out/part-*")
+        .select(split(col("member_name"), "/").as("p"), col("member_bytes"))
+        .select(
+          col("p").getItem(0).cast("long").as("shard"),
+          col("p").getItem(1).cast("long").as("shard_pos"),
+          split(col("p").getItem(2), "_").as("q"),
+          col("member_bytes"))
+        .select(
+          col("shard"), col("shard_pos"),
+          col("q").getItem(0).cast("int").as("stage"),
+          col("q").getItem(1).cast("long").as("curriculum_idx"),
+          regexp_replace(col("q").getItem(2), "\\.txt$", "")
+            .cast("long").as("doc_id"),
+          md5(col("member_bytes")).as("text_md5"))
+    },
     // §2.4 row 87 — as-of join: each purchase picks the user's most
     // recent at-or-before click via the union+running-last spelling
     // (one shuffle, zero join nodes); the oracle is the DEFINITIONAL
@@ -466,6 +517,38 @@ object InfraGates {
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_dedup_stream" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // the full composed chain: budget running-sum window -> quantile
+    // stages over the SELECTED set -> the two portable hash
+    // permutations -> payload md5 (text re-read from the source table)
+    "q_delivery_e2e" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, text,
+         |         CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_chars, text,
+         |         sum(toks) OVER (ORDER BY n_chars DESC, doc_id ASC
+         |                         ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t),
+         |picked AS (SELECT doc_id, n_chars, text FROM c WHERE cum <= 30000),
+         |b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bs FROM picked),
+         |st AS (
+         |  SELECT doc_id, text,
+         |         len(list_filter(bs, x -> n_chars > x))::INT AS stage,
+         |         ${LlmGates.h60("'graft:1:' || doc_id")} AS ckey,
+         |         ${LlmGates.h60("'graft:2:' || doc_id")} AS skey
+         |  FROM picked, b),
+         |idx AS (
+         |  SELECT doc_id, text, stage,
+         |         row_number() OVER (ORDER BY stage, ckey, doc_id) AS curriculum_idx,
+         |         skey % 4 AS shard,
+         |         row_number() OVER (PARTITION BY skey % 4
+         |                            ORDER BY skey, doc_id) AS shard_pos
+         |  FROM st)
+         |SELECT shard, shard_pos, stage, curriculum_idx, doc_id,
+         |       md5(text) AS text_md5
+         |FROM idx""".stripMargin,
     "q_curriculum" ->
       s"""WITH t AS (SELECT doc_id, n_chars FROM documents),
          |b AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bs FROM t),

@@ -207,8 +207,18 @@ object TrainingOrder {
       var acc = bc.value(pid)
       it.map { r =>
         acc += r.getLong(wIdx)
-        val base = r.toSeq.zipWithIndex.collect { case (v, i) if i != wIdx => v }
-        org.apache.spark.sql.Row.fromSeq(base :+ acc)
+        // flat index-skipping copy (one array, no per-field Seq chain —
+        // this runs once per corpus row)
+        val arr = new Array[Any](r.length)
+        var i = 0
+        var j = 0
+        while (i < r.length) {
+          if (i != wIdx) { arr(j) = r.get(i); j += 1 }
+          i += 1
+        }
+        arr(r.length - 1) = acc
+        org.apache.spark.sql.Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
       }
     }
     df.sparkSession.createDataFrame(rows, outSchema)
@@ -227,8 +237,9 @@ object TrainingOrder {
    * O(partitions + groups) by contiguity, metadata either way.
    *
    * Group keys must be ATOMIC values (string/numeric/date — driver-map
-   * equality; an array key would compare by reference) — the usual
-   * grouping-key contract. NULL groups form their own group (nulls
+   * equality; an array/binary/struct key would compare by reference),
+   * ENFORCED by a require — not just the usual grouping-key
+   * convention. NULL groups form their own group (nulls
    * sort first). Prefer the window spelling when groups are plentiful
    * (domains, shards): it pays no driver round-trip and AQE handles
    * the skew; this arm exists for the few-giant-groups regime.
@@ -243,6 +254,26 @@ object TrainingOrder {
   ): DataFrame = {
     require(orderBy.nonEmpty, "withRunningTotalGrouped needs an order")
     Cols.requireAbsent(df, totalCol, "__rtg_w")
+    // group keys flow through a driver map and a per-row != check —
+    // reference equality for arrays/structs/binary, which would make
+    // every executor lookup miss and silently restart each row's
+    // accumulator. Fail loud instead of documenting the footgun.
+    val gType = df.schema(groupCol).dataType
+    val gAtomic = {
+      import org.apache.spark.sql.types._
+      gType match {
+        case _: StringType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType | BooleanType |
+             DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+    require(gAtomic,
+      s"withRunningTotalGrouped: groupCol '$groupCol' has type " +
+        s"${gType.catalogString}, whose values compare by REFERENCE in " +
+        "the driver offset map - per-group totals would silently reset " +
+        "per row. Use an atomic key (string/numeric/date/timestamp), " +
+        "e.g. hex(binaryCol) or to_json(structCol)")
     val n = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val keys = col(groupCol).asc +: orderBy
@@ -284,8 +315,17 @@ object TrainingOrder {
           acc = bc.value.getOrElse((pid, g), 0L)
         }
         acc += r.getLong(wIdx)
-        val base = r.toSeq.zipWithIndex.collect { case (v, i) if i != wIdx => v }
-        org.apache.spark.sql.Row.fromSeq(base :+ acc)
+        // flat index-skipping copy (see withRunningTotal)
+        val arr = new Array[Any](r.length)
+        var i = 0
+        var j = 0
+        while (i < r.length) {
+          if (i != wIdx) { arr(j) = r.get(i); j += 1 }
+          i += 1
+        }
+        arr(r.length - 1) = acc
+        org.apache.spark.sql.Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
       }
     }
     df.sparkSession.createDataFrame(rows, outSchema)

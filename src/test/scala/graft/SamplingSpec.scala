@@ -522,4 +522,28 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("withRunningTotalGrouped rejects non-atomic group keys (reference equality)") {
+    import spark.implicits._
+    // a binary key compares by reference in the driver offset map and
+    // the per-row group-change check — totals would silently reset per
+    // row; the require names the fault and the escape
+    val bin = Seq((1L, Array[Byte](1), 5L), (2L, Array[Byte](1), 7L))
+      .toDF("id", "g", "w")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TrainingOrder.withRunningTotalGrouped(
+        bin, "g", Seq(col("id").asc), "w", "cum")
+    }
+    assert(e.getMessage.contains("REFERENCE"), e.getMessage)
+    val arr = Seq((1L, Seq("a"), 5L)).toDF("id", "g", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingOrder.withRunningTotalGrouped(
+        arr, "g", Seq(col("id").asc), "w", "cum")
+    }
+    // the hex() escape hatch works and totals accumulate correctly
+    val got = graft.operators.TrainingOrder.withRunningTotalGrouped(
+        bin.withColumn("g", hex(col("g"))), "g", Seq(col("id").asc), "w", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 12L))
+  }
 }
