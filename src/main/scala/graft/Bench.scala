@@ -168,7 +168,16 @@ object Bench {
     "q_orc_roundtrip",      // ORC sink + source roundtrip over the documents table (r15)
     // q_curation_c4 stays unbenched: constant-fixture parity gate, the
     // q_curation_uax29/q_curation_keepbest convention
-    "q_curriculum"          // curriculum order: quantile stages + epoch hash + global-index range shuffle (r15)
+    "q_curriculum",         // curriculum order: quantile stages + epoch hash + global-index range shuffle (r15)
+    "q_bm25_append",        // bm25 index grow: parquet roundtrip + drop-sized delta joins + one index rewrite (r16)
+    "q_bm25_append_forget", // append-then-forget roundtrip: two full-index rewrites back to back (r16)
+    "q_c4_clean_cjk",       // parameterized-terminator C4 pass, both arms over re-terminated pages (r16)
+    "q_forget_ivf",         // IVF assignment-table forget + exact-degenerate probe of every bucket (r16)
+    "q_forget_pq",          // PQ codes forget + planted-codebook ADC probe (r16)
+    "q_delivery_e2e",       // composed delivery: budget -> curriculum -> shards -> tar write + readback (r16)
+    "q_forget_dhash_banded" // banded media-hash artifact forget: one anti-join over band rows (r16)
+    // q_image/video/audio_neardup_incr keep their r15 cells - same names,
+    // now probing the pre-banded artifact (build moved into the cell)
   )
 
   private def jsonStr(s: String): String =
