@@ -876,17 +876,15 @@ object LlmGates {
       import s.implicits._
       val out = java.nio.file.Files
         .createTempDirectory("graft-dhash-idx").toString
-      Multimodal.bandedMediaIndex(
-          Multimodal.imageDHash(dhashFixtures(s)), "doc_id", "dhash")
-        .write.mode("overwrite").parquet(out)
+      Multimodal.bandedMediaIndexWrite(
+        Multimodal.imageDHash(dhashFixtures(s)), "doc_id", "dhash", out)
       val texts = docs(s, dir)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
       val batch = texts.union(dhashFixtures(s)
         .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
-      Multimodal.imageNearDupsAgainstBanded(batch, s.read.parquet(out),
-        maxHamming = 3)
+      Multimodal.imageNearDupsAgainstBandedDir(batch, out, maxHamming = 3)
     },
     // §2 row 153 (media arm) — forget over the persisted dHash table:
     // per-doc rows only, so Forget.removeIds ≡ rebuild; the forgotten
@@ -981,17 +979,18 @@ object LlmGates {
       import s.implicits._
       val out = java.nio.file.Files
         .createTempDirectory("graft-vhash-idx").toString
-      Multimodal.bandedMediaIndex(
-          Multimodal.videoDHash(videoFixtures(s), n = 3), "doc_id", "vhash")
-        .write.mode("overwrite").parquet(out)
+      Multimodal.bandedMediaIndexWrite(
+        Multimodal.videoDHash(videoFixtures(s), n = 3), "doc_id", "vhash",
+        out, metricPrefix = "banded_vhash")
       val texts = docs(s, dir)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
       val batch = texts.union(videoFixtures(s)
         .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
-      Multimodal.videoNearDupsAgainstBanded(batch, s.read.parquet(out),
-        n = 3, maxHamming = 3)
+      graft.operators.Dedup.hammingMatchesAgainstBandedDir(s, out,
+        Multimodal.videoDHash(batch, n = 3).filter(col("vhash").isNotNull),
+        "doc_id", "vhash", maxHamming = 3, metricPrefix = "banded_vhash")
     },
     // §2 row 147 — audio energy-contour fingerprint: one sample per
     // RMS window so every bit is a hand-derived strict comparison of
@@ -1022,17 +1021,18 @@ object LlmGates {
       import s.implicits._
       val out = java.nio.file.Files
         .createTempDirectory("graft-afp-idx").toString
-      Multimodal.bandedMediaIndex(
-          Multimodal.audioFingerprint(audioFpFixtures(s)), "doc_id", "afp")
-        .write.mode("overwrite").parquet(out)
+      Multimodal.bandedMediaIndexWrite(
+        Multimodal.audioFingerprint(audioFpFixtures(s)), "doc_id", "afp",
+        out, metricPrefix = "banded_afp")
       val texts = docs(s, dir)
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[Multimodal.MediaRecord]
       val batch = texts.union(audioFpFixtures(s)
         .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
-      Multimodal.audioNearDupsAgainstBanded(batch, s.read.parquet(out),
-        maxHamming = 3)
+      graft.operators.Dedup.hammingMatchesAgainstBandedDir(s, out,
+        Multimodal.audioFingerprint(batch).filter(col("afp").isNotNull),
+        "doc_id", "afp", maxHamming = 3, metricPrefix = "banded_afp")
     },
     // §2.4 row 85 — corpus-wide duplicate-PARAGRAPH removal (the
     // RefinedWeb granularity): a 2-LINE banner block planted in 3 docs

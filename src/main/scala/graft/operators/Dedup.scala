@@ -1484,6 +1484,105 @@ object Dedup {
         col("i.index_hash").as("index_hash"))
   }
 
+  /** Banding-parameter sidecar name (an `_`-prefixed file — Spark's
+    * readers ignore it as data). The [[graft.operators.Retrieval]]
+    * BucketMetaFile convention: a probe MUST band with the writer's
+    * bits/bands, so they are never a caller-supplied guess on the
+    * read side. */
+  private val HammingBandsMetaFile = "_hamming_bands"
+
+  /**
+   * Persist a [[hammingBandedIndex]] with its banding parameters in a
+   * self-describing `_hamming_bands` sidecar — the sanctioned way to
+   * write the artifact. A probe with mismatched bits/bands computes
+   * DISJOINT band keys and silently loses every match; the sidecar
+   * makes the parameters the artifact's own metadata
+   * ([[hammingMatchesAgainstBandedDir]] reads them back), exactly the
+   * bm25IndexWrite modulus doctrine. `mode = "append"` grows the
+   * artifact (new drops' band rows) and VERIFIES the sidecar instead
+   * of rewriting it — appending with different banding would corrupt
+   * the key space.
+   */
+  def hammingBandedIndexWrite(
+    banded: DataFrame,
+    path: String,
+    bits: Int,
+    bands: Int,
+    mode: String = "overwrite"
+  ): Unit = {
+    requireHammingBandParams(bits, bands)
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be overwrite|append: '$mode'")
+    val spark = banded.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, HammingBandsMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mode == "append" && fs.exists(p)) {
+      val (b0, n0) = readHammingBandMeta(spark, path)
+      require(b0 == bits && n0 == bands,
+        s"hammingBandedIndexWrite: $path was built with bits=$b0 " +
+          s"bands=$n0, append requested bits=$bits bands=$bands - " +
+          "banding params are the artifact's contract; rebuild to change them")
+    }
+    banded.write.mode(mode).parquet(path)
+    val out = fs.create(p, true)
+    try out.write(s"$bits,$bands".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a [[hammingBandedIndexWrite]] sidecar back as (bits, bands).
+    * Fails LOUD when absent — a parquet directory without it is either
+    * a pre-banded-era flat hash table or a foreign dataset, and
+    * guessing banding params would silently lose recall. */
+  def readHammingBandMeta(
+    spark: org.apache.spark.sql.SparkSession,
+    path: String
+  ): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path, HammingBandsMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no $HammingBandsMetaFile sidecar - either it was not " +
+        "written by hammingBandedIndexWrite, or it is a pre-banded flat " +
+        "(id, hash) table: rebuild the artifact with bandedMediaIndex / " +
+        "hammingBandedIndex + hammingBandedIndexWrite")
+    val in = fs.open(p)
+    val text = try {
+      val buf = new Array[Byte](32)
+      val outBuf = new java.io.ByteArrayOutputStream(32)
+      var n = in.read(buf)
+      while (n > 0) { outBuf.write(buf, 0, n); n = in.read(buf) }
+      new String(outBuf.toByteArray, "UTF-8").trim
+    } finally in.close()
+    val parts = text.split(",", -1)
+    require(parts.length == 2 && parts.forall(s =>
+        s.nonEmpty && s.length <= 2 && s.forall(c => c >= '0' && c <= '9')),
+      s"$path/$HammingBandsMetaFile is not 'bits,bands' ('$text') - " +
+        "was it written by hammingBandedIndexWrite?")
+    (parts(0).toInt, parts(1).toInt)
+  }
+
+  /**
+   * [[hammingMatchesAgainstBanded]] against a
+   * [[hammingBandedIndexWrite]] DIRECTORY: bits/bands come from the
+   * artifact's own sidecar, so a probe can never band differently
+   * from the build — the mismatch class the flat DataFrame overload
+   * documents is closed here by construction.
+   */
+  def hammingMatchesAgainstBandedDir(
+    spark: org.apache.spark.sql.SparkSession,
+    path: String,
+    batchHashes: DataFrame,
+    idCol: String,
+    hashCol: String,
+    maxHamming: Int = 3,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    broadcastBatch: Boolean = true,
+    metricPrefix: String = "banded_hamming"
+  ): DataFrame = {
+    val (bits, bands) = readHammingBandMeta(spark, path)
+    hammingMatchesAgainstBanded(batchHashes, spark.read.parquet(path),
+      idCol, hashCol, bits, maxHamming, bands, maxBucket, broadcastBatch,
+      metricPrefix)
+  }
+
   /**
    * Hamming near-dup matches of a batch against a PRE-BANDED
    * [[hammingBandedIndex]] artifact: the batch side is banded and

@@ -410,6 +410,41 @@ object Multimodal {
     Dedup.hammingBandedIndex(hashes, idCol, hashCol, 64, bands, maxBucket,
       metricPrefix)
 
+  /** [[bandedMediaIndex]] persisted with its self-describing
+    * `_hamming_bands` sidecar ([[Dedup.hammingBandedIndexWrite]]) —
+    * the sanctioned artifact writer; probe the directory with
+    * [[imageNearDupsAgainstBandedDir]] (or the Dedup Dir probe for
+    * video/audio hash tables) so banding params can never drift
+    * between build and probe. */
+  def bandedMediaIndexWrite(
+    hashes: DataFrame,
+    idCol: String,
+    hashCol: String,
+    path: String,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket,
+    metricPrefix: String = "banded_dhash",
+    mode: String = "overwrite"
+  ): Unit =
+    Dedup.hammingBandedIndexWrite(
+      bandedMediaIndex(hashes, idCol, hashCol, bands, maxBucket, metricPrefix),
+      path, 64, bands, mode)
+
+  /** [[imageNearDupsAgainstBanded]] against a [[bandedMediaIndexWrite]]
+    * DIRECTORY — bands come from the artifact's sidecar, never a
+    * caller guess. */
+  def imageNearDupsAgainstBandedDir(
+    batch: Dataset[MediaRecord],
+    path: String,
+    maxHamming: Int = 3,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket,
+    broadcastBatch: Boolean = true
+  ): DataFrame =
+    Dedup.hammingMatchesAgainstBandedDir(batch.sparkSession, path,
+      imageDHash(batch).filter(col("dhash").isNotNull),
+      "doc_id", "dhash", maxHamming, maxBucket, broadcastBatch,
+      metricPrefix = "banded_dhash")
+
   /** [[imageNearDupsAgainst]] over a PRE-BANDED [[bandedMediaIndex]]
     * artifact: per-probe work is batch-sized only — the index is
     * scanned and equi-joined, never re-banded or re-grouped. `bands`
@@ -440,8 +475,10 @@ object Multimodal {
    * SURVIVORS' band rows append to the artifact, and `sink` receives
    * the surviving records. Undecodable payloads (NULL dhash) never
    * match and always survive — the batch-mode contract. `bands` is
-   * the artifact's contract and must stay fixed across the stream's
-   * life.
+   * the artifact's contract, pinned by its `_hamming_bands` sidecar:
+   * a restart with different bands FAILS LOUD, and a pre-banded-era
+   * flat (doc_id, dhash) directory fails with a message naming the
+   * rebuild ([[bandedMediaIndexWrite]]).
    *
    * Equivalence to one batch [[imageNearDups]]-dedup over the union of
    * all batches (spec-pinned on a MemoryStream): identical given ids
@@ -484,12 +521,30 @@ object Multimodal {
         val crossMatched =
           if (!fs.exists(hp)) spark.range(0).select(col("id").as("doc_id"))
           else {
+            // the sidecar check fails LOUD on a pre-banded-era flat
+            // (doc_id, dhash) table or a foreign dataset (rebuild with
+            // bandedMediaIndexWrite), and pins the banding contract
+            // across the stream's whole life
+            val (mBits, mBands) = Dedup.readHammingBandMeta(spark, indexDir)
+            require(mBits == 64 && mBands == bands,
+              s"imageDedupStreamSink: $indexDir was built with " +
+                s"bits=$mBits bands=$mBands but this sink is configured " +
+                s"bands=$bands over 64-bit dHashes - banding params are " +
+                "the artifact's contract; restart with matching bands " +
+                "or rebuild the artifact")
             // replay idempotency: drop ALL index rows keyed by this
             // batch's ids — prior-attempt appends, never real dups
-            // (see the retry contract above)
-            val idx = spark.read.parquet(indexDir).join(
-              broadcast(hashes.select(col("doc_id").as("__bid"))),
-              col("index_id") === col("__bid"), "left_anti")
+            // (see the retry contract above). The schema is pinned
+            // (not inferred): a first batch whose survivors were all
+            // undecodable leaves a data-file-less directory, and
+            // inference would crash where an empty artifact is correct
+            val idx = spark.read
+              .schema("band INT, band_key BIGINT, index_id BIGINT, " +
+                "index_hash BIGINT")
+              .parquet(indexDir)
+              .join(
+                broadcast(hashes.select(col("doc_id").as("__bid"))),
+                col("index_id") === col("__bid"), "left_anti")
             Dedup.hammingMatchesAgainstBanded(
                 hashes, idx, "doc_id", "dhash", 64, maxHamming, bands,
                 maxBucket, metricPrefix = "banded_dhash")
@@ -506,11 +561,12 @@ object Multimodal {
           try {
             sink(survivors, batchId)
             // grow the artifact from THIS batch's surviving decodables
-            // (band rows, capped within the drop — batch-sized work)
-            bandedMediaIndex(
+            // (band rows, capped within the drop — batch-sized work);
+            // the sidecar-verifying append keeps the banding contract
+            bandedMediaIndexWrite(
               hashes.join(broadcast(dropped), Seq("doc_id"), "left_anti"),
-              "doc_id", "dhash", bands, maxBucket)
-              .write.mode("append").parquet(indexDir)
+              "doc_id", "dhash", indexDir, bands, maxBucket,
+              mode = "append")
           } finally survivors.unpersist()
         } finally dropped.unpersist()
       } finally hashes.unpersist()

@@ -290,11 +290,16 @@ object Retrieval {
    * index rows themselves (max over the constant columns — an EMPTY
    * index appends as a from-scratch build).
    *
-   * Scale shape: one drop tokenize/aggregate (drop-sized), one index
-   * scan (the rewrite itself — unavoidable, df/N/avgdl change on every
-   * row), drop-vocabulary-sized delta joins (broadcast by default,
-   * `broadcastDrop = false` for giant drops → shuffle joins, AQE
-   * handles skew). The OLD corpus text is never read. Wrap in
+   * Scale shape: the index is read for the rewrite itself (unavoidable
+   * — df/N/avgdl change on every row) plus a column-pruned pass for
+   * the drop words' old df (only `word`/`df` columns move) and a
+   * 1-ROW stats peek (limit(1) under the aggregate — the constants
+   * ride every row, so one row is enough); the drop tokenizes once
+   * per consuming subtree (four drop-sized passes — persist the drop
+   * upstream if its tokenization dominates), delta joins are
+   * drop-vocabulary-sized (broadcast by default, `broadcastDrop =
+   * false` for giant drops → shuffle joins, AQE handles skew). The
+   * OLD corpus text is never read. Wrap in
    * [[Forget.rewriteVersioned]] for atomic publication.
    */
   def bm25Append(
@@ -311,9 +316,11 @@ object Retrieval {
     val aStats = docs.agg(
       count(lit(1)).as("__a_n"),
       coalesce(sum(col("dl")).cast("long"), lit(0L)).as("__a_sum"))
-    // max over the denormalized constants: 1 row, (0, 0) when empty —
-    // appending onto an empty index degenerates to a fresh build
-    val oldStats = index.agg(
+    // the stats are denormalized constants, so ONE row carries them:
+    // limit(1) under the aggregate keeps this a near-free peek, and
+    // the coalesced max makes an EMPTY index read as (0, 0) —
+    // appending onto nothing degenerates to a fresh build
+    val oldStats = index.select(col("n_docs"), col("sum_dl")).limit(1).agg(
       coalesce(max(col("n_docs")), lit(0L)).as("__o_n"),
       coalesce(max(col("sum_dl")), lit(0L)).as("__o_sum"))
     val stats = broadcast(oldStats.crossJoin(aStats).select(
@@ -335,21 +342,25 @@ object Retrieval {
     val avgdl2 = when(col("__n2") === 0, lit(0.0))
       .otherwise(col("__s2").cast("double") / col("__n2").cast("double"))
     // surviving old rows: bump df and stats; an id collision fails
-    // LOUD through the df value itself (the nonNegWeight spelling —
-    // the guard rides a consumed column, so no rewrite can prune it)
-    val dfGuarded =
+    // LOUD through a FILTER predicate (not an output column — a guard
+    // woven into df would be silently ELIDED by column pruning for any
+    // consumer that never reads df, e.g. a bare count(); a filter
+    // decides cardinality, so every consumer evaluates it)
+    val collisionGuard =
       when(col("__aid").isNotNull,
         raise_error(concat(lit("bm25Append: drop id already indexed: "),
           col("doc_id").cast("string"),
           lit(" - appending an indexed document would double-count " +
-            "df/N/avgdl; forget it first or dedup the drop"))).cast("long"))
-        .otherwise(col("df") + coalesce(col("__a_df"), lit(0L)))
+            "df/N/avgdl; forget it first or dedup the drop")))
+          .cast("boolean"))
+        .otherwise(lit(true))
     val oldRows = index
       .join(hinted(dropIds), col("doc_id") === col("__aid"), "left")
+      .filter(collisionGuard)
       .join(hinted(aDf), Seq("word"), "left")
       .crossJoin(stats)
       .select(col("word"), col("doc_id"), col("tf"), col("dl"),
-        dfGuarded.as("df"),
+        (col("df") + coalesce(col("__a_df"), lit(0L))).as("df"),
         col("__n2").as("n_docs"), avgdl2.as("avgdl"), col("__s2").as("sum_dl"))
     val tokenless = docs.filter(col("dl") === 0)
       .select(lit(null).cast("string").as("word"), col("doc_id"),
@@ -465,7 +476,11 @@ object Retrieval {
     b: Double = 0.75,
     maxQueryTerms: Int = 100000
   ): DataFrame = {
-    require(maxQueryTerms >= 1, s"maxQueryTerms must be >= 1: $maxQueryTerms")
+    // the upper bound keeps the cap+1 overflow-free — the error below
+    // says "raise maxQueryTerms explicitly", so Int.MaxValue must not
+    // turn that escape hatch into a negative limit() crash
+    require(maxQueryTerms >= 1 && maxQueryTerms < Int.MaxValue,
+      s"maxQueryTerms must be in [1, ${Int.MaxValue - 1}]: $maxQueryTerms")
     val buckets = readBucketMeta(spark, path)
     // the query frame is metadata-sized BY CONTRACT (its distinct terms
     // are collected driver-side to compute the pruned bucket set);

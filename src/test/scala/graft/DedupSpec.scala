@@ -917,6 +917,46 @@ class DedupSpec extends SparkSpec {
     assert(flatIdxAggs.nonEmpty)
   }
 
+  test("banded artifact sidecar: Dir probe reads build params; mismatches fail loud") {
+    import spark.implicits._
+    val idx = (0 until 20).map(i => (i.toLong, i.toLong * 7919))
+    val batch = Seq((100L, 7919L), (101L, 3L * 7919L ^ 1L)).toDF("id", "h")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-banded-meta").toString
+    // write at NON-default banding: the Dir probe must still find the
+    // matches because bits/bands come from the sidecar, not a guess
+    Dedup.hammingBandedIndexWrite(
+      Dedup.hammingBandedIndex(idx.toDF("id", "h"), "id", "h",
+        bits = 64, bands = 8, maxBucket = None),
+      out, bits = 64, bands = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = pairs(Dedup.hammingMatchesAgainstBandedDir(spark, out,
+      batch, "id", "h", maxHamming = 3, maxBucket = None))
+    val want = (for {
+      (ib, hb) <- Seq((100L, 7919L), (101L, 3L * 7919L ^ 1L))
+      (ii, hi) <- idx
+      d = java.lang.Long.bitCount(hb ^ hi) if d <= 3
+    } yield (ib, ii, d)).toSet
+    assert(got == want && got.nonEmpty)
+    // appending with different banding would corrupt the key space
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingBandedIndexWrite(
+        Dedup.hammingBandedIndex(batch, "id", "h", bits = 64, bands = 4),
+        out, bits = 64, bands = 4, mode = "append")
+    }
+    assert(e.getMessage.contains("contract"), e.getMessage)
+    // a parquet directory WITHOUT the sidecar (pre-banded flat table,
+    // foreign data) fails naming the rebuild, never guesses
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-banded-bare").toString
+    idx.toDF("doc_id", "dhash").write.mode("overwrite").parquet(bare)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.hammingMatchesAgainstBandedDir(spark, bare, batch, "id", "h")
+    }
+    assert(e2.getMessage.contains("hammingBandedIndexWrite"), e2.getMessage)
+  }
+
   test("hammingNearDups: rejects bits that don't divide into bands") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("id", "h")

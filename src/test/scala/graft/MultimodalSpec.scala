@@ -613,6 +613,50 @@ class MultimodalSpec extends SparkSpec {
     assert(delivered == Set(1L), s"replay delivered $delivered, not {1}")
   }
 
+  test("imageDedupStreamSink: flat pre-banded dirs and band mismatches fail loud") {
+    // a pre-r16 stream's flat (doc_id, dhash) directory must fail with
+    // a message naming the rebuild, not an unresolved-column error
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft-dstream-flat").toString + "/dhash"
+    Multimodal.imageDHash(Seq(
+        MediaRecord(1L, grayPng(9, 8)((x, _) => x * 10))).toDS())
+      .write.mode("overwrite").parquet(flat)
+    val sink = Multimodal.imageDedupStreamSink(flat) { (_, _) => () }
+    val e = intercept[IllegalArgumentException] {
+      sink(Seq(MediaRecord(2L, grayPng(9, 8)((_, _) => 7))).toDS(), 0L)
+    }
+    assert(e.getMessage.contains("hammingBandedIndexWrite"), e.getMessage)
+    // a restart with different bands fails naming the contract
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-dstream-bands").toString + "/dhash"
+    Multimodal.imageDedupStreamSink(idx) { (_, _) => () }(
+      Seq(MediaRecord(1L, grayPng(9, 8)((x, _) => x * 10))).toDS(), 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.imageDedupStreamSink(idx, bands = 2) { (_, _) => () }(
+        Seq(MediaRecord(2L, grayPng(9, 8)((_, _) => 7))).toDS(), 1L)
+    }
+    assert(e2.getMessage.contains("bands"), e2.getMessage)
+  }
+
+  test("imageDedupStreamSink: an all-undecodable first batch leaves a usable artifact") {
+    // zero decodable survivors write no parquet part files — the next
+    // batch must read the (pinned-schema) empty artifact, not crash on
+    // schema inference
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-dstream-empty").toString + "/dhash"
+    var delivered: Set[Long] = Set.empty
+    val sink = Multimodal.imageDedupStreamSink(idx) { (survivors, _) =>
+      delivered = survivors.collect().map(_.doc_id).toSet
+    }
+    sink(Seq(MediaRecord(1L, "not an image".getBytes("UTF-8"))).toDS(), 0L)
+    assert(delivered == Set(1L)) // undecodables always survive
+    sink(Seq(MediaRecord(2L, grayPng(9, 8)((x, _) => x * 10))).toDS(), 1L)
+    assert(delivered == Set(2L))
+    // and the decodable survivor grew the artifact
+    assert(spark.read.parquet(idx).select("index_id")
+      .distinct().collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("imageNearDupsAgainst: batch probes the persisted dHash table; media NULLs stay out") {
     val index = Multimodal.imageDHash(Seq(
       MediaRecord(1L, grayPng(9, 8)((x, _) => x * 10)),           // -1

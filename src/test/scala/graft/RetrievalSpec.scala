@@ -328,6 +328,28 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(e.getMessage != null && e.getMessage.contains("already indexed"),
       String.valueOf(e.getMessage))
+    // the guard is a FILTER, so it survives column pruning: a bare
+    // count() (which reads NO columns) must still raise — a guard
+    // woven into an output column would be silently elided here
+    val e2 = intercept[Exception] {
+      Retrieval.bm25Append(idx, corpus.filter($"doc_id" === 2L), "text", "doc_id")
+        .count()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("already indexed"),
+      String.valueOf(e2.getMessage))
+    // and a disjoint append still passes the guard untouched
+    assert(Retrieval.bm25Append(
+      Retrieval.bm25Index(corpus.filter($"doc_id" % 2 === 0), "text", "doc_id"),
+      corpus.filter($"doc_id" % 2 === 1), "text", "doc_id").count() > 0)
+  }
+
+  test("bm25ScoresFromDir: maxQueryTerms bounds reject Int.MaxValue (overflow guard)") {
+    val dir = partitionedDir(buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25ScoresFromDir(spark, dir, queries, "query_id", "qtext",
+        maxQueryTerms = Int.MaxValue)
+    }
+    assert(e.getMessage.contains("maxQueryTerms"), e.getMessage)
   }
 
   test("bm25Append then bm25Forget lands back on the original index") {
