@@ -97,6 +97,26 @@ object CorpusGates {
           col("dl").cast("long").as("dl"), col("df"), col("n_docs"),
           round(col("avgdl"), 6).as("avgdl"), col("sum_dl"))
     },
+    // §2 row 160 (layout arm) — grow the PARTITION-PRUNED layout: the
+    // even-id index written bucketed, grown by the odd half via
+    // bm25AppendDir (full layout rewrite under the source's own
+    // modulus — stats ride every row, so no bucket survives a grow),
+    // probed through partition pruning under the SAME oracle as
+    // q_bm25: layout + lifecycle together cannot change a score
+    "q_bm25_append_part" -> { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bm25apd-gate").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      Retrieval.bm25IndexWrite(
+        Retrieval.bm25Index(
+          d.filter(col("doc_id") % 2 === 0), "text", "doc_id"),
+        base, buckets = 32)
+      Retrieval.bm25AppendDir(s, base, d.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", base + "-v2")
+      Retrieval.bm25ScoresFromDir(s, base + "-v2",
+          bm25Queries(s), "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
     // §2 row 148 — partition-pruned BM25 layout: the index written
     // Hive-partitioned by word-hash bucket with its self-describing
     // modulus sidecar, probed through bucket partition pruning — same
@@ -761,6 +781,7 @@ object CorpusGates {
     "q_bm25_incr" -> Bm25Sql,
     "q_bm25_part" -> Bm25Sql,
     "q_bm25_append" -> bm25IndexRebuildSql(""),
+    "q_bm25_append_part" -> Bm25Sql,
     "q_bm25_append_forget" -> bm25IndexRebuildSql("WHERE doc_id % 2 = 0"),
     "q_fix_mojibake" -> {
       val orig2 = "'it' || chr(8217) || 's a ' || chr(8220) || 'test' || " +

@@ -907,6 +907,31 @@ object LlmGates {
         .unionByName(pairs.select(col("batch_id").as("a"),
           col("index_id").as("b"), lit("pair").as("src")))
     },
+    // §2 row 161 (grow arm) — APPEND into the pre-banded artifact: the
+    // first three fixtures' band rows written with the sidecar, the
+    // last two appended (sidecar-verified, per-drop cap), then the
+    // re-keyed batch probed through the Dir path — value-identical to
+    // probing an artifact built from all five at once, so it shares
+    // q_image_neardup_incr's brute-force oracle verbatim
+    "q_image_banded_append" -> { (s, dir) =>
+      import s.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-dhash-apd").toString
+      val fx = dhashFixtures(s)
+      Multimodal.bandedMediaIndexWrite(
+        Multimodal.imageDHash(fx.filter(col("doc_id") <= 800003L)),
+        "doc_id", "dhash", out)
+      Multimodal.bandedMediaIndexWrite(
+        Multimodal.imageDHash(fx.filter(col("doc_id") > 800003L)),
+        "doc_id", "dhash", out, mode = "append")
+      val texts = docs(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRecord]
+      val batch = texts.union(fx
+        .map(r => Multimodal.MediaRecord(r.doc_id + 10000, r.payload)))
+      Multimodal.imageNearDupsAgainstBandedDir(batch, out, maxHamming = 3)
+    },
     // §2 row 161 — forget over the PRE-BANDED media-hash artifact:
     // per-doc band rows only, so Forget.removeIds on index_id ≡ a
     // rebuild from the reduced hash table; the oracle re-derives every
@@ -1564,6 +1589,22 @@ object LlmGates {
       |  JOIN bands b USING (band, band_key)
       |  WHERE a.doc_id < b.doc_id)""".stripMargin
 
+  /** Cross-side brute force over the dHash fixture literals — shared
+    * verbatim by q_image_neardup_incr (all-at-once build) and
+    * q_image_banded_append (build + grow): the pair IS the
+    * append-equals-rebuild contract. */
+  private val ImageIncrSql: String =
+    """WITH hi(doc_id, dhash) AS (VALUES
+      |  (800001::BIGINT, -1::BIGINT),
+      |  (800002::BIGINT, 0::BIGINT),
+      |  (800003::BIGINT, 1085102592571150095::BIGINT),
+      |  (800004::BIGINT, -2::BIGINT),
+      |  (800005::BIGINT, -1::BIGINT)),
+      |hb AS (SELECT doc_id + 10000 AS doc_id, dhash FROM hi)
+      |SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+      |       bit_count(xor(b.dhash, i.dhash))::INT AS hamming
+      |FROM hb b JOIN hi i ON bit_count(xor(b.dhash, i.dhash)) <= 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""WITH all_docs AS (
@@ -2021,17 +2062,10 @@ object LlmGates {
     // cross-side brute force over the same literals, batch re-keyed
     // +10000 (text batch rows have NULL dhash and appear in neither
     // table — NULL never lands within any Hamming distance)
-    "q_image_neardup_incr" ->
-      """WITH hi(doc_id, dhash) AS (VALUES
-        |  (800001::BIGINT, -1::BIGINT),
-        |  (800002::BIGINT, 0::BIGINT),
-        |  (800003::BIGINT, 1085102592571150095::BIGINT),
-        |  (800004::BIGINT, -2::BIGINT),
-        |  (800005::BIGINT, -1::BIGINT)),
-        |hb AS (SELECT doc_id + 10000 AS doc_id, dhash FROM hi)
-        |SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
-        |       bit_count(xor(b.dhash, i.dhash))::INT AS hamming
-        |FROM hb b JOIN hi i ON bit_count(xor(b.dhash, i.dhash)) <= 3""".stripMargin,
+    "q_image_neardup_incr" -> ImageIncrSql,
+    // probing after a grow ≡ probing the all-at-once build: the same
+    // brute-force oracle, verbatim — the append-equals-rebuild contract
+    "q_image_banded_append" -> ImageIncrSql,
     // batch 0: ramp kept (800001), one-bit copy 800004 dropped within
     // batch, flat + text kept; batch 1: the rescaled ramp matches the
     // grown index (Hamming 0), the half-ramp and text are new

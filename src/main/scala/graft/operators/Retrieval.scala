@@ -378,6 +378,41 @@ object Retrieval {
   }
 
   /**
+   * [[bm25Append]] against a [[bm25IndexWrite]] DIRECTORY — the grow
+   * arm for the partition-pruned layout: reads the bucketed index
+   * (bucket column dropped — it is derivable), merges the drop with
+   * the exact-delta rewrite, and writes the grown index to `outPath`
+   * re-bucketed under the SOURCE's own modulus (from its sidecar — a
+   * different modulus would be a different layout, not a grown one).
+   * The write is a FULL layout rewrite by construction: n_docs/avgdl/
+   * sum_dl ride every posting row, so growing the corpus changes every
+   * bucket's bytes — there is no partition-local append for an index
+   * that denormalizes corpus stats (that denormalization is what makes
+   * pruning unable to change a score, the layout's core contract).
+   * Write to a NEW path and flip a pointer for atomic publication (the
+   * [[Forget.rewriteVersioned]] pattern, applied dir-to-dir here
+   * because the artifact is a directory tree, not one parquet).
+   */
+  def bm25AppendDir(
+    spark: SparkSession,
+    path: String,
+    drop: DataFrame,
+    textCol: String,
+    idCol: String,
+    outPath: String,
+    broadcastDrop: Boolean = true
+  ): Unit = {
+    require(outPath != path,
+      "bm25AppendDir: outPath must differ from the source path - the " +
+        "grown layout is a full rewrite; write fresh and flip a pointer")
+    val buckets = readBucketMeta(spark, path)
+    bm25IndexWrite(
+      bm25Append(spark.read.parquet(path).drop("bucket"), drop,
+        textCol, idCol, broadcastDrop),
+      outPath, buckets)
+  }
+
+  /**
    * BM25 scores probed from a persisted [[bm25Index]]: value-identical
    * to [[bm25Scores]] over the same corpus (identical operands through
    * identical arithmetic — tf/dl/df/N are exact longs and avgdl

@@ -352,6 +352,53 @@ class RetrievalSpec extends SparkSpec {
     assert(e.getMessage.contains("maxQueryTerms"), e.getMessage)
   }
 
+  test("bm25Append plan shape: 3 index passes (rewrite, pruned df lookup, 1-row peek)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bm25plan").toString
+    Retrieval.bm25Index(corpus.filter($"doc_id" % 2 === 0), "text", "doc_id")
+      .write.mode("overwrite").parquet(out)
+    val grown = Retrieval.bm25Append(
+      spark.read.parquet(out), corpus.filter($"doc_id" % 2 === 1),
+      "text", "doc_id")
+    val plan = grown.queryExecution.optimizedPlan
+    // the scaladoc's scale-shape claim, enforced: the UNBOUNDED index
+    // passes are exactly the rewrite scan and the column-pruned old-df
+    // lookup; the stats peek appears once under each union branch but
+    // both instances sit under a limit(1) — a full-index aggregate
+    // creeping back in (the pre-review shape) fails this
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan}
+    def idxLeaves(p: LogicalPlan) = p.collectLeaves().count(l =>
+      l.toString.contains("parquet") && l.output.exists(_.name == "n_docs"))
+    val total = idxLeaves(plan)
+    val peeks = plan.collect { case l: GlobalLimit => idxLeaves(l) }.sum
+    assert(peeks == 2, s"stats peeks not limit-bounded ($peeks):\n$plan")
+    assert(total - peeks == 2,
+      s"unbounded index scans = ${total - peeks}, want 2 (rewrite + df lookup):\n$plan")
+  }
+
+  test("bm25AppendDir grows the partitioned layout under the source modulus") {
+    val d = corpus
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25apd").toString
+    Retrieval.bm25IndexWrite(
+      Retrieval.bm25Index(d.filter($"doc_id" % 2 === 0), "text", "doc_id"),
+      base + "/v1", buckets = 8)
+    Retrieval.bm25AppendDir(spark, base + "/v1",
+      d.filter($"doc_id" % 2 === 1), "text", "doc_id", base + "/v2")
+    // the grown layout probes value-equal to the full-corpus inline
+    // scores, keeps the source's modulus, and refuses in-place growth
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> math.rint(r.getDouble(2) * 1e9))
+      .toMap
+    assert(m(Retrieval.bm25ScoresFromDir(spark, base + "/v2", queries, "query_id", "qtext"))
+      == m(Retrieval.bm25Scores(corpus, "text", "doc_id", queries, "query_id", "qtext")))
+    val sidecar = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base + "/v2", "_bm25_buckets")), "UTF-8").trim
+    assert(sidecar == "8", sidecar)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25AppendDir(spark, base + "/v2",
+        d.filter($"doc_id" < 0), "text", "doc_id", base + "/v2")
+    }
+  }
+
   test("bm25Append then bm25Forget lands back on the original index") {
     val base = Retrieval.bm25Index(corpus.filter($"doc_id" % 2 === 0), "text", "doc_id")
     val drop = corpus.filter($"doc_id" % 2 === 1)
