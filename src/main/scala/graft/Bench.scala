@@ -177,7 +177,8 @@ object Bench {
     "q_delivery_e2e",       // composed delivery: budget -> curriculum -> shards -> tar write + readback (r16)
     "q_forget_dhash_banded",// banded media-hash artifact forget: one anti-join over band rows (r16)
     "q_bm25_append_part",   // partitioned-layout grow: dir read + exact-delta rewrite + re-bucketed write + pruned probe (r16)
-    "q_image_banded_append" // banded artifact grow: sidecar-verified append + Dir probe (r16)
+    "q_image_banded_append",// banded artifact grow: sidecar-verified append + Dir probe (r16)
+    "q_exact_append"        // counted-fingerprint index grow: full-outer count merge (r16)
     // q_image/video/audio_neardup_incr keep their r15 cells - same names,
     // now probing the pre-banded artifact (build moved into the cell)
   )

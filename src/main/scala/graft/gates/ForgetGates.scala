@@ -41,6 +41,18 @@ object ForgetGates {
         Dedup.exactFingerprintIndexCounted(p, "text"),
         removed(s, dir), "text")
     },
+    // §2 row 160 (exact-dedup arm) — counted-fingerprint index APPEND:
+    // the even-id counted index grown by the odd half (shared
+    // fingerprints merge counts, new ones start at their drop count)
+    // ≡ the counted index the oracle rebuilds from the union corpus
+    "q_exact_append" -> { (s, dir) =>
+      val all = LlmGates.docs(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") < 400)
+      Forget.appendFingerprints(
+        Dedup.exactFingerprintIndexCounted(
+          all.filter(col("doc_id") % 2 === 0), "text"),
+        all.filter(col("doc_id") % 2 === 1), "text")
+    },
     // row 139b — MinHash signature index forget ≡ signatures of the
     // reduced corpus (the oracle re-derives the full MinHash chain)
     "q_forget_neardup" -> { (s, dir) =>
@@ -114,6 +126,10 @@ object ForgetGates {
       .replaceFirst("^WITH ", s"WITH $ReducedCte,\n")
 
   val oracleSql: Map[String, String] = Map(
+    "q_exact_append" ->
+      s"""SELECT md5(${LlmGates.NormSql}) AS fingerprint,
+         |       count(*) AS n_docs
+         |FROM documents WHERE doc_id < 400 GROUP BY 1""".stripMargin,
     "q_forget_exact" ->
       s"""WITH prior AS (
          |  SELECT doc_id, text FROM documents

@@ -94,13 +94,19 @@ object Forget {
     countedIndex: DataFrame,
     removed: DataFrame,
     textCol: String,
+    tokenizer: String = graft.operators.TextAnalysis.WhitespaceTokenizer,
     broadcastRemoved: Boolean = true
   ): DataFrame = {
     Cols.requireAbsent(countedIndex, "__rm_n")
     // a NULL-text removed row has no fingerprint — nothing to forget
-    // (mirrors dropExactDuplicatesAgainst, where NULL text matches nothing)
+    // (mirrors dropExactDuplicatesAgainst, where NULL text matches
+    // nothing). `tokenizer` MUST match the index build's (the
+    // same-scrub/same-tokenizer caveat): a uax29-built index forgotten
+    // under whitespace keys computes different fingerprints and the
+    // over-removal guard below raises
     val rm = removed
-      .select(md5(Hashing.normalizeText(col(textCol))).as("fingerprint"))
+      .select(md5(Hashing.normalizedTextFor(col(textCol), tokenizer))
+        .as("fingerprint"))
       .filter(col("fingerprint").isNotNull)
       .groupBy("fingerprint").agg(count(lit(1)).as("__rm_n"))
     val hinted = if (broadcastRemoved) broadcast(rm) else rm
@@ -116,6 +122,46 @@ object Forget {
           .otherwise(col("n_docs") - coalesce(col("__rm_n"), lit(0L)))
           .as("n_docs"))
       .filter(col("n_docs") > 0)
+  }
+
+  /**
+   * Grow a COUNTED exact-fingerprint index
+   * ([[Dedup.exactFingerprintIndexCounted]]) by a corpus drop —
+   * [[forgetFingerprints]]' arithmetic in reverse, and the exact-dedup
+   * family's append arm: each added document's fingerprint count
+   * merges in (a fingerprint the index never held starts at its drop
+   * count), VALUE-EQUAL to rebuilding the counted index from the
+   * union corpus. Unlike [[graft.operators.Retrieval.bm25Append]]
+   * there is no id space here — the index is count-keyed, so
+   * re-adding an already-indexed document is legitimate (its count
+   * grows; dedup semantics are the CONSUMER's job via
+   * [[graft.operators.Dedup.dropExactDuplicatesAgainst]] before the
+   * append). NULL-text rows have no fingerprint and add nothing.
+   *
+   * One index scan (the merge is a full-outer join against the
+   * drop-fingerprint-sized aggregate, broadcast by default); the
+   * append-then-forget roundtrip lands back on the original index
+   * exactly (ForgetSpec pins it).
+   */
+  def appendFingerprints(
+    countedIndex: DataFrame,
+    added: DataFrame,
+    textCol: String,
+    tokenizer: String = graft.operators.TextAnalysis.WhitespaceTokenizer,
+    broadcastAdded: Boolean = true
+  ): DataFrame = {
+    Cols.requireAbsent(countedIndex, "__add_n")
+    val add = added
+      .select(md5(Hashing.normalizedTextFor(col(textCol), tokenizer))
+        .as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+      .groupBy("fingerprint").agg(count(lit(1)).as("__add_n"))
+    val hinted = if (broadcastAdded) broadcast(add) else add
+    countedIndex
+      .join(hinted, Seq("fingerprint"), "full_outer")
+      .select(col("fingerprint"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("__add_n"), lit(0L)))
+          .as("n_docs"))
   }
 
   /** Publish the FIRST version of an index artifact under `dir`

@@ -35,6 +35,39 @@ class ForgetSpec extends SparkSpec {
     assert(after2.collect().toSet === rebuilt.collect().toSet)
   }
 
+  test("appendFingerprints == rebuild over the union; append-then-forget roundtrips") {
+    val prior = Seq((1L, "same text"), (2L, "other")).toDF("id", "text")
+    val drop = Seq((3L, "Same  TEXT!"), (4L, "brand new"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val counted = Dedup.exactFingerprintIndexCounted(prior, "text")
+    val grown = Forget.appendFingerprints(counted, drop, "text")
+    // shared fingerprint merges (same text/Same TEXT! -> 2), new one
+    // starts at 1, NULL text adds nothing
+    val rebuilt = Dedup.exactFingerprintIndexCounted(
+      prior.unionByName(drop).filter(col("text").isNotNull), "text")
+    assert(grown.collect().toSet === rebuilt.collect().toSet)
+    assert(grown.as[(String, Long)].collect().toMap.values.toSeq.sorted
+      === Seq(1L, 1L, 2L))
+    // lifecycle symmetry: forgetting exactly the appended docs lands
+    // back on the original counted index
+    val roundtrip = Forget.forgetFingerprints(grown,
+      drop.filter(col("text").isNotNull), "text")
+    assert(roundtrip.collect().toSet === counted.collect().toSet)
+    // the shuffle arm is value-identical
+    assert(Forget.appendFingerprints(counted, drop, "text",
+        broadcastAdded = false).collect().toSet === rebuilt.collect().toSet)
+    // tokenizer threads through BOTH arms: a uax29-built index grows
+    // and forgets under uax29 keys (CJK docs don't collapse to one
+    // fingerprint on either path)
+    val uax = graft.operators.TextAnalysis.Uax29Tokenizer
+    val cjkA = Seq((1L, "天地玄黄")).toDF("id", "text")
+    val cjkB = Seq((2L, "日月盈昃")).toDF("id", "text")
+    val cjkGrown = Forget.appendFingerprints(
+      Dedup.exactFingerprintIndexCounted(cjkA, "text", uax), cjkB, "text", uax)
+    assert(cjkGrown.count() === 2L)
+    assert(Forget.forgetFingerprints(cjkGrown, cjkB, "text", uax).count() === 1L)
+  }
+
   test("forgetFingerprints fails loudly on over-removal and unknown docs; NULL text is a no-op") {
     val corpus = Seq((1L, "only doc")).toDF("id", "text")
     val counted = Dedup.exactFingerprintIndexCounted(corpus, "text")
