@@ -882,6 +882,29 @@ class DedupSpec extends SparkSpec {
       nulls, spark.read.parquet(out), "id", "h",
       bits = 64, maxHamming = 3, bands = 4, maxBucket = None))
       == want.filter(_._1 == batch.head._1).map { case (_, i, d) => (9001L, i, d) })
+    // the same artifact machinery serves the 60-bit TEXT simhash
+    // family (one spine): banded probe == the per-call re-banding
+    // simHashNearDupsAgainstIndex over the same tables
+    val m60 = (1L << 60) - 1
+    val idx60 = idx.map { case (i, h) => (i, h & m60) }
+    val batch60 = batch.map { case (i, h) => (i, h & m60) }
+    val out60 = java.nio.file.Files
+      .createTempDirectory("graft-banded-sim").toString
+    Dedup.hammingBandedIndexWrite(
+      Dedup.hammingBandedIndex(idx60.toDF("doc_id", "simhash"),
+        "doc_id", "simhash", bits = 60, maxBucket = None),
+      out60, bits = 60, bands = 4)
+    val bandedSim = pairs(Dedup.hammingMatchesAgainstBandedDir(spark, out60,
+      batch60.toDF("doc_id", "simhash"), "doc_id", "simhash",
+      maxHamming = 3, maxBucket = None))
+    val flatSim = pairs(Dedup.simHashNearDupsAgainstIndex(
+      batch60.toDF("doc_id", "simhash"), idx60.toDF("doc_id", "simhash"),
+      maxHamming = 3, bands = 4, maxBucket = None))
+    assert(bandedSim == flatSim)
+    assert(bandedSim == (for {
+      (ib, hb) <- batch60; (ii, hi) <- idx60
+      d = java.lang.Long.bitCount(hb ^ hi) if d <= 3
+    } yield (ib, ii, d)).toSet)
   }
 
   test("banded probe plan: zero index-side aggregation (the artifact amortizes it)") {
