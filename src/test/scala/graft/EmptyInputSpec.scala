@@ -260,4 +260,39 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.Retrieval.bm25Forget(
       idx, Seq(1L).toDF("rid"), "rid").count() == 0)
   }
+
+  test("r16 operators over empty inputs yield empty results") {
+    import spark.implicits._
+    // bm25 grow: empty index + empty drop = empty grown index
+    val emptyIdx = graft.operators.Retrieval.bm25Index(emptyDocs, "text", "doc_id")
+    assert(graft.operators.Retrieval.bm25Append(
+      emptyIdx, emptyDocs, "text", "doc_id").count() == 0)
+    // banded hamming artifact: empty build, empty probe both ways
+    val h = Seq((1L, 5L)).toDF("doc_id", "dhash")
+    val eh = h.limit(0)
+    assert(Dedup.hammingBandedIndex(eh, "doc_id", "dhash", 64).count() == 0)
+    val banded = Dedup.hammingBandedIndex(h, "doc_id", "dhash", 64)
+    assert(Dedup.hammingMatchesAgainstBanded(
+      eh, banded, "doc_id", "dhash", 64).count() == 0)
+    assert(Dedup.hammingMatchesAgainstBanded(
+      h, banded.limit(0), "doc_id", "dhash", 64).count() == 0)
+    // counted-fingerprint grow: empty index + empty drop
+    val emptyCounted = Dedup.exactFingerprintIndexCounted(emptyDocs, "text")
+    assert(graft.operators.Forget.appendFingerprints(
+      emptyCounted, emptyDocs, "text").count() == 0)
+    // C4 with the CJK terminator arm
+    assert(TextAnalysis.c4Clean(emptyDocs, "text",
+      terminators = graft.functions.C4LinesExpr.CjkTerminators).count() == 0)
+    // IVF probe over an empty (fully forgotten) assignment table
+    val emptyVec = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)),
+        StructField("centroid_id", LongType))))
+    val oneCent = Seq((0L, Seq(1.0, 0.0))).toDF("centroid_id", "cv")
+    val q = Seq((9L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.ivfTopKAssigned(
+      emptyVec, q, "embedding", "vec_id", oneCent, k = 3, nProbe = 1).count() == 0)
+  }
 }
