@@ -20,6 +20,17 @@ object CorpusGates {
   private def docs(s: SparkSession, dir: String): DataFrame =
     LlmGates.docs(s, dir)
 
+  /** Committed parquet data files of a layout directory as
+    * name -> length — the write-accounting witness of the sidecar
+    * grow/forget gates (immutable prior generations). */
+  private def parquetFiles(dir: String): Map[String, Long] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Map.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length()).toMap
+  }
+
   /** Keyword queries over the synthetic corpus vocabulary; query 3
     * carries an out-of-corpus term (zzzmissing) to pin that absent
     * terms contribute nothing rather than poisoning the join. */
@@ -129,6 +140,75 @@ object CorpusGates {
           docs(s, dir).select("doc_id", "text"), "text", "doc_id"),
         out, buckets = 32)
       Retrieval.bm25ScoresFromDir(s, out, bm25Queries(s), "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
+    // §2 row 164 — STATS-SIDECAR BM25 layout: immutable posting rows,
+    // df/N/sum_dl in sidecars, probed under the SAME oracle as q_bm25 —
+    // the fourth pinning of one retrieval semantics across layouts
+    "q_bm25_sidecar" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25sc-gate").toString
+      Retrieval.bm25SidecarWrite(
+        docs(s, dir).select("doc_id", "text"), "text", "doc_id", out)
+      Retrieval.bm25ScoresFromSidecar(s, out, bm25Queries(s), "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
+    // §2 row 164 — SUBLINEAR grow: the layout built from the even half,
+    // grown by the odd half, probed ≡ the full-corpus oracle — and the
+    // gate ASSERTS the write accounting: every pre-existing posting
+    // file is byte-identical after the grow (name AND length), new
+    // bytes land only in the new generation + sidecars. That accounting
+    // is the layout's reason to exist (the denormalized layouts rewrite
+    // the whole index per grow).
+    "q_bm25_sidecar_append" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25scapp-gate").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      Retrieval.bm25SidecarWrite(
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", out)
+      val before = parquetFiles(s"$out/postings-g1")
+      Retrieval.bm25SidecarAppend(
+        s, out, d.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      val after = parquetFiles(s"$out/postings-g1")
+      require(before == after && before.nonEmpty,
+        s"q_bm25_sidecar_append: prior posting generation was rewritten " +
+          s"by the grow (before=$before after=$after)")
+      require(parquetFiles(s"$out/postings-g2").nonEmpty,
+        "q_bm25_sidecar_append: grow produced no new posting generation")
+      Retrieval.bm25ScoresFromSidecar(s, out, bm25Queries(s), "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
+    // §2 row 164 — forget via sidecar deltas: odd ids tombstoned,
+    // df/N/sum_dl decremented exactly, posting bytes NEVER rewritten
+    // (asserted), probe ≡ the oracle over the reduced corpus
+    "q_bm25_sidecar_forget" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25scfg-gate").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      Retrieval.bm25SidecarWrite(d, "text", "doc_id", out)
+      val before = parquetFiles(s"$out/postings-g1")
+      Retrieval.bm25SidecarForget(
+        s, out, d.filter(col("doc_id") % 2 === 1).select("doc_id"), "doc_id")
+      require(parquetFiles(s"$out/postings-g1") == before,
+        "q_bm25_sidecar_forget: forget rewrote posting bytes")
+      Retrieval.bm25ScoresFromSidecar(s, out, bm25Queries(s), "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
+    // §2 row 164 — compaction: after the forget above, the amortized
+    // rewrite purges tombstones into one fresh generation; the probe
+    // stays pinned to the same reduced-corpus oracle
+    "q_bm25_sidecar_compact" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25scc-gate").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      Retrieval.bm25SidecarWrite(d, "text", "doc_id", out)
+      Retrieval.bm25SidecarForget(
+        s, out, d.filter(col("doc_id") % 2 === 1).select("doc_id"), "doc_id")
+      Retrieval.bm25SidecarCompact(s, out, out + "-compact")
+      require(!new java.io.File(s"$out-compact/removed-v1").exists(),
+        "q_bm25_sidecar_compact: compacted layout still carries tombstones")
+      Retrieval.bm25ScoresFromSidecar(
+          s, out + "-compact", bm25Queries(s), "query_id", "qtext")
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
     },
     // §2.4 row 70 — unigram KL drift: corpus A = documents; corpus B =
@@ -723,16 +803,19 @@ object CorpusGates {
          |SELECT doc_id, round(q, 6) AS quality_score FROM sc""".stripMargin
   }
 
-  /** Shared verbatim by q_bm25 (inline) and q_bm25_incr (persisted
-    * index probe): same corpus, same queries, same math — the gate
-    * pair IS the index-equals-inline contract. */
-  private lazy val Bm25Sql: String = {
+  /** Shared verbatim by q_bm25 (inline), q_bm25_incr (persisted index
+    * probe) and the sidecar-layout gates: same corpus (optionally
+    * filtered — the sidecar forget gates probe a REDUCED corpus), same
+    * queries, same math — the gate family IS the
+    * layout-cannot-change-a-score contract. */
+  private def bm25Sql(where: String = ""): String = {
       val qnorm = "trim(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'))"
       s"""WITH q(query_id, qtext) AS (VALUES
          |  (1::BIGINT, 'fast hash join'),
          |  (2::BIGINT, 'window agg stream'),
          |  (3::BIGINT, 'customer query zzzmissing')),
-         |d AS (SELECT doc_id, ${LlmGates.wordsSql()} AS w FROM documents),
+         |src AS (SELECT doc_id, text FROM documents $where),
+         |d AS (SELECT doc_id, ${LlmGates.wordsSql()} AS w FROM src),
          |docs AS (SELECT doc_id, w, len(w)::BIGINT AS dl FROM d),
          |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM docs),
          |qt AS (SELECT DISTINCT query_id, word FROM (
@@ -752,6 +835,8 @@ object CorpusGates {
          |FROM contrib c JOIN qt USING (word)
          |GROUP BY qt.query_id, c.doc_id""".stripMargin
   }
+
+  private lazy val Bm25Sql: String = bm25Sql()
 
   /** Full [[graft.operators.Retrieval.bm25Index]] rebuild over a
     * filtered corpus — the definitional oracle for the grow/forget
@@ -783,6 +868,10 @@ object CorpusGates {
     "q_bm25_append" -> bm25IndexRebuildSql(""),
     "q_bm25_append_part" -> Bm25Sql,
     "q_bm25_append_forget" -> bm25IndexRebuildSql("WHERE doc_id % 2 = 0"),
+    "q_bm25_sidecar" -> Bm25Sql,
+    "q_bm25_sidecar_append" -> Bm25Sql,
+    "q_bm25_sidecar_forget" -> bm25Sql("WHERE doc_id % 2 = 0"),
+    "q_bm25_sidecar_compact" -> bm25Sql("WHERE doc_id % 2 = 0"),
     "q_fix_mojibake" -> {
       val orig2 = "'it' || chr(8217) || 's a ' || chr(8220) || 'test' || " +
         "chr(8221) || ' ' || chr(8212) || ' na' || chr(239) || 've'"

@@ -39,31 +39,107 @@ object Dedup {
   private val capObsId = new java.util.concurrent.atomic.AtomicLong()
 
   /**
-   * Apply the bucket-size cap, attaching an observed metric
-   * (`graft.<what>.bucket_cap#<n>`: dropped_buckets, dropped_rows) to the
-   * plan. Dropping a bucket trades recall for a bounded task, and that
-   * trade must never be silent: [[graft.GraftSession]] registers a
+   * TWO-PASS bucket-size cap over flat bucket rows, attaching an observed
+   * metric (`graft.<what>.bucket_cap#<n>`: dropped_buckets, dropped_rows)
+   * to the plan. Dropping a bucket trades recall for a bounded task, and
+   * that trade must never be silent: [[graft.GraftSession]] registers a
    * listener that WARN-logs any nonzero drop count after each action —
    * computed as a plan-side metric, not a second driver-side pass over
    * the data.
+   *
+   * Pass 1 counts members per key (map-side partial aggregation — Long
+   * buffers only, never an array); pass 2 anti-joins the over-cap keys
+   * away. The count happens BEFORE any `collect_set`/`collect_list`
+   * materializes a bucket, so a single degenerate key — boilerplate
+   * text every page shares, a black-frame dHash, an empty-signature
+   * band — can never put an unbounded bucket into one in-memory
+   * aggregation buffer on one executor (a `collect_*` buffer is a single
+   * object; ObjectHashAggregate's sort fallback cannot spill WITHIN a
+   * group). The over-cap key set is at most |rows|/cap keys and in
+   * practice a handful, so AQE turns the anti-join into a broadcast.
+   *
+   * `distinctOn = Some(item)` counts DISTINCT items per key (parity with
+   * `size(collect_set(item))`); `None` counts rows (parity with
+   * `size(collect_list(...))`). The join is null-safe on every key, so a
+   * NULL-keyed bucket caps exactly as the old size-filter capped it.
    */
-  private def capBuckets(
-    buckets: DataFrame,
-    itemsCol: String,
+  private[operators] def capRows(
+    rows: DataFrame,
+    keys: Seq[String],
+    distinctOn: Option[Column],
     cap: Option[Int],
-    what: String
+    what: String,
+    capParam: String = "maxBucket"
   ): DataFrame =
-    cap.fold(buckets) { c =>
-      require(c >= 2, s"maxBucket must be >= 2 (a pair), got $c")
-      val oversized = size(col(itemsCol)) > c
-      buckets
+    cap.fold(rows) { c =>
+      require(c >= 2, s"$capParam must be >= 2 (a pair), got $c")
+      // ONE explicit exchange on the bucket keys feeds BOTH passes
+      // (ReuseExchange — the dropDuplicateSpans doctrine): the upstream
+      // rows (minhash signatures, winnow fingerprints, prefix ranks —
+      // the expensive part) are computed and shuffled once, the count
+      // pass and the surviving-rows pass both read the shuffle output.
+      // The count below references every payload column so column
+      // pruning cannot specialize this branch's exchange copy and
+      // silently split the reuse into a second upstream computation.
+      val keyed = rows.repartition(keys.map(col): _*)
+      val payload = rows.columns.filterNot(keys.contains).map(col)
+      val n = distinctOn match {
+        case Some(item) => countDistinct(item)
+        case None if payload.nonEmpty =>
+          // ≡ count(1): xxhash64 is total, so the predicate holds on
+          // every row — but the optimizer cannot PROVE it (a provable
+          // tautology would constant-fold, NullPropagation would turn a
+          // non-nullable argument into count(1), and either way column
+          // pruning would then specialize this branch's exchange copy
+          // into a second upstream computation)
+          count(when(xxhash64(payload: _*) >= lit(Long.MinValue), lit(1)))
+        case None => count(lit(1))
+      }
+      val over = col("__bucket_n") > c
+      val counts = keyed
+        .groupBy(keys.map(col): _*)
+        .agg(n.as("__bucket_n"))
         .observe(
           s"graft.$what.bucket_cap#${capObsId.incrementAndGet()}",
-          coalesce(sum(when(oversized, lit(1L))), lit(0L)).as("dropped_buckets"),
-          coalesce(sum(when(oversized, size(col(itemsCol)).cast("long"))), lit(0L))
-            .as("dropped_rows"))
-        .filter(!oversized)
+          coalesce(sum(when(over, lit(1L))), lit(0L)).as("dropped_buckets"),
+          coalesce(sum(when(over, col("__bucket_n"))), lit(0L)).as("dropped_rows"))
+      // INNER join against the unique under-cap keys, not an anti join
+      // against the over-cap ones: PushDownLeftSemiAntiJoin would push an
+      // anti join below the left side's repartition and split the shared
+      // exchange back into two upstream computations (the
+      // dropDuplicateSpans inner-join guard). Keys are unique (groupBy
+      // output) so the inner join ≡ the filter; null-safe so a NULL-keyed
+      // bucket caps by size exactly as before.
+      val okKeys = counts
+        .filter(!over)
+        .select(keys.map(k => col(k).as(s"__ok_$k")): _*)
+      val cond = keys.map(k => col(k) <=> col(s"__ok_$k")).reduce(_ && _)
+      keyed.join(okKeys, cond, "inner")
+        .select(rows.columns.map(col): _*)
     }
+
+  /** [[capRows]] followed by the bucket materialization it protects:
+    * group by `keys` and collect `item` into `itemsName` (set or list)
+    * over the surviving rows only. Every LSH-family candidate generator
+    * routes its bucket build through here so the count-filter provably
+    * precedes the collect on the bucket path (PlanAuditSpec pins the
+    * ordering). */
+  private[operators] def cappedCollect(
+    rows: DataFrame,
+    keys: Seq[String],
+    item: Column,
+    itemsName: String,
+    useSet: Boolean,
+    cap: Option[Int],
+    what: String,
+    capParam: String = "maxBucket"
+  ): DataFrame = {
+    val distinctOn = if (useSet) Some(item) else None
+    val aggCol = (if (useSet) collect_set(item) else collect_list(item)).as(itemsName)
+    capRows(rows, keys, distinctOn, cap, what, capParam)
+      .groupBy(keys.map(col): _*)
+      .agg(aggCol)
+  }
 
   // ---------------------------------------------------------------- exact
 
@@ -351,12 +427,9 @@ object Dedup {
   ): DataFrame = {
     val banded = bandTable(signatures, numHashes, bands)
 
-    val buckets = banded
-      .groupBy("band", "band_key")
-      .agg(collect_list("doc_id").as("ids"))
+    cappedCollect(banded, Seq("band", "band_key"),
+        col("doc_id"), "ids", useSet = false, maxBucket, "lsh")
       .filter(size(col("ids")) >= 2)
-
-    capBuckets(buckets, "ids", maxBucket, "lsh")
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(
         least(col("p.x"), col("p.y")).as("id_a"),
@@ -749,9 +822,8 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     val fps = winnowTable(df, textCol, idCol, k, w)
       .select("doc_id", "hash").distinct()
-    val buckets = capBuckets(
-      fps.groupBy("hash").agg(collect_set(col("doc_id")).as("__ids")),
-      "__ids", maxBucket, "winnow")
+    val buckets = cappedCollect(fps, Seq("hash"),
+        col("doc_id"), "__ids", useSet = true, maxBucket, "winnow")
       .filter(size(col("__ids")) >= 2)
       .select(explode(bucketPairs(sort_array(col("__ids")))).as("p"))
       .select(
@@ -823,18 +895,14 @@ object Dedup {
     // huge numbers of batch docs would otherwise inflate the broadcast
     // with rows the cap drops afterwards anyway — and its matching
     // index rows would survive the semi-join only to be discarded
-    val batchBuckets = capBuckets(
-      bfp.groupBy("hash")
-        .agg(collect_set(col("batch_id")).as("batch_items")),
-      "batch_items", maxBucket, "winnow_incr_batch")
+    val batchBuckets = cappedCollect(bfp, Seq("hash"),
+      col("batch_id"), "batch_items", useSet = true, maxBucket, "winnow_incr_batch")
     val probe = batchBuckets.select("hash")
     val matchedIdx = guardedIndex
       .select(col("doc_id").as("index_id"), col("hash")).distinct()
       .join(hinted(probe), Seq("hash"), "left_semi")
-    val idxBuckets = capBuckets(
-      matchedIdx.groupBy("hash")
-        .agg(collect_set(col("index_id")).as("idx_items")),
-      "idx_items", maxBucket, "winnow_incr_idx")
+    val idxBuckets = cappedCollect(matchedIdx, Seq("hash"),
+      col("index_id"), "idx_items", useSet = true, maxBucket, "winnow_incr_idx")
     idxBuckets.join(hinted(batchBuckets), Seq("hash"))
       .select(explode(col("idx_items")).as("index_id"), col("batch_items"))
       .select(col("index_id"), explode(col("batch_items")).as("batch_id"))
@@ -1131,11 +1199,25 @@ object Dedup {
     // specialize this branch's exchange copy and silently break the
     // reuse into a second corpus scan (the BM25 pruned-agg guard,
     // Retrieval.scala; PlanAuditSpec pins the ReusedExchange here too)
-    val dupGrams = gramRows
+    val dupStats = gramRows
       .groupBy("g")
       .agg(count(when(col("pos") >= 0 || col("__did").isNotNull, lit(1))).as("c"))
       .filter(col("c") >= minCount)
-      .select("g")
+    // the occurrence cap rides the SAME count this phase already
+    // computes (zero extra passes): a gram over maxOccurrences never
+    // reaches phase 2, so its occurrence list is never materialized —
+    // the two-pass cap discipline (capRows) with the count pass shared
+    val dupGrams = maxOccurrences.fold(dupStats.select("g")) { cap =>
+      require(cap >= 2, s"maxOccurrences must be >= 2 (a pair), got $cap")
+      val over = col("c") > cap
+      dupStats
+        .observe(
+          s"graft.dup_span.bucket_cap#${capObsId.incrementAndGet()}",
+          coalesce(sum(when(over, lit(1L))), lit(0L)).as("dropped_buckets"),
+          coalesce(sum(when(over, col("c"))), lit(0L)).as("dropped_rows"))
+        .filter(!over)
+        .select("g")
+    }
     // phase 2: occurrence lists ONLY for duplicated grams — collect_list
     // materializes O(dup positions), never a buffer per unique gram.
     // INNER join, not semi: dup-gram keys are unique (groupBy output) so
@@ -1148,7 +1230,7 @@ object Dedup {
       .agg(collect_list(struct(col("__did"), col("pos"))).as("occs"))
     // every occurrence except the lexicographic first gets cut;
     // array_sort orders struct(did, pos) fields left-to-right
-    val cuts = capBuckets(occ, "occs", maxOccurrences, "dup_span")
+    val cuts = occ
       .select(explode(
         slice(array_sort(col("occs")), lit(2), size(col("occs")) - 1)).as("o"))
       .groupBy(col("o.__did").as("__did"))
@@ -1323,11 +1405,9 @@ object Dedup {
               .bitwiseAND(lit(mask)).as("band_key"))))
         .as("bk")
     ).select(col("item"), col("bk.band"), col("bk.band_key"))
-    val buckets = banded
-      .groupBy("band", "band_key")
-      .agg(collect_list("item").as("items"))
+    cappedCollect(banded, Seq("band", "band_key"),
+        col("item"), "items", useSet = false, maxBucket, "simhash")
       .filter(size(col("items")) >= 2)
-    capBuckets(buckets, "items", maxBucket, "simhash")
       .select(explode(bucketPairs(col("items"))).as("p"))
       .select(
         least(col("p.x.doc_id"), col("p.y.doc_id")).as("id_a"),
@@ -1380,14 +1460,12 @@ object Dedup {
     val matchedIdx = idxB.join(
       hinted(batchB.select("band", "band_key").distinct()),
       Seq("band", "band_key"), "left_semi")
-    val idxBuckets = capBuckets(
-      matchedIdx.groupBy("band", "band_key")
-        .agg(collect_set(struct(col("index_id"), col("__h_i"))).as("idx_items")),
-      "idx_items", maxBucket, s"${metricPrefix}_idx")
-    val batchBuckets = capBuckets(
-      batchB.groupBy("band", "band_key")
-        .agg(collect_set(struct(col("batch_id"), col("__h_b"))).as("batch_items")),
-      "batch_items", maxBucket, s"${metricPrefix}_batch")
+    val idxBuckets = cappedCollect(matchedIdx, Seq("band", "band_key"),
+      struct(col("index_id"), col("__h_i")), "idx_items",
+      useSet = true, maxBucket, s"${metricPrefix}_idx")
+    val batchBuckets = cappedCollect(batchB, Seq("band", "band_key"),
+      struct(col("batch_id"), col("__h_b")), "batch_items",
+      useSet = true, maxBucket, s"${metricPrefix}_batch")
     idxBuckets.join(hinted(batchBuckets), Seq("band", "band_key"))
       .select(explode(col("idx_items")).as("i"), col("batch_items"))
       .select(col("i"), explode(col("batch_items")).as("b"))
@@ -1475,9 +1553,9 @@ object Dedup {
     val b = hammingBandRows(
       indexHashes.filter(col(hashCol).isNotNull),
       idCol, hashCol, "index_id", "index_hash", bits, bands)
-    val buckets = b.groupBy("band", "band_key")
-      .agg(collect_set(struct(col("index_id"), col("index_hash"))).as("items"))
-    capBuckets(buckets, "items", maxBucket, s"${metricPrefix}_idx")
+    cappedCollect(b, Seq("band", "band_key"),
+        struct(col("index_id"), col("index_hash")), "items",
+        useSet = true, maxBucket, s"${metricPrefix}_idx")
       .select(col("band"), col("band_key"), explode(col("items")).as("i"))
       .select(col("band"), col("band_key"),
         col("i.index_id").as("index_id"),
@@ -1516,12 +1594,34 @@ object Dedup {
     val spark = banded.sparkSession
     val p = new org.apache.hadoop.fs.Path(path, HammingBandsMetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (mode == "append" && fs.exists(p)) {
-      val (b0, n0) = readHammingBandMeta(spark, path)
-      require(b0 == bits && n0 == bands,
-        s"hammingBandedIndexWrite: $path was built with bits=$b0 " +
-          s"bands=$n0, append requested bits=$bits bands=$bands - " +
-          "banding params are the artifact's contract; rebuild to change them")
+    if (mode == "append") {
+      if (fs.exists(p)) {
+        val (b0, n0) = readHammingBandMeta(spark, path)
+        require(b0 == bits && n0 == bands,
+          s"hammingBandedIndexWrite: $path was built with bits=$b0 " +
+            s"bands=$n0, append requested bits=$bits bands=$bands - " +
+            "banding params are the artifact's contract; rebuild to change them")
+      } else {
+        // a directory WITH data files but WITHOUT the sidecar is a
+        // pre-banded flat hash table or a foreign dataset — appending
+        // band-schema rows into it (and then stamping a fresh sidecar)
+        // would legitimize a mixed-schema artifact whose probes read
+        // the old flat files as NULL band rows and silently lose every
+        // prior-corpus match. Mirror the read-side readHammingBandMeta
+        // require: fail loud, name the rebuild.
+        val dir = new org.apache.hadoop.fs.Path(path)
+        val hasData = fs.exists(dir) && fs.listStatus(dir).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        require(!hasData,
+          s"hammingBandedIndexWrite: $path has data files but no " +
+            s"$HammingBandsMetaFile sidecar - it was not written by " +
+            "hammingBandedIndexWrite (pre-banded flat hash table, or a " +
+            "foreign dataset); appending band rows would mix schemas and " +
+            "silently lose prior-corpus matches. Rebuild the artifact with " +
+            "hammingBandedIndex + mode=overwrite instead")
+      }
     }
     banded.write.mode(mode).parquet(path)
     val out = fs.create(p, true)
@@ -1617,10 +1717,9 @@ object Dedup {
     val batchB = hammingBandRows(
       batchHashes.filter(col(hashCol).isNotNull),
       idCol, hashCol, "batch_id", "__h_b", bits, bands)
-    val batchBuckets = capBuckets(
-      batchB.groupBy("band", "band_key")
-        .agg(collect_set(struct(col("batch_id"), col("__h_b"))).as("batch_items")),
-      "batch_items", maxBucket, s"${metricPrefix}_batch")
+    val batchBuckets = cappedCollect(batchB, Seq("band", "band_key"),
+      struct(col("batch_id"), col("__h_b")), "batch_items",
+      useSet = true, maxBucket, s"${metricPrefix}_batch")
     bandedIndex.join(hinted(batchBuckets), Seq("band", "band_key"))
       .select(col("index_id"), col("index_hash"),
         explode(col("batch_items")).as("b"))
@@ -1692,11 +1791,9 @@ object Dedup {
         struct(col(idCol).as("vid"), col(vecCol).as("v")).as("item"),
         graft.functions.HyperplaneBucketExpr(col(vecCol), planes).as("bucket")
       )
-    val buckets = bucketed
-      .groupBy("bucket")
-      .agg(collect_list("item").as("items"))
+    cappedCollect(bucketed, Seq("bucket"),
+        col("item"), "items", useSet = false, maxBucket, "hyperplane")
       .filter(size(col("items")) >= 2)
-    capBuckets(buckets, "items", maxBucket, "hyperplane")
       .select(explode(bucketPairs(col("items"))).as("p"))
       .select(
         least(col("p.x.vid"), col("p.y.vid")).as("id_a"),
@@ -1756,11 +1853,9 @@ object Dedup {
       .select(
         struct(col(idCol).as("vid"), col(vecCol).as("v")).as("item"),
         col("centroid_id"))
-    val clusters = assigned
-      .groupBy("centroid_id")
-      .agg(collect_list("item").as("items"))
+    cappedCollect(assigned, Seq("centroid_id"),
+        col("item"), "items", useSet = false, maxCluster, "semantic")
       .filter(size(col("items")) >= 2)
-    capBuckets(clusters, "items", maxCluster, "semantic")
       .select(explode(bucketPairs(col("items"))).as("p"))
       .select(
         least(col("p.x.vid"), col("p.y.vid")).as("id_a"),
@@ -1938,29 +2033,32 @@ object Dedup {
         .select(col(idAs), col(sigAs),
           col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
-    val batchBuckets = sigBands(
+    // the batch side caps BEFORE its buckets materialize or broadcast
+    // (two-pass capRows discipline): an over-cap batch bucket would have
+    // produced zero surviving output either way, so dropping it here is
+    // result-identical to the old post-join spelling — and its array is
+    // never built, never shipped
+    val batchBuckets = cappedCollect(
+      sigBands(
         minHashSignatures(batch, textCol, idCol, k, numHashes, tokenizer),
-        "batch_id", "__sig_b")
-      .groupBy("band", "band_key")
-      .agg(collect_set(struct(col("batch_id"), col("__sig_b"))).as("batch_items"))
+        "batch_id", "__sig_b"),
+      Seq("band", "band_key"),
+      struct(col("batch_id"), col("__sig_b")), "batch_items",
+      useSet = true, maxBucket, "incr_lsh_batch")
     // the semi probe derives from the SAME aggregation, so the batch's
-    // one shuffle feeds both the probe and the bucket join
+    // bucket shuffle feeds both the probe and the bucket join
     val probe = batchBuckets.select("band", "band_key")
     // matched index rows: semi join against the batch's band keys —
     // each index row emitted AT MOST ONCE (candidate-sized, no
     // cross-side row explosion), then grouped and capped on its own
     val matchedIdx = sigBands(indexSignatures, "index_id", "__sig_i")
       .join(hinted(probe), Seq("band", "band_key"), "left_semi")
-    val idxBuckets = capBuckets(
-      matchedIdx.groupBy("band", "band_key")
-        .agg(collect_set(struct(col("index_id"), col("__sig_i"))).as("idx_items")),
-      "idx_items", maxBucket, "incr_lsh_idx")
-    // capped-array-to-array join is 1:1 per (band, key); the batch cap
-    // runs after the inner join so its drop metric counts only buckets
-    // present on both sides (the join-then-group spelling's bucket set)
-    val capped = capBuckets(
-      idxBuckets.join(hinted(batchBuckets), Seq("band", "band_key")),
-      "batch_items", maxBucket, "incr_lsh_batch")
+    val idxBuckets = cappedCollect(matchedIdx, Seq("band", "band_key"),
+      struct(col("index_id"), col("__sig_i")), "idx_items",
+      useSet = true, maxBucket, "incr_lsh_idx")
+    // capped-array-to-array join is 1:1 per (band, key) — both sides
+    // already capped at their own group stage
+    val capped = idxBuckets.join(hinted(batchBuckets), Seq("band", "band_key"))
     val agree = zip_with(col("i.__sig_i"), col("b.__sig_b"),
       (x, y) => when(x === y, 1).otherwise(0))
     capped
@@ -2071,15 +2169,16 @@ object Dedup {
     // nearDuplicatesAgainstIndex — O(I + B) rows per bucket, not I×B)
     val matchedIdx = idxB.join(
       hinted(batchB.select("bucket").distinct()), Seq("bucket"), "left_semi")
-    val idxBuckets = capBuckets(
-      matchedIdx.groupBy("bucket")
-        .agg(collect_set(struct(col("index_id"), col("__vi"))).as("idx_items")),
-      "idx_items", maxBucket, "incr_hyperplane_idx")
-    val batchBuckets = batchB.groupBy("bucket")
-      .agg(collect_set(struct(col("batch_id"), col("__vb"))).as("batch_items"))
-    capBuckets(
-      idxBuckets.join(hinted(batchBuckets), Seq("bucket")),
-      "batch_items", maxBucket, "incr_hyperplane_batch")
+    val idxBuckets = cappedCollect(matchedIdx, Seq("bucket"),
+      struct(col("index_id"), col("__vi")), "idx_items",
+      useSet = true, maxBucket, "incr_hyperplane_idx")
+    // batch side capped BEFORE its buckets materialize (two-pass capRows
+    // discipline; result-identical to the old post-join cap — an over-cap
+    // batch bucket never produced surviving output)
+    val batchBuckets = cappedCollect(batchB, Seq("bucket"),
+      struct(col("batch_id"), col("__vb")), "batch_items",
+      useSet = true, maxBucket, "incr_hyperplane_batch")
+    idxBuckets.join(hinted(batchBuckets), Seq("bucket"))
       .select(explode(col("idx_items")).as("i"), col("batch_items"))
       .select(col("i"), explode(col("batch_items")).as("b"))
       .select(
@@ -2205,10 +2304,9 @@ object Dedup {
   ): DataFrame = {
     val banded =
       bandRowsWithSig(indexSignatures, "index_id", "index_signature", numHashes, bands)
-    val buckets = banded
-      .groupBy("band", "band_key")
-      .agg(collect_set(struct(col("index_id"), col("index_signature"))).as("items"))
-    capBuckets(buckets, "items", maxBucket, "stream_lsh_idx")
+    cappedCollect(banded, Seq("band", "band_key"),
+        struct(col("index_id"), col("index_signature")), "items",
+        useSet = true, maxBucket, "stream_lsh_idx")
       .select(col("band"), col("band_key"), explode(col("items")).as("i"))
       .select(
         col("band"), col("band_key"),

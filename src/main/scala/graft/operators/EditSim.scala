@@ -38,7 +38,6 @@ import org.apache.spark.sql.functions._
  */
 object EditSim {
 
-  private val capObsId = new java.util.concurrent.atomic.AtomicLong()
 
   /** Default variant bucket cap — same rationale as
     * [[Dedup.DefaultMaxBucket]]. */
@@ -85,21 +84,12 @@ object EditSim {
           explode(deleteOne(col("__v"))).as("__v")))
     val variants = levels.distinct()
 
-    val capped = maxVariantBucket.fold(variants) { c =>
-      require(c >= 2, s"maxVariantBucket must be >= 2 (a pair), got $c")
-      val oversized = size(col("__ids")) > c
-      variants
-        .groupBy("__v")
-        .agg(collect_list(struct(col("__id"), col("__len"))).as("__ids"))
-        .observe(
-          s"graft.editsim.bucket_cap#${capObsId.incrementAndGet()}",
-          coalesce(sum(when(oversized, lit(1L))), lit(0L)).as("dropped_buckets"),
-          coalesce(sum(when(oversized, size(col("__ids")).cast("long"))), lit(0L))
-            .as("dropped_rows"))
-        .filter(!oversized)
-        .select(col("__v"), explode(col("__ids")).as("__e"))
-        .select(col("__v"), col("__e.__id").as("__id"), col("__e.__len").as("__len"))
-    }
+    // two-pass cap (Dedup.capRows): count per variant with map-side
+    // partial agg, anti-join over-cap variants away — rows stay flat,
+    // no per-variant array is ever materialized (the old spelling
+    // collected one only to re-explode it)
+    val capped = Dedup.capRows(variants, Seq("__v"), None,
+      maxVariantBucket, "editsim", "maxVariantBucket")
 
     val cands = capped
       .select(col("__v"), col("__id").as("id_a"), col("__len").as("__la"))
@@ -120,25 +110,6 @@ object EditSim {
   }
 
   // ------------------------------------------------- cross-corpus (R-S)
-
-  /** The loud-cap helper of [[Dedup]]'s incremental family, editsim-named. */
-  private def capBuckets(
-    buckets: DataFrame,
-    itemsCol: String,
-    cap: Option[Int],
-    what: String
-  ): DataFrame =
-    cap.fold(buckets) { c =>
-      require(c >= 2, s"maxVariantBucket must be >= 2 (a pair), got $c")
-      val oversized = size(col(itemsCol)) > c
-      buckets
-        .observe(
-          s"graft.$what.bucket_cap#${capObsId.incrementAndGet()}",
-          coalesce(sum(when(oversized, lit(1L))), lit(0L)).as("dropped_buckets"),
-          coalesce(sum(when(oversized, size(col(itemsCol)).cast("long"))), lit(0L))
-            .as("dropped_rows"))
-        .filter(!oversized)
-    }
 
   /** The <= maxDist deletion neighborhood of every key, deduplicated per
     * id, with the original string riding: (v, id, len, s). */
@@ -220,18 +191,19 @@ object EditSim {
           lit("editDistancePairsAgainst: index built at d="), col("d").cast("string"),
           lit(s" cannot serve maxDist=$maxDist > build depth")))))
     def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
-    val batchBuckets = variantTable(batch, strCol, idCol, maxDist)
-      .groupBy("v")
-      .agg(collect_set(struct(col("id"), col("len"), col("s"))).as("batch_items"))
+    // batch side capped BEFORE its buckets materialize or broadcast
+    // (two-pass Dedup.capRows discipline; result-identical to the old
+    // post-join cap — an over-cap batch bucket never produced output)
+    val batchBuckets = Dedup.cappedCollect(
+      variantTable(batch, strCol, idCol, maxDist), Seq("v"),
+      struct(col("id"), col("len"), col("s")), "batch_items",
+      useSet = true, maxVariantBucket, "editsim_incr_batch", "maxVariantBucket")
     val probe = batchBuckets.select("v")
     val matchedIdx = guardedIndex.join(hinted(probe), Seq("v"), "left_semi")
-    val idxBuckets = capBuckets(
-      matchedIdx.groupBy("v")
-        .agg(collect_set(struct(col("id"), col("len"), col("s"))).as("idx_items")),
-      "idx_items", maxVariantBucket, "editsim_incr_idx")
-    capBuckets(
-      idxBuckets.join(hinted(batchBuckets), Seq("v")),
-      "batch_items", maxVariantBucket, "editsim_incr_batch")
+    val idxBuckets = Dedup.cappedCollect(matchedIdx, Seq("v"),
+      struct(col("id"), col("len"), col("s")), "idx_items",
+      useSet = true, maxVariantBucket, "editsim_incr_idx", "maxVariantBucket")
+    idxBuckets.join(hinted(batchBuckets), Seq("v"))
       .select(explode(col("idx_items")).as("i"), col("batch_items"))
       .select(col("i"), explode(col("batch_items")).as("b"))
       .filter(abs(col("i.len") - col("b.len")) <= maxDist)

@@ -110,17 +110,48 @@ object Forget {
       .filter(col("fingerprint").isNotNull)
       .groupBy("fingerprint").agg(count(lit(1)).as("__rm_n"))
     val hinted = if (broadcastRemoved) broadcast(rm) else rm
-    countedIndex
-      .join(hinted, Seq("fingerprint"), "full_outer")
+    // NOT a full-outer merge: BroadcastHashJoin has no full-outer build
+    // side, so the hint would be silently ignored and the WHOLE index
+    // shuffled. Split instead (zero index shuffles): subtract via a
+    // broadcast LEFT join (one index scan, with the over-removal guard
+    // riding), and catch removals of fingerprints the index never held
+    // via a second fingerprint-only index scan (semi join against the
+    // broadcast removal set — match-bounded output — anti-joined back,
+    // any survivor raising the same loud error).
+    val merged = countedIndex
+      .join(hinted, Seq("fingerprint"), "left")
       .select(col("fingerprint"),
-        when(col("n_docs").isNull || col("n_docs") < coalesce(col("__rm_n"), lit(0L)),
+        when(col("n_docs") < coalesce(col("__rm_n"), lit(0L)),
           raise_error(concat(
             lit("forgetFingerprints: fingerprint "), col("fingerprint"),
             lit(" removes more documents than the index holds ("),
-            coalesce(col("n_docs"), lit(0L)).cast("string"), lit(" indexed, "),
+            col("n_docs").cast("string"), lit(" indexed, "),
             col("__rm_n").cast("string"), lit(" removed)"))))
           .otherwise(col("n_docs") - coalesce(col("__rm_n"), lit(0L)))
           .as("n_docs"))
+    val matched = countedIndex.select("fingerprint")
+      .join(hinted.select("fingerprint"), Seq("fingerprint"), "left_semi")
+    // the absent-fingerprint guard rides a ONE-ROW AGGREGATE leg, not a
+    // per-row projection over the anti join: the n_docs > 0 cardinality
+    // filter below would push THROUGH a bare anti join (left-side-only
+    // predicate) and evaluate the raise on exactly the rows the join
+    // was about to remove — every legitimate forget would explode. An
+    // aggregate is a reorder barrier; the leg always emits one row,
+    // n_docs 0 (filtered away) unless some removed fingerprint never
+    // existed in the index
+    val missing = rm
+      .join(if (broadcastRemoved) broadcast(matched) else matched,
+        Seq("fingerprint"), "left_anti")
+      .agg(count(lit(1)).as("__miss"), min(col("fingerprint")).as("__ex"))
+      .select(
+        lit(null).cast("string").as("fingerprint"),
+        when(col("__miss") > 0,
+          raise_error(concat(
+            lit("forgetFingerprints: fingerprint "), col("__ex"),
+            lit(" removes more documents than the index holds (0 indexed)"))))
+          .otherwise(lit(0L))
+          .as("n_docs"))
+    merged.unionByName(missing)
       .filter(col("n_docs") > 0)
   }
 
@@ -138,10 +169,14 @@ object Forget {
    * [[graft.operators.Dedup.dropExactDuplicatesAgainst]] before the
    * append). NULL-text rows have no fingerprint and add nothing.
    *
-   * One index scan (the merge is a full-outer join against the
-   * drop-fingerprint-sized aggregate, broadcast by default); the
-   * append-then-forget roundtrip lands back on the original index
-   * exactly (ForgetSpec pins it).
+   * Two column-pruned index SCANS and zero index shuffles: the count
+   * merge is a broadcast LEFT join (one scan), and the
+   * fingerprints-new-to-the-index leg semi-joins a fingerprint-only
+   * projection against the broadcast drop aggregate (match-bounded)
+   * rather than full-outer-joining — BroadcastHashJoin has no
+   * full-outer build side, so that spelling would silently shuffle the
+   * whole index. The append-then-forget roundtrip lands back on the
+   * original index exactly (ForgetSpec pins it).
    */
   def appendFingerprints(
     countedIndex: DataFrame,
@@ -157,11 +192,20 @@ object Forget {
       .filter(col("fingerprint").isNotNull)
       .groupBy("fingerprint").agg(count(lit(1)).as("__add_n"))
     val hinted = if (broadcastAdded) broadcast(add) else add
-    countedIndex
-      .join(hinted, Seq("fingerprint"), "full_outer")
+    // see forgetFingerprints: full-outer cannot broadcast, so the merge
+    // splits into a broadcast LEFT join for indexed fingerprints plus a
+    // match-bounded anti leg for fingerprints new to the index
+    val merged = countedIndex
+      .join(hinted, Seq("fingerprint"), "left")
       .select(col("fingerprint"),
-        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("__add_n"), lit(0L)))
-          .as("n_docs"))
+        (col("n_docs") + coalesce(col("__add_n"), lit(0L))).as("n_docs"))
+    val matched = countedIndex.select("fingerprint")
+      .join(hinted.select("fingerprint"), Seq("fingerprint"), "left_semi")
+    val newOnly = add
+      .join(if (broadcastAdded) broadcast(matched) else matched,
+        Seq("fingerprint"), "left_anti")
+      .select(col("fingerprint"), col("__add_n").as("n_docs"))
+    merged.unionByName(newOnly)
   }
 
   /** Publish the FIRST version of an index artifact under `dir`

@@ -402,8 +402,22 @@ object Retrieval {
     outPath: String,
     broadcastDrop: Boolean = true
   ): Unit = {
-    require(outPath != path,
-      "bm25AppendDir: outPath must differ from the source path - the " +
+    // resolve BOTH spellings before comparing: a raw string check is
+    // defeated by trailing slashes, relative-vs-absolute paths and
+    // symlinks, and an in-place overwrite would delete the source layout
+    // while the append plan is still reading it (job failure plus a
+    // destroyed source artifact). resolvePath follows symlinks when the
+    // filesystem supports them; the target may not exist yet, so it
+    // falls back to makeQualified.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def resolved(s: String): org.apache.hadoop.fs.Path = {
+      val raw = new org.apache.hadoop.fs.Path(s)
+      val fs = raw.getFileSystem(hconf)
+      try fs.resolvePath(raw)
+      catch { case _: java.io.FileNotFoundException => fs.makeQualified(raw) }
+    }
+    require(resolved(outPath) != resolved(path),
+      s"bm25AppendDir: outPath resolves to the source path ($path) - the " +
         "grown layout is a full rewrite; write fresh and flip a pointer")
     val buckets = readBucketMeta(spark, path)
     bm25IndexWrite(
@@ -589,6 +603,384 @@ object Retrieval {
       s"$path/$BucketMetaFile is ${if (text.isEmpty) "empty" else s"not a bucket count ('$text')"} - " +
         "was it written by bm25IndexWrite?")
     text.toInt
+  }
+
+  // ------------------------------------------------------------------
+  // STATS-SIDECAR layout — the append-friendly third layout arm.
+  //
+  // The flat [[bm25Index]] and bucketed [[bm25IndexWrite]] layouts
+  // denormalize df/N/avgdl/sum_dl onto every posting row (probe-time
+  // scoring with zero joins — their contract), which makes EVERY grow
+  // an O(index) rewrite: one drop touches every row's statistics. A
+  // daily 1 TB drop into a 100 TB index pays 100 TB of IO. This layout
+  // inverts the trade: posting rows are IMMUTABLE `(word, doc_id, tf,
+  // dl)` (plus the NULL-word registry sentinels for token-free docs),
+  // the per-word document frequencies live in a vocabulary-sized `df`
+  // sidecar table, and N/sum_dl live in ONE metadata row — so a grow
+  // appends drop-sized posting files, rewrites the (sidecar-sized,
+  // never index-sized) df table with drop-vocab-sized COMPUTE, and
+  // flips the metadata row. Probes pay one extra broadcast join
+  // against the query-vocab-pruned df sidecar — metadata-sized.
+  //
+  // On-disk shape under `path/`:
+  //   postings-g1/ … postings-g<G>/   immutable posting generations
+  //   df-v<V>/                        (word, df) — current per-word stats
+  //   removed-v<R>/                   (doc_id) tombstones (R = 0: none)
+  //   _bm25_sidecar                   "n_docs,sum_dl,G,V,R"
+  //
+  // The `_bm25_sidecar` metadata file is the ATOMIC PUBLICATION POINT
+  // (written to a temp name, renamed into place): every mutation
+  // first commits its new generation/version directories, then flips
+  // the metadata. A crash mid-grow leaves orphan dirs and an
+  // unchanged pointer — readers never observe new postings with stale
+  // statistics (the inconsistency a bare `mode("append")` would
+  // expose between its commit and the stats rewrite).
+  //
+  // Forget is sidecar-delta too: tombstone the removed ids (probes
+  // anti-join the removal-sized tombstone table), decrement df/N/
+  // sum_dl exactly — posting bytes are never rewritten. Tombstones
+  // accumulate across forgets; [[bm25SidecarCompact]] is the
+  // amortized maintenance that rewrites postings minus tombstones.
+  // ------------------------------------------------------------------
+
+  private val SidecarMetaFile = "_bm25_sidecar"
+
+  private final case class SidecarMeta(
+    nDocs: Long, sumDl: Long, gens: Int, dfV: Int, rmV: Int)
+
+  private def sidecarMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, SidecarMetaFile)
+
+  private def readSidecarMeta(spark: SparkSession, path: String): SidecarMeta = {
+    val p = sidecarMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no $SidecarMetaFile metadata - was it written by bm25SidecarWrite?")
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+    val parts = text.split(",")
+    require(parts.length == 5,
+      s"$path/$SidecarMetaFile is malformed ('$text') - expected n_docs,sum_dl,gens,dfv,rmv")
+    SidecarMeta(parts(0).toLong, parts(1).toLong,
+      parts(2).toInt, parts(3).toInt, parts(4).toInt)
+  }
+
+  /** Commit point of every sidecar-layout mutation: temp-write +
+    * atomic rename, so readers see the old complete layout or the new
+    * complete layout, never a mix. */
+  private def writeSidecarMeta(
+    spark: SparkSession, path: String, m: SidecarMeta): Unit = {
+    val p = sidecarMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path, s".$SidecarMetaFile.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"${m.nDocs},${m.sumDl},${m.gens},${m.dfV},${m.rmV}".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"bm25 sidecar: could not publish $SidecarMetaFile under $path")
+  }
+
+  private def postingPaths(path: String, m: SidecarMeta): Seq[String] =
+    (1 to m.gens).map(g => s"$path/postings-g$g")
+
+  private def readSidecarPostings(
+    spark: SparkSession, path: String, m: SidecarMeta): DataFrame =
+    spark.read.parquet(postingPaths(path, m): _*)
+
+  /** The drop's (word, doc_id, tf, dl) posting rows INCLUDING the
+    * NULL-word registry sentinels for token-free docs — the shared
+    * projection of the sidecar build and grow arms. */
+  private def sidecarPostingsOf(docs: DataFrame): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
+      .groupBy("word", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"))
+    val tokenless = docs.filter(col("dl") === 0)
+      .select(lit(null).cast("string").as("word"), col("doc_id"),
+        lit(0L).as("tf"), col("dl"))
+    postings.unionByName(tokenless)
+  }
+
+  private def sidecarDocs(corpus: DataFrame, textCol: String, idCol: String): DataFrame =
+    Dedup.wordTable(corpus, textCol, idCol)
+      .select(col("doc_id"), col("w"),
+        coalesce(size(col("w")), lit(0)).as("dl"))
+
+  /**
+   * Build the stats-sidecar layout fresh from a corpus (see the
+   * section doc above). One corpus tokenization for the postings, one
+   * column-pruned re-aggregation of the WRITTEN postings for the df
+   * sidecar and the global stats (reading the compact artifact back
+   * beats a second corpus tokenization, and guarantees the sidecars
+   * describe exactly what landed on disk).
+   */
+  def bm25SidecarWrite(
+    corpus: DataFrame,
+    textCol: String,
+    idCol: String,
+    path: String
+  ): Unit = {
+    val spark = corpus.sparkSession
+    sidecarPostingsOf(sidecarDocs(corpus, textCol, idCol))
+      .write.mode("overwrite").parquet(s"$path/postings-g1")
+    val written = spark.read.parquet(s"$path/postings-g1")
+    written.filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df-v1")
+    // every doc owns ≥ 1 row (sentinels included), one (doc_id, dl) each
+    // per word — the distinct collapses to the registry
+    val st = written.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
+      .head()
+    writeSidecarMeta(spark, path,
+      SidecarMeta(st.getLong(0), st.getLong(1), gens = 1, dfV = 1, rmV = 0))
+  }
+
+  /** Current tombstone table, None when no forget has run. */
+  private def sidecarRemoved(
+    spark: SparkSession, path: String, m: SidecarMeta): Option[DataFrame] =
+    if (m.rmV == 0) None
+    else Some(spark.read.parquet(s"$path/removed-v${m.rmV}"))
+
+  /**
+   * BM25 scores probed from a [[bm25SidecarWrite]] layout —
+   * value-identical to [[bm25Scores]] over the live corpus (same
+   * exact-long operands through the same arithmetic; the gate pins it
+   * under the q_bm25 oracle). Cost shape: the posting scan prunes to
+   * query-word rows via the broadcast term set, the df sidecar scan
+   * prunes the same way (query-vocab-sized result, broadcast back),
+   * tombstones anti-join at removal-set size, and N/avgdl are driver
+   * metadata — the ONE probe-time join the denormalized layouts avoid,
+   * bought back as sublinear grows.
+   */
+  def bm25ScoresFromSidecar(
+    spark: SparkSession,
+    path: String,
+    queries: DataFrame,
+    queryIdCol: String,
+    queryTextCol: String,
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    broadcastRemoved: Boolean = true
+  ): DataFrame = {
+    require(k1 >= 0.0, s"k1 must be non-negative: $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1]: $b")
+    val m = readSidecarMeta(spark, path)
+    val avgdl = if (m.nDocs == 0L) 0.0 else m.sumDl.toDouble / m.nDocs
+    val qterms = queries.select(
+      col(queryIdCol).as("query_id"),
+      explode(graft.functions.Hashing.normalizedWords(col(queryTextCol))).as("word"))
+      .distinct()
+    val terms = qterms.select("word").distinct()
+    val posts0 = readSidecarPostings(spark, path, m)
+      .join(broadcast(terms), Seq("word"), "left_semi")
+    val posts = sidecarRemoved(spark, path, m).fold(posts0) { rm =>
+      val r = rm.select(col("doc_id").as("__rm_id"))
+      posts0.join(if (broadcastRemoved) broadcast(r) else r,
+        col("doc_id") === col("__rm_id"), "left_anti")
+    }
+    val dfT = spark.read.parquet(s"$path/df-v${m.dfV}")
+      .join(broadcast(terms), Seq("word"), "left_semi")
+    val idf: Column =
+      log(lit(1.0) + (lit(m.nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfPart: Column =
+      col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / lit(avgdl)))
+    posts.join(broadcast(dfT), Seq("word"))
+      .select(col("word"), col("doc_id"), (idf * tfPart).as("contrib"))
+      .join(broadcast(qterms), Seq("word"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+  }
+
+  /**
+   * Grow the sidecar layout by a corpus drop — the SUBLINEAR grow the
+   * denormalized layouts cannot offer: writes ONE new posting
+   * generation (drop-sized bytes; prior generations are never opened
+   * for writing), rewrites the df sidecar (vocabulary-sized bytes,
+   * drop-vocab-sized compute — the [[Forget.appendFingerprints]]
+   * broadcast merge, zero vocab shuffles), and flips the metadata row.
+   * Nothing index-sized is read OR written except one column-pruned
+   * doc_id pass for the collision guard.
+   *
+   * Ids must be NEW ([[bm25Append]]'s contract): a drop id already
+   * registered — including a TOMBSTONED one, whose stale posting rows
+   * would come back to life — fails loud inside the posting write
+   * action, which aborts before committing any file.
+   */
+  def bm25SidecarAppend(
+    spark: SparkSession,
+    path: String,
+    drop: DataFrame,
+    textCol: String,
+    idCol: String,
+    broadcastDrop: Boolean = true
+  ): Unit = {
+    def hinted(df: DataFrame) = if (broadcastDrop) broadcast(df) else df
+    val m = readSidecarMeta(spark, path)
+    val docs = sidecarDocs(drop, textCol, idCol)
+    val newPost = sidecarPostingsOf(docs)
+    // collision guard: registry = every indexed doc_id (sentinels make
+    // postings complete) plus tombstoned ids; evaluated lazily inside
+    // the write via a raise-or-empty leg, one column-pruned scan
+    val dropIds = docs.select(col("doc_id").as("__aid")).distinct()
+    val registry = sidecarRemoved(spark, path, m)
+      .map(readSidecarPostings(spark, path, m).select("doc_id").unionByName(_))
+      .getOrElse(readSidecarPostings(spark, path, m).select("doc_id"))
+    val guardLeg = registry
+      .join(hinted(dropIds), col("doc_id") === col("__aid"), "left_semi")
+      .limit(1)
+      .select(
+        when(col("doc_id").isNotNull,
+          raise_error(concat(
+            lit("bm25SidecarAppend: drop id already registered: "),
+            col("doc_id").cast("string"),
+            lit(" - appending an indexed (or tombstoned) document would " +
+              "double-count df/N/avgdl or resurrect forgotten postings; " +
+              "forget+compact first or dedup the drop"))))
+          .otherwise(lit(null)).cast("string").as("word"),
+        col("doc_id"), lit(0L).as("tf"), lit(0).as("dl"))
+    newPost.unionByName(guardLeg)
+      .write.mode("overwrite").parquet(s"$path/postings-g${m.gens + 1}")
+    // df merge: broadcast LEFT join + anti leg (full-outer would not
+    // broadcast — the Forget.appendFingerprints doctrine)
+    val aDf = spark.read.parquet(s"$path/postings-g${m.gens + 1}")
+      .filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as("__a_df"))
+    val oldDf = spark.read.parquet(s"$path/df-v${m.dfV}")
+    val merged = oldDf.join(hinted(aDf), Seq("word"), "left")
+      .select(col("word"),
+        (col("df") + coalesce(col("__a_df"), lit(0L))).as("df"))
+    val matched = oldDf.select("word")
+      .join(hinted(aDf.select("word")), Seq("word"), "left_semi")
+    val newOnly = aDf
+      .join(if (broadcastDrop) broadcast(matched) else matched,
+        Seq("word"), "left_anti")
+      .select(col("word"), col("__a_df").as("df"))
+    merged.unionByName(newOnly)
+      .write.mode("overwrite").parquet(s"$path/df-v${m.dfV + 1}")
+    // global stats deltas from the committed drop generation
+    val st = spark.read.parquet(s"$path/postings-g${m.gens + 1}")
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
+      .head()
+    writeSidecarMeta(spark, path,
+      m.copy(nDocs = m.nDocs + st.getLong(0), sumDl = m.sumDl + st.getLong(1),
+        gens = m.gens + 1, dfV = m.dfV + 1))
+    // the superseded df version is unreferenced after the flip
+    val old = new org.apache.hadoop.fs.Path(s"$path/df-v${m.dfV}")
+    old.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(old, true)
+  }
+
+  /**
+   * Forget documents from the sidecar layout WITHOUT rewriting posting
+   * bytes — the same sidecar deltas as the grow arm, run in reverse:
+   * tombstone the removed ids (probes anti-join them), decrement the
+   * touched words' df (removal-vocab-sized compute over one pruned
+   * posting pass), decrement N/sum_dl exactly. Ids absent from the
+   * index are no-ops ([[bm25Forget]] parity); ids ALREADY tombstoned
+   * fail loud — double-forgetting would double-decrement the
+   * statistics. Tombstones accumulate; [[bm25SidecarCompact]] purges.
+   */
+  def bm25SidecarForget(
+    spark: SparkSession,
+    path: String,
+    removed: DataFrame,
+    removedIdCol: String,
+    broadcastRemoved: Boolean = true
+  ): Unit = {
+    def hinted(df: DataFrame) = if (broadcastRemoved) broadcast(df) else df
+    val m = readSidecarMeta(spark, path)
+    val rem = removed.select(col(removedIdCol).as("__rid")).distinct()
+    val oldRm = sidecarRemoved(spark, path, m)
+    // double-forget guard (lazy, rides the tombstone write below)
+    val guarded = oldRm.fold(rem) { prior =>
+      val dup = prior.select(col("doc_id").as("__rid"))
+        .join(hinted(rem), Seq("__rid"), "left_semi").limit(1)
+      rem.unionByName(dup.select(
+        when(col("__rid").isNotNull,
+          raise_error(concat(
+            lit("bm25SidecarForget: id already tombstoned: "),
+            col("__rid").cast("string"),
+            lit(" - double-forgetting would double-decrement df/N/sum_dl"))))
+          .otherwise(lit(null)).cast("long").as("__rid")))
+    }
+    // rows being forgotten: one pruned pass over the postings
+    val removedRows = readSidecarPostings(spark, path, m)
+      .join(hinted(guarded), col("doc_id") === col("__rid"), "left_semi")
+    val rStats = removedRows.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
+    val rDf = removedRows.filter(col("word").isNotNull)
+      .groupBy("word").agg(count(lit(1)).as("__r_df"))
+    // new tombstone version: prior tombstones ∪ the newly forgotten ids
+    // ACTUALLY indexed (absent ids are no-ops and must not tombstone —
+    // a later legitimate append of that id would fail for no reason)
+    val newRm = removedRows.select("doc_id").distinct()
+    oldRm.fold(newRm)(_.unionByName(newRm))
+      .write.mode("overwrite").parquet(s"$path/removed-v${m.rmV + 1}")
+    // df decrement (broadcast left join; words at zero drop out)
+    spark.read.parquet(s"$path/df-v${m.dfV}")
+      .join(hinted(rDf), Seq("word"), "left")
+      .select(col("word"),
+        (col("df") - coalesce(col("__r_df"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .write.mode("overwrite").parquet(s"$path/df-v${m.dfV + 1}")
+    val st = rStats.head()
+    writeSidecarMeta(spark, path,
+      m.copy(nDocs = m.nDocs - st.getLong(0), sumDl = m.sumDl - st.getLong(1),
+        dfV = m.dfV + 1, rmV = m.rmV + 1))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df-v${m.dfV}"), true)
+    if (m.rmV > 0)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/removed-v${m.rmV}"), true)
+  }
+
+  /**
+   * Amortized maintenance for the sidecar layout: rewrite the live
+   * postings (minus tombstones) as ONE fresh generation at `outPath`,
+   * carrying the current df sidecar and stats over unchanged — the
+   * full-rewrite cost the per-drop grows and per-takedown forgets
+   * deferred, paid once when tombstone volume or generation count
+   * warrants it. Write-fresh-and-flip-a-pointer, like
+   * [[bm25AppendDir]].
+   */
+  def bm25SidecarCompact(
+    spark: SparkSession,
+    path: String,
+    outPath: String
+  ): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def resolved(s: String): org.apache.hadoop.fs.Path = {
+      val raw = new org.apache.hadoop.fs.Path(s)
+      val fs = raw.getFileSystem(hconf)
+      try fs.resolvePath(raw)
+      catch { case _: java.io.FileNotFoundException => fs.makeQualified(raw) }
+    }
+    require(resolved(outPath) != resolved(path),
+      s"bm25SidecarCompact: outPath resolves to the source path ($path) - " +
+        "write fresh and flip a pointer")
+    val m = readSidecarMeta(spark, path)
+    val live = sidecarRemoved(spark, path, m).fold(
+      readSidecarPostings(spark, path, m)) { rm =>
+      val r = rm.select(col("doc_id").as("__rm_id"))
+      readSidecarPostings(spark, path, m)
+        .join(broadcast(r), col("doc_id") === col("__rm_id"), "left_anti")
+    }
+    live.write.mode("overwrite").parquet(s"$outPath/postings-g1")
+    spark.read.parquet(s"$path/df-v${m.dfV}")
+      .write.mode("overwrite").parquet(s"$outPath/df-v1")
+    writeSidecarMeta(spark, outPath,
+      SidecarMeta(m.nDocs, m.sumDl, gens = 1, dfV = 1, rmV = 0))
   }
 
   /** Top-k per query over the persisted index: [[bm25ScoresAgainst]]

@@ -73,7 +73,6 @@ import org.apache.spark.sql.functions._
  */
 object SetSim {
 
-  private val capObsId = new java.util.concurrent.atomic.AtomicLong()
 
   /** Default prefix-token bucket cap — same rationale as
     * [[Dedup.DefaultMaxBucket]]: bounds the worst single task. */
@@ -124,22 +123,13 @@ object SetSim {
         col("__n") - ceil(col("__n") * threshold - lit(1e-9)) + 1)
       .select("__tok", "__id", "__n", "__pos")
 
-    val capped = maxTokenBucket.fold(prefix) { c =>
-      require(c >= 2, s"maxTokenBucket must be >= 2 (a pair), got $c")
-      val oversized = size(col("__ids")) > c
-      prefix
-        .groupBy("__tok")
-        .agg(collect_list(struct(col("__id"), col("__n"), col("__pos"))).as("__ids"))
-        .observe(
-          s"graft.setsim.bucket_cap#${capObsId.incrementAndGet()}",
-          coalesce(sum(when(oversized, lit(1L))), lit(0L)).as("dropped_buckets"),
-          coalesce(sum(when(oversized, size(col("__ids")).cast("long"))), lit(0L))
-            .as("dropped_rows"))
-        .filter(!oversized)
-        .select(col("__tok"), explode(col("__ids")).as("__e"))
-        .select(col("__tok"), col("__e.__id").as("__id"), col("__e.__n").as("__n"),
-          col("__e.__pos").as("__pos"))
-    }
+    // two-pass cap (Dedup.capRows): count per token with map-side partial
+    // agg, anti-join over-cap tokens away — the prefix rows never collect
+    // into a per-token array at all (the old spelling materialized one
+    // only to re-explode it; a boilerplate token's bucket OOMed the
+    // aggregation buffer before the cap could drop it)
+    val capped = Dedup.capRows(prefix, Seq("__tok"), None,
+      maxTokenBucket, "setsim", "maxTokenBucket")
 
     // candidate pairs: ASYMMETRIC prefix-token equi-join (PPJoin's
     // index/probe split) + length filter + the position filter. The
@@ -241,25 +231,6 @@ object SetSim {
       "__shingles", idCol, threshold, maxTokenBucket)
 
   // ------------------------------------------------- cross-corpus (R-S)
-
-  /** The loud-cap helper of [[Dedup]]'s incremental family, setsim-named. */
-  private def capBuckets(
-    buckets: DataFrame,
-    itemsCol: String,
-    cap: Option[Int],
-    what: String
-  ): DataFrame =
-    cap.fold(buckets) { c =>
-      require(c >= 2, s"maxTokenBucket must be >= 2 (a pair), got $c")
-      val oversized = size(col(itemsCol)) > c
-      buckets
-        .observe(
-          s"graft.$what.bucket_cap#${capObsId.incrementAndGet()}",
-          coalesce(sum(when(oversized, lit(1L))), lit(0L)).as("dropped_buckets"),
-          coalesce(sum(when(oversized, size(col(itemsCol)).cast("long"))), lit(0L))
-            .as("dropped_rows"))
-        .filter(!oversized)
-    }
 
   /**
    * The persisted exact-Jaccard index of a corpus: one row per PREFIX
@@ -372,27 +343,26 @@ object SetSim {
         .otherwise(raise_error(concat(
           lit("setSimilarityJoinAgainst: index built at t="), col("t").cast("string"),
           lit(s" cannot serve threshold=$threshold < build threshold")))))
-    val batchBuckets = bsets
-      .select(col("batch_id"), size(col("__bset")).as("__bn"),
-        explode(col("__bset")).as("tok"))
-      .groupBy("tok")
-      .agg(collect_set(struct(col("batch_id"), col("__bn"))).as("batch_items"))
+    // batch side capped BEFORE its buckets materialize or broadcast
+    // (two-pass Dedup.capRows discipline; result-identical to the old
+    // post-join cap — an over-cap batch bucket never produced output)
+    val batchBuckets = Dedup.cappedCollect(
+      bsets.select(col("batch_id"), size(col("__bset")).as("__bn"),
+        explode(col("__bset")).as("tok")),
+      Seq("tok"), struct(col("batch_id"), col("__bn")), "batch_items",
+      useSet = true, maxTokenBucket, "setsim_incr_batch", "maxTokenBucket")
     // the semi probe derives from the SAME aggregation, so the batch's
-    // one shuffle feeds both the probe and the bucket join
+    // bucket shuffle feeds both the probe and the bucket join
     val probe = batchBuckets.select("tok")
     // re-sort defensively at MATCHED-row size (an index persisted by a
     // pre-merge-verify build may carry unsorted sets; sorting sorted
     // input is cheap and this is candidate-bounded, not corpus work)
     val matchedIdx = guardedIndex.join(hinted(probe), Seq("tok"), "left_semi")
       .withColumn("set", sort_array(col("set")))
-    val idxBuckets = capBuckets(
-      matchedIdx.groupBy("tok")
-        .agg(collect_list(struct(col("id"), col("n"), col("pos"), col("set")))
-          .as("idx_items")),
-      "idx_items", maxTokenBucket, "setsim_incr_idx")
-    val capped = capBuckets(
-      idxBuckets.join(hinted(batchBuckets), Seq("tok")),
-      "batch_items", maxTokenBucket, "setsim_incr_batch")
+    val idxBuckets = Dedup.cappedCollect(matchedIdx, Seq("tok"),
+      struct(col("id"), col("n"), col("pos"), col("set")), "idx_items",
+      useSet = false, maxTokenBucket, "setsim_incr_idx", "maxTokenBucket")
+    val capped = idxBuckets.join(hinted(batchBuckets), Seq("tok"))
     val alpha = (col("i.n") + col("b.__bn")).cast("double") *
       (threshold / (1.0 + threshold)) - lit(1e-9)
     val pairs = capped
@@ -496,20 +466,16 @@ object SetSim {
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <=
         col("__bn") - ceil(col("__bn") * threshold - lit(1e-9)) + 1)
-    val batchBuckets = bprefix
-      .groupBy("tok")
-      .agg(collect_set(struct(col("batch_id"), col("__bn"), col("__pos")))
-        .as("batch_items"))
+    val batchBuckets = Dedup.cappedCollect(bprefix, Seq("tok"),
+      struct(col("batch_id"), col("__bn"), col("__pos")), "batch_items",
+      useSet = true, maxTokenBucket, "setsim_cont_batch", "maxTokenBucket")
     val probe = batchBuckets.select("tok")
     val matchedIdx = guardedIndex.join(hinted(probe), Seq("tok"), "left_semi")
       .withColumn("set", sort_array(col("set")))
-    val idxBuckets = capBuckets(
-      matchedIdx.groupBy("tok")
-        .agg(collect_list(struct(col("id"), col("set"))).as("idx_items")),
-      "idx_items", maxTokenBucket, "setsim_cont_idx")
-    val capped = capBuckets(
-      idxBuckets.join(hinted(batchBuckets), Seq("tok")),
-      "batch_items", maxTokenBucket, "setsim_cont_batch")
+    val idxBuckets = Dedup.cappedCollect(matchedIdx, Seq("tok"),
+      struct(col("id"), col("set")), "idx_items",
+      useSet = false, maxTokenBucket, "setsim_cont_idx", "maxTokenBucket")
+    val capped = idxBuckets.join(hinted(batchBuckets), Seq("tok"))
     val pairs = capped
       .select(explode(col("idx_items")).as("i"), col("batch_items"))
       .select(col("i"), explode(col("batch_items")).as("b"))

@@ -978,6 +978,24 @@ class DedupSpec extends SparkSpec {
       Dedup.hammingMatchesAgainstBandedDir(spark, bare, batch, "id", "h")
     }
     assert(e2.getMessage.contains("hammingBandedIndexWrite"), e2.getMessage)
+    // and the WRITE side mirrors the read-side require: appending into a
+    // sidecar-less data directory would mix band-schema rows into a flat
+    // table and stamp a fresh sidecar over the hybrid — fail loud instead
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.hammingBandedIndexWrite(
+        Dedup.hammingBandedIndex(batch, "id", "h", bits = 64, bands = 8),
+        bare, bits = 64, bands = 8, mode = "append")
+    }
+    assert(e3.getMessage.contains("no _hamming_bands sidecar"), e3.getMessage)
+    assert(spark.read.parquet(bare).columns.toSet == Set("doc_id", "dhash"),
+      "refused append must leave the foreign directory untouched")
+    // appending into an EMPTY directory is a fresh build, not an error
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft-banded-empty").toString
+    Dedup.hammingBandedIndexWrite(
+      Dedup.hammingBandedIndex(batch, "id", "h", bits = 64, bands = 8),
+      empty, bits = 64, bands = 8, mode = "append")
+    assert(Dedup.readHammingBandMeta(spark, empty) == ((64, 8)))
   }
 
   test("hammingNearDups: rejects bits that don't divide into bands") {

@@ -130,4 +130,25 @@ class ForgetSpec extends SparkSpec {
       rebuilt.withColumn("index_signature", to_json(col("index_signature")))
         .collect().toSet)
   }
+
+  test("counted-index merge plans broadcast: no full-outer, no index shuffle") {
+    // BroadcastHashJoin has no full-outer build side — the old full_outer
+    // spelling silently ignored the hint and shuffled the whole index.
+    // The split spelling (broadcast LEFT join + match-bounded anti leg)
+    // must plan every index-touching join as a broadcast join.
+    val corpus = (0L until 50L).map(i => (i, s"text $i")).toDF("id", "text")
+    val counted = Dedup.exactFingerprintIndexCounted(corpus, "text")
+    val drop = Seq((100L, "brand new")).toDF("id", "text")
+    for ((name, df) <- Seq(
+      "append" -> Forget.appendFingerprints(counted, drop, "text"),
+      "forget" -> Forget.forgetFingerprints(counted,
+        corpus.filter(col("id") < 5).select("text"), "text"))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("FullOuter"), s"$name still plans a full-outer:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name shuffles the index through a sort-merge join:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+    }
+  }
 }

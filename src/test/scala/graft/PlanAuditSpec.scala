@@ -253,11 +253,59 @@ class PlanAuditSpec extends SparkSpec {
     val plan = Dedup.nearDuplicates(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    // signature computation happens once: the md5-based hash appears in
-    // one scan-side projection only, not once per join side
-    val opt = Dedup.lshCandidates(Dedup.minHashSignatures(docs, "text", "doc_id"))
-      .queryExecution.optimizedPlan.toString
-    assert(lowerCount(opt) == 1, opt)
+    // signature computation happens once AT EXECUTION: the two-pass
+    // bucket cap's count pass and collect pass read ONE shared band
+    // exchange (ReusedExchange — the logical plan textually carries two
+    // copies, so this audit is on the FINAL physical plan after a run)
+    val q = Dedup.lshCandidates(Dedup.minHashSignatures(docs, "text", "doc_id"))
+    q.collect()
+    val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("minhash_signature".r.findAllIn(fin).size == 1,
+      s"signature computed more than once:\n${fin.take(4000)}")
+    assert(fin.contains("ReusedExchange"),
+      s"band exchange not shared between cap-count and collect:\n${fin.take(4000)}")
+  }
+
+  test("two-pass bucket cap: the count-filter precedes every bucket collect " +
+    "(over-cap bucket never materializes)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import spark.implicits._
+    // planted degenerate key: every band bucket is over the tiny cap
+    val degen = (1L to 30L).map(i => (i, "exactly the same text for everyone"))
+      .toDF("doc_id", "text")
+    val q = Dedup.lshCandidates(
+      Dedup.minHashSignatures(degen, "text", "doc_id"), maxBucket = Some(10))
+    assert(q.count() == 0L)
+    // structural pin of the r17 hardening: every collect_list/collect_set
+    // aggregate on the bucket path sits ABOVE a join whose other side is
+    // the count-filter (count per key -> filter <= cap) — so an over-cap
+    // bucket is dropped BEFORE any collect buffer exists, not after
+    val opt = q.queryExecution.optimizedPlan
+    val collectAggs = opt.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists(e =>
+        e.prettyName == "collect_list" || e.prettyName == "collect_set")) => a
+    }
+    assert(collectAggs.nonEmpty, opt.toString)
+    collectAggs.foreach { a =>
+      val joins = a.child.collect { case j: Join => j }
+      assert(joins.nonEmpty, s"collect aggregate has no cap join below it:\n$a")
+      val hasCountFilter = joins.exists(_.exists {
+        case cnt: Aggregate => cnt.aggregateExpressions.exists(_.exists(
+          _.prettyName == "count"))
+        case _ => false
+      })
+      assert(hasCountFilter, s"no count aggregate below the cap join:\n$a")
+      // and no collect anywhere BELOW the cap join's count side
+      val countSide = joins.flatMap(_.collect {
+        case cnt: Aggregate if cnt.aggregateExpressions.exists(_.exists(
+          _.prettyName == "count")) => cnt
+      })
+      assert(countSide.forall(!_.exists {
+        case c: Aggregate => c.aggregateExpressions.exists(_.exists(e =>
+          e.prettyName == "collect_list" || e.prettyName == "collect_set"))
+        case _ => false
+      }), "count pass itself collects buckets")
+    }
   }
 
   test("late-round-8 operators: column pruning reaches the parquet scan, no UDFs") {
@@ -369,17 +417,21 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("curation: the near-dup chain is evaluated once (quality inline, no self-join)") {
-    val plan = graft.plans.CurationPipeline.curate(
-        docs.select("doc_id", "text"), "text", "doc_id")
-      .queryExecution.optimizedPlan.toString
-    // the shingle-hash derivation appears exactly twice — the near-dup
+    val q = graft.plans.CurationPipeline.curate(
+      docs.select("doc_id", "text"), "text", "doc_id")
+    // the shingle-hash derivation EXECUTES exactly twice — the near-dup
     // chain's two legitimate consumers (signature + in-bucket verify).
-    // The pre-round-9 quality stage joined (doc_id, quality) back to the
+    // The two-pass bucket cap adds a third logical copy (the count
+    // pass), but it reads the signature branch's shared band exchange,
+    // so the audit is on the FINAL physical plan after a run. The
+    // pre-round-9 quality stage joined (doc_id, quality) back to the
     // ruled frame, doubling this to four: BOTH join sides re-evaluated
     // the exact+near dedup chain (the pipeline's most expensive stages)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     val shingles = "shingle_hashes".r.findAllIn(plan).size
     assert(shingles == 2,
-      s"expected 2 shingle_hashes consumers (signature + verify), got $shingles")
+      s"expected 2 executed shingle_hashes consumers (signature + verify), got $shingles")
   }
 
   test("decontaminateSpans: corpus never sort-merge-joined, rebuild side broadcast") {
