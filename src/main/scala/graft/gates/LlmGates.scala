@@ -973,6 +973,57 @@ object LlmGates {
       sink(b1, 1L)
       out.toSeq.toDF("batch", "doc_id")
     },
+    // §2 row 165 — STREAMING video dedup, the q_image_dedup_stream
+    // pattern over folded signatures: batch 0 plants the one-bit-edited
+    // clip (dropped within batch; ramp GIF + flat clip + text kept),
+    // batch 1 the AVI re-encode of the batch-0 survivor (dropped via
+    // the GROWN banded artifact — container invariance THROUGH the
+    // stream, batch-0 payloads never re-decoded) plus a text row (kept)
+    "q_video_dedup_stream" -> { (s, dir) =>
+      import s.implicits._
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-vstream").toString + "/vhash"
+      val out = scala.collection.mutable.Buffer[(Long, Long)]()
+      val sink = Multimodal.videoDedupStreamSink(idx, n = 3) { (survivors, bid) =>
+        out ++= survivors.collect().map(m => (bid, m.doc_id))
+      }
+      val fx = videoFixtures(s).collect().map(m => m.doc_id -> m).toMap
+      val b0 = s.createDataset(Seq(
+        fx(820001L), fx(820004L), fx(820003L), // ramp GIF, flat, one-bit flip
+        Multimodal.MediaRecord(820006L, "not a clip".getBytes("UTF-8"))))
+      val b1 = s.createDataset(Seq(
+        Multimodal.MediaRecord(830002L, fx(820002L).payload), // AVI re-encode -> grown index
+        Multimodal.MediaRecord(830007L, "text again".getBytes("UTF-8"))))
+      sink(b0, 0L)
+      sink(b1, 1L)
+      out.toSeq.toDF("batch", "doc_id")
+    },
+    // §2 row 165 — STREAMING audio dedup: batch 0 plants the
+    // one-window dip (Hamming 1, dropped within batch; ramp + flat +
+    // text kept), batch 1 the volume-scaled copy AND the AIFF
+    // re-encode of the batch-0 survivor (both dropped via the grown
+    // artifact — amplitude and container invariance through the
+    // stream) plus a text row (kept)
+    "q_audio_dedup_stream" -> { (s, dir) =>
+      import s.implicits._
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-astream").toString + "/afp"
+      val out = scala.collection.mutable.Buffer[(Long, Long)]()
+      val sink = Multimodal.audioDedupStreamSink(idx) { (survivors, bid) =>
+        out ++= survivors.collect().map(m => (bid, m.doc_id))
+      }
+      val fx = audioFpFixtures(s).collect().map(m => m.doc_id -> m).toMap
+      val b0 = s.createDataset(Seq(
+        fx(810001L), fx(810002L), fx(810004L), // ramp, flat, one-window dip
+        Multimodal.MediaRecord(810006L, "not audio".getBytes("UTF-8"))))
+      val b1 = s.createDataset(Seq(
+        Multimodal.MediaRecord(840003L, fx(810003L).payload), // volume-scaled ramp
+        Multimodal.MediaRecord(840005L, fx(810005L).payload), // AIFF re-encode
+        Multimodal.MediaRecord(840007L, "text again".getBytes("UTF-8"))))
+      sink(b0, 0L)
+      sink(b1, 1L)
+      out.toSeq.toDF("batch", "doc_id")
+    },
     // §2 row 146 — video perceptual signature: per-frame dHash (the
     // row-142 literals) XOR-rotation-folded; text payloads → NULL;
     // the AVI row pins container invariance (same pixels, same vhash)
@@ -2076,6 +2127,29 @@ object LlmGates {
         |  (0::BIGINT, 800006::BIGINT),
         |  (1::BIGINT, 810003::BIGINT),
         |  (1::BIGINT, 810007::BIGINT)
+        |) t(batch, doc_id)""".stripMargin,
+    // batch 0: ramp GIF kept (820001), flat kept (vhash 0, 29 bits from
+    // the ramp's 2170205185142300190), the one-bit flip 820003 dropped
+    // within batch (Hamming 1), text kept; batch 1: the AVI re-encode
+    // folds to the identical vhash (Hamming 0 vs the grown index) and
+    // drops, text kept
+    "q_video_dedup_stream" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 820001::BIGINT),
+        |  (0::BIGINT, 820004::BIGINT),
+        |  (0::BIGINT, 820006::BIGINT),
+        |  (1::BIGINT, 830007::BIGINT)
+        |) t(batch, doc_id)""".stripMargin,
+    // batch 0: ramp kept (afp -1), flat kept (afp 0, Hamming 64), the
+    // one-window dip 810004 dropped within batch (Hamming 1), text
+    // kept; batch 1: the volume-scaled copy AND the AIFF re-encode
+    // both hit the grown index at Hamming 0 and drop, text kept
+    "q_audio_dedup_stream" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 810001::BIGINT),
+        |  (0::BIGINT, 810002::BIGINT),
+        |  (0::BIGINT, 810006::BIGINT),
+        |  (1::BIGINT, 840007::BIGINT)
         |) t(batch, doc_id)""".stripMargin,
     "q_forget_dhash" ->
       """WITH hi(doc_id, dhash) AS (VALUES

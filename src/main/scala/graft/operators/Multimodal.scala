@@ -511,10 +511,59 @@ object Multimodal {
     bands: Int = 4,
     maxBucket: Option[Int] = Dedup.DefaultMaxBucket
   )(sink: (Dataset[MediaRecord], Long) => Unit): (Dataset[MediaRecord], Long) => Unit =
+    mediaDedupStreamSink(indexDir, b => imageDHash(b),
+      "imageDedupStreamSink", "banded_dhash", maxHamming, bands, maxBucket)(sink)
+
+  /** STREAMING video dedup — [[imageDedupStreamSink]]'s twin over the
+    * [[videoDHash]] folded signatures (same banded artifact, same
+    * replay-idempotence anti-join, same sidecar verification). `n` is
+    * part of the artifact's identity like `bands`: a restart with a
+    * different frame count folds different rotations and silently
+    * loses every match, so keep one (n, bands) per artifact dir. */
+  def videoDedupStreamSink(
+    indexDir: String,
+    n: Int = 4,
+    decoder: () => FrameDecoder = SniffFrames,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket
+  )(sink: (Dataset[MediaRecord], Long) => Unit): (Dataset[MediaRecord], Long) => Unit =
+    mediaDedupStreamSink(indexDir, b => videoDHash(b, n, decoder),
+      "videoDedupStreamSink", "banded_vhash", maxHamming, bands, maxBucket)(sink)
+
+  /** STREAMING audio dedup — [[imageDedupStreamSink]]'s twin over the
+    * [[audioFingerprint]] energy contours (same banded artifact, same
+    * replay-idempotence anti-join, same sidecar verification). */
+  def audioDedupStreamSink(
+    indexDir: String,
+    maxHamming: Int = 3,
+    bands: Int = 4,
+    maxBucket: Option[Int] = Dedup.DefaultMaxBucket
+  )(sink: (Dataset[MediaRecord], Long) => Unit): (Dataset[MediaRecord], Long) => Unit =
+    mediaDedupStreamSink(indexDir, b => audioFingerprint(b),
+      "audioDedupStreamSink", "banded_afp", maxHamming, bands, maxBucket)(sink)
+
+  /** The shared machinery of the three media stream sinks: `hashOf`
+    * is the ONLY per-family difference (one decode pass producing a
+    * (doc_id, 64-bit-hash) frame with NULL for undecodables); the
+    * artifact handling, the replay anti-join, the within-batch
+    * dedup and the grow are identical by construction, so the
+    * image-arm guarantees (scaladoc above) hold verbatim for video
+    * and audio. */
+  private def mediaDedupStreamSink(
+    indexDir: String,
+    hashOf: Dataset[MediaRecord] => DataFrame,
+    what: String,
+    metricPrefix: String,
+    maxHamming: Int,
+    bands: Int,
+    maxBucket: Option[Int]
+  )(sink: (Dataset[MediaRecord], Long) => Unit): (Dataset[MediaRecord], Long) => Unit =
     (batch: Dataset[MediaRecord], batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
-      val hashes = imageDHash(batch).filter(col("dhash").isNotNull).persist()
+      val hashes = hashOf(batch).toDF("doc_id", "__mh")
+        .filter(col("__mh").isNotNull).persist()
       try {
         val hp = new org.apache.hadoop.fs.Path(indexDir)
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -522,14 +571,14 @@ object Multimodal {
           if (!fs.exists(hp)) spark.range(0).select(col("id").as("doc_id"))
           else {
             // the sidecar check fails LOUD on a pre-banded-era flat
-            // (doc_id, dhash) table or a foreign dataset (rebuild with
+            // (doc_id, hash) table or a foreign dataset (rebuild with
             // bandedMediaIndexWrite), and pins the banding contract
             // across the stream's whole life
             val (mBits, mBands) = Dedup.readHammingBandMeta(spark, indexDir)
             require(mBits == 64 && mBands == bands,
-              s"imageDedupStreamSink: $indexDir was built with " +
+              s"$what: $indexDir was built with " +
                 s"bits=$mBits bands=$mBands but this sink is configured " +
-                s"bands=$bands over 64-bit dHashes - banding params are " +
+                s"bands=$bands over 64-bit hashes - banding params are " +
                 "the artifact's contract; restart with matching bands " +
                 "or rebuild the artifact")
             // replay idempotency: drop ALL index rows keyed by this
@@ -546,12 +595,12 @@ object Multimodal {
                 broadcast(hashes.select(col("doc_id").as("__bid"))),
                 col("index_id") === col("__bid"), "left_anti")
             Dedup.hammingMatchesAgainstBanded(
-                hashes, idx, "doc_id", "dhash", 64, maxHamming, bands,
-                maxBucket, metricPrefix = "banded_dhash")
+                hashes, idx, "doc_id", "__mh", 64, maxHamming, bands,
+                maxBucket, metricPrefix = metricPrefix)
               .select(col("batch_id").as("doc_id")).distinct()
           }
         val fresh = hashes.join(crossMatched, Seq("doc_id"), "left_anti")
-        val losers = Dedup.hammingNearDups(fresh, "doc_id", "dhash", 64,
+        val losers = Dedup.hammingNearDups(fresh, "doc_id", "__mh", 64,
             maxHamming, bands, maxBucket)
           .select(col("id_b").as("doc_id")).distinct()
         val dropped = crossMatched.unionByName(losers).persist()
@@ -565,8 +614,8 @@ object Multimodal {
             // the sidecar-verifying append keeps the banding contract
             bandedMediaIndexWrite(
               hashes.join(broadcast(dropped), Seq("doc_id"), "left_anti"),
-              "doc_id", "dhash", indexDir, bands, maxBucket,
-              mode = "append")
+              "doc_id", "__mh", indexDir, bands, maxBucket,
+              metricPrefix, mode = "append")
           } finally survivors.unpersist()
         } finally dropped.unpersist()
       } finally hashes.unpersist()

@@ -761,4 +761,93 @@ class MultimodalSpec extends SparkSpec {
       (1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
       (1L, 5L, 1), (2L, 5L, 1), (3L, 5L, 1)))
   }
+
+  test("videoDedupStreamSink: MemoryStream batches keep what a batch dedup keeps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ramp = grayFrame(x => x * 10)
+    val half = grayFrame(x => math.min(x, 4) * 10)
+    val flat = grayFrame(_ => 100)
+    val rampFlip = {
+      val img = grayFrame(x => x * 10)
+      img.setRGB(0, 0, (10 << 16) | (10 << 8) | 10); img
+    }
+    val batches: Seq[Seq[MediaRecord]] = Seq(
+      Seq(
+        MediaRecord(1L, graft.gates.LlmGates.encodeAnimatedGif(Seq(ramp, half, flat))),
+        MediaRecord(2L, graft.gates.LlmGates.encodeAnimatedGif(Seq(rampFlip, half, flat))), // within-batch copy
+        MediaRecord(3L, "not video".getBytes("UTF-8"))),
+      Seq(
+        MediaRecord(11L, graft.gates.LlmGates.encodeAvi(Seq(ramp, half, flat))), // cross-batch re-encode
+        MediaRecord(12L, graft.gates.LlmGates.encodeAnimatedGif(Seq(flat, flat, flat))), // new
+        MediaRecord(13L, "more text".getBytes("UTF-8"))))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-vstream-spec").toString + "/vhash"
+    val got = scala.collection.mutable.Buffer[Long]()
+    val stream = MemoryStream[MediaRecord]
+    val q = stream.toDS().writeStream
+      .foreachBatch(Multimodal.videoDedupStreamSink(idx, n = 3) { (survivors, _) =>
+        got ++= survivors.collect().map(_.doc_id)
+      })
+      .start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val union = spark.createDataset(batches.flatten)
+    val losers = Multimodal.videoNearDups(union, n = 3, maxHamming = 3)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val want = batches.flatten.map(_.doc_id).filterNot(losers).toSet
+    assert(got.toSet == want, s"stream ${got.sorted} vs batch ${want.toSeq.sorted}")
+    assert(got.toSet == Set(1L, 3L, 12L, 13L))
+    // grown artifact: pre-banded rows of exactly the surviving decodables
+    val grown = spark.read.parquet(idx)
+    assert(grown.columns.toSet == Set("band", "band_key", "index_id", "index_hash"))
+    assert(grown.select("index_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 12L))
+  }
+
+  test("audioDedupStreamSink: MemoryStream batches keep what a batch dedup keeps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+    val ramp = Array.tabulate(65)(j => ((j + 1) * 300).toShort)
+    val scaled = Array.tabulate(65)(j => ((j + 1) * 450).toShort)
+    val flat = Array.fill(65)(1000.toShort)
+    val dip = ramp.clone(); dip(1) = 150.toShort
+    val batches: Seq[Seq[MediaRecord]] = Seq(
+      Seq(
+        MediaRecord(1L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, ramp, bigEndian = false)),
+        MediaRecord(2L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, dip, bigEndian = false)), // within-batch copy
+        MediaRecord(3L, "not audio".getBytes("UTF-8"))),
+      Seq(
+        MediaRecord(11L, graft.gates.LlmGates.encodeAudio(Aiff, 8000, 1, ramp, bigEndian = true)), // cross-batch re-encode
+        MediaRecord(12L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, scaled, bigEndian = false)), // volume-scaled copy
+        MediaRecord(13L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, flat, bigEndian = false)), // new
+        MediaRecord(14L, "more text".getBytes("UTF-8"))))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-astream-spec").toString + "/afp"
+    val got = scala.collection.mutable.Buffer[Long]()
+    val stream = MemoryStream[MediaRecord]
+    val q = stream.toDS().writeStream
+      .foreachBatch(Multimodal.audioDedupStreamSink(idx) { (survivors, _) =>
+        got ++= survivors.collect().map(_.doc_id)
+      })
+      .start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val union = spark.createDataset(batches.flatten)
+    val losers = Multimodal.audioNearDups(union, maxHamming = 3)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val want = batches.flatten.map(_.doc_id).filterNot(losers).toSet
+    assert(got.toSet == want, s"stream ${got.sorted} vs batch ${want.toSeq.sorted}")
+    assert(got.toSet == Set(1L, 3L, 13L, 14L))
+    // band-mismatched restart of a twin sink fails loud too (shared guard)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.audioDedupStreamSink(idx, bands = 2) { (_, _) => () }(
+        spark.createDataset(batches.head), 9L)
+    }
+    assert(e.getMessage.contains("audioDedupStreamSink"), e.getMessage)
+  }
 }
