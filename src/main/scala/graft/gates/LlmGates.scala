@@ -973,6 +973,37 @@ object LlmGates {
       sink(b1, 1L)
       out.toSeq.toDF("batch", "doc_id")
     },
+    // §2 row 166 — banded-artifact RE-CAP: appends cap only within
+    // each drop, so bucket 5 (three ids sharing one hash, one per
+    // drop) creeps past maxBucket=2 across a build + two appends.
+    // recapBandedIndexDir re-caps from band rows alone (no decode, no
+    // corpus) — pinned ≡ the oracle's fresh capped build from the
+    // union hash table (the fixture's per-drop buckets are all
+    // size 1, so nothing was capped early and the equality is exact)
+    "q_banded_recap" -> { (s, dir) =>
+      import s.implicits._
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-recap").toString + "/idx"
+      val X = 1407396358717445L // band keys (5,5,5,5) at 64/4 banding
+      val Y = 2533313445691401L // (9,9,9,9)
+      val Z = 3096272189178379L // (11,11,11,11)
+      def write(drop: Seq[(Long, Long)], mode: String): Unit =
+        Dedup.hammingBandedIndexWrite(
+          Dedup.hammingBandedIndex(drop.toDF("id", "h"), "id", "h",
+            bits = 64, bands = 4, maxBucket = Some(2)),
+          base, bits = 64, bands = 4, mode = mode)
+      write(Seq((1L, X), (4L, Y)), "overwrite")
+      write(Seq((2L, X), (5L, Y)), "append")
+      write(Seq((3L, X), (6L, Z)), "append")
+      // the growth margin is real: bucket (0, 5) holds 3 > cap members
+      require(s.read.parquet(base)
+        .filter(col("band") === 0 && col("band_key") === 5L).count() == 3L,
+        "q_banded_recap: fixture failed to grow a bucket past the cap")
+      Dedup.recapBandedIndexDir(s, base, base + "-v2", maxBucket = Some(2))
+      require(Dedup.readHammingBandMeta(s, base + "-v2") == ((64, 4)),
+        "q_banded_recap: banding params must carry over from the source sidecar")
+      s.read.parquet(base + "-v2")
+    },
     // §2 row 165 — STREAMING video dedup, the q_image_dedup_stream
     // pattern over folded signatures: batch 0 plants the one-bit-edited
     // clip (dropped within batch; ramp GIF + flat clip + text kept),
@@ -2128,6 +2159,26 @@ object LlmGates {
         |  (1::BIGINT, 810003::BIGINT),
         |  (1::BIGINT, 810007::BIGINT)
         |) t(batch, doc_id)""".stripMargin,
+    // fresh capped build over the union literals: band each hash into
+    // four 16-bit chunks, keep buckets of <= 2 distinct members — the
+    // three-holder hash 1407396358717445 drops, the pair and the
+    // singleton stay
+    "q_banded_recap" ->
+      """WITH h(doc_id, hash) AS (VALUES
+        |  (1::BIGINT, 1407396358717445::BIGINT),
+        |  (2::BIGINT, 1407396358717445::BIGINT),
+        |  (3::BIGINT, 1407396358717445::BIGINT),
+        |  (4::BIGINT, 2533313445691401::BIGINT),
+        |  (5::BIGINT, 2533313445691401::BIGINT),
+        |  (6::BIGINT, 3096272189178379::BIGINT)),
+        |b AS (
+        |  SELECT band::INT AS band, (hash >> (band * 16)) & 65535 AS band_key,
+        |         doc_id, hash
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t),
+        |keep AS (
+        |  SELECT band, band_key FROM b GROUP BY 1, 2 HAVING count(*) <= 2)
+        |SELECT b.band, b.band_key, b.doc_id AS index_id, b.hash AS index_hash
+        |FROM b JOIN keep USING (band, band_key)""".stripMargin,
     // batch 0: ramp GIF kept (820001), flat kept (vhash 0, 29 bits from
     // the ramp's 2170205185142300190), the one-bit flip 820003 dropped
     // within batch (Hamming 1), text kept; batch 1: the AVI re-encode

@@ -1660,6 +1660,57 @@ object Dedup {
   }
 
   /**
+   * Re-apply the build-time bucket cap to a GROWN banded artifact —
+   * the maintenance arm the append margin calls for: each
+   * [[hammingBandedIndexWrite]] append caps only within its own drop,
+   * so a bucket can creep past the cap ACROSS drops. This re-caps from
+   * the band rows alone — no media decode, no corpus access, no hash
+   * recomputation: deduplicate (replay re-appends may have duplicated
+   * rows — harmless to probes, folded here), then one two-pass
+   * [[capRows]] over (band, band_key). VALUE-EQUAL to a fresh
+   * [[hammingBandedIndex]] build from the union hash table at the same
+   * cap (q_banded_recap pins it), at a fraction of the cost — the
+   * fresh build re-bands the full hash table; this reads ~24 bytes ×
+   * bands per row. Compose with [[Forget.rewriteVersioned]] (frame →
+   * frame) or [[recapBandedIndexDir]] for atomic publication.
+   */
+  def recapBandedIndex(
+    banded: DataFrame,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    metricPrefix: String = "banded_recap"
+  ): DataFrame =
+    capRows(
+      banded.select("band", "band_key", "index_id", "index_hash").dropDuplicates(),
+      Seq("band", "band_key"), None, maxBucket, s"${metricPrefix}_idx")
+
+  /** [[recapBandedIndex]] dir-to-dir: banding params carry over from
+    * the source's own sidecar, the recapped artifact writes fresh to
+    * `outPath` (write-fresh-and-flip-a-pointer — never in place, the
+    * recap plan is still reading the source). */
+  def recapBandedIndexDir(
+    spark: org.apache.spark.sql.SparkSession,
+    path: String,
+    outPath: String,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    metricPrefix: String = "banded_recap"
+  ): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def resolved(s: String): org.apache.hadoop.fs.Path = {
+      val raw = new org.apache.hadoop.fs.Path(s)
+      val fs = raw.getFileSystem(hconf)
+      try fs.resolvePath(raw)
+      catch { case _: java.io.FileNotFoundException => fs.makeQualified(raw) }
+    }
+    require(resolved(outPath) != resolved(path),
+      s"recapBandedIndexDir: outPath resolves to the source path ($path) - " +
+        "write fresh and flip a pointer")
+    val (bits, bands) = readHammingBandMeta(spark, path)
+    hammingBandedIndexWrite(
+      recapBandedIndex(spark.read.parquet(path), maxBucket, metricPrefix),
+      outPath, bits, bands)
+  }
+
+  /**
    * [[hammingMatchesAgainstBanded]] against a
    * [[hammingBandedIndexWrite]] DIRECTORY: bits/bands come from the
    * artifact's own sidecar, so a probe can never band differently

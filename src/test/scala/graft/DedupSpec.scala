@@ -998,6 +998,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.readHammingBandMeta(spark, empty) == ((64, 8)))
   }
 
+  test("recapBandedIndex: re-cap ≡ fresh capped build; replay duplicates fold") {
+    import spark.implicits._
+    val X = 1407396358717445L // band keys (5,5,5,5) at 64/4
+    val Y = 2533313445691401L // (9,9,9,9)
+    def banded(rows: (Long, Long)*) =
+      Dedup.hammingBandedIndex(rows.toDF("id", "h"), "id", "h",
+        bits = 64, bands = 4, maxBucket = Some(2))
+    // artifact grown one id per drop (nothing capped early), PLUS a
+    // replayed append duplicating id 4's band rows
+    val grown = banded((1L, X), (4L, Y))
+      .unionByName(banded((2L, X)))
+      .unionByName(banded((3L, X)))
+      .unionByName(banded((4L, Y))) // replay re-append: duplicate rows
+    val recapped = Dedup.recapBandedIndex(grown, Some(2))
+    val fresh = banded((1L, X), (2L, X), (3L, X), (4L, Y))
+    assert(recapped.collect().map(_.toSeq).toSet ==
+      fresh.collect().map(_.toSeq).toSet)
+    // the X bucket (3 distinct members) is gone, the Y singleton stays
+    assert(recapped.select("index_id").distinct()
+      .as[Long].collect().toSet == Set(4L))
+    // dir arm refuses in-place rewrites (aliased spelling included)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-recap-dir").toString + "/idx"
+    Dedup.hammingBandedIndexWrite(grown, out, 64, 4)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.recapBandedIndexDir(spark, out, out + "/", Some(2))
+    }
+    assert(e.getMessage.contains("resolves to the source path"), e.getMessage)
+  }
+
   test("hammingNearDups: rejects bits that don't divide into bands") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("id", "h")
