@@ -190,6 +190,45 @@ object VectorGates {
           k = 5, kCandidates = 150, subspaces = 16, codebookSize = 16,
           iters = 2, minRecall = 0.9)
         .select("n_queries", "n_truth", "recall_ok")
+    },
+    // §2 row 167 — IVF drift report, the retrain-now signal: PLANTED
+    // centroids (the first 16 embeddings — DuckDB re-derives argmax-
+    // cosine assignment without replicating k-means), the build-time
+    // reference persisted alongside them via saveCentroids, then a
+    // planted drifted drop (50 clones of vector 7) concentrated into
+    // bucket 7 — its occupancy_ratio must rise above 1 and its
+    // mean_cos_drop go negative (clones sit AT the centroid), both
+    // re-derived exactly by the oracle
+    "q_ivf_drift" -> { (s, dir) =>
+      import graft.operators.Similarity
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 16).select(
+        col("vec_id").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+      val build = e.filter(col("vec_id") < 400)
+      val cDir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-drift").toString
+      Similarity.saveCentroids(cents, cDir, Some(
+        Similarity.ivfAssignmentStats(
+          Similarity.ivfAssignWith(build, "embedding", cents),
+          "embedding", cents)))
+      val loaded = Similarity.loadCentroids(s, cDir)
+      val clones = s.range(900000L, 900050L).select(col("id").as("vec_id"))
+        .crossJoin(e.filter(col("vec_id") === 7).select("embedding"))
+      val now = build.unionByName(clones)
+      val report = Similarity.ivfDriftReport(
+        Similarity.ivfAssignWith(now, "embedding", loaded),
+        "embedding", loaded, Similarity.loadIvfReference(s, cDir))
+      val b7 = report.filter(col("centroid_id") === 7)
+        .select("occupancy_ratio", "mean_cos_drop").collect().head
+      require(b7.getDouble(0) > 1.0 && b7.getDouble(1) < 0.0,
+        s"q_ivf_drift: planted drift did not move bucket 7's metrics ($b7)")
+      report.select(
+        col("centroid_id"), col("n_ref"), col("n_now"),
+        round(col("occupancy_ratio"), 6).as("occupancy_ratio"),
+        round(col("mean_cos_ref"), 6).as("mean_cos_ref"),
+        round(col("mean_cos_now"), 6).as("mean_cos_now"),
+        (round(col("mean_cos_drop"), 6) + lit(0.0)).as("mean_cos_drop"))
     }
   )
 
@@ -370,7 +409,58 @@ object VectorGates {
         |                            ORDER BY adc_dist ASC, neighbor_id) AS rn
         |  FROM s)
         |SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist
-        |FROM r WHERE rn <= 5""".stripMargin
+        |FROM r WHERE rn <= 5""".stripMargin,
+    // argmax-cosine assignment re-derived per corpus (planted centroids
+    // = the first 16 embeddings; min-centroid tiebreak matches the
+    // fold's strictly-greater update over the id-sorted array), then
+    // the same per-bucket stats and exact cross-product ratio
+    "q_ivf_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+        |build AS (SELECT vec_id, v FROM e WHERE vec_id < 400),
+        |nowc AS (
+        |  SELECT vec_id, v FROM build
+        |  UNION ALL
+        |  SELECT 900000 + i AS vec_id, (SELECT v FROM e WHERE vec_id = 7) AS v
+        |  FROM (SELECT unnest(range(50)) AS i)),
+        |asg_ref AS (
+        |  SELECT centroid_id, cos FROM (
+        |    SELECT b.vec_id, c.centroid_id,
+        |           list_dot_product(v, cv) /
+        |             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cos,
+        |           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |             list_dot_product(v, cv) /
+        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |             c.centroid_id) AS rn
+        |    FROM build b CROSS JOIN c) WHERE rn = 1),
+        |asg_now AS (
+        |  SELECT centroid_id, cos FROM (
+        |    SELECT b.vec_id, c.centroid_id,
+        |           list_dot_product(v, cv) /
+        |             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cos,
+        |           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |             list_dot_product(v, cv) /
+        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |             c.centroid_id) AS rn
+        |    FROM nowc b CROSS JOIN c) WHERE rn = 1),
+        |ref AS (SELECT centroid_id, count(*)::BIGINT AS n_ref, avg(cos) AS m_ref
+        |        FROM asg_ref GROUP BY 1),
+        |nw AS (SELECT centroid_id, count(*)::BIGINT AS n_now, avg(cos) AS m_now
+        |       FROM asg_now GROUP BY 1),
+        |t AS (SELECT (SELECT sum(n_ref) FROM ref) AS t_ref,
+        |             (SELECT sum(n_now) FROM nw) AS t_now)
+        |SELECT centroid_id,
+        |       coalesce(n_ref, 0) AS n_ref,
+        |       coalesce(n_now, 0) AS n_now,
+        |       CASE WHEN coalesce(n_ref, 0) = 0 OR t_now = 0 THEN NULL
+        |            ELSE round((coalesce(n_now, 0) * t_ref)::DOUBLE /
+        |                       (n_ref * t_now)::DOUBLE, 6) END AS occupancy_ratio,
+        |       round(m_ref, 6) AS mean_cos_ref,
+        |       round(m_now, 6) AS mean_cos_now,
+        |       round(m_ref - m_now, 6) + 0.0 AS mean_cos_drop
+        |FROM ref FULL OUTER JOIN nw USING (centroid_id) CROSS JOIN t""".stripMargin
   )
 
   /** Shared CTEs for the planted-codebook PQ oracles: the 2×4 constant

@@ -262,7 +262,139 @@ object Similarity {
    * bucketed corpus.
    */
   def saveCentroids(centroids: DataFrame, path: String): Unit =
+    saveCentroids(centroids, path, None)
+
+  /** [[saveCentroids]] carrying a BUILD-TIME assignment reference
+    * ([[ivfAssignmentStats]] over the build corpus) alongside the
+    * centroids in an `_ivf_reference` sub-artifact (the `_` prefix
+    * keeps [[loadCentroids]]' plain parquet read blind to it) — the
+    * yardstick [[ivfDriftReport]] measures a long-lived index against
+    * after months of appends and forgets. */
+  def saveCentroids(
+    centroids: DataFrame,
+    path: String,
+    reference: Option[DataFrame]
+  ): Unit = {
     centroids.coalesce(1).write.mode("overwrite").parquet(path)
+    reference.foreach(
+      _.coalesce(1).write.mode("overwrite").parquet(s"$path/_ivf_reference"))
+  }
+
+  /** Load the build-time reference persisted by [[saveCentroids]] —
+    * fails loud when absent (an index saved without one has no drift
+    * yardstick; re-save with the reference to enable the report). */
+  def loadIvfReference(
+    spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_ivf_reference")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no _ivf_reference sub-artifact - save the index with " +
+        "saveCentroids(centroids, path, Some(ivfAssignmentStats(...))) " +
+        "to give ivfDriftReport its build-time yardstick")
+    spark.read.parquet(s"$path/_ivf_reference")
+  }
+
+  /**
+   * Per-bucket assignment statistics of an assigned corpus against its
+   * centroid table: `(centroid_id, n, mean_cos)` — occupancy and mean
+   * assignment cosine. ONE aggregation pass over the assignment table
+   * (the centroid join is a broadcast), output is centroid-count-sized.
+   * Rows assigned to no centroid (zero-norm vectors, `centroid_id` -1)
+   * drop out via the inner centroid join; NULL cosines never reach the
+   * average. This is both the build-time reference ([[saveCentroids]])
+   * and the live side of [[ivfDriftReport]].
+   */
+  def ivfAssignmentStats(
+    assigned: DataFrame,
+    vecCol: String,
+    centroids: DataFrame
+  ): DataFrame =
+    assigned
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n"),
+        avg(cosine(col(vecCol), col("cv"))).as("mean_cos"))
+
+  /**
+   * The "retrain now?" signal a long-lived IVF/PQ deployment needs:
+   * centroids are doc-free and survive every append and forget, but
+   * nothing else says when the accumulated drops have drifted the
+   * corpus away from the space the centroids were trained on. This
+   * compares the LIVE assignment table against the build-time
+   * reference, per bucket:
+   *
+   *  - `occupancy_ratio` = (n_now/total_now) / (n_ref/total_ref) —
+   *    exact integer cross-products through one double division, so an
+   *    oracle re-derives it bit-for-bit. A bucket swallowing the
+   *    corpus (skew — probe cost concentrates) or starving (wasted
+   *    partitions) drifts it from 1.
+   *  - `mean_cos_drop` = mean_cos_ref − mean_cos_now — positive when
+   *    vectors sit farther from their centroid than the build did
+   *    (the space moved; recall at fixed nProbe decays).
+   *
+   * One aggregation pass over the live assignment table; everything
+   * else is centroid-count-sized. Buckets empty NOW keep their
+   * reference row (n_now 0, NULL mean_cos_now — [[enforceIvfFreshness]]
+   * fails closed on them). Wire thresholds via [[enforceIvfFreshness]].
+   */
+  def ivfDriftReport(
+    assigned: DataFrame,
+    vecCol: String,
+    centroids: DataFrame,
+    reference: DataFrame
+  ): DataFrame = {
+    val now = ivfAssignmentStats(assigned, vecCol, centroids)
+      .select(col("centroid_id"),
+        col("n").as("n_now"), col("mean_cos").as("mean_cos_now"))
+    val ref = reference.select(col("centroid_id"),
+      col("n").as("n_ref"), col("mean_cos").as("mean_cos_ref"))
+    // both sides are centroid-count-sized; the totals are 1-row folds
+    val totals = broadcast(
+      ref.agg(sum(col("n_ref")).as("__t_ref")).crossJoin(
+        now.agg(coalesce(sum(col("n_now")), lit(0L)).as("__t_now"))))
+    ref.join(now, Seq("centroid_id"), "full_outer")
+      .crossJoin(totals)
+      .select(
+        col("centroid_id"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        when(coalesce(col("n_ref"), lit(0L)) === 0 || col("__t_now") === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (coalesce(col("n_now"), lit(0L)) * col("__t_ref")).cast("double") /
+              (col("n_ref") * col("__t_now")).cast("double"))
+          .as("occupancy_ratio"),
+        col("mean_cos_ref"),
+        col("mean_cos_now"),
+        (col("mean_cos_ref") - col("mean_cos_now")).as("mean_cos_drop"))
+  }
+
+  /**
+   * The retrain-now gate: [[Checks.enforce]] over an [[ivfDriftReport]]
+   * — every bucket must still be populated (NULL-metric rows fail
+   * closed via the non-null checks), occupancy skew must stay within
+   * `maxOccupancyRatio` of the build-time share in both directions,
+   * and the mean assignment cosine must not have dropped more than
+   * `maxMeanCosDrop`. Throws `IllegalStateException` naming the failed
+   * rule — schedule a centroid retrain when it fires. Returns the
+   * report unchanged for green runs (drop it into a maintenance
+   * pipeline).
+   */
+  def enforceIvfFreshness(
+    report: DataFrame,
+    maxOccupancyRatio: Double = 4.0,
+    maxMeanCosDrop: Double = 0.1
+  ): DataFrame = {
+    require(maxOccupancyRatio >= 1.0,
+      s"maxOccupancyRatio is a two-sided band around 1: $maxOccupancyRatio")
+    Checks.enforce(report, Seq(
+      Checks.NonNullRate("occupancy_ratio", 1.0),
+      Checks.NonNullRate("mean_cos_now", 1.0),
+      Checks.ValueRange("occupancy_ratio",
+        min = Some(1.0 / maxOccupancyRatio), max = Some(maxOccupancyRatio)),
+      Checks.ValueRange("mean_cos_drop", max = Some(maxMeanCosDrop))))
+  }
 
   /**
    * Load a persisted centroid table, re-typed to the (centroid_id BIGINT,

@@ -231,4 +231,57 @@ class SimilaritySpec extends SparkSpec {
     val removedIds = removed.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(forgotten.forall { case (_, n, _) => !removedIds.contains(n) })
   }
+
+  test("ivfDriftReport: exact ratios; enforceIvfFreshness fires on drift") {
+    import spark.implicits._
+    // two axis-aligned centroids; build corpus balanced 3/3
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("centroid_id", "cv")
+    def vecs(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "v")
+    val build = vecs(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.1)), (3L, Seq(1.0, -0.1)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.1, 1.0)), (6L, Seq(-0.1, 1.0)))
+    val ref = Similarity.ivfAssignmentStats(
+      Similarity.ivfAssignWith(build, "v", cents), "v", cents)
+    // persisted alongside centroids; read back for the report
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift-spec").toString
+    Similarity.saveCentroids(cents, dir, Some(ref))
+    val loadedRef = Similarity.loadIvfReference(spark, dir)
+    // undrifted corpus: ratios 1, drops 0 → enforce passes
+    val same = Similarity.ivfDriftReport(
+      Similarity.ivfAssignWith(build, "v", cents), "v", cents, loadedRef)
+    assert(Similarity.enforceIvfFreshness(same) eq same)
+    assert(same.collect().forall(r =>
+      r.getDouble(r.fieldIndex("occupancy_ratio")) == 1.0 &&
+        r.getDouble(r.fieldIndex("mean_cos_drop")) == 0.0))
+    // drifted corpus: bucket 0 swamped by far-from-centroid vectors
+    val drift = build.unionByName(vecs(
+      (10L, Seq(1.0, 0.9)), (11L, Seq(1.0, 0.9)), (12L, Seq(1.0, 0.9)),
+      (13L, Seq(1.0, 0.9)), (14L, Seq(1.0, 0.9)), (15L, Seq(1.0, 0.9))))
+    val report = Similarity.ivfDriftReport(
+      Similarity.ivfAssignWith(drift, "v", cents), "v", cents, loadedRef)
+    val b0 = report.filter(col("centroid_id") === 0).collect().head
+    // occupancy: bucket 0 went 3/6 -> 9/12: ratio (9*6)/(3*12) = 1.5 exact
+    assert(b0.getDouble(b0.fieldIndex("occupancy_ratio")) == 1.5)
+    assert(b0.getDouble(b0.fieldIndex("mean_cos_drop")) > 0.0)
+    val e = intercept[IllegalStateException] {
+      Similarity.enforceIvfFreshness(report,
+        maxOccupancyRatio = 1.2, maxMeanCosDrop = 0.01)
+    }
+    assert(e.getMessage.contains("value_range"), e.getMessage)
+    // a bucket dying entirely fails closed through the non-null rules
+    val dead = Similarity.ivfDriftReport(
+      Similarity.ivfAssignWith(vecs((1L, Seq(1.0, 0.0))), "v", cents),
+      "v", cents, loadedRef)
+    intercept[IllegalStateException] { Similarity.enforceIvfFreshness(dead) }
+    // an index saved WITHOUT the reference has no drift yardstick
+    val bare = java.nio.file.Files.createTempDirectory("ivf-bare-spec").toString
+    Similarity.saveCentroids(cents, bare)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.loadIvfReference(spark, bare)
+    }
+    assert(e2.getMessage.contains("_ivf_reference"), e2.getMessage)
+    // and the reference sub-artifact is invisible to loadCentroids
+    assert(Similarity.loadCentroids(spark, dir).collect().length == 2)
+  }
 }
