@@ -157,6 +157,55 @@ object SimJoinGates {
           "text", "doc_id", threshold = 0.6)
         .withColumn("containment", round(col("containment"), 6))
     },
+    // §2 row 168a — setsim index GROW ≡ join surface: the prefix index
+    // built from two-thirds of the prior corpus, GROWN by the other
+    // third via setSimShingleIndexAppend — the appended third's rarity
+    // ranks come from the DROP's OWN token df, deliberately different
+    // from a full rebuild's ranks — probed with the same batch under
+    // the SAME brute-force oracle as q_setsim_incr: the union is exact
+    // for the probe surface (prefix completeness is per-doc-order
+    // local), staleness costs efficiency only
+    "q_setsim_append" -> { (s, dir) =>
+      val pr = simPrior(s, dir)
+      val idx = SetSim.setSimShingleIndexAppend(
+        SetSim.setSimShingleIndex(
+          pr.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", threshold = 0.5),
+        pr.filter(col("doc_id") % 3 === 0), "text", "doc_id", threshold = 0.5)
+      SetSim.setSimilarityPairsAgainst(
+          setsimIncrBatch(s, dir), idx, "text", "doc_id", threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    },
+    // §2 row 168b — containment index GROW: full per-doc postings, no
+    // statistic anywhere, so the union IS the rebuild; same oracle as
+    // q_containment_incr through the grown index
+    "q_containment_append" -> { (s, dir) =>
+      val pr = simPrior(s, dir)
+      val batch = LlmGates.docs(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") < 400 && col("doc_id") % 2 === 1)
+        .unionByName(
+          pr.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 300000).as("doc_id"),
+              substring(col("text"), 1, 120).as("text")))
+      val idx = SetSim.setContainmentShingleIndexAppend(
+        SetSim.setContainmentShingleIndex(
+          pr.filter(col("doc_id") % 3 =!= 0), "text", "doc_id"),
+        pr.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+      SetSim.setContainmentPairsAgainst(batch, idx, "text", "doc_id",
+          threshold = 0.6)
+        .withColumn("containment", round(col("containment"), 6))
+    },
+    // §2 row 168c — edit-distance index GROW: per-doc deletion
+    // neighborhoods, union ≡ rebuild row-for-row; same oracle as
+    // q_editdist_incr through the grown index
+    "q_editdist_append" -> { (s, dir) =>
+      val pk = editPriorKeys(s, dir)
+      val idx = EditSim.editVariantIndexAppend(
+        EditSim.editVariantIndex(
+          pk.filter(col("doc_id") % 3 =!= 0), "s", "doc_id", maxDist = 2),
+        pk.filter(col("doc_id") % 3 === 0), "s", "doc_id", maxDist = 2)
+      EditSim.editDistancePairsAgainst(
+        editIncrBatch(s, dir), idx, "s", "doc_id", maxDist = 2)
+    },
     // §2 row 139 × 136 — forget over the persisted setsim prefix index:
     // Forget.removeIds drops the removed docs' prefix rows; the gate
     // pins the post-forget index through the JOIN SURFACE (probe batch
@@ -231,7 +280,7 @@ object SimJoinGates {
   private val NormSql =
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_setsim_pairs" ->
       s"""WITH base AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id < 400
@@ -437,4 +486,11 @@ object SimJoinGates {
          |       b.rn - a.rn AS rank_dist
          |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 5""".stripMargin
   )
+
+  /** The append gates probe the SAME semantics through a grown index,
+    * so they pin against the SAME definitional oracles verbatim. */
+  val oracleSql: Map[String, String] = oracleBase ++ Map(
+    "q_setsim_append" -> oracleBase("q_setsim_incr"),
+    "q_containment_append" -> oracleBase("q_containment_incr"),
+    "q_editdist_append" -> oracleBase("q_editdist_incr"))
 }

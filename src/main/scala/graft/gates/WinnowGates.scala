@@ -82,6 +82,32 @@ object WinnowGates {
       Dedup.winnowedOverlapPairsAgainst(batch, s.read.parquet(out),
         "text", "doc_id", K, W, minShared = 2)
     },
+    // §2 row 168d — winnow index GROW ≡ join surface: the index built
+    // from two-thirds of the prior corpus, grown by the other third
+    // via winnowIndexAppend (per-doc fingerprints, union ≡ rebuild),
+    // probed with the same batch under the SAME oracle as q_winnow_incr
+    "q_winnow_append" -> { (s, dir) =>
+      val prior = LlmGates.docs(s, dir)
+        .filter(col("doc_id") < 120 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+      val batch = LlmGates.docs(s, dir)
+        .filter(col("doc_id") < 120 && col("doc_id") % 2 === 1)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+        .unionByName(
+          prior.filter(col("doc_id") % 4 === 0)
+            .select((col("doc_id") + 500000).as("doc_id"),
+              upper(col("text")).as("text")))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-winnowapp-gate").toString
+      Dedup.winnowIndex(
+          prior.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", K, W)
+        .write.mode("overwrite").parquet(out)
+      Dedup.winnowIndexAppend(s.read.parquet(out),
+          prior.filter(col("doc_id") % 3 === 0), "text", "doc_id", K, W)
+        .write.mode("overwrite").parquet(out + "-v2")
+      Dedup.winnowedOverlapPairsAgainst(batch, s.read.parquet(out + "-v2"),
+        "text", "doc_id", K, W, minShared = 2)
+    },
     // §2 row 153 (winnow arm) — forget over the persisted winnow
     // index: fingerprints are per-doc independent and the (k, w)
     // constants are corpus-free, so Forget.removeIds ≡ a rebuild from
@@ -156,7 +182,7 @@ object WinnowGates {
        |  SELECT DISTINCT doc_id, p AS pos, hash
        |  FROM ranked$suffix WHERE rn = 1)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "q_winnow" ->
       s"WITH ${selCte(FixtureSrc)}\nSELECT doc_id, pos, hash FROM sel",
     "q_winnow_pairs" ->
@@ -209,4 +235,9 @@ object WinnowGates {
          |SELECT doc_id, pos, hash, $K AS k, $W AS w FROM sel""".stripMargin
     }
   )
+
+  /** q_winnow_append probes the same semantics through a grown index —
+    * same definitional oracle verbatim. */
+  val oracleSql: Map[String, String] = oracleBase ++ Map(
+    "q_winnow_append" -> oracleBase("q_winnow_incr"))
 }

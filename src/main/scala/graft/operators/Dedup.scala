@@ -853,6 +853,39 @@ object Dedup {
       .withColumn("k", lit(k)).withColumn("w", lit(w))
 
   /**
+   * GROW a persisted [[winnowIndex]] by a corpus drop — a plain row
+   * union, EXACT by construction: winnow fingerprints are a per-doc
+   * derivation (k-gram hashes + in-window argmin over ONE document's
+   * text; no cross-doc statistic anywhere), so the union of two builds
+   * IS the rebuild over the union corpus row-for-row
+   * (q_winnow_append pins it through the join surface). The drop must
+   * be fingerprinted at the INDEX's own (k, w) — mismatched grams
+   * silently share nothing, the quiet failure the per-row guard turns
+   * loud — and drop ids must be NEW (the per-doc-index fail-loud
+   * collision contract, [[SetSim.appendPerDocIndex]]).
+   */
+  def winnowIndexAppend(
+    index: DataFrame,
+    drop: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 8,
+    w: Int = 4,
+    broadcastDrop: Boolean = true
+  ): DataFrame = {
+    val guarded = index.filter(
+      when(col("k") === lit(k) && col("w") === lit(w), lit(true))
+        .otherwise(raise_error(concat(
+          lit("winnowIndexAppend: index built at k="), col("k").cast("string"),
+          lit(" w="), col("w").cast("string"),
+          lit(s" cannot grow with a k=$k w=$w drop - one parameterization " +
+            "per artifact; rebuild to change it")))))
+    SetSim.appendPerDocIndex(guarded,
+      winnowIndex(drop, textCol, idCol, k, w),
+      "doc_id", "winnowIndexAppend", tGuard = None, broadcastDrop)
+  }
+
+  /**
    * Cross-corpus winnowed overlap — the incremental arm of
    * [[winnowedOverlapPairs]], completing the family pattern every
    * similarity arm in this engine has (LSH/SimHash/embedding/exact

@@ -155,6 +155,36 @@ object EditSim {
     variantTable(df, strCol, idCol, maxDist).withColumn("d", lit(maxDist))
 
   /**
+   * GROW a persisted [[editVariantIndex]] by a key drop — a plain row
+   * union, EXACT by construction: variant rows are the per-doc
+   * deletion neighborhood (no cross-doc statistic anywhere), so the
+   * union of two builds IS the rebuild over the union corpus
+   * row-for-row (q_editdist_append pins it through the join surface).
+   * The drop must be generated at the INDEX's own depth `d` (a
+   * shallower drop would silently lose its own d=2 matches; the
+   * per-row guard raises on mismatch) and drop ids must be NEW (the
+   * per-doc-index fail-loud collision contract).
+   */
+  def editVariantIndexAppend(
+    index: DataFrame,
+    drop: DataFrame,
+    strCol: String,
+    idCol: String,
+    maxDist: Int = 1,
+    broadcastDrop: Boolean = true
+  ): DataFrame = {
+    val guarded = index.filter(
+      when(col("d") === lit(maxDist), lit(true))
+        .otherwise(raise_error(concat(
+          lit("editVariantIndexAppend: index built at d="), col("d").cast("string"),
+          lit(s" cannot grow with a d=$maxDist drop - one depth per artifact; " +
+            "rebuild to change it")))))
+    SetSim.appendPerDocIndex(guarded,
+      editVariantIndex(drop, strCol, idCol, maxDist),
+      "id", "editVariantIndexAppend", tGuard = None, broadcastDrop)
+  }
+
+  /**
    * Exact levenshtein join between a new batch and a PERSISTED
    * [[editVariantIndex]] — the cross-corpus (R-S) arm: a new drop of
    * short keys (titles, canonical URLs, product codes) asks "which

@@ -403,6 +403,132 @@ object SetSim {
       "__shingles", idCol, threshold)
 
   /**
+   * GROW a persisted [[setSimPrefixIndex]] by a corpus drop — a plain
+   * row union, and that union is EXACT for the probe surface, in
+   * writing: index rows are per-doc (tok, id, n, pos, set, t) with no
+   * cross-doc statistic, and the prefix-filter completeness proof is
+   * PER-DOC-ORDER-LOCAL — a doc's prefix is its first
+   * `n − ceil(t·n) + 1` tokens under ANY total order of ITS tokens
+   * (if no prefix token were common to a qualifying pair, every common
+   * token would sit past that rank, capping the overlap below t·n),
+   * and the probe-side position bound `1 + n − pos` is the count of
+   * the doc's tokens at rank ≥ pos — valid under whatever order ranked
+   * THAT doc. So the drop's prefixes, ranked by the DROP's OWN token
+   * df, compose exactly with prefixes the original build ranked by the
+   * OLD corpus df: [[setSimilarityJoinAgainst]] over the union returns
+   * the same pairs and the same exact jaccards as over a full rebuild
+   * (q_setsim_append pins it through the join surface). The df-rank
+   * STALENESS cost is efficiency only — a token that was rare at build
+   * time and is common now keeps fat prefix buckets fatter than a
+   * rebuild would (the bucket cap still bounds them loudly); rebuild
+   * when the drop volume has shifted the vocabulary enough to matter.
+   *
+   * The drop must be built at the INDEX's own threshold (a lower-t
+   * drop would under-prefix old probes' completeness margin — the
+   * per-row guard raises on any mismatch), and drop ids must be NEW
+   * (per-doc rows: a re-added id would duplicate its rows and its
+   * matches — the [[graft.operators.Retrieval.bm25Append]] fail-loud
+   * contract, woven into a cardinality FILTER so every consumer
+   * evaluates it).
+   */
+  def setSimIndexAppend(
+    index: DataFrame,
+    drop: DataFrame,
+    setCol: String,
+    idCol: String,
+    threshold: Double,
+    broadcastDrop: Boolean = true
+  ): DataFrame = {
+    val newRows = setSimPrefixIndex(drop, setCol, idCol, threshold)
+    appendPerDocIndex(index, newRows, "id", "setSimIndexAppend",
+      tGuard = Some(threshold), broadcastDrop)
+  }
+
+  /** Text arm of [[setSimIndexAppend]] (hashed k-word shingles). */
+  def setSimShingleIndexAppend(
+    index: DataFrame,
+    drop: DataFrame,
+    textCol: String,
+    idCol: String,
+    threshold: Double,
+    k: Int = 3,
+    broadcastDrop: Boolean = true
+  ): DataFrame =
+    appendPerDocIndex(index,
+      setSimShingleIndex(drop, textCol, idCol, threshold, k),
+      "id", "setSimShingleIndexAppend", tGuard = Some(threshold), broadcastDrop)
+
+  /**
+   * GROW a persisted [[setContainmentIndex]] — the trivial case of the
+   * [[setSimIndexAppend]] argument: containment postings are FULL
+   * per-doc token rows (pos 0, t 0, no prefix, no statistic), so the
+   * union IS the rebuild row-for-row. Same new-ids-only guard.
+   */
+  def setContainmentIndexAppend(
+    index: DataFrame,
+    drop: DataFrame,
+    setCol: String,
+    idCol: String,
+    broadcastDrop: Boolean = true
+  ): DataFrame =
+    appendPerDocIndex(index, setContainmentIndex(drop, setCol, idCol),
+      "id", "setContainmentIndexAppend", tGuard = Some(0.0), broadcastDrop)
+
+  /** Text arm of [[setContainmentIndexAppend]]. */
+  def setContainmentShingleIndexAppend(
+    index: DataFrame,
+    drop: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 3,
+    broadcastDrop: Boolean = true
+  ): DataFrame =
+    appendPerDocIndex(index,
+      setContainmentShingleIndex(drop, textCol, idCol, k),
+      "id", "setContainmentShingleIndexAppend", tGuard = Some(0.0), broadcastDrop)
+
+  /** Shared grow plumbing of the per-doc-row index family: verify the
+    * build parameter riding the index rows (when `tGuard` is set),
+    * fail loud on a drop id the index already holds, union the drop's
+    * rows. Package-private — [[graft.operators.EditSim]] and the
+    * winnow arm reuse it with their own parameter guards. */
+  private[operators] def appendPerDocIndex(
+    index: DataFrame,
+    newRows: DataFrame,
+    idName: String,
+    what: String,
+    tGuard: Option[Double],
+    broadcastDrop: Boolean
+  ): DataFrame = {
+    val guarded = tGuard.fold(index) { t =>
+      index.filter(
+        when(abs(col("t") - lit(t)) <= lit(1e-9), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"$what: index built at t="), col("t").cast("string"),
+            lit(s" cannot grow with a t=$t drop - one threshold per artifact; " +
+              "rebuild to change it")))))
+    }
+    val dropIds = newRows.select(col(idName).as("__aid")).distinct()
+    val hinted = if (broadcastDrop) broadcast(dropIds) else dropIds
+    // collision fails loud through a FILTER predicate (cardinality-
+    // deciding, so no consumer's column pruning can elide it); it
+    // references both join sides, so it cannot be pushed below the join
+    guarded
+      .join(hinted, col(idName) === col("__aid"), "left")
+      .filter(
+        when(col("__aid").isNotNull,
+          raise_error(concat(
+            lit(s"$what: drop id already indexed: "),
+            col(idName).cast("string"),
+            lit(" - re-adding would duplicate its rows and its matches; " +
+              "forget it first or dedup the drop")))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+      .drop("__aid")
+      .unionByName(newRows)
+  }
+
+  /**
    * Cross-corpus set-CONTAINMENT join — the excerpt/quote detector the
    * symmetric Jaccard arms structurally miss: a 50-word excerpt of a
    * 5,000-word document has jaccard ≈ 0.01 (never reaches any

@@ -998,6 +998,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.readHammingBandMeta(spark, empty) == ((64, 8)))
   }
 
+  test("winnowIndexAppend: union == rebuild; (k, w) and id guards fail loud") {
+    import spark.implicits._
+    val a = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different content in this one here")).toDF("id", "text")
+    val b = Seq((3L, "the quick brown fox leaps over the lazy dog")).toDF("id", "text")
+    val grown = Dedup.winnowIndexAppend(
+      Dedup.winnowIndex(a, "text", "id"), b, "text", "id")
+    val rebuilt = Dedup.winnowIndex(a.unionByName(b), "text", "id")
+    assert(grown.collect().map(_.toSeq).toSet == rebuilt.collect().map(_.toSeq).toSet)
+    val e = intercept[Exception] {
+      Dedup.winnowIndexAppend(
+        Dedup.winnowIndex(a, "text", "id", k = 8, w = 4),
+        b, "text", "id", k = 6, w = 4).count()
+    }
+    assert(e.getMessage.contains("one parameterization per artifact"), e.getMessage)
+    val e2 = intercept[Exception] {
+      Dedup.winnowIndexAppend(
+        Dedup.winnowIndex(a, "text", "id"),
+        Seq((1L, "re-added")).toDF("id", "text"), "text", "id").count()
+    }
+    assert(e2.getMessage.contains("already indexed"), e2.getMessage)
+  }
+
   test("recapBandedIndex: re-cap ≡ fresh capped build; replay duplicates fold") {
     import spark.implicits._
     val X = 1407396358717445L // band keys (5,5,5,5) at 64/4

@@ -118,4 +118,25 @@ class EditSimSpec extends SparkSpec {
     assert(EditSim.editDistancePairs(df, "s", "id", maxDist = 1,
       maxVariantBucket = None).count() === 435L)
   }
+
+  test("editVariantIndexAppend: union == rebuild; depth and id guards fail loud") {
+    val a = Seq((1L, "alpha"), (2L, "bravo")).toDF("id", "s")
+    val b = Seq((3L, "alphq")).toDF("id", "s")
+    val grown = EditSim.editVariantIndexAppend(
+      EditSim.editVariantIndex(a, "s", "id", maxDist = 1), b, "s", "id", maxDist = 1)
+    val rebuilt = EditSim.editVariantIndex(a.unionByName(b), "s", "id", maxDist = 1)
+    assert(grown.collect().map(_.toSeq).toSet == rebuilt.collect().map(_.toSeq).toSet)
+    val e = intercept[Exception] {
+      EditSim.editVariantIndexAppend(
+        EditSim.editVariantIndex(a, "s", "id", maxDist = 1),
+        b, "s", "id", maxDist = 2).count()
+    }
+    assert(e.getMessage.contains("one depth per artifact"), e.getMessage)
+    val e2 = intercept[Exception] {
+      EditSim.editVariantIndexAppend(
+        EditSim.editVariantIndex(a, "s", "id", maxDist = 1),
+        Seq((2L, "charlie")).toDF("id", "s"), "s", "id", maxDist = 1).count()
+    }
+    assert(e2.getMessage.contains("already indexed"), e2.getMessage)
+  }
 }

@@ -203,4 +203,37 @@ class SetSimSpec extends SparkSpec {
     assert(SetSim.setContainmentJoinAgainst(df, idx, "toks", "id", 0.3)
       .count() === 1L)
   }
+
+  test("index append: containment union == rebuild; guards fail loud") {
+    val a = Seq((1L, Seq("x", "y", "z")), (2L, Seq("p", "q", "r"))).toDF("id", "toks")
+    val b = Seq((3L, Seq("x", "y", "w"))).toDF("id", "toks")
+    val grown = SetSim.setContainmentIndexAppend(
+      SetSim.setContainmentIndex(a, "toks", "id"), b, "toks", "id")
+    val rebuilt = SetSim.setContainmentIndex(a.unionByName(b), "toks", "id")
+    assert(grown.collect().map(_.toSeq).toSet == rebuilt.collect().map(_.toSeq).toSet)
+    // collision: re-adding id 2 fails loud at evaluation
+    val e = intercept[Exception] {
+      SetSim.setContainmentIndexAppend(
+        SetSim.setContainmentIndex(a, "toks", "id"),
+        Seq((2L, Seq("new"))).toDF("id", "toks"), "toks", "id").count()
+    }
+    assert(e.getMessage.contains("already indexed"), e.getMessage)
+    // threshold mismatch: growing a t=0.5 prefix index with a t=0.8 drop
+    val e2 = intercept[Exception] {
+      SetSim.setSimIndexAppend(
+        SetSim.setSimPrefixIndex(a, "toks", "id", threshold = 0.5),
+        b, "toks", "id", threshold = 0.8).count()
+    }
+    assert(e2.getMessage.contains("one threshold per artifact"), e2.getMessage)
+    // setsim append at the matching threshold: probe over the grown
+    // index ≡ probe over the rebuild (join-surface equality)
+    val probe = Seq((10L, Seq("x", "y", "z", "k"))).toDF("id", "toks")
+    def pairs(idx: org.apache.spark.sql.DataFrame) =
+      SetSim.setSimilarityJoinAgainst(probe, idx, "toks", "id", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(
+      pairs(SetSim.setSimIndexAppend(
+        SetSim.setSimPrefixIndex(a, "toks", "id", 0.5), b, "toks", "id", 0.5)) ==
+      pairs(SetSim.setSimPrefixIndex(a.unionByName(b), "toks", "id", 0.5)))
+  }
 }
