@@ -1055,6 +1055,43 @@ object LlmGates {
       sink(b1, 1L)
       out.toSeq.toDF("batch", "doc_id")
     },
+    // §2 row 169 — the CURATION streaming sink's media arm: the full
+    // pipeline driven over two micro-batches with payloads riding the
+    // batch rows; batch 0 plants a within-batch one-bit image copy
+    // (dropped by the imageDedup stage; ramp + flat + undecodable
+    // kept), batch 1 a 2x-RESCALED copy of a batch-0 survivor (dropped
+    // via the banded artifact the sink grew — batch-0 payloads never
+    // re-decoded) plus a fresh image and a payload-free doc (kept).
+    // Texts are all distinct and clean so only the image stages can
+    // drop. Constant-table oracle from the row-142 dHash literals.
+    "q_curation_image_stream" -> { (s, dir) =>
+      import s.implicits._
+      val fx = dhashFixtures(s).collect().map(m => m.doc_id -> m.payload).toMap
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-curimg").toString
+      val cfg = graft.plans.CurationPipeline.Config(minQuality = 0.0,
+        imageDedup = Some(graft.plans.CurationPipeline.ImageDedup(
+          payloads = s.emptyDataFrame)))
+      val out = scala.collection.mutable.Buffer[(Long, Long)]()
+      val sink = graft.plans.CurationPipeline
+        .streamingSink("text", "doc_id", cfg, idxDir) { (c, bid) =>
+          out ++= c.select("doc_id").as[Long].collect().map((bid, _))
+        }
+      val b0 = Seq(
+        (800001L, "the quick brown fox jumps over the lazy dog", fx(800001L)),
+        (800004L, "pack my box with five dozen liquor jugs", fx(800004L)),
+        (800002L, "sphinx of black quartz judge my vow now", fx(800002L)),
+        (800006L, "how vexingly quick daft zebras jump out",
+          "not an image".getBytes("UTF-8")))
+      val b1 = Seq(
+        (810005L, "jived fox nymph grabs quick waltz again", fx(800005L)),
+        (810003L, "five quacking zephyrs jolt my wax bed twice", fx(800003L)),
+        (810007L, "crazy fredrick bought many very exquisite opal jewels",
+          null.asInstanceOf[Array[Byte]]))
+      sink(b0.toDF("doc_id", "text", "payload"), 0L)
+      sink(b1.toDF("doc_id", "text", "payload"), 1L)
+      out.toSeq.toDF("batch", "doc_id")
+    },
     // §2 row 146 — video perceptual signature: per-frame dHash (the
     // row-142 literals) XOR-rotation-folded; text payloads → NULL;
     // the AVI row pins container invariance (same pixels, same vhash)
@@ -2190,6 +2227,18 @@ object LlmGates {
         |  (0::BIGINT, 820004::BIGINT),
         |  (0::BIGINT, 820006::BIGINT),
         |  (1::BIGINT, 830007::BIGINT)
+        |) t(batch, doc_id)""".stripMargin,
+    // batch 0: the one-bit ramp copy 800004 drops within batch (image
+    // stage; Hamming 1 vs 800001), flat + undecodable kept; batch 1:
+    // the 2x rescale shares 800001's dHash (Hamming 0 vs the grown
+    // artifact) and drops, fresh half-ramp and payload-free docs kept
+    "q_curation_image_stream" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 800001::BIGINT),
+        |  (0::BIGINT, 800002::BIGINT),
+        |  (0::BIGINT, 800006::BIGINT),
+        |  (1::BIGINT, 810003::BIGINT),
+        |  (1::BIGINT, 810007::BIGINT)
         |) t(batch, doc_id)""".stripMargin,
     // batch 0: ramp kept (afp -1), flat kept (afp 0, Hamming 64), the
     // one-window dip 810004 dropped within batch (Hamming 1), text

@@ -1995,6 +1995,25 @@ object Dedup {
     df.select(md5(Hashing.normalizedTextFor(col(textCol), tokenizer))
       .as("fingerprint")).distinct()
 
+  /** [[exactFingerprintIndex]] KEYED by document id — one row per doc,
+    * not per distinct fingerprint. The id makes the artifact
+    * replay-safe for streaming growers ([[graft.plans.CurationPipeline
+    * .streamingSink]] anti-joins a retried micro-batch's own prior
+    * append away by id, which a bare fingerprint set cannot express)
+    * and forgettable by id ([[Forget.removeIds]]) where the counted
+    * index ([[exactFingerprintIndexCounted]]) forgets by content.
+    * `.select("fingerprint").distinct()` recovers the plain index;
+    * [[dropExactDuplicatesAgainst]] accepts it as-is (the anti-join
+    * tolerates duplicate fingerprints). */
+  def exactFingerprintIndexKeyed(
+    df: DataFrame, textCol: String, idCol: String,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
+  ): DataFrame =
+    df.select(
+        md5(Hashing.normalizedTextFor(col(textCol), tokenizer)).as("fingerprint"),
+        col(idCol).cast("long").as("doc_id"))
+      .filter(col("fingerprint").isNotNull)
+
   /**
    * The COUNTED exact-dedup index: (fingerprint, n_docs) — how many
    * corpus documents share each fingerprint. `.select("fingerprint")`

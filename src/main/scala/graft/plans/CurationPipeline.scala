@@ -203,6 +203,15 @@ object CurationPipeline {
     priorEmbeddings: Option[EmbeddingPrior] = None,
     embedPlanes: Int = 16,
     embedThreshold: Double = 0.9,
+    /** Prior corpus's BANDED image artifact ([[graft.operators
+      * .Multimodal.bandedMediaIndex]] over the kept docs' dHashes) —
+      * when set, batch docs whose image perceptually matches the
+      * indexed corpus are pruned after the embedding prune (the media
+      * arm of corpus growth; [[streamingSink]] wires it automatically
+      * when [[Config.imageDedup]] is set). Requires `imageDedup` for
+      * the payload plumbing; `maxHamming`/`bands` come from it and
+      * MUST match the artifact's build values. */
+    priorBandedImages: Option[DataFrame] = None,
     minLineCount: Int = 3,
     dropRepeatedLinesInDoc: Boolean = true,
     /** Corpus-wide duplicate-PARAGRAPH removal
@@ -495,30 +504,112 @@ object CurationPipeline {
   )(sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val fpPath = s"$indexDir/fingerprints"
     val sigPath = s"$indexDir/signatures"
+    val imgPath = s"$indexDir/dhash"
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
+      import spark.implicits._
       def readIf(p: String): Option[DataFrame] = {
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(hp)) Some(spark.read.parquet(p)) else None
       }
+      // MEDIA parity (row 169): when imageDedup is configured, the
+      // payloads ride THE BATCH ROWS (imageDedup.payloadCol on the
+      // streaming frame — a static side table cannot be batch-scoped),
+      // the prior banded artifact under indexDir/dhash prunes
+      // cross-batch image copies, and survivors' band rows grow it.
+      val batchPayloads = cfg.imageDedup.map { im =>
+        require(batch.columns.contains(im.payloadCol),
+          s"streamingSink: imageDedup is configured but the batch frame " +
+            s"carries no '${im.payloadCol}' column - in the streaming arm " +
+            "payloads ride the batch rows")
+        // a NULL payload is the streaming spelling of "no payload row"
+        // (the batch arm's side table simply lacks the doc) — such docs
+        // never match and are never dropped by the image stages
+        batch.select(col(idCol).cast("long").as(im.idCol),
+          col(im.payloadCol).as(im.payloadCol))
+          .filter(col(im.payloadCol).isNotNull)
+      }
+      val priorImages = cfg.imageDedup.flatMap { im =>
+        val hp = new org.apache.hadoop.fs.Path(imgPath)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(hp)) None
+        else {
+          // sidecar pins the banding contract across the stream's life
+          // (the mediaDedupStreamSink guard); the anti-join on this
+          // batch's ids makes replays after a failed checkpoint commit
+          // see exactly the first attempt's index state
+          val (mBits, mBands) = Dedup.readHammingBandMeta(spark, imgPath)
+          require(mBits == 64 && mBands == im.bands,
+            s"streamingSink: $imgPath was built with bits=$mBits " +
+              s"bands=$mBands but imageDedup is configured bands=${im.bands} " +
+              "- banding params are the artifact's contract")
+          Some(spark.read
+            .schema("band INT, band_key BIGINT, index_id BIGINT, index_hash BIGINT")
+            .parquet(imgPath)
+            .join(
+              broadcast(batch.select(col(idCol).cast("long").as("__bid")).distinct()),
+              col("index_id") === col("__bid"), "left_anti"))
+        }
+      }
+      // REPLAY idempotence (the mediaDedupStreamSink contract, applied
+      // to every index this sink grows): drop prior-index rows keyed by
+      // THIS batch's ids before pruning against them — under the
+      // globally-unique-id contract such rows can only be a prior
+      // attempt's append (a checkpoint commit that failed after the
+      // index writes), and pruning against them would self-match the
+      // whole retried batch and deliver it near-empty.
+      def antiBatch(df: DataFrame): DataFrame = df.join(
+        broadcast(batch.select(col(idCol).cast("long").as("__bid")).distinct()),
+        col("doc_id") === col("__bid"), "left_anti").drop("__bid")
       val cfgWithPriors = cfg.copy(
-        priorFingerprints = readIf(fpPath),
-        priorSignatures = if (nearDup) readIf(sigPath) else cfg.priorSignatures)
+        priorFingerprints = readIf(fpPath).map { fp =>
+          require(fp.columns.contains("doc_id"),
+            s"streamingSink: $fpPath carries no doc_id column - a " +
+              "pre-keyed-era fingerprint artifact cannot be replay-safe " +
+              "(a retried micro-batch would self-match its own prior " +
+              "append); rebuild the directory from the keyed builder " +
+              "(Dedup.exactFingerprintIndexKeyed)")
+          antiBatch(fp).select("fingerprint")
+        },
+        priorSignatures =
+          if (nearDup) readIf(sigPath).map(antiBatch) else cfg.priorSignatures,
+        imageDedup = cfg.imageDedup.zip(batchPayloads).map {
+          case (im, p) => im.copy(payloads = p) },
+        priorBandedImages = priorImages)
       run(batch, textCol, idCol, cfgWithPriors) { curated =>
-        val pinned = curated.persist()
+        // LOCAL CHECKPOINT, not persist: every grow leg below APPENDS to
+        // a path this frame's lineage READS (the prior indexes), and a
+        // parquet write recaches-by-path — a merely-persisted frame gets
+        // RECOMPUTED against its own freshly-grown index, prunes the
+        // whole batch as "already indexed", and silently empties every
+        // later leg (pre-r17 the signature index stopped growing from
+        // the second batch on; the spec's third-batch near-dup arm pins
+        // the fix). Checkpointed blocks have no lineage to re-derive.
+        val pinned = curated.localCheckpoint()
         try {
           sink(pinned, batchId)
           // grow the indexes from THIS batch's survivors. The curated
           // text is already scrubbed, so the index derives directly —
           // same artifact exactIndex/signatureIndex build via scrub
-          Dedup.exactFingerprintIndex(pinned, textCol, cfg.tokenizer)
+          Dedup.exactFingerprintIndexKeyed(pinned, textCol, "doc_id", cfg.tokenizer)
             .write.mode("append").parquet(fpPath)
           if (nearDup)
             Dedup.minHashSignatures(pinned, textCol, "doc_id",
                 cfg.shingleK, cfg.numHashes, cfg.tokenizer)
               .write.mode("append").parquet(sigPath)
-        } finally pinned.unpersist()
+          cfg.imageDedup.zip(batchPayloads).foreach { case (im, pay) =>
+            val survivors = pay
+              .select(col(im.idCol).cast("long").as("doc_id"),
+                col(im.payloadCol).as("payload"))
+              .join(pinned.select("doc_id"), Seq("doc_id"), "left_semi")
+              .as[graft.operators.Multimodal.MediaRecord]
+            graft.operators.Multimodal.bandedMediaIndexWrite(
+              graft.operators.Multimodal.imageDHash(survivors)
+                .filter(col("dhash").isNotNull),
+              "doc_id", "dhash", imgPath, im.bands, mode = "append")
+          }
+        } finally org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(pinned)
       }
     }
   }
@@ -578,10 +669,32 @@ object CurationPipeline {
         .select(col("batch_id").as("doc_id")).distinct()
       fresh2.join(matched, Seq("doc_id"), "left_anti")
     }
+    // the MEDIA arm of the incremental prune: batch docs whose image
+    // perceptually matches the prior corpus's banded artifact drop here
+    // (the imageDedup stage below handles within-batch pairs) — same
+    // position, same documented transitive-chain margin as the text
+    // priors. Payload plumbing comes from cfg.imageDedup; setting
+    // priorBandedImages without it has no hashes to probe with.
+    val fresh4 = cfg.priorBandedImages.fold(fresh3) { bidx =>
+      val im = cfg.imageDedup.getOrElse(throw new IllegalArgumentException(
+        "Config.priorBandedImages requires Config.imageDedup - the prior " +
+          "artifact is probed with the imageDedup payload table/column"))
+      import corpus.sparkSession.implicits._
+      val media = im.payloads
+        .select(col(im.idCol).cast("long").as("doc_id"),
+          col(im.payloadCol).as("payload"))
+        .join(fresh3.select("doc_id"), Seq("doc_id"), "left_semi")
+        .as[graft.operators.Multimodal.MediaRecord]
+      val matched = graft.operators.Multimodal
+        .imageNearDupsAgainstBanded(media, bidx, im.maxHamming, im.bands)
+        .select(col("batch_id").as("doc_id")).distinct()
+      fresh3.join(matched, Seq("doc_id"), "left_anti")
+    }
     val anyPrior = cfg.priorFingerprints.nonEmpty || cfg.priorSignatures.nonEmpty ||
-      cfg.priorSimhashes.nonEmpty || cfg.priorEmbeddings.nonEmpty
+      cfg.priorSimhashes.nonEmpty || cfg.priorEmbeddings.nonEmpty ||
+      cfg.priorBandedImages.nonEmpty
     val fresh =
-      if (anyPrior) observe("after_incremental_prune", fresh3) else fresh3
+      if (anyPrior) observe("after_incremental_prune", fresh4) else fresh4
     // 3-4: exact then near dedup, keeper policy per cfg.keeper
     require(cfg.keeper == KeepFirst || cfg.keeper == KeepBest,
       s"unknown keeper '${cfg.keeper}' (expected $KeepFirst or $KeepBest)")

@@ -416,7 +416,15 @@ class CurationPipelineSpec extends SparkSpec {
         (7L, nearB),                       // cross-batch EXACT dup of 5 (dropped doc: must stay dropped)
         (8L, "@@@ ### $$$ %%% ^^^ &&&"),   // junk below the quality floor
         (9L, "the harbor lights glow softly when the evening boats " +
-          "return with their catch and the town gathers to meet them")))
+          "return with their catch and the town gathers to meet them"),
+        // near-dup of batch-1 keeper 6: drops ONLY if the signature
+        // index actually GREW at batch 1 — pre-r17 the grow legs'
+        // own appends recached-by-path and recomputed the (merely
+        // persisted) survivor frame against the freshly-grown
+        // fingerprint index, self-matching the whole batch, so the
+        // signature index silently stopped growing after batch 0
+        (10L, "every mountain stream carries cold water down to the " +
+          "valley floor where it feeds the green meadows each spring today")))
     // minLineCount high: the corpus-wide line rule counts GLOBALLY in
     // batch mode but per-micro-batch in streaming — the one stage whose
     // thresholds are mode-sensitive, so the equivalence fixture keeps
@@ -449,6 +457,20 @@ class CurationPipelineSpec extends SparkSpec {
     // and the cross-batch drops actually happened via the GROWN indexes
     assert(!collected.map(_._1).contains(4L) && !collected.map(_._1).contains(5L)
       && !collected.map(_._1).contains(7L))
+    // 10 dropped via the signature index grown at BATCH 1 (doc 6) — the
+    // second-batch-growth regression (see the fixture comment)
+    assert(!collected.map(_._1).contains(10L) && collected.map(_._1).contains(6L))
+    // replaying a micro-batch recomputes the SAME survivors: the priors
+    // anti-join the batch's own ids, so a retry after a failed
+    // checkpoint commit sees exactly the first attempt's index state
+    val replay = scala.collection.mutable.ArrayBuffer.empty[Long]
+    CurationPipeline.streamingSink("text", "doc_id", cfg, indexDir) {
+      (curated, _) => replay ++= curated.select("doc_id").as[Long].collect()
+    }.apply(batches(2).toDF("doc_id", "text"), 2L)
+    assert(replay.toSet ==
+      collected.collect { case (id, _, _) if id >= 7L => id }.toSet,
+      s"replay ${replay.sorted} vs first attempt " +
+        collected.map(_._1).filter(_ >= 7L).sorted)
   }
 
   // ------------------------------------------------- r14: multimodal arm
@@ -654,5 +676,68 @@ class CurationPipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       kept(CurationPipeline.Config(keeper = "nope"))
     }
+  }
+
+  test("streamingSink media parity: cross-batch image dups drop via the grown artifact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def grad(scale: Int) = pngBytes(9 * scale, 8 * scale) { (x, y) =>
+      val g = (x / scale) * 28
+      (g << 16) | (g << 8) | g
+    }
+    val checker = pngBytes(9, 8)((x, y) => if (((x + y) % 2) == 0) 0 else 0xffffff)
+    // texts all distinct and clean — only the IMAGE stage can drop;
+    // batch 0 plants a within-batch rescaled copy, batch 1 a rescaled
+    // copy of a batch-0 SURVIVOR (must drop via the grown banded
+    // artifact — batch-0 payloads never re-decoded), plus a genuinely
+    // new image, an undecodable payload and a payload-free doc (kept)
+    val batches: Seq[Seq[(Long, String, Array[Byte])]] = Seq(
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog", grad(1)),
+        (2L, "pack my box with five dozen liquor jugs", grad(2)), // within-batch copy of 1
+        (3L, "sphinx of black quartz judge my vow now", Array[Byte](1, 2, 3))),
+      Seq(
+        (11L, "how vexingly quick daft zebras jump today", grad(4)), // cross-batch copy of 1
+        (12L, "jived fox nymph grabs quick waltz tonight", checker), // new image
+        (13L, "five quacking zephyrs jolt my wax bed again", null)))
+    val cfg = CurationPipeline.Config(
+      imageDedup = Some(CurationPipeline.ImageDedup(
+        payloads = spark.emptyDataFrame)), // streaming arm derives per-batch payloads
+      minQuality = 0.0)
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-cursink-img").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sinkFn = CurationPipeline.streamingSink("text", "doc_id", cfg, indexDir) {
+      (curated, _) => got ++= curated.select("doc_id").as[Long].collect()
+    }
+    val stream = MemoryStream[(Long, String, Array[Byte])]
+    val query = stream.toDF().toDF("doc_id", "text", "payload")
+      .writeStream.foreachBatch(sinkFn).start()
+    try batches.foreach { b => stream.addData(b: _*); query.processAllAvailable() }
+    finally query.stop()
+    // batch-mode reference: ONE pipeline run over the union with the
+    // payload side-table split out (the batch-arm contract)
+    val union = batches.flatten.map { case (i, t, _) => (i, t) }.toDF("doc_id", "text")
+    val payloads = batches.flatten.collect { case (i, t, p) if p != null => (i, p) }
+      .toDF("doc_id", "payload")
+    val batchKept = CurationPipeline.run(union, "text", "doc_id",
+      cfg.copy(imageDedup = Some(CurationPipeline.ImageDedup(payloads))))(
+      _.select("doc_id").as[Long].collect().toSet)
+    assert(got.toSet == batchKept,
+      s"stream ${got.sorted} vs batch ${batchKept.toSeq.sorted}")
+    assert(got.toSet == Set(1L, 3L, 12L, 13L))
+    // the grown artifact is the PRE-BANDED form holding only survivors'
+    // decodable images
+    val idx = spark.read.parquet(s"$indexDir/dhash")
+    assert(idx.columns.toSet == Set("band", "band_key", "index_id", "index_hash"))
+    assert(idx.select("index_id").distinct().as[Long].collect().toSet
+      == Set(1L, 12L))
+    // a replayed micro-batch recomputes the SAME survivors (the index
+    // anti-join on the batch id set hides the first attempt's append)
+    val replay = scala.collection.mutable.ArrayBuffer.empty[Long]
+    CurationPipeline.streamingSink("text", "doc_id", cfg, indexDir) {
+      (curated, _) => replay ++= curated.select("doc_id").as[Long].collect()
+    }.apply(batches(1).toDF("doc_id", "text", "payload"), 1L)
+    assert(replay.toSet == Set(12L, 13L), replay.toString)
   }
 }
