@@ -178,9 +178,20 @@ object Bench {
     "q_forget_dhash_banded",// banded media-hash artifact forget: one anti-join over band rows (r16)
     "q_bm25_append_part",   // partitioned-layout grow: dir read + exact-delta rewrite + re-bucketed write + pruned probe (r16)
     "q_image_banded_append",// banded artifact grow: sidecar-verified append + Dir probe (r16)
-    "q_exact_append"        // counted-fingerprint index grow: full-outer count merge (r16)
+    "q_exact_append",       // counted-fingerprint index grow: broadcast count merge (r16; r17 split the full-outer into broadcast legs)
     // q_image/video/audio_neardup_incr keep their r15 cells - same names,
     // now probing the pre-banded artifact (build moved into the cell)
+    "q_bm25_sidecar",        // stats-sidecar layout: build (postings gens + df + meta) + sidecar-joined probe (r17)
+    "q_bm25_sidecar_append", // SUBLINEAR grow: one drop-sized generation + vocab-sized df rewrite + meta flip (r17)
+    "q_bm25_sidecar_forget", // tombstone + exact sidecar deltas, zero posting bytes rewritten (r17)
+    "q_bm25_sidecar_compact",// amortized maintenance: rewrite-minus-tombstones to a fresh layout (r17)
+    "q_setsim_append",       // prefix-index grow + join-surface probe (r17)
+    "q_winnow_append",       // winnow-index grow through parquet + overlap probe (r17)
+    "q_banded_recap",        // banded artifact re-cap: dedupe + two-pass cap over band rows (r17)
+    "q_ivf_drift",           // drift report: one assignment-stats pass vs the persisted reference (r17)
+    "q_video_dedup_stream",  // video streaming dedup: two micro-batches over the banded artifact (r17)
+    "q_audio_dedup_stream",  // audio streaming dedup twin (r17)
+    "q_curation_image_stream" // curation sink media arm: full pipeline x2 batches + artifact grow (r17)
   )
 
   private def jsonStr(s: String): String =

@@ -295,4 +295,59 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.Similarity.ivfTopKAssigned(
       emptyVec, q, "embedding", "vec_id", oneCent, k = 3, nProbe = 1).count() == 0)
   }
+
+  test("r17 operators over empty inputs yield empty (or degenerate-sane) results") {
+    import spark.implicits._
+    import graft.operators.{EditSim, Retrieval, SetSim, Similarity}
+    // stats-sidecar layout: empty corpus builds a valid empty layout;
+    // probes and grows over it behave
+    val dir = java.nio.file.Files.createTempDirectory("empty-sc").toString
+    Retrieval.bm25SidecarWrite(emptyDocs, "text", "doc_id", dir)
+    val queries = Seq((1L, "anything")).toDF("query_id", "qtext")
+    assert(Retrieval.bm25ScoresFromSidecar(
+      spark, dir, queries, "query_id", "qtext").count() == 0)
+    // growing the empty layout by a real drop = a fresh build
+    Retrieval.bm25SidecarAppend(spark, dir,
+      Seq((1L, "hello world")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(Retrieval.bm25ScoresFromSidecar(spark,
+      dir, Seq((1L, "hello")).toDF("query_id", "qtext"),
+      "query_id", "qtext").count() == 1)
+    // empty-drop grow and empty-removal forget are no-ops on scores
+    Retrieval.bm25SidecarAppend(spark, dir, emptyDocs, "text", "doc_id")
+    Retrieval.bm25SidecarForget(spark, dir,
+      emptyDocs.select("doc_id"), "doc_id")
+    assert(Retrieval.bm25ScoresFromSidecar(spark,
+      dir, Seq((1L, "hello")).toDF("query_id", "qtext"),
+      "query_id", "qtext").count() == 1)
+    // per-doc-row index grows with empty drops are row-preserving
+    val toks = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+    val eToks = toks.limit(0)
+    assert(SetSim.setSimIndexAppend(
+      SetSim.setSimPrefixIndex(toks, "toks", "id", 0.5),
+      eToks, "toks", "id", 0.5).count() ==
+      SetSim.setSimPrefixIndex(toks, "toks", "id", 0.5).count())
+    assert(SetSim.setContainmentIndexAppend(
+      SetSim.setContainmentIndex(eToks, "toks", "id"),
+      eToks, "toks", "id").count() == 0)
+    val keys = Seq((1L, "abc")).toDF("id", "s")
+    assert(EditSim.editVariantIndexAppend(
+      EditSim.editVariantIndex(keys.limit(0), "s", "id"),
+      keys.limit(0), "s", "id").count() == 0)
+    assert(Dedup.winnowIndexAppend(
+      Dedup.winnowIndex(emptyDocs, "text", "doc_id"),
+      emptyDocs, "text", "doc_id").count() == 0)
+    // recap of an empty banded artifact
+    val eBanded = Dedup.hammingBandedIndex(
+      Seq((1L, 5L)).toDF("doc_id", "dhash").limit(0), "doc_id", "dhash", 64)
+    assert(Dedup.recapBandedIndex(eBanded, Some(2)).count() == 0)
+    // drift report: empty NOW corpus keeps reference rows, NULL live
+    // metrics (the fail-closed food for enforceIvfFreshness)
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("centroid_id", "cv")
+    val build = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    val ref = Similarity.ivfAssignmentStats(
+      Similarity.ivfAssignWith(build, "v", cents), "v", cents)
+    val rep = Similarity.ivfDriftReport(
+      Similarity.ivfAssignWith(build.limit(0), "v", cents), "v", cents, ref)
+    assert(rep.count() == 1 && rep.filter(col("n_now") === 0).count() == 1)
+  }
 }
