@@ -221,24 +221,34 @@ object EditSim {
           lit("editDistancePairsAgainst: index built at d="), col("d").cast("string"),
           lit(s" cannot serve maxDist=$maxDist > build depth")))))
     def hinted(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
-    // batch side capped BEFORE its buckets materialize or broadcast
-    // (two-pass Dedup.capRows discipline; result-identical to the old
-    // post-join cap — an over-cap batch bucket never produced output)
-    val batchBuckets = Dedup.cappedCollect(
-      variantTable(batch, strCol, idCol, maxDist), Seq("v"),
-      struct(col("id"), col("len"), col("s")), "batch_items",
-      useSet = true, maxVariantBucket, "editsim_incr_batch", "maxVariantBucket")
-    val probe = batchBuckets.select("v")
+    // batch side capped BEFORE anything materializes or broadcasts —
+    // and it stays FLAT: the bucket join only needs 1:1-per-key
+    // economics on ONE side, so collecting the batch into arrays (only
+    // to explode them two lines later) bought nothing. capRows bounds
+    // the per-variant batch rows (result-identical to the old
+    // post-join cap — an over-cap batch bucket never produced output),
+    // the idx side keeps the capped-array form, and the join output is
+    // row-for-row the old explode product. The semi probe is the
+    // UNCAPPED batch variant set — an over-cap variant's extra matched
+    // index rows die in the bucket join (its batch rows are gone), so
+    // results are identical and the probe doesn't re-run the cap
+    // machinery per consumer.
+    val bvar = variantTable(batch, strCol, idCol, maxDist)
+    val bFlat = Dedup.capRows(bvar, Seq("v"), None,
+      maxVariantBucket, "editsim_incr_batch", "maxVariantBucket")
+    val probe = bvar.select("v").distinct()
     val matchedIdx = guardedIndex.join(hinted(probe), Seq("v"), "left_semi")
     val idxBuckets = Dedup.cappedCollect(matchedIdx, Seq("v"),
       struct(col("id"), col("len"), col("s")), "idx_items",
       useSet = true, maxVariantBucket, "editsim_incr_idx", "maxVariantBucket")
-    idxBuckets.join(hinted(batchBuckets), Seq("v"))
-      .select(explode(col("idx_items")).as("i"), col("batch_items"))
-      .select(col("i"), explode(col("batch_items")).as("b"))
-      .filter(abs(col("i.len") - col("b.len")) <= maxDist)
-      .select(col("b.id").as("batch_id"), col("i.id").as("index_id"),
-        col("b.s").as("__bs"), col("i.s").as("__is"))
+    idxBuckets
+      .join(hinted(bFlat.select(col("v"), col("id").as("__b_id"),
+        col("len").as("__b_len"), col("s").as("__b_s"))), Seq("v"))
+      .select(explode(col("idx_items")).as("i"),
+        col("__b_id"), col("__b_len"), col("__b_s"))
+      .filter(abs(col("i.len") - col("__b_len")) <= maxDist)
+      .select(col("__b_id").as("batch_id"), col("i.id").as("index_id"),
+        col("__b_s").as("__bs"), col("i.s").as("__is"))
       // per-pair rows carry identical strings — any survivor works
       .dropDuplicates("batch_id", "index_id")
       .withColumn("edit_dist", levenshtein(col("__bs"), col("__is"), maxDist))

@@ -483,17 +483,44 @@ object CurationPipeline {
    * batch mode — set minLineCount for the batch cadence you run. Alternatives (index every doc)
    * over-drop instead; survivors-only is the convention that never
    * loses a document the batch pipeline would have kept... it keeps
-   * MORE. A retried micro-batch appends its survivors' index rows
-   * twice — harmless to dedup semantics (the prune is an anti join;
-   * duplicate index rows change nothing) — and re-emits to `sink`,
-   * whose idempotence is the caller's contract as with any
-   * foreachBatch.
+   * MORE.
+   *
+   * MEDIA arm (r17): when [[Config.imageDedup]] is set, the payloads
+   * ride THE BATCH ROWS (`imageDedup.payloadCol` on the streaming
+   * frame — a static side table cannot be batch-scoped; a NULL payload
+   * is the streaming spelling of "no payload row"), cross-batch image
+   * copies prune against the banded artifact this sink grows under
+   * `indexDir/dhash` (sidecar-verified every batch, survivors'
+   * decodable dHashes appended), and within-batch copies drop in the
+   * pipeline's own imageDedup stage.
+   *
+   * RETRY contract (r17): exactly replay-idempotent. Every prior index
+   * is anti-joined on the batch's own id set before pruning — under
+   * the globally-unique-id contract such rows can only be a prior
+   * attempt's append (a checkpoint commit that failed after the index
+   * writes), so a replay sees the first attempt's index state verbatim
+   * and recomputes the SAME survivors (pre-r17, a retried batch
+   * self-matched its own appended fingerprints and delivered
+   * near-empty). Fingerprints persist KEYED
+   * ([[graft.operators.Dedup.exactFingerprintIndexKeyed]]) to make
+   * that anti-join expressible; the sink fails loud on a pre-keyed
+   * artifact. The replay's re-appends duplicate index rows — harmless,
+   * the prunes are anti joins. `sink` idempotence remains the caller's
+   * contract as with any foreachBatch.
+   *
+   * The survivor frame handed to `sink` (and feeding the grows) is a
+   * LOCAL CHECKPOINT, not a persist: the grow legs append to paths the
+   * frame's lineage READS, and a parquet write recaches cached plans
+   * over its path — a merely-persisted frame would be recomputed
+   * against its own freshly-grown index, self-match, and empty every
+   * later grow leg (pre-r17 the signature index silently stopped
+   * growing after the first batch).
    *
    * Scale shape: per batch, index reads are parquet scans feeding the
    * already-audited stream-static prune joins (index never shuffled);
-   * index growth appends only survivor fingerprints/signatures
-   * (metadata-per-doc, not text). `nearDup = false` skips the
-   * signature index entirely (exact-only growth).
+   * index growth appends only survivor fingerprints/signatures/band
+   * rows (metadata-per-doc, not text or payloads). `nearDup = false`
+   * skips the signature index entirely (exact-only growth).
    */
   def streamingSink(
     textCol: String,
