@@ -20,15 +20,18 @@ object CorpusGates {
   private def docs(s: SparkSession, dir: String): DataFrame =
     LlmGates.docs(s, dir)
 
-  /** Committed parquet data files of a layout directory as
-    * name -> length — the write-accounting witness of the sidecar
-    * grow/forget gates (immutable prior generations). */
+  /** Committed parquet data files of a layout directory (RECURSIVE —
+    * generations are hive-partitioned by bucket) as relative-path ->
+    * length — the write-accounting witness of the sidecar grow/forget
+    * gates (immutable prior generations). */
   private def parquetFiles(dir: String): Map[String, Long] = {
-    val d = new java.io.File(dir)
-    if (!d.exists()) Map.empty
-    else d.listFiles().toSeq
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    if (!root.exists()) Map.empty
+    else walk(root)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => f.getName -> f.length()).toMap
+      .map(f => root.toPath.relativize(f.toPath).toString -> f.length()).toMap
   }
 
   /** Keyword queries over the synthetic corpus vocabulary; query 3

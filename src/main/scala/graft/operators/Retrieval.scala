@@ -623,10 +623,20 @@ object Retrieval {
   // against the query-vocab-pruned df sidecar — metadata-sized.
   //
   // On-disk shape under `path/`:
-  //   postings-g1/ … postings-g<G>/   immutable posting generations
-  //   df-v<V>/                        (word, df) — current per-word stats
+  //   postings-g1/ … postings-g<G>/   immutable posting generations,
+  //                                   hive-partitioned by word-hash bucket
+  //   df-v<V>/                        (word, df), same bucket partitioning
   //   removed-v<R>/                   (doc_id) tombstones (R = 0: none)
-  //   _bm25_sidecar                   "n_docs,sum_dl,G,V,R"
+  //   _bm25_sidecar                   "n_docs,sum_dl,G,V,R,buckets"
+  //
+  // Generations and the df table are partitioned by
+  // `pmod(md5_long60(word), buckets)` (the bm25IndexWrite modulus
+  // doctrine, the modulus riding the metadata row): probes compute the
+  // query words' buckets DRIVER-side and partition-prune every
+  // generation and the df sidecar — probe IO is query-bounded like the
+  // denormalized bucketed layout's, on top of the sublinear grows.
+  // NULL-word registry sentinels land in the hive default partition
+  // (probes never prune into it; forget's full registry pass reads it).
   //
   // The `_bm25_sidecar` metadata file is the ATOMIC PUBLICATION POINT
   // (written to a temp name, renamed into place): every mutation
@@ -646,7 +656,7 @@ object Retrieval {
   private val SidecarMetaFile = "_bm25_sidecar"
 
   private final case class SidecarMeta(
-    nDocs: Long, sumDl: Long, gens: Int, dfV: Int, rmV: Int)
+    nDocs: Long, sumDl: Long, gens: Int, dfV: Int, rmV: Int, buckets: Int)
 
   private def sidecarMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, SidecarMetaFile)
@@ -661,10 +671,11 @@ object Retrieval {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
       finally in.close()
     val parts = text.split(",")
-    require(parts.length == 5,
-      s"$path/$SidecarMetaFile is malformed ('$text') - expected n_docs,sum_dl,gens,dfv,rmv")
+    require(parts.length == 6,
+      s"$path/$SidecarMetaFile is malformed ('$text') - expected " +
+        "n_docs,sum_dl,gens,dfv,rmv,buckets")
     SidecarMeta(parts(0).toLong, parts(1).toLong,
-      parts(2).toInt, parts(3).toInt, parts(4).toInt)
+      parts(2).toInt, parts(3).toInt, parts(4).toInt, parts(5).toInt)
   }
 
   /** Commit point of every sidecar-layout mutation: temp-write +
@@ -678,7 +689,8 @@ object Retrieval {
       path, s".$SidecarMetaFile.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(
-      s"${m.nDocs},${m.sumDl},${m.gens},${m.dfV},${m.rmV}".getBytes("UTF-8"))
+      s"${m.nDocs},${m.sumDl},${m.gens},${m.dfV},${m.rmV},${m.buckets}"
+        .getBytes("UTF-8"))
     finally out.close()
     fs.delete(p, false)
     require(fs.rename(tmp, p),
@@ -688,9 +700,70 @@ object Retrieval {
   private def postingPaths(path: String, m: SidecarMeta): Seq[String] =
     (1 to m.gens).map(g => s"$path/postings-g$g")
 
+  /** Word-hash bucket under the layout's own modulus — the
+    * [[bm25IndexWrite]] portable hash, recomputable driver-side for
+    * probe-time partition pruning. NULL (sentinel) words land in the
+    * hive default partition; probes never prune INTO it, full scans
+    * (forget's registry pass) read it like any other. */
+  /** Pinned layout schemas: an EMPTY partitioned write leaves no data
+    * files, and schema inference over such a directory throws where an
+    * empty layout is correct (the stream-sink pinned-read doctrine). */
+  private val SidecarPostingsSchema =
+    "word STRING, doc_id BIGINT, tf BIGINT, dl INT, bucket INT"
+  private val SidecarDfSchema = "word STRING, df BIGINT, bucket INT"
+
+  private def sidecarBucket(buckets: Int): Column =
+    pmod(graft.functions.Hashing.md5Long60(col("word")), lit(buckets.toLong))
+      .cast("int")
+
+  /** Full (unpruned) posting read across generations — the forget /
+    * registry / compact pass; probes use [[prunedSidecarPostings]]. */
   private def readSidecarPostings(
     spark: SparkSession, path: String, m: SidecarMeta): DataFrame =
-    spark.read.parquet(postingPaths(path, m): _*)
+    // one read PER generation, unioned: a multi-path read over several
+    // hive-partitioned roots fails partition discovery (conflicting
+    // directory structures)
+    postingPaths(path, m)
+      .map(g => spark.read.schema(SidecarPostingsSchema).parquet(g))
+      .reduce(_ unionByName _).drop("bucket")
+
+  /** The distinct normalized query words, collected driver-side under
+    * the metadata-sized-queries contract (the bm25ScoresFromDir cap +
+    * overflow guard). */
+  private def collectQueryWords(
+    queries: DataFrame, queryTextCol: String,
+    maxQueryTerms: Int, what: String): Array[String] = {
+    require(maxQueryTerms >= 1 && maxQueryTerms < Int.MaxValue,
+      s"maxQueryTerms must be in [1, ${Int.MaxValue - 1}]: $maxQueryTerms")
+    val words = queries.select(
+        explode(graft.functions.Hashing.normalizedWords(col(queryTextCol)))
+          .as("word"))
+      .distinct().limit(maxQueryTerms + 1).collect().map(_.getString(0))
+    require(words.length <= maxQueryTerms,
+      s"$what: queries carry more than $maxQueryTerms distinct terms - " +
+        "the query frame must be metadata-sized (terms are collected " +
+        "driver-side for partition pruning); raise maxQueryTerms explicitly")
+    words
+  }
+
+  /** Driver-side buckets of the query words under the layout modulus. */
+  private def wantedBuckets(words: Array[String], buckets: Int): IndexedSeq[Int] =
+    words.map { w =>
+      val h = graft.functions.Md5Long60Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      (((h % buckets) + buckets) % buckets).toInt
+    }.distinct.toIndexedSeq
+
+  /** PARTITION-PRUNED posting read: only the query words' bucket
+    * directories open, across every generation. */
+  private def prunedSidecarPostings(
+    spark: SparkSession, path: String, m: SidecarMeta,
+    wanted: IndexedSeq[Int]): DataFrame =
+    if (wanted.isEmpty) readSidecarPostings(spark, path, m).filter(lit(false))
+    else postingPaths(path, m)
+      .map(g => spark.read.schema(SidecarPostingsSchema).parquet(g)
+        .filter(col("bucket").isin(wanted: _*)))
+      .reduce(_ unionByName _).drop("bucket")
 
   /** The drop's (word, doc_id, tf, dl) posting rows INCLUDING the
     * NULL-word registry sentinels for token-free docs — the shared
@@ -724,15 +797,25 @@ object Retrieval {
     corpus: DataFrame,
     textCol: String,
     idCol: String,
-    path: String
+    path: String,
+    buckets: Int = 32
   ): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
     val spark = corpus.sparkSession
+    // generations AND the df sidecar are hive-partitioned by the word's
+    // hash bucket (the bm25IndexWrite modulus doctrine, carried in the
+    // metadata row): probes prune to the query words' buckets across
+    // every generation, so probe IO is query-bounded like the
+    // denormalized bucketed layout's — on top of the sublinear grows
     sidecarPostingsOf(sidecarDocs(corpus, textCol, idCol))
-      .write.mode("overwrite").parquet(s"$path/postings-g1")
-    val written = spark.read.parquet(s"$path/postings-g1")
+      .withColumn("bucket", sidecarBucket(buckets))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings-g1")
+    val written = spark.read.schema(SidecarPostingsSchema)
+      .parquet(s"$path/postings-g1")
     written.filter(col("word").isNotNull)
       .groupBy("word").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/df-v1")
+      .withColumn("bucket", sidecarBucket(buckets))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/df-v1")
     // every doc owns ≥ 1 row (sentinels included), one (doc_id, dl) each
     // per word — the distinct collapses to the registry
     val st = written.select("doc_id", "dl").distinct()
@@ -740,22 +823,27 @@ object Retrieval {
         coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
       .head()
     writeSidecarMeta(spark, path,
-      SidecarMeta(st.getLong(0), st.getLong(1), gens = 1, dfV = 1, rmV = 0))
+      SidecarMeta(st.getLong(0), st.getLong(1), gens = 1, dfV = 1, rmV = 0,
+        buckets = buckets))
   }
 
   /** Current tombstone table, None when no forget has run. */
   private def sidecarRemoved(
     spark: SparkSession, path: String, m: SidecarMeta): Option[DataFrame] =
     if (m.rmV == 0) None
-    else Some(spark.read.parquet(s"$path/removed-v${m.rmV}"))
+    else Some(spark.read.schema("doc_id BIGINT")
+      .parquet(s"$path/removed-v${m.rmV}"))
 
   /**
    * BM25 scores probed from a [[bm25SidecarWrite]] layout —
    * value-identical to [[bm25Scores]] over the live corpus (same
    * exact-long operands through the same arithmetic; the gate pins it
-   * under the q_bm25 oracle). Cost shape: the posting scan prunes to
-   * query-word rows via the broadcast term set, the df sidecar scan
-   * prunes the same way (query-vocab-sized result, broadcast back),
+   * under the q_bm25 oracle). Cost shape: the query words' buckets are
+   * computed DRIVER-side (queries are metadata-sized by contract —
+   * `maxQueryTerms` caps the collect with the bm25ScoresFromDir
+   * overflow guard) and PARTITION-PRUNE both the posting generations
+   * and the df sidecar, so probe IO opens only matched bucket
+   * directories; within them the broadcast term set prunes rows,
    * tombstones anti-join at removal-set size, and N/avgdl are driver
    * metadata — the ONE probe-time join the denormalized layouts avoid,
    * bought back as sublinear grows.
@@ -768,25 +856,35 @@ object Retrieval {
     queryTextCol: String,
     k1: Double = 1.2,
     b: Double = 0.75,
-    broadcastRemoved: Boolean = true
+    broadcastRemoved: Boolean = true,
+    maxQueryTerms: Int = 100000
   ): DataFrame = {
     require(k1 >= 0.0, s"k1 must be non-negative: $k1")
     require(b >= 0.0 && b <= 1.0, s"b must be in [0, 1]: $b")
     val m = readSidecarMeta(spark, path)
     val avgdl = if (m.nDocs == 0L) 0.0 else m.sumDl.toDouble / m.nDocs
+    val words = collectQueryWords(queries, queryTextCol, maxQueryTerms,
+      "bm25ScoresFromSidecar")
+    val wanted = wantedBuckets(words, m.buckets)
     val qterms = queries.select(
       col(queryIdCol).as("query_id"),
       explode(graft.functions.Hashing.normalizedWords(col(queryTextCol))).as("word"))
       .distinct()
     val terms = qterms.select("word").distinct()
-    val posts0 = readSidecarPostings(spark, path, m)
+    val posts0 = prunedSidecarPostings(spark, path, m, wanted)
       .join(broadcast(terms), Seq("word"), "left_semi")
     val posts = sidecarRemoved(spark, path, m).fold(posts0) { rm =>
       val r = rm.select(col("doc_id").as("__rm_id"))
       posts0.join(if (broadcastRemoved) broadcast(r) else r,
         col("doc_id") === col("__rm_id"), "left_anti")
     }
-    val dfT = spark.read.parquet(s"$path/df-v${m.dfV}")
+    val dfT = (if (wanted.isEmpty)
+        spark.read.schema(SidecarDfSchema)
+          .parquet(s"$path/df-v${m.dfV}").filter(lit(false))
+      else spark.read.schema(SidecarDfSchema)
+          .parquet(s"$path/df-v${m.dfV}")
+          .filter(col("bucket").isin(wanted: _*)))
+      .drop("bucket")
       .join(broadcast(terms), Seq("word"), "left_semi")
     val idf: Column =
       log(lit(1.0) + (lit(m.nDocs) - col("df") + 0.5) / (col("df") + 0.5))
@@ -848,13 +946,17 @@ object Retrieval {
           .otherwise(lit(null)).cast("string").as("word"),
         col("doc_id"), lit(0L).as("tf"), lit(0).as("dl"))
     newPost.unionByName(guardLeg)
-      .write.mode("overwrite").parquet(s"$path/postings-g${m.gens + 1}")
+      .withColumn("bucket", sidecarBucket(m.buckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings-g${m.gens + 1}")
     // df merge: broadcast LEFT join + anti leg (full-outer would not
     // broadcast — the Forget.appendFingerprints doctrine)
-    val aDf = spark.read.parquet(s"$path/postings-g${m.gens + 1}")
+    val aDf = spark.read.schema(SidecarPostingsSchema)
+      .parquet(s"$path/postings-g${m.gens + 1}")
       .filter(col("word").isNotNull)
       .groupBy("word").agg(count(lit(1)).as("__a_df"))
-    val oldDf = spark.read.parquet(s"$path/df-v${m.dfV}")
+    val oldDf = spark.read.schema(SidecarDfSchema)
+      .parquet(s"$path/df-v${m.dfV}").drop("bucket")
     val merged = oldDf.join(hinted(aDf), Seq("word"), "left")
       .select(col("word"),
         (col("df") + coalesce(col("__a_df"), lit(0L))).as("df"))
@@ -865,9 +967,12 @@ object Retrieval {
         Seq("word"), "left_anti")
       .select(col("word"), col("__a_df").as("df"))
     merged.unionByName(newOnly)
-      .write.mode("overwrite").parquet(s"$path/df-v${m.dfV + 1}")
+      .withColumn("bucket", sidecarBucket(m.buckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/df-v${m.dfV + 1}")
     // global stats deltas from the committed drop generation
-    val st = spark.read.parquet(s"$path/postings-g${m.gens + 1}")
+    val st = spark.read.schema(SidecarPostingsSchema)
+      .parquet(s"$path/postings-g${m.gens + 1}")
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
@@ -928,12 +1033,15 @@ object Retrieval {
     oldRm.fold(newRm)(_.unionByName(newRm))
       .write.mode("overwrite").parquet(s"$path/removed-v${m.rmV + 1}")
     // df decrement (broadcast left join; words at zero drop out)
-    spark.read.parquet(s"$path/df-v${m.dfV}")
+    spark.read.schema(SidecarDfSchema)
+      .parquet(s"$path/df-v${m.dfV}").drop("bucket")
       .join(hinted(rDf), Seq("word"), "left")
       .select(col("word"),
         (col("df") - coalesce(col("__r_df"), lit(0L))).as("df"))
       .filter(col("df") > 0)
-      .write.mode("overwrite").parquet(s"$path/df-v${m.dfV + 1}")
+      .withColumn("bucket", sidecarBucket(m.buckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/df-v${m.dfV + 1}")
     val st = rStats.head()
     writeSidecarMeta(spark, path,
       m.copy(nDocs = m.nDocs - st.getLong(0), sumDl = m.sumDl - st.getLong(1),
@@ -976,11 +1084,16 @@ object Retrieval {
       readSidecarPostings(spark, path, m)
         .join(broadcast(r), col("doc_id") === col("__rm_id"), "left_anti")
     }
-    live.write.mode("overwrite").parquet(s"$outPath/postings-g1")
-    spark.read.parquet(s"$path/df-v${m.dfV}")
-      .write.mode("overwrite").parquet(s"$outPath/df-v1")
+    live.withColumn("bucket", sidecarBucket(m.buckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$outPath/postings-g1")
+    spark.read.schema(SidecarDfSchema)
+      .parquet(s"$path/df-v${m.dfV}").drop("bucket")
+      .withColumn("bucket", sidecarBucket(m.buckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$outPath/df-v1")
     writeSidecarMeta(spark, outPath,
-      SidecarMeta(m.nDocs, m.sumDl, gens = 1, dfV = 1, rmV = 0))
+      SidecarMeta(m.nDocs, m.sumDl, gens = 1, dfV = 1, rmV = 0, m.buckets))
   }
 
   /** Top-k per query over the persisted index: [[bm25ScoresAgainst]]

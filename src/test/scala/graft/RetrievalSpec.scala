@@ -426,9 +426,15 @@ class RetrievalSpec extends SparkSpec {
       corpus.filter(col("doc_id") <= 3), "text", "doc_id", out)
     assert(probeSidecar(out) == inlineScores(corpus.filter(col("doc_id") <= 3)))
     // grow by the rest: probe ≡ inline over the union; generation 1
-    // files untouched byte-for-byte
-    def g1files = new java.io.File(s"$out/postings-g1").listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length()).toMap
+    // files untouched byte-for-byte (recursive — generations are
+    // hive-partitioned by word-hash bucket)
+    def g1files = {
+      val root = new java.io.File(s"$out/postings-g1")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => root.toPath.relativize(f.toPath).toString -> f.length()).toMap
+    }
     val before = g1files
     Retrieval.bm25SidecarAppend(
       spark, out, corpus.filter(col("doc_id") > 3), "text", "doc_id")
@@ -437,10 +443,20 @@ class RetrievalSpec extends SparkSpec {
     // token-free doc 5 registered via sentinel: visible in n_docs through
     // scores (avgdl/N differ from a 4-doc corpus) — already pinned by the
     // equality above; check the registry directly too
-    val posts = spark.read.parquet(s"$out/postings-g1", s"$out/postings-g2")
+    val posts = spark.read.parquet(s"$out/postings-g1")
+      .unionByName(spark.read.parquet(s"$out/postings-g2"))
     assert(posts.select("doc_id").distinct().count() == 5)
     assert(posts.filter(col("word").isNull).select("doc_id")
       .as[Long].collect().toSet == Set(5L))
+    // probes PARTITION-PRUNE both the posting generations and the df
+    // sidecar to the query words' buckets
+    val probe = Retrieval.bm25ScoresFromSidecar(
+      spark, out, queries, "query_id", "qtext")
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val scans = "PartitionFilters: \\[[^\\]]*bucket".r.findAllIn(plan).size
+    assert(scans >= 2, s"expected bucket partition pruning on postings AND df:\n" +
+      plan.split('\n').filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
   test("sidecar forget: tombstones + exact deltas, no posting rewrite; compact purges") {
