@@ -973,6 +973,71 @@ object LlmGates {
       sink(b1, 1L)
       out.toSeq.toDF("batch", "doc_id")
     },
+    // §2 row 170a — the curation sink's VIDEO arm: q_curation_image_
+    // stream's pattern over folded frame signatures (within-batch
+    // one-bit flip drops, the cross-batch AVI re-encode drops via the
+    // grown banded artifact — container invariance through the
+    // composed pipeline; flat clip, undecodable and payload-free docs
+    // kept)
+    "q_curation_video_stream" -> { (s, dir) =>
+      import s.implicits._
+      val fx = videoFixtures(s).collect().map(m => m.doc_id -> m.payload).toMap
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-curvid").toString
+      val cfg = graft.plans.CurationPipeline.Config(minQuality = 0.0,
+        videoDedup = Some(graft.plans.CurationPipeline.VideoDedup(
+          payloads = s.emptyDataFrame, n = 3)))
+      val out = scala.collection.mutable.Buffer[(Long, Long)]()
+      val sink = graft.plans.CurationPipeline
+        .streamingSink("text", "doc_id", cfg, idxDir) { (c, bid) =>
+          out ++= c.select("doc_id").as[Long].collect().map((bid, _))
+        }
+      val b0 = Seq(
+        (820001L, "the quick brown fox jumps over the lazy dog", fx(820001L)),
+        (820004L, "pack my box with five dozen liquor jugs", fx(820004L)),
+        (820003L, "sphinx of black quartz judge my vow now", fx(820003L)),
+        (820006L, "how vexingly quick daft zebras jump out",
+          "not a clip".getBytes("UTF-8")))
+      val b1 = Seq(
+        (830002L, "jived fox nymph grabs quick waltz again", fx(820002L)),
+        (830007L, "crazy fredrick bought many very exquisite opal jewels",
+          null.asInstanceOf[Array[Byte]]))
+      sink(b0.toDF("doc_id", "text", "payload"), 0L)
+      sink(b1.toDF("doc_id", "text", "payload"), 1L)
+      out.toSeq.toDF("batch", "doc_id")
+    },
+    // §2 row 170b — the curation sink's AUDIO arm: the one-window dip
+    // drops within batch; the volume-scaled copy AND the AIFF
+    // re-encode both drop via the grown artifact (amplitude and
+    // container invariance through the composed pipeline)
+    "q_curation_audio_stream" -> { (s, dir) =>
+      import s.implicits._
+      val fx = audioFpFixtures(s).collect().map(m => m.doc_id -> m.payload).toMap
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-curaud").toString
+      val cfg = graft.plans.CurationPipeline.Config(minQuality = 0.0,
+        audioDedup = Some(graft.plans.CurationPipeline.AudioDedup(
+          payloads = s.emptyDataFrame)))
+      val out = scala.collection.mutable.Buffer[(Long, Long)]()
+      val sink = graft.plans.CurationPipeline
+        .streamingSink("text", "doc_id", cfg, idxDir) { (c, bid) =>
+          out ++= c.select("doc_id").as[Long].collect().map((bid, _))
+        }
+      val b0 = Seq(
+        (810001L, "the quick brown fox jumps over the lazy dog", fx(810001L)),
+        (810002L, "pack my box with five dozen liquor jugs", fx(810002L)),
+        (810004L, "sphinx of black quartz judge my vow now", fx(810004L)),
+        (810006L, "how vexingly quick daft zebras jump out",
+          "not audio".getBytes("UTF-8")))
+      val b1 = Seq(
+        (840003L, "jived fox nymph grabs quick waltz again", fx(810003L)),
+        (840005L, "five quacking zephyrs jolt my wax bed twice", fx(810005L)),
+        (840007L, "crazy fredrick bought many very exquisite opal jewels",
+          null.asInstanceOf[Array[Byte]]))
+      sink(b0.toDF("doc_id", "text", "payload"), 0L)
+      sink(b1.toDF("doc_id", "text", "payload"), 1L)
+      out.toSeq.toDF("batch", "doc_id")
+    },
     // §2 row 166 — banded-artifact RE-CAP: appends cap only within
     // each drop, so bucket 5 (three ids sharing one hash, one per
     // drop) creeps past maxBucket=2 across a build + two appends.
@@ -2216,6 +2281,27 @@ object LlmGates {
         |  SELECT band, band_key FROM b GROUP BY 1, 2 HAVING count(*) <= 2)
         |SELECT b.band, b.band_key, b.doc_id AS index_id, b.hash AS index_hash
         |FROM b JOIN keep USING (band, band_key)""".stripMargin,
+    // batch 0: the one-bit flip 820003 drops within batch (video stage,
+    // Hamming 1 vs 820001), flat clip + undecodable kept; batch 1: the
+    // AVI re-encode folds to the identical vhash and drops via the
+    // grown artifact, the payload-free doc is kept
+    "q_curation_video_stream" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 820001::BIGINT),
+        |  (0::BIGINT, 820004::BIGINT),
+        |  (0::BIGINT, 820006::BIGINT),
+        |  (1::BIGINT, 830007::BIGINT)
+        |) t(batch, doc_id)""".stripMargin,
+    // batch 0: the one-window dip 810004 drops within batch (Hamming 1
+    // vs 810001), flat + undecodable kept; batch 1: the volume-scaled
+    // copy and the AIFF re-encode both drop via the grown artifact
+    "q_curation_audio_stream" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 810001::BIGINT),
+        |  (0::BIGINT, 810002::BIGINT),
+        |  (0::BIGINT, 810006::BIGINT),
+        |  (1::BIGINT, 840007::BIGINT)
+        |) t(batch, doc_id)""".stripMargin,
     // batch 0: ramp GIF kept (820001), flat kept (vhash 0, 29 bits from
     // the ramp's 2170205185142300190), the one-bit flip 820003 dropped
     // within batch (Hamming 1), text kept; batch 1: the AVI re-encode

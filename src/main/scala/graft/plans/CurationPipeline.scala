@@ -96,6 +96,28 @@ object CurationPipeline {
     maxHamming: Int = 3,
     bands: Int = 4)
 
+  /** The VIDEO arm of the media dedup chain ([[Config.videoDedup]]) —
+    * [[ImageDedup]]'s contract over [[graft.operators.Multimodal
+    * .videoDHash]] folded signatures; `n` (the sampled frame count) is
+    * part of the signature identity, so one `n` per pipeline/artifact. */
+  final case class VideoDedup(
+    payloads: DataFrame,
+    payloadCol: String = "payload",
+    idCol: String = "doc_id",
+    n: Int = 4,
+    maxHamming: Int = 3,
+    bands: Int = 4)
+
+  /** The AUDIO arm ([[Config.audioDedup]]) — [[ImageDedup]]'s contract
+    * over [[graft.operators.Multimodal.audioFingerprint]] energy
+    * contours. */
+  final case class AudioDedup(
+    payloads: DataFrame,
+    payloadCol: String = "payload",
+    idCol: String = "doc_id",
+    maxHamming: Int = 3,
+    bands: Int = 4)
+
   /** The model-quality gate for [[Config.qualityModel]]: a fitted
     * [[graft.operators.QualityClassifier]] dense weight spine + bias
     * (e.g. `QualityClassifier.fit(...)` unpacked, or weights read back
@@ -212,6 +234,12 @@ object CurationPipeline {
       * the payload plumbing; `maxHamming`/`bands` come from it and
       * MUST match the artifact's build values. */
     priorBandedImages: Option[DataFrame] = None,
+    /** Prior corpus's banded VIDEO artifact (over [[graft.operators
+      * .Multimodal.videoDHash]] at [[VideoDedup.n]]) — requires
+      * `videoDedup`; pruned right after the image prior. */
+    priorBandedVideos: Option[DataFrame] = None,
+    /** Prior corpus's banded AUDIO artifact — requires `audioDedup`. */
+    priorBandedAudio: Option[DataFrame] = None,
     minLineCount: Int = 3,
     dropRepeatedLinesInDoc: Boolean = true,
     /** Corpus-wide duplicate-PARAGRAPH removal
@@ -263,6 +291,14 @@ object CurationPipeline {
       * kept doc's — re-encoded/rescaled copies that byte-exact and
       * text dedup both miss. */
     imageDedup: Option[ImageDedup] = None,
+    /** Optional VIDEO near-dup stage ([[VideoDedup]]) — runs after the
+      * image stage over the folded frame signatures; same
+      * survivor-scoped pairing, keeper policy, and observed counter
+      * (`after_video_dedup`) as the image arm. */
+    videoDedup: Option[VideoDedup] = None,
+    /** Optional AUDIO near-dup stage ([[AudioDedup]]) — after the video
+      * stage, over energy contours (`after_audio_dedup`). */
+    audioDedup: Option[AudioDedup] = None,
     perGroupCap: Option[(String, Int)] = None,
     targetMix: Option[(String, Seq[(String, Long)])] = None,
     splits: Seq[(String, Double)] = Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)),
@@ -531,7 +567,6 @@ object CurationPipeline {
   )(sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val fpPath = s"$indexDir/fingerprints"
     val sigPath = s"$indexDir/signatures"
-    val imgPath = s"$indexDir/dhash"
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
@@ -540,25 +575,26 @@ object CurationPipeline {
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(hp)) Some(spark.read.parquet(p)) else None
       }
-      // MEDIA parity (row 169): when imageDedup is configured, the
-      // payloads ride THE BATCH ROWS (imageDedup.payloadCol on the
-      // streaming frame — a static side table cannot be batch-scoped),
-      // the prior banded artifact under indexDir/dhash prunes
-      // cross-batch image copies, and survivors' band rows grow it.
-      val batchPayloads = cfg.imageDedup.map { im =>
-        require(batch.columns.contains(im.payloadCol),
-          s"streamingSink: imageDedup is configured but the batch frame " +
-            s"carries no '${im.payloadCol}' column - in the streaming arm " +
+      // MEDIA parity (row 169): when a media-dedup arm is configured,
+      // its payloads ride THE BATCH ROWS (payloadCol on the streaming
+      // frame — a static side table cannot be batch-scoped), the prior
+      // banded artifact under indexDir/{dhash,vhash,afp} prunes
+      // cross-batch copies, and survivors' band rows grow it.
+      def payloadsFor(what: String, payloadCol: String, mIdCol: String): DataFrame = {
+        require(batch.columns.contains(payloadCol),
+          s"streamingSink: ${what}Dedup is configured but the batch frame " +
+            s"carries no '$payloadCol' column - in the streaming arm " +
             "payloads ride the batch rows")
         // a NULL payload is the streaming spelling of "no payload row"
         // (the batch arm's side table simply lacks the doc) — such docs
-        // never match and are never dropped by the image stages
-        batch.select(col(idCol).cast("long").as(im.idCol),
-          col(im.payloadCol).as(im.payloadCol))
-          .filter(col(im.payloadCol).isNotNull)
+        // never match and are never dropped by the media stages
+        batch.select(col(idCol).cast("long").as(mIdCol),
+          col(payloadCol).as(payloadCol))
+          .filter(col(payloadCol).isNotNull)
       }
-      val priorImages = cfg.imageDedup.flatMap { im =>
-        val hp = new org.apache.hadoop.fs.Path(imgPath)
+      def mediaPriorFor(what: String, sub: String, bands: Int): Option[DataFrame] = {
+        val p = s"$indexDir/$sub"
+        val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(hp)) None
         else {
@@ -566,14 +602,14 @@ object CurationPipeline {
           // (the mediaDedupStreamSink guard); the anti-join on this
           // batch's ids makes replays after a failed checkpoint commit
           // see exactly the first attempt's index state
-          val (mBits, mBands) = Dedup.readHammingBandMeta(spark, imgPath)
-          require(mBits == 64 && mBands == im.bands,
-            s"streamingSink: $imgPath was built with bits=$mBits " +
-              s"bands=$mBands but imageDedup is configured bands=${im.bands} " +
+          val (mBits, mBands) = Dedup.readHammingBandMeta(spark, p)
+          require(mBits == 64 && mBands == bands,
+            s"streamingSink: $p was built with bits=$mBits " +
+              s"bands=$mBands but ${what}Dedup is configured bands=$bands " +
               "- banding params are the artifact's contract")
           Some(spark.read
             .schema("band INT, band_key BIGINT, index_id BIGINT, index_hash BIGINT")
-            .parquet(imgPath)
+            .parquet(p)
             .join(
               broadcast(batch.select(col(idCol).cast("long").as("__bid")).distinct()),
               col("index_id") === col("__bid"), "left_anti"))
@@ -601,9 +637,18 @@ object CurationPipeline {
         },
         priorSignatures =
           if (nearDup) readIf(sigPath).map(antiBatch) else cfg.priorSignatures,
-        imageDedup = cfg.imageDedup.zip(batchPayloads).map {
-          case (im, p) => im.copy(payloads = p) },
-        priorBandedImages = priorImages)
+        imageDedup = cfg.imageDedup.map(im =>
+          im.copy(payloads = payloadsFor("image", im.payloadCol, im.idCol))),
+        videoDedup = cfg.videoDedup.map(v =>
+          v.copy(payloads = payloadsFor("video", v.payloadCol, v.idCol))),
+        audioDedup = cfg.audioDedup.map(a =>
+          a.copy(payloads = payloadsFor("audio", a.payloadCol, a.idCol))),
+        priorBandedImages = cfg.imageDedup.flatMap(im =>
+          mediaPriorFor("image", "dhash", im.bands)),
+        priorBandedVideos = cfg.videoDedup.flatMap(v =>
+          mediaPriorFor("video", "vhash", v.bands)),
+        priorBandedAudio = cfg.audioDedup.flatMap(a =>
+          mediaPriorFor("audio", "afp", a.bands)))
       run(batch, textCol, idCol, cfgWithPriors) { curated =>
         // LOCAL CHECKPOINT, not persist: every grow leg below APPENDS to
         // a path this frame's lineage READS (the prior indexes), and a
@@ -625,17 +670,32 @@ object CurationPipeline {
             Dedup.minHashSignatures(pinned, textCol, "doc_id",
                 cfg.shingleK, cfg.numHashes, cfg.tokenizer)
               .write.mode("append").parquet(sigPath)
-          cfg.imageDedup.zip(batchPayloads).foreach { case (im, pay) =>
-            val survivors = pay
-              .select(col(im.idCol).cast("long").as("doc_id"),
-                col(im.payloadCol).as("payload"))
+          def growMedia(
+              what: String, sub: String, bands: Int,
+              payloadCol: String, mIdCol: String,
+              hashOf: org.apache.spark.sql.Dataset[
+                graft.operators.Multimodal.MediaRecord] => DataFrame): Unit = {
+            val survivors = payloadsFor(what, payloadCol, mIdCol)
+              .select(col(mIdCol).cast("long").as("doc_id"),
+                col(payloadCol).as("payload"))
               .join(pinned.select("doc_id"), Seq("doc_id"), "left_semi")
               .as[graft.operators.Multimodal.MediaRecord]
+            val h = hashOf(survivors).toDF("doc_id", "__mh")
+              .filter(col("__mh").isNotNull)
             graft.operators.Multimodal.bandedMediaIndexWrite(
-              graft.operators.Multimodal.imageDHash(survivors)
-                .filter(col("dhash").isNotNull),
-              "doc_id", "dhash", imgPath, im.bands, mode = "append")
+              h, "doc_id", "__mh", s"$indexDir/$sub", bands,
+              metricPrefix = s"banded_$sub", mode = "append")
           }
+          cfg.imageDedup.foreach(im =>
+            growMedia("image", "dhash", im.bands, im.payloadCol, im.idCol,
+              graft.operators.Multimodal.imageDHash(_)))
+          cfg.videoDedup.foreach(v =>
+            growMedia("video", "vhash", v.bands, v.payloadCol, v.idCol,
+              graft.operators.Multimodal.videoDHash(
+                _, v.n, graft.operators.Multimodal.SniffFrames)))
+          cfg.audioDedup.foreach(a =>
+            growMedia("audio", "afp", a.bands, a.payloadCol, a.idCol,
+              graft.operators.Multimodal.audioFingerprint(_)))
         } finally org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(pinned)
       }
     }
@@ -696,32 +756,53 @@ object CurationPipeline {
         .select(col("batch_id").as("doc_id")).distinct()
       fresh2.join(matched, Seq("doc_id"), "left_anti")
     }
-    // the MEDIA arm of the incremental prune: batch docs whose image
-    // perceptually matches the prior corpus's banded artifact drop here
-    // (the imageDedup stage below handles within-batch pairs) — same
-    // position, same documented transitive-chain margin as the text
-    // priors. Payload plumbing comes from cfg.imageDedup; setting
-    // priorBandedImages without it has no hashes to probe with.
-    val fresh4 = cfg.priorBandedImages.fold(fresh3) { bidx =>
-      val im = cfg.imageDedup.getOrElse(throw new IllegalArgumentException(
-        "Config.priorBandedImages requires Config.imageDedup - the prior " +
-          "artifact is probed with the imageDedup payload table/column"))
-      import corpus.sparkSession.implicits._
-      val media = im.payloads
-        .select(col(im.idCol).cast("long").as("doc_id"),
-          col(im.payloadCol).as("payload"))
-        .join(fresh3.select("doc_id"), Seq("doc_id"), "left_semi")
-        .as[graft.operators.Multimodal.MediaRecord]
-      val matched = graft.operators.Multimodal
-        .imageNearDupsAgainstBanded(media, bidx, im.maxHamming, im.bands)
-        .select(col("batch_id").as("doc_id")).distinct()
-      fresh3.join(matched, Seq("doc_id"), "left_anti")
-    }
+    // the MEDIA arms of the incremental prune: batch docs whose
+    // image/video/audio perceptually matches the prior corpus's banded
+    // artifact drop here (the media stages below handle within-batch
+    // pairs) — same position, same documented transitive-chain margin
+    // as the text priors. Payload plumbing comes from the matching
+    // media-dedup config; a prior without it has no hashes to probe.
+    import corpus.sparkSession.implicits._
+    def mediaPrior(
+        input: DataFrame, prior: Option[DataFrame], what: String,
+        plumbing: Option[(DataFrame, String, String)],
+        probe: (org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord],
+          DataFrame) => DataFrame): DataFrame =
+      prior.fold(input) { bidx =>
+        val (payloads, payloadCol, mIdCol) = plumbing.getOrElse(
+          throw new IllegalArgumentException(
+            s"Config.priorBanded${what.capitalize}s requires the matching " +
+              s"${what}Dedup config - the prior artifact is probed with its " +
+              "payload table/column"))
+        val media = payloads
+          .select(col(mIdCol).cast("long").as("doc_id"),
+            col(payloadCol).as("payload"))
+          .join(input.select("doc_id"), Seq("doc_id"), "left_semi")
+          .as[graft.operators.Multimodal.MediaRecord]
+        val matched = probe(media, bidx)
+          .select(col("batch_id").as("doc_id")).distinct()
+        input.join(matched, Seq("doc_id"), "left_anti")
+      }
+    val fresh4 = mediaPrior(fresh3, cfg.priorBandedImages, "image",
+      cfg.imageDedup.map(im => (im.payloads, im.payloadCol, im.idCol)),
+      (m, idx) => graft.operators.Multimodal.imageNearDupsAgainstBanded(
+        m, idx, cfg.imageDedup.get.maxHamming, cfg.imageDedup.get.bands))
+    val fresh5 = mediaPrior(fresh4, cfg.priorBandedVideos, "video",
+      cfg.videoDedup.map(v => (v.payloads, v.payloadCol, v.idCol)),
+      (m, idx) => graft.operators.Multimodal.videoNearDupsAgainstBanded(
+        m, idx, cfg.videoDedup.get.n,
+        graft.operators.Multimodal.SniffFrames,
+        cfg.videoDedup.get.maxHamming, cfg.videoDedup.get.bands))
+    val fresh6 = mediaPrior(fresh5, cfg.priorBandedAudio, "audio",
+      cfg.audioDedup.map(a => (a.payloads, a.payloadCol, a.idCol)),
+      (m, idx) => graft.operators.Multimodal.audioNearDupsAgainstBanded(
+        m, idx, cfg.audioDedup.get.maxHamming, cfg.audioDedup.get.bands))
     val anyPrior = cfg.priorFingerprints.nonEmpty || cfg.priorSignatures.nonEmpty ||
       cfg.priorSimhashes.nonEmpty || cfg.priorEmbeddings.nonEmpty ||
-      cfg.priorBandedImages.nonEmpty
+      cfg.priorBandedImages.nonEmpty || cfg.priorBandedVideos.nonEmpty ||
+      cfg.priorBandedAudio.nonEmpty
     val fresh =
-      if (anyPrior) observe("after_incremental_prune", fresh4) else fresh4
+      if (anyPrior) observe("after_incremental_prune", fresh6) else fresh6
     // 3-4: exact then near dedup, keeper policy per cfg.keeper
     require(cfg.keeper == KeepFirst || cfg.keeper == KeepBest,
       s"unknown keeper '${cfg.keeper}' (expected $KeepFirst or $KeepBest)")
@@ -753,31 +834,38 @@ object CurationPipeline {
     // Pairs close into transitive clusters and the configured keeper
     // picks the survivor — lowest id, or the composite-quality argmax
     // under KeepBest, matching the text dedup stages.
-    val near = cfg.imageDedup.fold(nearText) { im =>
-      import corpus.sparkSession.implicits._
-      // the stage references nearText up to three times (survivor
+    // 4b-4d: perceptual media near-dup (optional, one arm per modality)
+    // — pairs form among TEXT SURVIVORS only (a payload whose doc was
+    // already dropped must not delete the surviving copy of its
+    // content), pairs close into transitive clusters, and the
+    // configured keeper picks each cluster's survivor. The three arms
+    // share this machinery; only the hash family differs.
+    def mediaStage(
+        input: DataFrame, what: String,
+        payloads: DataFrame, payloadCol: String, mIdCol: String,
+        pairsOf: org.apache.spark.sql.Dataset[graft.operators.Multimodal.MediaRecord]
+          => DataFrame): DataFrame = {
+      // the stage references its input up to three times (survivor
       // semi-join, KeepBest scores, final anti-join) — pin it so the
-      // exact+near dedup chain underneath runs once (the model-gate
-      // precedent below)
-      val nt = pin(nearText)
-      val idType = im.payloads.schema(im.idCol).dataType
+      // chain underneath runs once (the model-gate precedent below)
+      val nt = pin(input)
+      val idType = payloads.schema(mIdCol).dataType
       require(
         Seq(org.apache.spark.sql.types.LongType,
           org.apache.spark.sql.types.IntegerType,
           org.apache.spark.sql.types.ShortType,
           org.apache.spark.sql.types.ByteType).contains(idType),
-        s"imageDedup.idCol '${im.idCol}' must be an integral column, " +
+        s"${what}Dedup.idCol '$mIdCol' must be an integral column, " +
           s"got ${idType.catalogString}: a silent cast would NULL " +
-          "non-numeric ids and exempt those payloads from image dedup")
-      val media = im.payloads
-        .select(col(im.idCol).cast("long").as("doc_id"),
-          col(im.payloadCol).as("payload"))
+          s"non-numeric ids and exempt those payloads from $what dedup")
+      val media = payloads
+        .select(col(mIdCol).cast("long").as("doc_id"),
+          col(payloadCol).as("payload"))
         .join(nt.select("doc_id"), Seq("doc_id"), "left_semi")
         .as[graft.operators.Multimodal.MediaRecord]
       // pair-bounded member table (never the corpus); unpaired docs
       // are absent from it and always survive
-      val members = Dedup.connectedComponents(
-        graft.operators.Multimodal.imageNearDups(media, im.maxHamming, im.bands))
+      val members = Dedup.connectedComponents(pairsOf(media))
       val ranked =
         if (best) {
           val scores = TextAnalysis
@@ -794,9 +882,19 @@ object CurationPipeline {
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("cluster_id")).orderBy(col("doc_id"))))
       val losers = ranked.filter(col("__rn") > 1).select("doc_id")
-      observe("after_image_dedup",
+      observe(s"after_${what}_dedup",
         nt.join(broadcast(losers), Seq("doc_id"), "left_anti"))
     }
+    val nearI = cfg.imageDedup.fold(nearText)(im =>
+      mediaStage(nearText, "image", im.payloads, im.payloadCol, im.idCol,
+        m => graft.operators.Multimodal.imageNearDups(m, im.maxHamming, im.bands)))
+    val nearV = cfg.videoDedup.fold(nearI)(v =>
+      mediaStage(nearI, "video", v.payloads, v.payloadCol, v.idCol,
+        m => graft.operators.Multimodal.videoNearDups(
+          m, v.n, graft.operators.Multimodal.SniffFrames, v.maxHamming, v.bands)))
+    val near = cfg.audioDedup.fold(nearV)(a =>
+      mediaStage(nearV, "audio", a.payloads, a.payloadCol, a.idCol,
+        m => graft.operators.Multimodal.audioNearDups(m, a.maxHamming, a.bands)))
     // 5: decontamination (optional)
     val clean = cfg.evalSet.fold(near)(ev =>
       observe("after_decontamination",

@@ -678,6 +678,47 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("videoDedup/audioDedup stages: re-encoded copies drop; counters observed") {
+    val ramp = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val g = x * 10; img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val gif = graft.gates.LlmGates.encodeAnimatedGif(Seq(ramp, ramp))
+    val avi = graft.gates.LlmGates.encodeAvi(Seq(ramp, ramp))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),   // video = AVI re-encode of 1's GIF -> dropped
+      (3L, "how vexingly quick daft zebras jump today")  // no payload -> kept
+    ).toDF("doc_id", "text")
+    val vids = Seq((1L, gif), (2L, avi)).toDF("doc_id", "payload")
+    val (rows, metrics) = CurationPipeline.runObserved(
+      corpus, "text", "doc_id",
+      CurationPipeline.Config(minQuality = 0.0,
+        videoDedup = Some(CurationPipeline.VideoDedup(vids, n = 2))))(
+      _.select("doc_id").as[Long].collect().toSet)
+    assert(rows == Set(1L, 3L), rows.toString)
+    assert(metrics("after_video_dedup") == 2L)
+    // audio arm: volume-scaled copy drops (amplitude invariance)
+    val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val a1 = Array.tabulate(65)(j => ((j + 1) * 300).toShort)
+    val a2 = Array.tabulate(65)(j => ((j + 1) * 450).toShort)
+    val auds = Seq(
+      (1L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, a1, bigEndian = false)),
+      (2L, graft.gates.LlmGates.encodeAudio(Wave, 8000, 1, a2, bigEndian = false)))
+      .toDF("doc_id", "payload")
+    val (rowsA, metricsA) = CurationPipeline.runObserved(
+      corpus, "text", "doc_id",
+      CurationPipeline.Config(minQuality = 0.0,
+        audioDedup = Some(CurationPipeline.AudioDedup(auds))))(
+      _.select("doc_id").as[Long].collect().toSet)
+    assert(rowsA == Set(1L, 3L), rowsA.toString)
+    assert(metricsA("after_audio_dedup") == 2L)
+  }
+
   test("streamingSink media parity: cross-batch image dups drop via the grown artifact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
