@@ -39,91 +39,97 @@ object Dedup {
   private val capObsId = new java.util.concurrent.atomic.AtomicLong()
 
   /**
-   * TWO-PASS bucket-size cap over flat bucket rows, attaching an observed
-   * metric (`graft.<what>.bucket_cap#<n>`: dropped_buckets, dropped_rows)
-   * to the plan. Dropping a bucket trades recall for a bounded task, and
-   * that trade must never be silent: [[graft.GraftSession]] registers a
-   * listener that WARN-logs any nonzero drop count after each action —
-   * computed as a plan-side metric, not a second driver-side pass over
-   * the data.
+   * SINGLE-PASS bucket-size cap: ONE hash aggregation per capped stage,
+   * whose per-group buffer is bounded by construction
+   * ([[graft.functions.BoundedCollectAgg]] — items buffer at most `cap`
+   * members, the distinct arm saturates to an O(1) no-op past `cap`+1),
+   * with an observed metric (`graft.<what>.bucket_cap#<n>`:
+   * dropped_buckets, dropped_rows) attached to the plan. Dropping a
+   * bucket trades recall for a bounded task, and that trade must never
+   * be silent: [[graft.GraftSession]] registers a listener that
+   * WARN-logs any nonzero drop count after each action — a plan-side
+   * metric, not a second driver-side pass over the data.
    *
-   * Pass 1 counts members per key (map-side partial aggregation — Long
-   * buffers only, never an array); pass 2 anti-joins the over-cap keys
-   * away. The count happens BEFORE any `collect_set`/`collect_list`
-   * materializes a bucket, so a single degenerate key — boilerplate
+   * This keeps the r17 safety invariant — a degenerate key (boilerplate
    * text every page shares, a black-frame dHash, an empty-signature
-   * band — can never put an unbounded bucket into one in-memory
-   * aggregation buffer on one executor (a `collect_*` buffer is a single
-   * object; ObjectHashAggregate's sort fallback cannot spill WITHIN a
-   * group). The over-cap key set is at most |rows|/cap keys and in
-   * practice a handful, so AQE turns the anti-join into a broadcast.
+   * band) can never put an unbounded bucket into one in-memory
+   * aggregation buffer (a `collect_*` buffer is a single object;
+   * ObjectHashAggregate's sort fallback cannot spill WITHIN a group) —
+   * without r17's separate count pass + filter join per capped stage,
+   * which the round-17 boards measured at 1.5–2.2x on the
+   * incremental-join family (2–4 capped stages per cell, each adding a
+   * count aggregation, an explicit repartition and a join). The bound
+   * now lives INSIDE the aggregate, so a capped stage has exactly the
+   * stage count of its uncapped `collect_*` spelling.
    *
-   * `distinctOn = Some(item)` counts DISTINCT items per key (parity with
-   * `size(collect_set(item))`); `None` counts rows (parity with
-   * `size(collect_list(...))`). The join is null-safe on every key, so a
-   * NULL-keyed bucket caps exactly as the old size-filter capped it.
+   * Metric semantics: `dropped_buckets` is exact. `dropped_rows` is the
+   * summed member count of dropped buckets — exact on row-parity stages
+   * (`distinct = false`); on distinct-parity stages an over-cap bucket
+   * reports `cap + 1` (a floor — exact distinct counting past the cap
+   * would need the unbounded state this cap exists to prevent). NULL
+   * items are skipped in both count and output, so the keep/drop count
+   * agrees with `size(collect_list/collect_set)` even for buckets
+   * containing null items.
+   */
+  private def cappedBuckets(
+    rows: DataFrame,
+    keys: Seq[String],
+    item: Column,
+    cap: Int,
+    distinct: Boolean,
+    what: String
+  ): DataFrame = {
+    val n = col("__bc").getField("n")
+    val over = n > cap
+    rows
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.BoundedCollectAgg(item, cap, distinct).as("__bc"))
+      .observe(
+        s"graft.$what.bucket_cap#${capObsId.incrementAndGet()}",
+        coalesce(sum(when(over, lit(1L))), lit(0L)).as("dropped_buckets"),
+        coalesce(sum(when(over, n)), lit(0L)).as("dropped_rows"))
+      .filter(!over)
+  }
+
+  /**
+   * Bucket-size cap over FLAT rows: surviving rows come back flat (the
+   * same multiset, bucket-local order not preserved), over-cap keys'
+   * rows are dropped with the [[cappedBuckets]] metric discipline. The
+   * payload rides the bounded buffer as a struct — at most `cap` rows
+   * per group buffer, which is exactly what any downstream per-bucket
+   * consumer (a bucket join's hashed relation, a pair generator) holds
+   * for a SURVIVING bucket anyway, so the cap stage adds no memory
+   * class the plan didn't already have.
    */
   private[operators] def capRows(
     rows: DataFrame,
     keys: Seq[String],
-    distinctOn: Option[Column],
     cap: Option[Int],
     what: String,
     capParam: String = "maxBucket"
   ): DataFrame =
     cap.fold(rows) { c =>
       require(c >= 2, s"$capParam must be >= 2 (a pair), got $c")
-      // ONE explicit exchange on the bucket keys feeds BOTH passes
-      // (ReuseExchange — the dropDuplicateSpans doctrine): the upstream
-      // rows (minhash signatures, winnow fingerprints, prefix ranks —
-      // the expensive part) are computed and shuffled once, the count
-      // pass and the surviving-rows pass both read the shuffle output.
-      // The count below references every payload column so column
-      // pruning cannot specialize this branch's exchange copy and
-      // silently split the reuse into a second upstream computation.
-      val keyed = rows.repartition(keys.map(col): _*)
-      val payload = rows.columns.filterNot(keys.contains).map(col)
-      val n = distinctOn match {
-        case Some(item) => countDistinct(item)
-        case None if payload.nonEmpty =>
-          // ≡ count(1): xxhash64 is total, so the predicate holds on
-          // every row — but the optimizer cannot PROVE it (a provable
-          // tautology would constant-fold, NullPropagation would turn a
-          // non-nullable argument into count(1), and either way column
-          // pruning would then specialize this branch's exchange copy
-          // into a second upstream computation)
-          count(when(xxhash64(payload: _*) >= lit(Long.MinValue), lit(1)))
-        case None => count(lit(1))
-      }
-      val over = col("__bucket_n") > c
-      val counts = keyed
-        .groupBy(keys.map(col): _*)
-        .agg(n.as("__bucket_n"))
-        .observe(
-          s"graft.$what.bucket_cap#${capObsId.incrementAndGet()}",
-          coalesce(sum(when(over, lit(1L))), lit(0L)).as("dropped_buckets"),
-          coalesce(sum(when(over, col("__bucket_n"))), lit(0L)).as("dropped_rows"))
-      // INNER join against the unique under-cap keys, not an anti join
-      // against the over-cap ones: PushDownLeftSemiAntiJoin would push an
-      // anti join below the left side's repartition and split the shared
-      // exchange back into two upstream computations (the
-      // dropDuplicateSpans inner-join guard). Keys are unique (groupBy
-      // output) so the inner join ≡ the filter; null-safe so a NULL-keyed
-      // bucket caps by size exactly as before.
-      val okKeys = counts
-        .filter(!over)
-        .select(keys.map(k => col(k).as(s"__ok_$k")): _*)
-      val cond = keys.map(k => col(k) <=> col(s"__ok_$k")).reduce(_ && _)
-      keyed.join(okKeys, cond, "inner")
-        .select(rows.columns.map(col): _*)
+      val payload = rows.columns.filterNot(keys.contains)
+      require(payload.nonEmpty,
+        s"capRows needs at least one non-key column to restore rows from " +
+          s"(keys=${keys.mkString(",")} cover every column)")
+      cappedBuckets(rows, keys, struct(payload.map(col): _*), c,
+          distinct = false, what)
+        .select(keys.map(col) :+
+          explode(col("__bc").getField("items")).as("__bci"): _*)
+        .select(rows.columns.map(c0 =>
+          if (keys.contains(c0)) col(c0)
+          else col("__bci").getField(c0).as(c0)): _*)
     }
 
-  /** [[capRows]] followed by the bucket materialization it protects:
-    * group by `keys` and collect `item` into `itemsName` (set or list)
-    * over the surviving rows only. Every LSH-family candidate generator
-    * routes its bucket build through here so the count-filter provably
-    * precedes the collect on the bucket path (PlanAuditSpec pins the
-    * ordering). */
+  /** The capped bucket MATERIALIZATION: group by `keys` and collect
+    * `item` into `itemsName` (set or list parity), dropping over-cap
+    * buckets — one bounded aggregation ([[cappedBuckets]]; uncapped
+    * falls back to the plain `collect_*`). Every LSH-family candidate
+    * generator routes its bucket build through here so the bound
+    * provably precedes any bucket buffer (PlanAuditSpec pins that no
+    * unbounded collect_list/collect_set sits on a capped bucket path). */
   private[operators] def cappedCollect(
     rows: DataFrame,
     keys: Seq[String],
@@ -133,12 +139,14 @@ object Dedup {
     cap: Option[Int],
     what: String,
     capParam: String = "maxBucket"
-  ): DataFrame = {
-    val distinctOn = if (useSet) Some(item) else None
-    val aggCol = (if (useSet) collect_set(item) else collect_list(item)).as(itemsName)
-    capRows(rows, keys, distinctOn, cap, what, capParam)
-      .groupBy(keys.map(col): _*)
-      .agg(aggCol)
+  ): DataFrame = cap match {
+    case None =>
+      val aggCol = (if (useSet) collect_set(item) else collect_list(item)).as(itemsName)
+      rows.groupBy(keys.map(col): _*).agg(aggCol)
+    case Some(c) =>
+      require(c >= 2, s"$capParam must be >= 2 (a pair), got $c")
+      cappedBuckets(rows, keys, item, c, useSet, what)
+        .select(keys.map(col) :+ col("__bc").getField("items").as(itemsName): _*)
   }
 
   // ---------------------------------------------------------------- exact
@@ -1714,7 +1722,7 @@ object Dedup {
   ): DataFrame =
     capRows(
       banded.select("band", "band_key", "index_id", "index_hash").dropDuplicates(),
-      Seq("band", "band_key"), None, maxBucket, s"${metricPrefix}_idx")
+      Seq("band", "band_key"), maxBucket, s"${metricPrefix}_idx")
 
   /** [[recapBandedIndex]] dir-to-dir: banding params carry over from
     * the source's own sidecar, the recapped artifact writes fresh to

@@ -84,11 +84,11 @@ object EditSim {
           explode(deleteOne(col("__v"))).as("__v")))
     val variants = levels.distinct()
 
-    // two-pass cap (Dedup.capRows): count per variant with map-side
-    // partial agg, anti-join over-cap variants away — rows stay flat,
-    // no per-variant array is ever materialized (the old spelling
-    // collected one only to re-explode it)
-    val capped = Dedup.capRows(variants, Seq("__v"), None,
+    // bounded single-pass cap (Dedup.capRows): one aggregation whose
+    // per-variant buffer cannot exceed the cap — an over-cap variant's
+    // bucket never materializes, and no count pass or filter join is
+    // scheduled (the r17 two-pass spelling's measured overhead)
+    val capped = Dedup.capRows(variants, Seq("__v"),
       maxVariantBucket, "editsim", "maxVariantBucket")
 
     val cands = capped
@@ -234,9 +234,17 @@ object EditSim {
     // results are identical and the probe doesn't re-run the cap
     // machinery per consumer.
     val bvar = variantTable(batch, strCol, idCol, maxDist)
-    val bFlat = Dedup.capRows(bvar, Seq("v"), None,
+    val bFlat = Dedup.capRows(bvar, Seq("v"),
       maxVariantBucket, "editsim_incr_batch", "maxVariantBucket")
-    val probe = bvar.select("v").distinct()
+    // broadcast arm: no `.distinct()` on the probe — the broadcast
+    // hashed relation dedups keys at build time anyway, so the distinct
+    // only bought a smaller driver collect at the price of a whole
+    // extra shuffle stage of the (small) batch variants (one of the
+    // r17 regression's named contributors). The shuffled arm keeps it:
+    // there a corpus-sized probe with duplicate keys would inflate the
+    // semi join's shuffle by the duplication factor.
+    val probe =
+      if (broadcastBatch) bvar.select("v") else bvar.select("v").distinct()
     val matchedIdx = guardedIndex.join(hinted(probe), Seq("v"), "left_semi")
     val idxBuckets = Dedup.cappedCollect(matchedIdx, Seq("v"),
       struct(col("id"), col("len"), col("s")), "idx_items",

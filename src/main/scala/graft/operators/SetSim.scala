@@ -128,7 +128,7 @@ object SetSim {
     // into a per-token array at all (the old spelling materialized one
     // only to re-explode it; a boilerplate token's bucket OOMed the
     // aggregation buffer before the cap could drop it)
-    val capped = Dedup.capRows(prefix, Seq("__tok"), None,
+    val capped = Dedup.capRows(prefix, Seq("__tok"),
       maxTokenBucket, "setsim", "maxTokenBucket")
 
     // candidate pairs: ASYMMETRIC prefix-token equi-join (PPJoin's

@@ -934,8 +934,11 @@ class DedupSpec extends SparkSpec {
     // (what the artifact exists to amortize) - the audit would bite it
     val flat = Dedup.hammingNearDupsAgainstIndex(
       batch.toDF("id", "h"), idx.toDF("id", "h"), "id", "h", bits = 64)
+    // (the capped bucket build is a bounded_collect aggregate; its
+    // itemsName alias sits on the projection above it)
     val flatIdxAggs = flat.queryExecution.optimizedPlan.collect {
-      case a: Aggregate if a.aggregateExpressions.exists(_.name == "idx_items") => a
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists(
+        _.prettyName == "bounded_collect")) => a
     }
     assert(flatIdxAggs.nonEmpty)
   }

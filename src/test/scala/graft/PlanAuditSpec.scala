@@ -249,25 +249,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LocalRelation"), plan)
   }
 
-  test("near-dup chain: no cartesian product, no bucket self-join") {
+  test("near-dup chain: no cartesian product, single-pass bounded bucket cap") {
     val plan = Dedup.nearDuplicates(docs, "text", "doc_id")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    // signature computation happens once AT EXECUTION: the two-pass
-    // bucket cap's count pass and collect pass read ONE shared band
-    // exchange (ReusedExchange — the logical plan textually carries two
-    // copies, so this audit is on the FINAL physical plan after a run)
+    // signature computation happens once AT EXECUTION, and the r18
+    // single-pass cap (BoundedCollectAgg) schedules NO count pass, NO
+    // filter join and NO extra exchange: the capped bucket build is one
+    // aggregation, so the whole candidate plan is join-free
     val q = Dedup.lshCandidates(Dedup.minHashSignatures(docs, "text", "doc_id"))
     q.collect()
     val fin = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert("minhash_signature".r.findAllIn(fin).size == 1,
       s"signature computed more than once:\n${fin.take(4000)}")
-    assert(fin.contains("ReusedExchange"),
-      s"band exchange not shared between cap-count and collect:\n${fin.take(4000)}")
+    assert(fin.contains("bounded_collect"),
+      s"bucket build is not the bounded single-pass cap:\n${fin.take(4000)}")
+    assert(!fin.contains("Join"),
+      s"capped candidate generation schedules a join (two-pass relapse):\n${fin.take(4000)}")
   }
 
-  test("two-pass bucket cap: the count-filter precedes every bucket collect " +
-    "(over-cap bucket never materializes)") {
+  test("bounded bucket cap: one aggregation, no unbounded collect on a capped path") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     import spark.implicits._
     // planted degenerate key: every band bucket is over the tiny cap
@@ -276,36 +277,28 @@ class PlanAuditSpec extends SparkSpec {
     val q = Dedup.lshCandidates(
       Dedup.minHashSignatures(degen, "text", "doc_id"), maxBucket = Some(10))
     assert(q.count() == 0L)
-    // structural pin of the r17 hardening: every collect_list/collect_set
-    // aggregate on the bucket path sits ABOVE a join whose other side is
-    // the count-filter (count per key -> filter <= cap) — so an over-cap
-    // bucket is dropped BEFORE any collect buffer exists, not after
+    // structural pin of the r18 hardening: a capped bucket path carries
+    // NO collect_list/collect_set at all — the only bucket aggregate is
+    // bounded_collect, whose buffer cannot exceed the cap by
+    // construction (an over-cap bucket never materializes ANYWHERE, not
+    // even transiently), and no cap join/count pass exists to pay for
     val opt = q.queryExecution.optimizedPlan
-    val collectAggs = opt.collect {
+    val unbounded = opt.collect {
       case a: Aggregate if a.aggregateExpressions.exists(_.exists(e =>
         e.prettyName == "collect_list" || e.prettyName == "collect_set")) => a
     }
-    assert(collectAggs.nonEmpty, opt.toString)
-    collectAggs.foreach { a =>
-      val joins = a.child.collect { case j: Join => j }
-      assert(joins.nonEmpty, s"collect aggregate has no cap join below it:\n$a")
-      val hasCountFilter = joins.exists(_.exists {
-        case cnt: Aggregate => cnt.aggregateExpressions.exists(_.exists(
-          _.prettyName == "count"))
-        case _ => false
-      })
-      assert(hasCountFilter, s"no count aggregate below the cap join:\n$a")
-      // and no collect anywhere BELOW the cap join's count side
-      val countSide = joins.flatMap(_.collect {
-        case cnt: Aggregate if cnt.aggregateExpressions.exists(_.exists(
-          _.prettyName == "count")) => cnt
-      })
-      assert(countSide.forall(!_.exists {
-        case c: Aggregate => c.aggregateExpressions.exists(_.exists(e =>
-          e.prettyName == "collect_list" || e.prettyName == "collect_set"))
-        case _ => false
-      }), "count pass itself collects buckets")
+    assert(unbounded.isEmpty,
+      s"capped bucket path materializes an unbounded collect:\n$unbounded")
+    val bounded = opt.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists(
+        _.prettyName == "bounded_collect")) => a
     }
+    assert(bounded.nonEmpty, opt.toString)
+    // stage economy: the capped candidate plan is join-free (the r17
+    // two-pass spelling scheduled a count aggregation + filter join per
+    // capped stage — the round-17 boards' measured regression)
+    assert(opt.collect { case j: Join => j }.isEmpty,
+      s"capped candidate generation joins:\n$opt")
   }
 
   test("late-round-8 operators: column pruning reaches the parquet scan, no UDFs") {
@@ -420,10 +413,8 @@ class PlanAuditSpec extends SparkSpec {
     val q = graft.plans.CurationPipeline.curate(
       docs.select("doc_id", "text"), "text", "doc_id")
     // the shingle-hash derivation EXECUTES exactly twice — the near-dup
-    // chain's two legitimate consumers (signature + in-bucket verify).
-    // The two-pass bucket cap adds a third logical copy (the count
-    // pass), but it reads the signature branch's shared band exchange,
-    // so the audit is on the FINAL physical plan after a run. The
+    // chain's two legitimate consumers (signature + in-bucket verify);
+    // the single-pass bounded bucket cap adds no copy at all. The
     // pre-round-9 quality stage joined (doc_id, quality) back to the
     // ruled frame, doubling this to four: BOTH join sides re-evaluated
     // the exact+near dedup chain (the pipeline's most expensive stages)
