@@ -181,10 +181,11 @@ object Bench {
     "q_exact_append",       // counted-fingerprint index grow: broadcast count merge (r16; r17 split the full-outer into broadcast legs)
     // q_image/video/audio_neardup_incr keep their r15 cells - same names,
     // now probing the pre-banded artifact (build moved into the cell)
-    "q_bm25_sidecar",        // stats-sidecar layout: build (postings gens + df + meta) + sidecar-joined probe (r17)
-    "q_bm25_sidecar_append", // SUBLINEAR grow: one drop-sized generation + vocab-sized df rewrite + meta flip (r17)
-    "q_bm25_sidecar_forget", // tombstone + exact sidecar deltas, zero posting bytes rewritten (r17)
+    "q_bm25_sidecar",        // stats-sidecar layout: build (postings gens + registry + df + meta) + sidecar-joined probe (r17)
+    "q_bm25_sidecar_append", // SUBLINEAR grow: drop-sized generation + registry guard + touched-bucket df rewrite + meta flip (r17; registry r18)
+    "q_bm25_sidecar_forget", // tombstone + registry-sourced deltas, zero posting bytes rewritten (r17; registry r18)
     "q_bm25_sidecar_compact",// amortized maintenance: rewrite-minus-tombstones to a fresh layout (r17)
+    "q_bm25_sidecar_topk",   // WindowGroupLimit top-k over sidecar scores — layout parity with the other three arms (r18)
     "q_setsim_append",       // prefix-index grow + join-surface probe (r17)
     "q_winnow_append",       // winnow-index grow through parquet + overlap probe (r17)
     "q_banded_recap",        // banded artifact re-cap: dedupe + two-pass cap over band rows (r17)
@@ -303,9 +304,19 @@ object Bench {
     val lJson = leaks.map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"steady_runs":$SteadyRuns,"steady_runs_cheap":$CheapSteadyRuns,"cheap_cold_sec":${num(CheapColdSec)},"steady_stat":"median","isolation":"swept","leaked_rdds":$lJson,"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
+    val json =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"steady_runs":$SteadyRuns,"steady_runs_cheap":$CheapSteadyRuns,"cheap_cold_sec":${num(CheapColdSec)},"steady_stat":"median","isolation":"swept","leaked_rdds":$lJson,"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
+    // tail-capture safety (the r17 driver capture kept only 70 of 173
+    // cells): persist the full line to a file FIRST, stop Spark so its
+    // shutdown logging cannot land after us, and print the JSON as the
+    // process's very last stdout line
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json)
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
+    Console.out.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

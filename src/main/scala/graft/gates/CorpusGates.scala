@@ -167,19 +167,73 @@ object CorpusGates {
       val out = java.nio.file.Files
         .createTempDirectory("graft-bm25scapp-gate").toString
       val d = docs(s, dir).select("doc_id", "text")
+      val drop = d.filter(col("doc_id") % 2 === 1)
       Retrieval.bm25SidecarWrite(
         d.filter(col("doc_id") % 2 === 0), "text", "doc_id", out)
+      // r18 — the collision guard reads the doc-registry sidecar, never
+      // a posting generation: pinned on the guarded posting frame's
+      // physical plan (every layout file scan in it is a registry path)
+      val guardPlan = Retrieval
+        .sidecarAppendPostings(s, out, drop, "text", "doc_id")
+        .queryExecution.sparkPlan.toString
+      require(guardPlan.contains("registry-g"),
+        s"q_bm25_sidecar_append: guard does not read the registry:\n$guardPlan")
+      require(!guardPlan.contains("postings-g"),
+        s"q_bm25_sidecar_append: guard scans posting rows:\n$guardPlan")
       val before = parquetFiles(s"$out/postings-g1")
-      Retrieval.bm25SidecarAppend(
-        s, out, d.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      val regBefore = parquetFiles(s"$out/registry-g1")
+      val dfBefore = parquetFiles(s"$out/df-v1")
+      Retrieval.bm25SidecarAppend(s, out, drop, "text", "doc_id")
       val after = parquetFiles(s"$out/postings-g1")
       require(before == after && before.nonEmpty,
         s"q_bm25_sidecar_append: prior posting generation was rewritten " +
           s"by the grow (before=$before after=$after)")
+      require(parquetFiles(s"$out/registry-g1") == regBefore && regBefore.nonEmpty,
+        "q_bm25_sidecar_append: prior registry generation was rewritten")
       require(parquetFiles(s"$out/postings-g2").nonEmpty,
         "q_bm25_sidecar_append: grow produced no new posting generation")
+      require(parquetFiles(s"$out/registry-g2").nonEmpty,
+        "q_bm25_sidecar_append: grow produced no new registry generation")
+      // r18 — touched-bucket df rewrite: every df-v2 bucket NOT holding
+      // drop vocabulary carries df-v1's files byte-for-byte (name +
+      // length). At gate scale the drop usually touches every bucket
+      // (drop vocab >> 32 buckets — the complement can be empty);
+      // RetrievalSpec pins the same accounting on a controlled
+      // one-bucket drop where the complement is 7/8 of the layout.
+      val touched = drop
+        .select(explode(graft.functions.Hashing.normalizedWords(col("text")))
+          .as("word"))
+        .select(pmod(graft.functions.Hashing.md5Long60(col("word")), lit(32L))
+          .cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val dfAfter = parquetFiles(s"$out/df-v2")
+      val untouched = dfBefore.keySet.filter { rel =>
+        val bucket = rel.takeWhile(_ != '/')
+        bucket.startsWith("bucket=") &&
+          !touched.contains(bucket.stripPrefix("bucket=").toInt)
+      }
+      untouched.foreach { rel =>
+        require(dfAfter.get(rel).contains(dfBefore(rel)),
+          s"q_bm25_sidecar_append: untouched df bucket file $rel not " +
+            s"carried byte-identically (v1=${dfBefore(rel)} v2=${dfAfter.get(rel)})")
+      }
       Retrieval.bm25ScoresFromSidecar(s, out, bm25Queries(s), "query_id", "qtext")
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
+    // §2 row 164 (r18) — sidecar top-k: the WindowGroupLimit ranking
+    // over sidecar scores, layout parity with bm25TopK/bm25TopKAgainst/
+    // bm25TopKFromDir — rank pinned against DuckDB's ROW_NUMBER over
+    // the same score arithmetic (doc_id tiebreak both sides)
+    "q_bm25_sidecar_topk" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25sctk-gate").toString
+      Retrieval.bm25SidecarWrite(
+        docs(s, dir).select("doc_id", "text"), "text", "doc_id", out)
+      Retrieval.bm25TopKFromSidecar(s, out, bm25Queries(s),
+          "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 4).as("score"),
+          col("rank").cast("long").as("rank")) // DuckDB row_number is BIGINT
     },
     // §2 row 164 — forget via sidecar deltas: odd ids tombstoned,
     // df/N/sum_dl decremented exactly, posting bytes NEVER rewritten
@@ -811,7 +865,7 @@ object CorpusGates {
     * filtered — the sidecar forget gates probe a REDUCED corpus), same
     * queries, same math — the gate family IS the
     * layout-cannot-change-a-score contract. */
-  private def bm25Sql(where: String = ""): String = {
+  private def bm25CtePrefix(where: String): String = {
       val qnorm = "trim(regexp_replace(lower(qtext), '[^a-z0-9]+', ' ', 'g'))"
       s"""WITH q(query_id, qtext) AS (VALUES
          |  (1::BIGINT, 'fast hash join'),
@@ -833,11 +887,33 @@ object CorpusGates {
          |  SELECT p.word, p.doc_id,
          |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
          |           ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avgdl))) AS c
-         |  FROM post p JOIN dfreq USING (word), stats)
+         |  FROM post p JOIN dfreq USING (word), stats)""".stripMargin
+  }
+
+  private def bm25Sql(where: String = ""): String =
+      s"""${bm25CtePrefix(where)}
          |SELECT qt.query_id, c.doc_id, round(sum(c.c), 4) AS score
          |FROM contrib c JOIN qt USING (word)
          |GROUP BY qt.query_id, c.doc_id""".stripMargin
-  }
+
+  /** Top-k oracle: the [[bm25Sql]] score arithmetic ranked by DuckDB's
+    * own ROW_NUMBER (score desc, doc_id tiebreak — the engine-side
+    * ranking uses the same unrounded sum and the same tiebreak, so
+    * identical text yields identical within-engine scores and a
+    * deterministic order on both sides). */
+  private def bm25TopKSql(k: Int): String =
+      s"""${bm25CtePrefix("")},
+         |s AS (
+         |  SELECT qt.query_id, c.doc_id, sum(c.c) AS sc
+         |  FROM contrib c JOIN qt USING (word)
+         |  GROUP BY qt.query_id, c.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, sc,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sc DESC, doc_id) AS rank
+         |  FROM s)
+         |SELECT query_id, doc_id, round(sc, 4) AS score, rank
+         |FROM r WHERE rank <= $k""".stripMargin
 
   private lazy val Bm25Sql: String = bm25Sql()
 
@@ -873,6 +949,7 @@ object CorpusGates {
     "q_bm25_append_forget" -> bm25IndexRebuildSql("WHERE doc_id % 2 = 0"),
     "q_bm25_sidecar" -> Bm25Sql,
     "q_bm25_sidecar_append" -> Bm25Sql,
+    "q_bm25_sidecar_topk" -> bm25TopKSql(5),
     "q_bm25_sidecar_forget" -> bm25Sql("WHERE doc_id % 2 = 0"),
     "q_bm25_sidecar_compact" -> bm25Sql("WHERE doc_id % 2 = 0"),
     "q_fix_mojibake" -> {

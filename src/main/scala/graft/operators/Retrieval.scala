@@ -625,6 +625,9 @@ object Retrieval {
   // On-disk shape under `path/`:
   //   postings-g1/ … postings-g<G>/   immutable posting generations,
   //                                   hive-partitioned by word-hash bucket
+  //   registry-g1/ … registry-g<G>/   (doc_id, dl) doc registries, one per
+  //                                   generation — doc-count-sized, so
+  //                                   lifecycle ops never scan posting rows
   //   df-v<V>/                        (word, df), same bucket partitioning
   //   removed-v<R>/                   (doc_id) tombstones (R = 0: none)
   //   _bm25_sidecar                   "n_docs,sum_dl,G,V,R,buckets"
@@ -638,19 +641,34 @@ object Retrieval {
   // NULL-word registry sentinels land in the hive default partition
   // (probes never prune into it; forget's full registry pass reads it).
   //
-  // The `_bm25_sidecar` metadata file is the ATOMIC PUBLICATION POINT
-  // (written to a temp name, renamed into place): every mutation
-  // first commits its new generation/version directories, then flips
-  // the metadata. A crash mid-grow leaves orphan dirs and an
-  // unchanged pointer — readers never observe new postings with stale
-  // statistics (the inconsistency a bare `mode("append")` would
-  // expose between its commit and the stats rewrite).
+  // The `_bm25_sidecar` metadata file is the PUBLICATION POINT: every
+  // mutation first commits its new generation/version directories,
+  // then flips the metadata with an overwrite-rename (one FS operation
+  // where the filesystem supports it — POSIX and HDFS do; filesystems
+  // without FileContext fall back to delete+rename and accept a
+  // momentary not-found window). A crash mid-grow leaves orphan dirs
+  // and an unchanged pointer — readers never observe new postings
+  // with stale statistics. Superseded df/tombstone versions are
+  // garbage-collected ONE MUTATION LATE (a one-version grace window):
+  // a probe that loaded the metadata just before a flip finishes
+  // against its version instead of failing mid-plan on a deleted
+  // directory. The window is one mutation deep — snapshot reads are
+  // safe against a single concurrent grow/forget, not an unbounded
+  // backlog of them.
   //
   // Forget is sidecar-delta too: tombstone the removed ids (probes
   // anti-join the removal-sized tombstone table), decrement df/N/
   // sum_dl exactly — posting bytes are never rewritten. Tombstones
   // accumulate across forgets; [[bm25SidecarCompact]] is the
   // amortized maintenance that rewrites postings minus tombstones.
+  //
+  // Lifecycle-op IO economics (r18): the per-generation registries
+  // make the grow's collision guard and the forget's N/sum_dl deltas
+  // registry joins (doc-count-sized); the df rewrite on BOTH arms
+  // recomputes only the buckets containing changed vocabulary and
+  // byte-copies untouched bucket files forward — only the forget's df
+  // decrement legitimately reads posting rows (column-pruned: a
+  // removed doc's words are not knowable from any sidecar).
   // ------------------------------------------------------------------
 
   private val SidecarMetaFile = "_bm25_sidecar"
@@ -679,12 +697,15 @@ object Retrieval {
   }
 
   /** Commit point of every sidecar-layout mutation: temp-write +
-    * atomic rename, so readers see the old complete layout or the new
-    * complete layout, never a mix. */
+    * OVERWRITE-rename (one FS operation where the filesystem supports
+    * it), so a racing reader sees the old metadata or the new metadata
+    * — never a missing file, which the old delete-then-rename spelling
+    * exposed for the instant between its two operations. */
   private def writeSidecarMeta(
     spark: SparkSession, path: String, m: SidecarMeta): Unit = {
     val p = sidecarMetaPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(
       path, s".$SidecarMetaFile.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
@@ -692,9 +713,17 @@ object Retrieval {
       s"${m.nDocs},${m.sumDl},${m.gens},${m.dfV},${m.rmV},${m.buckets}"
         .getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    require(fs.rename(tmp, p),
-      s"bm25 sidecar: could not publish $SidecarMetaFile under $path")
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no FileContext binding for this FS: fall back to the
+        // two-operation replace (documented not-found window)
+        fs.delete(p, false)
+        require(fs.rename(tmp, p),
+          s"bm25 sidecar: could not publish $SidecarMetaFile under $path")
+    }
   }
 
   private def postingPaths(path: String, m: SidecarMeta): Seq[String] =
@@ -716,8 +745,10 @@ object Retrieval {
     pmod(graft.functions.Hashing.md5Long60(col("word")), lit(buckets.toLong))
       .cast("int")
 
-  /** Full (unpruned) posting read across generations — the forget /
-    * registry / compact pass; probes use [[prunedSidecarPostings]]. */
+  /** Full (unpruned) posting read across generations — the forget df
+    * decrement and the compact rewrite, the only two lifecycle reads
+    * that legitimately need posting rows; probes use
+    * [[prunedSidecarPostings]], everything else the registry. */
   private def readSidecarPostings(
     spark: SparkSession, path: String, m: SidecarMeta): DataFrame =
     // one read PER generation, unioned: a multi-path read over several
@@ -726,6 +757,82 @@ object Retrieval {
     postingPaths(path, m)
       .map(g => spark.read.schema(SidecarPostingsSchema).parquet(g))
       .reduce(_ unionByName _).drop("bucket")
+
+  private val SidecarRegistrySchema = "doc_id BIGINT, dl INT"
+
+  private def registryPaths(path: String, m: SidecarMeta): Seq[String] =
+    (1 to m.gens).map(g => s"$path/registry-g$g")
+
+  /** Union of the per-generation (doc_id, dl) doc registries — the
+    * doc-count-sized sidecar the grow guard and the forget stats read
+    * INSTEAD of scanning posting rows (O(index) IO per lifecycle op,
+    * the cost class this layout exists to avoid). Every indexed doc
+    * owns exactly one registry row in exactly one generation (the
+    * append collision guard enforces id uniqueness across
+    * generations); tombstoned ids KEEP their registry row until
+    * compaction — which is what lets the guard reject a re-append that
+    * would resurrect their postings. Fails loud on a layout written
+    * before the registry existed. */
+  private def readSidecarRegistry(
+    spark: SparkSession, path: String, m: SidecarMeta): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    registryPaths(path, m).foreach { r =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(r)),
+        s"$path: missing ${r.substring(r.lastIndexOf('/') + 1)} - this layout " +
+          "predates the doc-registry sidecar; rebuild with bm25SidecarWrite " +
+          "or bm25SidecarCompact under the current writer")
+    }
+    registryPaths(path, m)
+      .map(r => spark.read.schema(SidecarRegistrySchema).parquet(r))
+      .reduce(_ unionByName _)
+  }
+
+  /** The word-hash buckets present in `words` — at most the layout
+    * modulus, so a metadata-sized driver collect. */
+  private def touchedBuckets(words: DataFrame, buckets: Int): Seq[Int] =
+    words.select(sidecarBucket(buckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Publish df-v(cur+1): `newRows` — the complete new (word, df) rows
+    * for the `touched` buckets — written bucket-partitioned, every
+    * UNTOUCHED bucket directory byte-copied forward from df-v(cur). A
+    * grow/forget thus pays changed-vocab COMPUTE and untouched-bucket
+    * copy IO, never a vocabulary-wide rewrite; the copied files are
+    * byte-identical (the grow gate asserts it). */
+  private def writeDfVersion(
+    spark: SparkSession, path: String, m: SidecarMeta,
+    touched: Seq[Int], newRows: DataFrame): Unit = {
+    val next = s"$path/df-v${m.dfV + 1}"
+    newRows.withColumn("bucket", sidecarBucket(m.buckets))
+      .write.partitionBy("bucket").mode("overwrite").parquet(next)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val nextP = new org.apache.hadoop.fs.Path(next)
+    val fs = nextP.getFileSystem(hconf)
+    val touchedDirs = touched.map(b => s"bucket=$b").toSet
+    val prior = new org.apache.hadoop.fs.Path(s"$path/df-v${m.dfV}")
+    fs.listStatus(prior).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("bucket=") && !touchedDirs(name))
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          fs, st.getPath, fs, new org.apache.hadoop.fs.Path(nextP, name),
+          false, hconf),
+          s"bm25 sidecar: could not carry $name forward into df-v${m.dfV + 1}")
+    }
+  }
+
+  /** One-mutation-late GC (see the section doc): delete the df (and
+    * tombstone) version superseded by the PREVIOUS mutation, keeping
+    * the one this mutation just superseded alive for racing readers. */
+  private def gcSuperseded(
+    spark: SparkSession, path: String, dfVGone: Int, rmVGone: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dfVGone >= 1)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df-v$dfVGone"), true)
+    if (rmVGone >= 1)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/removed-v$rmVGone"), true)
+  }
 
   /** The distinct normalized query words, collected driver-side under
     * the metadata-sized-queries contract (the bm25ScoresFromDir cap +
@@ -816,9 +923,14 @@ object Retrieval {
       .groupBy("word").agg(count(lit(1)).as("df"))
       .withColumn("bucket", sidecarBucket(buckets))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/df-v1")
-    // every doc owns ≥ 1 row (sentinels included), one (doc_id, dl) each
-    // per word — the distinct collapses to the registry
-    val st = written.select("doc_id", "dl").distinct()
+    // the (doc_id, dl) doc registry: every doc owns ≥ 1 posting row
+    // (sentinels included) carrying one (doc_id, dl) per word — the
+    // distinct collapses to the registry, persisted per generation so
+    // later grows/forgets never scan posting rows
+    written.select("doc_id", "dl").distinct()
+      .write.mode("overwrite").parquet(s"$path/registry-g1")
+    val st = spark.read.schema(SidecarRegistrySchema)
+      .parquet(s"$path/registry-g1")
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
       .head()
@@ -898,15 +1010,80 @@ object Retrieval {
       .agg(sum(col("contrib")).as("score"))
   }
 
+  /** Top-k per query over the sidecar layout: [[bm25ScoresFromSidecar]]
+    * + the [[bm25TopK]] ranking — layout parity with the inline,
+    * flat-index ([[bm25TopKAgainst]]) and bucketed-dir
+    * ([[bm25TopKFromDir]]) arms. row_number ≤ k plans as
+    * WindowGroupLimit: each partition surrenders only its local top-k. */
+  def bm25TopKFromSidecar(
+    spark: SparkSession,
+    path: String,
+    queries: DataFrame,
+    queryIdCol: String,
+    queryTextCol: String,
+    k: Int = 10,
+    k1: Double = 1.2,
+    b: Double = 0.75,
+    broadcastRemoved: Boolean = true,
+    maxQueryTerms: Int = 100000
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    bm25ScoresFromSidecar(spark, path, queries, queryIdCol, queryTextCol,
+        k1, b, broadcastRemoved, maxQueryTerms)
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** The grow's guarded posting frame: the drop's posting rows plus a
+    * raise-or-empty collision-guard leg that semi-joins the drop ids
+    * against the REGISTRY sidecars (doc-count-sized) — never a posting
+    * generation. Package-visible so the grow gate can pin, on the
+    * plan, that the guard reads `registry-g*` paths only. */
+  private[graft] def sidecarAppendPostings(
+    spark: SparkSession,
+    path: String,
+    drop: DataFrame,
+    textCol: String,
+    idCol: String,
+    broadcastDrop: Boolean = true
+  ): DataFrame = {
+    def hinted(df: DataFrame) = if (broadcastDrop) broadcast(df) else df
+    val m = readSidecarMeta(spark, path)
+    val docs = sidecarDocs(drop, textCol, idCol)
+    val newPost = sidecarPostingsOf(docs)
+    // collision guard: the registry holds every indexed doc_id —
+    // INCLUDING tombstoned ids, whose registry rows survive until
+    // compaction precisely so this guard can reject a re-append that
+    // would resurrect their postings; evaluated lazily inside the
+    // write via a raise-or-empty leg, one doc-count-sized scan
+    val dropIds = docs.select(col("doc_id").as("__aid")).distinct()
+    readSidecarRegistry(spark, path, m).select("doc_id")
+      .join(hinted(dropIds), col("doc_id") === col("__aid"), "left_semi")
+      .limit(1)
+      .select(
+        when(col("doc_id").isNotNull,
+          raise_error(concat(
+            lit("bm25SidecarAppend: drop id already registered: "),
+            col("doc_id").cast("string"),
+            lit(" - appending an indexed (or tombstoned) document would " +
+              "double-count df/N/avgdl or resurrect forgotten postings; " +
+              "forget+compact first or dedup the drop"))))
+          .otherwise(lit(null)).cast("string").as("word"),
+        col("doc_id"), lit(0L).as("tf"), lit(0).as("dl"))
+      .unionByName(newPost)
+  }
+
   /**
    * Grow the sidecar layout by a corpus drop — the SUBLINEAR grow the
    * denormalized layouts cannot offer: writes ONE new posting
-   * generation (drop-sized bytes; prior generations are never opened
-   * for writing), rewrites the df sidecar (vocabulary-sized bytes,
-   * drop-vocab-sized compute — the [[Forget.appendFingerprints]]
-   * broadcast merge, zero vocab shuffles), and flips the metadata row.
-   * Nothing index-sized is read OR written except one column-pruned
-   * doc_id pass for the collision guard.
+   * generation and its (doc-count-sized) registry sidecar — prior
+   * generations are never opened for reading OR writing — recomputes
+   * only the df buckets containing drop vocabulary (untouched bucket
+   * files byte-copied forward, asserted identical in-gate), and flips
+   * the metadata row. The collision guard and the N/sum_dl deltas are
+   * registry joins; no posting row of any prior generation is read.
    *
    * Ids must be NEW ([[bm25Append]]'s contract): a drop id already
    * registered — including a TOMBSTONED one, whose stale posting rows
@@ -923,72 +1100,60 @@ object Retrieval {
   ): Unit = {
     def hinted(df: DataFrame) = if (broadcastDrop) broadcast(df) else df
     val m = readSidecarMeta(spark, path)
-    val docs = sidecarDocs(drop, textCol, idCol)
-    val newPost = sidecarPostingsOf(docs)
-    // collision guard: registry = every indexed doc_id (sentinels make
-    // postings complete) plus tombstoned ids; evaluated lazily inside
-    // the write via a raise-or-empty leg, one column-pruned scan
-    val dropIds = docs.select(col("doc_id").as("__aid")).distinct()
-    val registry = sidecarRemoved(spark, path, m)
-      .map(readSidecarPostings(spark, path, m).select("doc_id").unionByName(_))
-      .getOrElse(readSidecarPostings(spark, path, m).select("doc_id"))
-    val guardLeg = registry
-      .join(hinted(dropIds), col("doc_id") === col("__aid"), "left_semi")
-      .limit(1)
-      .select(
-        when(col("doc_id").isNotNull,
-          raise_error(concat(
-            lit("bm25SidecarAppend: drop id already registered: "),
-            col("doc_id").cast("string"),
-            lit(" - appending an indexed (or tombstoned) document would " +
-              "double-count df/N/avgdl or resurrect forgotten postings; " +
-              "forget+compact first or dedup the drop"))))
-          .otherwise(lit(null)).cast("string").as("word"),
-        col("doc_id"), lit(0L).as("tf"), lit(0).as("dl"))
-    newPost.unionByName(guardLeg)
+    sidecarAppendPostings(spark, path, drop, textCol, idCol, broadcastDrop)
       .withColumn("bucket", sidecarBucket(m.buckets))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/postings-g${m.gens + 1}")
-    // df merge: broadcast LEFT join + anti leg (full-outer would not
-    // broadcast — the Forget.appendFingerprints doctrine)
-    val aDf = spark.read.schema(SidecarPostingsSchema)
+    // registry sidecar for the committed generation (drop-sized)
+    val committed = spark.read.schema(SidecarPostingsSchema)
       .parquet(s"$path/postings-g${m.gens + 1}")
+    committed.select("doc_id", "dl").distinct()
+      .write.mode("overwrite").parquet(s"$path/registry-g${m.gens + 1}")
+    // df merge: broadcast LEFT join + anti leg (full-outer would not
+    // broadcast — the Forget.appendFingerprints doctrine); the old df
+    // read is PRUNED to the drop vocabulary's buckets — untouched
+    // buckets are byte-copied forward by writeDfVersion, never read
+    val aDf = committed
       .filter(col("word").isNotNull)
       .groupBy("word").agg(count(lit(1)).as("__a_df"))
-    val oldDf = spark.read.schema(SidecarDfSchema)
-      .parquet(s"$path/df-v${m.dfV}").drop("bucket")
-    val merged = oldDf.join(hinted(aDf), Seq("word"), "left")
-      .select(col("word"),
-        (col("df") + coalesce(col("__a_df"), lit(0L))).as("df"))
-    val matched = oldDf.select("word")
-      .join(hinted(aDf.select("word")), Seq("word"), "left_semi")
-    val newOnly = aDf
-      .join(if (broadcastDrop) broadcast(matched) else matched,
-        Seq("word"), "left_anti")
-      .select(col("word"), col("__a_df").as("df"))
-    merged.unionByName(newOnly)
-      .withColumn("bucket", sidecarBucket(m.buckets))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/df-v${m.dfV + 1}")
-    // global stats deltas from the committed drop generation
-    val st = spark.read.schema(SidecarPostingsSchema)
-      .parquet(s"$path/postings-g${m.gens + 1}")
-      .select("doc_id", "dl").distinct()
+      .persist()
+    try {
+      val touched = touchedBuckets(aDf.select("word"), m.buckets)
+      val oldDf = spark.read.schema(SidecarDfSchema)
+        .parquet(s"$path/df-v${m.dfV}")
+        .filter(if (touched.isEmpty) lit(false) else col("bucket").isin(touched: _*))
+        .drop("bucket")
+      val merged = oldDf.join(hinted(aDf), Seq("word"), "left")
+        .select(col("word"),
+          (col("df") + coalesce(col("__a_df"), lit(0L))).as("df"))
+      val matched = oldDf.select("word")
+        .join(hinted(aDf.select("word")), Seq("word"), "left_semi")
+      val newOnly = aDf
+        .join(if (broadcastDrop) broadcast(matched) else matched,
+          Seq("word"), "left_anti")
+        .select(col("word"), col("__a_df").as("df"))
+      writeDfVersion(spark, path, m, touched, merged.unionByName(newOnly))
+    } finally aDf.unpersist()
+    // global stats deltas from the committed generation's registry
+    val st = spark.read.schema(SidecarRegistrySchema)
+      .parquet(s"$path/registry-g${m.gens + 1}")
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
       .head()
     writeSidecarMeta(spark, path,
       m.copy(nDocs = m.nDocs + st.getLong(0), sumDl = m.sumDl + st.getLong(1),
         gens = m.gens + 1, dfV = m.dfV + 1))
-    // the superseded df version is unreferenced after the flip
-    val old = new org.apache.hadoop.fs.Path(s"$path/df-v${m.dfV}")
-    old.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(old, true)
+    // one-mutation-late GC: keep the version this flip superseded
+    // alive for racing readers, drop the one before it
+    gcSuperseded(spark, path, dfVGone = m.dfV - 1, rmVGone = 0)
   }
 
   /**
    * Forget documents from the sidecar layout WITHOUT rewriting posting
    * bytes — the same sidecar deltas as the grow arm, run in reverse:
-   * tombstone the removed ids (probes anti-join them), decrement the
+   * tombstone the removed ids (probes anti-join them; the ids-actually-
+   * indexed set and the N/sum_dl deltas come from the doc-registry
+   * sidecar, never a posting scan), decrement the
    * touched words' df (removal-vocab-sized compute over one pruned
    * posting pass), decrement N/sum_dl exactly. Ids absent from the
    * index are no-ops ([[bm25Forget]] parity); ids ALREADY tombstoned
@@ -1018,39 +1183,55 @@ object Retrieval {
             lit(" - double-forgetting would double-decrement df/N/sum_dl"))))
           .otherwise(lit(null)).cast("long").as("__rid")))
     }
-    // rows being forgotten: one pruned pass over the postings
-    val removedRows = readSidecarPostings(spark, path, m)
+    // the forgotten docs' (doc_id, dl): a REGISTRY semi join — the
+    // r17 spelling re-derived these from a full posting scan, O(index)
+    // IO per takedown. Registry rows are unique per id (the append
+    // guard), so no distinct is needed. Removal-sized after the join;
+    // persisted because the tombstone write and the stats fold both
+    // consume it.
+    val removedReg = readSidecarRegistry(spark, path, m)
       .join(hinted(guarded), col("doc_id") === col("__rid"), "left_semi")
-    val rStats = removedRows.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
-    val rDf = removedRows.filter(col("word").isNotNull)
-      .groupBy("word").agg(count(lit(1)).as("__r_df"))
-    // new tombstone version: prior tombstones ∪ the newly forgotten ids
-    // ACTUALLY indexed (absent ids are no-ops and must not tombstone —
-    // a later legitimate append of that id would fail for no reason)
-    val newRm = removedRows.select("doc_id").distinct()
-    oldRm.fold(newRm)(_.unionByName(newRm))
-      .write.mode("overwrite").parquet(s"$path/removed-v${m.rmV + 1}")
-    // df decrement (broadcast left join; words at zero drop out)
-    spark.read.schema(SidecarDfSchema)
-      .parquet(s"$path/df-v${m.dfV}").drop("bucket")
-      .join(hinted(rDf), Seq("word"), "left")
-      .select(col("word"),
-        (col("df") - coalesce(col("__r_df"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
-      .withColumn("bucket", sidecarBucket(m.buckets))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/df-v${m.dfV + 1}")
-    val st = rStats.head()
-    writeSidecarMeta(spark, path,
-      m.copy(nDocs = m.nDocs - st.getLong(0), sumDl = m.sumDl - st.getLong(1),
-        dfV = m.dfV + 1, rmV = m.rmV + 1))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df-v${m.dfV}"), true)
-    if (m.rmV > 0)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/removed-v${m.rmV}"), true)
+      .persist()
+    try {
+      // new tombstone version: prior tombstones ∪ the newly forgotten
+      // ids ACTUALLY indexed (absent ids are no-ops and must not
+      // tombstone — a later legitimate append of that id would fail
+      // for no reason)
+      val newRm = removedReg.select("doc_id")
+      oldRm.fold(newRm)(_.unionByName(newRm))
+        .write.mode("overwrite").parquet(s"$path/removed-v${m.rmV + 1}")
+      // df decrement: the ONE lifecycle read that legitimately needs
+      // posting rows (a removed doc's words are not knowable from any
+      // sidecar) — column-pruned to (word, doc_id). Only the touched
+      // words' buckets are recomputed; untouched bucket files are
+      // byte-copied forward.
+      val rDf = readSidecarPostings(spark, path, m)
+        .join(hinted(guarded), col("doc_id") === col("__rid"), "left_semi")
+        .filter(col("word").isNotNull)
+        .groupBy("word").agg(count(lit(1)).as("__r_df"))
+        .persist()
+      try {
+        val touched = touchedBuckets(rDf.select("word"), m.buckets)
+        val decremented = spark.read.schema(SidecarDfSchema)
+          .parquet(s"$path/df-v${m.dfV}")
+          .filter(if (touched.isEmpty) lit(false) else col("bucket").isin(touched: _*))
+          .drop("bucket")
+          .join(hinted(rDf), Seq("word"), "left")
+          .select(col("word"),
+            (col("df") - coalesce(col("__r_df"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+        writeDfVersion(spark, path, m, touched, decremented)
+      } finally rDf.unpersist()
+      val st = removedReg
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
+        .head()
+      writeSidecarMeta(spark, path,
+        m.copy(nDocs = m.nDocs - st.getLong(0), sumDl = m.sumDl - st.getLong(1),
+          dfV = m.dfV + 1, rmV = m.rmV + 1))
+    } finally removedReg.unpersist()
+    // one-mutation-late GC (see the section doc)
+    gcSuperseded(spark, path, dfVGone = m.dfV - 1, rmVGone = m.rmV - 1)
   }
 
   /**
@@ -1087,6 +1268,16 @@ object Retrieval {
     live.withColumn("bucket", sidecarBucket(m.buckets))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$outPath/postings-g1")
+    // the registry compacts the same way: live rows only — tombstoned
+    // ids lose their registry row here, which is what re-opens their
+    // ids for a legitimate later append
+    val liveReg = sidecarRemoved(spark, path, m).fold(
+      readSidecarRegistry(spark, path, m)) { rm =>
+      val r = rm.select(col("doc_id").as("__rm_id"))
+      readSidecarRegistry(spark, path, m)
+        .join(broadcast(r), col("doc_id") === col("__rm_id"), "left_anti")
+    }
+    liveReg.write.mode("overwrite").parquet(s"$outPath/registry-g1")
     spark.read.schema(SidecarDfSchema)
       .parquet(s"$path/df-v${m.dfV}").drop("bucket")
       .withColumn("bucket", sidecarBucket(m.buckets))

@@ -511,6 +511,81 @@ class RetrievalSpec extends SparkSpec {
     assert(e3.getMessage.contains("_bm25_sidecar"), e3.getMessage)
   }
 
+  private def filesUnder(dir: String): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    if (!root.exists()) Map.empty
+    else walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(f => root.toPath.relativize(f.toPath).toString -> f.length()).toMap
+  }
+
+  test("sidecar grow recomputes only touched df buckets; untouched byte-copied; " +
+    "grace-window GC keeps one superseded version") {
+    val out = tmpDir("sc-touch")
+    // 8 buckets, a one-word drop: the controlled complement the driver
+    // gate can't stage (at corpus scale a drop touches every bucket)
+    Retrieval.bm25SidecarWrite(corpus, "text", "doc_id", out, buckets = 8)
+    val before = filesUnder(s"$out/df-v1")
+    val drop = Seq((50L, "zzznewword zzznewword")).toDF("doc_id", "text")
+    Retrieval.bm25SidecarAppend(spark, out, drop, "text", "doc_id")
+    val h = graft.functions.Md5Long60Expr.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("zzznewword"))
+    val touched = s"bucket=${(((h % 8) + 8) % 8).toInt}"
+    val after = filesUnder(s"$out/df-v2")
+    val untouched = before.keySet.filterNot(_.startsWith(touched))
+    assert(untouched.nonEmpty, s"fixture vocabulary all in $touched?")
+    untouched.foreach { rel =>
+      assert(after.get(rel).contains(before(rel)),
+        s"untouched $rel not carried byte-identically")
+    }
+    assert(after.keySet.exists(_.startsWith(touched)))
+    assert(probeSidecar(out) == inlineScores(corpus.unionByName(drop)))
+    // one-mutation-late GC: df-v1 survives the flip that superseded it
+    // (a racing reader finishes against it), dies on the NEXT mutation
+    assert(new java.io.File(s"$out/df-v1").exists())
+    Retrieval.bm25SidecarAppend(spark, out,
+      Seq((60L, "zzzother")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(!new java.io.File(s"$out/df-v1").exists())
+    assert(new java.io.File(s"$out/df-v2").exists())
+    assert(new java.io.File(s"$out/df-v3").exists())
+  }
+
+  test("bm25TopKFromSidecar == bm25TopK over the live corpus") {
+    val out = tmpDir("sc-topk")
+    Retrieval.bm25SidecarWrite(corpus, "text", "doc_id", out)
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("doc_id"), round(col("score"), 9), col("rank"))
+      .collect().map(_.toSeq).toSet
+    val got = ranked(Retrieval.bm25TopKFromSidecar(
+      spark, out, queries, "query_id", "qtext", k = 2))
+    val want = ranked(Retrieval.bm25TopK(
+      corpus, "text", "doc_id", queries, "query_id", "qtext", k = 2))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("a layout without registry sidecars fails loud on lifecycle ops") {
+    val out = tmpDir("sc-noreg")
+    Retrieval.bm25SidecarWrite(corpus, "text", "doc_id", out)
+    // simulate a pre-registry artifact
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$out/registry-g1"))
+    val e = intercept[Exception] {
+      Retrieval.bm25SidecarAppend(spark, out,
+        Seq((50L, "anything")).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("predates the doc-registry"), e.getMessage)
+    val e2 = intercept[Exception] {
+      Retrieval.bm25SidecarForget(spark, out, Seq(1L).toDF("id"), "id")
+    }
+    assert(e2.getMessage.contains("predates the doc-registry"), e2.getMessage)
+    // probes don't need the registry: still value-identical
+    assert(probeSidecar(out) == inlineScores(corpus))
+  }
+
   test("bm25AppendDir: aliased outPath spellings are refused (trailing slash)") {
     val out = tmpDir("apd-alias")
     Retrieval.bm25IndexWrite(
