@@ -190,6 +190,7 @@ object Bench {
     "q_winnow_append",       // winnow-index grow through parquet + overlap probe (r17)
     "q_banded_recap",        // banded artifact re-cap: dedupe + two-pass cap over band rows (r17)
     "q_ivf_drift",           // drift report: one assignment-stats pass vs the persisted reference (r17)
+    "q_pq_drift",            // PQ codebook drift: one encoded-corpus stats pass vs the persisted reference (r18)
     "q_video_dedup_stream",  // video streaming dedup: two micro-batches over the banded artifact (r17)
     "q_audio_dedup_stream",  // audio streaming dedup twin (r17)
     "q_curation_image_stream" // curation sink media arm: full pipeline x2 batches + artifact grow (r17)

@@ -229,6 +229,55 @@ object VectorGates {
         round(col("mean_cos_ref"), 6).as("mean_cos_ref"),
         round(col("mean_cos_now"), 6).as("mean_cos_now"),
         (round(col("mean_cos_drop"), 6) + lit(0.0)).as("mean_cos_drop"))
+    },
+    // §2 row 171 (r18) — PQ drift report, q_ivf_drift's codebook twin:
+    // the PLANTED 2×4 constant codebook (DuckDB re-derives the argmin
+    // encode), the build-time pqCodeStats reference persisted alongside
+    // the codebooks, then the same planted drifted drop (50 clones of
+    // vector 7) — vector 7's codeword in EACH subspace must gain
+    // occupancy above 1, all metrics re-derived exactly by the oracle
+    "q_pq_drift" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val cb = plantedPqCodebook(s)
+      val build = e.filter(col("vec_id") < 400)
+      val cbDir = java.nio.file.Files
+        .createTempDirectory("graft-pq-drift").toString
+      Pq.saveCodebooks(cb, cbDir, Some(
+        Pq.pqCodeStats(Pq.encode(build, "embedding", cb), "embedding", cb)))
+      val loaded = Pq.loadCodebooks(s, cbDir)
+      // the drifted drop: 50 constant-0.5 vectors (0.5 is float-exact,
+      // so the oracle's 0.5::DOUBLE matches the float->double cast
+      // bit-for-bit); they encode to the 0.55-level codeword, NOT the
+      // mean-nearest code that dominates the natural embeddings
+      val cloneVec = array((0 until 64).map(_ => lit(0.5f)): _*)
+      val clones = s.range(900000L, 900050L)
+        .select(col("id").as("vec_id"), cloneVec.as("embedding"))
+      val now = build.unionByName(clones)
+      val report = Pq.pqDriftReport(
+        Pq.encode(now, "embedding", loaded), "embedding", loaded,
+        Pq.loadPqReference(s, cbDir))
+      // planted drift visible two ways, robust at every sf: the clone
+      // codeword gains exactly the 50 clones (encode is per-row
+      // deterministic, build rows unchanged), and some previously
+      // dominant codeword's occupancy dilutes below 1
+      val cloneCodes = Pq.encode(
+          clones.limit(1), "embedding", cb)
+        .select(col("pq_code")).collect().head.getSeq[Long](0)
+      cloneCodes.zipWithIndex.foreach { case (c, j) =>
+        val r = report
+          .filter(col("subspace") === j && col("code") === c)
+          .select(col("n_now") - col("n_ref")).collect().head
+        require(r.getLong(0) == 50L,
+          s"q_pq_drift: clone codeword subspace=$j code=$c did not gain 50 ($r)")
+      }
+      require(report.filter(col("occupancy_ratio") < 1.0).count() > 0,
+        "q_pq_drift: planted drift diluted no codeword below build share")
+      report.select(
+        col("subspace"), col("code"), col("n_ref"), col("n_now"),
+        round(col("occupancy_ratio"), 6).as("occupancy_ratio"),
+        round(col("mean_err_ref"), 6).as("mean_err_ref"),
+        round(col("mean_err_now"), 6).as("mean_err_now"),
+        (round(col("mean_err_rise"), 6) + lit(0.0)).as("mean_err_rise"))
     }
   )
 
@@ -460,7 +509,65 @@ object VectorGates {
         |       round(m_ref, 6) AS mean_cos_ref,
         |       round(m_now, 6) AS mean_cos_now,
         |       round(m_ref - m_now, 6) + 0.0 AS mean_cos_drop
-        |FROM ref FULL OUTER JOIN nw USING (centroid_id) CROSS JOIN t""".stripMargin
+        |FROM ref FULL OUTER JOIN nw USING (centroid_id) CROSS JOIN t""".stripMargin,
+    // planted-codebook argmin encode re-derived per corpus (build and
+    // build+clones); the chosen code's distance IS its quantization
+    // error, folded per (subspace, code) with per-subspace totals
+    "q_pq_drift" -> {
+      val values = PqGateLevels.zipWithIndex
+        .map { case (a, c) => s"(${c}::BIGINT, ${a}::DOUBLE)" }.mkString(", ")
+      def encodeStats(src: String, suffix: String): String =
+        s"""dists_$suffix AS MATERIALIZED (
+           |  SELECT vec_id, code,
+           |         list_sum(list_transform(range(1, 33),
+           |           i -> (v[i] - a) * (v[i] - a))) AS d0,
+           |         list_sum(list_transform(range(33, 65),
+           |           i -> (v[i] - a) * (v[i] - a))) AS d1
+           |  FROM $src CROSS JOIN cb),
+           |enc_$suffix AS MATERIALIZED (
+           |  SELECT a.vec_id, a.code AS c0, a.d0 AS e0, b.code AS c1, b.d1 AS e1
+           |  FROM (SELECT vec_id, code, d0,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY d0, code) AS rn
+           |        FROM dists_$suffix) a
+           |  JOIN (SELECT vec_id, code, d1,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY d1, code) AS rn
+           |        FROM dists_$suffix) b
+           |    ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 1),
+           |stats_$suffix AS (
+           |  SELECT 0::INT AS subspace, c0 AS code, count(*)::BIGINT AS n, avg(e0) AS me
+           |  FROM enc_$suffix GROUP BY c0
+           |  UNION ALL
+           |  SELECT 1::INT, c1, count(*)::BIGINT, avg(e1)
+           |  FROM enc_$suffix GROUP BY c1),
+           |tot_$suffix AS (
+           |  SELECT subspace, sum(n)::BIGINT AS t FROM stats_$suffix GROUP BY 1)"""
+          .stripMargin
+      s"""WITH cb(code, a) AS (VALUES $values),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |build AS (SELECT vec_id, v FROM e WHERE vec_id < 400),
+         |nowc AS (
+         |  SELECT vec_id, v FROM build
+         |  UNION ALL
+         |  SELECT 900000 + i AS vec_id,
+         |         list_transform(range(64), x -> 0.5::DOUBLE) AS v
+         |  FROM (SELECT unnest(range(50)) AS i)),
+         |${encodeStats("build", "r")},
+         |${encodeStats("nowc", "w")}
+         |SELECT subspace, code,
+         |       coalesce(r.n, 0) AS n_ref,
+         |       coalesce(w.n, 0) AS n_now,
+         |       CASE WHEN coalesce(r.n, 0) = 0 OR coalesce(tw.t, 0) = 0 THEN NULL
+         |            ELSE round((coalesce(w.n, 0) * tr.t)::DOUBLE /
+         |                       (r.n * tw.t)::DOUBLE, 6) END AS occupancy_ratio,
+         |       round(r.me, 6) AS mean_err_ref,
+         |       round(w.me, 6) AS mean_err_now,
+         |       round(w.me - r.me, 6) + 0.0 AS mean_err_rise
+         |FROM stats_r r FULL OUTER JOIN stats_w w USING (subspace, code)
+         |LEFT JOIN tot_r tr USING (subspace)
+         |LEFT JOIN tot_w tw USING (subspace)""".stripMargin
+    }
   )
 
   /** Shared CTEs for the planted-codebook PQ oracles: the 2×4 constant

@@ -201,7 +201,154 @@ object Pq {
     * [[Similarity.saveCentroids]] convention: the index artifact ships
     * alongside the encoded corpus). */
   def saveCodebooks(codebooks: DataFrame, path: String): Unit =
+    saveCodebooks(codebooks, path, None)
+
+  /** [[saveCodebooks]] carrying a BUILD-TIME codeword reference
+    * ([[pqCodeStats]] over the build corpus) alongside the codebooks in
+    * a `_pq_reference` sub-artifact (the `_` prefix keeps
+    * [[loadCodebooks]]' plain parquet read blind to it) — the yardstick
+    * [[pqDriftReport]] measures a long-lived code table against after
+    * months of appends and forgets (the
+    * [[Similarity.saveCentroids]]/[[Similarity.ivfDriftReport]]
+    * convention, PQ arm). */
+  def saveCodebooks(
+    codebooks: DataFrame,
+    path: String,
+    reference: Option[DataFrame]
+  ): Unit = {
     codebooks.coalesce(1).write.mode("overwrite").parquet(path)
+    reference.foreach(
+      _.coalesce(1).write.mode("overwrite").parquet(s"$path/_pq_reference"))
+  }
+
+  /** Load the build-time reference persisted by [[saveCodebooks]] —
+    * fails loud when absent (codebooks saved without one have no drift
+    * yardstick; re-save with the reference to enable the report). */
+  def loadPqReference(
+    spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_pq_reference")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no _pq_reference sub-artifact - save the codebooks with " +
+        "saveCodebooks(codebooks, path, Some(pqCodeStats(...))) to give " +
+        "pqDriftReport its build-time yardstick")
+    spark.read.parquet(s"$path/_pq_reference")
+  }
+
+  /**
+   * Per-(subspace, code) codeword statistics of an ENCODED corpus (the
+   * frame must carry both the raw vector and its [[encode]]d codes):
+   * `(subspace, code, n, mean_err)` — codeword occupancy and the mean
+   * squared-L2 quantization error between each assigned subvector and
+   * its codeword, i.e. the per-codeword component of the ADC
+   * approximation error. ONE aggregation pass over an m-way posexplode
+   * of the code arrays (the codebook join is a broadcast of m·k rows);
+   * output is codebook-sized. NULL-coded rows (NULL vectors pass
+   * [[encode]] through) drop out via the inner codebook join. This is
+   * both the build-time reference ([[saveCodebooks]]) and the live side
+   * of [[pqDriftReport]].
+   */
+  def pqCodeStats(
+    df: DataFrame,
+    vecCol: String,
+    codebooks: DataFrame,
+    codeCol: String = "pq_code"
+  ): DataFrame = {
+    val (m, sd) = codebookMeta(codebooks)
+    df
+      .select(col(vecCol), posexplode(col(codeCol)).as(Seq("subspace", "code")))
+      .join(broadcast(codebooks), Seq("subspace", "code"))
+      .select(col("subspace"), col("code"),
+        L2DistSqExpr(
+          transform(slice(col(vecCol), col("subspace") * sd + 1, lit(sd)),
+            x => x.cast("double")),
+          col("cv")).as("__e"))
+      .groupBy("subspace", "code")
+      .agg(count(lit(1)).as("n"), avg(col("__e")).as("mean_err"))
+  }
+
+  /**
+   * The PQ "retrain now?" signal — [[Similarity.ivfDriftReport]]'s twin
+   * for codebooks, which drift under appends and forgets exactly like
+   * centroids (they are per-subspace centroids): compares the LIVE
+   * encoded corpus against the build-time [[pqCodeStats]] reference,
+   * per (subspace, code):
+   *
+   *  - `occupancy_ratio` = (n_now/total_now) / (n_ref/total_ref) with
+   *    totals PER SUBSPACE (each subspace partitions the corpus
+   *    independently) — exact integer cross-products through one double
+   *    division, so an oracle re-derives it bit-for-bit. A codeword
+   *    swallowing its subspace (ADC distance tables stop
+   *    discriminating) or starving (wasted codes) drifts it from 1.
+   *  - `mean_err_rise` = mean_err_now − mean_err_ref — positive when
+   *    vectors sit farther from their codewords than the build did:
+   *    the ADC approximation degrades, recall at fixed kCandidates
+   *    decays.
+   *
+   * One aggregation pass over the live encoded corpus; everything else
+   * is codebook-sized. Codewords empty NOW keep their reference row
+   * (n_now 0, NULL mean_err_now — [[enforcePqFreshness]] fails closed
+   * on them).
+   */
+  def pqDriftReport(
+    df: DataFrame,
+    vecCol: String,
+    codebooks: DataFrame,
+    reference: DataFrame,
+    codeCol: String = "pq_code"
+  ): DataFrame = {
+    val now = pqCodeStats(df, vecCol, codebooks, codeCol)
+      .select(col("subspace"), col("code"),
+        col("n").as("n_now"), col("mean_err").as("mean_err_now"))
+    val ref = reference.select(col("subspace"), col("code"),
+      col("n").as("n_ref"), col("mean_err").as("mean_err_ref"))
+    // per-subspace totals, both codebook-sized (broadcast joins)
+    val tRef = ref.groupBy("subspace").agg(sum(col("n_ref")).as("__t_ref"))
+    val tNow = now.groupBy("subspace")
+      .agg(coalesce(sum(col("n_now")), lit(0L)).as("__t_now"))
+    ref.join(now, Seq("subspace", "code"), "full_outer")
+      .join(broadcast(tRef), Seq("subspace"), "left")
+      .join(broadcast(tNow), Seq("subspace"), "left")
+      .select(
+        col("subspace"), col("code"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        when(coalesce(col("n_ref"), lit(0L)) === 0 ||
+            coalesce(col("__t_now"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (coalesce(col("n_now"), lit(0L)) * col("__t_ref")).cast("double") /
+              (col("n_ref") * col("__t_now")).cast("double"))
+          .as("occupancy_ratio"),
+        col("mean_err_ref"),
+        col("mean_err_now"),
+        (col("mean_err_now") - col("mean_err_ref")).as("mean_err_rise"))
+  }
+
+  /**
+   * The codebook retrain-now gate ([[Similarity.enforceIvfFreshness]]'s
+   * PQ twin): every codeword must still be populated (NULL-metric rows
+   * fail closed), occupancy skew must stay within `maxOccupancyRatio`
+   * of the build-time share in both directions, and the mean
+   * quantization error must not have risen more than `maxMeanErrRise`
+   * (squared-L2, in the data's own units — tune to the embedding
+   * scale). Throws `IllegalStateException` naming the failed rule;
+   * returns the report unchanged for green runs.
+   */
+  def enforcePqFreshness(
+    report: DataFrame,
+    maxOccupancyRatio: Double = 4.0,
+    maxMeanErrRise: Double = 0.1
+  ): DataFrame = {
+    require(maxOccupancyRatio >= 1.0,
+      s"maxOccupancyRatio is a two-sided band around 1: $maxOccupancyRatio")
+    Checks.enforce(report, Seq(
+      Checks.NonNullRate("occupancy_ratio", 1.0),
+      Checks.NonNullRate("mean_err_now", 1.0),
+      Checks.ValueRange("occupancy_ratio",
+        min = Some(1.0 / maxOccupancyRatio), max = Some(maxOccupancyRatio)),
+      Checks.ValueRange("mean_err_rise", max = Some(maxMeanErrRise))))
+  }
 
   /** Load a persisted codebook table, re-typed to the (subspace INT,
     * code BIGINT, cv ARRAY<DOUBLE>) contract and LOCALIZED so downstream

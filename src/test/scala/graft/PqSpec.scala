@@ -211,6 +211,65 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("pqCodeStats/pqDriftReport: hand-computed occupancy and error; " +
+    "enforcePqFreshness gates skew and error rise") {
+    // build: 3 vectors on/near codewords — stats hand-checkable
+    val build = Seq(
+      (1L, Seq(1.0f, 1.0f, 2.0f, 2.0f)),   // codes [1,1], err [0, 0]
+      (2L, Seq(-1.0f, -1.0f, -2.0f, -2.0f)), // codes [0,0], err [0, 0]
+      (3L, Seq(0.9f, 1.1f, 2.0f, 2.0f))    // codes [1,1], err [0.02, 0]
+    ).toDF("vec_id", "embedding")
+    val ref = Pq.pqCodeStats(
+      Pq.encode(build, "embedding", plantedCb), "embedding", plantedCb)
+    val refMap = ref.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(refMap((0, 1L))._1 == 2L)
+    assert(math.abs(refMap((0, 1L))._2 - 0.01) < 1e-6) // (0.02 + 0) / 2, float ulps
+    assert(refMap((1, 1L)) == ((2L, 0.0)))
+    assert(refMap((0, 0L)) == ((1L, 0.0)))
+    // save/load the reference alongside the codebooks
+    val dir = java.nio.file.Files.createTempDirectory("pq-drift").toString
+    Pq.saveCodebooks(plantedCb, dir, Some(ref))
+    val loadedRef = Pq.loadPqReference(spark, dir)
+    // drifted live corpus: drop vec 2, add two far-from-codeword rows
+    // into (0,1)/(1,1) — occupancy shifts AND error rises
+    val now = Seq(
+      (1L, Seq(1.0f, 1.0f, 2.0f, 2.0f)),
+      (3L, Seq(0.9f, 1.1f, 2.0f, 2.0f)),
+      (4L, Seq(2.0f, 2.0f, 3.0f, 3.0f)),   // codes [1,1], err [2, 2]
+      (5L, Seq(2.0f, 2.0f, 3.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val report = Pq.pqDriftReport(
+      Pq.encode(now, "embedding", plantedCb), "embedding", plantedCb, loadedRef)
+    val rows = report.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+    // (0,0): ref 1/3, now 0/4 -> ratio 0, mean_err_now NULL
+    assert(rows((0, 0L)).getDouble(4) == 0.0)
+    assert(rows((0, 0L)).isNullAt(6))
+    // (0,1): ref 2/3, now 4/4 -> ratio (4*3)/(2*4) = 1.5 exactly
+    assert(rows((0, 1L)).getDouble(4) == 1.5)
+    // err rise at (0,1): now (0.02 + 0 + 2 + 2)/4 = 1.005, ref 0.01
+    assert(math.abs(rows((0, 1L)).getDouble(7) - 0.995) < 1e-6)
+    // enforce: fails closed naming the rule (empty bucket + err rise)
+    val e = intercept[IllegalStateException] {
+      Pq.enforcePqFreshness(report)
+    }
+    assert(e.getMessage.contains("occupancy_ratio") ||
+      e.getMessage.contains("mean_err"), e.getMessage)
+    // the undrifted corpus passes
+    Pq.enforcePqFreshness(Pq.pqDriftReport(
+      Pq.encode(build, "embedding", plantedCb), "embedding", plantedCb,
+      loadedRef))
+    // a codebook dir saved WITHOUT a reference fails loud on load
+    val bare = java.nio.file.Files.createTempDirectory("pq-bare").toString
+    Pq.saveCodebooks(plantedCb, bare)
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.loadPqReference(spark, bare)
+    }
+    assert(e2.getMessage.contains("_pq_reference"), e2.getMessage)
+  }
+
   test("guards: corrupt codebooks and wrong-length vectors fail loudly") {
     val vecs = Seq((1L, Seq(1.0f, 1.0f, 2.0f, 2.0f))).toDF("vec_id", "embedding")
     // gap in codes (0,2 — no 1): must be rejected at meta validation
