@@ -1120,13 +1120,18 @@ object LlmGates {
       sink(b1, 1L)
       out.toSeq.toDF("batch", "doc_id")
     },
-    // §2 row 169 — the CURATION streaming sink's media arm: the full
-    // pipeline driven over two micro-batches with payloads riding the
-    // batch rows; batch 0 plants a within-batch one-bit image copy
-    // (dropped by the imageDedup stage; ramp + flat + undecodable
-    // kept), batch 1 a 2x-RESCALED copy of a batch-0 survivor (dropped
-    // via the banded artifact the sink grew — batch-0 payloads never
-    // re-decoded) plus a fresh image and a payload-free doc (kept).
+    // §2 row 169 — the CURATION streaming sink's media arm: ONE full
+    // pipeline invocation (batch 0 plants a within-batch one-bit image
+    // copy — dropped by the imageDedup stage; ramp + flat + undecodable
+    // kept — and GROWS the banded artifact), then batch 1 as a direct
+    // GROW PROBE of that artifact: the 2x-RESCALED copy of a batch-0
+    // survivor must match it (batch-0 payloads never re-decoded), the
+    // fresh image and the payload-free doc survive. The probe is the
+    // same banded Dir join the sink's own batch-1 run issues; the full
+    // two-batch sink interplay (replay anti-join, per-modality growth)
+    // stays pinned by the video/audio twins over the shared mediaStage —
+    // this cell keeps the image-arm coverage at half the pipeline cost
+    // (the r17 two-invocation spelling was 17-21% of the whole board).
     // Texts are all distinct and clean so only the image stages can
     // drop. Constant-table oracle from the row-142 dHash literals.
     "q_curation_image_stream" -> { (s, dir) =>
@@ -1148,13 +1153,18 @@ object LlmGates {
         (800002L, "sphinx of black quartz judge my vow now", fx(800002L)),
         (800006L, "how vexingly quick daft zebras jump out",
           "not an image".getBytes("UTF-8")))
-      val b1 = Seq(
-        (810005L, "jived fox nymph grabs quick waltz again", fx(800005L)),
-        (810003L, "five quacking zephyrs jolt my wax bed twice", fx(800003L)),
-        (810007L, "crazy fredrick bought many very exquisite opal jewels",
-          null.asInstanceOf[Array[Byte]]))
       sink(b0.toDF("doc_id", "text", "payload"), 0L)
-      sink(b1.toDF("doc_id", "text", "payload"), 1L)
+      // batch 1: probe the artifact batch 0 grew (Dir probe — banding
+      // params from the sidecar, maxHamming from the ImageDedup default)
+      val b1imgs = s.createDataset(Seq(
+        Multimodal.MediaRecord(810005L, fx(800005L)), // 2x rescale -> drops
+        Multimodal.MediaRecord(810003L, fx(800003L)))) // fresh -> kept
+      val crossDropped = Multimodal.imageNearDupsAgainstBandedDir(
+          b1imgs, s"$idxDir/dhash")
+        .select("batch_id").distinct().as[Long].collect().toSet
+      // 810007 is payload-free: never probed, always kept
+      out ++= Seq(810005L, 810003L, 810007L)
+        .filterNot(crossDropped).map((1L, _))
       out.toSeq.toDF("batch", "doc_id")
     },
     // §2 row 146 — video perceptual signature: per-frame dHash (the

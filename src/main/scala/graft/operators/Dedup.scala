@@ -1650,10 +1650,15 @@ object Dedup {
         // the old flat files as NULL band rows and silently lose every
         // prior-corpus match. Mirror the read-side readHammingBandMeta
         // require: fail loud, name the rebuild.
+        // data = regular parquet files only, matching the diagnosis in
+        // the message: an unrelated empty subdirectory or stray
+        // non-parquet file is not a "pre-banded flat hash table" and
+        // must not block a legitimate first append
         val dir = new org.apache.hadoop.fs.Path(path)
         val hasData = fs.exists(dir) && fs.listStatus(dir).exists { s =>
           val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
+          s.isFile && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
         }
         require(!hasData,
           s"hammingBandedIndexWrite: $path has data files but no " +

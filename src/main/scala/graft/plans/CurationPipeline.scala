@@ -570,6 +570,22 @@ object CurationPipeline {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
+      // the same integral-id guard mediaStage applies on the batch arm:
+      // every replay/prune structure below keys on cast(idCol as long)
+      // (antiBatch, the keyed fingerprint index, mediaPriorFor), and a
+      // silent cast of a non-numeric id would NULL every key — quietly
+      // disabling replay idempotence, the exact failure the per-batch-id
+      // anti-join exists to prevent
+      val idType = batch.schema(idCol).dataType
+      require(
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(idType),
+        s"streamingSink: idCol '$idCol' must be an integral column, got " +
+          s"${idType.catalogString}: a silent cast would NULL the keyed " +
+          "index ids and the replay anti-joins, so a retried micro-batch " +
+          "would self-match its own prior append and deliver near-empty")
       def readIf(p: String): Option[DataFrame] = {
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
