@@ -251,6 +251,40 @@ object CorpusGates {
       Retrieval.bm25ScoresFromSidecar(s, out, bm25Queries(s), "query_id", "qtext")
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
     },
+    // §2 row 164 (r18) — GENERATION MERGE: the layout built from one
+    // quarter and grown by three more drops (4 live generations), then
+    // merged down to 2 — the biggest generation must survive BYTE-
+    // IDENTICAL (smallest-first merge economics), the generation count
+    // must drop, df files must be untouched (a merge changes no
+    // statistic), and the probe stays pinned to the full-corpus oracle
+    "q_bm25_sidecar_merge" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bm25scmg-gate").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      Retrieval.bm25SidecarWrite(
+        d.filter(col("doc_id") % 4 === 0), "text", "doc_id", out)
+      (1 to 3).foreach { r =>
+        Retrieval.bm25SidecarAppend(
+          s, out, d.filter(col("doc_id") % 4 === r), "text", "doc_id")
+      }
+      val dfDir = new java.io.File(out).listFiles()
+        .map(_.getName).filter(_.startsWith("df-v")).sorted.last
+      val dfBefore = parquetFiles(s"$out/$dfDir")
+      val genSizes = (1 to 4).map(g =>
+        g -> parquetFiles(s"$out/postings-g$g").values.sum)
+      val biggest = genSizes.maxBy(_._2)._1
+      val bigBefore = parquetFiles(s"$out/postings-g$biggest")
+      Retrieval.bm25SidecarMergeGenerations(s, out, maxGenerations = 2)
+      require(parquetFiles(s"$out/postings-g$biggest") == bigBefore,
+        "q_bm25_sidecar_merge: the biggest generation was rewritten " +
+          "(smallest-first merge violated)")
+      require(parquetFiles(s"$out/postings-g5").nonEmpty,
+        "q_bm25_sidecar_merge: no merged generation written")
+      require(parquetFiles(s"$out/$dfDir") == dfBefore,
+        "q_bm25_sidecar_merge: merge touched the df sidecar")
+      Retrieval.bm25ScoresFromSidecar(s, out, bm25Queries(s), "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
     // §2 row 164 — compaction: after the forget above, the amortized
     // rewrite purges tombstones into one fresh generation; the probe
     // stays pinned to the same reduced-corpus oracle
@@ -950,6 +984,7 @@ object CorpusGates {
     "q_bm25_sidecar" -> Bm25Sql,
     "q_bm25_sidecar_append" -> Bm25Sql,
     "q_bm25_sidecar_topk" -> bm25TopKSql(5),
+    "q_bm25_sidecar_merge" -> Bm25Sql,
     "q_bm25_sidecar_forget" -> bm25Sql("WHERE doc_id % 2 = 0"),
     "q_bm25_sidecar_compact" -> bm25Sql("WHERE doc_id % 2 = 0"),
     "q_fix_mojibake" -> {

@@ -673,8 +673,15 @@ object Retrieval {
 
   private val SidecarMetaFile = "_bm25_sidecar"
 
+  /** `gens` is the EXPLICIT list of live generation ids (dirs
+    * `postings-g<id>`/`registry-g<id>`): an append adds `max + 1`, a
+    * merge ([[bm25SidecarMergeGenerations]]) replaces several ids with
+    * one fresh id — ids are never reused, so a racing reader's
+    * generation set stays readable until the one-mutation-late GC. */
   private final case class SidecarMeta(
-    nDocs: Long, sumDl: Long, gens: Int, dfV: Int, rmV: Int, buckets: Int)
+    nDocs: Long, sumDl: Long, gens: Seq[Int], dfV: Int, rmV: Int, buckets: Int) {
+    def nextGen: Int = gens.max + 1
+  }
 
   private def sidecarMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, SidecarMetaFile)
@@ -692,8 +699,16 @@ object Retrieval {
     require(parts.length == 6,
       s"$path/$SidecarMetaFile is malformed ('$text') - expected " +
         "n_docs,sum_dl,gens,dfv,rmv,buckets")
+    // generation field: "g3.5.6" = explicit live-id list (merge-era
+    // writer); a bare count N = legacy dense 1..N (pre-merge layouts
+    // stay readable)
+    val gens =
+      if (parts(2).startsWith("g")) parts(2).drop(1).split('.').map(_.toInt).toSeq
+      else (1 to parts(2).toInt)
+    require(gens.nonEmpty && gens.distinct == gens,
+      s"$path/$SidecarMetaFile generation list is malformed ('${parts(2)}')")
     SidecarMeta(parts(0).toLong, parts(1).toLong,
-      parts(2).toInt, parts(3).toInt, parts(4).toInt, parts(5).toInt)
+      gens, parts(3).toInt, parts(4).toInt, parts(5).toInt)
   }
 
   /** Commit point of every sidecar-layout mutation: temp-write +
@@ -710,7 +725,7 @@ object Retrieval {
       path, s".$SidecarMetaFile.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(
-      s"${m.nDocs},${m.sumDl},${m.gens},${m.dfV},${m.rmV},${m.buckets}"
+      s"${m.nDocs},${m.sumDl},g${m.gens.mkString(".")},${m.dfV},${m.rmV},${m.buckets}"
         .getBytes("UTF-8"))
     finally out.close()
     try
@@ -727,7 +742,7 @@ object Retrieval {
   }
 
   private def postingPaths(path: String, m: SidecarMeta): Seq[String] =
-    (1 to m.gens).map(g => s"$path/postings-g$g")
+    m.gens.map(g => s"$path/postings-g$g")
 
   /** Word-hash bucket under the layout's own modulus — the
     * [[bm25IndexWrite]] portable hash, recomputable driver-side for
@@ -761,7 +776,7 @@ object Retrieval {
   private val SidecarRegistrySchema = "doc_id BIGINT, dl INT"
 
   private def registryPaths(path: String, m: SidecarMeta): Seq[String] =
-    (1 to m.gens).map(g => s"$path/registry-g$g")
+    m.gens.map(g => s"$path/registry-g$g")
 
   /** Union of the per-generation (doc_id, dl) doc registries — the
     * doc-count-sized sidecar the grow guard and the forget stats read
@@ -935,7 +950,7 @@ object Retrieval {
         coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
       .head()
     writeSidecarMeta(spark, path,
-      SidecarMeta(st.getLong(0), st.getLong(1), gens = 1, dfV = 1, rmV = 0,
+      SidecarMeta(st.getLong(0), st.getLong(1), gens = Seq(1), dfV = 1, rmV = 0,
         buckets = buckets))
   }
 
@@ -1103,12 +1118,12 @@ object Retrieval {
     sidecarAppendPostings(spark, path, drop, textCol, idCol, broadcastDrop)
       .withColumn("bucket", sidecarBucket(m.buckets))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/postings-g${m.gens + 1}")
+      .parquet(s"$path/postings-g${m.nextGen}")
     // registry sidecar for the committed generation (drop-sized)
     val committed = spark.read.schema(SidecarPostingsSchema)
-      .parquet(s"$path/postings-g${m.gens + 1}")
+      .parquet(s"$path/postings-g${m.nextGen}")
     committed.select("doc_id", "dl").distinct()
-      .write.mode("overwrite").parquet(s"$path/registry-g${m.gens + 1}")
+      .write.mode("overwrite").parquet(s"$path/registry-g${m.nextGen}")
     // df merge: broadcast LEFT join + anti leg (full-outer would not
     // broadcast — the Forget.appendFingerprints doctrine); the old df
     // read is PRUNED to the drop vocabulary's buckets — untouched
@@ -1136,13 +1151,13 @@ object Retrieval {
     } finally aDf.unpersist()
     // global stats deltas from the committed generation's registry
     val st = spark.read.schema(SidecarRegistrySchema)
-      .parquet(s"$path/registry-g${m.gens + 1}")
+      .parquet(s"$path/registry-g${m.nextGen}")
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
       .head()
     writeSidecarMeta(spark, path,
       m.copy(nDocs = m.nDocs + st.getLong(0), sumDl = m.sumDl + st.getLong(1),
-        gens = m.gens + 1, dfV = m.dfV + 1))
+        gens = m.gens :+ m.nextGen, dfV = m.dfV + 1))
     // one-mutation-late GC: keep the version this flip superseded
     // alive for racing readers, drop the one before it
     gcSuperseded(spark, path, dfVGone = m.dfV - 1, rmVGone = 0)
@@ -1235,6 +1250,79 @@ object Retrieval {
   }
 
   /**
+   * Bound the sidecar layout's GENERATION COUNT without a compaction:
+   * every probe opens each live generation's matched bucket
+   * directories, so daily drops grow per-probe file counts without
+   * bound, and [[bm25SidecarCompact]] — the only prior remedy — pays a
+   * full-corpus rewrite. This merges the SMALLEST generations (by
+   * on-disk bytes) down to `maxGenerations` live ones: their posting
+   * and registry rows are unioned into ONE fresh generation id, the
+   * metadata's generation list flips to (kept ++ merged), and the
+   * superseded generation directories become orphans — deleted one
+   * mutation late (the next merge's GC), so a reader racing the flip
+   * finishes against its generation set. Merging smallest-first makes
+   * the rewrite bytes the MINIMUM possible for the target count — the
+   * standard LSM small-run compaction economics, and exactly right for
+   * the daily-drop shape (many small drop generations, one huge build
+   * generation that is never touched).
+   *
+   * df/N/sum_dl are untouched BY CONSTRUCTION (a merge moves rows
+   * between files, it changes no statistic); tombstoned rows ride
+   * along still masked (only [[bm25SidecarCompact]] purges them), and
+   * their registry rows keep re-append rejection working across the
+   * merge. In-place by design — unlike compact there is no cross-corpus
+   * rewrite to stage, and generation ids are never reused, so the flip
+   * has the same crash-safety as a grow (a crash leaves orphan dirs
+   * and an unchanged pointer).
+   */
+  def bm25SidecarMergeGenerations(
+    spark: SparkSession,
+    path: String,
+    maxGenerations: Int = 8
+  ): Unit = {
+    require(maxGenerations >= 1, s"maxGenerations must be >= 1: $maxGenerations")
+    val m = readSidecarMeta(spark, path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    // one-mutation-late GC of ORPHAN generation dirs (ids on disk but
+    // not in the live list — superseded by an earlier merge's flip)
+    def gcOrphanGens(live: Set[Int]): Unit =
+      Seq("postings-g", "registry-g").foreach { prefix =>
+        fs.globStatus(new org.apache.hadoop.fs.Path(path, prefix + "*"))
+          .foreach { st =>
+            st.getPath.getName.stripPrefix(prefix).toIntOption.foreach { id =>
+              if (!live.contains(id)) fs.delete(st.getPath, true)
+            }
+          }
+      }
+    if (m.gens.size <= maxGenerations) { gcOrphanGens(m.gens.toSet); return }
+    val bySize = m.gens
+      .map(g => g -> fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$path/postings-g$g")).getLength)
+      .sortBy(_._2)
+    val nMerge = m.gens.size - maxGenerations + 1
+    val merged = bySize.take(nMerge).map(_._1)
+    val kept = m.gens.filterNot(merged.contains)
+    val newGen = m.nextGen
+    // rewrite = union of the merged generations only (smallest-first
+    // bytes); bucket partitioning carries over so probe pruning is
+    // unchanged
+    merged
+      .map(g => spark.read.schema(SidecarPostingsSchema)
+        .parquet(s"$path/postings-g$g"))
+      .reduce(_ unionByName _)
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings-g$newGen")
+    merged
+      .map(g => spark.read.schema(SidecarRegistrySchema)
+        .parquet(s"$path/registry-g$g"))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$path/registry-g$newGen")
+    writeSidecarMeta(spark, path, m.copy(gens = kept :+ newGen))
+    gcOrphanGens((kept :+ newGen).toSet ++ merged.toSet)
+  }
+
+  /**
    * Amortized maintenance for the sidecar layout: rewrite the live
    * postings (minus tombstones) as ONE fresh generation at `outPath`,
    * carrying the current df sidecar and stats over unchanged — the
@@ -1284,7 +1372,7 @@ object Retrieval {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$outPath/df-v1")
     writeSidecarMeta(spark, outPath,
-      SidecarMeta(m.nDocs, m.sumDl, gens = 1, dfV = 1, rmV = 0, m.buckets))
+      SidecarMeta(m.nDocs, m.sumDl, gens = Seq(1), dfV = 1, rmV = 0, m.buckets))
   }
 
   /** Top-k per query over the persisted index: [[bm25ScoresAgainst]]

@@ -586,6 +586,55 @@ class RetrievalSpec extends SparkSpec {
     assert(probeSidecar(out) == inlineScores(corpus))
   }
 
+  test("sidecar generation merge: probes unchanged, tombstone mask and " +
+    "re-append guard survive, grace-window GC, legacy meta parses") {
+    val out = tmpDir("sc-merge")
+    Retrieval.bm25SidecarWrite(
+      corpus.filter(col("doc_id") <= 2), "text", "doc_id", out)
+    Retrieval.bm25SidecarAppend(spark, out,
+      corpus.filter(col("doc_id") === 3), "text", "doc_id")
+    Retrieval.bm25SidecarAppend(spark, out,
+      corpus.filter(col("doc_id") > 3), "text", "doc_id")
+    // forget BEFORE the merge: the tombstone must keep masking rows
+    // that the merge moves into a fresh generation
+    Retrieval.bm25SidecarForget(spark, out, Seq(3L).toDF("id"), "id")
+    val reduced = corpus.filter(col("doc_id") =!= 3)
+    assert(probeSidecar(out) == inlineScores(reduced))
+    Retrieval.bm25SidecarMergeGenerations(spark, out, maxGenerations = 2)
+    assert(probeSidecar(out) == inlineScores(reduced))
+    // merged source dirs survive the flip (grace window for racing
+    // readers); a SECOND merge (no-op at the count) GCs them
+    val d = new java.io.File(out)
+    def genDirs = d.listFiles().map(_.getName)
+      .filter(_.startsWith("postings-g")).toSet
+    assert(genDirs.size > 2, genDirs.toString) // orphans still on disk
+    Retrieval.bm25SidecarMergeGenerations(spark, out, maxGenerations = 2)
+    assert(genDirs.size == 2, genDirs.toString)
+    // the re-append guard still sees the tombstoned id through the
+    // MERGED registry
+    val e = intercept[Exception] {
+      Retrieval.bm25SidecarAppend(spark, out,
+        Seq((3L, "resurrected")).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("already registered"), e.getMessage)
+    // legacy numeric generation field (pre-merge writer) still parses:
+    // rewrite the meta of a dense-1..N layout by hand
+    val out2 = tmpDir("sc-legacy")
+    Retrieval.bm25SidecarWrite(corpus, "text", "doc_id", out2)
+    Retrieval.bm25SidecarAppend(spark, out2,
+      Seq((50L, "spark spark window")).toDF("doc_id", "text"), "text", "doc_id")
+    val metaPath = java.nio.file.Paths.get(out2, "_bm25_sidecar")
+    val parts = java.nio.file.Files.readString(metaPath).trim.split(",")
+    assert(parts(2) == "g1.2", parts.mkString(","))
+    parts(2) = "2" // the legacy dense spelling of the same layout
+    java.nio.file.Files.writeString(metaPath, parts.mkString(","))
+    // the hand-edit invalidates Hadoop's local CRC sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(out2, "._bm25_sidecar.crc"))
+    assert(probeSidecar(out2) == inlineScores(corpus.unionByName(
+      Seq((50L, "spark spark window")).toDF("doc_id", "text"))))
+  }
+
   test("bm25AppendDir: aliased outPath spellings are refused (trailing slash)") {
     val out = tmpDir("apd-alias")
     Retrieval.bm25IndexWrite(
