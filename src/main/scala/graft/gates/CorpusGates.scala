@@ -251,26 +251,26 @@ object CorpusGates {
       Retrieval.bm25ScoresFromSidecar(s, out, bm25Queries(s), "query_id", "qtext")
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
     },
-    // §2 row 164 (r18) — GENERATION MERGE: the layout built from one
-    // quarter and grown by three more drops (4 live generations), then
-    // merged down to 2 — the biggest generation must survive BYTE-
-    // IDENTICAL (smallest-first merge economics), the generation count
-    // must drop, df files must be untouched (a merge changes no
+    // §2 row 164 (r18) — GENERATION MERGE: the layout built from half
+    // the corpus and grown by two quarter drops (3 live generations),
+    // then merged down to 2 — the biggest generation must survive
+    // BYTE-IDENTICAL (smallest-first merge economics), the generation
+    // count must drop, df files must be untouched (a merge changes no
     // statistic), and the probe stays pinned to the full-corpus oracle
     "q_bm25_sidecar_merge" -> { (s, dir) =>
       val out = java.nio.file.Files
         .createTempDirectory("graft-bm25scmg-gate").toString
       val d = docs(s, dir).select("doc_id", "text")
       Retrieval.bm25SidecarWrite(
-        d.filter(col("doc_id") % 4 === 0), "text", "doc_id", out)
-      (1 to 3).foreach { r =>
+        d.filter(col("doc_id") % 2 === 0), "text", "doc_id", out)
+      (1 to 2).foreach { r =>
         Retrieval.bm25SidecarAppend(
-          s, out, d.filter(col("doc_id") % 4 === r), "text", "doc_id")
+          s, out, d.filter(col("doc_id") % 4 === (2 * r - 1)), "text", "doc_id")
       }
       val dfDir = new java.io.File(out).listFiles()
         .map(_.getName).filter(_.startsWith("df-v")).sorted.last
       val dfBefore = parquetFiles(s"$out/$dfDir")
-      val genSizes = (1 to 4).map(g =>
+      val genSizes = (1 to 3).map(g =>
         g -> parquetFiles(s"$out/postings-g$g").values.sum)
       val biggest = genSizes.maxBy(_._2)._1
       val bigBefore = parquetFiles(s"$out/postings-g$biggest")
@@ -278,7 +278,7 @@ object CorpusGates {
       require(parquetFiles(s"$out/postings-g$biggest") == bigBefore,
         "q_bm25_sidecar_merge: the biggest generation was rewritten " +
           "(smallest-first merge violated)")
-      require(parquetFiles(s"$out/postings-g5").nonEmpty,
+      require(parquetFiles(s"$out/postings-g4").nonEmpty,
         "q_bm25_sidecar_merge: no merged generation written")
       require(parquetFiles(s"$out/$dfDir") == dfBefore,
         "q_bm25_sidecar_merge: merge touched the df sidecar")

@@ -246,9 +246,15 @@ object EditSim {
     val probe =
       if (broadcastBatch) bvar.select("v") else bvar.select("v").distinct()
     val matchedIdx = guardedIndex.join(hinted(probe), Seq("v"), "left_semi")
+    // list parity, not set: index rows are unique per (v, id) by
+    // construction (variantTable dedups per id; appendPerDocIndex fails
+    // loud on a re-added id), so the set arm's per-item dedup hashing
+    // bought nothing — and even a hand-built index with duplicate rows
+    // only produces duplicate candidate pairs, which the
+    // dropDuplicates(batch_id, index_id) below already folds
     val idxBuckets = Dedup.cappedCollect(matchedIdx, Seq("v"),
       struct(col("id"), col("len"), col("s")), "idx_items",
-      useSet = true, maxVariantBucket, "editsim_incr_idx", "maxVariantBucket")
+      useSet = false, maxVariantBucket, "editsim_incr_idx", "maxVariantBucket")
     idxBuckets
       .join(hinted(bFlat.select(col("v"), col("id").as("__b_id"),
         col("len").as("__b_len"), col("s").as("__b_s"))), Seq("v"))
