@@ -186,7 +186,9 @@ object Bench {
     "q_bm25_sidecar_forget", // tombstone + registry-sourced deltas, zero posting bytes rewritten (r17; registry r18)
     "q_bm25_sidecar_compact",// amortized maintenance: rewrite-minus-tombstones to a fresh layout (r17)
     "q_bm25_sidecar_topk",   // WindowGroupLimit top-k over sidecar scores — layout parity with the other three arms (r18)
-    "q_bm25_sidecar_merge",  // smallest-first generation merge: 4 live gens -> 2, biggest gen byte-untouched, df untouched (r18)
+    "q_bm25_sidecar_merge",  // smallest-first generation merge: 3 live gens -> 2, biggest gen byte-untouched, df untouched (r18)
+    "q_rrf_fusion",          // reciprocal-rank fusion of bm25TopK + dense cosine top-k — query-bounded union + agg + WindowGroupLimit (r18)
+    "q_soft_dedup",          // soft dedup: near-dup chain + CC + 1/cluster-size weights joined back, corpus never shuffled (r18)
     "q_setsim_append",       // prefix-index grow + join-surface probe (r17)
     "q_winnow_append",       // winnow-index grow through parquet + overlap probe (r17)
     "q_banded_recap",        // banded artifact re-cap: dedupe + two-pass cap over band rows (r17)

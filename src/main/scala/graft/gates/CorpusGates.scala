@@ -2,7 +2,7 @@ package graft.gates
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{CoOccur, Contamination, Dedup, Dsir, FeatureHash, PhraseMatch, Profile, QualityClassifier, Retrieval, Sampling, TextAnalysis, Web}
+import graft.operators.{CoOccur, Contamination, Dedup, Dsir, FeatureHash, PhraseMatch, Profile, QualityClassifier, Retrieval, Sampling, Similarity, TextAnalysis, Web}
 
 /**
  * Correctness gates for corpus-level retrieval and distribution
@@ -301,6 +301,30 @@ object CorpusGates {
       Retrieval.bm25ScoresFromSidecar(
           s, out + "-compact", bm25Queries(s), "query_id", "qtext")
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+    },
+    // §2 row 172 (r18) — HYBRID retrieval fusion: bm25TopK's lexical
+    // ranking over documents fused with a brute-force dense cosine
+    // ranking over embeddings (query vectors = vec_id 1..3, matching
+    // the bm25 query ids) via reciprocal-rank fusion at k0=60 — the
+    // fused score is exact rational arithmetic over integer ranks, so
+    // DuckDB re-derives scores AND ranks bit-for-bit
+    "q_rrf_fusion" -> { (s, dir) =>
+      val bm = Retrieval.bm25TopK(
+          docs(s, dir).select("doc_id", "text"), "text", "doc_id",
+          bm25Queries(s), "query_id", "qtext", k = 10)
+        .select("query_id", "doc_id", "rank")
+      val e = LlmGates.embs(s, dir).select("vec_id", "embedding")
+      val ann = Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id").between(1, 3)), "embedding", "vec_id", k = 10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("score").desc, col("neighbor_id"))))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, ann), k0 = 60, topK = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf_score"), 9).as("rrf_score"),
+          col("rank").cast("long").as("rank")) // DuckDB row_number is BIGINT
     },
     // §2.4 row 70 — unigram KL drift: corpus A = documents; corpus B =
     // a biased subsample (every 3rd doc) + planted spam flood — the
@@ -985,6 +1009,48 @@ object CorpusGates {
     "q_bm25_sidecar_append" -> Bm25Sql,
     "q_bm25_sidecar_topk" -> bm25TopKSql(5),
     "q_bm25_sidecar_merge" -> Bm25Sql,
+    // lexical top-10 (the bm25 CTEs) + dense cosine top-10 (the
+    // q_ann_topk arithmetic) fused by 1/(60+rank); sums have at most 2
+    // terms (one per list), so the fused doubles are bit-exact
+    "q_rrf_fusion" ->
+      s"""${bm25CtePrefix("")},
+         |s AS (
+         |  SELECT qt.query_id, c.doc_id, sum(c.c) AS sc
+         |  FROM contrib c JOIN qt USING (word)
+         |  GROUP BY qt.query_id, c.doc_id),
+         |bm AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sc DESC, doc_id) AS rank
+         |    FROM s) WHERE rank <= 10),
+         |ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, v AS qvec FROM ev
+         |       WHERE vec_id BETWEEN 1 AND 3),
+         |anns AS (
+         |  SELECT query_id, ev.vec_id AS doc_id,
+         |         list_dot_product(qvec, v) /
+         |           (sqrt(list_dot_product(qvec, qvec)) *
+         |            sqrt(list_dot_product(v, v))) AS score
+         |  FROM qv, ev),
+         |ann AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, doc_id) AS rank
+         |    FROM anns WHERE score IS NOT NULL) WHERE rank <= 10),
+         |u AS (
+         |  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM bm
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM ann),
+         |f AS (SELECT query_id, doc_id, sum(c) AS fs FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(fs, 9) AS rrf_score, rank FROM (
+         |  SELECT query_id, doc_id, fs,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY fs DESC, doc_id) AS rank
+         |  FROM f) WHERE rank <= 5""".stripMargin,
     "q_bm25_sidecar_forget" -> bm25Sql("WHERE doc_id % 2 = 0"),
     "q_bm25_sidecar_compact" -> bm25Sql("WHERE doc_id % 2 = 0"),
     "q_fix_mojibake" -> {

@@ -486,6 +486,15 @@ object LlmGates {
           k = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select("doc_id", "cluster_id")
     },
+    // §2 row 173 (r18) — SOFT dedup: every doc kept, weighted
+    // 1/|transitive cluster| (planted copies land in their originals'
+    // clusters, so both weigh 1/n; singletons 1.0); oracle = the
+    // recursive-CC closure + per-cluster counts, exact division
+    "q_soft_dedup" -> { (s, dir) =>
+      Dedup.softDedupWeights(docsWithDups(s, dir), "text", "doc_id",
+          k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select(col("doc_id"), round(col("soft_weight"), 9).as("soft_weight"))
+    },
     // §2 row 156 — LEAKAGE-SAFE splits: near-dup pairs close into
     // transitive clusters and every member hashes on its CLUSTER id
     // (singletons on their own id), so the planted re-keyed copies
@@ -1862,6 +1871,14 @@ object LlmGates {
       s"""$ClusterCompCte
          |SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cluster_id
          |FROM all_docs a LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    "q_soft_dedup" ->
+      s"""$ClusterCompCte,
+         |sz AS (SELECT cluster_id, count(*)::BIGINT AS n FROM comp GROUP BY 1)
+         |SELECT a.doc_id,
+         |       round(1.0::DOUBLE / coalesce(sz.n, 1), 9) AS soft_weight
+         |FROM all_docs a
+         |LEFT JOIN comp c USING (doc_id)
+         |LEFT JOIN sz ON c.cluster_id = sz.cluster_id""".stripMargin,
     "q_split_leakfree" ->
       s"""$ClusterCompCte,
          |keyed AS (

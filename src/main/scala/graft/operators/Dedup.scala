@@ -779,6 +779,51 @@ object Dedup {
   }
 
   /**
+   * SOFT dedup — down-weight instead of drop (the SoftDeDup idea,
+   * He et al. 2024, arXiv:2407.06654): every document survives with a
+   * `soft_weight = 1 / |its transitive near-dup cluster|`, so each
+   * cluster contributes ONE document's worth of sampling mass in
+   * expectation while keeping intra-cluster diversity hard dedup
+   * throws away (different snapshots/edits of a page are not
+   * interchangeable even when near-identical). Singletons weigh 1.0.
+   * The weight column composes directly with the mass-aware stages —
+   * [[graft.operators.Sampling.weightedSample]], the
+   * temperature/rebalance arms, token-budget selection.
+   *
+   * Scale shape: clusters come from the verified-pair EDGE list only
+   * ([[nearDuplicates]] → [[connectedComponents]] — edge-sized, never
+   * corpus-sized); cluster sizes fold over the component table (paired
+   * docs only), and the corpus joins that (usually broadcast-sized)
+   * weight table once — the corpus itself is never shuffled, the
+   * [[clusterNearDuplicates]] economics with one extra
+   * component-table-sized aggregation.
+   */
+  def softDedupWeights(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    threshold: Double = 0.8,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    maxIters: Int = 20,
+    localizeEdgeLimit: Long = 2000000L
+  ): DataFrame = {
+    Cols.requireAbsent(df, "soft_weight", "__csz")
+    val comp = connectedComponents(
+      nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold, maxBucket),
+      maxIters, localizeEdgeLimit)
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
+    val weighted = comp.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id").as(idCol), col("__csz"))
+    df.join(weighted, Seq(idCol), "left")
+      .withColumn("soft_weight",
+        lit(1.0) / coalesce(col("__csz"), lit(1L)).cast("double"))
+      .drop("__csz")
+  }
+
+  /**
    * Winnowing fingerprint table (Schleimer–Wilkerson–Aiken, SIGMOD
    * 2003 — the MOSS primitive; [[graft.functions.WinnowExpr]] holds
    * the algorithm + guarantee): one row per selected (doc_id, pos,

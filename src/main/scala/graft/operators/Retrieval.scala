@@ -1025,6 +1025,51 @@ object Retrieval {
       .agg(sum(col("contrib")).as("score"))
   }
 
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+   * the standard hybrid-retrieval combiner: given N per-query ranked
+   * lists (each `(query_id, doc_id, rank)`, rank 1-based — e.g.
+   * [[bm25TopK]]'s lexical ranking and a
+   * [[graft.operators.Similarity.bruteForceTopK]]/IVF dense ranking),
+   * every document scores `Σ_lists 1 / (k0 + rank)` and the fused
+   * top-`topK` per query comes back as
+   * `(query_id, doc_id, rrf_score, rank)`. Rank-based fusion needs no
+   * score calibration between lists — the reason RRF is the default
+   * hybrid combiner — and `k0` (classically 60) damps the head so one
+   * list's #1 cannot dominate every fused decision.
+   *
+   * Scale shape: input lists are already top-k-bounded per query, so
+   * everything here is (queries × k × lists)-sized — one union, one
+   * hash aggregation, one WindowGroupLimit ranking; no corpus access.
+   * The arithmetic is exact-rational-in-doubles (`1/(k0+rank)` over
+   * integer operands, at most `lists` additions per doc), so an oracle
+   * re-derives fused scores bit-for-bit.
+   */
+  def rrfFuse(
+    lists: Seq[DataFrame],
+    k0: Int = 60,
+    topK: Int = 10
+  ): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val prepped = lists.zipWithIndex.map { case (l, i) =>
+      val missing = Seq("query_id", "doc_id", "rank").filterNot(l.columns.contains)
+      require(missing.isEmpty,
+        s"rrfFuse: list $i lacks column(s) ${missing.mkString(", ")} - " +
+          "each input must be a per-query ranked list (query_id, doc_id, rank)")
+      l.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(k0) + col("rank")).cast("double")).as("__c"))
+    }
+    prepped.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__c")).as("rrf_score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+  }
+
   /** Top-k per query over the sidecar layout: [[bm25ScoresFromSidecar]]
     * + the [[bm25TopK]] ranking — layout parity with the inline,
     * flat-index ([[bm25TopKAgainst]]) and bucketed-dir

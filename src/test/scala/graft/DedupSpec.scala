@@ -165,6 +165,35 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(9L))
   }
 
+  test("softDedupWeights: 1/transitive-cluster-size, singletons 1.0, " +
+    "row count and columns intact") {
+    import spark.implicits._
+    // the clusterNearDuplicates chain fixture: docs 1-3 close into one
+    // transitive cluster, doc 9 is a singleton
+    val base = (0 until 40).map(i => s"w$i")
+    val df = Seq(
+      (1L, ("zz" +: base.tail).mkString(" ")),
+      (2L, base.mkString(" ")),
+      (3L, (base.init :+ "yy").mkString(" ")),
+      (9L, "completely unrelated text about something else entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(df, "text", "doc_id")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "soft_weight"))
+    val w = out.select("doc_id", "soft_weight").as[(Long, Double)]
+      .collect().toMap
+    assert(w.size == 4) // nothing dropped
+    assert(w(1L) == 1.0 / 3 && w(2L) == 1.0 / 3 && w(3L) == 1.0 / 3)
+    assert(w(9L) == 1.0)
+    // total mass = number of clusters (each contributes one doc's worth)
+    assert(math.abs(w.values.sum - 2.0) < 1e-12)
+    // a reserved output column fails loud instead of silently clobbering
+    val e = intercept[IllegalArgumentException] {
+      Dedup.softDedupWeights(df.withColumn("soft_weight", lit(0.5)),
+        "text", "doc_id")
+    }
+    assert(e.getMessage.contains("soft_weight"), e.getMessage)
+  }
+
   test("dropDuplicateParagraphs: multi-line blocks vanish whole; separators normalize") {
     import spark.implicits._
     val banner = "BANNER LINE ONE\nBANNER LINE TWO"

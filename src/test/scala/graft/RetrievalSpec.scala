@@ -635,6 +635,32 @@ class RetrievalSpec extends SparkSpec {
       Seq((50L, "spark spark window")).toDF("doc_id", "text"))))
   }
 
+  test("rrfFuse: hand-computed fusion, deterministic tiebreak, topK bound, " +
+    "contract guard") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k0 = 60, topK = 3)
+      .select("doc_id", "rrf_score", "rank").as[(Long, Double, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 11 rides both lists: 1/62 + 1/61 — fused top; doc 12 (1/63)
+    // falls off at topK = 3
+    assert(got.keySet == Set(11L, 10L, 13L))
+    assert(got(11L)._1 == 1.0 / 62 + 1.0 / 61) // exact doubles
+    assert(got(11L)._2 == 1 && got(10L)._2 == 2 && got(13L)._2 == 3)
+    // symmetric rank patterns produce EXACT score ties -> doc_id breaks
+    val t1 = Seq((1L, 6L, 1), (1L, 5L, 2)).toDF("query_id", "doc_id", "rank")
+    val t2 = Seq((1L, 5L, 1), (1L, 6L, 2)).toDF("query_id", "doc_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(t1, t2), topK = 2)
+      .orderBy("rank").select("doc_id").as[Long].collect()
+    assert(tied.toSeq == Seq(5L, 6L))
+    // a list without the (query_id, doc_id, rank) contract fails loud
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a.drop("rank")))
+    }
+    assert(e.getMessage.contains("rank"), e.getMessage)
+  }
+
   test("bm25AppendDir: aliased outPath spellings are refused (trailing slash)") {
     val out = tmpDir("apd-alias")
     Retrieval.bm25IndexWrite(
