@@ -350,4 +350,43 @@ class EmptyInputSpec extends SparkSpec {
       Similarity.ivfAssignWith(build.limit(0), "v", cents), "v", cents, ref)
     assert(rep.count() == 1 && rep.filter(col("n_now") === 0).count() == 1)
   }
+
+  test("r18 operators over empty inputs yield empty (or degenerate-sane) results") {
+    import spark.implicits._
+    import graft.operators.{Pq, Retrieval}
+    // generation merge of an empty layout: a no-op that leaves a
+    // probe-able empty layout
+    val dir = java.nio.file.Files.createTempDirectory("empty-mg").toString
+    Retrieval.bm25SidecarWrite(emptyDocs, "text", "doc_id", dir)
+    Retrieval.bm25SidecarMergeGenerations(spark, dir, maxGenerations = 1)
+    assert(Retrieval.bm25ScoresFromSidecar(spark, dir,
+      Seq((1L, "anything")).toDF("query_id", "qtext"),
+      "query_id", "qtext").count() == 0)
+    // sidecar top-k over the empty layout
+    assert(Retrieval.bm25TopKFromSidecar(spark, dir,
+      Seq((1L, "anything")).toDF("query_id", "qtext"),
+      "query_id", "qtext").count() == 0)
+    // PQ drift: empty NOW corpus keeps reference rows with NULL live
+    // metrics (enforcePqFreshness's fail-closed food)
+    val cb = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(0, 0L, Seq(-1.0, -1.0)),
+      org.apache.spark.sql.Row(0, 1L, Seq(1.0, 1.0))),
+      StructType(Seq(
+        StructField("subspace", IntegerType, nullable = false),
+        StructField("code", LongType, nullable = false),
+        StructField("cv", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
+    val vecs = Seq((1L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pqRef = Pq.pqCodeStats(Pq.encode(vecs, "embedding", cb), "embedding", cb)
+    val pqRep = Pq.pqDriftReport(
+      Pq.encode(vecs.limit(0), "embedding", cb), "embedding", cb, pqRef)
+    assert(pqRep.count() == 1 && pqRep.filter(col("n_now") === 0).count() == 1)
+    assert(Pq.pqCodeStats(
+      Pq.encode(vecs.limit(0), "embedding", cb), "embedding", cb).count() == 0)
+    // RRF over empty ranked lists
+    val eList = Seq((1L, 2L, 1)).toDF("query_id", "doc_id", "rank").limit(0)
+    assert(Retrieval.rrfFuse(Seq(eList, eList)).count() == 0)
+    // soft dedup over an empty corpus
+    assert(Dedup.softDedupWeights(emptyDocs, "text", "doc_id").count() == 0)
+  }
 }
