@@ -1300,6 +1300,27 @@ object LlmGates {
           "text", "doc_id", minCount = 3)
         .select(col("doc_id"), md5(col("text")).as("text_md5"))
     },
+    // §2 row 174 (r18) — PER-GROUP duplicate-line removal: the SITE
+    // FOOTER line repeats 3x inside src_a (removed from src_a docs
+    // only), while the CROSS GROUP line's 3 occurrences spread over two
+    // sources (2+1 — kept EVERYWHERE, the exact case the global rule at
+    // minCount=3 would wrongly delete); corpus docs keyed by their real
+    // `source` column ride along untouched (every source holds distinct
+    // synthetic texts)
+    "q_line_dedup_group" -> { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (420001L, "keep a\nSITE FOOTER LINE\nunique tail a", "src_a"),
+        (420002L, "SITE FOOTER LINE\nunique tail b", "src_a"),
+        (420003L, "SITE FOOTER LINE\nCROSS GROUP LINE", "src_a"),
+        (420004L, "CROSS GROUP LINE\nkept body", "src_a"),
+        (420005L, "CROSS GROUP LINE\nother site entirely", "src_b"))
+        .toDF("doc_id", "text", "source")
+      Dedup.dropDuplicateLinesByGroup(
+          docs(s, dir).select("doc_id", "text", "source").unionByName(planted),
+          "text", "doc_id", "source", minCount = 3)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+    },
     // §2.4 row 57 — WITHIN-doc repeated-line removal (first occurrence
     // kept, blank separator lines exempt); planted doc loops a menu line
     "q_line_dedup_doc" -> { (s, dir) =>
@@ -2545,6 +2566,34 @@ object LlmGates {
         |                     x -> NOT list_contains(dl.dls, md5(x))),
         |         chr(10)), '')) AS text_md5
         |FROM all_docs, dl""".stripMargin,
+    "q_line_dedup_group" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (420001::BIGINT, 'keep a' || chr(10) || 'SITE FOOTER LINE' || chr(10) || 'unique tail a', 'src_a'),
+        |    (420002::BIGINT, 'SITE FOOTER LINE' || chr(10) || 'unique tail b', 'src_a'),
+        |    (420003::BIGINT, 'SITE FOOTER LINE' || chr(10) || 'CROSS GROUP LINE', 'src_a'),
+        |    (420004::BIGINT, 'CROSS GROUP LINE' || chr(10) || 'kept body', 'src_a'),
+        |    (420005::BIGINT, 'CROSS GROUP LINE' || chr(10) || 'other site entirely', 'src_b')
+        |  ) v(doc_id, text, source)),
+        |dup AS (
+        |  SELECT source, md5(line) AS lh
+        |  FROM (SELECT source, unnest(string_split(text, chr(10))) AS line
+        |        FROM all_docs)
+        |  WHERE line <> ''
+        |  GROUP BY source, md5(line) HAVING count(*) >= 3),
+        |dl AS (
+        |  SELECT a.source, coalesce(list(d.lh), []) AS dls
+        |  FROM (SELECT DISTINCT source FROM all_docs) a
+        |  LEFT JOIN dup d ON a.source = d.source
+        |  GROUP BY a.source)
+        |SELECT doc_id, a.source,
+        |       md5(coalesce(array_to_string(
+        |         list_filter(string_split(text, chr(10)),
+        |                     x -> NOT list_contains(dl.dls, md5(x))),
+        |         chr(10)), '')) AS text_md5
+        |FROM all_docs a JOIN dl ON a.source = dl.source""".stripMargin,
     "q_para_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -1146,6 +1146,56 @@ object Dedup {
   }
 
   /**
+   * PER-GROUP duplicate-line removal — the domain-keyed refinement of
+   * [[dropDuplicateLines]]: a line occurring at least `minCount` times
+   * WITHIN one group (site domain, crawl source, feed id) is boilerplate
+   * of THAT group and is removed from its documents only. The global
+   * rule structurally misses this: per-site nav/footer lines are
+   * globally rare on a broad crawl (a 20-page site's footer appears 20
+   * times in a billion-doc corpus), while a globally-common line can be
+   * legitimate content inside one small group. Key on
+   * [[graft.operators.Web.withUrlParts]]' registrable domain for web
+   * corpora. Documents with a NULL group keep every line (there is no
+   * population to count boilerplate over — an equi-join never matches
+   * NULL keys, documented rather than accidental).
+   *
+   * Scale shape: identical to [[dropDuplicateLines]] with the group
+   * riding the key — one corpus-wide shuffle on (group, 16-byte line
+   * hash), a tiny ≥minCount dup set, one anti join, one per-doc
+   * regroup. Blank separator lines are exempt; NULL text rebuilds as
+   * empty; output carries (doc_id, group, text).
+   */
+  def dropDuplicateLinesByGroup(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    groupCol: String,
+    minCount: Int = 3
+  ): DataFrame = {
+    require(minCount >= 2, s"minCount must be at least 2: $minCount")
+    val lines = df
+      .select(col(idCol).as("doc_id"), col(groupCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", unhex(md5(col("line"))))
+    val dup = lines.filter(col("line") =!= "") // blank separators exempt
+      .groupBy(groupCol, "lh")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(groupCol, "lh")
+    val rebuilt = lines
+      .join(dup, Seq(groupCol, "lh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line"))).as(textCol))
+    df.select(col(idCol).as("doc_id"), col(groupCol))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col(groupCol),
+        coalesce(col(textCol), lit("")).as(textCol))
+  }
+
+  /**
    * Corpus-wide duplicate-PARAGRAPH removal (the RefinedWeb granularity
    * between [[dropDuplicateLines]] and whole-document dedup): any
    * paragraph — a maximal run of text between blank-line separators

@@ -194,6 +194,32 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("soft_weight"), e.getMessage)
   }
 
+  test("dropDuplicateLinesByGroup: boilerplate removed per group, " +
+    "cross-group spread kept, NULL group keeps all lines") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "keep\nFOOTER\ntail one", "a"),
+      (2L, "FOOTER\ntail two", "a"),
+      (3L, "FOOTER", "a"),
+      (4L, "SPREAD\nbody", "a"),
+      (5L, "SPREAD\nmore", "a"),
+      (6L, "SPREAD\nelsewhere", "b"),        // 2+1 across groups: kept
+      (7L, "FOOTER\nno group no rule", null) // NULL group: untouched
+    ).toDF("doc_id", "text", "src")
+    val out = Dedup.dropDuplicateLinesByGroup(df, "text", "doc_id", "src",
+        minCount = 3)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) == "keep\ntail one")
+    assert(out(2L) == "tail two")
+    assert(out(3L) == "")
+    // the global rule at minCount=3 would have deleted SPREAD too
+    assert(out(4L) == "SPREAD\nbody" && out(6L) == "SPREAD\nelsewhere")
+    assert(out(7L) == "FOOTER\nno group no rule")
+    // group column rides the output
+    assert(Dedup.dropDuplicateLinesByGroup(df, "text", "doc_id", "src")
+      .columns.toSeq == Seq("doc_id", "src", "text"))
+  }
+
   test("dropDuplicateParagraphs: multi-line blocks vanish whole; separators normalize") {
     import spark.implicits._
     val banner = "BANNER LINE ONE\nBANNER LINE TWO"
