@@ -190,6 +190,7 @@ object Bench {
     "q_rrf_fusion",          // reciprocal-rank fusion of bm25TopK + dense cosine top-k — query-bounded union + agg + WindowGroupLimit (r18)
     "q_soft_dedup",          // soft dedup: near-dup chain + CC + 1/cluster-size weights joined back, corpus never shuffled (r18)
     "q_line_dedup_group",    // per-group (domain) duplicate-line removal: one (group, line-hash) shuffle + anti join + regroup (r18)
+    "q_cluster_update",      // incremental cluster maintenance: prior star edges + drop pairs -> CC, == full re-pair rebuild (r18)
     "q_setsim_append",       // prefix-index grow + join-surface probe (r17)
     "q_winnow_append",       // winnow-index grow through parquet + overlap probe (r17)
     "q_banded_recap",        // banded artifact re-cap: dedupe + two-pass cap over band rows (r17)

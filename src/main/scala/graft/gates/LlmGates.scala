@@ -486,6 +486,30 @@ object LlmGates {
           k = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select("doc_id", "cluster_id")
     },
+    // §2 row 175 (r18) — INCREMENTAL cluster maintenance: prior labels
+    // from the corpus alone, the planted +100000 drop's pairs from the
+    // INCREMENTAL surface (within-drop + drop-vs-signature-index probe),
+    // folded by updateClusterLabels — pinned against the SAME oracle as
+    // q_neardup_cluster (the full re-pair rebuild over corpus ∪ drop):
+    // incremental ≡ rebuild, label for label
+    "q_cluster_update" -> { (s, dir) =>
+      val corpus = docs(s, dir).select("doc_id", "text")
+      val drop = corpus.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val prior = Dedup.clusterNearDuplicates(corpus, "text", "doc_id",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select("doc_id", "cluster_id")
+      val within = Dedup.nearDuplicates(drop, "text", "doc_id",
+        k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select("id_a", "id_b")
+      val cross = Dedup.nearDuplicatesAgainstIndex(drop,
+          Dedup.minHashSignatures(corpus, "text", "doc_id", k = 3, numHashes = 16),
+          "text", "doc_id", k = 3, numHashes = 16, bands = 4, threshold = 0.8)
+        .select(col("batch_id").as("id_a"), col("index_id").as("id_b"))
+      Dedup.updateClusterLabels(prior, drop.select("doc_id"),
+          within.unionByName(cross))
+        .select("doc_id", "cluster_id")
+    },
     // §2 row 173 (r18) — SOFT dedup: every doc kept, weighted
     // 1/|transitive cluster| (planted copies land in their originals'
     // clusters, so both weigh 1/n; singletons 1.0); oracle = the
@@ -1756,6 +1780,15 @@ object LlmGates {
     * (recursive min-label closure over the re-derived verified-pair
     * edges of the docsWithDups fixture) — shared with the keep-best
     * keeper oracle. */
+  /** Full-rebuild transitive clustering over documents ∪ the +100000
+    * planted copies — the shared oracle of q_neardup_cluster AND
+    * q_cluster_update (whose incremental fold must equal it label for
+    * label). */
+  private lazy val NeardupClusterSql: String =
+    s"""$ClusterCompCte
+       |SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cluster_id
+       |FROM all_docs a LEFT JOIN comp c USING (doc_id)""".stripMargin
+
   private lazy val ClusterCompCte: String =
     s"""${docSigCte("all_docs").replaceFirst("^WITH ",
              """WITH RECURSIVE all_docs AS (
@@ -1888,10 +1921,10 @@ object LlmGates {
          |WHERE doc_id NOT IN (SELECT id_b FROM losers)""".stripMargin,
     // closes the re-derived verified-pair edges with a recursive CTE
     // (id reaches r), then labels every doc with min reachable id
-    "q_neardup_cluster" ->
-      s"""$ClusterCompCte
-         |SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cluster_id
-         |FROM all_docs a LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    "q_neardup_cluster" -> NeardupClusterSql,
+    // incremental ≡ rebuild is the row-175 contract, so the oracle IS
+    // the full-rebuild clustering over the same corpus ∪ drop
+    "q_cluster_update" -> NeardupClusterSql,
     "q_soft_dedup" ->
       s"""$ClusterCompCte,
          |sz AS (SELECT cluster_id, count(*)::BIGINT AS n FROM comp GROUP BY 1)

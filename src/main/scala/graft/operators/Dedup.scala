@@ -779,6 +779,64 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL cluster maintenance — fold a drop's near-dup pairs into
+   * PERSISTED cluster labels without re-pairing the corpus: the
+   * row-79/81 incremental family produces the drop's edges (within-drop
+   * [[nearDuplicates]] + drop-vs-index [[nearDuplicatesAgainstIndex]]),
+   * and this closes them into updated transitive labels. The graph
+   * fold is EXACT, in writing: [[clusterNearDuplicates]] labels are
+   * component MIN-ids, so each prior component is equivalently its
+   * star graph (member → label), and connected components over (star
+   * edges ∪ new pairs) have the same reachability — hence the same
+   * min-id labels — as re-clustering the union of (prior pairs ∪ new
+   * pairs) from scratch; min-of-union associativity makes it compose
+   * across any append sequence. Equality with a full RE-PAIR of
+   * corpus ∪ drop additionally requires the pair surfaces to agree:
+   * they do on duplicate content (identical/near-identical texts share
+   * signatures, so a copy pairs exactly where its original does, and a
+   * probe-missed copy↔copy pair is covered transitively through the
+   * originals), but BORDERLINE pairs can differ because the in-corpus
+   * verify is exact Jaccard while the cross-corpus probe verifies
+   * signature agreement (the row-79 estimator, its documented
+   * difference — a pair at jaccard ≈ threshold may fall on either
+   * side). The gate pins rebuild-equality on planted duplicates; treat
+   * label drift on borderline-similarity corpora as the probe
+   * estimator's property, not this fold's.
+   *
+   * Scale shape: the CC edge list is (non-singleton prior docs + new
+   * pairs)-sized — singleton labels (doc_id == cluster_id) contribute
+   * NO edge and are restored by the final coalesce, so a mostly-unique
+   * corpus pays for its duplicate minority only; the corpus text is
+   * never touched (edges ride ids alone).
+   *
+   * @param priorLabels (doc_id, cluster_id) min-id labels — the
+   *        [[clusterNearDuplicates]] contract; feeding labels produced
+   *        by anything else voids the rebuild-equality argument
+   * @param dropIds     one row per drop doc (doc_id) — drop docs in no
+   *        pair must still receive their singleton label
+   * @param newPairs    (id_a, id_b) verified pairs touching the drop
+   */
+  def updateClusterLabels(
+    priorLabels: DataFrame,
+    dropIds: DataFrame,
+    newPairs: DataFrame,
+    maxIters: Int = 20,
+    localizeEdgeLimit: Long = 2000000L
+  ): DataFrame = {
+    val starEdges = priorLabels
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+    val comp = connectedComponents(
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxIters, localizeEdgeLimit)
+    val allIds = priorLabels.select("doc_id")
+      .unionByName(dropIds.select(col(dropIds.columns.head).as("doc_id")))
+      .distinct()
+    allIds.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+  }
+
+  /**
    * SOFT dedup — down-weight instead of drop (the SoftDeDup idea,
    * He et al. 2024, arXiv:2407.06654): every document survives with a
    * `soft_weight = 1 / |its transitive near-dup cluster|`, so each

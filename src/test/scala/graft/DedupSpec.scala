@@ -165,6 +165,42 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(9L))
   }
 
+  test("updateClusterLabels: cross-cluster merge, drop singletons, " +
+    "and randomized incremental == rebuild") {
+    import spark.implicits._
+    // hand fixture: prior components {1,2} and {3}; drop doc 4 bridges
+    // them (pairs with 2 AND 3) -> all four take min-id 1; drop doc 5
+    // pairs with nothing -> its own singleton label
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val pairs = Seq((4L, 2L), (4L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.updateClusterLabels(prior, Seq(4L, 5L).toDF("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+    // decisive fixture: mutually-distinct docs (disjoint vocab — no
+    // borderline jaccards, where the exact-verify rebuild and the
+    // signature-agreement probe may legitimately disagree) + a drop of
+    // re-keyed copies; the incremental fold must equal the full
+    // re-pair rebuild label-for-label
+    val base = (0 until 30).map(i =>
+      (i.toLong, (0 until 25).map(j => s"w${i * 100 + j}").mkString(" ")))
+    val corpus = base.toDF("doc_id", "text")
+    val drop = corpus.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    val p = Dedup.clusterNearDuplicates(corpus, "text", "doc_id")
+      .select("doc_id", "cluster_id")
+    val within = Dedup.nearDuplicates(drop, "text", "doc_id").select("id_a", "id_b")
+    val cross = Dedup.nearDuplicatesAgainstIndex(drop,
+        Dedup.minHashSignatures(corpus, "text", "doc_id"), "text", "doc_id")
+      .select(col("batch_id").as("id_a"), col("index_id").as("id_b"))
+    val incr = Dedup.updateClusterLabels(p, drop.select("doc_id"),
+        within.unionByName(cross))
+      .as[(Long, Long)].collect().toMap
+    val rebuild = Dedup.clusterNearDuplicates(
+        corpus.unionByName(drop), "text", "doc_id")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(incr == rebuild)
+  }
+
   test("softDedupWeights: 1/transitive-cluster-size, singletons 1.0, " +
     "row count and columns intact") {
     import spark.implicits._
