@@ -234,7 +234,9 @@ object GraftSession {
               if (buckets > 0)
                 log.warn(
                   s"$name: dropped $buckets oversized bucket(s) covering " +
-                    s"$rows rows — raise maxBucket " +
+                    s">= $rows rows (exact on row-parity stages; a floor " +
+                    "on distinct-parity stages, whose saturated buffers " +
+                    "stop counting past the cap) — raise maxBucket " +
                     "or run exact dedup first if those clusters matter")
             }
           }

@@ -1044,6 +1044,12 @@ object Retrieval {
    * The arithmetic is exact-rational-in-doubles (`1/(k0+rank)` over
    * integer operands, at most `lists` additions per doc), so an oracle
    * re-derives fused scores bit-for-bit.
+   *
+   * Input contract: each list must be a PROPER ranking — one row per
+   * (query_id, doc_id). A list carrying duplicate doc rows would
+   * contribute once per row (the aggregation cannot distinguish a
+   * malformed list from a legitimate multi-list union); every top-k
+   * producer in this engine satisfies the contract by construction.
    */
   def rrfFuse(
     lists: Seq[DataFrame],

@@ -104,6 +104,50 @@ class BoundedCollectSpec extends SparkSpec {
     assert(gotList === wantList)
   }
 
+  test("randomized equivalence with collect_list/collect_set semantics " +
+    "across caps (seeded, multi-partition)") {
+    val rnd = new scala.util.Random(20260816L)
+    // skewed groups: a few huge, many small — exercises partial
+    // saturation, merge-path dedup, and boundary caps together
+    val rows = (0 until 4000).map { _ =>
+      val g = rnd.nextInt(30)
+      val k = if (g < 3) s"big$g" else s"k$g"
+      (k, rnd.nextInt(if (g < 3) 200 else 12).toLong)
+    }
+    val df = rows.toDF("k", "v").repartition(13)
+    val byKey = rows.groupBy(_._1)
+    for (cap <- Seq(2, 7, 64, 500)) {
+      // list parity: keep/drop by ROW count, survivors carry the exact
+      // multiset, counts exact even past the cap
+      val gotL = bucketize(df, cap, distinct = false)
+        .as[(String, Long, Seq[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      byKey.foreach { case (k, vs) =>
+        val (n, items) = gotL(k)
+        assert(n == vs.size.toLong, s"cap=$cap k=$k")
+        if (vs.size <= cap)
+          assert(items == vs.map(_._2).sorted, s"cap=$cap k=$k")
+        else assert(items.isEmpty, s"cap=$cap k=$k")
+      }
+      // set parity: keep/drop by DISTINCT count, survivors carry the
+      // exact distinct set, over-cap saturates at cap+1
+      val gotS = bucketize(df, cap, distinct = true)
+        .as[(String, Long, Seq[Long])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      byKey.foreach { case (k, vs) =>
+        val distinct = vs.map(_._2).distinct.sorted
+        val (n, items) = gotS(k)
+        if (distinct.size <= cap) {
+          assert(n == distinct.size.toLong, s"cap=$cap k=$k")
+          assert(items == distinct, s"cap=$cap k=$k")
+        } else {
+          assert(n == cap + 1L, s"cap=$cap k=$k (saturation floor)")
+          assert(items.isEmpty, s"cap=$cap k=$k")
+        }
+      }
+    }
+  }
+
   test("cap below 2 fails analysis") {
     val df = Seq(("k", 1L)).toDF("k", "v")
     val e = intercept[Exception] {
