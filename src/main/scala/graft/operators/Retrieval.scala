@@ -728,10 +728,19 @@ object Retrieval {
       s"${m.nDocs},${m.sumDl},g${m.gens.mkString(".")},${m.dfV},${m.rmV},${m.buckets}"
         .getBytes("UTF-8"))
     finally out.close()
-    try
+    try {
       org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
         .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch {
+      // ChecksumFileSystem hygiene: the FileContext rename goes through
+      // the RAW fs, which moves the data file but never checksum
+      // sidecars — a stale `.crc` for the destination (written by a
+      // pre-overwrite-rename writer whose checksummed rename carried it
+      // along) would fail every later read against the NEW bytes, and
+      // the tmp's own `.crc` would leak one orphan per mutation.
+      // Best-effort drop of both.
+      fs.delete(new org.apache.hadoop.fs.Path(path, s".$SidecarMetaFile.crc"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(path, s".${tmp.getName}.crc"), false)
+    } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         // no FileContext binding for this FS: fall back to the
         // two-operation replace (documented not-found window)

@@ -635,6 +635,38 @@ class RetrievalSpec extends SparkSpec {
       Seq((50L, "spark spark window")).toDF("doc_id", "text"))))
   }
 
+  test("sidecar meta flip survives a checksummed-era layout (stale .crc " +
+    "dropped, none accumulate)") {
+    val out = tmpDir("sc-crc")
+    Retrieval.bm25SidecarWrite(corpus, "text", "doc_id", out)
+    // simulate a pre-overwrite-rename writer: rewrite the meta through
+    // the CHECKSUM fs so a `._bm25_sidecar.crc` sidecar exists — the
+    // raw overwrite-rename would strand it describing the OLD bytes
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaP = new org.apache.hadoop.fs.Path(out, "_bm25_sidecar")
+    val fs = metaP.getFileSystem(hconf)
+    val bytes = {
+      val in = fs.open(metaP)
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    }
+    val os = fs.create(metaP, true)
+    try os.write(bytes) finally os.close()
+    assert(new java.io.File(out, "._bm25_sidecar.crc").exists())
+    // an r18 mutation must flip the meta AND drop the stale crc — a
+    // surviving one would fail every later checksummed read
+    Retrieval.bm25SidecarAppend(spark, out,
+      Seq((50L, "spark spark appended")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    assert(!new java.io.File(out, "._bm25_sidecar.crc").exists())
+    assert(probeSidecar(out) == inlineScores(corpus.unionByName(
+      Seq((50L, "spark spark appended")).toDF("doc_id", "text"))))
+    // and mutations don't leak tmp crc orphans
+    val strays = new java.io.File(out).listFiles()
+      .map(_.getName).filter(n => n.startsWith("._bm25_sidecar.tmp"))
+    assert(strays.isEmpty, strays.mkString(","))
+  }
+
   test("rrfFuse: hand-computed fusion, deterministic tiebreak, topK bound, " +
     "contract guard") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
