@@ -191,6 +191,9 @@ object Bench {
     "q_soft_dedup",          // soft dedup: near-dup chain + CC + 1/cluster-size weights joined back, corpus never shuffled (r18)
     "q_line_dedup_group",    // per-group (domain) duplicate-line removal: one (group, line-hash) shuffle + anti join + regroup (r18)
     "q_cluster_update",      // incremental cluster maintenance: prior star edges + drop pairs -> CC, == full re-pair rebuild (r18)
+    "q_series_vectors",      // fixed-grid behavior profiles: ONE hash agg with nBuckets conditional sums, no collect/pivot (r18)
+    // q_dtw_topk stays unbenched: constant-fixture parity gate (the
+    // q_curation_c4 convention); the DTW kernel cost rides per-pair
     "q_setsim_append",       // prefix-index grow + join-surface probe (r17)
     "q_winnow_append",       // winnow-index grow through parquet + overlap probe (r17)
     "q_banded_recap",        // banded artifact re-cap: dedupe + two-pass cap over band rows (r17)

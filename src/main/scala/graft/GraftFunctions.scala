@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CharEntropyExpr, CmsUnionAgg, KllBuildAgg, KllUnionAgg, ThetaBuildAgg, ThetaUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
+import graft.functions.{CharEntropyExpr, CmsUnionAgg, DtwDistExpr, KllBuildAgg, KllUnionAgg, ThetaBuildAgg, ThetaUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -47,6 +47,16 @@ object GraftFunctions {
     case Seq(a, b) => L2DistSqExpr(a, b)
     case args => throw new IllegalArgumentException(
       s"l2_dist_sq expects 2 arguments, got ${args.length}")
+  }
+
+  private def dtwDistBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, Literal(band: Int, _)) => DtwDistExpr(a, b, band)
+    case Seq(a, b) => DtwDistExpr(a, b, 8)
+    case Seq(_, _, bad) => throw new IllegalArgumentException(
+      "dtw_dist's third argument must be an INT literal band " +
+        s"(e.g. 8, not 8L or a column); got: $bad")
+    case args => throw new IllegalArgumentException(
+      s"dtw_dist expects (array, array[, band INT literal]), got ${args.length} args")
   }
 
   private def hyperplaneBuilder: Seq[Expression] => Expression = {
@@ -129,6 +139,8 @@ object GraftFunctions {
     ("char_entropy", oneArg("char_entropy")(CharEntropyExpr.apply(_: Expression)),
       classOf[CharEntropyExpr]),
     ("l2_dist_sq", l2DistSqBuilder, classOf[L2DistSqExpr]),
+    // banded dynamic-time-warping distance over numeric series
+    ("dtw_dist", dtwDistBuilder, classOf[DtwDistExpr]),
     // union of serialized count-min sketches — pairs with Spark's own
     // count_min_sketch builder aggregate (which has no SQL union)
     ("cms_union", oneArg("cms_union")(CmsUnionAgg(_: Expression)),

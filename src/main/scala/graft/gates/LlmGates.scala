@@ -1608,6 +1608,44 @@ object LlmGates {
         .withColumn("value_sum", round(col("value_sum"), 6))
         .withColumn("last_value", round(col("last_value"), 6))
     },
+    // §2 row 176a (r18) — fixed-grid series vectors: per user, the
+    // 30-day daily value profile as ONE dense array (zero-filled), the
+    // bridge from the events stream to the similarity family; start =
+    // 2024-01-01T00:00:00Z (the synthetic events epoch), elements
+    // rounded (partial-agg summation order)
+    "q_series_vectors" -> { (s, dir) =>
+      Events.seriesVectors(
+          Events.readEventsParquet(s, s"$dir/events.parquet"),
+          startMicros = 1704067200000000L,
+          intervalMicros = 86400000000L, nBuckets = 30)
+        .select(col("series_id"),
+          transform(col("series"), x => round(x, 6)).as("series"))
+    },
+    // §2 row 176b (r18) — banded-DTW top-k over a CONSTANT series
+    // fixture (DuckDB cannot express the DTW recurrence; the oracle is
+    // the hand-derived constant table, the row-142 dHash convention):
+    // query 1 IS series 101 (distance 0); the one-bucket-shifted and
+    // length-7 variants rank next despite misalignment (the warping
+    // contract); the length-5 series is band-infeasible and never a
+    // neighbor; the 12.0 tie breaks by neighbor id
+    "q_dtw_topk" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Seq(
+        (101L, Seq(0.0, 1, 5, 5, 1, 0, 0, 0)),
+        (102L, Seq(1.0, 5, 5, 1, 0, 0, 0, 2)),
+        (103L, Seq(0.0, 0, 1, 5, 5, 1, 0, 3)),
+        (104L, Seq(5.0, 4, 3, 2, 2, 3, 4, 5)),
+        (105L, Seq(0.0, 0, 0, 0, 0, 0, 0, 0)),
+        (106L, Seq(0.0, 1, 5, 5, 1, 0, 2)),
+        (107L, Seq(0.0, 1, 5, 5, 1))).toDF("series_id", "series")
+      val queries = Seq(
+        (1L, Seq(0.0, 1, 5, 5, 1, 0, 0, 0)),
+        (2L, Seq(2.0, 2, 2, 2, 2, 2, 2, 2))).toDF("series_id", "series")
+      graft.operators.Similarity.dtwTopK(
+          corpus, queries, "series", "series_id", k = 3, band = 2)
+        .select(col("query_id"), col("neighbor_id"), col("dtw_dist"),
+          col("rank").cast("long").as("rank"))
+    },
     // §2 row 120 — per-event trailing-window aggregates (6h): RANGE
     // frame on exact epoch micros, peers included on both engines
     "q_rolling" -> { (s, dir) =>
@@ -3055,6 +3093,34 @@ object LlmGates {
         |FROM d
         |JOIN ic ia ON ia.i = d.antecedent
         |JOIN ic ic2 ON ic2.i = d.consequent, n""".stripMargin,
+    "q_series_vectors" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) - 1704067200000000) // 86400000000 AS i,
+        |         value
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, i, sum(value) AS s FROM ev
+        |  WHERE i >= 0 AND i < 30 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, g.i
+        |  FROM (SELECT DISTINCT user_id FROM f) u
+        |  CROSS JOIN (SELECT unnest(range(30)) AS i) g)
+        |SELECT grid.user_id AS series_id,
+        |       list(round(coalesce(f.s, 0.0), 6) ORDER BY grid.i) AS series
+        |FROM grid LEFT JOIN f ON grid.user_id = f.user_id AND grid.i = f.i
+        |GROUP BY grid.user_id""".stripMargin,
+    // hand-derived constant table (the Spark fixture is constant too);
+    // derivation noted in the queries-entry comment
+    "q_dtw_topk" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 101::BIGINT, 0.0::DOUBLE, 1::BIGINT),
+        |  (1::BIGINT, 106::BIGINT, 2.0::DOUBLE, 2::BIGINT),
+        |  (1::BIGINT, 102::BIGINT, 3.0::DOUBLE, 3::BIGINT),
+        |  (2::BIGINT, 104::BIGINT, 12.0::DOUBLE, 1::BIGINT),
+        |  (2::BIGINT, 106::BIGINT, 12.0::DOUBLE, 2::BIGINT),
+        |  (2::BIGINT, 102::BIGINT, 14.0::DOUBLE, 3::BIGINT)
+        |) t(query_id, neighbor_id, dtw_dist, rank)""".stripMargin,
     "q_resample" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS k, event_id, value,

@@ -68,6 +68,45 @@ object Similarity {
       .drop("rn")
   }
 
+  /**
+   * Brute-force DTW top-k: per query series, the `k` nearest corpus
+   * series by banded dynamic-time-warping distance (ascending;
+   * neighbor-id tiebreak) — the phase-tolerant twin of
+   * [[bruteForceTopK]] for behavior profiles
+   * ([[graft.streaming.Events.seriesVectors]] output): a usage pattern
+   * shifted by a bucket is CLOSE under DTW and far under any aligned
+   * metric. Queries broadcast, the corpus is never shuffled, each pair
+   * pays the O(len·band) [[graft.functions.DtwDistExpr]] kernel
+   * in-scan, and row_number ≤ k plans as WindowGroupLimit. NULL
+   * distances (empty series, band-infeasible length gaps) are not
+   * neighbors — the [[bruteForceTopK]] zero-norm convention. Exact by
+   * construction; at corpus scale, pre-prune with a cheap aligned
+   * metric (cosine/L2 top-N, then DTW re-rank) — the
+   * [[graft.operators.Pq.adcRerankTopK]] two-stage shape.
+   */
+  def dtwTopK(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    k: Int = 10,
+    band: Int = 8
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.DtwDistExpr(col("qv"), col("nv"), band).as("dtw_dist"))
+      .filter(col("dtw_dist").isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dtw_dist").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Assign every corpus vector to its nearest centroid by cosine: the
     * (small) centroid table rides along as ONE broadcast array row and
     * the argmax is a pure expression fold over it — the corpus itself is

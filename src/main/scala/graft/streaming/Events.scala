@@ -563,4 +563,46 @@ object Events {
       .select(col("from_type"), col("to_type"), col("n_trans"),
         (col("n_trans").cast("double") / col("__n_from")).as("prob"))
   }
+
+  /**
+   * FIXED-GRID series vectors: per key, `valueCol` summed into
+   * `nBuckets` equal `intervalMicros` windows starting at
+   * `startMicros` — one dense `array<double>` per key, empty buckets
+   * zero-filled, events outside the grid dropped. This is the bridge
+   * from the events stream to the vector-similarity family: the output
+   * feeds [[graft.operators.Similarity.dtwTopK]] (phase-tolerant),
+   * [[graft.operators.Similarity.bruteForceTopK]]/IVF (cosine), or any
+   * embedding operator, making "which users/services behave like this
+   * one" a similarity search over behavior profiles.
+   *
+   * Scale shape: ONE hash aggregation over the events — the bucket
+   * index is a scan-stage projection and the dense array is `nBuckets`
+   * conditional sums inside a single groupBy (no collect_list + sort,
+   * no pivot, no per-bucket rows shuffled: the shuffle carries one
+   * partial array per (partition, key)). `nBuckets` is bounded (4096)
+   * because it is the per-row aggregate width, not a data size.
+   */
+  def seriesVectors(
+    events: DataFrame,
+    startMicros: Long,
+    intervalMicros: Long,
+    nBuckets: Int,
+    keyCol: String = "user_id",
+    tsCol: String = "ts",
+    valueCol: String = "value"
+  ): DataFrame = {
+    require(intervalMicros > 0, s"intervalMicros must be positive: $intervalMicros")
+    require(nBuckets >= 1 && nBuckets <= 4096,
+      s"nBuckets must be in [1, 4096] (it is the aggregate width): $nBuckets")
+    val key = graft.operators.Joins.keyOf(col(tsCol), events.schema(tsCol).dataType)
+    val idx = graft.operators.Joins.floorDivExact(key - lit(startMicros), intervalMicros)
+    events
+      .select(col(keyCol).as("series_id"), idx.as("__i"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__i") >= 0 && col("__i") < nBuckets)
+      .groupBy("series_id")
+      .agg(array((0 until nBuckets).map(i =>
+        coalesce(sum(when(col("__i") === i, col("__v"))), lit(0.0))): _*)
+        .as("series"))
+  }
 }
