@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CharEntropyExpr, CmsUnionAgg, DtwDistExpr, KllBuildAgg, KllUnionAgg, ThetaBuildAgg, ThetaUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
+import graft.functions.{CharEntropyExpr, CmsUnionAgg, DtwDistExpr, LbKeoghExpr, KllBuildAgg, KllUnionAgg, ThetaBuildAgg, ThetaUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -47,6 +47,16 @@ object GraftFunctions {
     case Seq(a, b) => L2DistSqExpr(a, b)
     case args => throw new IllegalArgumentException(
       s"l2_dist_sq expects 2 arguments, got ${args.length}")
+  }
+
+  private def lbKeoghBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b, Literal(band: Int, _)) => LbKeoghExpr(a, b, band)
+    case Seq(a, b) => LbKeoghExpr(a, b, 8)
+    case Seq(_, _, bad) => throw new IllegalArgumentException(
+      "lb_keogh's third argument must be an INT literal band " +
+        s"(e.g. 8, not 8L or a column); got: $bad")
+    case args => throw new IllegalArgumentException(
+      s"lb_keogh expects (array, array[, band INT literal]), got ${args.length} args")
   }
 
   private def dtwDistBuilder: Seq[Expression] => Expression = {
@@ -141,6 +151,9 @@ object GraftFunctions {
     ("l2_dist_sq", l2DistSqBuilder, classOf[L2DistSqExpr]),
     // banded dynamic-time-warping distance over numeric series
     ("dtw_dist", dtwDistBuilder, classOf[DtwDistExpr]),
+    // its LB_Keogh lower bound — the cheap screen of the two-stage
+    // exact DTW search (NULL exactly where dtw_dist is)
+    ("lb_keogh", lbKeoghBuilder, classOf[LbKeoghExpr]),
     // union of serialized count-min sketches — pairs with Spark's own
     // count_min_sketch builder aggregate (which has no SQL union)
     ("cms_union", oneArg("cms_union")(CmsUnionAgg(_: Expression)),

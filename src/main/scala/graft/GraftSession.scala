@@ -285,8 +285,20 @@ object GraftSession {
   }
 
   /** Reset [[bucketCapDrops]] for a session (e.g. between pipeline stages
-    * whose drop decisions are independent). */
-  def clearBucketCapDrops(spark: SparkSession): Unit = {
+    * whose drop decisions are independent). Listener delivery is
+    * asynchronous, so an event from an action that already RETURNED can
+    * still be in flight on the bus; without a flush it would land after
+    * the clear and be mis-attributed to the next stage. Flush first
+    * (same discipline as the read path) so the clear covers everything
+    * the caller's completed actions produced. */
+  def clearBucketCapDrops(
+    spark: SparkSession,
+    flushTimeoutMs: Long = 10000
+  ): Unit = {
+    if (!org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark, flushTimeoutMs))
+      org.slf4j.LoggerFactory.getLogger("graft.BucketCap").warn(
+        s"listener bus flush did not complete within ${flushTimeoutMs}ms — " +
+          "a drop record from a just-finished action may survive the clear")
     val records = recordsFor(spark)
     records.synchronized { records.clear() }
   }

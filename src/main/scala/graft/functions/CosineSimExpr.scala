@@ -81,10 +81,13 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cosineExpr", this)
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      // freshName: two cosine_sim calls in one projection must not
+      // declare duplicate locals (would fail codegen → interpreted fallback)
+      val cs = ctx.freshName("cos")
       s"""
-         |Object cs = ((graft.functions.CosineSimExpr) $ref).nullSafeEval($l, $r);
-         |if (cs == null) { ${ev.isNull} = true; } else {
-         |  ${ev.value} = ((Double) cs).doubleValue();
+         |Object $cs = ((graft.functions.CosineSimExpr) $ref).nullSafeEval($l, $r);
+         |if ($cs == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = ((Double) $cs).doubleValue();
          |}
        """.stripMargin
     })

@@ -79,7 +79,10 @@ case class DtwDistExpr(left: Expression, right: Expression, band: Int)
     while (i <= n) {
       java.util.Arrays.fill(cur, inf)
       val lo = math.max(1, i - band)
-      val hi = math.min(m, i + band)
+      // Long arithmetic: i + band overflows Int for band near Int.MaxValue
+      // (the "unbanded" spelling), which would wrap negative and skip the
+      // inner loop entirely, silently returning Infinity
+      val hi = math.min(m.toLong, i.toLong + band).toInt
       val ai = get(a, i - 1, leftType)
       j = lo
       while (j <= hi) {
@@ -99,10 +102,14 @@ case class DtwDistExpr(left: Expression, right: Expression, band: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dtwExpr", this)
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      // freshName, not a fixed local: two dtw_dist calls in one projection
+      // would otherwise declare duplicate `Object d` and fail codegen
+      // compilation (silent interpreted fallback)
+      val d = ctx.freshName("dtw")
       s"""
-         |Object d = ((graft.functions.DtwDistExpr) $ref).nullSafeEval($l, $r);
-         |if (d == null) { ${ev.isNull} = true; } else {
-         |  ${ev.value} = ((Double) d).doubleValue();
+         |Object $d = ((graft.functions.DtwDistExpr) $ref).nullSafeEval($l, $r);
+         |if ($d == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = ((Double) $d).doubleValue();
          |}
        """.stripMargin
     })

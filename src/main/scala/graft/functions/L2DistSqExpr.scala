@@ -69,10 +69,13 @@ case class L2DistSqExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("l2Expr", this)
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      // freshName: two l2_dist_sq calls in one projection must not
+      // declare duplicate locals (would fail codegen → interpreted fallback)
+      val d2 = ctx.freshName("l2")
       s"""
-         |Object d2 = ((graft.functions.L2DistSqExpr) $ref).nullSafeEval($l, $r);
-         |if (d2 == null) { ${ev.isNull} = true; } else {
-         |  ${ev.value} = ((Double) d2).doubleValue();
+         |Object $d2 = ((graft.functions.L2DistSqExpr) $ref).nullSafeEval($l, $r);
+         |if ($d2 == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = ((Double) $d2).doubleValue();
          |}
        """.stripMargin
     })

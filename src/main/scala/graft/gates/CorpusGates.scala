@@ -326,6 +326,38 @@ object CorpusGates {
           round(col("rrf_score"), 9).as("rrf_score"),
           col("rank").cast("long").as("rank")) // DuckDB row_number is BIGINT
     },
+    // §2 row 172b (r19) — WEIGHTED fusion composed the way a
+    // deployment actually runs: the lexical leg reads the persisted
+    // SIDECAR layout (bm25TopKFromSidecar — layout parity lets the
+    // oracle keep the inline bm25 CTEs) and the dense leg is IVF in
+    // its exact-degenerate mode (nProbe = nCentroids, the
+    // q_ann_ivf_exact contract — the full IVF machinery must
+    // reproduce brute-force cosine, so the oracle needs no k-means),
+    // fused at weights 2.0 (lexical) / 1.0 (dense): each contribution
+    // stays one double division, scores still bit-exact
+    "q_rrf_fusion_weighted" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-rrfw-gate").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      Retrieval.bm25SidecarWrite(d, "text", "doc_id", out)
+      val bm = Retrieval.bm25TopKFromSidecar(
+          s, out, bm25Queries(s), "query_id", "qtext", k = 10)
+        .select("query_id", "doc_id", "rank")
+      val e = LlmGates.embs(s, dir).select("vec_id", "embedding")
+      val ann = Similarity.ivfTopK(
+          e, e.filter(col("vec_id").between(1, 3)), "embedding", "vec_id",
+          k = 10, nCentroids = 16, nProbe = 16)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("score").desc, col("neighbor_id"))))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, ann), k0 = 60, topK = 5,
+          weights = Some(Seq(2.0, 1.0)))
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf_score"), 9).as("rrf_score"),
+          col("rank").cast("long").as("rank"))
+    },
     // §2.4 row 70 — unigram KL drift: corpus A = documents; corpus B =
     // a biased subsample (every 3rd doc) + planted spam flood — the
     // drifted-batch shape the monitor exists to catch
@@ -1043,6 +1075,48 @@ object CorpusGates {
          |    FROM anns WHERE score IS NOT NULL) WHERE rank <= 10),
          |u AS (
          |  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM bm
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM ann),
+         |f AS (SELECT query_id, doc_id, sum(c) AS fs FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(fs, 9) AS rrf_score, rank FROM (
+         |  SELECT query_id, doc_id, fs,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY fs DESC, doc_id) AS rank
+         |  FROM f) WHERE rank <= 5""".stripMargin,
+    // the weighted arm: same legs (sidecar bm25 ≡ inline bm25 — layout
+    // parity; exact-degenerate IVF ≡ brute-force cosine) with
+    // 2.0/(60+rank) lexical and 1.0/(60+rank) dense contributions
+    "q_rrf_fusion_weighted" ->
+      s"""${bm25CtePrefix("")},
+         |s AS (
+         |  SELECT qt.query_id, c.doc_id, sum(c.c) AS sc
+         |  FROM contrib c JOIN qt USING (word)
+         |  GROUP BY qt.query_id, c.doc_id),
+         |bm AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sc DESC, doc_id) AS rank
+         |    FROM s) WHERE rank <= 10),
+         |ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, v AS qvec FROM ev
+         |       WHERE vec_id BETWEEN 1 AND 3),
+         |anns AS (
+         |  SELECT query_id, ev.vec_id AS doc_id,
+         |         list_dot_product(qvec, v) /
+         |           (sqrt(list_dot_product(qvec, qvec)) *
+         |            sqrt(list_dot_product(v, v))) AS score
+         |  FROM qv, ev),
+         |ann AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, doc_id) AS rank
+         |    FROM anns WHERE score IS NOT NULL) WHERE rank <= 10),
+         |u AS (
+         |  SELECT query_id, doc_id, 2.0::DOUBLE / (60 + rank) AS c FROM bm
          |  UNION ALL
          |  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM ann),
          |f AS (SELECT query_id, doc_id, sum(c) AS fs FROM u GROUP BY 1, 2)

@@ -1612,14 +1612,40 @@ object LlmGates {
     // 30-day daily value profile as ONE dense array (zero-filled), the
     // bridge from the events stream to the similarity family; start =
     // 2024-01-01T00:00:00Z (the synthetic events epoch), elements
-    // rounded (partial-agg summation order)
+    // rounded (partial-agg summation order). The array is emitted as a
+    // STRING (the q_minhash_signature convention — the driver harness
+    // row-sorts in pandas and raw arrays are unhashable there), but
+    // spelled via fixed-scale DECIMAL(38,6) casts rather than to_json:
+    // Jackson and DuckDB disagree on double exponent notation
+    // (1.0E15 vs 1000000000000000.0), while decimal-cast strings are
+    // byte-identical on both sides.
     "q_series_vectors" -> { (s, dir) =>
       Events.seriesVectors(
           Events.readEventsParquet(s, s"$dir/events.parquet"),
           startMicros = 1704067200000000L,
           intervalMicros = 86400000000L, nBuckets = 30)
         .select(col("series_id"),
-          transform(col("series"), x => round(x, 6)).as("series"))
+          concat(lit("["),
+            array_join(transform(col("series"),
+              x => round(x, 6).cast("decimal(38,6)").cast("string")), ","),
+            lit("]")).as("series"))
+    },
+    // §2 row 176d (r19) — the z-score normalization arm: per-key bucket
+    // mean/population-std over the 30 grid positions (zero-filled
+    // buckets count), re-derived exactly in DuckDB from the same grid
+    // CTE; the shape-search prerequisite, so DTW/cosine over profiles
+    // rank by pattern rather than magnitude
+    "q_series_zscore" -> { (s, dir) =>
+      Events.seriesVectors(
+          Events.readEventsParquet(s, s"$dir/events.parquet"),
+          startMicros = 1704067200000000L,
+          intervalMicros = 86400000000L, nBuckets = 30,
+          norm = Some(Events.ZScoreNorm))
+        .select(col("series_id"),
+          concat(lit("["),
+            array_join(transform(col("series"),
+              x => round(x, 6).cast("decimal(38,6)").cast("string")), ","),
+            lit("]")).as("series"))
     },
     // §2 row 176b (r18) — banded-DTW top-k over a CONSTANT series
     // fixture (DuckDB cannot express the DTW recurrence; the oracle is
@@ -1645,6 +1671,52 @@ object LlmGates {
           corpus, queries, "series", "series_id", k = 3, band = 2)
         .select(col("query_id"), col("neighbor_id"), col("dtw_dist"),
           col("rank").cast("long").as("rank"))
+    },
+    // §2 row 176c (r19) — the two-stage LB_Keogh exact search over the
+    // SAME constant fixture and oracle as q_dtw_topk: pruneN = k = 3
+    // forces the tightest stage-1 cut, so τ and the lb ≤ τ re-screen
+    // are both load-bearing — a wrong bound (lb > dtw anywhere) or a
+    // lost pair would change the table
+    "q_dtw_topk_pruned" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Seq(
+        (101L, Seq(0.0, 1, 5, 5, 1, 0, 0, 0)),
+        (102L, Seq(1.0, 5, 5, 1, 0, 0, 0, 2)),
+        (103L, Seq(0.0, 0, 1, 5, 5, 1, 0, 3)),
+        (104L, Seq(5.0, 4, 3, 2, 2, 3, 4, 5)),
+        (105L, Seq(0.0, 0, 0, 0, 0, 0, 0, 0)),
+        (106L, Seq(0.0, 1, 5, 5, 1, 0, 2)),
+        (107L, Seq(0.0, 1, 5, 5, 1))).toDF("series_id", "series")
+      val queries = Seq(
+        (1L, Seq(0.0, 1, 5, 5, 1, 0, 0, 0)),
+        (2L, Seq(2.0, 2, 2, 2, 2, 2, 2, 2))).toDF("series_id", "series")
+      graft.operators.Similarity.dtwTopKPruned(
+          corpus, queries, "series", "series_id", k = 3, band = 2, pruneN = 3)
+        .select(col("query_id"), col("neighbor_id"), col("dtw_dist"),
+          col("rank").cast("long").as("rank"))
+    },
+    // §2 row 176c (r19) — the pruned search ≡ brute force on REAL data:
+    // both arms run over the sf dir's 30-day behavior profiles (5
+    // lowest-id series as queries) and the gate emits the constant
+    // equality summary (the q_ann_ivf_recall convention — here
+    // exact_ok, because the two-stage search is exact by construction,
+    // not a recall trade-off). pruneN = 7 < corpus size keeps the
+    // τ re-screen load-bearing at every sf.
+    "q_dtw_pruned_exact" -> { (s, dir) =>
+      val sv = Events.seriesVectors(
+        Events.readEventsParquet(s, s"$dir/events.parquet"),
+        startMicros = 1704067200000000L,
+        intervalMicros = 86400000000L, nBuckets = 30)
+      val qs = sv.orderBy(col("series_id")).limit(5)
+      val brute = graft.operators.Similarity.dtwTopK(
+        sv, qs, "series", "series_id", k = 5, band = 3)
+      val pruned = graft.operators.Similarity.dtwTopKPruned(
+        sv, qs, "series", "series_id", k = 5, band = 3, pruneN = 7)
+      val mism = brute.unionByName(pruned)
+        .groupBy("query_id", "neighbor_id", "rank", "dtw_dist")
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2)
+      brute.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(mism.agg((count(lit(1)) === 0).cast("int").as("exact_ok")))
     },
     // §2 row 120 — per-event trailing-window aggregates (6h): RANGE
     // frame on exact epoch micros, peers included on both engines
@@ -3107,9 +3179,40 @@ object LlmGates {
         |  FROM (SELECT DISTINCT user_id FROM f) u
         |  CROSS JOIN (SELECT unnest(range(30)) AS i) g)
         |SELECT grid.user_id AS series_id,
-        |       list(round(coalesce(f.s, 0.0), 6) ORDER BY grid.i) AS series
+        |       '[' || string_agg(
+        |         round(coalesce(f.s, 0.0), 6)::DECIMAL(38,6)::VARCHAR,
+        |         ',' ORDER BY grid.i) || ']' AS series
         |FROM grid LEFT JOIN f ON grid.user_id = f.user_id AND grid.i = f.i
         |GROUP BY grid.user_id""".stripMargin,
+    "q_series_zscore" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |         (epoch_us(ts) - 1704067200000000) // 86400000000 AS i,
+        |         value
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, i, sum(value) AS s FROM ev
+        |  WHERE i >= 0 AND i < 30 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, g.i
+        |  FROM (SELECT DISTINCT user_id FROM f) u
+        |  CROSS JOIN (SELECT unnest(range(30)) AS i) g),
+        |vals AS (
+        |  SELECT grid.user_id, grid.i, coalesce(f.s, 0.0) AS v
+        |  FROM grid LEFT JOIN f ON grid.user_id = f.user_id AND grid.i = f.i),
+        |mu AS (SELECT user_id, sum(v) / 30.0 AS mu FROM vals GROUP BY 1),
+        |sd AS (
+        |  SELECT vals.user_id,
+        |         sqrt(sum((v - mu.mu) * (v - mu.mu)) / 30.0) AS sigma
+        |  FROM vals JOIN mu USING (user_id) GROUP BY vals.user_id)
+        |SELECT vals.user_id AS series_id,
+        |       '[' || string_agg(
+        |         round(CASE WHEN sd.sigma = 0 THEN 0.0
+        |                    ELSE (v - mu.mu) / sd.sigma END,
+        |               6)::DECIMAL(38,6)::VARCHAR,
+        |         ',' ORDER BY vals.i) || ']' AS series
+        |FROM vals JOIN mu USING (user_id) JOIN sd USING (user_id)
+        |GROUP BY vals.user_id""".stripMargin,
     // hand-derived constant table (the Spark fixture is constant too);
     // derivation noted in the queries-entry comment
     "q_dtw_topk" ->
@@ -3121,6 +3224,20 @@ object LlmGates {
         |  (2::BIGINT, 106::BIGINT, 12.0::DOUBLE, 2::BIGINT),
         |  (2::BIGINT, 102::BIGINT, 14.0::DOUBLE, 3::BIGINT)
         |) t(query_id, neighbor_id, dtw_dist, rank)""".stripMargin,
+    // the pruned search is EXACT — same table as q_dtw_topk
+    "q_dtw_topk_pruned" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 101::BIGINT, 0.0::DOUBLE, 1::BIGINT),
+        |  (1::BIGINT, 106::BIGINT, 2.0::DOUBLE, 2::BIGINT),
+        |  (1::BIGINT, 102::BIGINT, 3.0::DOUBLE, 3::BIGINT),
+        |  (2::BIGINT, 104::BIGINT, 12.0::DOUBLE, 1::BIGINT),
+        |  (2::BIGINT, 106::BIGINT, 12.0::DOUBLE, 2::BIGINT),
+        |  (2::BIGINT, 102::BIGINT, 14.0::DOUBLE, 3::BIGINT)
+        |) t(query_id, neighbor_id, dtw_dist, rank)""".stripMargin,
+    // exactness holds at every sf (the search is exact by construction;
+    // the gate computes the pairwise diff in Spark) — constant summary
+    "q_dtw_pruned_exact" ->
+      "SELECT 5::BIGINT AS n_queries, 1 AS exact_ok",
     "q_resample" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS k, event_id, value,

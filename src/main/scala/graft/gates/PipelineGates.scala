@@ -94,6 +94,30 @@ object PipelineGates {
             col("split")))
       }
     },
+    // §2 row 173 × 52 — the capstone's SOFT-dedup arm over the SAME
+    // corpus/config as q_curation_e2e: the near stage drops nobody and
+    // every doc carries soft_weight = 1/|its dedup-time cluster|
+    // (singletons 1.0); softDedup also forces cluster-keyed leak-safe
+    // splits (retained near-dup twins must share a split). The oracle
+    // re-derives the weights from the verified-pair clusters and the
+    // split keys from the pair graph RESTRICTED to the final survivors.
+    "q_curation_soft" -> { (s, dir) =>
+      val d = LlmGates.docs(s, dir).select("doc_id", "text", "lang")
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val ev = LlmGates.docs(s, dir)
+        .filter(col("doc_id") % 100 === 7).select("doc_id", "text")
+      CurationPipeline.run(corpus, "text", "doc_id",
+          GateCfg.copy(evalSet = Some(ev), softDedup = true)) { curated =>
+        graft.operators.Similarity.localize(curated.select(
+          col("doc_id"),
+          md5(col("text")).as("text_md5"),
+          round(col("quality"), 6).as("quality"),
+          col("split"),
+          round(col("soft_weight"), 9).as("soft_weight")))
+      }
+    },
     // §2 row 138 × 52 — the capstone's uax29 tokenizer arm over a
     // planted CJK fixture (constant-table oracle, the q_uax29
     // precedent): docs 1/2 share a 56-ideograph run (doc 2 inserts one
@@ -266,10 +290,15 @@ object PipelineGates {
   private val B = Sampling.Buckets
 
   /** The q_curation_e2e oracle CTE chain through `capd` — every stage
-    * a named relation (sc/ind/lined/exact/near/decon/qf/capd), shared
-    * by the e2e value gate and the stage-count accounting gate. */
-  private lazy val CurationCte: String =
-    s"""WITH all_docs AS (
+    * a named relation (sc/ind/lined/exact/ver/near/decon/qf/capd),
+    * shared by the e2e value gate, the stage-count accounting gate, and
+    * (via `soft = true`, which swaps the near stage for a pass-through
+    * and makes the WITH-list RECURSIVE for the cluster CTEs the soft
+    * oracle appends) the q_curation_soft gate. */
+  private lazy val CurationCte: String = curationCte(soft = false)
+
+  private def curationCte(soft: Boolean): String =
+    s"""WITH ${if (soft) "RECURSIVE " else ""}all_docs AS (
          |  SELECT doc_id, text, lang FROM documents
          |  UNION ALL
          |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0),
@@ -315,14 +344,15 @@ object PipelineGates {
          |sets AS (
          |  SELECT doc_id, list_distinct(list_transform(s, x -> ${LlmGates.h60("x")})) AS sh
          |  FROM sh),
-         |losers AS (
-         |  SELECT DISTINCT id_b
+         |ver AS (
+         |  SELECT id_a, id_b
          |  FROM cand JOIN sets x ON cand.id_a = x.doc_id
          |            JOIN sets y ON cand.id_b = y.doc_id
          |  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE /
          |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE >= 0.8),
          |near AS (
-         |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+         |  ${if (soft) "SELECT * FROM exact"
+            else "SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM ver)"}),
          |-- stage 5: decontamination against the eval set (every 100th ORIGINAL
          |-- doc, raw text); corpus-side grams are the near survivors' cleaned-
          |-- text shingle hashes (sets), containment >= 0.5 drops the doc
@@ -430,6 +460,52 @@ object PipelineGates {
          |                 < ${(0.9 * B).toLong} THEN 'val'
          |            ELSE 'test' END AS split
          |FROM cumd WHERE cum <= 5000""".stripMargin),
+    // the SOFT arm: near is a pass-through (curationCte(soft=true)),
+    // weights re-derived from the dedup-time verified-pair clusters,
+    // split keys from the same pair graph restricted to the final
+    // survivors (a dropped middle doc disconnects its chain) — the
+    // q_soft_dedup + q_split_leakfree machinery composed onto the
+    // e2e chain
+    "q_curation_soft" -> (curationCte(soft = true) + "\n" +
+      s"""-- cluster weights over the dedup-time verified pairs
+         |, sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM ver
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM ver),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM sym GROUP BY u
+         |  UNION
+         |  SELECT sym.u, reach.r FROM sym JOIN reach ON sym.v = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*)::BIGINT AS n FROM comp GROUP BY 1),
+         |wts AS (
+         |  SELECT c.doc_id, 1.0::DOUBLE / sz.n AS soft_weight
+         |  FROM comp c JOIN sz USING (cluster_id)),
+         |-- split-time clusters: the pair graph restricted to survivors
+         |sym2 AS (
+         |  SELECT u, v FROM sym
+         |  WHERE u IN (SELECT doc_id FROM capd)
+         |    AND v IN (SELECT doc_id FROM capd)),
+         |reach2(id, r) AS (
+         |  SELECT u, u FROM sym2 GROUP BY u
+         |  UNION
+         |  SELECT sym2.u, reach2.r FROM sym2 JOIN reach2 ON sym2.v = reach2.id),
+         |comp2 AS (SELECT id AS doc_id, min(r) AS k FROM reach2 GROUP BY id),
+         |keyed AS (
+         |  SELECT capd.doc_id, capd.text, capd.quality,
+         |         coalesce(comp2.k, capd.doc_id) AS k,
+         |         coalesce(wts.soft_weight, 1.0) AS soft_weight
+         |  FROM capd LEFT JOIN comp2 USING (doc_id)
+         |            LEFT JOIN wts USING (doc_id))
+         |SELECT doc_id, md5(text) AS text_md5,
+         |       round(quality, 6) AS quality,
+         |       CASE WHEN ${LlmGates.h60("'graft:' || k")} % $B
+         |                 < ${(0.8 * B).toLong} THEN 'train'
+         |            WHEN ${LlmGates.h60("'graft:' || k")} % $B
+         |                 < ${(0.9 * B).toLong} THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       round(soft_weight, 9) AS soft_weight
+         |FROM keyed""".stripMargin),
     // per-stage accounting: each CTE relation's count, matching the
     // observe (CollectMetrics) counters runObserved emits — 'scrubbed'
     // equals the input count HERE because this config leaves c4Clean

@@ -829,8 +829,17 @@ object Dedup {
     val comp = connectedComponents(
       starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
       maxIters, localizeEdgeLimit)
+    // accept either a single-column frame (any name) or a multi-column
+    // frame carrying a `doc_id` column — NEVER silently pick the first
+    // column of a wide frame, which would label against the wrong ids
+    val dropIdCol =
+      if (dropIds.columns.length == 1) dropIds.columns.head
+      else if (dropIds.columns.contains("doc_id")) "doc_id"
+      else throw new IllegalArgumentException(
+        "updateClusterLabels: dropIds must be a single-column id frame or " +
+          s"contain a doc_id column; got [${dropIds.columns.mkString(", ")}]")
     val allIds = priorLabels.select("doc_id")
-      .unionByName(dropIds.select(col(dropIds.columns.head).as("doc_id")))
+      .unionByName(dropIds.select(col(dropIdCol).as("doc_id")))
       .distinct()
     allIds.join(comp, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -866,11 +875,13 @@ object Dedup {
     threshold: Double = 0.8,
     maxBucket: Option[Int] = DefaultMaxBucket,
     maxIters: Int = 20,
-    localizeEdgeLimit: Long = 2000000L
+    localizeEdgeLimit: Long = 2000000L,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
   ): DataFrame = {
     Cols.requireAbsent(df, "soft_weight", "__csz")
     val comp = connectedComponents(
-      nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold, maxBucket),
+      nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold,
+        maxBucket, tokenizer),
       maxIters, localizeEdgeLimit)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
     val weighted = comp.join(sizes, Seq("cluster_id"))

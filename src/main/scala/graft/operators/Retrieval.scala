@@ -1059,22 +1059,37 @@ object Retrieval {
    * contribute once per row (the aggregation cannot distinguish a
    * malformed list from a legitimate multi-list union); every top-k
    * producer in this engine satisfies the contract by construction.
+   *
+   * `weights` (opt-in) is the per-list weight — the production knob
+   * for trusting one retriever more (`wᵢ / (k0 + rank)`, the weighted
+   * RRF of the learned-fusion literature). None (default) is the
+   * classic unweighted SIGIR'09 form; each contribution stays ONE
+   * double division, so an oracle still re-derives fused scores
+   * bit-for-bit.
    */
   def rrfFuse(
     lists: Seq[DataFrame],
     k0: Int = 60,
-    topK: Int = 10
+    topK: Int = 10,
+    weights: Option[Seq[Double]] = None
   ): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(k0 >= 1, s"k0 must be >= 1: $k0")
     require(topK >= 1, s"topK must be >= 1: $topK")
+    weights.foreach { w =>
+      require(w.length == lists.length,
+        s"rrfFuse: ${w.length} weights for ${lists.length} lists")
+      require(w.forall(x => x > 0.0 && !x.isInfinite),
+        s"rrfFuse: weights must be positive finite: ${w.mkString(", ")}")
+    }
     val prepped = lists.zipWithIndex.map { case (l, i) =>
       val missing = Seq("query_id", "doc_id", "rank").filterNot(l.columns.contains)
       require(missing.isEmpty,
         s"rrfFuse: list $i lacks column(s) ${missing.mkString(", ")} - " +
           "each input must be a per-query ranked list (query_id, doc_id, rank)")
+      val wi = weights.map(_(i)).getOrElse(1.0)
       l.select(col("query_id"), col("doc_id"),
-        (lit(1.0) / (lit(k0) + col("rank")).cast("double")).as("__c"))
+        (lit(wi) / (lit(k0) + col("rank")).cast("double")).as("__c"))
     }
     prepped.reduce(_ unionByName _)
       .groupBy("query_id", "doc_id")

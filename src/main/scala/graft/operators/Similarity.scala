@@ -107,6 +107,80 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Exact DTW top-k at corpus scale — the two-stage LB_Keogh search
+   * ([[graft.functions.LbKeoghExpr]]; the classical UCR-suite shape):
+   * the full corpus pays only the O(len) lower-bound kernel, and the
+   * O(len·band) DTW recurrence runs on two provably-sufficient
+   * candidate sets. EXACT by construction, not a recall trade-off:
+   *
+   *   1. `lb = lb_keogh(qv, nv, band)` for every (query, corpus) pair —
+   *      the cheap pass; per query, the `pruneN` smallest-`lb`
+   *      candidates (WindowGroupLimit: each partition surrenders its
+   *      local top-`pruneN`) get exact DTW, and the k-th smallest of
+   *      those distances is the cutoff τ.
+   *   2. Any pair with `lb > τ` has `dtw ≥ lb > τ` — strictly worse
+   *      than k answers already in hand, so it can never enter the
+   *      top-k (not even on ties: the comparison is strict). The
+   *      corpus is re-screened with `lb ≤ τ` (τ broadcast,
+   *      query-count-sized) and only the survivors — top-k members
+   *      all satisfy `lb ≤ dtw ≤ τ`, so none is lost — pay DTW again;
+   *      the final rank is over that set.
+   *
+   * Wall-clock scales with |corpus| × O(len) + |survivors| × O(len·band);
+   * on separated data survivors ≈ pruneN per query. Same output
+   * contract as [[dtwTopK]] (ascending dtw_dist, neighbor-id tiebreak,
+   * NULL-infeasible pairs excluded — [[graft.functions.LbKeoghExpr]]
+   * is NULL exactly where the DTW kernel is, so no pair is silently
+   * dropped). Raise `pruneN` if profiling shows stage 2 re-scoring
+   * much more than pruneN per query (a tighter τ is stage 1's only
+   * job); the answer is identical at any pruneN ≥ k.
+   */
+  def dtwTopKPruned(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    k: Int = 10,
+    band: Int = 8,
+    pruneN: Int = 50
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(pruneN >= k, s"pruneN must be >= k: $pruneN < $k")
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    def lbPairs = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"),
+        graft.functions.LbKeoghExpr(col("qv"), col("nv"), band).as("lb"))
+      .filter(col("lb").isNotNull)
+    val cands = lbPairs
+      .withColumn("__lbr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("lb").asc, col("neighbor_id"))))
+      .filter(col("__lbr") <= pruneN)
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.DtwDistExpr(col("qv"), col("nv"), band).as("dtw_dist"))
+    // τ per query: the k-th smallest exact distance among the LB-top
+    // candidates (the max when fewer than k exist — then stage 2's
+    // screen keeps every pair that could still matter)
+    val tau = cands
+      .withColumn("__dr", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dtw_dist").asc, col("neighbor_id"))))
+      .filter(col("__dr") <= k)
+      .groupBy("query_id").agg(max(col("dtw_dist")).as("__tau"))
+    lbPairs
+      .join(broadcast(tau), Seq("query_id"))
+      .filter(col("lb") <= col("__tau"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.DtwDistExpr(col("qv"), col("nv"), band).as("dtw_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dtw_dist").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Assign every corpus vector to its nearest centroid by cosine: the
     * (small) centroid table rides along as ONE broadcast array row and
     * the argmax is a pure expression fold over it — the corpus itself is

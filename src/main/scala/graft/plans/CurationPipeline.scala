@@ -64,6 +64,31 @@ import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
  */
 object CurationPipeline {
 
+  /** Id-column types the keyed-index arms accept: integrals cast
+    * losslessly; STRING is allowed because numeric strings ("123") key
+    * correctly — [[integralIdCast]] makes the cast fail-loud on any
+    * non-numeric value instead of silently NULLing the index keys. */
+  private val IntegralIdTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.StringType)
+
+  /** Cast an id column to long, fail-loud on non-numeric values even
+    * with ANSI off (ANSI on already throws): a silently-NULLed id would
+    * exempt rows from the keyed fingerprint/signature indexes and the
+    * replay anti-joins — a retried micro-batch would self-match its own
+    * prior append and deliver near-empty, the exact failure the
+    * per-batch-id anti-join exists to prevent. */
+  private def integralIdCast(c: org.apache.spark.sql.Column, where: String)
+    : org.apache.spark.sql.Column =
+    when(c.isNotNull && c.cast("long").isNull,
+      raise_error(concat(
+        lit(s"$where: non-numeric id value '"), c.cast("string"),
+        lit("' cannot key the integral-id indexes"))))
+      .otherwise(c.cast("long"))
+
   /** The embedding-prior pair for [[Config.priorEmbeddings]]:
     * `batchEmbeddings` is THIS drop's (id, vector) table, `index` the
     * prior corpus's persisted one — both keyed by the corpus id column
@@ -80,8 +105,9 @@ object CurationPipeline {
     * multimodal arm of the dedup chain: `payloads` is the corpus's
     * media side-table keyed by the SAME ids as the text rows
     * (`idCol`, matched against the pipeline's post-scrub "doc_id"),
-    * raw encoded bytes in `payloadCol` (`idCol` must be integral —
-    * fail-loud, no silent cast). Only TEXT SURVIVORS' payloads pair;
+    * raw encoded bytes in `payloadCol` (`idCol` must be integral or
+    * numeric-string — fail-loud, no silent cast). Only TEXT SURVIVORS'
+    * payloads pair;
     * dHashes within `maxHamming` bits close into transitive clusters
     * ([[graft.operators.Multimodal.imageNearDups]] — 64-bit perceptual
     * hash + the generalized Hamming banding, never all-pairs) and
@@ -286,6 +312,26 @@ object CurationPipeline {
       * default) or [[KeepBest]] (highest composite quality — see the
       * constants' scaladoc). */
     keeper: String = KeepFirst,
+    /** SOFT near-dup handling (the SoftDeDup idea, He et al. 2024,
+      * arXiv:2407.06654): instead of DROPPING near-duplicates, every
+      * doc survives the near-dup stage carrying
+      * `soft_weight = 1 / |its transitive near-dup cluster|`
+      * ([[graft.operators.Dedup.softDedupWeights]] — singletons weigh
+      * 1.0), so each cluster contributes one document's worth of mass
+      * while keeping the intra-cluster diversity hard dedup throws
+      * away. The weight is assigned AT THE DEDUP STAGE (the paper's
+      * convention) and not re-normalized when later gates drop cluster
+      * members. Downstream coupling: [[Config.tokenBudget]] counts a
+      * doc's tokens × soft_weight (expected sampling mass — a
+      * 10-copy cluster no longer eats 10× its budget share), and the
+      * split stage is forced leakage-safe at `nearDupThreshold` when
+      * `splitLeakThreshold` is unset, because retained near-dup twins
+      * in different splits ARE leakage by construction. Exact dedup
+      * still drops (identical copies carry no diversity); the media
+      * arms stay hard. The final frame carries `soft_weight`; feed it
+      * to [[graft.operators.Sampling.weightedSample]]/rebalance
+      * downstream. Off by default. */
+    softDedup: Boolean = false,
     /** Optional multimodal dedup stage ([[ImageDedup]]): runs right
       * after text near-dup, dropping docs whose IMAGE near-duplicates a
       * kept doc's — re-encoded/rescaled copies that byte-exact and
@@ -565,6 +611,16 @@ object CurationPipeline {
     indexDir: String,
     nearDup: Boolean = true
   )(sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    // soft dedup is batch-only for now: the streaming index prunes
+    // cross-batch near-dups HARD, which would silently contradict the
+    // soft contract (within-batch twins weighted, cross-batch twins
+    // dropped). Consistent streaming soft weights need cross-batch
+    // cluster maintenance (the updateClusterLabels fold) — fail loud
+    // until that arm exists.
+    require(!cfg.softDedup,
+      "streamingSink does not support Config.softDedup yet: the " +
+        "cross-batch index prune drops near-dups hard, contradicting " +
+        "soft weights - run the batch pipeline, or unset softDedup")
     val fpPath = s"$indexDir/fingerprints"
     val sigPath = s"$indexDir/signatures"
     (batch: DataFrame, batchId: Long) => {
@@ -577,15 +633,12 @@ object CurationPipeline {
       // disabling replay idempotence, the exact failure the per-batch-id
       // anti-join exists to prevent
       val idType = batch.schema(idCol).dataType
-      require(
-        Seq(org.apache.spark.sql.types.LongType,
-          org.apache.spark.sql.types.IntegerType,
-          org.apache.spark.sql.types.ShortType,
-          org.apache.spark.sql.types.ByteType).contains(idType),
-        s"streamingSink: idCol '$idCol' must be an integral column, got " +
-          s"${idType.catalogString}: a silent cast would NULL the keyed " +
-          "index ids and the replay anti-joins, so a retried micro-batch " +
-          "would self-match its own prior append and deliver near-empty")
+      require(IntegralIdTypes.contains(idType),
+        s"streamingSink: idCol '$idCol' must be an integral (or " +
+          s"numeric-string) column, got ${idType.catalogString}: a silent " +
+          "cast would NULL the keyed index ids and the replay anti-joins, " +
+          "so a retried micro-batch would self-match its own prior append " +
+          "and deliver near-empty")
       def readIf(p: String): Option[DataFrame] = {
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -604,7 +657,7 @@ object CurationPipeline {
         // a NULL payload is the streaming spelling of "no payload row"
         // (the batch arm's side table simply lacks the doc) — such docs
         // never match and are never dropped by the media stages
-        batch.select(col(idCol).cast("long").as(mIdCol),
+        batch.select(integralIdCast(col(idCol), "streamingSink").as(mIdCol),
           col(payloadCol).as(payloadCol))
           .filter(col(payloadCol).isNotNull)
       }
@@ -627,7 +680,8 @@ object CurationPipeline {
             .schema("band INT, band_key BIGINT, index_id BIGINT, index_hash BIGINT")
             .parquet(p)
             .join(
-              broadcast(batch.select(col(idCol).cast("long").as("__bid")).distinct()),
+              broadcast(batch.select(integralIdCast(col(idCol), "streamingSink")
+                .as("__bid")).distinct()),
               col("index_id") === col("__bid"), "left_anti"))
         }
       }
@@ -639,7 +693,8 @@ object CurationPipeline {
       // index writes), and pruning against them would self-match the
       // whole retried batch and deliver it near-empty.
       def antiBatch(df: DataFrame): DataFrame = df.join(
-        broadcast(batch.select(col(idCol).cast("long").as("__bid")).distinct()),
+        broadcast(batch.select(integralIdCast(col(idCol), "streamingSink")
+          .as("__bid")).distinct()),
         col("doc_id") === col("__bid"), "left_anti").drop("__bid")
       val cfgWithPriors = cfg.copy(
         priorFingerprints = readIf(fpPath).map { fp =>
@@ -791,7 +846,7 @@ object CurationPipeline {
               s"${what}Dedup config - the prior artifact is probed with its " +
               "payload table/column"))
         val media = payloads
-          .select(col(mIdCol).cast("long").as("doc_id"),
+          .select(integralIdCast(col(mIdCol), s"${what}Dedup").as("doc_id"),
             col(payloadCol).as("payload"))
           .join(input.select("doc_id"), Seq("doc_id"), "left_semi")
           .as[graft.operators.Multimodal.MediaRecord]
@@ -831,7 +886,14 @@ object CurationPipeline {
           "__keep_sc", cfg.tokenizer).drop("__keep_sc")
       else Dedup.dropExactDuplicates(fresh, textCol, "doc_id", cfg.tokenizer))
     val nearText = observe("after_near_dedup",
-      if (best)
+      if (cfg.softDedup)
+        // soft arm: nobody drops — every doc carries its cluster mass
+        // instead (keeper policy is moot; exact dedup above still
+        // dropped, identical copies carry no diversity)
+        Dedup.softDedupWeights(exact, textCol, "doc_id",
+          k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+          threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer)
+      else if (best)
         Dedup.dropNearDuplicatesKeepBest(withKeepScore(exact), textCol, "doc_id",
             "__keep_sc", k = cfg.shingleK, numHashes = cfg.numHashes,
             bands = cfg.bands, threshold = cfg.nearDupThreshold,
@@ -866,16 +928,13 @@ object CurationPipeline {
       // chain underneath runs once (the model-gate precedent below)
       val nt = pin(input)
       val idType = payloads.schema(mIdCol).dataType
-      require(
-        Seq(org.apache.spark.sql.types.LongType,
-          org.apache.spark.sql.types.IntegerType,
-          org.apache.spark.sql.types.ShortType,
-          org.apache.spark.sql.types.ByteType).contains(idType),
-        s"${what}Dedup.idCol '$mIdCol' must be an integral column, " +
-          s"got ${idType.catalogString}: a silent cast would NULL " +
-          s"non-numeric ids and exempt those payloads from $what dedup")
+      require(IntegralIdTypes.contains(idType),
+        s"${what}Dedup.idCol '$mIdCol' must be an integral (or " +
+          s"numeric-string) column, got ${idType.catalogString}: a silent " +
+          s"cast would NULL non-numeric ids and exempt those payloads " +
+          s"from $what dedup")
       val media = payloads
-        .select(col(mIdCol).cast("long").as("doc_id"),
+        .select(integralIdCast(col(mIdCol), s"${what}Dedup").as("doc_id"),
           col(payloadCol).as("payload"))
         .join(nt.select("doc_id"), Seq("doc_id"), "left_semi")
         .as[graft.operators.Multimodal.MediaRecord]
@@ -977,9 +1036,16 @@ object CurationPipeline {
           TextAnalysis.uax29TokenCount(col(textCol))
         case _ => TextAnalysis.wsTokenCount(col(textCol))
       }
+      // soft arm: a doc charges its EXPECTED sampling mass — tokens ×
+      // soft_weight, rounded up so duplicates are never free — else a
+      // 10-copy cluster eats 10× its budget share, defeating the
+      // down-weighting. The exact-long cumsum contract is kept.
+      val w =
+        if (cfg.softDedup) ceil(cnt * col("soft_weight")).cast("long")
+        else cnt
       observe("after_budget",
         Sampling.selectByBudget(
-            capped.withColumn("__tb_w", cnt), "__tb_w", bud,
+            capped.withColumn("__tb_w", w), "__tb_w", bud,
             orderBy = Seq(col("quality").desc, col("doc_id").asc))
           .drop("__tb_w"))
     }
@@ -998,7 +1064,13 @@ object CurationPipeline {
     // in train; splitLeakThreshold re-pairs the survivors at that
     // looser bar and hashes whole clusters together, the row-156
     // contract; pair-bounded extra work, the corpus never reshuffles)
-    val split = cfg.splitLeakThreshold match {
+    // softDedup forces the leak-safe arm when no explicit threshold is
+    // set: the near-dup twins it deliberately RETAINS would otherwise
+    // hash into different splits — a val doc with its twin in train is
+    // a leaked answer, the exact failure splitLeakThreshold exists for
+    val leakT = cfg.splitLeakThreshold
+      .orElse(if (cfg.softDedup) Some(cfg.nearDupThreshold) else None)
+    val split = leakT match {
       case Some(t) =>
         // both the pair computation and the corpus side of the member
         // join consume `mixed` — pin it (the rebalance-input precedent
@@ -1012,7 +1084,9 @@ object CurationPipeline {
       case None =>
         Sampling.splitAssign(mixed, "doc_id", cfg.splits, cfg.splitSeed)
     }
-    observe("final",
-      split.select(col("doc_id"), col(textCol), col("quality"), col("split")))
+    val outCols =
+      Seq(col("doc_id"), col(textCol), col("quality"), col("split")) ++
+        (if (cfg.softDedup) Seq(col("soft_weight")) else Seq.empty)
+    observe("final", split.select(outCols: _*))
   }
 }

@@ -581,7 +581,20 @@ object Events {
    * no pivot, no per-bucket rows shuffled: the shuffle carries one
    * partial array per (partition, key)). `nBuckets` is bounded (4096)
    * because it is the per-row aggregate width, not a data size.
+   *
+   * `norm` (opt-in) normalizes each profile ROW-LOCALLY after
+   * bucketing — the standard prerequisite for behavior-SHAPE search,
+   * where raw magnitudes rank "big users" together regardless of
+   * pattern: [[ZScoreNorm]] subtracts the per-key bucket mean and
+   * divides by the population std over the `nBuckets` grid positions
+   * (zero-filled buckets count — an idle day IS part of the shape;
+   * all-constant profiles, σ = 0, map to the zero vector), and
+   * [[UnitNorm]] divides by the L2 norm (zero profiles stay zero).
+   * Both are post-aggregation projections — same one-shuffle plan.
    */
+  val ZScoreNorm = "zscore"
+  val UnitNorm = "unit"
+
   def seriesVectors(
     events: DataFrame,
     startMicros: Long,
@@ -589,14 +602,15 @@ object Events {
     nBuckets: Int,
     keyCol: String = "user_id",
     tsCol: String = "ts",
-    valueCol: String = "value"
+    valueCol: String = "value",
+    norm: Option[String] = None
   ): DataFrame = {
     require(intervalMicros > 0, s"intervalMicros must be positive: $intervalMicros")
     require(nBuckets >= 1 && nBuckets <= 4096,
       s"nBuckets must be in [1, 4096] (it is the aggregate width): $nBuckets")
     val key = graft.operators.Joins.keyOf(col(tsCol), events.schema(tsCol).dataType)
     val idx = graft.operators.Joins.floorDivExact(key - lit(startMicros), intervalMicros)
-    events
+    val base = events
       .select(col(keyCol).as("series_id"), idx.as("__i"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__i") >= 0 && col("__i") < nBuckets)
@@ -604,5 +618,32 @@ object Events {
       .agg(array((0 until nBuckets).map(i =>
         coalesce(sum(when(col("__i") === i, col("__v"))), lit(0.0))): _*)
         .as("series"))
+    // stats are staged as their own columns so the per-element lambda
+    // references a computed value instead of re-folding the array per
+    // element (O(n) per row, not O(n²) at the 4096 width bound)
+    norm.fold(base) {
+      case ZScoreNorm =>
+        base
+          .withColumn("__mu",
+            aggregate(col("series"), lit(0.0), (a, x) => a + x) / nBuckets)
+          .withColumn("__sd",
+            sqrt(aggregate(col("series"), lit(0.0),
+              (a, x) => a + (x - col("__mu")) * (x - col("__mu"))) / nBuckets))
+          .withColumn("series", transform(col("series"),
+            x => when(col("__sd") === 0.0, lit(0.0))
+              .otherwise((x - col("__mu")) / col("__sd"))))
+          .drop("__mu", "__sd")
+      case UnitNorm =>
+        base
+          .withColumn("__nrm",
+            sqrt(aggregate(col("series"), lit(0.0), (a, x) => a + x * x)))
+          .withColumn("series", transform(col("series"),
+            x => when(col("__nrm") === 0.0, lit(0.0))
+              .otherwise(x / col("__nrm"))))
+          .drop("__nrm")
+      case other => throw new IllegalArgumentException(
+        s"seriesVectors: unknown norm '$other' (expected " +
+          s"$ZScoreNorm or $UnitNorm)")
+    }
   }
 }

@@ -549,6 +549,25 @@ class DedupSpec extends SparkSpec {
     assert(GraftSession.bucketCapDrops(spark).isEmpty)
   }
 
+  test("clearBucketCapDrops flushes in-flight listener events before clearing") {
+    // Listener delivery is asynchronous: a drop event from an action that
+    // already RETURNED can still be on the bus. A clear that doesn't
+    // flush first lets that event land AFTER the clear and pollute the
+    // next stage's read — regression for the r18 full-suite race where a
+    // preceding test's simhash drop record survived a clear.
+    GraftSession.registerBucketCapListener(spark)
+    GraftSession.clearBucketCapDrops(spark)
+    val df = (1L to 30L).map(i => (i, "exactly the same text for everyone"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "text", "doc_id")
+    Dedup.lshCandidates(sigs, maxBucket = Some(10)).count()
+    // clear immediately — no bucketCapDrops read (the read path's flush)
+    // in between; the clear itself must drain the bus
+    GraftSession.clearBucketCapDrops(spark)
+    assert(GraftSession.bucketCapDrops(spark).isEmpty,
+      "a drop event from the pre-clear action leaked past the clear")
+  }
+
   test("bucketCapDrops re-asserts the AQE empty-relation exclusion after user conf clobbers it") {
     GraftSession.registerBucketCapListener(spark)
     val key = "spark.sql.adaptive.optimizer.excludedRules"

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.DtwDistExpr
+import graft.functions.{DtwDistExpr, LbKeoghExpr}
 import graft.operators.Similarity
 import graft.streaming.Events
 
@@ -84,6 +84,135 @@ class TimeSeriesSpec extends SparkSpec {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }
     assert(aggs.size == 1, plan.toString)
+  }
+
+  private def lb(a: Seq[Double], b: Seq[Double], band: Int): Option[Double] = {
+    val r = Seq((a, b)).toDF("a", "b")
+      .select(LbKeoghExpr(col("a"), col("b"), band)).collect().head
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("LB_Keogh: a true lower bound, symmetric, band-0 == Manhattan == DTW, " +
+    "null-parity with dtw_dist") {
+    val rnd = new scala.util.Random(31)
+    val cases = Seq.fill(60)(
+      (Seq.fill(5 + rnd.nextInt(8))(rnd.nextInt(12).toDouble),
+        Seq.fill(5 + rnd.nextInt(8))(rnd.nextInt(12).toDouble)))
+    for ((a, b) <- cases; band <- Seq(math.abs(a.length - b.length), 2, 5, 20)
+         if band >= math.abs(a.length - b.length)) {
+      val l = lb(a, b, band)
+      val d = dist(a, b, band)
+      assert(l.isDefined == d.isDefined)
+      assert(l.get <= d.get + 1e-9, s"lb ${l.get} > dtw ${d.get} ($a vs $b @ $band)")
+      // the max-of-both-sides form is symmetric
+      assert(lb(a, b, band) == lb(b, a, band))
+      if (band == 0 && a.length == b.length) {
+        val manhattan = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+        assert(math.abs(l.get - manhattan) < 1e-9)
+        assert(math.abs(d.get - manhattan) < 1e-9)
+      }
+    }
+    // null-parity: infeasible gap / empty / null element — exactly dtw's rules
+    assert(lb(Seq(1.0, 2, 3, 4, 5), Seq(1.0), 2).isEmpty)
+    assert(lb(Seq.empty[Double], Seq(1.0), 8).isEmpty)
+    // SQL registration surface
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT lb_keogh(array(0.0d, 5.0d), array(5.0d, 0.0d), 0)")
+      .collect().head.getDouble(0)
+    assert(viaSql == 10.0)
+  }
+
+  test("dtw_dist survives a degenerate Int.MaxValue band (the unbanded spelling)") {
+    // i + band used to overflow Int, skip the inner loop, and return
+    // Infinity; the Long-arithmetic fix makes it equal the widest band
+    val a = Seq(0.0, 1, 5, 5, 1, 0)
+    val b = Seq(1.0, 5, 5, 1, 0, 0)
+    assert(dist(a, b, Int.MaxValue) == dist(a, b, a.length max b.length))
+  }
+
+  test("two dtw_dist calls in one projection stay correct (codegen freshName)") {
+    val df = Seq((Seq(0.0, 1, 2), Seq(1.0, 1, 2), Seq(5.0, 5, 5)))
+      .toDF("a", "b", "c")
+      .select(
+        DtwDistExpr(col("a"), col("b"), 1).as("d1"),
+        DtwDistExpr(col("a"), col("c"), 1).as("d2"),
+        LbKeoghExpr(col("a"), col("b"), 1).as("l1"),
+        LbKeoghExpr(col("a"), col("c"), 1).as("l2"))
+    val r = df.collect().head
+    assert(r.getDouble(0) == 1.0) // |0-1| then aligned
+    assert(r.getDouble(2) <= r.getDouble(0))
+    assert(r.getDouble(3) <= r.getDouble(1))
+  }
+
+  test("dtwTopKPruned ≡ dtwTopK on random corpora, at any pruneN >= k") {
+    val rnd = new scala.util.Random(37)
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(8 + rnd.nextInt(3))(rnd.nextInt(10).toDouble)))
+      .toDF("id", "v")
+    val qs = (1L to 4L).map(i =>
+      (100L + i, Seq.fill(9)(rnd.nextInt(10).toDouble))).toDF("id", "v")
+    val brute = Similarity.dtwTopK(corpus, qs, "v", "id", k = 5, band = 3)
+      .select("query_id", "neighbor_id", "dtw_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    for (pruneN <- Seq(5, 8, 30)) {
+      val pruned = Similarity
+        .dtwTopKPruned(corpus, qs, "v", "id", k = 5, band = 3, pruneN = pruneN)
+        .select("query_id", "neighbor_id", "dtw_dist", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(pruned == brute, s"pruneN=$pruneN diverged from brute force")
+    }
+  }
+
+  test("dtwTopKPruned plan: the DTW kernel only runs behind a prune guard") {
+    val corpus = (1L to 20L).map(i => (i, Seq.fill(6)(i.toDouble)))
+      .toDF("id", "v")
+    val qs = Seq((1L, Seq.fill(6)(1.0))).toDF("id", "v")
+    val plan = Similarity
+      .dtwTopKPruned(corpus, qs, "v", "id", k = 3, band = 2, pruneN = 5)
+      .queryExecution.optimizedPlan
+    val dtwNodes = plan.collect {
+      case p if p.expressions.exists(_.exists(_.isInstanceOf[DtwDistExpr])) => p
+    }
+    assert(dtwNodes.nonEmpty, "no DTW projection found in the plan")
+    dtwNodes.foreach { p =>
+      val guarded = p.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.references.exists(a =>
+            a.name == "__lbr" || a.name == "__tau" || a.name == "lb") => f
+      }.nonEmpty
+      assert(guarded,
+        s"DTW computed over unpruned pairs — no lb/__lbr/__tau filter below:\n$p")
+    }
+  }
+
+  test("seriesVectors norm arms: zscore and unit are row-local shape maps") {
+    val t0 = 1704067200000000L
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, t0 + 1L, 2.0), (1L, t0 + day + 1L, 6.0), (1L, t0 + 2 * day, 4.0),
+      (2L, t0 + 1L, 5.0), (2L, t0 + day, 5.0), (2L, t0 + 2 * day, 5.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val z = Events.seriesVectors(ev, t0, day, nBuckets = 3,
+        norm = Some(Events.ZScoreNorm))
+      .as[(Long, Seq[Double])].collect().toMap
+    // user 1: values (2,6,4), mean 4, population std sqrt(8/3)
+    val sd = math.sqrt(8.0 / 3.0)
+    assert(z(1L).zip(Seq(-2 / sd, 2 / sd, 0.0))
+      .forall { case (g, e) => math.abs(g - e) < 1e-12 })
+    // user 2: constant profile, σ = 0 → zero vector (not NaN)
+    assert(z(2L) == Seq(0.0, 0.0, 0.0))
+    val u = Events.seriesVectors(ev, t0, day, nBuckets = 3,
+        norm = Some(Events.UnitNorm))
+      .as[(Long, Seq[Double])].collect().toMap
+    val n1 = math.sqrt(2.0 * 2 + 6 * 6 + 4 * 4)
+    assert(u(1L).zip(Seq(2 / n1, 6 / n1, 4 / n1))
+      .forall { case (g, e) => math.abs(g - e) < 1e-12 })
+    // unknown arm fails loud
+    intercept[IllegalArgumentException] {
+      Events.seriesVectors(ev, t0, day, nBuckets = 3, norm = Some("minmax"))
+    }
   }
 
   test("dtwTopK: rank/tiebreak contract and infeasible exclusion") {
