@@ -192,8 +192,13 @@ object Bench {
     "q_line_dedup_group",    // per-group (domain) duplicate-line removal: one (group, line-hash) shuffle + anti join + regroup (r18)
     "q_cluster_update",      // incremental cluster maintenance: prior star edges + drop pairs -> CC, == full re-pair rebuild (r18)
     "q_series_vectors",      // fixed-grid behavior profiles: ONE hash agg with nBuckets conditional sums, no collect/pivot (r18)
-    // q_dtw_topk stays unbenched: constant-fixture parity gate (the
-    // q_curation_c4 convention); the DTW kernel cost rides per-pair
+    "q_series_zscore",       // z-score normalized profiles: same one-shuffle plan + row-local stats projections (r19)
+    "q_dtw_pruned_exact",    // two-stage LB_Keogh DTW search vs brute force: both arms + in-gate equality diff (r19)
+    "q_curation_soft",       // capstone soft-dedup arm: no near drops, cluster weights + forced leak-safe splits (r19)
+    "q_rrf_fusion_weighted", // weighted fusion: persisted sidecar lexical leg + exact-degenerate IVF dense leg (r19)
+    // q_dtw_topk / q_dtw_topk_pruned stay unbenched: constant-fixture
+    // parity gates (the q_curation_c4 convention); the kernel and the
+    // two-stage plan are benched via q_dtw_pruned_exact
     "q_setsim_append",       // prefix-index grow + join-surface probe (r17)
     "q_winnow_append",       // winnow-index grow through parquet + overlap probe (r17)
     "q_banded_recap",        // banded artifact re-cap: dedupe + two-pass cap over band rows (r17)

@@ -1037,6 +1037,15 @@ object LlmGates {
           null.asInstanceOf[Array[Byte]]))
       sink(b0.toDF("doc_id", "text", "payload"), 0L)
       sink(b1.toDF("doc_id", "text", "payload"), 1L)
+      // coverage pin: since r18 the image cell probes the banded dir
+      // directly for batch 1, so THIS cell (with the audio twin) is
+      // what exercises the sink's two-invocation interplay (replay
+      // anti-join, artifact grow THROUGH the sink) — a refactor that
+      // stops driving both batches must fail here, not silently
+      // shrink coverage
+      require(out.map(_._1).toSet == Set(0L, 1L),
+        s"q_curation_video_stream: both sink invocations must deliver " +
+          s"survivors, got batches ${out.map(_._1).toSet}")
       out.toSeq.toDF("batch", "doc_id")
     },
     // §2 row 170b — the curation sink's AUDIO arm: the one-window dip
@@ -1069,6 +1078,10 @@ object LlmGates {
           null.asInstanceOf[Array[Byte]]))
       sink(b0.toDF("doc_id", "text", "payload"), 0L)
       sink(b1.toDF("doc_id", "text", "payload"), 1L)
+      // the q_curation_video_stream coverage pin, audio twin
+      require(out.map(_._1).toSet == Set(0L, 1L),
+        s"q_curation_audio_stream: both sink invocations must deliver " +
+          s"survivors, got batches ${out.map(_._1).toSet}")
       out.toSeq.toDF("batch", "doc_id")
     },
     // §2 row 166 — banded-artifact RE-CAP: appends cap only within

@@ -1194,45 +1194,57 @@ object Retrieval {
       .withColumn("bucket", sidecarBucket(m.buckets))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/postings-g${m.nextGen}")
-    // registry sidecar for the committed generation (drop-sized)
+    // read the committed generation back ONCE (what was actually
+    // written, including the guard leg's outcome) and pin it: the
+    // registry derivation, the df aggregation, and the stats fold all
+    // consume it — the r18 spelling re-scanned the files three times,
+    // a real fixed cost on the lifecycle path. Drop-sized by
+    // construction.
     val committed = spark.read.schema(SidecarPostingsSchema)
       .parquet(s"$path/postings-g${m.nextGen}")
-    committed.select("doc_id", "dl").distinct()
-      .write.mode("overwrite").parquet(s"$path/registry-g${m.nextGen}")
-    // df merge: broadcast LEFT join + anti leg (full-outer would not
-    // broadcast — the Forget.appendFingerprints doctrine); the old df
-    // read is PRUNED to the drop vocabulary's buckets — untouched
-    // buckets are byte-copied forward by writeDfVersion, never read
-    val aDf = committed
-      .filter(col("word").isNotNull)
-      .groupBy("word").agg(count(lit(1)).as("__a_df"))
       .persist()
     try {
-      val touched = touchedBuckets(aDf.select("word"), m.buckets)
-      val oldDf = spark.read.schema(SidecarDfSchema)
-        .parquet(s"$path/df-v${m.dfV}")
-        .filter(if (touched.isEmpty) lit(false) else col("bucket").isin(touched: _*))
-        .drop("bucket")
-      val merged = oldDf.join(hinted(aDf), Seq("word"), "left")
-        .select(col("word"),
-          (col("df") + coalesce(col("__a_df"), lit(0L))).as("df"))
-      val matched = oldDf.select("word")
-        .join(hinted(aDf.select("word")), Seq("word"), "left_semi")
-      val newOnly = aDf
-        .join(if (broadcastDrop) broadcast(matched) else matched,
-          Seq("word"), "left_anti")
-        .select(col("word"), col("__a_df").as("df"))
-      writeDfVersion(spark, path, m, touched, merged.unionByName(newOnly))
-    } finally aDf.unpersist()
-    // global stats deltas from the committed generation's registry
-    val st = spark.read.schema(SidecarRegistrySchema)
-      .parquet(s"$path/registry-g${m.nextGen}")
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
-      .head()
-    writeSidecarMeta(spark, path,
-      m.copy(nDocs = m.nDocs + st.getLong(0), sumDl = m.sumDl + st.getLong(1),
-        gens = m.gens :+ m.nextGen, dfV = m.dfV + 1))
+      // registry sidecar for the committed generation (drop-sized);
+      // pinned too — the stats fold below re-consumes it
+      val reg = committed.select("doc_id", "dl").distinct().persist()
+      try {
+        reg.write.mode("overwrite").parquet(s"$path/registry-g${m.nextGen}")
+        // df merge: broadcast LEFT join + anti leg (full-outer would not
+        // broadcast — the Forget.appendFingerprints doctrine); the old df
+        // read is PRUNED to the drop vocabulary's buckets — untouched
+        // buckets are byte-copied forward by writeDfVersion, never read
+        val aDf = committed
+          .filter(col("word").isNotNull)
+          .groupBy("word").agg(count(lit(1)).as("__a_df"))
+          .persist()
+        try {
+          val touched = touchedBuckets(aDf.select("word"), m.buckets)
+          val oldDf = spark.read.schema(SidecarDfSchema)
+            .parquet(s"$path/df-v${m.dfV}")
+            .filter(if (touched.isEmpty) lit(false) else col("bucket").isin(touched: _*))
+            .drop("bucket")
+          val merged = oldDf.join(hinted(aDf), Seq("word"), "left")
+            .select(col("word"),
+              (col("df") + coalesce(col("__a_df"), lit(0L))).as("df"))
+          val matched = oldDf.select("word")
+            .join(hinted(aDf.select("word")), Seq("word"), "left_semi")
+          val newOnly = aDf
+            .join(if (broadcastDrop) broadcast(matched) else matched,
+              Seq("word"), "left_anti")
+            .select(col("word"), col("__a_df").as("df"))
+          writeDfVersion(spark, path, m, touched, merged.unionByName(newOnly))
+        } finally aDf.unpersist()
+        // global stats deltas from the committed generation's registry
+        // (the frame just written — identical rows, no file re-read)
+        val st = reg
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("dl")).cast("long"), lit(0L)).as("s"))
+          .head()
+        writeSidecarMeta(spark, path,
+          m.copy(nDocs = m.nDocs + st.getLong(0), sumDl = m.sumDl + st.getLong(1),
+            gens = m.gens :+ m.nextGen, dfV = m.dfV + 1))
+      } finally reg.unpersist()
+    } finally committed.unpersist()
     // one-mutation-late GC: keep the version this flip superseded
     // alive for racing readers, drop the one before it
     gcSuperseded(spark, path, dfVGone = m.dfV - 1, rmVGone = 0)

@@ -568,16 +568,41 @@ class CurationPipelineSpec extends SparkSpec {
     assert(kept(CurationPipeline.KeepBest) == Set(2L))
   }
 
-  test("imageDedup fails loudly on a non-integral id column") {
+  test("imageDedup id contract: non-castable TYPES rejected up front, numeric " +
+    "strings key correctly, non-numeric string VALUES fail loud at runtime") {
     val corpus = Seq((1L, "some text here")).toDF("doc_id", "text")
-    val payloads = Seq(("1", Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    // a type that can never key the integral indexes → config-time reject
+    val badType = Seq((1.5, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
     val e = intercept[IllegalArgumentException] {
       CurationPipeline.run(corpus, "text", "doc_id",
         CurationPipeline.Config(
-          imageDedup = Some(CurationPipeline.ImageDedup(payloads)),
+          imageDedup = Some(CurationPipeline.ImageDedup(badType)),
           minQuality = 0.0))(_.count())
     }
-    assert(e.getMessage.contains("must be an integral column"), e.getMessage)
+    assert(e.getMessage.contains("must be an integral"), e.getMessage)
+    // numeric STRING ids ("1") cast losslessly and are accepted (the r18
+    // guard rejected StringType outright — a behavioral regression for
+    // pipelines whose ids arrive as numeric strings)
+    val numericStr = Seq(("1", Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val ok = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(
+        imageDedup = Some(CurationPipeline.ImageDedup(numericStr)),
+        minQuality = 0.0))(_.count())
+    assert(ok == 1L)
+    // a non-numeric string VALUE fails loud (raise_error in the cast),
+    // never silently NULLing the payload out of dedup
+    val badValue = Seq(("not-a-number", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val e2 = intercept[Exception] {
+      CurationPipeline.run(corpus, "text", "doc_id",
+        CurationPipeline.Config(
+          imageDedup = Some(CurationPipeline.ImageDedup(badValue)),
+          minQuality = 0.0))(_.count())
+    }
+    val msg = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("non-numeric id") || msg.contains("CAST_INVALID_INPUT") ||
+      msg.contains("not-a-number"), s"$e2")
   }
 
   test("c4Clean stage: boilerplate drops before every hash-keyed stage; text rewritten") {
@@ -780,5 +805,60 @@ class CurationPipelineSpec extends SparkSpec {
       (curated, _) => replay ++= curated.select("doc_id").as[Long].collect()
     }.apply(batches(1).toDF("doc_id", "text", "payload"), 1L)
     assert(replay.toSet == Set(12L, 13L), replay.toString)
+  }
+
+  test("softDedup: hard vs soft on the same plants — soft keeps the cluster " +
+    "with 1/|cluster| weights, co-splits its members, and charges the " +
+    "budget expected mass") {
+    // the DedupSpec softDedupWeights fixture: docs 1-3 close into one
+    // transitive near-dup cluster (first/last word varied around a
+    // 40-word base), doc 9 is a singleton
+    val base = (0 until 40).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, ("zz" +: base.tail).mkString(" ")),
+      (2L, base.mkString(" ")),
+      (3L, (base.init :+ "yy").mkString(" ")),
+      (9L, "completely unrelated text about something else entirely")
+    ).toDF("doc_id", "text")
+
+    // HARD (default): the cluster collapses to its lowest id
+    val hard = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(minQuality = 0.0))(_.collect())
+    assert(hard.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 9L))
+    assert(!hard.head.schema.fieldNames.contains("soft_weight"))
+
+    // SOFT: nobody drops; weights carry the cluster mass
+    val soft = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(minQuality = 0.0, softDedup = true))(_.collect())
+    assert(soft.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L, 9L))
+    val w = soft.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("soft_weight")).toMap
+    assert(w(1L) == 1.0 / 3 && w(2L) == 1.0 / 3 && w(3L) == 1.0 / 3)
+    assert(w(9L) == 1.0)
+    // forced leak-safe splits: retained twins share one split label
+    val splits = soft.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(Set(splits(1L), splits(2L), splits(3L)).size == 1, splits.toString)
+
+    // budget charges tokens × weight (expected mass): each cluster doc
+    // has 40 tokens but charges ceil(40/3) = 14; the singleton has 7.
+    // Budget 49 = 7 + 3×14 fits ALL FOUR docs — unweighted accounting
+    // (40×3 + 7 = 127) would not — while budget 20 still binds.
+    val budgeted = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(minQuality = 0.0, softDedup = true,
+        tokenBudget = Some(49L)))(_.collect())
+    assert(budgeted.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L, 9L),
+      budgeted.mkString("\n"))
+    val tight = CurationPipeline.run(corpus, "text", "doc_id",
+      CurationPipeline.Config(minQuality = 0.0, softDedup = true,
+        tokenBudget = Some(20L)))(_.collect())
+    assert(tight.length < 4, tight.mkString("\n"))
+
+    // streaming sink: fail-loud, not silently inconsistent
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.streamingSink("text", "doc_id",
+        CurationPipeline.Config(softDedup = true), "/tmp/unused") { (_, _) => () }
+    }
+    assert(e.getMessage.contains("softDedup"), e.getMessage)
   }
 }
