@@ -195,6 +195,7 @@ object Bench {
     "q_series_zscore",       // z-score normalized profiles: same one-shuffle plan + row-local stats projections (r19)
     "q_dtw_pruned_exact",    // two-stage LB_Keogh DTW search vs brute force: both arms + in-gate equality diff (r19)
     "q_curation_soft",       // capstone soft-dedup arm: no near drops, cluster weights + forced leak-safe splits (r19)
+    "q_curation_soft_stream",// streaming soft arm: 3 batches, pair-vs-index fold into the label artifact + current-mass emission (r19)
     "q_rrf_fusion_weighted", // weighted fusion: persisted sidecar lexical leg + exact-degenerate IVF dense leg (r19)
     // q_dtw_topk / q_dtw_topk_pruned stay unbenched: constant-fixture
     // parity gates (the q_curation_c4 convention); the kernel and the

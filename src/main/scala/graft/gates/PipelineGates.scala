@@ -118,6 +118,43 @@ object PipelineGates {
           round(col("soft_weight"), 9).as("soft_weight")))
       }
     },
+    // §2 row 173 × 169 (r19) — STREAMING soft dedup: cross-batch twins
+    // PAIR against the grown signature index instead of pruning, the
+    // verified pairs fold into the persisted label artifact
+    // (updateClusterLabels), and each emission carries the CURRENT
+    // 1/|cluster| mass. Constant plants (the DedupSpec soft fixture
+    // split across three batches: base / first-word variant /
+    // last-word variant + two singletons), hand-derived weights —
+    // the doc 11 emission at 0.5 and doc 21 at 1/3 are the
+    // cross-batch fold the arm exists for; batch-mode soft over the
+    // union gives the same final clusters (the q_cluster_update
+    // equality scope)
+    "q_curation_soft_stream" -> { (s, dir) =>
+      import s.implicits._
+      val base = (0 until 40).map(i => s"w$i")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-softstream-gate").toString
+      val cfg = CurationPipeline.Config(minQuality = 0.0, softDedup = true)
+      val out = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+      val sink = CurationPipeline.streamingSink("text", "doc_id", cfg, idxDir) {
+        (c, bid) =>
+          out ++= c.select(col("doc_id"), col("soft_weight"))
+            .as[(Long, Double)].collect().map { case (d, w) => (bid, d, w) }
+      }
+      sink(Seq(
+        (1L, base.mkString(" ")),
+        (9L, "completely unrelated text about something else entirely"))
+        .toDF("doc_id", "text"), 0L)
+      sink(Seq(
+        (11L, ("zz" +: base.tail).mkString(" ")),
+        (19L, "another unrelated body of prose holding its own meaning"))
+        .toDF("doc_id", "text"), 1L)
+      sink(Seq(
+        (21L, (base.init :+ "yy").mkString(" ")))
+        .toDF("doc_id", "text"), 2L)
+      out.toSeq.toDF("batch", "doc_id", "soft_weight")
+        .withColumn("soft_weight", round(col("soft_weight"), 9))
+    },
     // §2 row 138 × 52 — the capstone's uax29 tokenizer arm over a
     // planted CJK fixture (constant-table oracle, the q_uax29
     // precedent): docs 1/2 share a 56-ideograph run (doc 2 inserts one
@@ -413,6 +450,16 @@ object PipelineGates {
     // — hand-derived constant table, the q_curation_uax29 precedent
     "q_curation_c4" ->
       "SELECT * FROM (VALUES (1::BIGINT), (4::BIGINT)) t(doc_id)",
+    // hand-derived constant table (the q_dtw_topk convention): weights
+    // at emission — 11 joins {1} making a 2-cluster, 21 joins {1,11}
+    "q_curation_soft_stream" ->
+      """SELECT * FROM (VALUES
+        |  (0::BIGINT, 1::BIGINT, 1.0::DOUBLE),
+        |  (0::BIGINT, 9::BIGINT, 1.0::DOUBLE),
+        |  (1::BIGINT, 11::BIGINT, 0.5::DOUBLE),
+        |  (1::BIGINT, 19::BIGINT, 1.0::DOUBLE),
+        |  (2::BIGINT, 21::BIGINT, 0.333333333::DOUBLE)
+        |) t(batch, doc_id, soft_weight)""".stripMargin,
     // the split CASE over the KNOWN cluster keys (the pair keys on its
     // min id 900001, the singleton on itself) — same hash constants as
     // q_split_assign/q_split_leakfree

@@ -330,7 +330,11 @@ object CurationPipeline {
       * still drops (identical copies carry no diversity); the media
       * arms stay hard. The final frame carries `soft_weight`; feed it
       * to [[graft.operators.Sampling.weightedSample]]/rebalance
-      * downstream. Off by default. */
+      * downstream. In [[streamingSink]], cross-batch twins PAIR
+      * (never prune) against the signature index and the verified
+      * pairs fold into a persisted label artifact — see the sink's
+      * contract note for the as-of-emission weight semantics. Off by
+      * default. */
     softDedup: Boolean = false,
     /** Optional multimodal dedup stage ([[ImageDedup]]): runs right
       * after text near-dup, dropping docs whose IMAGE near-duplicates a
@@ -611,18 +615,32 @@ object CurationPipeline {
     indexDir: String,
     nearDup: Boolean = true
   )(sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
-    // soft dedup is batch-only for now: the streaming index prunes
-    // cross-batch near-dups HARD, which would silently contradict the
-    // soft contract (within-batch twins weighted, cross-batch twins
-    // dropped). Consistent streaming soft weights need cross-batch
-    // cluster maintenance (the updateClusterLabels fold) — fail loud
-    // until that arm exists.
-    require(!cfg.softDedup,
-      "streamingSink does not support Config.softDedup yet: the " +
-        "cross-batch index prune drops near-dups hard, contradicting " +
-        "soft weights - run the batch pipeline, or unset softDedup")
+    // STREAMING soft dedup (r19): cross-batch near-dups must not be
+    // pruned hard (that would contradict the soft contract — within-
+    // batch twins weighted, cross-batch twins dropped), so in soft mode
+    // the signature index stops being a PRUNE surface and becomes the
+    // PAIRING surface: each batch's verified pairs (within-batch exact
+    // jaccard ∪ batch-vs-index signature agreement — the row-79
+    // estimator, its documented difference) fold into a persisted
+    // label artifact via [[graft.operators.Dedup.updateClusterLabels]]
+    // (labels under indexDir/labels/v<batchId>; a retried batch reads
+    // the newest version STRICTLY below its id — the pre-attempt state
+    // — and overwrites its own, so replay is idempotent by
+    // construction; superseded versions are GC'd one batch late).
+    // Emitted rows carry soft_weight = 1/|cluster| AS OF EMISSION —
+    // a doc's cluster can grow when later batches add twins, and the
+    // label artifact (not the emitted rows) is the authoritative
+    // source for CURRENT weights; re-derive final weights from it
+    // after the last batch when exact end-state mass matters. Split
+    // labels are likewise leakage-safe only within a batch: a
+    // cross-batch twin pair can straddle splits (the artifact's
+    // cluster key is what a leakage-safe re-split would hash on).
+    require(!cfg.softDedup || nearDup,
+      "streamingSink: Config.softDedup needs nearDup=true - the " +
+        "signature index is the cross-batch pairing surface")
     val fpPath = s"$indexDir/fingerprints"
     val sigPath = s"$indexDir/signatures"
+    val labelsDir = s"$indexDir/labels"
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       import spark.implicits._
@@ -707,7 +725,9 @@ object CurationPipeline {
           antiBatch(fp).select("fingerprint")
         },
         priorSignatures =
-          if (nearDup) readIf(sigPath).map(antiBatch) else cfg.priorSignatures,
+          if (cfg.softDedup) None // soft: pair cross-batch, never prune
+          else if (nearDup) readIf(sigPath).map(antiBatch)
+          else cfg.priorSignatures,
         imageDedup = cfg.imageDedup.map(im =>
           im.copy(payloads = payloadsFor("image", im.payloadCol, im.idCol))),
         videoDedup = cfg.videoDedup.map(v =>
@@ -731,7 +751,56 @@ object CurationPipeline {
         // the fix). Checkpointed blocks have no lineage to re-derive.
         val pinned = curated.localCheckpoint()
         try {
-          sink(pinned, batchId)
+          // soft mode: fold this batch's pair surface into the label
+          // artifact and emit CURRENT cluster-mass weights (see the
+          // contract note at the top of this method). The fold runs
+          // BEFORE the index growth below, so the cross pairs read the
+          // PRE-batch signature index (antiBatch additionally shields a
+          // replayed batch from its own prior append).
+          val delivered =
+            if (!cfg.softDedup) pinned
+            else {
+              val within = Dedup.nearDuplicates(
+                  pinned.select(col("doc_id"), col(textCol)), textCol, "doc_id",
+                  k = cfg.shingleK, numHashes = cfg.numHashes,
+                  bands = cfg.bands, threshold = cfg.nearDupThreshold,
+                  tokenizer = cfg.tokenizer)
+                .select(col("id_a"), col("id_b"))
+              val cross = readIf(sigPath).map(antiBatch).map { sigs =>
+                Dedup.nearDuplicatesAgainstIndex(
+                    pinned.select(col("doc_id"), col(textCol)), sigs,
+                    textCol, "doc_id",
+                    k = cfg.shingleK, numHashes = cfg.numHashes,
+                    bands = cfg.bands, threshold = cfg.nearDupThreshold,
+                    tokenizer = cfg.tokenizer)
+                  .select(col("batch_id").as("id_a"),
+                    col("index_id").as("id_b"))
+              }
+              val pairs = cross.fold(within)(within.unionByName(_))
+              val (priorLabels, priorV) = readLatestLabels(spark, labelsDir, batchId)
+              val labels = Dedup.updateClusterLabels(
+                priorLabels, pinned.select("doc_id"), pairs)
+              labels.select(col("doc_id"), col("cluster_id"))
+                .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
+              // GC superseded versions one batch late: keep the version
+              // this batch read (a racing replay needs it), drop older
+              gcLabelVersions(spark, labelsDir, keepMin = priorV)
+              val back = spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
+                .parquet(s"$labelsDir/v$batchId")
+              val sizes = back.groupBy("cluster_id")
+                .agg(count(lit(1)).as("__csz"))
+              // label table is corpus-ID-sized; prune to this batch's
+              // ids BEFORE the weight join so only batch-sized rows move
+              val batchW = back.join(sizes, Seq("cluster_id"))
+                .join(broadcast(pinned.select("doc_id")), Seq("doc_id"), "left_semi")
+                .select(col("doc_id"),
+                  (lit(1.0) / col("__csz").cast("double")).as("__sw"))
+              pinned.drop("soft_weight")
+                .join(broadcast(batchW), Seq("doc_id"), "left")
+                .withColumn("soft_weight", coalesce(col("__sw"), lit(1.0)))
+                .drop("__sw")
+            }
+          sink(delivered, batchId)
           // grow the indexes from THIS batch's survivors. The curated
           // text is already scrubbed, so the index derives directly —
           // same artifact exactIndex/signatureIndex build via scrub
@@ -770,6 +839,50 @@ object CurationPipeline {
         } finally org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(pinned)
       }
     }
+  }
+
+  /** The newest soft-dedup label version STRICTLY below `batchId` —
+    * the pre-attempt state under replay, which is what makes the
+    * label fold idempotent — plus its version number; an empty
+    * (doc_id, cluster_id) frame and -1 when none exists. */
+  private def readLatestLabels(
+    spark: org.apache.spark.sql.SparkSession,
+    labelsDir: String,
+    batchId: Long
+  ): (DataFrame, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(hp)) Seq.empty[Long]
+      else fs.listStatus(hp).toSeq.map(_.getPath.getName)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+        .filter(_ < batchId)
+    if (versions.isEmpty)
+      (spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id")),
+        -1L)
+    else {
+      val v = versions.max
+      (spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
+        .parquet(s"$labelsDir/v$v"), v)
+    }
+  }
+
+  /** One-batch-late GC for the label artifact: delete versions BELOW
+    * `keepMin` (the version the current batch read stays alive for a
+    * racing replay; -1 = first batch, nothing to collect). */
+  private def gcLabelVersions(
+    spark: org.apache.spark.sql.SparkSession,
+    labelsDir: String,
+    keepMin: Long
+  ): Unit = {
+    if (keepMin < 0) return
+    val hp = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return
+    fs.listStatus(hp).toSeq.map(_.getPath)
+      .filter(p => p.getName.matches("v\\d+") &&
+        p.getName.drop(1).toLong < keepMin)
+      .foreach(p => fs.delete(p, true))
   }
 
   private def execute[T](

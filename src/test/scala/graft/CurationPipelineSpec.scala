@@ -854,11 +854,64 @@ class CurationPipelineSpec extends SparkSpec {
         tokenBudget = Some(20L)))(_.collect())
     assert(tight.length < 4, tight.mkString("\n"))
 
-    // streaming sink: fail-loud, not silently inconsistent
+    // streaming sink: soft mode needs the signature pairing surface
     val e = intercept[IllegalArgumentException] {
       CurationPipeline.streamingSink("text", "doc_id",
-        CurationPipeline.Config(softDedup = true), "/tmp/unused") { (_, _) => () }
+        CurationPipeline.Config(softDedup = true), "/tmp/unused",
+        nearDup = false) { (_, _) => () }
     }
-    assert(e.getMessage.contains("softDedup"), e.getMessage)
+    assert(e.getMessage.contains("nearDup"), e.getMessage)
+  }
+
+  test("streamingSink softDedup: cross-batch twins pair (never prune), the " +
+    "label fold matches a full rebuild, weights are current at emission, " +
+    "and replay is idempotent") {
+    val base = (0 until 40).map(i => s"w$i")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-softstream").toString
+    val cfg = CurationPipeline.Config(minQuality = 0.0, softDedup = true)
+    val out = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    val sink = CurationPipeline.streamingSink("text", "doc_id", cfg, idxDir) {
+      (c, bid) =>
+        out ++= c.select(col("doc_id"), col("soft_weight"))
+          .as[(Long, Double)].collect().map { case (d, w) => (bid, d, w) }
+    }
+    val b0 = Seq(
+      (1L, base.mkString(" ")),
+      (9L, "completely unrelated text about something else entirely"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (11L, ("zz" +: base.tail).mkString(" ")), // near-dup of 1, via the index
+      (19L, "another unrelated body of prose holding its own meaning"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (21L, (base.init :+ "yy").mkString(" "))) // near-dup of 1 (and thus 11)
+      .toDF("doc_id", "text")
+    sink(b0, 0L); sink(b1, 1L); sink(b2, 2L)
+    val w = out.map { case (b, d, wt) => (b, d) -> wt }.toMap
+    assert(w.size == 5, out.toString) // NOBODY was pruned cross-batch
+    assert(w((0L, 1L)) == 1.0 && w((0L, 9L)) == 1.0)
+    assert(w((1L, 11L)) == 0.5, out.toString) // cluster {1, 11} at emission
+    assert(w((1L, 19L)) == 1.0)
+    assert(w((2L, 21L)) == 1.0 / 3, out.toString) // cluster {1, 11, 21}
+    // the label artifact is the authoritative CURRENT state and equals
+    // the batch-mode rebuild over the union corpus (duplicate-content
+    // plants — the updateClusterLabels equality scope)
+    val labels = spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
+      .parquet(s"$idxDir/labels/v2").as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 11L -> 1L, 21L -> 1L, 9L -> 9L, 19L -> 19L),
+      labels.toString)
+    // one-batch-late GC: v1 (read by batch 2) survives, v0 is gone
+    assert(!new java.io.File(s"$idxDir/labels/v0").exists)
+    assert(new java.io.File(s"$idxDir/labels/v1").exists)
+    // replaying the last batch (a failed checkpoint commit) re-emits the
+    // SAME weights against the pre-attempt label state — the index rows
+    // its first attempt appended are shielded by the batch-id anti-join
+    out.clear()
+    sink(b2, 2L)
+    assert(out.toList == List((2L, 21L, 1.0 / 3)), out.toString)
+    val replayLabels = spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
+      .parquet(s"$idxDir/labels/v2").as[(Long, Long)].collect().toMap
+    assert(replayLabels == labels, replayLabels.toString)
   }
 }
