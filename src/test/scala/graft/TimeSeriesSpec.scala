@@ -213,6 +213,15 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Events.seriesVectors(ev, t0, day, nBuckets = 3, norm = Some("minmax"))
     }
+    // the norm arm is a post-aggregation projection: still exactly ONE
+    // aggregate in the plan (the seriesVectors one-shuffle contract)
+    val plan = Events.seriesVectors(ev, t0, day, nBuckets = 3,
+        norm = Some(Events.ZScoreNorm))
+      .queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, plan.toString)
   }
 
   test("dtwTopK: rank/tiebreak contract and infeasible exclusion") {
