@@ -528,21 +528,13 @@ object PipelineGates {
          |wts AS (
          |  SELECT c.doc_id, 1.0::DOUBLE / sz.n AS soft_weight
          |  FROM comp c JOIN sz USING (cluster_id)),
-         |-- split-time clusters: the pair graph restricted to survivors
-         |sym2 AS (
-         |  SELECT u, v FROM sym
-         |  WHERE u IN (SELECT doc_id FROM capd)
-         |    AND v IN (SELECT doc_id FROM capd)),
-         |reach2(id, r) AS (
-         |  SELECT u, u FROM sym2 GROUP BY u
-         |  UNION
-         |  SELECT sym2.u, reach2.r FROM sym2 JOIN reach2 ON sym2.v = reach2.id),
-         |comp2 AS (SELECT id AS doc_id, min(r) AS k FROM reach2 GROUP BY id),
+         |-- splits key on the DEDUP-TIME clusters (the same comp that
+         |-- set the weights — one cluster structure decides both)
          |keyed AS (
          |  SELECT capd.doc_id, capd.text, capd.quality,
-         |         coalesce(comp2.k, capd.doc_id) AS k,
+         |         coalesce(comp.cluster_id, capd.doc_id) AS k,
          |         coalesce(wts.soft_weight, 1.0) AS soft_weight
-         |  FROM capd LEFT JOIN comp2 USING (doc_id)
+         |  FROM capd LEFT JOIN comp USING (doc_id)
          |            LEFT JOIN wts USING (doc_id))
          |SELECT doc_id, md5(text) AS text_md5,
          |       round(quality, 6) AS quality,

@@ -877,7 +877,30 @@ object Dedup {
     maxIters: Int = 20,
     localizeEdgeLimit: Long = 2000000L,
     tokenizer: String = TextAnalysis.WhitespaceTokenizer
-  ): DataFrame = {
+  ): DataFrame =
+    softDedupWeightsWithClusters(df, textCol, idCol, k, numHashes, bands,
+      threshold, maxBucket, maxIters, localizeEdgeLimit, tokenizer)._1
+
+  /** [[softDedupWeights]] plus the underlying (doc_id, cluster_id)
+    * member table — for callers that key LATER stages on the SAME
+    * dedup-time clusters that set the weights (the curation soft arm's
+    * leak-safe splits: weight and split key must derive from one
+    * cluster structure, and the pair computation must not run twice).
+    * The member table is pair-bounded (paired docs only — singletons
+    * are absent and weigh 1.0). */
+  def softDedupWeightsWithClusters(
+    df: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    threshold: Double = 0.8,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    maxIters: Int = 20,
+    localizeEdgeLimit: Long = 2000000L,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer
+  ): (DataFrame, DataFrame) = {
     Cols.requireAbsent(df, "soft_weight", "__csz")
     val comp = connectedComponents(
       nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold,
@@ -886,10 +909,11 @@ object Dedup {
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
     val weighted = comp.join(sizes, Seq("cluster_id"))
       .select(col("doc_id").as(idCol), col("__csz"))
-    df.join(weighted, Seq(idCol), "left")
+    val out = df.join(weighted, Seq(idCol), "left")
       .withColumn("soft_weight",
         lit(1.0) / coalesce(col("__csz"), lit(1L)).cast("double"))
       .drop("__csz")
+    (out, comp)
   }
 
   /**

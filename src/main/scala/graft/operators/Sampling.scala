@@ -132,11 +132,31 @@ object Sampling {
     splitCol: String = "split",
     maxIters: Int = 20,
     localizeEdgeLimit: Long = 2000000L
+  ): DataFrame =
+    leakageSafeSplitsWithClusters(df,
+      Dedup.connectedComponents(pairs, maxIters, localizeEdgeLimit),
+      idCol, weights, seed, splitCol)
+
+  /** [[leakageSafeSplits]] over a PRECOMPUTED (doc_id, cluster_id)
+    * member table — for callers that already hold the cluster
+    * structure (e.g. the curation soft-dedup arm, whose weights derive
+    * from the same clusters the splits should key on) and must not pay
+    * a second pair computation. Docs absent from the member table hash
+    * on their own id; members may reference docs not in `df` (a
+    * cluster whose min id was dropped by a later gate still keys its
+    * survivors deterministically). */
+  def leakageSafeSplitsWithClusters(
+    df: DataFrame,
+    members: DataFrame,
+    idCol: String,
+    weights: Seq[(String, Double)],
+    seed: String = "graft",
+    splitCol: String = "split"
   ): DataFrame = {
     Cols.requireAbsent(df, "__lsf_cid", "__lsf_key")
-    val members = Dedup.connectedComponents(pairs, maxIters, localizeEdgeLimit)
+    val m = members
       .select(col("doc_id").as(idCol), col("cluster_id").as("__lsf_cid"))
-    val keyed = df.join(members, Seq(idCol), "left")
+    val keyed = df.join(m, Seq(idCol), "left")
       .withColumn("__lsf_key", coalesce(col("__lsf_cid"), col(idCol)))
     splitAssign(keyed, "__lsf_key", weights, seed, splitCol)
       .drop("__lsf_cid", "__lsf_key")

@@ -323,10 +323,12 @@ object CurationPipeline {
       * convention) and not re-normalized when later gates drop cluster
       * members. Downstream coupling: [[Config.tokenBudget]] counts a
       * doc's tokens × soft_weight (expected sampling mass — a
-      * 10-copy cluster no longer eats 10× its budget share), and the
-      * split stage is forced leakage-safe at `nearDupThreshold` when
-      * `splitLeakThreshold` is unset, because retained near-dup twins
-      * in different splits ARE leakage by construction. Exact dedup
+      * 10-copy cluster no longer eats 10× its budget share), and when
+      * `splitLeakThreshold` is unset the split stage is forced
+      * leakage-safe KEYED ON THE DEDUP-TIME CLUSTERS (one cluster
+      * structure decides both mass and split; no second pair
+      * computation), because retained near-dup twins in different
+      * splits ARE leakage by construction. Exact dedup
       * still drops (identical copies carry no diversity); the media
       * arms stay hard. The final frame carries `soft_weight`; feed it
       * to [[graft.operators.Sampling.weightedSample]]/rebalance
@@ -998,14 +1000,23 @@ object CurationPipeline {
         Dedup.dropExactDuplicatesKeepBest(withKeepScore(fresh), textCol, "doc_id",
           "__keep_sc", cfg.tokenizer).drop("__keep_sc")
       else Dedup.dropExactDuplicates(fresh, textCol, "doc_id", cfg.tokenizer))
+    // soft arm: nobody drops — every doc carries its cluster mass
+    // instead (keeper policy is moot; exact dedup above still dropped,
+    // identical copies carry no diversity). The cluster MEMBER table
+    // rides along (pair-bounded; pinned — the split stage below keys
+    // on it, and the pair computation must not run twice; the weighted
+    // frame shares the pinned plan by canonical-plan cache lookup).
+    val softArm: Option[(DataFrame, DataFrame)] =
+      if (!cfg.softDedup) None
+      else Some(Dedup.softDedupWeightsWithClusters(
+        exact, textCol, "doc_id",
+        k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+        threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
+    val softClusters: Option[DataFrame] =
+      softArm.map { case (_, comp) => pin(comp) }
     val nearText = observe("after_near_dedup",
       if (cfg.softDedup)
-        // soft arm: nobody drops — every doc carries its cluster mass
-        // instead (keeper policy is moot; exact dedup above still
-        // dropped, identical copies carry no diversity)
-        Dedup.softDedupWeights(exact, textCol, "doc_id",
-          k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
-          threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer)
+        softArm.get._1
       else if (best)
         Dedup.dropNearDuplicatesKeepBest(withKeepScore(exact), textCol, "doc_id",
             "__keep_sc", k = cfg.shingleK, numHashes = cfg.numHashes,
@@ -1180,11 +1191,15 @@ object CurationPipeline {
     // softDedup forces the leak-safe arm when no explicit threshold is
     // set: the near-dup twins it deliberately RETAINS would otherwise
     // hash into different splits — a val doc with its twin in train is
-    // a leaked answer, the exact failure splitLeakThreshold exists for
-    val leakT = cfg.splitLeakThreshold
-      .orElse(if (cfg.softDedup) Some(cfg.nearDupThreshold) else None)
-    val split = leakT match {
-      case Some(t) =>
+    // a leaked answer, the exact failure splitLeakThreshold exists for.
+    // The forced arm keys on the DEDUP-TIME clusters already computed
+    // for the weights (one cluster structure decides both mass and
+    // split; no second pair computation) — stable even when a cluster's
+    // min id was dropped by a later gate. An EXPLICIT
+    // splitLeakThreshold (typically lower) still re-pairs the
+    // survivors at that bar.
+    val split = (cfg.splitLeakThreshold, softClusters) match {
+      case (Some(t), _) =>
         // both the pair computation and the corpus side of the member
         // join consume `mixed` — pin it (the rebalance-input precedent
         // one stage up) so the upstream chain runs once
@@ -1194,7 +1209,10 @@ object CurationPipeline {
           threshold = t, tokenizer = cfg.tokenizer)
         Sampling.leakageSafeSplits(m, pairs, "doc_id", cfg.splits,
           cfg.splitSeed)
-      case None =>
+      case (None, Some(comp)) =>
+        Sampling.leakageSafeSplitsWithClusters(mixed, comp, "doc_id",
+          cfg.splits, cfg.splitSeed)
+      case (None, None) =>
         Sampling.splitAssign(mixed, "doc_id", cfg.splits, cfg.splitSeed)
     }
     val outCols =
