@@ -389,4 +389,40 @@ class EmptyInputSpec extends SparkSpec {
     // soft dedup over an empty corpus
     assert(Dedup.softDedupWeights(emptyDocs, "text", "doc_id").count() == 0)
   }
+
+  test("r19 operators over empty inputs yield empty (or degenerate-sane) results") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val emptySeries = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("series_id", LongType),
+        StructField("series", ArrayType(DoubleType)))))
+    val qs = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("series_id", "series")
+    // pruned DTW: empty corpus and empty queries both yield empty
+    assert(Similarity.dtwTopKPruned(
+      emptySeries, qs, "series", "series_id", k = 3, band = 2, pruneN = 5)
+      .count() == 0)
+    assert(Similarity.dtwTopKPruned(
+      qs, emptySeries, "series", "series_id", k = 3, band = 2, pruneN = 5)
+      .count() == 0)
+    // normalized series vectors over an empty events frame
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+    assert(Events.seriesVectors(emptyEvents, 0L, 86400000000L, 3,
+      norm = Some(Events.ZScoreNorm)).count() == 0)
+    // weighted RRF over empty ranked lists
+    val eList = Seq((1L, 2L, 1)).toDF("query_id", "doc_id", "rank").limit(0)
+    assert(Retrieval.rrfFuse(Seq(eList, eList),
+      weights = Some(Seq(2.0, 1.0))).count() == 0)
+    // soft curation over an empty corpus carries the soft_weight column
+    val soft = graft.plans.CurationPipeline.curate(
+      emptyDocs, "text", "doc_id",
+      graft.plans.CurationPipeline.Config(minQuality = 0.0, softDedup = true))
+    assert(soft.columns.contains("soft_weight") && soft.count() == 0)
+  }
 }
