@@ -100,7 +100,9 @@ object PipelineGates {
     // (singletons 1.0); softDedup also forces cluster-keyed leak-safe
     // splits (retained near-dup twins must share a split). The oracle
     // re-derives the weights from the verified-pair clusters and the
-    // split keys from the pair graph RESTRICTED to the final survivors.
+    // split keys from the SAME dedup-time clusters (one cluster
+    // structure decides both mass and split — keys stable even when a
+    // cluster's min id was dropped by a later gate).
     "q_curation_soft" -> { (s, dir) =>
       val d = LlmGates.docs(s, dir).select("doc_id", "text", "lang")
       val corpus = d.unionByName(

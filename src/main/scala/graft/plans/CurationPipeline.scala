@@ -75,19 +75,30 @@ object CurationPipeline {
       org.apache.spark.sql.types.ByteType,
       org.apache.spark.sql.types.StringType)
 
-  /** Cast an id column to long, fail-loud on non-numeric values even
-    * with ANSI off (ANSI on already throws): a silently-NULLed id would
+  /** Cast an id column to long, fail-loud on LOSSY values even with
+    * ANSI off (ANSI on already throws): a silently-NULLed id would
     * exempt rows from the keyed fingerprint/signature indexes and the
     * replay anti-joins — a retried micro-batch would self-match its own
-    * prior append and deliver near-empty, the exact failure the
-    * per-batch-id anti-join exists to prevent. */
+    * prior append and deliver near-empty — and a silently-TRUNCATED
+    * one is worse (non-ANSI string→long truncates: '1.5' and '1.9'
+    * both key as doc 1, colliding payloads onto the wrong document),
+    * so the guard also requires the cast to round-trip numerically:
+    * the long value must equal the original under a decimal(38,18)
+    * compare (20 integer digits — the full long range). '01' and
+    * ' 1 ' still key as 1; '1.5', '1e300', 'abc' all raise. */
   private def integralIdCast(c: org.apache.spark.sql.Column, where: String)
-    : org.apache.spark.sql.Column =
-    when(c.isNotNull && c.cast("long").isNull,
+    : org.apache.spark.sql.Column = {
+    val asLong = c.cast("long")
+    val exactIn = c.cast("decimal(38,18)")
+    val lossy = asLong.isNull || exactIn.isNull ||
+      exactIn =!= asLong.cast("decimal(38,18)")
+    when(c.isNotNull && lossy,
       raise_error(concat(
-        lit(s"$where: non-numeric id value '"), c.cast("string"),
-        lit("' cannot key the integral-id indexes"))))
-      .otherwise(c.cast("long"))
+        lit(s"$where: id value '"), c.cast("string"),
+        lit("' does not cast losslessly to long and cannot key the " +
+          "integral-id indexes"))))
+      .otherwise(asLong)
+  }
 
   /** The embedding-prior pair for [[Config.priorEmbeddings]]:
     * `batchEmbeddings` is THIS drop's (id, vector) table, `index` the
@@ -742,7 +753,12 @@ object CurationPipeline {
           mediaPriorFor("video", "vhash", v.bands)),
         priorBandedAudio = cfg.audioDedup.flatMap(a =>
           mediaPriorFor("audio", "afp", a.bands)))
-      run(batch, textCol, idCol, cfgWithPriors) { curated =>
+      // soft mode: capture the pipeline's dedup-time cluster table so
+      // the label fold below reuses it (the pipeline already paid the
+      // LSH pair pass — re-pairing the batch would run it twice)
+      var softComp: Option[DataFrame] = None
+      execute(batch, textCol, idCol, cfgWithPriors, (_, df) => df,
+        c => softComp = Some(c)) { curated =>
         // LOCAL CHECKPOINT, not persist: every grow leg below APPENDS to
         // a path this frame's lineage READS (the prior indexes), and a
         // parquet write recaches-by-path — a merely-persisted frame gets
@@ -762,12 +778,19 @@ object CurationPipeline {
           val delivered =
             if (!cfg.softDedup) pinned
             else {
-              val within = Dedup.nearDuplicates(
-                  pinned.select(col("doc_id"), col(textCol)), textCol, "doc_id",
-                  k = cfg.shingleK, numHashes = cfg.numHashes,
-                  bands = cfg.bands, threshold = cfg.nearDupThreshold,
-                  tokenizer = cfg.tokenizer)
-                .select(col("id_a"), col("id_b"))
+              // within-batch pair surface = the pipeline's dedup-time
+              // cluster structure as STAR edges (doc → its cluster min
+              // id; same reachability as the verified pair set — the
+              // updateClusterLabels argument). Bridges THROUGH a doc a
+              // later gate dropped persist, matching the weight
+              // semantics the batch arm already uses; dropped docs get
+              // no label row (the fold's allIds is prior ∪ emitted).
+              val within = softComp
+                .getOrElse(throw new IllegalStateException(
+                  "streamingSink: soft mode ran without capturing the " +
+                    "pipeline's cluster table - stages() soft arm changed?"))
+                .filter(col("doc_id") =!= col("cluster_id"))
+                .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
               val cross = readIf(sigPath).map(antiBatch).map { sigs =>
                 Dedup.nearDuplicatesAgainstIndex(
                     pinned.select(col("doc_id"), col(textCol)), sigs,
@@ -892,7 +915,11 @@ object CurationPipeline {
     textCol: String,
     idCol: String,
     cfg: Config,
-    observe: (String, DataFrame) => DataFrame
+    observe: (String, DataFrame) => DataFrame,
+    // soft mode hands the dedup-time cluster table (pinned for the
+    // action's lifetime) to interested callers — the streaming sink's
+    // label fold reuses it instead of paying a second LSH pair pass
+    onSoftClusters: DataFrame => Unit = _ => ()
   )(action: DataFrame => T): T = {
     // fail-fast expectations on the RAW input, before any stage spends a
     // pass on it (one extra aggregation scan — only when configured)
@@ -901,7 +928,8 @@ object CurationPipeline {
     val scrubbed = observe("scrubbed", scrub(corpus, textCol, idCol, cfg)).persist()
     val pinned = scala.collection.mutable.Buffer[DataFrame](scrubbed)
     val pin: DataFrame => DataFrame = df => { pinned += df.persist(); df }
-    try action(stages(scrubbed, textCol, cfg, corpus, idCol, pin, observe))
+    try action(stages(scrubbed, textCol, cfg, corpus, idCol, pin, observe,
+      onSoftClusters))
     finally pinned.foreach(_.unpersist())
   }
 
@@ -915,7 +943,8 @@ object CurationPipeline {
     scrubbed: DataFrame, textCol: String, cfg: Config,
     corpus: DataFrame, idCol: String,
     pin: DataFrame => DataFrame = identity,
-    observe: (String, DataFrame) => DataFrame = (_, df) => df
+    observe: (String, DataFrame) => DataFrame = (_, df) => df,
+    onSoftClusters: DataFrame => Unit = _ => ()
   ): DataFrame = {
     def groupLookup(gcols: Seq[String]): DataFrame =
       corpus.select((col(idCol).as("doc_id") +: gcols.map(col)).toIndexedSeq: _*)
@@ -1014,6 +1043,7 @@ object CurationPipeline {
         threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
     val softClusters: Option[DataFrame] =
       softArm.map { case (_, comp) => pin(comp) }
+    softClusters.foreach(onSoftClusters)
     val nearText = observe("after_near_dedup",
       if (cfg.softDedup)
         softArm.get._1

@@ -564,6 +564,11 @@ object Events {
         (col("n_trans").cast("double") / col("__n_from")).as("prob"))
   }
 
+  /** [[seriesVectors]] `norm` arms: per-key z-score over the grid
+    * positions, or unit L2. */
+  val ZScoreNorm = "zscore"
+  val UnitNorm = "unit"
+
   /**
    * FIXED-GRID series vectors: per key, `valueCol` summed into
    * `nBuckets` equal `intervalMicros` windows starting at
@@ -592,9 +597,6 @@ object Events {
    * [[UnitNorm]] divides by the L2 norm (zero profiles stay zero).
    * Both are post-aggregation projections — same one-shuffle plan.
    */
-  val ZScoreNorm = "zscore"
-  val UnitNorm = "unit"
-
   def seriesVectors(
     events: DataFrame,
     startMicros: Long,

@@ -601,8 +601,24 @@ class CurationPipelineSpec extends SparkSpec {
     }
     val msg = Option(e2.getMessage).getOrElse("") +
       Option(e2.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("non-numeric id") || msg.contains("CAST_INVALID_INPUT") ||
+    assert(msg.contains("does not cast losslessly") ||
+      msg.contains("CAST_INVALID_INPUT") ||
       msg.contains("not-a-number"), s"$e2")
+    // a FRACTIONAL numeric string must also fail loud: non-ANSI
+    // string→long TRUNCATES ('1.5' → 1), which would silently collide
+    // distinct ids onto one key — the round-trip guard catches it
+    val fractional = Seq(("1.5", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val e3 = intercept[Exception] {
+      CurationPipeline.run(corpus, "text", "doc_id",
+        CurationPipeline.Config(
+          imageDedup = Some(CurationPipeline.ImageDedup(fractional)),
+          minQuality = 0.0))(_.count())
+    }
+    val msg3 = Option(e3.getMessage).getOrElse("") +
+      Option(e3.getCause).map(_.getMessage).getOrElse("")
+    assert(msg3.contains("does not cast losslessly") ||
+      msg3.contains("CAST_INVALID_INPUT") || msg3.contains("1.5"), s"$e3")
   }
 
   test("c4Clean stage: boilerplate drops before every hash-keyed stage; text rewritten") {
