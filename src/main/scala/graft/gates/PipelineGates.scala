@@ -154,7 +154,13 @@ object PipelineGates {
       sink(Seq(
         (21L, (base.init :+ "yy").mkString(" ")))
         .toDF("doc_id", "text"), 2L)
+      // batch = 99 sentinel rows: the END-STATE reader over the label
+      // artifact — batch-0 doc 1 was emitted at 1.0 but reads 1/3 here
+      // (its cluster grew), the exact divergence the as-of-emission
+      // contract documents and currentSoftWeights exists to resolve
       out.toSeq.toDF("batch", "doc_id", "soft_weight")
+        .unionByName(CurationPipeline.currentSoftWeights(s, idxDir)
+          .select(lit(99L).as("batch"), col("doc_id"), col("soft_weight")))
         .withColumn("soft_weight", round(col("soft_weight"), 9))
     },
     // §2 row 138 × 52 — the capstone's uax29 tokenizer arm over a
@@ -453,14 +459,21 @@ object PipelineGates {
     "q_curation_c4" ->
       "SELECT * FROM (VALUES (1::BIGINT), (4::BIGINT)) t(doc_id)",
     // hand-derived constant table (the q_dtw_topk convention): weights
-    // at emission — 11 joins {1} making a 2-cluster, 21 joins {1,11}
+    // at emission — 11 joins {1} making a 2-cluster, 21 joins {1,11} —
+    // plus the batch-99 END-STATE rows read back from the label
+    // artifact (the whole cluster at 1/3, singletons 1.0)
     "q_curation_soft_stream" ->
       """SELECT * FROM (VALUES
         |  (0::BIGINT, 1::BIGINT, 1.0::DOUBLE),
         |  (0::BIGINT, 9::BIGINT, 1.0::DOUBLE),
         |  (1::BIGINT, 11::BIGINT, 0.5::DOUBLE),
         |  (1::BIGINT, 19::BIGINT, 1.0::DOUBLE),
-        |  (2::BIGINT, 21::BIGINT, 0.333333333::DOUBLE)
+        |  (2::BIGINT, 21::BIGINT, 0.333333333::DOUBLE),
+        |  (99::BIGINT, 1::BIGINT, 0.333333333::DOUBLE),
+        |  (99::BIGINT, 11::BIGINT, 0.333333333::DOUBLE),
+        |  (99::BIGINT, 21::BIGINT, 0.333333333::DOUBLE),
+        |  (99::BIGINT, 9::BIGINT, 1.0::DOUBLE),
+        |  (99::BIGINT, 19::BIGINT, 1.0::DOUBLE)
         |) t(batch, doc_id, soft_weight)""".stripMargin,
     // the split CASE over the KNOWN cluster keys (the pair keys on its
     // min id 900001, the singleton on itself) — same hash constants as

@@ -866,6 +866,32 @@ object CurationPipeline {
     }
   }
 
+  /** CURRENT soft-dedup state from the streaming label artifact under
+    * `indexDir/labels` (the NEWEST version — no batch bound):
+    * `(doc_id, cluster_id, soft_weight)` for every doc the sink ever
+    * emitted. This is the authoritative END-STATE mass: emissions carry
+    * weights AS OF EMISSION, and a doc's cluster grows when later
+    * batches add twins — so a batch-0 doc emitted at weight 1.0 whose
+    * twin arrived in batch 7 reads 0.5 here. Feed `soft_weight` to the
+    * mass-aware stages (weightedSample / rebalance / token budgets) and
+    * `cluster_id` to [[graft.operators.Sampling
+    * .leakageSafeSplitsWithClusters]] when re-splitting the delivered
+    * corpus. Fails loud when no label artifact exists (a non-soft sink,
+    * or no batch has run). */
+  def currentSoftWeights(
+    spark: org.apache.spark.sql.SparkSession,
+    indexDir: String
+  ): DataFrame = {
+    val (labels, v) = readLatestLabels(spark, s"$indexDir/labels", Long.MaxValue)
+    require(v >= 0,
+      s"currentSoftWeights: no label artifact under $indexDir/labels - " +
+        "run a softDedup streamingSink batch first")
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (lit(1.0) / col("__csz").cast("double")).as("soft_weight"))
+  }
+
   /** The newest soft-dedup label version STRICTLY below `batchId` —
     * the pre-attempt state under replay, which is what makes the
     * label fold idempotent — plus its version number; an empty

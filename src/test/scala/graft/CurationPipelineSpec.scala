@@ -929,5 +929,22 @@ class CurationPipelineSpec extends SparkSpec {
     val replayLabels = spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
       .parquet(s"$idxDir/labels/v2").as[(Long, Long)].collect().toMap
     assert(replayLabels == labels, replayLabels.toString)
+    // the END-STATE weight reader: batch-0 doc 1 was EMITTED at 1.0 but
+    // its cluster grew to 3 — currentSoftWeights reads 1/3 for all
+    // members, 1.0 for the singletons (the authoritative mass source
+    // the as-of-emission contract points at)
+    val cur = CurationPipeline.currentSoftWeights(spark, idxDir)
+      .select(col("doc_id"), col("cluster_id"), col("soft_weight"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, c, w) => d -> ((c, w)) }.toMap
+    assert(cur(1L) == ((1L, 1.0 / 3)) && cur(11L) == ((1L, 1.0 / 3)) &&
+      cur(21L) == ((1L, 1.0 / 3)), cur.toString)
+    assert(cur(9L) == ((9L, 1.0)) && cur(19L) == ((19L, 1.0)))
+    // no artifact → fail loud, not an empty frame
+    val e2 = intercept[IllegalArgumentException] {
+      CurationPipeline.currentSoftWeights(spark,
+        java.nio.file.Files.createTempDirectory("graft-nolabels").toString)
+    }
+    assert(e2.getMessage.contains("no label artifact"), e2.getMessage)
   }
 }
