@@ -197,9 +197,14 @@ object Bench {
     "q_curation_soft",       // capstone soft-dedup arm: no near drops, cluster weights + forced leak-safe splits (r19)
     "q_curation_soft_stream",// streaming soft arm: 3 batches, pair-vs-index fold into the label artifact + current-mass emission (r19)
     "q_rrf_fusion_weighted", // weighted fusion: persisted sidecar lexical leg + exact-degenerate IVF dense leg (r19)
-    // q_dtw_topk / q_dtw_topk_pruned stay unbenched: constant-fixture
-    // parity gates (the q_curation_c4 convention); the kernel and the
-    // two-stage plan are benched via q_dtw_pruned_exact
+    "q_rrf_fusion_pq",       // THREE-arm fusion: sidecar bm25 x IVF x PQ ADC->exact-rerank (r20)
+    "q_dtw_zscore",          // composed shape search: zscore profiles -> persisted envelope artifact -> pruned-against vs brute (r20)
+    "q_curation_soft_incr",  // batch soft x prior signature index: pairing fold, hard-mode contrast in-gate (r20)
+    "q_lang_id_model",       // loaded .vec model scoring: word join + vector-mean agg + label fold (r20)
+    // q_dtw_topk / q_dtw_topk_pruned / q_dtw_index / q_forget_dtw stay
+    // unbenched: constant-fixture parity gates (the q_curation_c4
+    // convention); the kernel, the two-stage plan, and the persisted
+    // artifact are benched via q_dtw_pruned_exact / q_dtw_zscore
     "q_setsim_append",       // prefix-index grow + join-surface probe (r17)
     "q_winnow_append",       // winnow-index grow through parquet + overlap probe (r17)
     "q_banded_recap",        // banded artifact re-cap: dedupe + two-pass cap over band rows (r17)

@@ -358,6 +358,43 @@ object CorpusGates {
           round(col("rrf_score"), 9).as("rrf_score"),
           col("rank").cast("long").as("rank"))
     },
+    // §2 row 172c (r20) — THREE-arm weighted fusion with the PQ leg a
+    // 100 TB deployment would actually fuse: sidecar BM25 (lexical) ×
+    // exact-degenerate IVF (dense cosine) × PQ ADC→exact-rerank
+    // (Pq.adcRerankTopK over the PLANTED codebook — ADC candidates and
+    // the L2 re-rank are both fixed-order double arithmetic, so DuckDB
+    // re-derives the dense ranks bit-for-bit; kCandidates=30 > k keeps
+    // the ADC screen load-bearing), fused at 2.0/1.0/1.0.
+    "q_rrf_fusion_pq" -> { (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-rrfpq-gate").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      Retrieval.bm25SidecarWrite(d, "text", "doc_id", out)
+      val bm = Retrieval.bm25TopKFromSidecar(
+          s, out, bm25Queries(s), "query_id", "qtext", k = 10)
+        .select("query_id", "doc_id", "rank")
+      val e = LlmGates.embs(s, dir).select("vec_id", "embedding")
+      val q = e.filter(col("vec_id").between(1, 3))
+      val rankW = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+      val ann = Similarity.ivfTopK(
+          e, q, "embedding", "vec_id", k = 10, nCentroids = 16, nProbe = 16)
+        .withColumn("rank", row_number().over(
+          rankW.orderBy(col("score").desc, col("neighbor_id"))))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val cb = VectorGates.plantedPqCodebook(s)
+      val pq = graft.operators.Pq.adcRerankTopK(
+          e, graft.operators.Pq.encode(e, "embedding", cb), q,
+          "embedding", "vec_id", cb, k = 10, kCandidates = 30)
+        .withColumn("rank", row_number().over(
+          rankW.orderBy(col("dist").asc, col("neighbor_id"))))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(bm, ann, pq), k0 = 60, topK = 5,
+          weights = Some(Seq(2.0, 1.0, 1.0)))
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf_score"), 9).as("rrf_score"),
+          col("rank").cast("long").as("rank"))
+    },
     // §2.4 row 70 — unigram KL drift: corpus A = documents; corpus B =
     // a biased subsample (every 3rd doc) + planted spam flood — the
     // drifted-batch shape the monitor exists to catch
@@ -1119,6 +1156,88 @@ object CorpusGates {
          |  SELECT query_id, doc_id, 2.0::DOUBLE / (60 + rank) AS c FROM bm
          |  UNION ALL
          |  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM ann),
+         |f AS (SELECT query_id, doc_id, sum(c) AS fs FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, round(fs, 9) AS rrf_score, rank FROM (
+         |  SELECT query_id, doc_id, fs,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY fs DESC, doc_id) AS rank
+         |  FROM f) WHERE rank <= 5""".stripMargin,
+    // the three-arm fusion: bm25 CTEs + cosine CTEs as in
+    // q_rrf_fusion_weighted, plus the PQ leg — planted-codebook encode
+    // (VectorGates.pqEncodeCtes: cb/dists/enc), per-query ADC tables,
+    // candidate cut at 30, exact L2 re-rank (fixed index-order sums on
+    // both engines) — fused at 2.0/1.0/1.0 per (60 + rank)
+    "q_rrf_fusion_pq" ->
+      s"""${bm25CtePrefix("")},
+         |s AS (
+         |  SELECT qt.query_id, c.doc_id, sum(c.c) AS sc
+         |  FROM contrib c JOIN qt USING (word)
+         |  GROUP BY qt.query_id, c.doc_id),
+         |bm AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sc DESC, doc_id) AS rank
+         |    FROM s) WHERE rank <= 10),
+         |ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id AS query_id, v AS qvec FROM ev
+         |       WHERE vec_id BETWEEN 1 AND 3),
+         |anns AS (
+         |  SELECT query_id, ev.vec_id AS doc_id,
+         |         list_dot_product(qvec, v) /
+         |           (sqrt(list_dot_product(qvec, qvec)) *
+         |            sqrt(list_dot_product(v, v))) AS score
+         |  FROM qv, ev),
+         |ann AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY score DESC, doc_id) AS rank
+         |    FROM anns WHERE score IS NOT NULL) WHERE rank <= 10),
+         |${VectorGates.pqEncodeCtes.replaceFirst("^WITH ", "")},
+         |pqq AS (SELECT vec_id AS query_id, embedding AS pqv FROM embeddings
+         |        WHERE vec_id BETWEEN 1 AND 3),
+         |pqt AS MATERIALIZED (
+         |  SELECT query_id, code,
+         |         list_sum(list_transform(range(1, 33),
+         |           i -> (pqv[i]::DOUBLE - a) * (pqv[i]::DOUBLE - a))) AS dlo,
+         |         list_sum(list_transform(range(33, 65),
+         |           i -> (pqv[i]::DOUBLE - a) * (pqv[i]::DOUBLE - a))) AS dhi
+         |  FROM pqq CROSS JOIN cb),
+         |pqs AS (
+         |  SELECT t0.query_id, enc.vec_id AS neighbor_id,
+         |         t0.dlo + t1.dhi AS adc_dist
+         |  FROM enc
+         |  JOIN pqt t0 ON t0.code = enc.c0
+         |  JOIN pqt t1 ON t1.query_id = t0.query_id AND t1.code = enc.c1),
+         |pqcand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY adc_dist ASC, neighbor_id) AS rn
+         |    FROM pqs) WHERE rn <= 30),
+         |pql2 AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         list_sum(list_transform(range(1, 65),
+         |           i -> (q.pqv[i]::DOUBLE - e.embedding[i]::DOUBLE) *
+         |                (q.pqv[i]::DOUBLE - e.embedding[i]::DOUBLE))) AS dist
+         |  FROM pqcand c
+         |  JOIN pqq q USING (query_id)
+         |  JOIN embeddings e ON e.vec_id = c.neighbor_id),
+         |pq AS (
+         |  SELECT query_id, neighbor_id AS doc_id, rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY dist ASC, neighbor_id) AS rank
+         |    FROM pql2) WHERE rank <= 10),
+         |u AS (
+         |  SELECT query_id, doc_id, 2.0::DOUBLE / (60 + rank) AS c FROM bm
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM ann
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS c FROM pq),
          |f AS (SELECT query_id, doc_id, sum(c) AS fs FROM u GROUP BY 1, 2)
          |SELECT query_id, doc_id, round(fs, 9) AS rrf_score, rank FROM (
          |  SELECT query_id, doc_id, fs,

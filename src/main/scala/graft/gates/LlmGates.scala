@@ -686,6 +686,44 @@ object LlmGates {
           "text", "doc_id")
         .withColumn("lang_conf", round(col("lang_conf"), 6))
     },
+    // §2.4 row 33b (r20) — PLUGGABLE language ID: a fastText-text-format
+    // model (the Bpe.load precedent — a public on-disk format loaded
+    // into the engine) with __label__ head vectors, scored as
+    // mean-matched-word-vector · label vector. All model values are
+    // DYADIC rationals, so the per-dimension mean (sum/count) is exact
+    // in doubles under ANY summation order and DuckDB re-derives every
+    // score bit-for-bit over the real corpus slice + planted rows:
+    // matched docs argmax with sorted-label tiebreak ('tie' scores
+    // en = fr → en), unmatched/empty docs predict und at 0.0.
+    "q_lang_id_model" -> { (s, dir) =>
+      import s.implicits._
+      val vec = Seq(
+        "8 3",
+        "__label__de 0.0 0.0 1.0",
+        "__label__en 1.0 0.0 0.0",
+        "__label__fr 0.0 1.0 0.0",
+        "the 1.0 0.0 0.0",
+        "and 0.75 0.0 0.25",
+        "le 0.0 1.0 0.0",
+        "der 0.25 0.0 1.0",
+        "tie 0.5 0.5 0.0").mkString("\n")
+      val f = java.nio.file.Files.createTempFile("graft-langmodel", ".vec")
+      java.nio.file.Files.write(f, vec.getBytes("UTF-8"))
+      val model = graft.operators.LangModel.load(s, f.toString)
+      val planted = Seq(
+        (900001L, "the cat and the dog"),
+        (900002L, "le chat"),
+        (900003L, "der hund"),
+        (900004L, "xyzzy plugh"),
+        (900005L, ""),
+        (900006L, "tie")).toDF("doc_id", "text")
+      graft.operators.LangModel.predict(
+          docs(s, dir).filter(col("doc_id") < 500).select("doc_id", "text")
+            .unionByName(planted),
+          model, "text", "doc_id")
+        .select(col("doc_id"), col("lang_pred"),
+          round(col("lang_score"), 6).as("lang_score"))
+    },
     // §2.4 row 34 — quality ratios + composite score
     "q_text_quality" -> { (s, dir) =>
       TextAnalysis.withQuality(docs(s, dir), "text", "doc_id")
@@ -1138,6 +1176,15 @@ object LlmGates {
         Multimodal.MediaRecord(830007L, "text again".getBytes("UTF-8"))))
       sink(b0, 0L)
       sink(b1, 1L)
+      // coverage seam (r19 ADVICE): q_curation_image_stream drives the
+      // curation sink for ONE batch only, so the two-invocation sink
+      // interplay — batch 1 pruned through the artifact batch 0 GREW —
+      // is covered by this cell and its audio twin; a refactor that
+      // collapses them to one invocation must fail here, not silently
+      // drop the only cross-batch coverage
+      require(out.exists(_._1 == 1L) && !out.contains((1L, 830002L)),
+        s"q_video_dedup_stream: batch 1 must run through the grown " +
+          s"artifact and drop the re-encode; got $out")
       out.toSeq.toDF("batch", "doc_id")
     },
     // §2 row 165 — STREAMING audio dedup: batch 0 plants the
@@ -1164,6 +1211,12 @@ object LlmGates {
         Multimodal.MediaRecord(840007L, "text again".getBytes("UTF-8"))))
       sink(b0, 0L)
       sink(b1, 1L)
+      // coverage seam (r19 ADVICE): the two-invocation sink interplay —
+      // see the q_video_dedup_stream note; this is the audio twin
+      require(out.exists(_._1 == 1L) &&
+          !out.contains((1L, 840003L)) && !out.contains((1L, 840005L)),
+        s"q_audio_dedup_stream: batch 1 must run through the grown " +
+          s"artifact and drop both re-encodes; got $out")
       out.toSeq.toDF("batch", "doc_id")
     },
     // §2 row 169 — the CURATION streaming sink's media arm: ONE full
@@ -1716,10 +1769,17 @@ object LlmGates {
     // not a recall trade-off). pruneN = 7 < corpus size keeps the
     // τ re-screen load-bearing at every sf.
     "q_dtw_pruned_exact" -> { (s, dir) =>
-      val sv = Events.seriesVectors(
+      // the series frame is MATERIALIZED once (localize — profile
+      // tables are user-count × 30 doubles, metadata-sized) before
+      // feeding both arms: each arm would otherwise embed its own
+      // instance of the seriesVectors hash aggregate, whose double
+      // summation order is nondeterministic across executions — a
+      // ulp-different series value makes dtw_dist differ bitwise and
+      // flips exact_ok intermittently (r19 ADVICE)
+      val sv = graft.operators.Similarity.localize(Events.seriesVectors(
         Events.readEventsParquet(s, s"$dir/events.parquet"),
         startMicros = 1704067200000000L,
-        intervalMicros = 86400000000L, nBuckets = 30)
+        intervalMicros = 86400000000L, nBuckets = 30))
       val qs = sv.orderBy(col("series_id")).limit(5)
       val brute = graft.operators.Similarity.dtwTopK(
         sv, qs, "series", "series_id", k = 5, band = 3)
@@ -1730,6 +1790,101 @@ object LlmGates {
         .agg(count(lit(1)).as("c")).filter(col("c") =!= 2)
       brute.agg(countDistinct(col("query_id")).as("n_queries"))
         .crossJoin(mism.agg((count(lit(1)) === 0).cast("int").as("exact_ok")))
+    },
+    // §2 row 180 (r20) — the composed shape-search story end to end:
+    // z-score-normalized behavior profiles (row 179) searched by the
+    // exact two-stage LB_Keogh DTW (row 178) THROUGH the persisted
+    // envelope artifact (dtwEnvelopeIndexWrite → parquet →
+    // dtwTopKPrunedAgainst, band from the sidecar) — pinned ≡ brute
+    // DTW over the same localized frame (the q_dtw_pruned_exact
+    // equality-summary convention; the magnitude-contrast arm — a
+    // big-user raw profile ranking differently once z-scored — is
+    // spec-pinned in TimeSeriesSpec).
+    "q_dtw_zscore" -> { (s, dir) =>
+      val sv = graft.operators.Similarity.localize(Events.seriesVectors(
+        Events.readEventsParquet(s, s"$dir/events.parquet"),
+        startMicros = 1704067200000000L,
+        intervalMicros = 86400000000L, nBuckets = 30,
+        norm = Some(Events.ZScoreNorm)))
+      val qs = sv.orderBy(col("series_id")).limit(5)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-dtwz-idx").toString
+      graft.operators.Similarity.dtwEnvelopeIndexWrite(
+        graft.operators.Similarity.dtwEnvelopeIndex(
+          sv, "series", "series_id", band = 3),
+        idxDir, band = 3)
+      val brute = graft.operators.Similarity.dtwTopK(
+        sv, qs, "series", "series_id", k = 5, band = 3)
+      val pruned = graft.operators.Similarity.dtwTopKPrunedAgainst(
+        s, idxDir, qs, "series", "series_id", k = 5, pruneN = 7)
+      val mism = brute.unionByName(pruned)
+        .groupBy("query_id", "neighbor_id", "rank", "dtw_dist")
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2)
+      brute.agg(countDistinct(col("query_id")).as("n_queries"))
+        .crossJoin(mism.agg((count(lit(1)) === 0).cast("int").as("exact_ok")))
+    },
+    // §2 row 180 (r20) — the persisted-envelope probe over the RAW
+    // constant fixture, pinned to the SAME hand-derived table as
+    // q_dtw_topk / q_dtw_topk_pruned: build → write (band sidecar) →
+    // read-back probe must reproduce the fused search value-for-value
+    // (pruneN = k = 3 keeps the τ re-screen load-bearing)
+    "q_dtw_index" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Seq(
+        (101L, Seq(0.0, 1, 5, 5, 1, 0, 0, 0)),
+        (102L, Seq(1.0, 5, 5, 1, 0, 0, 0, 2)),
+        (103L, Seq(0.0, 0, 1, 5, 5, 1, 0, 3)),
+        (104L, Seq(5.0, 4, 3, 2, 2, 3, 4, 5)),
+        (105L, Seq(0.0, 0, 0, 0, 0, 0, 0, 0)),
+        (106L, Seq(0.0, 1, 5, 5, 1, 0, 2)),
+        (107L, Seq(0.0, 1, 5, 5, 1))).toDF("series_id", "series")
+      val queries = Seq(
+        (1L, Seq(0.0, 1, 5, 5, 1, 0, 0, 0)),
+        (2L, Seq(2.0, 2, 2, 2, 2, 2, 2, 2))).toDF("series_id", "series")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-dtw-idx").toString
+      graft.operators.Similarity.dtwEnvelopeIndexWrite(
+        graft.operators.Similarity.dtwEnvelopeIndex(
+          corpus, "series", "series_id", band = 2),
+        idxDir, band = 2)
+      graft.operators.Similarity.dtwTopKPrunedAgainst(
+          s, idxDir, queries, "series", "series_id", k = 3, pruneN = 3)
+        .select(col("query_id"), col("neighbor_id"), col("dtw_dist"),
+          col("rank").cast("long").as("rank"))
+    },
+    // §2 row 180 (r20) — forget over the persisted DTW artifact:
+    // per-doc rows, so Forget.removeIds ≡ a rebuild from the reduced
+    // corpus (the q_forget_ivf contract); after removing series 106
+    // (rank 2 for both queries) the probe returns the hand-derived
+    // next-best table — a removed series surfacing anywhere mismatches
+    "q_forget_dtw" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Seq(
+        (101L, Seq(0.0, 1, 5, 5, 1, 0, 0, 0)),
+        (102L, Seq(1.0, 5, 5, 1, 0, 0, 0, 2)),
+        (103L, Seq(0.0, 0, 1, 5, 5, 1, 0, 3)),
+        (104L, Seq(5.0, 4, 3, 2, 2, 3, 4, 5)),
+        (105L, Seq(0.0, 0, 0, 0, 0, 0, 0, 0)),
+        (106L, Seq(0.0, 1, 5, 5, 1, 0, 2)),
+        (107L, Seq(0.0, 1, 5, 5, 1))).toDF("series_id", "series")
+      val queries = Seq(
+        (1L, Seq(0.0, 1, 5, 5, 1, 0, 0, 0)),
+        (2L, Seq(2.0, 2, 2, 2, 2, 2, 2, 2))).toDF("series_id", "series")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-dtw-fgt").toString
+      graft.operators.Similarity.dtwEnvelopeIndexWrite(
+        graft.operators.Similarity.dtwEnvelopeIndex(
+          corpus, "series", "series_id", band = 2),
+        idxDir, band = 2)
+      val kept = graft.operators.Forget.removeIds(
+        s.read.parquet(idxDir), "series_id",
+        Seq(106L).toDF("series_id"), "series_id")
+      graft.operators.Similarity.dtwTopKPrunedOver(
+          kept, queries, "series", "series_id",
+          band = graft.operators.Similarity.readDtwBandMeta(s, idxDir),
+          k = 2, pruneN = 3)
+        .select(col("query_id"), col("neighbor_id"), col("dtw_dist"),
+          col("rank").cast("long").as("rank"))
     },
     // §2 row 120 — per-event trailing-window aggregates (6h): RANGE
     // frame on exact epoch micros, peers included on both engines
@@ -2325,6 +2480,47 @@ object LlmGates {
          |             ELSE $m / CAST(${sCols.mkString(" + ")} AS DOUBLE) END, 6) AS lang_conf
          |FROM sc""".stripMargin
     },
+    // the loaded-model scorer re-derived end to end: per-dimension
+    // means over the matched vocabulary (dyadic values — exact under
+    // any sum order), label dots = the mean's own dimensions (one-hot
+    // heads), argmax with the sorted-label (de,en,fr) strict-greater
+    // fold, unmatched docs und/0.0
+    "q_lang_id_model" ->
+      s"""WITH vocab(token, v1, v2, v3) AS (VALUES
+         |  ('the', 1.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE),
+         |  ('and', 0.75, 0.0, 0.25),
+         |  ('le', 0.0, 1.0, 0.0),
+         |  ('der', 0.25, 0.0, 1.0),
+         |  ('tie', 0.5, 0.5, 0.0)),
+         |d AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 500
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (900001::BIGINT, 'the cat and the dog'),
+         |    (900002, 'le chat'),
+         |    (900003, 'der hund'),
+         |    (900004, 'xyzzy plugh'),
+         |    (900005, ''),
+         |    (900006, 'tie')) p(doc_id, text)),
+         |w AS (
+         |  SELECT doc_id, unnest(${wordsSql()}) AS token FROM d),
+         |h AS (
+         |  SELECT doc_id, avg(v1) AS h1, avg(v2) AS h2, avg(v3) AS h3
+         |  FROM w JOIN vocab USING (token) GROUP BY doc_id),
+         |b1 AS (
+         |  SELECT doc_id, h2,
+         |         CASE WHEN h1 > h3 THEN h1 ELSE h3 END AS b1s,
+         |         CASE WHEN h1 > h3 THEN 'en' ELSE 'de' END AS b1l
+         |  FROM h),
+         |p AS (
+         |  SELECT doc_id,
+         |         CASE WHEN h2 > b1s THEN 'fr' ELSE b1l END AS lang_pred,
+         |         CASE WHEN h2 > b1s THEN h2 ELSE b1s END AS lang_score
+         |  FROM b1)
+         |SELECT d.doc_id,
+         |       coalesce(p.lang_pred, 'und') AS lang_pred,
+         |       round(coalesce(p.lang_score, 0.0), 6) AS lang_score
+         |FROM d LEFT JOIN p USING (doc_id)""".stripMargin,
     "q_text_quality" ->
       s"""WITH d AS (
          |  SELECT doc_id, text, ${wordsSql()} AS w FROM documents),
@@ -3251,6 +3447,34 @@ object LlmGates {
     // the gate computes the pairwise diff in Spark) — constant summary
     "q_dtw_pruned_exact" ->
       "SELECT 5::BIGINT AS n_queries, 1 AS exact_ok",
+    // the composed z-score → persisted-envelope exact search: same
+    // constant-summary convention, exact at every sf by construction
+    "q_dtw_zscore" ->
+      "SELECT 5::BIGINT AS n_queries, 1 AS exact_ok",
+    // the persisted-envelope probe is VALUE-EQUAL to the fused search —
+    // same hand-derived table as q_dtw_topk / q_dtw_topk_pruned
+    "q_dtw_index" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 101::BIGINT, 0.0::DOUBLE, 1::BIGINT),
+        |  (1::BIGINT, 106::BIGINT, 2.0::DOUBLE, 2::BIGINT),
+        |  (1::BIGINT, 102::BIGINT, 3.0::DOUBLE, 3::BIGINT),
+        |  (2::BIGINT, 104::BIGINT, 12.0::DOUBLE, 1::BIGINT),
+        |  (2::BIGINT, 106::BIGINT, 12.0::DOUBLE, 2::BIGINT),
+        |  (2::BIGINT, 102::BIGINT, 14.0::DOUBLE, 3::BIGINT)
+        |) t(query_id, neighbor_id, dtw_dist, rank)""".stripMargin,
+    // after forgetting series 106, each query's next-best fills in:
+    // query 1 keeps 101/102 (the q_dtw_topk values), query 2 keeps
+    // 104 and promotes 102 to rank 2 (every other series — 101 at 16,
+    // 103 at 15, 105 at 16 against the constant-2 query — is farther
+    // than 14: the query is constant, so any warping still pays
+    // Σ|2 − x| over every corpus element at least once)
+    "q_forget_dtw" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 101::BIGINT, 0.0::DOUBLE, 1::BIGINT),
+        |  (1::BIGINT, 102::BIGINT, 3.0::DOUBLE, 2::BIGINT),
+        |  (2::BIGINT, 104::BIGINT, 12.0::DOUBLE, 1::BIGINT),
+        |  (2::BIGINT, 102::BIGINT, 14.0::DOUBLE, 2::BIGINT)
+        |) t(query_id, neighbor_id, dtw_dist, rank)""".stripMargin,
     "q_resample" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS k, event_id, value,

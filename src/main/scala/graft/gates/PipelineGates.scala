@@ -21,6 +21,19 @@ import graft.plans.CurationPipeline
  */
 object PipelineGates {
 
+  /** Committed parquet data files under `dir` as relative-path →
+    * length — the write-accounting witness (the CorpusGates sidecar
+    * convention) for the generational soft-label artifact. */
+  private def parquetFiles(dir: String): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    if (!root.exists()) Map.empty
+    else walk(root)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => root.toPath.relativize(f.toPath).toString -> f.length()).toMap
+  }
+
   /** The gate's pipeline config — every stage that has a DuckDB analogue
     * enabled, small-k settings matching the per-stage gates (k=3 shingles
     * over short synthetic docs), and a quality floor/cap tight enough to
@@ -120,22 +133,31 @@ object PipelineGates {
           round(col("soft_weight"), 9).as("soft_weight")))
       }
     },
-    // §2 row 173 × 169 (r19) — STREAMING soft dedup: cross-batch twins
-    // PAIR against the grown signature index instead of pruning, the
-    // verified pairs fold into the persisted label artifact
-    // (updateClusterLabels), and each emission carries the CURRENT
+    // §2 row 173 × 169 (r19; delta-sized label artifact r20) —
+    // STREAMING soft dedup: cross-batch twins PAIR against the grown
+    // signature index instead of pruning, the verified pairs fold into
+    // the persisted GENERATIONAL label artifact
+    // (updateClusterLabelsDelta), and each emission carries the CURRENT
     // 1/|cluster| mass. Constant plants (the DedupSpec soft fixture
     // split across three batches: base / first-word variant /
     // last-word variant + two singletons), hand-derived weights —
     // the doc 11 emission at 0.5 and doc 21 at 1/3 are the
     // cross-batch fold the arm exists for; batch-mode soft over the
     // union gives the same final clusters (the q_cluster_update
-    // equality scope)
+    // equality scope). The gate additionally ASSERTS the r20 write
+    // accounting (the q_bm25_sidecar_append convention): prior label
+    // generations are byte-identical after later batches, each
+    // generation holds only CHANGED labels (batch-sized — 2/2/1 rows
+    // here, where the r19 layout rewrote the full 2/4/5-row corpus
+    // table per batch), and compactSoftLabels is value-identity on the
+    // reader — the batch-99 end-state rows are read POST-compaction
+    // against the same constant oracle.
     "q_curation_soft_stream" -> { (s, dir) =>
       import s.implicits._
       val base = (0 until 40).map(i => s"w$i")
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-softstream-gate").toString
+      val labelsDir = s"$idxDir/labels"
       val cfg = CurationPipeline.Config(minQuality = 0.0, softDedup = true)
       val out = scala.collection.mutable.Buffer[(Long, Long, Double)]()
       val sink = CurationPipeline.streamingSink("text", "doc_id", cfg, idxDir) {
@@ -147,13 +169,41 @@ object PipelineGates {
         (1L, base.mkString(" ")),
         (9L, "completely unrelated text about something else entirely"))
         .toDF("doc_id", "text"), 0L)
+      val g0 = (parquetFiles(s"$labelsDir/g0"), parquetFiles(s"$labelsDir/sizes-g0"))
       sink(Seq(
         (11L, ("zz" +: base.tail).mkString(" ")),
         (19L, "another unrelated body of prose holding its own meaning"))
         .toDF("doc_id", "text"), 1L)
+      val g1 = (parquetFiles(s"$labelsDir/g1"), parquetFiles(s"$labelsDir/sizes-g1"))
       sink(Seq(
         (21L, (base.init :+ "yy").mkString(" ")))
         .toDF("doc_id", "text"), 2L)
+      // bytes-written ∝ batch size: batch 2 left batches 0/1's
+      // generations untouched and wrote only doc 21's delta
+      require((parquetFiles(s"$labelsDir/g0"),
+          parquetFiles(s"$labelsDir/sizes-g0")) == g0 && g0._1.nonEmpty,
+        "q_curation_soft_stream: a later batch rewrote generation g0")
+      require((parquetFiles(s"$labelsDir/g1"),
+          parquetFiles(s"$labelsDir/sizes-g1")) == g1 && g1._1.nonEmpty,
+        "q_curation_soft_stream: a later batch rewrote generation g1")
+      val genRows = (0 to 2).map(g =>
+        s.read.parquet(s"$labelsDir/g$g").count())
+      require(genRows == Seq(2L, 2L, 1L),
+        s"q_curation_soft_stream: generations must hold only CHANGED " +
+          s"labels (expected 2/2/1 rows, got ${genRows.mkString("/")})")
+      // compaction ≡ identity on the reader: the end-state rows below
+      // are read post-compaction against the same constant oracle
+      val pre = CurationPipeline.currentSoftWeights(s, idxDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      CurationPipeline.compactSoftLabels(s, idxDir)
+      require(new java.io.File(labelsDir).listFiles()
+          .count(_.getName.matches("g\\d+")) == 1,
+        "q_curation_soft_stream: compaction left more than one generation")
+      val post = CurationPipeline.currentSoftWeights(s, idxDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      require(pre == post,
+        s"q_curation_soft_stream: compaction changed the reader state " +
+          s"(pre=$pre post=$post)")
       // batch = 99 sentinel rows: the END-STATE reader over the label
       // artifact — batch-0 doc 1 was emitted at 1.0 but reads 1/3 here
       // (its cluster grew), the exact divergence the as-of-emission
@@ -162,6 +212,50 @@ object PipelineGates {
         .unionByName(CurationPipeline.currentSoftWeights(s, idxDir)
           .select(lit(99L).as("batch"), col("doc_id"), col("soft_weight")))
         .withColumn("soft_weight", round(col("soft_weight"), 9))
+    },
+    // §2 row 173b (r20) — batch softDedup × prior signature index: the
+    // cross-corpus twins are WEIGHTED, never pruned — the batch twin of
+    // the streaming sink's pairing arm
+    // (Dedup.softDedupWeightsWithClustersAgainst). Prior corpus = the
+    // DedupSpec soft fixture's base doc + a singleton; its signature
+    // index is built SAME-scrubbed via CurationPipeline.signatureIndex
+    // and parquet-roundtripped (the row-79 convention). The batch's two
+    // variants each signature-match indexed doc 1, so the combined
+    // cluster is {1, 11, 21} and both batch survivors weigh 1/3 — the
+    // SAME end-state mass the streaming label artifact reads for these
+    // corpora (q_curation_soft_stream's batch-99 rows). The in-gate
+    // contrast pins the semantics this row exists for: WITHOUT
+    // softDedup the same prior index hard-drops both twins.
+    "q_curation_soft_incr" -> { (s, dir) =>
+      import s.implicits._
+      val base = (0 until 40).map(i => s"w$i")
+      val prior = Seq(
+        (1L, base.mkString(" ")),
+        (9L, "completely unrelated text about something else entirely"))
+        .toDF("doc_id", "text")
+      val cfgBase = CurationPipeline.Config(minQuality = 0.0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-softincr-gate").toString
+      CurationPipeline.signatureIndex(prior, "text", "doc_id", cfgBase)
+        .write.mode("overwrite").parquet(idxDir)
+      val sigIdx = s.read.parquet(idxDir)
+      def batch = Seq(
+        (11L, ("zz" +: base.tail).mkString(" ")),
+        (19L, "another unrelated body of prose holding its own meaning"),
+        (21L, (base.init :+ "yy").mkString(" ")))
+        .toDF("doc_id", "text")
+      val hard = CurationPipeline.run(batch, "text", "doc_id",
+        cfgBase.copy(priorSignatures = Some(sigIdx))) {
+        _.select("doc_id").as[Long].collect().toSet
+      }
+      assert(hard == Set(19L),
+        s"without softDedup the prior index must hard-drop the twins; kept $hard")
+      CurationPipeline.run(batch, "text", "doc_id",
+        cfgBase.copy(priorSignatures = Some(sigIdx), softDedup = true)) {
+        curated =>
+          graft.operators.Similarity.localize(curated.select(
+            col("doc_id"), round(col("soft_weight"), 9).as("soft_weight")))
+      }
     },
     // §2 row 138 × 52 — the capstone's uax29 tokenizer arm over a
     // planted CJK fixture (constant-table oracle, the q_uax29
@@ -458,6 +552,16 @@ object PipelineGates {
     // — hand-derived constant table, the q_curation_uax29 precedent
     "q_curation_c4" ->
       "SELECT * FROM (VALUES (1::BIGINT), (4::BIGINT)) t(doc_id)",
+    // hand-derived constant table (the q_curation_uax29 precedent):
+    // batch docs 11/21 each signature-match indexed doc 1, so the
+    // combined cluster {1, 11, 21} weighs its batch members 1/3; the
+    // singleton 19 rides at 1.0 — prior twins WEIGHTED, never pruned
+    "q_curation_soft_incr" ->
+      """SELECT * FROM (VALUES
+        |  (11::BIGINT, 0.333333333::DOUBLE),
+        |  (19::BIGINT, 1.0::DOUBLE),
+        |  (21::BIGINT, 0.333333333::DOUBLE)
+        |) t(doc_id, soft_weight)""".stripMargin,
     // hand-derived constant table (the q_dtw_topk convention): weights
     // at emission — 11 joins {1} making a 2-cluster, 21 joins {1,11} —
     // plus the batch-99 END-STATE rows read back from the label

@@ -287,7 +287,7 @@ object VectorGates {
     * which would sit exactly on a symmetric decision midpoint). */
   private[gates] val PqGateLevels = Seq(-0.75, -0.25, 0.1, 0.55)
 
-  private def plantedPqCodebook(s: SparkSession): DataFrame = {
+  private[gates] def plantedPqCodebook(s: SparkSession): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("subspace",
         org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -576,7 +576,7 @@ object VectorGates {
     * need not be the exact product). `src` parameterizes the encoded
     * corpus (full table for the build gates, the reduced set for the
     * forget rebuild). */
-  private def pqEncodeCtes: String = pqEncodeCtesFrom("embeddings")
+  private[gates] def pqEncodeCtes: String = pqEncodeCtesFrom("embeddings")
 
   private def pqEncodeCtesFrom(src: String): String = {
     val values = PqGateLevels.zipWithIndex

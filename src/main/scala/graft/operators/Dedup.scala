@@ -846,6 +846,98 @@ object Dedup {
   }
 
   /**
+   * The DELTA form of [[updateClusterLabels]] — the write-side primitive
+   * of a GENERATIONAL label artifact (the row-164 sidecar doctrine
+   * applied to cluster labels): instead of the full corpus-ID-sized
+   * label table, return ONLY the rows a latest-version-wins reader needs
+   * to overlay on `priorLabels` to reproduce [[updateClusterLabels]]'
+   * output exactly (spec-pinned): `(doc_id, cluster_id,
+   * old_cluster_id)` for (a) every drop doc — its current label,
+   * `old_cluster_id` NULL — and (b) every PRIOR doc whose label moved
+   * (a cluster merge through the new pairs), with the superseded label
+   * in `old_cluster_id` so the caller can maintain COUNTED cluster
+   * sizes by signed merge (+1 to each row's new cluster, −1 to each
+   * non-NULL old one — the [[graft.operators.Forget.appendFingerprints]]
+   * arithmetic) instead of re-aggregating the corpus.
+   *
+   * Scale shape: the CC edge list is (non-singleton prior docs + new
+   * pairs)-sized as in [[updateClusterLabels]]; the prior side of the
+   * delta is comp-bounded (a prior doc can only move if it appears in
+   * the component table), so the output is (touched prior docs + drop
+   * docs)-sized — never corpus-sized. The prior table is scanned
+   * (column-pruned) but never shuffled whole.
+   *
+   * Contract: `dropIds` must be DISJOINT from `priorLabels`' ids (the
+   * globally-unique-id convention every incremental index in this
+   * engine assumes); an id on both sides would emit two delta rows.
+   */
+  def updateClusterLabelsDelta(
+    priorLabels: DataFrame,
+    dropIds: DataFrame,
+    newPairs: DataFrame,
+    maxIters: Int = 20,
+    localizeEdgeLimit: Long = 2000000L
+  ): DataFrame = {
+    val starEdges = priorLabels
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+    val comp = connectedComponents(
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      maxIters, localizeEdgeLimit)
+    val dropIdCol =
+      if (dropIds.columns.length == 1) dropIds.columns.head
+      else if (dropIds.columns.contains("doc_id")) "doc_id"
+      else throw new IllegalArgumentException(
+        "updateClusterLabelsDelta: dropIds must be a single-column id frame " +
+          s"or contain a doc_id column; got [${dropIds.columns.mkString(", ")}]")
+    val cidType = priorLabels.schema("cluster_id").dataType
+    // prior docs that moved: only docs IN the component table can move
+    // (non-singleton priors enter via star edges; singleton priors only
+    // via a new pair), so the join output is comp-bounded
+    val priorChanged = priorLabels
+      .withColumnRenamed("cluster_id", "old_cluster_id")
+      .join(comp, Seq("doc_id"))
+      .filter(col("old_cluster_id") =!= col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("old_cluster_id"))
+    // every drop doc gets its current label (its component min, or its
+    // own id when unpaired) — a latest-wins reader needs the row either way
+    val dropChanged = dropIds.select(col(dropIdCol).as("doc_id")).distinct()
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        lit(null).cast(cidType).as("old_cluster_id"))
+    priorChanged.unionByName(dropChanged)
+  }
+
+  /**
+   * Fail-loud consumer contract for [[connectedComponents]]' observed
+   * convergence ([[graft.GraftSession.ccRuns]]): call immediately after
+   * an operator whose correctness needs EXACT cluster identity (the
+   * streaming soft-label fold — an unconverged distributed result would
+   * silently produce wrong weights). The CC loop is driver-side and
+   * eager, so the newest record is the run just issued. Throws
+   * `IllegalStateException` naming the caller when that run stopped
+   * unconverged; a missing record (no CC ran) also throws — the caller
+   * believed clustering happened.
+   */
+  def requireConvergedComponents(
+    spark: org.apache.spark.sql.SparkSession,
+    where: String
+  ): Unit = {
+    val run = graft.GraftSession.ccRuns(spark).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"$where: no connectedComponents run was recorded on this session - " +
+          "the clustering this caller depends on never executed"))
+    if (!run.converged)
+      throw new IllegalStateException(
+        s"$where: connectedComponents stopped UNCONVERGED after " +
+          s"${run.rounds} rounds over ${run.edges} edges - the labels may " +
+          "split a cluster and any weight/split keyed on them would be " +
+          "silently wrong; raise maxIters (convergence is O(log diameter)) " +
+          "and re-run")
+  }
+
+  /**
    * SOFT dedup — down-weight instead of drop (the SoftDeDup idea,
    * He et al. 2024, arXiv:2407.06654): every document survives with a
    * `soft_weight = 1 / |its transitive near-dup cluster|`, so each
@@ -906,6 +998,60 @@ object Dedup {
       nearDuplicates(df, textCol, idCol, k, numHashes, bands, threshold,
         maxBucket, tokenizer),
       maxIters, localizeEdgeLimit)
+    val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
+    val weighted = comp.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id").as(idCol), col("__csz"))
+    val out = df.join(weighted, Seq(idCol), "left")
+      .withColumn("soft_weight",
+        lit(1.0) / coalesce(col("__csz"), lit(1L)).cast("double"))
+      .drop("__csz")
+    (out, comp)
+  }
+
+  /**
+   * [[softDedupWeightsWithClusters]] with a PRIOR corpus's persisted
+   * signature index folded into the pair surface — the batch twin of
+   * the streaming sink's cross-batch pairing arm: batch docs that
+   * near-duplicate the indexed corpus are WEIGHTED (their cluster mass
+   * counts the prior twins), never pruned, so
+   * `Config.softDedup + priorSignatures` keeps the exact promise the
+   * flag makes within the batch. Pairs = within-batch verified exact
+   * Jaccard ([[nearDuplicates]]) ∪ batch-vs-index signature agreement
+   * ([[nearDuplicatesAgainstIndex]] — the row-79 estimator, its
+   * documented borderline difference); components close over the union,
+   * and a cluster's size counts EVERY member — batch docs AND prior
+   * twins — so a batch doc with one indexed twin weighs 1/2, matching
+   * the streaming label artifact's end state for the same corpora.
+   *
+   * Returned member table includes the index-side members (the split
+   * stage keys on cluster ids that stay stable across drops); only
+   * batch rows carry weights. Ids must be globally unique across batch
+   * and index (the incremental-family contract).
+   */
+  def softDedupWeightsWithClustersAgainst(
+    df: DataFrame,
+    indexSignatures: DataFrame,
+    textCol: String,
+    idCol: String,
+    k: Int = 3,
+    numHashes: Int = 16,
+    bands: Int = 4,
+    threshold: Double = 0.8,
+    maxBucket: Option[Int] = DefaultMaxBucket,
+    maxIters: Int = 20,
+    localizeEdgeLimit: Long = 2000000L,
+    tokenizer: String = TextAnalysis.WhitespaceTokenizer,
+    broadcastBatch: Boolean = true
+  ): (DataFrame, DataFrame) = {
+    Cols.requireAbsent(df, "soft_weight", "__csz")
+    val within = nearDuplicates(df, textCol, idCol, k, numHashes, bands,
+        threshold, maxBucket, tokenizer)
+      .select(col("id_a"), col("id_b"))
+    val cross = nearDuplicatesAgainstIndex(df, indexSignatures, textCol, idCol,
+        k, numHashes, bands, threshold, maxBucket, broadcastBatch, tokenizer)
+      .select(col("batch_id").as("id_a"), col("index_id").as("id_b"))
+    val comp = connectedComponents(
+      within.unionByName(cross), maxIters, localizeEdgeLimit)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
     val weighted = comp.join(sizes, Seq("cluster_id"))
       .select(col("doc_id").as(idCol), col("__csz"))

@@ -181,6 +181,186 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Build-once DTW search artifact: `(series_id, series, up, lo)` —
+   * every corpus series with its Sakoe–Chiba band envelopes
+   * ([[graft.functions.DtwEnvelopeExpr]]) precomputed at `band`.
+   * Envelopes are query-INDEPENDENT per band, so a deployment running
+   * repeated [[dtwTopKPrunedOver]] probes pays the deque work once here
+   * instead of once per (query, series) pair — the bm25Index /
+   * setSimPrefixIndex / hammingBandedIndex build-once economics applied
+   * to the DTW family. Per-doc rows: [[graft.operators.Forget
+   * .removeIds]] on `series_id` IS the rebuild (the q_forget_ivf
+   * contract). Persist with [[dtwEnvelopeIndexWrite]], which pins
+   * `band` in a self-describing sidecar.
+   */
+  def dtwEnvelopeIndex(
+    corpus: DataFrame,
+    vecCol: String,
+    idCol: String,
+    band: Int
+  ): DataFrame = {
+    require(band >= 0, s"band must be >= 0: $band")
+    corpus.select(
+      col(idCol).as("series_id"),
+      transform(col(vecCol), x => x.cast("double")).as("series"),
+      graft.functions.DtwEnvelopeExpr(col(vecCol), band, upper = true).as("up"),
+      graft.functions.DtwEnvelopeExpr(col(vecCol), band, upper = false).as("lo"))
+  }
+
+  /** Band-parameter sidecar name (`_`-prefixed: invisible to plain
+    * parquet reads) — the [[graft.operators.Dedup]] `_hamming_bands`
+    * doctrine: a probe MUST use the writer's band (envelopes at a
+    * different band are a different bound), so it is never a
+    * caller-supplied guess on the read side. */
+  private val DtwBandMetaFile = "_dtw_band"
+
+  /** Persist a [[dtwEnvelopeIndex]] with its band in a self-describing
+    * `_dtw_band` sidecar. `mode = "append"` grows the artifact by a
+    * drop's rows and VERIFIES the sidecar instead of rewriting it —
+    * mixed-band envelopes would silently loosen or break the bound. */
+  def dtwEnvelopeIndexWrite(
+    index: DataFrame,
+    path: String,
+    band: Int,
+    mode: String = "overwrite"
+  ): Unit = {
+    require(band >= 0, s"band must be >= 0: $band")
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be overwrite|append: '$mode'")
+    val spark = index.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path, DtwBandMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mode == "append" && fs.exists(p)) {
+      val b0 = readDtwBandMeta(spark, path)
+      require(b0 == band,
+        s"dtwEnvelopeIndexWrite: $path was built with band=$b0, append " +
+          s"requested band=$band - the band is the artifact's contract; " +
+          "rebuild to change it")
+    }
+    index.write.mode(mode).parquet(path)
+    val out = fs.create(p, true)
+    try out.write(band.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a [[dtwEnvelopeIndexWrite]] sidecar back. Fails LOUD when
+    * absent — guessing the band would silently change the bound. */
+  def readDtwBandMeta(
+    spark: org.apache.spark.sql.SparkSession,
+    path: String
+  ): Int = {
+    val p = new org.apache.hadoop.fs.Path(path, DtwBandMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$path has no $DtwBandMetaFile sidecar - it was not written by " +
+        "dtwEnvelopeIndexWrite; rebuild the artifact with dtwEnvelopeIndex " +
+        "+ dtwEnvelopeIndexWrite")
+    val in = fs.open(p)
+    val text = try {
+      val buf = new Array[Byte](16)
+      val outBuf = new java.io.ByteArrayOutputStream(16)
+      var n = in.read(buf)
+      while (n > 0) { outBuf.write(buf, 0, n); n = in.read(buf) }
+      new String(outBuf.toByteArray, "UTF-8").trim
+    } finally in.close()
+    require(text.nonEmpty && text.length <= 4 &&
+        text.forall(c => c >= '0' && c <= '9'),
+      s"$path/$DtwBandMetaFile is not a band int ('$text') - was it " +
+        "written by dtwEnvelopeIndexWrite?")
+    text.toInt
+  }
+
+  /**
+   * [[dtwTopKPruned]] over a prebuilt [[dtwEnvelopeIndex]] frame — the
+   * amortized two-stage exact search: stage 1's corpus pass pays only
+   * the O(m) [[graft.functions.LbKeoghEnvExpr]] comparison against the
+   * STORED envelopes (the O(n) deque build is in the artifact; the
+   * query side's own envelopes are computed once on the broadcast query
+   * frame), and the τ re-screen + exact DTW stages are unchanged. Same
+   * output contract and the same exactness argument as
+   * [[dtwTopKPruned]]; a spec pins the composed two-sided bound equal
+   * to the fused [[graft.functions.LbKeoghExpr]] bit for bit, so the
+   * τ screen is the SAME screen.
+   */
+  def dtwTopKPrunedOver(
+    index: DataFrame,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    band: Int,
+    k: Int = 10,
+    pruneN: Int = 50
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(pruneN >= k, s"pruneN must be >= k: $pruneN < $k")
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"),
+          transform(col(vecCol), x => x.cast("double")).as("qv"))
+        .withColumn("q_up",
+          graft.functions.DtwEnvelopeExpr(col("qv"), band, upper = true))
+        .withColumn("q_lo",
+          graft.functions.DtwEnvelopeExpr(col("qv"), band, upper = false)))
+    // symmetric LB: max of the two one-sided bounds, NULL when either
+    // is (greatest() skips nulls, so the guard is explicit — a NULL
+    // side means an infeasible/empty pair, the LbKeoghExpr contract).
+    // Each O(m) kernel is named in its own projection so the null
+    // guard's multiple references never re-evaluate it.
+    def lbPairs = index
+      .select(col("series_id").as("neighbor_id"), col("series").as("nv"),
+        col("up"), col("lo"))
+      .crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"),
+        graft.functions.LbKeoghEnvExpr(
+          col("nv"), col("q_up"), col("q_lo"), band).as("__lba"),
+        graft.functions.LbKeoghEnvExpr(
+          col("qv"), col("up"), col("lo"), band).as("__lbb"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"),
+        when(col("__lba").isNull || col("__lbb").isNull,
+            lit(null).cast("double"))
+          .otherwise(greatest(col("__lba"), col("__lbb"))).as("lb"))
+      .filter(col("lb").isNotNull)
+    val cands = lbPairs
+      .withColumn("__lbr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("lb").asc, col("neighbor_id"))))
+      .filter(col("__lbr") <= pruneN)
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.DtwDistExpr(col("qv"), col("nv"), band).as("dtw_dist"))
+    val tau = cands
+      .withColumn("__dr", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dtw_dist").asc, col("neighbor_id"))))
+      .filter(col("__dr") <= k)
+      .groupBy("query_id").agg(max(col("dtw_dist")).as("__tau"))
+    lbPairs
+      .join(broadcast(tau), Seq("query_id"))
+      .filter(col("lb") <= col("__tau"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.DtwDistExpr(col("qv"), col("nv"), band).as("dtw_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dtw_dist").asc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[dtwTopKPrunedOver]] against a PERSISTED artifact directory —
+    * band comes from the sidecar, never a caller guess. */
+  def dtwTopKPrunedAgainst(
+    spark: org.apache.spark.sql.SparkSession,
+    path: String,
+    queries: DataFrame,
+    vecCol: String,
+    idCol: String,
+    k: Int = 10,
+    pruneN: Int = 50
+  ): DataFrame = {
+    val band = readDtwBandMeta(spark, path)
+    dtwTopKPrunedOver(
+      spark.read.schema(
+          "series_id BIGINT, series ARRAY<DOUBLE>, up ARRAY<DOUBLE>, lo ARRAY<DOUBLE>")
+        .parquet(path),
+      queries, vecCol, idCol, band, k, pruneN)
+  }
+
   /** Assign every corpus vector to its nearest centroid by cosine: the
     * (small) centroid table rides along as ONE broadcast array row and
     * the argmax is a pure expression fold over it — the corpus itself is

@@ -85,9 +85,19 @@ object CurationPipeline {
     * so the guard also requires the cast to round-trip numerically:
     * the long value must equal the original under a decimal(38,18)
     * compare (20 integer digits — the full long range). '01' and
-    * ' 1 ' still key as 1; '1.5', '1e300', 'abc' all raise. */
-  private def integralIdCast(c: org.apache.spark.sql.Column, where: String)
-    : org.apache.spark.sql.Column = {
+    * ' 1 ' still key as 1; '1.5', '1e300', 'abc' all raise.
+    *
+    * The round-trip guard only exists for STRING ids: a sub-long
+    * integral (`dt`) casts losslessly by construction, so those
+    * columns take the plain cast — two decimal casts plus a compare
+    * per row on the streaming anti-join and media-id hot paths could
+    * never detect anything there. */
+  private def integralIdCast(
+    c: org.apache.spark.sql.Column,
+    dt: org.apache.spark.sql.types.DataType,
+    where: String
+  ): org.apache.spark.sql.Column = {
+    if (dt != org.apache.spark.sql.types.StringType) return c.cast("long")
     val asLong = c.cast("long")
     val exactIn = c.cast("decimal(38,18)")
     val lossy = asLong.isNull || exactIn.isNull ||
@@ -242,7 +252,11 @@ object CurationPipeline {
       * when set, batch docs near-duplicating the indexed corpus
       * (signature agreement ≥ nearDupThreshold) are pruned right after
       * the exact prune. Same same-scrub caveat — build with
-      * [[signatureIndex]]. */
+      * [[signatureIndex]]. Under [[softDedup]] this index PAIRS instead
+      * of pruning: the cross-corpus twins fold into the soft cluster
+      * table and weight the batch docs ([[graft.operators.Dedup
+      * .softDedupWeightsWithClustersAgainst]]) — the batch twin of the
+      * streaming sink's label fold. */
     priorSignatures: Option[DataFrame] = None,
     /** Prior corpus's [[graft.operators.Dedup.simHashes]] index — when
       * set, batch docs whose SimHash lands within `simhashMaxHamming`
@@ -343,11 +357,14 @@ object CurationPipeline {
       * still drops (identical copies carry no diversity); the media
       * arms stay hard. The final frame carries `soft_weight`; feed it
       * to [[graft.operators.Sampling.weightedSample]]/rebalance
-      * downstream. In [[streamingSink]], cross-batch twins PAIR
-      * (never prune) against the signature index and the verified
-      * pairs fold into a persisted label artifact — see the sink's
-      * contract note for the as-of-emission weight semantics. Off by
-      * default. */
+      * downstream. Cross-corpus composition: [[priorSignatures]] PAIRS
+      * into the cluster table (twins weighted, never pruned — r20),
+      * [[priorSimhashes]]/[[priorEmbeddings]] fail loud (no pairing
+      * arm), [[priorFingerprints]] still prunes (exact semantics). In
+      * [[streamingSink]], cross-batch twins PAIR (never prune) against
+      * the signature index and the verified pairs fold into a persisted
+      * generational label artifact — see the sink's contract note for
+      * the as-of-emission weight semantics. Off by default. */
     softDedup: Boolean = false,
     /** Optional multimodal dedup stage ([[ImageDedup]]): runs right
       * after text near-dup, dropping docs whose IMAGE near-duplicates a
@@ -628,22 +645,33 @@ object CurationPipeline {
     indexDir: String,
     nearDup: Boolean = true
   )(sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
-    // STREAMING soft dedup (r19): cross-batch near-dups must not be
-    // pruned hard (that would contradict the soft contract — within-
-    // batch twins weighted, cross-batch twins dropped), so in soft mode
-    // the signature index stops being a PRUNE surface and becomes the
-    // PAIRING surface: each batch's verified pairs (within-batch exact
-    // jaccard ∪ batch-vs-index signature agreement — the row-79
-    // estimator, its documented difference) fold into a persisted
-    // label artifact via [[graft.operators.Dedup.updateClusterLabels]]
-    // (labels under indexDir/labels/v<batchId>; a retried batch reads
-    // the newest version STRICTLY below its id — the pre-attempt state
-    // — and overwrites its own, so replay is idempotent by
-    // construction; superseded versions are GC'd one batch late).
-    // Emitted rows carry soft_weight = 1/|cluster| AS OF EMISSION —
-    // a doc's cluster can grow when later batches add twins, and the
-    // label artifact (not the emitted rows) is the authoritative
-    // source for CURRENT weights; re-derive final weights from it
+    // STREAMING soft dedup (r19; label layout delta-sized r20):
+    // cross-batch near-dups must not be pruned hard (that would
+    // contradict the soft contract — within-batch twins weighted,
+    // cross-batch twins dropped), so in soft mode the signature index
+    // stops being a PRUNE surface and becomes the PAIRING surface:
+    // each batch's verified pairs (within-batch exact jaccard ∪
+    // batch-vs-index signature agreement — the row-79 estimator, its
+    // documented difference) fold into a persisted GENERATIONAL label
+    // artifact via [[graft.operators.Dedup.updateClusterLabelsDelta]].
+    // Per batch the sink writes ONLY the labels that changed — this
+    // batch's docs plus prior docs a cluster merge re-labeled — to
+    // indexDir/labels/g<batchId> (latest-version-wins read), and
+    // maintains cluster sizes as SIGNED COUNT DELTAS under
+    // labels/sizes-g<batchId> (+1 per arriving member, −1 per
+    // departure — the Forget.appendFingerprints arithmetic), so
+    // per-batch bytes written scale with the BATCH, not the corpus,
+    // and no corpus-wide groupBy runs per micro-batch (the r19 layout
+    // rewrote the full corpus-ID-sized table and re-aggregated it
+    // every batch). A retried batch reads generations STRICTLY below
+    // its id — the pre-attempt state — and overwrites its own two
+    // generation directories, so replay stays idempotent by
+    // construction; [[compactSoftLabels]] is the periodic maintenance
+    // arm that folds the generation list down. Emitted rows carry
+    // soft_weight = 1/|cluster| AS OF EMISSION — a doc's cluster can
+    // grow when later batches add twins, and the label artifact (not
+    // the emitted rows) is the authoritative source for CURRENT
+    // weights; re-derive final weights from [[currentSoftWeights]]
     // after the last batch when exact end-state mass matters. Split
     // labels are likewise leakage-safe only within a batch: a
     // cross-batch twin pair can straddle splits (the artifact's
@@ -688,7 +716,8 @@ object CurationPipeline {
         // a NULL payload is the streaming spelling of "no payload row"
         // (the batch arm's side table simply lacks the doc) — such docs
         // never match and are never dropped by the media stages
-        batch.select(integralIdCast(col(idCol), "streamingSink").as(mIdCol),
+        batch.select(
+          integralIdCast(col(idCol), idType, "streamingSink").as(mIdCol),
           col(payloadCol).as(payloadCol))
           .filter(col(payloadCol).isNotNull)
       }
@@ -711,8 +740,9 @@ object CurationPipeline {
             .schema("band INT, band_key BIGINT, index_id BIGINT, index_hash BIGINT")
             .parquet(p)
             .join(
-              broadcast(batch.select(integralIdCast(col(idCol), "streamingSink")
-                .as("__bid")).distinct()),
+              broadcast(batch.select(
+                integralIdCast(col(idCol), idType, "streamingSink")
+                  .as("__bid")).distinct()),
               col("index_id") === col("__bid"), "left_anti"))
         }
       }
@@ -724,8 +754,9 @@ object CurationPipeline {
       // index writes), and pruning against them would self-match the
       // whole retried batch and deliver it near-empty.
       def antiBatch(df: DataFrame): DataFrame = df.join(
-        broadcast(batch.select(integralIdCast(col(idCol), "streamingSink")
-          .as("__bid")).distinct()),
+        broadcast(batch.select(
+          integralIdCast(col(idCol), idType, "streamingSink")
+            .as("__bid")).distinct()),
         col("doc_id") === col("__bid"), "left_anti").drop("__bid")
       val cfgWithPriors = cfg.copy(
         priorFingerprints = readIf(fpPath).map { fp =>
@@ -802,22 +833,50 @@ object CurationPipeline {
                     col("index_id").as("id_b"))
               }
               val pairs = cross.fold(within)(within.unionByName(_))
-              val (priorLabels, priorV) = readLatestLabels(spark, labelsDir, batchId)
-              val labels = Dedup.updateClusterLabels(
-                priorLabels, pinned.select("doc_id"), pairs)
-              labels.select(col("doc_id"), col("cluster_id"))
-                .write.mode("overwrite").parquet(s"$labelsDir/v$batchId")
-              // GC superseded versions one batch late: keep the version
-              // this batch read (a racing replay needs it), drop older
-              gcLabelVersions(spark, labelsDir, keepMin = priorV)
-              val back = spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
-                .parquet(s"$labelsDir/v$batchId")
-              val sizes = back.groupBy("cluster_id")
-                .agg(count(lit(1)).as("__csz"))
-              // label table is corpus-ID-sized; prune to this batch's
-              // ids BEFORE the weight join so only batch-sized rows move
-              val batchW = back.join(sizes, Seq("cluster_id"))
-                .join(broadcast(pinned.select("doc_id")), Seq("doc_id"), "left_semi")
+              val prior = resolveSoftLabels(spark, labelsDir, batchId)
+              // CHANGED labels only — (batch docs + re-labeled prior
+              // members)-sized, never the corpus; checkpointed because
+              // it feeds both generation writes and its lineage reads
+              // the generations those writes grow
+              val delta = Dedup.updateClusterLabelsDelta(
+                prior, pinned.select("doc_id"), pairs).localCheckpoint()
+              // an unconverged distributed CC would silently produce
+              // wrong weights downstream — fail loud at the consumer
+              Dedup.requireConvergedComponents(spark,
+                "streamingSink soft label fold")
+              try {
+                delta.select(col("doc_id"), col("cluster_id"),
+                    lit(batchId).as("version"))
+                  .write.mode("overwrite").parquet(s"$labelsDir/g$batchId")
+                // signed size deltas: +1 per arriving cluster member,
+                // -1 per departure (a merge moves members out of the
+                // absorbed cluster) — summing generations per cluster
+                // IS the current size, no corpus-wide count ever runs
+                delta.groupBy("cluster_id").agg(count(lit(1)).as("n_delta"))
+                  .unionByName(
+                    delta.filter(col("old_cluster_id").isNotNull)
+                      .select(col("old_cluster_id").as("cluster_id"))
+                      .groupBy("cluster_id")
+                      .agg((-count(lit(1))).as("n_delta")))
+                  .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
+                  .write.mode("overwrite")
+                  .parquet(s"$labelsDir/sizes-g$batchId")
+              } finally org.apache.spark.sql.GraftSqlBridge
+                .unpersistLocalCheckpoint(delta)
+              // CURRENT batch weights off the just-written generations:
+              // every batch doc has a delta row, and the size read is
+              // pruned to this batch's clusters before anything moves
+              val bl = spark.read
+                .schema("doc_id BIGINT, cluster_id BIGINT, version BIGINT")
+                .parquet(s"$labelsDir/g$batchId")
+                .join(broadcast(pinned.select("doc_id")), Seq("doc_id"),
+                  "left_semi")
+                .select("doc_id", "cluster_id")
+              val sizes = readSizeDeltas(spark, labelsDir, batchId + 1)
+                .join(broadcast(bl.select("cluster_id").distinct()),
+                  Seq("cluster_id"), "left_semi")
+                .groupBy("cluster_id").agg(sum("n_delta").as("__csz"))
+              val batchW = bl.join(sizes, Seq("cluster_id"))
                 .select(col("doc_id"),
                   (lit(1.0) / col("__csz").cast("double")).as("__sw"))
               pinned.drop("soft_weight")
@@ -867,73 +926,140 @@ object CurationPipeline {
   }
 
   /** CURRENT soft-dedup state from the streaming label artifact under
-    * `indexDir/labels` (the NEWEST version — no batch bound):
+    * `indexDir/labels` (every generation, latest-version-wins):
     * `(doc_id, cluster_id, soft_weight)` for every doc the sink ever
     * emitted. This is the authoritative END-STATE mass: emissions carry
     * weights AS OF EMISSION, and a doc's cluster grows when later
     * batches add twins — so a batch-0 doc emitted at weight 1.0 whose
-    * twin arrived in batch 7 reads 0.5 here. Feed `soft_weight` to the
-    * mass-aware stages (weightedSample / rebalance / token budgets) and
-    * `cluster_id` to [[graft.operators.Sampling
-    * .leakageSafeSplitsWithClusters]] when re-splitting the delivered
-    * corpus. Fails loud when no label artifact exists (a non-soft sink,
-    * or no batch has run). */
+    * twin arrived in batch 7 reads 0.5 here. Cluster sizes come from
+    * the signed COUNT-DELTA generations (the counted-merge read — a
+    * spec arm pins it equal to re-counting the resolved labels), so
+    * the reader exercises the same arithmetic the per-batch fold
+    * maintains. Feed `soft_weight` to the mass-aware stages
+    * (weightedSample / rebalance / token budgets) and `cluster_id` to
+    * [[graft.operators.Sampling.leakageSafeSplitsWithClusters]] when
+    * re-splitting the delivered corpus. Fails loud when no label
+    * artifact exists (a non-soft sink, or no batch has run). */
   def currentSoftWeights(
     spark: org.apache.spark.sql.SparkSession,
     indexDir: String
   ): DataFrame = {
-    val (labels, v) = readLatestLabels(spark, s"$indexDir/labels", Long.MaxValue)
-    require(v >= 0,
-      s"currentSoftWeights: no label artifact under $indexDir/labels - " +
+    val labelsDir = s"$indexDir/labels"
+    require(softLabelGens(spark, labelsDir, Long.MaxValue).nonEmpty,
+      s"currentSoftWeights: no label artifact under $labelsDir - " +
         "run a softDedup streamingSink batch first")
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
+    val labels = resolveSoftLabels(spark, labelsDir, Long.MaxValue)
+    val sizes = readSizeDeltas(spark, labelsDir, Long.MaxValue)
+      .groupBy("cluster_id").agg(sum("n_delta").as("__csz"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         (lit(1.0) / col("__csz").cast("double")).as("soft_weight"))
   }
 
-  /** The newest soft-dedup label version STRICTLY below `batchId` —
-    * the pre-attempt state under replay, which is what makes the
-    * label fold idempotent — plus its version number; an empty
-    * (doc_id, cluster_id) frame and -1 when none exists. */
-  private def readLatestLabels(
+  /** Label generation ids under `labelsDir` STRICTLY below
+    * `upToExclusive` (ascending). Fails loud on an r19-era full-rewrite
+    * layout (`v<batch>` directories) — its per-version tables are full
+    * corpus snapshots, not deltas, and reading them latest-wins would
+    * be correct but rebuilding is the honest migration (the layout was
+    * replaced precisely because those snapshots are corpus-sized). */
+  private def softLabelGens(
     spark: org.apache.spark.sql.SparkSession,
     labelsDir: String,
-    batchId: Long
-  ): (DataFrame, Long) = {
+    upToExclusive: Long
+  ): Seq[Long] = {
     val hp = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions =
-      if (!fs.exists(hp)) Seq.empty[Long]
-      else fs.listStatus(hp).toSeq.map(_.getPath.getName)
-        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
-        .filter(_ < batchId)
-    if (versions.isEmpty)
-      (spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id")),
-        -1L)
+    if (!fs.exists(hp)) Seq.empty
     else {
-      val v = versions.max
-      (spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
-        .parquet(s"$labelsDir/v$v"), v)
+      val names = fs.listStatus(hp).toSeq.map(_.getPath.getName)
+      require(!names.exists(_.matches("v\\d+")),
+        s"$labelsDir holds a full-rewrite-era (v<batch>) soft-label " +
+          "layout - the generational reader cannot consume it; re-run " +
+          "the soft stream from its source to rebuild the artifact")
+      names.filter(_.matches("g\\d+")).map(_.drop(1).toLong)
+        .filter(_ < upToExclusive).sorted
     }
   }
 
-  /** One-batch-late GC for the label artifact: delete versions BELOW
-    * `keepMin` (the version the current batch read stays alive for a
-    * racing replay; -1 = first batch, nothing to collect). */
-  private def gcLabelVersions(
+  /** Resolve the generational label artifact below `upToExclusive`
+    * (under replay: the pre-attempt state) to (doc_id, cluster_id),
+    * latest-version-wins per doc; empty frame when no generation
+    * exists. One multi-path scan + one doc-keyed aggregation. */
+  private def resolveSoftLabels(
     spark: org.apache.spark.sql.SparkSession,
     labelsDir: String,
-    keepMin: Long
-  ): Unit = {
-    if (keepMin < 0) return
+    upToExclusive: Long
+  ): DataFrame = {
+    val gens = softLabelGens(spark, labelsDir, upToExclusive)
+    if (gens.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    else
+      spark.read.schema("doc_id BIGINT, cluster_id BIGINT, version BIGINT")
+        .parquet(gens.map(g => s"$labelsDir/g$g"): _*)
+        .groupBy("doc_id")
+        .agg(max_by(col("cluster_id"), col("version")).as("cluster_id"))
+  }
+
+  /** The raw signed size-delta rows below `upToExclusive` — callers sum
+    * per cluster (pruned first when only some clusters matter). */
+  private def readSizeDeltas(
+    spark: org.apache.spark.sql.SparkSession,
+    labelsDir: String,
+    upToExclusive: Long
+  ): DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) return
-    fs.listStatus(hp).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("v\\d+") &&
-        p.getName.drop(1).toLong < keepMin)
-      .foreach(p => fs.delete(p, true))
+    val gens =
+      if (!fs.exists(hp)) Seq.empty[Long]
+      else fs.listStatus(hp).toSeq.map(_.getPath.getName)
+        .filter(_.matches("sizes-g\\d+")).map(_.stripPrefix("sizes-g").toLong)
+        .filter(_ < upToExclusive).sorted
+    if (gens.isEmpty)
+      spark.range(0).select(col("id").as("cluster_id"), col("id").as("n_delta"))
+    else
+      spark.read.schema("cluster_id BIGINT, n_delta BIGINT")
+        .parquet(gens.map(g => s"$labelsDir/sizes-g$g"): _*)
+  }
+
+  /** Periodic maintenance for the generational soft-label artifact: fold
+    * every generation into ONE (the newest id — generation ids must stay
+    * below the stream's next batch id, so the compacted generation keeps
+    * the id it supersedes): resolved latest-wins labels re-stamped at
+    * that version, size deltas net-summed (zero-sum absorbed clusters
+    * dropped). Run it BETWEEN batches from the maintenance side — the
+    * swap is two directory renames and is not crash-atomic; if a crash
+    * leaves `labels.compact` beside a missing `labels`, complete the
+    * rename by hand. [[currentSoftWeights]] before and after compaction
+    * are value-identical (gate-pinned). */
+  def compactSoftLabels(
+    spark: org.apache.spark.sql.SparkSession,
+    indexDir: String
+  ): Unit = {
+    val labelsDir = s"$indexDir/labels"
+    val gens = softLabelGens(spark, labelsDir, Long.MaxValue)
+    require(gens.nonEmpty,
+      s"compactSoftLabels: no label artifact under $labelsDir")
+    if (gens.size == 1) return
+    val top = gens.max
+    val staging = s"$labelsDir.compact"
+    resolveSoftLabels(spark, labelsDir, Long.MaxValue)
+      .select(col("doc_id"), col("cluster_id"), lit(top).as("version"))
+      .write.mode("overwrite").parquet(s"$staging/g$top")
+    readSizeDeltas(spark, labelsDir, Long.MaxValue)
+      .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
+      .filter(col("n_delta") =!= 0L)
+      .write.mode("overwrite").parquet(s"$staging/sizes-g$top")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = live.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"$labelsDir.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(live, old),
+      s"compactSoftLabels: could not stage out $labelsDir")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"compactSoftLabels: could not publish $staging - the prior " +
+        s"layout is intact at $labelsDir.old; rename it back")
+    fs.delete(old, true)
   }
 
   private def execute[T](
@@ -979,10 +1105,28 @@ object CurationPipeline {
     // majority of a re-crawl never reaches the shingle/signature stages
     val fresh0 = cfg.priorFingerprints.fold(scrubbed)(idx =>
       Dedup.dropExactDuplicatesAgainst(scrubbed, idx, textCol, cfg.tokenizer))
-    val fresh1 = cfg.priorSignatures.fold(fresh0)(idx =>
-      Dedup.dropNearDuplicatesAgainst(fresh0, idx, textCol, "doc_id",
-        k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
-        threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
+    // softDedup pairs near-twins instead of pruning them, and that
+    // promise extends across corpora: the signature prior becomes a
+    // PAIRING surface (folded into the soft cluster table at the near
+    // stage below — the batch twin of the streaming sink's label fold),
+    // while the SimHash/embedding priors have no pairing arm — fail
+    // loud rather than silently hard-dropping cross-corpus twins the
+    // flag promises to weight (the streamingSink require convention).
+    // priorFingerprints stays a prune: exact dedup drops in soft mode
+    // too (identical copies carry no diversity), and the media priors
+    // stay hard like the within-batch media stages.
+    require(!cfg.softDedup ||
+        (cfg.priorSimhashes.isEmpty && cfg.priorEmbeddings.isEmpty),
+      "softDedup with priorSimhashes/priorEmbeddings would hard-drop " +
+        "cross-corpus near-twins the soft contract promises to weight - " +
+        "use priorSignatures (paired into the soft cluster table), or run " +
+        "those prunes as a separate non-soft pass")
+    val fresh1 =
+      if (cfg.softDedup) fresh0 // signature prior pairs at the near stage
+      else cfg.priorSignatures.fold(fresh0)(idx =>
+        Dedup.dropNearDuplicatesAgainst(fresh0, idx, textCol, "doc_id",
+          k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+          threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
     val fresh2 = cfg.priorSimhashes.fold(fresh1)(idx =>
       Dedup.dropSimHashDuplicatesAgainst(fresh1, idx, textCol, "doc_id",
         maxHamming = cfg.simhashMaxHamming, bands = cfg.simhashBands,
@@ -1016,7 +1160,9 @@ object CurationPipeline {
               s"${what}Dedup config - the prior artifact is probed with its " +
               "payload table/column"))
         val media = payloads
-          .select(integralIdCast(col(mIdCol), s"${what}Dedup").as("doc_id"),
+          .select(
+            integralIdCast(col(mIdCol), payloads.schema(mIdCol).dataType,
+              s"${what}Dedup").as("doc_id"),
             col(payloadCol).as("payload"))
           .join(input.select("doc_id"), Seq("doc_id"), "left_semi")
           .as[graft.operators.Multimodal.MediaRecord]
@@ -1063,10 +1209,20 @@ object CurationPipeline {
     // frame shares the pinned plan by canonical-plan cache lookup).
     val softArm: Option[(DataFrame, DataFrame)] =
       if (!cfg.softDedup) None
-      else Some(Dedup.softDedupWeightsWithClusters(
-        exact, textCol, "doc_id",
-        k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
-        threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer))
+      else Some(cfg.priorSignatures match {
+        // prior-corpus twins PAIR into the cluster table (weighted,
+        // never pruned — the guard at stage 2b routed them here); the
+        // cluster mass counts the prior members, so a batch doc with
+        // one indexed twin weighs 1/2, the streaming end-state value
+        case Some(idx) => Dedup.softDedupWeightsWithClustersAgainst(
+          exact, idx, textCol, "doc_id",
+          k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+          threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer)
+        case None => Dedup.softDedupWeightsWithClusters(
+          exact, textCol, "doc_id",
+          k = cfg.shingleK, numHashes = cfg.numHashes, bands = cfg.bands,
+          threshold = cfg.nearDupThreshold, tokenizer = cfg.tokenizer)
+      })
     val softClusters: Option[DataFrame] =
       softArm.map { case (_, comp) => pin(comp) }
     softClusters.foreach(onSoftClusters)
@@ -1114,7 +1270,7 @@ object CurationPipeline {
           s"cast would NULL non-numeric ids and exempt those payloads " +
           s"from $what dedup")
       val media = payloads
-        .select(integralIdCast(col(mIdCol), s"${what}Dedup").as("doc_id"),
+        .select(integralIdCast(col(mIdCol), idType, s"${what}Dedup").as("doc_id"),
           col(payloadCol).as("payload"))
         .join(nt.select("doc_id"), Seq("doc_id"), "left_semi")
         .as[graft.operators.Multimodal.MediaRecord]

@@ -910,25 +910,41 @@ class CurationPipelineSpec extends SparkSpec {
     assert(w((1L, 11L)) == 0.5, out.toString) // cluster {1, 11} at emission
     assert(w((1L, 19L)) == 1.0)
     assert(w((2L, 21L)) == 1.0 / 3, out.toString) // cluster {1, 11, 21}
-    // the label artifact is the authoritative CURRENT state and equals
-    // the batch-mode rebuild over the union corpus (duplicate-content
+    // the label artifact is GENERATIONAL (r20): per batch, only the
+    // CHANGED labels — resolved latest-version-wins it equals the
+    // batch-mode rebuild over the union corpus (duplicate-content
     // plants — the updateClusterLabels equality scope)
-    val labels = spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
-      .parquet(s"$idxDir/labels/v2").as[(Long, Long)].collect().toMap
+    def resolved(): Map[Long, Long] = spark.read
+      .schema("doc_id BIGINT, cluster_id BIGINT, version BIGINT")
+      .parquet((0 to 2).map(g => s"$idxDir/labels/g$g"): _*)
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("cluster_id"), col("version")).as("cluster_id"))
+      .as[(Long, Long)].collect().toMap
+    val labels = resolved()
     assert(labels == Map(1L -> 1L, 11L -> 1L, 21L -> 1L, 9L -> 9L, 19L -> 19L),
       labels.toString)
-    // one-batch-late GC: v1 (read by batch 2) survives, v0 is gone
-    assert(!new java.io.File(s"$idxDir/labels/v0").exists)
-    assert(new java.io.File(s"$idxDir/labels/v1").exists)
+    // delta-sized generations: each batch wrote only ITS changed rows
+    val genSizes = (0 to 2).map(g =>
+      spark.read.parquet(s"$idxDir/labels/g$g").count())
+    assert(genSizes == Seq(2L, 2L, 1L), genSizes.toString)
+    // and the signed size deltas sum to the resolved-label recount —
+    // the counted-merge parity arm
+    val sums = spark.read.schema("cluster_id BIGINT, n_delta BIGINT")
+      .parquet((0 to 2).map(g => s"$idxDir/labels/sizes-g$g"): _*)
+      .groupBy("cluster_id").agg(sum("n_delta").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val recount = labels.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    assert(sums == recount, s"deltas $sums vs recount $recount")
     // replaying the last batch (a failed checkpoint commit) re-emits the
     // SAME weights against the pre-attempt label state — the index rows
-    // its first attempt appended are shielded by the batch-id anti-join
+    // its first attempt appended are shielded by the batch-id anti-join,
+    // and it overwrites its own generation (same delta rows)
     out.clear()
     sink(b2, 2L)
     assert(out.toList == List((2L, 21L, 1.0 / 3)), out.toString)
-    val replayLabels = spark.read.schema("doc_id BIGINT, cluster_id BIGINT")
-      .parquet(s"$idxDir/labels/v2").as[(Long, Long)].collect().toMap
+    val replayLabels = resolved()
     assert(replayLabels == labels, replayLabels.toString)
+    assert(spark.read.parquet(s"$idxDir/labels/g2").count() == 1L)
     // the END-STATE weight reader: batch-0 doc 1 was EMITTED at 1.0 but
     // its cluster grew to 3 — currentSoftWeights reads 1/3 for all
     // members, 1.0 for the singletons (the authoritative mass source
@@ -946,5 +962,111 @@ class CurationPipelineSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-nolabels").toString)
     }
     assert(e2.getMessage.contains("no label artifact"), e2.getMessage)
+  }
+
+  test("streamingSink softDedup: a cross-batch cluster MERGE re-labels the " +
+    "absorbed members (departure deltas), compaction is reader-identity, " +
+    "and an r19 v-layout fails loud") {
+    val base = (0 until 40).map(i => s"w$i")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-softmerge").toString
+    val cfg = CurationPipeline.Config(minQuality = 0.0, softDedup = true)
+    val out = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    val sink = CurationPipeline.streamingSink("text", "doc_id", cfg, idxDir) {
+      (c, bid) =>
+        out ++= c.select(col("doc_id"), col("soft_weight"))
+          .as[(Long, Double)].collect().map { case (d, w) => (bid, d, w) }
+    }
+    // batch 0: docs 5/6 pair WITHIN the batch -> cluster label 5
+    sink(Seq(
+      (5L, base.mkString(" ")),
+      (6L, ("zz" +: base.tail).mkString(" ")))
+      .toDF("doc_id", "text"), 0L)
+    assert(out.toSet == Set((0L, 5L, 0.5), (0L, 6L, 0.5)), out.toString)
+    // batch 1: doc 3 (a LOWER id) pairs into the cluster via the index
+    // -> min-id label moves to 3; docs 5 AND 6 are re-labeled
+    sink(Seq((3L, (base.init :+ "yy").mkString(" ")))
+      .toDF("doc_id", "text"), 1L)
+    assert(out.toSet.contains((1L, 3L, 1.0 / 3)), out.toString)
+    // generation g1 carries the drop row AND both departures
+    val g1 = spark.read
+      .schema("doc_id BIGINT, cluster_id BIGINT, version BIGINT")
+      .parquet(s"$idxDir/labels/g1")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(g1 == Set((3L, 3L), (5L, 3L), (6L, 3L)), g1.toString)
+    // signed deltas: the absorbed cluster 5 nets to ZERO
+    val sums = spark.read.schema("cluster_id BIGINT, n_delta BIGINT")
+      .parquet(s"$idxDir/labels/sizes-g0", s"$idxDir/labels/sizes-g1")
+      .groupBy("cluster_id").agg(sum("n_delta").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(sums == Map(3L -> 3L, 5L -> 0L), sums.toString)
+    val before = CurationPipeline.currentSoftWeights(spark, idxDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(before == Set((5L, 3L, 1.0 / 3), (6L, 3L, 1.0 / 3),
+      (3L, 3L, 1.0 / 3)), before.toString)
+    // compaction folds to ONE generation and is identity on the reader
+    CurationPipeline.compactSoftLabels(spark, idxDir)
+    val gens = new java.io.File(s"$idxDir/labels").listFiles()
+      .map(_.getName).filter(_.matches("g\\d+")).toSeq
+    assert(gens == Seq("g1"), gens.toString)
+    val after = CurationPipeline.currentSoftWeights(spark, idxDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after == before, after.toString)
+    // the zero-sum absorbed cluster is gone from the compacted sizes
+    val compSizes = spark.read.schema("cluster_id BIGINT, n_delta BIGINT")
+      .parquet(s"$idxDir/labels/sizes-g1")
+      .as[(Long, Long)].collect().toMap
+    assert(compSizes == Map(3L -> 3L), compSizes.toString)
+    // an r19 full-rewrite layout fails loud instead of misreading
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft-softlegacy").toString
+    new java.io.File(s"$legacy/labels/v2").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.currentSoftWeights(spark, legacy)
+    }
+    assert(e.getMessage.contains("full-rewrite-era"), e.getMessage)
+  }
+
+  test("batch softDedup x prior indexes: signature prior PAIRS (twins " +
+    "weighted, split co-keyed on the index id), simhash/embedding priors " +
+    "fail loud") {
+    val base = (0 until 40).map(i => s"w$i")
+    val prior = Seq(
+      (1L, base.mkString(" ")),
+      (9L, "completely unrelated text about something else entirely"))
+      .toDF("doc_id", "text")
+    val cfgBase = CurationPipeline.Config(minQuality = 0.0)
+    val sigIdx = CurationPipeline.signatureIndex(prior, "text", "doc_id", cfgBase)
+    def batch = Seq(
+      (11L, ("zz" +: base.tail).mkString(" ")),
+      (19L, "another unrelated body of prose holding its own meaning"),
+      (21L, (base.init :+ "yy").mkString(" ")))
+      .toDF("doc_id", "text")
+    val soft = CurationPipeline.run(batch, "text", "doc_id",
+      cfgBase.copy(priorSignatures = Some(sigIdx), softDedup = true))(_.collect())
+    assert(soft.map(_.getAs[Long]("doc_id")).toSet == Set(11L, 19L, 21L))
+    val w = soft.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("soft_weight")).toMap
+    // the indexed twin (doc 1) counts toward the mass: 1/3, not 1/2
+    assert(w(11L) == 1.0 / 3 && w(21L) == 1.0 / 3 && w(19L) == 1.0, w.toString)
+    // forced leak-safe splits key on the COMBINED cluster (min id 1 —
+    // an index-side id): both retained twins share a split
+    val splits = soft.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(splits(11L) == splits(21L), splits.toString)
+    // the unsupported prior arms fail loud, naming the pairing route
+    val simhashes = CurationPipeline.simhashIndex(prior, "text", "doc_id", cfgBase)
+    val e1 = intercept[IllegalArgumentException] {
+      CurationPipeline.curate(batch, "text", "doc_id",
+        cfgBase.copy(priorSimhashes = Some(simhashes), softDedup = true))
+    }
+    assert(e1.getMessage.contains("priorSimhashes"), e1.getMessage)
+    val ep = CurationPipeline.EmbeddingPrior(
+      spark.emptyDataFrame, spark.emptyDataFrame)
+    val e2 = intercept[IllegalArgumentException] {
+      CurationPipeline.curate(batch, "text", "doc_id",
+        cfgBase.copy(priorEmbeddings = Some(ep), softDedup = true))
+    }
+    assert(e2.getMessage.contains("priorEmbeddings"), e2.getMessage)
   }
 }

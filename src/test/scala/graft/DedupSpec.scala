@@ -201,6 +201,97 @@ class DedupSpec extends SparkSpec {
     assert(incr == rebuild)
   }
 
+  test("updateClusterLabelsDelta: changed rows only, departures carry the " +
+    "old label, and delta-over-prior == the full fold") {
+    import spark.implicits._
+    // the updateClusterLabels hand fixture: drop doc 4 bridges {1,2}
+    // and {3} (everyone re-labels to 1 except doc 1 itself), drop doc 5
+    // is a singleton
+    val prior = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val pairs = Seq((4L, 2L), (4L, 3L)).toDF("id_a", "id_b")
+    val dropIds = Seq(4L, 5L).toDF("doc_id")
+    val delta = Dedup.updateClusterLabelsDelta(prior, dropIds, pairs)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    // doc 1 (label unchanged) and doc 2 (already 1) are ABSENT; doc 3
+    // moved 3 -> 1 with its departure recorded; drops carry NULL olds
+    assert(delta == Set(
+      (3L, 1L, Some(3L)), (4L, 1L, None), (5L, 5L, None)), delta.toString)
+    // latest-wins overlay of the delta over the prior == the full fold
+    val overlay = prior.as[(Long, Long)].collect().toMap ++
+      delta.map { case (d, c, _) => d -> c }.toMap
+    val full = Dedup.updateClusterLabels(prior, dropIds, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(overlay == full, s"overlay $overlay vs full $full")
+    // signed size deltas reconstruct the recount: +1 per arrival, -1
+    // per departure, summed over the PRIOR sizes
+    val priorSizes = Map(1L -> 2L, 3L -> 1L)
+    val after = delta.foldLeft(priorSizes.withDefaultValue(0L)) {
+      case (m, (_, c, old)) =>
+        val m2 = m.updated(c, m(c) + 1L)
+        old.fold(m2)(o => m2.updated(o, m2(o) - 1L))
+    }
+    val recount = full.groupBy(_._2).map { case (c, g) => c -> g.size.toLong }
+    assert(after.filter(_._2 != 0L) == recount, after.toString)
+    // a wide dropIds frame without doc_id fails loud
+    val e = intercept[IllegalArgumentException] {
+      Dedup.updateClusterLabelsDelta(prior,
+        Seq((4L, "x")).toDF("the_id", "extra"), pairs)
+    }
+    assert(e.getMessage.contains("doc_id"), e.getMessage)
+  }
+
+  test("requireConvergedComponents: passes on a converged run, throws on " +
+    "an unconverged distributed run and on no run at all") {
+    import spark.implicits._
+    graft.GraftSession.clearCcRuns(spark)
+    val none = intercept[IllegalStateException] {
+      Dedup.requireConvergedComponents(spark, "spec")
+    }
+    assert(none.getMessage.contains("no connectedComponents run"),
+      none.getMessage)
+    Dedup.connectedComponents(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+    Dedup.requireConvergedComponents(spark, "spec") // localized: exact
+    // a 24-node chain forced onto the distributed arm with maxIters = 1
+    // cannot converge (pointer jumping needs O(log diameter) rounds)
+    val chain = (0 until 24).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(chain, maxIters = 1, localizeEdgeLimit = 0L)
+    val bad = intercept[IllegalStateException] {
+      Dedup.requireConvergedComponents(spark, "spec-unconverged")
+    }
+    assert(bad.getMessage.contains("UNCONVERGED") &&
+      bad.getMessage.contains("spec-unconverged"), bad.getMessage)
+    // and a later converged run clears the contract again
+    Dedup.connectedComponents(chain, localizeEdgeLimit = 0L)
+    Dedup.requireConvergedComponents(spark, "spec")
+  }
+
+  test("softDedupWeightsWithClustersAgainst: prior-corpus twins weight the " +
+    "batch (never pruned) and the member table carries the index ids") {
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"w$i")
+    val prior = Seq(
+      (1L, base.mkString(" ")),
+      (9L, "completely unrelated text about something else entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, ("zz" +: base.tail).mkString(" ")),
+      (19L, "another unrelated body of prose holding its own meaning"),
+      (21L, (base.init :+ "yy").mkString(" "))
+    ).toDF("doc_id", "text")
+    val (out, comp) = Dedup.softDedupWeightsWithClustersAgainst(
+      batch, Dedup.minHashSignatures(prior, "text", "doc_id"),
+      "text", "doc_id")
+    val w = out.select("doc_id", "soft_weight").as[(Long, Double)]
+      .collect().toMap
+    assert(w.size == 3, w.toString) // nobody pruned
+    // cluster {1, 11, 21}: the INDEXED twin counts toward the mass
+    assert(w(11L) == 1.0 / 3 && w(21L) == 1.0 / 3, w.toString)
+    assert(w(19L) == 1.0)
+    val members = comp.as[(Long, Long)].collect().toMap
+    assert(members(1L) == 1L && members(11L) == 1L && members(21L) == 1L,
+      members.toString) // index doc 1 is IN the member table and keys it
+  }
+
   test("softDedupWeights: 1/transitive-cluster-size, singletons 1.0, " +
     "row count and columns intact") {
     import spark.implicits._

@@ -78,4 +78,63 @@ class LangClassifierSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dense"), e.getMessage)
   }
+
+  private def writeVec(lines: Seq[String]): String = {
+    val f = java.nio.file.Files.createTempFile("graft-langvec", ".vec")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("LangModel: a fastText-format .vec with __label__ heads loads and " +
+    "predicts hand-derived scores; ties break on sorted labels; OOV reads und") {
+    // dyadic word vectors + one-hot label heads: every mean and dot is
+    // exact, so scores assert by VALUE (the q_lang_id_model fixture)
+    val model = graft.operators.LangModel.load(spark, writeVec(Seq(
+      "8 3",
+      "__label__de 0.0 0.0 1.0",
+      "__label__en 1.0 0.0 0.0",
+      "__label__fr 0.0 1.0 0.0",
+      "the 1.0 0.0 0.0",
+      "and 0.75 0.0 0.25",
+      "le 0.0 1.0 0.0",
+      "der 0.25 0.0 1.0",
+      "tie 0.5 0.5 0.0")))
+    assert(model.dim == 3)
+    assert(model.labels.map(_._1) == Seq("de", "en", "fr")) // sorted
+    val out = graft.operators.LangModel.predict(
+        Seq(
+          (1L, "The cat AND the dog!"), // normalization folds case/punct
+          (2L, "le chat"),
+          (3L, "der hund"),
+          (4L, "tie"),                  // en == fr: sorted-label tiebreak
+          (5L, "xyzzy plugh"),
+          (6L, "")).toDF("doc_id", "text"),
+        model, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang_pred"), r.getAs[Double]("lang_score")))).toMap
+    assert(out(1L) == (("en", 2.75 / 3)), out.toString) // mean of the,and,the
+    assert(out(2L) == (("fr", 1.0)))
+    assert(out(3L) == (("de", 1.0))) // de 1.0 beats en 0.25
+    assert(out(4L) == (("en", 0.5))) // en before fr at equal score
+    assert(out(5L) == (("und", 0.0)))
+    assert(out(6L) == (("und", 0.0)))
+  }
+
+  test("LangModel.load fails loud on label-free, ragged, and non-numeric models") {
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.LangModel.load(spark,
+        writeVec(Seq("2 2", "the 1.0 0.0", "le 0.0 1.0")))
+    }
+    assert(e1.getMessage.contains("__label__"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.LangModel.load(spark,
+        writeVec(Seq("__label__en 1.0 0.0", "the 1.0 0.0 0.5")))
+    }
+    assert(e2.getMessage.contains("widths"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.LangModel.load(spark,
+        writeVec(Seq("__label__en 1.0 0.0", "the 1.0 oops")))
+    }
+    assert(e3.getMessage.contains("non-numeric"), e3.getMessage)
+  }
 }

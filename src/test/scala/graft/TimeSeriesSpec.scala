@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{DtwDistExpr, LbKeoghExpr}
+import graft.functions.{DtwDistExpr, DtwEnvelopeExpr, LbKeoghEnvExpr, LbKeoghExpr}
 import graft.operators.Similarity
 import graft.streaming.Events
 
@@ -222,6 +222,102 @@ class TimeSeriesSpec extends SparkSpec {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }
     assert(aggs.size == 1, plan.toString)
+  }
+
+  test("persisted-envelope LB parity: the two one-sided LbKeoghEnvExpr " +
+    "forms max to the fused LbKeoghExpr bit for bit, null rules included") {
+    val rnd = new scala.util.Random(41)
+    val cases = Seq.fill(50)(
+      (Seq.fill(5 + rnd.nextInt(8))(rnd.nextInt(12).toDouble),
+        Seq.fill(5 + rnd.nextInt(8))(rnd.nextInt(12).toDouble))) ++
+      Seq((Seq(1.0, 2, 3, 4, 5), Seq(1.0)), // infeasible at small bands
+        (Seq.empty[Double], Seq(1.0, 2)))   // empty side
+    for (band <- Seq(0, 2, 5)) {
+      val rows = cases.toDF("a", "b")
+        .select(
+          LbKeoghExpr(col("a"), col("b"), band).as("fused"),
+          DtwEnvelopeExpr(col("a"), band, upper = true).as("a_up"),
+          DtwEnvelopeExpr(col("a"), band, upper = false).as("a_lo"),
+          DtwEnvelopeExpr(col("b"), band, upper = true).as("b_up"),
+          DtwEnvelopeExpr(col("b"), band, upper = false).as("b_lo"),
+          col("a"), col("b"))
+        .select(col("fused"),
+          LbKeoghEnvExpr(col("b"), col("a_up"), col("a_lo"), band).as("sa"),
+          LbKeoghEnvExpr(col("a"), col("b_up"), col("b_lo"), band).as("sb"))
+        .collect()
+      rows.foreach { r =>
+        if (r.isNullAt(0)) {
+          assert(r.isNullAt(1) || r.isNullAt(2),
+            s"fused NULL but both env sides defined: $r @ band $band")
+        } else {
+          assert(!r.isNullAt(1) && !r.isNullAt(2),
+            s"fused defined but an env side NULL: $r @ band $band")
+          assert(math.max(r.getDouble(1), r.getDouble(2)) == r.getDouble(0),
+            s"env max != fused: $r @ band $band")
+        }
+      }
+    }
+  }
+
+  test("dtwEnvelopeIndex probe == dtwTopKPruned through parquet; band " +
+    "sidecar is the artifact's contract") {
+    val rnd = new scala.util.Random(43)
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(8 + rnd.nextInt(3))(rnd.nextInt(10).toDouble)))
+      .toDF("id", "v")
+    val qs = (1L to 4L).map(i =>
+      (100L + i, Seq.fill(9)(rnd.nextInt(10).toDouble))).toDF("id", "v")
+    val brute = Similarity.dtwTopKPruned(corpus, qs, "v", "id",
+        k = 5, band = 3, pruneN = 8)
+      .select("query_id", "neighbor_id", "dtw_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dtw-envidx").toString
+    Similarity.dtwEnvelopeIndexWrite(
+      Similarity.dtwEnvelopeIndex(corpus, "v", "id", band = 3), dir, band = 3)
+    val probed = Similarity.dtwTopKPrunedAgainst(spark, dir, qs, "v", "id",
+        k = 5, pruneN = 8)
+      .select("query_id", "neighbor_id", "dtw_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(probed == brute)
+    // append with a mismatched band fails loud
+    val e = intercept[IllegalArgumentException] {
+      Similarity.dtwEnvelopeIndexWrite(
+        Similarity.dtwEnvelopeIndex(qs, "v", "id", band = 2), dir,
+        band = 2, mode = "append")
+    }
+    assert(e.getMessage.contains("band"), e.getMessage)
+    // a sidecar-less directory fails loud on read
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft-dtw-bare").toString
+    corpus.write.mode("overwrite").parquet(bare)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.readDtwBandMeta(spark, bare)
+    }
+    assert(e2.getMessage.contains("_dtw_band"), e2.getMessage)
+  }
+
+  test("magnitude contrast: a big-user profile ranks differently once " +
+    "z-scored (the composed shape-search story)") {
+    val t0 = 1704067200000000L
+    val day = 86400000000L
+    def evs(u: Long, vals: Seq[Double]) = vals.zipWithIndex.map {
+      case (v, i) => (u, t0 + i * day, v)
+    }
+    val ev = (evs(1L, Seq(1.0, 2.0, 1.0)) ++       // the query shape
+        evs(101L, Seq(100.0, 200.0, 100.0)) ++     // same SHAPE, 100x bigger
+        evs(102L, Seq(1.2, 1.0, 1.4)))             // close magnitude, other shape
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    def top1(norm: Option[String]): Long = {
+      val sv = Events.seriesVectors(ev, t0, day, nBuckets = 3, norm = norm)
+      Similarity.dtwTopKPruned(
+          sv.filter(col("series_id") > 1L), sv.filter(col("series_id") === 1L),
+          "series", "series_id", k = 1, band = 1, pruneN = 1)
+        .select("neighbor_id").as[Long].collect().head
+    }
+    assert(top1(None) == 102L)                       // raw: magnitude wins
+    assert(top1(Some(Events.ZScoreNorm)) == 101L)    // z-scored: shape wins
   }
 
   test("dtwTopK: rank/tiebreak contract and infeasible exclusion") {
