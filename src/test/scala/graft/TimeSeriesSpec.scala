@@ -164,26 +164,32 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
-  test("dtwTopKPruned plan: the DTW kernel only runs behind a prune guard") {
+  test("dtwTopKPruned plan: the DTW kernel only runs behind a prune guard " +
+    "(fused and persisted-envelope arms)") {
     val corpus = (1L to 20L).map(i => (i, Seq.fill(6)(i.toDouble)))
       .toDF("id", "v")
     val qs = Seq((1L, Seq.fill(6)(1.0))).toDF("id", "v")
-    val plan = Similarity
-      .dtwTopKPruned(corpus, qs, "v", "id", k = 3, band = 2, pruneN = 5)
-      .queryExecution.optimizedPlan
-    val dtwNodes = plan.collect {
-      case p if p.expressions.exists(_.exists(_.isInstanceOf[DtwDistExpr])) => p
+    def assertGuarded(df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.optimizedPlan
+      val dtwNodes = plan.collect {
+        case p if p.expressions.exists(_.exists(_.isInstanceOf[DtwDistExpr])) => p
+      }
+      assert(dtwNodes.nonEmpty, "no DTW projection found in the plan")
+      dtwNodes.foreach { p =>
+        val guarded = p.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(a =>
+              a.name == "__lbr" || a.name == "__tau" || a.name == "lb") => f
+        }.nonEmpty
+        assert(guarded,
+          s"DTW computed over unpruned pairs — no lb/__lbr/__tau filter below:\n$p")
+      }
     }
-    assert(dtwNodes.nonEmpty, "no DTW projection found in the plan")
-    dtwNodes.foreach { p =>
-      val guarded = p.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if f.condition.references.exists(a =>
-            a.name == "__lbr" || a.name == "__tau" || a.name == "lb") => f
-      }.nonEmpty
-      assert(guarded,
-        s"DTW computed over unpruned pairs — no lb/__lbr/__tau filter below:\n$p")
-    }
+    assertGuarded(Similarity
+      .dtwTopKPruned(corpus, qs, "v", "id", k = 3, band = 2, pruneN = 5))
+    assertGuarded(Similarity.dtwTopKPrunedOver(
+      Similarity.dtwEnvelopeIndex(corpus, "v", "id", band = 2),
+      qs, "v", "id", band = 2, k = 3, pruneN = 5))
   }
 
   test("seriesVectors norm arms: zscore and unit are row-local shape maps") {
