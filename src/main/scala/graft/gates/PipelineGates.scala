@@ -192,13 +192,17 @@ object PipelineGates {
         s"q_curation_soft_stream: generations must hold only CHANGED " +
           s"labels (expected 2/2/1 rows, got ${genRows.mkString("/")})")
       // compaction ≡ identity on the reader: the end-state rows below
-      // are read post-compaction against the same constant oracle
+      // are read post-compaction against the same constant oracle.
+      // It folds everything BELOW the newest generation (g0+g1 -> g1)
+      // and leaves g2 in place — the in-flight batch's replay window.
       val pre = CurationPipeline.currentSoftWeights(s, idxDir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       CurationPipeline.compactSoftLabels(s, idxDir)
-      require(new java.io.File(labelsDir).listFiles()
-          .count(_.getName.matches("g\\d+")) == 1,
-        "q_curation_soft_stream: compaction left more than one generation")
+      val gensAfter = new java.io.File(labelsDir).listFiles()
+        .map(_.getName).filter(_.matches("g\\d+")).toSeq.sorted
+      require(gensAfter == Seq("g1", "g2"),
+        s"q_curation_soft_stream: compaction must fold below the newest " +
+          s"generation only; got $gensAfter")
       val post = CurationPipeline.currentSoftWeights(s, idxDir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       require(pre == post,

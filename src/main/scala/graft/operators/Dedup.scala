@@ -1020,8 +1020,18 @@ object Dedup {
    * ([[nearDuplicatesAgainstIndex]] — the row-79 estimator, its
    * documented borderline difference); components close over the union,
    * and a cluster's size counts EVERY member — batch docs AND prior
-   * twins — so a batch doc with one indexed twin weighs 1/2, matching
-   * the streaming label artifact's end state for the same corpora.
+   * twins — so a batch doc with one indexed twin weighs 1/2.
+   *
+   * Streaming-end-state parity scope: the signature index carries NO
+   * pair structure of its own, so parity with the label artifact holds
+   * when the prior corpus is internally dedup-free at this threshold —
+   * the normal case (a hard-deduped prior, or any prior whose twins
+   * were already collapsed). A SOFT-curated prior retains twins the
+   * index knows nothing about; pass its dedup-time cluster labels (the
+   * [[clusterNearDuplicates]]/[[updateClusterLabels]] contract) as
+   * `priorLabels` and they fold in as star edges, restoring the full
+   * transitive mass (a batch doc matching one member of a retained
+   * prior twin-pair then weighs 1/3, not 1/2).
    *
    * Returned member table includes the index-side members (the split
    * stage keys on cluster ids that stay stable across drops); only
@@ -1041,7 +1051,8 @@ object Dedup {
     maxIters: Int = 20,
     localizeEdgeLimit: Long = 2000000L,
     tokenizer: String = TextAnalysis.WhitespaceTokenizer,
-    broadcastBatch: Boolean = true
+    broadcastBatch: Boolean = true,
+    priorLabels: Option[DataFrame] = None
   ): (DataFrame, DataFrame) = {
     Cols.requireAbsent(df, "soft_weight", "__csz")
     val within = nearDuplicates(df, textCol, idCol, k, numHashes, bands,
@@ -1050,8 +1061,11 @@ object Dedup {
     val cross = nearDuplicatesAgainstIndex(df, indexSignatures, textCol, idCol,
         k, numHashes, bands, threshold, maxBucket, broadcastBatch, tokenizer)
       .select(col("batch_id").as("id_a"), col("index_id").as("id_b"))
-    val comp = connectedComponents(
-      within.unionByName(cross), maxIters, localizeEdgeLimit)
+    val priorStars = priorLabels.map(_
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b")))
+    val edges = priorStars.foldLeft(within.unionByName(cross))(_ unionByName _)
+    val comp = connectedComponents(edges, maxIters, localizeEdgeLimit)
     val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("__csz"))
     val weighted = comp.join(sizes, Seq("cluster_id"))
       .select(col("doc_id").as(idCol), col("__csz"))

@@ -56,8 +56,11 @@ object LangModel {
    * driver (label count = language count, metadata-sized).
    */
   def load(spark: SparkSession, path: String): VecModel = {
+    // trim before splitting: CRLF checkouts and trailing spaces are
+    // normal for downloaded model files, and an un-trimmed '\r' on the
+    // last field would reject a well-formed model as non-numeric
     val raw = spark.read.text(path)
-      .select(split(col("value"), " +").as("p"))
+      .select(split(trim(col("value")), "\\s+").as("p"))
       // the optional "<rows> <dim>" header is the only line with < 3
       // fields; blank lines split to [""] and drop here too
       .filter(size(col("p")) >= 3)

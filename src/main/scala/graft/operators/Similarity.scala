@@ -263,7 +263,7 @@ object Similarity {
       while (n > 0) { outBuf.write(buf, 0, n); n = in.read(buf) }
       new String(outBuf.toByteArray, "UTF-8").trim
     } finally in.close()
-    require(text.nonEmpty && text.length <= 4 &&
+    require(text.nonEmpty && text.length <= 9 &&
         text.forall(c => c >= '0' && c <= '9'),
       s"$path/$DtwBandMetaFile is not a band int ('$text') - was it " +
         "written by dtwEnvelopeIndexWrite?")
@@ -354,10 +354,11 @@ object Similarity {
     pruneN: Int = 50
   ): DataFrame = {
     val band = readDtwBandMeta(spark, path)
+    // schema from the parquet footers: dtwEnvelopeIndex keeps the id
+    // column's own type (int/long/string ids all round-trip), and a
+    // forced BIGINT schema would fail the read for the non-long ones
     dtwTopKPrunedOver(
-      spark.read.schema(
-          "series_id BIGINT, series ARRAY<DOUBLE>, up ARRAY<DOUBLE>, lo ARRAY<DOUBLE>")
-        .parquet(path),
+      spark.read.parquet(path).select("series_id", "series", "up", "lo"),
       queries, vecCol, idCol, band, k, pruneN)
   }
 

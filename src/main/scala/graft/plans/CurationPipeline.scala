@@ -661,9 +661,13 @@ object CurationPipeline {
     // labels/sizes-g<batchId> (+1 per arriving member, −1 per
     // departure — the Forget.appendFingerprints arithmetic), so
     // per-batch bytes written scale with the BATCH, not the corpus,
-    // and no corpus-wide groupBy runs per micro-batch (the r19 layout
-    // rewrote the full corpus-ID-sized table and re-aggregated it
-    // every batch). A retried batch reads generations STRICTLY below
+    // and no corpus-sized SHUFFLE runs per micro-batch: the prior-label
+    // read is pruned to the docs the fold can touch
+    // ([[resolvePriorForDelta]] — duplicate minority + pair ids; only
+    // the generations' columnar scan remains, bounded by compaction),
+    // where the r19 layout rewrote the full corpus-ID-sized table AND
+    // re-aggregated it every batch. A retried batch reads generations
+    // STRICTLY below
     // its id — the pre-attempt state — and overwrites its own two
     // generation directories, so replay stays idempotent by
     // construction; [[compactSoftLabels]] is the periodic maintenance
@@ -833,17 +837,21 @@ object CurationPipeline {
                     col("index_id").as("id_b"))
               }
               val pairs = cross.fold(within)(within.unionByName(_))
-              val prior = resolveSoftLabels(spark, labelsDir, batchId)
+              val prior = resolvePriorForDelta(spark, labelsDir, batchId, pairs)
               // CHANGED labels only — (batch docs + re-labeled prior
-              // members)-sized, never the corpus; checkpointed because
-              // it feeds both generation writes and its lineage reads
-              // the generations those writes grow
-              val delta = Dedup.updateClusterLabelsDelta(
-                prior, pinned.select("doc_id"), pairs).localCheckpoint()
+              // members)-sized, never the corpus
+              val changed = Dedup.updateClusterLabelsDelta(
+                prior, pinned.select("doc_id"), pairs)
               // an unconverged distributed CC would silently produce
-              // wrong weights downstream — fail loud at the consumer
+              // wrong weights downstream — fail loud at the consumer,
+              // BEFORE anything materializes (nothing to leak on throw;
+              // the CC ran eagerly inside the delta fold)
               Dedup.requireConvergedComponents(spark,
                 "streamingSink soft label fold")
+              // checkpointed because the delta feeds both generation
+              // writes and its lineage reads the generations those
+              // writes grow
+              val delta = changed.localCheckpoint()
               try {
                 delta.select(col("doc_id"), col("cluster_id"),
                     lit(batchId).as("version"))
@@ -1000,6 +1008,47 @@ object CurationPipeline {
         .agg(max_by(col("cluster_id"), col("version")).as("cluster_id"))
   }
 
+  /** The PRUNED prior-label view the per-batch delta fold consumes —
+    * the r20 scale piece on the READ side: the fold consults prior
+    * labels only for docs that can appear in the component table
+    * (star-edge endpoints: non-singleton-labeled docs and the
+    * cluster-min docs their labels reference, plus both endpoints of
+    * the batch's pairs), so the latest-wins AGGREGATION is bounded by
+    * the duplicate minority + the batch's pair ids — never the corpus.
+    * The generations' columnar scan itself remains (embarrassingly
+    * parallel IO, bounded by [[compactSoftLabels]]); what never happens
+    * per batch is a corpus-sized shuffle. Feeding this pruned view to
+    * [[graft.operators.Dedup.updateClusterLabelsDelta]] yields the
+    * IDENTICAL delta as the full table: an excluded doc is
+    * singleton-labeled, referenced by no other doc's label, and
+    * untouched by the new pairs — it contributes no star edge, is
+    * unreachable through the pair graph, and so can never produce a
+    * changed row (spec-pinned through the cluster-min relabel case). */
+  private def resolvePriorForDelta(
+    spark: org.apache.spark.sql.SparkSession,
+    labelsDir: String,
+    batchId: Long,
+    pairs: DataFrame
+  ): DataFrame = {
+    val gens = softLabelGens(spark, labelsDir, batchId)
+    if (gens.isEmpty)
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    else {
+      val scan = spark.read
+        .schema("doc_id BIGINT, cluster_id BIGINT, version BIGINT")
+        .parquet(gens.map(g => s"$labelsDir/g$g"): _*)
+      val nonSingleton = scan.filter(col("doc_id") =!= col("cluster_id"))
+      val wanted = nonSingleton.select(col("doc_id"))
+        .unionByName(nonSingleton.select(col("cluster_id").as("doc_id")))
+        .unionByName(pairs.select(col("id_a").as("doc_id")))
+        .unionByName(pairs.select(col("id_b").as("doc_id")))
+        .distinct()
+      scan.join(wanted, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
+        .agg(max_by(col("cluster_id"), col("version")).as("cluster_id"))
+    }
+  }
+
   /** The raw signed size-delta rows below `upToExclusive` — callers sum
     * per cluster (pruned first when only some clusters matter). */
   private def readSizeDeltas(
@@ -1022,15 +1071,21 @@ object CurationPipeline {
   }
 
   /** Periodic maintenance for the generational soft-label artifact: fold
-    * every generation into ONE (the newest id — generation ids must stay
-    * below the stream's next batch id, so the compacted generation keeps
-    * the id it supersedes): resolved latest-wins labels re-stamped at
-    * that version, size deltas net-summed (zero-sum absorbed clusters
-    * dropped). Run it BETWEEN batches from the maintenance side — the
-    * swap is two directory renames and is not crash-atomic; if a crash
-    * leaves `labels.compact` beside a missing `labels`, complete the
-    * rename by hand. [[currentSoftWeights]] before and after compaction
-    * are value-identical (gate-pinned). */
+    * every generation EXCEPT THE NEWEST into one (stamped at the folded
+    * set's max id, so generation ids never exceed batch ids), with size
+    * deltas net-summed (zero-sum absorbed clusters dropped). The newest
+    * generation is deliberately LEFT IN PLACE: the streaming contract
+    * lets the last batch replay after a failed checkpoint commit, and a
+    * replay resolves generations STRICTLY BELOW its id then OVERWRITES
+    * its own — folding history into that id would hand the replay an
+    * empty prior and let it destroy the compacted artifact. Run it
+    * BETWEEN batches from the maintenance side — the swap is two
+    * directory renames and is not crash-atomic; if a crash leaves
+    * `labels.compact` beside a missing `labels`, complete the rename by
+    * hand (a leftover staging dir from an earlier crash is cleared
+    * before writing — publishing it would double-count sizes).
+    * [[currentSoftWeights]] before and after compaction are
+    * value-identical (gate-pinned). */
   def compactSoftLabels(
     spark: org.apache.spark.sql.SparkSession,
     indexDir: String
@@ -1039,24 +1094,44 @@ object CurationPipeline {
     val gens = softLabelGens(spark, labelsDir, Long.MaxValue)
     require(gens.nonEmpty,
       s"compactSoftLabels: no label artifact under $labelsDir")
-    if (gens.size == 1) return
-    val top = gens.max
-    val staging = s"$labelsDir.compact"
-    resolveSoftLabels(spark, labelsDir, Long.MaxValue)
-      .select(col("doc_id"), col("cluster_id"), lit(top).as("version"))
-      .write.mode("overwrite").parquet(s"$staging/g$top")
-    readSizeDeltas(spark, labelsDir, Long.MaxValue)
-      .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
-      .filter(col("n_delta") =!= 0L)
-      .write.mode("overwrite").parquet(s"$staging/sizes-g$top")
+    val newest = gens.max
+    val fold = gens.filter(_ < newest)
+    if (fold.size <= 1) return // nothing to merge below the replay window
+    val target = fold.max
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = live.getFileSystem(conf)
+    val staging = s"$labelsDir.compact"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    // a crashed earlier compaction's staging dir must never leak its
+    // generations into this publication
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    resolveSoftLabels(spark, labelsDir, upToExclusive = newest)
+      .select(col("doc_id"), col("cluster_id"), lit(target).as("version"))
+      .write.mode("overwrite").parquet(s"$staging/g$target")
+    readSizeDeltas(spark, labelsDir, upToExclusive = newest)
+      .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
+      .filter(col("n_delta") =!= 0L)
+      .write.mode("overwrite").parquet(s"$staging/sizes-g$target")
+    // carry the newest (replay-window) generation over verbatim — a
+    // COPY, not a move: a crash between a move and the swap would leave
+    // the live layout silently missing its newest labels (batch-sized
+    // bytes, so the copy is cheap by the same argument as the delta)
+    def carry(name: String): Unit = {
+      val src = new org.apache.hadoop.fs.Path(s"$labelsDir/$name")
+      if (fs.exists(src))
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(s"$staging/$name"),
+            false, conf),
+          s"compactSoftLabels: could not carry $name into the staging layout")
+    }
+    carry(s"g$newest")
+    carry(s"sizes-g$newest")
     val old = new org.apache.hadoop.fs.Path(s"$labelsDir.old")
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(live, old),
       s"compactSoftLabels: could not stage out $labelsDir")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+    require(fs.rename(stagingPath, live),
       s"compactSoftLabels: could not publish $staging - the prior " +
         s"layout is intact at $labelsDir.old; rename it back")
     fs.delete(old, true)

@@ -1000,23 +1000,54 @@ class CurationPipelineSpec extends SparkSpec {
       .groupBy("cluster_id").agg(sum("n_delta").as("n"))
       .as[(Long, Long)].collect().toMap
     assert(sums == Map(3L -> 3L, 5L -> 0L), sums.toString)
+    // batch 2: doc 1 relabels the cluster THROUGH its min doc 3, whose
+    // own artifact row is singleton-shaped (3 -> 3) — the pruned prior
+    // read must still find it via the cluster-min leg, or 3's label
+    // would silently stay behind while 5/6 moved
+    sink(Seq((1L, ("zz" +: base.init.tail :+ "yy").mkString(" ")))
+      .toDF("doc_id", "text"), 2L)
+    assert(out.toSet.contains((2L, 1L, 1.0 / 4)), out.toString)
+    val g2 = spark.read
+      .schema("doc_id BIGINT, cluster_id BIGINT, version BIGINT")
+      .parquet(s"$idxDir/labels/g2")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(g2 == Set((1L, 1L), (3L, 1L), (5L, 1L), (6L, 1L)), g2.toString)
+    // batch 3: an unrelated singleton — the replay-window generation
+    // compaction must leave untouched
+    sink(Seq((7L, "completely unrelated text about something else entirely"))
+      .toDF("doc_id", "text"), 3L)
     val before = CurationPipeline.currentSoftWeights(spark, idxDir)
       .as[(Long, Long, Double)].collect().toSet
-    assert(before == Set((5L, 3L, 1.0 / 3), (6L, 3L, 1.0 / 3),
-      (3L, 3L, 1.0 / 3)), before.toString)
-    // compaction folds to ONE generation and is identity on the reader
+    assert(before == Set((1L, 1L, 1.0 / 4), (3L, 1L, 1.0 / 4),
+      (5L, 1L, 1.0 / 4), (6L, 1L, 1.0 / 4), (7L, 7L, 1.0)), before.toString)
+    // compaction folds everything BELOW the newest generation (g0-g2 ->
+    // g2; g3 stays — the in-flight batch's replay must still resolve
+    // its pre-attempt state) and is identity on the reader
     CurationPipeline.compactSoftLabels(spark, idxDir)
     val gens = new java.io.File(s"$idxDir/labels").listFiles()
-      .map(_.getName).filter(_.matches("g\\d+")).toSeq
-    assert(gens == Seq("g1"), gens.toString)
+      .map(_.getName).filter(_.matches("g\\d+")).toSeq.sorted
+    assert(gens == Seq("g2", "g3"), gens.toString)
     val after = CurationPipeline.currentSoftWeights(spark, idxDir)
       .as[(Long, Long, Double)].collect().toSet
     assert(after == before, after.toString)
-    // the zero-sum absorbed cluster is gone from the compacted sizes
+    // zero-sum absorbed clusters are gone from the compacted sizes; the
+    // newest generation's sizes are untouched
     val compSizes = spark.read.schema("cluster_id BIGINT, n_delta BIGINT")
-      .parquet(s"$idxDir/labels/sizes-g1")
+      .parquet(s"$idxDir/labels/sizes-g2")
       .as[(Long, Long)].collect().toMap
-    assert(compSizes == Map(3L -> 3L), compSizes.toString)
+    assert(compSizes == Map(1L -> 4L), compSizes.toString)
+    val g3Sizes = spark.read.schema("cluster_id BIGINT, n_delta BIGINT")
+      .parquet(s"$idxDir/labels/sizes-g3")
+      .as[(Long, Long)].collect().toMap
+    assert(g3Sizes == Map(7L -> 1L), g3Sizes.toString)
+    // a REPLAY of the newest batch after compaction resolves the
+    // compacted state and lands identically (the reason the newest
+    // generation is never folded)
+    sink(Seq((7L, "completely unrelated text about something else entirely"))
+      .toDF("doc_id", "text"), 3L)
+    val replay = CurationPipeline.currentSoftWeights(spark, idxDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(replay == before, replay.toString)
     // an r19 full-rewrite layout fails loud instead of misreading
     val legacy = java.nio.file.Files
       .createTempDirectory("graft-softlegacy").toString

@@ -290,6 +290,32 @@ class DedupSpec extends SparkSpec {
     val members = comp.as[(Long, Long)].collect().toMap
     assert(members(1L) == 1L && members(11L) == 1L && members(21L) == 1L,
       members.toString) // index doc 1 is IN the member table and keys it
+
+    // a SOFT-curated prior retains twins the signature index carries no
+    // pair structure for: the prior LABELS say docs 1 and 2 share a
+    // cluster (e.g. paired under a different tokenizer run — the labels
+    // are the authority), while 2's text is signature-dissimilar to the
+    // batch doc. Without the labels, batch doc 11's cluster reads
+    // {1, 11} (1/2); the label star edge restores {1, 2, 11} (1/3).
+    val softPrior = Seq(
+      (1L, base.mkString(" ")),
+      (2L, "a different rendering of that very page after re-extraction"),
+      (9L, "completely unrelated text about something else entirely")
+    ).toDF("doc_id", "text")
+    val softPriorLabels = Seq((1L, 1L), (2L, 1L), (9L, 9L))
+      .toDF("doc_id", "cluster_id")
+    val oneTwin = Seq((11L, ("zz" +: base.tail).mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(softPrior, "text", "doc_id")
+    val wNo = Dedup.softDedupWeightsWithClustersAgainst(
+        oneTwin, sigs, "text", "doc_id")._1
+      .select("doc_id", "soft_weight").as[(Long, Double)].collect().toMap
+    val wWith = Dedup.softDedupWeightsWithClustersAgainst(
+        oneTwin, sigs, "text", "doc_id",
+        priorLabels = Some(softPriorLabels))._1
+      .select("doc_id", "soft_weight").as[(Long, Double)].collect().toMap
+    assert(wNo(11L) == 1.0 / 2, wNo.toString)
+    assert(wWith(11L) == 1.0 / 3, wWith.toString)
   }
 
   test("softDedupWeights: 1/transitive-cluster-size, singletons 1.0, " +
