@@ -203,7 +203,11 @@ object PipelineGates {
       require(gensAfter == Seq("g1", "g2"),
         s"q_curation_soft_stream: compaction must fold below the newest " +
           s"generation only; got $gensAfter")
-      val post = CurationPipeline.currentSoftWeights(s, idxDir)
+      // ONE post-compaction read serves both the parity check and the
+      // batch-99 oracle rows (localized — metadata-sized)
+      val postDf = graft.operators.Similarity.localize(
+        CurationPipeline.currentSoftWeights(s, idxDir))
+      val post = postDf
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       require(pre == post,
         s"q_curation_soft_stream: compaction changed the reader state " +
@@ -213,7 +217,7 @@ object PipelineGates {
       // (its cluster grew), the exact divergence the as-of-emission
       // contract documents and currentSoftWeights exists to resolve
       out.toSeq.toDF("batch", "doc_id", "soft_weight")
-        .unionByName(CurationPipeline.currentSoftWeights(s, idxDir)
+        .unionByName(postDf
           .select(lit(99L).as("batch"), col("doc_id"), col("soft_weight")))
         .withColumn("soft_weight", round(col("soft_weight"), 9))
     },
