@@ -201,6 +201,7 @@ object Bench {
     "q_dtw_zscore",          // composed shape search: zscore profiles -> persisted envelope artifact -> pruned-against vs brute (r20)
     "q_curation_soft_incr",  // batch soft x prior signature index: pairing fold, hard-mode contrast in-gate (r20)
     "q_lang_id_model",       // loaded .vec model scoring: word join + vector-mean agg + label fold (r20)
+    "q_forget_soft",         // soft-label deletion propagation: fold-and-swap rewrite + end-state re-read (r20)
     // q_dtw_topk / q_dtw_topk_pruned / q_dtw_index / q_forget_dtw stay
     // unbenched: constant-fixture parity gates (the q_curation_c4
     // convention); the kernel, the two-stage plan, and the persisted

@@ -221,6 +221,42 @@ object PipelineGates {
           .select(lit(99L).as("batch"), col("doc_id"), col("soft_weight")))
         .withColumn("soft_weight", round(col("soft_weight"), 9))
     },
+    // §2 row 173 × 139 (r20) — index-deletion propagation for the
+    // soft-label artifact: the 3-batch q_curation_soft_stream fixture,
+    // then doc 11 is FORGOTTEN — its label row vanishes, the {1,11,21}
+    // cluster's mass drops to 2 (both survivors re-read 1/2), the
+    // singletons ride untouched, and the generation list folds to one
+    // (the amortized-rewrite arm; asserted in-gate). Hand-derived
+    // constant oracle over the end-state reader.
+    "q_forget_soft" -> { (s, dir) =>
+      import s.implicits._
+      val base = (0 until 40).map(i => s"w$i")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-softforget-gate").toString
+      val cfg = CurationPipeline.Config(minQuality = 0.0, softDedup = true)
+      val sink = CurationPipeline.streamingSink("text", "doc_id", cfg, idxDir) {
+        (c, _) => c.count(): Unit
+      }
+      sink(Seq(
+        (1L, base.mkString(" ")),
+        (9L, "completely unrelated text about something else entirely"))
+        .toDF("doc_id", "text"), 0L)
+      sink(Seq(
+        (11L, ("zz" +: base.tail).mkString(" ")),
+        (19L, "another unrelated body of prose holding its own meaning"))
+        .toDF("doc_id", "text"), 1L)
+      sink(Seq(
+        (21L, (base.init :+ "yy").mkString(" ")))
+        .toDF("doc_id", "text"), 2L)
+      CurationPipeline.forgetSoftLabels(s, idxDir,
+        Seq(11L).toDF("doc_id"), "doc_id")
+      val gens = new java.io.File(s"$idxDir/labels").listFiles()
+        .map(_.getName).filter(_.matches("g\\d+")).toSeq
+      require(gens == Seq("g2"),
+        s"q_forget_soft: forget must fold the generation list; got $gens")
+      CurationPipeline.currentSoftWeights(s, idxDir)
+        .withColumn("soft_weight", round(col("soft_weight"), 9))
+    },
     // §2 row 173b (r20) — batch softDedup × prior signature index: the
     // cross-corpus twins are WEIGHTED, never pruned — the batch twin of
     // the streaming sink's pairing arm
@@ -560,6 +596,16 @@ object PipelineGates {
     // — hand-derived constant table, the q_curation_uax29 precedent
     "q_curation_c4" ->
       "SELECT * FROM (VALUES (1::BIGINT), (4::BIGINT)) t(doc_id)",
+    // hand-derived constant table: doc 11 forgotten from the {1,11,21}
+    // cluster — the survivors re-read 1/2, singletons 1.0, cluster key
+    // (the min id 1) unchanged
+    "q_forget_soft" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 1::BIGINT, 0.5::DOUBLE),
+        |  (21::BIGINT, 1::BIGINT, 0.5::DOUBLE),
+        |  (9::BIGINT, 9::BIGINT, 1.0::DOUBLE),
+        |  (19::BIGINT, 19::BIGINT, 1.0::DOUBLE)
+        |) t(doc_id, cluster_id, soft_weight)""".stripMargin,
     // hand-derived constant table (the q_curation_uax29 precedent):
     // batch docs 11/21 each signature-match indexed doc 1, so the
     // combined cluster {1, 11, 21} weighs its batch members 1/3; the

@@ -1098,41 +1098,114 @@ object CurationPipeline {
     val fold = gens.filter(_ < newest)
     if (fold.size <= 1) return // nothing to merge below the replay window
     val target = fold.max
+    publishSoftLabels(spark, labelsDir,
+      resolveSoftLabels(spark, labelsDir, upToExclusive = newest),
+      readSizeDeltas(spark, labelsDir, upToExclusive = newest)
+        .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
+        .filter(col("n_delta") =!= 0L),
+      target, carryNewest = Some(newest))
+  }
+
+  /**
+   * Index-deletion propagation for the soft-label artifact (the row-139
+   * family-parity arm): removed docs' label rows vanish and their
+   * cluster mass is subtracted, VALUE-EQUAL to rebuilding the artifact
+   * from the reduced corpus's pair history — the anti-join IS the
+   * rebuild (per-doc rows, the q_forget_ivf contract). Like the bm25
+   * sidecar family this is the amortized REWRITE arm: the whole
+   * generation list folds into one (removals cannot be expressed as a
+   * latest-wins delta — there is no "absent" row to win). Cluster KEYS
+   * are left as-is, so a cluster whose min doc was removed keeps its
+   * id as a GHOST KEY: stable for split hashing and for later
+   * [[updateClusterLabelsDelta]] folds (star edges still connect the
+   * survivors through it), and never counted as mass (sizes count
+   * member rows). Run it BETWEEN batches with no replay pending — it
+   * folds the newest generation too, so a subsequent replay of that
+   * batch would resurrect its rows; re-run the forget after such a
+   * replay (same precondition family as [[compactSoftLabels]], one
+   * step stricter).
+   *
+   * This arm covers the LABEL artifact; a full takedown composes it
+   * with [[graft.operators.Forget.removeIds]] over the sink's
+   * fingerprint/signature (and media band) indexes so the removed
+   * content stops influencing future prunes and pairings too — the
+   * row-139 per-index composition.
+   */
+  def forgetSoftLabels(
+    spark: org.apache.spark.sql.SparkSession,
+    indexDir: String,
+    removed: DataFrame,
+    idCol: String
+  ): Unit = {
+    val labelsDir = s"$indexDir/labels"
+    val gens = softLabelGens(spark, labelsDir, Long.MaxValue)
+    require(gens.nonEmpty,
+      s"forgetSoftLabels: no label artifact under $labelsDir")
+    val target = gens.max
+    val ids = removed.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val resolved = resolveSoftLabels(spark, labelsDir, Long.MaxValue)
+    val kept = resolved.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    // removed members leave their clusters: −1 mass each, folded into
+    // the net sums (removal-set-bounded — the appendFingerprints
+    // arithmetic in reverse)
+    val removedMass = resolved.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy("cluster_id").agg((-count(lit(1))).as("n_delta"))
+    val sizes = readSizeDeltas(spark, labelsDir, Long.MaxValue)
+      .unionByName(removedMass)
+      .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
+      .filter(col("n_delta") =!= 0L)
+    publishSoftLabels(spark, labelsDir, kept, sizes, target,
+      carryNewest = None)
+  }
+
+  /** Shared staging-write + swap for the soft-label maintenance arms:
+    * write `labels` (re-stamped at `target`) and `sizes` into a fresh
+    * staging layout, optionally CARRY the newest (replay-window)
+    * generation over by copy, then swap directories. A crashed earlier
+    * staging dir is cleared first (publishing it would double-count
+    * sizes); the swap is two renames and is not crash-atomic — if a
+    * crash leaves `<labels>.compact` beside a missing live dir,
+    * complete the rename by hand. */
+  private def publishSoftLabels(
+    spark: org.apache.spark.sql.SparkSession,
+    labelsDir: String,
+    labels: DataFrame,
+    sizes: DataFrame,
+    target: Long,
+    carryNewest: Option[Long]
+  ): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = live.getFileSystem(conf)
     val staging = s"$labelsDir.compact"
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    // a crashed earlier compaction's staging dir must never leak its
-    // generations into this publication
     if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
-    resolveSoftLabels(spark, labelsDir, upToExclusive = newest)
+    labels
       .select(col("doc_id"), col("cluster_id"), lit(target).as("version"))
       .write.mode("overwrite").parquet(s"$staging/g$target")
-    readSizeDeltas(spark, labelsDir, upToExclusive = newest)
-      .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
-      .filter(col("n_delta") =!= 0L)
-      .write.mode("overwrite").parquet(s"$staging/sizes-g$target")
+    sizes.write.mode("overwrite").parquet(s"$staging/sizes-g$target")
     // carry the newest (replay-window) generation over verbatim — a
     // COPY, not a move: a crash between a move and the swap would leave
     // the live layout silently missing its newest labels (batch-sized
     // bytes, so the copy is cheap by the same argument as the delta)
-    def carry(name: String): Unit = {
-      val src = new org.apache.hadoop.fs.Path(s"$labelsDir/$name")
-      if (fs.exists(src))
-        require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-            new org.apache.hadoop.fs.Path(s"$staging/$name"),
-            false, conf),
-          s"compactSoftLabels: could not carry $name into the staging layout")
+    carryNewest.foreach { newest =>
+      def carry(name: String): Unit = {
+        val src = new org.apache.hadoop.fs.Path(s"$labelsDir/$name")
+        if (fs.exists(src))
+          require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+              new org.apache.hadoop.fs.Path(s"$staging/$name"),
+              false, conf),
+            s"publishSoftLabels: could not carry $name into the staging layout")
+      }
+      carry(s"g$newest")
+      carry(s"sizes-g$newest")
     }
-    carry(s"g$newest")
-    carry(s"sizes-g$newest")
     val old = new org.apache.hadoop.fs.Path(s"$labelsDir.old")
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(live, old),
-      s"compactSoftLabels: could not stage out $labelsDir")
+      s"publishSoftLabels: could not stage out $labelsDir")
     require(fs.rename(stagingPath, live),
-      s"compactSoftLabels: could not publish $staging - the prior " +
+      s"publishSoftLabels: could not publish $staging - the prior " +
         s"layout is intact at $labelsDir.old; rename it back")
     fs.delete(old, true)
   }

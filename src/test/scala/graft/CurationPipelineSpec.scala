@@ -1048,6 +1048,26 @@ class CurationPipelineSpec extends SparkSpec {
     val replay = CurationPipeline.currentSoftWeights(spark, idxDir)
       .as[(Long, Long, Double)].collect().toSet
     assert(replay == before, replay.toString)
+    // FORGET the cluster-MIN doc: the survivors keep its id as a GHOST
+    // KEY (stable for splits and later folds), mass drops to 3
+    CurationPipeline.forgetSoftLabels(spark, idxDir,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    val afterForget = CurationPipeline.currentSoftWeights(spark, idxDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterForget == Set((3L, 1L, 1.0 / 3), (5L, 1L, 1.0 / 3),
+      (6L, 1L, 1.0 / 3), (7L, 7L, 1.0)), afterForget.toString)
+    // a LATER batch folds into the ghost-keyed cluster correctly: doc 2
+    // (a FRESH variant — an exact copy of a prior doc would be dropped
+    // by the exact prune, which hard-drops even in soft mode) pairs
+    // with the survivors via the index, the component min is the ghost
+    // id 1, and the mass counts only live members (4, not 5)
+    sink(Seq((2L, ("aa" +: base.tail).mkString(" ")))
+      .toDF("doc_id", "text"), 4L)
+    val afterGrow = CurationPipeline.currentSoftWeights(spark, idxDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterGrow == Set((2L, 1L, 1.0 / 4), (3L, 1L, 1.0 / 4),
+      (5L, 1L, 1.0 / 4), (6L, 1L, 1.0 / 4), (7L, 7L, 1.0)),
+      afterGrow.toString)
     // an r19 full-rewrite layout fails loud instead of misreading
     val legacy = java.nio.file.Files
       .createTempDirectory("graft-softlegacy").toString
