@@ -222,12 +222,14 @@ object PipelineGates {
         .withColumn("soft_weight", round(col("soft_weight"), 9))
     },
     // §2 row 173 × 139 (r20) — index-deletion propagation for the
-    // soft-label artifact: the 3-batch q_curation_soft_stream fixture,
-    // then doc 11 is FORGOTTEN — its label row vanishes, the {1,11,21}
-    // cluster's mass drops to 2 (both survivors re-read 1/2), the
-    // singletons ride untouched, and the generation list folds to one
-    // (the amortized-rewrite arm; asserted in-gate). Hand-derived
-    // constant oracle over the end-state reader.
+    // soft-label artifact: two sink batches build the {1, 11, 21}
+    // cluster (batch 1 carries both variants: one within-batch pair +
+    // the cross fold against batch 0's index), then doc 11 is
+    // FORGOTTEN — its label row vanishes, the cluster's mass drops to
+    // 2 (both survivors re-read 1/2), the singletons ride untouched,
+    // and the generation list folds to one (the amortized-rewrite arm;
+    // asserted in-gate). Hand-derived constant oracle over the
+    // end-state reader.
     "q_forget_soft" -> { (s, dir) =>
       import s.implicits._
       val base = (0 until 40).map(i => s"w$i")
@@ -243,16 +245,14 @@ object PipelineGates {
         .toDF("doc_id", "text"), 0L)
       sink(Seq(
         (11L, ("zz" +: base.tail).mkString(" ")),
-        (19L, "another unrelated body of prose holding its own meaning"))
-        .toDF("doc_id", "text"), 1L)
-      sink(Seq(
+        (19L, "another unrelated body of prose holding its own meaning"),
         (21L, (base.init :+ "yy").mkString(" ")))
-        .toDF("doc_id", "text"), 2L)
+        .toDF("doc_id", "text"), 1L)
       CurationPipeline.forgetSoftLabels(s, idxDir,
         Seq(11L).toDF("doc_id"), "doc_id")
       val gens = new java.io.File(s"$idxDir/labels").listFiles()
         .map(_.getName).filter(_.matches("g\\d+")).toSeq
-      require(gens == Seq("g2"),
+      require(gens == Seq("g1"),
         s"q_forget_soft: forget must fold the generation list; got $gens")
       CurationPipeline.currentSoftWeights(s, idxDir)
         .withColumn("soft_weight", round(col("soft_weight"), 9))
