@@ -56,13 +56,17 @@ object LangModel {
    * driver (label count = language count, metadata-sized).
    */
   def load(spark: SparkSession, path: String): VecModel = {
-    // trim before splitting: CRLF checkouts and trailing spaces are
-    // normal for downloaded model files, and an un-trimmed '\r' on the
-    // last field would reject a well-formed model as non-numeric
+    // CRLF checkouts and stray spaces are normal for downloaded model
+    // files. Spark's trim strips SPACES only (not '\r'), so the robust
+    // spelling is: split on \s+ (which eats the '\r' as a delimiter)
+    // and FILTER the empty fragments a leading/trailing delimiter
+    // leaves behind — otherwise the '' token reaches cast('double')
+    // and a well-formed model is rejected as non-numeric (and a CRLF
+    // header line would sneak past the field-count filter as data).
     val raw = spark.read.text(path)
-      .select(split(trim(col("value")), "\\s+").as("p"))
+      .select(filter(split(col("value"), "\\s+"), x => x =!= "").as("p"))
       // the optional "<rows> <dim>" header is the only line with < 3
-      // fields; blank lines split to [""] and drop here too
+      // fields; blank lines drop here too
       .filter(size(col("p")) >= 3)
     val parsed = raw.select(
       col("p").getItem(0).as("token"),

@@ -836,22 +836,32 @@ object CurationPipeline {
                   .select(col("batch_id").as("id_a"),
                     col("index_id").as("id_b"))
               }
+              // the pair surface feeds FIVE plan legs (the pruned prior
+              // read's wanted set twice, the CC edge list, and the
+              // changed-row legs) — checkpoint it (batch-pair-sized) so
+              // the cross LSH pass against the signature index runs
+              // ONCE per batch, not once per consuming leg
               val pairs = cross.fold(within)(within.unionByName(_))
-              val prior = resolvePriorForDelta(spark, labelsDir, batchId, pairs)
-              // CHANGED labels only — (batch docs + re-labeled prior
-              // members)-sized, never the corpus
-              val changed = Dedup.updateClusterLabelsDelta(
-                prior, pinned.select("doc_id"), pairs)
-              // an unconverged distributed CC would silently produce
-              // wrong weights downstream — fail loud at the consumer,
-              // BEFORE anything materializes (nothing to leak on throw;
-              // the CC ran eagerly inside the delta fold)
-              Dedup.requireConvergedComponents(spark,
-                "streamingSink soft label fold")
-              // checkpointed because the delta feeds both generation
-              // writes and its lineage reads the generations those
-              // writes grow
-              val delta = changed.localCheckpoint()
+                .localCheckpoint()
+              val delta = try {
+                val prior = resolvePriorForDelta(
+                  spark, labelsDir, batchId, pairs)
+                // CHANGED labels only — (batch docs + re-labeled prior
+                // members)-sized, never the corpus
+                val changed = Dedup.updateClusterLabelsDelta(
+                  prior, pinned.select("doc_id"), pairs)
+                // an unconverged distributed CC would silently produce
+                // wrong weights downstream — fail loud at the consumer,
+                // BEFORE anything materializes (nothing to leak on
+                // throw; the CC ran eagerly inside the delta fold)
+                Dedup.requireConvergedComponents(spark,
+                  "streamingSink soft label fold")
+                // checkpointed because the delta feeds both generation
+                // writes and its lineage reads the generations those
+                // writes grow
+                changed.localCheckpoint()
+              } finally org.apache.spark.sql.GraftSqlBridge
+                .unpersistLocalCheckpoint(pairs)
               try {
                 delta.select(col("doc_id"), col("cluster_id"),
                     lit(batchId).as("version"))
@@ -1142,20 +1152,41 @@ object CurationPipeline {
     require(gens.nonEmpty,
       s"forgetSoftLabels: no label artifact under $labelsDir")
     val target = gens.max
-    val ids = removed.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // the streamingSink id guard, at the one entry point where a silent
+    // cast has COMPLIANCE consequences: a NULLed id would forget
+    // nothing, a truncated one the WRONG document — both reported as
+    // success
+    val idType = removed.schema(idCol).dataType
+    require(IntegralIdTypes.contains(idType),
+      s"forgetSoftLabels: idCol '$idCol' must be an integral (or " +
+        s"numeric-string) column, got ${idType.catalogString}: a silent " +
+        "cast would make the takedown a no-op (or delete the wrong doc)")
+    val ids = removed
+      .select(integralIdCast(col(idCol), idType, "forgetSoftLabels")
+        .as("doc_id"))
+      .distinct()
+    // the corpus-sized latest-wins resolution feeds BOTH staging writes
+    // (kept labels + removed mass) — LOCAL CHECKPOINT, not persist: the
+    // publish below renames the directory this frame's lineage reads,
+    // and a persisted frame whose blocks evicted mid-publish would
+    // recompute against the renamed-away path
     val resolved = resolveSoftLabels(spark, labelsDir, Long.MaxValue)
-    val kept = resolved.join(broadcast(ids), Seq("doc_id"), "left_anti")
-    // removed members leave their clusters: −1 mass each, folded into
-    // the net sums (removal-set-bounded — the appendFingerprints
-    // arithmetic in reverse)
-    val removedMass = resolved.join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .groupBy("cluster_id").agg((-count(lit(1))).as("n_delta"))
-    val sizes = readSizeDeltas(spark, labelsDir, Long.MaxValue)
-      .unionByName(removedMass)
-      .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
-      .filter(col("n_delta") =!= 0L)
-    publishSoftLabels(spark, labelsDir, kept, sizes, target,
-      carryNewest = None)
+      .localCheckpoint()
+    try {
+      val kept = resolved.join(broadcast(ids), Seq("doc_id"), "left_anti")
+      // removed members leave their clusters: −1 mass each, folded into
+      // the net sums (removal-set-bounded — the appendFingerprints
+      // arithmetic in reverse)
+      val removedMass = resolved.join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .groupBy("cluster_id").agg((-count(lit(1))).as("n_delta"))
+      val sizes = readSizeDeltas(spark, labelsDir, Long.MaxValue)
+        .unionByName(removedMass)
+        .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
+        .filter(col("n_delta") =!= 0L)
+      publishSoftLabels(spark, labelsDir, kept, sizes, target,
+        carryNewest = None)
+    } finally org.apache.spark.sql.GraftSqlBridge
+      .unpersistLocalCheckpoint(resolved)
   }
 
   /** Shared staging-write + swap for the soft-label maintenance arms:

@@ -1068,6 +1068,13 @@ class CurationPipelineSpec extends SparkSpec {
     assert(afterGrow == Set((2L, 1L, 1.0 / 4), (3L, 1L, 1.0 / 4),
       (5L, 1L, 1.0 / 4), (6L, 1L, 1.0 / 4), (7L, 7L, 1.0)),
       afterGrow.toString)
+    // a takedown with an uncastable id type fails loud, never a silent
+    // no-op (the streamingSink id-guard at the compliance entry point)
+    val badId = intercept[IllegalArgumentException] {
+      CurationPipeline.forgetSoftLabels(spark, idxDir,
+        Seq(1.5).toDF("doc_id"), "doc_id")
+    }
+    assert(badId.getMessage.contains("integral"), badId.getMessage)
     // an r19 full-rewrite layout fails loud instead of misreading
     val legacy = java.nio.file.Files
       .createTempDirectory("graft-softlegacy").toString

@@ -120,6 +120,27 @@ class LangClassifierSpec extends SparkSpec {
     assert(out(6L) == (("und", 0.0)))
   }
 
+  test("LangModel: a CRLF-checkout .vec (every line ending in \\r) loads " +
+    "and predicts identically") {
+    // Spark's trim strips spaces only, and split keeps trailing empty
+    // fragments — the naive spelling rejects CRLF models as non-numeric
+    // and lets a '<rows> <dim>\r' header through as a data row
+    val lines = Seq(
+      "2 2",
+      "__label__en 1.0 0.0",
+      "the 1.0 0.0")
+    val f = java.nio.file.Files.createTempFile("graft-langvec-crlf", ".vec")
+    java.nio.file.Files.write(f,
+      lines.map(_ + "\r").mkString("\n").getBytes("UTF-8"))
+    val model = graft.operators.LangModel.load(spark, f.toString)
+    assert(model.dim == 2 && model.labels.map(_._1) == Seq("en"))
+    val out = graft.operators.LangModel.predict(
+        Seq((1L, "the")).toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().head
+    assert(out.getAs[String]("lang_pred") == "en" &&
+      out.getAs[Double]("lang_score") == 1.0, out.toString)
+  }
+
   test("LangModel.load fails loud on label-free, ragged, and non-numeric models") {
     val e1 = intercept[IllegalArgumentException] {
       graft.operators.LangModel.load(spark,
