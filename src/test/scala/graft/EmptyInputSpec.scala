@@ -425,4 +425,51 @@ class EmptyInputSpec extends SparkSpec {
       graft.plans.CurationPipeline.Config(minQuality = 0.0, softDedup = true))
     assert(soft.columns.contains("soft_weight") && soft.count() == 0)
   }
+
+  test("r20 operators over empty inputs yield empty (or degenerate-sane) results") {
+    import spark.implicits._
+    val emptySeries = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("series_id", LongType),
+        StructField("series", ArrayType(DoubleType)))))
+    val qs = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("series_id", "series")
+    // DTW envelope artifact over an empty corpus: builds, persists,
+    // probes empty; the band sidecar still round-trips
+    val dir = java.nio.file.Files.createTempDirectory("empty-dtwidx").toString
+    Similarity.dtwEnvelopeIndexWrite(
+      Similarity.dtwEnvelopeIndex(emptySeries, "series", "series_id", 2),
+      dir, band = 2)
+    assert(Similarity.readDtwBandMeta(spark, dir) == 2)
+    assert(Similarity.dtwTopKPrunedAgainst(
+      spark, dir, qs, "series", "series_id", k = 3, pruneN = 5).count() == 0)
+    // ...and empty QUERIES against a populated artifact
+    val dir2 = java.nio.file.Files.createTempDirectory("empty-dtwq").toString
+    Similarity.dtwEnvelopeIndexWrite(
+      Similarity.dtwEnvelopeIndex(qs, "series", "series_id", 2), dir2, band = 2)
+    assert(Similarity.dtwTopKPrunedAgainst(
+      spark, dir2, emptySeries, "series", "series_id", k = 3, pruneN = 5)
+      .count() == 0)
+    // LangModel over an empty corpus (and the against-soft-weights arm
+    // over an empty batch)
+    val vec = java.nio.file.Files.createTempFile("empty-langvec", ".vec")
+    java.nio.file.Files.write(vec,
+      "__label__en 1.0 0.0\nthe 1.0 0.0".getBytes("UTF-8"))
+    val model = graft.operators.LangModel.load(spark, vec.toString)
+    assert(graft.operators.LangModel.predict(
+      emptyDocs, model, "text", "doc_id").count() == 0)
+    val sigs = Dedup.minHashSignatures(
+      Seq((1L, "some indexed text here")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val (w, comp) = Dedup.softDedupWeightsWithClustersAgainst(
+      emptyDocs, sigs, "text", "doc_id")
+    assert(w.count() == 0 && comp.count() == 0)
+    // updateClusterLabelsDelta with nothing prior and nothing new
+    val emptyLabels = spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    val emptyPairs = Seq((1L, 2L)).toDF("id_a", "id_b").limit(0)
+    assert(Dedup.updateClusterLabelsDelta(
+      emptyLabels, spark.range(0).select(col("id").as("doc_id")), emptyPairs)
+      .count() == 0)
+  }
 }
