@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CharEntropyExpr, CmsUnionAgg, DtwDistExpr, LbKeoghExpr, KllBuildAgg, KllUnionAgg, ThetaBuildAgg, ThetaUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
+import graft.functions.{CharEntropyExpr, CmsUnionAgg, DtwDistExpr, DtwEnvelopeExpr, LbKeoghEnvExpr, LbKeoghExpr, KllBuildAgg, KllUnionAgg, ThetaBuildAgg, ThetaUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -57,6 +57,30 @@ object GraftFunctions {
         s"(e.g. 8, not 8L or a column); got: $bad")
     case args => throw new IllegalArgumentException(
       s"lb_keogh expects (array, array[, band INT literal]), got ${args.length} args")
+  }
+
+  private def dtwEnvelopeBuilder(upper: Boolean): Seq[Expression] => Expression = {
+    val name = if (upper) "dtw_env_upper" else "dtw_env_lower"
+    val b: Seq[Expression] => Expression = {
+      case Seq(a, Literal(band: Int, _)) => DtwEnvelopeExpr(a, band, upper)
+      case Seq(a) => DtwEnvelopeExpr(a, 8, upper)
+      case Seq(_, bad) => throw new IllegalArgumentException(
+        s"$name's second argument must be an INT literal band " +
+          s"(e.g. 8, not 8L or a column); got: $bad")
+      case args => throw new IllegalArgumentException(
+        s"$name expects (array[, band INT literal]), got ${args.length} args")
+    }
+    b
+  }
+
+  private def lbKeoghEnvBuilder: Seq[Expression] => Expression = {
+    case Seq(s, up, lo, Literal(band: Int, _)) => LbKeoghEnvExpr(s, up, lo, band)
+    case Seq(s, up, lo) => LbKeoghEnvExpr(s, up, lo, 8)
+    case Seq(_, _, _, bad) => throw new IllegalArgumentException(
+      "lb_keogh_env's fourth argument must be an INT literal band " +
+        s"(e.g. 8, not 8L or a column); got: $bad")
+    case args => throw new IllegalArgumentException(
+      s"lb_keogh_env expects (series, up, lo[, band INT literal]), got ${args.length} args")
   }
 
   private def dtwDistBuilder: Seq[Expression] => Expression = {
@@ -154,6 +178,11 @@ object GraftFunctions {
     // its LB_Keogh lower bound — the cheap screen of the two-stage
     // exact DTW search (NULL exactly where dtw_dist is)
     ("lb_keogh", lbKeoghBuilder, classOf[LbKeoghExpr]),
+    // the persisted-artifact halves of that screen: query-independent
+    // banded envelopes, and the one-sided bound against stored ones
+    ("dtw_env_upper", dtwEnvelopeBuilder(upper = true), classOf[DtwEnvelopeExpr]),
+    ("dtw_env_lower", dtwEnvelopeBuilder(upper = false), classOf[DtwEnvelopeExpr]),
+    ("lb_keogh_env", lbKeoghEnvBuilder, classOf[LbKeoghEnvExpr]),
     // union of serialized count-min sketches — pairs with Spark's own
     // count_min_sketch builder aggregate (which has no SQL union)
     ("cms_union", oneArg("cms_union")(CmsUnionAgg(_: Expression)),

@@ -115,12 +115,23 @@ class TimeSeriesSpec extends SparkSpec {
     // null-parity: infeasible gap / empty / null element — exactly dtw's rules
     assert(lb(Seq(1.0, 2, 3, 4, 5), Seq(1.0), 2).isEmpty)
     assert(lb(Seq.empty[Double], Seq(1.0), 8).isEmpty)
-    // SQL registration surface
+    // SQL registration surface — the fused kernel and the
+    // persisted-artifact halves (envelopes + one-sided bound)
     GraftFunctions.register(spark)
     val viaSql = spark.sql(
       "SELECT lb_keogh(array(0.0d, 5.0d), array(5.0d, 0.0d), 0)")
       .collect().head.getDouble(0)
     assert(viaSql == 10.0)
+    val envSql = spark.sql(
+      """SELECT greatest(
+        |  lb_keogh_env(array(5.0d, 0.0d),
+        |    dtw_env_upper(array(0.0d, 5.0d), 0),
+        |    dtw_env_lower(array(0.0d, 5.0d), 0), 0),
+        |  lb_keogh_env(array(0.0d, 5.0d),
+        |    dtw_env_upper(array(5.0d, 0.0d), 0),
+        |    dtw_env_lower(array(5.0d, 0.0d), 0), 0))""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(envSql == viaSql, s"env SQL form $envSql != fused $viaSql")
   }
 
   test("dtw_dist survives a degenerate Int.MaxValue band (the unbanded spelling)") {
