@@ -29,9 +29,9 @@ import org.apache.spark.sql.functions._
  * word join); the corpus explodes to its word rows once, folds to one
  * mean vector per doc ([[graft.functions.VectorMeanAgg]] — map-side
  * partials, ≤ dim doubles per doc into the shuffle), and the label
- * argmax is a pure expression fold over the label matrix riding along
- * as a literal-sized broadcast row. The corpus text is scanned once and
- * never shuffled.
+ * argmax is a row-local projection LINEAR in label count (staged
+ * per-label score columns + greatest + when-chain). The corpus text is
+ * scanned once and never shuffled.
  */
 object LangModel {
 
@@ -149,18 +149,32 @@ object LangModel {
       .join(broadcast(model.words), Seq("token"))
       .groupBy("doc_id")
       .agg(graft.functions.VectorMeanAgg(col("vec")).as("__h"))
-    // label argmax as a pure fold: scores are one dot product per
-    // label over the doc's mean vector; ties break on label order
-    val scored = model.labels.map { case (l, v) =>
-      struct(dotLit(col("__h"), v).as("s"), lit(l).as("l"))
+    // Label argmax LINEAR in labels: per-label dot products staged as
+    // REAL projection columns, the winner via greatest + a first-match
+    // when-chain (the QualityClassifier.scoreMultiInline pattern; ties
+    // break on label order — the earliest sorted label wins). A
+    // when/otherwise reduce here would embed the accumulated tree TWICE
+    // per step (expression trees are trees, not DAGs), doubling the
+    // expression per label — analysis would never terminate at fastText
+    // lid's 176 labels. Staging keeps each dot product a one-reference
+    // column: CollapseProject refuses to inline multiply-referenced
+    // non-cheap expressions, so the argmax layer sees only column refs.
+    val sCols = model.labels.zipWithIndex.map { case ((_, v), i) =>
+      dotLit(col("__h"), v).as(s"__s$i")
     }
-    val best = scored.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
-    df.select(col(idCol).as("doc_id"))
+    val staged = df.select(col(idCol).as("doc_id"))
       .join(hidden, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("__h").isNull, lit("und"))
-          .otherwise(best.getField("l")).as("lang_pred"),
-        when(col("__h").isNull, lit(0.0))
-          .otherwise(best.getField("s")).as("lang_score"))
+      .select(col("doc_id") +: col("__h").isNull.as("__miss") +: sCols: _*)
+    val s = model.labels.indices.map(i => col(s"__s$i"))
+    val sMax = if (s.size == 1) s.head else greatest(s: _*)
+    val pred =
+      if (model.labels.size == 1) lit(model.labels.head._1)
+      else (1 until model.labels.size - 1).foldLeft(
+        when(s.head === sMax, lit(model.labels.head._1))) { case (acc, i) =>
+          acc.when(s(i) === sMax, lit(model.labels(i)._1))
+        }.otherwise(lit(model.labels.last._1))
+    staged.select(col("doc_id"),
+      when(col("__miss"), lit("und")).otherwise(pred).as("lang_pred"),
+      when(col("__miss"), lit(0.0)).otherwise(sMax).as("lang_score"))
   }
 }

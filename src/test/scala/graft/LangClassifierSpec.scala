@@ -141,6 +141,44 @@ class LangClassifierSpec extends SparkSpec {
       out.getAs[Double]("lang_score") == 1.0, out.toString)
   }
 
+  test("LangModel: a 150-label model completes analysis and matches a " +
+    "driver-side argmax") {
+    // regression pin for the argmax spelling: the old when/otherwise
+    // reduce doubled the expression tree per label, so a lid-sized
+    // label count (fastText lid.176 has 176) would hang in analysis —
+    // the linear staged-column argmax must complete AND agree with a
+    // plain driver-side fold using the same earliest-label tiebreak.
+    // Whole small integers keep every product and sum float-exact.
+    val nLabels = 150
+    val labelNames = (0 until nLabels).map(j => f"l$j%03d")
+    val labelVecs = (0 until nLabels).map(j => Array(
+      (j % 7).toDouble, ((j * j) % 5).toDouble, ((j / 7) % 3).toDouble))
+    val words = Seq(
+      "alpha" -> Array(1.0, 2.0, 3.0),
+      "beta" -> Array(3.0, 0.0, 1.0),
+      "gamma" -> Array(0.0, 5.0, 2.0))
+    val lines = Seq(s"${nLabels + words.size} 3") ++
+      labelNames.zip(labelVecs).map { case (l, v) =>
+        s"__label__$l ${v.mkString(" ")}" } ++
+      words.map { case (w, v) => s"$w ${v.mkString(" ")}" }
+    val model = graft.operators.LangModel.load(spark, writeVec(lines))
+    assert(model.labels.size == nLabels)
+    val docs = words.zipWithIndex.map { case ((w, _), i) => (i.toLong, w) }
+    val out = graft.operators.LangModel.predict(
+        docs.toDF("doc_id", "text"), model, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang_pred"), r.getAs[Double]("lang_score")))).toMap
+    val wordVec = words.toMap
+    docs.foreach { case (id, w) =>
+      val h = wordVec(w) // single-word doc: the mean IS the word vector
+      val best = model.labels
+        .map { case (l, v) => l -> h.zip(v).map { case (a, b) => a * b }.sum }
+        .reduceLeft((a, b) => if (b._2 > a._2) b else a)
+      assert(out(id) == ((best._1, best._2)),
+        s"doc $id: got ${out(id)}, want $best")
+    }
+  }
+
   test("LangModel.load fails loud on label-free, ragged, and non-numeric models") {
     val e1 = intercept[IllegalArgumentException] {
       graft.operators.LangModel.load(spark,
