@@ -35,6 +35,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let AQE keep optimizing UNDER persist(): with the default
+      // (false) a cached subtree's shuffles run at the raw
+      // spark.sql.shuffle.partitions — no coalescing, no skew split —
+      // so every operator-internal persist of a shuffled frame pays
+      // full-width stages at any scale where AQE would have resized
+      // them. The conf exists because re-optimization may change the
+      // cached frame's OUTPUT partitioning, which no graft caller
+      // depends on (cached frames here are operator intermediates and
+      // index artifacts consumed by value).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // TIMESTAMP(NANOS) parquet columns surface as raw longs instead of
       // being refused outright (streaming.Events.readEventsParquet
@@ -77,7 +87,24 @@ object GraftSession {
   def sweepPersistedState(spark: SparkSession): Int = {
     val leaked = spark.sparkContext.getPersistentRDDs
     spark.catalog.clearCache()
-    leaked.values.foreach(_.unpersist(blocking = true))
+    leaked.values.foreach { rdd =>
+      // blocking so the blocks are really gone before the next timed
+      // query — but NEVER abort the caller on a removal race: a block
+      // whose executor already dropped it (partial caching under AQE,
+      // ContextCleaner running concurrently) surfaces here as
+      // "Block rdd_N_P does not exist", and the sweep's job is to leave
+      // ZERO persisted state either way, not to crash the board
+      try rdd.unpersist(blocking = true)
+      catch {
+        case e: Throwable =>
+          org.slf4j.LoggerFactory.getLogger("graft.GraftSession").warn(
+            s"sweepPersistedState: blocking unpersist of RDD ${rdd.id} " +
+              s"failed (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+              "retrying non-blocking")
+          try rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+      }
+    }
     leaked.size
   }
 
