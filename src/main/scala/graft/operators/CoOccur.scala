@@ -22,7 +22,9 @@ import graft.functions.Hashing
  * map-side-combined counts (pairs, unigrams) and the final
  * vocabulary-sized join of pair counts onto unigram counts (broadcast:
  * the unigram table is the vocabulary, metadata-sized by Heaps' law).
- * Corpus-size totals ride a single-row cross join, never a collect.
+ * Corpus-size totals ride single-row broadcast cross joins, never a
+ * collect - one action end to end, with ReuseExchange sharing each
+ * count shuffle between its scalar and row consumers.
  */
 object CoOccur {
 
@@ -86,20 +88,27 @@ object CoOccur {
     val uni = wordCol(df, textCol).select(explode(col("__w")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     // P counts ALL pairs (the probability space), not just minCount
-    // survivors; P and T are single scalars — localized eagerly (two
-    // metadata-sized jobs, the k-means-centroid convention) and embedded
-    // as literals so the main query stays one pass
-    val pRow = all.agg(sum(col("n_pair"))).head()
-    val tRow = uni.agg(sum(col("n_w"))).head()
-    val p = if (pRow.isNullAt(0)) 1.0 else pRow.getLong(0).toDouble
-    val t = if (tRow.isNullAt(0)) 1.0 else tRow.getLong(0).toDouble
+    // survivors; P and T are single scalars riding as ONE-ROW broadcast
+    // cross joins so the whole query is ONE action: the scalar
+    // aggregates canonicalize to the same shuffle as the pair/unigram
+    // subtrees, so ReuseExchange computes each corpus pass ONCE — the
+    // earlier `.head()` spelling ran two extra eager jobs that each
+    // re-ran a full corpus explode+count (measured 1.8 s of the 3.3 s
+    // sf0.1 cell), and a persist() boundary would leak blocks past the
+    // call (the zero-persisted-state hygiene contract).
+    val pT = broadcast(all.agg(
+      coalesce(sum(col("n_pair")).cast("double"), lit(1.0)).as("__p")))
+    val tT = broadcast(uni.agg(
+      coalesce(sum(col("n_w")).cast("double"), lit(1.0)).as("__t")))
     pairs
       .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_w1"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_w2"))), "w2")
+      .crossJoin(pT)
+      .crossJoin(tT)
       .select(col("w1"), col("w2"), col("n_pair"),
-        log((col("n_pair").cast("double") / lit(p)) /
-          ((col("n_w1").cast("double") / lit(t)) *
-            (col("n_w2").cast("double") / lit(t)))).as("pmi"))
+        log((col("n_pair").cast("double") / col("__p")) /
+          ((col("n_w1").cast("double") / col("__t")) *
+            (col("n_w2").cast("double") / col("__t")))).as("pmi"))
   }
 
   /** All unordered (a, b) pairs (a before b in the SORTED set array) —
@@ -143,8 +152,15 @@ object CoOccur {
     val ti = df.filter(col(itemCol).isNotNull)
       .select(col(txnCol).as("__t"), col(itemCol).cast("string").as("__i"))
       .distinct()
-    val nRow = ti.agg(count_distinct(col("__t"))).head()
-    val n = if (nRow.isNullAt(0)) 1.0 else math.max(nRow.getLong(0), 1L).toDouble
+    // N rides as a ONE-ROW broadcast cross join (the pmi spelling):
+    // `ti` feeds four plan legs (the N scalar, two broadcast item-count
+    // joins, the per-transaction pair chain) and keeping them in ONE
+    // action lets ReuseExchange share ti's distinct shuffle across all
+    // of them — the eager `.head()` N job re-ran the input scan +
+    // distinct on its own
+    val nT = broadcast(ti.agg(
+      greatest(coalesce(count_distinct(col("__t")).cast("double"), lit(1.0)),
+        lit(1.0)).as("__N")))
     val itemCounts = ti.groupBy("__i").agg(count(lit(1)).as("__n"))
     val pairs = ti.groupBy("__t").agg(sort_array(collect_set(col("__i"))).as("__s"))
       .select(explode(setPairsOf(col("__s"))).as("__p"))
@@ -160,10 +176,11 @@ object CoOccur {
         col("__n").as("__n_ant"))), "antecedent")
       .join(broadcast(itemCounts.select(col("__i").as("consequent"),
         col("__n").as("__n_cons"))), "consequent")
+      .crossJoin(nT)
       .select(col("antecedent"), col("consequent"), col("n_ab"),
-        (col("n_ab").cast("double") / lit(n)).as("support"),
+        (col("n_ab").cast("double") / col("__N")).as("support"),
         (col("n_ab").cast("double") / col("__n_ant")).as("confidence"),
         ((col("n_ab").cast("double") / col("__n_ant")) /
-          (col("__n_cons").cast("double") / lit(n))).as("lift"))
+          (col("__n_cons").cast("double") / col("__N"))).as("lift"))
   }
 }
