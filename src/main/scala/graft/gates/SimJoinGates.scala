@@ -236,6 +236,13 @@ object SimJoinGates {
     // and is asserted in-gate; the oracle pins the join surface vs the
     // reduced corpus like q_editdist_incr
     "q_forget_editsim" -> { (s, dir) =>
+      // the signed-count symmetric diff below asserts the SAME multiset
+      // equality as the old two-exceptAll spelling in ONE action, so
+      // the deletion-neighborhood explode (the cell's dominant cost)
+      // runs once per side for the parity check instead of twice —
+      // kept: 3 passes -> 2 (diff + probe), rebuilt: 2 -> 1. No
+      // persist: a gate-leaked block would poison the session hygiene
+      // contract every other operator keeps.
       val kept = graft.operators.Forget.removeIds(
         EditSim.editVariantIndex(editPriorKeys(s, dir), "s", "doc_id",
           maxDist = 2),
@@ -244,7 +251,12 @@ object SimJoinGates {
       val rebuilt = EditSim.editVariantIndex(
         editPriorKeys(s, dir).filter(col("doc_id") % 6 =!= 0), "s", "doc_id",
         maxDist = 2)
-      assert(kept.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(kept).isEmpty,
+      val diff = kept.withColumn("__sign", lit(1L))
+        .unionByName(rebuilt.withColumn("__sign", lit(-1L)))
+        .groupBy(kept.columns.map(col): _*)
+        .agg(sum(col("__sign")).as("__d"))
+        .filter(col("__d") =!= 0L)
+      assert(diff.isEmpty,
         "post-forget edit-variant index must equal a rebuild from the reduced corpus")
       EditSim.editDistancePairsAgainst(
         editIncrBatch(s, dir), kept, "s", "doc_id", maxDist = 2)
