@@ -496,6 +496,7 @@ object Retrieval {
       .withColumn("bucket",
         pmod(graft.functions.Hashing.md5Long60(col("word")), lit(buckets.toLong))
           .cast("int"))
+      .hint("rebalance", "bucket")
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
     val spark = index.sparkSession
     val p = new org.apache.hadoop.fs.Path(path, BucketMetaFile)
@@ -769,6 +770,23 @@ object Retrieval {
     pmod(graft.functions.Hashing.md5Long60(col("word")), lit(buckets.toLong))
       .cast("int")
 
+  /** Cluster rows on the hive partition column before a
+    * `partitionBy("bucket")` write (guide §6 output file sizing): a
+    * partitioned write opens one file per bucket value PER TASK, so a
+    * write whose input arrives in T tasks emits up to T × buckets
+    * files — a merge/compact (T = read tasks of every merged
+    * generation) multiplies near-empty files per lifecycle mutation,
+    * and probe-time IO pays the file count forever. The AQE REBALANCE
+    * exchange clusters by bucket, coalescing tiny buckets into shared
+    * tasks and splitting oversized ones at the advisory partition
+    * size, so output files track data volume at every scale (one
+    * file per populated bucket at gate scale; advisory-sized files
+    * per bucket at corpus scale). Costs one exchange of the written
+    * rows — the standard write-distribution trade for a build-once
+    * read-many artifact. */
+  private def bucketClustered(df: DataFrame): DataFrame =
+    df.hint("rebalance", "bucket")
+
   /** Full (unpruned) posting read across generations — the forget df
     * decrement and the compact rewrite, the only two lifecycle reads
     * that legitimately need posting rows; probes use
@@ -828,7 +846,7 @@ object Retrieval {
     spark: SparkSession, path: String, m: SidecarMeta,
     touched: Seq[Int], newRows: DataFrame): Unit = {
     val next = s"$path/df-v${m.dfV + 1}"
-    newRows.withColumn("bucket", sidecarBucket(m.buckets))
+    bucketClustered(newRows.withColumn("bucket", sidecarBucket(m.buckets)))
       .write.partitionBy("bucket").mode("overwrite").parquet(next)
     val hconf = spark.sparkContext.hadoopConfiguration
     val nextP = new org.apache.hadoop.fs.Path(next)
@@ -938,14 +956,16 @@ object Retrieval {
     // metadata row): probes prune to the query words' buckets across
     // every generation, so probe IO is query-bounded like the
     // denormalized bucketed layout's — on top of the sublinear grows
-    sidecarPostingsOf(sidecarDocs(corpus, textCol, idCol))
-      .withColumn("bucket", sidecarBucket(buckets))
+    bucketClustered(
+      sidecarPostingsOf(sidecarDocs(corpus, textCol, idCol))
+        .withColumn("bucket", sidecarBucket(buckets)))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings-g1")
     val written = spark.read.schema(SidecarPostingsSchema)
       .parquet(s"$path/postings-g1")
-    written.filter(col("word").isNotNull)
-      .groupBy("word").agg(count(lit(1)).as("df"))
-      .withColumn("bucket", sidecarBucket(buckets))
+    bucketClustered(
+      written.filter(col("word").isNotNull)
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .withColumn("bucket", sidecarBucket(buckets)))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/df-v1")
     // the (doc_id, dl) doc registry: every doc owns ≥ 1 posting row
     // (sentinels included) carrying one (doc_id, dl) per word — the
@@ -1190,8 +1210,9 @@ object Retrieval {
   ): Unit = {
     def hinted(df: DataFrame) = if (broadcastDrop) broadcast(df) else df
     val m = readSidecarMeta(spark, path)
-    sidecarAppendPostings(spark, path, drop, textCol, idCol, broadcastDrop)
-      .withColumn("bucket", sidecarBucket(m.buckets))
+    bucketClustered(
+      sidecarAppendPostings(spark, path, drop, textCol, idCol, broadcastDrop)
+        .withColumn("bucket", sidecarBucket(m.buckets)))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/postings-g${m.nextGen}")
     // read the committed generation back ONCE (what was actually
@@ -1394,10 +1415,11 @@ object Retrieval {
     // rewrite = union of the merged generations only (smallest-first
     // bytes); bucket partitioning carries over so probe pruning is
     // unchanged
-    merged
-      .map(g => spark.read.schema(SidecarPostingsSchema)
-        .parquet(s"$path/postings-g$g"))
-      .reduce(_ unionByName _)
+    bucketClustered(
+      merged
+        .map(g => spark.read.schema(SidecarPostingsSchema)
+          .parquet(s"$path/postings-g$g"))
+        .reduce(_ unionByName _))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/postings-g$newGen")
     merged
@@ -1440,7 +1462,7 @@ object Retrieval {
       readSidecarPostings(spark, path, m)
         .join(broadcast(r), col("doc_id") === col("__rm_id"), "left_anti")
     }
-    live.withColumn("bucket", sidecarBucket(m.buckets))
+    bucketClustered(live.withColumn("bucket", sidecarBucket(m.buckets)))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$outPath/postings-g1")
     // the registry compacts the same way: live rows only — tombstoned
@@ -1453,9 +1475,10 @@ object Retrieval {
         .join(broadcast(r), col("doc_id") === col("__rm_id"), "left_anti")
     }
     liveReg.write.mode("overwrite").parquet(s"$outPath/registry-g1")
-    spark.read.schema(SidecarDfSchema)
-      .parquet(s"$path/df-v${m.dfV}").drop("bucket")
-      .withColumn("bucket", sidecarBucket(m.buckets))
+    bucketClustered(
+      spark.read.schema(SidecarDfSchema)
+        .parquet(s"$path/df-v${m.dfV}").drop("bucket")
+        .withColumn("bucket", sidecarBucket(m.buckets)))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$outPath/df-v1")
     writeSidecarMeta(spark, outPath,
