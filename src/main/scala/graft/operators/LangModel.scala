@@ -83,8 +83,20 @@ object LangModel {
     catch {
       // ANSI mode (the engine default) throws on the malformed cast
       // before the NULL audit can count it — same fail-loud contract,
-      // one message (SparkNumberFormatException extends NFE)
-      case e: NumberFormatException => throw new IllegalArgumentException(
+      // one message (SparkNumberFormatException extends NFE). On a
+      // DISTRIBUTED run the NFE arrives WRAPPED in a stage-failure
+      // SparkException, so walk the cause chain before giving up —
+      // otherwise the friendly model-format diagnosis only fires in
+      // local mode (the r20 advice item).
+      case e: Throwable if {
+        var c: Throwable = e
+        var hit = false
+        while (c != null && !hit) {
+          hit = c.isInstanceOf[NumberFormatException]
+          c = c.getCause
+        }
+        hit
+      } => throw new IllegalArgumentException(
         s"$path has non-numeric vector entries - not a fastText " +
           "text-format model", e)
     }

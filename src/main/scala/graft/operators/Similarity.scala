@@ -281,6 +281,16 @@ object Similarity {
    * [[dtwTopKPruned]]; a spec pins the composed two-sided bound equal
    * to the fused [[graft.functions.LbKeoghExpr]] bit for bit, so the
    * τ screen is the SAME screen.
+   *
+   * `band` MUST equal the band the index's envelopes were BUILT with:
+   * the stored envelopes are band-specific, and
+   * [[graft.functions.LbKeoghEnvExpr]] derives the series length from
+   * `envLen - band` — a mismatched band makes the "bound" exceed true
+   * DTW and silently prunes true top-k neighbors (wrong results, not
+   * an error). Callers reading a persisted artifact should go through
+   * [[dtwTopKPrunedAgainst]], which pins `band` from the `_dtw_band`
+   * sidecar; pass a caller-supplied band here only for an in-memory
+   * index frame whose build band is in hand.
    */
   def dtwTopKPrunedOver(
     index: DataFrame,

@@ -987,15 +987,37 @@ object CurationPipeline {
   ): Seq[Long] = {
     val hp = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) Seq.empty
+    // fail-loud on the interrupted-publish signature: a crash between
+    // publishSoftLabels' two renames leaves `<labels>.compact` (and/or
+    // `<labels>.old`) beside a MISSING live dir — returning "no
+    // generations" there would make the next batch silently rebuild a
+    // fresh artifact (wrong soft weights for every cross-batch twin)
+    // and orphan the compacted history; the v-layout and
+    // missing-sidecar cases already throw, and so must this one
+    def requireNoInterruptedPublish(): Unit =
+      Seq(s"$labelsDir.compact" -> "rename `<labels>.compact` to `labels`",
+        s"$labelsDir.old" -> "rename `<labels>.old` back to `labels`")
+        .foreach { case (p, fix) =>
+          if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+            throw new IllegalStateException(
+              s"$labelsDir is missing (or holds no generations) but $p " +
+                "exists - a publishSoftLabels swap was interrupted " +
+                "between its two renames; recover by hand (" + fix +
+                ") instead of letting readers treat the corpus as " +
+                "having no prior labels")
+        }
+    if (!fs.exists(hp)) { requireNoInterruptedPublish(); Seq.empty }
     else {
       val names = fs.listStatus(hp).toSeq.map(_.getPath.getName)
       require(!names.exists(_.matches("v\\d+")),
         s"$labelsDir holds a full-rewrite-era (v<batch>) soft-label " +
           "layout - the generational reader cannot consume it; re-run " +
           "the soft stream from its source to rebuild the artifact")
-      names.filter(_.matches("g\\d+")).map(_.drop(1).toLong)
+      val gens = names.filter(_.matches("g\\d+")).map(_.drop(1).toLong)
         .filter(_ < upToExclusive).sorted
+      if (gens.isEmpty && !names.exists(_.matches("g\\d+")))
+        requireNoInterruptedPublish()
+      gens
     }
   }
 

@@ -1083,6 +1083,26 @@ class CurationPipelineSpec extends SparkSpec {
       CurationPipeline.currentSoftWeights(spark, legacy)
     }
     assert(e.getMessage.contains("full-rewrite-era"), e.getMessage)
+    // an INTERRUPTED publish (crash between publishSoftLabels' two
+    // renames: `labels` gone, `labels.compact` staged) fails loud —
+    // the silent-empty read would rebuild a fresh artifact and corrupt
+    // every cross-batch weight (the r20 advice item)
+    val interrupted = java.nio.file.Files
+      .createTempDirectory("graft-softinterrupted").toString
+    new java.io.File(s"$interrupted/labels.compact/g3").mkdirs()
+    val e2 = intercept[IllegalStateException] {
+      CurationPipeline.currentSoftWeights(spark, interrupted)
+    }
+    assert(e2.getMessage.contains("interrupted"), e2.getMessage)
+    // same signature one rename earlier: live renamed to .old, staging
+    // not yet published
+    val interrupted2 = java.nio.file.Files
+      .createTempDirectory("graft-softinterrupted2").toString
+    new java.io.File(s"$interrupted2/labels.old/g3").mkdirs()
+    val e3 = intercept[IllegalStateException] {
+      CurationPipeline.currentSoftWeights(spark, interrupted2)
+    }
+    assert(e3.getMessage.contains("interrupted"), e3.getMessage)
   }
 
   test("batch softDedup x prior indexes: signature prior PAIRS (twins " +
