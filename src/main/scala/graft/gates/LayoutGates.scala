@@ -108,14 +108,19 @@ object LayoutGates {
         .repartitionByRange(4, col("doc_id"))
         .write.partitionBy("lang").mode("append").parquet(out)
       val appended = SkipIndex.append(s, out, baseLocal, Seq("doc_id"))
+      // localize FIRST, assert on the local frame: fields() + the
+      // localization each collect, and collecting the distributed
+      // `appended` twice re-ran its new-file index scan per consumer
+      // (one full pass of the cell's dominant cost for a parity check
+      // that only needs the rows)
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(appended.collect(): _*), appended.schema)
       def fields(ix: org.apache.spark.sql.DataFrame) = ix.select(
           col("file"), col("n_rows"), col("doc_id_min"), col("doc_id_max"),
           col("doc_id_nulls"), base64(col("doc_id_bloom")).as("b"))
         .collect().map(_.toSeq).toSet
-      assert(fields(appended) == fields(SkipIndex.build(s, out, Seq("doc_id"))),
+      assert(fields(local) == fields(SkipIndex.build(s, out, Seq("doc_id"))),
         "append-built index must equal the full rebuild over the grown dir")
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(appended.collect(): _*), appended.schema)
       assert(SkipIndex.append(s, out, local, Seq("doc_id")) eq local,
         "append with no new files must return the existing index unchanged")
       Seq(7L, 300L, 987654L).map { p =>

@@ -58,15 +58,25 @@ object Contamination {
       .select(explode(col("hs")).as("g")).distinct()
       .withColumn("hit", lit(1L))
     // the bloom build consumes the eval gram table EAGERLY and the exact
-    // join consumes it again — LOCALIZE the (eval-set-sized) distinct
+    // join consumes it again — COLLECT the (eval-set-sized) distinct
     // grams once for both, instead of re-running their shuffle per
     // consumer. A driver-local relation is the right boundary here: the
     // exact join broadcasts evalGrams anyway, so the driver already
     // bears this table's size; an earlier localCheckpoint spelling had
     // the same plan shape but left the checkpoint blocks cached for the
-    // session's lifetime (no handle survives the call to free them)
-    val evalGrams =
-      if (bloomPrefilter) Similarity.localize(evalGramsPlan) else evalGramsPlan
+    // session's lifetime (no handle survives the call to free them).
+    // The filter itself is built DRIVER-SIDE from the same collected
+    // rows (the identical sketch class BloomFilterAggregate fills), so
+    // the whole eval side costs ONE distributed pass — the earlier
+    // spelling ran a second job just to aggregate the already-local
+    // rows into the filter.
+    val evalRows: Option[Array[org.apache.spark.sql.Row]] =
+      if (bloomPrefilter) Some(evalGramsPlan.collect()) else None
+    val evalGrams = evalRows match {
+      case Some(rows) => evalSet.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), evalGramsPlan.schema)
+      case None => evalGramsPlan
+    }
     // With the prefilter on, each doc's gram ARRAY is pruned by a
     // broadcast-sized bloom of the eval grams BEFORE exploding: the rows
     // entering the join drop from |grams(doc)| to ~hits + fpp·|grams(doc)|
@@ -84,11 +94,21 @@ object Contamination {
           size(col("hs")).cast("long").as("n_grams"),
           explode(col("hs")).as("g"))
       else {
-        val bloomBytes = evalGrams
-          .agg(graft.functions.BloomExprs
-            .bloomAgg(col("g"), bloomExpectedGrams, bloomNumBits).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-        // an EMPTY eval set aggregates to a null filter: nothing can hit
+        val rows = evalRows.get
+        val bloomBytes: Array[Byte] =
+          if (rows.isEmpty) null
+          else {
+            require(bloomExpectedGrams > 0 && bloomNumBits > 0,
+              s"expectedItems and numBits must be positive: " +
+                s"$bloomExpectedGrams, $bloomNumBits")
+            val bf = org.apache.spark.util.sketch.BloomFilter.create(
+              bloomExpectedGrams, bloomNumBits)
+            rows.foreach(r => bf.putLong(r.getLong(0)))
+            val baos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(baos)
+            baos.toByteArray
+          }
+        // an EMPTY eval set builds no filter: nothing can hit
         val pre: Column => Column =
           if (bloomBytes == null) _ => lit(false)
           else g => graft.functions.BloomExprs.mightContain(bloomBytes, g)
