@@ -27,8 +27,29 @@ object PlanDump {
       val df = qs(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      // the runtime-executed plan is where AQE decisions live
+      // (ReusedExchange/AQEShuffleRead/join rewrites) — run the query
+      // through the bench's noop sink and capture the WRITE's final
+      // plan via a listener (the save builds its own QueryExecution;
+      // df.queryExecution stays unexecuted), so exchange-reuse and AQE
+      // claims are checkable from the dump
+      val captured = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          captured.set(qe.executedPlan.toString)
+        override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      df.write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark, 10000)
+      spark.listenerManager.unregister(l)
+      val executed = captured.get
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"), plan)
+        java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"),
+        plan + "\n\n== runtime-executed plan (after noop save) ==\n" + executed)
+      GraftSession.sweepPersistedState(spark)
       println(s"wrote $outDir/${name}_$tag.txt (${plan.length} chars)")
     }
     spark.stop()

@@ -53,8 +53,15 @@ object CoOccur {
   /** All (w1, w2, n_pair) co-occurrence counts (unfiltered). */
   private def pairCounts(df: DataFrame, textCol: String, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
+    // the explicit not-null filter is a semantic no-op (pairsOf builds
+    // struct fields from least/greatest of non-null array elements) but
+    // it ALIGNS this subtree with the inner-join legs downstream, whose
+    // join-key isnotnull pushdown otherwise makes the pmi scalar leg
+    // canonically DIFFERENT — with it, AQE stage reuse computes the
+    // pair explode+count once for the pair table and the P scalar
     wordCol(df, textCol)
       .select(explode(pairsOf(col("__w"), window)).as("__p"))
+      .filter(col("__p.w1").isNotNull && col("__p.w2").isNotNull)
       .select(col("__p.w1"), col("__p.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
   }
@@ -85,7 +92,12 @@ object CoOccur {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     val all = pairCounts(df, textCol, window)
     val pairs = all.filter(col("n_pair") >= minCount)
+    // same aligning no-op filter as pairCounts: the unigram broadcast
+    // legs inherit isnotnull(w) from their join-key pushdown, and the
+    // T scalar leg must canonicalize to the SAME subtree to share the
+    // unigram count shuffle instead of re-running the word explode
     val uni = wordCol(df, textCol).select(explode(col("__w")).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     // P counts ALL pairs (the probability space), not just minCount
     // survivors; P and T are single scalars riding as ONE-ROW broadcast
@@ -152,17 +164,24 @@ object CoOccur {
     val ti = df.filter(col(itemCol).isNotNull)
       .select(col(txnCol).as("__t"), col(itemCol).cast("string").as("__i"))
       .distinct()
-    // N rides as a ONE-ROW broadcast cross join (the pmi spelling):
-    // `ti` feeds four plan legs (the N scalar, two broadcast item-count
-    // joins, the per-transaction pair chain) and keeping them in ONE
-    // action lets ReuseExchange share ti's distinct shuffle across all
-    // of them — the eager `.head()` N job re-ran the input scan +
-    // distinct on its own
-    val nT = broadcast(ti.agg(
-      greatest(coalesce(count_distinct(col("__t")).cast("double"), lit(1.0)),
-        lit(1.0)).as("__N")))
+    // N rides as a ONE-ROW broadcast cross join (the pmi spelling) so
+    // the whole query is ONE action — the eager `.head()` N job paid
+    // its own Catalyst planning pass on top of the scan. N is spelled
+    // as a row count of the per-transaction SET table (≡ count_distinct
+    // of __t over ti); note RemoveRedundantAggregates legitimately
+    // strips the unused collect_set from this leg and rewrites it to a
+    // bare distinct(__t), so the N scalar keeps its own (pruned,
+    // 2-column) scan + distinct rather than sharing the pair chain's
+    // exchange — unlike pmi's scalars, this one cannot reuse without
+    // defeating the optimizer. The pair-count exchange and the
+    // item-count broadcast do reuse (see plans/r21/q_assoc_rules_*).
     val itemCounts = ti.groupBy("__i").agg(count(lit(1)).as("__n"))
-    val pairs = ti.groupBy("__t").agg(sort_array(collect_set(col("__i"))).as("__s"))
+    val txnSets = ti.groupBy("__t")
+      .agg(sort_array(collect_set(col("__i"))).as("__s"))
+    val nT = broadcast(txnSets.agg(
+      greatest(coalesce(count(col("__s")).cast("double"), lit(1.0)),
+        lit(1.0)).as("__N")))
+    val pairs = txnSets
       .select(explode(setPairsOf(col("__s"))).as("__p"))
       .select(col("__p.a"), col("__p.b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
