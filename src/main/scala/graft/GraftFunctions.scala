@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.{CharEntropyExpr, CmsUnionAgg, DtwDistExpr, DtwEnvelopeExpr, LbKeoghEnvExpr, LbKeoghExpr, KllBuildAgg, KllUnionAgg, ThetaBuildAgg, ThetaUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg}
+import graft.functions.{CharEntropyExpr, CmsUnionAgg, DtwDistExpr, DtwEnvelopeExpr, LbKeoghEnvExpr, LbKeoghExpr, KllBuildAgg, KllUnionAgg, ThetaBuildAgg, ThetaUnionAgg, CosineSimExpr, HyperplaneBucketExpr, L2DistSqExpr, Md5Long60ArrayExpr, Md5Long60Expr, MinHashSignatureExpr, ShingleHashExpr, SimHashPackExpr, UnicodeNormExpr, VectorMeanAgg, WordTfExpr}
 
 /**
  * SQL surface for graft's native expressions, so `spark.sql` users get
@@ -172,6 +172,10 @@ object GraftFunctions {
     ("unicode_norm", unicodeNormBuilder, classOf[UnicodeNormExpr]),
     ("char_entropy", oneArg("char_entropy")(CharEntropyExpr.apply(_: Expression)),
       classOf[CharEntropyExpr]),
+    // row-local per-doc term frequencies — the shuffle-free posting
+    // builder behind the bm25 sidecar build/grow arms
+    ("word_tf", oneArg("word_tf")(WordTfExpr.apply(_: Expression)),
+      classOf[WordTfExpr]),
     ("l2_dist_sq", l2DistSqBuilder, classOf[L2DistSqExpr]),
     // banded dynamic-time-warping distance over numeric series
     ("dtw_dist", dtwDistBuilder, classOf[DtwDistExpr]),

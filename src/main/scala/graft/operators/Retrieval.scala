@@ -918,11 +918,18 @@ object Retrieval {
     * NULL-word registry sentinels for token-free docs — the shared
     * projection of the sidecar build and grow arms. */
   private def sidecarPostingsOf(docs: DataFrame): DataFrame = {
+    // per-doc TF is ROW-LOCAL (every occurrence of a word lives in one
+    // row's array), so the posting build is a pure projection — the
+    // earlier explode + groupBy(word, doc_id, dl) spelling paid a full
+    // posting-sized Exchange to meet occurrences that were never apart
+    // (guide §2.4). The bm25Scores/bm25Index builders deliberately KEEP
+    // the groupBy: there the postings Exchange is the materialization
+    // point the df branch reuses — see WordTfExpr's scaladoc.
     val postings = docs
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
-      .groupBy("word", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
-      .select(col("word"), col("doc_id"), col("tf"), col("dl"))
+      .select(col("doc_id"), col("dl"),
+        explode(graft.functions.WordTfExpr(col("w"))).as("wt"))
+      .select(col("wt.word").as("word"), col("doc_id"),
+        col("wt.tf").as("tf"), col("dl"))
     val tokenless = docs.filter(col("dl") === 0)
       .select(lit(null).cast("string").as("word"), col("doc_id"),
         lit(0L).as("tf"), col("dl"))

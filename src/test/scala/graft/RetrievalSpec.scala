@@ -703,4 +703,55 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("resolves to the source path"), e.getMessage)
   }
+
+  test("word_tf: row-local TF ≡ explode+groupBy; sidecar build plans no word shuffle") {
+    import graft.functions.WordTfExpr
+    // semantics: duplicates counted, first-occurrence order, empty array
+    // → empty result, NULL array → NULL (explode then emits nothing)
+    val rows = Seq(
+      (1L, Seq("b", "a", "b", "c", "b")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])
+    ).toDF("doc_id", "w")
+      .select(col("doc_id"), WordTfExpr(col("w")).as("wt"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[org.apache.spark.sql.Row](1)))
+      .toMap
+    assert(rows(1L).get.map(s => (s.getString(0), s.getLong(1))) ==
+      Seq(("b", 3L), ("a", 1L), ("c", 1L)))
+    assert(rows(2L).get.isEmpty)
+    assert(rows(3L).isEmpty)
+    // parity with the groupBy spelling over the corpus word table
+    val docs = graft.operators.Dedup.wordTable(corpus, "text", "doc_id")
+    val local = docs
+      .select(col("doc_id"), explode(WordTfExpr(col("w"))).as("wt"))
+      .select(col("wt.word"), col("doc_id"), col("wt.tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val grouped = docs
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(local == grouped && local.nonEmpty)
+    // the posting build is a pure projection: the sidecar write's plan
+    // must carry NO word-keyed exchange — only the rebalance-by-bucket
+    // layout exchange (the point of the row-local fold; the inline
+    // bm25Scores/bm25Index builders deliberately keep their groupBy)
+    val out = tmpDir("wtf-plan")
+    val plans = scala.collection.mutable.Buffer[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans += qe.executedPlan.toString
+      override def onFailure(f: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Retrieval.bm25SidecarWrite(corpus, "text", "doc_id", out)
+      org.apache.spark.sql.GraftSqlBridge.flushListenerBus(spark, 10000)
+    } finally spark.listenerManager.unregister(l)
+    val postingsWrite = plans.find(_.contains("postings-g1"))
+    assert(postingsWrite.nonEmpty, plans.mkString("\n---\n").take(2000))
+    assert(!"hashpartitioning\\(word".r.findAllIn(postingsWrite.get).hasNext,
+      s"posting build still shuffles by word:\n${postingsWrite.get.take(3000)}")
+  }
 }
