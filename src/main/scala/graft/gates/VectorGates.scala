@@ -253,9 +253,27 @@ object VectorGates {
       val clones = s.range(900000L, 900050L)
         .select(col("id").as("vec_id"), cloneVec.as("embedding"))
       val now = build.unionByName(clones)
-      val report = Pq.pqDriftReport(
+      // the report is codebook-sized (m × k ≤ 8 rows) but its plan is a
+      // full encode + stats pass over the corpus — COLLECT it once and
+      // run every assert below on the local rows (the q_skip_append
+      // collect-once convention; the r20 spelling re-ran the drift pass
+      // per assert consumer: 2 clone-code probes + the occupancy count
+      // + the returned frame = 4 corpus passes). Localized by hand with
+      // a nullability-RELAXED schema: report columns like
+      // occupancy_ratio are NULL for codes with no reference members,
+      // and Similarity.localize would reject those rows against the
+      // plan's non-nullable arithmetic types.
+      val rep0 = Pq.pqDriftReport(
         Pq.encode(now, "embedding", loaded), "embedding", loaded,
         Pq.loadPqReference(s, cbDir))
+      val localRows = rep0.collect()
+      val report = s.createDataFrame(
+        s.sparkContext.parallelize(localRows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(
+          rep0.schema.map(_.copy(nullable = true))))
+      val fi = rep0.schema.fieldIndex _
+      val repRows = localRows.map(r =>
+        (r.getInt(fi("subspace")), r.getLong(fi("code"))) -> r).toMap
       // planted drift visible two ways, robust at every sf: the clone
       // codeword gains exactly the 50 clones (encode is per-row
       // deterministic, build rows unchanged), and some previously
@@ -264,13 +282,16 @@ object VectorGates {
           clones.limit(1), "embedding", cb)
         .select(col("pq_code")).collect().head.getSeq[Long](0)
       cloneCodes.zipWithIndex.foreach { case (c, j) =>
-        val r = report
-          .filter(col("subspace") === j && col("code") === c)
-          .select(col("n_now") - col("n_ref")).collect().head
-        require(r.getLong(0) == 50L,
-          s"q_pq_drift: clone codeword subspace=$j code=$c did not gain 50 ($r)")
+        val r = repRows((j, c))
+        val gain = r.getLong(fi("n_now")) - r.getLong(fi("n_ref"))
+        require(gain == 50L,
+          s"q_pq_drift: clone codeword subspace=$j code=$c did not gain " +
+            s"50 ($gain)")
       }
-      require(report.filter(col("occupancy_ratio") < 1.0).count() > 0,
+      // SQL `< 1.0` semantics: a NULL ratio never satisfies the filter
+      require(localRows.exists(r =>
+          Option(r.getAs[java.lang.Double](fi("occupancy_ratio")))
+            .exists(_ < 1.0)),
         "q_pq_drift: planted drift diluted no codeword below build share")
       report.select(
         col("subspace"), col("code"), col("n_ref"), col("n_now"),
