@@ -35,6 +35,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at its default (true): an r21 experiment
+      // with false + the 64m advisory showed no win beyond machine noise
+      // at sf0.1, and byte-sized coalescing would serialize CPU-dense
+      // post-shuffle stages (LSH in-bucket verify: kilobytes of hashes,
+      // seconds of compute) onto one task at any scale where their
+      // byte size undershoots the advisory — partition count must track
+      // work, not bytes, for those stages.
       // Let AQE keep optimizing UNDER persist(): with the default
       // (false) a cached subtree's shuffles run at the raw
       // spark.sql.shuffle.partitions — no coalescing, no skew split —
@@ -106,6 +113,43 @@ object GraftSession {
       }
     }
     leaked.size
+  }
+
+  /**
+   * Run INDEPENDENT Spark actions concurrently and wait for all (guide
+   * §2.6: actions are only sequential because driver code calls them
+   * sequentially; overlapping lets the next job's tasks back-fill
+   * executors freed by the current job's tail — on a cluster that is
+   * idle-capacity reclaim, locally it overlaps per-action fixed costs).
+   * Spark's scheduler is explicitly safe for concurrent jobs from one
+   * session (FIFO by default — exactly the back-fill behaviour).
+   *
+   * Callers must pass actions with NO data dependency and disjoint
+   * write targets. The first failure is rethrown UNWRAPPED (fail-loud
+   * parity with the sequential spelling) after every action has been
+   * waited on — a write racing a sibling's abort would be a worse
+   * failure mode than finishing it.
+   */
+  def runConcurrently(actions: Seq[() => Unit]): Unit = {
+    if (actions.isEmpty) return
+    if (actions.size == 1) { actions.head(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
+    try {
+      val futs = actions.map(a =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = a()
+        }))
+      var firstFailure: Option[Throwable] = None
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure.isEmpty)
+              firstFailure = Some(Option(e.getCause).getOrElse(e))
+        }
+      }
+      firstFailure.foreach(throw _)
+    } finally pool.shutdownNow()
   }
 
   // ------------------------------------------- observed-metric reporting

@@ -969,17 +969,21 @@ object Retrieval {
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings-g1")
     val written = spark.read.schema(SidecarPostingsSchema)
       .parquet(s"$path/postings-g1")
-    bucketClustered(
-      written.filter(col("word").isNotNull)
-        .groupBy("word").agg(count(lit(1)).as("df"))
-        .withColumn("bucket", sidecarBucket(buckets)))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/df-v1")
-    // the (doc_id, dl) doc registry: every doc owns ≥ 1 posting row
-    // (sentinels included) carrying one (doc_id, dl) per word — the
-    // distinct collapses to the registry, persisted per generation so
-    // later grows/forgets never scan posting rows
-    written.select("doc_id", "dl").distinct()
-      .write.mode("overwrite").parquet(s"$path/registry-g1")
+    // df sidecar and doc registry are INDEPENDENT derivations of the
+    // written postings with disjoint targets — overlapped (guide §2.6)
+    // so the second write's tasks back-fill the first's tail
+    graft.GraftSession.runConcurrently(Seq(
+      () => bucketClustered(
+          written.filter(col("word").isNotNull)
+            .groupBy("word").agg(count(lit(1)).as("df"))
+            .withColumn("bucket", sidecarBucket(buckets)))
+        .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/df-v1"),
+      // the (doc_id, dl) doc registry: every doc owns ≥ 1 posting row
+      // (sentinels included) carrying one (doc_id, dl) per word — the
+      // distinct collapses to the registry, persisted per generation so
+      // later grows/forgets never scan posting rows
+      () => written.select("doc_id", "dl").distinct()
+        .write.mode("overwrite").parquet(s"$path/registry-g1")))
     val st = spark.read.schema(SidecarRegistrySchema)
       .parquet(s"$path/registry-g1")
       .agg(count(lit(1)).as("n"),
@@ -1236,32 +1240,41 @@ object Retrieval {
       // pinned too — the stats fold below re-consumes it
       val reg = committed.select("doc_id", "dl").distinct().persist()
       try {
-        reg.write.mode("overwrite").parquet(s"$path/registry-g${m.nextGen}")
-        // df merge: broadcast LEFT join + anti leg (full-outer would not
-        // broadcast — the Forget.appendFingerprints doctrine); the old df
-        // read is PRUNED to the drop vocabulary's buckets — untouched
-        // buckets are byte-copied forward by writeDfVersion, never read
-        val aDf = committed
-          .filter(col("word").isNotNull)
-          .groupBy("word").agg(count(lit(1)).as("__a_df"))
-          .persist()
-        try {
-          val touched = touchedBuckets(aDf.select("word"), m.buckets)
-          val oldDf = spark.read.schema(SidecarDfSchema)
-            .parquet(s"$path/df-v${m.dfV}")
-            .filter(if (touched.isEmpty) lit(false) else col("bucket").isin(touched: _*))
-            .drop("bucket")
-          val merged = oldDf.join(hinted(aDf), Seq("word"), "left")
-            .select(col("word"),
-              (col("df") + coalesce(col("__a_df"), lit(0L))).as("df"))
-          val matched = oldDf.select("word")
-            .join(hinted(aDf.select("word")), Seq("word"), "left_semi")
-          val newOnly = aDf
-            .join(if (broadcastDrop) broadcast(matched) else matched,
-              Seq("word"), "left_anti")
-            .select(col("word"), col("__a_df").as("df"))
-          writeDfVersion(spark, path, m, touched, merged.unionByName(newOnly))
-        } finally aDf.unpersist()
+        // registry write and df-version rewrite are independent
+        // derivations of the committed generation with disjoint targets
+        // — overlapped (guide §2.6)
+        graft.GraftSession.runConcurrently(Seq(
+          () => reg.write.mode("overwrite")
+            .parquet(s"$path/registry-g${m.nextGen}"),
+          () => {
+            // df merge: broadcast LEFT join + anti leg (full-outer would
+            // not broadcast — the Forget.appendFingerprints doctrine);
+            // the old df read is PRUNED to the drop vocabulary's buckets
+            // — untouched buckets are byte-copied forward by
+            // writeDfVersion, never read
+            val aDf = committed
+              .filter(col("word").isNotNull)
+              .groupBy("word").agg(count(lit(1)).as("__a_df"))
+              .persist()
+            try {
+              val touched = touchedBuckets(aDf.select("word"), m.buckets)
+              val oldDf = spark.read.schema(SidecarDfSchema)
+                .parquet(s"$path/df-v${m.dfV}")
+                .filter(if (touched.isEmpty) lit(false)
+                  else col("bucket").isin(touched: _*))
+                .drop("bucket")
+              val merged = oldDf.join(hinted(aDf), Seq("word"), "left")
+                .select(col("word"),
+                  (col("df") + coalesce(col("__a_df"), lit(0L))).as("df"))
+              val matched = oldDf.select("word")
+                .join(hinted(aDf.select("word")), Seq("word"), "left_semi")
+              val newOnly = aDf
+                .join(if (broadcastDrop) broadcast(matched) else matched,
+                  Seq("word"), "left_anti")
+                .select(col("word"), col("__a_df").as("df"))
+              writeDfVersion(spark, path, m, touched, merged.unionByName(newOnly))
+            } finally aDf.unpersist()
+          }))
         // global stats deltas from the committed generation's registry
         // (the frame just written — identical rows, no file re-read)
         val st = reg
@@ -1421,19 +1434,21 @@ object Retrieval {
     val newGen = m.nextGen
     // rewrite = union of the merged generations only (smallest-first
     // bytes); bucket partitioning carries over so probe pruning is
-    // unchanged
-    bucketClustered(
-      merged
-        .map(g => spark.read.schema(SidecarPostingsSchema)
-          .parquet(s"$path/postings-g$g"))
-        .reduce(_ unionByName _))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/postings-g$newGen")
-    merged
-      .map(g => spark.read.schema(SidecarRegistrySchema)
-        .parquet(s"$path/registry-g$g"))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$path/registry-g$newGen")
+    // unchanged. Posting and registry rewrites read disjoint sources
+    // and write disjoint targets — overlapped (guide §2.6)
+    graft.GraftSession.runConcurrently(Seq(
+      () => bucketClustered(
+          merged
+            .map(g => spark.read.schema(SidecarPostingsSchema)
+              .parquet(s"$path/postings-g$g"))
+            .reduce(_ unionByName _))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$path/postings-g$newGen"),
+      () => merged
+        .map(g => spark.read.schema(SidecarRegistrySchema)
+          .parquet(s"$path/registry-g$g"))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$path/registry-g$newGen")))
     writeSidecarMeta(spark, path, m.copy(gens = kept :+ newGen))
     gcOrphanGens((kept :+ newGen).toSet ++ merged.toSet)
   }
@@ -1469,9 +1484,6 @@ object Retrieval {
       readSidecarPostings(spark, path, m)
         .join(broadcast(r), col("doc_id") === col("__rm_id"), "left_anti")
     }
-    bucketClustered(live.withColumn("bucket", sidecarBucket(m.buckets)))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$outPath/postings-g1")
     // the registry compacts the same way: live rows only — tombstoned
     // ids lose their registry row here, which is what re-opens their
     // ids for a legitimate later append
@@ -1481,13 +1493,19 @@ object Retrieval {
       readSidecarRegistry(spark, path, m)
         .join(broadcast(r), col("doc_id") === col("__rm_id"), "left_anti")
     }
-    liveReg.write.mode("overwrite").parquet(s"$outPath/registry-g1")
-    bucketClustered(
-      spark.read.schema(SidecarDfSchema)
-        .parquet(s"$path/df-v${m.dfV}").drop("bucket")
-        .withColumn("bucket", sidecarBucket(m.buckets)))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$outPath/df-v1")
+    // postings, registry, and df carry-over read disjoint sources and
+    // write disjoint targets — overlapped (guide §2.6)
+    graft.GraftSession.runConcurrently(Seq(
+      () => bucketClustered(live.withColumn("bucket", sidecarBucket(m.buckets)))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$outPath/postings-g1"),
+      () => liveReg.write.mode("overwrite").parquet(s"$outPath/registry-g1"),
+      () => bucketClustered(
+          spark.read.schema(SidecarDfSchema)
+            .parquet(s"$path/df-v${m.dfV}").drop("bucket")
+            .withColumn("bucket", sidecarBucket(m.buckets)))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$outPath/df-v1")))
     writeSidecarMeta(spark, outPath,
       SidecarMeta(m.nDocs, m.sumDl, gens = Seq(1), dfV = 1, rmV = 0, m.buckets))
   }

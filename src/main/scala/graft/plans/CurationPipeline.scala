@@ -863,22 +863,25 @@ object CurationPipeline {
               } finally org.apache.spark.sql.GraftSqlBridge
                 .unpersistLocalCheckpoint(pairs)
               try {
-                delta.select(col("doc_id"), col("cluster_id"),
-                    lit(batchId).as("version"))
-                  .write.mode("overwrite").parquet(s"$labelsDir/g$batchId")
-                // signed size deltas: +1 per arriving cluster member,
-                // -1 per departure (a merge moves members out of the
-                // absorbed cluster) — summing generations per cluster
-                // IS the current size, no corpus-wide count ever runs
-                delta.groupBy("cluster_id").agg(count(lit(1)).as("n_delta"))
-                  .unionByName(
-                    delta.filter(col("old_cluster_id").isNotNull)
-                      .select(col("old_cluster_id").as("cluster_id"))
-                      .groupBy("cluster_id")
-                      .agg((-count(lit(1))).as("n_delta")))
-                  .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
-                  .write.mode("overwrite")
-                  .parquet(s"$labelsDir/sizes-g$batchId")
+                // both generation writes read the CHECKPOINTED delta and
+                // target disjoint dirs — overlapped (guide §2.6)
+                graft.GraftSession.runConcurrently(Seq(
+                  () => delta.select(col("doc_id"), col("cluster_id"),
+                      lit(batchId).as("version"))
+                    .write.mode("overwrite").parquet(s"$labelsDir/g$batchId"),
+                  // signed size deltas: +1 per arriving cluster member,
+                  // -1 per departure (a merge moves members out of the
+                  // absorbed cluster) — summing generations per cluster
+                  // IS the current size, no corpus-wide count ever runs
+                  () => delta.groupBy("cluster_id").agg(count(lit(1)).as("n_delta"))
+                    .unionByName(
+                      delta.filter(col("old_cluster_id").isNotNull)
+                        .select(col("old_cluster_id").as("cluster_id"))
+                        .groupBy("cluster_id")
+                        .agg((-count(lit(1))).as("n_delta")))
+                    .groupBy("cluster_id").agg(sum("n_delta").as("n_delta"))
+                    .write.mode("overwrite")
+                    .parquet(s"$labelsDir/sizes-g$batchId")))
               } finally org.apache.spark.sql.GraftSqlBridge
                 .unpersistLocalCheckpoint(delta)
               // CURRENT batch weights off the just-written generations:
@@ -905,13 +908,18 @@ object CurationPipeline {
           sink(delivered, batchId)
           // grow the indexes from THIS batch's survivors. The curated
           // text is already scrubbed, so the index derives directly —
-          // same artifact exactIndex/signatureIndex build via scrub
-          Dedup.exactFingerprintIndexKeyed(pinned, textCol, "doc_id", cfg.tokenizer)
-            .write.mode("append").parquet(fpPath)
-          if (nearDup)
-            Dedup.minHashSignatures(pinned, textCol, "doc_id",
+          // same artifact exactIndex/signatureIndex build via scrub.
+          // Every grow leg reads the CHECKPOINTED survivor frame and
+          // appends to its own path — independent actions, overlapped
+          // (guide §2.6) so per-batch fixed costs stack once, not per leg
+          val growLegs = scala.collection.mutable.Buffer[() => Unit](
+            () => Dedup.exactFingerprintIndexKeyed(
+                pinned, textCol, "doc_id", cfg.tokenizer)
+              .write.mode("append").parquet(fpPath))
+          if (nearDup) growLegs += (
+            () => Dedup.minHashSignatures(pinned, textCol, "doc_id",
                 cfg.shingleK, cfg.numHashes, cfg.tokenizer)
-              .write.mode("append").parquet(sigPath)
+              .write.mode("append").parquet(sigPath))
           def growMedia(
               what: String, sub: String, bands: Int,
               payloadCol: String, mIdCol: String,
@@ -928,16 +936,17 @@ object CurationPipeline {
               h, "doc_id", "__mh", s"$indexDir/$sub", bands,
               metricPrefix = s"banded_$sub", mode = "append")
           }
-          cfg.imageDedup.foreach(im =>
+          cfg.imageDedup.foreach(im => growLegs += (() =>
             growMedia("image", "dhash", im.bands, im.payloadCol, im.idCol,
-              graft.operators.Multimodal.imageDHash(_)))
-          cfg.videoDedup.foreach(v =>
+              graft.operators.Multimodal.imageDHash(_))))
+          cfg.videoDedup.foreach(v => growLegs += (() =>
             growMedia("video", "vhash", v.bands, v.payloadCol, v.idCol,
               graft.operators.Multimodal.videoDHash(
-                _, v.n, graft.operators.Multimodal.SniffFrames)))
-          cfg.audioDedup.foreach(a =>
+                _, v.n, graft.operators.Multimodal.SniffFrames))))
+          cfg.audioDedup.foreach(a => growLegs += (() =>
             growMedia("audio", "afp", a.bands, a.payloadCol, a.idCol,
-              graft.operators.Multimodal.audioFingerprint(_)))
+              graft.operators.Multimodal.audioFingerprint(_))))
+          graft.GraftSession.runConcurrently(growLegs.toSeq)
         } finally org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(pinned)
       }
     }
@@ -1233,10 +1242,12 @@ object CurationPipeline {
     val staging = s"$labelsDir.compact"
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
-    labels
-      .select(col("doc_id"), col("cluster_id"), lit(target).as("version"))
-      .write.mode("overwrite").parquet(s"$staging/g$target")
-    sizes.write.mode("overwrite").parquet(s"$staging/sizes-g$target")
+    // disjoint staging targets, no data dependency — overlapped (§2.6)
+    graft.GraftSession.runConcurrently(Seq(
+      () => labels
+        .select(col("doc_id"), col("cluster_id"), lit(target).as("version"))
+        .write.mode("overwrite").parquet(s"$staging/g$target"),
+      () => sizes.write.mode("overwrite").parquet(s"$staging/sizes-g$target")))
     // carry the newest (replay-window) generation over verbatim — a
     // COPY, not a move: a crash between a move and the swap would leave
     // the live layout silently missing its newest labels (batch-sized
