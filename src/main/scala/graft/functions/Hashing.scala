@@ -31,14 +31,14 @@ object Hashing {
    * Mirrored in the DuckDB oracles as
    * `trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))`.
    */
-  def normalizeText(c: Column): Column =
-    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+  def normalizeText(c: Column): Column = NormalizeTextExpr(c)
 
-  /** Whitespace tokens of normalized text; empty text → empty array. */
-  def normalizedWords(c: Column): Column = {
-    val n = normalizeText(c)
-    when(n === "", array().cast("array<string>")).otherwise(split(n, " "))
-  }
+  /** Whitespace tokens of normalized text; empty text → empty array.
+    * One fused lowercase + byte scan straight to the array
+    * ([[NormalizedWordsExpr]]) — byte-identical to splitting
+    * [[normalizeText]] on single spaces, without materializing the
+    * intermediate string or running the regex NFA per row. */
+  def normalizedWords(c: Column): Column = NormalizedWordsExpr(c)
 
   /** UAX#29 words of case-folded text ([[Uax29WordsExpr]]) — the
     * multilingual arm of [[normalizedWords]]: CJK segments at

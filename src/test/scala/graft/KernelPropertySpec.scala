@@ -99,4 +99,36 @@ class KernelPropertySpec extends SparkSpec {
       assert(Md5Long60Expr.hash(UTF8String.fromString(s)) == expect, s"input=<$s>")
     }
   }
+
+  test("NormalizeTextExpr/NormalizedWordsExpr equal the lower+regex composite") {
+    // alphabet deliberately stresses the parity argument: Unicode
+    // lowercase mappings whose result CONTAINS ASCII alnum ('İ' → i +
+    // combining dot above, Kelvin 'K' → k), multi-byte gap chars (CJK,
+    // é, ∆), digit/letter runs, punctuation soups, spaces
+    val alphabet = "aB9 ,;é∆中文İKK--__\t\n"
+    val cases = Seq.fill(500)(
+      (1 to rng.nextInt(24)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString) ++
+      Seq("", "   ", "---", "abc", "a b  c", "É9z", "İstanbul")
+    val df = cases.toDF("s").select(
+      col("s"),
+      graft.functions.NormalizeTextExpr(col("s")).as("fused"),
+      trim(regexp_replace(lower(col("s")), "[^a-z0-9]+", " ")).as("composite"),
+      graft.functions.NormalizedWordsExpr(col("s")).as("fused_w"))
+    df.collect().foreach { r =>
+      val in = r.getString(0)
+      assert(r.getString(1) == r.getString(2),
+        s"normalize diverged on <$in>: fused=<${r.getString(1)}> " +
+          s"composite=<${r.getString(2)}>")
+      val expectW =
+        if (r.getString(2).isEmpty) List.empty[String]
+        else r.getString(2).split(" ").toList
+      assert(r.getSeq[String](3).toList == expectW,
+        s"words diverged on <$in>: ${r.getSeq[String](3).toList} vs $expectW")
+    }
+    // NULL propagates
+    val nulls = Seq(Option.empty[String]).toDF("s").select(
+      graft.functions.NormalizeTextExpr(col("s")),
+      graft.functions.NormalizedWordsExpr(col("s"))).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }

@@ -84,11 +84,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   // The wordTable/shingleTable projections exist so the expensive
-  // normalization (regexp_replace+lower+split) runs ONCE per document.
-  // If CollapseProject ever inlines them into a downstream lambda, the
-  // expression gets re-evaluated per array element / per seed — these
-  // counts are the early-warning tripwire.
-  private def lowerCount(plan: String): Int = "lower\\(".r.findAllIn(plan).size
+  // normalization (the fused normalize_text / normalized_words byte-scan
+  // since r21; lower+regexp_replace+split before) runs ONCE per
+  // document. If CollapseProject ever inlines them into a downstream
+  // lambda, the expression gets re-evaluated per array element / per
+  // seed — these counts are the early-warning tripwire.
+  private def lowerCount(plan: String): Int =
+    "normalize_text\\(|normalized_words\\(".r.findAllIn(plan).size
 
   test("minhash signatures evaluate the text normalization exactly once") {
     val plan = Dedup.minHashSignatures(docs, "text", "doc_id")
