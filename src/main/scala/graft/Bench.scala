@@ -325,8 +325,19 @@ object Bench {
     val lJson = leaks.map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
+    // "sf" as a NUMBER (r22 measurement fix): every driver-side
+    // BENCH_r*.json records sf numerically (0.1), while this line carried
+    // the data DIRECTORY as a string — any consumer that validates/
+    // converts the field numerically fails on it, and the driver has
+    // recorded parsed:null for the bench line in all 21 rounds. The scale
+    // factor is parsed from the directory's basename (sf0.1 → 0.1); the
+    // path moves to "sf_dir" so nothing is lost. Queries, timings and
+    // methodology are unchanged.
+    val sfNum = "sf([0-9.]+)$".r.findFirstMatchIn(
+      new java.io.File(sfDir).getName).map(_.group(1))
+    val sfJson = sfNum.getOrElse(jsonStr(sfDir))
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"steady_runs":$SteadyRuns,"steady_runs_cheap":$CheapSteadyRuns,"cheap_cold_sec":${num(CheapColdSec)},"steady_stat":"median","isolation":"swept","leaked_rdds":$lJson,"errors":$eJson,"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${mapJson(timings)},"steady":${mapJson(steady)},"steady_total":${num(steady.values.sum)},"steady_runs":$SteadyRuns,"steady_runs_cheap":$CheapSteadyRuns,"cheap_cold_sec":${num(CheapColdSec)},"steady_stat":"median","isolation":"swept","leaked_rdds":$lJson,"errors":$eJson,"n_errors":${errors.size},"sf":$sfJson,"sf_dir":${jsonStr(sfDir)}}"""
     // tail-capture safety (the r17 driver capture kept only 70 of 173
     // cells): persist the full line to a file FIRST, stop Spark so its
     // shutdown logging cannot land after us, and print the JSON as the

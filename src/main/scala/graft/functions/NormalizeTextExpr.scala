@@ -101,6 +101,64 @@ object NormalizeTextExpr {
   }
 }
 
+/**
+ * Byte-scan space split over ALREADY-CANONICAL text (single internal
+ * spaces, no leading/trailing — [[NormalizeTextExpr]] output): the word
+ * array as maximal runs of non-space bytes, empty for the empty string.
+ *
+ * Replaces the last regex in the dedup hot path
+ * ([[graft.operators.Dedup.wordTable]]'s `split(norm, " ")`): Spark's
+ * `StringSplit` decodes the UTF8String to a java String, runs a
+ * `Pattern.split`, and re-encodes every token; this slices the bytes
+ * directly (0x20 never occurs inside a UTF-8 multi-byte sequence, so a
+ * byte scan is a character scan). On canonical input the result is
+ * value-identical to `split(norm, " ")` composed with the empty-string
+ * guard (regex split of "" yields [""], which wordTable special-cased to
+ * []; runs-semantics yields [] natively) — KernelPropertySpec pins the
+ * parity. NOT a general split: on non-canonical input (repeated/edge
+ * spaces) regex split emits empty tokens, this does not, by design.
+ */
+case class SpaceSplitExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!child.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "space_split"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SpaceSplitExpr.split(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpaceSplitExpr.split($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpaceSplitExpr =
+    copy(child = newChild)
+}
+
+object SpaceSplitExpr {
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      SpaceSplitExpr(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** Maximal non-space byte runs as UTF8String slices, one pass. */
+  def split(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      val start = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > start) out += UTF8String.fromBytes(b, start, i - start)
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** The array arm of [[NormalizeTextExpr]] — see its scaladoc. */
 case class NormalizedWordsExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =

@@ -246,8 +246,12 @@ object Dedup {
         Hashing.normalizeText(col(textCol)).as("norm"))
       .select(
         col("doc_id"), col("norm"),
-        when(col("norm") === "", array().cast("array<string>"))
-          .otherwise(split(col("norm"), " ")).as("w"))
+        // byte-scan split of the canonical norm (r22): value-identical to
+        // the regex spelling `when(norm === "", array()).otherwise(
+        // split(norm, " "))` it replaces — see SpaceSplitExpr's scaladoc
+        // and KernelPropertySpec's parity arm — without the String
+        // decode + Pattern machinery per row
+        graft.functions.SpaceSplitExpr(col("norm")).as("w"))
 
   /**
    * Word k-shingles over materialized (norm, w) columns. Documents with

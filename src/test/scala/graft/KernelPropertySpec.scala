@@ -131,4 +131,35 @@ class KernelPropertySpec extends SparkSpec {
       graft.functions.NormalizedWordsExpr(col("s"))).collect().head
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
+
+  test("SpaceSplitExpr equals regex split + empty guard on canonical text") {
+    // the wordTable contract (r22): over NormalizeTextExpr output —
+    // single internal spaces, no edges — the byte-scan split must equal
+    // the regex spelling it replaced, `when(norm === '', array())
+    // .otherwise(split(norm, ' '))`. Random soups are normalized FIRST,
+    // so the inputs cover empty, single-word and multi-word canonicals.
+    val alphabet = "aB9 ,;é∆中文İKK--__\t\n"
+    val cases = Seq.fill(500)(
+      (1 to rng.nextInt(24)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString) ++
+      Seq("", "   ", "---", "abc", "a b  c", "É9z", "İstanbul")
+    val df = cases.toDF("raw")
+      .select(graft.functions.NormalizeTextExpr(col("raw")).as("norm"))
+      .select(
+        col("norm"),
+        graft.functions.SpaceSplitExpr(col("norm")).as("fast"),
+        when(col("norm") === "", array().cast("array<string>"))
+          .otherwise(split(col("norm"), " ")).as("ref"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+        s"split diverged on <${r.getString(0)}>: " +
+          s"${r.getSeq[String](1).toList} vs ${r.getSeq[String](2).toList}")
+    }
+    // NULL propagates; non-canonical input follows runs semantics (the
+    // documented deviation from regex split: no empty tokens)
+    val edge = Seq(Option.empty[String], Some("a  b"), Some(" x ")).toDF("s")
+      .select(graft.functions.SpaceSplitExpr(col("s"))).collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getSeq[String](0).toList == List("a", "b"))
+    assert(edge(2).getSeq[String](0).toList == List("x"))
+  }
 }
