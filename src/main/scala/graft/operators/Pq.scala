@@ -569,8 +569,13 @@ object Pq {
     val approx = adcRerankTopK(corpus, encoded, queries, vecCol, idCol, cb,
         k, kCandidates)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    // both sides are <= |queries|·k rows by construction, but their size
+    // ESTIMATES derive from the corpus-sized search subtrees, so the
+    // planner picks a sort-merge join (two exchanges + two sorts of
+    // rows that were never big). Broadcast the approx side explicitly
+    // (guide §3.1: hint when you know a side is small).
     truth
-      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
       .agg(
         countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_truth"),

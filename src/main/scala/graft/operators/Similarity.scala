@@ -759,8 +759,13 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val approx = ivfTopK(corpus, queries, vecCol, idCol, k, nCentroids, nProbe, kmeansIters)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    // both sides are <= |queries|·k rows by construction (the scaladoc's
+    // broadcast-sized argument), but their size ESTIMATES derive from
+    // the corpus-sized search subtrees, so the planner picks a
+    // sort-merge join. Broadcast the approx side explicitly (guide
+    // §3.1: hint when you know a side is small).
     truth
-      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
       .agg(
         countDistinct(col("query_id")).as("n_queries"),
         count(lit(1)).as("n_truth"),
