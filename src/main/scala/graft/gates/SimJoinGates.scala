@@ -256,10 +256,24 @@ object SimJoinGates {
         .groupBy(kept.columns.map(col): _*)
         .agg(sum(col("__sign")).as("__d"))
         .filter(col("__d") =!= 0L)
-      assert(diff.isEmpty,
-        "post-forget edit-variant index must equal a rebuild from the reduced corpus")
+      // r22: the parity assert rides the RETURNED frame as a
+      // raise-or-empty union leg (the sidecarAppendPostings guard
+      // pattern) instead of its own eager isEmpty action — the cell ran
+      // 2 sequential actions (diff ~1.3 s, probe ~3.0 s at sf0.1) whose
+      // independent stages now overlap inside ONE job, and the multiset
+      // equality still fails loud (at action time) with the same
+      // message. Zero rows contributed when parity holds, so the gated
+      // values are unchanged.
+      val parityGuard = diff.limit(1).select(
+        when(col("__d") =!= 0L,
+          raise_error(lit("post-forget edit-variant index must equal a " +
+            "rebuild from the reduced corpus")))
+          .otherwise(lit(null)).cast("long").as("batch_id"),
+        lit(null).cast("long").as("index_id"),
+        lit(null).cast("int").as("edit_dist"))
       EditSim.editDistancePairsAgainst(
-        editIncrBatch(s, dir), kept, "s", "doc_id", maxDist = 2)
+          editIncrBatch(s, dir), kept, "s", "doc_id", maxDist = 2)
+        .unionByName(parityGuard)
     },
     // §2 row 153 (containment arm) — forget over the persisted
     // containment index: FULL postings with only per-doc fields riding
